@@ -1,0 +1,515 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/**
+ * The correctness-gate query suite: every entry has a Spark definition
+ * and (where SQL-expressible) a DuckDB oracle over the same parquet
+ * tables. Column names and deterministic ORDER BY are kept identical on
+ * both sides; monetary aggregates run in DECIMAL (exact, order-independent)
+ * and are cast to DOUBLE at the end so both engines emit bit-identical
+ * values regardless of aggregation order.
+ *
+ * Scale notes are on each query; the common principles:
+ *  - filters/projections stay in the scan (Catalyst pushdown),
+ *  - small dims are broadcast,
+ *  - top-k uses TakeOrderedAndProject (no global sort),
+ *  - pair-joins (dedup) key on grams/bands, never cross-join.
+ */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as LongType
+    * nanos under this legacy flag (set per query so any session works). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC") // oracle renders naive UTC
+    t(s, dir, "events")
+  }
+
+  // exact decimal money math, deterministic across engines
+  private def dec14(c: Column): Column = c.cast(DecimalType(14, 4))
+  private def dec8(c: Column): Column = c.cast(DecimalType(8, 4))
+  private val one = lit(1).cast(DecimalType(8, 4))
+  private def dbl(c: Column): Column = c.cast(DoubleType)
+  private def tsLit(s: String): Column = lit(s).cast(TimestampNTZType)
+
+  private def revenue(price: Column, disc: Column): Column =
+    sum(dec14(price) * (one - dec8(disc))).cast(DoubleType)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational core -------------------------------------------------
+    "q01_pricing_summary" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= tsLit("2000-06-30"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dbl(sum(dec14(col("l_quantity")))).as("sum_qty"),
+          dbl(sum(dec14(col("l_extendedprice")))).as("sum_base_price"),
+          revenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          dbl(sum(dec14(col("l_extendedprice")) * (one - dec8(col("l_discount"))) * (one + dec8(col("l_tax"))))).as("sum_charge"),
+          (dbl(sum(dec14(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+          (dbl(sum(dec14(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+          (dbl(sum(dec8(col("l_discount")))) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q02_revenue_by_year" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(year(col("l_shipdate")).as("yr"))
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("yr"))
+    }),
+
+    "q03_revenue_by_nation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    "q04_top_orders" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.filter(col("l_shipdate") > tsLit("1996-06-15"))
+        .join(o.filter(col("o_orderdate") < tsLit("1996-06-15")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .select(col("o_orderkey"), col("revenue"),
+          col("o_orderdate").cast(DateType).as("odate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q05_order_priority" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      o.join(li.filter(col("l_quantity") >= 45).select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q06_selective_filter" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") >= tsLit("1996-01-01") &&
+          col("l_shipdate") < tsLit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dbl(sum(dec14(col("l_extendedprice")) * dec8(col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    "q07_brand_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
+    }),
+
+    "q09_customers_without_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o.select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q10_suppliers_with_returns" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val li = t(s, dir, "lineitem")
+      sup.join(li.filter(col("l_returnflag") === "R").select(col("l_suppkey")),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // --- window functions ------------------------------------------------
+    "q11_running_total" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"),
+          dbl(sum(dec14(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))).as("run_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "q12_rank_parts" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc, col("p_partkey"))
+      p.select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          dense_rank().over(w).as("rk"))
+        .filter(col("rk") <= 3)
+        .orderBy(col("p_brand"), col("rk"), col("p_partkey"))
+    }),
+
+    "q13_order_deltas" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"),
+          (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // --- set ops / grouping ----------------------------------------------
+    "q14_custkeys_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.select(col("o_custkey").as("custkey")).distinct()
+        .except(c.filter(col("c_acctbal") < 0).select(col("c_custkey").as("custkey")))
+        .orderBy(col("custkey"))
+    }),
+
+    "q15_rollup_flags" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec14(col("l_quantity")))).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    "q16_segment_stats" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+          count(lit(1)).as("n"),
+          dbl(sum(dec14(col("c_acctbal")))).as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // --- events (streaming-shaped, batch semantics) ----------------------
+    "q17_events_hourly" -> ((s, dir) => {
+      val ev = events(s, dir)
+      ev.select(date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH:00").as("hour"),
+          col("event_type"), col("value"))
+        .groupBy(col("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec14(col("value")))).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    "q18_sessionization" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val flagged = ev.select(col("user_id"), col("ts"), col("event_id"),
+        when(col("ts") - lag(col("ts"), 1).over(w) > 1800000000000L, 1).otherwise(0).as("new_sess"))
+      val sessioned = flagged.select(col("user_id"), col("event_id"),
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("sess"))
+      sessioned.groupBy(col("user_id"), col("sess")).agg(count(lit(1)).as("sess_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), max(col("sess_events")).as("max_sess_events"),
+          sum(col("sess_events")).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q19_events_top_users" -> ((s, dir) => {
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec14(col("value")))).as("sum_value"))
+        .orderBy(col("n").desc, col("user_id"))
+        .limit(20)
+    }),
+
+    // --- text analysis ----------------------------------------------------
+    "q30_text_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tok = TextOps.tokens(col("text"))
+      docs.select(col("doc_id"),
+          size(tok).as("n_tokens"),
+          size(array_distinct(tok)).as("n_uniq"),
+          (size(array_distinct(tok)).cast(DoubleType) / size(tok).cast(DoubleType)).as("ttr"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q31_lang_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (dbl(sum(size(TextOps.tokens(col("text"))))) / count(lit(1))).as("avg_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    "q32_exact_dedup" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents")).orderBy(col("keeper"))),
+
+    "q33_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.5)
+        .orderBy(col("a"), col("b"))),
+
+    "q34_minhash_lsh_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, bands = 16, rows = 4, threshold = 0.5)
+        .orderBy(col("a"), col("b"))),
+
+    "q35_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+          TextOps.simhashUdf(TextOps.tokens(col("text"))).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q36_langid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"), TextOps.langIdUdf(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q37_quality_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"), TextOps.qualityScore(TextOps.tokens(col("text"))).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q38_fingerprint" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+          TextOps.fingerprintUdf(TextOps.tokens(col("text"))).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- similarity search -----------------------------------------------
+    "q39_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      Similarity.cosineTopK(emb.filter(col("vec_id") =!= 0), query, 10)
+        .select(col("vec_id"), round(col("cos"), 5).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+    }),
+
+    "q40_lsh_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      Similarity.lshTopK(emb.filter(col("vec_id") =!= 0), query, 10, nTables = 16, nBits = 8, probeHamming = 1)
+        .select(col("vec_id"), round(col("cos"), 5).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+    }),
+
+    "q41_embedding_stats" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      emb.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          (dbl(sum(Similarity.norm(col("embedding")).cast(DecimalType(18, 6)))) / count(lit(1))).as("avg_norm"))
+        .orderBy(col("label"))
+    }),
+
+    // --- multimodal plumbing ---------------------------------------------
+    "q50_multimodal_decode" -> ((s, dir) => {
+      val media = Multimodal.withPayload(t(s, dir, "documents"))
+      Multimodal.decodeAll(s, media).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          col("channels"), col("format"), col("sha"))
+        .orderBy(col("doc_id"))
+    }))
+
+  /** DuckDB oracles. Keys absent here get the driver's rows-only check. */
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))) AS DOUBLE) AS sum_charge,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-06-30'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_revenue_by_year" ->
+      """SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    "q03_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q04_top_orders" ->
+      """SELECT o_orderkey,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
+        |CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > TIMESTAMP '1996-06-15' AND o_orderdate < TIMESTAMP '1996-06-15'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q05_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q06_selective_filter" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q07_brand_revenue" ->
+      """SELECT p_brand,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q09_customers_without_orders" ->
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q10_suppliers_with_returns" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_returnflag = 'R')
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q11_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q12_rank_parts" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+        |SELECT p_brand, p_partkey, p_retailprice,
+        |DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+        |FROM part) WHERE rk <= 3 ORDER BY p_brand, rk, p_partkey""".stripMargin,
+
+    "q13_order_deltas" ->
+      """SELECT o_custkey, o_orderkey,
+        |o_totalprice - LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q14_custkeys_except" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+        |EXCEPT SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+        |ORDER BY custkey""".stripMargin,
+
+    "q15_rollup_flags" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
+
+    "q16_segment_stats" ->
+      """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q17_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
+        |COUNT(*) AS n, CAST(SUM(CAST("value" AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q18_sessionization" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sessioned AS (
+        |  SELECT user_id, event_id,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM flagged),
+        |per_sess AS (SELECT user_id, sess, COUNT(*) AS sess_events FROM sessioned GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions, MAX(sess_events) AS max_sess_events, SUM(sess_events) AS n_events
+        |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q19_events_top_users" ->
+      """SELECT user_id, COUNT(*) AS n, CAST(SUM(CAST("value" AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
+
+    "q30_text_stats" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq,
+        |CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31_lang_profile" ->
+      """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+        |CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q32_exact_dedup" ->
+      """SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+
+    "q33_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |g AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS gram
+        |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(tok)-2)) AS i) r
+        |      WHERE len(tok) >= 3),
+        |s AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
+        |p AS (SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS inter
+        |      FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id GROUP BY 1, 2)
+        |SELECT p.a, p.b, CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) AS jaccard
+        |FROM p JOIN s sa ON p.a = sa.doc_id JOIN s sb ON p.b = sb.doc_id
+        |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+
+    "q37_quality_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
+        |SELECT doc_id,
+        |0.5 * least(1.0, CAST(len(tok) AS DOUBLE) / 50.0)
+        |+ 0.3 * (CAST(len(list_distinct(tok)) AS DOUBLE) / CAST(len(tok) AS DOUBLE))
+        |+ 0.2 * (CAST(len(list_filter(tok, x -> list_contains(['the','a','an','of','and','to','in','is','on','for'], x))) AS DOUBLE) / CAST(len(tok) AS DOUBLE)) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q39_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, round(
+        |  list_sum(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 5) AS cos
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "q41_embedding_stats" ->
+      """SELECT label, COUNT(*) AS n,
+        |CAST(SUM(CAST(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "q50_multimodal_decode" ->
+      """SELECT doc_id,
+        |CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+        |CAST(3 AS INTEGER) AS channels,
+        |CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin)
+
+  /** Headline benchmark subset (scan-agg, selective filter, join, window,
+    * dedup, similarity — mirrors BASELINE.md's suggested shapes). */
+  val headline: Seq[String] = Seq(
+    "q01_pricing_summary", "q02_revenue_by_year", "q03_revenue_by_nation",
+    "q06_selective_filter", "q11_running_total", "q17_events_hourly",
+    "q32_exact_dedup", "q33_jaccard_pairs", "q39_cosine_topk")
+}

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.util.Murmur3
+
+/**
+ * Deduplication operators for training-data pipelines, each designed to
+ * stay shuffle-light at 100 TB:
+ *
+ *  - exact:     one hash-shuffle on a 16-byte digest (not the full text) —
+ *               the shuffle payload is doc_id+digest only.
+ *  - n-gram Jaccard: explode-join on shared n-grams. The join key is the
+ *               gram string; at scale, hot grams are the skew risk, so
+ *               `jaccardPairs` drops grams whose document-frequency exceeds
+ *               `maxDf` (a stopword-gram filter — standard trick; hot grams
+ *               carry no discriminative signal anyway).
+ *  - MinHash+LSH: k seeded murmur3 permutations → b bands of r rows →
+ *               candidates share a band hash. Shuffle volume is
+ *               O(docs × b) tiny band keys instead of O(docs²).
+ *  - SimHash:   64-bit fingerprint; candidates share a 16-bit band; verify
+ *               by Hamming distance. Cheapest of all (one long per doc).
+ */
+object Dedup {
+
+  /** Exact dedup: keep the lowest doc_id per md5(text). */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** (doc_id, gram) exploded distinct word-ngram sets + per-doc set size. */
+  private def gramSets(docs: DataFrame, n: Int): (DataFrame, DataFrame) = {
+    val grams = docs
+      .select(col("doc_id"), explode(TextOps.wordNgrams(TextOps.tokens(col("text")), n)).as("gram"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    (grams, sizes)
+  }
+
+  /**
+   * Exact n-gram Jaccard similarity pairs with `jaccard >= threshold`.
+   * `maxDf` caps the document frequency of join grams to bound skew
+   * (0 = disabled). Deterministic: inter/union arithmetic is integral.
+   */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.1, maxDf: Long = 0): DataFrame = {
+    val (grams, sizes) = gramSets(docs, n)
+    val joinGrams =
+      if (maxDf <= 0) grams
+      else {
+        val df = grams.groupBy("gram").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+        grams.join(df.select("gram"), "gram")
+      }
+    val a = joinGrams.select(col("doc_id").as("a"), col("gram"))
+    val b = joinGrams.select(col("doc_id").as("b"), col("gram"))
+    val inter = a.join(b, Seq("gram")).filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("sza") + col("szb") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // --- MinHash + LSH ------------------------------------------------------
+
+  /** k minhash values per shingle set, via k seeded murmur3 hashes. */
+  def minhashSignature(shingles: Seq[String], k: Int): Array[Int] = {
+    val sig = Array.fill(k)(Int.MaxValue)
+    val distinct = shingles.distinct
+    var i = 0
+    while (i < distinct.length) {
+      val s = distinct(i)
+      var p = 0
+      while (p < k) {
+        val h = Murmur3.hashStringSeed(s, p * 0x9e3779b1 + 0x85ebca77)
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /**
+   * MinHash-LSH candidate pairs, verified with exact n-gram Jaccard.
+   * `bands` × `rows` = signature length. A pair is a candidate when any
+   * band agrees; candidates are then verified against `threshold` using
+   * the true gram sets (so false positives never escape; false negatives
+   * follow the standard LSH S-curve).
+   */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, bands: Int = 16, rows: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val k = bands * rows
+    val sigUdf = udf((toks: Seq[String]) => minhashSignature(toks, k))
+    val withSig = docs
+      .select(col("doc_id"), TextOps.wordNgrams(TextOps.tokens(col("text")), n).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .withColumn("sig", sigUdf(col("grams")))
+    // band key = murmur3 of the band's slice, as one long per (doc, band)
+    val bandUdf = udf((sig: Seq[Int]) =>
+      (0 until bands).map(bd => bd.toLong << 32 |
+        (Murmur3.hashString(sig.slice(bd * rows, bd * rows + rows).mkString(",")).toLong & 0xffffffffL)))
+    val banded = withSig.select(col("doc_id"), explode(bandUdf(col("sig"))).as("band"))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    // verify candidates with exact Jaccard on the gram sets
+    val sets = withSig.select(col("doc_id"), col("grams"))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("grams").as("ga")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("grams").as("gb")), "b")
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // --- SimHash near-dup ---------------------------------------------------
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /**
+   * SimHash near-dup pairs: candidates share one of four 16-bit bands
+   * (any pair within Hamming distance 3 shares at least one band by
+   * pigeonhole); verified by exact Hamming distance <= maxHamming.
+   */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = docs.select(col("doc_id"),
+      TextOps.simhashUdf(TextOps.tokens(col("text"))).as("fp"))
+    val banded = fp.select(col("doc_id"), col("fp"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"), shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+    val hammingUdf = udf((a: Long, b: Long) => hamming64(a, b))
+    banded.as("x").join(banded.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        hammingUdf(col("x.fp"), col("y.fp")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

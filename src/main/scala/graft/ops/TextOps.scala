@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.util.Murmur3
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines.
+ *
+ * Everything here is embarrassingly parallel per-row (no shuffle), so it
+ * scales linearly to 100 TB: each operator is a narrow projection that
+ * Catalyst fuses into the scan's whole-stage-codegen pipeline. Prefer
+ * `org.apache.spark.sql.functions` built-ins (codegen'd); the UDFs
+ * (simhash / fingerprint / langid) are per-row pure functions with no
+ * driver-side state, broadcast implicitly as part of the closure.
+ */
+object TextOps {
+
+  /** Whitespace tokens. Testdata uses single-space separation. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-grams (default 3) as a distinct set; codegen-friendly
+    * (transform/sequence, no UDF). Empty array when fewer than n tokens. */
+  def wordNgrams(toks: Column, n: Int = 3): Column = {
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
+  }
+
+  /** Token count via codegen'd `size(split(...))`. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word segmentation count: splits on whitespace AND on
+    * letter/digit/punct boundaries, approximating a byte-pair tokenizer's
+    * piece count without a vocab. Codegen'd regexp. */
+  def bpeishTokenCount(text: Column): Column =
+    size(split(text, "\\s+|(?<=[a-z])(?=[A-Z0-9])|(?<=[0-9])(?=[a-zA-Z])"))
+
+  /** Quality score in [0,1]: length saturation + type-token ratio +
+    * stopword ratio. Formula is fixed and float-deterministic (left-assoc). */
+  val StopWords: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+
+  def qualityScore(toks: Column): Column = {
+    val n = size(toks).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double")
+    val stops = size(filter(toks, t => t.isin(StopWords: _*))).cast("double")
+    lit(0.5) * least(lit(1.0), n / lit(50.0)) + lit(0.3) * (uniq / n) + lit(0.2) * (stops / n)
+  }
+
+  // --- SimHash ------------------------------------------------------------
+
+  /** 64-bit SimHash over tokens: per-token 64-bit hash from two seeded
+    * murmur3_32 halves; sum of +/-1 per bit; sign → fingerprint bit.
+    * Near-duplicate docs land within small Hamming distance.
+    *
+    * Scale path: per-row map (no shuffle); grouping by 16-bit bands of the
+    * fingerprint gives a shuffle-light candidate join (see Dedup.simhashPairs).
+    */
+  def simhash64(toks: Seq[String]): Long = {
+    val counts = new Array[Int](64)
+    var ti = 0
+    val distinct = toks.distinct
+    while (ti < distinct.length) {
+      val t = distinct(ti)
+      val h = (Murmur3.hashStringSeed(t, 0).toLong << 32) | (Murmur3.hashStringSeed(t, 1).toLong & 0xffffffffL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      ti += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  val simhashUdf = udf((toks: Seq[String]) => simhash64(toks))
+
+  // --- Rolling-hash fingerprint ------------------------------------------
+
+  /** Polynomial rolling hash over the token stream (base 31, mod 2^64) —
+    * an order-sensitive document fingerprint (winnowing-style building
+    * block). Per-row, no shuffle. */
+  def fingerprint64(toks: Seq[String]): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < toks.length) {
+      h = h * 31L + Murmur3.hashString(toks(i)).toLong
+      i += 1
+    }
+    h
+  }
+
+  val fingerprintUdf = udf((toks: Seq[String]) => fingerprint64(toks))
+
+  // --- Language ID --------------------------------------------------------
+
+  /** Charset + stopword language heuristic (en/es/de/fr/zh/unknown).
+    * CJK codepoint ratio decides zh; else argmax of per-language stopword
+    * hits with deterministic tie-break on language code. */
+  private val langStops: Seq[(String, Set[String])] = Seq(
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
+    "en" -> Set("the", "and", "is", "of", "to", "in", "that", "it", "was", "for"),
+    "es" -> Set("el", "la", "de", "que", "y", "los", "es", "en", "una", "por"),
+    "fr" -> Set("le", "la", "les", "et", "est", "dans", "une", "que", "pour", "des"))
+
+  def languageOf(text: String): String = {
+    if (text == null || text.isEmpty) return "unknown"
+    var cjk = 0
+    var letters = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isLetter(c)) {
+        letters += 1
+        val block = Character.UnicodeBlock.of(c)
+        if (block == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
+          block == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS_EXTENSION_A) cjk += 1
+      }
+      i += 1
+    }
+    if (letters > 0 && cjk * 2 > letters) return "zh"
+    val toks = text.toLowerCase.split("\\s+")
+    var best = "unknown"
+    var bestScore = 0
+    langStops.foreach { case (lang, stops) =>
+      val score = toks.count(stops.contains)
+      if (score > bestScore) { best = lang; bestScore = score }
+    }
+    best
+  }
+
+  val langIdUdf = udf((text: String) => languageOf(text))
+
+  /** Convenience: full per-document text-analysis projection. */
+  def analyze(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_uniq"),
+      qualityScore(t).as("quality"),
+      simhashUdf(t).as("simhash"),
+      fingerprintUdf(t).as("fingerprint"),
+      langIdUdf(col("text")).as("lang_pred"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+class OpsSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("text analysis produces full per-doc profile") {
+    val out = TextOps.analyze(docs).collect()
+    assert(out.length === docs.count())
+    assert(out.forall(r => r.getAs[Int]("n_tokens") > 0))
+    assert(out.forall { r =>
+      val q = r.getAs[Double]("quality"); q >= 0.0 && q <= 1.0
+    })
+  }
+
+  test("language heuristic identifies hand-crafted samples") {
+    assert(TextOps.languageOf("the cat sat on the mat and it was happy") === "en")
+    assert(TextOps.languageOf("el perro corre en la casa y los gatos duermen") === "es")
+    assert(TextOps.languageOf("der Hund und die Katze sind nicht im Haus") === "de")
+    assert(TextOps.languageOf("le chien est dans la maison et les chats dorment") === "fr")
+    assert(TextOps.languageOf("我是一个学生 我们在学校学习中文") === "zh")
+    assert(TextOps.languageOf("") === "unknown")
+  }
+
+  test("simhash of near-identical docs is close, distant docs differ") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today".split(" ").toSeq
+    val b = a.updated(3, "red") // one token changed
+    val c = "completely different words entirely unrelated to anything else written here now then".split(" ").toSeq
+    assert(Dedup.hamming64(TextOps.simhash64(a), TextOps.simhash64(b)) <= 16)
+    assert(Dedup.hamming64(TextOps.simhash64(a), TextOps.simhash64(c)) > 16)
+  }
+
+  test("minhash-LSH finds the same high-similarity pairs as exact jaccard") {
+    val exact = Dedup.jaccardPairs(docs, n = 3, threshold = 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, n = 3, bands = 16, rows = 4, threshold = 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no false positives (verification step guarantees it)
+    assert(lsh.subsetOf(exact))
+    // recall at j>=0.8 with 16x4 LSH should be essentially total
+    if (exact.nonEmpty) assert(lsh.size.toDouble / exact.size >= 0.9)
+  }
+
+  test("simhash banding finds near-dup pairs without false positives") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+    pairs.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
+  }
+
+  test("LSH ANN reaches high recall vs brute-force cosine top-k") {
+    val query = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val exact = Similarity.cosineTopK(rest, query, 10).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val ann = Similarity.lshTopK(rest, query, 10, nTables = 16, nBits = 8, probeHamming = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((exact intersect ann).size >= 5, s"recall too low: $ann vs $exact")
+    val ivf = Similarity.ivfTopK(rest, query, 10, nCentroids = 16, nProbe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((exact intersect ivf).size >= 5, s"ivf recall too low: $ivf vs $exact")
+  }
+
+  test("multimodal decode pipeline emits typed metadata and frames") {
+    val media = Multimodal.withPayload(docs)
+    val decoded = Multimodal.decodeAll(spark, media).collect()
+    assert(decoded.length === docs.count())
+    decoded.foreach { d =>
+      assert(d.n_bytes > 0)
+      assert(d.sha.length === 64)
+      assert(d.format == "png" || d.format == "jpeg")
+      assert(math.abs(d.feature.sum - 1.0f) < 1e-3) // normalized histogram
+    }
+    val frames = Multimodal.sampleFrames(spark, media, stride = 64, maxFrames = 4)
+    assert(frames.count() > 0)
+    assert(frames.groupBy("doc_id").count().agg(max("count")).head().getLong(0) <= 4)
+  }
+}
