@@ -1,0 +1,357 @@
+package graft.format
+
+import org.apache.spark.sql.types._
+
+/** The commit algebra — every table mutation ends in one atomic snapshot
+  * commit with optimistic retry (reference §2.8: MergeAppend/FastAppend
+  * core/.../{FastAppend,MergingSnapshotProducer}.java, BaseOverwriteFiles,
+  * BaseReplacePartitions, StreamingDelete + ManifestFilterManager,
+  * BaseRewriteFiles, BaseRowDelta, RemoveSnapshots, SnapshotManager).
+  *
+  * Manifests here hold live entries only; a rewritten manifest carries prior
+  * entries as EXISTING with their original snapshot/sequence numbers (the
+  * reference does the same through ManifestReader → ManifestWriter copies).
+  */
+final class ValidationException(msg: String) extends RuntimeException(msg)
+
+object Commits {
+
+  /** Property: merge manifests when a snapshot would reference more than
+    * this many (reference TableProperties.MANIFEST_MIN_MERGE_COUNT). */
+  val ManifestMinMergeCount = "commit.manifest.min-count-to-merge"
+  val ManifestMinMergeDefault = 8
+
+  // ---- manifest construction ----
+
+  private def summaries(spec: PartitionSpec, types: Seq[(String, DataType)],
+      entries: Seq[ManifestEntry]): Seq[FieldSummary] =
+    spec.fields.zip(types).map { case (pf, (_, dt)) =>
+      val vs = entries.map(_.file.partition.getOrElse(pf.name, null))
+      val nonNull = vs.filter(_ != null)
+      val ord = Exprs.ordering(dt)
+      FieldSummary(
+        containsNull = vs.exists(_ == null),
+        lower = if (nonNull.isEmpty) null else nonNull.min(ord),
+        upper = if (nonNull.isEmpty) null else nonNull.max(ord))
+    }
+
+  /** Write one manifest + its descriptor. */
+  private[format] def writeManifest(table: GraftTable, m: TableMetadata,
+      specId: Int, entries: Seq[ManifestEntry], addedSnapshotId: Long): ManifestFile = {
+    val spec = m.specs(specId)
+    val types = table.partTypesOf(m)(specId)
+    val schema = m.schema
+    val path = table.ops.newManifestPath()
+    val content = Model.manifestToJson(entries, schema, types.toMap)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), content)
+    val (added, existing, deleted) = (
+      entries.filter(_.status == EntryStatus.Added),
+      entries.filter(_.status == EntryStatus.Existing),
+      entries.filter(_.status == EntryStatus.Deleted))
+    ManifestFile(path, content.length.toLong, specId,
+      entries.map(_.file.content).find(_ != FileContent.Data).getOrElse(FileContent.Data),
+      addedSnapshotId,
+      added.size, existing.size, deleted.size,
+      added.map(_.file.recordCount).sum, existing.map(_.file.recordCount).sum,
+      deleted.map(_.file.recordCount).sum,
+      if (entries.isEmpty) 0L else entries.map(_.sequenceNumber).min,
+      summaries(spec, types, entries.filter(_.status != EntryStatus.Deleted)))
+  }
+
+  private def writeManifestList(table: GraftTable, m: TableMetadata,
+      snapshotId: Long, manifests: Seq[ManifestFile]): String = {
+    val path = table.ops.newManifestListPath(snapshotId)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      Model.manifestListToJson(manifests, table.partTypesOf(m)))
+    path
+  }
+
+  private def nextIds(m: TableMetadata): (Long, Long) = {
+    val seq = m.lastSequenceNumber + 1
+    (seq, seq) // snapshotId == sequenceNumber: deterministic, monotonic
+  }
+
+  private def buildSnapshot(table: GraftTable, m: TableMetadata, op: String,
+      manifests: Seq[ManifestFile], extraSummary: Map[String, String]): TableMetadata = {
+    val (seq, snapId) = nextIds(m)
+    val added = manifests.filter(_.addedSnapshotId == snapId)
+    val listPath = writeManifestList(table, m, snapId, manifests)
+    val now = System.currentTimeMillis()
+    val snap = Snapshot(snapId, m.currentSnapshotId, seq, now, op, listPath,
+      Map(
+        "schema-id" -> m.currentSchemaId.toString,
+        "added-data-files" -> added.map(_.addedFilesCount).sum.toString,
+        "added-records" -> added.map(_.addedRowsCount).sum.toString,
+        "total-manifests" -> manifests.size.toString) ++ extraSummary)
+    m.copy(
+      lastSequenceNumber = seq,
+      lastUpdatedMillis = now,
+      currentSnapshotId = Some(snapId),
+      snapshots = m.snapshots :+ snap,
+      snapshotLog = m.snapshotLog :+ SnapshotLogEntry(now, snapId))
+  }
+
+  private def currentManifests(table: GraftTable, m: TableMetadata): Seq[ManifestFile] =
+    m.currentSnapshot.map(s => table.readManifestList(m, s)).getOrElse(Nil)
+
+  // ---- append ----
+
+  /** FastAppend (reference core/.../FastAppend.java): new manifest, no merge. */
+  def fastAppend(table: GraftTable, newFiles: Seq[DataFile],
+      summary: Map[String, String] = Map.empty): TableMetadata =
+    table.ops.commitTransaction { m =>
+      val (seq, snapId) = nextIds(m)
+      val entries = newFiles.map(f =>
+        ManifestEntry(EntryStatus.Added, snapId, seq,
+          f.copy(schemaId = m.currentSchemaId, specId = m.defaultSpecId)))
+      val mf = writeManifest(table, m, m.defaultSpecId, entries, snapId)
+      buildSnapshot(table, m, "append", currentManifests(table, m) :+ mf, summary)
+    }
+
+  /** MergeAppend (reference MergingSnapshotProducer/ManifestMergeManager):
+    * like fastAppend but compacts the manifest list when it grows past the
+    * min-merge-count — keeps planning O(few manifests) on long-lived tables. */
+  def mergeAppend(table: GraftTable, newFiles: Seq[DataFile],
+      summary: Map[String, String] = Map.empty): TableMetadata =
+    table.ops.commitTransaction { m =>
+      val (seq, snapId) = nextIds(m)
+      val entries = newFiles.map(f =>
+        ManifestEntry(EntryStatus.Added, snapId, seq,
+          f.copy(schemaId = m.currentSchemaId, specId = m.defaultSpecId)))
+      val newMf = writeManifest(table, m, m.defaultSpecId, entries, snapId)
+      val existing = currentManifests(table, m)
+      val minMerge = m.properties.get(ManifestMinMergeCount)
+        .map(_.toInt).getOrElse(ManifestMinMergeDefault)
+      val all = existing :+ newMf
+      val manifests =
+        if (all.size <= minMerge) all
+        else { // merge per spec-id
+          all.groupBy(_.specId).toSeq.sortBy(_._1).map { case (specId, mfs) =>
+            if (mfs.size == 1) mfs.head
+            else {
+              val merged = mfs.flatMap(mf => table.readManifest(mf, m.schema))
+                .filter(_.status != EntryStatus.Deleted)
+                .map(e => e.copy(status =
+                  if (e.snapshotId == snapId) EntryStatus.Added else EntryStatus.Existing))
+              writeManifest(table, m, specId, merged, snapId)
+            }
+          }
+        }
+      buildSnapshot(table, m, "append", manifests, summary)
+    }
+
+  // ---- overwrite family ----
+
+  /** Metadata-only delete by filter; whole files only. Files where SOME but
+    * not ALL rows match raise ValidationException — exactly the reference's
+    * "Cannot delete file where some, but not all, rows match filter"
+    * (ManifestFilterManager.java:215-222, strict/inclusive decision :285-319). */
+  def deleteByFilter(table: GraftTable, filter: Expr): TableMetadata =
+    table.ops.commitTransaction { m =>
+      val manifests = rewriteForDelete(table, m, filter)
+      buildSnapshot(table, m, "delete", manifests, Map.empty)
+    }
+
+  /** Overwrite-by-filter: delete matching files + append new
+    * (reference BaseOverwriteFiles / SparkBatchWrite filter-overwrite :198-207). */
+  def overwriteByFilter(table: GraftTable, filter: Expr,
+      newFiles: Seq[DataFile]): TableMetadata =
+    table.ops.commitTransaction { m =>
+      val (seq, snapId) = nextIds(m)
+      val afterDelete = rewriteForDelete(table, m, filter)
+      val entries = newFiles.map(f =>
+        ManifestEntry(EntryStatus.Added, snapId, seq,
+          f.copy(schemaId = m.currentSchemaId, specId = m.defaultSpecId)))
+      val mf = writeManifest(table, m, m.defaultSpecId, entries, snapId)
+      buildSnapshot(table, m, "overwrite", afterDelete :+ mf, Map.empty)
+    }
+
+  /** Dynamic partition overwrite (reference BaseReplacePartitions; used by
+    * SparkBatchWrite.java:186-194): drop every file in a partition touched
+    * by the new data. */
+  def replacePartitions(table: GraftTable, newFiles: Seq[DataFile]): TableMetadata =
+    table.ops.commitTransaction { m =>
+      val (seq, snapId) = nextIds(m)
+      val touched: Set[Map[String, Any]] = newFiles.map(canonTuple).toSet
+      val kept = currentManifests(table, m).map { mf =>
+        val entries = table.readManifest(mf, m.schema)
+        val (dropped, keep) = entries.partition(e =>
+          mf.specId == m.defaultSpecId && touched.contains(canonTuple(e.file)))
+        if (dropped.isEmpty) Some(mf)
+        else if (keep.isEmpty) None
+        else Some(writeManifest(table, m, mf.specId,
+          keep.map(e => e.copy(status =
+            if (e.status == EntryStatus.Added && e.snapshotId != snapId)
+              EntryStatus.Existing else e.status)), snapId))
+      }.flatten
+      val entries = newFiles.map(f =>
+        ManifestEntry(EntryStatus.Added, snapId, seq,
+          f.copy(schemaId = m.currentSchemaId, specId = m.defaultSpecId)))
+      val mf = writeManifest(table, m, m.defaultSpecId, entries, snapId)
+      buildSnapshot(table, m, "replace", kept :+ mf, Map.empty)
+    }
+
+  /** RewriteFiles: atomic swap for compaction (reference BaseRewriteFiles). */
+  def rewriteFiles(table: GraftTable, deletedPaths: Set[String],
+      newFiles: Seq[DataFile]): TableMetadata =
+    table.ops.commitTransaction { m =>
+      val (seq, snapId) = nextIds(m)
+      val kept = currentManifests(table, m).flatMap { mf =>
+        val entries = table.readManifest(mf, m.schema)
+        val keep = entries.filter(e => !deletedPaths.contains(e.file.path))
+        if (keep.size == entries.size) Some(mf)
+        else if (keep.isEmpty) None
+        else Some(writeManifest(table, m, mf.specId,
+          keep.map(e => e.copy(status = EntryStatus.Existing)), snapId))
+      }
+      val entries = newFiles.map(f =>
+        ManifestEntry(EntryStatus.Added, snapId, seq,
+          f.copy(schemaId = m.currentSchemaId, specId = m.defaultSpecId)))
+      val mf =
+        if (entries.isEmpty) Nil
+        else Seq(writeManifest(table, m, m.defaultSpecId, entries, snapId))
+      buildSnapshot(table, m, "replace", kept ++ mf,
+        Map("rewritten-files" -> deletedPaths.size.toString))
+    }
+
+  /** RowDelta (v2): add data + delete files in one commit
+    * (reference api/.../RowDelta.java, BaseRowDelta). */
+  def rowDelta(table: GraftTable, dataFiles: Seq[DataFile],
+      deleteFiles: Seq[DataFile]): TableMetadata =
+    table.ops.commitTransaction { m =>
+      val (seq, snapId) = nextIds(m)
+      def mk(fs: Seq[DataFile]) = fs.map(f =>
+        ManifestEntry(EntryStatus.Added, snapId, seq,
+          f.copy(schemaId = m.currentSchemaId, specId = m.defaultSpecId)))
+      val mfs = Seq(
+        if (dataFiles.nonEmpty)
+          Some(writeManifest(table, m, m.defaultSpecId, mk(dataFiles), snapId)) else None,
+        if (deleteFiles.nonEmpty)
+          Some(writeManifest(table, m, m.defaultSpecId, mk(deleteFiles), snapId)) else None
+      ).flatten
+      buildSnapshot(table, m, "overwrite", currentManifests(table, m) ++ mfs,
+        Map("delete-files" -> deleteFiles.size.toString))
+    }
+
+  private def canonTuple(f: DataFile): Map[String, Any] =
+    f.partition.map { case (k, v) => k -> (v match {
+      case i: Int => i.toLong
+      case other => other
+    })}
+
+  /** Shared delete-by-filter manifest rewrite. */
+  private def rewriteForDelete(table: GraftTable, m: TableMetadata,
+      filter: Expr): Seq[ManifestFile] = {
+    val schema = m.schema
+    val bound = Exprs.bind(filter, schema)
+    currentManifests(table, m).flatMap { mf =>
+      val spec = m.specs(mf.specId)
+      val strictPart =
+        if (spec.isPartitioned) Projections.strict(bound, spec, schema) else AlwaysFalse
+      val inclusivePart =
+        if (spec.isPartitioned) Projections.inclusive(bound, spec, schema) else AlwaysTrue
+      val entries = table.readManifest(mf, schema)
+      val (toDelete, kept) = entries.partition { e =>
+        val f = e.file
+        val wholeFile =
+          (strictPart != AlwaysFalse && Projections.evalOnPartition(strictPart, f.partition)) ||
+          Evaluators.strictMetrics(bound, f)
+        val mightMatch =
+          (inclusivePart == AlwaysTrue || Projections.evalOnPartition(inclusivePart, f.partition)) &&
+          Evaluators.inclusiveMetrics(bound, f)
+        if (mightMatch && !wholeFile)
+          throw new ValidationException(
+            s"Cannot delete file where some, but not all, rows match filter: ${f.path}")
+        wholeFile
+      }
+      if (toDelete.isEmpty) Some(mf)
+      else if (kept.isEmpty) None
+      else Some(writeManifest(table, m, mf.specId,
+        kept.map(e => e.copy(status = EntryStatus.Existing)),
+        m.currentSnapshotId.getOrElse(0L)))
+    }
+  }
+
+  // ---- snapshot management ----
+
+  /** ExpireSnapshots (reference core/.../RemoveSnapshots.java): drop
+    * snapshots older than the cutoff (never the current one / ancestors
+    * retained count). Returns orphaned data-file paths for the caller to
+    * physically delete (ExpireSnapshotsAction does this with Dataset.except —
+    * our Actions wrapper mirrors that). */
+  def expireSnapshots(table: GraftTable, olderThanMillis: Long,
+      retainLast: Int = 1): (TableMetadata, Seq[String]) = {
+    var orphaned: Seq[String] = Nil
+    val updated = table.ops.commitTransaction { m =>
+      val byAge = m.snapshots.sortBy(s => (s.timestampMillis, s.snapshotId))
+      val keepIds = (byAge.takeRight(retainLast).map(_.snapshotId) ++
+        m.currentSnapshotId).toSet
+      val (keep, expire) = m.snapshots.partition(s =>
+        keepIds.contains(s.snapshotId) || s.timestampMillis >= olderThanMillis)
+      // files referenced before vs after (reference ExpireSnapshotsAction :150-175)
+      def livePaths(snaps: Seq[Snapshot]): Set[String] =
+        snaps.flatMap(s => table.readManifestList(m, s))
+          .distinctBy(_.path)
+          .flatMap(mf => table.readManifest(mf, m.schema).map(_.file.path)).toSet
+      orphaned = (livePaths(expire) -- livePaths(keep)).toSeq.sorted
+      m.copy(snapshots = keep,
+        snapshotLog = m.snapshotLog.filter(e => keep.exists(_.snapshotId == e.snapshotId)))
+    }
+    (updated, orphaned)
+  }
+
+  /** Rollback: set current snapshot to an ancestor
+    * (reference core/.../SnapshotManager.java). */
+  def rollbackTo(table: GraftTable, snapshotId: Long): TableMetadata =
+    table.ops.commitTransaction { m =>
+      require(m.snapshot(snapshotId).isDefined, s"no snapshot $snapshotId")
+      m.copy(currentSnapshotId = Some(snapshotId),
+        lastUpdatedMillis = System.currentTimeMillis(),
+        snapshotLog = m.snapshotLog :+
+          SnapshotLogEntry(System.currentTimeMillis(), snapshotId))
+    }
+
+  /** Cherry-pick a (staged / non-ancestor) append snapshot onto current —
+    * WAP publish (reference SnapshotManager cherrypick; TestWapWorkflow). */
+  def cherrypick(table: GraftTable, snapshotId: Long): TableMetadata = {
+    val m0 = table.metadata
+    val snap = m0.snapshot(snapshotId)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $snapshotId"))
+    require(snap.operation == "append", "can only cherry-pick append snapshots")
+    val added = table.readManifestList(m0, snap)
+      .filter(_.addedSnapshotId == snapshotId)
+      .flatMap(mf => table.readManifest(mf, m0.schema))
+      .filter(e => e.status == EntryStatus.Added && e.snapshotId == snapshotId)
+      .map(_.file)
+    fastAppend(table, added, Map("published-wap-id" ->
+      snap.summary.getOrElse("wap.id", snapshotId.toString)))
+  }
+
+  /** Stage an append WITHOUT advancing current (write-audit-publish;
+    * reference `wap.id` staged snapshots). */
+  def stageAppend(table: GraftTable, newFiles: Seq[DataFile],
+      wapId: String): (TableMetadata, Long) = {
+    var staged = 0L
+    val updated = table.ops.commitTransaction { m =>
+      val (seq, snapId) = nextIds(m)
+      staged = snapId
+      val entries = newFiles.map(f =>
+        ManifestEntry(EntryStatus.Added, snapId, seq,
+          f.copy(schemaId = m.currentSchemaId, specId = m.defaultSpecId)))
+      val mf = writeManifest(table, m, m.defaultSpecId, entries, snapId)
+      val listPath = writeManifestList(table, m, snapId,
+        currentManifests(table, m) :+ mf)
+      val now = System.currentTimeMillis()
+      val snap = Snapshot(snapId, m.currentSnapshotId, seq, now, "append",
+        listPath, Map("wap.id" -> wapId, "schema-id" -> m.currentSchemaId.toString))
+      // snapshot recorded, currentSnapshotId unchanged
+      m.copy(lastSequenceNumber = seq, lastUpdatedMillis = now,
+        snapshots = m.snapshots :+ snap)
+    }
+    (updated, staged)
+  }
+
+  def setProperties(table: GraftTable, props: Map[String, String]): TableMetadata =
+    table.ops.commitTransaction(m => m.copy(properties = m.properties ++ props,
+      lastUpdatedMillis = System.currentTimeMillis()))
+}

@@ -1,0 +1,140 @@
+package graft.format
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+/** Spark-native write path (reference §3.3 write+commit, re-expressed on
+  * Spark's own parquet writer: the reference hand-rolls per-task
+  * FileAppenders + requires clustered input — PartitionedWriter.java:65-69 —
+  * while Spark's FileFormatWriter already sorts by partition expressions, so
+  * dynamic fanout is free and there is no per-task state to manage).
+  *
+  * Hidden partitioning: derived columns `__p_<field>` are computed from
+  * transforms at write, used as directory keys, and never stored in data
+  * files — source columns stay in the data, exactly the reference's model
+  * (partition values are derived, §1.3). Stats come from parquet footers
+  * (reference ParquetUtil.footerMetrics) with truncate(16) bounds.
+  */
+object GraftWrite {
+
+  private val DirPrefix = "__p_"
+
+  /** Write df as new data files of `table` (no commit) and return them. */
+  def writeFiles(table: GraftTable, df: DataFrame): Seq[DataFile] = {
+    val m = table.metadata
+    val schema = m.schema
+    val spec = m.spec
+    val staging = Paths.get(table.location, "data", UUID.randomUUID().toString)
+
+    // align df columns to the table schema (names must match; types cast)
+    val aligned = df.select(schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+
+    // INT96 (Spark's legacy default) has no usable footer stats; micros is
+    // also what the canonical value model assumes (SURVEY §7.4 item 4)
+    df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+    if (spec.isPartitioned) {
+      val derived = spec.derivedColumns(schema)
+      val withP = derived.foldLeft(aligned) { case (d, (name, c)) =>
+        d.withColumn(DirPrefix + name, c)
+      }
+      withP.write.mode(SaveMode.ErrorIfExists)
+        .partitionBy(derived.map(DirPrefix + _._1): _*)
+        .parquet(staging.toString)
+    } else {
+      aligned.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    }
+    collectFiles(table, staging, m.currentSchemaId, spec, schema)
+  }
+
+  /** Enumerate staged parquet files → DataFiles with footer stats. */
+  private def collectFiles(table: GraftTable, staging: Path, schemaId: Int,
+      spec: PartitionSpec, schema: org.apache.spark.sql.types.StructType): Seq[DataFile] = {
+    val types = spec.resultTypes(schema).toMap
+    val files = Files.walk(staging).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toSeq.sortBy(_.toString)
+    files.map { p =>
+      // partition tuple from hive-style dirs: __p_<name>=<value>
+      val rel = staging.relativize(p)
+      val tuple = (0 until rel.getNameCount - 1).flatMap { i =>
+        val seg = rel.getName(i).toString
+        val eq = seg.indexOf('=')
+        if (eq > 0 && seg.startsWith(DirPrefix)) {
+          val name = seg.substring(DirPrefix.length, eq)
+          val raw = java.net.URLDecoder.decode(seg.substring(eq + 1), "UTF-8")
+          types.get(name).map(dt => name -> Values.fromDirString(raw, dt))
+        } else None
+      }.toMap
+      val fm = Metrics.fromParquetFooter(p.toString, schema)
+      DataFile(
+        path = p.toString,
+        content = FileContent.Data,
+        partition = tuple,
+        recordCount = fm.recordCount,
+        fileSizeInBytes = fm.fileSize,
+        schemaId = schemaId,
+        specId = spec.specId,
+        valueCounts = fm.valueCounts,
+        nullValueCounts = fm.nullValueCounts,
+        lowerBounds = fm.lowerBounds,
+        upperBounds = fm.upperBounds,
+        splitOffsets = fm.splitOffsets)
+    }
+  }
+
+  /** df.write…append analog. */
+  def append(table: GraftTable, df: DataFrame): TableMetadata =
+    Commits.mergeAppend(table, writeFiles(table, df))
+
+  def fastAppend(table: GraftTable, df: DataFrame): TableMetadata =
+    Commits.fastAppend(table, writeFiles(table, df))
+
+  /** INSERT OVERWRITE … WHERE analog (SupportsOverwrite). */
+  def overwrite(table: GraftTable, df: DataFrame, filter: Expr): TableMetadata =
+    Commits.overwriteByFilter(table, filter, writeFiles(table, df))
+
+  /** Dynamic partition overwrite (SupportsDynamicOverwrite). */
+  def overwriteDynamic(table: GraftTable, df: DataFrame): TableMetadata =
+    Commits.replacePartitions(table, writeFiles(table, df))
+
+  /** Truncate-and-load (streaming Complete mode, reference
+    * StreamingWriter.java:70-86: OverwriteFiles deleting alwaysTrue). */
+  def overwriteAll(table: GraftTable, df: DataFrame): TableMetadata =
+    Commits.overwriteByFilter(table, AlwaysTrue, writeFiles(table, df))
+
+  /** Import an existing parquet table as a snapshot — the reference's
+    * SparkTableUtil.importSparkTable (spark/.../SparkTableUtil.java:501):
+    * files are referenced in place, never rewritten; stats come from footers.
+    */
+  def importParquet(spark: org.apache.spark.sql.SparkSession, location: String,
+      parquetPath: String,
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    val df = spark.read.parquet(parquetPath)
+    // imported files are not laid out by any spec → unpartitioned table
+    val table = GraftTable.recreate(spark, location, df.schema, identity, properties)
+    val m = table.metadata
+    val schema = m.schema
+    val p = Paths.get(parquetPath)
+    val files =
+      (if (Files.isDirectory(p))
+        Files.walk(p).iterator().asScala
+          .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f)).toSeq
+      else Seq(p)).sortBy(_.toString)
+    val dataFiles = files.map { f =>
+      val fm = Metrics.fromParquetFooter(f.toString, schema)
+      DataFile(path = f.toString, partition = Map.empty,
+        recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
+        schemaId = m.currentSchemaId, specId = m.defaultSpecId,
+        valueCounts = fm.valueCounts, nullValueCounts = fm.nullValueCounts,
+        lowerBounds = fm.lowerBounds, upperBounds = fm.upperBounds,
+        splitOffsets = fm.splitOffsets)
+    }
+    Commits.fastAppend(table, dataFiles)
+    table
+  }
+}

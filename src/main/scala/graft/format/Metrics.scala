@@ -1,0 +1,175 @@
+package graft.format
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, DecimalLogicalTypeAnnotation, StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** Column metrics from parquet footers → canonical-value bounds, with the
+  * reference's truncate(16) metrics mode (core/.../MetricsModes.java:34-150,
+  * default truncate(16); string upper-bound increment semantics per
+  * api/.../util/UnicodeUtil.truncateStringMax).
+  */
+object Metrics {
+
+  val TruncateLen = 16
+
+  final case class FileMetrics(
+      recordCount: Long,
+      fileSize: Long,
+      valueCounts: Map[Int, Long],
+      nullValueCounts: Map[Int, Long],
+      lowerBounds: Map[Int, Any],
+      upperBounds: Map[Int, Any],
+      splitOffsets: Seq[Long])
+
+  /** Truncate a lower bound: plain prefix keeps `lower <= truncated` false…
+    * actually lower bounds truncate DOWN (prefix), upper bounds truncate UP
+    * (prefix with last codepoint incremented) so the range stays inclusive. */
+  def truncateLower(v: Any): Any = v match {
+    case s: String if s.codePointCount(0, s.length) > TruncateLen =>
+      s.substring(0, s.offsetByCodePoints(0, TruncateLen))
+    case b: Array[Byte] if b.length > TruncateLen =>
+      java.util.Arrays.copyOf(b, TruncateLen)
+    case other => other
+  }
+
+  def truncateUpper(v: Any): Any = v match {
+    case s: String if s.codePointCount(0, s.length) > TruncateLen =>
+      val pre = s.substring(0, s.offsetByCodePoints(0, TruncateLen))
+      // increment last codepoint; walk back over maximal codepoints
+      val cps = pre.codePoints().toArray
+      var i = cps.length - 1
+      while (i >= 0 && cps(i) == Character.MAX_CODE_POINT) i -= 1
+      if (i < 0) null // cannot produce a valid upper bound: drop it
+      else {
+        cps(i) += 1
+        new String(cps, 0, i + 1)
+      }
+    case b: Array[Byte] if b.length > TruncateLen =>
+      val pre = java.util.Arrays.copyOf(b, TruncateLen)
+      var i = TruncateLen - 1
+      while (i >= 0 && pre(i) == -1) i -= 1
+      if (i < 0) null
+      else {
+        pre(i) = (pre(i) + 1).toByte
+        java.util.Arrays.copyOf(pre, i + 1)
+      }
+    case other => other
+  }
+
+  /** Read footer metrics for one parquet file, mapping columns to field ids
+    * by name against `schema` (the reference does the same through
+    * parquet/.../ParquetUtil.footerMetrics). Timestamp units are normalized
+    * to micros; unmapped/nested columns are skipped (stats stay absent ⇒
+    * evaluators stay conservative). */
+  def fromParquetFooter(path: String, schema: StructType,
+      conf: Configuration = new Configuration()): FileMetrics = {
+    val input = HadoopInputFile.fromPath(new HPath(path), conf)
+    val reader = ParquetFileReader.open(input)
+    try {
+      val footer = reader.getFooter
+      val nameToId = FieldIds.nameToId(schema)
+      val typeById = FieldIds.typeById(schema)
+      var recordCount = 0L
+      val valueCounts = collection.mutable.Map[Int, Long]()
+      val nullCounts = collection.mutable.Map[Int, Long]()
+      val mins = collection.mutable.Map[Int, Any]()
+      val maxs = collection.mutable.Map[Int, Any]()
+      val statsOk = collection.mutable.Map[Int, Boolean]()
+      val offsets = Seq.newBuilder[Long]
+
+      footer.getBlocks.asScala.foreach { block =>
+        recordCount += block.getRowCount
+        offsets += block.getStartingPos
+        block.getColumns.asScala.foreach { col =>
+          val pathParts = col.getPath.toArray
+          if (pathParts.length == 1) { // top-level primitives only
+            nameToId.get(pathParts(0)).foreach { id =>
+              val dt = typeById(id)
+              valueCounts(id) = valueCounts.getOrElse(id, 0L) + col.getValueCount
+              val stats = col.getStatistics
+              if (stats != null && !stats.isEmpty) {
+                if (stats.isNumNullsSet)
+                  nullCounts(id) = nullCounts.getOrElse(id, 0L) + stats.getNumNulls
+                if (stats.hasNonNullValue) {
+                  val prim = col.getPrimitiveType
+                  (convert(stats.genericGetMin.asInstanceOf[AnyRef],
+                      prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation, dt),
+                   convert(stats.genericGetMax.asInstanceOf[AnyRef],
+                      prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation, dt)) match {
+                    case (Some(mn), Some(mx)) =>
+                      val ord = Exprs.ordering(dt)
+                      mins(id) = mins.get(id).filter(ord.lt(_, mn)).getOrElse(mn)
+                      maxs(id) = maxs.get(id).filter(ord.gt(_, mx)).getOrElse(mx)
+                      statsOk(id) = statsOk.getOrElse(id, true)
+                    case _ => statsOk(id) = false
+                  }
+                }
+              } else statsOk(id) = false
+            }
+          }
+        }
+      }
+      val lower = mins.collect { case (id, v) if statsOk.getOrElse(id, false) =>
+        id -> truncateLower(v) }.toMap
+      val upper = maxs.flatMap { case (id, v) =>
+        if (!statsOk.getOrElse(id, false)) None
+        else Option(truncateUpper(v)).map(id -> _)
+      }.toMap
+      FileMetrics(recordCount, input.getLength, valueCounts.toMap,
+        nullCounts.toMap, lower, upper, offsets.result())
+    } finally reader.close()
+  }
+
+  /** Parquet statistics value → canonical value for `dt`. */
+  private def convert(v: AnyRef, prim: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+      logical: LogicalTypeAnnotation, dt: DataType): Option[Any] = {
+    try {
+      (prim, dt) match {
+        case (INT32, IntegerType) => Some(v.asInstanceOf[Number].intValue())
+        case (INT32, DateType) => Some(v.asInstanceOf[Number].intValue())
+        case (INT32, LongType) => Some(v.asInstanceOf[Number].longValue())
+        case (INT64, LongType) => Some(v.asInstanceOf[Number].longValue())
+        case (INT64, TimestampType | TimestampNTZType) =>
+          val raw = v.asInstanceOf[Number].longValue()
+          logical match {
+            case ts: TimestampLogicalTypeAnnotation => ts.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(raw * 1000L)
+              case LogicalTypeAnnotation.TimeUnit.MICROS => Some(raw)
+              case LogicalTypeAnnotation.TimeUnit.NANOS => Some(Math.floorDiv(raw, 1000L))
+            }
+            case _ => None
+          }
+        case (INT64, IntegerType) => Some(v.asInstanceOf[Number].intValue())
+        case (DOUBLE, DoubleType) => Some(v.asInstanceOf[Number].doubleValue())
+        case (FLOAT, FloatType) => Some(v.asInstanceOf[Number].floatValue())
+        case (FLOAT, DoubleType) => Some(v.asInstanceOf[Number].doubleValue())
+        case (BOOLEAN, BooleanType) => Some(v.asInstanceOf[Boolean])
+        case (BINARY, StringType) =>
+          Some(new String(v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+            java.nio.charset.StandardCharsets.UTF_8))
+        case (BINARY, BinaryType) =>
+          Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+        case (INT32 | INT64 | BINARY | FIXED_LEN_BYTE_ARRAY, d: DecimalType) =>
+          logical match {
+            case dec: DecimalLogicalTypeAnnotation =>
+              val unscaled = v match {
+                case n: Number => java.math.BigInteger.valueOf(n.longValue())
+                case b: org.apache.parquet.io.api.Binary =>
+                  new java.math.BigInteger(b.getBytes)
+                case _ => return None
+              }
+              Some(new java.math.BigDecimal(unscaled, dec.getScale))
+            case _ => None
+          }
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+  }
+}

@@ -1,0 +1,197 @@
+package graft.format
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** End-to-end table format semantics: commits, snapshot isolation, time
+  * travel, incremental reads, pruning, metadata-only deletes, schema
+  * evolution, WAP — mirroring the reference's core test fixtures
+  * (core/src/test/.../TableTestBase.java pattern + TestFilteredScan,
+  * TestSnapshotSelection, TestIncrementalDataTableScan, TestWapWorkflow). */
+class TableFormatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshLoc(name: String): String = {
+    val d = Files.createTempDirectory(s"graft-$name")
+    Files.delete(d)
+    d.toString
+  }
+
+  private def rows(n: Int, dayOffset: Int = 0) =
+    (0 until n).map(i => (i.toLong + dayOffset * 1000L, s"data-$i",
+      java.sql.Timestamp.valueOf(s"2024-01-${dayOffset + 1} 10:0${i % 6}:00")))
+      .toDF("id", "data", "ts")
+
+  test("create + append + scan round-trip") {
+    val loc = freshLoc("basic")
+    val t = GraftTable.create(spark, loc, rows(5).schema)
+    GraftWrite.append(t, rows(5))
+    assert(t.toDF().count() == 5)
+    assert(t.currentSnapshot.get.operation == "append")
+    assert(t.toDF().select("data").as[String].collect().sorted.head == "data-0")
+  }
+
+  test("partitioned write: hidden day partitioning + file pruning") {
+    val loc = freshLoc("days")
+    val t = GraftTable.create(spark, loc, rows(4).schema, _.day("ts"))
+    GraftWrite.append(t, rows(4, 0).union(rows(4, 1)).union(rows(4, 2)))
+    val all = t.newScan().planFiles()
+    assert(all.tasks.nonEmpty)
+    // filter on the SOURCE column prunes derived day partitions
+    val scan = t.newScan().filter(Exprs.equal("ts", "2024-01-02 10:00:00"))
+    val plan = scan.planFiles()
+    assert(plan.tasks.size < all.tasks.size, s"pruning failed: $plan")
+    val df = scan.toDF()
+    assert(df.count() == 1)
+    // source column survives in data files (hidden partitioning)
+    assert(df.columns.contains("ts"))
+  }
+
+  test("time travel: useSnapshot + asOfTime (TestSnapshotSelection)") {
+    val loc = freshLoc("tt")
+    val t = GraftTable.create(spark, loc, rows(3).schema)
+    GraftWrite.append(t, rows(3, 0))
+    val s1 = t.currentSnapshot.get
+    Thread.sleep(5)
+    val betweenMillis = System.currentTimeMillis()
+    Thread.sleep(5)
+    GraftWrite.append(t, rows(3, 1))
+    assert(t.toDF().count() == 6)
+    assert(t.newScan().useSnapshot(s1.snapshotId).toDF().count() == 3)
+    assert(t.newScan().asOfTime(betweenMillis).toDF().count() == 3)
+  }
+
+  test("incremental appendsBetween reads only ADDED files (TestIncrementalDataTableScan)") {
+    val loc = freshLoc("incr")
+    val t = GraftTable.create(spark, loc, rows(2).schema)
+    GraftWrite.append(t, rows(2, 0))
+    val s1 = t.currentSnapshot.get.snapshotId
+    GraftWrite.append(t, rows(3, 1))
+    val s2 = t.currentSnapshot.get.snapshotId
+    GraftWrite.append(t, rows(4, 2))
+    val s3 = t.currentSnapshot.get.snapshotId
+    assert(t.newScan().appendsBetween(s1, s2).toDF().count() == 3)
+    assert(t.newScan().appendsBetween(s1, s3).toDF().count() == 7)
+    assert(t.newScan().appendsBetween(s2, s3).toDF().count() == 4)
+  }
+
+  test("metadata-only delete: whole partitions drop; partial raises (ManifestFilterManager:215-222)") {
+    val loc = freshLoc("del")
+    val t = GraftTable.create(spark, loc, rows(4).schema, _.day("ts"))
+    // coalesce(1): multi-row files, so a 1-row predicate is a PARTIAL match
+    GraftWrite.append(t, rows(4, 0).union(rows(4, 1)).coalesce(1))
+    // whole-partition delete via strict day projection
+    Commits.deleteByFilter(t, Exprs.lt("ts", "2024-01-02"))
+    assert(t.toDF().count() == 4)
+    // partial-file delete must refuse (some but not all rows match)
+    intercept[ValidationException] {
+      Commits.deleteByFilter(t, Exprs.equal("id", 1001L))
+    }
+  }
+
+  test("dynamic partition overwrite replaces only touched partitions") {
+    val loc = freshLoc("dyn")
+    val t = GraftTable.create(spark, loc, rows(4).schema, _.day("ts"))
+    GraftWrite.append(t, rows(4, 0).union(rows(4, 1)))
+    // overwrite day 2 with 2 new rows
+    GraftWrite.overwriteDynamic(t, rows(2, 1))
+    assert(t.toDF().count() == 6)
+    assert(t.newScan().filter(Exprs.gtEq("ts", "2024-01-02")).toDF().count() == 2)
+  }
+
+  test("overwrite by filter validates + replaces") {
+    val loc = freshLoc("ovr")
+    val t = GraftTable.create(spark, loc, rows(4).schema, _.day("ts"))
+    GraftWrite.append(t, rows(4, 0).union(rows(4, 1)))
+    GraftWrite.overwrite(t, rows(1, 0), Exprs.lt("ts", "2024-01-02"))
+    assert(t.toDF().count() == 5)
+  }
+
+  test("rollback restores a previous snapshot") {
+    val loc = freshLoc("rb")
+    val t = GraftTable.create(spark, loc, rows(2).schema)
+    GraftWrite.append(t, rows(2, 0))
+    val s1 = t.currentSnapshot.get.snapshotId
+    GraftWrite.append(t, rows(2, 1))
+    assert(t.toDF().count() == 4)
+    Commits.rollbackTo(t, s1)
+    assert(t.toDF().count() == 2)
+  }
+
+  test("WAP: staged append is invisible until cherry-picked (TestWapWorkflow)") {
+    val loc = freshLoc("wap")
+    val t = GraftTable.create(spark, loc, rows(2).schema)
+    GraftWrite.append(t, rows(2, 0))
+    val files = GraftWrite.writeFiles(t, rows(3, 1))
+    val (_, stagedId) = Commits.stageAppend(t, files, wapId = "audit-1")
+    assert(t.toDF().count() == 2, "staged snapshot must not be current")
+    Commits.cherrypick(t, stagedId)
+    assert(t.toDF().count() == 5)
+  }
+
+  test("schema evolution: rename + add + promote are metadata-only; old files still read") {
+    val loc = freshLoc("evo")
+    val t = GraftTable.create(spark, loc, rows(3).schema)
+    GraftWrite.append(t, rows(3, 0))
+    SchemaUpdate(t).renameColumn("data", "payload").addColumn("score", DoubleType)
+      .updateColumnType("id", LongType).commit()
+    val df = t.toDF()
+    assert(df.columns.toSeq == Seq("id", "payload", "ts", "score"))
+    assert(df.where($"payload" === "data-1").count() == 1)
+    assert(df.select("score").distinct().collect().map(_.get(0)).toSeq == Seq(null))
+    // new writes use the new schema; both generations align by field id
+    GraftWrite.append(t, Seq((100L, "p-new", java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 0.5))
+      .toDF("id", "payload", "ts", "score"))
+    assert(t.toDF().count() == 4)
+    assert(t.toDF().where($"payload" === "p-new").select("score").as[Double].head() == 0.5)
+  }
+
+  test("expire snapshots reports orphaned files") {
+    val loc = freshLoc("exp")
+    val t = GraftTable.create(spark, loc, rows(2).schema)
+    GraftWrite.append(t, rows(2, 0))
+    GraftWrite.overwriteAll(t, rows(2, 1)) // first snapshot's files now dead
+    val (_, orphans) = Commits.expireSnapshots(t, System.currentTimeMillis() + 1000)
+    assert(t.snapshots.size == 1)
+    assert(orphans.nonEmpty)
+    assert(t.toDF().count() == 2)
+  }
+
+  test("concurrent commits: optimistic retry preserves both appends (TestTransaction-style)") {
+    val loc = freshLoc("cas")
+    val t = GraftTable.create(spark, loc, rows(1).schema)
+    val files1 = GraftWrite.writeFiles(t, rows(2, 0))
+    val files2 = GraftWrite.writeFiles(t, rows(3, 1))
+    val t1 = new Thread(() => Commits.fastAppend(t, files1))
+    val t2 = new Thread(() => Commits.fastAppend(t, files2))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(t.toDF().count() == 5)
+    assert(t.snapshots.size == 2)
+  }
+
+  test("stats pruning on unpartitioned files (InclusiveMetricsEvaluator)") {
+    val loc = freshLoc("stats")
+    val t = GraftTable.create(spark, loc, rows(2).schema)
+    // two appends → at least 2 files with disjoint id ranges
+    GraftWrite.append(t, Seq((1L, "a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "data", "ts").coalesce(1))
+    GraftWrite.append(t, Seq((100L, "b", java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+      .toDF("id", "data", "ts").coalesce(1))
+    val all = t.newScan().planFiles().tasks.size
+    val pruned = t.newScan().filter(Exprs.gt("id", 50L)).planFiles()
+    assert(pruned.tasks.size < all)
+    assert(t.newScan().filter(Exprs.gt("id", 50L)).toDF().count() == 1)
+  }
+
+  test("merge append compacts manifests past min-count") {
+    val loc = freshLoc("merge")
+    val t = GraftTable.create(spark, loc, rows(1).schema,
+      properties = Map(Commits.ManifestMinMergeCount -> "3"))
+    (0 until 5).foreach(i => GraftWrite.append(t, rows(1, i)))
+    assert(t.toDF().count() == 5)
+    val manifests = t.newScan().planFiles().manifestsTotal
+    assert(manifests <= 3, s"expected merged manifests, got $manifests")
+  }
+}
