@@ -1,0 +1,158 @@
+package graft.format
+
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Distributed maintenance actions — the reference's own Spark jobs
+  * (spark/.../actions/: RewriteDataFilesAction.java:189-281,
+  * RewriteManifestsAction.java:186-246, ExpireSnapshotsAction.java:150-189,
+  * RemoveOrphanFilesAction.java:90-174), re-expressed with the same Spark
+  * primitives the reference itself uses: groupBy-partition + bin-pack for
+  * compaction, `Dataset.except` for expiry diffs, `left_anti` join for
+  * orphan detection.
+  */
+object Actions {
+
+  def forTable(t: GraftTable): Actions = new Actions(t)
+
+  final case class RewriteResult(rewrittenFiles: Int, addedFiles: Int)
+  final case class ExpireResult(expiredSnapshots: Int, deletedFiles: Int)
+  final case class OrphanResult(deletedOrphans: Seq[String])
+}
+
+final class Actions(t: GraftTable) {
+  import Actions._
+
+  /** Compact small files: group tasks by partition tuple, bin-pack groups
+    * above minInputFiles into ~targetSizeBytes outputs, swap atomically
+    * (reference RewriteDataFilesAction: groupTasksByPartition :243, filter
+    * groups >1 file :209, RewriteFiles commit :265). The rewrite itself is a
+    * Spark job per group — reading with the normal scan path and writing
+    * with the normal write path, so stats/clustering stay correct. */
+  def rewriteDataFiles(targetSizeBytes: Long = 128L * 1024 * 1024,
+      minInputFiles: Int = 2): RewriteResult = {
+    val plan = t.newScan().planFiles()
+    val byPartition = plan.tasks.groupBy(_.file.partition)
+    val groups = byPartition.values.filter(_.size >= minInputFiles).toSeq
+    if (groups.isEmpty) return RewriteResult(0, 0)
+
+    var rewritten = 0
+    var added = 0
+    val toDelete = Set.newBuilder[String]
+    val newFiles = Seq.newBuilder[DataFile]
+    val m = t.metadata
+    groups.foreach { tasks =>
+      // bin-pack into output bins of ~targetSize (BinPacking.java semantics)
+      val bins = binPack(tasks.map(ts => ts.file.path -> ts.file.fileSizeInBytes),
+        targetSizeBytes)
+      bins.filter(_.size >= minInputFiles).foreach { bin =>
+        val df = t.spark.read
+          .schema(org.apache.spark.sql.types.StructType(
+            m.schema.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty))))
+          .parquet(bin: _*).coalesce(1)
+        val staged = GraftWrite.writeFiles(t, df)
+        rewritten += bin.size
+        added += staged.size
+        toDelete ++= bin
+        newFiles ++= staged
+      }
+    }
+    val del = toDelete.result()
+    if (del.nonEmpty) Commits.rewriteFiles(t, del, newFiles.result())
+    RewriteResult(rewritten, added)
+  }
+
+  private def binPack(files: Seq[(String, Long)], target: Long): Seq[Seq[String]] = {
+    val bins = collection.mutable.ArrayBuffer[(collection.mutable.ArrayBuffer[String], Long)]()
+    files.sortBy(-_._2).foreach { case (path, size) =>
+      bins.zipWithIndex.find(_._1._2 + size <= target) match {
+        case Some(((paths, tot), i)) =>
+          paths += path
+          bins(i) = (paths, tot + size)
+        case None =>
+          bins += ((collection.mutable.ArrayBuffer(path), size))
+      }
+    }
+    bins.map(_._1.toSeq).toSeq
+  }
+
+  /** Re-cluster manifests to ~entriesPerManifest (reference
+    * RewriteManifestsAction: repartitionByRange on partition + mapPartitions
+    * toManifests :226-246; at our JSON-manifest scale the clustering key is
+    * the partition tuple ordering, computed driver-side). */
+  def rewriteManifests(entriesPerManifest: Int = 1000): Int = {
+    val m = t.metadata
+    val current = m.currentSnapshot.getOrElse(return 0)
+    val manifests = t.readManifestList(m, current)
+    val bySpec = manifests.groupBy(_.specId)
+    var written = 0
+    t.ops.commitTransaction { meta =>
+      val snapId = meta.lastSequenceNumber + 1
+      val newMfs = bySpec.toSeq.sortBy(_._1).flatMap { case (specId, mfs) =>
+        val entries = mfs.flatMap(mf => t.readManifest(mf, meta.schema))
+          .filter(_.status != EntryStatus.Deleted)
+          .sortBy(e => e.file.partition.toSeq.sortBy(_._1)
+            .map(kv => Values.toDirString(kv._2)).mkString("/") + e.file.path)
+          .map(e => e.copy(status = EntryStatus.Existing))
+        entries.grouped(entriesPerManifest).map { group =>
+          written += 1
+          Commits.writeManifest(t, meta, specId, group, snapId)
+        }
+      }
+      // commit as a replace snapshot pointing at the new manifest set
+      val (seq, sid) = (meta.lastSequenceNumber + 1, meta.lastSequenceNumber + 1)
+      val listPath = t.ops.newManifestListPath(sid)
+      Files.writeString(Paths.get(listPath),
+        Model.manifestListToJson(newMfs, t.partTypesOf(meta)))
+      val now = System.currentTimeMillis()
+      val snap = Snapshot(sid, meta.currentSnapshotId, seq, now, "replace",
+        listPath, Map("schema-id" -> meta.currentSchemaId.toString,
+          "rewritten-manifests" -> manifests.size.toString))
+      meta.copy(lastSequenceNumber = seq, lastUpdatedMillis = now,
+        currentSnapshotId = Some(sid), snapshots = meta.snapshots :+ snap,
+        snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(now, sid))
+    }
+    written
+  }
+
+  /** Expire old snapshots and PHYSICALLY delete newly unreferenced files.
+    * The before/after valid-file diff runs as Spark `except` exactly like
+    * the reference (ExpireSnapshotsAction.java:150-175). */
+  def expireSnapshots(olderThanMillis: Long, retainLast: Int = 1): ExpireResult = {
+    import t.spark.implicits._
+    val m = t.metadata
+    val before = m.snapshots.size
+    val beforeFiles = MetaTables.allDataFiles(t).select("file_path").as[String]
+    val (updated, _) = Commits.expireSnapshots(t, olderThanMillis, retainLast)
+    val afterFiles = MetaTables.allDataFiles(t).select("file_path").as[String]
+    val orphaned = beforeFiles.except(afterFiles).collect()
+    orphaned.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    ExpireResult(before - updated.snapshots.size, orphaned.length)
+  }
+
+  /** Delete files under the table location not referenced by any snapshot —
+    * FS listing vs valid-file DF, left_anti on normalized path (reference
+    * RemoveOrphanFilesAction.java:148-157 `join(validFileDF, 'leftanti')`,
+    * default older-than-3-days guard :90). */
+  def removeOrphanFiles(olderThanMillis: Long = System.currentTimeMillis() - 3L * 86400 * 1000)
+      : OrphanResult = {
+    import t.spark.implicits._
+    val dataDir = Paths.get(t.location, "data")
+    if (!Files.exists(dataDir)) return OrphanResult(Nil)
+    val actual = Files.walk(dataDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(p => (p.toString, Files.getLastModifiedTime(p).toMillis))
+      .toSeq.toDF("path", "mtime")
+    val m = t.metadata
+    val valid = m.snapshots
+      .flatMap(s => t.readManifestList(m, s)).distinctBy(_.path)
+      .flatMap(mf => t.readManifest(mf, m.schema).map(_.file.path))
+      .toDF("path")
+    val orphans = actual.filter(col("mtime") < olderThanMillis)
+      .join(valid, Seq("path"), "left_anti")
+      .select("path").as[String].collect().sorted
+    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    OrphanResult(orphans.toSeq)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.format
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+/** v2 row-level delete writers (reference core/.../deletes/
+  * {PositionDeleteWriter,EqualityDeleteWriter}.java + RowDelta commit).
+  *
+  * Position deletes: rows sorted by (file_path, pos) — the writer contract
+  * the reference enforces (PositionDeleteWriter requires sorted input;
+  * SURVEY §2.6) — we get it with sortWithinPartitions.
+  * Equality deletes: a file of key tuples; rows in OLDER data files whose
+  * keys match are invisible (applied in TableScan.applyDeletes).
+  */
+object Deletes {
+
+  private def stage(table: GraftTable, df: DataFrame, sorted: Seq[String]): Seq[String] = {
+    val dir = Paths.get(table.location, "data", "deletes-" + UUID.randomUUID())
+    val out = if (sorted.nonEmpty) df.sortWithinPartitions(sorted.map(col): _*) else df
+    out.write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+    Files.walk(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(_.toString).toSeq.sorted
+  }
+
+  /** Delete specific row positions. `positions`: (file_path, pos) — use the
+    * values surfaced by `_metadata.file_path` / `_metadata.row_index` of a
+    * table scan. Commits a RowDelta. */
+  def deletePositions(table: GraftTable, positions: DataFrame): TableMetadata = {
+    val named = positions.toDF("file_path", "pos")
+      .withColumn("pos", col("pos").cast("long"))
+    val paths = stage(table, named.coalesce(1), Seq("file_path", "pos"))
+    val files = paths.map { p =>
+      val fm = Metrics.fromParquetFooter(p, table.schema)
+      DataFile(path = p, content = FileContent.PositionDeletes,
+        recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
+        schemaId = table.metadata.currentSchemaId,
+        specId = table.metadata.defaultSpecId)
+    }
+    Commits.rowDelta(table, Nil, files)
+  }
+
+  /** Delete all rows whose key columns match any row of `keys` (written
+    * before this commit). Commits a RowDelta with equality-delete files. */
+  def deleteByEquality(table: GraftTable, keys: DataFrame): TableMetadata = {
+    val m = table.metadata
+    val ids = keys.columns.map(FieldIds.nameToId(m.schema)).toSeq
+    val paths = stage(table, keys.dropDuplicates().coalesce(1), keys.columns.toSeq)
+    val files = paths.map { p =>
+      val fm = Metrics.fromParquetFooter(p, m.schema)
+      DataFile(path = p, content = FileContent.EqualityDeletes,
+        recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
+        schemaId = m.currentSchemaId, specId = m.defaultSpecId,
+        equalityIds = ids)
+    }
+    Commits.rowDelta(table, Nil, files)
+  }
+
+  /** SQL-DELETE-shaped helper: metadata-only when provable, else rewrite the
+    * partially-matching files without the matching rows (copy-on-write
+    * DELETE — what Spark's SupportsRowLevelOperations would drive). */
+  def deleteWhere(table: GraftTable, filter: Expr): TableMetadata = {
+    try Commits.deleteByFilter(table, filter)
+    catch {
+      case _: ValidationException =>
+        val m = table.metadata
+        val schema = m.schema
+        val bound = Exprs.bind(filter, schema)
+        val plan = table.newScan().filter(filter).planFiles()
+        val touched = plan.tasks.map(_.file.path)
+        val clean = org.apache.spark.sql.types.StructType(
+          schema.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+        val remaining = table.spark.read.schema(clean).parquet(touched: _*)
+          .filter(!Exprs.toColumn(bound))
+        val staged = GraftWrite.writeFiles(table, remaining)
+        Commits.rewriteFiles(table, touched.toSet, staged)
+    }
+  }
+}

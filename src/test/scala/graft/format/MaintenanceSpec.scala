@@ -1,0 +1,146 @@
+package graft.format
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Metadata tables, maintenance actions, streaming sink/source, and v2
+  * row-level deletes (reference test analogs: TestIcebergSourceTablesBase,
+  * TestRewriteDataFilesAction, TestExpireSnapshotsAction,
+  * TestRemoveOrphanFilesAction, TestRewriteManifestsAction,
+  * StreamingWriter epoch dedup, Deletes.java application). */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshLoc(name: String): String = {
+    val d = Files.createTempDirectory(s"graft-$name")
+    Files.delete(d)
+    d.toString
+  }
+
+  private def rows(n: Int, off: Int = 0) =
+    (0 until n).map(i => ((off * 1000 + i).toLong, s"d-$off-$i",
+      java.sql.Timestamp.valueOf(s"2024-02-0${off + 1} 08:00:00")))
+      .toDF("id", "data", "ts")
+
+  test("metadata tables: snapshots/history/files/entries/manifests/partitions") {
+    val loc = freshLoc("meta")
+    val t = GraftTable.create(spark, loc, rows(2).schema, _.day("ts"))
+    GraftWrite.append(t, rows(2, 0).coalesce(1))
+    GraftWrite.append(t, rows(3, 1).coalesce(1))
+    assert(MetaTables.snapshots(t).count() == 2)
+    assert(MetaTables.history(t).where(col("is_current_ancestor")).count() == 2)
+    assert(MetaTables.files(t).count() == 2)
+    assert(MetaTables.files(t).agg(sum("record_count")).as[Long].head() == 5)
+    assert(MetaTables.entries(t).count() == 2)
+    assert(MetaTables.manifests(t).count() == 2)
+    val parts = MetaTables.partitions(t).collect()
+    assert(parts.length == 2)
+    assert(MetaTables.allManifests(t).count() >= 2)
+    assert(MetaTables.apply(t, "snapshots").count() == 2)
+  }
+
+  test("rewriteDataFiles compacts small files and preserves rows") {
+    val loc = freshLoc("compact")
+    val t = GraftTable.create(spark, loc, rows(2).schema)
+    (0 until 4).foreach(i => GraftWrite.append(t, rows(2, i).coalesce(1)))
+    assert(MetaTables.files(t).count() == 4)
+    val res = Actions.forTable(t).rewriteDataFiles(minInputFiles = 2)
+    assert(res.rewrittenFiles == 4)
+    assert(res.addedFiles < 4)
+    assert(t.toDF().count() == 8)
+    assert(t.currentSnapshot.get.operation == "replace")
+  }
+
+  test("rewriteManifests clusters into fewer manifests") {
+    val loc = freshLoc("rwm")
+    val t = GraftTable.create(spark, loc, rows(1).schema,
+      properties = Map(Commits.ManifestMinMergeCount -> "100"))
+    (0 until 5).foreach(i => GraftWrite.append(t, rows(1, i % 3).coalesce(1)))
+    assert(MetaTables.manifests(t).count() == 5)
+    Actions.forTable(t).rewriteManifests(entriesPerManifest = 100)
+    assert(MetaTables.manifests(t).count() == 1)
+    assert(t.toDF().count() == 5)
+  }
+
+  test("expireSnapshots action physically deletes dead files") {
+    val loc = freshLoc("expire")
+    val t = GraftTable.create(spark, loc, rows(2).schema)
+    GraftWrite.append(t, rows(2, 0))
+    val deadPaths = MetaTables.files(t).select("file_path").as[String].collect()
+    GraftWrite.overwriteAll(t, rows(2, 1))
+    val res = Actions.forTable(t).expireSnapshots(System.currentTimeMillis() + 1000)
+    assert(res.expiredSnapshots == 1)
+    assert(res.deletedFiles > 0)
+    deadPaths.foreach(p => assert(!Files.exists(java.nio.file.Paths.get(p)), p))
+    assert(t.toDF().count() == 2)
+  }
+
+  test("removeOrphanFiles deletes unreferenced files only") {
+    val loc = freshLoc("orphan")
+    val t = GraftTable.create(spark, loc, rows(2).schema)
+    GraftWrite.append(t, rows(2, 0))
+    // stage files that never get committed → orphans
+    GraftWrite.writeFiles(t, rows(3, 1))
+    val res = Actions.forTable(t).removeOrphanFiles(System.currentTimeMillis() + 1000)
+    assert(res.deletedOrphans.nonEmpty)
+    assert(t.toDF().count() == 2) // live data untouched
+  }
+
+  test("streaming epoch commit is idempotent (StreamingWriter:60-68)") {
+    val loc = freshLoc("stream")
+    val t = GraftTable.create(spark, loc, rows(1).schema)
+    assert(Streaming.commitEpoch(t, rows(2, 0), epochId = 0))
+    assert(Streaming.commitEpoch(t, rows(3, 1), epochId = 1))
+    // replay of epoch 1 must be a no-op
+    assert(!Streaming.commitEpoch(t, rows(3, 1), epochId = 1))
+    assert(t.toDF().count() == 5)
+    assert(t.snapshots.size == 2)
+  }
+
+  test("incremental source yields append batches exactly once") {
+    val loc = freshLoc("src")
+    val t = GraftTable.create(spark, loc, rows(1).schema)
+    GraftWrite.append(t, rows(2, 0))
+    val src = Streaming.incrementalSource(t)
+    assert(src.nextBatch().get.count() == 2) // initial load
+    assert(src.nextBatch().isEmpty) // caught up
+    GraftWrite.append(t, rows(3, 1))
+    GraftWrite.append(t, rows(1, 2))
+    assert(src.nextBatch().get.count() == 4) // both new appends, once
+    assert(src.nextBatch().isEmpty)
+  }
+
+  test("equality deletes hide matching rows from older files (Deletes.java:128)") {
+    val loc = freshLoc("eqdel")
+    val t = GraftTable.create(spark, loc, rows(4).schema)
+    GraftWrite.append(t, rows(4, 0))
+    Deletes.deleteByEquality(t, Seq(1L, 3L).toDF("id"))
+    val left = t.toDF().select("id").as[Long].collect().sorted
+    assert(left.toSeq == Seq(0L, 2L))
+    // rows appended AFTER the delete are not affected
+    GraftWrite.append(t, Seq((1L, "new", java.sql.Timestamp.valueOf("2024-02-05 00:00:00")))
+      .toDF("id", "data", "ts"))
+    assert(t.toDF().select("id").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("position deletes remove exact rows (PositionStreamDeleteFilter)") {
+    val loc = freshLoc("posdel")
+    val t = GraftTable.create(spark, loc, rows(5).schema)
+    GraftWrite.append(t, rows(5, 0).coalesce(1))
+    val targets = t.newScan().toDF()
+      .select(col("_metadata.file_path"), col("_metadata.row_index"))
+      .where(col("_metadata.row_index").isin(1, 3))
+    Deletes.deletePositions(t, targets)
+    assert(t.toDF().count() == 3)
+  }
+
+  test("copy-on-write deleteWhere falls back when not provable") {
+    val loc = freshLoc("cow")
+    val t = GraftTable.create(spark, loc, rows(6).schema)
+    GraftWrite.append(t, rows(6, 0).coalesce(1))
+    Deletes.deleteWhere(t, Exprs.equal("id", 2L))
+    assert(t.toDF().count() == 5)
+    assert(t.toDF().where(col("id") === 2L).count() == 0)
+  }
+}
