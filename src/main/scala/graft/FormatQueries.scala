@@ -1,0 +1,239 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.format._
+
+/** Correctness-gate queries that exercise the TABLE FORMAT layer (SURVEY §2.1,
+  * §2.8: scans with pruning, time travel, incremental reads, hidden-partition
+  * pruning, metadata-only deletes, equality deletes, schema evolution,
+  * snapshot metadata). Each builds a graft table in tmp from the driver's
+  * parquet (idempotent, cached per sf dir) and returns a DataFrame whose
+  * DuckDB oracle reads the ORIGINAL parquet — so a format bug (lost rows,
+  * wrong snapshot, bad pruning) breaks the hash match.
+  */
+object FormatQueries {
+
+  private def tdir(dir: String, name: String): String = {
+    val h = Integer.toHexString(dir.hashCode & 0x7fffffff)
+    s"${sys.props("java.io.tmpdir")}/graft-tables/$h/$name"
+  }
+
+  /** Build-once cache: rebuilding per run is wasteful at bench scale. */
+  private def withTable(s: SparkSession, dir: String, name: String)
+      (build: String => GraftTable): GraftTable = synchronized {
+    val loc = tdir(dir, name)
+    if (GraftTable.exists(loc)) GraftTable.load(s, loc) else build(loc)
+  }
+
+  private def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(14, 4))
+
+  /** orders split by parity: snapshot 1 = even keys, snapshot 2 = odd keys. */
+  private def ordersTwoSnapshots(s: SparkSession, dir: String): GraftTable =
+    withTable(s, dir, "orders_2snap") { loc =>
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val t = GraftTable.recreate(s, loc, o.schema)
+      GraftWrite.append(t, o.filter(col("o_orderkey") % 2 === 0).coalesce(2))
+      GraftWrite.append(t, o.filter(col("o_orderkey") % 2 === 1).coalesce(2))
+      t
+    }
+
+  private def orderAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy(col("o_orderpriority"))
+
+  private val orderAggSqlWhere =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS total
+      |FROM orders WHERE %s GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // scan through the format: import → snapshot scan → filter + agg
+    "q60_format_scan" -> ((s, dir) => {
+      val t = withTable(s, dir, "lineitem_import")(loc =>
+        GraftWrite.importParquet(s, loc, s"$dir/lineitem.parquet"))
+      t.newScan().filter(Exprs.gtEq("l_shipdate", "1996-01-01")).toDF()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // time travel: read snapshot 1 (even order keys only)
+    "q61_time_travel" -> ((s, dir) => {
+      val t = ordersTwoSnapshots(s, dir)
+      val first = t.snapshots.head.snapshotId
+      orderAgg(t.newScan().useSnapshot(first).toDF())
+    }),
+
+    // incremental: appends in (s1, s2] = odd order keys only
+    "q62_incremental" -> ((s, dir) => {
+      val t = ordersTwoSnapshots(s, dir)
+      val ids = t.snapshots.map(_.snapshotId)
+      orderAgg(t.newScan().appendsBetween(ids.head, ids.last).toDF())
+    }),
+
+    // hidden partitioning: month(l_shipdate) partitions prune a range filter
+    "q63_partition_prune" -> ((s, dir) => {
+      val t = withTable(s, dir, "lineitem_bymonth") { loc =>
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+        val tt = GraftTable.recreate(s, loc, li.schema, _.month("l_shipdate"))
+        GraftWrite.append(tt, li.coalesce(4))
+        tt
+      }
+      t.newScan()
+        .filter(Exprs.and(Exprs.gtEq("l_shipdate", "1995-01-01"),
+          Exprs.lt("l_shipdate", "1995-07-01")))
+        .toDF()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(dec(col("l_extendedprice")))).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // metadata-only DELETE: drop whole year partitions, no data rewrite
+    "q64_metadata_delete" -> ((s, dir) => {
+      val t = withTable(s, dir, "lineitem_byyear_del") { loc =>
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+        val tt = GraftTable.recreate(s, loc, li.schema, _.year("l_shipdate"))
+        GraftWrite.append(tt, li.coalesce(4))
+        Commits.deleteByFilter(tt, Exprs.lt("l_shipdate", "1994-01-01"))
+        tt
+      }
+      t.toDF().groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // equality deletes (v2 row-level): hide customers with negative balance
+    "q65_eq_delete" -> ((s, dir) => {
+      val t = withTable(s, dir, "customer_eqdel") { loc =>
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val tt = GraftTable.recreate(s, loc, c.schema)
+        GraftWrite.append(tt, c.coalesce(2))
+        Deletes.deleteByEquality(tt,
+          c.filter(col("c_acctbal") < 0).select(col("c_custkey")))
+        tt
+      }
+      t.toDF().groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("c_acctbal")))).as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // schema evolution: rename + added column are metadata-only
+    "q66_schema_evolution" -> ((s, dir) => {
+      val t = withTable(s, dir, "supplier_evolved") { loc =>
+        val sup = s.read.parquet(s"$dir/supplier.parquet")
+        val tt = GraftTable.recreate(s, loc, sup.schema)
+        GraftWrite.append(tt, sup.coalesce(1))
+        SchemaUpdate(tt).renameColumn("s_acctbal", "balance")
+          .addColumn("tier", StringType).commit()
+        tt
+      }
+      t.toDF()
+        .select(col("s_suppkey"), col("balance"),
+          coalesce(col("tier"), lit("none")).as("tier"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // copy-on-write DELETE WHERE (non-provable predicate → file rewrite)
+    "q67_cow_delete" -> ((s, dir) => {
+      val t = withTable(s, dir, "nation_cow") { loc =>
+        val n = s.read.parquet(s"$dir/nation.parquet")
+        val tt = GraftTable.recreate(s, loc, n.schema)
+        GraftWrite.append(tt, n.coalesce(1))
+        Deletes.deleteWhere(tt, Exprs.equal("n_name", "CHINA"))
+        tt
+      }
+      t.toDF().select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // snapshot metadata table: operations + record counts are deterministic
+    "q68_snapshots_meta" -> ((s, dir) => {
+      val t = ordersTwoSnapshots(s, dir)
+      MetaTables.snapshots(t)
+        .select(col("snapshot_id"), col("operation"),
+          element_at(col("summary"), "added-records").cast(LongType).as("added_records"))
+        .orderBy(col("snapshot_id"))
+    }),
+
+    // rollback: table state returns to snapshot 1
+    "q69_rollback" -> ((s, dir) => {
+      val t = withTable(s, dir, "orders_rollback") { loc =>
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        val tt = GraftTable.recreate(s, loc, o.schema)
+        GraftWrite.append(tt, o.filter(col("o_orderkey") % 2 === 0).coalesce(2))
+        GraftWrite.append(tt, o.filter(col("o_orderkey") % 2 === 1).coalesce(2))
+        Commits.rollbackTo(tt, tt.snapshots.head.snapshotId)
+        tt
+      }
+      orderAgg(t.toDF())
+    }),
+
+    // compaction preserves content (RewriteDataFilesAction)
+    "q70_compaction" -> ((s, dir) => {
+      val t = withTable(s, dir, "region_compacted") { loc =>
+        val r = s.read.parquet(s"$dir/region.parquet")
+        val tt = GraftTable.recreate(s, loc, r.schema)
+        GraftWrite.append(tt, r.filter(col("r_regionkey") < 2).coalesce(1))
+        GraftWrite.append(tt, r.filter(col("r_regionkey") >= 2).coalesce(1))
+        Actions.forTable(tt).rewriteDataFiles(minInputFiles = 2)
+        tt
+      }
+      t.toDF().select(col("r_regionkey"), col("r_name")).orderBy(col("r_regionkey"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q60_format_scan" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q61_time_travel" -> orderAggSqlWhere.format("o_orderkey % 2 = 0"),
+    "q62_incremental" -> orderAggSqlWhere.format("o_orderkey % 2 = 1"),
+
+    "q63_partition_prune" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-07-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q64_metadata_delete" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q65_eq_delete" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE c_acctbal >= 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q66_schema_evolution" ->
+      """SELECT s_suppkey, s_acctbal AS balance, 'none' AS tier
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q67_cow_delete" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_name <> 'CHINA' ORDER BY n_nationkey""".stripMargin,
+
+    "q68_snapshots_meta" ->
+      """SELECT 1 AS snapshot_id, 'append' AS operation,
+        |(SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS added_records
+        |UNION ALL
+        |SELECT 2, 'append',
+        |(SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 1)
+        |ORDER BY snapshot_id""".stripMargin,
+
+    "q69_rollback" -> orderAggSqlWhere.format("o_orderkey % 2 = 0"),
+
+    "q70_compaction" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin)
+}

@@ -43,7 +43,9 @@ object Queries {
   private def revenue(price: Column, disc: Column): Column =
     sum(dec14(price) * (one - dec8(disc))).cast(DoubleType)
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = base ++ FormatQueries.queries
+
+  private lazy val base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- relational core -------------------------------------------------
     "q01_pricing_summary" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -504,7 +506,7 @@ object Queries {
         |CAST(3 AS INTEGER) AS channels,
         |CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
         |sha256(text) AS sha
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin) ++ FormatQueries.oracles
 
   /** Headline benchmark subset (scan-agg, selective filter, join, window,
     * dedup, similarity — mirrors BASELINE.md's suggested shapes). */
