@@ -18,8 +18,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = Queries.headline.filter(SparkEntry.queries.contains)
-    // one warmup pass (JVM/codegen/file-footer caches), then measure
-    names.take(2).foreach { n =>
+    // full warmup pass (JVM/codegen/file-footer caches AND one-time graft
+    // table builds for the format queries), then measure steady-state
+    names.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => }
     }

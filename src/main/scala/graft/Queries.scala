@@ -258,7 +258,7 @@ object Queries {
       Dedup.exact(t(s, dir, "documents")).orderBy(col("keeper"))),
 
     "q33_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.5)
+      Dedup.jaccardPairsFast(t(s, dir, "documents"), n = 3, threshold = 0.5)
         .orderBy(col("a"), col("b"))),
 
     "q34_minhash_lsh_pairs" -> ((s, dir) =>
@@ -513,5 +513,6 @@ object Queries {
   val headline: Seq[String] = Seq(
     "q01_pricing_summary", "q02_revenue_by_year", "q03_revenue_by_nation",
     "q06_selective_filter", "q11_running_total", "q17_events_hourly",
-    "q32_exact_dedup", "q33_jaccard_pairs", "q39_cosine_topk")
+    "q32_exact_dedup", "q33_jaccard_pairs", "q39_cosine_topk",
+    "q63_partition_prune")
 }

@@ -63,6 +63,41 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /**
+   * Same semantics as `jaccardPairs`, restructured for scale: instead of a
+   * gram self-join (two shuffles of the full gram table + a sort-merge join
+   * whose `a < b` filter runs post-join), group each gram's doc list once
+   * and emit ordered pairs directly. One shuffle of (gram, doc_id), one of
+   * (a, b) pair counts. Grams are pre-hashed to 64-bit so the shuffle moves
+   * 8-byte keys, not strings. Singleton grams (df=1 — the vast majority in
+   * real corpora) never leave the map side.
+   */
+  def jaccardPairsFast(docs: DataFrame, n: Int = 3, threshold: Double = 0.1,
+      maxDf: Long = 0): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), explode(TextOps.gramHashes(n)(col("text"))).as("g"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val docLists = grams.groupBy("g")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, if (maxDf <= 0) Int.MaxValue else maxDf))
+    val pairs = docLists.select(explode(pairCombos(col("ds"))).as("p"))
+      .select(col("p").getField("a").as("a"), col("p").getField("b").as("b"))
+    val inter = pairs.groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("sza") + col("szb") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** All ordered (a<b) pairs of a sorted doc-id list, codegen-friendly:
+    * built from higher-order functions, no UDF. */
+  private def pairCombos(ds: Column): Column =
+    flatten(transform(ds, (x, i) =>
+      transform(slice(ds, i + lit(2), size(ds)), y =>
+        struct(x.as("a"), y.as("b")))))
+
   // --- MinHash + LSH ------------------------------------------------------
 
   /** k minhash values per shingle set, via k seeded murmur3 hashes. */

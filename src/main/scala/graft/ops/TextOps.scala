@@ -28,6 +28,45 @@ object TextOps {
     array_distinct(when(size(toks) >= n, grams).otherwise(array()))
   }
 
+  /** Distinct word-n-gram 64-bit hashes, one pass over the raw text — the
+    * scale path for set-similarity joins. Gram identity lives only as a
+    * hash (8 bytes through every shuffle, never a string), and the whole
+    * shingling is one JVM call per row: Spark's higher-order-function
+    * expressions (`transform`/`sequence`) evaluate their lambdas
+    * interpreted per element, which measured ~10x slower per doc. */
+  def gramHashes(n: Int): Column => Column = {
+    val f = udf((text: String) => {
+      if (text == null) Array.empty[Long]
+      else {
+        val toks = text.split(' ')
+        if (toks.length < n) Array.empty[Long]
+        else {
+          val seen = new java.util.HashSet[Long]()
+          val out = new scala.collection.mutable.ArrayBuffer[Long](toks.length)
+          var i = 0
+          while (i + n <= toks.length) {
+            var h = 0x9e3779b97f4a7c15L
+            var k = 0
+            while (k < n) {
+              var th = Murmur3.hashString(toks(i + k)).toLong & 0xffffffffL
+              // 64-bit avalanche mix (splitmix64 finalizer)
+              h ^= th
+              h *= 0xbf58476d1ce4e5b9L
+              h ^= h >>> 27
+              h *= 0x94d049bb133111ebL
+              h ^= h >>> 31
+              k += 1
+            }
+            if (seen.add(h)) out += h
+            i += 1
+          }
+          out.toArray
+        }
+      }
+    })
+    c => f(c)
+  }
+
   /** Token count via codegen'd `size(split(...))`. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
