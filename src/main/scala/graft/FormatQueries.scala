@@ -174,6 +174,103 @@ object FormatQueries {
       orderAgg(t.toDF())
     }),
 
+    // dynamic partition overwrite: only touched partitions replaced
+    "q71_dynamic_overwrite" -> ((s, dir) => {
+      val t = withTable(s, dir, "orders_dynover") { loc =>
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        val tt = GraftTable.recreate(s, loc, o.schema, _.identity("o_orderpriority"))
+        GraftWrite.append(tt, o.coalesce(2))
+        // replace the 1-URGENT partition with its high-value orders only
+        GraftWrite.overwriteDynamic(tt,
+          o.filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 1000).coalesce(1))
+        tt
+      }
+      orderAgg(t.toDF())
+    }),
+
+    // WAP: staged snapshot invisible until cherry-picked; final = full set
+    "q72_wap_publish" -> ((s, dir) => {
+      val t = withTable(s, dir, "orders_wap") { loc =>
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        val tt = GraftTable.recreate(s, loc, o.schema)
+        GraftWrite.append(tt, o.filter(col("o_orderkey") % 2 === 0).coalesce(2))
+        val staged = GraftWrite.writeFiles(tt,
+          o.filter(col("o_orderkey") % 2 === 1).coalesce(2))
+        val (_, stagedId) = Commits.stageAppend(tt, staged, wapId = "audit-1")
+        Commits.cherrypick(tt, stagedId)
+        tt
+      }
+      orderAgg(t.toDF())
+    }),
+
+    // streaming sink: two epochs + a replayed epoch (dedup) = exactly-once
+    "q73_streaming_epochs" -> ((s, dir) => {
+      val t = withTable(s, dir, "customer_stream") { loc =>
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val tt = GraftTable.recreate(s, loc, c.schema)
+        val even = c.filter(col("c_custkey") % 2 === 0).coalesce(2)
+        val odd = c.filter(col("c_custkey") % 2 === 1).coalesce(2)
+        Streaming.commitEpoch(tt, even, epochId = 0)
+        Streaming.commitEpoch(tt, odd, epochId = 1)
+        Streaming.commitEpoch(tt, odd, epochId = 1) // replay: must no-op
+        tt
+      }
+      t.toDF().groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("c_acctbal")))).as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // micro-batch incremental source: per-poll batch row counts
+    "q74_microbatch_source" -> ((s, dir) => {
+      val t = ordersTwoSnapshots(s, dir)
+      val src = Streaming.incrementalSource(t, startSnapshotId = Some(t.snapshots.head.snapshotId))
+      val batch = src.nextBatch().get // snapshots after the first = odd keys
+      orderAgg(batch)
+    }),
+
+    // transaction: append + delete published in ONE atomic commit
+    "q75_transaction" -> ((s, dir) => {
+      val t = withTable(s, dir, "orders_txn") { loc =>
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        val tt = GraftTable.recreate(s, loc, o.schema, _.identity("o_orderpriority"))
+        GraftTransaction.begin(tt)
+          .appendData(o.coalesce(2))
+          .deleteByFilter(Exprs.equal("o_orderpriority", "1-URGENT"))
+          .commit()
+        tt
+      }
+      orderAgg(t.toDF())
+    }),
+
+    // manifest rewrite: many appends re-clustered; content unchanged
+    "q76_manifest_rewrite" -> ((s, dir) => {
+      val t = withTable(s, dir, "orders_rwm") { loc =>
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        val tt = GraftTable.recreate(s, loc, o.schema,
+          properties = Map(Commits.ManifestMinMergeCount -> "100"))
+        (0 until 4).foreach(i =>
+          GraftWrite.append(tt, o.filter(col("o_orderkey") % 4 === i).coalesce(1)))
+        Actions.forTable(tt).rewriteManifests()
+        tt
+      }
+      orderAgg(t.toDF())
+    }),
+
+    // expire + orphan cleanup leave the live state intact
+    "q77_expire_cleanup" -> ((s, dir) => {
+      val t = withTable(s, dir, "orders_expire") { loc =>
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        val tt = GraftTable.recreate(s, loc, o.schema)
+        GraftWrite.append(tt, o.filter(col("o_orderkey") % 2 === 0).coalesce(2))
+        GraftWrite.overwriteAll(tt, o.coalesce(2)) // full reload
+        GraftWrite.writeFiles(tt, o.limit(10)) // never committed → orphan
+        Actions.forTable(tt).expireSnapshots(System.currentTimeMillis() + 1000)
+        Actions.forTable(tt).removeOrphanFiles(System.currentTimeMillis() + 1000)
+        tt
+      }
+      orderAgg(t.toDF())
+    }),
+
     // compaction preserves content (RewriteDataFilesAction)
     "q70_compaction" -> ((s, dir) => {
       val t = withTable(s, dir, "region_compacted") { loc =>
@@ -235,5 +332,23 @@ object FormatQueries {
     "q69_rollback" -> orderAggSqlWhere.format("o_orderkey % 2 = 0"),
 
     "q70_compaction" ->
-      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin)
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "q71_dynamic_overwrite" -> orderAggSqlWhere.format(
+      "o_orderpriority <> '1-URGENT' OR o_totalprice > 1000"),
+
+    "q72_wap_publish" -> orderAggSqlWhere.format("1=1"),
+
+    "q73_streaming_epochs" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q74_microbatch_source" -> orderAggSqlWhere.format("o_orderkey % 2 = 1"),
+
+    "q75_transaction" -> orderAggSqlWhere.format("o_orderpriority <> '1-URGENT'"),
+
+    "q76_manifest_rewrite" -> orderAggSqlWhere.format("1=1"),
+
+    "q77_expire_cleanup" -> orderAggSqlWhere.format("1=1"))
 }

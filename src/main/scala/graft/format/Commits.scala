@@ -99,14 +99,17 @@ object Commits {
   /** FastAppend (reference core/.../FastAppend.java): new manifest, no merge. */
   def fastAppend(table: GraftTable, newFiles: Seq[DataFile],
       summary: Map[String, String] = Map.empty): TableMetadata =
-    table.ops.commitTransaction { m =>
+    table.ops.commitTransaction(fastAppendOn(table, _, newFiles, summary))
+
+  private[format] def fastAppendOn(table: GraftTable, m: TableMetadata,
+      newFiles: Seq[DataFile], summary: Map[String, String] = Map.empty): TableMetadata = {
       val (seq, snapId) = nextIds(m)
       val entries = newFiles.map(f =>
         ManifestEntry(EntryStatus.Added, snapId, seq,
           f.copy(schemaId = m.currentSchemaId, specId = m.defaultSpecId)))
       val mf = writeManifest(table, m, m.defaultSpecId, entries, snapId)
       buildSnapshot(table, m, "append", currentManifests(table, m) :+ mf, summary)
-    }
+  }
 
   /** MergeAppend (reference MergingSnapshotProducer/ManifestMergeManager):
     * like fastAppend but compacts the manifest list when it grows past the
@@ -147,16 +150,22 @@ object Commits {
     * "Cannot delete file where some, but not all, rows match filter"
     * (ManifestFilterManager.java:215-222, strict/inclusive decision :285-319). */
   def deleteByFilter(table: GraftTable, filter: Expr): TableMetadata =
-    table.ops.commitTransaction { m =>
-      val manifests = rewriteForDelete(table, m, filter)
-      buildSnapshot(table, m, "delete", manifests, Map.empty)
-    }
+    table.ops.commitTransaction(deleteByFilterOn(table, _, filter))
+
+  private[format] def deleteByFilterOn(table: GraftTable, m: TableMetadata,
+      filter: Expr): TableMetadata = {
+    val manifests = rewriteForDelete(table, m, filter)
+    buildSnapshot(table, m, "delete", manifests, Map.empty)
+  }
 
   /** Overwrite-by-filter: delete matching files + append new
     * (reference BaseOverwriteFiles / SparkBatchWrite filter-overwrite :198-207). */
   def overwriteByFilter(table: GraftTable, filter: Expr,
       newFiles: Seq[DataFile]): TableMetadata =
-    table.ops.commitTransaction { m =>
+    table.ops.commitTransaction(overwriteByFilterOn(table, _, filter, newFiles))
+
+  private[format] def overwriteByFilterOn(table: GraftTable, m: TableMetadata,
+      filter: Expr, newFiles: Seq[DataFile]): TableMetadata = {
       val (seq, snapId) = nextIds(m)
       val afterDelete = rewriteForDelete(table, m, filter)
       val entries = newFiles.map(f =>
@@ -164,13 +173,16 @@ object Commits {
           f.copy(schemaId = m.currentSchemaId, specId = m.defaultSpecId)))
       val mf = writeManifest(table, m, m.defaultSpecId, entries, snapId)
       buildSnapshot(table, m, "overwrite", afterDelete :+ mf, Map.empty)
-    }
+  }
 
   /** Dynamic partition overwrite (reference BaseReplacePartitions; used by
     * SparkBatchWrite.java:186-194): drop every file in a partition touched
     * by the new data. */
   def replacePartitions(table: GraftTable, newFiles: Seq[DataFile]): TableMetadata =
-    table.ops.commitTransaction { m =>
+    table.ops.commitTransaction(replacePartitionsOn(table, _, newFiles))
+
+  private[format] def replacePartitionsOn(table: GraftTable, m: TableMetadata,
+      newFiles: Seq[DataFile]): TableMetadata = {
       val (seq, snapId) = nextIds(m)
       val touched: Set[Map[String, Any]] = newFiles.map(canonTuple).toSet
       val kept = currentManifests(table, m).map { mf =>
@@ -189,7 +201,7 @@ object Commits {
           f.copy(schemaId = m.currentSchemaId, specId = m.defaultSpecId)))
       val mf = writeManifest(table, m, m.defaultSpecId, entries, snapId)
       buildSnapshot(table, m, "replace", kept :+ mf, Map.empty)
-    }
+  }
 
   /** RewriteFiles: atomic swap for compaction (reference BaseRewriteFiles). */
   def rewriteFiles(table: GraftTable, deletedPaths: Set[String],
@@ -354,4 +366,34 @@ object Commits {
   def setProperties(table: GraftTable, props: Map[String, String]): TableMetadata =
     table.ops.commitTransaction(m => m.copy(properties = m.properties ++ props,
       lastUpdatedMillis = System.currentTimeMillis()))
+}
+
+/** Multi-update single-commit transaction (reference api/.../Transaction.java,
+  * core/.../BaseTransaction.java): each op adds its own snapshot to the
+  * pending metadata; ONE atomic CAS publishes them all — either every update
+  * becomes visible or none. Retry re-applies the whole chain on a fresh base.
+  */
+final class GraftTransaction(table: GraftTable) {
+  private var ops: Seq[TableMetadata => TableMetadata] = Nil
+  private def add(op: TableMetadata => TableMetadata): this.type = { ops :+= op; this }
+
+  def append(files: Seq[DataFile]): this.type =
+    add(Commits.fastAppendOn(table, _, files))
+  def appendData(df: org.apache.spark.sql.DataFrame): this.type =
+    append(GraftWrite.writeFiles(table, df))
+  def deleteByFilter(filter: Expr): this.type =
+    add(Commits.deleteByFilterOn(table, _, filter))
+  def overwriteByFilter(filter: Expr, files: Seq[DataFile]): this.type =
+    add(Commits.overwriteByFilterOn(table, _, filter, files))
+  def replacePartitions(files: Seq[DataFile]): this.type =
+    add(Commits.replacePartitionsOn(table, _, files))
+  def setProperties(props: Map[String, String]): this.type =
+    add(m => m.copy(properties = m.properties ++ props))
+
+  def commit(): TableMetadata =
+    table.ops.commitTransaction(base => ops.foldLeft(base)((m, op) => op(m)))
+}
+
+object GraftTransaction {
+  def begin(table: GraftTable): GraftTransaction = new GraftTransaction(table)
 }

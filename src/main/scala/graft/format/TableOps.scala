@@ -38,10 +38,14 @@ final class TableOps(val location: String) {
     val tmp = metadataDir.resolve(s".tmp-${UUID.randomUUID()}.json")
     Files.writeString(tmp, Model.metadataToJson(updated))
     try {
-      // move-without-replace is the CAS: loser's rename throws
-      Files.move(tmp, versionFile(next))
+      // hard-link is the CAS: link(2) fails with EEXIST *atomically*
+      // (Files.move without REPLACE_EXISTING pre-checks existence non-
+      // atomically — two racing committers can both pass the check and one
+      // silently overwrites the other)
+      Files.createLink(versionFile(next), tmp)
+      Files.deleteIfExists(tmp)
     } catch {
-      case e: java.nio.file.FileAlreadyExistsException =>
+      case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
         throw new CommitFailedException(s"version $next already committed")
     }

@@ -185,6 +185,22 @@ class TableFormatSpec extends SparkSpec {
     assert(t.newScan().filter(Exprs.gt("id", 50L)).toDF().count() == 1)
   }
 
+  test("transaction: multi-op single commit is atomic (BaseTransaction)") {
+    val loc = freshLoc("txn")
+    val t = GraftTable.create(spark, loc, rows(4).schema, _.day("ts"))
+    GraftWrite.append(t, rows(4, 0).coalesce(1))
+    val before = t.ops.currentVersion()
+    GraftTransaction.begin(t)
+      .appendData(rows(4, 1).coalesce(1))
+      .deleteByFilter(Exprs.lt("ts", "2024-01-02"))
+      .commit()
+    // exactly one metadata version published for two snapshots
+    assert(t.ops.currentVersion() == before + 1)
+    assert(t.snapshots.size == 3)
+    assert(t.toDF().count() == 4)
+    assert(t.toDF().select("id").as[Long].collect().min == 1000L)
+  }
+
   test("merge append compacts manifests past min-count") {
     val loc = freshLoc("merge")
     val t = GraftTable.create(spark, loc, rows(1).schema,
