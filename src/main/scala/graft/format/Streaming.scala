@@ -53,28 +53,44 @@ object Streaming {
     * appended rows (and advances its offset) on each call — the
     * MicroBatchStream latestOffset/planInputPartitions cycle as a library
     * surface. */
-  final class IncrementalSource(table: GraftTable, startSnapshotId: Option[Long] = None) {
+  final class IncrementalSource(table: GraftTable, startSnapshotId: Option[Long] = None,
+      maxBytesPerBatch: Long = Long.MaxValue) {
     @volatile private var lastConsumed: Long =
       startSnapshotId.getOrElse(0L)
 
     def currentOffset: Long = lastConsumed
 
-    /** Rows appended since the last poll; None when caught up. */
+    /** Rows appended since the last poll; None when caught up. The batch
+      * endpoint advances snapshot-by-snapshot until the size budget is hit
+      * (reference MicroBatches.java:112-123 `targetSizeInBytes` slicing —
+      * ours slices at snapshot granularity: epochs are the natural batch
+      * boundary and stay replayable). */
     def nextBatch(): Option[DataFrame] = {
-      val current = table.currentSnapshot.map(_.snapshotId).getOrElse(0L)
-      if (current <= lastConsumed) None
-      else {
-        val df =
-          if (lastConsumed == 0L && startSnapshotId.isEmpty)
-            table.newScan().toDF() // initial load: full current state
-          else
-            table.newScan().appendsBetween(lastConsumed, current).toDF()
+      val m = table.metadata
+      val current = m.currentSnapshotId.getOrElse(0L)
+      if (current <= lastConsumed) return None
+      if (lastConsumed == 0L && startSnapshotId.isEmpty) {
         lastConsumed = current
-        Some(df)
+        return Some(table.newScan().toDF()) // initial load: full current state
       }
+      // grow the range while within budget (always take at least one)
+      val pending = m.ancestors(Some(current))
+        .filter(_.snapshotId > lastConsumed)
+      var end = lastConsumed
+      var bytes = 0L
+      pending.foreach { s =>
+        val sz = table.newScan().appendsBetween(lastConsumed, s.snapshotId)
+          .planFiles().tasks.map(_.file.fileSizeInBytes).sum
+        if (end == lastConsumed || sz <= maxBytesPerBatch) end = s.snapshotId
+        bytes = sz
+      }
+      val df = table.newScan().appendsBetween(lastConsumed, end).toDF()
+      lastConsumed = end
+      Some(df)
     }
   }
 
-  def incrementalSource(table: GraftTable, startSnapshotId: Option[Long] = None)
-      : IncrementalSource = new IncrementalSource(table, startSnapshotId)
+  def incrementalSource(table: GraftTable, startSnapshotId: Option[Long] = None,
+      maxBytesPerBatch: Long = Long.MaxValue): IncrementalSource =
+    new IncrementalSource(table, startSnapshotId, maxBytesPerBatch)
 }

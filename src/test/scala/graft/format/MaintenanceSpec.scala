@@ -111,6 +111,34 @@ class MaintenanceSpec extends SparkSpec {
     assert(src.nextBatch().isEmpty)
   }
 
+  test("incremental source honors the batch size budget (MicroBatches:112-123)") {
+    val loc = freshLoc("budget")
+    val t = GraftTable.create(spark, loc, rows(1).schema)
+    GraftWrite.append(t, rows(1, 0))
+    val src = Streaming.incrementalSource(t,
+      startSnapshotId = Some(t.currentSnapshot.get.snapshotId),
+      maxBytesPerBatch = 1L) // one snapshot per batch
+    GraftWrite.append(t, rows(2, 1))
+    GraftWrite.append(t, rows(3, 2))
+    assert(src.nextBatch().get.count() == 2) // budget splits the backlog
+    assert(src.nextBatch().get.count() == 3)
+    assert(src.nextBatch().isEmpty)
+  }
+
+  test("null partition values round-trip and isNull filters prune") {
+    val loc = freshLoc("nullpart")
+    val df = Seq((1L, Option("x")), (2L, Option("y")), (3L, None))
+      .toDF("id", "k")
+    val t = GraftTable.create(spark, loc, df.schema, _.identity("k"))
+    GraftWrite.append(t, df.coalesce(1))
+    assert(t.toDF().count() == 3)
+    assert(t.toDF().where(col("k").isNull).select("id").as[Long].collect().toSeq == Seq(3L))
+    val plan = t.newScan().filter(Exprs.isNull("k")).planFiles()
+    assert(plan.tasks.size == 1, s"null-partition pruning failed: $plan")
+    assert(t.newScan().filter(Exprs.equal("k", "x")).planFiles().tasks.size == 1)
+    assert(t.newScan().filter(Exprs.isNull("k")).toDF().count() == 1)
+  }
+
   test("equality deletes hide matching rows from older files (Deletes.java:128)") {
     val loc = freshLoc("eqdel")
     val t = GraftTable.create(spark, loc, rows(4).schema)

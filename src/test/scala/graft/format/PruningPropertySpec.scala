@@ -1,0 +1,136 @@
+package graft.format
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+import scala.util.Random
+
+/** Property tests for the pruning kernel — the reference's randomized test
+  * strategy (SURVEY §5.3) applied to evaluators. Seeded generators, 3000
+  * cases per property:
+  *  - inclusive pruning must NEVER drop a file containing a matching row;
+  *  - strict matching must NEVER claim a file whose rows don't all match;
+  *  - partition projections must stay sound through every transform.
+  */
+class PruningPropertySpec extends AnyFunSuite {
+
+  private val schema = FieldIds.assignFresh(StructType(Seq(
+    StructField("v", LongType), StructField("s", StringType))))
+  private val vId = 1
+  private val N = 3000
+
+  private def statsOf(rows: Seq[Option[Long]]): DataFile = {
+    val nonNull = rows.flatten
+    DataFile(path = "f",
+      recordCount = rows.size.toLong,
+      valueCounts = Map(vId -> rows.size.toLong),
+      nullValueCounts = Map(vId -> rows.count(_.isEmpty).toLong),
+      lowerBounds = if (nonNull.isEmpty) Map.empty else Map(vId -> nonNull.min),
+      upperBounds = if (nonNull.isEmpty) Map.empty else Map(vId -> nonNull.max))
+  }
+
+  private def genRows(r: Random): List[Option[Long]] =
+    List.fill(1 + r.nextInt(8))(
+      if (r.nextInt(5) == 0) None else Some(r.nextLong(101) - 50))
+
+  private def genPred(r: Random): Expr = {
+    def v = r.nextLong(121) - 60
+    r.nextInt(10) match {
+      case 0 => Exprs.lt("v", v)
+      case 1 => Exprs.ltEq("v", v)
+      case 2 => Exprs.gt("v", v)
+      case 3 => Exprs.gtEq("v", v)
+      case 4 => Exprs.equal("v", v)
+      case 5 => Exprs.notEqual("v", v)
+      case 6 => Exprs.in("v", Seq(v, v, v))
+      case 7 => Exprs.notIn("v", Seq(v, v, v))
+      case 8 => Exprs.isNull("v")
+      case 9 => Exprs.notNull("v")
+    }
+  }
+
+  private def genExpr(r: Random): Expr = r.nextInt(4) match {
+    case 0 => genPred(r)
+    case 1 => Exprs.and(genPred(r), genPred(r))
+    case 2 => Exprs.or(genPred(r), genPred(r))
+    case 3 => Exprs.not(genPred(r))
+  }
+
+  private def matches(e: Expr, row: Option[Long]): Boolean =
+    Exprs.eval(e, _ => row.map(Long.box).orNull)
+
+  test("inclusive metrics never prune a file with a matching row") {
+    val r = new Random(42)
+    (0 until N).foreach { _ =>
+      val rows = genRows(r)
+      val bound = Exprs.bind(Exprs.rewriteNot(genExpr(r)), schema)
+      val f = statsOf(rows)
+      if (rows.exists(matches(bound, _)))
+        assert(Evaluators.inclusiveMetrics(bound, f),
+          s"pruned file with matching rows: rows=$rows expr=$bound")
+    }
+  }
+
+  test("strict metrics never claim a file with a non-matching row") {
+    val r = new Random(43)
+    (0 until N).foreach { _ =>
+      val rows = genRows(r)
+      val bound = Exprs.bind(Exprs.rewriteNot(genExpr(r)), schema)
+      val f = statsOf(rows)
+      if (Evaluators.strictMetrics(bound, f))
+        assert(rows.forall(matches(bound, _)),
+          s"strict over-claimed: rows=$rows expr=$bound")
+    }
+  }
+
+  private val transforms: Seq[Transform] = Seq(
+    Transforms.IdentityT, Transforms.BucketT(7), Transforms.TruncateT(10))
+
+  test("inclusive partition projection keeps partitions with matching rows") {
+    val r = new Random(44)
+    (0 until N).foreach { _ =>
+      val rows = genRows(r)
+      val tr = transforms(r.nextInt(transforms.size))
+      val spec = PartitionSpec(0, Seq(PartitionField(vId, tr, "p")))
+      val bound = Exprs.bind(Exprs.rewriteNot(genExpr(r)), schema)
+      val projected = Projections.inclusive(bound, spec, schema)
+      rows.foreach { row =>
+        val tuple = Map("p" -> row.map(v => tr.apply(v, LongType)).orNull)
+        if (matches(bound, row))
+          assert(Projections.evalOnPartition(projected, tuple),
+            s"projection pruned matching row=$row tr=$tr expr=$bound proj=$projected")
+      }
+    }
+  }
+
+  test("strict partition projection only claims fully-matching partitions") {
+    val r = new Random(45)
+    (0 until N).foreach { _ =>
+      val rows = genRows(r)
+      val tr = transforms(r.nextInt(transforms.size))
+      val spec = PartitionSpec(0, Seq(PartitionField(vId, tr, "p")))
+      val bound = Exprs.bind(Exprs.rewriteNot(genExpr(r)), schema)
+      val projected = Projections.strict(bound, spec, schema)
+      rows.groupBy(row => row.map(v => tr.apply(v, LongType)).orNull)
+        .foreach { case (pval, rs) =>
+          if (Projections.evalOnPartition(projected, Map("p" -> pval)))
+            assert(rs.forall(matches(bound, _)),
+              s"strict projection over-claimed pval=$pval rows=$rs tr=$tr expr=$bound")
+        }
+    }
+  }
+
+  test("string bound truncation keeps bounds valid (UnicodeUtil semantics)") {
+    val r = new Random(46)
+    (0 until N).foreach { _ =>
+      val len = 1 + r.nextInt(30)
+      val s = (0 until len).map(_ => ('a' + r.nextInt(26)).toChar).mkString +
+        (if (r.nextInt(4) == 0) "😀" else "") // astral codepoint
+      val lo = Metrics.truncateLower(s).asInstanceOf[String]
+      val hi = Metrics.truncateUpper(s)
+      assert(lo <= s, s"lower bound above value: $lo > $s")
+      if (hi != null)
+        assert(hi.asInstanceOf[String] > s || hi == s,
+          s"upper bound below value: $hi < $s")
+    }
+  }
+}
