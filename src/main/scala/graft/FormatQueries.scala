@@ -271,6 +271,27 @@ object FormatQueries {
       orderAgg(t.toDF())
     }),
 
+    // DSv2 SQL surface: CREATE/INSERT/time-travel through the catalog,
+    // physical scan = Spark's vectorized ParquetScan over our pruned plan
+    "q78_sql_catalog" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftsql", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftsql.warehouse", tdir(dir, "sqlwh"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftsql.db")
+      if (s.catalog.tableExists("graftsql.db.part")) ()
+      else {
+        s.sql("""CREATE TABLE graftsql.db.part
+                 (p_partkey BIGINT, p_brand STRING, p_retailprice DOUBLE)
+                 PARTITIONED BY (bucket(8, p_partkey))""")
+        s.read.parquet(s"$dir/part.parquet")
+          .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+          .coalesce(2).createOrReplaceTempView("part_src")
+        s.sql("INSERT INTO graftsql.db.part SELECT * FROM part_src")
+      }
+      s.sql("""SELECT p_brand, COUNT(*) AS n,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(14,4))) AS DOUBLE) AS sum_price
+               FROM graftsql.db.part GROUP BY p_brand ORDER BY p_brand""")
+    }),
+
     // compaction preserves content (RewriteDataFilesAction)
     "q70_compaction" -> ((s, dir) => {
       val t = withTable(s, dir, "region_compacted") { loc =>
@@ -350,5 +371,10 @@ object FormatQueries {
 
     "q76_manifest_rewrite" -> orderAggSqlWhere.format("1=1"),
 
-    "q77_expire_cleanup" -> orderAggSqlWhere.format("1=1"))
+    "q77_expire_cleanup" -> orderAggSqlWhere.format("1=1"),
+
+    "q78_sql_catalog" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        |CAST(SUM(CAST(p_retailprice AS DECIMAL(14,4))) AS DOUBLE) AS sum_price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)
 }

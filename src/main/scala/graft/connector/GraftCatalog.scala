@@ -1,0 +1,183 @@
+package graft.connector
+
+import graft.format._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform => XTransform, Literal => XLiteral}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import java.nio.file.{Files, Paths}
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+/** DSv2 TableCatalog over a warehouse directory (the reference's
+  * spark3/.../SparkCatalog.java). Register with:
+  *
+  * {{{
+  * spark.sql.catalog.graft           = graft.connector.GraftCatalog
+  * spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  * }}}
+  *
+  * then `SELECT * FROM graft.db.t VERSION AS OF 3`, `INSERT INTO`,
+  * `CREATE TABLE ... PARTITIONED BY (bucket(16, id), days(ts))`,
+  * `ALTER TABLE ... RENAME COLUMN`, and metadata tables as
+  * `graft.db.\`t$snapshots\``.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse"))
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def tableDir(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  private val MetaSuffix = """^(.+)\$(\w+)$""".r
+
+  override def loadTable(ident: Identifier): Table = ident.name() match {
+    case MetaSuffix(base, metaName) =>
+      val bi = Identifier.of(ident.namespace(), base)
+      if (!GraftTable.exists(tableDir(bi))) throw new NoSuchTableException(ident)
+      val t = GraftTable.load(spark, tableDir(bi))
+      RowsTable(ident.toString, MetaTables(t, metaName))
+    case _ =>
+      if (!GraftTable.exists(tableDir(ident))) throw new NoSuchTableException(ident)
+      new GraftSparkTable(spark, GraftTable.load(spark, tableDir(ident)), ident.toString)
+  }
+
+  /** VERSION AS OF — version string = snapshot id. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!GraftTable.exists(tableDir(ident))) throw new NoSuchTableException(ident)
+    new GraftSparkTable(spark, GraftTable.load(spark, tableDir(ident)),
+      ident.toString, snapshotId = Some(version.toLong))
+  }
+
+  /** TIMESTAMP AS OF — micros since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!GraftTable.exists(tableDir(ident))) throw new NoSuchTableException(ident)
+    new GraftSparkTable(spark, GraftTable.load(spark, tableDir(ident)),
+      ident.toString, asOfMillis = Some(timestampMicros / 1000L))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[XTransform], properties: JMap[String, String]): Table = {
+    if (GraftTable.exists(tableDir(ident)))
+      throw new TableAlreadyExistsException(ident)
+    val withIds = FieldIds.assignFresh(schema)
+    val specBuild: PartitionSpec.Builder => PartitionSpec.Builder = b =>
+      partitions.foldLeft(b)((bb, t) => addTransform(bb, t))
+    val t = GraftTable.create(spark, tableDir(ident), withIds, specBuild,
+      properties.asScala.toMap.filter { case (k, _) => !k.startsWith("option.") &&
+        k != "provider" && k != "location" && k != "owner" })
+    new GraftSparkTable(spark, t, ident.toString)
+  }
+
+  private def addTransform(b: PartitionSpec.Builder, t: XTransform): PartitionSpec.Builder = {
+    def col: String = t.references().head.fieldNames().mkString(".")
+    def intArg: Int = t.arguments().collectFirst {
+      case l: XLiteral[_] => l.value().toString.toInt
+    }.getOrElse(throw new IllegalArgumentException(s"${t.name()} needs an int arg"))
+    t.name() match {
+      case "identity" => b.identity(col)
+      case "bucket" => b.bucket(col, intArg)
+      case "truncate" => b.add(col, Transforms.TruncateT(intArg), s"${col}_trunc")
+      case "years" | "year" => b.year(col)
+      case "months" | "month" => b.month(col)
+      case "days" | "day" => b.day(col)
+      case "hours" | "hour" => b.hour(col)
+      case other => throw new IllegalArgumentException(s"unsupported transform $other")
+    }
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = GraftTable.load(spark, tableDir(ident))
+    val su = SchemaUpdate(t)
+    var props = Map.empty[String, String]
+    var schemaChanged = false
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        su.addColumn(a.fieldNames().mkString("."), a.dataType(), a.isNullable)
+        schemaChanged = true
+      case r: TableChange.RenameColumn =>
+        su.renameColumn(r.fieldNames().mkString("."), r.newName()); schemaChanged = true
+      case d: TableChange.DeleteColumn =>
+        su.deleteColumn(d.fieldNames().mkString(".")); schemaChanged = true
+      case u: TableChange.UpdateColumnType =>
+        su.updateColumnType(u.fieldNames().mkString("."), u.newDataType()); schemaChanged = true
+      case n: TableChange.UpdateColumnNullability =>
+        if (n.nullable()) { su.makeColumnOptional(n.fieldNames().mkString(".")); schemaChanged = true }
+      case p: TableChange.SetProperty => props += (p.property() -> p.value())
+      case rm: TableChange.RemoveProperty => () // properties are additive here
+      case other => throw new IllegalArgumentException(s"unsupported change $other")
+    }
+    if (schemaChanged) su.commit()
+    if (props.nonEmpty) Commits.setProperties(t, props)
+    new GraftSparkTable(spark, t, ident.toString)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = Paths.get(tableDir(ident))
+    if (!Files.exists(dir)) false
+    else {
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    // RENAME TO targets may arrive catalog-qualified; strip our own name
+    val target =
+      if (newIdent.namespace().headOption.contains(catalogName))
+        Identifier.of(newIdent.namespace().drop(1), newIdent.name())
+      else newIdent
+    Files.createDirectories(Paths.get(tableDir(target)).getParent)
+    Files.move(Paths.get(tableDir(oldIdent)), Paths.get(tableDir(target)))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = Paths.get((warehouse +: namespace.toSeq).mkString("/"))
+    if (!Files.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    Files.list(dir).iterator().asScala
+      .filter(p => GraftTable.exists(p.toString))
+      .map(p => Identifier.of(namespace, p.getFileName.toString)).toArray
+  }
+
+  // ---- namespaces = directories ----
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = Paths.get(warehouse)
+    if (!Files.exists(root)) return Array.empty
+    Files.list(root).iterator().asScala.filter(Files.isDirectory(_))
+      .filterNot(p => GraftTable.exists(p.toString))
+      .map(p => Array(p.getFileName.toString)).toArray
+  }
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    Files.exists(Paths.get((warehouse +: namespace.toSeq).mkString("/")))
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit =
+    Files.createDirectories(Paths.get((warehouse +: namespace.toSeq).mkString("/")))
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit = ()
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = Paths.get((warehouse +: namespace.toSeq).mkString("/"))
+    if (!Files.exists(dir)) false
+    else {
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      true
+    }
+  }
+}

@@ -1,0 +1,251 @@
+package graft.connector
+
+import graft.format._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions => XE, Transform => XTransform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.hadoop.fs.{Path => HPath}
+import java.util.{Set => JSet}
+import scala.jdk.CollectionConverters._
+
+/** DSv2 table over a graft table (the reference's spark3 SparkTable,
+  * spark3/.../source/SparkTable.java). Reads delegate the physical scan to
+  * Spark's OWN vectorized ParquetScan over the PRUNED file list — our
+  * planner does the 3-level metadata pruning (§3.1 driver path) and Spark
+  * keeps columnar batches + whole-stage codegen; writes go through the V1
+  * InsertableRelation fallback so the DataFrame lands in GraftWrite's
+  * commit path (append / overwrite / dynamic overwrite / truncate).
+  */
+final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
+    ident: String, snapshotId: Option[Long] = None,
+    asOfMillis: Option[Long] = None)
+  extends Table with SupportsRead with SupportsWrite {
+
+  private def scan0: TableScan = {
+    var s = table.newScan()
+    snapshotId.foreach(id => s = s.useSnapshot(id))
+    asOfMillis.foreach(ms => s = s.asOfTime(ms))
+    s
+  }
+
+  override def name(): String = ident
+
+  override def schema(): StructType =
+    StructType(scan0.scanSchema.fields.map(f =>
+      f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+
+  // no OVERWRITE_DYNAMIC: Spark has no V1-fallback exec for dynamic
+  // overwrite (V1FallbackWriters covers append + overwrite-by-expr only);
+  // SQL dynamic overwrite needs a full V2 BatchWrite — the Scala API
+  // (GraftWrite.overwriteDynamic) covers the semantics meanwhile
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE).asJava
+
+  override def partitioning(): Array[XTransform] = {
+    val m = table.metadata
+    val idToName = FieldIds.idToName(m.schema)
+    m.spec.fields.map { pf =>
+      val src = idToName(pf.sourceId)
+      pf.transform match {
+        case Transforms.IdentityT => XE.identity(src)
+        case Transforms.BucketT(n) => XE.bucket(n, src)
+        case Transforms.TruncateT(w) => XE.apply("truncate", XE.literal(w), XE.column(src))
+        case Transforms.YearT => XE.years(src)
+        case Transforms.MonthT => XE.months(src)
+        case Transforms.DayT => XE.days(src)
+        case Transforms.HourT => XE.hours(src)
+        case Transforms.VoidT => XE.apply("void", XE.column(src))
+      }
+    }.toArray
+  }
+
+  override def properties(): java.util.Map[String, String] =
+    table.metadata.properties.asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(spark, table, scan0, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(table)
+}
+
+/** Pushdown plumbing (reference SparkScanBuilder.java:100-141). */
+final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
+    base: TableScan, options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var requiredSchema: Option[StructType] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => FilterBridge.convert(f).isDefined)
+    // return ALL filters as post-scan: Spark re-applies them — residual
+    // safety exactly as the reference (SparkScanBuilder.java:121-123)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = Some(required)
+
+  override def build(): Scan = {
+    val expr = FilterBridge.convertAll(pushed)
+    val scan = if (expr == AlwaysTrue) base else base.filter(expr)
+    val schema = scan.scanSchema
+    val plan = scan.planFiles()
+    if (plan.deleteFiles.nonEmpty)
+      throw new UnsupportedOperationException(
+        "tables with row-level delete files: use the Scala scan API " +
+          "(GraftTable.newScan) which applies deletes")
+    def strip(st: StructType) = StructType(st.fields.map(f =>
+      f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    val clean = strip(schema)
+    val read = requiredSchema.getOrElse(clean)
+
+    // one ParquetScan per writer-schema generation: columns are re-mapped to
+    // each generation's *file* names by field id (id-based resolution, the
+    // heart of metadata-only rename — SURVEY §1.2), and the readDataSchema
+    // keeps the TARGET column order so every generation produces identical
+    // InternalRow/ColumnarBatch layouts.
+    val m = table.metadata
+    val groups = plan.tasks.groupBy(_.file.schemaId).toSeq.sortBy(_._1).map {
+      case (schemaId, tasks) =>
+        val fileSchema = m.schemas.getOrElse(schemaId, schema)
+        val fileById = FieldIds.idToName(fileSchema)
+        def fileName(target: StructField): String =
+          FieldIds.findById(schema, FieldIds.nameToId(schema)(target.name))
+            .map(FieldIds.idOf).flatMap(fileById.get).getOrElse(target.name)
+        val renames: Map[String, String] =
+          read.fields.map(f => f.name -> fileName(f)).toMap
+        val groupRead = StructType(read.fields.map(f =>
+          f.copy(name = renames(f.name), metadata = org.apache.spark.sql.types.Metadata.empty)))
+        // file-side full schema: file names with target types where ids align
+        val groupData = strip(StructType(fileSchema.fields.map { ff =>
+          val id = FieldIds.idOf(ff)
+          FieldIds.findById(schema, id) match {
+            case Some(tf) => ff.copy(dataType = tf.dataType)
+            case None => ff
+          }
+        }))
+        val groupFilters = pushed.flatMap(f => renameFilter(f, renames))
+        val index = new InMemoryFileIndex(spark,
+          tasks.map(t => new HPath(t.file.path)), Map.empty, Some(groupData))
+        ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
+          dataSchema = groupData, readDataSchema = groupRead,
+          readPartitionSchema = StructType(Nil),
+          pushedFilters = groupFilters, options = options)
+    }
+    new GraftScan(read, groups)
+  }
+
+  /** Rename filter references current→file names; drop if any referenced
+    * column is absent from the mapping (it stays a Spark-side residual). */
+  private def renameFilter(f: Filter, renames: Map[String, String]): Option[Filter] =
+    if (f.references.forall(renames.contains)) {
+      import org.apache.spark.sql.sources
+      def r(n: String) = renames(n)
+      Some(f match {
+        case sources.EqualTo(a, v) => sources.EqualTo(r(a), v)
+        case sources.EqualNullSafe(a, v) => sources.EqualNullSafe(r(a), v)
+        case sources.GreaterThan(a, v) => sources.GreaterThan(r(a), v)
+        case sources.GreaterThanOrEqual(a, v) => sources.GreaterThanOrEqual(r(a), v)
+        case sources.LessThan(a, v) => sources.LessThan(r(a), v)
+        case sources.LessThanOrEqual(a, v) => sources.LessThanOrEqual(r(a), v)
+        case sources.In(a, vs) => sources.In(r(a), vs)
+        case sources.IsNull(a) => sources.IsNull(r(a))
+        case sources.IsNotNull(a) => sources.IsNotNull(r(a))
+        case sources.StringStartsWith(a, v) => sources.StringStartsWith(r(a), v)
+        case other => return None
+      })
+    } else None
+}
+
+/** Union-of-generations scan: concatenates each generation's ParquetScan
+  * partitions; readers dispatch to the owning generation's factory. All
+  * generations share one output layout, so Spark sees a single homogeneous
+  * batch source (columnar included). */
+final class GraftScan(output: StructType,
+    parquetScans: Seq[ParquetScan]) extends Scan {
+  import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory}
+
+  override def readSchema(): StructType = output
+  override def description(): String = s"graft(${parquetScans.size} schema generations)"
+
+  override def toBatch: Batch = new Batch {
+    private lazy val inner = parquetScans.map(_.toBatch)
+    override def planInputPartitions(): Array[InputPartition] =
+      inner.zipWithIndex.flatMap { case (b, i) =>
+        b.planInputPartitions().map(p => GroupedPartition(i, p): InputPartition)
+      }.toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      GroupedReaderFactory(inner.map(_.createReaderFactory()))
+  }
+}
+
+final case class GroupedPartition(group: Int,
+    inner: org.apache.spark.sql.connector.read.InputPartition)
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+final case class GroupedReaderFactory(
+    inner: Seq[org.apache.spark.sql.connector.read.PartitionReaderFactory])
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+
+  private def unwrap(p: InputPartition): (Int, InputPartition) = p match {
+    case GroupedPartition(g, ip) => (g, ip)
+    case other => (0, other)
+  }
+  override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val (g, ip) = unwrap(p); inner(g).createReader(ip)
+  }
+  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val (g, ip) = unwrap(p); inner(g).createColumnarReader(ip)
+  }
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val (g, ip) = unwrap(p); inner(g).supportColumnarReads(ip)
+  }
+}
+
+/** V1-fallback write: the DataFrame arrives whole and goes through the
+  * normal commit path (reference SparkWriteBuilder semantics:
+  * spark3/.../SparkWriteBuilder.java:47-131). */
+final class GraftWriteBuilder(table: GraftTable)
+  extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite
+  with SupportsTruncate {
+
+  private sealed trait Mode
+  private case object Append extends Mode
+  private case object DynamicOverwrite extends Mode
+  private case class FilterOverwrite(expr: Expr) extends Mode
+  private var mode: Mode = Append
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    val expr = FilterBridge.convertAll(filters)
+    mode = FilterOverwrite(expr); this
+  }
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = DynamicOverwrite; this
+  }
+  override def truncate(): WriteBuilder = {
+    mode = FilterOverwrite(AlwaysTrue); this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      (data, overwrite) => mode match {
+        case Append if overwrite => GraftWrite.overwriteAll(table, data)
+        case Append => GraftWrite.append(table, data)
+        case DynamicOverwrite => GraftWrite.overwriteDynamic(table, data)
+        case FilterOverwrite(e) => GraftWrite.overwrite(table, data, e)
+      }
+  }
+}

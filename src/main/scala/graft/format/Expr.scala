@@ -124,6 +124,8 @@ object Exprs {
       t.getTime * 1000L + (t.getNanos / 1000) % 1000
     case (i: Instant, TimestampType | TimestampNTZType) =>
       i.getEpochSecond * 1000000L + i.getNano / 1000
+    case (ldt: LocalDateTime, TimestampType | TimestampNTZType) =>
+      ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000
     case (s: String, StringType) => s
     case (b: Boolean, BooleanType) => b
     case (b: Array[Byte], BinaryType) => b
