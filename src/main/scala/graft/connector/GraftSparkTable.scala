@@ -137,14 +137,14 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
           }
         }))
         val groupFilters = pushed.flatMap(f => renameFilter(f, renames))
-        val index = new InMemoryFileIndex(spark,
-          tasks.map(t => new HPath(t.file.path)), Map.empty, Some(groupData))
+        // manifest-fed index: no listing/stat calls at plan time
+        val index = new GraftFileIndex(spark, tasks.map(_.file))
         ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
           dataSchema = groupData, readDataSchema = groupRead,
           readPartitionSchema = StructType(Nil),
           pushedFilters = groupFilters, options = options)
     }
-    new GraftScan(read, groups)
+    new GraftScan(read, groups, plan)
   }
 
   /** Rename filter references current→file names; drop if any referenced
@@ -172,13 +172,24 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
 /** Union-of-generations scan: concatenates each generation's ParquetScan
   * partitions; readers dispatch to the owning generation's factory. All
   * generations share one output layout, so Spark sees a single homogeneous
-  * batch source (columnar included). */
-final class GraftScan(output: StructType,
-    parquetScans: Seq[ParquetScan]) extends Scan {
-  import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory}
+  * batch source (columnar included). Reports manifest-derived statistics to
+  * the CBO (reference SparkBatchScan.estimateStatistics :186-209) so join
+  * sides behind graft tables broadcast correctly. */
+final class GraftScan(output: StructType, parquetScans: Seq[ParquetScan],
+    plan: ScanPlan) extends Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Statistics}
+  import java.util.OptionalLong
 
   override def readSchema(): StructType = output
   override def description(): String = s"graft(${parquetScans.size} schema generations)"
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(plan.tasks.map(_.file.fileSizeInBytes).sum)
+    override def numRows(): OptionalLong =
+      OptionalLong.of(plan.tasks.map(_.file.recordCount).sum)
+  }
 
   override def toBatch: Batch = new Batch {
     private lazy val inner = parquetScans.map(_.toBatch)

@@ -22,6 +22,9 @@ object GraftWrite {
 
   private val DirPrefix = "__p_"
 
+  /** Table property: comma-separated `col [asc|desc]` write clustering. */
+  val SortOrderKey = "write.sort-order"
+
   /** Write df as new data files of `table` (no commit) and return them. */
   def writeFiles(table: GraftTable, df: DataFrame): Seq[DataFile] = {
     val m = table.metadata
@@ -37,16 +40,30 @@ object GraftWrite {
     // also what the canonical value model assumes (SURVEY §7.4 item 4)
     df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
+    // write.sort-order: cluster rows within files so column bounds stay
+    // tight and stats pruning bites (the reference's SortOrder contract —
+    // position-delete writers and metrics quality both depend on it)
+    val sorted = m.properties.get(SortOrderKey) match {
+      case Some(order) if order.trim.nonEmpty =>
+        val cols = order.split(',').map(_.trim).filter(_.nonEmpty).map { part =>
+          val bits = part.split("\\s+")
+          if (bits.length > 1 && bits(1).equalsIgnoreCase("desc")) col(bits(0)).desc
+          else col(bits(0)).asc
+        }
+        aligned.sortWithinPartitions(cols.toSeq: _*)
+      case _ => aligned
+    }
+
     if (spec.isPartitioned) {
       val derived = spec.derivedColumns(schema)
-      val withP = derived.foldLeft(aligned) { case (d, (name, c)) =>
+      val withP = derived.foldLeft(sorted) { case (d, (name, c)) =>
         d.withColumn(DirPrefix + name, c)
       }
       withP.write.mode(SaveMode.ErrorIfExists)
         .partitionBy(derived.map(DirPrefix + _._1): _*)
         .parquet(staging.toString)
     } else {
-      aligned.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+      sorted.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     }
     collectFiles(table, staging, m.currentSchemaId, spec, schema)
   }

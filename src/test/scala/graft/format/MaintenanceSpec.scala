@@ -98,6 +98,26 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.snapshots.size == 2)
   }
 
+  test("structured streaming end-to-end: readStream -> graft sink commits epochs") {
+    val loc = freshLoc("sstream")
+    val t = GraftTable.create(spark, loc, rows(1).schema)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, java.sql.Timestamp)]
+    mem.addData((1L, "a", java.sql.Timestamp.valueOf("2024-02-01 00:00:00")),
+      (2L, "b", java.sql.Timestamp.valueOf("2024-02-01 01:00:00")))
+    val q = Streaming.writeTo(
+      mem.toDF().toDF("id", "data", "ts").writeStream
+        .option("checkpointLocation", s"$loc-ckpt"), t)
+      .start()
+    q.processAllAvailable()
+    mem.addData((3L, "c", java.sql.Timestamp.valueOf("2024-02-01 02:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    assert(t.toDF().count() == 3)
+    assert(t.snapshots.nonEmpty)
+    assert(t.snapshots.forall(_.summary.contains(Streaming.EpochKey)))
+  }
+
   test("incremental source yields append batches exactly once") {
     val loc = freshLoc("src")
     val t = GraftTable.create(spark, loc, rows(1).schema)

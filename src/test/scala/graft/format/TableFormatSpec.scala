@@ -201,6 +201,21 @@ class TableFormatSpec extends SparkSpec {
     assert(t.toDF().select("id").as[Long].collect().min == 1000L)
   }
 
+  test("write.sort-order clusters rows so range splits prune (SortOrder contract)") {
+    val loc = freshLoc("sort")
+    val df = spark.range(1000).selectExpr("id", "concat('d', id) as data",
+      "timestamp'2024-01-01 00:00:00' as ts")
+    val t = GraftTable.create(spark, loc, df.schema,
+      properties = Map(GraftWrite.SortOrderKey -> "id desc"))
+    GraftWrite.append(t, df.repartition(2))
+    // rows within each file must be descending by id
+    val files = t.newScan().planFiles().tasks.map(_.file.path)
+    files.foreach { p =>
+      val ids = spark.read.parquet(p).select("id").collect().map(_.getLong(0))
+      assert(ids.zip(ids.drop(1)).forall { case (a, b) => a >= b }, s"unsorted: $p")
+    }
+  }
+
   test("merge append compacts manifests past min-count") {
     val loc = freshLoc("merge")
     val t = GraftTable.create(spark, loc, rows(1).schema,
