@@ -310,6 +310,16 @@ object Queries {
         .orderBy(col("cos").desc, col("vec_id"))
     }),
 
+    "q42_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupExact(t(s, dir, "embeddings"), threshold = 0.45)
+        .select(col("a"), col("b"), round(col("cos"), 5).as("cos"))
+        .orderBy(col("a"), col("b"))),
+
+    "q43_embedding_neardup_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), threshold = 0.45)
+        .select(col("a"), col("b"), round(col("cos"), 5).as("cos"))
+        .orderBy(col("a"), col("b"))),
+
     "q41_embedding_stats" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       emb.groupBy(col("label"))
@@ -492,6 +502,17 @@ object Queries {
         |     * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 5) AS cos
         |FROM embeddings e, q WHERE e.vec_id <> 0
         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "q42_embedding_neardup" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |round(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
+        |/ (sqrt(list_sum(list_transform(a.embedding, x->CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(b.embedding, x->CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 5) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
+        |/ (sqrt(list_sum(list_transform(a.embedding, x->CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(b.embedding, x->CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) >= 0.45
+        |ORDER BY a, b""".stripMargin,
 
     "q41_embedding_stats" ->
       """SELECT label, COUNT(*) AS n,

@@ -152,6 +152,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // --- embedding-cosine near-dup ------------------------------------------
+
+  /**
+   * Exact embedding near-duplicate pairs (cosine >= threshold) — the
+   * small-scale oracle baseline, a broadcast nested-loop pair join. Use
+   * `embeddingNearDupLsh` as the scale path (same relationship as
+   * Similarity.cosineTopK ↔ lshTopK).
+   */
+  def embeddingNearDupExact(emb: DataFrame, threshold: Double): DataFrame = {
+    import graft.ops.{Similarity => S}
+    val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), S.cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /**
+   * LSH-bucketed embedding near-dup pairs: candidates share a
+   * random-hyperplane bucket in ANY of nTables tables (shuffle volume
+   * O(rows × nTables) bucket keys, never O(rows²)); candidates are verified
+   * with exact cosine so false positives never escape. Recall follows the
+   * LSH S-curve — measured against the exact baseline in OpsSpec.
+   */
+  def embeddingNearDupLsh(emb: DataFrame, threshold: Double,
+      nTables: Int = 24, nBits: Int = 6): DataFrame = {
+    import graft.ops.{Similarity => S}
+    val bucketsUdf = udf((v: Seq[Float]) => S.lshBuckets(v, nTables, nBits))
+    val banded = emb.select(col("vec_id"), col("embedding"),
+      explode(bucketsUdf(col("embedding"))).as("bucket"))
+    val cand = banded.as("x").join(banded.as("y"), Seq("bucket"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        col("x.embedding").as("ea"), col("y.embedding").as("eb"))
+      .dropDuplicates("a", "b")
+    cand.select(col("a"), col("b"), S.cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   // --- SimHash near-dup ---------------------------------------------------
 
   /** Hamming distance between two 64-bit fingerprints. */

@@ -64,6 +64,18 @@ class OpsSpec extends SparkSpec {
     assert((exact intersect ivf).size >= 5, s"ivf recall too low: $ivf vs $exact")
   }
 
+  test("embedding near-dup: LSH candidates recall the exact pairs") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = Dedup.embeddingNearDupExact(emb, 0.4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(emb, 0.4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH emitted a false positive past exact verify")
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.5,
+        s"recall too low: ${lsh.size}/${exact.size}")
+  }
+
   test("multimodal decode pipeline emits typed metadata and frames") {
     val media = Multimodal.withPayload(docs)
     val decoded = Multimodal.decodeAll(spark, media).collect()
