@@ -1,0 +1,170 @@
+package graft.connector
+
+import graft.format._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+import org.apache.spark.sql.types._
+import java.util.UUID
+
+/** Full DSv2 batch write (reference spark3/.../SparkBatchWrite.java:133-330):
+  * executor tasks write parquet files directly from InternalRow via Spark's
+  * own ParquetWriteSupport — partitioned tables use a FANOUT writer (one
+  * open file per partition tuple, reference
+  * flink/.../PartitionedFanoutWriter.java:33-51, so input needs no
+  * clustering) — then commit messages carry (path, partition tuple) back to
+  * the driver, which collects footer stats and publishes ONE atomic
+  * snapshot (append / dynamic overwrite / filter overwrite).
+  */
+object GraftBatchWrite {
+
+  /** Serializable slice of a partition field for executor-side routing. */
+  final case class SpecField(name: String, ordinal: Int, transform: Transform,
+      srcType: DataType)
+
+  final case class TaskFiles(files: Seq[(String, Map[String, Any])])
+    extends WriterCommitMessage
+
+  sealed trait Mode extends Serializable
+  case object Append extends Mode
+  case object DynamicOverwrite extends Mode
+  final case class FilterOverwrite(expr: Expr) extends Mode
+}
+
+final class GraftBatchWrite(table: GraftTable, mode: GraftBatchWrite.Mode)
+  extends BatchWrite {
+  import GraftBatchWrite._
+
+  private val m = table.metadata
+  private val stagingDir = s"${table.location}/data/${UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val schema = m.schema
+    val nameToIdx = schema.fieldNames.zipWithIndex.toMap
+    val fields = m.spec.fields.map { pf =>
+      val src = FieldIds.findById(schema, pf.sourceId).get
+      SpecField(pf.name, nameToIdx(src.name), pf.transform, src.dataType)
+    }
+    // session hadoop conf carries the SQL confs ParquetWriteSupport reads;
+    // a few must be EXPLICITLY present (the writer asserts on them instead
+    // of defaulting — normally FileFormatWriter sets them per job)
+    val conf = table.spark.sessionState.newHadoopConf()
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+    new GraftWriterFactory(
+      StructType(schema.fields.map(f =>
+        f.copy(metadata = org.apache.spark.sql.types.Metadata.empty))),
+      fields, stagingDir,
+      new org.apache.spark.util.SerializableConfiguration(conf))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val schema = m.schema
+    val files = messages.collect { case TaskFiles(fs) => fs }.flatten.map {
+      case (path, tuple) =>
+        val fm = Metrics.fromParquetFooter(path, schema)
+        DataFile(path = path, partition = tuple,
+          recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
+          schemaId = m.currentSchemaId, specId = m.defaultSpecId,
+          valueCounts = fm.valueCounts, nullValueCounts = fm.nullValueCounts,
+          lowerBounds = fm.lowerBounds, upperBounds = fm.upperBounds,
+          splitOffsets = fm.splitOffsets)
+    }.toSeq
+    mode match {
+      case Append => Commits.mergeAppend(table, files)
+      case DynamicOverwrite => Commits.replacePartitions(table, files)
+      case FilterOverwrite(e) => Commits.overwriteByFilter(table, e, files)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case TaskFiles(fs) => fs }.flatten.foreach {
+      case (path, _) => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+    }
+}
+
+final class GraftWriterFactory(schema: StructType,
+    fields: Seq[GraftBatchWrite.SpecField], stagingDir: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftFanoutWriter(schema, fields, stagingDir, partitionId, taskId, conf)
+}
+
+/** Fanout parquet writer: routes each row to its partition tuple's open
+  * file; unpartitioned tables use the single empty-tuple writer. */
+final class GraftFanoutWriter(schema: StructType,
+    fields: Seq[GraftBatchWrite.SpecField], stagingDir: String,
+    partitionId: Int, taskId: Long,
+    sconf: org.apache.spark.util.SerializableConfiguration)
+  extends DataWriter[InternalRow] {
+  import GraftBatchWrite._
+
+  private val writers =
+    collection.mutable.LinkedHashMap[Map[String, Any], (String, ParquetWriter[InternalRow])]()
+  private var fileCount = 0
+
+  private def canonical(row: InternalRow, f: SpecField): Any = {
+    if (row.isNullAt(f.ordinal)) return null
+    f.srcType match {
+      case IntegerType | DateType => row.getInt(f.ordinal)
+      case LongType | TimestampType | TimestampNTZType => row.getLong(f.ordinal)
+      case StringType => row.getUTF8String(f.ordinal).toString
+      case DoubleType => row.getDouble(f.ordinal)
+      case FloatType => row.getFloat(f.ordinal)
+      case BooleanType => row.getBoolean(f.ordinal)
+      case d: DecimalType =>
+        row.getDecimal(f.ordinal, d.precision, d.scale).toJavaBigDecimal
+      case BinaryType => row.getBinary(f.ordinal)
+      case t => throw new IllegalArgumentException(s"partition source type $t")
+    }
+  }
+
+  private def openWriter(): (String, ParquetWriter[InternalRow]) = {
+    val path = s"$stagingDir/part-$partitionId-$taskId-$fileCount-${UUID.randomUUID()}.parquet"
+    fileCount += 1
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
+    val conf = new Configuration(sconf.value)
+    ParquetWriteSupport.setSchema(schema, conf)
+    class B(p: HPath) extends ParquetWriter.Builder[InternalRow, B](p) {
+      override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
+        new ParquetWriteSupport
+      override def self(): B = this
+    }
+    val w = new B(new HPath(path)).withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY).build()
+    (path, w)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val tuple: Map[String, Any] = fields.map(f =>
+      f.name -> f.transform.apply(canonical(row, f), f.srcType)).toMap
+    writers.getOrElseUpdate(tuple, openWriter())._2.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val files = writers.toSeq.map { case (tuple, (path, w)) =>
+      w.close(); (path, tuple)
+    }
+    TaskFiles(files)
+  }
+
+  override def abort(): Unit = writers.values.foreach { case (path, w) =>
+    try w.close() catch { case _: Throwable => }
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+  }
+
+  override def close(): Unit = ()
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions => XE, Transform => XTransform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, SupportsTruncate, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources.{Filter, InsertableRelation}
@@ -41,13 +41,10 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
     StructType(scan0.scanSchema.fields.map(f =>
       f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
 
-  // no OVERWRITE_DYNAMIC: Spark has no V1-fallback exec for dynamic
-  // overwrite (V1FallbackWriters covers append + overwrite-by-expr only);
-  // SQL dynamic overwrite needs a full V2 BatchWrite — the Scala API
-  // (GraftWrite.overwriteDynamic) covers the semantics meanwhile
   override def capabilities(): JSet[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.TRUNCATE).asJava
 
   override def partitioning(): Array[XTransform] = {
     val m = table.metadata
@@ -226,22 +223,19 @@ final case class GroupedReaderFactory(
   }
 }
 
-/** V1-fallback write: the DataFrame arrives whole and goes through the
-  * normal commit path (reference SparkWriteBuilder semantics:
-  * spark3/.../SparkWriteBuilder.java:47-131). */
+/** Write builder → full V2 BatchWrite (reference SparkWriteBuilder,
+  * spark3/.../SparkWriteBuilder.java:47-131): append, filter overwrite,
+  * dynamic partition overwrite, truncate all land in the same executor-side
+  * fanout writers + one-snapshot commit (GraftBatchWrite). */
 final class GraftWriteBuilder(table: GraftTable)
   extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite
   with SupportsTruncate {
+  import GraftBatchWrite.{Append, DynamicOverwrite, FilterOverwrite, Mode}
 
-  private sealed trait Mode
-  private case object Append extends Mode
-  private case object DynamicOverwrite extends Mode
-  private case class FilterOverwrite(expr: Expr) extends Mode
   private var mode: Mode = Append
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
-    val expr = FilterBridge.convertAll(filters)
-    mode = FilterOverwrite(expr); this
+    mode = FilterOverwrite(FilterBridge.convertAll(filters)); this
   }
   override def overwriteDynamicPartitions(): WriteBuilder = {
     mode = DynamicOverwrite; this
@@ -250,13 +244,7 @@ final class GraftWriteBuilder(table: GraftTable)
     mode = FilterOverwrite(AlwaysTrue); this
   }
 
-  override def build(): Write = new V1Write {
-    override def toInsertableRelation: InsertableRelation =
-      (data, overwrite) => mode match {
-        case Append if overwrite => GraftWrite.overwriteAll(table, data)
-        case Append => GraftWrite.append(table, data)
-        case DynamicOverwrite => GraftWrite.overwriteDynamic(table, data)
-        case FilterOverwrite(e) => GraftWrite.overwrite(table, data, e)
-      }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GraftBatchWrite(table, mode)
   }
 }

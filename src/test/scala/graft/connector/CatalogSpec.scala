@@ -53,17 +53,13 @@ class CatalogSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getLong(0) == 9)
   }
 
-  test("dynamic partition overwrite: SQL DDL table + Scala-API dynamic write") {
+  test("dynamic partition overwrite through SQL") {
     wh
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     spark.sql("""CREATE TABLE g.db.dyn (id BIGINT, part STRING)
                  PARTITIONED BY (identity(part))""")
     spark.sql("INSERT INTO g.db.dyn VALUES (1, 'a'), (2, 'b')")
-    // SQL dynamic overwrite needs a V2 BatchWrite (no V1 fallback exists);
-    // the Scala API covers the operation on the same table
-    import graft.format.{GraftTable, GraftWrite}
-    import spark.implicits._
-    val t = GraftTable.load(spark, s"$wh/db/dyn")
-    GraftWrite.overwriteDynamic(t, Seq((10L, "a")).toDF("id", "part"))
+    spark.sql("INSERT OVERWRITE g.db.dyn VALUES (10, 'a')")
     val out = spark.sql("SELECT id, part FROM g.db.dyn ORDER BY id").collect()
     assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "b"), (10L, "a")))
   }
