@@ -19,9 +19,10 @@ import scala.jdk.CollectionConverters._
   * spark3/.../source/SparkTable.java). Reads delegate the physical scan to
   * Spark's OWN vectorized ParquetScan over the PRUNED file list — our
   * planner does the 3-level metadata pruning (§3.1 driver path) and Spark
-  * keeps columnar batches + whole-stage codegen; writes go through the V1
-  * InsertableRelation fallback so the DataFrame lands in GraftWrite's
-  * commit path (append / overwrite / dynamic overwrite / truncate).
+  * keeps columnar batches + whole-stage codegen. Batch writes run
+  * executor-side fanout parquet writers with a one-snapshot driver commit
+  * (GraftBatchWrite); streaming reads/writes ride the same machinery with
+  * snapshot-id offsets and epoch-dedup commits (GraftStreaming).
   */
 final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
     ident: String, snapshotId: Option[Long] = None,
@@ -43,6 +44,7 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
 
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.TRUNCATE).asJava
 
@@ -71,7 +73,7 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
     new GraftScanBuilder(spark, table, scan0, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(table)
+    new GraftWriteBuilder(table, info.queryId())
 }
 
 /** Pushdown plumbing (reference SparkScanBuilder.java:100-141). */
@@ -141,7 +143,7 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
           readPartitionSchema = StructType(Nil),
           pushedFilters = groupFilters, options = options)
     }
-    new GraftScan(read, groups, plan)
+    new GraftScan(read, groups, plan, spark, table, options)
   }
 
   /** Rename filter references current→file names; drop if any referenced
@@ -173,13 +175,19 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
   * the CBO (reference SparkBatchScan.estimateStatistics :186-209) so join
   * sides behind graft tables broadcast correctly. */
 final class GraftScan(output: StructType, parquetScans: Seq[ParquetScan],
-    plan: ScanPlan) extends Scan
+    plan: ScanPlan, spark: SparkSession = null, table: GraftTable = null,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+  extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Statistics}
   import java.util.OptionalLong
 
   override def readSchema(): StructType = output
   override def description(): String = s"graft(${parquetScans.size} schema generations)"
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(spark, table, options)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
@@ -227,7 +235,7 @@ final case class GroupedReaderFactory(
   * spark3/.../SparkWriteBuilder.java:47-131): append, filter overwrite,
   * dynamic partition overwrite, truncate all land in the same executor-side
   * fanout writers + one-snapshot commit (GraftBatchWrite). */
-final class GraftWriteBuilder(table: GraftTable)
+final class GraftWriteBuilder(table: GraftTable, queryId: String = "default")
   extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite
   with SupportsTruncate {
   import GraftBatchWrite.{Append, DynamicOverwrite, FilterOverwrite, Mode}
@@ -246,5 +254,8 @@ final class GraftWriteBuilder(table: GraftTable)
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GraftBatchWrite(table, mode)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingWrite(table,
+        truncateFirst = mode.isInstanceOf[FilterOverwrite], queryId)
   }
 }

@@ -100,6 +100,29 @@ class CatalogSpec extends SparkSpec {
       .collect().head.getLong(0) == 2)
   }
 
+  test("DSv2 streaming: readStream.table -> writeStream.toTable, incremental batches") {
+    wh
+    spark.sql("CREATE TABLE g.db.src (id BIGINT, v STRING)")
+    spark.sql("CREATE TABLE g.db.sink (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.src VALUES (1, 'a'), (2, 'b')")
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = spark.readStream.table("g.db.src").writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("g.db.sink")
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT * FROM g.db.sink").count() == 2)
+    // new append flows through a second incremental run from the checkpoint
+    spark.sql("INSERT INTO g.db.src VALUES (3, 'c')")
+    val q2 = spark.readStream.table("g.db.src").writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("g.db.sink")
+    q2.awaitTermination(60000)
+    assert(spark.sql("SELECT id FROM g.db.sink ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("catalog ops: list/drop/rename") {
     wh
     spark.sql("CREATE TABLE g.db.lister (id BIGINT)")
