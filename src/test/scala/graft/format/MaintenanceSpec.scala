@@ -40,6 +40,23 @@ class MaintenanceSpec extends SparkSpec {
     assert(MetaTables.apply(t, "snapshots").count() == 2)
   }
 
+  test("scan summary: per-partition metrics with time-range + limit (ScanSummary.java:50-260)") {
+    val loc = freshLoc("summ")
+    val t = GraftTable.create(spark, loc, rows(2).schema, _.day("ts"))
+    GraftWrite.append(t, rows(2, 0).coalesce(1))
+    val betweenMillis = System.currentTimeMillis()
+    Thread.sleep(5)
+    GraftWrite.append(t, rows(3, 1).coalesce(1))
+    val all = ScanSummary.of(t).build()
+    assert(all.size == 2)
+    assert(all.values.map(_.recordCount).sum == 5)
+    val recent = ScanSummary.of(t).after(betweenMillis).build()
+    assert(recent.size == 1 && recent.values.head.recordCount == 3)
+    intercept[IllegalStateException] {
+      ScanSummary.of(t).limit(1).throwIfLimited().build()
+    }
+  }
+
   test("rewriteDataFiles compacts small files and preserves rows") {
     val loc = freshLoc("compact")
     val t = GraftTable.create(spark, loc, rows(2).schema)
