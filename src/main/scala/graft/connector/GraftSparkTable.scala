@@ -101,31 +101,70 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     val scan = if (expr == AlwaysTrue) base else base.filter(expr)
     val schema = scan.scanSchema
     val plan = scan.planFiles()
-    if (plan.deleteFiles.nonEmpty)
+    if (plan.deleteFiles.exists(_._1.content == FileContent.PositionDeletes))
       throw new UnsupportedOperationException(
-        "tables with row-level delete files: use the Scala scan API " +
-          "(GraftTable.newScan) which applies deletes")
+        "tables with position-delete files: use the Scala scan API " +
+          "(GraftTable.newScan) which applies them by row index")
     def strip(st: StructType) = StructType(st.fields.map(f =>
       f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
     val clean = strip(schema)
     val read = requiredSchema.getOrElse(clean)
 
+    // equality deletes: load key sets on the driver (delete files are
+    // per-commit churn, small by construction) and apply them in a row-path
+    // wrapper; tasks are grouped by sequence number so each sub-scan knows
+    // which delete sets are newer than its files (reference
+    // EqualitySetDeleteFilter, Deletes.java:128)
+    val eqDeletes: Seq[EqDeleteSet] =
+      plan.deleteFiles.filter(_._1.content == FileContent.EqualityDeletes)
+        .groupBy(d => (d._1.equalityIds, d._2)).toSeq.map { case ((ids, seq), group) =>
+          val names = ids.map(id => FieldIds.findById(schema, id).get.name)
+          val dts = names.map(n => schema.fields.find(_.name == n).get.dataType)
+          val rows = spark.read.parquet(group.map(_._1.path): _*)
+            .select(names.map(org.apache.spark.sql.functions.col): _*)
+            .distinct().collect()
+            .map(r => names.indices.map(i => Exprs.coerce(r.get(i), dts(i))).toVector)
+            .toSet
+          EqDeleteSet(names, seq, rows)
+        }
+
     // one ParquetScan per writer-schema generation: columns are re-mapped to
     // each generation's *file* names by field id (id-based resolution, the
     // heart of metadata-only rename — SURVEY §1.2), and the readDataSchema
     // keeps the TARGET column order so every generation produces identical
-    // InternalRow/ColumnarBatch layouts.
+    // InternalRow/ColumnarBatch layouts. With live equality deletes, tasks
+    // also split by sequence number (seqKey) so delete recency is resolvable.
     val m = table.metadata
-    val groups = plan.tasks.groupBy(_.file.schemaId).toSeq.sortBy(_._1).map {
-      case (schemaId, tasks) =>
+    val groups = plan.tasks
+      .groupBy(t => (t.file.schemaId, if (eqDeletes.isEmpty) 0L else t.sequenceNumber))
+      .toSeq.sortBy(_._1).map { case ((schemaId, seqKey), tasks) =>
         val fileSchema = m.schemas.getOrElse(schemaId, schema)
         val fileById = FieldIds.idToName(fileSchema)
         def fileName(target: StructField): String =
           FieldIds.findById(schema, FieldIds.nameToId(schema)(target.name))
             .map(FieldIds.idOf).flatMap(fileById.get).getOrElse(target.name)
+        // delete sets newer than this group's files apply to it; the read
+        // schema widens to include their key columns (projected away after
+        // the filter so the output layout stays `read`)
+        val applicable = eqDeletes.filter(_.seq > seqKey)
+        val wideTarget: StructType =
+          if (applicable.isEmpty) read
+          else {
+            val missing = applicable.flatMap(_.names).distinct
+              .filterNot(read.fieldNames.contains)
+            StructType(read.fields ++ missing.map(n => clean.fields.find(_.name == n).get))
+          }
+        val deletes: Option[GroupDeletes] =
+          if (applicable.isEmpty) None
+          else Some(GroupDeletes(
+            applicable.map(ds => DeleteKeys(
+              ds.names.map(wideTarget.fieldIndex).toArray, ds.rows)),
+            wideTarget.fields.map(_.dataType),
+            if (wideTarget.length == read.length) None
+            else Some(read.fields.map(f => wideTarget.fieldIndex(f.name)))))
         val renames: Map[String, String] =
-          read.fields.map(f => f.name -> fileName(f)).toMap
-        val groupRead = StructType(read.fields.map(f =>
+          wideTarget.fields.map(f => f.name -> fileName(f)).toMap
+        val groupRead = StructType(wideTarget.fields.map(f =>
           f.copy(name = renames(f.name), metadata = org.apache.spark.sql.types.Metadata.empty)))
         // file-side full schema: file names with target types where ids align
         val groupData = strip(StructType(fileSchema.fields.map { ff =>
@@ -138,12 +177,13 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
         val groupFilters = pushed.flatMap(f => renameFilter(f, renames))
         // manifest-fed index: no listing/stat calls at plan time
         val index = new GraftFileIndex(spark, tasks.map(_.file))
-        ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
+        (ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
           dataSchema = groupData, readDataSchema = groupRead,
           readPartitionSchema = StructType(Nil),
-          pushedFilters = groupFilters, options = options)
+          pushedFilters = groupFilters, options = options), deletes)
     }
-    new GraftScan(read, groups, plan, spark, table, options)
+    new GraftScan(read, groups.map(_._1), plan, spark, table, options,
+      groups.map(_._2))
   }
 
   /** Rename filter references current→file names; drop if any referenced
@@ -176,7 +216,8 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
   * sides behind graft tables broadcast correctly. */
 final class GraftScan(output: StructType, parquetScans: Seq[ParquetScan],
     plan: ScanPlan, spark: SparkSession = null, table: GraftTable = null,
-    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    deletes: Seq[Option[GroupDeletes]] = Nil)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Statistics}
@@ -203,7 +244,8 @@ final class GraftScan(output: StructType, parquetScans: Seq[ParquetScan],
         b.planInputPartitions().map(p => GroupedPartition(i, p): InputPartition)
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      GroupedReaderFactory(inner.map(_.createReaderFactory()))
+      GroupedReaderFactory(inner.map(_.createReaderFactory()),
+        if (deletes.isEmpty) parquetScans.map(_ => None) else deletes)
   }
 }
 
@@ -212,23 +254,94 @@ final case class GroupedPartition(group: Int,
   extends org.apache.spark.sql.connector.read.InputPartition
 
 final case class GroupedReaderFactory(
-    inner: Seq[org.apache.spark.sql.connector.read.PartitionReaderFactory])
+    inner: Seq[org.apache.spark.sql.connector.read.PartitionReaderFactory],
+    deletes: Seq[Option[GroupDeletes]])
   extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
 
   private def unwrap(p: InputPartition): (Int, InputPartition) = p match {
     case GroupedPartition(g, ip) => (g, ip)
     case other => (0, other)
   }
-  override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
-    val (g, ip) = unwrap(p); inner(g).createReader(ip)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val (g, ip) = unwrap(p)
+    val reader = inner(g).createReader(ip)
+    deletes.lift(g).flatten match {
+      case Some(cfg) => new EqDeleteReader(reader, cfg)
+      case None => reader
+    }
   }
   override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val (g, ip) = unwrap(p); inner(g).createColumnarReader(ip)
   }
   override def supportColumnarReads(p: InputPartition): Boolean = {
-    val (g, ip) = unwrap(p); inner(g).supportColumnarReads(ip)
+    val (g, ip) = unwrap(p)
+    // equality-delete filtering is a row-path wrapper (the reference also
+    // disables vectorization when deletes apply, SparkBatchScan.java:154-183);
+    // Spark requires ALL partitions to agree, so any delete disables all
+    deletes.forall(_.isEmpty) && inner(g).supportColumnarReads(ip)
   }
+}
+
+/** Driver-collected equality-delete key set (canonical values). */
+final case class EqDeleteSet(names: Seq[String], seq: Long,
+    rows: Set[Vector[Any]]) extends Serializable
+
+final case class DeleteKeys(ordinals: Array[Int], rows: Set[Vector[Any]])
+  extends Serializable
+
+final case class GroupDeletes(sets: Seq[DeleteKeys],
+    types: Seq[org.apache.spark.sql.types.DataType],
+    project: Option[Seq[Int]]) extends Serializable
+
+/** Row-path equality-delete filter (reference EqualitySetDeleteFilter,
+  * core/.../deletes/Deletes.java:128): drop rows whose key tuple appears in
+  * any newer delete set, then project away widened key columns. */
+final class EqDeleteReader(
+    inner: org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow],
+    cfg: GroupDeletes)
+  extends org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  private var current: InternalRow = _
+
+  private def canonical(row: InternalRow, i: Int): Any = {
+    import org.apache.spark.sql.types._
+    if (row.isNullAt(i)) return null
+    cfg.types(i) match {
+      case IntegerType | DateType => row.getInt(i)
+      case LongType | TimestampType | TimestampNTZType => row.getLong(i)
+      case StringType => row.getUTF8String(i).toString
+      case DoubleType => row.getDouble(i)
+      case FloatType => row.getFloat(i)
+      case BooleanType => row.getBoolean(i)
+      case d: DecimalType => row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+      case t => throw new IllegalArgumentException(s"equality-delete key type $t")
+    }
+  }
+
+  private def deleted(row: InternalRow): Boolean =
+    cfg.sets.exists(s => s.rows.contains(
+      s.ordinals.map(i => canonical(row, i)).toVector))
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val row = inner.get()
+      if (!deleted(row)) {
+        current = cfg.project match {
+          case Some(idx) =>
+            new GenericInternalRow(idx.map(i => row.get(i, cfg.types(i))).toArray)
+          case None => row
+        }
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = inner.close()
 }
 
 /** Write builder → full V2 BatchWrite (reference SparkWriteBuilder,

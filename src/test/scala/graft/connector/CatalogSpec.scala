@@ -123,6 +123,25 @@ class CatalogSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("equality deletes apply inside SQL reads (row-path wrapper)") {
+    wh
+    spark.sql("CREATE TABLE g.db.eqd (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.eqd VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    import graft.format.{Deletes, GraftTable}
+    import spark.implicits._
+    val t = GraftTable.load(spark, s"$wh/db/eqd")
+    Deletes.deleteByEquality(t, Seq(2L, 4L).toDF("id"))
+    assert(spark.sql("SELECT id FROM g.db.eqd ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // rows appended AFTER the delete are unaffected (sequence gating)
+    spark.sql("INSERT INTO g.db.eqd VALUES (2, 'new')")
+    assert(spark.sql("SELECT id FROM g.db.eqd ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // projection that excludes the key column still filters correctly
+    assert(spark.sql("SELECT v FROM g.db.eqd ORDER BY v").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "c", "new"))
+  }
+
   test("catalog ops: list/drop/rename") {
     wh
     spark.sql("CREATE TABLE g.db.lister (id BIGINT)")
