@@ -15,16 +15,35 @@ import graft.format._
   */
 object FormatQueries {
 
+  /** Bump when any table-building logic below changes: cached tables from
+    * an older builder would otherwise silently serve stale data. */
+  private val BuildVersion = "v2"
+
   private def tdir(dir: String, name: String): String = {
     val h = Integer.toHexString(dir.hashCode & 0x7fffffff)
-    s"${sys.props("java.io.tmpdir")}/graft-tables/$h/$name"
+    s"${sys.props("java.io.tmpdir")}/graft-tables/$BuildVersion/$h/$name"
   }
 
-  /** Build-once cache: rebuilding per run is wasteful at bench scale. */
+  /** Build-once cache: rebuilding per run is wasteful at bench scale. A
+    * completion marker guards against reusing a partially-built table after
+    * a crashed run. */
   private def withTable(s: SparkSession, dir: String, name: String)
       (build: String => GraftTable): GraftTable = synchronized {
     val loc = tdir(dir, name)
-    if (GraftTable.exists(loc)) GraftTable.load(s, loc) else build(loc)
+    val marker = java.nio.file.Paths.get(loc, "_build_complete")
+    if (GraftTable.exists(loc) && java.nio.file.Files.exists(marker))
+      GraftTable.load(s, loc)
+    else {
+      val dirPath = java.nio.file.Paths.get(loc)
+      if (java.nio.file.Files.exists(dirPath)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val t = build(loc)
+      java.nio.file.Files.writeString(marker, "ok")
+      t
+    }
   }
 
   private def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
@@ -277,8 +296,9 @@ object FormatQueries {
       s.conf.set("spark.sql.catalog.graftsql", "graft.connector.GraftCatalog")
       s.conf.set("spark.sql.catalog.graftsql.warehouse", tdir(dir, "sqlwh"))
       s.sql("CREATE NAMESPACE IF NOT EXISTS graftsql.db")
-      if (s.catalog.tableExists("graftsql.db.part")) ()
-      else {
+      val marker = java.nio.file.Paths.get(tdir(dir, "sqlwh"), "_part_loaded")
+      if (!java.nio.file.Files.exists(marker)) {
+        s.sql("DROP TABLE IF EXISTS graftsql.db.part")
         s.sql("""CREATE TABLE graftsql.db.part
                  (p_partkey BIGINT, p_brand STRING, p_retailprice DOUBLE)
                  PARTITIONED BY (bucket(8, p_partkey))""")
@@ -286,6 +306,7 @@ object FormatQueries {
           .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
           .coalesce(2).createOrReplaceTempView("part_src")
         s.sql("INSERT INTO graftsql.db.part SELECT * FROM part_src")
+        java.nio.file.Files.writeString(marker, "ok")
       }
       s.sql("""SELECT p_brand, COUNT(*) AS n,
                CAST(SUM(CAST(p_retailprice AS DECIMAL(14,4))) AS DOUBLE) AS sum_price

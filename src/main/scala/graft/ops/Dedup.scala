@@ -74,29 +74,30 @@ object Dedup {
    */
   def jaccardPairsFast(docs: DataFrame, n: Int = 3, threshold: Double = 0.1,
       maxDf: Long = 0): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), explode(TextOps.gramHashes(n)(col("text"))).as("g"))
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // each gram row carries its doc's set size, so pair rows are complete
+    // and no per-doc size join is needed downstream: the whole computation
+    // is exactly TWO shuffles (group-by-gram, group-by-pair)
+    val withGrams = docs.select(col("doc_id"), TextOps.gramHashes(n)(col("text")).as("gs"))
+    val grams = withGrams
+      .select(col("doc_id"), size(col("gs")).as("sz"), explode(col("gs")).as("g"))
     val docLists = grams.groupBy("g")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sz")))).as("ds"))
       .filter(size(col("ds")).between(2, if (maxDf <= 0) Int.MaxValue else maxDf))
     val pairs = docLists.select(explode(pairCombos(col("ds"))).as("p"))
-      .select(col("p").getField("a").as("a"), col("p").getField("b").as("b"))
-    val inter = pairs.groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+      .select(col("p.x.doc_id").as("a"), col("p.x.sz").as("sza"),
+        col("p.y.doc_id").as("b"), col("p.y.sz").as("szb"))
+    pairs.groupBy("a", "b", "sza", "szb").agg(count(lit(1)).as("inter"))
       .select(col("a"), col("b"),
         (col("inter").cast("double") / (col("sza") + col("szb") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** All ordered (a<b) pairs of a sorted doc-id list, codegen-friendly:
+  /** All ordered (a<b) pairs of a sorted element list, codegen-friendly:
     * built from higher-order functions, no UDF. */
   private def pairCombos(ds: Column): Column =
     flatten(transform(ds, (x, i) =>
       transform(slice(ds, i + lit(2), size(ds)), y =>
-        struct(x.as("a"), y.as("b")))))
+        struct(x.as("x"), y.as("y")))))
 
   // --- MinHash + LSH ------------------------------------------------------
 
