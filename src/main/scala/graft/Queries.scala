@@ -129,6 +129,17 @@ object Queries {
         .orderBy(col("p_brand"))
     }),
 
+    "q08_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      graft.ops.Skew.saltedJoin(
+          li.select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+          o, "o_orderkey", buckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec14(col("l_quantity")))).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "q09_customers_without_orders" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
@@ -393,6 +404,12 @@ object Queries {
         |COUNT(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q08_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q09_customers_without_orders" ->
       """SELECT c_mktsegment, COUNT(*) AS n FROM customer

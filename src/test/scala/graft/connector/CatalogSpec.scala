@@ -38,6 +38,10 @@ class CatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO g.db.tt VALUES (2, 'two')")
     assert(spark.sql("SELECT * FROM g.db.tt").count() == 2)
     assert(spark.sql("SELECT * FROM g.db.tt VERSION AS OF 1").count() == 1)
+    val t1 = spark.sql("SELECT committed_at FROM g.db.`tt$snapshots` ORDER BY snapshot_id")
+      .collect().head.getTimestamp(0)
+    assert(spark.sql(
+      s"SELECT * FROM g.db.tt TIMESTAMP AS OF '${t1}'").count() == 1)
     val snaps = spark.sql("SELECT snapshot_id, operation FROM g.db.`tt$snapshots` ORDER BY snapshot_id")
       .collect()
     assert(snaps.length == 2)
@@ -121,6 +125,26 @@ class CatalogSpec extends SparkSpec {
     q2.awaitTermination(60000)
     assert(spark.sql("SELECT id FROM g.db.sink ORDER BY id").collect()
       .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("filters on renamed columns push down across schema generations") {
+    wh
+    spark.sql("CREATE TABLE g.db.renf (id BIGINT, old_v STRING)")
+    spark.sql("INSERT INTO g.db.renf VALUES (1, 'keep'), (2, 'drop')")
+    spark.sql("ALTER TABLE g.db.renf RENAME COLUMN old_v TO v")
+    spark.sql("INSERT INTO g.db.renf VALUES (3, 'keep')")
+    // filter on the NEW name must hit BOTH generations (old files store old_v)
+    assert(spark.sql("SELECT id FROM g.db.renf WHERE v = 'keep' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("concurrent SQL inserts: optimistic commit keeps both") {
+    wh
+    spark.sql("CREATE TABLE g.db.conc (id BIGINT)")
+    val t1 = new Thread(() => spark.sql("INSERT INTO g.db.conc VALUES (1), (2)"))
+    val t2 = new Thread(() => spark.sql("INSERT INTO g.db.conc VALUES (3), (4), (5)"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(spark.sql("SELECT * FROM g.db.conc").count() == 5)
   }
 
   test("equality deletes apply inside SQL reads (row-path wrapper)") {
