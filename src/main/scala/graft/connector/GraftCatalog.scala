@@ -24,7 +24,8 @@ import scala.jdk.CollectionConverters._
   * `ALTER TABLE ... RENAME COLUMN`, and metadata tables as
   * `graft.db.\`t$snapshots\``.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -150,6 +151,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .filter(p => GraftTable.exists(p.toString))
       .map(p => Identifier.of(namespace, p.getFileName.toString)).toArray
   }
+
+  // ---- functions: system.bucket / truncate / years / months / days / hours
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")) || namespace.isEmpty)
+      GraftFunctions.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    try GraftFunctions.load(ident.name())
+    catch { case _: NoSuchElementException =>
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    }
+
+  override def functionExists(ident: Identifier): Boolean =
+    GraftFunctions.names.contains(ident.name())
 
   // ---- namespaces = directories ----
   override def listNamespaces(): Array[Array[String]] = {

@@ -1,0 +1,99 @@
+package graft.connector
+
+import graft.format.Transforms
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+
+/** SQL-callable transform functions (SURVEY §7.3: FunctionCatalog exposing
+  * `system.bucket` etc. — the reference's Spark 3.3+ lineage does the same
+  * so queries can filter/join on partition values explicitly). Semantics
+  * delegate to the SAME Transform kernel the write path uses, so
+  * `g.system.bucket(16, id)` always agrees with partition placement.
+  */
+object GraftFunctions {
+
+  val names: Seq[String] = Seq("bucket", "truncate", "years", "months", "days", "hours")
+
+  def load(name: String): UnboundFunction = name match {
+    case "bucket" => new TransformUnbound("bucket", twoArg = true,
+      (w, dt) => Transforms.BucketT(w), IntegerType)
+    case "truncate" => new TruncateUnbound
+    case "years" => new TimeUnbound("years", Transforms.YearT)
+    case "months" => new TimeUnbound("months", Transforms.MonthT)
+    case "days" => new TimeUnbound("days", Transforms.DayT)
+    case "hours" => new TimeUnbound("hours", Transforms.HourT)
+    case other => throw new NoSuchElementException(s"function $other")
+  }
+
+  private def canonical(row: InternalRow, i: Int, dt: DataType): Any = {
+    if (row.isNullAt(i)) return null
+    dt match {
+      case IntegerType | DateType => row.getInt(i)
+      case LongType | TimestampType | TimestampNTZType => row.getLong(i)
+      case StringType => row.getUTF8String(i).toString
+      case d: DecimalType => row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+      case BinaryType => row.getBinary(i)
+      case t => throw new IllegalArgumentException(s"unsupported input $t")
+    }
+  }
+
+  /** bucket(width, col) — width is the leading int argument. */
+  final class TransformUnbound(fname: String, twoArg: Boolean,
+      mk: (Int, DataType) => graft.format.Transform, result: DataType)
+    extends UnboundFunction {
+    override def name(): String = fname
+    override def description(): String = s"graft partition transform $fname"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2, s"$fname(width, col)")
+      val dt = inputType.fields(1).dataType
+      new BoundTransform(fname, dt, result, (row: InternalRow) => {
+        val w = row.getInt(0)
+        mk(w, dt).apply(canonical(row, 1, dt), dt)
+      }, Array(IntegerType, dt))
+    }
+  }
+
+  final class TruncateUnbound extends UnboundFunction {
+    override def name(): String = "truncate"
+    override def description(): String = "graft truncate[w] transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2, "truncate(width, col)")
+      val dt = inputType.fields(1).dataType
+      new BoundTransform("truncate", dt, dt, (row: InternalRow) => {
+        val w = row.getInt(0)
+        Transforms.TruncateT(w).apply(canonical(row, 1, dt), dt)
+      }, Array(IntegerType, dt))
+    }
+  }
+
+  final class TimeUnbound(fname: String, t: graft.format.Transform)
+    extends UnboundFunction {
+    override def name(): String = fname
+    override def description(): String = s"graft $fname ordinal transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1, s"$fname(col)")
+      val dt = inputType.fields.head.dataType
+      new BoundTransform(fname, dt, IntegerType,
+        (row: InternalRow) => t.apply(canonical(row, 0, dt), dt), Array(dt))
+    }
+  }
+
+  /** Interpreted ScalarFunction over canonical values; results are
+    * primitives (Int or the source type), converted back to internal form. */
+  final class BoundTransform(fname: String, src: DataType, result: DataType,
+      f: InternalRow => Any, inputs: Array[DataType])
+    extends ScalarFunction[Any] {
+    override def inputTypes(): Array[DataType] = inputs
+    override def resultType(): DataType = result
+    override def name(): String = fname
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): Any = f(input) match {
+      case null => null
+      case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case bd: java.math.BigDecimal =>
+        org.apache.spark.sql.types.Decimal(bd)
+      case other => other
+    }
+  }
+}

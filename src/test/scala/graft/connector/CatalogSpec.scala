@@ -166,6 +166,20 @@ class CatalogSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("a", "c", "new"))
   }
 
+  test("FunctionCatalog: system.bucket/days agree with partition placement") {
+    wh
+    // golden: bucket(16, 34) = (2017239379 & MaxInt) % 16 (TestBucketing)
+    val b = spark.sql("SELECT g.system.bucket(16, CAST(34 AS INT)) AS b")
+      .collect().head.getInt(0)
+    assert(b == (2017239379 & Integer.MAX_VALUE) % 16)
+    assert(spark.sql("SELECT g.system.bucket(16, CAST(34 AS BIGINT))")
+      .collect().head.getInt(0) == b) // int/long hash agreement
+    assert(spark.sql("SELECT g.system.days(TIMESTAMP_NTZ'2017-12-01 10:00:00')")
+      .collect().head.getInt(0) == 17501)
+    assert(spark.sql("SELECT g.system.truncate(5, 'abcdefg')")
+      .collect().head.getString(0) == "abcde")
+  }
+
   test("catalog ops: list/drop/rename") {
     wh
     spark.sql("CREATE TABLE g.db.lister (id BIGINT)")
