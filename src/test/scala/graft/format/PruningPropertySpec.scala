@@ -119,6 +119,46 @@ class PruningPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("string metrics pruning sound under truncate(16) bounds + startsWith") {
+    val r = new Random(47)
+    val sId = 2
+    def genStr(): String = {
+      val alphabet = "abz"
+      (0 until 1 + r.nextInt(24)).map(_ => alphabet(r.nextInt(alphabet.length))).mkString
+    }
+    (0 until N).foreach { _ =>
+      val rows = List.fill(1 + r.nextInt(6))(
+        if (r.nextInt(6) == 0) None else Some(genStr()))
+      val nonNull = rows.flatten
+      val f = DataFile(path = "f",
+        recordCount = rows.size.toLong,
+        valueCounts = Map(sId -> rows.size.toLong),
+        nullValueCounts = Map(sId -> rows.count(_.isEmpty).toLong),
+        lowerBounds = if (nonNull.isEmpty) Map.empty
+          else Map(sId -> Metrics.truncateLower(nonNull.min)),
+        upperBounds = if (nonNull.isEmpty) Map.empty
+          else Option(Metrics.truncateUpper(nonNull.max)).map(sId -> _).toMap)
+      val pred = r.nextInt(7) match {
+        case 0 => Exprs.lt("s", genStr())
+        case 1 => Exprs.ltEq("s", genStr())
+        case 2 => Exprs.gt("s", genStr())
+        case 3 => Exprs.gtEq("s", genStr())
+        case 4 => Exprs.equal("s", genStr())
+        case 5 => Exprs.startsWith("s", genStr().take(1 + r.nextInt(5)))
+        case 6 => Exprs.in("s", Seq(genStr(), genStr()))
+      }
+      val bound = Exprs.bind(pred, schema)
+      def matches(row: Option[String]): Boolean =
+        Exprs.eval(bound, _ => row.orNull)
+      if (rows.exists(matches))
+        assert(Evaluators.inclusiveMetrics(bound, f),
+          s"pruned matching file: rows=$rows expr=$bound file=$f")
+      if (Evaluators.strictMetrics(bound, f))
+        assert(rows.forall(matches),
+          s"strict over-claimed: rows=$rows expr=$bound file=$f")
+    }
+  }
+
   test("string bound truncation keeps bounds valid (UnicodeUtil semantics)") {
     val r = new Random(46)
     (0 until N).foreach { _ =>
