@@ -166,6 +166,22 @@ class CatalogSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("a", "c", "new"))
   }
 
+  test("VERSION AS OF reads the snapshot's own schema (pre-evolution)") {
+    wh
+    spark.sql("CREATE TABLE g.db.evot (id BIGINT, before STRING)")
+    spark.sql("INSERT INTO g.db.evot VALUES (1, 'x')")
+    spark.sql("ALTER TABLE g.db.evot RENAME COLUMN before TO after")
+    spark.sql("ALTER TABLE g.db.evot ADD COLUMN extra DOUBLE")
+    spark.sql("INSERT INTO g.db.evot VALUES (2, 'y', 0.5)")
+    // current read: evolved schema over both generations
+    assert(spark.sql("SELECT id, after FROM g.db.evot ORDER BY id").collect()
+      .map(_.getString(1)).toSeq == Seq("x", "y"))
+    // time travel: snapshot 1 exposes the ORIGINAL column name, no extra col
+    val old = spark.sql("SELECT * FROM g.db.evot VERSION AS OF 1")
+    assert(old.columns.toSeq == Seq("id", "before"))
+    assert(old.collect().map(_.getString(1)).toSeq == Seq("x"))
+  }
+
   test("FunctionCatalog: system.bucket/days agree with partition placement") {
     wh
     // golden: bucket(16, 34) = (2017239379 & MaxInt) % 16 (TestBucketing)
