@@ -49,6 +49,21 @@ class TableFormatSpec extends SparkSpec {
     assert(df.columns.contains("ts"))
   }
 
+  test("bucket partitioning: equality filters prune to matching buckets (TestBucketingProjection)") {
+    val loc = freshLoc("bucket")
+    val df = spark.range(256).selectExpr("id", "concat('d', id) as data",
+      "timestamp'2024-01-01 00:00:00' as ts")
+    val t = GraftTable.create(spark, loc, df.schema, _.bucket("id", 8))
+    GraftWrite.append(t, df.repartition(2))
+    val all = t.newScan().planFiles().tasks.size
+    val point = t.newScan().filter(Exprs.equal("id", 7L)).planFiles()
+    assert(point.tasks.size < all, s"bucket pruning failed: ${point.tasks.size}/$all")
+    assert(t.newScan().filter(Exprs.equal("id", 7L)).toDF().count() == 1)
+    val in = t.newScan().filter(Exprs.in("id", Seq(7L, 9L, 100L))).planFiles()
+    assert(in.tasks.size < all)
+    assert(t.newScan().filter(Exprs.in("id", Seq(7L, 9L, 100L))).toDF().count() == 3)
+  }
+
   test("time travel: useSnapshot + asOfTime (TestSnapshotSelection)") {
     val loc = freshLoc("tt")
     val t = GraftTable.create(spark, loc, rows(3).schema)
