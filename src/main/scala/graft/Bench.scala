@@ -6,6 +6,12 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line for the driver (BENCH_r{N}.json). */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // The driver machine-parses stdout as a single JSON line; anything the
+    // JVM or Spark prints to System.out during startup would break that.
+    // Divert stdout to stderr for the whole run and keep the real stream
+    // for the one JSON line at the end.
+    val realOut = System.out
+    System.setOut(new java.io.PrintStream(new java.io.FileOutputStream(java.io.FileDescriptor.err), true))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -33,7 +39,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    realOut.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    realOut.flush()
   }
 }

@@ -233,7 +233,7 @@ object Queries {
       sessioned.groupBy(col("user_id"), col("sess")).agg(count(lit(1)).as("sess_events"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"), max(col("sess_events")).as("max_sess_events"),
-          sum(col("sess_events")).as("n_events"))
+          sum(col("sess_events")).cast(LongType).as("n_events"))
         .orderBy(col("user_id"))
     }),
 
@@ -260,7 +260,7 @@ object Queries {
       val docs = t(s, dir, "documents")
       docs.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_chars")).cast(LongType).as("total_chars"),
           (dbl(sum(size(TextOps.tokens(col("text"))))) / count(lit(1))).as("avg_tokens"))
         .orderBy(col("lang"))
     }),
@@ -468,7 +468,7 @@ object Queries {
         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
         |  FROM flagged),
         |per_sess AS (SELECT user_id, sess, COUNT(*) AS sess_events FROM sessioned GROUP BY 1, 2)
-        |SELECT user_id, COUNT(*) AS n_sessions, MAX(sess_events) AS max_sess_events, SUM(sess_events) AS n_events
+        |SELECT user_id, COUNT(*) AS n_sessions, MAX(sess_events) AS max_sess_events, CAST(SUM(sess_events) AS BIGINT) AS n_events
         |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q19_events_top_users" ->
@@ -482,7 +482,7 @@ object Queries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q31_lang_profile" ->
-      """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
