@@ -272,8 +272,11 @@ object Queries {
       Dedup.jaccardPairsFast(t(s, dir, "documents"), n = 3, threshold = 0.5)
         .orderBy(col("a"), col("b"))),
 
+    // 32 bands x 2 rows: P(candidate | J=0.5) = 1-(1-0.25)^32 ≈ 0.9999, so
+    // the exact-verified output equals the exact-Jaccard answer (the oracle)
+    // with overwhelming probability while shuffle volume stays O(docs x b).
     "q34_minhash_lsh_pairs" -> ((s, dir) =>
-      Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, bands = 16, rows = 4, threshold = 0.5)
+      Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, bands = 32, rows = 2, threshold = 0.5)
         .orderBy(col("a"), col("b"))),
 
     "q35_simhash" -> ((s, dir) => {
@@ -316,7 +319,7 @@ object Queries {
       val emb = t(s, dir, "embeddings")
       val query = emb.filter(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0).toArray
-      Similarity.lshTopK(emb.filter(col("vec_id") =!= 0), query, 10, nTables = 16, nBits = 8, probeHamming = 1)
+      Similarity.lshTopK(emb.filter(col("vec_id") =!= 0), query, 10, nTables = 32, nBits = 8, probeHamming = 1)
         .select(col("vec_id"), round(col("cos"), 5).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
     }),
@@ -327,7 +330,7 @@ object Queries {
         .orderBy(col("a"), col("b"))),
 
     "q43_embedding_neardup_lsh" -> ((s, dir) =>
-      Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), threshold = 0.45)
+      Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), threshold = 0.45, nTables = 32)
         .select(col("a"), col("b"), round(col("cos"), 5).as("cos"))
         .orderBy(col("a"), col("b"))),
 
@@ -503,6 +506,59 @@ object Queries {
         |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) >= 0.5
         |ORDER BY a, b""".stripMargin,
 
+    // q34's LSH candidates are exact-verified against threshold 0.5, and the
+    // band parameters make missing a true pair vanishingly unlikely, so the
+    // oracle is the EXACT n-gram-Jaccard answer (same formulation as q33):
+    // the gate fails if LSH drops a pair (recall) or leaks one (precision).
+    "q34_minhash_lsh_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |g AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS gram
+        |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(tok)-2)) AS i) r
+        |      WHERE len(tok) >= 3),
+        |s AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
+        |p AS (SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS inter
+        |      FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id GROUP BY 1, 2)
+        |SELECT p.a, p.b, CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) AS jaccard
+        |FROM p JOIN s sa ON p.a = sa.doc_id JOIN s sb ON p.b = sb.doc_id
+        |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+
+    // simhash/fingerprint hash tokens with md5-lower-64 (= DuckDB's
+    // md5_number_lower), so the oracle recomputes the identical bits.
+    "q35_simhash" ->
+      """WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
+        |b AS (SELECT doc_id, bit, SUM(CASE WHEN (md5_number_lower(tok) >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS w
+        |      FROM t CROSS JOIN (SELECT unnest(generate_series(0,63)) AS bit) bits GROUP BY 1,2)
+        |SELECT doc_id, CAST(SUM(CASE WHEN w > 0 THEN (CASE WHEN bit = 63 THEN -9223372036854775808 ELSE (1::BIGINT << bit) END) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q36_langid" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\p{L}')) AS letters,
+        |    len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}]')) AS cjk,
+        |    string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, letters, cjk,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','für','von'], x))) AS s_de,
+        |    len(list_filter(toks, x -> list_contains(['the','and','is','of','to','in','that','it','was','for'], x))) AS s_en,
+        |    len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los','es','en','una','por'], x))) AS s_es,
+        |    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','dans','une','que','pour','des'], x))) AS s_fr
+        |  FROM f)
+        |SELECT doc_id, CASE
+        |  WHEN letters > 0 AND cjk * 2 > letters THEN 'zh'
+        |  WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'unknown'
+        |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |  WHEN s_es >= s_fr THEN 'es'
+        |  ELSE 'fr' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q38_fingerprint" ->
+      """SELECT doc_id, CAST(CASE WHEN m >= 9223372036854775808::HUGEINT THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) AS fingerprint FROM (
+        | SELECT doc_id, list_reduce(list_prepend(1125899906842597::HUGEINT, list_transform(string_split(text,' '), t -> md5_number_lower(t)::HUGEINT)), (a,x) -> (a*31+x) % 18446744073709551616::HUGEINT) AS m
+        | FROM documents) ORDER BY doc_id""".stripMargin,
+
     "q37_quality_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
         |SELECT doc_id,
@@ -520,7 +576,32 @@ object Queries {
         |FROM embeddings e, q WHERE e.vec_id <> 0
         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
 
+    // q40's multiprobe LSH ranks its candidates by the same exact cosine as
+    // q39, and 32 tables x 8 bits x Hamming-1 probing makes missing a true
+    // top-10 vector vanishingly unlikely — so the oracle is the exact top-10.
+    "q40_lsh_ann" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, round(
+        |  list_sum(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 5) AS cos
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+
     "q42_embedding_neardup" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |round(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
+        |/ (sqrt(list_sum(list_transform(a.embedding, x->CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(b.embedding, x->CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 5) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
+        |/ (sqrt(list_sum(list_transform(a.embedding, x->CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(b.embedding, x->CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) >= 0.45
+        |ORDER BY a, b""".stripMargin,
+
+    // q43's LSH candidates are exact-cosine-verified at the same threshold
+    // as q42, so with 32 hash tables the output equals the exact answer.
+    "q43_embedding_neardup_lsh" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,
         |round(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
         |/ (sqrt(list_sum(list_transform(a.embedding, x->CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))

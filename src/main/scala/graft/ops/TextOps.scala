@@ -87,11 +87,32 @@ object TextOps {
     lit(0.5) * least(lit(1.0), n / lit(50.0)) + lit(0.3) * (uniq / n) + lit(0.2) * (stops / n)
   }
 
+  // --- token hashing ------------------------------------------------------
+
+  /** Lower 64 bits of MD5(UTF-8 bytes), little-endian — the same value as
+    * DuckDB's `md5_number_lower`, so every operator built on it (simhash,
+    * fingerprint) is reproducible bit-for-bit by an independent engine.
+    * MD5 here is a fast non-cryptographic mixer, not a security primitive. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def md5Lower64(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+    h
+  }
+
   // --- SimHash ------------------------------------------------------------
 
-  /** 64-bit SimHash over tokens: per-token 64-bit hash from two seeded
-    * murmur3_32 halves; sum of +/-1 per bit; sign → fingerprint bit.
-    * Near-duplicate docs land within small Hamming distance.
+  /** 64-bit SimHash over distinct tokens: per-token md5-lower-64 hash; sum
+    * of +/-1 per bit; positive sum → fingerprint bit. Near-duplicate docs
+    * land within small Hamming distance.
     *
     * Scale path: per-row map (no shuffle); grouping by 16-bit bands of the
     * fingerprint gives a shuffle-light candidate join (see Dedup.simhashPairs).
@@ -101,8 +122,7 @@ object TextOps {
     var ti = 0
     val distinct = toks.distinct
     while (ti < distinct.length) {
-      val t = distinct(ti)
-      val h = (Murmur3.hashStringSeed(t, 0).toLong << 32) | (Murmur3.hashStringSeed(t, 1).toLong & 0xffffffffL)
+      val h = md5Lower64(distinct(ti))
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -120,14 +140,14 @@ object TextOps {
 
   // --- Rolling-hash fingerprint ------------------------------------------
 
-  /** Polynomial rolling hash over the token stream (base 31, mod 2^64) —
-    * an order-sensitive document fingerprint (winnowing-style building
-    * block). Per-row, no shuffle. */
+  /** Polynomial rolling hash over the token stream (base 31, mod 2^64,
+    * md5-lower-64 token hashes) — an order-sensitive document fingerprint
+    * (winnowing-style building block). Per-row, no shuffle. */
   def fingerprint64(toks: Seq[String]): Long = {
     var h = 1125899906842597L
     var i = 0
     while (i < toks.length) {
-      h = h * 31L + Murmur3.hashString(toks(i)).toLong
+      h = h * 31L + md5Lower64(toks(i))
       i += 1
     }
     h
@@ -139,7 +159,9 @@ object TextOps {
 
   /** Charset + stopword language heuristic (en/es/de/fr/zh/unknown).
     * CJK codepoint ratio decides zh; else argmax of per-language stopword
-    * hits with deterministic tie-break on language code. */
+    * hits with deterministic first-wins tie-break in (de,en,es,fr) order.
+    * Counts are codepoint-based (\p{L} letters, CJK by codepoint range) so
+    * the decision is reproducible by any engine with Unicode regex. */
   private val langStops: Seq[(String, Set[String])] = Seq(
     "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
     "en" -> Set("the", "and", "is", "of", "to", "in", "that", "it", "was", "for"),
@@ -152,17 +174,15 @@ object TextOps {
     var letters = 0
     var i = 0
     while (i < text.length) {
-      val c = text.charAt(i)
-      if (Character.isLetter(c)) {
+      val cp = text.codePointAt(i)
+      if (Character.isLetter(cp)) {
         letters += 1
-        val block = Character.UnicodeBlock.of(c)
-        if (block == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
-          block == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS_EXTENSION_A) cjk += 1
+        if ((cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF)) cjk += 1
       }
-      i += 1
+      i += Character.charCount(cp)
     }
     if (letters > 0 && cjk * 2 > letters) return "zh"
-    val toks = text.toLowerCase.split("\\s+")
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     var best = "unknown"
     var bestScore = 0
     langStops.foreach { case (lang, stops) =>
