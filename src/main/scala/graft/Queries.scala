@@ -275,6 +275,10 @@ object Queries {
     // 32 bands x 2 rows: P(candidate | J=0.5) = 1-(1-0.25)^32 ≈ 0.9999, so
     // the exact-verified output equals the exact-Jaccard answer (the oracle)
     // with overwhelming probability while shuffle volume stays O(docs x b).
+    // GATE-ONLY parameterization: 32x2 admits many low-similarity candidates
+    // (P≈28% at J=0.1), which is fine at gate scale but approaches O(n²)
+    // candidates on a mildly-similar 100 TB corpus — the library DEFAULT
+    // stays 16x4 (the documented scale path, steep S-curve at J=0.5).
     "q34_minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, bands = 32, rows = 2, threshold = 0.5)
         .orderBy(col("a"), col("b"))),
@@ -534,18 +538,19 @@ object Queries {
 
     "q36_langid" ->
       """WITH f AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, text,
         |    len(regexp_extract_all(text, '\p{L}')) AS letters,
         |    len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}]')) AS cjk,
         |    string_split_regex(lower(text), '\s+') AS toks
         |  FROM documents),
-        |s AS (SELECT doc_id, letters, cjk,
+        |s AS (SELECT doc_id, text, letters, cjk,
         |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','für','von'], x))) AS s_de,
         |    len(list_filter(toks, x -> list_contains(['the','and','is','of','to','in','that','it','was','for'], x))) AS s_en,
         |    len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los','es','en','una','por'], x))) AS s_es,
         |    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','dans','une','que','pour','des'], x))) AS s_fr
         |  FROM f)
         |SELECT doc_id, CASE
+        |  WHEN text IS NULL OR text = '' THEN 'unknown'
         |  WHEN letters > 0 AND cjk * 2 > letters THEN 'zh'
         |  WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'unknown'
         |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
@@ -567,26 +572,32 @@ object Queries {
         |+ 0.2 * (CAST(len(list_filter(tok, x -> list_contains(['the','a','an','of','and','to','in','is','on','for'], x))) AS DOUBLE) / CAST(len(tok) AS DOUBLE)) AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
 
+    // selection happens on the UNROUNDED cosine with vec_id tie-break —
+    // exactly what Spark's cosineTopK does — and only the presentation is
+    // rounded, so a rounded tie at the rank-10 boundary can't diverge.
     "q39_cosine_topk" ->
-      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-        |SELECT e.vec_id, round(
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT e.vec_id,
         |  list_sum(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
         |  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 5) AS cos
-        |FROM embeddings e, q WHERE e.vec_id <> 0
-        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+        |     * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosx
+        |FROM embeddings e, q WHERE e.vec_id <> 0),
+        |t AS (SELECT vec_id, cosx FROM c ORDER BY cosx DESC, vec_id LIMIT 10)
+        |SELECT vec_id, round(cosx, 5) AS cos FROM t ORDER BY cos DESC, vec_id""".stripMargin,
 
     // q40's multiprobe LSH ranks its candidates by the same exact cosine as
     // q39, and 32 tables x 8 bits x Hamming-1 probing makes missing a true
-    // top-10 vector vanishingly unlikely — so the oracle is the exact top-10.
+    // top-10 vector vanishingly unlikely — so the oracle is the exact top-10
+    // (selected on the unrounded cosine, same as q39).
     "q40_lsh_ann" ->
-      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-        |SELECT e.vec_id, round(
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT e.vec_id,
         |  list_sum(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
         |  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 5) AS cos
-        |FROM embeddings e, q WHERE e.vec_id <> 0
-        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+        |     * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosx
+        |FROM embeddings e, q WHERE e.vec_id <> 0),
+        |t AS (SELECT vec_id, cosx FROM c ORDER BY cosx DESC, vec_id LIMIT 10)
+        |SELECT vec_id, round(cosx, 5) AS cos FROM t ORDER BY cos DESC, vec_id""".stripMargin,
 
     "q42_embedding_neardup" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,

