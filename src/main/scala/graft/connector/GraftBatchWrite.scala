@@ -27,7 +27,13 @@ object GraftBatchWrite {
   final case class SpecField(name: String, ordinal: Int, transform: Transform,
       srcType: DataType)
 
-  final case class TaskFiles(files: Seq[(String, Map[String, Any])])
+  /** One staged file with its footer metrics, computed in the EXECUTOR task
+    * (reference spark3/.../SparkBatchWrite.java:244-330: DataFile metrics
+    * ride the commit message; the driver never re-opens data files). */
+  final case class StagedFile(path: String, partition: Map[String, Any],
+      metrics: Metrics.FileMetrics)
+
+  final case class TaskFiles(files: Seq[StagedFile])
     extends WriterCommitMessage
 
   sealed trait Mode extends Serializable
@@ -65,21 +71,21 @@ final class GraftBatchWrite(table: GraftTable, mode: GraftBatchWrite.Mode)
     new GraftWriterFactory(
       StructType(schema.fields.map(f =>
         f.copy(metadata = org.apache.spark.sql.types.Metadata.empty))),
-      fields, stagingDir,
+      schema, fields, stagingDir,
       new org.apache.spark.util.SerializableConfiguration(conf))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val schema = m.schema
-    val files = messages.collect { case TaskFiles(fs) => fs }.flatten.map {
-      case (path, tuple) =>
-        val fm = Metrics.fromParquetFooter(path, schema)
-        DataFile(path = path, partition = tuple,
-          recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
-          schemaId = m.currentSchemaId, specId = m.defaultSpecId,
-          valueCounts = fm.valueCounts, nullValueCounts = fm.nullValueCounts,
-          lowerBounds = fm.lowerBounds, upperBounds = fm.upperBounds,
-          splitOffsets = fm.splitOffsets)
+    // metrics arrived in the commit messages: the driver commit is pure
+    // metadata work — no parquet I/O, no matter how many files were written
+    val files = messages.collect { case TaskFiles(fs) => fs }.flatten.map { sf =>
+      val fm = sf.metrics
+      DataFile(path = sf.path, partition = sf.partition,
+        recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
+        schemaId = m.currentSchemaId, specId = m.defaultSpecId,
+        valueCounts = fm.valueCounts, nullValueCounts = fm.nullValueCounts,
+        lowerBounds = fm.lowerBounds, upperBounds = fm.upperBounds,
+        splitOffsets = fm.splitOffsets)
     }.toSeq
     mode match {
       case Append => Commits.mergeAppend(table, files)
@@ -90,22 +96,24 @@ final class GraftBatchWrite(table: GraftTable, mode: GraftBatchWrite.Mode)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case TaskFiles(fs) => fs }.flatten.foreach {
-      case (path, _) => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+      sf => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(sf.path))
     }
 }
 
-final class GraftWriterFactory(schema: StructType,
+final class GraftWriterFactory(schema: StructType, idSchema: StructType,
     fields: Seq[GraftBatchWrite.SpecField], stagingDir: String,
     conf: org.apache.spark.util.SerializableConfiguration)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftFanoutWriter(schema, fields, stagingDir, partitionId, taskId, conf)
+    new GraftFanoutWriter(schema, idSchema, fields, stagingDir, partitionId, taskId, conf)
 }
 
 /** Fanout parquet writer: routes each row to its partition tuple's open
-  * file; unpartitioned tables use the single empty-tuple writer. */
-final class GraftFanoutWriter(schema: StructType,
+  * file; unpartitioned tables use the single empty-tuple writer.
+  * `idSchema` carries the table's field ids so footer metrics can be keyed
+  * by id right here in the task. */
+final class GraftFanoutWriter(schema: StructType, idSchema: StructType,
     fields: Seq[GraftBatchWrite.SpecField], stagingDir: String,
     partitionId: Int, taskId: Long,
     sconf: org.apache.spark.util.SerializableConfiguration)
@@ -156,7 +164,10 @@ final class GraftFanoutWriter(schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     val files = writers.toSeq.map { case (tuple, (path, w)) =>
-      w.close(); (path, tuple)
+      w.close()
+      // footer stats are read in the task that just wrote the file (it is
+      // still in page cache), shipped to the driver in the commit message
+      StagedFile(path, tuple, Metrics.fromParquetFooter(path, idSchema, sconf.value))
     }
     TaskFiles(files)
   }

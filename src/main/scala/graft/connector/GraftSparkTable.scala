@@ -110,22 +110,17 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     val clean = strip(schema)
     val read = requiredSchema.getOrElse(clean)
 
-    // equality deletes: load key sets on the driver (delete files are
-    // per-commit churn, small by construction) and apply them in a row-path
-    // wrapper; tasks are grouped by sequence number so each sub-scan knows
-    // which delete sets are newer than its files (reference
-    // EqualitySetDeleteFilter, Deletes.java:128)
+    // equality deletes: only the delete-file PATHS travel in the plan; each
+    // executor loads (and caches) the key sets itself, so a 100M-key
+    // GDPR-style delete never lands on the driver and planning runs no jobs
+    // (reference loads sets executor-side: EqualitySetDeleteFilter,
+    // Deletes.java:128). Tasks are grouped by sequence number so each
+    // sub-scan knows which delete sets are newer than its files.
     val eqDeletes: Seq[EqDeleteSet] =
       plan.deleteFiles.filter(_._1.content == FileContent.EqualityDeletes)
         .groupBy(d => (d._1.equalityIds, d._2)).toSeq.map { case ((ids, seq), group) =>
           val names = ids.map(id => FieldIds.findById(schema, id).get.name)
-          val dts = names.map(n => schema.fields.find(_.name == n).get.dataType)
-          val rows = spark.read.parquet(group.map(_._1.path): _*)
-            .select(names.map(org.apache.spark.sql.functions.col): _*)
-            .distinct().collect()
-            .map(r => names.indices.map(i => Exprs.coerce(r.get(i), dts(i))).toVector)
-            .toSet
-          EqDeleteSet(names, seq, rows)
+          EqDeleteSet(names, seq, group.map(_._1.path).sorted)
         }
 
     // one ParquetScan per writer-schema generation: columns are re-mapped to
@@ -157,11 +152,15 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
         val deletes: Option[GroupDeletes] =
           if (applicable.isEmpty) None
           else Some(GroupDeletes(
-            applicable.map(ds => DeleteKeys(
-              ds.names.map(wideTarget.fieldIndex).toArray, ds.rows)),
+            applicable.map(ds => DeleteKeySource(
+              ds.names.map(wideTarget.fieldIndex).toArray, ds.names,
+              ds.names.map(n => clean.fields.find(_.name == n).get.dataType),
+              ds.paths)),
             wideTarget.fields.map(_.dataType),
             if (wideTarget.length == read.length) None
-            else Some(read.fields.map(f => wideTarget.fieldIndex(f.name)))))
+            else Some(read.fields.map(f => wideTarget.fieldIndex(f.name))),
+            new org.apache.spark.util.SerializableConfiguration(
+              spark.sessionState.newHadoopConf())))
         val renames: Map[String, String] =
           wideTarget.fields.map(f => f.name -> fileName(f)).toMap
         val groupRead = StructType(wideTarget.fields.map(f =>
@@ -284,20 +283,61 @@ final case class GroupedReaderFactory(
   }
 }
 
-/** Driver-collected equality-delete key set (canonical values). */
+/** Equality-delete set descriptor: key column names + the delete FILES —
+  * never the keys themselves (those are loaded executor-side). */
 final case class EqDeleteSet(names: Seq[String], seq: Long,
-    rows: Set[Vector[Any]]) extends Serializable
+    paths: Seq[String]) extends Serializable
 
-final case class DeleteKeys(ordinals: Array[Int], rows: Set[Vector[Any]])
-  extends Serializable
+/** Executor-side key-set source: ordinals into the read row, key types, and
+  * the delete-file paths to load. `keySet` materializes (and caches) the
+  * set in the executor JVM. */
+final case class DeleteKeySource(ordinals: Array[Int], names: Seq[String],
+    types: Seq[org.apache.spark.sql.types.DataType], paths: Seq[String])
+  extends Serializable {
+  def keySet(conf: org.apache.hadoop.conf.Configuration): Set[Vector[Any]] =
+    DeleteKeyCache.get(this, conf)
+}
 
-final case class GroupDeletes(sets: Seq[DeleteKeys],
+/** Per-executor cache of loaded delete-key sets: many tasks of one scan
+  * share one load per delete set (delete files are immutable, so entries
+  * can never go stale; the cache is bounded to keep long sessions safe). */
+object DeleteKeyCache {
+  import graft.format.ParquetIO
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  private val MaxEntries = 64
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[Vector[Any]]]()
+
+  def get(src: DeleteKeySource,
+      conf: org.apache.hadoop.conf.Configuration): Set[Vector[Any]] = {
+    if (cache.size > MaxEntries) cache.clear()
+    cache.computeIfAbsent(src.paths.mkString("\n"), _ => load(src, conf))
+  }
+
+  private def load(src: DeleteKeySource,
+      conf: org.apache.hadoop.conf.Configuration): Set[Vector[Any]] = {
+    val schema = StructType(src.names.zip(src.types).map {
+      case (n, t) => StructField(n, t)
+    })
+    val set = scala.collection.mutable.HashSet[Vector[Any]]()
+    src.paths.foreach(p => ParquetIO.readAll(p, schema, conf) { row =>
+      set += src.types.indices.map(i =>
+        ParquetIO.canonicalValue(row, i, src.types(i))).toVector
+    })
+    set.toSet
+  }
+}
+
+final case class GroupDeletes(sets: Seq[DeleteKeySource],
     types: Seq[org.apache.spark.sql.types.DataType],
-    project: Option[Seq[Int]]) extends Serializable
+    project: Option[Seq[Int]],
+    conf: org.apache.spark.util.SerializableConfiguration) extends Serializable
 
 /** Row-path equality-delete filter (reference EqualitySetDeleteFilter,
   * core/.../deletes/Deletes.java:128): drop rows whose key tuple appears in
-  * any newer delete set, then project away widened key columns. */
+  * any newer delete set, then project away widened key columns. Key sets
+  * load lazily on first use, in the executor running this reader. */
 final class EqDeleteReader(
     inner: org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow],
     cfg: GroupDeletes)
@@ -307,24 +347,16 @@ final class EqDeleteReader(
 
   private var current: InternalRow = _
 
-  private def canonical(row: InternalRow, i: Int): Any = {
-    import org.apache.spark.sql.types._
-    if (row.isNullAt(i)) return null
-    cfg.types(i) match {
-      case IntegerType | DateType => row.getInt(i)
-      case LongType | TimestampType | TimestampNTZType => row.getLong(i)
-      case StringType => row.getUTF8String(i).toString
-      case DoubleType => row.getDouble(i)
-      case FloatType => row.getFloat(i)
-      case BooleanType => row.getBoolean(i)
-      case d: DecimalType => row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
-      case t => throw new IllegalArgumentException(s"equality-delete key type $t")
-    }
-  }
+  private lazy val resolved: Seq[(Array[Int], Set[Vector[Any]])] =
+    cfg.sets.map(s => (s.ordinals, s.keySet(cfg.conf.value)))
+
+  private def canonical(row: InternalRow, i: Int): Any =
+    graft.format.ParquetIO.canonicalValue(row, i, cfg.types(i))
 
   private def deleted(row: InternalRow): Boolean =
-    cfg.sets.exists(s => s.rows.contains(
-      s.ordinals.map(i => canonical(row, i)).toVector))
+    resolved.exists { case (ordinals, keys) =>
+      keys.contains(ordinals.map(i => canonical(row, i)).toVector)
+    }
 
   override def next(): Boolean = {
     while (inner.next()) {

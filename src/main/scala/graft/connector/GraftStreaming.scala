@@ -87,7 +87,7 @@ final class GraftStreamingWrite(table: GraftTable, truncateFirst: Boolean,
     val staging = s"${table.location}/data/${java.util.UUID.randomUUID()}"
     val cleanSchema = StructType(schema.fields.map(f =>
       f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
-    val batchFactory = new GraftWriterFactory(cleanSchema, fields, staging,
+    val batchFactory = new GraftWriterFactory(cleanSchema, schema, fields, staging,
       new org.apache.spark.util.SerializableConfiguration(conf))
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
@@ -102,15 +102,15 @@ final class GraftStreamingWrite(table: GraftTable, truncateFirst: Boolean,
         s.summary.get(Streaming.QueryKey).contains(queryId))
     if (replayed) { abort(epochId, messages); return }
     val m = table.metadata
-    val schema = m.schema
-    val files = messages.collect { case TaskFiles(fs) => fs }.flatten.map {
-      case (path, tuple) =>
-        val fm = Metrics.fromParquetFooter(path, schema)
-        DataFile(path = path, partition = tuple,
-          recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
-          schemaId = m.currentSchemaId, specId = m.defaultSpecId,
-          valueCounts = fm.valueCounts, nullValueCounts = fm.nullValueCounts,
-          lowerBounds = fm.lowerBounds, upperBounds = fm.upperBounds)
+    // metrics were computed executor-side (GraftFanoutWriter.commit);
+    // the epoch commit is metadata-only on the driver
+    val files = messages.collect { case TaskFiles(fs) => fs }.flatten.map { sf =>
+      val fm = sf.metrics
+      DataFile(path = sf.path, partition = sf.partition,
+        recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
+        schemaId = m.currentSchemaId, specId = m.defaultSpecId,
+        valueCounts = fm.valueCounts, nullValueCounts = fm.nullValueCounts,
+        lowerBounds = fm.lowerBounds, upperBounds = fm.upperBounds)
     }.toSeq
     val summary = Map(Streaming.EpochKey -> epochId.toString,
       Streaming.QueryKey -> queryId)
@@ -120,6 +120,6 @@ final class GraftStreamingWrite(table: GraftTable, truncateFirst: Boolean,
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case TaskFiles(fs) => fs }.flatten.foreach {
-      case (path, _) => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+      sf => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(sf.path))
     }
 }

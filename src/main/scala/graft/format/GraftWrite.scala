@@ -75,6 +75,8 @@ object GraftWrite {
     val files = Files.walk(staging).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .toSeq.sortBy(_.toString)
+    // footer stats as a distributed job (no per-file driver I/O at scale)
+    val metricsByPath = Metrics.forFiles(table.spark, files.map(_.toString), schema)
     files.map { p =>
       // partition tuple from hive-style dirs: __p_<name>=<value>
       val rel = staging.relativize(p)
@@ -87,7 +89,7 @@ object GraftWrite {
           types.get(name).map(dt => name -> Values.fromDirString(raw, dt))
         } else None
       }.toMap
-      val fm = Metrics.fromParquetFooter(p.toString, schema)
+      val fm = metricsByPath(p.toString)
       DataFile(
         path = p.toString,
         content = FileContent.Data,
@@ -142,8 +144,11 @@ object GraftWrite {
         Files.walk(p).iterator().asScala
           .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f)).toSeq
       else Seq(p)).sortBy(_.toString)
+    // stats for an import are a Spark job over the imported files — the
+    // reference distributes exactly this (SparkTableUtil.importSparkTable)
+    val metricsByPath = Metrics.forFiles(spark, files.map(_.toString), schema)
     val dataFiles = files.map { f =>
-      val fm = Metrics.fromParquetFooter(f.toString, schema)
+      val fm = metricsByPath(f.toString)
       DataFile(path = f.toString, partition = Map.empty,
         recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
         schemaId = m.currentSchemaId, specId = m.defaultSpecId,

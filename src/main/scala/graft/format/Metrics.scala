@@ -63,6 +63,30 @@ object Metrics {
     case other => other
   }
 
+  /** Footer metrics for many staged files. Above a small threshold the
+    * reads run as a Spark job — at 10k output files a sequential driver
+    * loop would serialize 10k footer round-trips into the commit path
+    * (the reference computes metrics in executor DataWriters,
+    * spark3/.../SparkBatchWrite.java:244-330; this is the equivalent for
+    * the library write path, where Spark's own FileFormatWriter produced
+    * the files and only the paths are known afterwards). */
+  def forFiles(spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
+      schema: StructType): Map[String, FileMetrics] = {
+    if (paths.isEmpty) Map.empty
+    else if (paths.size <= 4) {
+      // tiny commits: one local read beats a job round-trip
+      val conf = spark.sessionState.newHadoopConf()
+      paths.map(p => p -> fromParquetFooter(p, schema, conf)).toMap
+    } else {
+      val sconf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      val n = math.min(paths.size, spark.sparkContext.defaultParallelism)
+      spark.sparkContext.parallelize(paths, n)
+        .map(p => p -> Metrics.fromParquetFooter(p, schema, sconf.value))
+        .collect().toMap
+    }
+  }
+
   /** Read footer metrics for one parquet file, mapping columns to field ids
     * by name against `schema` (the reference does the same through
     * parquet/.../ParquetUtil.footerMetrics). Timestamp units are normalized

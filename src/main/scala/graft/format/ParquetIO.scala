@@ -1,0 +1,67 @@
+package graft.format
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec
+import org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
+import org.apache.spark.sql.internal.LegacyBehaviorPolicy
+import org.apache.spark.sql.types._
+
+/** Executor-side parquet row I/O on Spark's own ReadSupport — no
+  * SparkSession or driver involvement, so delete-file key loading and
+  * compaction tasks can read data files from ANY executor (the reference
+  * reads delete files per task, core/.../deletes/Deletes.java:128, and
+  * rewrites files in executor tasks, spark/.../source/RowDataRewriter.java).
+  */
+object ParquetIO {
+
+  /** Iterate `path` projected to `schema` (name-matched, id-agnostic).
+    * Returned rows may be reused by the reader — copy or extract values
+    * before advancing. Caller must exhaust or close. */
+  def open(path: String, schema: StructType, conf: Configuration): ParquetReader[InternalRow] = {
+    val c = new Configuration(conf)
+    c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
+    // ParquetToSparkSchemaConverter asserts these are PRESENT (normally the
+    // scan planner sets them per job); pin Spark's defaults explicitly
+    c.set("spark.sql.parquet.binaryAsString", "false")
+    c.set("spark.sql.parquet.int96AsTimestamp", "true")
+    c.set("spark.sql.caseSensitive", "false")
+    c.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    c.set("spark.sql.parquet.fieldId.read.enabled", "false")
+    val support = new ParquetReadSupport(
+      convertTz = None,
+      enableVectorizedReader = false,
+      datetimeRebaseSpec = RebaseSpec(LegacyBehaviorPolicy.CORRECTED),
+      int96RebaseSpec = RebaseSpec(LegacyBehaviorPolicy.CORRECTED))
+    ParquetReader.builder[InternalRow](support, new HPath(path)).withConf(c).build()
+  }
+
+  def readAll(path: String, schema: StructType, conf: Configuration)
+      (consume: InternalRow => Unit): Unit = {
+    val reader = open(path, schema, conf)
+    try {
+      var row = reader.read()
+      while (row != null) { consume(row); row = reader.read() }
+    } finally reader.close()
+  }
+
+  /** InternalRow slot → canonical JVM value (the engine's comparison domain:
+    * Int/Long/String/Double/…, java BigDecimal for decimals) — shared by the
+    * equality-delete reader and key-set loading so set membership agrees. */
+  def canonicalValue(row: InternalRow, i: Int, dt: DataType): Any = {
+    if (row.isNullAt(i)) return null
+    dt match {
+      case IntegerType | DateType => row.getInt(i)
+      case LongType | TimestampType | TimestampNTZType => row.getLong(i)
+      case StringType => row.getUTF8String(i).toString
+      case DoubleType => row.getDouble(i)
+      case FloatType => row.getFloat(i)
+      case BooleanType => row.getBoolean(i)
+      case d: DecimalType => row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+      case t => throw new IllegalArgumentException(s"unsupported key type $t")
+    }
+  }
+}
