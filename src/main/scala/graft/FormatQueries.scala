@@ -313,6 +313,31 @@ object FormatQueries {
                FROM graftsql.db.part GROUP BY p_brand ORDER BY p_brand""")
     }),
 
+    // v2 position deletes applied inside a DSv2 SQL read: only delete-file
+    // PATHS travel in the plan; executors load (file → sorted positions) and
+    // filter by the row index Spark's own parquet readers generate
+    "q79_pos_delete_sql" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftpos", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftpos.warehouse", tdir(dir, "poswh"))
+      withTable(s, dir, "poswh/db/customer_pos") { loc =>
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val tt = GraftTable.recreate(s, loc, c.schema)
+        GraftWrite.append(tt, c.coalesce(2))
+        // delete every 7th customer by (file, row position)
+        val paths = tt.newScan().planFiles().tasks.map(_.file.path)
+        val pos = s.read.parquet(paths: _*)
+          .select(col("_metadata.file_path").as("file_path"),
+            col("_metadata.row_index").as("pos"), col("c_custkey"))
+          .filter(col("c_custkey") % 7 === 0)
+          .select("file_path", "pos")
+        Deletes.deletePositions(tt, pos)
+        tt
+      }
+      s.sql("""SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+               FROM graftpos.db.customer_pos GROUP BY 1 ORDER BY 1""")
+    }),
+
     // compaction preserves content (RewriteDataFilesAction)
     "q70_compaction" -> ((s, dir) => {
       val t = withTable(s, dir, "region_compacted") { loc =>
@@ -397,5 +422,11 @@ object FormatQueries {
     "q78_sql_catalog" ->
       """SELECT p_brand, COUNT(*) AS n,
         |CAST(SUM(CAST(p_retailprice AS DECIMAL(14,4))) AS DOUBLE) AS sum_price
-        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q79_pos_delete_sql" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE c_custkey % 7 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -101,14 +101,24 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     val scan = if (expr == AlwaysTrue) base else base.filter(expr)
     val schema = scan.scanSchema
     val plan = scan.planFiles()
-    if (plan.deleteFiles.exists(_._1.content == FileContent.PositionDeletes))
-      throw new UnsupportedOperationException(
-        "tables with position-delete files: use the Scala scan API " +
-          "(GraftTable.newScan) which applies them by row index")
     def strip(st: StructType) = StructType(st.fields.map(f =>
       f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
     val clean = strip(schema)
     val read = requiredSchema.getOrElse(clean)
+
+    // position deletes: like equality deletes, only the delete-file PATHS
+    // travel in the plan; executors load (file → sorted positions) once per
+    // delete set. Data rows get their file row index from Spark's parquet
+    // readers via the _tmp_metadata_row_index synthetic column (the same
+    // mechanism _metadata.row_index rides), and partitions split per data
+    // file so each reader knows which position set applies (reference
+    // PositionStreamDeleteFilter, core/.../deletes/Deletes.java:70-123).
+    // No sequence gating is needed: a position delete names its data file
+    // by path, and paths are never reused.
+    val posPaths: Seq[String] =
+      plan.deleteFiles.filter(_._1.content == FileContent.PositionDeletes)
+        .map(_._1.path).distinct.sorted
+    val posActive = posPaths.nonEmpty
 
     // equality deletes: only the delete-file PATHS travel in the plan; each
     // executor loads (and caches) the key sets itself, so a 100M-key
@@ -150,21 +160,33 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
             StructType(read.fields ++ missing.map(n => clean.fields.find(_.name == n).get))
           }
         val deletes: Option[GroupDeletes] =
-          if (applicable.isEmpty) None
+          if (applicable.isEmpty && !posActive) None
           else Some(GroupDeletes(
             applicable.map(ds => DeleteKeySource(
               ds.names.map(wideTarget.fieldIndex).toArray, ds.names,
               ds.names.map(n => clean.fields.find(_.name == n).get.dataType),
               ds.paths)),
-            wideTarget.fields.map(_.dataType),
-            if (wideTarget.length == read.length) None
+            wideTarget.fields.map(_.dataType) ++
+              (if (posActive) Seq(LongType) else Nil),
+            if (wideTarget.length == read.length && !posActive) None
             else Some(read.fields.map(f => wideTarget.fieldIndex(f.name))),
             new org.apache.spark.util.SerializableConfiguration(
-              spark.sessionState.newHadoopConf())))
+              spark.sessionState.newHadoopConf()),
+            if (posActive) Some(PosDeleteSource(posPaths, wideTarget.length))
+            else None))
         val renames: Map[String, String] =
           wideTarget.fields.map(f => f.name -> fileName(f)).toMap
+        // the row-index column is synthetic (populated by the reader, never
+        // read from the file), so it joins the read schema un-renamed, last
         val groupRead = StructType(wideTarget.fields.map(f =>
-          f.copy(name = renames(f.name), metadata = org.apache.spark.sql.types.Metadata.empty)))
+          f.copy(name = renames(f.name), metadata = org.apache.spark.sql.types.Metadata.empty)) ++
+          (if (posActive) Seq(StructField(
+            // nullable: the column is absent from the FILE (the reader treats
+            // it as a missing optional column, then its RowIndexGenerator
+            // overwrites the null vector with real row indexes)
+            org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+              .ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true))
+          else Nil))
         // file-side full schema: file names with target types where ids align
         val groupData = strip(StructType(fileSchema.fields.map { ff =>
           val id = FieldIds.idOf(ff)
@@ -240,7 +262,21 @@ final class GraftScan(output: StructType, parquetScans: Seq[ParquetScan],
     private lazy val inner = parquetScans.map(_.toBatch)
     override def planInputPartitions(): Array[InputPartition] =
       inner.zipWithIndex.flatMap { case (b, i) =>
-        b.planInputPartitions().map(p => GroupedPartition(i, p): InputPartition)
+        val parts = b.planInputPartitions().toSeq
+        if (!deletes.lift(i).flatten.exists(_.pos.isDefined))
+          parts.map(p => GroupedPartition(i, p): InputPartition)
+        else parts.flatMap {
+          // position deletes are keyed by data-file path, so each task must
+          // cover exactly one file; a split of a file keeps absolute row
+          // indexes, so file SPLITS stay parallel — only bin-packing of
+          // distinct files into one partition is undone
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.toSeq.map(f => GroupedPartition(i,
+              org.apache.spark.sql.execution.datasources.FilePartition(fp.index, Array(f)),
+              Some(f.filePath.toPath.toUri.getPath)): InputPartition)
+          case other => throw new IllegalStateException(
+            s"position deletes need file-granular partitions, got ${other.getClass}")
+        }
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
       GroupedReaderFactory(inner.map(_.createReaderFactory()),
@@ -249,8 +285,11 @@ final class GraftScan(output: StructType, parquetScans: Seq[ParquetScan],
 }
 
 final case class GroupedPartition(group: Int,
-    inner: org.apache.spark.sql.connector.read.InputPartition)
-  extends org.apache.spark.sql.connector.read.InputPartition
+    inner: org.apache.spark.sql.connector.read.InputPartition,
+    dataFile: Option[String] = None)
+  extends org.apache.spark.sql.connector.read.InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
 
 final case class GroupedReaderFactory(
     inner: Seq[org.apache.spark.sql.connector.read.PartitionReaderFactory],
@@ -259,25 +298,25 @@ final case class GroupedReaderFactory(
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
 
-  private def unwrap(p: InputPartition): (Int, InputPartition) = p match {
-    case GroupedPartition(g, ip) => (g, ip)
-    case other => (0, other)
+  private def unwrap(p: InputPartition): (Int, InputPartition, Option[String]) = p match {
+    case GroupedPartition(g, ip, f) => (g, ip, f)
+    case other => (0, other, None)
   }
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val (g, ip) = unwrap(p)
+    val (g, ip, dataFile) = unwrap(p)
     val reader = inner(g).createReader(ip)
     deletes.lift(g).flatten match {
-      case Some(cfg) => new EqDeleteReader(reader, cfg)
+      case Some(cfg) => new DeleteFilterReader(reader, cfg, dataFile)
       case None => reader
     }
   }
   override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val (g, ip) = unwrap(p); inner(g).createColumnarReader(ip)
+    val (g, ip, _) = unwrap(p); inner(g).createColumnarReader(ip)
   }
   override def supportColumnarReads(p: InputPartition): Boolean = {
-    val (g, ip) = unwrap(p)
-    // equality-delete filtering is a row-path wrapper (the reference also
-    // disables vectorization when deletes apply, SparkBatchScan.java:154-183);
+    val (g, ip, _) = unwrap(p)
+    // delete filtering is a row-path wrapper (the reference also disables
+    // vectorization when deletes apply, SparkBatchScan.java:154-183);
     // Spark requires ALL partitions to agree, so any delete disables all
     deletes.forall(_.isEmpty) && inner(g).supportColumnarReads(ip)
   }
@@ -298,22 +337,52 @@ final case class DeleteKeySource(ordinals: Array[Int], names: Seq[String],
     DeleteKeyCache.get(this, conf)
 }
 
-/** Per-executor cache of loaded delete-key sets: many tasks of one scan
-  * share one load per delete set (delete files are immutable, so entries
-  * can never go stale; the cache is bounded to keep long sessions safe). */
+/** Size-aware per-executor LRU: weight = cached key/position count, so one
+  * huge GDPR-style delete set can't pin unbounded heap and many small sets
+  * don't evict each other (entry-COUNT bounding would allow both). Loads of
+  * distinct keys run concurrently (ConcurrentHashMap bins); LRU bookkeeping
+  * is a tiny synchronized section. Entries are immutable (delete files never
+  * change), so eviction only ever costs a reload. */
+private[connector] final class WeightedLruCache[V <: AnyRef](maxWeight: Long)(weigher: V => Long) {
+  private val values = new java.util.concurrent.ConcurrentHashMap[String, V]()
+  // boxed values: a null get() distinguishes absence AND refreshes LRU order
+  private val lru = new java.util.LinkedHashMap[String, java.lang.Long](16, 0.75f, true)
+  private var weight = 0L
+
+  def get(key: String)(load: => V): V = {
+    val v = values.computeIfAbsent(key, _ => load)
+    touch(key, weigher(v))
+    v
+  }
+
+  private def touch(key: String, w: Long): Unit = synchronized {
+    if (lru.get(key) == null) { lru.put(key, w); weight += w }
+    val it = lru.entrySet().iterator() // least-recently-used first
+    while (weight > maxWeight && it.hasNext) {
+      val e = it.next()
+      if (e.getKey != key) { // never evict the entry being served
+        weight -= e.getValue; it.remove(); values.remove(e.getKey)
+      }
+    }
+  }
+
+  private[connector] def entryCount: Int = synchronized(lru.size())
+  private[connector] def currentWeight: Long = synchronized(weight)
+  private[connector] def contains(key: String): Boolean = values.containsKey(key)
+}
+
+/** Per-executor cache of loaded equality-delete key sets: many tasks of one
+  * scan share one load per delete set. Budget is ~32M key tuples. */
 object DeleteKeyCache {
   import graft.format.ParquetIO
   import org.apache.spark.sql.types.{StructField, StructType}
 
-  private val MaxEntries = 64
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Set[Vector[Any]]]()
+  private[connector] val cache =
+    new WeightedLruCache[Set[Vector[Any]]](32L * 1024 * 1024)(_.size.toLong.max(1L))
 
   def get(src: DeleteKeySource,
-      conf: org.apache.hadoop.conf.Configuration): Set[Vector[Any]] = {
-    if (cache.size > MaxEntries) cache.clear()
-    cache.computeIfAbsent(src.paths.mkString("\n"), _ => load(src, conf))
-  }
+      conf: org.apache.hadoop.conf.Configuration): Set[Vector[Any]] =
+    cache.get(src.paths.mkString("\n"))(load(src, conf))
 
   private def load(src: DeleteKeySource,
       conf: org.apache.hadoop.conf.Configuration): Set[Vector[Any]] = {
@@ -329,18 +398,59 @@ object DeleteKeyCache {
   }
 }
 
+/** Executor-side position-delete source: the delete FILES and the ordinal
+  * of the synthetic row-index column in the physical read row. */
+final case class PosDeleteSource(paths: Seq[String], rowIdxOrdinal: Int)
+  extends Serializable
+
+/** Per-executor cache of position-delete sets: delete files → (canonical
+  * data-file path → sorted positions). Sorted long arrays keep a 100M-row
+  * delete at ~800 MB instead of a boxed set's multi-GB. */
+object PosDeleteCache {
+  import graft.format.ParquetIO
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  private[connector] val cache =
+    new WeightedLruCache[Map[String, Array[Long]]](32L * 1024 * 1024)(
+      _.valuesIterator.map(_.length.toLong).sum.max(1L))
+
+  def get(paths: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): Map[String, Array[Long]] =
+    cache.get(paths.mkString("\n"))(load(paths, conf))
+
+  private def load(paths: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): Map[String, Array[Long]] = {
+    val schema = StructType(Seq(
+      StructField("file_path", org.apache.spark.sql.types.StringType),
+      StructField("pos", LongType)))
+    val byFile = scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuilder.ofLong]()
+    paths.foreach(p => ParquetIO.readAll(p, schema, conf) { row =>
+      if (!row.isNullAt(0) && !row.isNullAt(1)) {
+        val f = ParquetIO.canonPath(row.getUTF8String(0).toString)
+        byFile.getOrElseUpdate(f, new scala.collection.mutable.ArrayBuilder.ofLong) += row.getLong(1)
+      }
+    })
+    byFile.map { case (f, b) =>
+      val a = b.result(); java.util.Arrays.sort(a); f -> a
+    }.toMap
+  }
+}
+
 final case class GroupDeletes(sets: Seq[DeleteKeySource],
     types: Seq[org.apache.spark.sql.types.DataType],
     project: Option[Seq[Int]],
-    conf: org.apache.spark.util.SerializableConfiguration) extends Serializable
+    conf: org.apache.spark.util.SerializableConfiguration,
+    pos: Option[PosDeleteSource] = None) extends Serializable
 
-/** Row-path equality-delete filter (reference EqualitySetDeleteFilter,
-  * core/.../deletes/Deletes.java:128): drop rows whose key tuple appears in
-  * any newer delete set, then project away widened key columns. Key sets
-  * load lazily on first use, in the executor running this reader. */
-final class EqDeleteReader(
+/** Row-path delete filter (reference EqualitySetDeleteFilter +
+  * PositionStreamDeleteFilter, core/.../deletes/Deletes.java:60-159): drop
+  * rows whose key tuple appears in any newer equality-delete set or whose
+  * row index appears in this file's position-delete set, then project away
+  * widened key / synthetic row-index columns. Delete sets load lazily on
+  * first use, in the executor running this reader. */
+final class DeleteFilterReader(
     inner: org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow],
-    cfg: GroupDeletes)
+    cfg: GroupDeletes, dataFile: Option[String])
   extends org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -350,10 +460,21 @@ final class EqDeleteReader(
   private lazy val resolved: Seq[(Array[Int], Set[Vector[Any]])] =
     cfg.sets.map(s => (s.ordinals, s.keySet(cfg.conf.value)))
 
+  private lazy val positions: Array[Long] = cfg.pos match {
+    case Some(p) =>
+      val file = dataFile.getOrElse(throw new IllegalStateException(
+        "position deletes require file-granular partitions"))
+      PosDeleteCache.get(p.paths, cfg.conf.value)
+        .getOrElse(graft.format.ParquetIO.canonPath(file), Array.emptyLongArray)
+    case None => Array.emptyLongArray
+  }
+
   private def canonical(row: InternalRow, i: Int): Any =
     graft.format.ParquetIO.canonicalValue(row, i, cfg.types(i))
 
   private def deleted(row: InternalRow): Boolean =
+    cfg.pos.exists(p => positions.length > 0 &&
+      java.util.Arrays.binarySearch(positions, row.getLong(p.rowIdxOrdinal)) >= 0) ||
     resolved.exists { case (ordinals, keys) =>
       keys.contains(ordinals.map(i => canonical(row, i)).toVector)
     }

@@ -24,13 +24,15 @@ object ParquetIO {
     val c = new Configuration(conf)
     c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
     // ParquetToSparkSchemaConverter asserts these are PRESENT (normally the
-    // scan planner sets them per job); pin Spark's defaults explicitly
-    c.set("spark.sql.parquet.binaryAsString", "false")
-    c.set("spark.sql.parquet.int96AsTimestamp", "true")
-    c.set("spark.sql.caseSensitive", "false")
-    c.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-    c.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-    c.set("spark.sql.parquet.fieldId.read.enabled", "false")
+    // scan planner sets them per job). A sessionState.newHadoopConf() passed
+    // in already carries the session's values — pin defaults only when
+    // genuinely absent so session settings (e.g. caseSensitive) are honored.
+    c.setIfUnset("spark.sql.parquet.binaryAsString", "false")
+    c.setIfUnset("spark.sql.parquet.int96AsTimestamp", "true")
+    c.setIfUnset("spark.sql.caseSensitive", "false")
+    c.setIfUnset("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    c.setIfUnset("spark.sql.legacy.parquet.nanosAsLong", "false")
+    c.setIfUnset("spark.sql.parquet.fieldId.read.enabled", "false")
     val support = new ParquetReadSupport(
       convertTz = None,
       enableVectorizedReader = false,
@@ -47,6 +49,16 @@ object ParquetIO {
       while (row != null) { consume(row); row = reader.read() }
     } finally reader.close()
   }
+
+  /** Canonical form of a data-file path for delete matching: `file:` URIs
+    * (any slash count — `_metadata.file_path` renders `file:/p`, Hadoop
+    * renders `file:///p`) collapse to the plain absolute path; other schemes
+    * pass through untouched. */
+  def canonPath(p: String): String =
+    if (p.startsWith("file:")) {
+      val s = p.substring("file:".length)
+      if (s.startsWith("//")) s.replaceFirst("^/+", "/") else s
+    } else p
 
   /** InternalRow slot → canonical JVM value (the engine's comparison domain:
     * Int/Long/String/Double/…, java BigDecimal for decimals) — shared by the

@@ -166,6 +166,38 @@ class CatalogSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("a", "c", "new"))
   }
 
+  test("position deletes apply inside SQL reads (row-index filter)") {
+    wh
+    spark.sql("CREATE TABLE g.db.posd (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.posd VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    import graft.format.{Deletes, GraftTable}
+    import spark.implicits._
+    val t = GraftTable.load(spark, s"$wh/db/posd")
+    // positions of the even ids, via metadata columns over the table's files
+    val paths = t.newScan().planFiles().tasks.map(_.file.path)
+    val pos = spark.read.parquet(paths: _*)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id") % 2 === 0).select("file_path", "pos")
+    Deletes.deletePositions(t, pos)
+    assert(spark.sql("SELECT id FROM g.db.posd ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // a projection without the key column still filters by position
+    assert(spark.sql("SELECT v FROM g.db.posd ORDER BY v").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "c"))
+    // pushed filters compose with the position filter
+    assert(spark.sql("SELECT id FROM g.db.posd WHERE id > 1 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+    // position + equality deletes compose in one read
+    Deletes.deleteByEquality(t, Seq(3L).toDF("id"))
+    assert(spark.sql("SELECT id FROM g.db.posd ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // rows appended after the deletes are unaffected
+    spark.sql("INSERT INTO g.db.posd VALUES (2, 'back')")
+    assert(spark.sql("SELECT v FROM g.db.posd ORDER BY v").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "back"))
+  }
+
   test("VERSION AS OF reads the snapshot's own schema (pre-evolution)") {
     wh
     spark.sql("CREATE TABLE g.db.evot (id BIGINT, before STRING)")
