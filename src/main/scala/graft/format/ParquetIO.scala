@@ -2,10 +2,12 @@ package graft.format
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.{ParquetReader, ParquetWriter}
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec
-import org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
 import org.apache.spark.sql.internal.LegacyBehaviorPolicy
 import org.apache.spark.sql.types._
 
@@ -48,6 +50,37 @@ object ParquetIO {
       var row = reader.read()
       while (row != null) { consume(row); row = reader.read() }
     } finally reader.close()
+  }
+
+  /** Hadoop conf for executor-side parquet WRITES: the session conf plus the
+    * keys ParquetWriteSupport asserts are present (normally FileFormatWriter
+    * sets them per job). Shared by the DSv2 batch writer and compaction. */
+  def writeConf(spark: org.apache.spark.sql.SparkSession): Configuration = {
+    val conf = spark.sessionState.newHadoopConf()
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+    conf
+  }
+
+  /** Executor-side parquet row writer on Spark's own WriteSupport — the
+    * write twin of [[open]]; `conf` should come from [[writeConf]]. */
+  def openWriter(path: String, schema: StructType,
+      conf: Configuration): ParquetWriter[InternalRow] = {
+    val c = new Configuration(conf)
+    ParquetWriteSupport.setSchema(schema, c)
+    class B(p: HPath) extends ParquetWriter.Builder[InternalRow, B](p) {
+      override def getWriteSupport(cc: Configuration): WriteSupport[InternalRow] =
+        new ParquetWriteSupport
+      override def self(): B = this
+    }
+    new B(new HPath(path)).withConf(c)
+      .withCompressionCodec(CompressionCodecName.SNAPPY).build()
   }
 
   /** Canonical form of a data-file path for delete matching: `file:` URIs
