@@ -26,11 +26,15 @@ object Queries {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as LongType
-    * nanos under this legacy flag (set per query so any session works). */
+    * nanos under a legacy flag. The flag (and the UTC rendering the oracle
+    * assumes) is scoped to an isolated child session — same SparkContext,
+    * own SQLConf — so the caller's session is never mutated and queries
+    * stay independent of execution order. */
   private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.conf.set("spark.sql.session.timeZone", "UTC") // oracle renders naive UTC
-    t(s, dir, "events")
+    val es = s.newSession()
+    es.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    es.conf.set("spark.sql.session.timeZone", "UTC") // oracle renders naive UTC
+    t(es, dir, "events")
   }
 
   // exact decimal money math, deterministic across engines
@@ -268,8 +272,14 @@ object Queries {
     "q32_exact_dedup" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents")).orderBy(col("keeper"))),
 
+    // GATE-ONLY parameterization: maxDf = 0 (exact — every gram joins) so the
+    // result is the exact n-gram Jaccard answer the DuckDB oracle computes.
+    // The library DEFAULT keeps maxDf = 10000: at corpus scale, hot
+    // (stopword) grams must be dropped before their doc lists materialize,
+    // and an approximate answer is the documented scale trade (same pattern
+    // as q34's GATE-ONLY band parameters).
     "q33_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairsFast(t(s, dir, "documents"), n = 3, threshold = 0.5)
+      Dedup.jaccardPairsFast(t(s, dir, "documents"), n = 3, threshold = 0.5, maxDf = 0)
         .orderBy(col("a"), col("b"))),
 
     // 32 bands x 2 rows: P(candidate | J=0.5) = 1-(1-0.25)^32 ≈ 0.9999, so

@@ -271,9 +271,12 @@ final class GraftScan(output: StructType, parquetScans: Seq[ParquetScan],
           // indexes, so file SPLITS stay parallel — only bin-packing of
           // distinct files into one partition is undone
           case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            // the SAME canonicalization the delete rows' file_path goes
+            // through (PosDeleteCache.load), so the lookup agrees on every
+            // filesystem scheme, not just local file: URIs
             fp.files.toSeq.map(f => GroupedPartition(i,
               org.apache.spark.sql.execution.datasources.FilePartition(fp.index, Array(f)),
-              Some(f.filePath.toPath.toUri.getPath)): InputPartition)
+              Some(ParquetIO.canonPath(f.filePath.toPath.toString))): InputPartition)
           case other => throw new IllegalStateException(
             s"position deletes need file-granular partitions, got ${other.getClass}")
         }
@@ -372,13 +375,17 @@ private[connector] final class WeightedLruCache[V <: AnyRef](maxWeight: Long)(we
 }
 
 /** Per-executor cache of loaded equality-delete key sets: many tasks of one
-  * scan share one load per delete set. Budget is ~32M key tuples. */
+  * scan share one load per delete set. Budget is ~512 MB of APPROXIMATE
+  * retained bytes — a tuple costs ~40 B of Vector + hash-set structure plus
+  * ~48 B per boxed value, so weight scales with key arity (tuple-COUNT
+  * weighing let wide multi-column keys pin several GB under one budget). */
 object DeleteKeyCache {
   import graft.format.ParquetIO
   import org.apache.spark.sql.types.{StructField, StructType}
 
   private[connector] val cache =
-    new WeightedLruCache[Set[Vector[Any]]](32L * 1024 * 1024)(_.size.toLong.max(1L))
+    new WeightedLruCache[Set[Vector[Any]]](512L * 1024 * 1024)(s =>
+      (s.size.toLong * (40L + 48L * s.headOption.map(_.length).getOrElse(1))).max(1L))
 
   def get(src: DeleteKeySource,
       conf: org.apache.hadoop.conf.Configuration): Set[Vector[Any]] =
@@ -405,14 +412,16 @@ final case class PosDeleteSource(paths: Seq[String], rowIdxOrdinal: Int)
 
 /** Per-executor cache of position-delete sets: delete files → (canonical
   * data-file path → sorted positions). Sorted long arrays keep a 100M-row
-  * delete at ~800 MB instead of a boxed set's multi-GB. */
+  * delete at ~800 MB instead of a boxed set's multi-GB. Budget is ~512 MB of
+  * approximate bytes (8 B per position + per-file array overhead), the same
+  * unit as DeleteKeyCache. */
 object PosDeleteCache {
   import graft.format.ParquetIO
   import org.apache.spark.sql.types.{StructField, StructType}
 
   private[connector] val cache =
-    new WeightedLruCache[Map[String, Array[Long]]](32L * 1024 * 1024)(
-      _.valuesIterator.map(_.length.toLong).sum.max(1L))
+    new WeightedLruCache[Map[String, Array[Long]]](512L * 1024 * 1024)(
+      _.valuesIterator.map(v => 64L + 8L * v.length).sum.max(1L))
 
   def get(paths: Seq[String],
       conf: org.apache.hadoop.conf.Configuration): Map[String, Array[Long]] =

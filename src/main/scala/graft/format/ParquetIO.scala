@@ -83,15 +83,27 @@ object ParquetIO {
       .withCompressionCodec(CompressionCodecName.SNAPPY).build()
   }
 
-  /** Canonical form of a data-file path for delete matching: `file:` URIs
-    * (any slash count — `_metadata.file_path` renders `file:/p`, Hadoop
-    * renders `file:///p`) collapse to the plain absolute path; other schemes
-    * pass through untouched. */
-  def canonPath(p: String): String =
-    if (p.startsWith("file:")) {
-      val s = p.substring("file:".length)
-      if (s.startsWith("//")) s.replaceFirst("^/+", "/") else s
-    } else p
+  /** Canonical form of a data-file path for delete matching. The two sides
+    * that must agree — delete rows' `file_path` strings and Spark's
+    * partition data-file paths — BOTH route through here (idempotent, so
+    * re-canonicalizing is safe). Parsing goes through Hadoop `Path` (which
+    * tolerates unescaped path characters, unlike raw `java.net.URI`):
+    * authority-less `file:` URIs of any slash count (`file:/p`,
+    * `file:///p`) and plain paths collapse to the absolute path; an
+    * authority-bearing `file://host/p` keeps its host distinct from the
+    * path; every other scheme normalizes to `scheme://authority/path` —
+    * never stripped, so `hdfs://nn/p` and `s3a://bucket/p` match their own
+    * scheme only. */
+  def canonPath(p: String): String = {
+    val u = new HPath(p).toUri
+    val auth = u.getAuthority
+    val path = u.getPath
+    u.getScheme match {
+      case null => path
+      case "file" if auth == null || auth.isEmpty => path
+      case s => s"$s://${if (auth == null) "" else auth}$path"
+    }
+  }
 
   /** InternalRow slot → canonical JVM value (the engine's comparison domain:
     * Int/Long/String/Double/…, java BigDecimal for decimals) — shared by the

@@ -30,9 +30,10 @@ object BenchJaccard {
     time("fast_nofilter")(Dedup.jaccardPairsFast(docs, 3, 0.5, maxDf = 0).count())
     time("fast_prefilter")(Dedup.jaccardPairsFast(docs, 3, 0.5).count())
     time("fast_prefilter2")(Dedup.jaccardPairsFast(docs, 3, 0.5).count())
-    // equality check
+    // equality check — both sides exact (maxDf = 0), matching the q33 gate;
+    // the prefiltered variant is timed above but is approximate by design
     val a = Dedup.jaccardPairs(docs, 3, 0.5).select("a", "b", "jaccard")
-    val b = Dedup.jaccardPairsFast(docs, 3, 0.5).select("a", "b", "jaccard")
+    val b = Dedup.jaccardPairsFast(docs, 3, 0.5, maxDf = 0).select("a", "b", "jaccard")
     println("DIFF " + a.exceptAll(b).count() + " / " + b.exceptAll(a).count())
     spark.stop()
   }
