@@ -19,48 +19,110 @@ object Actions {
   final case class RewriteResult(rewrittenFiles: Int, addedFiles: Int)
   final case class ExpireResult(expiredSnapshots: Int, deletedFiles: Int)
   final case class OrphanResult(deletedOrphans: Seq[String])
+
+  /** One compaction bin as shipped to an executor task: input files, the
+    * read schema (file-side names, current order/types), output path. */
+  final case class BinTask(id: Int, paths: Seq[String],
+      readSchema: org.apache.spark.sql.types.StructType, out: String)
 }
 
 final class Actions(t: GraftTable) {
   import Actions._
 
-  /** Compact small files: group tasks by partition tuple, bin-pack groups
-    * above minInputFiles into ~targetSizeBytes outputs, swap atomically
-    * (reference RewriteDataFilesAction: groupTasksByPartition :243, filter
-    * groups >1 file :209, RewriteFiles commit :265). The rewrite itself is a
-    * Spark job per group — reading with the normal scan path and writing
-    * with the normal write path, so stats/clustering stay correct. */
+  /** Compact small files: group tasks by (partition tuple, writer schema),
+    * bin-pack groups above minInputFiles into ~targetSizeBytes outputs, swap
+    * atomically (reference RewriteDataFilesAction: groupTasksByPartition
+    * :243, filter groups >1 file :209, RewriteFiles commit :265).
+    *
+    * ALL bins run as ONE Spark job (the reference distributes all
+    * CombinedScanTasks as one RDD — RewriteDataFilesAction.java:189-281,
+    * RowDataRewriter.java:84-85): `parallelize(bins)` → each executor task
+    * streams its bin's rows through ParquetIO.open → ParquetIO.openWriter
+    * (constant memory, no DataFrame per bin) and reads the output footer
+    * metrics in-task, so a 10k-bin table compacts with one job submission
+    * and zero driver parquet I/O. Old-generation files are read with a
+    * read schema mapped to their FILE column names by field id, in the
+    * CURRENT schema's column order, so output files are always
+    * current-schema. */
   def rewriteDataFiles(targetSizeBytes: Long = 128L * 1024 * 1024,
       minInputFiles: Int = 2): RewriteResult = {
+    val m = t.metadata
     val plan = t.newScan().planFiles()
-    val byPartition = plan.tasks.groupBy(_.file.partition)
-    val groups = byPartition.values.filter(_.size >= minInputFiles).toSeq
+    val groups = plan.tasks.groupBy(ts => (ts.file.partition, ts.file.schemaId))
+      .values.filter(_.size >= minInputFiles).toSeq
     if (groups.isEmpty) return RewriteResult(0, 0)
 
-    var rewritten = 0
-    var added = 0
-    val toDelete = Set.newBuilder[String]
-    val newFiles = Seq.newBuilder[DataFile]
-    val m = t.metadata
+    val schema = m.schema
+    val writeSchema = org.apache.spark.sql.types.StructType(schema.fields.map(
+      _.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    val staging = Paths.get(t.location, "data", java.util.UUID.randomUUID().toString)
+    Files.createDirectories(staging)
+
+    // plan bins driver-side; only (paths, readSchema, outPath) ships to tasks
+    var binId = 0
+    val binTasks = Seq.newBuilder[BinTask]
+    val binMeta = collection.mutable.Map[Int, (Map[String, Any], Int)]()
     groups.foreach { tasks =>
-      // bin-pack into output bins of ~targetSize (BinPacking.java semantics)
+      val (partition, schemaId) = (tasks.head.file.partition, tasks.head.file.schemaId)
+      // read schema: file-side names (by field id) in current column order,
+      // so the task's InternalRows match writeSchema positionally; columns
+      // added since this generation read as null (missing optional columns)
+      val fileSchema = m.schemas.getOrElse(schemaId, schema)
+      val fileById = FieldIds.idToName(fileSchema)
+      val readSchema = org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+        val name = fileById.getOrElse(FieldIds.idOf(f), f.name)
+        f.copy(name = name, metadata = org.apache.spark.sql.types.Metadata.empty)
+      })
       val bins = binPack(tasks.map(ts => ts.file.path -> ts.file.fileSizeInBytes),
         targetSizeBytes)
       bins.filter(_.size >= minInputFiles).foreach { bin =>
-        val df = t.spark.read
-          .schema(org.apache.spark.sql.types.StructType(
-            m.schema.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty))))
-          .parquet(bin: _*).coalesce(1)
-        val staged = GraftWrite.writeFiles(t, df)
-        rewritten += bin.size
-        added += staged.size
-        toDelete ++= bin
-        newFiles ++= staged
+        binTasks += BinTask(binId, bin, readSchema,
+          staging.resolve(f"bin-$binId%05d.parquet").toString)
+        binMeta(binId) = (partition, schemaId)
+        binId += 1
       }
     }
-    val del = toDelete.result()
-    if (del.nonEmpty) Commits.rewriteFiles(t, del, newFiles.result())
-    RewriteResult(rewritten, added)
+    val planned = binTasks.result()
+    if (planned.isEmpty) return RewriteResult(0, 0)
+
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      ParquetIO.writeConf(t.spark))
+    val idSchema = schema // current schema WITH field-id metadata, for stats
+    // ONE job: every bin is an executor task (reference RowDataRewriter).
+    // Rows stream read→write positionally, so reading with file-side names
+    // and writing with current names performs the rename in-flight.
+    val results: Array[(Int, Metrics.FileMetrics)] = t.spark.sparkContext
+      .parallelize(planned, planned.size)
+      .map { bt =>
+        val conf = sconf.value
+        val writer = ParquetIO.openWriter(bt.out, writeSchema, conf)
+        try bt.paths.foreach(p => ParquetIO.readAll(p, bt.readSchema, conf)(writer.write))
+        finally writer.close()
+        // footer metrics in-task, keyed by field id against the current schema
+        (bt.id, Metrics.fromParquetFooter(bt.out, idSchema, conf))
+      }.collect()
+
+    val currentSchemaId = m.currentSchemaId
+    val byId = planned.map(bt => bt.id -> bt).toMap
+    val newFiles = results.toSeq.sortBy(_._1).map { case (id, fm) =>
+      val (partition, _) = binMeta(id)
+      DataFile(
+        path = byId(id).out,
+        content = FileContent.Data,
+        partition = partition,
+        recordCount = fm.recordCount,
+        fileSizeInBytes = fm.fileSize,
+        schemaId = currentSchemaId,
+        specId = m.defaultSpecId,
+        valueCounts = fm.valueCounts,
+        nullValueCounts = fm.nullValueCounts,
+        lowerBounds = fm.lowerBounds,
+        upperBounds = fm.upperBounds,
+        splitOffsets = fm.splitOffsets)
+    }
+    val del = planned.flatMap(_.paths).toSet
+    Commits.rewriteFiles(t, del, newFiles)
+    RewriteResult(del.size, newFiles.size)
   }
 
   private def binPack(files: Seq[(String, Long)], target: Long): Seq[Seq[String]] = {

@@ -95,8 +95,12 @@ final class TableScan private[format] (
     val tasks = Seq.newBuilder[FileScanTask]
     val deletes = Seq.newBuilder[(DataFile, Long)]
 
-    manifests.foreach { mf =>
-      filesTotal += mf.addedFilesCount + mf.existingFilesCount
+    // summary-level pruning first (pure in-memory), then the surviving
+    // manifests are read IN PARALLEL — manifest I/O + parse is what
+    // dominates planning a large table from one node (reference
+    // ManifestGroup.java:182-186 ParallelIterable). Entry filtering below
+    // stays sequential in manifest order, so results are deterministic.
+    val evaluated = manifests.map { mf =>
       val spec = m.specs(mf.specId)
       val partTypes = spec.resultTypes(schema)
       val projected =
@@ -104,9 +108,17 @@ final class TableScan private[format] (
         else Projections.inclusive(bound, spec, schema)
       val mightMatch = projected == AlwaysTrue ||
         Evaluators.manifestMightMatch(projected, spec, mf.partitionSummaries, partTypes)
+      (mf, projected, mightMatch)
+    }
+    val entriesByPath: Map[String, Seq[ManifestEntry]] =
+      TableScan.readManifestsParallel(table,
+        evaluated.collect { case (mf, _, true) => mf }, schema)
+
+    evaluated.foreach { case (mf, projected, mightMatch) =>
+      filesTotal += mf.addedFilesCount + mf.existingFilesCount
       if (mightMatch) {
         manifestsScanned += 1
-        table.readManifest(mf, schema).foreach { e =>
+        entriesByPath(mf.path).foreach { e =>
           if (e.status != EntryStatus.Deleted) {
             val keepByAdded = incremental.isEmpty ||
               (e.status == EntryStatus.Added &&
@@ -142,18 +154,27 @@ final class TableScan private[format] (
         new java.util.ArrayList[org.apache.spark.sql.Row](), projectedSchema(schema))
     }
 
-    // group files by writer schema; align old columns to the scan schema by id
-    val byName = FieldIds.nameToId(schema)
-    val grouped = plan.tasks.groupBy(_.file.schemaId)
-    val parts = grouped.toSeq.sortBy(_._1).map { case (schemaId, tasks) =>
+    val eqDeletes = plan.deleteFiles.filter(_._1.content == FileContent.EqualityDeletes)
+    val posDeletes = plan.deleteFiles.filter(_._1.content == FileContent.PositionDeletes)
+
+    // group files by (writer schema, sequence number) — the seq key exists
+    // only when equality deletes are live, exactly like the DSv2 path, so
+    // delete recency resolves per GROUP and no per-file path→seq map ever
+    // enters the plan (a 100k-file scan previously embedded a 100k-entry
+    // literal map in every equality-delete read)
+    val grouped = plan.tasks.groupBy(t =>
+      (t.file.schemaId, if (eqDeletes.isEmpty) 0L else t.sequenceNumber))
+    val parts = grouped.toSeq.sortBy(_._1).map { case ((schemaId, seq), tasks) =>
       val fileSchema = m.schemas.getOrElse(schemaId, schema)
       val raw = spark.read.schema(stripIds(fileSchema))
         .parquet(tasks.map(_.file.path): _*)
-      alignToSchema(raw, fileSchema, schema)
+      val aligned = alignToSchema(raw, fileSchema, schema)
+      // only delete sets NEWER than this group's files apply to it
+      applyEqDeletes(aligned, eqDeletes.filter(_._2 > seq), schema)
     }
     var df = parts.reduce(_ unionByName _)
 
-    df = applyDeletes(df, plan, schema)
+    if (posDeletes.nonEmpty) df = applyPosDeletes(df, posDeletes)
 
     val bound =
       if (rowFilter == AlwaysTrue) AlwaysTrue else Exprs.bind(rowFilter, schema)
@@ -189,52 +210,71 @@ final class TableScan private[format] (
     df.select(cols.toSeq: _*)
   }
 
-  /** v2 row-level deletes (reference core/.../deletes/Deletes.java:60-159):
-    * position deletes anti-join on (_file, _pos); equality deletes anti-join
-    * on the equality columns, applied only to files with a smaller sequence
-    * number. */
-  private def applyDeletes(df0: DataFrame, plan: ScanPlan,
+  /** Equality deletes for ONE (schema, seq) group (reference
+    * EqualitySetDeleteFilter, core/.../deletes/Deletes.java:128): anti-join
+    * on the equality columns against every delete set newer than the group.
+    * Seq-gating already happened at the caller (group seq vs delete seq), so
+    * the join needs no per-row sequence column. */
+  private def applyEqDeletes(df0: DataFrame, dels: Seq[(DataFile, Long)],
       schema: StructType): DataFrame = {
-    if (plan.deleteFiles.isEmpty) return df0
+    if (dels.isEmpty) return df0
     val spark = table.spark
-    var df = df0
-
-    val posDeletes = plan.deleteFiles.filter(_._1.content == FileContent.PositionDeletes)
-    val eqDeletes = plan.deleteFiles.filter(_._1.content == FileContent.EqualityDeletes)
-
-    if (posDeletes.nonEmpty) {
-      // re-read with file/pos metadata; join is broadcast-able (delete files
-      // are small relative to data at 100 TB: it's per-commit churn)
-      val withPos = df.withColumn("_g_file", col("_metadata.file_path"))
-        .withColumn("_g_pos", col("_metadata.row_index"))
-      val dels = spark.read.parquet(posDeletes.map(_._1.path): _*)
-        .select(col("file_path").as("_g_file"), col("pos").as("_g_pos"))
-      df = withPos.join(broadcast(dels), Seq("_g_file", "_g_pos"), "left_anti")
-        .drop("_g_file", "_g_pos")
+    var cur = df0
+    dels.groupBy(_._1.equalityIds).foreach { case (ids, group) =>
+      val names = ids.map(id => FieldIds.findById(schema, id).get.name)
+      val del = spark.read.parquet(group.map(_._1.path).distinct: _*)
+        .select(names.map(col): _*).dropDuplicates(names)
+      val cond = names.map(n => cur(n) <=> del(n)).reduce(_ && _)
+      cur = cur.join(broadcast(del), cond, "left_anti")
     }
-
-    if (eqDeletes.nonEmpty) {
-      // group delete files by (equality ids, seq); apply each to older rows.
-      // data rows carry their file's seq via a path→seq map column.
-      val seqByPath = plan.tasks.map(t => t.file.path -> t.sequenceNumber).toMap
-      val pathSeq = typedLit(seqByPath.map { case (p, s) =>
-        ("file:" + (if (p.startsWith("/")) "" else "/") + p, s) })
-      var cur = df.withColumn("_g_seq",
-        coalesce(element_at(pathSeq, col("_metadata.file_path")),
-          element_at(pathSeq, regexp_replace(col("_metadata.file_path"), "^file:", ""))))
-      eqDeletes.groupBy(d => (d._1.equalityIds, d._2)).foreach {
-        case ((ids, seq), group) =>
-          val names = ids.map(id => FieldIds.findById(schema, id).get.name)
-          val dels = spark.read.parquet(group.map(_._1.path): _*)
-            .select(names.map(col): _*).dropDuplicates(names)
-          val cond = names.map(n => cur(n) <=> dels(n))
-            .reduce(_ && _) && cur("_g_seq") < lit(seq)
-          cur = cur.join(broadcast(dels), cond, "left_anti")
-      }
-      df = cur.drop("_g_seq")
-    }
-    df
+    cur
   }
+
+  /** Position deletes (reference PositionStreamDeleteFilter, Deletes.java:
+    * 60-123): anti-join on (_file, _pos) row metadata; broadcast-able —
+    * delete files are per-commit churn, small relative to data at 100 TB.
+    * No sequence gating: a position delete names its data file by path, and
+    * paths are never reused. */
+  private def applyPosDeletes(df0: DataFrame,
+      posDeletes: Seq[(DataFile, Long)]): DataFrame = {
+    val spark = table.spark
+    val withPos = df0.withColumn("_g_file", col("_metadata.file_path"))
+      .withColumn("_g_pos", col("_metadata.row_index"))
+    val dels = spark.read.parquet(posDeletes.map(_._1.path).distinct: _*)
+      .select(col("file_path").as("_g_file"), col("pos").as("_g_pos"))
+    withPos.join(broadcast(dels), Seq("_g_file", "_g_pos"), "left_anti")
+      .drop("_g_file", "_g_pos")
+  }
+}
+
+object TableScan {
+  /** Shared bounded pool for manifest reads: planning is driver-side, so one
+    * static daemon pool serves every concurrent scan without per-plan
+    * thread churn (reference ManifestGroup's ParallelIterable worker pool,
+    * core/.../util/ThreadPools.java). */
+  private lazy val manifestPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(8,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-manifest-reader")
+        t.setDaemon(true)
+        t
+      })
+
+  /** Read many manifests concurrently; results keyed by manifest path so the
+    * caller can process them in its own deterministic order. */
+  private[format] def readManifestsParallel(table: GraftTable,
+      manifests: Seq[ManifestFile],
+      schema: StructType): Map[String, Seq[ManifestEntry]] =
+    if (manifests.sizeIs <= 1)
+      manifests.map(mf => mf.path -> table.readManifest(mf, schema)).toMap
+    else {
+      val futures = manifests.map(mf =>
+        mf.path -> manifestPool.submit(
+          new java.util.concurrent.Callable[Seq[ManifestEntry]] {
+            override def call(): Seq[ManifestEntry] = table.readManifest(mf, schema)
+          }))
+      futures.map { case (p, f) => p -> f.get() }.toMap
+    }
 }
 
 /** The table facade (reference api/.../Table.java:31-246). */

@@ -69,6 +69,58 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.currentSnapshot.get.operation == "replace")
   }
 
+  test("rewriteDataFiles submits ONE Spark job for all bins (RowDataRewriter)") {
+    val loc = freshLoc("compact1job")
+    val t = GraftTable.create(spark, loc, rows(2).schema, _.day("ts"))
+    // two partitions with 4 and 2 small files → 2 bins, still one job
+    (0 until 4).foreach(_ => GraftWrite.append(t, rows(2, 0).coalesce(1)))
+    (0 until 2).foreach(_ => GraftWrite.append(t, rows(2, 1).coalesce(1)))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val res =
+      try {
+        val r = Actions.forTable(t).rewriteDataFiles(minInputFiles = 2)
+        // the listener bus is async — wait for it to drain
+        val deadline = System.currentTimeMillis() + 5000
+        while (jobs.get() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        Thread.sleep(300)
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 1, s"compaction submitted ${jobs.get()} jobs, expected 1")
+    assert(res.rewrittenFiles == 6 && res.addedFiles == 2)
+    assert(MetaTables.files(t).count() == 2)
+    assert(t.toDF().count() == 12)
+    // partition tuples survive the rewrite: pruning still hits one file
+    val plan = t.newScan()
+      .filter(Exprs.equal("ts", java.sql.Timestamp.valueOf("2024-02-01 08:00:00")))
+      .planFiles()
+    assert(plan.tasks.size == 1, s"pruning after compaction: $plan")
+  }
+
+  test("rewriteDataFiles compacts across schema generations (rename in-flight)") {
+    val loc = freshLoc("compactgen")
+    val t = GraftTable.create(spark, loc, rows(2).schema)
+    GraftWrite.append(t, rows(2, 0).coalesce(1))
+    GraftWrite.append(t, rows(2, 1).coalesce(1))
+    SchemaUpdate(t).renameColumn("data", "payload").commit()
+    GraftWrite.append(t, rows(2, 2).toDF("id", "payload", "ts").coalesce(1))
+    GraftWrite.append(t, rows(2, 3).toDF("id", "payload", "ts").coalesce(1))
+    val res = Actions.forTable(t).rewriteDataFiles(minInputFiles = 2)
+    // each schema generation compacts within its own group: the old-gen bin
+    // reads files with column `data` and writes `payload` in-flight
+    assert(res.rewrittenFiles == 4 && res.addedFiles == 2)
+    val out = t.toDF()
+    assert(out.columns.contains("payload"))
+    assert(out.count() == 8)
+    assert(out.where(col("payload").startsWith("d-")).count() == 8)
+    assert(out.where(col("id") === 0L).count() == 1)
+  }
+
   test("rewriteManifests clusters into fewer manifests") {
     val loc = freshLoc("rwm")
     val t = GraftTable.create(spark, loc, rows(1).schema,
