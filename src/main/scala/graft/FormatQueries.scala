@@ -338,6 +338,38 @@ object FormatQueries {
                FROM graftpos.db.customer_pos GROUP BY 1 ORDER BY 1""")
     }),
 
+    // nested schema evolution: rename/add/promote INSIDE a struct are
+    // metadata-only; old and new generations align by field id at every
+    // struct level (reference UpdateSchema.java:63-129 nested evolution)
+    "q80_nested_evolution" -> ((s, dir) => {
+      val t = withTable(s, dir, "supplier_nested") { loc =>
+        val sup = s.read.parquet(s"$dir/supplier.parquet")
+        val withStruct = sup.select(col("s_suppkey"),
+          struct(col("s_name").as("name"), col("s_acctbal").as("bal"),
+            col("s_nationkey").as("nk")).as("info"))
+        val tt = GraftTable.recreate(s, loc, withStruct.schema)
+        // generation 1: even supplier keys, original nested layout
+        GraftWrite.append(tt, withStruct.filter(col("s_suppkey") % 2 === 0).coalesce(1))
+        SchemaUpdate(tt)
+          .renameColumn("info.name", "supplier_name")
+          .updateColumnType("info.nk", LongType)
+          .addColumn("info", "tier", StringType)
+          .commit()
+        // generation 2: odd keys, evolved nested layout with tier populated
+        val evolved = sup.filter(col("s_suppkey") % 2 === 1)
+          .select(col("s_suppkey"),
+            struct(col("s_name").as("supplier_name"), col("s_acctbal").as("bal"),
+              col("s_nationkey").cast(LongType).as("nk"), lit("gold").as("tier")).as("info"))
+        GraftWrite.append(tt, evolved.coalesce(1))
+        tt
+      }
+      t.toDF()
+        .select(col("s_suppkey"), col("info.supplier_name").as("supplier_name"),
+          dbl(col("info.bal")).as("bal"), col("info.nk").as("nk"),
+          coalesce(col("info.tier"), lit("none")).as("tier"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // compaction preserves content (RewriteDataFilesAction)
     "q70_compaction" -> ((s, dir) => {
       val t = withTable(s, dir, "region_compacted") { loc =>
@@ -428,5 +460,11 @@ object FormatQueries {
       """SELECT c_mktsegment, COUNT(*) AS n,
         |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
         |FROM customer WHERE c_custkey % 7 <> 0
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q80_nested_evolution" ->
+      """SELECT s_suppkey, s_name AS supplier_name,
+        |CAST(s_acctbal AS DOUBLE) AS bal, CAST(s_nationkey AS BIGINT) AS nk,
+        |CASE WHEN s_suppkey % 2 = 1 THEN 'gold' ELSE 'none' END AS tier
+        |FROM supplier ORDER BY s_suppkey""".stripMargin)
 }

@@ -39,8 +39,7 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
   override def name(): String = ident
 
   override def schema(): StructType =
-    StructType(scan0.scanSchema.fields.map(f =>
-      f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    Types.cleanType(scan0.scanSchema).asInstanceOf[StructType]
 
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -101,10 +100,25 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     val scan = if (expr == AlwaysTrue) base else base.filter(expr)
     val schema = scan.scanSchema
     val plan = scan.planFiles()
-    def strip(st: StructType) = StructType(st.fields.map(f =>
-      f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    def strip(st: StructType) = Types.cleanType(st).asInstanceOf[StructType]
     val clean = strip(schema)
     val read = requiredSchema.getOrElse(clean)
+
+    // re-attach field ids to a (possibly nested-pruned) clean type by name
+    // against the id-bearing scan schema, so nested id resolution works on
+    // Spark's pruned read schema too
+    def resolveIds(pruned: org.apache.spark.sql.types.DataType,
+        full: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+      (pruned, full) match {
+        case (ps: StructType, fs: StructType) =>
+          StructType(ps.fields.map { pf =>
+            fs.fields.find(_.name == pf.name) match {
+              case Some(ff) => ff.copy(dataType = resolveIds(pf.dataType, ff.dataType))
+              case None => pf
+            }
+          })
+        case _ => pruned
+      }
 
     // position deletes: like equality deletes, only the delete-file PATHS
     // travel in the plan; executors load (file → sorted positions) once per
@@ -176,10 +190,22 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
             else None))
         val renames: Map[String, String] =
           wideTarget.fields.map(f => f.name -> fileName(f)).toMap
+        // nested levels resolve by id too: each read field's type is spelled
+        // with the FILE's nested names (target order/leaf types), so nested
+        // renames are metadata-only and nested adds read as nulls
+        val fileFieldById = fileSchema.fields.map(f => FieldIds.idOf(f) -> f).toMap
+        def fileSide(f: StructField): org.apache.spark.sql.types.DataType = {
+          val idTarget = FieldIds.findById(schema, FieldIds.nameToId(schema)(f.name))
+          (idTarget, idTarget.map(FieldIds.idOf).flatMap(fileFieldById.get)) match {
+            case (Some(tf), Some(ff)) => Types.fileSideType(
+              resolveIds(f.dataType, tf.dataType), ff.dataType)
+            case _ => f.dataType
+          }
+        }
         // the row-index column is synthetic (populated by the reader, never
         // read from the file), so it joins the read schema un-renamed, last
         val groupRead = StructType(wideTarget.fields.map(f =>
-          f.copy(name = renames(f.name), metadata = org.apache.spark.sql.types.Metadata.empty)) ++
+          StructField(renames(f.name), fileSide(f), f.nullable)) ++
           (if (posActive) Seq(StructField(
             // nullable: the column is absent from the FILE (the reader treats
             // it as a missing optional column, then its RowIndexGenerator
@@ -187,11 +213,13 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
             org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
               .ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true))
           else Nil))
-        // file-side full schema: file names with target types where ids align
+        // file-side full schema: file names (all levels) with target types
+        // where ids align; groupRead's structs are subsets of these
         val groupData = strip(StructType(fileSchema.fields.map { ff =>
           val id = FieldIds.idOf(ff)
           FieldIds.findById(schema, id) match {
-            case Some(tf) => ff.copy(dataType = tf.dataType)
+            case Some(tf) =>
+              ff.copy(dataType = Types.fileSideType(tf.dataType, ff.dataType))
             case None => ff
           }
         }))

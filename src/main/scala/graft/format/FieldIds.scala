@@ -13,9 +13,13 @@ import org.apache.spark.sql.types._
   * (spark/.../SparkSchemaUtil.convert:95-124 materializes ids when going
   * Iceberg→Spark).
   *
-  * Top-level fields only carry ids (our tables' data columns); nested types
-  * travel as opaque Spark DataTypes. The reference supports nested-field
-  * evolution too — out of scope for parity with the test surface.
+  * Ids are carried at EVERY struct nesting level (StructField.metadata
+  * survives inside nested StructTypes and round-trips through
+  * StructType.json), which is what makes nested-field evolution —
+  * addColumn(parent,…), nested rename/promote — metadata-only exactly like
+  * the top level (reference api/.../UpdateSchema.java:63-129). Schemas
+  * written before nested ids existed have id-less nested fields; read
+  * alignment falls back to plain casts for those (structHasIds guards).
   */
 object FieldIds {
   val Key = "graft.field-id"
@@ -29,12 +33,38 @@ object FieldIds {
   def hasIds(st: StructType): Boolean =
     st.fields.forall(_.metadata.contains(Key))
 
-  /** Assign ids 1..n in field order (reference TypeUtil.assignFreshIds). */
-  def assignFresh(st: StructType): StructType =
-    StructType(st.fields.zipWithIndex.map { case (f, i) => withId(f, i + 1) })
+  /** True when every field of THIS struct level carries an id (used to
+    * decide whether id-based nested alignment is possible). */
+  def structHasIds(st: StructType): Boolean =
+    st.fields.nonEmpty && st.fields.forall(_.metadata.contains(Key))
 
+  /** Assign fresh ids depth-first to every struct field at every nesting
+    * level (reference TypeUtil.assignFreshIds walks the full type tree). */
+  def assignFresh(st: StructType): StructType = {
+    var next = 0
+    def walk(s: StructType): StructType =
+      StructType(s.fields.map { f =>
+        next += 1
+        val id = next
+        val dt = f.dataType match {
+          case inner: StructType => walk(inner)
+          case other => other
+        }
+        withId(f.copy(dataType = dt), id)
+      })
+    walk(st)
+  }
+
+  /** Max id across ALL nesting levels (nested levels only when id-bearing —
+    * legacy schemas may carry id-less nested fields). */
   def maxId(st: StructType): Int =
-    if (st.fields.isEmpty) 0 else st.fields.map(idOf).max
+    st.fields.foldLeft(0) { (acc, f) =>
+      val nested = f.dataType match {
+        case s: StructType if structHasIds(s) => maxId(s)
+        case _ => 0
+      }
+      math.max(acc, math.max(idOf(f), nested))
+    }
 
   def findById(st: StructType, id: Int): Option[StructField] =
     st.fields.find(f => idOf(f) == id)
@@ -48,8 +78,44 @@ object FieldIds {
   def typeById(st: StructType): Map[Int, DataType] =
     st.fields.map(f => idOf(f) -> f.dataType).toMap
 
-  /** Serialize with ids (StructType.json keeps metadata). */
+  /** Serialize with ids (StructType.json keeps metadata — nested included). */
   def toJson(st: StructType): String = st.json
   def fromJson(s: String): StructType =
     DataType.fromJson(s).asInstanceOf[StructType]
+}
+
+/** Type-tree helpers shared by the library and DSv2 read paths. */
+object Types {
+
+  /** Strip graft metadata from every nesting level. */
+  def cleanType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = cleanType(f.dataType), metadata = Metadata.empty)))
+    case a: ArrayType => a.copy(elementType = cleanType(a.elementType))
+    case m: MapType =>
+      m.copy(keyType = cleanType(m.keyType), valueType = cleanType(m.valueType))
+    case other => other
+  }
+
+  /** FILE-side spelling of a target type: struct levels with ids on both
+    * sides take the file's field NAMES (matched by id) in TARGET order with
+    * target leaf types — so nested renames resolve by id and promoted leaves
+    * read widened; target fields absent from the file keep their target name
+    * (the parquet reader yields nulls for requested-but-missing fields).
+    * Id-less levels (legacy schemas) fall back to the plain target type,
+    * i.e. name matching. */
+  def fileSideType(targetDt: DataType, fileDt: DataType): DataType =
+    (targetDt, fileDt) match {
+      case (ts: StructType, fs: StructType)
+          if FieldIds.structHasIds(ts) && FieldIds.structHasIds(fs) =>
+        val byId = fs.fields.map(f => FieldIds.idOf(f) -> f).toMap
+        StructType(ts.fields.map { tf =>
+          byId.get(FieldIds.idOf(tf)) match {
+            case Some(ff) =>
+              StructField(ff.name, fileSideType(tf.dataType, ff.dataType), tf.nullable)
+            case None => StructField(tf.name, cleanType(tf.dataType), nullable = true)
+          }
+        })
+      case _ => cleanType(targetDt)
+    }
 }

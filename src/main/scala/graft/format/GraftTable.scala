@@ -1,6 +1,6 @@
 package graft.format
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -193,22 +193,46 @@ final class TableScan private[format] (
     }
 
   private def stripIds(st: StructType): StructType =
-    StructType(st.fields.map(f => f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    Types.cleanType(st).asInstanceOf[StructType]
 
   /** Rename/add columns so an old-schema read matches the scan schema —
-    * id-based resolution (reference SparkSchemaUtil.prune / NameMapping). */
+    * id-based resolution at EVERY struct level (reference
+    * SparkSchemaUtil.prune / NameMapping; nested per UpdateSchema.java's
+    * nested evolution). */
   private def alignToSchema(df: DataFrame, fileSchema: StructType,
       target: StructType): DataFrame = {
-    val fileById = FieldIds.idToName(fileSchema)
+    val fileById = fileSchema.fields.map(f => FieldIds.idOf(f) -> f).toMap
     val cols = target.fields.map { tf =>
-      val id = FieldIds.idOf(tf)
-      fileById.get(id) match {
-        case Some(oldName) => col(oldName).cast(tf.dataType).as(tf.name)
-        case None => lit(null).cast(tf.dataType).as(tf.name) // added column
+      fileById.get(FieldIds.idOf(tf)) match {
+        case Some(ff) => alignCol(col(ff.name), ff.dataType, tf.dataType).as(tf.name)
+        case None => lit(null).cast(Types.cleanType(tf.dataType)).as(tf.name) // added column
       }
     }
     df.select(cols.toSeq: _*)
   }
+
+  /** Align one file-side column to its target type: struct levels with ids
+    * on both sides rebuild field-by-field by id (nested rename = pick by
+    * id, nested add = null, nested promote = cast); anything else is a
+    * plain cast (also the legacy fallback for id-less nested fields). */
+  private def alignCol(src: Column, fileDt: DataType, targetDt: DataType): Column =
+    (fileDt, targetDt) match {
+      case (fs: StructType, ts: StructType)
+          if FieldIds.structHasIds(fs) && FieldIds.structHasIds(ts) =>
+        val byId = fs.fields.map(f => FieldIds.idOf(f) -> f).toMap
+        val parts = ts.fields.map { tf =>
+          byId.get(FieldIds.idOf(tf)) match {
+            case Some(ff) =>
+              alignCol(src.getField(ff.name), ff.dataType, tf.dataType).as(tf.name)
+            case None => lit(null).cast(Types.cleanType(tf.dataType)).as(tf.name)
+          }
+        }
+        // struct() of nulls is a non-null struct — preserve struct-level nulls
+        when(src.isNotNull, struct(parts.toSeq: _*))
+          .otherwise(lit(null))
+          .cast(Types.cleanType(ts))
+      case _ => src.cast(Types.cleanType(targetDt))
+    }
 
   /** Equality deletes for ONE (schema, seq) group (reference
     * EqualitySetDeleteFilter, core/.../deletes/Deletes.java:128): anti-join

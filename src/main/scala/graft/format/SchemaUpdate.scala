@@ -7,67 +7,122 @@ import org.apache.spark.sql.types._
   * promotion rules api/.../types/TypeUtil.java:189 isPromotionAllowed:
   * int→long, float→double, decimal precision widen at same scale).
   *
-  * Each commit adds a NEW schema id; existing data files keep their
-  * schema-id and are re-mapped on read by field id (TableScan.alignToSchema).
+  * Columns at ANY nesting depth are addressed by dot path (`"addr.zip"`),
+  * matching the reference's nested evolution surface
+  * (api/.../UpdateSchema.java:63-129: addColumn(parent, name, type), nested
+  * rename/update/delete/move). Each commit adds a NEW schema id; existing
+  * data files keep their schema-id and are re-mapped on read by field id at
+  * every struct level (TableScan.alignToSchema, connector fileSideType).
   */
 final case class SchemaUpdate(table: GraftTable) {
   private var ops: Seq[StructType => StructType] = Nil
-  private var newColumns: Seq[(String, DataType, Boolean, Option[String])] = Nil
+  // (parent path — Nil = top level, name, type, nullable, doc); ids are
+  // assigned at commit so concurrent builders can't collide
+  private var newColumns: Seq[(Seq[String], String, DataType, Boolean, Option[String])] = Nil
 
+  private def split(path: String): Seq[String] = path.split('.').toSeq
+
+  /** Apply `op` to the struct at `path` (Nil = the schema root); every
+    * segment must name a struct-typed field. */
+  private def atPath(st: StructType, path: Seq[String])
+      (op: StructType => StructType): StructType =
+    if (path.isEmpty) op(st)
+    else {
+      require(st.fieldNames.contains(path.head), s"no column ${path.head}")
+      StructType(st.fields.map { f =>
+        if (f.name != path.head) f
+        else f.dataType match {
+          case inner: StructType => f.copy(dataType = atPath(inner, path.tail)(op))
+          case other => throw new IllegalArgumentException(
+            s"${path.head} is not a struct (found $other)")
+        }
+      })
+    }
+
+  /** Add a column; a dotted `name` ("who.zip") adds inside that struct. */
   def addColumn(name: String, dt: DataType, nullable: Boolean = true,
       doc: Option[String] = None): SchemaUpdate = {
-    newColumns = newColumns :+ ((name, dt, nullable, doc)); this
+    val path = split(name)
+    newColumns = newColumns :+ ((path.init, path.last, dt, nullable, doc)); this
   }
 
+  /** Add a column INSIDE the struct at `parent` (dot path) — reference
+    * UpdateSchema.addColumn(parent, name, type). */
+  def addColumn(parent: String, name: String, dt: DataType): SchemaUpdate = {
+    newColumns = newColumns :+ ((split(parent), name, dt, true, None)); this
+  }
+
+  /** Rename the (possibly nested) column at `from`; `to` is the bare new
+    * name — the field keeps its id, so data files never rewrite. */
   def renameColumn(from: String, to: String): SchemaUpdate = {
+    val path = split(from)
+    require(!to.contains("."), s"new name must be unqualified: $to")
     ops = ops :+ { st: StructType =>
-      require(st.fieldNames.contains(from), s"no column $from")
-      require(!st.fieldNames.contains(to), s"column $to exists")
-      StructType(st.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+      atPath(st, path.init) { s =>
+        require(s.fieldNames.contains(path.last), s"no column $from")
+        require(!s.fieldNames.contains(to), s"column $to exists")
+        StructType(s.fields.map(f =>
+          if (f.name == path.last) f.copy(name = to) else f))
+      }
     }
     this
   }
 
   def updateColumnType(name: String, to: DataType): SchemaUpdate = {
+    val path = split(name)
     ops = ops :+ { st: StructType =>
-      StructType(st.fields.map { f =>
-        if (f.name != name) f
-        else {
-          require(promotionAllowed(f.dataType, to),
-            s"cannot promote ${f.dataType} to $to")
-          f.copy(dataType = to)
-        }
-      })
+      atPath(st, path.init) { s =>
+        require(s.fieldNames.contains(path.last), s"no column $name")
+        StructType(s.fields.map { f =>
+          if (f.name != path.last) f
+          else {
+            require(promotionAllowed(f.dataType, to),
+              s"cannot promote ${f.dataType} to $to")
+            f.copy(dataType = to)
+          }
+        })
+      }
     }
     this
   }
 
   def makeColumnOptional(name: String): SchemaUpdate = {
+    val path = split(name)
     ops = ops :+ { st: StructType =>
-      StructType(st.fields.map(f => if (f.name == name) f.copy(nullable = true) else f))
+      atPath(st, path.init)(s => StructType(s.fields.map(f =>
+        if (f.name == path.last) f.copy(nullable = true) else f)))
     }
     this
   }
 
   def deleteColumn(name: String): SchemaUpdate = {
+    val path = split(name)
     ops = ops :+ { st: StructType =>
-      require(st.fieldNames.contains(name), s"no column $name")
-      StructType(st.fields.filterNot(_.name == name))
+      atPath(st, path.init) { s =>
+        require(s.fieldNames.contains(path.last), s"no column $name")
+        StructType(s.fields.filterNot(_.name == path.last))
+      }
     }
     this
   }
 
-  def moveFirst(name: String): SchemaUpdate = move(name, st => 0)
-  def moveAfter(name: String, after: String): SchemaUpdate =
-    move(name, st => st.fieldNames.indexOf(after) + 1)
+  def moveFirst(name: String): SchemaUpdate = move(name, _ => 0)
+  def moveAfter(name: String, after: String): SchemaUpdate = {
+    require(split(name).init == split(after).init,
+      s"cannot move $name after $after: different parents")
+    move(name, st => st.fieldNames.indexOf(split(after).last) + 1)
+  }
 
   private def move(name: String, pos: StructType => Int): SchemaUpdate = {
+    val path = split(name)
     ops = ops :+ { st: StructType =>
-      val f = st.fields.find(_.name == name)
-        .getOrElse(throw new IllegalArgumentException(s"no column $name"))
-      val without = st.fields.filterNot(_.name == name)
-      val i = math.min(pos(StructType(without)), without.length)
-      StructType((without.take(i) :+ f) ++ without.drop(i))
+      atPath(st, path.init) { s =>
+        val f = s.fields.find(_.name == path.last)
+          .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+        val without = s.fields.filterNot(_.name == path.last)
+        val i = math.min(pos(StructType(without)), without.length)
+        StructType((without.take(i) :+ f) ++ without.drop(i))
+      }
     }
     this
   }
@@ -87,13 +142,26 @@ final case class SchemaUpdate(table: GraftTable) {
       var st = m.schema
       ops.foreach(op => st = op(st))
       var lastId = math.max(m.lastColumnId, FieldIds.maxId(st))
-      newColumns.foreach { case (name, dt, nullable, doc) =>
-        require(!st.fieldNames.contains(name), s"column $name exists")
+      newColumns.foreach { case (parent, name, dt0, nullable, doc) =>
         lastId += 1
+        val fieldId = lastId
+        // a struct-typed added column needs ids on ITS fields too
+        def walk(x: StructType): StructType = StructType(x.fields.map { f =>
+          lastId += 1
+          val id = lastId
+          val inner = f.dataType match { case i: StructType => walk(i); case o => o }
+          FieldIds.withId(f.copy(dataType = inner), id)
+        })
+        val dt = dt0 match { case s: StructType => walk(s); case o => o }
         val base = StructField(name, dt, nullable)
         val withDoc = doc.map(d => base.copy(metadata =
           new MetadataBuilder().putString("comment", d).build())).getOrElse(base)
-        st = StructType(st.fields :+ FieldIds.withId(withDoc, lastId))
+        val field = FieldIds.withId(withDoc, fieldId)
+        st = atPath(st, parent) { s =>
+          require(!s.fieldNames.contains(name),
+            s"column ${(parent :+ name).mkString(".")} exists")
+          StructType(s.fields :+ field)
+        }
       }
       val newSchemaId = m.schemas.keys.max + 1
       m.copy(

@@ -214,6 +214,29 @@ class CatalogSpec extends SparkSpec {
     assert(old.collect().map(_.getString(1)).toSeq == Seq("x"))
   }
 
+  test("nested evolution through SQL: rename/add/promote inside structs") {
+    wh
+    spark.sql("""CREATE TABLE g.db.nest (id BIGINT,
+                 who STRUCT<name: STRING, num: INT>)""")
+    spark.sql("INSERT INTO g.db.nest VALUES (1, named_struct('name', 'alice', 'num', 10))")
+    spark.sql("ALTER TABLE g.db.nest RENAME COLUMN who.name TO full_name")
+    spark.sql("ALTER TABLE g.db.nest ADD COLUMN who.zip INT")
+    spark.sql("ALTER TABLE g.db.nest ALTER COLUMN who.num TYPE BIGINT")
+    // old file reads through nested rename/add/promote by id
+    val r = spark.sql("SELECT id, who.full_name, who.num, who.zip FROM g.db.nest").collect().head
+    assert(r.getString(1) == "alice" && r.getLong(2) == 10L && r.isNullAt(3))
+    // new generation writes the evolved struct; both generations align
+    spark.sql("INSERT INTO g.db.nest VALUES (2, named_struct('full_name', 'bob', 'num', CAST(20 AS BIGINT), 'zip', 94000))")
+    val out = spark.sql(
+      "SELECT id, who.full_name, who.num, who.zip FROM g.db.nest ORDER BY id").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("alice", "bob"))
+    assert(out.map(_.getLong(2)).toSeq == Seq(10L, 20L))
+    assert(out(0).isNullAt(3) && out(1).getInt(3) == 94000)
+    // whole-struct select keeps target field names
+    assert(spark.sql("SELECT who FROM g.db.nest WHERE id = 1").collect()
+      .head.getStruct(0).getString(0) == "alice")
+  }
+
   test("FunctionCatalog: system.bucket/days agree with partition placement") {
     wh
     // golden: bucket(16, 34) = (2017239379 & MaxInt) % 16 (TestBucketing)

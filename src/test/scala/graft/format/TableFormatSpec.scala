@@ -163,6 +163,51 @@ class TableFormatSpec extends SparkSpec {
     assert(t.toDF().where($"payload" === "p-new").select("score").as[Double].head() == 0.5)
   }
 
+  test("nested schema evolution: addColumn(parent), nested rename/promote by id (UpdateSchema.java:63-129)") {
+    val loc = freshLoc("nestevo")
+    val df0 = Seq((1L, ("alice", 10, "a1")), (2L, ("bob", 20, "b2")))
+      .toDF("id", "who")
+      .select($"id", $"who".cast("struct<name:string,num:int,addr:string>").as("who"))
+    val t = GraftTable.create(spark, loc, df0.schema)
+    GraftWrite.append(t, df0.coalesce(1))
+    // nested rename + nested promote + add INSIDE the struct + add nested struct
+    SchemaUpdate(t)
+      .renameColumn("who.name", "full_name")
+      .updateColumnType("who.num", LongType)
+      .addColumn("who", "zip", IntegerType)
+      .addColumn("geo", new StructType()
+        .add("lat", DoubleType).add("lon", DoubleType))
+      .commit()
+    val out1 = t.toDF()
+    assert(out1.schema("who").dataType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("full_name", "num", "addr", "zip"))
+    assert(out1.schema("who").dataType.asInstanceOf[StructType]("num").dataType == LongType)
+    // old file reads through the rename/promote/add by id
+    assert(out1.select($"who.full_name").as[String].collect().sorted.toSeq ==
+      Seq("alice", "bob"))
+    assert(out1.select($"who.num").as[Long].collect().sorted.toSeq == Seq(10L, 20L))
+    assert(out1.select($"who.zip").collect().forall(_.isNullAt(0)))
+    assert(out1.select($"geo").collect().forall(_.isNullAt(0)))
+    // write with the NEW schema; generations align
+    val df1 = Seq((3L, ("carol", 30L, "c3", 94000), (1.5, 2.5)))
+      .toDF("id", "who", "geo")
+      .select($"id",
+        $"who".cast("struct<full_name:string,num:bigint,addr:string,zip:int>").as("who"),
+        $"geo".cast("struct<lat:double,lon:double>").as("geo"))
+    GraftWrite.append(t, df1.coalesce(1))
+    val out2 = t.toDF()
+    assert(out2.count() == 3)
+    assert(out2.where($"who.zip" === 94000).select($"who.full_name").as[String].head() == "carol")
+    assert(out2.where($"id" === 1L).select($"who.num").as[Long].head() == 10L)
+    assert(out2.where($"id" === 3L).select($"geo.lat").as[Double].head() == 1.5)
+    // nested delete: addr disappears from both generations
+    SchemaUpdate(t).deleteColumn("who.addr").commit()
+    val out3 = t.toDF()
+    assert(out3.schema("who").dataType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("full_name", "num", "zip"))
+    assert(out3.count() == 3)
+  }
+
   test("expire snapshots reports orphaned files") {
     val loc = freshLoc("exp")
     val t = GraftTable.create(spark, loc, rows(2).schema)
