@@ -370,6 +370,24 @@ object FormatQueries {
         .orderBy(col("s_suppkey"))
     }),
 
+    // partitioned hive-layout import (SparkTableUtil.java:569-631): files
+    // referenced in place; the partition column exists only in directory
+    // names and is filled from partition tuples on read; pruning fires on
+    // the imported tuples
+    "q81_partitioned_import" -> ((s, dir) => {
+      val t = withTable(s, dir, "orders_imported") { loc =>
+        val src = s"$loc-src"
+        s.read.parquet(s"$dir/orders.parquet")
+          .write.mode("overwrite").partitionBy("o_orderpriority").parquet(src)
+        GraftWrite.importParquet(s, loc, src)
+      }
+      t.toDF()
+        .where(col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // compaction preserves content (RewriteDataFilesAction)
     "q70_compaction" -> ((s, dir) => {
       val t = withTable(s, dir, "region_compacted") { loc =>
@@ -466,5 +484,11 @@ object FormatQueries {
       """SELECT s_suppkey, s_name AS supplier_name,
         |CAST(s_acctbal AS DOUBLE) AS bal, CAST(s_nationkey AS BIGINT) AS nk,
         |CASE WHEN s_suppkey % 2 = 1 THEN 'gold' ELSE 'none' END AS tier
-        |FROM supplier ORDER BY s_suppkey""".stripMargin)
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q81_partitioned_import" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

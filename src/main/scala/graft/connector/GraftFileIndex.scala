@@ -1,9 +1,12 @@
 package graft.connector
 
-import graft.format.DataFile
+import graft.format.{DataFile, Values}
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.datasources.{FileStatusCache, PartitionSpec => SparkPartitionSpec, PartitioningAwareFileIndex}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, PartitionDirectory, PartitionSpec => SparkPartitionSpec, PartitioningAwareFileIndex}
+import org.apache.spark.sql.types.StructType
 import scala.collection.mutable.LinkedHashMap
 
 /** FileIndex fed directly from manifest metadata — no driver-side listing or
@@ -12,17 +15,42 @@ import scala.collection.mutable.LinkedHashMap
   * single node using metadata only): file sizes come from the committed
   * DataFiles, so planning cost is O(matching manifest entries) instead of
   * O(files) filesystem RPCs — the difference between milliseconds and
-  * minutes against an object store with millions of files. */
-final class GraftFileIndex(spark: SparkSession, files: Seq[DataFile])
+  * minutes against an object store with millions of files.
+  *
+  * When `partSchema` is non-empty the index also SERVES partition values:
+  * files group by their identity-partition tuple and Spark's parquet
+  * readers append those columns as constants (the reference's
+  * PartitionUtil.constantsMap — how identity-partitioned columns read when
+  * they are not stored in the data files, e.g. imported hive layouts). */
+final class GraftFileIndex(spark: SparkSession, files: Seq[DataFile],
+    partSchema: StructType = StructType(Nil),
+    partValues: DataFile => Seq[Any] = _ => Nil)
   extends PartitioningAwareFileIndex(spark, Map.empty,
     None, FileStatusCache.getOrCreate(spark)) {
 
-  private val statuses: Seq[FileStatus] = files.map { f =>
-    new FileStatus(f.fileSizeInBytes, false, 1, 128L * 1024 * 1024, 0L,
+  private val statusOf: Map[String, FileStatus] = files.map { f =>
+    f.path -> new FileStatus(f.fileSizeInBytes, false, 1, 128L * 1024 * 1024, 0L,
       new HPath("file://" + f.path))
-  }
+  }.toMap
 
-  override def partitionSpec(): SparkPartitionSpec = SparkPartitionSpec.emptySpec
+  private def statuses: Seq[FileStatus] = files.map(f => statusOf(f.path))
+
+  // partition columns must be declared for FileScan's readPartitionSchema
+  // validation; the actual (values → files) grouping comes from listFiles
+  override def partitionSpec(): SparkPartitionSpec =
+    if (partSchema.fields.isEmpty) SparkPartitionSpec.emptySpec
+    else SparkPartitionSpec(partSchema, Nil)
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    if (partSchema.fields.isEmpty) super.listFiles(partitionFilters, dataFilters)
+    else files.groupBy(partValues).toSeq.sortBy(_._1.mkString("/"))
+      .map { case (vals, fs) =>
+        val row = InternalRow.fromSeq(vals.zip(partSchema.fields).map {
+          case (v, f) => Values.toCatalyst(v, f.dataType)
+        })
+        PartitionDirectory(row, fs.map(f => statusOf(f.path)).toArray)
+      }
 
   override def leafFiles: LinkedHashMap[HPath, FileStatus] =
     LinkedHashMap(statuses.map(s => s.getPath -> s): _*)

@@ -147,13 +147,39 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
           EqDeleteSet(names, seq, group.map(_._1.path).sorted)
         }
 
+    // identity-partition source columns physically absent from at least one
+    // file generation (imported hive layouts store them only in directory
+    // names): served as Spark PARTITION values for EVERY group — constant
+    // column vectors appended by Spark's own readers, the reference's
+    // PartitionUtil.constantsMap — so all generations share one layout.
+    val m = table.metadata
+    val identPartName: Map[String, String] = // target col name → tuple key
+      m.specs.values.flatMap(_.fields.filter(_.transform == Transforms.IdentityT))
+        .flatMap(pf => FieldIds.findById(schema, pf.sourceId).map(_.name -> pf.name))
+        .toMap
+    val usedSchemas = plan.tasks.map(_.file.schemaId).distinct
+      .map(id => m.schemas.getOrElse(id, schema))
+    val partServe: Seq[StructField] = read.fields.toSeq.filter { f =>
+      identPartName.contains(f.name) && {
+        val id = FieldIds.nameToId(schema).get(f.name)
+        id.exists(i => usedSchemas.exists(
+          fs => !fs.fields.exists(ff => FieldIds.idOf(ff) == i)))
+      }
+    }
+    if (partServe.nonEmpty && (eqDeletes.nonEmpty || posActive))
+      throw new UnsupportedOperationException(
+        "row-level deletes are not supported on tables whose identity-partition " +
+        "columns are metadata-only (imported hive layouts); rewrite the files first")
+    val partServeNames = partServe.map(_.name).toSet
+    val partSchema = StructType(partServe.map(f =>
+      StructField(f.name, Types.cleanType(f.dataType), nullable = true)))
+
     // one ParquetScan per writer-schema generation: columns are re-mapped to
     // each generation's *file* names by field id (id-based resolution, the
     // heart of metadata-only rename — SURVEY §1.2), and the readDataSchema
     // keeps the TARGET column order so every generation produces identical
     // InternalRow/ColumnarBatch layouts. With live equality deletes, tasks
     // also split by sequence number (seqKey) so delete recency is resolvable.
-    val m = table.metadata
     val groups = plan.tasks
       .groupBy(t => (t.file.schemaId, if (eqDeletes.isEmpty) 0L else t.sequenceNumber))
       .toSeq.sortBy(_._1).map { case ((schemaId, seqKey), tasks) =>
@@ -203,9 +229,12 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
           }
         }
         // the row-index column is synthetic (populated by the reader, never
-        // read from the file), so it joins the read schema un-renamed, last
-        val groupRead = StructType(wideTarget.fields.map(f =>
-          StructField(renames(f.name), fileSide(f), f.nullable)) ++
+        // read from the file), so it joins the read schema un-renamed, last;
+        // partition-served columns leave the DATA schema entirely (they are
+        // appended by Spark as partition constants, after the data columns)
+        val groupRead = StructType(wideTarget.fields
+          .filterNot(f => partServeNames.contains(f.name)).map(f =>
+            StructField(renames(f.name), fileSide(f), f.nullable)) ++
           (if (posActive) Seq(StructField(
             // nullable: the column is absent from the FILE (the reader treats
             // it as a missing optional column, then its RowIndexGenerator
@@ -223,15 +252,35 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
             case None => ff
           }
         }))
-        val groupFilters = pushed.flatMap(f => renameFilter(f, renames))
+        // filters on partition-served columns can't reach parquet (the
+        // column isn't in the files) — they stay Spark-side residuals over
+        // the appended constants; partition PRUNING already fired in
+        // planFiles
+        val groupFilters = pushed
+          .filter(_.references.forall(r => !partServeNames.contains(r)))
+          .flatMap(f => renameFilter(f, renames))
         // manifest-fed index: no listing/stat calls at plan time
-        val index = new GraftFileIndex(spark, tasks.map(_.file))
+        val index = new GraftFileIndex(spark, tasks.map(_.file), partSchema,
+          df => {
+            val sp = m.specs(df.specId)
+            partServe.map(f => sp.fields.find(pf =>
+                pf.transform == Transforms.IdentityT &&
+                FieldIds.findById(schema, pf.sourceId).exists(_.name == f.name))
+              .map(pf => df.partition.getOrElse(pf.name, null)).getOrElse(null))
+          })
         (ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
           dataSchema = groupData, readDataSchema = groupRead,
-          readPartitionSchema = StructType(Nil),
+          readPartitionSchema = partSchema,
           pushedFilters = groupFilters, options = options), deletes)
     }
-    new GraftScan(read, groups.map(_._1), plan, spark, table, options,
+    // declared output = physical layout: data columns (minus partition-
+    // served) then partition-served columns — Spark re-projects above by
+    // attribute, so order differences from the pruned request are fine
+    val output =
+      if (partServe.isEmpty) read
+      else StructType(read.fields.filterNot(f => partServeNames.contains(f.name)) ++
+        partSchema.fields)
+    new GraftScan(output, groups.map(_._1), plan, spark, table, options,
       groups.map(_._2))
   }
 

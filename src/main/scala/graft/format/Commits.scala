@@ -106,7 +106,12 @@ object Commits {
       val (seq, snapId) = nextIds(m)
       val entries = newFiles.map(f =>
         ManifestEntry(EntryStatus.Added, snapId, seq,
-          f.copy(schemaId = m.currentSchemaId, specId = m.defaultSpecId)))
+          // a file keeps its declared schema generation when it is a
+          // RECORDED one (imported files point at the physical file schema,
+          // not the current table schema); unknown ids normalize to current
+          f.copy(schemaId =
+            if (m.schemas.contains(f.schemaId)) f.schemaId else m.currentSchemaId,
+            specId = m.defaultSpecId)))
       val mf = writeManifest(table, m, m.defaultSpecId, entries, snapId)
       buildSnapshot(table, m, "append", currentManifests(table, m) :+ mf, summary)
   }

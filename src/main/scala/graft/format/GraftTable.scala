@@ -164,13 +164,39 @@ final class TableScan private[format] (
     // literal map in every equality-delete read)
     val grouped = plan.tasks.groupBy(t =>
       (t.file.schemaId, if (eqDeletes.isEmpty) 0L else t.sequenceNumber))
-    val parts = grouped.toSeq.sortBy(_._1).map { case ((schemaId, seq), tasks) =>
+    val parts = grouped.toSeq.sortBy(_._1).flatMap { case ((schemaId, seq), tasks) =>
       val fileSchema = m.schemas.getOrElse(schemaId, schema)
-      val raw = spark.read.schema(stripIds(fileSchema))
-        .parquet(tasks.map(_.file.path): _*)
-      val aligned = alignToSchema(raw, fileSchema, schema)
+      def readTasks(ts: Seq[FileScanTask]): DataFrame = {
+        val raw = spark.read.schema(stripIds(fileSchema))
+          .parquet(ts.map(_.file.path): _*)
+        alignToSchema(raw, fileSchema, schema)
+      }
+      // identity-partition source columns absent from the FILES (imported
+      // hive layouts — the column lives only in directory names / partition
+      // tuples): sub-group by tuple value and fill as typed literals, the
+      // library-path analog of the reference's PartitionUtil.constantsMap
+      val fileIds = fileSchema.fields.map(FieldIds.idOf).toSet
+      val fills = schema.fields.toSeq
+        .filter(tf => !fileIds.contains(FieldIds.idOf(tf)))
+        .filter(tf => m.specs.values.exists(_.fields.exists(pf =>
+          pf.sourceId == FieldIds.idOf(tf) && pf.transform == Transforms.IdentityT)))
+      val subs: Seq[DataFrame] =
+        if (fills.isEmpty) Seq(readTasks(tasks))
+        else tasks.groupBy { ts =>
+          val sp = m.specs(ts.file.specId)
+          fills.map(tf => sp.fields.find(pf =>
+              pf.sourceId == FieldIds.idOf(tf) && pf.transform == Transforms.IdentityT)
+            .map(pf => ts.file.partition.getOrElse(pf.name, null)).getOrElse(null))
+        }.toSeq.sortBy(_._1.mkString("/")).map { case (vals, sub) =>
+          fills.zip(vals).foldLeft(readTasks(sub)) { case (d, (tf, v)) =>
+            // alignToSchema emitted a null column in target position;
+            // withColumn replaces it in place, preserving column order
+            d.withColumn(tf.name,
+              Values.toLiteral(v, Types.cleanType(tf.dataType)))
+          }
+        }
       // only delete sets NEWER than this group's files apply to it
-      applyEqDeletes(aligned, eqDeletes.filter(_._2 > seq), schema)
+      subs.map(df0 => applyEqDeletes(df0, eqDeletes.filter(_._2 > seq), schema))
     }
     var df = parts.reduce(_ unionByName _)
 

@@ -127,36 +127,128 @@ object GraftWrite {
     Commits.overwriteByFilter(table, AlwaysTrue, writeFiles(table, df))
 
   /** Import an existing parquet table as a snapshot — the reference's
-    * SparkTableUtil.importSparkTable (spark/.../SparkTableUtil.java:501):
+    * SparkTableUtil.importSparkTable (spark/.../SparkTableUtil.java:501-631):
     * files are referenced in place, never rewritten; stats come from footers.
-    */
+    *
+    * Hive-style partitioned layouts (`k=v` directories,
+    * SparkTableUtil.java:569-631) import as identity-partitioned tables.
+    * The partition columns exist only in directory names, not in the data
+    * files, so the table records TWO schemas: schema 0 = the physical file
+    * schema (imported files point at it) and schema 1 = current, with the
+    * partition columns appended LAST. Read paths fill the missing identity
+    * columns from each file's partition tuple (the reference's
+    * PartitionUtil.constantsMap).
+    *
+    * Ids honor a `schema.name-mapping.default` property if supplied
+    * (NameMapping — stable ids for id-less external files); the resolved
+    * mapping is always recorded on the table so later evolution and
+    * re-imports keep the same ids. */
   def importParquet(spark: org.apache.spark.sql.SparkSession, location: String,
       parquetPath: String,
       properties: Map[String, String] = Map.empty): GraftTable = {
-    val df = spark.read.parquet(parquetPath)
-    // imported files are not laid out by any spec → unpartitioned table
-    val table = GraftTable.recreate(spark, location, df.schema, identity, properties)
-    val m = table.metadata
-    val schema = m.schema
-    val p = Paths.get(parquetPath)
+    val root = Paths.get(parquetPath)
     val files =
-      (if (Files.isDirectory(p))
-        Files.walk(p).iterator().asScala
+      (if (Files.isDirectory(root))
+        Files.walk(root).iterator().asScala
           .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f)).toSeq
-      else Seq(p)).sortBy(_.toString)
-    // stats for an import are a Spark job over the imported files — the
-    // reference distributes exactly this (SparkTableUtil.importSparkTable)
-    val metricsByPath = Metrics.forFiles(spark, files.map(_.toString), schema)
+      else Seq(root)).sortBy(_.toString)
+    require(files.nonEmpty, s"no parquet files under $parquetPath")
+
+    // hive-style partition segments (k=v) of each file, relative to root
+    def segsOf(f: Path): Seq[(String, String)] = {
+      val rel = root.relativize(f)
+      (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
+        .filter(_.contains('='))
+        .map { seg =>
+          val eq = seg.indexOf('=')
+          seg.substring(0, eq) ->
+            java.net.URLDecoder.decode(seg.substring(eq + 1), "UTF-8")
+        }
+    }
+    val firstSegs = segsOf(files.head)
+    val partCols = firstSegs.map(_._1)
+    require(files.forall(f => segsOf(f).map(_._1) == partCols),
+      s"inconsistent partition layout under $parquetPath")
+
+    // full inferred schema: Spark appends inferred partition columns LAST —
+    // the order the read-path fill relies on
+    val inferred = spark.read.parquet(parquetPath).schema
+    val mapping = properties.get(NameMapping.PropertyKey).map(NameMapping.fromJson)
+    def withIds(st: org.apache.spark.sql.types.StructType, lastId: Int) =
+      mapping.map(_.applyTo(st, lastId)).getOrElse {
+        var next = lastId
+        org.apache.spark.sql.types.StructType(st.fields.map { f =>
+          next += 1; FieldIds.withId(f, next)
+        })
+      }
+
+    if (partCols.isEmpty) {
+      val schemaIds = withIds(inferred, 0)
+      val table = GraftTable.recreate(spark, location, schemaIds, identity,
+        properties + (NameMapping.PropertyKey ->
+          NameMapping.fromSchema(schemaIds).toJson))
+      appendImported(spark, table, files, table.metadata.schema,
+        table.metadata.currentSchemaId, _ => Map.empty)
+      table
+    } else {
+      val physicalRaw = org.apache.spark.sql.types.StructType(
+        inferred.fields.filterNot(f => partCols.contains(f.name)))
+      val physical = withIds(physicalRaw, 0)
+      val partFields = org.apache.spark.sql.types.StructType(
+        inferred.fields.filter(f => partCols.contains(f.name)))
+      val full = org.apache.spark.sql.types.StructType(
+        physical.fields ++ withIds(partFields, FieldIds.maxId(physical)).fields)
+      val spec = partCols.foldLeft(PartitionSpec.builderFor(full))(
+        (b, c) => b.identity(c)).build(0)
+      val now = System.currentTimeMillis()
+      val meta = TableMetadata(
+        formatVersion = 2,
+        tableUuid = java.util.UUID.randomUUID().toString,
+        location = location,
+        lastSequenceNumber = 0L,
+        lastUpdatedMillis = now,
+        lastColumnId = FieldIds.maxId(full),
+        currentSchemaId = 1,
+        schemas = Map(0 -> physical, 1 -> full),
+        defaultSpecId = 0,
+        specs = Map(0 -> spec),
+        properties = properties +
+          (NameMapping.PropertyKey -> NameMapping.fromSchema(full).toJson),
+        currentSnapshotId = None,
+        snapshots = Nil,
+        snapshotLog = Nil)
+      val dir = Paths.get(location)
+      if (Files.exists(dir))
+        Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+      val ops = new TableOps(location)
+      ops.commit(0, meta)
+      val table = new GraftTable(ops, spark)
+      val types = spec.resultTypes(full).toMap
+      appendImported(spark, table, files, physical, 0,
+        f => segsOf(f).map { case (k, v) =>
+          k -> Values.fromHiveDirString(v, types(k))
+        }.toMap)
+      table
+    }
+  }
+
+  /** Footer-stat + commit step shared by both import shapes: stats run as a
+    * distributed job (the reference distributes exactly this). */
+  private def appendImported(spark: org.apache.spark.sql.SparkSession,
+      table: GraftTable, files: Seq[Path],
+      statSchema: org.apache.spark.sql.types.StructType, schemaId: Int,
+      tupleOf: Path => Map[String, Any]): Unit = {
+    val metricsByPath = Metrics.forFiles(spark, files.map(_.toString), statSchema)
     val dataFiles = files.map { f =>
       val fm = metricsByPath(f.toString)
-      DataFile(path = f.toString, partition = Map.empty,
+      DataFile(path = f.toString, partition = tupleOf(f),
         recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
-        schemaId = m.currentSchemaId, specId = m.defaultSpecId,
+        schemaId = schemaId, specId = table.metadata.defaultSpecId,
         valueCounts = fm.valueCounts, nullValueCounts = fm.nullValueCounts,
         lowerBounds = fm.lowerBounds, upperBounds = fm.upperBounds,
         splitOffsets = fm.splitOffsets)
     }
     Commits.fastAppend(table, dataFiles)
-    table
   }
 }

@@ -64,4 +64,48 @@ object Values {
       case t => throw new IllegalArgumentException(s"cannot parse partition $t")
     }
   }
+
+  /** Parse an EXTERNAL hive dir value (as Spark/Hive render them — dates as
+    * `2024-01-01`, not our canonical day ordinals) to a canonical value.
+    * Used by partitioned table import (SparkTableUtil.java:569-631). */
+  def fromHiveDirString(s: String, dt: DataType): Any = {
+    if (s == "__HIVE_DEFAULT_PARTITION__") return null
+    dt match {
+      case DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
+      case TimestampType | TimestampNTZType => throw new IllegalArgumentException(
+        "timestamp-partitioned imports are not supported; re-partition by date")
+      case other => fromDirString(s, other)
+    }
+  }
+
+  /** Canonical value → Catalyst internal value (partition values served
+    * through the DSv2 FileIndex ride InternalRows). */
+  def toCatalyst(v: Any, dt: DataType): Any =
+    if (v == null) null
+    else dt match {
+      case StringType =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(v.asInstanceOf[String])
+      case d: DecimalType =>
+        Decimal(v.asInstanceOf[java.math.BigDecimal])
+      case _ => v // Int/Long/Double/Float/Boolean; date days; ts micros
+    }
+
+  /** Canonical value → typed Column literal (library-path partition fill). */
+  def toLiteral(v: Any, dt: DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    if (v == null) return lit(null).cast(dt)
+    dt match {
+      case DateType =>
+        lit(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      case TimestampType =>
+        val us = v.asInstanceOf[Long]
+        lit(java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L) * 1000L))
+      case TimestampNTZType =>
+        val us = v.asInstanceOf[Long]
+        lit(java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
+      case other => lit(v).cast(other)
+    }
+  }
 }
