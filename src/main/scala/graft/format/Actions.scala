@@ -20,10 +20,18 @@ object Actions {
   final case class ExpireResult(expiredSnapshots: Int, deletedFiles: Int)
   final case class OrphanResult(deletedOrphans: Seq[String])
 
-  /** One compaction bin as shipped to an executor task: input files, the
-    * read schema (file-side names, current order/types), output path. */
-  final case class BinTask(id: Int, paths: Seq[String],
-      readSchema: org.apache.spark.sql.types.StructType, out: String)
+  /** One compaction bin as shipped to an executor task: input files (with
+    * their sequence numbers, for equality-delete gating), the read schema
+    * (file-side names, current order/types), output path, and the live
+    * delete sets to apply DURING the rewrite — the reference reads through
+    * its delete filter when rewriting (RowDataRewriter), otherwise rows
+    * hidden by deletes would resurface in the rewritten files (new files
+    * carry a NEWER sequence than the equality deletes, and position deletes
+    * die with the old paths). */
+  final case class BinTask(id: Int, paths: Seq[String], seqs: Seq[Long],
+      readSchema: org.apache.spark.sql.types.StructType, out: String,
+      posDeletePaths: Seq[String],
+      eqDeletes: Seq[(Long, graft.connector.DeleteKeySource)])
 }
 
 final class Actions(t: GraftTable) {
@@ -58,7 +66,25 @@ final class Actions(t: GraftTable) {
     val staging = Paths.get(t.location, "data", java.util.UUID.randomUUID().toString)
     Files.createDirectories(staging)
 
-    // plan bins driver-side; only (paths, readSchema, outPath) ships to tasks
+    // live row-level deletes must be APPLIED during the rewrite (reference
+    // RowDataRewriter reads through its delete filter): rewritten files get
+    // a newer sequence number, so un-applied equality deletes would stop
+    // matching and position deletes would orphan with the old paths
+    val posDeletePaths = plan.deleteFiles
+      .filter(_._1.content == FileContent.PositionDeletes)
+      .map(_._1.path).distinct.sorted
+    val eqDeletes: Seq[(Long, graft.connector.DeleteKeySource)] = plan.deleteFiles
+      .filter(_._1.content == FileContent.EqualityDeletes)
+      .groupBy(d => (d._1.equalityIds, d._2)).toSeq
+      .map { case ((ids, seq), group) =>
+        val names = ids.map(id => FieldIds.findById(schema, id).get.name)
+        seq -> graft.connector.DeleteKeySource(
+          names.map(schema.fieldIndex).toArray, names,
+          names.map(n => Types.cleanType(schema(n).dataType)),
+          group.map(_._1.path).distinct.sorted)
+      }
+
+    // plan bins driver-side; only BinTasks ship to executors
     var binId = 0
     val binTasks = Seq.newBuilder[BinTask]
     val binMeta = collection.mutable.Map[Int, (Map[String, Any], Int)]()
@@ -73,11 +99,13 @@ final class Actions(t: GraftTable) {
         val name = fileById.getOrElse(FieldIds.idOf(f), f.name)
         f.copy(name = name, metadata = org.apache.spark.sql.types.Metadata.empty)
       })
+      val seqByPath = tasks.map(ts => ts.file.path -> ts.sequenceNumber).toMap
       val bins = binPack(tasks.map(ts => ts.file.path -> ts.file.fileSizeInBytes),
         targetSizeBytes)
       bins.filter(_.size >= minInputFiles).foreach { bin =>
-        binTasks += BinTask(binId, bin, readSchema,
-          staging.resolve(f"bin-$binId%05d.parquet").toString)
+        binTasks += BinTask(binId, bin, bin.map(seqByPath), readSchema,
+          staging.resolve(f"bin-$binId%05d.parquet").toString,
+          posDeletePaths, eqDeletes)
         binMeta(binId) = (partition, schemaId)
         binId += 1
       }
@@ -95,9 +123,31 @@ final class Actions(t: GraftTable) {
       .parallelize(planned, planned.size)
       .map { bt =>
         val conf = sconf.value
+        // delete sets load once per executor (shared caches); positions key
+        // by canonical path, equality sets gate on each file's sequence
+        val pos: Map[String, Array[Long]] =
+          if (bt.posDeletePaths.isEmpty) Map.empty
+          else graft.connector.PosDeleteCache.get(bt.posDeletePaths, conf)
+        val eq = bt.eqDeletes.map { case (seq, src) =>
+          (seq, src.ordinals, src.types,
+            graft.connector.DeleteKeyCache.get(src, conf))
+        }
         val writer = ParquetIO.openWriter(bt.out, writeSchema, conf)
-        try bt.paths.foreach(p => ParquetIO.readAll(p, bt.readSchema, conf)(writer.write))
-        finally writer.close()
+        try bt.paths.zip(bt.seqs).foreach { case (p, fileSeq) =>
+          val deadPos = pos.getOrElse(ParquetIO.canonPath(p), Array.emptyLongArray)
+          val applicable = eq.filter(_._1 > fileSeq)
+          var idx = -1L // sequential full-file read ⇒ counter = row index
+          ParquetIO.readAll(p, bt.readSchema, conf) { row =>
+            idx += 1
+            val dead = (deadPos.length > 0 &&
+                java.util.Arrays.binarySearch(deadPos, idx) >= 0) ||
+              applicable.exists { case (_, ords, types, keys) =>
+                keys.contains(ords.indices.map(i =>
+                  ParquetIO.canonicalValue(row, ords(i), types(i))).toVector)
+              }
+            if (!dead) writer.write(row)
+          }
+        } finally writer.close()
         // footer metrics in-task, keyed by field id against the current schema
         (bt.id, Metrics.fromParquetFooter(bt.out, idSchema, conf))
       }.collect()

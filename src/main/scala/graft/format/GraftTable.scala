@@ -195,12 +195,17 @@ final class TableScan private[format] (
               Values.toLiteral(v, Types.cleanType(tf.dataType)))
           }
         }
-      // only delete sets NEWER than this group's files apply to it
-      subs.map(df0 => applyEqDeletes(df0, eqDeletes.filter(_._2 > seq), schema))
+      // deletes apply per sub-read, while the plan is still a pure
+      // projection over the file relation (`_metadata` columns do not
+      // resolve above joins/unions): positions first, then only the
+      // equality sets NEWER than this group's files
+      subs.map { df0 =>
+        val posApplied =
+          if (posDeletes.isEmpty) df0 else applyPosDeletes(df0, posDeletes)
+        applyEqDeletes(posApplied, eqDeletes.filter(_._2 > seq), schema)
+      }
     }
     var df = parts.reduce(_ unionByName _)
-
-    if (posDeletes.nonEmpty) df = applyPosDeletes(df, posDeletes)
 
     val bound =
       if (rowFilter == AlwaysTrue) AlwaysTrue else Exprs.bind(rowFilter, schema)
@@ -288,10 +293,13 @@ final class TableScan private[format] (
   private def applyPosDeletes(df0: DataFrame,
       posDeletes: Seq[(DataFile, Long)]): DataFrame = {
     val spark = table.spark
-    val withPos = df0.withColumn("_g_file", col("_metadata.file_path"))
+    // both sides canonicalize through the SAME helper, so any URI spelling
+    // of the same file matches (file:/p vs /p vs file:///p; hdfs kept apart)
+    val canon = udf((s: String) => ParquetIO.canonPath(s))
+    val withPos = df0.withColumn("_g_file", canon(col("_metadata.file_path")))
       .withColumn("_g_pos", col("_metadata.row_index"))
     val dels = spark.read.parquet(posDeletes.map(_._1.path).distinct: _*)
-      .select(col("file_path").as("_g_file"), col("pos").as("_g_pos"))
+      .select(canon(col("file_path")).as("_g_file"), col("pos").as("_g_pos"))
     withPos.join(broadcast(dels), Seq("_g_file", "_g_pos"), "left_anti")
       .drop("_g_file", "_g_pos")
   }

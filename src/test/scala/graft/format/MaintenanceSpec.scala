@@ -121,6 +121,27 @@ class MaintenanceSpec extends SparkSpec {
     assert(out.where(col("id") === 0L).count() == 1)
   }
 
+  test("rewriteDataFiles applies live deletes during rewrite (RowDataRewriter semantics)") {
+    val loc = freshLoc("compactdel")
+    val t = GraftTable.create(spark, loc, rows(4).schema)
+    GraftWrite.append(t, rows(4, 0).coalesce(1)) // ids 0..3
+    GraftWrite.append(t, rows(4, 1).coalesce(1)) // ids 1000..1003
+    // equality-delete id 2; position-delete the first row of the file
+    // holding ids 1000+ (path order is UUID-random — select by content)
+    Deletes.deleteByEquality(t, Seq(2L).toDF("id"))
+    val secondFile = spark.read
+      .parquet(t.newScan().planFiles().tasks.map(_.file.path): _*)
+      .where(col("id") === 1000L)
+      .select(col("_metadata.file_path")).as[String].head()
+    Deletes.deletePositions(t, Seq((secondFile, 0L)).toDF("file_path", "pos"))
+    val before = t.toDF().select("id").as[Long].collect().sorted.toSeq
+    assert(before == Seq(0L, 1L, 3L, 1001L, 1002L, 1003L))
+    val res = Actions.forTable(t).rewriteDataFiles(minInputFiles = 2)
+    assert(res.rewrittenFiles == 2 && res.addedFiles == 1)
+    // the deleted rows must NOT resurface in the rewritten files
+    assert(t.toDF().select("id").as[Long].collect().sorted.toSeq == before)
+  }
+
   test("rewriteManifests clusters into fewer manifests") {
     val loc = freshLoc("rwm")
     val t = GraftTable.create(spark, loc, rows(1).schema,
