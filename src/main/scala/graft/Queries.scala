@@ -29,11 +29,19 @@ object Queries {
     * nanos under a legacy flag. The flag (and the UTC rendering the oracle
     * assumes) is scoped to an isolated child session — same SparkContext,
     * own SQLConf — so the caller's session is never mutated and queries
-    * stay independent of execution order. */
+    * stay independent of execution order. One child per parent session
+    * (building a SessionState costs ~250ms — not per query), weakly held. */
+  private val eventsSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
   private def events(s: SparkSession, dir: String): DataFrame = {
-    val es = s.newSession()
-    es.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    es.conf.set("spark.sql.session.timeZone", "UTC") // oracle renders naive UTC
+    val es = eventsSessions.synchronized {
+      eventsSessions.computeIfAbsent(s, parent => {
+        val child = parent.newSession()
+        child.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        child.conf.set("spark.sql.session.timeZone", "UTC") // oracle is naive UTC
+        child
+      })
+    }
     t(es, dir, "events")
   }
 

@@ -72,7 +72,8 @@ final class GraftBatchWrite(table: GraftTable, mode: GraftBatchWrite.Mode)
       StructType(schema.fields.map(f =>
         f.copy(metadata = org.apache.spark.sql.types.Metadata.empty))),
       schema, fields, stagingDir,
-      new org.apache.spark.util.SerializableConfiguration(conf))
+      new org.apache.spark.util.SerializableConfiguration(conf),
+      Metrics.modesFor(schema, m.properties))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -102,11 +103,13 @@ final class GraftBatchWrite(table: GraftTable, mode: GraftBatchWrite.Mode)
 
 final class GraftWriterFactory(schema: StructType, idSchema: StructType,
     fields: Seq[GraftBatchWrite.SpecField], stagingDir: String,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    statModes: Map[Int, Metrics.Mode] = Map.empty)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftFanoutWriter(schema, idSchema, fields, stagingDir, partitionId, taskId, conf)
+    new GraftFanoutWriter(schema, idSchema, fields, stagingDir, partitionId, taskId,
+      conf, statModes)
 }
 
 /** Fanout parquet writer: routes each row to its partition tuple's open
@@ -116,7 +119,8 @@ final class GraftWriterFactory(schema: StructType, idSchema: StructType,
 final class GraftFanoutWriter(schema: StructType, idSchema: StructType,
     fields: Seq[GraftBatchWrite.SpecField], stagingDir: String,
     partitionId: Int, taskId: Long,
-    sconf: org.apache.spark.util.SerializableConfiguration)
+    sconf: org.apache.spark.util.SerializableConfiguration,
+    statModes: Map[Int, Metrics.Mode] = Map.empty)
   extends DataWriter[InternalRow] {
   import GraftBatchWrite._
 
@@ -167,7 +171,8 @@ final class GraftFanoutWriter(schema: StructType, idSchema: StructType,
       w.close()
       // footer stats are read in the task that just wrote the file (it is
       // still in page cache), shipped to the driver in the commit message
-      StagedFile(path, tuple, Metrics.fromParquetFooter(path, idSchema, sconf.value))
+      StagedFile(path, tuple,
+        Metrics.fromParquetFooter(path, idSchema, sconf.value, statModes))
     }
     TaskFiles(files)
   }

@@ -116,6 +116,7 @@ final class Actions(t: GraftTable) {
     val sconf = new org.apache.spark.util.SerializableConfiguration(
       ParquetIO.writeConf(t.spark))
     val idSchema = schema // current schema WITH field-id metadata, for stats
+    val statModes = Metrics.modesFor(schema, m.properties)
     // ONE job: every bin is an executor task (reference RowDataRewriter).
     // Rows stream read→write positionally, so reading with file-side names
     // and writing with current names performs the rename in-flight.
@@ -149,7 +150,7 @@ final class Actions(t: GraftTable) {
           }
         } finally writer.close()
         // footer metrics in-task, keyed by field id against the current schema
-        (bt.id, Metrics.fromParquetFooter(bt.out, idSchema, conf))
+        (bt.id, Metrics.fromParquetFooter(bt.out, idSchema, conf, statModes))
       }.collect()
 
     val currentSchemaId = m.currentSchemaId

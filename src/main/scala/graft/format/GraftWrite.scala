@@ -75,8 +75,10 @@ object GraftWrite {
     val files = Files.walk(staging).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .toSeq.sortBy(_.toString)
-    // footer stats as a distributed job (no per-file driver I/O at scale)
-    val metricsByPath = Metrics.forFiles(table.spark, files.map(_.toString), schema)
+    // footer stats as a distributed job (no per-file driver I/O at scale),
+    // at the table's configured metrics modes
+    val metricsByPath = Metrics.forFiles(table.spark, files.map(_.toString), schema,
+      Metrics.modesFor(schema, table.metadata.properties))
     files.map { p =>
       // partition tuple from hive-style dirs: __p_<name>=<value>
       val rel = staging.relativize(p)
@@ -239,7 +241,8 @@ object GraftWrite {
       table: GraftTable, files: Seq[Path],
       statSchema: org.apache.spark.sql.types.StructType, schemaId: Int,
       tupleOf: Path => Map[String, Any]): Unit = {
-    val metricsByPath = Metrics.forFiles(spark, files.map(_.toString), statSchema)
+    val metricsByPath = Metrics.forFiles(spark, files.map(_.toString), statSchema,
+      Metrics.modesFor(statSchema, table.metadata.properties))
     val dataFiles = files.map { f =>
       val fm = metricsByPath(f.toString)
       DataFile(path = f.toString, partition = tupleOf(f),

@@ -11,13 +11,47 @@ import org.apache.spark.sql.types._
 import scala.jdk.CollectionConverters._
 
 /** Column metrics from parquet footers → canonical-value bounds, with the
-  * reference's truncate(16) metrics mode (core/.../MetricsModes.java:34-150,
-  * default truncate(16); string upper-bound increment semantics per
+  * reference's configurable metrics modes (core/.../MetricsModes.java:34-150:
+  * none / counts / truncate(N) / full, default truncate(16), overridable per
+  * table and per column via write.metadata.metrics.* properties; string
+  * upper-bound increment semantics per
   * api/.../util/UnicodeUtil.truncateStringMax).
   */
 object Metrics {
 
   val TruncateLen = 16
+
+  /** Per-column stats collection level (reference MetricsModes.java). */
+  sealed trait Mode extends Serializable
+  case object NoneMode extends Mode // no counts, no bounds
+  case object CountsMode extends Mode // value/null counts only
+  final case class TruncateMode(len: Int) extends Mode // bounded-length bounds
+  case object FullMode extends Mode // untruncated bounds
+
+  val DefaultModeKey = "write.metadata.metrics.default"
+  val ColumnModeKeyPrefix = "write.metadata.metrics.column."
+  val DefaultMode: Mode = TruncateMode(TruncateLen)
+
+  def parseMode(s: String): Mode = s.trim.toLowerCase match {
+    case "none" => NoneMode
+    case "counts" => CountsMode
+    case "full" => FullMode
+    case t if t.startsWith("truncate(") && t.endsWith(")") =>
+      val len = t.substring("truncate(".length, t.length - 1).toInt
+      require(len > 0, s"truncate length must be positive: $s")
+      TruncateMode(len)
+    case other => throw new IllegalArgumentException(s"unknown metrics mode: $other")
+  }
+
+  /** Resolve each field id's mode from table properties (default +
+    * per-column overrides, reference MetricsModes.fromTableProperties). */
+  def modesFor(schema: StructType, props: Map[String, String]): Map[Int, Mode] = {
+    val default = props.get(DefaultModeKey).map(parseMode).getOrElse(DefaultMode)
+    schema.fields.map { f =>
+      FieldIds.idOf(f) -> props.get(ColumnModeKeyPrefix + f.name)
+        .map(parseMode).getOrElse(default)
+    }.toMap
+  }
 
   final case class FileMetrics(
       recordCount: Long,
@@ -31,17 +65,17 @@ object Metrics {
   /** Truncate a lower bound: plain prefix keeps `lower <= truncated` false…
     * actually lower bounds truncate DOWN (prefix), upper bounds truncate UP
     * (prefix with last codepoint incremented) so the range stays inclusive. */
-  def truncateLower(v: Any): Any = v match {
-    case s: String if s.codePointCount(0, s.length) > TruncateLen =>
-      s.substring(0, s.offsetByCodePoints(0, TruncateLen))
-    case b: Array[Byte] if b.length > TruncateLen =>
-      java.util.Arrays.copyOf(b, TruncateLen)
+  def truncateLower(v: Any, len: Int = TruncateLen): Any = v match {
+    case s: String if s.codePointCount(0, s.length) > len =>
+      s.substring(0, s.offsetByCodePoints(0, len))
+    case b: Array[Byte] if b.length > len =>
+      java.util.Arrays.copyOf(b, len)
     case other => other
   }
 
-  def truncateUpper(v: Any): Any = v match {
-    case s: String if s.codePointCount(0, s.length) > TruncateLen =>
-      val pre = s.substring(0, s.offsetByCodePoints(0, TruncateLen))
+  def truncateUpper(v: Any, len: Int = TruncateLen): Any = v match {
+    case s: String if s.codePointCount(0, s.length) > len =>
+      val pre = s.substring(0, s.offsetByCodePoints(0, len))
       // increment last codepoint; walk back over maximal codepoints
       val cps = pre.codePoints().toArray
       var i = cps.length - 1
@@ -51,9 +85,9 @@ object Metrics {
         cps(i) += 1
         new String(cps, 0, i + 1)
       }
-    case b: Array[Byte] if b.length > TruncateLen =>
-      val pre = java.util.Arrays.copyOf(b, TruncateLen)
-      var i = TruncateLen - 1
+    case b: Array[Byte] if b.length > len =>
+      val pre = java.util.Arrays.copyOf(b, len)
+      var i = len - 1
       while (i >= 0 && pre(i) == -1) i -= 1
       if (i < 0) null
       else {
@@ -71,18 +105,19 @@ object Metrics {
     * the library write path, where Spark's own FileFormatWriter produced
     * the files and only the paths are known afterwards). */
   def forFiles(spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
-      schema: StructType): Map[String, FileMetrics] = {
+      schema: StructType,
+      modes: Map[Int, Mode] = Map.empty): Map[String, FileMetrics] = {
     if (paths.isEmpty) Map.empty
     else if (paths.size <= 4) {
       // tiny commits: one local read beats a job round-trip
       val conf = spark.sessionState.newHadoopConf()
-      paths.map(p => p -> fromParquetFooter(p, schema, conf)).toMap
+      paths.map(p => p -> fromParquetFooter(p, schema, conf, modes)).toMap
     } else {
       val sconf = new org.apache.spark.util.SerializableConfiguration(
         spark.sessionState.newHadoopConf())
       val n = math.min(paths.size, spark.sparkContext.defaultParallelism)
       spark.sparkContext.parallelize(paths, n)
-        .map(p => p -> Metrics.fromParquetFooter(p, schema, sconf.value))
+        .map(p => p -> Metrics.fromParquetFooter(p, schema, sconf.value, modes))
         .collect().toMap
     }
   }
@@ -93,7 +128,9 @@ object Metrics {
     * to micros; unmapped/nested columns are skipped (stats stay absent ⇒
     * evaluators stay conservative). */
   def fromParquetFooter(path: String, schema: StructType,
-      conf: Configuration = new Configuration()): FileMetrics = {
+      conf: Configuration = new Configuration(),
+      modes: Map[Int, Mode] = Map.empty): FileMetrics = {
+    def modeOf(id: Int): Mode = modes.getOrElse(id, DefaultMode)
     val input = HadoopInputFile.fromPath(new HPath(path), conf)
     val reader = ParquetFileReader.open(input)
     try {
@@ -114,14 +151,14 @@ object Metrics {
         block.getColumns.asScala.foreach { col =>
           val pathParts = col.getPath.toArray
           if (pathParts.length == 1) { // top-level primitives only
-            nameToId.get(pathParts(0)).foreach { id =>
+            nameToId.get(pathParts(0)).filter(modeOf(_) != NoneMode).foreach { id =>
               val dt = typeById(id)
               valueCounts(id) = valueCounts.getOrElse(id, 0L) + col.getValueCount
               val stats = col.getStatistics
               if (stats != null && !stats.isEmpty) {
                 if (stats.isNumNullsSet)
                   nullCounts(id) = nullCounts.getOrElse(id, 0L) + stats.getNumNulls
-                if (stats.hasNonNullValue) {
+                if (stats.hasNonNullValue && modeOf(id) != CountsMode) {
                   val prim = col.getPrimitiveType
                   (convert(stats.genericGetMin.asInstanceOf[AnyRef],
                       prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation, dt),
@@ -140,11 +177,16 @@ object Metrics {
           }
         }
       }
+      def boundLen(id: Int): Option[Int] = modeOf(id) match {
+        case TruncateMode(n) => Some(n)
+        case FullMode => None // untruncated
+        case _ => Some(TruncateLen) // unreachable: bounds not collected
+      }
       val lower = mins.collect { case (id, v) if statsOk.getOrElse(id, false) =>
-        id -> truncateLower(v) }.toMap
+        id -> boundLen(id).map(truncateLower(v, _)).getOrElse(v) }.toMap
       val upper = maxs.flatMap { case (id, v) =>
         if (!statsOk.getOrElse(id, false)) None
-        else Option(truncateUpper(v)).map(id -> _)
+        else Option(boundLen(id).map(truncateUpper(v, _)).getOrElse(v)).map(id -> _)
       }.toMap
       FileMetrics(recordCount, input.getLength, valueCounts.toMap,
         nullCounts.toMap, lower, upper, offsets.result())

@@ -74,11 +74,18 @@ object Dedup {
    */
   def jaccardPairsFast(docs: DataFrame, n: Int = 3, threshold: Double = 0.1,
       maxDf: Long = 10000): DataFrame = {
+    // pairCombos materializes (long, int) tuples — fail fast on a
+    // non-numeric doc_id instead of a task-side ClassCastException, and
+    // widen int ids to long so any numeric id works
+    require(docs.schema("doc_id").dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType],
+      s"jaccardPairsFast requires a numeric doc_id, got ${docs.schema("doc_id").dataType}")
+    val docsN = docs.withColumn("doc_id", col("doc_id").cast("long"))
     // each gram row carries its doc's set size, so pair rows are complete
     // and no per-doc size join is needed downstream: the whole computation
     // is exactly TWO shuffles of the full gram table (group-by-gram,
     // group-by-pair), plus one SMALL count shuffle for the hot-gram filter
-    val withGrams = docs.select(col("doc_id"), TextOps.gramHashes(n)(col("text")).as("gs"))
+    val withGrams = docsN.select(col("doc_id"), TextOps.gramHashes(n)(col("text")).as("gs"))
     val grams = withGrams
       .select(col("doc_id"), size(col("gs")).as("sz"), explode(col("gs")).as("g"))
     // hot-gram pre-filter: a stopword-gram's doc list at corpus scale is a

@@ -208,6 +208,40 @@ class TableFormatSpec extends SparkSpec {
     assert(out3.count() == 3)
   }
 
+  test("metrics modes: none/counts/truncate(N)/full per column (MetricsModes.java)") {
+    val loc = freshLoc("mmodes")
+    val longStr = "abcdefghijklmnopqrstuvwxyz" // 26 chars > truncate(16)
+    val df = Seq((1L, longStr, "keep")).toDF("id", "big", "small")
+    val t = GraftTable.create(spark, loc, df.schema, identity, properties = Map(
+      Metrics.DefaultModeKey -> "full",
+      (Metrics.ColumnModeKeyPrefix + "id") -> "none",
+      (Metrics.ColumnModeKeyPrefix + "small") -> "counts"))
+    GraftWrite.append(t, df.coalesce(1))
+    val f = t.newScan().planFiles().tasks.head.file
+    val sch = t.schema
+    val idId = FieldIds.idOf(sch("id"))
+    val bigId = FieldIds.idOf(sch("big"))
+    val smallId = FieldIds.idOf(sch("small"))
+    // none: no counts, no bounds
+    assert(!f.valueCounts.contains(idId) && !f.lowerBounds.contains(idId))
+    // counts: counts but no bounds
+    assert(f.valueCounts.get(smallId).contains(1L) && !f.lowerBounds.contains(smallId))
+    // full: untruncated bound survives past 16 chars
+    assert(f.lowerBounds.get(bigId).contains(longStr))
+    assert(f.upperBounds.get(bigId).contains(longStr))
+    // truncate(4): bounds shrink and upper increments
+    val t2 = GraftTable.create(spark, freshLoc("mmodes4"), df.schema, identity,
+      properties = Map(Metrics.DefaultModeKey -> "truncate(4)"))
+    GraftWrite.append(t2, df.coalesce(1))
+    val f2 = t2.newScan().planFiles().tasks.head.file
+    assert(f2.lowerBounds(FieldIds.idOf(t2.schema("big"))) == "abcd")
+    assert(f2.upperBounds(FieldIds.idOf(t2.schema("big"))) == "abce")
+    // stats pruning still fires with full bounds
+    assert(t.newScan().filter(Exprs.equal("big", "zzz")).planFiles().tasks.isEmpty)
+    // and bad mode strings fail fast
+    intercept[IllegalArgumentException](Metrics.parseMode("bogus"))
+  }
+
   test("expire snapshots reports orphaned files") {
     val loc = freshLoc("exp")
     val t = GraftTable.create(spark, loc, rows(2).schema)
