@@ -144,11 +144,15 @@ final class TableScan private[format] (
     * plan"), schema-aligned by field id across schema versions, row-level
     * deletes applied, residual re-applied (reference residual-safety:
     * SparkScanBuilder.java:121-123). */
-  def toDF(): DataFrame = {
+  def toDF(): DataFrame = dfFor(planFiles())
+
+  /** Materialize an EXPLICIT plan (used by toDF and by the streaming
+    * source's file-sliced micro-batches, which select a file subset of an
+    * append range). */
+  private[format] def dfFor(plan: ScanPlan): DataFrame = {
     val spark = table.spark
     val m = meta
     val schema = scanSchema
-    val plan = planFiles()
     if (plan.tasks.isEmpty) {
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), projectedSchema(schema))

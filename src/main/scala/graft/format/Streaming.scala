@@ -49,44 +49,79 @@ object Streaming {
     w.foreachBatch((batch: org.apache.spark.sql.Dataset[T], epochId: Long) =>
       { commitEpoch(table, batch.toDF(), epochId, queryId); () })
 
+  /** Micro-batch offset: (snapshot id, files already consumed within that
+    * snapshot) — the reference's StreamingOffset position model
+    * (spark/.../source/StreamingOffset.java, sliced by
+    * core/.../MicroBatches.java:41-123), so one oversized snapshot splits
+    * across several size-budgeted batches at FILE granularity. */
+  final case class StreamOffset(snapshotId: Long, fileIdx: Int)
+
   /** Incremental micro-batch source: stateful poller that returns the new
     * appended rows (and advances its offset) on each call — the
     * MicroBatchStream latestOffset/planInputPartitions cycle as a library
     * surface. */
   final class IncrementalSource(table: GraftTable, startSnapshotId: Option[Long] = None,
       maxBytesPerBatch: Long = Long.MaxValue) {
-    @volatile private var lastConsumed: Long =
-      startSnapshotId.getOrElse(0L)
+    // fileIdx = MaxValue marks the offset snapshot as FULLY consumed (the
+    // start snapshot's own rows are never re-read)
+    @volatile private var offset: StreamOffset =
+      StreamOffset(startSnapshotId.getOrElse(0L), Int.MaxValue)
 
-    def currentOffset: Long = lastConsumed
+    def currentOffset: StreamOffset = offset
 
-    /** Rows appended since the last poll; None when caught up. The batch
-      * endpoint advances snapshot-by-snapshot until the size budget is hit
-      * (reference MicroBatches.java:112-123 `targetSizeInBytes` slicing —
-      * ours slices at snapshot granularity: epochs are the natural batch
-      * boundary and stay replayable). */
+    /** Files a snapshot ADDED, in deterministic manifest order. */
+    private def addedTasks(snapshotId: Long): Seq[FileScanTask] =
+      table.newScan().appendsBetween(snapshotId - 1, snapshotId)
+        .planFiles().tasks
+
+    /** Rows appended since the last poll; None when caught up. Batches are
+      * sliced at file granularity against `maxBytesPerBatch` (always at
+      * least one file per batch — reference MicroBatches.java:112-123
+      * `targetSizeInBytes`), so a single huge snapshot cannot force a huge
+      * batch. */
     def nextBatch(): Option[DataFrame] = {
       val m = table.metadata
       val current = m.currentSnapshotId.getOrElse(0L)
-      if (current <= lastConsumed) return None
-      if (lastConsumed == 0L && startSnapshotId.isEmpty) {
-        lastConsumed = current
+      if (offset.snapshotId == 0L && startSnapshotId.isEmpty) {
+        if (current == 0L) return None
+        offset = StreamOffset(current, Int.MaxValue)
         return Some(table.newScan().toDF()) // initial load: full current state
       }
-      // grow the range while within budget (always take at least one)
+      // snapshots with unconsumed files, oldest first — including the
+      // offset snapshot itself when it was only partially consumed
       val pending = m.ancestors(Some(current))
-        .filter(_.snapshotId > lastConsumed)
-      var end = lastConsumed
+        .filter(s => s.snapshotId >= offset.snapshotId)
+        .sortBy(_.snapshotId)
+      val batch = Seq.newBuilder[FileScanTask]
       var bytes = 0L
+      var next = offset
+      var full = false
       pending.foreach { s =>
-        val sz = table.newScan().appendsBetween(lastConsumed, s.snapshotId)
-          .planFiles().tasks.map(_.file.fileSizeInBytes).sum
-        if (end == lastConsumed || sz <= maxBytesPerBatch) end = s.snapshotId
-        bytes = sz
+        if (!full) {
+          val tasks = addedTasks(s.snapshotId)
+          val start = if (s.snapshotId == offset.snapshotId) offset.fileIdx else 0
+          var i = start
+          while (i < tasks.size && !full) {
+            val t = tasks(i)
+            if (bytes > 0 && bytes + t.file.fileSizeInBytes > maxBytesPerBatch) {
+              full = true
+            } else {
+              batch += t
+              bytes += t.file.fileSizeInBytes
+              next = StreamOffset(s.snapshotId, i + 1)
+              i += 1
+            }
+          }
+          // fully drained this snapshot and still under budget → rest its
+          // offset at the snapshot boundary so the next one starts at 0
+          if (!full && next.snapshotId == s.snapshotId && i >= tasks.size)
+            next = StreamOffset(s.snapshotId, i)
+        }
       }
-      val df = table.newScan().appendsBetween(lastConsumed, end).toDF()
-      lastConsumed = end
-      Some(df)
+      val tasks = batch.result()
+      if (tasks.isEmpty) return None
+      offset = next
+      Some(table.newScan().dfFor(ScanPlan(tasks, Nil, 0, 0, 0L, tasks.size)))
     }
   }
 

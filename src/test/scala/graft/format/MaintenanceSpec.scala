@@ -227,11 +227,36 @@ class MaintenanceSpec extends SparkSpec {
     GraftWrite.append(t, rows(1, 0))
     val src = Streaming.incrementalSource(t,
       startSnapshotId = Some(t.currentSnapshot.get.snapshotId),
-      maxBytesPerBatch = 1L) // one snapshot per batch
-    GraftWrite.append(t, rows(2, 1))
-    GraftWrite.append(t, rows(3, 2))
+      maxBytesPerBatch = 1L) // one FILE per batch
+    GraftWrite.append(t, rows(2, 1).coalesce(1))
+    GraftWrite.append(t, rows(3, 2).coalesce(1))
     assert(src.nextBatch().get.count() == 2) // budget splits the backlog
     assert(src.nextBatch().get.count() == 3)
+    assert(src.nextBatch().isEmpty)
+  }
+
+  test("incremental source slices WITHIN a snapshot at file offsets (MicroBatches:41-123)") {
+    val loc = freshLoc("fileslice")
+    val t = GraftTable.create(spark, loc, rows(1).schema)
+    GraftWrite.append(t, rows(1, 0))
+    val src = Streaming.incrementalSource(t,
+      startSnapshotId = Some(t.currentSnapshot.get.snapshotId),
+      maxBytesPerBatch = 1L)
+    // ONE snapshot of several files (repartition by id → hash layout)
+    GraftWrite.append(t, rows(4, 1).repartition(4, col("id")))
+    val nFiles = t.newScan()
+      .appendsBetween(t.currentSnapshot.get.snapshotId - 1,
+        t.currentSnapshot.get.snapshotId)
+      .planFiles().tasks.size
+    assert(nFiles >= 2, s"need a multi-file snapshot, got $nFiles")
+    val batches = Iterator.continually(src.nextBatch())
+      .takeWhile(_.isDefined).map(_.get.count()).toSeq
+    assert(batches.size == nFiles,
+      s"expected $nFiles single-file batches, got $batches")
+    assert(batches.sum == 4)
+    // a later append still flows after the partial-snapshot drain
+    GraftWrite.append(t, rows(2, 2).coalesce(1))
+    assert(src.nextBatch().get.count() == 2)
     assert(src.nextBatch().isEmpty)
   }
 
