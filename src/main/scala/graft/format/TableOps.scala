@@ -24,11 +24,24 @@ final class TableOps(val location: String) {
   def currentVersion(): Int =
     if (!exists()) 0 else Files.readString(hintFile).trim.toInt
 
+  // version-keyed parse cache: `current()` is called per manifest during
+  // (parallel) planning, and re-parsing a large table's metadata JSON N
+  // times per plan is driver-side O(N·metadata) work. Version files are
+  // immutable once linked, so caching by version is always safe; staleness
+  // is bounded by the cheap hint-file read every call (a refresh).
+  @volatile private var cached: (Int, TableMetadata) = (0, null)
+
   /** Refresh: read latest committed metadata (null if table absent). */
   def current(): TableMetadata = {
     val v = currentVersion()
-    if (v == 0) null
-    else Model.metadataFromJson(Files.readString(versionFile(v)))
+    if (v == 0) return null
+    val c = cached
+    if (c._1 == v) c._2
+    else {
+      val m = Model.metadataFromJson(Files.readString(versionFile(v)))
+      cached = (v, m)
+      m
+    }
   }
 
   /** CAS commit: succeed only if `base` is still current. */
