@@ -11,18 +11,46 @@ import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Snapshot-id offset for the incremental source (reference
-  * MicroBatches.java offset model: SURVEY §2.10). */
-final case class SnapshotOffset(snapshotId: Long) extends Offset {
-  override def json(): String = snapshotId.toString
+/** File-slice offset for the incremental source: (snapshot id, files
+  * consumed within it) — the reference's StreamingOffset position model
+  * (spark/.../source/StreamingOffset.java + MicroBatches slicing). The
+  * legacy plain-long snapshot offset still deserializes (as a fully
+  * consumed snapshot) so existing checkpoints resume. */
+final case class FileSliceOffset(snapshotId: Long, fileIdx: Int) extends Offset {
+  override def json(): String = s"$snapshotId:$fileIdx"
+  def toStream: Streaming.StreamOffset = Streaming.StreamOffset(snapshotId, fileIdx)
 }
 
-/** DSv2 micro-batch source: each batch reads the data files APPENDED in
-  * (startSnapshot, endSnapshot] — `spark.readStream.table("g.db.t")`
-  * (reference spark2 incremental source scaffold + MicroBatches slicing).
+/** DSv2 micro-batch source: each batch reads the data files appended in
+  * (start, end] at FILE granularity — `spark.readStream.table("g.db.t")`.
+  * With `max-bytes-per-trigger` set, admission control slices oversized
+  * backlogs (including WITHIN one snapshot) into size-budgeted batches.
   * The physical read is Spark's ParquetScan partitions, same as batch. */
 final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
-    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+    options: CaseInsensitiveStringMap) extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+  private val maxBytes: Long =
+    options.getLong("max-bytes-per-trigger", Long.MaxValue)
+
+  // Trigger.AvailableNow: capture the end ONCE; budgeted batches then run
+  // until they land exactly on it (without this, Spark takes the FIRST
+  // latestOffset result — one budget's worth — as the whole query's end)
+  @volatile private var availableNowEnd: Option[FileSliceOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(allAvailable(
+      initialOffset().asInstanceOf[FileSliceOffset]))
+
+  private def capAt(raw: FileSliceOffset): FileSliceOffset =
+    availableNowEnd match {
+      case Some(end)
+          if end.snapshotId < raw.snapshotId ||
+            (end.snapshotId == raw.snapshotId && end.fileIdx < raw.fileIdx) => end
+      case _ => raw
+    }
 
   private def schema: StructType = StructType(table.schema.fields.map(f =>
     f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
@@ -32,22 +60,62 @@ final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
       new GraftFileIndex(spark, files), schema, schema,
       StructType(Nil), Array.empty, options)
 
+  /** CANONICAL all-available end: (current snapshot, its added-file count).
+    * Spark's AvailableNow wrapper captures this once and compares offsets
+    * by EQUALITY, so budgeted progression must land on exactly this value
+    * after draining — which (snap, count) is and sentinel forms are not. */
+  private def allAvailable(start: FileSliceOffset): FileSliceOffset = {
+    val current = table.currentSnapshot.map(_.snapshotId).getOrElse(0L)
+    if (current == 0L) return start
+    val count = table.newScan()
+      .appendsBetween(current - 1, current).planFiles().tasks.size
+    FileSliceOffset(current, count)
+  }
+
   override def latestOffset(): Offset =
-    SnapshotOffset(table.currentSnapshot.map(_.snapshotId).getOrElse(0L))
+    allAvailable(initialOffset().asInstanceOf[FileSliceOffset])
 
-  override def initialOffset(): Offset =
-    SnapshotOffset(options.getLong("start-snapshot-id", 0L))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[FileSliceOffset]
+    // initial load (offset 0) is the full current table state, un-sliced
+    if (s.snapshotId == 0L || maxBytes == Long.MaxValue) capAt(allAvailable(s))
+    else {
+      val (tasks, next) =
+        Streaming.takeBudget(Streaming.pendingFiles(table, s.toStream),
+          s.toStream, maxBytes)
+      if (tasks.isEmpty) s
+      else capAt(FileSliceOffset(next.snapshotId, next.fileIdx))
+    }
+  }
 
-  override def deserializeOffset(json: String): Offset =
-    SnapshotOffset(json.trim.toLong)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def initialOffset(): Offset = {
+    val startSnap = options.getLong("start-snapshot-id", 0L)
+    // a configured start snapshot is treated as already consumed
+    FileSliceOffset(startSnap, if (startSnap == 0L) 0 else Int.MaxValue)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim
+    if (t.contains(':')) {
+      val Array(s, f) = t.split(':')
+      FileSliceOffset(s.toLong, f.toInt)
+    } else FileSliceOffset(t.toLong, Int.MaxValue) // legacy snapshot offset
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[SnapshotOffset].snapshotId
-    val to = end.asInstanceOf[SnapshotOffset].snapshotId
-    if (to <= from) return Array.empty
-    val files =
-      if (from == 0L) table.newScan().useSnapshot(to).planFiles().files
-      else table.newScan().appendsBetween(from, to).planFiles().files
+    val from = start.asInstanceOf[FileSliceOffset]
+    val to = end.asInstanceOf[FileSliceOffset]
+    if (from == to) return Array.empty
+    val files: Seq[DataFile] =
+      if (from.snapshotId == 0L)
+        table.newScan().useSnapshot(to.snapshotId).planFiles().files
+      else Streaming.pendingFiles(table, from.toStream)
+        .takeWhile { case (snap, i, _) =>
+          snap < to.snapshotId || (snap == to.snapshotId && i < to.fileIdx)
+        }
+        .map(_._3.file)
     if (files.isEmpty) Array.empty
     else scanFor(files).toBatch.planInputPartitions()
   }

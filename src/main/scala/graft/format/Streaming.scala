@@ -56,6 +56,47 @@ object Streaming {
     * across several size-budgeted batches at FILE granularity. */
   final case class StreamOffset(snapshotId: Long, fileIdx: Int)
 
+  /** Every (snapshotId, index, task) not yet consumed at `from`: oldest
+    * snapshot first, manifest order within a snapshot. Shared by the
+    * library source and the DSv2 MicroBatchStream. */
+  private[graft] def pendingFiles(table: GraftTable,
+      from: StreamOffset): Seq[(Long, Int, FileScanTask)] = {
+    val m = table.metadata
+    val current = m.currentSnapshotId.getOrElse(0L)
+    m.ancestors(Some(current)).filter(_.snapshotId >= from.snapshotId)
+      .sortBy(_.snapshotId)
+      .flatMap { s =>
+        val tasks = table.newScan()
+          .appendsBetween(s.snapshotId - 1, s.snapshotId).planFiles().tasks
+        val start =
+          if (s.snapshotId == from.snapshotId) math.min(from.fileIdx, tasks.size)
+          else 0
+        tasks.zipWithIndex.drop(start).map { case (t, i) => (s.snapshotId, i, t) }
+      }
+  }
+
+  /** Slice `pending` against a byte budget (always at least one file —
+    * reference MicroBatches.java:112-123); returns the batch and the
+    * offset AFTER it. */
+  private[graft] def takeBudget(pending: Seq[(Long, Int, FileScanTask)],
+      from: StreamOffset, maxBytes: Long): (Seq[FileScanTask], StreamOffset) = {
+    var bytes = 0L
+    var off = from
+    var full = false
+    val out = Seq.newBuilder[FileScanTask]
+    pending.foreach { case (snap, i, t) =>
+      if (!full) {
+        if (bytes > 0 && bytes + t.file.fileSizeInBytes > maxBytes) full = true
+        else {
+          out += t
+          bytes += t.file.fileSizeInBytes
+          off = StreamOffset(snap, i + 1)
+        }
+      }
+    }
+    (out.result(), off)
+  }
+
   /** Incremental micro-batch source: stateful poller that returns the new
     * appended rows (and advances its offset) on each call — the
     * MicroBatchStream latestOffset/planInputPartitions cycle as a library
@@ -69,56 +110,20 @@ object Streaming {
 
     def currentOffset: StreamOffset = offset
 
-    /** Files a snapshot ADDED, in deterministic manifest order. */
-    private def addedTasks(snapshotId: Long): Seq[FileScanTask] =
-      table.newScan().appendsBetween(snapshotId - 1, snapshotId)
-        .planFiles().tasks
-
     /** Rows appended since the last poll; None when caught up. Batches are
       * sliced at file granularity against `maxBytesPerBatch` (always at
       * least one file per batch — reference MicroBatches.java:112-123
       * `targetSizeInBytes`), so a single huge snapshot cannot force a huge
       * batch. */
     def nextBatch(): Option[DataFrame] = {
-      val m = table.metadata
-      val current = m.currentSnapshotId.getOrElse(0L)
+      val current = table.metadata.currentSnapshotId.getOrElse(0L)
       if (offset.snapshotId == 0L && startSnapshotId.isEmpty) {
         if (current == 0L) return None
         offset = StreamOffset(current, Int.MaxValue)
         return Some(table.newScan().toDF()) // initial load: full current state
       }
-      // snapshots with unconsumed files, oldest first — including the
-      // offset snapshot itself when it was only partially consumed
-      val pending = m.ancestors(Some(current))
-        .filter(s => s.snapshotId >= offset.snapshotId)
-        .sortBy(_.snapshotId)
-      val batch = Seq.newBuilder[FileScanTask]
-      var bytes = 0L
-      var next = offset
-      var full = false
-      pending.foreach { s =>
-        if (!full) {
-          val tasks = addedTasks(s.snapshotId)
-          val start = if (s.snapshotId == offset.snapshotId) offset.fileIdx else 0
-          var i = start
-          while (i < tasks.size && !full) {
-            val t = tasks(i)
-            if (bytes > 0 && bytes + t.file.fileSizeInBytes > maxBytesPerBatch) {
-              full = true
-            } else {
-              batch += t
-              bytes += t.file.fileSizeInBytes
-              next = StreamOffset(s.snapshotId, i + 1)
-              i += 1
-            }
-          }
-          // fully drained this snapshot and still under budget → rest its
-          // offset at the snapshot boundary so the next one starts at 0
-          if (!full && next.snapshotId == s.snapshotId && i >= tasks.size)
-            next = StreamOffset(s.snapshotId, i)
-        }
-      }
-      val tasks = batch.result()
+      val (tasks, next) =
+        takeBudget(pendingFiles(table, offset), offset, maxBytesPerBatch)
       if (tasks.isEmpty) return None
       offset = next
       Some(table.newScan().dfFor(ScanPlan(tasks, Nil, 0, 0, 0L, tasks.size)))

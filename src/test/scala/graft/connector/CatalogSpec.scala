@@ -127,6 +127,36 @@ class CatalogSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("DSv2 streaming honors max-bytes-per-trigger at file granularity") {
+    wh
+    spark.sql("CREATE TABLE g.db.srcb (id BIGINT, v STRING)")
+    spark.sql("CREATE TABLE g.db.sinkb (id BIGINT, v STRING)")
+    // seed so the stream starts from a consumed snapshot, then a multi-file
+    // backlog: three inserts -> three files
+    spark.sql("INSERT INTO g.db.srcb VALUES (0, 'seed')")
+    val ckpt = Files.createTempDirectory("graft-ckptb").toString
+    val q0 = spark.readStream.table("g.db.srcb").writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("g.db.sinkb")
+    q0.awaitTermination(60000)
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO g.db.srcb VALUES ($i, 'x$i')"))
+    val q = spark.readStream
+      .option("max-bytes-per-trigger", "1") // one file per micro-batch
+      .table("g.db.srcb").writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("g.db.sinkb")
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT id FROM g.db.sinkb ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    // each budgeted batch committed its own epoch -> one sink snapshot per file
+    import graft.format.GraftTable
+    val sink = GraftTable.load(spark, s"$wh/db/sinkb")
+    assert(sink.snapshots.size >= 4,
+      s"expected >=4 epoch commits (1 seed + 3 sliced), got ${sink.snapshots.size}")
+  }
+
   test("filters on renamed columns push down across schema generations") {
     wh
     spark.sql("CREATE TABLE g.db.renf (id BIGINT, old_v STRING)")
