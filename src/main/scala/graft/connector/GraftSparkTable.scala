@@ -47,8 +47,23 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.TRUNCATE).asJava
 
-  override def partitioning(): Array[XTransform] = {
-    val m = table.metadata
+  override def partitioning(): Array[XTransform] =
+    GraftSparkTable.partitionTransforms(table.metadata)
+
+  override def properties(): java.util.Map[String, String] =
+    table.metadata.properties.asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(spark, table, scan0, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(table, info.queryId())
+}
+
+object GraftSparkTable {
+  /** The table's partition spec as Spark connector transforms (shared by
+    * Table.partitioning() and the write's required distribution). */
+  def partitionTransforms(m: TableMetadata): Array[XTransform] = {
     val idToName = FieldIds.idToName(m.schema)
     m.spec.fields.map { pf =>
       val src = idToName(pf.sourceId)
@@ -64,15 +79,6 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
       }
     }.toArray
   }
-
-  override def properties(): java.util.Map[String, String] =
-    table.metadata.properties.asJava
-
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(spark, table, scan0, options)
-
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(table, info.queryId())
 }
 
 /** Pushdown plumbing (reference SparkScanBuilder.java:100-141). */
@@ -604,7 +610,33 @@ final class GraftWriteBuilder(table: GraftTable, queryId: String = "default")
     mode = FilterOverwrite(AlwaysTrue); this
   }
 
-  override def build(): Write = new Write {
+  override def build(): Write = new Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+    import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+
+    /** Cluster incoming rows by the partition transforms (hash
+      * distribution) so each partition's rows land on ONE task — fanout
+      * writers then hold ~one open file per task and a partitioned insert
+      * produces one file per partition instead of tasks × partitions small
+      * files (the reference's write.distribution-mode=hash,
+      * SparkWriteUtil/TableProperties.WRITE_DISTRIBUTION_MODE). `none`
+      * skips the shuffle; unpartitioned tables never shuffle. */
+    override def requiredDistribution(): Distribution = {
+      val m = table.metadata
+      val distMode = m.properties.getOrElse("write.distribution-mode",
+        if (m.spec.isPartitioned) "hash" else "none")
+      val cluster = GraftSparkTable.partitionTransforms(m)
+        .filterNot(_.name == "void")
+        .map(t => t: org.apache.spark.sql.connector.expressions.Expression)
+      if (distMode == "none" || cluster.isEmpty) Distributions.unspecified()
+      else Distributions.clustered(cluster)
+    }
+
+    // fanout writers need no within-task order (PartitionedFanoutWriter
+    // keeps per-key open files), so don't pay for a sort
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+
     override def toBatch: BatchWrite = new GraftBatchWrite(table, mode)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStreamingWrite(table,

@@ -72,8 +72,13 @@ object Dedup {
    * 8-byte keys, not strings. Singleton grams (df=1 — the vast majority in
    * real corpora) never leave the map side.
    */
+  /** Library default maxDf = 2000: the grouped pair expansion is O(df²)
+    * tuples on ONE task at the df boundary — 2000 bounds the worst task at
+    * ~2M pair tuples (~64 MB) where 10000 allowed ~50M (~1.6 GB). Grams
+    * hotter than 2000 docs are stopword-shaped and carry no discriminative
+    * signal. Pass maxDf = 0 for exact results (the q33 gate does). */
   def jaccardPairsFast(docs: DataFrame, n: Int = 3, threshold: Double = 0.1,
-      maxDf: Long = 10000): DataFrame = {
+      maxDf: Long = 2000): DataFrame = {
     // pairCombos materializes (long, int) tuples — fail fast on a
     // non-numeric doc_id instead of a task-side ClassCastException, and
     // widen int ids to long so any numeric id works

@@ -281,6 +281,32 @@ class CatalogSpec extends SparkSpec {
       .collect().head.getString(0) == "abcde")
   }
 
+  test("writes cluster by partition transforms (write.distribution-mode=hash default)") {
+    wh
+    spark.sql("""CREATE TABLE g.db.clus (id BIGINT, part STRING)
+                 PARTITIONED BY (identity(part))""")
+    // many-task source: without hash distribution each of the source tasks
+    // could open a writer per partition (tasks x partitions files); with
+    // clustering each partition lands on one task -> at most one file per
+    // partition value
+    spark.range(0, 400, 1, 8)
+      .selectExpr("id", "concat('p', CAST(id % 4 AS STRING)) AS part")
+      .createOrReplaceTempView("clus_src")
+    spark.sql("INSERT INTO g.db.clus SELECT id, part FROM clus_src")
+    import graft.format.{GraftTable, MetaTables}
+    val t = GraftTable.load(spark, s"$wh/db/clus")
+    val nFiles = MetaTables.files(t).count()
+    assert(nFiles <= 4, s"expected <=1 file per partition, got $nFiles")
+    assert(spark.sql("SELECT COUNT(*) FROM g.db.clus").collect().head.getLong(0) == 400)
+    assert(spark.sql("SELECT COUNT(DISTINCT part) FROM g.db.clus").collect().head.getLong(0) == 4)
+    // opt-out: write.distribution-mode=none keeps the unshuffled path
+    spark.sql("""CREATE TABLE g.db.clusn (id BIGINT, part STRING)
+                 PARTITIONED BY (identity(part))
+                 TBLPROPERTIES ('write.distribution-mode'='none')""")
+    spark.sql("INSERT INTO g.db.clusn SELECT id, part FROM clus_src")
+    assert(spark.sql("SELECT COUNT(*) FROM g.db.clusn").collect().head.getLong(0) == 400)
+  }
+
   test("catalog ops: list/drop/rename") {
     wh
     spark.sql("CREATE TABLE g.db.lister (id BIGINT)")
