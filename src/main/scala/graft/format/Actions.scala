@@ -258,9 +258,11 @@ final class Actions(t: GraftTable) {
       .map(p => (p.toString, Files.getLastModifiedTime(p).toMillis))
       .toSeq.toDF("path", "mtime")
     val m = t.metadata
-    val valid = m.snapshots
+    val validManifests = m.snapshots
       .flatMap(s => t.readManifestList(m, s)).distinctBy(_.path)
-      .flatMap(mf => t.readManifest(mf, m.schema).map(_.file.path))
+    val entriesByPath = TableScan.readManifestsParallel(t, validManifests, m.schema)
+    val valid = validManifests
+      .flatMap(mf => entriesByPath(mf.path).map(_.file.path))
       .toDF("path")
     val orphans = actual.filter(col("mtime") < olderThanMillis)
       .join(valid, Seq("path"), "left_anti")

@@ -100,8 +100,11 @@ object MetaTables {
 
   private def entryRows(t: GraftTable, snaps: Seq[Snapshot]): Seq[Row] = {
     val m = t.metadata
-    snaps.flatMap(s => t.readManifestList(m, s)).distinctBy(_.path)
-      .flatMap(mf => t.readManifest(mf, m.schema))
+    // parallel manifest I/O, same pool as scan planning — all_* tables over
+    // a long-lived table read every manifest ever committed
+    val manifests = snaps.flatMap(s => t.readManifestList(m, s)).distinctBy(_.path)
+    val byPath = TableScan.readManifestsParallel(t, manifests, m.schema)
+    manifests.flatMap(mf => byPath(mf.path))
       .map { e =>
         val f = e.file
         Row(e.status, e.snapshotId, e.sequenceNumber,

@@ -208,6 +208,72 @@ class TableFormatSpec extends SparkSpec {
     assert(out3.count() == 3)
   }
 
+  test("randomized nested evolution: old file reads unchanged through any rename/move/promote sequence") {
+    val rnd = new scala.util.Random(42)
+    val loc = freshLoc("evoprop")
+    // two-level schema, values derived from field POSITION at write time
+    val df0 = Seq((11, (21, 31L, (41, "s51")), "s61"))
+      .toDF("a", "b", "c")
+      .select(col("a"),
+        col("b").cast("struct<x:int,y:bigint,z:struct<p:int,q:string>>").as("b"),
+        col("c"))
+    val t = GraftTable.create(spark, loc, df0.schema)
+    GraftWrite.append(t, df0.coalesce(1))
+    // expected value per FIELD ID (ids assigned depth-first at create)
+    val sch0 = t.schema
+    def idAt(path: String*): Int = {
+      var st = sch0
+      var f: StructField = null
+      path.foreach { n =>
+        f = st(n)
+        f.dataType match { case s: StructType => st = s; case _ => () }
+      }
+      FieldIds.idOf(f)
+    }
+    var expected: Map[Int, Any] = Map(
+      idAt("a") -> 11, idAt("b", "x") -> 21, idAt("b", "y") -> 31L,
+      idAt("b", "z", "p") -> 41, idAt("b", "z", "q") -> "s51", idAt("c") -> "s61")
+
+    // dotted paths of all leaves + the structs, recomputed per step
+    def leafPaths(st: StructType, prefix: String = ""): Seq[(String, StructField)] =
+      st.fields.toSeq.flatMap { f =>
+        val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        f.dataType match {
+          case s: StructType => leafPaths(s, p)
+          case _ => Seq(p -> f)
+        }
+      }
+
+    (0 until 20).foreach { step =>
+      val sch = t.schema
+      val leaves = leafPaths(sch)
+      val (path, field) = leaves(rnd.nextInt(leaves.size))
+      rnd.nextInt(3) match {
+        case 0 => // rename to a fresh name
+          SchemaUpdate(t).renameColumn(path, s"r${step}_${field.name}").commit()
+        case 1 => // move first within its parent
+          SchemaUpdate(t).moveFirst(path).commit()
+        case 2 => // promote when possible, else rename
+          field.dataType match {
+            case IntegerType =>
+              SchemaUpdate(t).updateColumnType(path, LongType).commit()
+              val id = FieldIds.idOf(field)
+              expected = expected.updated(id,
+                expected(id).asInstanceOf[Int].toLong)
+            case _ =>
+              SchemaUpdate(t).renameColumn(path, s"r${step}_${field.name}").commit()
+          }
+      }
+      // the ORIGINAL file must read correctly under the evolved schema:
+      // every leaf value matches its field id's expected value
+      val read = leafPaths(t.schema).map { case (p, f) =>
+        FieldIds.idOf(f) ->
+          t.toDF().select(col(p)).collect().head.get(0)
+      }.toMap
+      assert(read == expected, s"step $step diverged: $read vs $expected")
+    }
+  }
+
   test("metrics modes: none/counts/truncate(N)/full per column (MetricsModes.java)") {
     val loc = freshLoc("mmodes")
     val longStr = "abcdefghijklmnopqrstuvwxyz" // 26 chars > truncate(16)
