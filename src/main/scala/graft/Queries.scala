@@ -346,6 +346,20 @@ object Queries {
         .orderBy(col("cos").desc, col("vec_id"))
     }),
 
+    // GATE-ONLY parameterization: nProbe = nCentroids (exhaustive probing)
+    // makes IVF exact — the full assignment/probe/verify dataflow runs, and
+    // the result equals the exact top-k oracle. The library default probes
+    // 4 of 16 lists (the scale path; recall measured in OpsSpec).
+    "q44_ivf_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      Similarity.ivfTopK(emb.filter(col("vec_id") =!= 0), query, 10,
+          nCentroids = 16, nProbe = 16)
+        .select(col("vec_id"), round(col("cos"), 5).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+    }),
+
     "q42_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupExact(t(s, dir, "embeddings"), threshold = 0.45)
         .select(col("a"), col("b"), round(col("cos"), 5).as("cos"))
@@ -608,6 +622,18 @@ object Queries {
     // top-10 vector vanishingly unlikely — so the oracle is the exact top-10
     // (selected on the unrounded cosine, same as q39).
     "q40_lsh_ann" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT e.vec_id,
+        |  list_sum(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosx
+        |FROM embeddings e, q WHERE e.vec_id <> 0),
+        |t AS (SELECT vec_id, cosx FROM c ORDER BY cosx DESC, vec_id LIMIT 10)
+        |SELECT vec_id, round(cosx, 5) AS cos FROM t ORDER BY cos DESC, vec_id""".stripMargin,
+
+    // q44 probes every IVF list at the gate (exhaustive), so the output is
+    // the exact top-10 — same oracle as q39/q40
+    "q44_ivf_ann" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |c AS (SELECT e.vec_id,
         |  list_sum(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
