@@ -31,7 +31,12 @@ object Actions {
   final case class BinTask(id: Int, paths: Seq[String], seqs: Seq[Long],
       readSchema: org.apache.spark.sql.types.StructType, out: String,
       posDeletePaths: Seq[String],
-      eqDeletes: Seq[(Long, graft.connector.DeleteKeySource)])
+      eqDeletes: Seq[(Long, graft.connector.DeleteKeySource)],
+      // (ordinal → constant Catalyst value): identity-partition columns that
+      // exist only in the bin's partition tuple, not in the input files
+      // (imported hive layouts) — materialized into the rewritten file so
+      // the output is complete under the current schema
+      fill: Seq[(Int, Any)] = Nil)
 }
 
 final class Actions(t: GraftTable) {
@@ -99,13 +104,27 @@ final class Actions(t: GraftTable) {
         val name = fileById.getOrElse(FieldIds.idOf(f), f.name)
         f.copy(name = name, metadata = org.apache.spark.sql.types.Metadata.empty)
       })
+      // identity-partition columns missing from this generation's FILES
+      // (imported hive layouts) must be materialized from the bin's
+      // (constant) partition tuple — otherwise the rewritten file, which
+      // claims the current schema, would hold nulls for them
+      val fileIds = fileSchema.fields.map(FieldIds.idOf).toSet
+      val spec = m.specs(tasks.head.file.specId)
+      val fill: Seq[(Int, Any)] = schema.fields.toSeq.zipWithIndex
+        .filter { case (f, _) => !fileIds.contains(FieldIds.idOf(f)) }
+        .flatMap { case (f, ord) =>
+          spec.fields.find(pf => pf.sourceId == FieldIds.idOf(f) &&
+              pf.transform == Transforms.IdentityT)
+            .map(pf => ord -> Values.toCatalyst(
+              partition.getOrElse(pf.name, null), f.dataType))
+        }
       val seqByPath = tasks.map(ts => ts.file.path -> ts.sequenceNumber).toMap
       val bins = binPack(tasks.map(ts => ts.file.path -> ts.file.fileSizeInBytes),
         targetSizeBytes)
       bins.filter(_.size >= minInputFiles).foreach { bin =>
         binTasks += BinTask(binId, bin, bin.map(seqByPath), readSchema,
           staging.resolve(f"bin-$binId%05d.parquet").toString,
-          posDeletePaths, eqDeletes)
+          posDeletePaths, eqDeletes, fill)
         binMeta(binId) = (partition, schemaId)
         binId += 1
       }
@@ -146,7 +165,23 @@ final class Actions(t: GraftTable) {
                 keys.contains(ords.indices.map(i =>
                   ParquetIO.canonicalValue(row, ords(i), types(i))).toVector)
               }
-            if (!dead) writer.write(row)
+            if (!dead) {
+              if (bt.fill.isEmpty) writer.write(row)
+              else {
+                // copy + materialize the constant partition columns
+                val out = new org.apache.spark.sql.catalyst.expressions
+                  .GenericInternalRow(bt.readSchema.length)
+                var c = 0
+                while (c < bt.readSchema.length) {
+                  out.update(c,
+                    if (row.isNullAt(c)) null
+                    else row.get(c, bt.readSchema(c).dataType))
+                  c += 1
+                }
+                bt.fill.foreach { case (ord, v) => out.update(ord, v) }
+                writer.write(out)
+              }
+            }
           }
         } finally writer.close()
         // footer metrics in-task, keyed by field id against the current schema

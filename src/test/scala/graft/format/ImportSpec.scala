@@ -93,6 +93,29 @@ class ImportSpec extends SparkSpec {
     assert(NameMapping.fromJson(mapping.toJson) == mapping)
   }
 
+  test("compaction of an imported table materializes the partition column") {
+    val src = freshLoc("hive-multi")
+    // two separate writes → two files per partition, so compaction has work
+    Seq((1L, "a", "p1"), (3L, "c", "p2")).toDF("id", "v", "part")
+      .coalesce(1).write.partitionBy("part").parquet(src)
+    Seq((2L, "b", "p1"), (4L, "d", "p2")).toDF("id", "v", "part")
+      .coalesce(1).write.mode("append").partitionBy("part").parquet(src)
+    val t = GraftWrite.importParquet(spark, freshLoc("imp-compact"), src)
+    assert(t.toDF().count() == 4)
+    val res = Actions.forTable(t).rewriteDataFiles(minInputFiles = 2)
+    assert(res.rewrittenFiles >= 2 && res.addedFiles >= 1)
+    // rewritten files carry the current schema WITH the partition column —
+    // its values must come from the partition tuple, not read as null
+    val out = t.toDF()
+    assert(out.count() == 4)
+    assert(out.where(col("part").isNull).count() == 0,
+      "compaction dropped metadata-only partition values")
+    assert(out.where(col("part") === "p1").select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L))
+    assert(out.where(col("part") === "p2").select("id").as[Long].collect().sorted.toSeq
+      == Seq(3L, 4L))
+  }
+
   test("unpartitioned import still round-trips with name mapping recorded") {
     val src = freshLoc("flat-src")
     Seq((1L, "x"), (2L, "y")).toDF("id", "v").coalesce(1).write.parquet(src)
