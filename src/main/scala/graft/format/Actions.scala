@@ -95,14 +95,19 @@ final class Actions(t: GraftTable) {
     val binMeta = collection.mutable.Map[Int, (Map[String, Any], Int)]()
     groups.foreach { tasks =>
       val (partition, schemaId) = (tasks.head.file.partition, tasks.head.file.schemaId)
-      // read schema: file-side names (by field id) in current column order,
-      // so the task's InternalRows match writeSchema positionally; columns
-      // added since this generation read as null (missing optional columns)
+      // read schema: file-side names (by field id, at EVERY struct level —
+      // nested renames map too) in current column order, so the task's
+      // InternalRows match writeSchema positionally; columns added since
+      // this generation read as null (missing optional columns)
       val fileSchema = m.schemas.getOrElse(schemaId, schema)
-      val fileById = FieldIds.idToName(fileSchema)
+      val fileFieldById = fileSchema.fields.map(f => FieldIds.idOf(f) -> f).toMap
       val readSchema = org.apache.spark.sql.types.StructType(schema.fields.map { f =>
-        val name = fileById.getOrElse(FieldIds.idOf(f), f.name)
-        f.copy(name = name, metadata = org.apache.spark.sql.types.Metadata.empty)
+        fileFieldById.get(FieldIds.idOf(f)) match {
+          case Some(ff) => org.apache.spark.sql.types.StructField(ff.name,
+            Types.fileSideType(f.dataType, ff.dataType), f.nullable)
+          case None => org.apache.spark.sql.types.StructField(f.name,
+            Types.cleanType(f.dataType), nullable = true)
+        }
       })
       // identity-partition columns missing from this generation's FILES
       // (imported hive layouts) must be materialized from the bin's

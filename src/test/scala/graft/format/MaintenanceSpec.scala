@@ -142,6 +142,32 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.toDF().select("id").as[Long].collect().sorted.toSeq == before)
   }
 
+  test("rewriteDataFiles preserves NESTED renamed/promoted fields across generations") {
+    val loc = freshLoc("compactnest")
+    val df0 = Seq((1L, ("alice", 10)), (2L, ("bob", 20)))
+      .toDF("id", "who")
+      .select($"id", $"who".cast("struct<name:string,num:int>").as("who"))
+    val t = GraftTable.create(spark, loc, df0.schema)
+    GraftWrite.append(t, df0.coalesce(1))
+    GraftWrite.append(t,
+      Seq((3L, ("carol", 30))).toDF("id", "who")
+        .select($"id", $"who".cast("struct<name:string,num:int>").as("who"))
+        .coalesce(1))
+    SchemaUpdate(t).renameColumn("who.name", "full_name")
+      .updateColumnType("who.num", org.apache.spark.sql.types.LongType).commit()
+    // both old-generation files compact under the EVOLVED schema: the
+    // nested rename must map back to the file's nested name by id
+    val res = Actions.forTable(t).rewriteDataFiles(minInputFiles = 2)
+    assert(res.rewrittenFiles == 2 && res.addedFiles == 1)
+    val out = t.toDF()
+    assert(out.count() == 3)
+    assert(out.select($"who.full_name").as[String].collect().sorted.toSeq ==
+      Seq("alice", "bob", "carol"),
+      "nested rename lost values through compaction")
+    assert(out.select($"who.num").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 20L, 30L))
+  }
+
   test("rewriteManifests clusters into fewer manifests") {
     val loc = freshLoc("rwm")
     val t = GraftTable.create(spark, loc, rows(1).schema,
