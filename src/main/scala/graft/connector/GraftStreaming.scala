@@ -156,7 +156,8 @@ final class GraftStreamingWrite(table: GraftTable, truncateFirst: Boolean,
     val cleanSchema = StructType(schema.fields.map(f =>
       f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
     val batchFactory = new GraftWriterFactory(cleanSchema, schema, fields, staging,
-      new org.apache.spark.util.SerializableConfiguration(conf))
+      new org.apache.spark.util.SerializableConfiguration(conf),
+      Metrics.modesFor(schema, m.properties))
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =

@@ -178,10 +178,21 @@ object GraftWrite {
     val mapping = properties.get(NameMapping.PropertyKey).map(NameMapping.fromJson)
     def withIds(st: org.apache.spark.sql.types.StructType, lastId: Int) =
       mapping.map(_.applyTo(st, lastId)).getOrElse {
+        // fresh ids at EVERY struct level (nested evolution works on
+        // imported tables too), continuing above lastId
         var next = lastId
-        org.apache.spark.sql.types.StructType(st.fields.map { f =>
-          next += 1; FieldIds.withId(f, next)
-        })
+        def walk(s: org.apache.spark.sql.types.StructType)
+            : org.apache.spark.sql.types.StructType =
+          org.apache.spark.sql.types.StructType(s.fields.map { f =>
+            next += 1
+            val id = next
+            val dt = f.dataType match {
+              case i: org.apache.spark.sql.types.StructType => walk(i)
+              case o => o
+            }
+            FieldIds.withId(f.copy(dataType = dt), id)
+          })
+        walk(st)
       }
 
     if (partCols.isEmpty) {
