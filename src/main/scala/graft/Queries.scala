@@ -301,6 +301,14 @@ object Queries {
       Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, bands = 32, rows = 2, threshold = 0.5)
         .orderBy(col("a"), col("b"))),
 
+    // dedup clustering: connected components over the EXACT jaccard pair
+    // graph (threshold 0.5) — every member doc labeled with its component's
+    // min doc id. The oracle recomputes components via a recursive CTE.
+    "q45_dup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.jaccardPairsFast(t(s, dir, "documents"), n = 3, threshold = 0.5, maxDf = 0))
+        .orderBy(col("doc_id"))),
+
     "q35_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       docs.select(col("doc_id"),
@@ -558,6 +566,27 @@ object Queries {
         |FROM p JOIN s sa ON p.a = sa.doc_id JOIN s sb ON p.b = sb.doc_id
         |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) >= 0.5
         |ORDER BY a, b""".stripMargin,
+
+    "q45_dup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |g AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS gram
+        |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(tok)-2)) AS i) r
+        |      WHERE len(tok) >= 3),
+        |s AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
+        |p AS (SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS inter
+        |      FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT p.a, p.b
+        |      FROM p JOIN s sa ON p.a = sa.doc_id JOIN s sb ON p.b = sb.doc_id
+        |      WHERE CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) >= 0.5),
+        |edges AS (SELECT a AS x, b AS y FROM jp UNION SELECT b AS x, a AS y FROM jp),
+        |reach(x, y) AS (
+        |  SELECT x, y FROM edges
+        |  UNION
+        |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x WHERE e.y <> r.x),
+        |members AS (SELECT DISTINCT x FROM edges)
+        |SELECT m.x AS doc_id, LEAST(m.x, MIN(r.y)) AS cluster
+        |FROM members m LEFT JOIN reach r ON r.x = m.x
+        |GROUP BY m.x ORDER BY doc_id""".stripMargin,
 
     // simhash/fingerprint hash tokens with md5-lower-64 (= DuckDB's
     // md5_number_lower), so the oracle recomputes the identical bits.

@@ -142,6 +142,45 @@ object Dedup {
     out.toSeq
   })
 
+  /**
+   * Connected components over an undirected near-dup pair graph `(a, b)` —
+   * the clustering step of a dedup pipeline: every member doc gets its
+   * component's MIN doc id as `cluster`, so "keep one per cluster" is a
+   * trivial filter afterwards.
+   *
+   * Distributed min-label propagation: each round every node takes the min
+   * of its own label and its neighbors' labels (two shuffles per round:
+   * join + groupBy). Rounds needed = graph diameter — near-dup components
+   * are tiny, star-shaped clumps in practice, so convergence is a handful
+   * of rounds even at corpus scale (the same reasoning as GraphX's CC).
+   * Lineage is truncated per round (localCheckpoint) so plans stay flat.
+   */
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col("a").cast("long").as("x"), col("b").cast("long").as("y"))
+      .union(pairs.select(col("b").cast("long").as("x"), col("a").cast("long").as("y")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("x")).distinct()
+      .withColumn("label", col("x"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels.select(col("x").as("y"), col("label")), "y")
+        .groupBy(col("x")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, Seq("x"), "left")
+        .select(col("x"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label")).as("chg"))
+        .localCheckpoint()
+      changed = updated.filter(col("chg")).count()
+      labels = updated.select(col("x"), col("label"))
+      round += 1
+    }
+    labels.select(col("x").as("doc_id"), col("label").as("cluster"))
+  }
+
   // --- MinHash + LSH ------------------------------------------------------
 
   /** k minhash values per shingle set, via k seeded murmur3 hashes. */

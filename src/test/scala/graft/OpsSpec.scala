@@ -76,6 +76,17 @@ class OpsSpec extends SparkSpec {
         s"recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("duplicateClusters labels each component with its min doc id") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star on 21)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (21L, 20L), (21L, 22L)).toDF("a", "b")
+    val out = graft.ops.Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("multimodal decode pipeline emits typed metadata and frames") {
     val media = Multimodal.withPayload(docs)
     val decoded = Multimodal.decodeAll(spark, media).collect()
