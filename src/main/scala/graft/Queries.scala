@@ -309,6 +309,19 @@ object Queries {
         Dedup.jaccardPairsFast(t(s, dir, "documents"), n = 3, threshold = 0.5, maxDf = 0))
         .orderBy(col("doc_id"))),
 
+    // deterministic content-hash sampling / splitting — buckets are a power
+    // of two so the signed-hash pmod equals the oracle's unsigned mod
+    "q46_hash_sample" -> ((s, dir) =>
+      graft.ops.Sampling.hashSample(t(s, dir, "documents"), col("doc_id"), 0.25)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    "q47_split" -> ((s, dir) =>
+      graft.ops.Sampling.split(t(s, dir, "documents"), col("doc_id"),
+          valFraction = 0.1, testFraction = 0.2)
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .orderBy(col("split"))),
+
     "q35_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       docs.select(col("doc_id"),
@@ -587,6 +600,20 @@ object Queries {
         |SELECT m.x AS doc_id, LEAST(m.x, MIN(r.y)) AS cluster
         |FROM members m LEFT JOIN reach r ON r.x = m.x
         |GROUP BY m.x ORDER BY doc_id""".stripMargin,
+
+    // sampling/split cuts: 0.25*8192=2048; val 819 = (0.1*8192).toInt,
+    // test cut 2457 = 819 + (0.2*8192).toInt — hardcoded so both engines
+    // truncate identically
+    "q46_hash_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 8192 < 2048
+        |ORDER BY doc_id""".stripMargin,
+
+    "q47_split" ->
+      """SELECT CASE WHEN b < 819 THEN 'val' WHEN b < 2457 THEN 'test'
+        |ELSE 'train' END AS split, COUNT(*) AS n
+        |FROM (SELECT md5_number_lower(CAST(doc_id AS VARCHAR)) % 8192 AS b FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // simhash/fingerprint hash tokens with md5-lower-64 (= DuckDB's
     // md5_number_lower), so the oracle recomputes the identical bits.
