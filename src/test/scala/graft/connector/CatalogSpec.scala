@@ -307,6 +307,26 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM g.db.clusn").collect().head.getLong(0) == 400)
   }
 
+  test("metrics modes apply through SQL writes (TBLPROPERTIES)") {
+    wh
+    spark.sql("""CREATE TABLE g.db.mmode (id BIGINT, v STRING)
+                 TBLPROPERTIES ('write.metadata.metrics.default'='counts',
+                                'write.metadata.metrics.column.v'='none')""")
+    spark.sql("INSERT INTO g.db.mmode VALUES (1, 'abc'), (2, 'def')")
+    import graft.format.{FieldIds, GraftTable}
+    val t = GraftTable.load(spark, s"$wh/db/mmode")
+    val files = t.newScan().planFiles().tasks.map(_.file)
+    val idId = FieldIds.idOf(t.schema("id"))
+    val vId = FieldIds.idOf(t.schema("v"))
+    // counts mode: counts present (summed across files), bounds absent
+    assert(files.map(_.valueCounts.getOrElse(idId, 0L)).sum == 2L)
+    files.foreach { f =>
+      assert(!f.lowerBounds.contains(idId) && !f.upperBounds.contains(idId))
+      // none mode: nothing at all
+      assert(!f.valueCounts.contains(vId) && !f.lowerBounds.contains(vId))
+    }
+  }
+
   test("catalog ops: list/drop/rename") {
     wh
     spark.sql("CREATE TABLE g.db.lister (id BIGINT)")
