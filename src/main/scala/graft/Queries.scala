@@ -10,9 +10,9 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
  * The correctness-gate query suite: every entry has a Spark definition
  * and (where SQL-expressible) a DuckDB oracle over the same parquet
  * tables. Column names and deterministic ORDER BY are kept identical on
- * both sides; monetary aggregates run in DECIMAL (exact, order-independent)
- * and are cast to DOUBLE at the end so both engines emit bit-identical
- * values regardless of aggregation order.
+ * both sides; monetary SUMS run AND ship as DECIMAL (exact, order-independent
+ * at any scale factor — a final double cast diverges at the last ulp once
+ * sums reach ~17 significant digits); averages/ratios ship as DOUBLE.
  *
  * Scale notes are on each query; the common principles:
  *  - filters/projections stay in the scan (Catalyst pushdown),
@@ -52,8 +52,15 @@ object Queries {
   private def dbl(c: Column): Column = c.cast(DoubleType)
   private def tsLit(s: String): Column = lit(s).cast(TimestampNTZType)
 
+  /** Money SUM columns ship as DECIMAL(38,6), not DOUBLE: a decimal→double
+    * cast disagrees between engines at the last ulp once sums reach ~17
+    * significant digits (seen at sf0.1), while equal exact decimals render
+    * identically at ANY scale factor. Scale 6 covers every product here
+    * (price 2dp × up to two 2dp factors) without rounding. */
+  private def money(c: Column): Column = c.cast(DecimalType(38, 6))
+
   private def revenue(price: Column, disc: Column): Column =
-    sum(dec14(price) * (one - dec8(disc))).cast(DoubleType)
+    money(sum(dec14(price) * (one - dec8(disc))))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = base ++ FormatQueries.queries
 
@@ -64,10 +71,10 @@ object Queries {
       li.filter(col("l_shipdate") <= tsLit("2000-06-30"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dbl(sum(dec14(col("l_quantity")))).as("sum_qty"),
-          dbl(sum(dec14(col("l_extendedprice")))).as("sum_base_price"),
+          money(sum(dec14(col("l_quantity")))).as("sum_qty"),
+          money(sum(dec14(col("l_extendedprice")))).as("sum_base_price"),
           revenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
-          dbl(sum(dec14(col("l_extendedprice")) * (one - dec8(col("l_discount"))) * (one + dec8(col("l_tax"))))).as("sum_charge"),
+          money(sum(dec14(col("l_extendedprice")) * (one - dec8(col("l_discount"))) * (one + dec8(col("l_tax"))))).as("sum_charge"),
           (dbl(sum(dec14(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
           (dbl(sum(dec14(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
           (dbl(sum(dec8(col("l_discount")))) / count(lit(1))).as("avg_disc"),
@@ -127,7 +134,7 @@ object Queries {
       li.filter(col("l_shipdate") >= tsLit("1996-01-01") &&
           col("l_shipdate") < tsLit("1997-01-01") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(dbl(sum(dec14(col("l_extendedprice")) * dec8(col("l_discount")))).as("revenue"),
+        .agg(money(sum(dec14(col("l_extendedprice")) * dec8(col("l_discount")))).as("revenue"),
           count(lit(1)).as("n"))
     }),
 
@@ -148,7 +155,7 @@ object Queries {
           li.select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
           o, "o_orderkey", buckets = 8)
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), dbl(sum(dec14(col("l_quantity")))).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), money(sum(dec14(col("l_quantity")))).as("sum_qty"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -210,7 +217,7 @@ object Queries {
     "q15_rollup_flags" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       li.rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), dbl(sum(dec14(col("l_quantity")))).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), money(sum(dec14(col("l_quantity")))).as("sum_qty"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"), col("sum_qty"))
         .orderBy(col("rf"), col("ls"))
@@ -221,7 +228,7 @@ object Queries {
       c.groupBy(col("c_mktsegment"))
         .agg(countDistinct(col("c_nationkey")).as("n_nations"),
           count(lit(1)).as("n"),
-          dbl(sum(dec14(col("c_acctbal")))).as("sum_bal"))
+          money(sum(dec14(col("c_acctbal")))).as("sum_bal"))
         .orderBy(col("c_mktsegment"))
     }),
 
@@ -231,7 +238,7 @@ object Queries {
       ev.select(date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH:00").as("hour"),
           col("event_type"), col("value"))
         .groupBy(col("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), dbl(sum(dec14(col("value")))).as("sum_value"))
+        .agg(count(lit(1)).as("n"), money(sum(dec14(col("value")))).as("sum_value"))
         .orderBy(col("hour"), col("event_type"))
     }),
 
@@ -252,7 +259,7 @@ object Queries {
     "q19_events_top_users" -> ((s, dir) => {
       val ev = events(s, dir)
       ev.groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n"), dbl(sum(dec14(col("value")))).as("sum_value"))
+        .agg(count(lit(1)).as("n"), money(sum(dec14(col("value")))).as("sum_value"))
         .orderBy(col("n").desc, col("user_id"))
         .limit(20)
     }),
@@ -362,7 +369,9 @@ object Queries {
       val emb = t(s, dir, "embeddings")
       val query = emb.filter(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0).toArray
-      Similarity.lshTopK(emb.filter(col("vec_id") =!= 0), query, 10, nTables = 32, nBits = 8, probeHamming = 1)
+      // GATE parameters sized to stay exact-with-overwhelming-probability
+      // through sf0.1 (probeHamming 2; 1 missed a true top-10 at 10x corpus)
+      Similarity.lshTopK(emb.filter(col("vec_id") =!= 0), query, 10, nTables = 32, nBits = 8, probeHamming = 2)
         .select(col("vec_id"), round(col("cos"), 5).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
     }),
@@ -386,8 +395,10 @@ object Queries {
         .select(col("a"), col("b"), round(col("cos"), 5).as("cos"))
         .orderBy(col("a"), col("b"))),
 
+    // GATE parameters sized to stay exact-with-overwhelming-probability
+    // through sf0.1 (64 tables; 32 recalled 135/144 at 10x corpus)
     "q43_embedding_neardup_lsh" -> ((s, dir) =>
-      Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), threshold = 0.45, nTables = 32)
+      Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), threshold = 0.45, nTables = 64)
         .select(col("a"), col("b"), round(col("cos"), 5).as("cos"))
         .orderBy(col("a"), col("b"))),
 
@@ -412,10 +423,10 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) AS sum_qty,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) AS sum_base_price,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc_price,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))) AS DOUBLE) AS sum_charge,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DECIMAL(38,6)) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS DECIMAL(38,6)) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS sum_disc_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS sum_charge,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*) AS avg_price,
         |CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -425,12 +436,12 @@ object Queries {
 
     "q02_revenue_by_year" ->
       """SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS revenue,
         |COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY yr""".stripMargin,
 
     "q03_revenue_by_nation" ->
       """SELECT r_name, n_name,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS revenue,
         |COUNT(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -440,7 +451,7 @@ object Queries {
 
     "q04_top_orders" ->
       """SELECT o_orderkey,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS revenue,
         |CAST(o_orderdate AS DATE) AS odate, o_orderpriority
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate > TIMESTAMP '1996-06-15' AND o_orderdate < TIMESTAMP '1996-06-15'
@@ -453,21 +464,21 @@ object Queries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q06_selective_filter" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS revenue,
         |COUNT(*) AS n FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
     "q07_brand_revenue" ->
       """SELECT p_brand,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS revenue,
         |COUNT(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q08_salted_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) AS sum_qty
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DECIMAL(38,6)) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -505,17 +516,17 @@ object Queries {
 
     "q15_rollup_flags" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
-        |COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) AS sum_qty
+        |COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DECIMAL(38,6)) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
 
     "q16_segment_stats" ->
       """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n,
-        |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DECIMAL(38,6)) AS sum_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q17_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
-        |COUNT(*) AS n, CAST(SUM(CAST("value" AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+        |COUNT(*) AS n, CAST(SUM(CAST("value" AS DECIMAL(14,4))) AS DECIMAL(38,6)) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
     "q18_sessionization" ->
@@ -532,7 +543,7 @@ object Queries {
         |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q19_events_top_users" ->
-      """SELECT user_id, COUNT(*) AS n, CAST(SUM(CAST("value" AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+      """SELECT user_id, COUNT(*) AS n, CAST(SUM(CAST("value" AS DECIMAL(14,4))) AS DECIMAL(38,6)) AS sum_value
         |FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
 
     "q30_text_stats" ->
