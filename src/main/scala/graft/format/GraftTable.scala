@@ -80,9 +80,17 @@ final class TableScan private[format] (
       case Some((from, to)) =>
         // union of manifests added by append snapshots in (from, to]
         val m2 = meta
-        val snaps = m2.ancestors(Some(to))
+        val inRange = m2.ancestors(Some(to))
           .filter(s => s.snapshotId > from && s.snapshotId <= to)
-          .filter(_.operation == "append")
+        // reference parity (IncrementalDataTableScan.snapshotsWithin): an
+        // OVERWRITE inside the range is an ERROR — rows silently treated as
+        // appends would resurrect overwritten data; replace/delete skip
+        inRange.find(_.operation == "overwrite").foreach { s =>
+          throw new UnsupportedOperationException(
+            s"Found overwrite operation (snapshot ${s.snapshotId}), cannot " +
+            s"support incremental data in snapshots ($from, $to]")
+        }
+        val snaps = inRange.filter(_.operation == "append")
         snaps.flatMap(s => table.readManifestList(m2, s))
           .filter(mf => snaps.exists(_.snapshotId == mf.addedSnapshotId))
           .distinctBy(_.path)

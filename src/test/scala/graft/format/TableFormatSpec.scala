@@ -92,6 +92,22 @@ class TableFormatSpec extends SparkSpec {
     assert(t.newScan().appendsBetween(s2, s3).toDF().count() == 4)
   }
 
+  test("incremental scan rejects overwrites in range (IncrementalDataTableScan.snapshotsWithin)") {
+    val loc = freshLoc("incov")
+    val t = GraftTable.create(spark, loc, rows(2).schema)
+    GraftWrite.append(t, rows(2, 0))
+    val s1 = t.currentSnapshot.get.snapshotId
+    GraftWrite.overwriteAll(t, rows(2, 1))
+    val s2 = t.currentSnapshot.get.snapshotId
+    GraftWrite.append(t, rows(2, 2))
+    val s3 = t.currentSnapshot.get.snapshotId
+    intercept[UnsupportedOperationException] {
+      t.newScan().appendsBetween(s1, s3).planFiles()
+    }
+    // a range past the overwrite works
+    assert(t.newScan().appendsBetween(s2, s3).planFiles().tasks.nonEmpty)
+  }
+
   test("metadata-only delete: whole partitions drop; partial raises (ManifestFilterManager:215-222)") {
     val loc = freshLoc("del")
     val t = GraftTable.create(spark, loc, rows(4).schema, _.day("ts"))
