@@ -27,7 +27,19 @@ import scala.jdk.CollectionConverters._
 final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
     ident: String, snapshotId: Option[Long] = None,
     asOfMillis: Option[Long] = None)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** SQL `DELETE FROM t WHERE p` (reference spark3 SparkTable implements
+    * SupportsDelete with metadata-only deletes). Ours goes further:
+    * metadata-only when the filter provably covers whole files (strict
+    * projection), copy-on-write rewrite of the touched files otherwise —
+    * so any expressible predicate is deletable. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => FilterBridge.convert(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    Deletes.deleteWhere(table, FilterBridge.convertAll(filters))
 
   private def scan0: TableScan = {
     var s = table.newScan()

@@ -307,6 +307,24 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM g.db.clusn").collect().head.getLong(0) == 400)
   }
 
+  test("DELETE FROM via SQL: metadata-only when provable, copy-on-write otherwise") {
+    wh
+    spark.sql("""CREATE TABLE g.db.del (id BIGINT, part STRING)
+                 PARTITIONED BY (identity(part))""")
+    spark.sql("INSERT INTO g.db.del VALUES (1,'a'),(2,'a'),(3,'b'),(4,'b')")
+    // whole-partition predicate → metadata-only delete snapshot
+    spark.sql("DELETE FROM g.db.del WHERE part = 'a'")
+    assert(spark.sql("SELECT id FROM g.db.del ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L, 4L))
+    import graft.format.GraftTable
+    val t = GraftTable.load(spark, s"$wh/db/del")
+    assert(t.currentSnapshot.get.operation == "delete")
+    // row-level predicate → copy-on-write rewrite, rows gone
+    spark.sql("DELETE FROM g.db.del WHERE id = 3")
+    assert(spark.sql("SELECT id FROM g.db.del").collect()
+      .map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
   test("metrics modes apply through SQL writes (TBLPROPERTIES)") {
     wh
     spark.sql("""CREATE TABLE g.db.mmode (id BIGINT, v STRING)
