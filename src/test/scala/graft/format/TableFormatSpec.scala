@@ -347,6 +347,30 @@ class TableFormatSpec extends SparkSpec {
     assert(t.snapshots.size == 2)
   }
 
+  test("commit stress: 8 concurrent writers, 3 commits each, nothing lost") {
+    val loc = freshLoc("stress")
+    val t = GraftTable.create(spark, loc, rows(1).schema)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 8).map { w =>
+      new Thread(() => {
+        try (0 until 3).foreach { i =>
+          GraftWrite.append(t, rows(2, 0)
+            .withColumn("id", col("id") + lit(w * 1000L + i * 100L)))
+        } catch { case e: Throwable => errors.add(e); () }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errors.isEmpty, s"concurrent commit failed: ${errors.peek()}")
+    // every append survived (24 commits x 2 rows), snapshots chain linearly
+    assert(t.toDF().count() == 48)
+    assert(t.snapshots.size == 24)
+    val m = t.metadata
+    assert(m.ancestors().size == 24, "snapshot chain is not linear")
+    val parents = t.snapshots.flatMap(_.parentId)
+    assert(parents.distinct.size == parents.size, "two snapshots share a parent")
+  }
+
   test("stats pruning on unpartitioned files (InclusiveMetricsEvaluator)") {
     val loc = freshLoc("stats")
     val t = GraftTable.create(spark, loc, rows(2).schema)
