@@ -27,9 +27,11 @@ object ScanSummary {
       val m = table.metadata
       val snapTs = m.snapshots.map(s => s.snapshotId -> s.timestampMillis).toMap
       val acc = collection.mutable.Map[String, PartitionMetrics]()
-      m.currentSnapshot.toSeq
+      val manifests = m.currentSnapshot.toSeq
         .flatMap(s => table.readManifestList(m, s))
-        .flatMap(mf => table.readManifest(mf, m.schema))
+      val byPath = TableScan.readManifestsParallel(table, manifests, m.schema)
+      manifests
+        .flatMap(mf => byPath(mf.path))
         .filter(_.status != EntryStatus.Deleted)
         .foreach { e =>
           val ts = snapTs.getOrElse(e.snapshotId, 0L)
