@@ -329,6 +329,21 @@ object Queries {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
 
+    // within-document repetition ratio (duplicate n-gram fraction) — the
+    // standard corpus-quality rule for boilerplate/looping text; pure
+    // codegen'd built-ins, no shuffle beyond the final sort
+    "q48_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def rep(n: Int): Column = {
+        // RAW grams (with multiplicity) — wordNgrams dedupes for jaccard
+        val g = TextOps.wordNgramsRaw(TextOps.tokens(col("text")), n)
+        when(size(g) > 0,
+          lit(1.0) - size(array_distinct(g)).cast(DoubleType) / size(g).cast(DoubleType))
+      }
+      docs.select(col("doc_id"), rep(2).as("rep2"), rep(3).as("rep3"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q35_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       docs.select(col("doc_id"),
@@ -590,6 +605,17 @@ object Queries {
         |FROM p JOIN s sa ON p.a = sa.doc_id JOIN s sb ON p.b = sb.doc_id
         |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) >= 0.5
         |ORDER BY a, b""".stripMargin,
+
+    "q48_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |g AS (SELECT doc_id,
+        |  [tok[i] || ' ' || tok[i+1] FOR i IN generate_series(1, len(tok)-1)] AS g2,
+        |  [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] FOR i IN generate_series(1, len(tok)-2)] AS g3
+        |  FROM t)
+        |SELECT doc_id,
+        |CASE WHEN len(g2) > 0 THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)/CAST(len(g2) AS DOUBLE) END AS rep2,
+        |CASE WHEN len(g3) > 0 THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/CAST(len(g3) AS DOUBLE) END AS rep3
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q45_dup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),

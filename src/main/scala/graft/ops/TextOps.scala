@@ -19,14 +19,18 @@ object TextOps {
   /** Whitespace tokens. Testdata uses single-space separation. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-grams (default 3) as a distinct set; codegen-friendly
-    * (transform/sequence, no UDF). Empty array when fewer than n tokens. */
-  def wordNgrams(toks: Column, n: Int = 3): Column = {
+  /** Word n-grams with multiplicity (positional); empty array when fewer
+    * than n tokens. Codegen-friendly (transform/sequence, no UDF). */
+  def wordNgramsRaw(toks: Column, n: Int = 3): Column = {
     val grams = transform(
       sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
-    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
+    when(size(toks) >= n, grams).otherwise(array())
   }
+
+  /** Word n-grams (default 3) as a distinct SET (jaccard semantics). */
+  def wordNgrams(toks: Column, n: Int = 3): Column =
+    array_distinct(wordNgramsRaw(toks, n))
 
   /** Distinct word-n-gram 64-bit hashes, one pass over the raw text — the
     * scale path for set-similarity joins. Gram identity lives only as a
