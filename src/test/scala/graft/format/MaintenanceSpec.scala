@@ -44,7 +44,9 @@ class MaintenanceSpec extends SparkSpec {
     val loc = freshLoc("summ")
     val t = GraftTable.create(spark, loc, rows(2).schema, _.day("ts"))
     GraftWrite.append(t, rows(2, 0).coalesce(1))
-    val betweenMillis = System.currentTimeMillis()
+    // strictly after snapshot 1's commit stamp (the after() bound is
+    // inclusive, so equal-millisecond commits flaked)
+    val betweenMillis = t.currentSnapshot.get.timestampMillis + 1
     Thread.sleep(5)
     GraftWrite.append(t, rows(3, 1).coalesce(1))
     val all = ScanSummary.of(t).build()
