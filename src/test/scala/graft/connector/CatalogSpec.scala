@@ -196,6 +196,18 @@ class CatalogSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("a", "c", "new"))
   }
 
+  test("equality deletes match NULL keys inside SQL reads") {
+    wh
+    spark.sql("CREATE TABLE g.db.eqn (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.eqn VALUES (1, 'a'), (NULL, 'b'), (2, 'c'), (NULL, 'd')")
+    import graft.format.{Deletes, GraftTable}
+    import spark.implicits._
+    val t = GraftTable.load(spark, s"$wh/db/eqn")
+    Deletes.deleteByEquality(t, Seq(None: Option[Long]).toDF("k"))
+    assert(spark.sql("SELECT v FROM g.db.eqn ORDER BY v").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "c"))
+  }
+
   test("position deletes apply inside SQL reads (row-index filter)") {
     wh
     spark.sql("CREATE TABLE g.db.posd (id BIGINT, v STRING)")

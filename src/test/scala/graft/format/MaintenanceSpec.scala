@@ -315,6 +315,20 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.toDF().select("id").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("equality deletes match NULL keys (null-safe semantics)") {
+    val loc = freshLoc("eqnull")
+    val df = Seq((Option(1L), "a"), (None: Option[Long], "b"),
+      (Option(2L), "c"), (None: Option[Long], "d")).toDF("k", "v")
+    val t = GraftTable.create(spark, loc, df.schema)
+    GraftWrite.append(t, df.coalesce(1))
+    // delete where k IS NULL — null must match null, not vanish
+    Deletes.deleteByEquality(t, Seq(None: Option[Long]).toDF("k"))
+    assert(t.toDF().select("v").as[String].collect().sorted.toSeq == Seq("a", "c"))
+    // and non-null keys still behave
+    Deletes.deleteByEquality(t, Seq(1L).toDF("k"))
+    assert(t.toDF().select("v").as[String].collect().toSeq == Seq("c"))
+  }
+
   test("position deletes remove exact rows (PositionStreamDeleteFilter)") {
     val loc = freshLoc("posdel")
     val t = GraftTable.create(spark, loc, rows(5).schema)
