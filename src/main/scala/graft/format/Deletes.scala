@@ -71,9 +71,12 @@ object Deletes {
         val bound = Exprs.bind(filter, schema)
         val plan = table.newScan().filter(filter).planFiles()
         val touched = plan.tasks.map(_.file.path)
-        val clean = org.apache.spark.sql.types.StructType(
-          schema.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
-        val remaining = table.spark.read.schema(clean).parquet(touched: _*)
+        // read the touched files through the DELETE-APPLYING scan path (an
+        // unfiltered scan so no residual re-filter) — a raw parquet read
+        // would resurrect rows hidden by live equality/position deletes,
+        // since the rewritten files carry a NEWER sequence number
+        val remaining = table.newScan()
+          .dfFor(ScanPlan(plan.tasks, plan.deleteFiles, 0, 0, 0L, plan.tasks.size))
           .filter(!Exprs.toColumn(bound))
         val staged = GraftWrite.writeFiles(table, remaining)
         Commits.rewriteFiles(table, touched.toSet, staged)

@@ -340,6 +340,18 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.toDF().count() == 3)
   }
 
+  test("copy-on-write deleteWhere applies live deletes during the rewrite") {
+    val loc = freshLoc("cowdel")
+    val t = GraftTable.create(spark, loc, rows(6).schema)
+    GraftWrite.append(t, rows(6, 0).coalesce(1)) // ids 0..5
+    // hide id 2 via equality delete, then COW-delete id 4 (non-provable)
+    Deletes.deleteByEquality(t, Seq(2L).toDF("id"))
+    Deletes.deleteWhere(t, Exprs.equal("id", 4L))
+    // id 2 must NOT resurface in the rewritten file
+    assert(t.toDF().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 3L, 5L))
+  }
+
   test("copy-on-write deleteWhere falls back when not provable") {
     val loc = freshLoc("cow")
     val t = GraftTable.create(spark, loc, rows(6).schema)
