@@ -52,12 +52,14 @@ object Queries {
   private def dbl(c: Column): Column = c.cast(DoubleType)
   private def tsLit(s: String): Column = lit(s).cast(TimestampNTZType)
 
-  /** Money SUM columns ship as DECIMAL(38,6), not DOUBLE: a decimal→double
-    * cast disagrees between engines at the last ulp once sums reach ~17
-    * significant digits (seen at sf0.1), while equal exact decimals render
-    * identically at ANY scale factor. Scale 6 covers every product here
-    * (price 2dp × up to two 2dp factors) without rounding. */
-  private def money(c: Column): Column = c.cast(DecimalType(38, 6))
+  /** Money aggregation runs on exact decimals (order-independent across
+    * partitionings) and ships as DOUBLE at the output boundary: both Spark
+    * and DuckDB perform ONE decimal→double conversion of equal exact values,
+    * which yields bit-identical doubles, whereas shipping DECIMAL(38,6)
+    * itself trips comparison harnesses whose read paths render decimals
+    * differently (float64 vs java.math.BigDecimal text). Scale 6 covers
+    * every product here (price 2dp × up to two 2dp factors) w/o rounding. */
+  private def money(c: Column): Column = c.cast(DecimalType(38, 6)).cast(DoubleType)
 
   private def revenue(price: Column, disc: Column): Column =
     money(sum(dec14(price) * (one - dec8(disc))))
@@ -438,10 +440,10 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DECIMAL(38,6)) AS sum_qty,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS DECIMAL(38,6)) AS sum_base_price,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS sum_disc_price,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS sum_charge,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))) AS DOUBLE) AS sum_charge,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*) AS avg_price,
         |CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -451,12 +453,12 @@ object Queries {
 
     "q02_revenue_by_year" ->
       """SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS revenue,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
         |COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY yr""".stripMargin,
 
     "q03_revenue_by_nation" ->
       """SELECT r_name, n_name,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS revenue,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
         |COUNT(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -466,7 +468,7 @@ object Queries {
 
     "q04_top_orders" ->
       """SELECT o_orderkey,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS revenue,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
         |CAST(o_orderdate AS DATE) AS odate, o_orderpriority
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate > TIMESTAMP '1996-06-15' AND o_orderdate < TIMESTAMP '1996-06-15'
@@ -479,21 +481,21 @@ object Queries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q06_selective_filter" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS revenue,
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
         |COUNT(*) AS n FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
     "q07_brand_revenue" ->
       """SELECT p_brand,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS revenue,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
         |COUNT(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q08_salted_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DECIMAL(38,6)) AS sum_qty
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -531,17 +533,17 @@ object Queries {
 
     "q15_rollup_flags" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
-        |COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DECIMAL(38,6)) AS sum_qty
+        |COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
 
     "q16_segment_stats" ->
       """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n,
-        |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DECIMAL(38,6)) AS sum_bal
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q17_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
-        |COUNT(*) AS n, CAST(SUM(CAST("value" AS DECIMAL(14,4))) AS DECIMAL(38,6)) AS sum_value
+        |COUNT(*) AS n, CAST(SUM(CAST("value" AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
     "q18_sessionization" ->
@@ -558,7 +560,7 @@ object Queries {
         |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q19_events_top_users" ->
-      """SELECT user_id, COUNT(*) AS n, CAST(SUM(CAST("value" AS DECIMAL(14,4))) AS DECIMAL(38,6)) AS sum_value
+      """SELECT user_id, COUNT(*) AS n, CAST(SUM(CAST("value" AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
 
     "q30_text_stats" ->
