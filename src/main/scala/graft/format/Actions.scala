@@ -1,8 +1,6 @@
 package graft.format
 
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
-import scala.jdk.CollectionConverters._
 
 /** Distributed maintenance actions — the reference's own Spark jobs
   * (spark/.../actions/: RewriteDataFilesAction.java:189-281,
@@ -68,8 +66,8 @@ final class Actions(t: GraftTable) {
     val schema = m.schema
     val writeSchema = org.apache.spark.sql.types.StructType(schema.fields.map(
       _.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
-    val staging = Paths.get(t.location, "data", java.util.UUID.randomUUID().toString)
-    Files.createDirectories(staging)
+    val staging = s"${t.location}/data/${java.util.UUID.randomUUID()}"
+    t.ops.io.mkdirs(staging)
 
     // live row-level deletes must be APPLIED during the rewrite (reference
     // RowDataRewriter reads through its delete filter): rewritten files get
@@ -128,7 +126,7 @@ final class Actions(t: GraftTable) {
         targetSizeBytes)
       bins.filter(_.size >= minInputFiles).foreach { bin =>
         binTasks += BinTask(binId, bin, bin.map(seqByPath), readSchema,
-          staging.resolve(f"bin-$binId%05d.parquet").toString,
+          f"$staging/bin-$binId%05d.parquet",
           posDeletePaths, eqDeletes, fill)
         binMeta(binId) = (partition, schemaId)
         binId += 1
@@ -230,43 +228,90 @@ final class Actions(t: GraftTable) {
     bins.map(_._1.toSeq).toSeq
   }
 
-  /** Re-cluster manifests to ~entriesPerManifest (reference
-    * RewriteManifestsAction: repartitionByRange on partition + mapPartitions
-    * toManifests :226-246; at our JSON-manifest scale the clustering key is
-    * the partition tuple ordering, computed driver-side). */
+  /** Re-cluster manifests to ~entriesPerManifest as ONE distributed job
+    * (reference RewriteManifestsAction.java:186-246: manifest entries as a
+    * Dataset → repartitionByRange on the partition sort key → mapPartitions
+    * writing one manifest per range).
+    *
+    * Scale shape: manifest READ (JSON parse), partition-key SORT, and
+    * manifest WRITE all run as executor tasks — `sortByKey` IS
+    * repartitionByRange (RangePartitioner sample + range shuffle), so each
+    * output manifest covers a contiguous partition range and manifest-list
+    * pruning stays effective. Only the new descriptors (one small case class
+    * per output manifest) return to the driver. A 10⁶-entry metadata tree
+    * rewrites with zero driver parsing — the previous implementation read,
+    * sorted, and wrote everything on the driver, which is a single-node
+    * bottleneck in exactly the action whose purpose is fixing metadata at
+    * scale. */
   def rewriteManifests(entriesPerManifest: Int = 1000): Int = {
     val m = t.metadata
     val current = m.currentSnapshot.getOrElse(return 0)
+    val baseSnapshotId = current.snapshotId
     val manifests = t.readManifestList(m, current)
-    val bySpec = manifests.groupBy(_.specId)
-    var written = 0
-    t.ops.commitTransaction { meta =>
-      val snapId = meta.lastSequenceNumber + 1
-      val newMfs = bySpec.toSeq.sortBy(_._1).flatMap { case (specId, mfs) =>
-        val entries = mfs.flatMap(mf => t.readManifest(mf, meta.schema))
+    if (manifests.isEmpty) return 0
+    val io = t.ops.io
+    val metadataDir = s"${t.location}/metadata"
+    // the id-resolution schema manifest JSON round-trips through (same
+    // choice as GraftTable.readManifest: the schema with the widest id set)
+    val idSchema = m.schemas.toSeq.map(_._2).reduceLeft((a, b) =>
+      if (FieldIds.maxId(b) > FieldIds.maxId(a)) b else a)
+    val sc = t.spark.sparkContext
+
+    val newManifests: Seq[ManifestFile] =
+      manifests.groupBy(_.specId).toSeq.sortBy(_._1).flatMap { case (specId, mfs) =>
+        val spec = m.specs(specId)
+        val types = t.partTypesOf(m)(specId)
+        val typesMap = types.toMap
+        // live entry count is already on the descriptors — no counting pass
+        val liveCount = mfs.map(mf => mf.addedFilesCount + mf.existingFilesCount).sum
+        val numRanges = math.max(1,
+          math.ceil(liveCount.toDouble / entriesPerManifest).toInt)
+        val paths = mfs.map(_.path)
+        val readTasks = math.min(paths.size, math.max(1, sc.defaultParallelism * 4))
+        sc.parallelize(paths, readTasks)
+          .flatMap(p => Model.manifestFromJson(io.readString(p), idSchema, typesMap))
           .filter(_.status != EntryStatus.Deleted)
-          .sortBy(e => e.file.partition.toSeq.sortBy(_._1)
-            .map(kv => Values.toDirString(kv._2)).mkString("/") + e.file.path)
-          .map(e => e.copy(status = EntryStatus.Existing))
-        entries.grouped(entriesPerManifest).map { group =>
-          written += 1
-          Commits.writeManifest(t, meta, specId, group, snapId)
-        }
+          .map(e => (e.file.partition.toSeq.sortBy(_._1)
+            .map(kv => Values.toDirString(kv._2)).mkString("/") + e.file.path,
+            e.copy(status = EntryStatus.Existing)))
+          .sortByKey(ascending = true, numPartitions = numRanges)
+          .mapPartitions { it =>
+            it.map(_._2).grouped(entriesPerManifest).map { group =>
+              val entries = group.toSeq
+              val path = s"$metadataDir/manifest-${java.util.UUID.randomUUID()}.json"
+              val content = Model.manifestToJson(entries, idSchema, typesMap)
+              io.writeString(path, content)
+              // addedSnapshotId is stamped driver-side at commit (the new
+              // snapshot id is not known until the CAS)
+              Commits.buildManifestFile(path, content.length.toLong, specId,
+                entries, 0L, spec, types)
+            }
+          }.collect().toSeq
       }
-      // commit as a replace snapshot pointing at the new manifest set
+
+    // commit: swap the manifest list under the usual CAS; the job ran
+    // against baseSnapshotId, so any concurrent commit in between would be
+    // silently dropped by the swap — refuse instead (reference
+    // RewriteManifestsAction validates replaced manifests at commit)
+    t.ops.commitTransaction { meta =>
+      if (!meta.currentSnapshotId.contains(baseSnapshotId))
+        throw new ValidationException(
+          s"table changed while rewriting manifests: expected snapshot " +
+          s"$baseSnapshotId, found ${meta.currentSnapshotId}")
       val (seq, sid) = (meta.lastSequenceNumber + 1, meta.lastSequenceNumber + 1)
+      val stamped = newManifests.map(_.copy(addedSnapshotId = sid))
       val listPath = t.ops.newManifestListPath(sid)
-      Files.writeString(Paths.get(listPath),
-        Model.manifestListToJson(newMfs, t.partTypesOf(meta)))
+      io.writeString(listPath, Model.manifestListToJson(stamped, t.partTypesOf(meta)))
       val now = System.currentTimeMillis()
       val snap = Snapshot(sid, meta.currentSnapshotId, seq, now, "replace",
         listPath, Map("schema-id" -> meta.currentSchemaId.toString,
-          "rewritten-manifests" -> manifests.size.toString))
+          "rewritten-manifests" -> manifests.size.toString,
+          "added-manifests" -> stamped.size.toString))
       meta.copy(lastSequenceNumber = seq, lastUpdatedMillis = now,
         currentSnapshotId = Some(sid), snapshots = meta.snapshots :+ snap,
         snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(now, sid))
     }
-    written
+    newManifests.size
   }
 
   /** Expire old snapshots and PHYSICALLY delete newly unreferenced files.
@@ -280,7 +325,7 @@ final class Actions(t: GraftTable) {
     val (updated, _) = Commits.expireSnapshots(t, olderThanMillis, retainLast)
     val afterFiles = MetaTables.allDataFiles(t).select("file_path").as[String]
     val orphaned = beforeFiles.except(afterFiles).collect()
-    orphaned.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    orphaned.foreach(t.ops.io.deleteIfExists)
     ExpireResult(before - updated.snapshots.size, orphaned.length)
   }
 
@@ -291,12 +336,11 @@ final class Actions(t: GraftTable) {
   def removeOrphanFiles(olderThanMillis: Long = System.currentTimeMillis() - 3L * 86400 * 1000)
       : OrphanResult = {
     import t.spark.implicits._
-    val dataDir = Paths.get(t.location, "data")
-    if (!Files.exists(dataDir)) return OrphanResult(Nil)
-    val actual = Files.walk(dataDir).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-      .map(p => (p.toString, Files.getLastModifiedTime(p).toMillis))
-      .toSeq.toDF("path", "mtime")
+    val dataDir = s"${t.location}/data"
+    if (!t.ops.io.exists(dataDir)) return OrphanResult(Nil)
+    val actual = t.ops.io.list(dataDir, ".parquet")
+      .map(fi => (fi.path, fi.modifiedMillis))
+      .toDF("path", "mtime")
     val m = t.metadata
     val validManifests = m.snapshots
       .flatMap(s => t.readManifestList(m, s)).distinctBy(_.path)
@@ -307,7 +351,7 @@ final class Actions(t: GraftTable) {
     val orphans = actual.filter(col("mtime") < olderThanMillis)
       .join(valid, Seq("path"), "left_anti")
       .select("path").as[String].collect().sorted
-    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    orphans.foreach(t.ops.io.deleteIfExists)
     OrphanResult(orphans.toSeq)
   }
 }

@@ -23,7 +23,7 @@ object Commits {
 
   // ---- manifest construction ----
 
-  private def summaries(spec: PartitionSpec, types: Seq[(String, DataType)],
+  private[format] def summaries(spec: PartitionSpec, types: Seq[(String, DataType)],
       entries: Seq[ManifestEntry]): Seq[FieldSummary] =
     spec.fields.zip(types).map { case (pf, (_, dt)) =>
       val vs = entries.map(_.file.partition.getOrElse(pf.name, null))
@@ -35,20 +35,16 @@ object Commits {
         upper = if (nonNull.isEmpty) null else nonNull.max(ord))
     }
 
-  /** Write one manifest + its descriptor. */
-  private[format] def writeManifest(table: GraftTable, m: TableMetadata,
-      specId: Int, entries: Seq[ManifestEntry], addedSnapshotId: Long): ManifestFile = {
-    val spec = m.specs(specId)
-    val types = table.partTypesOf(m)(specId)
-    val schema = m.schema
-    val path = table.ops.newManifestPath()
-    val content = Model.manifestToJson(entries, schema, types.toMap)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), content)
+  /** Build a manifest descriptor from its entries — pure, so distributed
+    * maintenance (Actions.rewriteManifests) can call it in executor tasks. */
+  private[format] def buildManifestFile(path: String, contentLength: Long,
+      specId: Int, entries: Seq[ManifestEntry], addedSnapshotId: Long,
+      spec: PartitionSpec, types: Seq[(String, DataType)]): ManifestFile = {
     val (added, existing, deleted) = (
       entries.filter(_.status == EntryStatus.Added),
       entries.filter(_.status == EntryStatus.Existing),
       entries.filter(_.status == EntryStatus.Deleted))
-    ManifestFile(path, content.length.toLong, specId,
+    ManifestFile(path, contentLength, specId,
       entries.map(_.file.content).find(_ != FileContent.Data).getOrElse(FileContent.Data),
       addedSnapshotId,
       added.size, existing.size, deleted.size,
@@ -58,10 +54,22 @@ object Commits {
       summaries(spec, types, entries.filter(_.status != EntryStatus.Deleted)))
   }
 
+  /** Write one manifest + its descriptor. */
+  private[format] def writeManifest(table: GraftTable, m: TableMetadata,
+      specId: Int, entries: Seq[ManifestEntry], addedSnapshotId: Long): ManifestFile = {
+    val spec = m.specs(specId)
+    val types = table.partTypesOf(m)(specId)
+    val path = table.ops.newManifestPath()
+    val content = Model.manifestToJson(entries, m.schema, types.toMap)
+    table.ops.io.writeString(path, content)
+    buildManifestFile(path, content.length.toLong, specId, entries,
+      addedSnapshotId, spec, types)
+  }
+
   private def writeManifestList(table: GraftTable, m: TableMetadata,
       snapshotId: Long, manifests: Seq[ManifestFile]): String = {
     val path = table.ops.newManifestListPath(snapshotId)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+    table.ops.io.writeString(path,
       Model.manifestListToJson(manifests, table.partTypesOf(m)))
     path
   }

@@ -431,12 +431,7 @@ object GraftTable {
   def recreate(spark: SparkSession, location: String, schema: StructType,
       specBuild: PartitionSpec.Builder => PartitionSpec.Builder = identity,
       properties: Map[String, String] = Map.empty): GraftTable = {
-    val dir = java.nio.file.Paths.get(location)
-    if (java.nio.file.Files.exists(dir)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    LocalFileIO.deleteRecursive(location)
     create(spark, location, schema, specBuild, properties)
   }
 }

@@ -181,6 +181,43 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.toDF().count() == 5)
   }
 
+  test("rewriteManifests runs entry processing as executor tasks (RewriteManifestsAction:186-246)") {
+    val loc = freshLoc("rwmdist")
+    val t = GraftTable.create(spark, loc, rows(1).schema, _.day("ts"),
+      properties = Map(Commits.ManifestMinMergeCount -> "100"))
+    // three day-partitions, two single-entry manifests each
+    (0 until 6).foreach(i => GraftWrite.append(t, rows(1, i % 3).coalesce(1)))
+    assert(MetaTables.manifests(t).count() == 6)
+    val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val written =
+      try {
+        val w = Actions.forTable(t).rewriteManifests(entriesPerManifest = 2)
+        // the listener bus is async — wait for it to drain
+        val deadline = System.currentTimeMillis() + 5000
+        while (tasks.get() < 2 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        Thread.sleep(300)
+        w
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // read stage + range-sorted write stage both run as Spark tasks
+    assert(tasks.get() >= 2, s"expected executor tasks, got ${tasks.get()}")
+    assert(written >= 3 && written < 6, s"expected ~3 clustered manifests, wrote $written")
+    assert(MetaTables.manifests(t).count() == written)
+    assert(t.toDF().count() == 6)
+    // range clustering keeps manifest summaries prunable: one day's filter
+    // must NOT read every rewritten manifest
+    val plan = t.newScan()
+      .filter(Exprs.equal("ts", java.sql.Timestamp.valueOf("2024-02-01 08:00:00")))
+      .planFiles()
+    assert(plan.manifestsScanned < written, s"manifest pruning after rewrite: $plan")
+    assert(plan.tasks.size == 2, s"expected the 2 day-1 files: $plan")
+  }
+
   test("expireSnapshots action physically deletes dead files") {
     val loc = freshLoc("expire")
     val t = GraftTable.create(spark, loc, rows(2).schema)
