@@ -355,12 +355,26 @@ final class GraftScan(output: StructType, parquetScans: Seq[ParquetScan],
 
   override def toBatch: Batch = new Batch {
     private lazy val inner = parquetScans.map(_.toBatch)
+    private lazy val innerFactories = inner.map(_.createReaderFactory())
+    private lazy val groupDeletes: Seq[Option[GroupDeletes]] =
+      if (deletes.isEmpty) parquetScans.map(_ => None) else deletes
+    private lazy val partsByGroup: Seq[Array[InputPartition]] =
+      inner.map(_.planInputPartitions())
+
+    // scan-wide columnar decision, made ONCE on the driver (Spark requires
+    // every partition of a scan to agree): clean groups ask their parquet
+    // factory; delete-bearing groups additionally need repackable output
+    // types (ColumnarDeletes.supports). Any holdout drops the scan to rows.
+    private lazy val columnar: Boolean = inner.indices.forall { i =>
+      partsByGroup(i).forall(p => innerFactories(i).supportColumnarReads(p)) &&
+        groupDeletes(i).forall(ColumnarDeletes.supports)
+    }
+
     override def planInputPartitions(): Array[InputPartition] =
-      inner.zipWithIndex.flatMap { case (b, i) =>
-        val parts = b.planInputPartitions().toSeq
-        if (!deletes.lift(i).flatten.exists(_.pos.isDefined))
-          parts.map(p => GroupedPartition(i, p): InputPartition)
-        else parts.flatMap {
+      partsByGroup.zipWithIndex.flatMap { case (parts, i) =>
+        if (!groupDeletes(i).exists(_.pos.isDefined))
+          parts.toSeq.map(p => GroupedPartition(i, p): InputPartition)
+        else parts.toSeq.flatMap {
           // position deletes are keyed by data-file path, so each task must
           // cover exactly one file; a split of a file keeps absolute row
           // indexes, so file SPLITS stay parallel — only bin-packing of
@@ -377,8 +391,7 @@ final class GraftScan(output: StructType, parquetScans: Seq[ParquetScan],
         }
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      GroupedReaderFactory(inner.map(_.createReaderFactory()),
-        if (deletes.isEmpty) parquetScans.map(_ => None) else deletes)
+      GroupedReaderFactory(innerFactories, groupDeletes, columnar)
   }
 }
 
@@ -391,7 +404,8 @@ final case class GroupedPartition(group: Int,
 
 final case class GroupedReaderFactory(
     inner: Seq[org.apache.spark.sql.connector.read.PartitionReaderFactory],
-    deletes: Seq[Option[GroupDeletes]])
+    deletes: Seq[Option[GroupDeletes]],
+    columnar: Boolean = false)
   extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
@@ -409,15 +423,17 @@ final case class GroupedReaderFactory(
     }
   }
   override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val (g, ip, _) = unwrap(p); inner(g).createColumnarReader(ip)
+    val (g, ip, dataFile) = unwrap(p)
+    val reader = inner(g).createColumnarReader(ip)
+    deletes.lift(g).flatten match {
+      case Some(cfg) => new ColumnarDeleteFilterReader(reader, cfg, dataFile)
+      case None => reader
+    }
   }
-  override def supportColumnarReads(p: InputPartition): Boolean = {
-    val (g, ip, _) = unwrap(p)
-    // delete filtering is a row-path wrapper (the reference also disables
-    // vectorization when deletes apply, SparkBatchScan.java:154-183);
-    // Spark requires ALL partitions to agree, so any delete disables all
-    deletes.forall(_.isEmpty) && inner(g).supportColumnarReads(ip)
-  }
+  // the scan-wide flag was decided on the driver over ALL partitions (clean
+  // groups: parquet's own support; delete groups: repackable output types),
+  // so the per-partition answer is a constant — Spark requires agreement
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
 }
 
 /** Equality-delete set descriptor: key column names + the delete FILES —

@@ -240,6 +240,50 @@ class CatalogSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("a", "back"))
   }
 
+  test("row-level deletes keep the scan columnar (batch-path delete filter)") {
+    wh
+    spark.sql("CREATE TABLE g.db.cvec (id BIGINT, v STRING)")
+    // two files: one will carry deletes, one stays clean (zero-copy path)
+    spark.sql("INSERT INTO g.db.cvec VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("INSERT INTO g.db.cvec VALUES (10, 'x'), (11, 'y')")
+    import graft.format.{Deletes, GraftTable}
+    import spark.implicits._
+    val t = GraftTable.load(spark, s"$wh/db/cvec")
+    val paths = t.newScan().planFiles().tasks.map(_.file.path)
+    val pos = spark.read.parquet(paths: _*)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id") === 2L).select("file_path", "pos")
+    Deletes.deletePositions(t, pos)
+    Deletes.deleteByEquality(t, Seq(11L).toDF("id"))
+
+    // AQE wraps materialized stages in QueryStageExec, whose inner plan is
+    // NOT a child — descend explicitly
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+      case other => other.children.flatMap(scans)
+    }
+    val df = spark.sql("SELECT id FROM g.db.cvec ORDER BY id")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 10L))
+    val bs = scans(df.queryExecution.executedPlan)
+    assert(bs.nonEmpty, "no BatchScanExec in the executed plan")
+    assert(bs.forall(_.supportsColumnar),
+      "a live row-level delete de-vectorized the scan")
+    // projection that EXCLUDES the equality key (widened read + projection
+    // drop inside the batch filter) stays columnar and correct
+    val dv = spark.sql("SELECT v FROM g.db.cvec ORDER BY v")
+    assert(dv.collect().map(_.getString(0)).toSeq == Seq("a", "c", "x"))
+    assert(scans(dv.queryExecution.executedPlan).forall(_.supportsColumnar))
+    // rows appended after the deletes are unaffected and the scan stays columnar
+    spark.sql("INSERT INTO g.db.cvec VALUES (11, 'back')")
+    assert(spark.sql("SELECT v FROM g.db.cvec ORDER BY v").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "back", "c", "x"))
+  }
+
   test("VERSION AS OF reads the snapshot's own schema (pre-evolution)") {
     wh
     spark.sql("CREATE TABLE g.db.evot (id BIGINT, before STRING)")
