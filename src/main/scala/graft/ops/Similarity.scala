@@ -94,17 +94,20 @@ object Similarity {
   }
 
   /** Seeded deterministic centroids: nCentroids pseudo-random unit-ish
-    * vectors of dimension dim (no training pass — IVF plumbing demo whose
-    * assignment/probe dataflow matches a trained index). */
+    * vectors of dimension dim — the k-means INIT (and the no-training
+    * fallback when ivfTopK is called without trained centroids). */
   def centroid(c: Int, dim: Int): Array[Double] =
     Array.tabulate(dim)(d => planeComponent(c * 7919 + 13, d))
 
-  def nearestCentroid(vec: Seq[Float], nCentroids: Int): Int = {
+  def seededCentroids(nCentroids: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nCentroids)(centroid(_, dim))
+
+  private def nearestOf(vec: Seq[Float], cents: Array[Array[Double]]): Int = {
     var best = 0
     var bestDot = Double.MinValue
     var c = 0
-    while (c < nCentroids) {
-      val cen = centroid(c, vec.length)
+    while (c < cents.length) {
+      val cen = cents(c)
       var s = 0.0
       var d = 0
       while (d < vec.length) { s += vec(d) * cen(d); d += 1 }
@@ -114,13 +117,81 @@ object Similarity {
     best
   }
 
-  /** IVF ANN: assign rows to nearest centroid; probe the query's nProbe
-    * nearest centroid lists with exact cosine. */
+  def nearestCentroid(vec: Seq[Float], nCentroids: Int): Int =
+    nearestOf(vec, seededCentroids(nCentroids, vec.length))
+
+  /** Train IVF centroids: spherical k-means (assign by dot against
+    * unit-normalized centroids — the cosine-correct variant) over a sample.
+    *
+    * Scale shape: each Lloyd pass is ONE distributed aggregation —
+    * `mapPartitions` accumulates per-centroid (sum vector, count) partials
+    * inside each task, and only those partials (k × dim doubles per task,
+    * independent of corpus size) reduce to the driver. No shuffle of the
+    * vectors themselves; `sampleFraction` bounds the scan cost at 100 TB.
+    * Init is the deterministic seeded planes, so training is reproducible. */
+  def trainCentroids(emb: DataFrame, nCentroids: Int, iters: Int = 5,
+      sampleFraction: Double = 1.0): Array[Array[Double]] = {
+    val vecs = emb.select(col("embedding")).rdd
+      .map(_.getSeq[Float](0))
+    val sampled =
+      (if (sampleFraction >= 1.0) vecs
+       else vecs.sample(withReplacement = false, sampleFraction, seed = 42L))
+        .cache()
+    try {
+      val dim = sampled.first().length
+      val k = nCentroids
+      def normalized(v: Array[Double]): Array[Double] = {
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v else v.map(_ / n)
+      }
+      var cents = seededCentroids(k, dim).map(normalized)
+      val sc = emb.sparkSession.sparkContext
+      (0 until iters).foreach { _ =>
+        val bc = sc.broadcast(cents)
+        val (sums, counts) = sampled.mapPartitions { it =>
+          val cs = bc.value
+          val s = Array.ofDim[Double](cs.length, dim)
+          val n = new Array[Long](cs.length)
+          it.foreach { v =>
+            val c = nearestOf(v, cs)
+            var d = 0
+            while (d < dim) { s(c)(d) += v(d); d += 1 }
+            n(c) += 1
+          }
+          Iterator.single((s, n))
+        }.reduce { case ((s1, n1), (s2, n2)) =>
+          var c = 0
+          while (c < s1.length) {
+            var d = 0
+            while (d < dim) { s1(c)(d) += s2(c)(d); d += 1 }
+            n1(c) += n2(c)
+            c += 1
+          }
+          (s1, n1)
+        }
+        bc.destroy()
+        cents = Array.tabulate(k)(c =>
+          // empty list keeps its seeded position (standard k-means practice)
+          if (counts(c) == 0) cents(c) else normalized(sums(c)))
+      }
+      cents
+    } finally { sampled.unpersist(); () }
+  }
+
+  /** IVF ANN: assign rows to their nearest centroid; probe the query's
+    * nProbe nearest centroid lists with exact cosine. Pass `centroids` from
+    * [[trainCentroids]] for a tuned index; omitting it falls back to the
+    * seeded (untrained) planes. At warehouse scale the assignment column is
+    * precomputed and the table bucket-partitioned by it, so a probe reads
+    * only matching partitions. */
   def ivfTopK(emb: DataFrame, query: Array[Float], k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val assignUdf = udf((v: Seq[Float]) => nearestCentroid(v, nCentroids))
-    val qScores = (0 until nCentroids).map { c =>
-      val cen = centroid(c, query.length)
+              nCentroids: Int = 16, nProbe: Int = 4,
+              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(seededCentroids(nCentroids, query.length))
+    require(cents.length == nCentroids, "centroid count mismatch")
+    val assignUdf = udf((v: Seq[Float]) => nearestOf(v, cents))
+    val qScores = cents.indices.map { c =>
+      val cen = cents(c)
       c -> query.indices.map(d => query(d) * cen(d)).sum
     }
     val probed = qScores.sortBy(-_._2).take(nProbe).map(_._1)
