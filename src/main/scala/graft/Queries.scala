@@ -291,12 +291,21 @@ object Queries {
 
     // GATE-ONLY parameterization: maxDf = 0 (exact — every gram joins) so the
     // result is the exact n-gram Jaccard answer the DuckDB oracle computes.
-    // The library DEFAULT keeps maxDf = 10000: at corpus scale, hot
-    // (stopword) grams must be dropped before their doc lists materialize,
-    // and an approximate answer is the documented scale trade (same pattern
-    // as q34's GATE-ONLY band parameters).
+    // The library DEFAULT keeps maxDf = 2000 (`Dedup.jaccardPairsFast`): at
+    // corpus scale, hot (stopword) grams must be dropped before their doc
+    // lists materialize, and an approximate answer is the documented scale
+    // trade (same pattern as q34's GATE-ONLY band parameters).
     "q33_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairsFast(t(s, dir, "documents"), n = 3, threshold = 0.5, maxDf = 0)
+        .orderBy(col("a"), col("b"))),
+
+    // SCALE-PATH twin of q33, benched so regressions in the path a 100 TB
+    // run actually uses are measured, not inferred: library-default maxDf
+    // (2000 — broadcast hot-gram left-anti before doc lists materialize).
+    // No oracle entry: the hot-gram guard is intentionally approximate
+    // (at gate scale 2000 > corpus size, so the answer is exact anyway).
+    "q33_jaccard_default" -> ((s, dir) =>
+      Dedup.jaccardPairsFast(t(s, dir, "documents"), n = 3, threshold = 0.5)
         .orderBy(col("a"), col("b"))),
 
     // 32 bands x 2 rows: P(candidate | J=0.5) = 1-(1-0.25)^32 ≈ 0.9999, so
@@ -782,6 +791,6 @@ object Queries {
   val headline: Seq[String] = Seq(
     "q01_pricing_summary", "q02_revenue_by_year", "q03_revenue_by_nation",
     "q06_selective_filter", "q11_running_total", "q17_events_hourly",
-    "q32_exact_dedup", "q33_jaccard_pairs", "q39_cosine_topk",
-    "q63_partition_prune", "q78_sql_catalog")
+    "q32_exact_dedup", "q33_jaccard_pairs", "q33_jaccard_default",
+    "q39_cosine_topk", "q63_partition_prune", "q78_sql_catalog")
 }
