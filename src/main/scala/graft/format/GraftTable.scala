@@ -144,7 +144,17 @@ final class TableScan private[format] (
       }
     }
     val ts = tasks.result()
-    ScanPlan(ts, deletes.result(), manifests.size, manifestsScanned, filesTotal, ts.size)
+    val plan = ScanPlan(ts, deletes.result(), manifests.size, manifestsScanned,
+      filesTotal, ts.size)
+    // scan observability (reference Listeners.notifyAll(new ScanEvent(...))
+    // in BaseTableScan.planFiles): skipped entirely when nobody listens
+    if (!Listeners.isEmpty)
+      Listeners.notifyAll(ScanEvent(table.location,
+        snapshot.map(_.snapshotId).getOrElse(-1L), bound,
+        projection.getOrElse(schema.fieldNames.toSeq),
+        plan.manifestsTotal, plan.manifestsScanned,
+        plan.filesTotal, plan.filesScanned))
+    plan
   }
 
   /** Materialize as a DataFrame: pruned file list → Spark parquet scan

@@ -19,6 +19,15 @@ final case class SchemaUpdate(table: GraftTable) {
   // (parent path — Nil = top level, name, type, nullable, doc); ids are
   // assigned at commit so concurrent builders can't collide
   private var newColumns: Seq[(Seq[String], String, DataType, Boolean, Option[String])] = Nil
+  private var incompatibleAllowed = false
+
+  /** Opt in to changes that can break reads of OLDER data files — adding a
+    * required column, making an optional column required (reference
+    * api/.../UpdateSchema.java:47 allowIncompatibleChanges: the caller
+    * asserts no existing file violates the new constraint). */
+  def allowIncompatibleChanges(): SchemaUpdate = {
+    incompatibleAllowed = true; this
+  }
 
   private def split(path: String): Seq[String] = path.split('.').toSeq
 
@@ -95,6 +104,24 @@ final case class SchemaUpdate(table: GraftTable) {
     this
   }
 
+  /** Make a column required (non-nullable) — an INCOMPATIBLE change: files
+    * written before the column existed read it as null, so this needs
+    * allowIncompatibleChanges (reference UpdateSchema.requireColumn). */
+  def requireColumn(name: String): SchemaUpdate = {
+    val path = split(name)
+    ops = ops :+ { st: StructType =>
+      require(incompatibleAllowed,
+        s"cannot make column $name required: incompatible change — call " +
+        "allowIncompatibleChanges() first")
+      atPath(st, path.init) { s =>
+        require(s.fieldNames.contains(path.last), s"no column $name")
+        StructType(s.fields.map(f =>
+          if (f.name == path.last) f.copy(nullable = false) else f))
+      }
+    }
+    this
+  }
+
   def deleteColumn(name: String): SchemaUpdate = {
     val path = split(name)
     ops = ops :+ { st: StructType =>
@@ -112,6 +139,13 @@ final case class SchemaUpdate(table: GraftTable) {
       s"cannot move $name after $after: different parents")
     move(name, st => st.fieldNames.indexOf(split(after).last) + 1)
   }
+  /** Move directly before a reference column in the same struct (reference
+    * api/.../UpdateSchema.java:335-363 moveBefore). */
+  def moveBefore(name: String, before: String): SchemaUpdate = {
+    require(split(name).init == split(before).init,
+      s"cannot move $name before $before: different parents")
+    move(name, st => st.fieldNames.indexOf(split(before).last))
+  }
 
   private def move(name: String, pos: StructType => Int): SchemaUpdate = {
     val path = split(name)
@@ -120,7 +154,9 @@ final case class SchemaUpdate(table: GraftTable) {
         val f = s.fields.find(_.name == path.last)
           .getOrElse(throw new IllegalArgumentException(s"no column $name"))
         val without = s.fields.filterNot(_.name == path.last)
-        val i = math.min(pos(StructType(without)), without.length)
+        val at = pos(StructType(without))
+        require(at >= 0, s"no reference column for move of $name")
+        val i = math.min(at, without.length)
         StructType((without.take(i) :+ f) ++ without.drop(i))
       }
     }
@@ -142,6 +178,11 @@ final case class SchemaUpdate(table: GraftTable) {
       var st = m.schema
       ops.foreach(op => st = op(st))
       var lastId = math.max(m.lastColumnId, FieldIds.maxId(st))
+      newColumns.find(c => !c._4 && !incompatibleAllowed).foreach { c =>
+        throw new IllegalArgumentException(
+          s"cannot add required column ${(c._1 :+ c._2).mkString(".")}: " +
+          "older files lack it — call allowIncompatibleChanges() first")
+      }
       newColumns.foreach { case (parent, name, dt0, nullable, doc) =>
         lastId += 1
         val fieldId = lastId

@@ -267,8 +267,18 @@ class TableFormatSpec extends SparkSpec {
       rnd.nextInt(3) match {
         case 0 => // rename to a fresh name
           SchemaUpdate(t).renameColumn(path, s"r${step}_${field.name}").commit()
-        case 1 => // move first within its parent
-          SchemaUpdate(t).moveFirst(path).commit()
+        case 1 => // move within its parent: first / before / after a sibling
+          val parent = path.split('.').init.toSeq
+          val parentSt = parent.foldLeft(t.schema)((s, n) =>
+            s(n).dataType.asInstanceOf[StructType])
+          val siblings = parentSt.fieldNames.filterNot(_ == field.name)
+          if (siblings.isEmpty || rnd.nextBoolean())
+            SchemaUpdate(t).moveFirst(path).commit()
+          else {
+            val ref = (parent :+ siblings(rnd.nextInt(siblings.length))).mkString(".")
+            if (rnd.nextBoolean()) SchemaUpdate(t).moveBefore(path, ref).commit()
+            else SchemaUpdate(t).moveAfter(path, ref).commit()
+          }
         case 2 => // promote when possible, else rename
           field.dataType match {
             case IntegerType =>
@@ -288,6 +298,54 @@ class TableFormatSpec extends SparkSpec {
       }.toMap
       assert(read == expected, s"step $step diverged: $read vs $expected")
     }
+  }
+
+  test("scan listeners observe filter, projection, and pruning counts (Listeners.java)") {
+    val loc = freshLoc("events")
+    val t = GraftTable.create(spark, loc, rows(2).schema, _.day("ts"))
+    GraftWrite.append(t, rows(2, 0).coalesce(1))
+    GraftWrite.append(t, rows(2, 1).coalesce(1))
+    val seen = collection.mutable.ArrayBuffer[ScanEvent]()
+    val l = Listeners.register(e => seen.synchronized { seen += e; () })
+    try {
+      t.newScan()
+        .filter(Exprs.equal("ts", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+        .select("id")
+        .planFiles()
+    } finally Listeners.unregister(l)
+    assert(seen.size == 1, s"expected one event, got ${seen.size}")
+    val e = seen.head
+    assert(e.tableLocation == loc)
+    assert(e.snapshotId == t.currentSnapshot.get.snapshotId)
+    assert(e.projection == Seq("id"))
+    assert(e.filter != AlwaysTrue)
+    // two day-partition manifests; the filter prunes to day 1's
+    assert(e.manifestsTotal == 2 && e.manifestsScanned == 1, e.toString)
+    assert(e.filesTotal == 2 && e.filesScanned == 1, e.toString)
+    // unregistered: later scans emit nothing
+    t.newScan().planFiles()
+    assert(seen.size == 1)
+  }
+
+  test("allowIncompatibleChanges gates required columns (UpdateSchema.java:47)") {
+    val loc = freshLoc("incompat")
+    val t = GraftTable.create(spark, loc, rows(2).schema)
+    GraftWrite.append(t, rows(2, 0))
+    // both incompatible changes are refused without the opt-in
+    intercept[IllegalArgumentException] {
+      SchemaUpdate(t).requireColumn("data").commit()
+    }
+    intercept[IllegalArgumentException] {
+      SchemaUpdate(t).addColumn("must", StringType, nullable = false).commit()
+    }
+    assert(t.schema("data").nullable)
+    // with the opt-in both commit, and existing data still reads
+    SchemaUpdate(t).allowIncompatibleChanges().requireColumn("data").commit()
+    assert(!t.schema("data").nullable)
+    SchemaUpdate(t).allowIncompatibleChanges()
+      .addColumn("must", StringType, nullable = false).commit()
+    assert(!t.schema("must").nullable)
+    assert(t.toDF().count() == 2)
   }
 
   test("metrics modes: none/counts/truncate(N)/full per column (MetricsModes.java)") {
