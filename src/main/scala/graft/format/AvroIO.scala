@@ -1,0 +1,289 @@
+package graft.format
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.avro.util.Utf8
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
+
+/** Executor-side Avro data-file I/O (reference core/.../avro/Avro.java
+  * read/write builders + ProjectionDatumReader.java): container files of
+  * GenericRecords with Spark-typed logical annotations (date,
+  * timestamp-micros, decimal) and per-field `field-id` props.
+  *
+  * Projection rides Avro's own schema resolution (ResolvingDecoder): the
+  * reader schema is a by-name subset of the file's writer schema — exactly
+  * the reference's ProjectionDatumReader, where unprojected fields are
+  * SKIPPED without decoding. Renames are resolved by field id ABOVE this
+  * layer (callers translate current-schema names to file names via table
+  * metadata, same as the parquet and ORC paths), and nullable fields carry
+  * `null` defaults so columns added after a file was written read as nulls.
+  *
+  * Avro files carry no column statistics, so metrics are record count +
+  * size only (the reference records exactly that for Avro data files) —
+  * stats-based pruning simply never eliminates an Avro file.
+  */
+object AvroIO {
+
+  // ---- Spark schema -> Avro schema ----
+
+  /** Build the Avro writer schema for a Spark struct: records named by
+    * path, nullable fields as [null, T] unions with null defaults,
+    * `field-id` props carried from the struct metadata. */
+  def avroSchema(st: StructType, name: String = "row"): Schema = {
+    val fields = st.fields.map { f =>
+      val base = typeToAvro(f.dataType, s"${name}_${f.name}")
+      val sch =
+        if (f.nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+        else base
+      val fld =
+        if (f.nullable)
+          new Schema.Field(f.name, sch, null,
+            Schema.Field.NULL_DEFAULT_VALUE)
+        else new Schema.Field(f.name, sch, null)
+      if (f.metadata.contains(FieldIds.Key))
+        fld.addProp("field-id", FieldIds.idOf(f): Integer)
+      fld
+    }
+    Schema.createRecord(name, null, "graft", false, fields.toSeq.asJava)
+  }
+
+  private def typeToAvro(dt: DataType, path: String): Schema = dt match {
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+    case LongType => Schema.create(Schema.Type.LONG)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case StringType => Schema.create(Schema.Type.STRING)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case DateType =>
+      LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case TimestampNTZType =>
+      LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case d: DecimalType =>
+      LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
+    case ArrayType(e, containsNull) =>
+      val elem = typeToAvro(e, path + "_elem")
+      Schema.createArray(
+        if (containsNull)
+          Schema.createUnion(Schema.create(Schema.Type.NULL), elem)
+        else elem)
+    case MapType(StringType, v, valueContainsNull) =>
+      val value = typeToAvro(v, path + "_value")
+      Schema.createMap(
+        if (valueContainsNull)
+          Schema.createUnion(Schema.create(Schema.Type.NULL), value)
+        else value)
+    case s: StructType => avroSchema(s, path)
+    case other =>
+      throw new UnsupportedOperationException(s"avro data files: type $other")
+  }
+
+  // ---- write: InternalRow -> GenericRecord ----
+
+  private type Getter = (org.apache.spark.sql.catalyst.expressions.SpecializedGetters, Int) => Any
+
+  /** Converter from an InternalRow ordinal to the Avro in-memory value. */
+  private def toAvro(dt: DataType, avro: Schema): Getter = {
+    val nonNull = unwrapUnion(avro)
+    dt match {
+      case BooleanType => (r, i) => r.getBoolean(i)
+      case IntegerType | DateType => (r, i) => r.getInt(i): Integer
+      case LongType | TimestampType | TimestampNTZType => (r, i) => r.getLong(i): java.lang.Long
+      case FloatType => (r, i) => r.getFloat(i): java.lang.Float
+      case DoubleType => (r, i) => r.getDouble(i): java.lang.Double
+      case StringType => (r, i) => new Utf8(r.getUTF8String(i).getBytes)
+      case BinaryType => (r, i) => java.nio.ByteBuffer.wrap(r.getBinary(i))
+      case d: DecimalType => (r, i) =>
+        java.nio.ByteBuffer.wrap(
+          r.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+            .unscaledValue().toByteArray)
+      case ArrayType(e, _) =>
+        val elemAvro = nonNull.getElementType
+        val conv = toAvro(e, elemAvro)
+        (r, i) => {
+          val arr = r.getArray(i)
+          val out = new java.util.ArrayList[Any](arr.numElements())
+          var j = 0
+          while (j < arr.numElements()) {
+            out.add(if (arr.isNullAt(j)) null else conv(arr, j))
+            j += 1
+          }
+          out
+        }
+      case MapType(StringType, v, _) =>
+        val conv = toAvro(v, nonNull.getValueType)
+        (r, i) => {
+          val m = r.getMap(i)
+          val keys = m.keyArray()
+          val vals = m.valueArray()
+          val out = new java.util.HashMap[Utf8, Any](m.numElements())
+          var j = 0
+          while (j < m.numElements()) {
+            out.put(new Utf8(keys.getUTF8String(j).getBytes),
+              if (vals.isNullAt(j)) null else conv(vals, j))
+            j += 1
+          }
+          out
+        }
+      case s: StructType =>
+        val build = recordBuilder(s, nonNull)
+        (r, i) => build(r.getStruct(i, s.length))
+      case other =>
+        throw new UnsupportedOperationException(s"avro data files: type $other")
+    }
+  }
+
+  private def unwrapUnion(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
+  private def recordBuilder(st: StructType, avro: Schema): InternalRow => GenericRecord = {
+    val convs = st.fields.zipWithIndex.map { case (f, i) =>
+      (i, toAvro(f.dataType, avro.getFields.get(i).schema()))
+    }
+    row => {
+      val rec = new GenericData.Record(avro)
+      convs.foreach { case (i, conv) =>
+        rec.put(i, if (row.isNullAt(i)) null else conv(row, i))
+      }
+      rec
+    }
+  }
+
+  /** Open an Avro container-file writer; `count` tracks rows for the
+    * DataFile record count (Avro has no footer stats to read back). */
+  def openWriter(path: String, schema: StructType,
+      conf: Configuration): AvroRowWriter = {
+    val avro = avroSchema(schema)
+    val out = new HPath(path).getFileSystem(conf).create(new HPath(path), false)
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avro))
+    w.setCodec(CodecFactory.snappyCodec())
+    w.create(avro, out)
+    new AvroRowWriter(w, recordBuilder(schema, avro))
+  }
+
+  final class AvroRowWriter(w: DataFileWriter[GenericRecord],
+      build: InternalRow => GenericRecord) extends AutoCloseable {
+    private var n = 0L
+    def write(row: InternalRow): Unit = { w.append(build(row)); n += 1 }
+    def count: Long = n
+    override def close(): Unit = w.close()
+  }
+
+  // ---- read: GenericRecord -> InternalRow ----
+
+  private def fromAvro(dt: DataType): Any => Any = dt match {
+    case BooleanType | IntegerType | DateType | DoubleType => identity
+    case LongType | TimestampType | TimestampNTZType =>
+      { // int->long promotion lands as Integer when the file was narrower
+        case n: java.lang.Integer => n.longValue()
+        case v => v
+      }
+    case FloatType => identity
+    case StringType => {
+      case u: Utf8 => UTF8String.fromBytes(u.getBytes, 0, u.getByteLength)
+      case s: String => UTF8String.fromString(s)
+      case v => v
+    }
+    case BinaryType => {
+      case b: java.nio.ByteBuffer =>
+        val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+      case f: GenericData.Fixed => f.bytes()
+      case v => v
+    }
+    case d: DecimalType => {
+      case b: java.nio.ByteBuffer =>
+        val out = new Array[Byte](b.remaining()); b.duplicate().get(out)
+        Decimal(new java.math.BigDecimal(new java.math.BigInteger(out), d.scale),
+          d.precision, d.scale)
+      case v => v
+    }
+    case ArrayType(e, _) =>
+      val conv = fromAvro(e)
+      v => {
+        val in = v.asInstanceOf[java.util.Collection[Any]]
+        val out = new Array[Any](in.size())
+        val it = in.iterator()
+        var j = 0
+        while (it.hasNext) {
+          val x = it.next()
+          out(j) = if (x == null) null else conv(x)
+          j += 1
+        }
+        new GenericArrayData(out)
+      }
+    case MapType(StringType, vt, _) =>
+      val kConv = fromAvro(StringType)
+      val vConv = fromAvro(vt)
+      v => {
+        val in = v.asInstanceOf[java.util.Map[Any, Any]]
+        val ks = new Array[Any](in.size())
+        val vs = new Array[Any](in.size())
+        val it = in.entrySet().iterator()
+        var j = 0
+        while (it.hasNext) {
+          val e = it.next()
+          ks(j) = kConv(e.getKey)
+          vs(j) = if (e.getValue == null) null else vConv(e.getValue)
+          j += 1
+        }
+        new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs))
+      }
+    case s: StructType =>
+      val convs = s.fields.map(f => fromAvro(f.dataType))
+      v => {
+        val rec = v.asInstanceOf[GenericRecord]
+        val row = new GenericInternalRow(s.length)
+        var j = 0
+        while (j < s.length) {
+          val x = rec.get(j)
+          row.update(j, if (x == null) null else convs(j)(x))
+          j += 1
+        }
+        row: InternalRow
+      }
+    case other =>
+      throw new UnsupportedOperationException(s"avro data files: type $other")
+  }
+
+  /** Iterate `path` projected to `schema` (file-side names, target types).
+    * Avro's ResolvingDecoder reorders, promotes (int→long, float→double)
+    * and SKIPS unprojected fields without decoding them. */
+  def open(path: String, schema: StructType, conf: Configuration): AvroRowIterator = {
+    val readerSchema = avroSchema(schema)
+    val datum = new GenericDatumReader[GenericRecord](null, readerSchema)
+    val reader = new DataFileReader[GenericRecord](
+      new FsInput(new HPath(path), conf), datum)
+    val conv = fromAvro(schema).asInstanceOf[Any => InternalRow]
+    new AvroRowIterator(reader, conv)
+  }
+
+  final class AvroRowIterator(reader: DataFileReader[GenericRecord],
+      conv: Any => InternalRow) extends AutoCloseable {
+    def read(): InternalRow =
+      if (reader.hasNext) conv(reader.next()) else null
+    override def close(): Unit = reader.close()
+  }
+
+  def readAll(path: String, schema: StructType, conf: Configuration)
+      (consume: InternalRow => Unit): Unit = {
+    val it = open(path, schema, conf)
+    try {
+      var row = it.read()
+      while (row != null) { consume(row); row = it.read() }
+    } finally it.close()
+  }
+}

@@ -30,7 +30,22 @@ final case class DataFile(
     lowerBounds: Map[Int, Any] = Map.empty,
     upperBounds: Map[Int, Any] = Map.empty,
     equalityIds: Seq[Int] = Nil,
-    splitOffsets: Seq[Long] = Nil)
+    splitOffsets: Seq[Long] = Nil,
+    // physical encoding of the file (reference api/.../FileFormat.java:
+    // PARQUET | ORC | AVRO); delete files are always parquet
+    fileFormat: String = FileFormats.Parquet)
+
+/** Data-file encodings (reference api/.../FileFormat.java). */
+object FileFormats {
+  val Parquet = "parquet"
+  val Orc = "orc"
+  val Avro = "avro"
+  val All: Seq[String] = Seq(Parquet, Orc, Avro)
+  def fromPath(path: String): String =
+    if (path.endsWith(".orc")) Orc
+    else if (path.endsWith(".avro")) Avro
+    else Parquet
+}
 
 /** Manifest entry status — the MVCC log record
   * (reference core/.../ManifestEntry.java:29-32). */
@@ -162,6 +177,8 @@ object Model {
     if (f.splitOffsets.nonEmpty) {
       val a = o.putArray("split-offsets"); f.splitOffsets.foreach(a.add)
     }
+    // absent = parquet, so pre-multiformat metadata reads unchanged
+    if (f.fileFormat != FileFormats.Parquet) o.put("file-format", f.fileFormat)
     o
   }
 
@@ -192,7 +209,9 @@ object Model {
       equalityIds = Option(n.get("equality-ids"))
         .map(a => elems(a).map(_.asInt()).toSeq).getOrElse(Nil),
       splitOffsets = Option(n.get("split-offsets"))
-        .map(a => elems(a).map(_.asLong()).toSeq).getOrElse(Nil))
+        .map(a => elems(a).map(_.asLong()).toSeq).getOrElse(Nil),
+      fileFormat = Option(n.get("file-format")).map(_.asText())
+        .getOrElse(FileFormats.Parquet))
   }
 
   // ---- Snapshot ----

@@ -1,0 +1,167 @@
+package graft.format
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.orc.{OrcFile, Reader, TypeDescription, Writer}
+import org.apache.orc.mapred.OrcStruct
+import org.apache.orc.mapreduce.{OrcMapreduceRecordReader, OrcMapreduceRecordWriter}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.orc.{OrcDeserializer, OrcSerializer, OrcUtils}
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** Executor-side ORC row I/O + footer metrics — the ORC twin of ParquetIO
+  * (reference orc/src/main/java/org/apache/iceberg/orc/ORC.java read/write
+  * builders and OrcMetrics.fromInputFile). Row conversion rides Spark's own
+  * OrcSerializer/OrcDeserializer, so type semantics (timestamps as micros,
+  * decimals, nested structs) are exactly what Spark's ORC scan produces;
+  * projection + name-based schema evolution ride ORC's SchemaEvolution (the
+  * reader schema is a by-name subset of the file schema — callers map
+  * current-schema names to FILE names by field id first, same as the
+  * parquet path).
+  */
+object OrcIO {
+
+  /** Iterate `path` projected to `schema` (file-side names). Missing
+    * columns read as nulls; extra file columns are skipped. */
+  def open(path: String, schema: StructType, conf: Configuration): OrcRowIterator = {
+    val reader = OrcFile.createReader(new HPath(path), OrcFile.readerOptions(conf))
+    val readTd = OrcUtils.orcTypeDescription(schema)
+    val rows = new OrcMapreduceRecordReader[OrcStruct](reader,
+      reader.options().schema(readTd))
+    new OrcRowIterator(rows, new OrcDeserializer(schema, schema.indices.toArray))
+  }
+
+  final class OrcRowIterator(
+      rows: OrcMapreduceRecordReader[OrcStruct],
+      de: OrcDeserializer) extends AutoCloseable {
+    /** Next row or null at end (rows may be reused by the reader — copy or
+      * extract values before advancing, as with ParquetIO). */
+    def read(): InternalRow =
+      if (rows.nextKeyValue()) de.deserialize(rows.getCurrentValue) else null
+    override def close(): Unit = rows.close()
+  }
+
+  def readAll(path: String, schema: StructType, conf: Configuration)
+      (consume: InternalRow => Unit): Unit = {
+    val it = open(path, schema, conf)
+    try {
+      var row = it.read()
+      while (row != null) { consume(row); row = it.read() }
+    } finally it.close()
+  }
+
+  /** Executor-side ORC row writer — the write twin of [[open]]. */
+  def openWriter(path: String, schema: StructType,
+      conf: Configuration): OrcRowWriter = {
+    val td = OrcUtils.orcTypeDescription(schema)
+    val writer = OrcFile.createWriter(new HPath(path),
+      OrcFile.writerOptions(conf).setSchema(td)
+        .compress(org.apache.orc.CompressionKind.SNAPPY))
+    new OrcRowWriter(writer, new OrcSerializer(schema))
+  }
+
+  final class OrcRowWriter(writer: Writer, ser: OrcSerializer) extends AutoCloseable {
+    private val rec = new OrcMapreduceRecordWriter[OrcStruct](writer)
+    def write(row: InternalRow): Unit =
+      rec.write(org.apache.hadoop.io.NullWritable.get(), ser.serialize(row))
+    override def close(): Unit = rec.close(null)
+  }
+
+  /** Footer metrics for one ORC file, mapped to field ids by name against
+    * `schema` (reference OrcMetrics.fromInputFile): record count from the
+    * file tail, per-column non-null counts from ColumnStatistics
+    * (nullCount = recordCount - numberOfValues — ORC counts non-nulls),
+    * bounds per stats subtype, stripe offsets as split offsets. */
+  def footerMetrics(path: String, schema: StructType,
+      conf: Configuration = new Configuration(),
+      modes: Map[Int, Metrics.Mode] = Map.empty): Metrics.FileMetrics = {
+    import Metrics._
+    def modeOf(id: Int): Mode = modes.getOrElse(id, DefaultMode)
+    val reader = OrcFile.createReader(new HPath(path), OrcFile.readerOptions(conf))
+    try {
+      val recordCount = reader.getNumberOfRows
+      val fileSize = new HPath(path).getFileSystem(conf)
+        .getFileStatus(new HPath(path)).getLen
+      val stats = reader.getStatistics
+      val root = reader.getSchema
+      val nameToId = FieldIds.nameToId(schema)
+      val typeById = FieldIds.typeById(schema)
+      val valueCounts = collection.mutable.Map[Int, Long]()
+      val nullCounts = collection.mutable.Map[Int, Long]()
+      val lower = collection.mutable.Map[Int, Any]()
+      val upper = collection.mutable.Map[Int, Any]()
+      if (root.getCategory == TypeDescription.Category.STRUCT) {
+        root.getFieldNames.asScala.zip(root.getChildren.asScala).foreach {
+          case (name, child) =>
+            nameToId.get(name).filter(modeOf(_) != NoneMode).foreach { id =>
+              val cs = stats(child.getId)
+              // parquet valueCounts include nulls; keep the same meaning
+              valueCounts(id) = recordCount
+              nullCounts(id) = recordCount - cs.getNumberOfValues
+              if (modeOf(id) != CountsMode && cs.getNumberOfValues > 0) {
+                bounds(cs, typeById(id)).foreach { case (mn, mx) =>
+                  def len = modeOf(id) match {
+                    case TruncateMode(n) => Some(n)
+                    case _ => None
+                  }
+                  lower(id) = len.map(truncateLower(mn, _)).getOrElse(mn)
+                  val up = len.map(truncateUpper(mx, _)).getOrElse(mx)
+                  if (up != null) upper(id) = up
+                }
+              }
+            }
+        }
+      }
+      FileMetrics(recordCount, fileSize, valueCounts.toMap, nullCounts.toMap,
+        lower.toMap, upper.toMap,
+        reader.getStripes.asScala.map(_.getOffset).toSeq)
+    } finally reader.close()
+  }
+
+  /** ORC column statistics → canonical (min, max) for `dt`; None when the
+    * stats kind doesn't line up (evaluators then stay conservative). */
+  private def bounds(cs: org.apache.orc.ColumnStatistics,
+      dt: DataType): Option[(Any, Any)] = {
+    import org.apache.orc._
+    try {
+      (cs, dt) match {
+        case (s: DateColumnStatistics, DateType) =>
+          Some((s.getMinimumDayOfEpoch.toInt, s.getMaximumDayOfEpoch.toInt))
+        case (s: IntegerColumnStatistics, IntegerType) =>
+          Some((s.getMinimum.toInt, s.getMaximum.toInt))
+        case (s: IntegerColumnStatistics, LongType) =>
+          Some((s.getMinimum, s.getMaximum))
+        case (s: TimestampColumnStatistics, TimestampType | TimestampNTZType) =>
+          // getTime already carries the millisecond part of nanos; floor for
+          // the lower bound, ceil for the upper so sub-micro fractions stay
+          // inside the range
+          def micros(t: java.sql.Timestamp, ceil: Boolean): Long = {
+            val base = t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+            if (ceil && t.getNanos % 1000 != 0) base + 1 else base
+          }
+          val (mn, mx) = (s.getMinimumUTC, s.getMaximumUTC)
+          if (mn == null || mx == null) None
+          else Some((micros(mn, ceil = false), micros(mx, ceil = true)))
+        case (s: DoubleColumnStatistics, DoubleType) =>
+          Some((s.getMinimum, s.getMaximum))
+        case (s: DoubleColumnStatistics, FloatType) =>
+          Some((s.getMinimum.toFloat, s.getMaximum.toFloat))
+        case (s: StringColumnStatistics, StringType) =>
+          // min/max may be absent when ORC truncated long values; the
+          // lower/upper BOUNDS stay safe for inclusive pruning
+          val mn = Option(s.getMinimum).orElse(Option(s.getLowerBound))
+          val mx = Option(s.getMaximum).orElse(Option(s.getUpperBound))
+          mn.zip(mx)
+        case (s: DecimalColumnStatistics, d: DecimalType) =>
+          val (mn, mx) = (s.getMinimum, s.getMaximum)
+          if (mn == null || mx == null) None
+          else Some((mn.bigDecimalValue.setScale(d.scale),
+            mx.bigDecimalValue.setScale(d.scale)))
+        case (s: BooleanColumnStatistics, BooleanType) =>
+          Some((s.getFalseCount == 0, s.getTrueCount > 0))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+  }
+}

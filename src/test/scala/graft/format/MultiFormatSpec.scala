@@ -1,0 +1,155 @@
+package graft.format
+
+import graft.SparkSpec
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ORC + Avro data-file sources (reference orc/.../ORC.java,
+  * core/.../avro/Avro.java + ProjectionDatumReader). IO-level roundtrips
+  * here; table-level coverage in the table/scan tests below. */
+class MultiFormatSpec extends SparkSpec {
+
+  private def tmp(ext: String): String =
+    java.nio.file.Files.createTempDirectory("mf").toString + "/f." + ext
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType),
+    StructField("price", DecimalType(12, 2)),
+    StructField("day", DateType),
+    StructField("ts", TimestampType),
+    StructField("tags", ArrayType(StringType)),
+    StructField("vec", ArrayType(FloatType, containsNull = false)),
+    StructField("flag", BooleanType)))
+
+  private def row(id: Long, name: String, price: String, day: Int,
+      ts: Long, tags: Seq[String], vec: Seq[Float], flag: Boolean): InternalRow = {
+    val r = new GenericInternalRow(8)
+    r.update(0, id)
+    r.update(1, if (name == null) null else UTF8String.fromString(name))
+    r.update(2, if (price == null) null
+      else org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(price), 12, 2))
+    r.update(3, day)
+    r.update(4, ts)
+    r.update(5, if (tags == null) null
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        tags.map(t => if (t == null) null else UTF8String.fromString(t)).toArray[Any]))
+    r.update(6, new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      vec.map(x => x: Any).toArray))
+    r.update(7, flag)
+    r
+  }
+
+  private val rows = Seq(
+    row(1L, "alpha", "10.50", 19000, 1700000000000000L, Seq("a", "b"), Seq(1f, 2f), flag = true),
+    row(2L, null, "3.25", 19001, 1700000001000000L, Seq("c", null), Seq(0.5f), flag = false),
+    row(3L, "gamma", null, 19002, 1700000002000000L, null, Seq(-1f, 4f), flag = true))
+
+  private def conf = spark.sessionState.newHadoopConf()
+
+  test("orc io roundtrip with projection and rename-safe subset read") {
+    val path = tmp("orc")
+    val w = OrcIO.openWriter(path, schema, conf)
+    try rows.foreach(w.write) finally w.close()
+
+    // full roundtrip
+    val got = collection.mutable.ArrayBuffer[Seq[Any]]()
+    OrcIO.readAll(path, schema, conf) { r =>
+      got += Seq(r.getLong(0),
+        if (r.isNullAt(1)) null else r.getUTF8String(1).toString,
+        if (r.isNullAt(2)) null else r.getDecimal(2, 12, 2).toJavaBigDecimal.toPlainString,
+        r.getInt(3), r.getLong(4),
+        if (r.isNullAt(5)) null else r.getArray(5).numElements(),
+        r.getArray(6).toFloatArray().toSeq, r.getBoolean(7))
+    }
+    assert(got.size === 3)
+    assert(got(0) === Seq(1L, "alpha", "10.50", 19000, 1700000000000000L, 2, Seq(1f, 2f), true))
+    assert(got(1)(1) === null)
+    assert(got(2)(2) === null)
+
+    // projected subset, reordered
+    val proj = StructType(Seq(schema("name"), schema("id")))
+    val names = collection.mutable.ArrayBuffer[(Any, Long)]()
+    OrcIO.readAll(path, proj, conf) { r =>
+      names += ((if (r.isNullAt(0)) null else r.getUTF8String(0).toString, r.getLong(1)))
+    }
+    assert(names.toSeq === Seq(("alpha", 1L), (null, 2L), ("gamma", 3L)))
+
+    // column absent from the file reads as null (schema evolution add)
+    val withNew = StructType(Seq(schema("id"), StructField("added", StringType)))
+    var sawNull = false
+    OrcIO.readAll(path, withNew, conf)(r => sawNull |= r.isNullAt(1))
+    assert(sawNull)
+  }
+
+  test("orc footer metrics carry bounds and null counts") {
+    val path = tmp("orc")
+    val ids = FieldIds.assignFresh(schema)
+    val w = OrcIO.openWriter(path, schema, conf)
+    try rows.foreach(w.write) finally w.close()
+    val fm = OrcIO.footerMetrics(path, ids, conf)
+    assert(fm.recordCount === 3)
+    val idOf = FieldIds.nameToId(ids)
+    assert(fm.lowerBounds(idOf("id")) === 1L)
+    assert(fm.upperBounds(idOf("id")) === 3L)
+    assert(fm.nullValueCounts(idOf("name")) === 1L)
+    assert(fm.lowerBounds(idOf("name")) === "alpha")
+    assert(fm.lowerBounds(idOf("day")) === 19000)
+    assert(fm.upperBounds(idOf("day")) === 19002)
+    assert(fm.lowerBounds(idOf("ts")) === 1700000000000000L)
+    assert(fm.upperBounds(idOf("ts")) === 1700000002000000L)
+    assert(fm.lowerBounds(idOf("price")) === new java.math.BigDecimal("3.25"))
+    assert(fm.upperBounds(idOf("price")) === new java.math.BigDecimal("10.50"))
+    assert(fm.splitOffsets.nonEmpty)
+  }
+
+  test("avro io roundtrip with projection, promotion, and added column") {
+    val path = tmp("avro")
+    val w = AvroIO.openWriter(path, schema, conf)
+    try rows.foreach(w.write) finally w.close()
+    assert(w.count === 3)
+
+    val got = collection.mutable.ArrayBuffer[Seq[Any]]()
+    AvroIO.readAll(path, schema, conf) { r =>
+      got += Seq(r.getLong(0),
+        if (r.isNullAt(1)) null else r.getUTF8String(1).toString,
+        if (r.isNullAt(2)) null else r.getDecimal(2, 12, 2).toJavaBigDecimal.toPlainString,
+        r.getInt(3), r.getLong(4),
+        if (r.isNullAt(5)) null else r.getArray(5).numElements(),
+        r.getArray(6).toFloatArray().toSeq, r.getBoolean(7))
+    }
+    assert(got.size === 3)
+    assert(got(0) === Seq(1L, "alpha", "10.50", 19000, 1700000000000000L, 2, Seq(1f, 2f), true))
+    assert(got(1)(1) === null)
+    assert(got(2)(5) === null)
+
+    // projection skips unread fields; order comes from the reader schema
+    val proj = StructType(Seq(schema("name"), schema("id")))
+    val names = collection.mutable.ArrayBuffer[(Any, Long)]()
+    AvroIO.readAll(path, proj, conf) { r =>
+      names += ((if (r.isNullAt(0)) null else r.getUTF8String(0).toString, r.getLong(1)))
+    }
+    assert(names.toSeq === Seq(("alpha", 1L), (null, 2L), ("gamma", 3L)))
+
+    // nullable column absent from the writer schema reads as its null default
+    val withNew = StructType(Seq(schema("id"), StructField("added", StringType)))
+    var sawNull = false
+    AvroIO.readAll(path, withNew, conf)(r => sawNull |= r.isNullAt(1))
+    assert(sawNull)
+  }
+
+  test("data file JSON round-trips the file format") {
+    val ids = FieldIds.assignFresh(schema)
+    val f = DataFile(path = "/x/f.orc", recordCount = 7, fileSizeInBytes = 100,
+      fileFormat = FileFormats.Orc)
+    val json = Model.dataFileToJson(f, ids, Map.empty)
+    val back = Model.dataFileFromJson(json, ids, Map.empty)
+    assert(back.fileFormat === FileFormats.Orc)
+    // absent file-format in old metadata defaults to parquet
+    val legacy = Model.dataFileToJson(f.copy(fileFormat = FileFormats.Parquet), ids, Map.empty)
+    assert(!legacy.has("file-format"))
+    assert(Model.dataFileFromJson(legacy, ids, Map.empty).fileFormat === FileFormats.Parquet)
+  }
+}
