@@ -1,27 +1,37 @@
 package graft.connector
 
 import graft.format._
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.parquet.hadoop.ParquetWriter
-import org.apache.parquet.hadoop.api.WriteSupport
-import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
 import org.apache.spark.sql.types._
 import java.util.UUID
 
 /** Full DSv2 batch write (reference spark3/.../SparkBatchWrite.java:133-330):
-  * executor tasks write parquet files directly from InternalRow via Spark's
-  * own ParquetWriteSupport — partitioned tables use a FANOUT writer (one
-  * open file per partition tuple, reference
+  * executor tasks write data files directly from InternalRow — partitioned
+  * tables use a FANOUT writer (one open file per partition tuple, reference
   * flink/.../PartitionedFanoutWriter.java:33-51, so input needs no
   * clustering) — then commit messages carry (path, partition tuple) back to
   * the driver, which collects footer stats and publishes ONE atomic
   * snapshot (append / dynamic overwrite / filter overwrite).
+  *
+  * The file encoding follows the table's `write.format.default` property
+  * (reference TableProperties.DEFAULT_FILE_FORMAT): parquet via Spark's
+  * ParquetWriteSupport, ORC via Spark's OrcSerializer, Avro via the Avro
+  * container codec (AvroIO). Metrics come from the written file's footer
+  * (parquet/ORC) or the writer's record count (Avro has no footer stats),
+  * computed IN the task so the driver commit stays metadata-only.
   */
 object GraftBatchWrite {
+
+  /** Table property naming the data-file encoding for new writes. */
+  val WriteFormatKey = "write.format.default"
+
+  def writeFormat(props: Map[String, String]): String = {
+    val fmt = props.getOrElse(WriteFormatKey, graft.format.FileFormats.Parquet)
+    require(graft.format.FileFormats.All.contains(fmt),
+      s"unsupported $WriteFormatKey: $fmt")
+    fmt
+  }
 
   /** Serializable slice of a partition field for executor-side routing. */
   final case class SpecField(name: String, ordinal: Int, transform: Transform,
@@ -73,12 +83,14 @@ final class GraftBatchWrite(table: GraftTable, mode: GraftBatchWrite.Mode)
         f.copy(metadata = org.apache.spark.sql.types.Metadata.empty))),
       schema, fields, stagingDir,
       new org.apache.spark.util.SerializableConfiguration(conf),
-      Metrics.modesFor(schema, m.properties))
+      Metrics.modesFor(schema, m.properties),
+      writeFormat(m.properties))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // metrics arrived in the commit messages: the driver commit is pure
-    // metadata work — no parquet I/O, no matter how many files were written
+    // metadata work — no data-file I/O, no matter how many files were written
+    val fmt = writeFormat(m.properties)
     val files = messages.collect { case TaskFiles(fs) => fs }.flatten.map { sf =>
       val fm = sf.metrics
       DataFile(path = sf.path, partition = sf.partition,
@@ -86,7 +98,7 @@ final class GraftBatchWrite(table: GraftTable, mode: GraftBatchWrite.Mode)
         schemaId = m.currentSchemaId, specId = m.defaultSpecId,
         valueCounts = fm.valueCounts, nullValueCounts = fm.nullValueCounts,
         lowerBounds = fm.lowerBounds, upperBounds = fm.upperBounds,
-        splitOffsets = fm.splitOffsets)
+        splitOffsets = fm.splitOffsets, fileFormat = fmt)
     }.toSeq
     mode match {
       case Append => Commits.mergeAppend(table, files)
@@ -104,15 +116,16 @@ final class GraftBatchWrite(table: GraftTable, mode: GraftBatchWrite.Mode)
 final class GraftWriterFactory(schema: StructType, idSchema: StructType,
     fields: Seq[GraftBatchWrite.SpecField], stagingDir: String,
     conf: org.apache.spark.util.SerializableConfiguration,
-    statModes: Map[Int, Metrics.Mode] = Map.empty)
+    statModes: Map[Int, Metrics.Mode] = Map.empty,
+    format: String = graft.format.FileFormats.Parquet)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftFanoutWriter(schema, idSchema, fields, stagingDir, partitionId, taskId,
-      conf, statModes)
+      conf, statModes, format)
 }
 
-/** Fanout parquet writer: routes each row to its partition tuple's open
+/** Fanout data-file writer: routes each row to its partition tuple's open
   * file; unpartitioned tables use the single empty-tuple writer.
   * `idSchema` carries the table's field ids so footer metrics can be keyed
   * by id right here in the task. */
@@ -120,12 +133,13 @@ final class GraftFanoutWriter(schema: StructType, idSchema: StructType,
     fields: Seq[GraftBatchWrite.SpecField], stagingDir: String,
     partitionId: Int, taskId: Long,
     sconf: org.apache.spark.util.SerializableConfiguration,
-    statModes: Map[Int, Metrics.Mode] = Map.empty)
+    statModes: Map[Int, Metrics.Mode] = Map.empty,
+    format: String = graft.format.FileFormats.Parquet)
   extends DataWriter[InternalRow] {
   import GraftBatchWrite._
 
   private val writers =
-    collection.mutable.LinkedHashMap[Map[String, Any], (String, ParquetWriter[InternalRow])]()
+    collection.mutable.LinkedHashMap[Map[String, Any], (String, DataFileIO.Writer)]()
   private var fileCount = 0
 
   private def canonical(row: InternalRow, f: SpecField): Any = {
@@ -144,20 +158,14 @@ final class GraftFanoutWriter(schema: StructType, idSchema: StructType,
     }
   }
 
-  private def openWriter(): (String, ParquetWriter[InternalRow]) = {
-    val path = s"$stagingDir/part-$partitionId-$taskId-$fileCount-${UUID.randomUUID()}.parquet"
+  private def openWriter(): (String, DataFileIO.Writer) = {
+    val path = s"$stagingDir/part-$partitionId-$taskId-$fileCount-${UUID.randomUUID()}.$format"
     fileCount += 1
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
-    val conf = new Configuration(sconf.value)
-    ParquetWriteSupport.setSchema(schema, conf)
-    class B(p: HPath) extends ParquetWriter.Builder[InternalRow, B](p) {
-      override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
-        new ParquetWriteSupport
-      override def self(): B = this
-    }
-    val w = new B(new HPath(path)).withConf(conf)
-      .withCompressionCodec(CompressionCodecName.SNAPPY).build()
-    (path, w)
+    // footer stats are read in the task that just wrote the file (it is
+    // still in page cache), shipped to the driver in the commit message
+    (path, DataFileIO.openWriter(path, format, schema, idSchema, sconf.value,
+      statModes))
   }
 
   override def write(row: InternalRow): Unit = {
@@ -168,19 +176,12 @@ final class GraftFanoutWriter(schema: StructType, idSchema: StructType,
 
   override def commit(): WriterCommitMessage = {
     val files = writers.toSeq.map { case (tuple, (path, w)) =>
-      w.close()
-      // footer stats are read in the task that just wrote the file (it is
-      // still in page cache), shipped to the driver in the commit message
-      StagedFile(path, tuple,
-        Metrics.fromParquetFooter(path, idSchema, sconf.value, statModes))
+      StagedFile(path, tuple, w.finish())
     }
     TaskFiles(files)
   }
 
-  override def abort(): Unit = writers.values.foreach { case (path, w) =>
-    try w.close() catch { case _: Throwable => }
-    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
-  }
+  override def abort(): Unit = writers.values.foreach { case (_, w) => w.abort() }
 
   override def close(): Unit = ()
 }

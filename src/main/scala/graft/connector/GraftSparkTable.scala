@@ -192,15 +192,42 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     val partSchema = StructType(partServe.map(f =>
       StructField(f.name, Types.cleanType(f.dataType), nullable = true)))
 
-    // one ParquetScan per writer-schema generation: columns are re-mapped to
-    // each generation's *file* names by field id (id-based resolution, the
-    // heart of metadata-only rename — SURVEY §1.2), and the readDataSchema
-    // keeps the TARGET column order so every generation produces identical
-    // InternalRow/ColumnarBatch layouts. With live equality deletes, tasks
-    // also split by sequence number (seqKey) so delete recency is resolvable.
+    // position deletes ride the parquet readers' synthetic row-index column,
+    // which Spark's ORC reader does not populate and Avro cannot — so they
+    // are a parquet-only feature (documented trade). Mixed tables still
+    // scan: a non-parquet group is only an error if a position delete
+    // actually TARGETS one of its files, which costs one driver read of the
+    // (small, per-commit) delete files' path column — and only on tables
+    // that contain non-parquet files while position deletes are live.
+    lazy val posTargetPaths: Set[String] = {
+      val conf = spark.sessionState.newHadoopConf()
+      val out = scala.collection.mutable.HashSet[String]()
+      val pathSchema = StructType(Seq(StructField("file_path", StringType)))
+      posPaths.foreach(p => ParquetIO.readAll(p, pathSchema, conf) { r =>
+        if (!r.isNullAt(0)) out += ParquetIO.canonPath(r.getUTF8String(0).toString)
+      })
+      out.toSet
+    }
+
+    // one file-source scan per (writer-schema generation, file format):
+    // columns are re-mapped to each generation's *file* names by field id
+    // (id-based resolution, the heart of metadata-only rename — SURVEY
+    // §1.2), and the readDataSchema keeps the TARGET column order so every
+    // generation produces identical InternalRow/ColumnarBatch layouts.
+    // Parquet and ORC groups are Spark's own vectorized FileScans; Avro
+    // groups are the custom GraftAvroScan. With live equality deletes,
+    // tasks also split by sequence number (seqKey) so delete recency is
+    // resolvable.
     val groups = plan.tasks
-      .groupBy(t => (t.file.schemaId, if (eqDeletes.isEmpty) 0L else t.sequenceNumber))
-      .toSeq.sortBy(_._1).map { case ((schemaId, seqKey), tasks) =>
+      .groupBy(t => (t.file.schemaId,
+        if (eqDeletes.isEmpty) 0L else t.sequenceNumber, t.file.fileFormat))
+      .toSeq.sortBy(_._1).map { case ((schemaId, seqKey, fmt), tasks) =>
+        val groupPos = posActive && fmt == FileFormats.Parquet
+        if (posActive && !groupPos && tasks.exists(t =>
+            posTargetPaths.contains(ParquetIO.canonPath(t.file.path))))
+          throw new UnsupportedOperationException(
+            s"position deletes target $fmt data files; position deletes are " +
+            "supported on parquet data files only — rewrite the files first")
         val fileSchema = m.schemas.getOrElse(schemaId, schema)
         val fileById = FieldIds.idToName(fileSchema)
         def fileName(target: StructField): String =
@@ -218,19 +245,19 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
             StructType(read.fields ++ missing.map(n => clean.fields.find(_.name == n).get))
           }
         val deletes: Option[GroupDeletes] =
-          if (applicable.isEmpty && !posActive) None
+          if (applicable.isEmpty && !groupPos) None
           else Some(GroupDeletes(
             applicable.map(ds => DeleteKeySource(
               ds.names.map(wideTarget.fieldIndex).toArray, ds.names,
               ds.names.map(n => clean.fields.find(_.name == n).get.dataType),
               ds.paths)),
             wideTarget.fields.map(_.dataType) ++
-              (if (posActive) Seq(LongType) else Nil),
-            if (wideTarget.length == read.length && !posActive) None
+              (if (groupPos) Seq(LongType) else Nil),
+            if (wideTarget.length == read.length && !groupPos) None
             else Some(read.fields.map(f => wideTarget.fieldIndex(f.name))),
             new org.apache.spark.util.SerializableConfiguration(
               spark.sessionState.newHadoopConf()),
-            if (posActive) Some(PosDeleteSource(posPaths, wideTarget.length))
+            if (groupPos) Some(PosDeleteSource(posPaths, wideTarget.length))
             else None))
         val renames: Map[String, String] =
           wideTarget.fields.map(f => f.name -> fileName(f)).toMap
@@ -253,7 +280,7 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
         val groupRead = StructType(wideTarget.fields
           .filterNot(f => partServeNames.contains(f.name)).map(f =>
             StructField(renames(f.name), fileSide(f), f.nullable)) ++
-          (if (posActive) Seq(StructField(
+          (if (groupPos) Seq(StructField(
             // nullable: the column is absent from the FILE (the reader treats
             // it as a missing optional column, then its RowIndexGenerator
             // overwrites the null vector with real row indexes)
@@ -278,18 +305,35 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
           .filter(_.references.forall(r => !partServeNames.contains(r)))
           .flatMap(f => renameFilter(f, renames))
         // manifest-fed index: no listing/stat calls at plan time
+        val partValsOf: DataFile => Seq[Any] = df => {
+          val sp = m.specs(df.specId)
+          partServe.map(f => sp.fields.find(pf =>
+              pf.transform == Transforms.IdentityT &&
+              FieldIds.findById(schema, pf.sourceId).exists(_.name == f.name))
+            .map(pf => df.partition.getOrElse(pf.name, null)).getOrElse(null))
+        }
         val index = new GraftFileIndex(spark, tasks.map(_.file), partSchema,
-          df => {
-            val sp = m.specs(df.specId)
-            partServe.map(f => sp.fields.find(pf =>
-                pf.transform == Transforms.IdentityT &&
-                FieldIds.findById(schema, pf.sourceId).exists(_.name == f.name))
-              .map(pf => df.partition.getOrElse(pf.name, null)).getOrElse(null))
-          })
-        (ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
-          dataSchema = groupData, readDataSchema = groupRead,
-          readPartitionSchema = partSchema,
-          pushedFilters = groupFilters, options = options), deletes)
+          partValsOf)
+        val scan: Scan = fmt match {
+          case FileFormats.Orc =>
+            org.apache.spark.sql.execution.datasources.v2.orc.OrcScan(
+              spark, spark.sessionState.newHadoopConf(), index,
+              dataSchema = groupData, readDataSchema = groupRead,
+              readPartitionSchema = partSchema, options = options,
+              pushedAggregate = None, pushedFilters = groupFilters)
+          case FileFormats.Avro =>
+            new GraftAvroScan(groupRead, partSchema,
+              tasks.map(t => t.file.path -> partValsOf(t.file).zip(partSchema.fields)
+                .map { case (v, f) => graft.format.Values.toCatalyst(v, f.dataType) }),
+              new org.apache.spark.util.SerializableConfiguration(
+                spark.sessionState.newHadoopConf()))
+          case _ =>
+            ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
+              dataSchema = groupData, readDataSchema = groupRead,
+              readPartitionSchema = partSchema,
+              pushedFilters = groupFilters, options = options)
+        }
+        (scan, deletes)
     }
     // declared output = physical layout: data columns (minus partition-
     // served) then partition-served columns — Spark re-projects above by
@@ -324,13 +368,14 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     } else None
 }
 
-/** Union-of-generations scan: concatenates each generation's ParquetScan
-  * partitions; readers dispatch to the owning generation's factory. All
-  * generations share one output layout, so Spark sees a single homogeneous
+/** Union-of-generations scan: concatenates each (generation, format)
+  * group's scan partitions — Spark's vectorized ParquetScan/OrcScan or the
+  * custom Avro batch; readers dispatch to the owning group's factory. All
+  * groups share one output layout, so Spark sees a single homogeneous
   * batch source (columnar included). Reports manifest-derived statistics to
   * the CBO (reference SparkBatchScan.estimateStatistics :186-209) so join
   * sides behind graft tables broadcast correctly. */
-final class GraftScan(output: StructType, parquetScans: Seq[ParquetScan],
+final class GraftScan(output: StructType, groupScans: Seq[Scan],
     plan: ScanPlan, spark: SparkSession = null, table: GraftTable = null,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
     deletes: Seq[Option[GroupDeletes]] = Nil)
@@ -340,7 +385,7 @@ final class GraftScan(output: StructType, parquetScans: Seq[ParquetScan],
   import java.util.OptionalLong
 
   override def readSchema(): StructType = output
-  override def description(): String = s"graft(${parquetScans.size} schema generations)"
+  override def description(): String = s"graft(${groupScans.size} scan groups)"
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -354,10 +399,10 @@ final class GraftScan(output: StructType, parquetScans: Seq[ParquetScan],
   }
 
   override def toBatch: Batch = new Batch {
-    private lazy val inner = parquetScans.map(_.toBatch)
+    private lazy val inner = groupScans.map(_.toBatch)
     private lazy val innerFactories = inner.map(_.createReaderFactory())
     private lazy val groupDeletes: Seq[Option[GroupDeletes]] =
-      if (deletes.isEmpty) parquetScans.map(_ => None) else deletes
+      if (deletes.isEmpty) groupScans.map(_ => None) else deletes
     private lazy val partsByGroup: Seq[Array[InputPartition]] =
       inner.map(_.planInputPartitions())
 

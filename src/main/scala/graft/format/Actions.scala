@@ -34,7 +34,12 @@ object Actions {
       // exist only in the bin's partition tuple, not in the input files
       // (imported hive layouts) — materialized into the rewritten file so
       // the output is complete under the current schema
-      fill: Seq[(Int, Any)] = Nil)
+      fill: Seq[(Int, Any)] = Nil,
+      // per-input-file encodings (aligned with paths) + the output encoding:
+      // compaction reads any format and writes the table's current
+      // write.format.default, so it doubles as a format-migration action
+      formats: Seq[String] = Nil,
+      outFormat: String = FileFormats.Parquet)
 }
 
 final class Actions(t: GraftTable) {
@@ -122,12 +127,14 @@ final class Actions(t: GraftTable) {
               partition.getOrElse(pf.name, null), f.dataType))
         }
       val seqByPath = tasks.map(ts => ts.file.path -> ts.sequenceNumber).toMap
+      val fmtByPath = tasks.map(ts => ts.file.path -> ts.file.fileFormat).toMap
+      val outFormat = graft.connector.GraftBatchWrite.writeFormat(m.properties)
       val bins = binPack(tasks.map(ts => ts.file.path -> ts.file.fileSizeInBytes),
         targetSizeBytes)
       bins.filter(_.size >= minInputFiles).foreach { bin =>
         binTasks += BinTask(binId, bin, bin.map(seqByPath), readSchema,
-          f"$staging/bin-$binId%05d.parquet",
-          posDeletePaths, eqDeletes, fill)
+          f"$staging/bin-$binId%05d.$outFormat",
+          posDeletePaths, eqDeletes, fill, bin.map(fmtByPath), outFormat)
         binMeta(binId) = (partition, schemaId)
         binId += 1
       }
@@ -155,12 +162,15 @@ final class Actions(t: GraftTable) {
           (seq, src.ordinals, src.types,
             graft.connector.DeleteKeyCache.get(src, conf))
         }
-        val writer = ParquetIO.openWriter(bt.out, writeSchema, conf)
-        try bt.paths.zip(bt.seqs).foreach { case (p, fileSeq) =>
+        val writer = DataFileIO.openWriter(bt.out, bt.outFormat, writeSchema,
+          idSchema, conf, statModes)
+        val fmts = if (bt.formats.nonEmpty) bt.formats
+          else bt.paths.map(_ => FileFormats.Parquet)
+        try bt.paths.lazyZip(bt.seqs).lazyZip(fmts).foreach { case (p, fileSeq, fmt) =>
           val deadPos = pos.getOrElse(ParquetIO.canonPath(p), Array.emptyLongArray)
           val applicable = eq.filter(_._1 > fileSeq)
           var idx = -1L // sequential full-file read ⇒ counter = row index
-          ParquetIO.readAll(p, bt.readSchema, conf) { row =>
+          DataFileIO.readAll(p, fmt, bt.readSchema, conf) { row =>
             idx += 1
             val dead = (deadPos.length > 0 &&
                 java.util.Arrays.binarySearch(deadPos, idx) >= 0) ||
@@ -186,9 +196,9 @@ final class Actions(t: GraftTable) {
               }
             }
           }
-        } finally writer.close()
+        } catch { case e: Throwable => writer.abort(); throw e }
         // footer metrics in-task, keyed by field id against the current schema
-        (bt.id, Metrics.fromParquetFooter(bt.out, idSchema, conf, statModes))
+        (bt.id, writer.finish())
       }.collect()
 
     val currentSchemaId = m.currentSchemaId
@@ -207,7 +217,8 @@ final class Actions(t: GraftTable) {
         nullValueCounts = fm.nullValueCounts,
         lowerBounds = fm.lowerBounds,
         upperBounds = fm.upperBounds,
-        splitOffsets = fm.splitOffsets)
+        splitOffsets = fm.splitOffsets,
+        fileFormat = byId(id).outFormat)
     }
     val del = planned.flatMap(_.paths).toSet
     Commits.rewriteFiles(t, del, newFiles)
@@ -338,7 +349,8 @@ final class Actions(t: GraftTable) {
     import t.spark.implicits._
     val dataDir = s"${t.location}/data"
     if (!t.ops.io.exists(dataDir)) return OrphanResult(Nil)
-    val actual = t.ops.io.list(dataDir, ".parquet")
+    val actual = t.ops.io.list(dataDir)
+      .filter(fi => FileFormats.All.exists(ext => fi.path.endsWith("." + ext)))
       .map(fi => (fi.path, fi.modifiedMillis))
       .toDF("path", "mtime")
     val m = t.metadata

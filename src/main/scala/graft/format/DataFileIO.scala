@@ -1,0 +1,90 @@
+package graft.format
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** Format-dispatching executor-side row I/O over data files — ONE seam for
+  * every code path that streams data files row-wise (compaction rewrite,
+  * delete-key loading stays parquet-only since delete files are always
+  * parquet, the DSv2 fanout writers). Mirrors the reference's FileFormat
+  * dispatch in GenericReader/FileAppenderFactory (api/.../FileFormat.java).
+  */
+object DataFileIO {
+
+  /** Stream `path` (of `format`) projected to `schema` (file-side names). */
+  def readAll(path: String, format: String, schema: StructType,
+      conf: Configuration)(consume: InternalRow => Unit): Unit = format match {
+    case FileFormats.Orc => OrcIO.readAll(path, schema, conf)(consume)
+    case FileFormats.Avro => AvroIO.readAll(path, schema, conf)(consume)
+    case _ => ParquetIO.readAll(path, schema, conf)(consume)
+  }
+
+  /** One open data file of any supported encoding + its end-of-file metrics
+    * (footer read for parquet/ORC; writer-side count for Avro, which has no
+    * footer stats — reference FileAppender.metrics()). */
+  trait Writer {
+    def write(row: InternalRow): Unit
+    /** Close and return the file's metrics keyed by `idSchema` field ids. */
+    def finish(): Metrics.FileMetrics
+    def abort(): Unit
+  }
+
+  /** Open a writer for `format`. `schema` is the clean (id-less) write
+    * schema; `idSchema` carries field ids for metrics keying. For parquet,
+    * `conf` must carry the ParquetWriteSupport session keys (use
+    * ParquetIO.writeConf or a batch-write factory conf). */
+  def openWriter(path: String, format: String, schema: StructType,
+      idSchema: StructType, conf: Configuration,
+      statModes: Map[Int, Metrics.Mode] = Map.empty): Writer = {
+
+    def delete(): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      try hp.getFileSystem(conf).delete(hp, false) catch { case _: Throwable => }
+    }
+
+    format match {
+      case FileFormats.Orc => new Writer {
+        private val w = OrcIO.openWriter(path, schema, conf)
+        override def write(row: InternalRow): Unit = w.write(row)
+        override def finish(): Metrics.FileMetrics = {
+          w.close()
+          OrcIO.footerMetrics(path, idSchema, conf, statModes)
+        }
+        override def abort(): Unit = {
+          try w.close() catch { case _: Throwable => }
+          delete()
+        }
+      }
+      case FileFormats.Avro => new Writer {
+        private val w = AvroIO.openWriter(path, schema, conf)
+        override def write(row: InternalRow): Unit = w.write(row)
+        override def finish(): Metrics.FileMetrics = {
+          val n = w.count
+          w.close()
+          val hp = new org.apache.hadoop.fs.Path(path)
+          val size = hp.getFileSystem(conf).getFileStatus(hp).getLen
+          // Avro carries no column statistics — record count + size only
+          Metrics.FileMetrics(n, size, Map.empty, Map.empty, Map.empty,
+            Map.empty, Nil)
+        }
+        override def abort(): Unit = {
+          try w.close() catch { case _: Throwable => }
+          delete()
+        }
+      }
+      case _ => new Writer {
+        private val w = ParquetIO.openWriter(path, schema, conf)
+        override def write(row: InternalRow): Unit = w.write(row)
+        override def finish(): Metrics.FileMetrics = {
+          w.close()
+          Metrics.fromParquetFooter(path, idSchema, conf, statModes)
+        }
+        override def abort(): Unit = {
+          try w.close() catch { case _: Throwable => }
+          delete()
+        }
+      }
+    }
+  }
+}

@@ -179,18 +179,39 @@ final class TableScan private[format] (
     val eqDeletes = plan.deleteFiles.filter(_._1.content == FileContent.EqualityDeletes)
     val posDeletes = plan.deleteFiles.filter(_._1.content == FileContent.PositionDeletes)
 
-    // group files by (writer schema, sequence number) — the seq key exists
-    // only when equality deletes are live, exactly like the DSv2 path, so
-    // delete recency resolves per GROUP and no per-file path→seq map ever
-    // enters the plan (a 100k-file scan previously embedded a 100k-entry
-    // literal map in every equality-delete read)
+    // position deletes ride parquet's `_metadata.row_index`; a non-parquet
+    // group only errors if a position delete actually TARGETS one of its
+    // files (one small driver read of the delete files' path column, and
+    // only on tables that mix formats under live position deletes)
+    lazy val posTargets: Set[String] =
+      spark.read.parquet(posDeletes.map(_._1.path).distinct: _*)
+        .select("file_path").distinct().collect()
+        .map(r => ParquetIO.canonPath(r.getString(0))).toSet
+
+    // group files by (writer schema, sequence number, file format) — the
+    // seq key exists only when equality deletes are live, exactly like the
+    // DSv2 path, so delete recency resolves per GROUP and no per-file
+    // path→seq map ever enters the plan (a 100k-file scan previously
+    // embedded a 100k-entry literal map in every equality-delete read)
     val grouped = plan.tasks.groupBy(t =>
-      (t.file.schemaId, if (eqDeletes.isEmpty) 0L else t.sequenceNumber))
-    val parts = grouped.toSeq.sortBy(_._1).flatMap { case ((schemaId, seq), tasks) =>
+      (t.file.schemaId, if (eqDeletes.isEmpty) 0L else t.sequenceNumber,
+        t.file.fileFormat))
+    val parts = grouped.toSeq.sortBy(_._1).flatMap { case ((schemaId, seq, fmt), tasks) =>
       val fileSchema = m.schemas.getOrElse(schemaId, schema)
+      val groupPos = posDeletes.nonEmpty && fmt == FileFormats.Parquet
+      if (posDeletes.nonEmpty && !groupPos && tasks.exists(t =>
+          posTargets.contains(ParquetIO.canonPath(t.file.path))))
+        throw new UnsupportedOperationException(
+          s"position deletes target $fmt data files; position deletes are " +
+          "supported on parquet data files only — rewrite the files first")
       def readTasks(ts: Seq[FileScanTask]): DataFrame = {
-        val raw = spark.read.schema(stripIds(fileSchema))
-          .parquet(ts.map(_.file.path): _*)
+        val clean = stripIds(fileSchema)
+        val raw = fmt match {
+          case FileFormats.Orc =>
+            spark.read.schema(clean).orc(ts.map(_.file.path): _*)
+          case FileFormats.Avro => readAvro(spark, ts.map(_.file.path), clean)
+          case _ => spark.read.schema(clean).parquet(ts.map(_.file.path): _*)
+        }
         alignToSchema(raw, fileSchema, schema)
       }
       // identity-partition source columns absent from the FILES (imported
@@ -223,7 +244,7 @@ final class TableScan private[format] (
       // equality sets NEWER than this group's files
       subs.map { df0 =>
         val posApplied =
-          if (posDeletes.isEmpty) df0 else applyPosDeletes(df0, posDeletes)
+          if (!groupPos) df0 else applyPosDeletes(df0, posDeletes)
         applyEqDeletes(posApplied, eqDeletes.filter(_._2 > seq), schema)
       }
     }
@@ -236,6 +257,34 @@ final class TableScan private[format] (
       case Some(cols) => df.select(cols.map(col): _*)
       case None => df
     }
+  }
+
+  /** Avro files → DataFrame: Spark ships no Avro datasource in this build,
+    * so the files read through AvroIO's resolving projection as one RDD —
+    * a partition per container file (files are written at the table's
+    * target size, so file granularity ≈ split granularity). */
+  private def readAvro(spark: SparkSession, paths: Seq[String],
+      clean: StructType): DataFrame = {
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val rdd = spark.sparkContext
+      .parallelize(paths, math.max(1, paths.size))
+      .flatMap { p =>
+        val it = AvroIO.open(p, clean, sconf.value)
+        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(clean)
+        new Iterator[org.apache.spark.sql.Row] {
+          private var cur = it.read()
+          override def hasNext: Boolean = cur != null
+          override def next(): org.apache.spark.sql.Row = {
+            val out = conv(cur).asInstanceOf[org.apache.spark.sql.Row]
+            cur = it.read()
+            if (cur == null) it.close()
+            out
+          }
+        }
+      }
+    spark.createDataFrame(rdd, clean)
   }
 
   private def projectedSchema(schema: StructType): StructType =

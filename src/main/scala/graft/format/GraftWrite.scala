@@ -25,11 +25,17 @@ object GraftWrite {
   /** Table property: comma-separated `col [asc|desc]` write clustering. */
   val SortOrderKey = "write.sort-order"
 
-  /** Write df as new data files of `table` (no commit) and return them. */
+  /** Write df as new data files of `table` (no commit) and return them.
+    * The encoding follows `write.format.default` (reference
+    * TableProperties.DEFAULT_FILE_FORMAT): parquet and ORC ride Spark's own
+    * FileFormatWriter (vectorized, partitionBy fanout); Avro — which Spark
+    * itself has no built-in writer for — runs as one executor job over the
+    * same fanout writers the DSv2 path uses (AvroIO container files). */
   def writeFiles(table: GraftTable, df: DataFrame): Seq[DataFile] = {
     val m = table.metadata
     val schema = m.schema
     val spec = m.spec
+    val fmt = graft.connector.GraftBatchWrite.writeFormat(m.properties)
     val staging = Paths.get(table.location, "data", UUID.randomUUID().toString)
 
     // align df columns to the table schema (names must match; types cast)
@@ -54,31 +60,73 @@ object GraftWrite {
       case _ => aligned
     }
 
+    if (fmt == FileFormats.Avro) return writeAvro(table, sorted, staging.toString)
+
+    def save(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit =
+      fmt match {
+        case FileFormats.Orc => w.orc(staging.toString)
+        case _ => w.parquet(staging.toString)
+      }
     if (spec.isPartitioned) {
       val derived = spec.derivedColumns(schema)
       val withP = derived.foldLeft(sorted) { case (d, (name, c)) =>
         d.withColumn(DirPrefix + name, c)
       }
-      withP.write.mode(SaveMode.ErrorIfExists)
-        .partitionBy(derived.map(DirPrefix + _._1): _*)
-        .parquet(staging.toString)
+      save(withP.write.mode(SaveMode.ErrorIfExists)
+        .partitionBy(derived.map(DirPrefix + _._1): _*))
     } else {
-      sorted.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+      save(sorted.write.mode(SaveMode.ErrorIfExists))
     }
-    collectFiles(table, staging, m.currentSchemaId, spec, schema)
+    collectFiles(table, staging, m.currentSchemaId, spec, schema, fmt)
   }
 
-  /** Enumerate staged parquet files → DataFiles with footer stats. */
+  /** Avro write: ONE executor job through the DSv2 fanout writers (Spark has
+    * no built-in Avro sink; partition routing, per-file metrics, and file
+    * naming are shared with the connector write path). */
+  private def writeAvro(table: GraftTable, sorted: DataFrame,
+      staging: String): Seq[DataFile] = {
+    import graft.connector.GraftBatchWrite
+    val m = table.metadata
+    val schema = m.schema
+    val nameToIdx = schema.fieldNames.zipWithIndex.toMap
+    val specFields = m.spec.fields.map { pf =>
+      val src = FieldIds.findById(schema, pf.sourceId).get
+      GraftBatchWrite.SpecField(pf.name, nameToIdx(src.name), pf.transform, src.dataType)
+    }
+    val factory = new graft.connector.GraftWriterFactory(
+      org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+        f.copy(metadata = org.apache.spark.sql.types.Metadata.empty))),
+      schema, specFields, staging,
+      new org.apache.spark.util.SerializableConfiguration(
+        table.spark.sessionState.newHadoopConf()),
+      Metrics.modesFor(schema, m.properties), FileFormats.Avro)
+    val staged: Seq[GraftBatchWrite.StagedFile] =
+      sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+        val w = factory.createWriter(pid, pid.toLong)
+        rows.foreach(w.write)
+        Iterator.single(w.commit().asInstanceOf[GraftBatchWrite.TaskFiles])
+      }.collect().toSeq.flatMap(_.files)
+    staged.sortBy(_.path).map { sf =>
+      val fm = sf.metrics
+      DataFile(path = sf.path, partition = sf.partition,
+        recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
+        schemaId = m.currentSchemaId, specId = m.defaultSpecId,
+        fileFormat = FileFormats.Avro)
+    }
+  }
+
+  /** Enumerate staged parquet/ORC files → DataFiles with footer stats. */
   private def collectFiles(table: GraftTable, staging: Path, schemaId: Int,
-      spec: PartitionSpec, schema: org.apache.spark.sql.types.StructType): Seq[DataFile] = {
+      spec: PartitionSpec, schema: org.apache.spark.sql.types.StructType,
+      fmt: String = FileFormats.Parquet): Seq[DataFile] = {
     val types = spec.resultTypes(schema).toMap
     val files = Files.walk(staging).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .filter(p => p.toString.endsWith("." + fmt) && Files.isRegularFile(p))
       .toSeq.sortBy(_.toString)
     // footer stats as a distributed job (no per-file driver I/O at scale),
     // at the table's configured metrics modes
     val metricsByPath = Metrics.forFiles(table.spark, files.map(_.toString), schema,
-      Metrics.modesFor(schema, table.metadata.properties))
+      Metrics.modesFor(schema, table.metadata.properties), fmt)
     files.map { p =>
       // partition tuple from hive-style dirs: __p_<name>=<value>
       val rel = staging.relativize(p)
@@ -104,7 +152,8 @@ object GraftWrite {
         nullValueCounts = fm.nullValueCounts,
         lowerBounds = fm.lowerBounds,
         upperBounds = fm.upperBounds,
-        splitOffsets = fm.splitOffsets)
+        splitOffsets = fm.splitOffsets,
+        fileFormat = fmt)
     }
   }
 

@@ -106,18 +106,22 @@ object Metrics {
     * the files and only the paths are known afterwards). */
   def forFiles(spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
       schema: StructType,
-      modes: Map[Int, Mode] = Map.empty): Map[String, FileMetrics] = {
+      modes: Map[Int, Mode] = Map.empty,
+      format: String = FileFormats.Parquet): Map[String, FileMetrics] = {
+    val isOrc = format == FileFormats.Orc
     if (paths.isEmpty) Map.empty
     else if (paths.size <= 4) {
       // tiny commits: one local read beats a job round-trip
       val conf = spark.sessionState.newHadoopConf()
-      paths.map(p => p -> fromParquetFooter(p, schema, conf, modes)).toMap
+      paths.map(p => p -> (if (isOrc) OrcIO.footerMetrics(p, schema, conf, modes)
+        else Metrics.fromParquetFooter(p, schema, conf, modes))).toMap
     } else {
       val sconf = new org.apache.spark.util.SerializableConfiguration(
         spark.sessionState.newHadoopConf())
       val n = math.min(paths.size, spark.sparkContext.defaultParallelism)
       spark.sparkContext.parallelize(paths, n)
-        .map(p => p -> Metrics.fromParquetFooter(p, schema, sconf.value, modes))
+        .map(p => p -> (if (isOrc) OrcIO.footerMetrics(p, schema, sconf.value, modes)
+          else Metrics.fromParquetFooter(p, schema, sconf.value, modes)))
         .collect().toMap
     }
   }

@@ -140,6 +140,134 @@ class MultiFormatSpec extends SparkSpec {
     assert(sawNull)
   }
 
+  // ---- table-level coverage ----
+  import spark.implicits._
+
+  private def freshLoc(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-$name")
+    java.nio.file.Files.delete(d)
+    d.toString
+  }
+
+  private def sample(n: Int, dayOffset: Int = 0) =
+    (0 until n).map(i => (i.toLong + dayOffset * 1000L, s"data-$i",
+      java.sql.Timestamp.valueOf(s"2024-01-${dayOffset + 1} 10:0${i % 6}:00")))
+      .toDF("id", "data", "ts")
+
+  test("orc table: append + scan + stats pruning (library path)") {
+    val loc = freshLoc("orct")
+    val t = GraftTable.create(spark, loc, sample(4).schema,
+      properties = Map("write.format.default" -> "orc"))
+    GraftWrite.append(t, sample(4, 0))
+    GraftWrite.append(t, sample(4, 1))
+    val files = t.newScan().planFiles().files
+    assert(files.nonEmpty && files.forall(_.fileFormat == FileFormats.Orc))
+    assert(files.forall(_.path.endsWith(".orc")))
+    assert(t.toDF().count() === 8)
+    assert(t.toDF().select("data").as[String].collect().sorted.head === "data-0")
+    // ORC footer stats drive file pruning exactly like parquet
+    val all = t.newScan().planFiles().tasks.size
+    val pruned = t.newScan().filter(Exprs.gt("id", 900L)).planFiles()
+    assert(pruned.tasks.size < all, s"orc stats pruning failed: $pruned")
+    assert(t.newScan().filter(Exprs.gt("id", 900L)).toDF().count() === 4)
+  }
+
+  test("avro table: append + scan; no stats means no file elimination") {
+    val loc = freshLoc("avrot")
+    val t = GraftTable.create(spark, loc, sample(4).schema,
+      properties = Map("write.format.default" -> "avro"))
+    GraftWrite.append(t, sample(4, 0))
+    GraftWrite.append(t, sample(4, 1))
+    val files = t.newScan().planFiles().files
+    assert(files.nonEmpty && files.forall(_.fileFormat == FileFormats.Avro))
+    assert(files.forall(_.path.endsWith(".avro")))
+    assert(files.forall(_.recordCount > 0))
+    assert(t.toDF().count() === 8)
+    // residual filtering still correct without stats
+    assert(t.newScan().filter(Exprs.gt("id", 900L)).toDF().count() === 4)
+    assert(t.toDF().select("data").as[String].collect().sorted.head === "data-0")
+  }
+
+  test("partitioned orc and avro tables route rows to partition files") {
+    for (fmt <- Seq("orc", "avro")) {
+      val loc = freshLoc(s"part-$fmt")
+      val t = GraftTable.create(spark, loc, sample(4).schema, _.day("ts"),
+        properties = Map("write.format.default" -> fmt))
+      GraftWrite.append(t, sample(4, 0).union(sample(4, 1)).union(sample(4, 2)))
+      val all = t.newScan().planFiles()
+      assert(all.tasks.nonEmpty)
+      assert(all.files.forall(_.partition.nonEmpty), s"$fmt partition tuples missing")
+      // partition pruning works off the tuple (no column stats needed)
+      val plan = t.newScan()
+        .filter(Exprs.equal("ts", "2024-01-02 10:00:00")).planFiles()
+      assert(plan.tasks.size < all.tasks.size, s"$fmt partition pruning failed")
+      assert(t.newScan().filter(Exprs.equal("ts", "2024-01-02 10:00:00"))
+        .toDF().count() === 1)
+    }
+  }
+
+  test("equality deletes apply on orc and avro tables") {
+    for (fmt <- Seq("orc", "avro")) {
+      val loc = freshLoc(s"eqdel-$fmt")
+      val t = GraftTable.create(spark, loc, sample(5).schema,
+        properties = Map("write.format.default" -> fmt))
+      GraftWrite.append(t, sample(5))
+      Deletes.deleteByEquality(t, Seq(1L, 3L).toDF("id"))
+      assert(t.toDF().select("id").as[Long].collect().sorted.toSeq
+        === Seq(0L, 2L, 4L), s"$fmt equality delete failed")
+    }
+  }
+
+  test("position deletes are parquet-only: clear error when targeting orc") {
+    val loc = freshLoc("posdel-orc")
+    val t = GraftTable.create(spark, loc, sample(3).schema,
+      properties = Map("write.format.default" -> "orc"))
+    GraftWrite.append(t, sample(3))
+    val target = t.newScan().planFiles().files.head.path
+    Deletes.deletePositions(t, Seq((target, 0L)).toDF("file_path", "pos"))
+    val e = intercept[UnsupportedOperationException](t.toDF().count())
+    assert(e.getMessage.contains("position deletes"))
+  }
+
+  test("mixed-format table: parquet + orc + avro files scan as one table") {
+    val loc = freshLoc("mixed")
+    val t = GraftTable.create(spark, loc, sample(3).schema)
+    GraftWrite.append(t, sample(3, 0)) // parquet
+    Commits.setProperties(t, Map("write.format.default" -> "orc"))
+    GraftWrite.append(t, sample(3, 1)) // orc
+    Commits.setProperties(t, Map("write.format.default" -> "avro"))
+    GraftWrite.append(t, sample(3, 2)) // avro
+    val fmts = t.newScan().planFiles().files.map(_.fileFormat).distinct.sorted
+    assert(fmts === Seq("avro", "orc", "parquet"))
+    assert(t.toDF().count() === 9)
+    assert(t.toDF().select("id").as[Long].collect().sorted.take(3).toSeq
+      === Seq(0L, 1L, 2L))
+    // compaction migrates everything to the current default format (avro)
+    val res = Actions.forTable(t).rewriteDataFiles(minInputFiles = 2)
+    assert(res.rewrittenFiles >= 3)
+    val after = t.newScan().planFiles().files
+    assert(after.forall(_.fileFormat == FileFormats.Avro),
+      s"expected avro after compaction: ${after.map(_.fileFormat)}")
+    assert(t.toDF().count() === 9)
+  }
+
+  test("metadata-only rename reads across orc and avro generations by field id") {
+    for (fmt <- Seq("orc", "avro")) {
+      val loc = freshLoc(s"rename-$fmt")
+      val t = GraftTable.create(spark, loc, sample(3).schema,
+        properties = Map("write.format.default" -> fmt))
+      GraftWrite.append(t, sample(3, 0))
+      SchemaUpdate(t).renameColumn("data", "payload").commit()
+      GraftWrite.append(t,
+        sample(3, 1).withColumnRenamed("data", "payload"))
+      val df = t.toDF()
+      assert(df.columns.contains("payload") && !df.columns.contains("data"))
+      assert(df.count() === 6)
+      assert(df.select("payload").as[String].collect()
+        .count(_.startsWith("data-")) === 6, s"$fmt rename misread")
+    }
+  }
+
   test("data file JSON round-trips the file format") {
     val ids = FieldIds.assignFresh(schema)
     val f = DataFile(path = "/x/f.orc", recordCount = 7, fileSizeInBytes = 100,
