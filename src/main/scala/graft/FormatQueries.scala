@@ -388,6 +388,42 @@ object FormatQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ORC data-file source (orc/.../ORC.java): table written as ORC via
+    // write.format.default; the scan rides Spark's vectorized OrcScan with
+    // ORC footer stats feeding the same 3-level pruning as parquet
+    "q82_orc_source" -> ((s, dir) => {
+      val t = withTable(s, dir, "customer_orc") { loc =>
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val tt = GraftTable.recreate(s, loc, c.schema,
+          properties = Map("write.format.default" -> "orc"))
+        GraftWrite.append(tt, c.filter(col("c_custkey") % 2 === 0).coalesce(2))
+        GraftWrite.append(tt, c.filter(col("c_custkey") % 2 === 1).coalesce(2))
+        tt
+      }
+      t.newScan().filter(Exprs.equal("c_mktsegment", "BUILDING")).toDF()
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("c_acctbal")))).as("sum_bal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // Avro data-file source (core/.../avro/Avro.java + ProjectionDatumReader):
+    // container files written and read through the Avro codec; no column
+    // stats, so correctness rides projection + residual filtering
+    "q83_avro_source" -> ((s, dir) => {
+      val t = withTable(s, dir, "supplier_avro") { loc =>
+        val sup = s.read.parquet(s"$dir/supplier.parquet")
+        val tt = GraftTable.recreate(s, loc, sup.schema,
+          properties = Map("write.format.default" -> "avro"))
+        GraftWrite.append(tt, sup.filter(col("s_suppkey") % 2 === 0).coalesce(1))
+        GraftWrite.append(tt, sup.filter(col("s_suppkey") % 2 === 1).coalesce(1))
+        tt
+      }
+      t.newScan().filter(Exprs.gtEq("s_suppkey", 3L)).toDF()
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("s_acctbal")))).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // compaction preserves content (RewriteDataFilesAction)
     "q70_compaction" -> ((s, dir) => {
       val t = withTable(s, dir, "region_compacted") { loc =>
@@ -490,5 +526,17 @@ object FormatQueries {
       """SELECT o_orderpriority, COUNT(*) AS n,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q82_orc_source" ->
+      """SELECT c_nationkey, COUNT(*) AS n,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q83_avro_source" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |CAST(SUM(CAST(s_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+        |FROM supplier WHERE s_suppkey >= 3
         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }
