@@ -792,5 +792,6 @@ object Queries {
     "q01_pricing_summary", "q02_revenue_by_year", "q03_revenue_by_nation",
     "q06_selective_filter", "q11_running_total", "q17_events_hourly",
     "q32_exact_dedup", "q33_jaccard_pairs", "q33_jaccard_default",
-    "q39_cosine_topk", "q63_partition_prune", "q78_sql_catalog")
+    "q39_cosine_topk", "q63_partition_prune", "q78_sql_catalog",
+    "q82_orc_source", "q83_avro_source")
 }

@@ -9,26 +9,30 @@ import org.apache.spark.sql.types.StructType
 /** DSv2 scan over a group of Avro data files (reference
   * core/.../avro/Avro.java read path + ProjectionDatumReader): Spark ships
   * no Avro datasource in this build, so the group scan is a thin custom
-  * Batch — one InputPartition per container file, readers stream
-  * GenericRecords through AvroIO's resolving projection into InternalRows.
+  * Batch; readers stream GenericRecords through AvroIO's resolving
+  * projection into InternalRows.
   *
-  * Scale shape: Avro files are written at the table's target file size, so
-  * file-granular partitions ≈ maxPartitionBytes-granular splits; the format
-  * carries no column stats, so there is no row-group pushdown to lose —
-  * file-level pruning already happened in planFiles, and Spark re-applies
-  * every filter above this scan (residual safety). `partValues` appends
-  * identity-partition constants for columns served from partition tuples
-  * (imported-layout tables whose current format is Avro), mirroring what
-  * Spark's own FileScan does with readPartitionSchema.
+  * Scale shape: container files are sequences of sync-delimited blocks, so
+  * large files SPLIT into byte ranges at `maxSplitBytes` (the session's
+  * files.maxPartitionBytes) — each reader syncs to the first block after
+  * its range start and stops past its range end, exactly Avro's own
+  * MapReduce split contract. No column stats exist, so there is no
+  * row-group pushdown to lose — file-level pruning already happened in
+  * planFiles, and Spark re-applies every filter above this scan (residual
+  * safety). `partValues` appends identity-partition constants for columns
+  * served from partition tuples (imported-layout tables whose current
+  * format is Avro), mirroring Spark's own FileScan readPartitionSchema.
   */
-final case class AvroFilePartition(path: String, partValues: Seq[Any])
+final case class AvroFilePartition(path: String, start: Long, end: Long,
+    partValues: Seq[Any])
   extends InputPartition
 
 final class GraftAvroScan(
     readSchema: StructType, // file-side names, target types (data columns)
     partSchema: StructType, // partition-served columns, appended after data
-    files: Seq[(String, Seq[Any])], // (path, partition-served values)
-    conf: org.apache.spark.util.SerializableConfiguration)
+    files: Seq[(String, Long, Seq[Any])], // (path, size, partition values)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    maxSplitBytes: Long = 128L * 1024 * 1024)
   extends Scan with Batch with Serializable {
 
   override def readSchema(): StructType = StructType(readSchema ++ partSchema)
@@ -36,10 +40,30 @@ final class GraftAvroScan(
   override def description(): String = s"graft-avro(${files.size} files)"
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.map { case (p, vals) => AvroFilePartition(p, vals): InputPartition }.toArray
+    files.flatMap { case (p, size, vals) =>
+      GraftAvroScan.ranges(size, maxSplitBytes)
+        .map { case (s, e) => AvroFilePartition(p, s, e, vals): InputPartition }
+    }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(readSchema, partSchema.length, conf)
+}
+
+object GraftAvroScan {
+  /** Byte ranges of ~maxSplit covering [0, size); avoids a runt tail split
+    * (< 10% of maxSplit merges into its predecessor, like Spark's own
+    * openCostInBytes heuristic). */
+  def ranges(size: Long, maxSplit: Long): Seq[(Long, Long)] = {
+    if (size <= 0 || maxSplit <= 0 || size <= maxSplit) return Seq((0L, Long.MaxValue))
+    val n = math.max(1, (size / maxSplit).toInt +
+      (if (size % maxSplit > maxSplit / 10) 1 else 0))
+    val step = size / n + (if (size % n == 0) 0 else 1)
+    (0 until n).map { i =>
+      val s = i.toLong * step
+      val e = if (i == n - 1) Long.MaxValue else s + step
+      (s, e)
+    }
+  }
 }
 
 final class AvroReaderFactory(readSchema: StructType, partCols: Int,
@@ -49,7 +73,7 @@ final class AvroReaderFactory(readSchema: StructType, partCols: Int,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val ap = p.asInstanceOf[AvroFilePartition]
     new PartitionReader[InternalRow] {
-      private val it = AvroIO.open(ap.path, readSchema, conf.value)
+      private val it = AvroIO.open(ap.path, readSchema, conf.value, ap.start, ap.end)
       private var current: InternalRow = _
       private val width = readSchema.length + partCols
 

@@ -323,10 +323,12 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
               pushedAggregate = None, pushedFilters = groupFilters)
           case FileFormats.Avro =>
             new GraftAvroScan(groupRead, partSchema,
-              tasks.map(t => t.file.path -> partValsOf(t.file).zip(partSchema.fields)
-                .map { case (v, f) => graft.format.Values.toCatalyst(v, f.dataType) }),
+              tasks.map(t => (t.file.path, t.file.fileSizeInBytes,
+                partValsOf(t.file).zip(partSchema.fields)
+                  .map { case (v, f) => graft.format.Values.toCatalyst(v, f.dataType) })),
               new org.apache.spark.util.SerializableConfiguration(
-                spark.sessionState.newHadoopConf()))
+                spark.sessionState.newHadoopConf()),
+              spark.sessionState.conf.filesMaxPartitionBytes)
           case _ =>
             ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
               dataSchema = groupData, readDataSchema = groupRead,

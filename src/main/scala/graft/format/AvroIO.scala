@@ -164,13 +164,16 @@ object AvroIO {
   }
 
   /** Open an Avro container-file writer; `count` tracks rows for the
-    * DataFile record count (Avro has no footer stats to read back). */
+    * DataFile record count (Avro has no footer stats to read back).
+    * `syncInterval` (bytes, 0 = Avro default ~64 KB) sets the block size —
+    * blocks are the split granularity for ranged reads. */
   def openWriter(path: String, schema: StructType,
-      conf: Configuration): AvroRowWriter = {
+      conf: Configuration, syncInterval: Int = 0): AvroRowWriter = {
     val avro = avroSchema(schema)
     val out = new HPath(path).getFileSystem(conf).create(new HPath(path), false)
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avro))
     w.setCodec(CodecFactory.snappyCodec())
+    if (syncInterval > 0) w.setSyncInterval(syncInterval)
     w.create(avro, out)
     new AvroRowWriter(w, recordBuilder(schema, avro))
   }
@@ -261,20 +264,32 @@ object AvroIO {
 
   /** Iterate `path` projected to `schema` (file-side names, target types).
     * Avro's ResolvingDecoder reorders, promotes (int→long, float→double)
-    * and SKIPS unprojected fields without decoding them. */
-  def open(path: String, schema: StructType, conf: Configuration): AvroRowIterator = {
+    * and SKIPS unprojected fields without decoding them.
+    *
+    * `start`/`end` bound the read to a BYTE RANGE: container files are
+    * sequences of sync-delimited blocks, so any byte split is a valid work
+    * unit — the reader syncs forward to the first block after `start` and
+    * stops at the first sync past `end`, the same contract as Avro's own
+    * MapReduce splits. (0, Long.MaxValue) reads the whole file. */
+  def open(path: String, schema: StructType, conf: Configuration,
+      start: Long = 0L, end: Long = Long.MaxValue): AvroRowIterator = {
     val readerSchema = avroSchema(schema)
     val datum = new GenericDatumReader[GenericRecord](null, readerSchema)
     val reader = new DataFileReader[GenericRecord](
       new FsInput(new HPath(path), conf), datum)
+    if (start > 0) reader.sync(start)
     val conv = fromAvro(schema).asInstanceOf[Any => InternalRow]
-    new AvroRowIterator(reader, conv)
+    new AvroRowIterator(reader, conv, end)
   }
 
   final class AvroRowIterator(reader: DataFileReader[GenericRecord],
-      conv: Any => InternalRow) extends AutoCloseable {
+      conv: Any => InternalRow, end: Long = Long.MaxValue) extends AutoCloseable {
+    // Long.MaxValue means unbounded — it must NOT reach pastSync, whose
+    // `position + syncSize` comparison would overflow
     def read(): InternalRow =
-      if (reader.hasNext) conv(reader.next()) else null
+      if (reader.hasNext && (end == Long.MaxValue || !reader.pastSync(end)))
+        conv(reader.next())
+      else null
     override def close(): Unit = reader.close()
   }
 

@@ -209,7 +209,8 @@ final class TableScan private[format] (
         val raw = fmt match {
           case FileFormats.Orc =>
             spark.read.schema(clean).orc(ts.map(_.file.path): _*)
-          case FileFormats.Avro => readAvro(spark, ts.map(_.file.path), clean)
+          case FileFormats.Avro =>
+            readAvro(spark, ts.map(t => t.file.path -> t.file.fileSizeInBytes), clean)
           case _ => spark.read.schema(clean).parquet(ts.map(_.file.path): _*)
         }
         alignToSchema(raw, fileSchema, schema)
@@ -261,16 +262,22 @@ final class TableScan private[format] (
 
   /** Avro files → DataFrame: Spark ships no Avro datasource in this build,
     * so the files read through AvroIO's resolving projection as one RDD —
-    * a partition per container file (files are written at the table's
-    * target size, so file granularity ≈ split granularity). */
-  private def readAvro(spark: SparkSession, paths: Seq[String],
+    * large container files split into sync-bounded byte ranges at the
+    * session's maxPartitionBytes (same contract as the DSv2 GraftAvroScan),
+    * so a handful of big files still parallelizes across the cluster. */
+  private def readAvro(spark: SparkSession, files: Seq[(String, Long)],
       clean: StructType): DataFrame = {
     val sconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val splits: Seq[(String, Long, Long)] = files.flatMap { case (p, size) =>
+      graft.connector.GraftAvroScan.ranges(size, maxSplit)
+        .map { case (s, e) => (p, s, e) }
+    }
     val rdd = spark.sparkContext
-      .parallelize(paths, math.max(1, paths.size))
-      .flatMap { p =>
-        val it = AvroIO.open(p, clean, sconf.value)
+      .parallelize(splits, math.max(1, splits.size))
+      .flatMap { case (p, start, end) =>
+        val it = AvroIO.open(p, clean, sconf.value, start, end)
         val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
           .createToScalaConverter(clean)
         new Iterator[org.apache.spark.sql.Row] {

@@ -140,6 +140,29 @@ class MultiFormatSpec extends SparkSpec {
     assert(sawNull)
   }
 
+  test("avro byte-range splits cover every row exactly once") {
+    val path = tmp("avro")
+    val idSchema = StructType(Seq(StructField("id", LongType, nullable = false)))
+    // small sync interval → many blocks, so ranges land mid-file
+    val w = AvroIO.openWriter(path, idSchema, conf, syncInterval = 256)
+    try (0 until 5000).foreach { i =>
+      val r = new GenericInternalRow(1); r.update(0, i.toLong); w.write(r)
+    } finally w.close()
+    val size = java.nio.file.Files.size(java.nio.file.Paths.get(path))
+    val ranges = graft.connector.GraftAvroScan.ranges(size, size / 7)
+    assert(ranges.size > 1, s"expected multiple splits for $size bytes")
+    val ids = collection.mutable.ArrayBuffer[Long]()
+    ranges.foreach { case (s, e) =>
+      val it = AvroIO.open(path, idSchema, conf, s, e)
+      try {
+        var r = it.read()
+        while (r != null) { ids += r.getLong(0); r = it.read() }
+      } finally it.close()
+    }
+    assert(ids.size === 5000, s"rows lost or duplicated across splits: ${ids.size}")
+    assert(ids.sorted.toSeq === (0L until 5000L))
+  }
+
   // ---- table-level coverage ----
   import spark.implicits._
 
