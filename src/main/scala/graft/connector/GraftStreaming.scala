@@ -55,10 +55,35 @@ final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
   private def schema: StructType = StructType(table.schema.fields.map(f =>
     f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
 
-  private def scanFor(files: Seq[DataFile]): ParquetScan =
-    ParquetScan(spark, spark.sessionState.newHadoopConf(),
-      new GraftFileIndex(spark, files), schema, schema,
-      StructType(Nil), Array.empty, options)
+  // per-format scan groups in FIXED order (parquet, orc, avro): the reader
+  // factory is created once per query without a file list, so partition
+  // group indexes must be stable across batches
+  private def scanFor(fmt: String, files: Seq[DataFile])
+      : org.apache.spark.sql.connector.read.Scan = fmt match {
+    case FileFormats.Orc =>
+      org.apache.spark.sql.execution.datasources.v2.orc.OrcScan(
+        spark, spark.sessionState.newHadoopConf(),
+        new GraftFileIndex(spark, files), schema, schema,
+        StructType(Nil), options, None, Array.empty)
+    case FileFormats.Avro =>
+      new GraftAvroScan(schema, StructType(Nil),
+        files.map(f => (f.path, f.fileSizeInBytes, Nil)),
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf()),
+        spark.sessionState.conf.filesMaxPartitionBytes)
+    case _ =>
+      ParquetScan(spark, spark.sessionState.newHadoopConf(),
+        new GraftFileIndex(spark, files), schema, schema,
+        StructType(Nil), Array.empty, options)
+  }
+
+  private def groupedPartitions(files: Seq[DataFile]): Array[InputPartition] =
+    FileFormats.All.zipWithIndex.flatMap { case (fmt, g) =>
+      val fs = files.filter(_.fileFormat == fmt)
+      if (fs.isEmpty) Nil
+      else scanFor(fmt, fs).toBatch.planInputPartitions().toSeq
+        .map(p => GroupedPartition(g, p): InputPartition)
+    }.toArray
 
   /** CANONICAL all-available end: (current snapshot, its added-file count).
     * Spark's AvailableNow wrapper captures this once and compares offsets
@@ -117,12 +142,19 @@ final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
         }
         .map(_._3.file)
     if (files.isEmpty) Array.empty
-    else scanFor(files).toBatch.planInputPartitions()
+    else groupedPartitions(files)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    // factory depends only on schema/conf, not the batch's file list
-    scanFor(Nil).toBatch.createReaderFactory()
+    // factory depends only on schema/conf, not the batch's file list; one
+    // inner factory per format in the same fixed order as the partitions.
+    // Micro-batch reads stay on the row path (columnar=false): the factory
+    // cannot know a batch's formats up front, and Spark requires every
+    // partition of a batch to agree — incremental slices are small, the
+    // batch path keeps full vectorization
+    GroupedReaderFactory(
+      FileFormats.All.map(fmt => scanFor(fmt, Nil).toBatch.createReaderFactory()),
+      FileFormats.All.map(_ => None), columnar = false)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -157,7 +189,8 @@ final class GraftStreamingWrite(table: GraftTable, truncateFirst: Boolean,
       f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
     val batchFactory = new GraftWriterFactory(cleanSchema, schema, fields, staging,
       new org.apache.spark.util.SerializableConfiguration(conf),
-      Metrics.modesFor(schema, m.properties))
+      Metrics.modesFor(schema, m.properties),
+      GraftBatchWrite.writeFormat(m.properties))
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
@@ -179,7 +212,8 @@ final class GraftStreamingWrite(table: GraftTable, truncateFirst: Boolean,
         recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
         schemaId = m.currentSchemaId, specId = m.defaultSpecId,
         valueCounts = fm.valueCounts, nullValueCounts = fm.nullValueCounts,
-        lowerBounds = fm.lowerBounds, upperBounds = fm.upperBounds)
+        lowerBounds = fm.lowerBounds, upperBounds = fm.upperBounds,
+        fileFormat = GraftBatchWrite.writeFormat(m.properties))
     }.toSeq
     val summary = Map(Streaming.EpochKey -> epochId.toString,
       Streaming.QueryKey -> queryId)

@@ -72,6 +72,26 @@ class MultiFormatSqlSpec extends SparkSpec {
       .head.getLong(0) === 2L)
   }
 
+  test("streaming source and sink run over orc tables") {
+    wh
+    spark.sql("""CREATE TABLE mf.db.ssrc (id BIGINT, v STRING)
+                 TBLPROPERTIES ('write.format.default'='orc')""")
+    spark.sql("""CREATE TABLE mf.db.ssink (id BIGINT, v STRING)
+                 TBLPROPERTIES ('write.format.default'='orc')""")
+    spark.sql("INSERT INTO mf.db.ssrc VALUES (1, 'a'), (2, 'b')")
+    val ckpt = Files.createTempDirectory("graft-orc-ckpt").toString
+    val q = spark.readStream.table("mf.db.ssrc").writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("mf.db.ssink")
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT id FROM mf.db.ssink ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // the streaming sink wrote ORC files (epoch commit carries the format)
+    val t = GraftTable.load(spark, s"$wh/db/ssink")
+    assert(t.newScan().planFiles().files.forall(_.fileFormat == FileFormats.Orc))
+  }
+
   test("schema rename reads across formats through SQL (id resolution)") {
     wh
     spark.sql("""CREATE TABLE mf.db.ren (id BIGINT, data STRING)
