@@ -109,7 +109,7 @@ final class GraftBatchWrite(table: GraftTable, mode: GraftBatchWrite.Mode)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case TaskFiles(fs) => fs }.flatten.foreach {
-      sf => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(sf.path))
+      sf => table.ops.io.deleteIfExists(sf.path)
     }
 }
 
@@ -161,7 +161,10 @@ final class GraftFanoutWriter(schema: StructType, idSchema: StructType,
   private def openWriter(): (String, DataFileIO.Writer) = {
     val path = s"$stagingDir/part-$partitionId-$taskId-$fileCount-${UUID.randomUUID()}.$format"
     fileCount += 1
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
+    // Hadoop FS, not java.nio: staging may live on an object store; the
+    // call is a no-op where directories don't exist as objects
+    val sp = new org.apache.hadoop.fs.Path(stagingDir)
+    sp.getFileSystem(sconf.value).mkdirs(sp)
     // footer stats are read in the task that just wrote the file (it is
     // still in page cache), shipped to the driver in the commit message
     (path, DataFileIO.openWriter(path, format, schema, idSchema, sconf.value,

@@ -223,6 +223,6 @@ final class GraftStreamingWrite(table: GraftTable, truncateFirst: Boolean,
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case TaskFiles(fs) => fs }.flatten.foreach {
-      sf => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(sf.path))
+      sf => table.ops.io.deleteIfExists(sf.path)
     }
 }

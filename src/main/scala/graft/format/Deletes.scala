@@ -18,12 +18,10 @@ import scala.jdk.CollectionConverters._
 object Deletes {
 
   private def stage(table: GraftTable, df: DataFrame, sorted: Seq[String]): Seq[String] = {
-    val dir = Paths.get(table.location, "data", "deletes-" + UUID.randomUUID())
+    val dir = s"${table.location}/data/deletes-${UUID.randomUUID()}"
     val out = if (sorted.nonEmpty) df.sortWithinPartitions(sorted.map(col): _*) else df
-    out.write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
-    Files.walk(dir).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .map(_.toString).toSeq.sorted
+    out.write.mode(SaveMode.ErrorIfExists).parquet(dir)
+    table.ops.io.list(dir, ".parquet").map(_.path).sorted
   }
 
   /** Delete specific row positions. `positions`: (file_path, pos) — use the

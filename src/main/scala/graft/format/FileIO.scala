@@ -14,6 +14,18 @@ final case class FileInfo(path: String, size: Long, modifiedMillis: Long)
   * Data files are NOT routed here: parquet reads/writes already go through
   * Hadoop's FileSystem abstraction (Spark's own seam) via ParquetIO.
   */
+object FileIO {
+  /** Pick an implementation by path scheme: plain paths and `file:` URIs
+    * stay on the local-disk impl (hard-link CAS); any other scheme —
+    * `hdfs://`, `s3a://`, … — routes through Hadoop's FileSystem
+    * (HadoopFileIO), the same seam the data-file readers already use. */
+  def forPath(location: String): FileIO = {
+    val scheme = new org.apache.hadoop.fs.Path(location).toUri.getScheme
+    if (scheme == null || scheme == "file") LocalFileIO
+    else new HadoopFileIO()
+  }
+}
+
 trait FileIO extends Serializable {
   def readString(path: String): String
 
@@ -94,5 +106,87 @@ object LocalFileIO extends FileIO {
       .map(f => FileInfo(f.toString, Files.size(f),
         Files.getLastModifiedTime(f).toMillis))
       .toSeq
+  }
+}
+
+/** FileIO over Hadoop's FileSystem — the object-store path (reference
+  * hadoop/HadoopFileIO.java). Works for any registered scheme (`hdfs://`,
+  * `s3a://`, and `file://` in tests). The CAS primitive is temp-write +
+  * `rename` WITHOUT overwrite: HDFS rename onto an existing destination
+  * fails atomically; S3A's committer semantics map it to a conditional
+  * copy. Serializable (fresh default Configuration per executor — table
+  * paths carry their scheme, so default conf resolves the right FS). */
+final class HadoopFileIO extends FileIO {
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  @transient private lazy val conf = new org.apache.hadoop.conf.Configuration()
+  private def fs(path: String): FileSystem = new HPath(path).getFileSystem(conf)
+
+  override def readString(path: String): String = {
+    val in = fs(path).open(new HPath(path))
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def writeTemp(target: HPath, content: String): HPath = {
+    val f = fs(target.toString)
+    val tmp = new HPath(target.getParent, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    tmp
+  }
+
+  override def writeString(path: String, content: String): Unit = {
+    val target = new HPath(path)
+    val f = fs(path)
+    f.mkdirs(target.getParent)
+    val tmp = writeTemp(target, content)
+    if (f.exists(target)) f.delete(target, false)
+    if (!f.rename(tmp, target))
+      throw new java.io.IOException(s"rename $tmp -> $target failed")
+  }
+
+  override def writeExclusive(path: String, content: String): Boolean = {
+    val target = new HPath(path)
+    val f = fs(path)
+    f.mkdirs(target.getParent)
+    val tmp = writeTemp(target, content)
+    // rename without overwrite IS the CAS: fails when target exists
+    val won = try f.rename(tmp, target) && f.exists(target)
+      catch { case _: java.io.IOException => false }
+    if (!won) f.delete(tmp, false)
+    won
+  }
+
+  override def exists(path: String): Boolean = fs(path).exists(new HPath(path))
+
+  override def deleteIfExists(path: String): Unit = {
+    val f = fs(path)
+    val p = new HPath(path)
+    if (f.exists(p)) f.delete(p, false)
+  }
+
+  override def mkdirs(dir: String): Unit = fs(dir).mkdirs(new HPath(dir))
+
+  override def deleteRecursive(dir: String): Unit = {
+    val f = fs(dir)
+    val p = new HPath(dir)
+    if (f.exists(p)) f.delete(p, true)
+  }
+
+  override def list(dir: String, suffix: String = ""): Seq[FileInfo] = {
+    val f = fs(dir)
+    val p = new HPath(dir)
+    if (!f.exists(p)) return Nil
+    val out = Seq.newBuilder[FileInfo]
+    val it = f.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val path = st.getPath.toString
+      if (st.isFile && path.endsWith(suffix))
+        out += FileInfo(path, st.getLen, st.getModificationTime)
+    }
+    out.result()
   }
 }

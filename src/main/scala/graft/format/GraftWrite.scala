@@ -115,23 +115,25 @@ object GraftWrite {
     }
   }
 
-  /** Enumerate staged parquet/ORC files → DataFiles with footer stats. */
+  /** Enumerate staged parquet/ORC files → DataFiles with footer stats.
+    * Listing goes through the table's FileIO (scheme-aware), so staging on
+    * an object store works the same as local disk. */
   private def collectFiles(table: GraftTable, staging: Path, schemaId: Int,
       spec: PartitionSpec, schema: org.apache.spark.sql.types.StructType,
       fmt: String = FileFormats.Parquet): Seq[DataFile] = {
     val types = spec.resultTypes(schema).toMap
-    val files = Files.walk(staging).iterator().asScala
-      .filter(p => p.toString.endsWith("." + fmt) && Files.isRegularFile(p))
-      .toSeq.sortBy(_.toString)
+    val stagingStr = staging.toString
+    val files = table.ops.io.list(stagingStr, "." + fmt)
+      .map(_.path).sorted
     // footer stats as a distributed job (no per-file driver I/O at scale),
     // at the table's configured metrics modes
-    val metricsByPath = Metrics.forFiles(table.spark, files.map(_.toString), schema,
+    val metricsByPath = Metrics.forFiles(table.spark, files, schema,
       Metrics.modesFor(schema, table.metadata.properties), fmt)
     files.map { p =>
       // partition tuple from hive-style dirs: __p_<name>=<value>
-      val rel = staging.relativize(p)
-      val tuple = (0 until rel.getNameCount - 1).flatMap { i =>
-        val seg = rel.getName(i).toString
+      val rel = p.stripPrefix(stagingStr).stripPrefix("/")
+      val segs = rel.split('/')
+      val tuple = segs.dropRight(1).flatMap { seg =>
         val eq = seg.indexOf('=')
         if (eq > 0 && seg.startsWith(DirPrefix)) {
           val name = seg.substring(DirPrefix.length, eq)
@@ -139,9 +141,9 @@ object GraftWrite {
           types.get(name).map(dt => name -> Values.fromDirString(raw, dt))
         } else None
       }.toMap
-      val fm = metricsByPath(p.toString)
+      val fm = metricsByPath(p)
       DataFile(
-        path = p.toString,
+        path = p,
         content = FileContent.Data,
         partition = tuple,
         recordCount = fm.recordCount,
@@ -197,18 +199,16 @@ object GraftWrite {
   def importParquet(spark: org.apache.spark.sql.SparkSession, location: String,
       parquetPath: String,
       properties: Map[String, String] = Map.empty): GraftTable = {
-    val root = Paths.get(parquetPath)
-    val files =
-      (if (Files.isDirectory(root))
-        Files.walk(root).iterator().asScala
-          .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f)).toSeq
-      else Seq(root)).sortBy(_.toString)
+    // scheme-aware listing (FileIO seam): imports work off hdfs/object
+    // stores the same as local dirs; a single-file path lists itself
+    val files = FileIO.forPath(parquetPath)
+      .list(parquetPath, ".parquet").map(_.path).sorted
     require(files.nonEmpty, s"no parquet files under $parquetPath")
 
     // hive-style partition segments (k=v) of each file, relative to root
-    def segsOf(f: Path): Seq[(String, String)] = {
-      val rel = root.relativize(f)
-      (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
+    def segsOf(f: String): Seq[(String, String)] = {
+      val rel = f.stripPrefix(parquetPath).stripPrefix("/")
+      rel.split('/').dropRight(1).toSeq
         .filter(_.contains('='))
         .map { seg =>
           val eq = seg.indexOf('=')
@@ -279,10 +279,7 @@ object GraftWrite {
         currentSnapshotId = None,
         snapshots = Nil,
         snapshotLog = Nil)
-      val dir = Paths.get(location)
-      if (Files.exists(dir))
-        Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(Files.deleteIfExists(_))
+      FileIO.forPath(location).deleteRecursive(location)
       val ops = new TableOps(location)
       ops.commit(0, meta)
       val table = new GraftTable(ops, spark)
@@ -298,14 +295,14 @@ object GraftWrite {
   /** Footer-stat + commit step shared by both import shapes: stats run as a
     * distributed job (the reference distributes exactly this). */
   private def appendImported(spark: org.apache.spark.sql.SparkSession,
-      table: GraftTable, files: Seq[Path],
+      table: GraftTable, files: Seq[String],
       statSchema: org.apache.spark.sql.types.StructType, schemaId: Int,
-      tupleOf: Path => Map[String, Any]): Unit = {
-    val metricsByPath = Metrics.forFiles(spark, files.map(_.toString), statSchema,
+      tupleOf: String => Map[String, Any]): Unit = {
+    val metricsByPath = Metrics.forFiles(spark, files, statSchema,
       Metrics.modesFor(statSchema, table.metadata.properties))
     val dataFiles = files.map { f =>
-      val fm = metricsByPath(f.toString)
-      DataFile(path = f.toString, partition = tupleOf(f),
+      val fm = metricsByPath(f)
+      DataFile(path = f, partition = tupleOf(f),
         recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
         schemaId = schemaId, specId = table.metadata.defaultSpecId,
         valueCounts = fm.valueCounts, nullValueCounts = fm.nullValueCounts,

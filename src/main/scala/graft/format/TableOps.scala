@@ -13,7 +13,9 @@ import java.util.UUID
   */
 final class CommitFailedException(msg: String) extends RuntimeException(msg)
 
-final class TableOps(val location: String, val io: FileIO = LocalFileIO) {
+final class TableOps(val location: String, explicitIo: FileIO = null) {
+  /** IO resolved by the location's scheme unless explicitly injected. */
+  val io: FileIO = if (explicitIo != null) explicitIo else FileIO.forPath(location)
   private def metadataDir: String = s"$location/metadata"
   private def versionFile(v: Int): String = s"$metadataDir/v$v.metadata.json"
   private def hintFile: String = s"$metadataDir/version-hint.text"

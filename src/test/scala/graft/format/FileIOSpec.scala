@@ -1,0 +1,85 @@
+package graft.format
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FileIO seam (reference api/.../io/FileIO.java): local hard-link CAS and
+  * the Hadoop-FS impl that opens the path to hdfs/object stores. The
+  * Hadoop impl is exercised through `file://` URIs — same code path the
+  * other schemes take, minus the network. */
+class FileIOSpec extends AnyFunSuite {
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-io").toString
+
+  test("forPath picks the impl by scheme") {
+    assert(FileIO.forPath("/plain/path") eq LocalFileIO)
+    assert(FileIO.forPath("file:/x/y") eq LocalFileIO)
+    assert(FileIO.forPath("hdfs://nn/x").isInstanceOf[HadoopFileIO])
+    assert(FileIO.forPath("s3a://bucket/x").isInstanceOf[HadoopFileIO])
+  }
+
+  test("hadoop io: write/read/list/delete roundtrip over file://") {
+    val io = new HadoopFileIO
+    val dir = "file://" + tmpDir()
+    io.writeString(s"$dir/a/b/one.json", "{\"k\":1}")
+    io.writeString(s"$dir/a/two.txt", "hello")
+    assert(io.readString(s"$dir/a/b/one.json") === "{\"k\":1}")
+    assert(io.exists(s"$dir/a/two.txt"))
+    val listed = io.list(dir).map(_.path).sorted
+    assert(listed.size === 2)
+    assert(listed.forall(_.startsWith("file:")))
+    assert(io.list(dir, ".json").size === 1)
+    // overwrite via writeString is last-writer-wins
+    io.writeString(s"$dir/a/two.txt", "world")
+    assert(io.readString(s"$dir/a/two.txt") === "world")
+    io.deleteIfExists(s"$dir/a/two.txt")
+    assert(!io.exists(s"$dir/a/two.txt"))
+    io.deleteRecursive(s"$dir/a")
+    assert(io.list(dir).isEmpty)
+  }
+
+  test("hadoop io: writeExclusive is first-writer-wins") {
+    val io = new HadoopFileIO
+    val dir = "file://" + tmpDir()
+    val target = s"$dir/v1.metadata.json"
+    assert(io.writeExclusive(target, "first"))
+    assert(!io.writeExclusive(target, "second"),
+      "second exclusive write must lose")
+    assert(io.readString(target) === "first")
+  }
+
+  test("hadoop io survives serialization (executor shipping)") {
+    val io = new HadoopFileIO
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(io); oos.close(); bos.toByteArray
+    }
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes)).readObject().asInstanceOf[HadoopFileIO]
+    val dir = "file://" + tmpDir()
+    back.writeString(s"$dir/x.txt", "roundtrip")
+    assert(back.readString(s"$dir/x.txt") === "roundtrip")
+  }
+
+  test("local io: hard-link CAS under contention (8 writers, one winner)") {
+    val dir = tmpDir()
+    val target = s"$dir/v7.metadata.json"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val wins = new java.util.concurrent.atomic.AtomicInteger
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    (0 until 8).foreach { i =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          gate.await()
+          if (LocalFileIO.writeExclusive(target, s"writer-$i")) wins.incrementAndGet()
+        }
+      })
+    }
+    gate.countDown()
+    pool.shutdown()
+    pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+    assert(wins.get() === 1)
+    assert(LocalFileIO.readString(target).startsWith("writer-"))
+  }
+}
