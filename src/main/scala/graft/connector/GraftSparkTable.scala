@@ -199,15 +199,8 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     // actually TARGETS one of its files, which costs one driver read of the
     // (small, per-commit) delete files' path column — and only on tables
     // that contain non-parquet files while position deletes are live.
-    lazy val posTargetPaths: Set[String] = {
-      val conf = spark.sessionState.newHadoopConf()
-      val out = scala.collection.mutable.HashSet[String]()
-      val pathSchema = StructType(Seq(StructField("file_path", StringType)))
-      posPaths.foreach(p => ParquetIO.readAll(p, pathSchema, conf) { r =>
-        if (!r.isNullAt(0)) out += ParquetIO.canonPath(r.getUTF8String(0).toString)
-      })
-      out.toSet
-    }
+    lazy val posTargetPaths: Set[String] =
+      Deletes.posDeleteTargets(posPaths, spark.sessionState.newHadoopConf())
 
     // one file-source scan per (writer-schema generation, file format):
     // columns are re-mapped to each generation's *file* names by field id
@@ -225,9 +218,7 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
         val groupPos = posActive && fmt == FileFormats.Parquet
         if (posActive && !groupPos && tasks.exists(t =>
             posTargetPaths.contains(ParquetIO.canonPath(t.file.path))))
-          throw new UnsupportedOperationException(
-            s"position deletes target $fmt data files; position deletes are " +
-            "supported on parquet data files only — rewrite the files first")
+          throw Deletes.unsupportedPosDeleteOn(fmt)
         val fileSchema = m.schemas.getOrElse(schemaId, schema)
         val fileById = FieldIds.idToName(fileSchema)
         def fileName(target: StructField): String =

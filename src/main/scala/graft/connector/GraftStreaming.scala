@@ -169,6 +169,11 @@ final class GraftStreamingWrite(table: GraftTable, truncateFirst: Boolean,
     queryId: String) extends StreamingWrite {
   import GraftBatchWrite.TaskFiles
 
+  // captured ONCE at query start: a mid-stream ALTER of
+  // write.format.default must not relabel files the factory already
+  // decided to write in the old format
+  private val fileFormat = GraftBatchWrite.writeFormat(table.metadata.properties)
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val m = table.metadata
     val schema = m.schema
@@ -189,8 +194,7 @@ final class GraftStreamingWrite(table: GraftTable, truncateFirst: Boolean,
       f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
     val batchFactory = new GraftWriterFactory(cleanSchema, schema, fields, staging,
       new org.apache.spark.util.SerializableConfiguration(conf),
-      Metrics.modesFor(schema, m.properties),
-      GraftBatchWrite.writeFormat(m.properties))
+      Metrics.modesFor(schema, m.properties), fileFormat)
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
@@ -213,7 +217,7 @@ final class GraftStreamingWrite(table: GraftTable, truncateFirst: Boolean,
         schemaId = m.currentSchemaId, specId = m.defaultSpecId,
         valueCounts = fm.valueCounts, nullValueCounts = fm.nullValueCounts,
         lowerBounds = fm.lowerBounds, upperBounds = fm.upperBounds,
-        fileFormat = GraftBatchWrite.writeFormat(m.properties))
+        fileFormat = fileFormat)
     }.toSeq
     val summary = Map(Streaming.EpochKey -> epochId.toString,
       Streaming.QueryKey -> queryId)

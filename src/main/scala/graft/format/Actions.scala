@@ -166,39 +166,45 @@ final class Actions(t: GraftTable) {
           idSchema, conf, statModes)
         val fmts = if (bt.formats.nonEmpty) bt.formats
           else bt.paths.map(_ => FileFormats.Parquet)
-        try bt.paths.lazyZip(bt.seqs).lazyZip(fmts).foreach { case (p, fileSeq, fmt) =>
-          val deadPos = pos.getOrElse(ParquetIO.canonPath(p), Array.emptyLongArray)
-          val applicable = eq.filter(_._1 > fileSeq)
-          var idx = -1L // sequential full-file read ⇒ counter = row index
-          DataFileIO.readAll(p, fmt, bt.readSchema, conf) { row =>
-            idx += 1
-            val dead = (deadPos.length > 0 &&
-                java.util.Arrays.binarySearch(deadPos, idx) >= 0) ||
-              applicable.exists { case (_, ords, types, keys) =>
-                keys.contains(ords.indices.map(i =>
-                  ParquetIO.canonicalValue(row, ords(i), types(i))).toVector)
-              }
-            if (!dead) {
-              if (bt.fill.isEmpty) writer.write(row)
-              else {
-                // copy + materialize the constant partition columns
-                val out = new org.apache.spark.sql.catalyst.expressions
-                  .GenericInternalRow(bt.readSchema.length)
-                var c = 0
-                while (c < bt.readSchema.length) {
-                  out.update(c,
-                    if (row.isNullAt(c)) null
-                    else row.get(c, bt.readSchema(c).dataType))
-                  c += 1
+        // finish() (close + footer read) sits INSIDE the abort guard: a
+        // failure there must still clean the staged output, or the task
+        // retry hits its own deterministic path with create(overwrite=false)
+        val fm = try {
+          bt.paths.lazyZip(bt.seqs).lazyZip(fmts).foreach { case (p, fileSeq, fmt) =>
+            val deadPos = pos.getOrElse(ParquetIO.canonPath(p), Array.emptyLongArray)
+            val applicable = eq.filter(_._1 > fileSeq)
+            var idx = -1L // sequential full-file read ⇒ counter = row index
+            DataFileIO.readAll(p, fmt, bt.readSchema, conf) { row =>
+              idx += 1
+              val dead = (deadPos.length > 0 &&
+                  java.util.Arrays.binarySearch(deadPos, idx) >= 0) ||
+                applicable.exists { case (_, ords, types, keys) =>
+                  keys.contains(ords.indices.map(i =>
+                    ParquetIO.canonicalValue(row, ords(i), types(i))).toVector)
                 }
-                bt.fill.foreach { case (ord, v) => out.update(ord, v) }
-                writer.write(out)
+              if (!dead) {
+                if (bt.fill.isEmpty) writer.write(row)
+                else {
+                  // copy + materialize the constant partition columns
+                  val out = new org.apache.spark.sql.catalyst.expressions
+                    .GenericInternalRow(bt.readSchema.length)
+                  var c = 0
+                  while (c < bt.readSchema.length) {
+                    out.update(c,
+                      if (row.isNullAt(c)) null
+                      else row.get(c, bt.readSchema(c).dataType))
+                    c += 1
+                  }
+                  bt.fill.foreach { case (ord, v) => out.update(ord, v) }
+                  writer.write(out)
+                }
               }
             }
           }
+          // footer metrics in-task, keyed by field id against the current schema
+          writer.finish()
         } catch { case e: Throwable => writer.abort(); throw e }
-        // footer metrics in-task, keyed by field id against the current schema
-        (bt.id, writer.finish())
+        (bt.id, fm)
       }.collect()
 
     val currentSchemaId = m.currentSchemaId

@@ -35,25 +35,48 @@ object AvroIO {
 
   // ---- Spark schema -> Avro schema ----
 
+  /** Spark column name → legal Avro identifier, injectively: invalid
+    * characters become `_xNN` (hex), a leading digit gains an underscore
+    * (reference AvroSchemaUtil.sanitize). Writer and reader schemas are
+    * both built from Spark-side names through this same function, so
+    * resolution always agrees; the original name rides a field prop. */
+  private[format] def sanitize(name: String): String = {
+    def ok(c: Char, first: Boolean) =
+      c == '_' || Character.isLetter(c) || (!first && Character.isDigit(c))
+    if (name.nonEmpty && name.zipWithIndex.forall { case (c, i) => ok(c, i == 0) }) name
+    else {
+      val sb = new StringBuilder
+      name.zipWithIndex.foreach { case (c, i) =>
+        if (ok(c, first = false)) {
+          if (i == 0 && Character.isDigit(c)) sb += '_'
+          sb += c
+        } else sb ++= "_x%02X".format(c.toInt)
+      }
+      sb.toString
+    }
+  }
+
   /** Build the Avro writer schema for a Spark struct: records named by
     * path, nullable fields as [null, T] unions with null defaults,
     * `field-id` props carried from the struct metadata. */
   def avroSchema(st: StructType, name: String = "row"): Schema = {
     val fields = st.fields.map { f =>
-      val base = typeToAvro(f.dataType, s"${name}_${f.name}")
+      val base = typeToAvro(f.dataType, sanitize(s"${name}_${f.name}"))
       val sch =
         if (f.nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), base)
         else base
+      val fname = sanitize(f.name)
       val fld =
         if (f.nullable)
-          new Schema.Field(f.name, sch, null,
+          new Schema.Field(fname, sch, null,
             Schema.Field.NULL_DEFAULT_VALUE)
-        else new Schema.Field(f.name, sch, null)
+        else new Schema.Field(fname, sch, null)
+      if (fname != f.name) fld.addProp("spark-name", f.name)
       if (f.metadata.contains(FieldIds.Key))
         fld.addProp("field-id", FieldIds.idOf(f): Integer)
       fld
     }
-    Schema.createRecord(name, null, "graft", false, fields.toSeq.asJava)
+    Schema.createRecord(sanitize(name), null, "graft", false, fields.toSeq.asJava)
   }
 
   private def typeToAvro(dt: DataType, path: String): Schema = dt match {
@@ -100,6 +123,8 @@ object AvroIO {
     dt match {
       case BooleanType => (r, i) => r.getBoolean(i)
       case IntegerType | DateType => (r, i) => r.getInt(i): Integer
+      case ShortType => (r, i) => r.getShort(i).toInt: Integer
+      case ByteType => (r, i) => r.getByte(i).toInt: Integer
       case LongType | TimestampType | TimestampNTZType => (r, i) => r.getLong(i): java.lang.Long
       case FloatType => (r, i) => r.getFloat(i): java.lang.Float
       case DoubleType => (r, i) => r.getDouble(i): java.lang.Double
@@ -190,6 +215,8 @@ object AvroIO {
 
   private def fromAvro(dt: DataType): Any => Any = dt match {
     case BooleanType | IntegerType | DateType | DoubleType => identity
+    case ShortType => { case n: java.lang.Integer => n.shortValue(); case v => v }
+    case ByteType => { case n: java.lang.Integer => n.byteValue(); case v => v }
     case LongType | TimestampType | TimestampNTZType =>
       { // int->long promotion lands as Integer when the file was narrower
         case n: java.lang.Integer => n.longValue()

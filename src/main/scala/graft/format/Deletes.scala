@@ -17,6 +17,27 @@ import scala.jdk.CollectionConverters._
   */
 object Deletes {
 
+  /** Canonical data-file paths targeted by position-delete files (one
+    * driver-side read of the small per-commit path column). Shared by both
+    * scan paths' parquet-only guard, so the check cannot drift. */
+  def posDeleteTargets(paths: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): Set[String] = {
+    val out = scala.collection.mutable.HashSet[String]()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file_path",
+        org.apache.spark.sql.types.StringType)))
+    paths.foreach(p => ParquetIO.readAll(p, schema, conf) { r =>
+      if (!r.isNullAt(0)) out += ParquetIO.canonPath(r.getUTF8String(0).toString)
+    })
+    out.toSet
+  }
+
+  /** The parquet-only position-delete error, one spelling for every path. */
+  def unsupportedPosDeleteOn(fmt: String): UnsupportedOperationException =
+    new UnsupportedOperationException(
+      s"position deletes target $fmt data files; position deletes are " +
+      "supported on parquet data files only — rewrite the files first")
+
   private def stage(table: GraftTable, df: DataFrame, sorted: Seq[String]): Seq[String] = {
     val dir = s"${table.location}/data/deletes-${UUID.randomUUID()}"
     val out = if (sorted.nonEmpty) df.sortWithinPartitions(sorted.map(col): _*) else df

@@ -15,13 +15,15 @@ final case class FileInfo(path: String, size: Long, modifiedMillis: Long)
   * Hadoop's FileSystem abstraction (Spark's own seam) via ParquetIO.
   */
 object FileIO {
-  /** Pick an implementation by path scheme: plain paths and `file:` URIs
-    * stay on the local-disk impl (hard-link CAS); any other scheme —
-    * `hdfs://`, `s3a://`, … — routes through Hadoop's FileSystem
-    * (HadoopFileIO), the same seam the data-file readers already use. */
+  /** Pick an implementation by path scheme: plain paths stay on the
+    * local-disk impl (hard-link CAS); ANY scheme — `hdfs://`, `s3a://`,
+    * and `file://` itself — routes through Hadoop's FileSystem
+    * (HadoopFileIO), the same seam the data-file readers already use.
+    * (`file:` URIs must not reach LocalFileIO: java.nio would parse the
+    * scheme as a relative path component.) */
   def forPath(location: String): FileIO = {
     val scheme = new org.apache.hadoop.fs.Path(location).toUri.getScheme
-    if (scheme == null || scheme == "file") LocalFileIO
+    if (scheme == null) LocalFileIO
     else new HadoopFileIO()
   }
 }
@@ -142,9 +144,11 @@ final class HadoopFileIO extends FileIO {
     val f = fs(path)
     f.mkdirs(target.getParent)
     val tmp = writeTemp(target, content)
-    if (f.exists(target)) f.delete(target, false)
-    if (!f.rename(tmp, target))
-      throw new java.io.IOException(s"rename $tmp -> $target failed")
+    // FileContext's OVERWRITE rename is atomic on HDFS — a delete-then-
+    // rename would open a window where the target (e.g. version-hint)
+    // does not exist and concurrent loads fail
+    org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+      .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   override def writeExclusive(path: String, content: String): Boolean = {

@@ -183,10 +183,9 @@ final class TableScan private[format] (
     // group only errors if a position delete actually TARGETS one of its
     // files (one small driver read of the delete files' path column, and
     // only on tables that mix formats under live position deletes)
-    lazy val posTargets: Set[String] =
-      spark.read.parquet(posDeletes.map(_._1.path).distinct: _*)
-        .select("file_path").distinct().collect()
-        .map(r => ParquetIO.canonPath(r.getString(0))).toSet
+    lazy val posTargets: Set[String] = Deletes.posDeleteTargets(
+      posDeletes.map(_._1.path).distinct,
+      spark.sessionState.newHadoopConf())
 
     // group files by (writer schema, sequence number, file format) — the
     // seq key exists only when equality deletes are live, exactly like the
@@ -201,9 +200,7 @@ final class TableScan private[format] (
       val groupPos = posDeletes.nonEmpty && fmt == FileFormats.Parquet
       if (posDeletes.nonEmpty && !groupPos && tasks.exists(t =>
           posTargets.contains(ParquetIO.canonPath(t.file.path))))
-        throw new UnsupportedOperationException(
-          s"position deletes target $fmt data files; position deletes are " +
-          "supported on parquet data files only — rewrite the files first")
+        throw Deletes.unsupportedPosDeleteOn(fmt)
       def readTasks(ts: Seq[FileScanTask]): DataFrame = {
         val clean = stripIds(fileSchema)
         val raw = fmt match {
@@ -278,6 +275,10 @@ final class TableScan private[format] (
       .parallelize(splits, math.max(1, splits.size))
       .flatMap { case (p, start, end) =>
         val it = AvroIO.open(p, clean, sconf.value, start, end)
+        // close on task completion, not just exhaustion: a limit()/take()
+        // that stops pulling early must not leak the open container file
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => it.close()))
         val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
           .createToScalaConverter(clean)
         new Iterator[org.apache.spark.sql.Row] {
@@ -286,7 +287,6 @@ final class TableScan private[format] (
           override def next(): org.apache.spark.sql.Row = {
             val out = conv(cur).asInstanceOf[org.apache.spark.sql.Row]
             cur = it.read()
-            if (cur == null) it.close()
             out
           }
         }

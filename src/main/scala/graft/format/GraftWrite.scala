@@ -2,9 +2,7 @@ package graft.format
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
-import scala.jdk.CollectionConverters._
 
 /** Spark-native write path (reference §3.3 write+commit, re-expressed on
   * Spark's own parquet writer: the reference hand-rolls per-task
@@ -36,7 +34,9 @@ object GraftWrite {
     val schema = m.schema
     val spec = m.spec
     val fmt = graft.connector.GraftBatchWrite.writeFormat(m.properties)
-    val staging = Paths.get(table.location, "data", UUID.randomUUID().toString)
+    // string interpolation, not java.nio Paths: scheme-qualified locations
+    // (hdfs://, s3a://) must survive untouched
+    val staging = s"${table.location}/data/${UUID.randomUUID()}"
 
     // align df columns to the table schema (names must match; types cast)
     val aligned = df.select(schema.fields.map(f =>
@@ -60,12 +60,12 @@ object GraftWrite {
       case _ => aligned
     }
 
-    if (fmt == FileFormats.Avro) return writeAvro(table, sorted, staging.toString)
+    if (fmt == FileFormats.Avro) return writeAvro(table, sorted, staging)
 
     def save(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit =
       fmt match {
-        case FileFormats.Orc => w.orc(staging.toString)
-        case _ => w.parquet(staging.toString)
+        case FileFormats.Orc => w.orc(staging)
+        case _ => w.parquet(staging)
       }
     if (spec.isPartitioned) {
       val derived = spec.derivedColumns(schema)
@@ -118,12 +118,11 @@ object GraftWrite {
   /** Enumerate staged parquet/ORC files → DataFiles with footer stats.
     * Listing goes through the table's FileIO (scheme-aware), so staging on
     * an object store works the same as local disk. */
-  private def collectFiles(table: GraftTable, staging: Path, schemaId: Int,
+  private def collectFiles(table: GraftTable, staging: String, schemaId: Int,
       spec: PartitionSpec, schema: org.apache.spark.sql.types.StructType,
       fmt: String = FileFormats.Parquet): Seq[DataFile] = {
     val types = spec.resultTypes(schema).toMap
-    val stagingStr = staging.toString
-    val files = table.ops.io.list(stagingStr, "." + fmt)
+    val files = table.ops.io.list(staging, "." + fmt)
       .map(_.path).sorted
     // footer stats as a distributed job (no per-file driver I/O at scale),
     // at the table's configured metrics modes
@@ -131,7 +130,7 @@ object GraftWrite {
       Metrics.modesFor(schema, table.metadata.properties), fmt)
     files.map { p =>
       // partition tuple from hive-style dirs: __p_<name>=<value>
-      val rel = p.stripPrefix(stagingStr).stripPrefix("/")
+      val rel = p.stripPrefix(staging).stripPrefix("/")
       val segs = rel.split('/')
       val tuple = segs.dropRight(1).flatMap { seg =>
         val eq = seg.indexOf('=')

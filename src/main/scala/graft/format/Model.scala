@@ -41,10 +41,6 @@ object FileFormats {
   val Orc = "orc"
   val Avro = "avro"
   val All: Seq[String] = Seq(Parquet, Orc, Avro)
-  def fromPath(path: String): String =
-    if (path.endsWith(".orc")) Orc
-    else if (path.endsWith(".avro")) Avro
-    else Parquet
 }
 
 /** Manifest entry status — the MVCC log record

@@ -13,7 +13,9 @@ class FileIOSpec extends AnyFunSuite {
 
   test("forPath picks the impl by scheme") {
     assert(FileIO.forPath("/plain/path") eq LocalFileIO)
-    assert(FileIO.forPath("file:/x/y") eq LocalFileIO)
+    // file: URIs must NOT hit LocalFileIO — java.nio would read the scheme
+    // as a relative path component; Hadoop parses them correctly
+    assert(FileIO.forPath("file:/x/y").isInstanceOf[HadoopFileIO])
     assert(FileIO.forPath("hdfs://nn/x").isInstanceOf[HadoopFileIO])
     assert(FileIO.forPath("s3a://bucket/x").isInstanceOf[HadoopFileIO])
   }

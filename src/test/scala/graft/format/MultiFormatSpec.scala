@@ -140,6 +140,31 @@ class MultiFormatSpec extends SparkSpec {
     assert(sawNull)
   }
 
+  test("avro handles short/byte columns and sanitizes non-avro column names") {
+    val path = tmp("avro")
+    val odd = StructType(Seq(
+      StructField("my-col", ShortType, nullable = false),
+      StructField("2col", ByteType, nullable = false),
+      StructField("col.x", StringType)))
+    val w = AvroIO.openWriter(path, odd, conf)
+    try (0 until 3).foreach { i =>
+      val r = new GenericInternalRow(3)
+      r.update(0, (i + 100).toShort)
+      r.update(1, i.toByte)
+      r.update(2, UTF8String.fromString(s"v$i"))
+      w.write(r)
+    } finally w.close()
+    val got = collection.mutable.ArrayBuffer[(Short, Byte, String)]()
+    AvroIO.readAll(path, odd, conf) { r =>
+      got += ((r.getShort(0), r.getByte(1), r.getUTF8String(2).toString))
+    }
+    assert(got.toSeq === Seq((100.toShort, 0.toByte, "v0"),
+      (101.toShort, 1.toByte, "v1"), (102.toShort, 2.toByte, "v2")))
+    // sanitization is injective on distinct inputs
+    assert(AvroIO.sanitize("my-col") !== AvroIO.sanitize("my_col"))
+    assert(AvroIO.sanitize("ok_name") === "ok_name")
+  }
+
   test("avro byte-range splits cover every row exactly once") {
     val path = tmp("avro")
     val idSchema = StructType(Seq(StructField("id", LongType, nullable = false)))
