@@ -29,8 +29,11 @@ final class GraftFileIndex(spark: SparkSession, files: Seq[DataFile],
     None, FileStatusCache.getOrCreate(spark)) {
 
   private val statusOf: Map[String, FileStatus] = files.map { f =>
-    f.path -> new FileStatus(f.fileSizeInBytes, false, 1, 128L * 1024 * 1024, 0L,
-      new HPath("file://" + f.path))
+    // plain paths are local files; scheme-qualified paths (hdfs://, s3a://,
+    // file://) pass through untouched
+    val hp = if (new HPath(f.path).toUri.getScheme == null)
+      new HPath("file://" + f.path) else new HPath(f.path)
+    f.path -> new FileStatus(f.fileSizeInBytes, false, 1, 128L * 1024 * 1024, 0L, hp)
   }.toMap
 
   private def statuses: Seq[FileStatus] = files.map(f => statusOf(f.path))

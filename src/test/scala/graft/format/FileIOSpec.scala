@@ -64,6 +64,24 @@ class FileIOSpec extends AnyFunSuite {
     assert(back.readString(s"$dir/x.txt") === "roundtrip")
   }
 
+  test("full table lifecycle at a file:// location (HadoopFileIO end-to-end)") {
+    val spark = graft.SparkSpecBase.spark
+    import spark.implicits._
+    val loc = "file://" + tmpDir() + "/t"
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val t = GraftTable.create(spark, loc, df.schema)
+    assert(t.ops.io.isInstanceOf[HadoopFileIO])
+    GraftWrite.append(t, df)
+    GraftWrite.append(t, Seq((4L, "d")).toDF("id", "v"))
+    assert(t.toDF().count() === 4)
+    assert(t.newScan().filter(Exprs.gtEq("id", 3L)).toDF().count() === 2)
+    assert(t.snapshots.size === 2)
+    // maintenance over the seam too
+    Actions.forTable(t).rewriteDataFiles(minInputFiles = 2)
+    assert(t.toDF().select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("local io: hard-link CAS under contention (8 writers, one winner)") {
     val dir = tmpDir()
     val target = s"$dir/v7.metadata.json"
