@@ -424,6 +424,24 @@ object FormatQueries {
         .orderBy(col("s_nationkey"))
     }),
 
+    // ORC warehouse federation (the fork's primary interop journey):
+    // hive-partitioned ORC layout imported IN PLACE — files referenced,
+    // never rewritten; partition column served from directory tuples;
+    // ORC footer stats recorded at import
+    "q84_orc_import" -> ((s, dir) => {
+      val t = withTable(s, dir, "orders_orc_imported") { loc =>
+        val src = s"$loc-src"
+        s.read.parquet(s"$dir/orders.parquet")
+          .write.mode("overwrite").partitionBy("o_orderpriority").orc(src)
+        GraftWrite.importOrc(s, loc, src)
+      }
+      t.toDF()
+        .where(col("o_orderpriority").isin("2-HIGH", "5-LOW"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // compaction preserves content (RewriteDataFilesAction)
     "q70_compaction" -> ((s, dir) => {
       val t = withTable(s, dir, "region_compacted") { loc =>
@@ -538,5 +556,11 @@ object FormatQueries {
       """SELECT s_nationkey, COUNT(*) AS n,
         |CAST(SUM(CAST(s_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
         |FROM supplier WHERE s_suppkey >= 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q84_orc_import" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderpriority IN ('2-HIGH', '5-LOW')
         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

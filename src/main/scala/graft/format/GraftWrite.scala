@@ -197,16 +197,29 @@ object GraftWrite {
     * re-imports keep the same ids. */
   def importParquet(spark: org.apache.spark.sql.SparkSession, location: String,
       parquetPath: String,
-      properties: Map[String, String] = Map.empty): GraftTable = {
+      properties: Map[String, String] = Map.empty): GraftTable =
+    importTable(spark, location, parquetPath, properties, FileFormats.Parquet)
+
+  /** ORC twin of [[importParquet]] — the warehouse-federation path for
+    * Hive tables stored as ORC (the reference fork's primary interop
+    * format; SparkTableUtil imports ORC partitions the same way). */
+  def importOrc(spark: org.apache.spark.sql.SparkSession, location: String,
+      orcPath: String,
+      properties: Map[String, String] = Map.empty): GraftTable =
+    importTable(spark, location, orcPath, properties, FileFormats.Orc)
+
+  def importTable(spark: org.apache.spark.sql.SparkSession, location: String,
+      dataPath: String, properties: Map[String, String],
+      format: String): GraftTable = {
     // scheme-aware listing (FileIO seam): imports work off hdfs/object
     // stores the same as local dirs; a single-file path lists itself
-    val files = FileIO.forPath(parquetPath)
-      .list(parquetPath, ".parquet").map(_.path).sorted
-    require(files.nonEmpty, s"no parquet files under $parquetPath")
+    val files = FileIO.forPath(dataPath)
+      .list(dataPath, "." + format).map(_.path).sorted
+    require(files.nonEmpty, s"no $format files under $dataPath")
 
     // hive-style partition segments (k=v) of each file, relative to root
     def segsOf(f: String): Seq[(String, String)] = {
-      val rel = f.stripPrefix(parquetPath).stripPrefix("/")
+      val rel = f.stripPrefix(dataPath).stripPrefix("/")
       rel.split('/').dropRight(1).toSeq
         .filter(_.contains('='))
         .map { seg =>
@@ -218,11 +231,14 @@ object GraftWrite {
     val firstSegs = segsOf(files.head)
     val partCols = firstSegs.map(_._1)
     require(files.forall(f => segsOf(f).map(_._1) == partCols),
-      s"inconsistent partition layout under $parquetPath")
+      s"inconsistent partition layout under $dataPath")
 
     // full inferred schema: Spark appends inferred partition columns LAST —
     // the order the read-path fill relies on
-    val inferred = spark.read.parquet(parquetPath).schema
+    val inferred = (format match {
+      case FileFormats.Orc => spark.read.orc(dataPath)
+      case _ => spark.read.parquet(dataPath)
+    }).schema
     val mapping = properties.get(NameMapping.PropertyKey).map(NameMapping.fromJson)
     def withIds(st: org.apache.spark.sql.types.StructType, lastId: Int) =
       mapping.map(_.applyTo(st, lastId)).getOrElse {
@@ -249,7 +265,7 @@ object GraftWrite {
         properties + (NameMapping.PropertyKey ->
           NameMapping.fromSchema(schemaIds).toJson))
       appendImported(spark, table, files, table.metadata.schema,
-        table.metadata.currentSchemaId, _ => Map.empty)
+        table.metadata.currentSchemaId, _ => Map.empty, format)
       table
     } else {
       val physicalRaw = org.apache.spark.sql.types.StructType(
@@ -286,7 +302,7 @@ object GraftWrite {
       appendImported(spark, table, files, physical, 0,
         f => segsOf(f).map { case (k, v) =>
           k -> Values.fromHiveDirString(v, types(k))
-        }.toMap)
+        }.toMap, format)
       table
     }
   }
@@ -296,9 +312,10 @@ object GraftWrite {
   private def appendImported(spark: org.apache.spark.sql.SparkSession,
       table: GraftTable, files: Seq[String],
       statSchema: org.apache.spark.sql.types.StructType, schemaId: Int,
-      tupleOf: String => Map[String, Any]): Unit = {
+      tupleOf: String => Map[String, Any],
+      format: String = FileFormats.Parquet): Unit = {
     val metricsByPath = Metrics.forFiles(spark, files, statSchema,
-      Metrics.modesFor(statSchema, table.metadata.properties))
+      Metrics.modesFor(statSchema, table.metadata.properties), format)
     val dataFiles = files.map { f =>
       val fm = metricsByPath(f)
       DataFile(path = f, partition = tupleOf(f),
@@ -306,7 +323,7 @@ object GraftWrite {
         schemaId = schemaId, specId = table.metadata.defaultSpecId,
         valueCounts = fm.valueCounts, nullValueCounts = fm.nullValueCounts,
         lowerBounds = fm.lowerBounds, upperBounds = fm.upperBounds,
-        splitOffsets = fm.splitOffsets)
+        splitOffsets = fm.splitOffsets, fileFormat = format)
     }
     Commits.fastAppend(table, dataFiles)
   }

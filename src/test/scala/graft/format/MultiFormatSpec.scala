@@ -316,6 +316,29 @@ class MultiFormatSpec extends SparkSpec {
     }
   }
 
+  test("orc import: hive-partitioned layout referenced in place with pruning") {
+    val loc = freshLoc("orcimp")
+    val src = loc + "-src"
+    import org.apache.spark.sql.functions.{col => c}
+    sample(4, 0).union(sample(4, 1))
+      .withColumn("bucket", (c("id") % 2).cast("string"))
+      .write.partitionBy("bucket").orc(src)
+    val t = GraftWrite.importOrc(spark, loc, src)
+    val files = t.newScan().planFiles().files
+    assert(files.nonEmpty && files.forall(_.fileFormat == FileFormats.Orc))
+    assert(files.forall(_.path.startsWith(src)), "files must be referenced in place")
+    assert(t.toDF().count() === 8)
+    // the partition column is served from directory tuples
+    assert(t.toDF().select("bucket").distinct().count() === 2)
+    val all = t.newScan().planFiles().tasks.size
+    // directory values re-infer as ints (Spark partition inference)
+    val pruned = t.newScan().filter(Exprs.equal("bucket", 1)).planFiles()
+    assert(pruned.tasks.size < all, "imported orc partition pruning failed")
+    // ORC footer stats recorded at import prune on data columns too
+    val statsPruned = t.newScan().filter(Exprs.gt("id", 900L)).planFiles()
+    assert(statsPruned.tasks.size < all, "imported orc stats pruning failed")
+  }
+
   test("data file JSON round-trips the file format") {
     val ids = FieldIds.assignFresh(schema)
     val f = DataFile(path = "/x/f.orc", recordCount = 7, fileSizeInBytes = 100,
