@@ -113,6 +113,94 @@ object AvroIO {
       throw new UnsupportedOperationException(s"avro data files: type $other")
   }
 
+  // ---- Avro schema -> Spark schema (for reading EXTERNAL avro files:
+  //      imports and schema discovery; reference AvroSchemaUtil.convert) ----
+
+  /** Avro record schema → Spark StructType. Unions must be [null, T] (the
+    * shape every Avro writer including ours produces for nullable fields);
+    * anything wider has no Spark analog and raises a clear error. Field
+    * names keep their `spark-name` prop when present (our own sanitized
+    * writes round-trip to the original). */
+  def sparkSchema(avro: Schema): StructType = {
+    require(avro.getType == Schema.Type.RECORD, s"not a record: ${avro.getType}")
+    StructType(avro.getFields.asScala.map { f =>
+      val (dt, nullable) = typeFromAvro(f.schema())
+      val name = Option(f.getProp("spark-name")).getOrElse(f.name())
+      StructField(name, dt, nullable)
+    }.toSeq)
+  }
+
+  private def typeFromAvro(s: Schema): (DataType, Boolean) = {
+    val (inner, nullable) =
+      if (s.getType == Schema.Type.UNION) {
+        val branches = s.getTypes.asScala
+        val nonNull = branches.filter(_.getType != Schema.Type.NULL)
+        require(nonNull.size == 1 && branches.size <= 2,
+          s"unsupported avro union (only [null, T]): $s")
+        (nonNull.head, true)
+      } else (s, false)
+    val dt = inner.getType match {
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.INT => inner.getLogicalType match {
+        case _: LogicalTypes.Date => DateType
+        case _ => IntegerType
+      }
+      case Schema.Type.LONG => inner.getLogicalType match {
+        case _: LogicalTypes.TimestampMicros => TimestampType
+        case _: LogicalTypes.LocalTimestampMicros => TimestampNTZType
+        case _: LogicalTypes.TimestampMillis =>
+          // the read path assumes micros; silently scaling millis 1000×
+          // wrong is worse than refusing
+          throw new UnsupportedOperationException(
+            "avro timestamp-millis columns are not supported; rewrite the " +
+            "files with timestamp-micros")
+        case _ => LongType
+      }
+      case Schema.Type.FLOAT => FloatType
+      case Schema.Type.DOUBLE => DoubleType
+      case Schema.Type.STRING | Schema.Type.ENUM => StringType
+      case Schema.Type.BYTES | Schema.Type.FIXED => inner.getLogicalType match {
+        case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
+        case _ => BinaryType
+      }
+      case Schema.Type.ARRAY =>
+        val (e, en) = typeFromAvro(inner.getElementType)
+        ArrayType(e, containsNull = en)
+      case Schema.Type.MAP =>
+        val (v, vn) = typeFromAvro(inner.getValueType)
+        MapType(StringType, v, valueContainsNull = vn)
+      case Schema.Type.RECORD => sparkSchema(inner)
+      case other =>
+        throw new UnsupportedOperationException(s"avro type $other")
+    }
+    (dt, nullable)
+  }
+
+  /** Writer schema of an Avro container file (header read only). */
+  def fileSchema(path: String, conf: Configuration): Schema = {
+    val reader = new DataFileReader[GenericRecord](
+      new FsInput(new HPath(path), conf), new GenericDatumReader[GenericRecord]())
+    try reader.getSchema finally reader.close()
+  }
+
+  /** Count-only metrics (Avro files carry no column statistics): record
+    * count from BLOCK HEADERS — blocks are skipped raw, never decoded, so
+    * this is an O(blocks) scan of a few bytes each, not a data read. */
+  def countMetrics(path: String, conf: Configuration): Metrics.FileMetrics = {
+    val hp = new HPath(path)
+    val size = hp.getFileSystem(conf).getFileStatus(hp).getLen
+    val reader = new DataFileReader[GenericRecord](
+      new FsInput(hp, conf), new GenericDatumReader[GenericRecord]())
+    try {
+      var n = 0L
+      while (reader.hasNext) {
+        n += reader.getBlockCount
+        reader.nextBlock()
+      }
+      Metrics.FileMetrics(n, size, Map.empty, Map.empty, Map.empty, Map.empty, Nil)
+    } finally reader.close()
+  }
+
   // ---- write: InternalRow -> GenericRecord ----
 
   private type Getter = (org.apache.spark.sql.catalyst.expressions.SpecializedGetters, Int) => Any
@@ -226,7 +314,7 @@ object AvroIO {
     case StringType => {
       case u: Utf8 => UTF8String.fromBytes(u.getBytes, 0, u.getByteLength)
       case s: String => UTF8String.fromString(s)
-      case v => v
+      case v => UTF8String.fromString(v.toString) // enum symbols et al
     }
     case BinaryType => {
       case b: java.nio.ByteBuffer =>

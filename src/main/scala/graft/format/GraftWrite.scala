@@ -208,6 +208,13 @@ object GraftWrite {
       properties: Map[String, String] = Map.empty): GraftTable =
     importTable(spark, location, orcPath, properties, FileFormats.Orc)
 
+  /** Avro twin: external container files referenced in place; the data
+    * schema comes from the Avro header (AvroSchemaUtil.convert analog). */
+  def importAvro(spark: org.apache.spark.sql.SparkSession, location: String,
+      avroPath: String,
+      properties: Map[String, String] = Map.empty): GraftTable =
+    importTable(spark, location, avroPath, properties, FileFormats.Avro)
+
   def importTable(spark: org.apache.spark.sql.SparkSession, location: String,
       dataPath: String, properties: Map[String, String],
       format: String): GraftTable = {
@@ -234,11 +241,32 @@ object GraftWrite {
       s"inconsistent partition layout under $dataPath")
 
     // full inferred schema: Spark appends inferred partition columns LAST —
-    // the order the read-path fill relies on
-    val inferred = (format match {
-      case FileFormats.Orc => spark.read.orc(dataPath)
-      case _ => spark.read.parquet(dataPath)
-    }).schema
+    // the order the read-path fill relies on. Avro has no Spark datasource
+    // in this build, so its data schema comes from the container header
+    // (AvroIO.sparkSchema) and partition-column types from the directory
+    // values (int → long → double → string, Spark's own inference order)
+    val inferred = format match {
+      case FileFormats.Avro =>
+        val data = AvroIO.sparkSchema(
+          AvroIO.fileSchema(files.head, spark.sessionState.newHadoopConf()))
+        val segsPerFile = files.map(segsOf)
+        val partCols0 = segsPerFile.head.map(_._1)
+        def inferType(vals: Seq[String]): org.apache.spark.sql.types.DataType =
+          if (vals.forall(v => scala.util.Try(v.toInt).isSuccess))
+            org.apache.spark.sql.types.IntegerType
+          else if (vals.forall(v => scala.util.Try(v.toLong).isSuccess))
+            org.apache.spark.sql.types.LongType
+          else if (vals.forall(v => scala.util.Try(v.toDouble).isSuccess))
+            org.apache.spark.sql.types.DoubleType
+          else org.apache.spark.sql.types.StringType
+        val partFields = partCols0.map { c =>
+          org.apache.spark.sql.types.StructField(c,
+            inferType(segsPerFile.flatMap(_.collect { case (k, v) if k == c => v })))
+        }
+        org.apache.spark.sql.types.StructType(data.fields ++ partFields)
+      case FileFormats.Orc => spark.read.orc(dataPath).schema
+      case _ => spark.read.parquet(dataPath).schema
+    }
     val mapping = properties.get(NameMapping.PropertyKey).map(NameMapping.fromJson)
     def withIds(st: org.apache.spark.sql.types.StructType, lastId: Int) =
       mapping.map(_.applyTo(st, lastId)).getOrElse {

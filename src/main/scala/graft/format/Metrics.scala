@@ -108,20 +108,28 @@ object Metrics {
       schema: StructType,
       modes: Map[Int, Mode] = Map.empty,
       format: String = FileFormats.Parquet): Map[String, FileMetrics] = {
-    val isOrc = format == FileFormats.Orc
+    val fmt = format // plain String capture — the lambda must not close
+                     // over this (non-serializable) object
+    def footerOf(p: String, conf: Configuration): FileMetrics = fmt match {
+      case FileFormats.Orc => OrcIO.footerMetrics(p, schema, conf, modes)
+      case FileFormats.Avro => AvroIO.countMetrics(p, conf)
+      case _ => Metrics.fromParquetFooter(p, schema, conf, modes)
+    }
     if (paths.isEmpty) Map.empty
     else if (paths.size <= 4) {
       // tiny commits: one local read beats a job round-trip
       val conf = spark.sessionState.newHadoopConf()
-      paths.map(p => p -> (if (isOrc) OrcIO.footerMetrics(p, schema, conf, modes)
-        else Metrics.fromParquetFooter(p, schema, conf, modes))).toMap
+      paths.map(p => p -> footerOf(p, conf)).toMap
     } else {
       val sconf = new org.apache.spark.util.SerializableConfiguration(
         spark.sessionState.newHadoopConf())
       val n = math.min(paths.size, spark.sparkContext.defaultParallelism)
       spark.sparkContext.parallelize(paths, n)
-        .map(p => p -> (if (isOrc) OrcIO.footerMetrics(p, schema, sconf.value, modes)
-          else Metrics.fromParquetFooter(p, schema, sconf.value, modes)))
+        .map(p => p -> (fmt match {
+          case FileFormats.Orc => OrcIO.footerMetrics(p, schema, sconf.value, modes)
+          case FileFormats.Avro => AvroIO.countMetrics(p, sconf.value)
+          case _ => Metrics.fromParquetFooter(p, schema, sconf.value, modes)
+        }))
         .collect().toMap
     }
   }

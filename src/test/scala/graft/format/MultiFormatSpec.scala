@@ -339,6 +339,36 @@ class MultiFormatSpec extends SparkSpec {
     assert(statsPruned.tasks.size < all, "imported orc stats pruning failed")
   }
 
+  test("avro import: header-schema discovery + hive partition dirs") {
+    val loc = freshLoc("avroimp")
+    val src = loc + "-src"
+    val dataSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType)))
+    def writeFile(sub: String, ids: Seq[Long]): Unit = {
+      val dir = java.nio.file.Paths.get(src, sub)
+      java.nio.file.Files.createDirectories(dir)
+      val w = AvroIO.openWriter(s"$dir/part-0.avro", dataSchema, conf)
+      try ids.foreach { i =>
+        val r = new GenericInternalRow(2)
+        r.update(0, i); r.update(1, UTF8String.fromString(s"v$i"))
+        w.write(r)
+      } finally w.close()
+    }
+    writeFile("cat=a", Seq(1L, 2L))
+    writeFile("cat=b", Seq(3L))
+    val t = GraftWrite.importAvro(spark, loc, src)
+    assert(t.schema.fieldNames.toSeq === Seq("id", "v", "cat"))
+    assert(t.newScan().planFiles().files.forall(_.fileFormat == FileFormats.Avro))
+    val rows = t.toDF().orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.map(_.getString(2)).toSeq === Seq("a", "a", "b"))
+    // partition pruning on the imported identity tuple
+    val all = t.newScan().planFiles().tasks.size
+    val pruned = t.newScan().filter(Exprs.equal("cat", "b")).planFiles()
+    assert(pruned.tasks.size < all)
+  }
+
   test("data file JSON round-trips the file format") {
     val ids = FieldIds.assignFresh(schema)
     val f = DataFile(path = "/x/f.orc", recordCount = 7, fileSizeInBytes = 100,
