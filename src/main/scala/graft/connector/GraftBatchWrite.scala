@@ -84,7 +84,7 @@ final class GraftBatchWrite(table: GraftTable, mode: GraftBatchWrite.Mode)
       schema, fields, stagingDir,
       new org.apache.spark.util.SerializableConfiguration(conf),
       Metrics.modesFor(schema, m.properties),
-      writeFormat(m.properties))
+      writeFormat(m.properties), m.properties)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -117,12 +117,13 @@ final class GraftWriterFactory(schema: StructType, idSchema: StructType,
     fields: Seq[GraftBatchWrite.SpecField], stagingDir: String,
     conf: org.apache.spark.util.SerializableConfiguration,
     statModes: Map[Int, Metrics.Mode] = Map.empty,
-    format: String = graft.format.FileFormats.Parquet)
+    format: String = graft.format.FileFormats.Parquet,
+    props: Map[String, String] = Map.empty)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftFanoutWriter(schema, idSchema, fields, stagingDir, partitionId, taskId,
-      conf, statModes, format)
+      conf, statModes, format, props)
 }
 
 /** Fanout data-file writer: routes each row to its partition tuple's open
@@ -134,7 +135,8 @@ final class GraftFanoutWriter(schema: StructType, idSchema: StructType,
     partitionId: Int, taskId: Long,
     sconf: org.apache.spark.util.SerializableConfiguration,
     statModes: Map[Int, Metrics.Mode] = Map.empty,
-    format: String = graft.format.FileFormats.Parquet)
+    format: String = graft.format.FileFormats.Parquet,
+    props: Map[String, String] = Map.empty)
   extends DataWriter[InternalRow] {
   import GraftBatchWrite._
 
@@ -168,7 +170,7 @@ final class GraftFanoutWriter(schema: StructType, idSchema: StructType,
     // footer stats are read in the task that just wrote the file (it is
     // still in page cache), shipped to the driver in the commit message
     (path, DataFileIO.openWriter(path, format, schema, idSchema, sconf.value,
-      statModes))
+      statModes, props))
   }
 
   override def write(row: InternalRow): Unit = {

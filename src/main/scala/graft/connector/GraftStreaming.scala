@@ -194,7 +194,7 @@ final class GraftStreamingWrite(table: GraftTable, truncateFirst: Boolean,
       f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
     val batchFactory = new GraftWriterFactory(cleanSchema, schema, fields, staging,
       new org.apache.spark.util.SerializableConfiguration(conf),
-      Metrics.modesFor(schema, m.properties), fileFormat)
+      Metrics.modesFor(schema, m.properties), fileFormat, m.properties)
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =

@@ -144,6 +144,7 @@ final class Actions(t: GraftTable) {
 
     val sconf = new org.apache.spark.util.SerializableConfiguration(
       ParquetIO.writeConf(t.spark))
+    val tableProps = m.properties
     val idSchema = schema // current schema WITH field-id metadata, for stats
     val statModes = Metrics.modesFor(schema, m.properties)
     // ONE job: every bin is an executor task (reference RowDataRewriter).
@@ -163,7 +164,7 @@ final class Actions(t: GraftTable) {
             graft.connector.DeleteKeyCache.get(src, conf))
         }
         val writer = DataFileIO.openWriter(bt.out, bt.outFormat, writeSchema,
-          idSchema, conf, statModes)
+          idSchema, conf, statModes, tableProps)
         val fmts = if (bt.formats.nonEmpty) bt.formats
           else bt.paths.map(_ => FileFormats.Parquet)
         // finish() (close + footer read) sits INSIDE the abort guard: a

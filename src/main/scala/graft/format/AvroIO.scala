@@ -276,16 +276,26 @@ object AvroIO {
     }
   }
 
+  /** `write.avro.compression-codec` values → Avro codec factories. */
+  def codecFactory(codec: String): CodecFactory = codec.toLowerCase match {
+    case "none" | "uncompressed" | "null" => CodecFactory.nullCodec()
+    case "snappy" => CodecFactory.snappyCodec()
+    case "deflate" | "gzip" => CodecFactory.deflateCodec(6)
+    case "zstd" => CodecFactory.zstandardCodec(3)
+    case other => throw new IllegalArgumentException(s"avro codec: $other")
+  }
+
   /** Open an Avro container-file writer; `count` tracks rows for the
     * DataFile record count (Avro has no footer stats to read back).
     * `syncInterval` (bytes, 0 = Avro default ~64 KB) sets the block size —
     * blocks are the split granularity for ranged reads. */
   def openWriter(path: String, schema: StructType,
-      conf: Configuration, syncInterval: Int = 0): AvroRowWriter = {
+      conf: Configuration, syncInterval: Int = 0,
+      codec: String = "snappy"): AvroRowWriter = {
     val avro = avroSchema(schema)
     val out = new HPath(path).getFileSystem(conf).create(new HPath(path), false)
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avro))
-    w.setCodec(CodecFactory.snappyCodec())
+    w.setCodec(codecFactory(codec))
     if (syncInterval > 0) w.setSyncInterval(syncInterval)
     w.create(avro, out)
     new AvroRowWriter(w, recordBuilder(schema, avro))

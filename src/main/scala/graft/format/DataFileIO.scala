@@ -30,13 +30,24 @@ object DataFileIO {
     def abort(): Unit
   }
 
+  /** Table property naming the codec for each format (reference
+    * TableProperties.PARQUET_COMPRESSION / AVRO_COMPRESSION + the ORC
+    * analog); default snappy everywhere. */
+  def compressionKey(format: String): String = s"write.$format.compression-codec"
+
+  def compressionOf(format: String, props: Map[String, String]): String =
+    props.getOrElse(compressionKey(format), "snappy")
+
   /** Open a writer for `format`. `schema` is the clean (id-less) write
     * schema; `idSchema` carries field ids for metrics keying. For parquet,
     * `conf` must carry the ParquetWriteSupport session keys (use
-    * ParquetIO.writeConf or a batch-write factory conf). */
+    * ParquetIO.writeConf or a batch-write factory conf). `props` supplies
+    * the per-format `write.<fmt>.compression-codec` choice. */
   def openWriter(path: String, format: String, schema: StructType,
       idSchema: StructType, conf: Configuration,
-      statModes: Map[Int, Metrics.Mode] = Map.empty): Writer = {
+      statModes: Map[Int, Metrics.Mode] = Map.empty,
+      props: Map[String, String] = Map.empty): Writer = {
+    val codec = compressionOf(format, props)
 
     def delete(): Unit = {
       val hp = new org.apache.hadoop.fs.Path(path)
@@ -45,7 +56,7 @@ object DataFileIO {
 
     format match {
       case FileFormats.Orc => new Writer {
-        private val w = OrcIO.openWriter(path, schema, conf)
+        private val w = OrcIO.openWriter(path, schema, conf, codec)
         override def write(row: InternalRow): Unit = w.write(row)
         override def finish(): Metrics.FileMetrics = {
           w.close()
@@ -57,7 +68,7 @@ object DataFileIO {
         }
       }
       case FileFormats.Avro => new Writer {
-        private val w = AvroIO.openWriter(path, schema, conf)
+        private val w = AvroIO.openWriter(path, schema, conf, codec = codec)
         override def write(row: InternalRow): Unit = w.write(row)
         override def finish(): Metrics.FileMetrics = {
           val n = w.count
@@ -74,7 +85,7 @@ object DataFileIO {
         }
       }
       case _ => new Writer {
-        private val w = ParquetIO.openWriter(path, schema, conf)
+        private val w = ParquetIO.openWriter(path, schema, conf, codec)
         override def write(row: InternalRow): Unit = w.write(row)
         override def finish(): Metrics.FileMetrics = {
           w.close()

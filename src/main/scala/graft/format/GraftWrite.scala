@@ -62,10 +62,14 @@ object GraftWrite {
 
     if (fmt == FileFormats.Avro) return writeAvro(table, sorted, staging)
 
+    // Spark's writer honors the same table-property codec choice
+    val codec = DataFileIO.compressionOf(fmt, m.properties)
     def save(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit =
       fmt match {
-        case FileFormats.Orc => w.orc(staging)
-        case _ => w.parquet(staging)
+        case FileFormats.Orc =>
+          w.option("compression",
+            if (codec == "none") "none" else codec).orc(staging)
+        case _ => w.option("compression", codec).parquet(staging)
       }
     if (spec.isPartitioned) {
       val derived = spec.derivedColumns(schema)
@@ -99,7 +103,7 @@ object GraftWrite {
       schema, specFields, staging,
       new org.apache.spark.util.SerializableConfiguration(
         table.spark.sessionState.newHadoopConf()),
-      Metrics.modesFor(schema, m.properties), FileFormats.Avro)
+      Metrics.modesFor(schema, m.properties), FileFormats.Avro, m.properties)
     val staged: Seq[GraftBatchWrite.StagedFile] =
       sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
         val w = factory.createWriter(pid, pid.toLong)

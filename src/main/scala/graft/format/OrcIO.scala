@@ -51,13 +51,24 @@ object OrcIO {
     } finally it.close()
   }
 
+  /** `write.orc.compression-codec` values → ORC kinds. */
+  def compressionKind(codec: String): org.apache.orc.CompressionKind =
+    codec.toLowerCase match {
+      case "none" | "uncompressed" => org.apache.orc.CompressionKind.NONE
+      case "snappy" => org.apache.orc.CompressionKind.SNAPPY
+      case "zlib" | "gzip" => org.apache.orc.CompressionKind.ZLIB
+      case "zstd" => org.apache.orc.CompressionKind.ZSTD
+      case "lz4" => org.apache.orc.CompressionKind.LZ4
+      case other => throw new IllegalArgumentException(s"orc codec: $other")
+    }
+
   /** Executor-side ORC row writer — the write twin of [[open]]. */
   def openWriter(path: String, schema: StructType,
-      conf: Configuration): OrcRowWriter = {
+      conf: Configuration, codec: String = "snappy"): OrcRowWriter = {
     val td = OrcUtils.orcTypeDescription(schema)
     val writer = OrcFile.createWriter(new HPath(path),
       OrcFile.writerOptions(conf).setSchema(td)
-        .compress(org.apache.orc.CompressionKind.SNAPPY))
+        .compress(compressionKind(codec)))
     new OrcRowWriter(writer, new OrcSerializer(schema))
   }
 

@@ -68,10 +68,21 @@ object ParquetIO {
     conf
   }
 
+  /** `write.parquet.compression-codec` values → parquet codec names. */
+  def compressionCodec(codec: String): CompressionCodecName =
+    codec.toLowerCase match {
+      case "none" | "uncompressed" => CompressionCodecName.UNCOMPRESSED
+      case "snappy" => CompressionCodecName.SNAPPY
+      case "gzip" => CompressionCodecName.GZIP
+      case "zstd" => CompressionCodecName.ZSTD
+      case "lz4" => CompressionCodecName.LZ4_RAW
+      case other => throw new IllegalArgumentException(s"parquet codec: $other")
+    }
+
   /** Executor-side parquet row writer on Spark's own WriteSupport — the
     * write twin of [[open]]; `conf` should come from [[writeConf]]. */
   def openWriter(path: String, schema: StructType,
-      conf: Configuration): ParquetWriter[InternalRow] = {
+      conf: Configuration, codec: String = "snappy"): ParquetWriter[InternalRow] = {
     val c = new Configuration(conf)
     ParquetWriteSupport.setSchema(schema, c)
     class B(p: HPath) extends ParquetWriter.Builder[InternalRow, B](p) {
@@ -80,7 +91,7 @@ object ParquetIO {
       override def self(): B = this
     }
     new B(new HPath(path)).withConf(c)
-      .withCompressionCodec(CompressionCodecName.SNAPPY).build()
+      .withCompressionCodec(compressionCodec(codec)).build()
   }
 
   /** Canonical form of a data-file path for delete matching. The two sides

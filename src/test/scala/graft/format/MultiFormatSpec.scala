@@ -369,6 +369,50 @@ class MultiFormatSpec extends SparkSpec {
     assert(pruned.tasks.size < all)
   }
 
+  test("write.<fmt>.compression-codec reaches the written files") {
+    def fileOf(t: GraftTable): String = t.newScan().planFiles().files.head.path
+    // parquet: gzip lands in the column-chunk metadata
+    val pLoc = freshLoc("codec-p")
+    val pT = GraftTable.create(spark, pLoc, sample(3).schema,
+      properties = Map("write.parquet.compression-codec" -> "gzip"))
+    GraftWrite.append(pT, sample(3))
+    val pReader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(fileOf(pT)), conf))
+    try {
+      val codecs = pReader.getFooter.getBlocks.get(0).getColumns
+        .asInstanceOf[java.util.List[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]]
+      assert(codecs.get(0).getCodec.toString.toLowerCase.contains("gzip"))
+    } finally pReader.close()
+    // orc: zlib in the file tail
+    val oLoc = freshLoc("codec-o")
+    val oT = GraftTable.create(spark, oLoc, sample(3).schema,
+      properties = Map("write.format.default" -> "orc",
+        "write.orc.compression-codec" -> "zlib"))
+    GraftWrite.append(oT, sample(3))
+    val oReader = org.apache.orc.OrcFile.createReader(
+      new org.apache.hadoop.fs.Path(fileOf(oT)),
+      org.apache.orc.OrcFile.readerOptions(conf))
+    try assert(oReader.getCompressionKind ===
+      org.apache.orc.CompressionKind.ZLIB) finally oReader.close()
+    // avro: deflate in the container header
+    val aLoc = freshLoc("codec-a")
+    val aT = GraftTable.create(spark, aLoc, sample(3).schema,
+      properties = Map("write.format.default" -> "avro",
+        "write.avro.compression-codec" -> "deflate"))
+    GraftWrite.append(aT, sample(3))
+    val aReader = new org.apache.avro.file.DataFileReader[Any](
+      new org.apache.avro.mapred.FsInput(
+        new org.apache.hadoop.fs.Path(fileOf(aT)), conf),
+      new org.apache.avro.generic.GenericDatumReader[Any]())
+    try assert(aReader.getMetaString("avro.codec") === "deflate")
+    finally aReader.close()
+    // all three still read back correctly
+    assert(pT.toDF().count() === 3)
+    assert(oT.toDF().count() === 3)
+    assert(aT.toDF().count() === 3)
+  }
+
   test("data file JSON round-trips the file format") {
     val ids = FieldIds.assignFresh(schema)
     val f = DataFile(path = "/x/f.orc", recordCount = 7, fileSizeInBytes = 100,
