@@ -184,8 +184,10 @@ object AvroIO {
   }
 
   /** Count-only metrics (Avro files carry no column statistics): record
-    * count from BLOCK HEADERS — blocks are skipped raw, never decoded, so
-    * this is an O(blocks) scan of a few bytes each, not a data read. */
+    * counts come from the block headers; block BYTES are still read (only
+    * decoding/decompression of records is skipped), so this costs one
+    * sequential pass over the file — cheap relative to a decode, not free.
+    * Large imports run it as a distributed job (Metrics.forFiles). */
   def countMetrics(path: String, conf: Configuration): Metrics.FileMetrics = {
     val hp = new HPath(path)
     val size = hp.getFileSystem(conf).getFileStatus(hp).getLen

@@ -35,8 +35,27 @@ object DataFileIO {
     * analog); default snappy everywhere. */
   def compressionKey(format: String): String = s"write.$format.compression-codec"
 
-  def compressionOf(format: String, props: Map[String, String]): String =
-    props.getOrElse(compressionKey(format), "snappy")
+  /** Resolve AND canonicalize the codec choice — one validation point for
+    * every write path, so a property value accepted by the DSv2 writers is
+    * never rejected (or mapped differently) by Spark's own writer on the
+    * library path. Canonical names are what BOTH paths understand. */
+  def compressionOf(format: String, props: Map[String, String]): String = {
+    val raw = props.getOrElse(compressionKey(format), "snappy").toLowerCase
+    val canonical = (format, raw) match {
+      case (_, "snappy") => "snappy"
+      case (FileFormats.Parquet, "none" | "uncompressed") => "uncompressed"
+      case (FileFormats.Parquet, "gzip" | "zstd") => raw
+      case (FileFormats.Orc, "none" | "uncompressed") => "none"
+      case (FileFormats.Orc, "zlib" | "gzip") => "zlib"
+      case (FileFormats.Orc, "zstd" | "lz4") => raw
+      case (FileFormats.Avro, "none" | "uncompressed" | "null") => "none"
+      case (FileFormats.Avro, "deflate" | "gzip") => "deflate"
+      case (FileFormats.Avro, "zstd") => "zstd"
+      case _ => throw new IllegalArgumentException(
+        s"unsupported ${compressionKey(format)}: $raw")
+    }
+    canonical
+  }
 
   /** Open a writer for `format`. `schema` is the clean (id-less) write
     * schema; `idSchema` carries field ids for metrics keying. For parquet,

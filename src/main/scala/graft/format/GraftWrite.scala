@@ -62,13 +62,13 @@ object GraftWrite {
 
     if (fmt == FileFormats.Avro) return writeAvro(table, sorted, staging)
 
-    // Spark's writer honors the same table-property codec choice
+    // Spark's writer honors the same table-property codec choice; the
+    // value is already CANONICAL (DataFileIO.compressionOf), so both write
+    // paths accept exactly the same property values
     val codec = DataFileIO.compressionOf(fmt, m.properties)
     def save(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit =
       fmt match {
-        case FileFormats.Orc =>
-          w.option("compression",
-            if (codec == "none") "none" else codec).orc(staging)
+        case FileFormats.Orc => w.option("compression", codec).orc(staging)
         case _ => w.option("compression", codec).parquet(staging)
       }
     if (spec.isPartitioned) {
@@ -239,9 +239,9 @@ object GraftWrite {
             java.net.URLDecoder.decode(seg.substring(eq + 1), "UTF-8")
         }
     }
-    val firstSegs = segsOf(files.head)
-    val partCols = firstSegs.map(_._1)
-    require(files.forall(f => segsOf(f).map(_._1) == partCols),
+    val segsPerFile = files.map(f => f -> segsOf(f)).toMap
+    val partCols = segsPerFile(files.head).map(_._1)
+    require(files.forall(f => segsPerFile(f).map(_._1) == partCols),
       s"inconsistent partition layout under $dataPath")
 
     // full inferred schema: Spark appends inferred partition columns LAST —
@@ -253,8 +253,10 @@ object GraftWrite {
       case FileFormats.Avro =>
         val data = AvroIO.sparkSchema(
           AvroIO.fileSchema(files.head, spark.sessionState.newHadoopConf()))
-        val segsPerFile = files.map(segsOf)
-        val partCols0 = segsPerFile.head.map(_._1)
+        // same contract as Spark's own inference, which ERRORS on a column
+        // present both in the data files and the directory layout
+        require(partCols.forall(c => !data.fieldNames.contains(c)),
+          s"partition columns $partCols collide with data columns in $dataPath")
         def inferType(vals: Seq[String]): org.apache.spark.sql.types.DataType =
           if (vals.forall(v => scala.util.Try(v.toInt).isSuccess))
             org.apache.spark.sql.types.IntegerType
@@ -263,9 +265,10 @@ object GraftWrite {
           else if (vals.forall(v => scala.util.Try(v.toDouble).isSuccess))
             org.apache.spark.sql.types.DoubleType
           else org.apache.spark.sql.types.StringType
-        val partFields = partCols0.map { c =>
+        val partFields = partCols.map { c =>
           org.apache.spark.sql.types.StructField(c,
-            inferType(segsPerFile.flatMap(_.collect { case (k, v) if k == c => v })))
+            inferType(files.flatMap(f => segsPerFile(f)
+              .collect { case (k, v) if k == c => v })))
         }
         org.apache.spark.sql.types.StructType(data.fields ++ partFields)
       case FileFormats.Orc => spark.read.orc(dataPath).schema

@@ -108,31 +108,33 @@ object Metrics {
       schema: StructType,
       modes: Map[Int, Mode] = Map.empty,
       format: String = FileFormats.Parquet): Map[String, FileMetrics] = {
-    val fmt = format // plain String capture — the lambda must not close
-                     // over this (non-serializable) object
-    def footerOf(p: String, conf: Configuration): FileMetrics = fmt match {
-      case FileFormats.Orc => OrcIO.footerMetrics(p, schema, conf, modes)
-      case FileFormats.Avro => AvroIO.countMetrics(p, conf)
-      case _ => Metrics.fromParquetFooter(p, schema, conf, modes)
-    }
     if (paths.isEmpty) Map.empty
     else if (paths.size <= 4) {
       // tiny commits: one local read beats a job round-trip
       val conf = spark.sessionState.newHadoopConf()
-      paths.map(p => p -> footerOf(p, conf)).toMap
+      paths.map(p => p -> Metrics.forFile(p, format, schema, conf, modes)).toMap
     } else {
       val sconf = new org.apache.spark.util.SerializableConfiguration(
         spark.sessionState.newHadoopConf())
       val n = math.min(paths.size, spark.sparkContext.defaultParallelism)
+      // `Metrics.forFile` through the companion-static forwarder: a LOCAL
+      // def here would lift to an instance method of this (non-serializable)
+      // object and poison the closure
       spark.sparkContext.parallelize(paths, n)
-        .map(p => p -> (fmt match {
-          case FileFormats.Orc => OrcIO.footerMetrics(p, schema, sconf.value, modes)
-          case FileFormats.Avro => AvroIO.countMetrics(p, sconf.value)
-          case _ => Metrics.fromParquetFooter(p, schema, sconf.value, modes)
-        }))
+        .map(p => p -> Metrics.forFile(p, format, schema, sconf.value, modes))
         .collect().toMap
     }
   }
+
+  /** Footer/header metrics for one file of any supported format — the ONE
+    * dispatch point shared by the driver and executor branches above. */
+  def forFile(path: String, format: String, schema: StructType,
+      conf: Configuration, modes: Map[Int, Mode] = Map.empty): FileMetrics =
+    format match {
+      case FileFormats.Orc => OrcIO.footerMetrics(path, schema, conf, modes)
+      case FileFormats.Avro => AvroIO.countMetrics(path, conf)
+      case _ => Metrics.fromParquetFooter(path, schema, conf, modes)
+    }
 
   /** Read footer metrics for one parquet file, mapping columns to field ids
     * by name against `schema` (the reference does the same through
