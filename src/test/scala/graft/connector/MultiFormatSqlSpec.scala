@@ -92,6 +92,23 @@ class MultiFormatSqlSpec extends SparkSpec {
     assert(t.newScan().planFiles().files.forall(_.fileFormat == FileFormats.Orc))
   }
 
+  test("CTAS and RTAS work through the catalog (any format)") {
+    wh
+    spark.sql("""CREATE TABLE mf.db.ctsrc (id BIGINT, v STRING)
+                 TBLPROPERTIES ('write.format.default'='orc')""")
+    spark.sql("INSERT INTO mf.db.ctsrc VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql("""CREATE TABLE mf.db.ctas
+                 TBLPROPERTIES ('write.format.default'='avro')
+                 AS SELECT id, v FROM mf.db.ctsrc WHERE id > 1""")
+    assert(spark.sql("SELECT id FROM mf.db.ctas ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    assert(GraftTable.load(spark, s"$wh/db/ctas").newScan().planFiles()
+      .files.forall(_.fileFormat == FileFormats.Avro))
+    spark.sql("REPLACE TABLE mf.db.ctas AS SELECT id FROM mf.db.ctsrc")
+    assert(spark.sql("SELECT count(*) FROM mf.db.ctas").collect()
+      .head.getLong(0) === 3L)
+  }
+
   test("schema rename reads across formats through SQL (id resolution)") {
     wh
     spark.sql("""CREATE TABLE mf.db.ren (id BIGINT, data STRING)
