@@ -53,12 +53,14 @@ object Queries {
   private def tsLit(s: String): Column = lit(s).cast(TimestampNTZType)
 
   /** Money aggregation runs on exact decimals (order-independent across
-    * partitionings) and ships as DOUBLE at the output boundary: both Spark
-    * and DuckDB perform ONE decimal→double conversion of equal exact values,
-    * which yields bit-identical doubles, whereas shipping DECIMAL(38,6)
-    * itself trips comparison harnesses whose read paths render decimals
-    * differently (float64 vs java.math.BigDecimal text). Scale 6 covers
-    * every product here (price 2dp × up to two 2dp factors) w/o rounding. */
+    * partitionings), rounds ONCE to DECIMAL(38,6), and ships as DOUBLE at
+    * the output boundary: both Spark and DuckDB then perform one
+    * decimal→double conversion of equal exact values — bit-identical
+    * doubles at any scale factor. The ORACLES apply the SAME (38,6)
+    * rounding to product sums (discount/tax factors give products more
+    * than 6dp, so an unrounded oracle diverges once sums grow past the
+    * shared prefix — seen at sf0.1). Shipping DECIMAL itself would trip
+    * harnesses whose read paths render decimals differently. */
   private def money(c: Column): Column = c.cast(DecimalType(38, 6)).cast(DoubleType)
 
   private def revenue(price: Column, disc: Column): Column =
@@ -451,8 +453,8 @@ object Queries {
       """SELECT l_returnflag, l_linestatus,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) AS sum_qty,
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) AS sum_base_price,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc_price,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))) AS DOUBLE) AS sum_charge,
+        |CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+        |CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*) AS avg_price,
         |CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -462,12 +464,12 @@ object Queries {
 
     "q02_revenue_by_year" ->
       """SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
+        |CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
         |COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY yr""".stripMargin,
 
     "q03_revenue_by_nation" ->
       """SELECT r_name, n_name,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
+        |CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
         |COUNT(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -477,7 +479,7 @@ object Queries {
 
     "q04_top_orders" ->
       """SELECT o_orderkey,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
+        |CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
         |CAST(o_orderdate AS DATE) AS odate, o_orderpriority
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate > TIMESTAMP '1996-06-15' AND o_orderdate < TIMESTAMP '1996-06-15'
@@ -490,14 +492,14 @@ object Queries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q06_selective_filter" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
         |COUNT(*) AS n FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
     "q07_brand_revenue" ->
       """SELECT p_brand,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
+        |CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
         |COUNT(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
