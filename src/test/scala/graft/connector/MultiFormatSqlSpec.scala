@@ -92,6 +92,22 @@ class MultiFormatSqlSpec extends SparkSpec {
     assert(t.newScan().planFiles().files.forall(_.fileFormat == FileFormats.Orc))
   }
 
+  test("equality deletes on an orc table keep the scan columnar") {
+    wh
+    spark.sql("""CREATE TABLE mf.db.orcdel (id BIGINT, data STRING)
+                 TBLPROPERTIES ('write.format.default'='orc')""")
+    spark.sql("INSERT INTO mf.db.orcdel VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    val t = GraftTable.load(spark, s"$wh/db/orcdel")
+    import spark.implicits._
+    graft.format.Deletes.deleteByEquality(t, Seq(2L, 4L).toDF("id"))
+    val df = spark.sql("SELECT id FROM mf.db.orcdel ORDER BY id")
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    // the columnar delete filter runs on ORC batches exactly as on parquet
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"orc scan with live eq-deletes dropped to rows:\n$plan")
+  }
+
   test("CTAS and RTAS work through the catalog (any format)") {
     wh
     spark.sql("""CREATE TABLE mf.db.ctsrc (id BIGINT, v STRING)
