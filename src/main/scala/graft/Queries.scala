@@ -304,8 +304,9 @@ object Queries {
     // SCALE-PATH twin of q33, benched so regressions in the path a 100 TB
     // run actually uses are measured, not inferred: library-default maxDf
     // (2000 — broadcast hot-gram left-anti before doc lists materialize).
-    // No oracle entry: the hot-gram guard is intentionally approximate
-    // (at gate scale 2000 > corpus size, so the answer is exact anyway).
+    // Oracle: the exact-Jaccard SQL (see defaultTwinOracles) — at gate
+    // scale 2000 > corpus size, so the hot-gram guard is a no-op and the
+    // default path's answer is exact.
     "q33_jaccard_default" -> ((s, dir) =>
       Dedup.jaccardPairsFast(t(s, dir, "documents"), n = 3, threshold = 0.5)
         .orderBy(col("a"), col("b"))),
@@ -786,7 +787,28 @@ object Queries {
         |CAST(3 AS INTEGER) AS channels,
         |CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
         |sha256(text) AS sha
-        |FROM documents ORDER BY doc_id""".stripMargin) ++ FormatQueries.oracles
+        |FROM documents ORDER BY doc_id""".stripMargin) ++ FormatQueries.oracles ++ defaultTwinOracles
+
+  /** q33_jaccard_default runs the library-default hot-gram guard
+    * (maxDf = 2000). At gate scale the corpus has far fewer than 2000
+    * documents, so no gram can exceed the cap and the guard is a no-op:
+    * the default path's answer equals the exact n-gram Jaccard answer,
+    * and the q33_jaccard_pairs oracle applies verbatim. */
+  private def defaultTwinOracles: Map[String, String] = {
+    val exactJaccard =
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |g AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS gram
+        |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(tok)-2)) AS i) r
+        |      WHERE len(tok) >= 3),
+        |s AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
+        |p AS (SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS inter
+        |      FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id GROUP BY 1, 2)
+        |SELECT p.a, p.b, CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) AS jaccard
+        |FROM p JOIN s sa ON p.a = sa.doc_id JOIN s sb ON p.b = sb.doc_id
+        |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) >= 0.5
+        |ORDER BY a, b""".stripMargin
+    Map("q33_jaccard_default" -> exactJaccard)
+  }
 
   /** Headline benchmark subset (scan-agg, selective filter, join, window,
     * dedup, similarity — mirrors BASELINE.md's suggested shapes). */
