@@ -49,7 +49,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val bi = Identifier.of(ident.namespace(), base)
       if (!GraftTable.exists(tableDir(bi))) throw new NoSuchTableException(ident)
       val t = GraftTable.load(spark, tableDir(bi))
-      RowsTable(ident.toString, MetaTables(t, metaName))
+      // file-scale relations get a distributed DSv2 batch (executors parse
+      // manifests); snapshot-log-scale ones stay LocalRelations
+      MetaTables.distributedScanInputs(t, metaName) match {
+        case Some((manifests, spec, schema)) =>
+          MetaScanTable(ident.toString, manifests, spec, schema)
+        case None => RowsTable(ident.toString, MetaTables(t, metaName))
+      }
     case _ =>
       if (!GraftTable.exists(tableDir(ident))) throw new NoSuchTableException(ident)
       new GraftSparkTable(spark, GraftTable.load(spark, tableDir(ident)), ident.toString)

@@ -8,9 +8,25 @@ import scala.jdk.CollectionConverters._
   * (core/.../MetadataTableType.java:24-34; SnapshotsTable, HistoryTable:36-43,
   * PartitionsTable:39-43, ManifestsTable, DataFilesTable,
   * ManifestEntriesTable, AllDataFilesTable, AllEntriesTable,
-  * AllManifestsTable). Metadata rows are driver-side tiny (that's the whole
-  * point of scan planning from one node, site/docs/performance.md:20-29), so
-  * a LocalRelation-backed DataFrame is the right Spark mapping.
+  * AllManifestsTable).
+  *
+  * Two tiers, mirroring the reference split between StaticDataTask and
+  * ManifestReadTask (core/.../DataFilesTable.java):
+  *  - snapshots / history / manifests / all_manifests are driver-side
+  *    LocalRelations: their row count is the snapshot-log / manifest-list
+  *    size, which stays tiny even on a 100 TB table.
+  *  - files / entries / all_data_files / all_entries / partitions scale
+  *    with the number of DATA FILES (millions at 100 TB), so their rows are
+  *    parsed executor-side: the driver reads only the manifest LIST (one
+  *    descriptor per manifest), and each executor task parses a slice of
+  *    manifests into rows ([[manifestRows]]). `partitions` is a distributed
+  *    aggregation over the distributed `files` relation.
+  *
+  * Like the reference's AllDataFilesTable/AllEntriesTable, the `all_*`
+  * relations may contain duplicate rows: a file added in one snapshot and
+  * carried as Existing in a later rewrite appears once per manifest that
+  * lists it. Callers needing set semantics apply `.distinct` (the expiry
+  * diff uses `except`, which is already set-semantic).
   */
 object MetaTables {
 
@@ -70,20 +86,18 @@ object MetaTables {
     StructField("existing_data_files_count", IntegerType),
     StructField("deleted_data_files_count", IntegerType)))
 
-  private def manifestRows(t: GraftTable, snaps: Seq[Snapshot]): Seq[Row] = {
-    val m = t.metadata
-    snaps.flatMap(s => t.readManifestList(m, s)).distinctBy(_.path).map(mf =>
+  private def manifestRowsOf(t: GraftTable, snaps: Seq[Snapshot]): Seq[Row] =
+    manifestsOf(t, snaps).map(mf =>
       Row(mf.path, mf.length, mf.specId, mf.content, mf.addedSnapshotId,
         mf.addedFilesCount, mf.existingFilesCount, mf.deletedFilesCount))
-  }
 
   def manifests(t: GraftTable): DataFrame =
-    df(t.spark, manifestSchema, manifestRows(t, t.currentSnapshot.toSeq))
+    df(t.spark, manifestSchema, manifestRowsOf(t, t.currentSnapshot.toSeq))
 
   def allManifests(t: GraftTable): DataFrame =
-    df(t.spark, manifestSchema, manifestRows(t, t.metadata.snapshots))
+    df(t.spark, manifestSchema, manifestRowsOf(t, t.metadata.snapshots))
 
-  private val fileSchema = StructType(Seq(
+  private[graft] val fileSchema = StructType(Seq(
     StructField("content", IntegerType),
     StructField("file_path", StringType),
     StructField("file_format", StringType),
@@ -93,45 +107,109 @@ object MetaTables {
     StructField("spec_id", IntegerType),
     StructField("schema_id", IntegerType)))
 
-  private val entrySchema = StructType(
+  private[graft] val entrySchema = StructType(
     StructField("status", IntegerType) +:
     StructField("snapshot_id", LongType) +:
     StructField("sequence_number", LongType) +: fileSchema.fields.toSeq)
 
-  private def entryRows(t: GraftTable, snaps: Seq[Snapshot]): Seq[Row] = {
-    val m = t.metadata
-    // parallel manifest I/O, same pool as scan planning — all_* tables over
-    // a long-lived table read every manifest ever committed
-    val manifests = snaps.flatMap(s => t.readManifestList(m, s)).distinctBy(_.path)
-    val byPath = TableScan.readManifestsParallel(t, manifests, m.schema)
-    manifests.flatMap(mf => byPath(mf.path))
-      .map { e =>
-        val f = e.file
-        Row(e.status, e.snapshotId, e.sequenceNumber,
-          f.content, f.path, "parquet",
-          f.partition.map { case (k, v) => k -> Values.toDirString(v) },
-          f.recordCount, f.fileSizeInBytes, f.specId, f.schemaId)
-      }
+  /** Manifest descriptors reachable from `snaps` — a driver-side read of
+    * the manifest LIST only (one small descriptor per manifest). */
+  private def manifestsOf(t: GraftTable, snaps: Seq[Snapshot]): Seq[ManifestFile] =
+    snaps.flatMap(s => t.readManifestList(t.metadata, s)).distinctBy(_.path)
+
+  /** Parse ONE manifest into metadata-table rows. Runs executor-side (all
+    * arguments are serializable); the reference counterpart is
+    * ManifestReadTask.rows (core/.../DataFilesTable.java). `filesOnly`
+    * selects the `files` projection: live entries only, file columns only. */
+  private[graft] def manifestRows(io: FileIO, path: String,
+      idSchema: StructType, partTypes: Map[String, DataType],
+      filesOnly: Boolean): Seq[Row] = {
+    val entries = Model.manifestFromJson(io.readString(path), idSchema, partTypes)
+    val selected =
+      if (filesOnly) entries.filter(_.status != EntryStatus.Deleted) else entries
+    selected.map { e =>
+      val f = e.file
+      val fileCols = Seq[Any](f.content, f.path, f.fileFormat,
+        f.partition.map { case (k, v) => k -> Values.toDirString(v) },
+        f.recordCount, f.fileSizeInBytes, f.specId, f.schemaId)
+      if (filesOnly) Row(fileCols: _*)
+      else Row((Seq[Any](e.status, e.snapshotId, e.sequenceNumber) ++ fileCols): _*)
+    }
   }
 
+  /** Everything a task needs to parse manifests without the driver: the
+    * manifest slices ship in the closure; entry rows never do. */
+  private[graft] final case class ManifestReadSpec(
+      io: FileIO,
+      idSchema: StructType,
+      partTypesBySpec: Map[Int, Map[String, DataType]],
+      filesOnly: Boolean) extends Serializable {
+    def rows(path: String, specId: Int): Seq[Row] =
+      manifestRows(io, path, idSchema, partTypesBySpec(specId), filesOnly)
+  }
+
+  private[graft] def readSpec(t: GraftTable, manifests: Seq[ManifestFile],
+      filesOnly: Boolean): ManifestReadSpec = {
+    val m = t.metadata
+    // the id-resolution schema manifests round-trip through: the one with
+    // the widest id set (same choice as GraftTable.readManifest)
+    val idSchema = m.schemas.toSeq.map(_._2).reduceLeft((a, b) =>
+      if (FieldIds.maxId(b) > FieldIds.maxId(a)) b else a)
+    val typesBySpec = manifests.map(_.specId).distinct
+      .map(id => id -> t.partTypesOf(m)(id).toMap).toMap
+    ManifestReadSpec(t.ops.io, idSchema, typesBySpec, filesOnly)
+  }
+
+  /** Distributed entry/file relation: the driver ships (path, specId) pairs;
+    * executors parse. A million-file table surfaces here without a single
+    * entry row materializing on the driver. */
+  private def entriesDf(t: GraftTable, snaps: Seq[Snapshot],
+      filesOnly: Boolean): DataFrame = {
+    val schema = if (filesOnly) fileSchema else entrySchema
+    val manifests = manifestsOf(t, snaps)
+    if (manifests.isEmpty) return df(t.spark, schema, Nil)
+    val spec = readSpec(t, manifests, filesOnly)
+    val sc = t.spark.sparkContext
+    val tasks = math.min(manifests.size, math.max(1, sc.defaultParallelism * 2))
+    val rdd = sc.parallelize(manifests.map(mf => (mf.path, mf.specId)), tasks)
+      .flatMap { case (p, specId) => spec.rows(p, specId) }
+    t.spark.createDataFrame(rdd, schema)
+  }
+
+  /** Inputs for the DSv2 distributed surface (connector.MetaScanTable):
+    * Some((manifest (path, specId) pairs, read spec, schema)) for the
+    * file-scale relations, None for the snapshot-log-scale ones (those stay
+    * LocalRelations — reference StaticDataTask). */
+  private[graft] def distributedScanInputs(t: GraftTable, name: String)
+      : Option[(Seq[(String, Int)], ManifestReadSpec, StructType)] =
+    name.toLowerCase match {
+      case n @ ("files" | "entries" | "all_data_files" | "all_entries") =>
+        val filesOnly = n.endsWith("files")
+        val snaps =
+          if (n.startsWith("all_")) t.metadata.snapshots else t.currentSnapshot.toSeq
+        val manifests = manifestsOf(t, snaps)
+        Some((manifests.map(mf => (mf.path, mf.specId)),
+          readSpec(t, manifests, filesOnly),
+          if (filesOnly) fileSchema else entrySchema))
+      case _ => None
+    }
+
   def entries(t: GraftTable): DataFrame =
-    df(t.spark, entrySchema, entryRows(t, t.currentSnapshot.toSeq))
+    entriesDf(t, t.currentSnapshot.toSeq, filesOnly = false)
 
   def allEntries(t: GraftTable): DataFrame =
-    df(t.spark, entrySchema, entryRows(t, t.metadata.snapshots).distinct)
+    entriesDf(t, t.metadata.snapshots, filesOnly = false)
 
   def files(t: GraftTable): DataFrame =
-    df(t.spark, fileSchema, entryRows(t, t.currentSnapshot.toSeq)
-      .filter(_.getInt(0) != EntryStatus.Deleted)
-      .map(r => Row(r.toSeq.drop(3): _*)))
+    entriesDf(t, t.currentSnapshot.toSeq, filesOnly = true)
 
   def allDataFiles(t: GraftTable): DataFrame =
-    df(t.spark, fileSchema, entryRows(t, t.metadata.snapshots)
-      .filter(_.getInt(0) != EntryStatus.Deleted)
-      .map(r => Row(r.toSeq.drop(3): _*)).distinct)
+    entriesDf(t, t.metadata.snapshots, filesOnly = true)
 
   /** `t$partitions`: record_count/file_count per partition
-    * (reference PartitionsTable.java:39-43). */
+    * (reference PartitionsTable.java:39-43) — a distributed aggregation
+    * over the distributed `files` relation (partial aggregation executor-
+    * side; only one row per partition value reaches the result). */
   def partitions(t: GraftTable): DataFrame = {
     import org.apache.spark.sql.functions._
     files(t).groupBy(col("partition"))
