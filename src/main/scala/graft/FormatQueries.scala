@@ -442,6 +442,48 @@ object FormatQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // position deletes on ORC data files (q79's twin over an ORC-backed
+    // table): ORC groups targeted by a position delete read row-path with
+    // a file-position counter (position deletes are format-agnostic in the
+    // reference, core/.../deletes/Deletes.java:70-123). Positions are
+    // computed from the written files themselves (the ORC reader streams
+    // rows in file order), so the delete targets exact (file, pos) pairs.
+    "q85_orc_pos_delete" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftopos", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftopos.warehouse", tdir(dir, "oposwh"))
+      withTable(s, dir, "oposwh/db/customer_opos") { loc =>
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val tt = GraftTable.recreate(s, loc, c.schema,
+          properties = Map("write.format.default" -> "orc"))
+        GraftWrite.append(tt, c.coalesce(2))
+        // delete every 7th customer by (file, row position), positions read
+        // back from the ORC files (one task per file, counter in file order)
+        val paths = tt.newScan().planFiles().tasks.map(_.file.path)
+        val kf = c.schema("c_custkey")
+        val keySchema = StructType(Seq(kf))
+        val sconf = new org.apache.spark.util.SerializableConfiguration(
+          s.sessionState.newHadoopConf())
+        val posRows = s.sparkContext.parallelize(paths, math.max(1, paths.size))
+          .flatMap { p =>
+            val out = Seq.newBuilder[(String, Long, Long)]
+            var i = -1L
+            OrcIO.readAll(p, keySchema, sconf.value) { r =>
+              i += 1
+              out += ((p, i, r.get(0, kf.dataType).asInstanceOf[Number].longValue))
+            }
+            out.result()
+          }
+        import s.implicits._
+        val pos = posRows.toDF("file_path", "pos", "k")
+          .filter(col("k") % 7 === 0).select("file_path", "pos")
+        Deletes.deletePositions(tt, pos)
+        tt
+      }
+      s.sql("""SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+               FROM graftopos.db.customer_opos GROUP BY 1 ORDER BY 1""")
+    }),
+
     // compaction preserves content (RewriteDataFilesAction)
     "q70_compaction" -> ((s, dir) => {
       val t = withTable(s, dir, "region_compacted") { loc =>
@@ -562,5 +604,13 @@ object FormatQueries {
       """SELECT o_orderpriority, COUNT(*) AS n,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderpriority IN ('2-HIGH', '5-LOW')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // every 7th customer (by key) was position-deleted from the ORC files,
+    // so the surviving set is expressible by key
+    "q85_orc_pos_delete" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE c_custkey % 7 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -192,11 +192,12 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     val partSchema = StructType(partServe.map(f =>
       StructField(f.name, Types.cleanType(f.dataType), nullable = true)))
 
-    // position deletes ride the parquet readers' synthetic row-index column,
-    // which Spark's ORC reader does not populate and Avro cannot — so they
-    // are a parquet-only feature (documented trade). Mixed tables still
-    // scan: a non-parquet group is only an error if a position delete
-    // actually TARGETS one of its files, which costs one driver read of the
+    // position deletes ride the parquet readers' synthetic row-index column;
+    // ORC groups that a position delete actually TARGETS fall back to a
+    // row-path scan with a file-position counter (GraftOrcRowScan —
+    // position deletes are format-agnostic in the reference,
+    // core/.../deletes/Deletes.java:70-123); Avro files cannot carry them
+    // (documented trade). Target detection costs one driver read of the
     // (small, per-commit) delete files' path column — and only on tables
     // that contain non-parquet files while position deletes are live.
     lazy val posTargetPaths: Set[String] =
@@ -215,10 +216,19 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
       .groupBy(t => (t.file.schemaId,
         if (eqDeletes.isEmpty) 0L else t.sequenceNumber, t.file.fileFormat))
       .toSeq.sortBy(_._1).map { case ((schemaId, seqKey, fmt), tasks) =>
-        val groupPos = posActive && fmt == FileFormats.Parquet
-        if (posActive && !groupPos && tasks.exists(t =>
+        // parquet: every group rides the (cheap, vectorized) row-index
+        // column while deletes are live; ORC: only targeted groups pay the
+        // row-path fallback; Avro: targeted files are an error
+        val groupPos = posActive && (fmt match {
+          case FileFormats.Parquet => true
+          case FileFormats.Orc => tasks.exists(t =>
+            posTargetPaths.contains(ParquetIO.canonPath(t.file.path)))
+          case _ => false
+        })
+        if (posActive && !groupPos && fmt != FileFormats.Orc && tasks.exists(t =>
             posTargetPaths.contains(ParquetIO.canonPath(t.file.path))))
           throw Deletes.unsupportedPosDeleteOn(fmt)
+        val orcPos = groupPos && fmt == FileFormats.Orc
         val fileSchema = m.schemas.getOrElse(schemaId, schema)
         val fileById = FieldIds.idToName(fileSchema)
         def fileName(target: StructField): String =
@@ -271,10 +281,11 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
         val groupRead = StructType(wideTarget.fields
           .filterNot(f => partServeNames.contains(f.name)).map(f =>
             StructField(renames(f.name), fileSide(f), f.nullable)) ++
-          (if (groupPos) Seq(StructField(
+          (if (groupPos && !orcPos) Seq(StructField(
             // nullable: the column is absent from the FILE (the reader treats
             // it as a missing optional column, then its RowIndexGenerator
-            // overwrites the null vector with real row indexes)
+            // overwrites the null vector with real row indexes). ORC pos
+            // groups append their counter inside GraftOrcRowScan instead.
             org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
               .ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true))
           else Nil))
@@ -306,6 +317,10 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
         val index = new GraftFileIndex(spark, tasks.map(_.file), partSchema,
           partValsOf)
         val scan: Scan = fmt match {
+          case FileFormats.Orc if orcPos =>
+            new GraftOrcRowScan(groupRead, tasks.map(_.file.path),
+              new org.apache.spark.util.SerializableConfiguration(
+                spark.sessionState.newHadoopConf()))
           case FileFormats.Orc =>
             org.apache.spark.sql.execution.datasources.v2.orc.OrcScan(
               spark, spark.sessionState.newHadoopConf(), index,
@@ -424,6 +439,10 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
             fp.files.toSeq.map(f => GroupedPartition(i,
               org.apache.spark.sql.execution.datasources.FilePartition(fp.index, Array(f)),
               Some(ParquetIO.canonPath(f.filePath.toPath.toString))): InputPartition)
+          // ORC row-path partitions are file-granular by construction
+          case op: OrcRowFilePartition =>
+            Seq(GroupedPartition(i, op,
+              Some(ParquetIO.canonPath(op.path))): InputPartition)
           case other => throw new IllegalStateException(
             s"position deletes need file-granular partitions, got ${other.getClass}")
         }

@@ -1,0 +1,76 @@
+package graft.connector
+
+import graft.format.OrcIO
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Row-path ORC scan for groups TARGETED by position deletes: Spark's
+  * vectorized ORC reader does not populate the synthetic row-index column
+  * the parquet path rides, so these groups stream rows through OrcIO with
+  * an incrementing file-position counter appended as the last column —
+  * position deletes are format-agnostic in the reference
+  * (PositionStreamDeleteFilter, core/.../deletes/Deletes.java:70-123).
+  *
+  * One InputPartition per FILE, unsplit: a split would need stripe-level
+  * row offsets to keep positions absolute. File-level parallelism is
+  * preserved, untargeted ORC groups stay on Spark's vectorized OrcScan,
+  * and compaction (delete-aware rewrite) clears this state — a
+  * position-deleted ORC file is transitional by design. */
+final case class OrcRowFilePartition(path: String) extends InputPartition
+
+final class GraftOrcRowScan(
+    dataSchema: StructType, // file-side names, target types (data columns)
+    files: Seq[String],
+    conf: org.apache.spark.util.SerializableConfiguration)
+  extends Scan with Batch with Serializable {
+
+  override def readSchema(): StructType =
+    StructType(dataSchema :+ StructField("_graft_row_index", LongType))
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-orc-rows(${files.size} files)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(p => OrcRowFilePartition(p): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OrcRowReaderFactory(dataSchema, conf)
+}
+
+final class OrcRowReaderFactory(dataSchema: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
+  extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val path = p.asInstanceOf[OrcRowFilePartition].path
+    new PartitionReader[InternalRow] {
+      private val it = OrcIO.open(path, dataSchema, conf.value)
+      private var current: InternalRow = _
+      private var rowIndex = -1L
+      private val width = dataSchema.length + 1
+
+      override def next(): Boolean = {
+        val row = it.read()
+        if (row == null) false
+        else {
+          rowIndex += 1
+          // the deserializer reuses its row — copy values out, appending
+          // the absolute file position as the last column
+          val out = new GenericInternalRow(width)
+          var i = 0
+          while (i < dataSchema.length) {
+            out.update(i, if (row.isNullAt(i)) null
+              else row.get(i, dataSchema(i).dataType))
+            i += 1
+          }
+          out.update(dataSchema.length, rowIndex)
+          current = out
+          true
+        }
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = it.close()
+    }
+  }
+}

@@ -32,11 +32,13 @@ object Deletes {
     out.toSet
   }
 
-  /** The parquet-only position-delete error, one spelling for every path. */
+  /** Position deletes apply to parquet (row-index column) and ORC (row-path
+    * counter) data files; Avro files cannot carry them. One spelling for
+    * every path. */
   def unsupportedPosDeleteOn(fmt: String): UnsupportedOperationException =
     new UnsupportedOperationException(
       s"position deletes target $fmt data files; position deletes are " +
-      "supported on parquet data files only — rewrite the files first")
+      "supported on parquet and orc data files only — rewrite the files first")
 
   private def stage(table: GraftTable, df: DataFrame, sorted: Seq[String]): Seq[String] = {
     val dir = s"${table.location}/data/deletes-${UUID.randomUUID()}"

@@ -179,10 +179,12 @@ final class TableScan private[format] (
     val eqDeletes = plan.deleteFiles.filter(_._1.content == FileContent.EqualityDeletes)
     val posDeletes = plan.deleteFiles.filter(_._1.content == FileContent.PositionDeletes)
 
-    // position deletes ride parquet's `_metadata.row_index`; a non-parquet
-    // group only errors if a position delete actually TARGETS one of its
-    // files (one small driver read of the delete files' path column, and
-    // only on tables that mix formats under live position deletes)
+    // position deletes ride parquet's `_metadata.row_index`; ORC groups a
+    // position delete actually TARGETS read row-path with a file-position
+    // counter (readOrcWithPos — position deletes are format-agnostic in the
+    // reference, Deletes.java:70-123); Avro files cannot carry them. Target
+    // detection is one small driver read of the delete files' path column,
+    // and only on tables that mix formats under live position deletes.
     lazy val posTargets: Set[String] = Deletes.posDeleteTargets(
       posDeletes.map(_._1.path).distinct,
       spark.sessionState.newHadoopConf())
@@ -197,20 +199,34 @@ final class TableScan private[format] (
         t.file.fileFormat))
     val parts = grouped.toSeq.sortBy(_._1).flatMap { case ((schemaId, seq, fmt), tasks) =>
       val fileSchema = m.schemas.getOrElse(schemaId, schema)
-      val groupPos = posDeletes.nonEmpty && fmt == FileFormats.Parquet
-      if (posDeletes.nonEmpty && !groupPos && tasks.exists(t =>
-          posTargets.contains(ParquetIO.canonPath(t.file.path))))
+      val groupPos = posDeletes.nonEmpty && (fmt match {
+        case FileFormats.Parquet => true // row-index column is free
+        case FileFormats.Orc => tasks.exists(t =>
+          posTargets.contains(ParquetIO.canonPath(t.file.path)))
+        case _ => false
+      })
+      if (posDeletes.nonEmpty && !groupPos && fmt != FileFormats.Orc &&
+          tasks.exists(t => posTargets.contains(ParquetIO.canonPath(t.file.path))))
         throw Deletes.unsupportedPosDeleteOn(fmt)
       def readTasks(ts: Seq[FileScanTask]): DataFrame = {
         val clean = stripIds(fileSchema)
-        val raw = fmt match {
+        fmt match {
+          case FileFormats.Orc if groupPos =>
+            // row-path read carrying (_g_file, _g_pos) — kept through the
+            // alignment projection for the position anti-join below
+            alignToSchema(readOrcWithPos(spark, ts.map(_.file.path), clean),
+              fileSchema, schema, keep = Seq("_g_file", "_g_pos"))
           case FileFormats.Orc =>
-            spark.read.schema(clean).orc(ts.map(_.file.path): _*)
+            alignToSchema(spark.read.schema(clean).orc(ts.map(_.file.path): _*),
+              fileSchema, schema)
           case FileFormats.Avro =>
-            readAvro(spark, ts.map(t => t.file.path -> t.file.fileSizeInBytes), clean)
-          case _ => spark.read.schema(clean).parquet(ts.map(_.file.path): _*)
+            alignToSchema(readAvro(spark,
+              ts.map(t => t.file.path -> t.file.fileSizeInBytes), clean),
+              fileSchema, schema)
+          case _ =>
+            alignToSchema(spark.read.schema(clean).parquet(ts.map(_.file.path): _*),
+              fileSchema, schema)
         }
-        alignToSchema(raw, fileSchema, schema)
       }
       // identity-partition source columns absent from the FILES (imported
       // hive layouts — the column lives only in directory names / partition
@@ -242,7 +258,9 @@ final class TableScan private[format] (
       // equality sets NEWER than this group's files
       subs.map { df0 =>
         val posApplied =
-          if (!groupPos) df0 else applyPosDeletes(df0, posDeletes)
+          if (!groupPos) df0
+          else if (fmt == FileFormats.Orc) antiJoinPositions(df0, posDeletes)
+          else applyPosDeletes(df0, posDeletes)
         applyEqDeletes(posApplied, eqDeletes.filter(_._2 > seq), schema)
       }
     }
@@ -309,7 +327,7 @@ final class TableScan private[format] (
     * SparkSchemaUtil.prune / NameMapping; nested per UpdateSchema.java's
     * nested evolution). */
   private def alignToSchema(df: DataFrame, fileSchema: StructType,
-      target: StructType): DataFrame = {
+      target: StructType, keep: Seq[String] = Nil): DataFrame = {
     val fileById = fileSchema.fields.map(f => FieldIds.idOf(f) -> f).toMap
     val cols = target.fields.map { tf =>
       fileById.get(FieldIds.idOf(tf)) match {
@@ -317,7 +335,7 @@ final class TableScan private[format] (
         case None => lit(null).cast(Types.cleanType(tf.dataType)).as(tf.name) // added column
       }
     }
-    df.select(cols.toSeq: _*)
+    df.select((cols.toSeq ++ keep.map(col)): _*)
   }
 
   /** Align one file-side column to its target type: struct levels with ids
@@ -370,16 +388,58 @@ final class TableScan private[format] (
     * paths are never reused. */
   private def applyPosDeletes(df0: DataFrame,
       posDeletes: Seq[(DataFile, Long)]): DataFrame = {
-    val spark = table.spark
     // both sides canonicalize through the SAME helper, so any URI spelling
     // of the same file matches (file:/p vs /p vs file:///p; hdfs kept apart)
     val canon = udf((s: String) => ParquetIO.canonPath(s))
-    val withPos = df0.withColumn("_g_file", canon(col("_metadata.file_path")))
-      .withColumn("_g_pos", col("_metadata.row_index"))
+    antiJoinPositions(df0
+      .withColumn("_g_file", canon(col("_metadata.file_path")))
+      .withColumn("_g_pos", col("_metadata.row_index")), posDeletes)
+  }
+
+  /** The anti-join half: `df0` already carries canonical (_g_file, _g_pos)
+    * columns (parquet: from row metadata; ORC: from the row-path counter). */
+  private def antiJoinPositions(df0: DataFrame,
+      posDeletes: Seq[(DataFile, Long)]): DataFrame = {
+    val spark = table.spark
+    val canon = udf((s: String) => ParquetIO.canonPath(s))
     val dels = spark.read.parquet(posDeletes.map(_._1.path).distinct: _*)
       .select(canon(col("file_path")).as("_g_file"), col("pos").as("_g_pos"))
-    withPos.join(broadcast(dels), Seq("_g_file", "_g_pos"), "left_anti")
+    df0.join(broadcast(dels), Seq("_g_file", "_g_pos"), "left_anti")
       .drop("_g_file", "_g_pos")
+  }
+
+  /** ORC files → DataFrame carrying canonical (_g_file, _g_pos): one RDD
+    * partition per FILE (a split would need stripe row offsets to keep
+    * positions absolute — file-level parallelism is preserved, and
+    * compaction clears the position-deleted state). */
+  private def readOrcWithPos(spark: SparkSession, files: Seq[String],
+      clean: StructType): DataFrame = {
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val outSchema = StructType(clean.fields.toSeq ++ Seq(
+      StructField("_g_file", StringType), StructField("_g_pos", LongType)))
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(1, files.size))
+      .flatMap { p =>
+        val it = OrcIO.open(p, clean, sconf.value)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => it.close()))
+        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(clean)
+        val canonFile = ParquetIO.canonPath(p)
+        new Iterator[org.apache.spark.sql.Row] {
+          private var cur = it.read()
+          private var pos = -1L
+          override def hasNext: Boolean = cur != null
+          override def next(): org.apache.spark.sql.Row = {
+            pos += 1
+            val data = conv(cur).asInstanceOf[org.apache.spark.sql.Row]
+            cur = it.read()
+            org.apache.spark.sql.Row.fromSeq(data.toSeq ++ Seq(canonFile, pos))
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
   }
 }
 

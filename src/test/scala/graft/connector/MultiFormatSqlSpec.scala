@@ -135,4 +135,35 @@ class MultiFormatSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT payload FROM mf.db.ren ORDER BY id").collect()
       .map(_.getString(0)).toSeq === Seq("before", "after"))
   }
+
+  test("position deletes apply to orc groups inside SQL reads") {
+    wh
+    import spark.implicits._
+    spark.sql("""CREATE TABLE mf.db.orcpos (id BIGINT, v STRING)
+                 TBLPROPERTIES ('write.format.default'='orc')""")
+    spark.sql("INSERT INTO mf.db.orcpos SELECT id, CONCAT('v', id) FROM range(5)")
+    val t = GraftTable.load(spark, s"$wh/db/orcpos")
+    // positions within each file, in file row order
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val keySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val paths = t.newScan().planFiles().tasks.map(_.file.path)
+    val pos = spark.sparkContext.parallelize(paths, paths.size).flatMap { p =>
+      val out = Seq.newBuilder[(String, Long, Long)]
+      var i = -1L
+      graft.format.OrcIO.readAll(p, keySchema, sconf.value) { r =>
+        i += 1; out += ((p, i, r.getLong(0)))
+      }
+      out.result()
+    }.toDF("file_path", "pos", "id")
+      .filter($"id" % 2 === 0).select("file_path", "pos")
+    graft.format.Deletes.deletePositions(t, pos)
+    assert(spark.sql("SELECT id FROM mf.db.orcpos ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    // equality aggregate over the filtered read
+    assert(spark.sql("SELECT count(*) FROM mf.db.orcpos").collect()
+      .head.getLong(0) === 2L)
+  }
 }

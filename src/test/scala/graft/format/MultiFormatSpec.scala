@@ -266,10 +266,26 @@ class MultiFormatSpec extends SparkSpec {
     }
   }
 
-  test("position deletes are parquet-only: clear error when targeting orc") {
+  test("position deletes apply on orc tables (row-path position counter)") {
     val loc = freshLoc("posdel-orc")
-    val t = GraftTable.create(spark, loc, sample(3).schema,
+    val t = GraftTable.create(spark, loc, sample(5).schema,
       properties = Map("write.format.default" -> "orc"))
+    GraftWrite.append(t, sample(5).coalesce(1))
+    val target = t.newScan().planFiles().files.head.path
+    Deletes.deletePositions(t, Seq((target, 0L), (target, 3L)).toDF("file_path", "pos"))
+    assert(t.toDF().select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 4L))
+    // untargeted rows in a second (parquet) generation are untouched, and
+    // the mixed scan still applies the ORC group's positions
+    Commits.setProperties(t, Map("write.format.default" -> "parquet"))
+    GraftWrite.append(t, sample(5, 1).coalesce(1))
+    assert(t.toDF().count() === 8)
+  }
+
+  test("position deletes targeting avro raise a clear error") {
+    val loc = freshLoc("posdel-avro")
+    val t = GraftTable.create(spark, loc, sample(3).schema,
+      properties = Map("write.format.default" -> "avro"))
     GraftWrite.append(t, sample(3))
     val target = t.newScan().planFiles().files.head.path
     Deletes.deletePositions(t, Seq((target, 0L)).toDF("file_path", "pos"))
