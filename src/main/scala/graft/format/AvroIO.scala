@@ -35,11 +35,13 @@ object AvroIO {
 
   // ---- Spark schema -> Avro schema ----
 
-  /** Spark column name → legal Avro identifier, injectively: invalid
-    * characters become `_xNN` (hex), a leading digit gains an underscore
-    * (reference AvroSchemaUtil.sanitize). Writer and reader schemas are
-    * both built from Spark-side names through this same function, so
-    * resolution always agrees; the original name rides a field prop. */
+  /** Spark column name → legal Avro identifier: invalid characters become
+    * `_xNN` (hex), a leading digit gains an underscore (reference
+    * AvroSchemaUtil.sanitize). NOT injective — [[avroSchema]] rejects
+    * structs whose names collide after sanitizing. Writer and reader
+    * schemas are both built from Spark-side names through this same
+    * function, so resolution always agrees; the original name rides a
+    * field prop. */
   private[format] def sanitize(name: String): String = {
     def ok(c: Char, first: Boolean) =
       c == '_' || Character.isLetter(c) || (!first && Character.isDigit(c))
@@ -60,6 +62,16 @@ object AvroIO {
     * path, nullable fields as [null, T] unions with null defaults,
     * `field-id` props carried from the struct metadata. */
   def avroSchema(st: StructType, name: String = "row"): Schema = {
+    // sanitize() is not injective ('a%' and a literal 'a_x25' both map to
+    // 'a_x25'): resolution is by sanitized NAME, and a suffix scheme would
+    // diverge between full-schema writes and subset-projection reads — so
+    // collisions fail fast, naming both columns, instead of mis-resolving
+    st.fields.map(f => sanitize(f.name) -> f.name)
+      .groupBy(_._1).collectFirst { case (s, g) if g.length > 1 =>
+        throw new IllegalArgumentException(
+          s"column names ${g.map(_._2).mkString("'", "', '", "'")} all " +
+          s"sanitize to avro name '$s' — rename one of them")
+      }
     val fields = st.fields.map { f =>
       val base = typeToAvro(f.dataType, sanitize(s"${name}_${f.name}"))
       val sch =

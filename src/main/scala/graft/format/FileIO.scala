@@ -28,6 +28,20 @@ object FileIO {
   }
 }
 
+object HadoopFileIO {
+  /** Schemes whose rename is HEAD-then-copy (never an atomic CAS). */
+  private[format] val NonAtomicRenameSchemes =
+    Set("s3a", "s3", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos")
+
+  /** The active Spark session's Hadoop conf (spark.hadoop.* applied), or a
+    * default Configuration off-session (plain tests). */
+  private[format] def sessionConf(): org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new org.apache.hadoop.conf.Configuration()))
+}
+
 trait FileIO extends Serializable {
   def readString(path: String): String
 
@@ -112,16 +126,28 @@ object LocalFileIO extends FileIO {
 }
 
 /** FileIO over Hadoop's FileSystem — the object-store path (reference
-  * hadoop/HadoopFileIO.java). Works for any registered scheme (`hdfs://`,
-  * `s3a://`, and `file://` in tests). The CAS primitive is temp-write +
-  * `rename` WITHOUT overwrite: HDFS rename onto an existing destination
-  * fails atomically; S3A's committer semantics map it to a conditional
-  * copy. Serializable (fresh default Configuration per executor — table
-  * paths carry their scheme, so default conf resolves the right FS). */
-final class HadoopFileIO extends FileIO {
+  * hadoop/HadoopFileIO.java). Works for any registered scheme.
+  *
+  * The commit CAS ([[writeExclusive]]) is only as atomic as the underlying
+  * filesystem's no-overwrite rename, exactly like the reference
+  * HadoopTableOperations ("should be used sparingly ... requires atomic
+  * rename"): HDFS qualifies; `file://` does NOT (RawLocalFileSystem's
+  * rename pre-checks existence non-atomically), so file: URIs are routed
+  * to the hard-link CAS; object stores (s3a/gs/abfs/...) do NOT (rename is
+  * HEAD-then-copy) and FAIL FAST — a conditional-PUT FileIO or a locking
+  * catalog is required there, never a silent maybe-lost commit.
+  *
+  * Carries the Spark session's Hadoop conf (SerializableConfiguration), so
+  * `spark.hadoop.*` settings — s3a credentials/endpoints, HDFS HA
+  * nameservice mappings — reach metadata I/O the same way they reach the
+  * data-file readers. */
+final class HadoopFileIO(
+    sconf: org.apache.spark.util.SerializableConfiguration) extends FileIO {
   import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
-  @transient private lazy val conf = new org.apache.hadoop.conf.Configuration()
+  def this() = this(HadoopFileIO.sessionConf())
+
+  private def conf = sconf.value
   private def fs(path: String): FileSystem = new HPath(path).getFileSystem(conf)
 
   override def readString(path: String): String = {
@@ -152,11 +178,22 @@ final class HadoopFileIO extends FileIO {
   }
 
   override def writeExclusive(path: String, content: String): Boolean = {
+    val scheme = Option(new HPath(path).toUri.getScheme).getOrElse("")
+    if (scheme == "file")
+      // LocalFileSystem's no-overwrite rename pre-checks existence
+      // non-atomically (two racing committers can both pass); link(2) is
+      // the real local CAS
+      return LocalFileIO.writeExclusive(new HPath(path).toUri.getPath, content)
+    if (HadoopFileIO.NonAtomicRenameSchemes.contains(scheme))
+      throw new UnsupportedOperationException(
+        s"$scheme:// rename is copy-then-delete, not atomic — commits would " +
+        "silently race. Use a conditional-PUT FileIO or a locking catalog " +
+        "for object-store tables.")
     val target = new HPath(path)
     val f = fs(path)
     f.mkdirs(target.getParent)
     val tmp = writeTemp(target, content)
-    // rename without overwrite IS the CAS: fails when target exists
+    // rename without overwrite IS the CAS on HDFS: fails when target exists
     val won = try f.rename(tmp, target) && f.exists(target)
       catch { case _: java.io.IOException => false }
     if (!won) f.delete(tmp, false)

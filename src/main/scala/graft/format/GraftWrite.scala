@@ -251,8 +251,18 @@ object GraftWrite {
     // values (int → long → double → string, Spark's own inference order)
     val inferred = format match {
       case FileFormats.Avro =>
-        val data = AvroIO.sparkSchema(
-          AvroIO.fileSchema(files.head, spark.sessionState.newHadoopConf()))
+        val hconf = spark.sessionState.newHadoopConf()
+        val data = AvroIO.sparkSchema(AvroIO.fileSchema(files.head, hconf))
+        // later reads project by name against the HEAD schema — a file
+        // written with a different schema would silently resolve to nulls,
+        // so divergence is an import-time error (header reads are cheap:
+        // container metadata only, no row decode)
+        files.drop(1).foreach { f =>
+          val s = AvroIO.sparkSchema(AvroIO.fileSchema(f, hconf))
+          require(s == data,
+            s"avro schema mismatch under $dataPath: $f has $s, " +
+            s"but ${files.head} has $data")
+        }
         // same contract as Spark's own inference, which ERRORS on a column
         // present both in the data files and the directory layout
         require(partCols.forall(c => !data.fieldNames.contains(c)),

@@ -75,7 +75,9 @@ object ParquetIO {
       case "snappy" => CompressionCodecName.SNAPPY
       case "gzip" => CompressionCodecName.GZIP
       case "zstd" => CompressionCodecName.ZSTD
-      case "lz4" => CompressionCodecName.LZ4_RAW
+      // no lz4 case: DataFileIO.compressionOf is the single validation
+      // point and does not accept it for parquet (Spark's writer and this
+      // one must agree on the accepted set)
       case other => throw new IllegalArgumentException(s"parquet codec: $other")
     }
 

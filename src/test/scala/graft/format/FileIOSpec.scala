@@ -50,6 +50,54 @@ class FileIOSpec extends AnyFunSuite {
     assert(io.readString(target) === "first")
   }
 
+  test("hadoop io: file:// CAS is the hard link, under contention") {
+    // LocalFileSystem's no-overwrite rename pre-checks existence
+    // non-atomically — writeExclusive must route file: URIs to link(2)
+    val io = new HadoopFileIO
+    val target = "file://" + tmpDir() + "/v9.metadata.json"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val wins = new java.util.concurrent.atomic.AtomicInteger
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    (0 until 8).foreach { i =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          gate.await()
+          if (io.writeExclusive(target, s"writer-$i")) wins.incrementAndGet()
+        }
+      })
+    }
+    gate.countDown()
+    pool.shutdown()
+    pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+    assert(wins.get() === 1)
+    assert(io.readString(target).startsWith("writer-"))
+  }
+
+  test("hadoop io: object-store schemes fail fast on the commit CAS") {
+    val io = new HadoopFileIO
+    for (scheme <- Seq("s3a", "gs", "abfs")) {
+      val e = intercept[UnsupportedOperationException](
+        io.writeExclusive(s"$scheme://bucket/t/metadata/v1.metadata.json", "x"))
+      assert(e.getMessage.contains("not atomic"), scheme)
+    }
+  }
+
+  test("hadoop io carries the session's hadoop conf, not a fresh default") {
+    // session-runtime keys reach newHadoopConf verbatim (spark.hadoop.*
+    // prefix-stripping applies to SparkContext-level conf at startup); a
+    // fresh default Configuration would see neither spelling
+    val spark = graft.SparkSpecBase.spark
+    spark.conf.set("spark.hadoop.graft.test.marker", "from-session")
+    try {
+      val io = new HadoopFileIO
+      val f = classOf[HadoopFileIO].getDeclaredField("sconf")
+      f.setAccessible(true)
+      val conf = f.get(io)
+        .asInstanceOf[org.apache.spark.util.SerializableConfiguration].value
+      assert(conf.get("spark.hadoop.graft.test.marker") === "from-session")
+    } finally spark.conf.unset("spark.hadoop.graft.test.marker")
+  }
+
   test("hadoop io survives serialization (executor shipping)") {
     val io = new HadoopFileIO
     val bytes = {

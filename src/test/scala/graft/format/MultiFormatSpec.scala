@@ -160,9 +160,15 @@ class MultiFormatSpec extends SparkSpec {
     }
     assert(got.toSeq === Seq((100.toShort, 0.toByte, "v0"),
       (101.toShort, 1.toByte, "v1"), (102.toShort, 2.toByte, "v2")))
-    // sanitization is injective on distinct inputs
+    // sanitization keeps distinct common names distinct
     assert(AvroIO.sanitize("my-col") !== AvroIO.sanitize("my_col"))
     assert(AvroIO.sanitize("ok_name") === "ok_name")
+    // …but is NOT injective in general: colliding names fail fast with
+    // both columns named, instead of mis-resolving by sanitized name
+    val colliding = StructType(Seq(
+      StructField("a%", StringType), StructField("a_x25", StringType)))
+    val e = intercept[IllegalArgumentException](AvroIO.avroSchema(colliding))
+    assert(e.getMessage.contains("a%") && e.getMessage.contains("a_x25"))
   }
 
   test("avro byte-range splits cover every row exactly once") {
@@ -383,6 +389,27 @@ class MultiFormatSpec extends SparkSpec {
     val all = t.newScan().planFiles().tasks.size
     val pruned = t.newScan().filter(Exprs.equal("cat", "b")).planFiles()
     assert(pruned.tasks.size < all)
+  }
+
+  test("avro import rejects heterogeneous writer schemas at import time") {
+    val loc = freshLoc("avroimp-div")
+    val src = loc + "-src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    def writeFile(name: String, schema: StructType): Unit = {
+      val w = AvroIO.openWriter(s"$src/$name", schema, conf)
+      try {
+        val r = new GenericInternalRow(schema.length)
+        schema.indices.foreach(i => r.update(i, 1L))
+        w.write(r)
+      } finally w.close()
+    }
+    val a = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val b = StructType(Seq(StructField("other", LongType, nullable = false)))
+    writeFile("part-0.avro", a)
+    writeFile("part-1.avro", b)
+    val e = intercept[IllegalArgumentException](
+      GraftWrite.importAvro(spark, loc, src))
+    assert(e.getMessage.contains("schema mismatch"))
   }
 
   test("write.<fmt>.compression-codec reaches the written files") {
