@@ -57,7 +57,7 @@ final class GraftBatchWrite(table: GraftTable, mode: GraftBatchWrite.Mode)
   import GraftBatchWrite._
 
   private val m = table.metadata
-  private val stagingDir = s"${table.location}/data/${UUID.randomUUID()}"
+  private val stagingDir = table.locations.newDataLocation(UUID.randomUUID().toString)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val schema = m.schema

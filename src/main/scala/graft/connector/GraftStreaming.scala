@@ -189,7 +189,7 @@ final class GraftStreamingWrite(table: GraftTable, truncateFirst: Boolean,
     conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
     conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
     conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
-    val staging = s"${table.location}/data/${java.util.UUID.randomUUID()}"
+    val staging = table.locations.newDataLocation(java.util.UUID.randomUUID().toString)
     val cleanSchema = StructType(schema.fields.map(f =>
       f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
     val batchFactory = new GraftWriterFactory(cleanSchema, schema, fields, staging,

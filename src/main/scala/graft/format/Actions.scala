@@ -71,7 +71,7 @@ final class Actions(t: GraftTable) {
     val schema = m.schema
     val writeSchema = org.apache.spark.sql.types.StructType(schema.fields.map(
       _.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
-    val staging = s"${t.location}/data/${java.util.UUID.randomUUID()}"
+    val staging = t.locations.newDataLocation(java.util.UUID.randomUUID().toString)
     t.ops.io.mkdirs(staging)
 
     // live row-level deletes must be APPLIED during the rewrite (reference
@@ -354,7 +354,7 @@ final class Actions(t: GraftTable) {
   def removeOrphanFiles(olderThanMillis: Long = System.currentTimeMillis() - 3L * 86400 * 1000)
       : OrphanResult = {
     import t.spark.implicits._
-    val dataDir = s"${t.location}/data"
+    val dataDir = t.locations.dataRoot
     if (!t.ops.io.exists(dataDir)) return OrphanResult(Nil)
     val actual = t.ops.io.list(dataDir)
       .filter(fi => FileFormats.All.exists(ext => fi.path.endsWith("." + ext)))

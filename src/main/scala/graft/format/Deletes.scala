@@ -41,7 +41,7 @@ object Deletes {
       "supported on parquet and orc data files only — rewrite the files first")
 
   private def stage(table: GraftTable, df: DataFrame, sorted: Seq[String]): Seq[String] = {
-    val dir = s"${table.location}/data/deletes-${UUID.randomUUID()}"
+    val dir = table.locations.newDataLocation(s"deletes-${UUID.randomUUID()}")
     val out = if (sorted.nonEmpty) df.sortWithinPartitions(sorted.map(col): _*) else df
     out.write.mode(SaveMode.ErrorIfExists).parquet(dir)
     table.ops.io.list(dir, ".parquet").map(_.path).sorted

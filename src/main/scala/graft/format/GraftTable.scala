@@ -483,6 +483,10 @@ final class GraftTable(val ops: TableOps, val spark: SparkSession) {
   }
 
   def location: String = ops.location
+  /** Data-file placement for this table's current properties (reference
+    * Table.locationProvider()). */
+  def locations: LocationProvider =
+    LocationProviders.forTable(location, metadata.properties)
   def schema: StructType = metadata.schema
   def spec: PartitionSpec = metadata.spec
   def properties: Map[String, String] = metadata.properties

@@ -34,9 +34,9 @@ object GraftWrite {
     val schema = m.schema
     val spec = m.spec
     val fmt = graft.connector.GraftBatchWrite.writeFormat(m.properties)
-    // string interpolation, not java.nio Paths: scheme-qualified locations
-    // (hdfs://, s3a://) must survive untouched
-    val staging = s"${table.location}/data/${UUID.randomUUID()}"
+    // write-batch directory via the table's LocationProvider (object-store
+    // tables get a hash-prefixed key)
+    val staging = table.locations.newDataLocation(UUID.randomUUID().toString)
 
     // align df columns to the table schema (names must match; types cast)
     val aligned = df.select(schema.fields.map(f =>
