@@ -12,12 +12,30 @@ import org.apache.spark.sql.types.StructType
   */
 object DataFileIO {
 
-  /** Stream `path` (of `format`) projected to `schema` (file-side names). */
+  /** Stream `path` (of `format`) projected to `schema` (file-side names).
+    * A non-plaintext `em` decrypts the stored bytes to a local staging file
+    * first (the format libraries need a seekable plaintext file); plaintext
+    * reads the file directly — zero overhead. */
   def readAll(path: String, format: String, schema: StructType,
-      conf: Configuration)(consume: InternalRow => Unit): Unit = format match {
-    case FileFormats.Orc => OrcIO.readAll(path, schema, conf)(consume)
-    case FileFormats.Avro => AvroIO.readAll(path, schema, conf)(consume)
-    case _ => ParquetIO.readAll(path, schema, conf)(consume)
+      conf: Configuration,
+      em: EncryptionManager = PlaintextEncryptionManager)
+      (consume: InternalRow => Unit): Unit = {
+    def dispatch(p: String): Unit = format match {
+      case FileFormats.Orc => OrcIO.readAll(p, schema, conf)(consume)
+      case FileFormats.Avro => AvroIO.readAll(p, schema, conf)(consume)
+      case _ => ParquetIO.readAll(p, schema, conf)(consume)
+    }
+    if (em.isPlaintext) dispatch(path)
+    else {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val in = hp.getFileSystem(conf).open(hp)
+      val stored = try in.readAllBytes() finally in.close()
+      val tmp = java.nio.file.Files.createTempFile("graft-dec-", "." + format)
+      try {
+        java.nio.file.Files.write(tmp, em.decrypt(path, stored))
+        dispatch(tmp.toString)
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    }
   }
 
   /** One open data file of any supported encoding + its end-of-file metrics
@@ -65,7 +83,37 @@ object DataFileIO {
   def openWriter(path: String, format: String, schema: StructType,
       idSchema: StructType, conf: Configuration,
       statModes: Map[Int, Metrics.Mode] = Map.empty,
-      props: Map[String, String] = Map.empty): Writer = {
+      props: Map[String, String] = Map.empty,
+      em: EncryptionManager = PlaintextEncryptionManager): Writer = {
+    // encrypt-on-write: the format writer produces a plaintext staging file
+    // locally; finish() reads metrics from it, transforms the bytes through
+    // the manager, and lands the stored form at `path`. Plaintext writes
+    // straight to `path` — zero overhead.
+    if (!em.isPlaintext) {
+      val tmp = java.nio.file.Files
+        .createTempFile("graft-enc-", "." + format).toString
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
+      val inner = openWriter(tmp, format, schema, idSchema, conf, statModes,
+        props, PlaintextEncryptionManager)
+      return new Writer {
+        override def write(row: InternalRow): Unit = inner.write(row)
+        override def finish(): Metrics.FileMetrics = {
+          val fm = inner.finish() // metrics from the plaintext form
+          val plain = java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(tmp))
+          val stored = em.encrypt(path, plain)
+          val hp = new org.apache.hadoop.fs.Path(path)
+          val out = hp.getFileSystem(conf).create(hp, false)
+          try out.write(stored) finally out.close()
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
+          fm.copy(fileSize = stored.length.toLong)
+        }
+        override def abort(): Unit = {
+          inner.abort()
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
+        }
+      }
+    }
     val codec = compressionOf(format, props)
 
     def delete(): Unit = {
