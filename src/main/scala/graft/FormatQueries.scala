@@ -484,6 +484,31 @@ object FormatQueries {
                FROM graftopos.db.customer_opos GROUP BY 1 ORDER BY 1""")
     }),
 
+    // SQL MERGE INTO via SupportsRowLevelOperations (group-based
+    // copy-on-write ReplaceData; beyond the reference fork, which exposes
+    // only RowDelta primitives): every 20th customer deleted, every other
+    // 10th gets +100 balance — the oracle recomputes the post-merge state
+    "q86_merge_sql" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftmrg", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftmrg.warehouse", tdir(dir, "mrgwh"))
+      withTable(s, dir, "mrgwh/db/customer_merge") { loc =>
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val tt = GraftTable.recreate(s, loc, c.schema)
+        GraftWrite.append(tt, c.coalesce(4))
+        c.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey").as("k"))
+          .createOrReplaceTempView("graft_merge_src")
+        s.sql("""MERGE INTO graftmrg.db.customer_merge t USING graft_merge_src s
+                 ON t.c_custkey = s.k
+                 WHEN MATCHED AND s.k % 20 = 0 THEN DELETE
+                 WHEN MATCHED THEN UPDATE SET t.c_acctbal = t.c_acctbal + 100""")
+        tt
+      }
+      s.sql("""SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+               FROM graftmrg.db.customer_merge GROUP BY 1 ORDER BY 1""")
+    }),
+
     // compaction preserves content (RewriteDataFilesAction)
     "q70_compaction" -> ((s, dir) => {
       val t = withTable(s, dir, "region_compacted") { loc =>
@@ -604,6 +629,15 @@ object FormatQueries {
       """SELECT o_orderpriority, COUNT(*) AS n,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderpriority IN ('2-HIGH', '5-LOW')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the MERGE deleted every 20th customer and added 100 to every other
+    // 10th one's balance — recompute that state directly
+    "q86_merge_sql" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |CAST(SUM(CAST(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100
+        |  ELSE c_acctbal END AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE c_custkey % 20 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // every 7th customer (by key) was position-deleted from the ORC files,

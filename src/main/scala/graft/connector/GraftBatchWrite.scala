@@ -50,6 +50,11 @@ object GraftBatchWrite {
   case object Append extends Mode
   case object DynamicOverwrite extends Mode
   final case class FilterOverwrite(expr: Expr) extends Mode
+  /** Group-based row-level operation commit (SQL MERGE/UPDATE/DELETE via
+    * ReplaceData): swap the files the operation's scan planned for the
+    * rewritten output. `replaced` is deferred — the scan plans after the
+    * write builder is created. */
+  final case class RewriteMatched(replaced: () => Set[String]) extends Mode
 }
 
 final class GraftBatchWrite(table: GraftTable, mode: GraftBatchWrite.Mode)
@@ -104,6 +109,11 @@ final class GraftBatchWrite(table: GraftTable, mode: GraftBatchWrite.Mode)
       case Append => Commits.mergeAppend(table, files)
       case DynamicOverwrite => Commits.replacePartitions(table, files)
       case FilterOverwrite(e) => Commits.overwriteByFilter(table, e, files)
+      case RewriteMatched(replaced) =>
+        val del = replaced()
+        // a MERGE whose condition matched no groups has nothing to commit
+        if (del.nonEmpty || files.nonEmpty)
+          Commits.rewriteFiles(table, del, files)
     }
   }
 

@@ -28,7 +28,8 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
     ident: String, snapshotId: Option[Long] = None,
     asOfMillis: Option[Long] = None)
   extends Table with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   /** SQL `DELETE FROM t WHERE p` (reference spark3 SparkTable implements
     * SupportsDelete with metadata-only deletes). Ours goes further:
@@ -40,6 +41,15 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
 
   override def deleteWhere(filters: Array[Filter]): Unit =
     Deletes.deleteWhere(table, FilterBridge.convertAll(filters))
+
+  /** SQL MERGE INTO / UPDATE (and DELETE with non-convertible predicates):
+    * group-based copy-on-write via ReplaceData. Convertible DELETEs still
+    * take the SupportsDelete path above (Spark's metadata-only-delete
+    * optimization asks canDeleteWhere first). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(spark, table, info.command())
 
   private def scan0: TableScan = {
     var s = table.newScan()
@@ -93,9 +103,18 @@ object GraftSparkTable {
   }
 }
 
-/** Pushdown plumbing (reference SparkScanBuilder.java:100-141). */
+/** Pushdown plumbing (reference SparkScanBuilder.java:100-141).
+  *
+  * `groupGranular` puts the builder in row-level-operation mode (reference
+  * SparkCopyOnWriteScan): pushed filters prune FILES only — every row of a
+  * surviving file is produced, because ReplaceData rewrites whole groups
+  * and a row-filtered read would drop the unmatched rows it must carry
+  * over. `onPlan` hands the planned file set to the operation so its
+  * commit can replace exactly what was read. */
 final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
-    base: TableScan, options: CaseInsensitiveStringMap)
+    base: TableScan, options: CaseInsensitiveStringMap,
+    groupGranular: Boolean = false,
+    onPlan: ScanPlan => Unit = _ => ())
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -104,7 +123,9 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => FilterBridge.convert(f).isDefined)
     // return ALL filters as post-scan: Spark re-applies them — residual
-    // safety exactly as the reference (SparkScanBuilder.java:121-123)
+    // safety exactly as the reference (SparkScanBuilder.java:121-123).
+    // (In group-granular mode Spark ignores the residual: the ReplaceData
+    // query carries the full condition logic itself.)
     filters
   }
 
@@ -118,6 +139,7 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     val scan = if (expr == AlwaysTrue) base else base.filter(expr)
     val schema = scan.scanSchema
     val plan = scan.planFiles()
+    onPlan(plan)
     def strip(st: StructType) = Types.cleanType(st).asInstanceOf[StructType]
     val clean = strip(schema)
     val read = requiredSchema.getOrElse(clean)
@@ -303,9 +325,11 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
         // column isn't in the files) — they stay Spark-side residuals over
         // the appended constants; partition PRUNING already fired in
         // planFiles
-        val groupFilters = pushed
-          .filter(_.references.forall(r => !partServeNames.contains(r)))
-          .flatMap(f => renameFilter(f, renames))
+        val groupFilters =
+          if (groupGranular) Array.empty[Filter] // whole groups, no row filter
+          else pushed
+            .filter(_.references.forall(r => !partServeNames.contains(r)))
+            .flatMap(f => renameFilter(f, renames))
         // manifest-fed index: no listing/stat calls at plan time
         val partValsOf: DataFile => Seq[Any] = df => {
           val sp = m.specs(df.specId)

@@ -1,0 +1,98 @@
+package graft.connector
+
+import graft.SparkSpec
+import graft.format.GraftTable
+import java.nio.file.Files
+
+/** SQL MERGE INTO / UPDATE through SupportsRowLevelOperations (group-based
+  * copy-on-write ReplaceData). Unmatched rows in affected files must be
+  * carried over, untouched files must survive by reference, and the whole
+  * operation must be one atomic snapshot. */
+class MergeSpec extends SparkSpec {
+
+  private lazy val wh: String = {
+    val d = Files.createTempDirectory("graft-mgwh").toString
+    spark.conf.set("spark.sql.catalog.mg", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.mg.warehouse", d)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mg.db")
+    d
+  }
+
+  test("MERGE INTO: update matched, insert unmatched, carry the rest") {
+    wh
+    spark.sql("CREATE TABLE mg.db.tgt (id BIGINT, v STRING, n BIGINT)")
+    spark.sql("INSERT INTO mg.db.tgt VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    spark.sql("CREATE TABLE mg.db.src (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO mg.db.src VALUES (2, 'B'), (4, 'D')")
+
+    spark.sql("""MERGE INTO mg.db.tgt t USING mg.db.src s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET t.v = s.v, t.n = t.n + 1
+                 WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.id, s.v, 0)""")
+
+    val rows = spark.sql("SELECT id, v, n FROM mg.db.tgt ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows === Seq((1L, "a", 10L), (2L, "B", 21L), (3L, "c", 30L), (4L, "D", 0L)))
+
+    // one atomic snapshot for the whole MERGE, operation 'replace'
+    val t = GraftTable.load(spark, s"$wh/db/tgt")
+    assert(t.snapshots.size === 2)
+    assert(t.snapshots.last.operation === "replace")
+  }
+
+  test("MERGE WHEN MATCHED DELETE; untouched files survive by reference") {
+    wh
+    spark.sql("""CREATE TABLE mg.db.tgt2 (id BIGINT, v STRING)
+                 TBLPROPERTIES ('commit.manifest.min-count-to-merge'='1000')""")
+    spark.sql("INSERT INTO mg.db.tgt2 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO mg.db.tgt2 VALUES (100, 'x'), (200, 'y')")
+    val before = GraftTable.load(spark, s"$wh/db/tgt2")
+      .newScan().planFiles().files.map(_.path).toSet
+    spark.sql("CREATE TABLE mg.db.src2 (id BIGINT)")
+    spark.sql("INSERT INTO mg.db.src2 VALUES (2)")
+
+    // the target-only conjunct (t.id < 50) is pushable and prunes the
+    // (100, 200) file by stats; the join conjunct can only be evaluated at
+    // runtime and selects within the surviving groups
+    spark.sql("""MERGE INTO mg.db.tgt2 t USING mg.db.src2 s
+                 ON t.id = s.id AND t.id < 50
+                 WHEN MATCHED THEN DELETE""")
+
+    assert(spark.sql("SELECT id FROM mg.db.tgt2 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 100L, 200L))
+    // files whose stats exclude id<50 were never rewritten (group pruning)
+    val after = GraftTable.load(spark, s"$wh/db/tgt2")
+      .newScan().planFiles().files.map(_.path).toSet
+    assert((before -- after).nonEmpty, "matched file should be rewritten")
+    assert((before & after).nonEmpty,
+      "files that can't contain matches must survive by reference")
+  }
+
+  test("UPDATE SET via SQL (row-level op path)") {
+    wh
+    spark.sql("CREATE TABLE mg.db.upd (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO mg.db.upd VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("UPDATE mg.db.upd SET v = concat(v, '!') WHERE id % 2 = 1")
+    assert(spark.sql("SELECT v FROM mg.db.upd ORDER BY id").collect()
+      .map(_.getString(0)).toSeq === Seq("a!", "b", "c!"))
+  }
+
+  test("MERGE on a partitioned table routes rewritten rows to partitions") {
+    wh
+    spark.sql("""CREATE TABLE mg.db.ptgt (id BIGINT, cat STRING)
+                 PARTITIONED BY (cat)""")
+    spark.sql("INSERT INTO mg.db.ptgt VALUES (1, 'x'), (2, 'y')")
+    spark.sql("CREATE TABLE mg.db.psrc (id BIGINT, cat STRING)")
+    spark.sql("INSERT INTO mg.db.psrc VALUES (2, 'z'), (3, 'x')")
+    spark.sql("""MERGE INTO mg.db.ptgt t USING mg.db.psrc s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET t.cat = s.cat
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val rows = spark.sql("SELECT id, cat FROM mg.db.ptgt ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, "x"), (2L, "z"), (3L, "x")))
+    // partition tuples reflect the post-merge values
+    val t = GraftTable.load(spark, s"$wh/db/ptgt")
+    val parts = t.newScan().planFiles().files
+      .flatMap(_.partition.get("cat")).map(_.toString).toSet
+    assert(parts === Set("x", "z"))
+  }
+}
