@@ -39,8 +39,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // the stable cross-round signal: same 11 queries since round 1
+    // (per-query noise is ±20%; new queries only widen `total`)
+    val lfl11 = results.filter(r => Queries.likeForLike11.contains(r._1))
+      .map(_._2).sum
     spark.stop()
-    realOut.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    realOut.println(s"""{"metric":"total","value":$total,"unit":"sec","lfl11":$lfl11,"queries":$qs,"sf":"$sfDir"}""")
     realOut.flush()
   }
 }

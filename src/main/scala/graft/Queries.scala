@@ -818,4 +818,15 @@ object Queries {
     "q32_exact_dedup", "q33_jaccard_pairs", "q33_jaccard_default",
     "q39_cosine_topk", "q63_partition_prune", "q78_sql_catalog",
     "q82_orc_source", "q83_avro_source")
+
+  /** The 11 queries benched since round 1 — the stable cross-round signal.
+    * Per-query times are ±20% noisy run to run; this subtotal is what the
+    * BENCH series is compared on. Append-only: never remove entries (that
+    * would break the like-for-like property); new queries join `headline`
+    * and the all-query total instead. */
+  val likeForLike11: Seq[String] = Seq(
+    "q01_pricing_summary", "q02_revenue_by_year", "q03_revenue_by_nation",
+    "q06_selective_filter", "q11_running_total", "q17_events_hourly",
+    "q32_exact_dedup", "q33_jaccard_pairs", "q39_cosine_topk",
+    "q63_partition_prune", "q78_sql_catalog")
 }
