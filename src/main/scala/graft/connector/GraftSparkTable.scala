@@ -29,7 +29,15 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
     asOfMillis: Option[Long] = None)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
-  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_file` metadata column (reference spark3 MetadataColumns._file): the
+    * source data-file path, served as a per-file partition constant. Powers
+    * provenance queries and MERGE's runtime group filtering. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftSparkTable.FileMetadataColumn)
 
   /** SQL `DELETE FROM t WHERE p` (reference spark3 SparkTable implements
     * SupportsDelete with metadata-only deletes). Ours goes further:
@@ -83,6 +91,17 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
 }
 
 object GraftSparkTable {
+  /** Name of the file-path metadata column. */
+  val FileColumn = "_file"
+
+  object FileMetadataColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = FileColumn
+    override def dataType(): DataType = StringType
+    override def isNullable: Boolean = false
+    override def comment(): String = "path of the data file the row came from"
+  }
+
   /** The table's partition spec as Spark connector transforms (shared by
     * Table.partitioning() and the write's required distribution). */
   def partitionTransforms(m: TableMetadata): Array[XTransform] = {
@@ -114,7 +133,8 @@ object GraftSparkTable {
 final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     base: TableScan, options: CaseInsensitiveStringMap,
     groupGranular: Boolean = false,
-    onPlan: ScanPlan => Unit = _ => ())
+    onPlan: ScanPlan => Unit = _ => (),
+    onRuntimeFilter: Set[String] => Unit = _ => ())
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -142,7 +162,16 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     onPlan(plan)
     def strip(st: StructType) = Types.cleanType(st).asInstanceOf[StructType]
     val clean = strip(schema)
-    val read = requiredSchema.getOrElse(clean)
+    val requested = requiredSchema.getOrElse(clean)
+    // `_file` metadata column: requested only via SupportsMetadataColumns
+    // (never part of the data schema unless shadowed by a real column);
+    // served below as a per-file partition constant, so it costs nothing
+    // when absent and no data-file I/O when present
+    val metaFile = requested.fieldNames.contains(GraftSparkTable.FileColumn) &&
+      !clean.fieldNames.contains(GraftSparkTable.FileColumn)
+    val read = if (!metaFile) requested
+      else StructType(requested.fields.filterNot(
+        _.name == GraftSparkTable.FileColumn))
 
     // re-attach field ids to a (possibly nested-pruned) clean type by name
     // against the id-bearing scan schema, so nested id resolution works on
@@ -212,7 +241,10 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
         "columns are metadata-only (imported hive layouts); rewrite the files first")
     val partServeNames = partServe.map(_.name).toSet
     val partSchema = StructType(partServe.map(f =>
-      StructField(f.name, Types.cleanType(f.dataType), nullable = true)))
+      StructField(f.name, Types.cleanType(f.dataType), nullable = true)) ++
+      (if (metaFile)
+        Seq(StructField(GraftSparkTable.FileColumn, StringType, nullable = false))
+      else Nil))
 
     // position deletes ride the parquet readers' synthetic row-index column;
     // ORC groups that a position delete actually TARGETS fall back to a
@@ -267,6 +299,11 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
               .filterNot(read.fieldNames.contains)
             StructType(read.fields ++ missing.map(n => clean.fields.find(_.name == n).get))
           }
+        // physical row layout under deletes: [wideTarget..., rowIdx?,
+        // partition constants (only _file possible — identity partServe +
+        // deletes throws above)]; _file rides through the projection at
+        // the END, matching the declared output
+        val posExtra = if (groupPos) 1 else 0
         val deletes: Option[GroupDeletes] =
           if (applicable.isEmpty && !groupPos) None
           else Some(GroupDeletes(
@@ -275,9 +312,11 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
               ds.names.map(n => clean.fields.find(_.name == n).get.dataType),
               ds.paths)),
             wideTarget.fields.map(_.dataType) ++
-              (if (groupPos) Seq(LongType) else Nil),
+              (if (groupPos) Seq(LongType) else Nil) ++
+              (if (metaFile) Seq(StringType) else Nil),
             if (wideTarget.length == read.length && !groupPos) None
-            else Some(read.fields.map(f => wideTarget.fieldIndex(f.name))),
+            else Some(read.fields.map(f => wideTarget.fieldIndex(f.name)).toSeq ++
+              (if (metaFile) Seq(wideTarget.length + posExtra) else Nil)),
             new org.apache.spark.util.SerializableConfiguration(
               spark.sessionState.newHadoopConf()),
             if (groupPos) Some(PosDeleteSource(posPaths, wideTarget.length))
@@ -330,13 +369,17 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
           else pushed
             .filter(_.references.forall(r => !partServeNames.contains(r)))
             .flatMap(f => renameFilter(f, renames))
-        // manifest-fed index: no listing/stat calls at plan time
+        // manifest-fed index: no listing/stat calls at plan time. `_file`
+        // is a per-file constant, so the index degrades to one partition
+        // dir per file when it's requested (bin-packing trades for
+        // provenance — only on queries that ask)
         val partValsOf: DataFile => Seq[Any] = df => {
           val sp = m.specs(df.specId)
           partServe.map(f => sp.fields.find(pf =>
               pf.transform == Transforms.IdentityT &&
               FieldIds.findById(schema, pf.sourceId).exists(_.name == f.name))
-            .map(pf => df.partition.getOrElse(pf.name, null)).getOrElse(null))
+            .map(pf => df.partition.getOrElse(pf.name, null)).getOrElse(null)) ++
+            (if (metaFile) Seq(df.path) else Nil)
         }
         val index = new GraftFileIndex(spark, tasks.map(_.file), partSchema,
           partValsOf)
@@ -344,7 +387,8 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
           case FileFormats.Orc if orcPos =>
             new GraftOrcRowScan(groupRead, tasks.map(_.file.path),
               new org.apache.spark.util.SerializableConfiguration(
-                spark.sessionState.newHadoopConf()))
+                spark.sessionState.newHadoopConf()),
+              appendFilePath = metaFile)
           case FileFormats.Orc =>
             org.apache.spark.sql.execution.datasources.v2.orc.OrcScan(
               spark, spark.sessionState.newHadoopConf(), index,
@@ -368,14 +412,16 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
         (scan, deletes)
     }
     // declared output = physical layout: data columns (minus partition-
-    // served) then partition-served columns — Spark re-projects above by
-    // attribute, so order differences from the pruned request are fine
+    // served) then partition-served columns (incl. `_file`) — Spark
+    // re-projects above by attribute, so order differences from the pruned
+    // request are fine
     val output =
-      if (partServe.isEmpty) read
+      if (partSchema.isEmpty) read
       else StructType(read.fields.filterNot(f => partServeNames.contains(f.name)) ++
         partSchema.fields)
     new GraftScan(output, groups.map(_._1), plan, spark, table, options,
-      groups.map(_._2))
+      groups.map(_._2), runtimeFileFiltering = groupGranular,
+      onRuntimeFilter = onRuntimeFilter)
   }
 
   /** Rename filter references current→file names; drop if any referenced
@@ -410,14 +456,56 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
 final class GraftScan(output: StructType, groupScans: Seq[Scan],
     plan: ScanPlan, spark: SparkSession = null, table: GraftTable = null,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
-    deletes: Seq[Option[GroupDeletes]] = Nil)
+    deletes: Seq[Option[GroupDeletes]] = Nil,
+    runtimeFileFiltering: Boolean = false,
+    onRuntimeFilter: Set[String] => Unit = _ => ())
   extends Scan
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Statistics}
   import java.util.OptionalLong
 
   override def readSchema(): StructType = output
   override def description(): String = s"graft(${groupScans.size} scan groups)"
+
+  /** Runtime group filtering (reference SparkCopyOnWriteScan): row-level
+    * operation scans advertise `_file`, so Spark's
+    * RowLevelOperationRuntimeGroupFiltering injects a dynamic subquery of
+    * the files that actually contain matches — a join-only MERGE then
+    * rewrites matched files instead of every candidate group. Canonical
+    * paths survive: files not in the runtime set are dropped from both the
+    * input partitions (below) and the operation's replaced-file set
+    * (`onRuntimeFilter`). */
+  private var runtimeKeep: Option[Set[String]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (runtimeFileFiltering)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(GraftSparkTable.FileColumn))
+    else Array.empty
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal => XLit, NamedReference}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    // a predicate shape we don't recognize is simply ignored: filtering is
+    // an optimization, never required for correctness
+    predicates.foreach {
+      case p: Predicate if p.name() == "IN" && p.children().nonEmpty &&
+          (p.children()(0) match {
+            case nr: NamedReference =>
+              nr.fieldNames().sameElements(Array(GraftSparkTable.FileColumn))
+            case _ => false
+          }) =>
+        val vals = p.children().drop(1).collect {
+          case l: XLit[_] if l.value() != null => ParquetIO.canonPath(l.value().toString)
+        }.toSet
+        runtimeKeep = Some(runtimeKeep.fold(vals)(_ intersect vals))
+        onRuntimeFilter(vals)
+      case _ => ()
+    }
+  }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -447,30 +535,45 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
         groupDeletes(i).forall(ColumnarDeletes.supports)
     }
 
-    override def planInputPartitions(): Array[InputPartition] =
+    override def planInputPartitions(): Array[InputPartition] = {
+      import org.apache.spark.sql.execution.datasources.FilePartition
+      val keep = runtimeKeep
+      def kept(path: String): Boolean =
+        keep.forall(_.contains(ParquetIO.canonPath(path)))
       partsByGroup.zipWithIndex.flatMap { case (parts, i) =>
-        if (!groupDeletes(i).exists(_.pos.isDefined))
+        val posGroup = groupDeletes(i).exists(_.pos.isDefined)
+        if (!posGroup && keep.isEmpty)
           parts.toSeq.map(p => GroupedPartition(i, p): InputPartition)
         else parts.toSeq.flatMap {
-          // position deletes are keyed by data-file path, so each task must
-          // cover exactly one file; a split of a file keeps absolute row
-          // indexes, so file SPLITS stay parallel — only bin-packing of
-          // distinct files into one partition is undone
-          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-            // the SAME canonicalization the delete rows' file_path goes
-            // through (PosDeleteCache.load), so the lookup agrees on every
-            // filesystem scheme, not just local file: URIs
-            fp.files.toSeq.map(f => GroupedPartition(i,
-              org.apache.spark.sql.execution.datasources.FilePartition(fp.index, Array(f)),
+          case fp: FilePartition =>
+            // runtime filtering drops files the dynamic subquery proved
+            // matchless; position deletes additionally need one task per
+            // file (the position set is keyed by data-file path — the SAME
+            // canonicalization the delete rows' file_path goes through, so
+            // the lookup agrees on every filesystem scheme)
+            val files = fp.files.filter(f => kept(f.filePath.toPath.toString))
+            if (files.isEmpty) Nil
+            else if (posGroup) files.toSeq.map(f => GroupedPartition(i,
+              FilePartition(fp.index, Array(f)),
               Some(ParquetIO.canonPath(f.filePath.toPath.toString))): InputPartition)
-          // ORC row-path partitions are file-granular by construction
+            else Seq(GroupedPartition(i, FilePartition(fp.index, files)): InputPartition)
+          // ORC row-path and Avro partitions are file-granular by construction
           case op: OrcRowFilePartition =>
-            Seq(GroupedPartition(i, op,
+            if (!kept(op.path)) Nil
+            else Seq(GroupedPartition(i, op,
               Some(ParquetIO.canonPath(op.path))): InputPartition)
-          case other => throw new IllegalStateException(
-            s"position deletes need file-granular partitions, got ${other.getClass}")
+          case ap: AvroFilePartition =>
+            if (!kept(ap.path)) Nil
+            else Seq(GroupedPartition(i, ap): InputPartition)
+          case other =>
+            if (posGroup) throw new IllegalStateException(
+              s"position deletes need file-granular partitions, got ${other.getClass}")
+            // unknown partition shape: keep it — runtime filtering is an
+            // optimization, never required for correctness
+            else Seq(GroupedPartition(i, other): InputPartition)
         }
       }.toArray
+    }
     override def createReaderFactory(): PartitionReaderFactory =
       GroupedReaderFactory(innerFactories, groupDeletes, columnar)
   }

@@ -4,7 +4,7 @@ import graft.format.OrcIO
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Row-path ORC scan for groups TARGETED by position deletes: Spark's
   * vectorized ORC reader does not populate the synthetic row-index column
@@ -23,11 +23,16 @@ final case class OrcRowFilePartition(path: String) extends InputPartition
 final class GraftOrcRowScan(
     dataSchema: StructType, // file-side names, target types (data columns)
     files: Seq[String],
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    appendFilePath: Boolean = false) // serve `_file` after the counter
   extends Scan with Batch with Serializable {
 
   override def readSchema(): StructType =
-    StructType(dataSchema :+ StructField("_graft_row_index", LongType))
+    StructType(dataSchema.fields.toSeq ++
+      Seq(StructField("_graft_row_index", LongType)) ++
+      (if (appendFilePath)
+        Seq(StructField(GraftSparkTable.FileColumn, StringType, nullable = false))
+      else Nil))
   override def toBatch: Batch = this
   override def description(): String = s"graft-orc-rows(${files.size} files)"
 
@@ -35,11 +40,12 @@ final class GraftOrcRowScan(
     files.map(p => OrcRowFilePartition(p): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new OrcRowReaderFactory(dataSchema, conf)
+    new OrcRowReaderFactory(dataSchema, conf, appendFilePath)
 }
 
 final class OrcRowReaderFactory(dataSchema: StructType,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    appendFilePath: Boolean = false)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -48,7 +54,9 @@ final class OrcRowReaderFactory(dataSchema: StructType,
       private val it = OrcIO.open(path, dataSchema, conf.value)
       private var current: InternalRow = _
       private var rowIndex = -1L
-      private val width = dataSchema.length + 1
+      private val width = dataSchema.length + 1 + (if (appendFilePath) 1 else 0)
+      private val pathUtf8 =
+        org.apache.spark.unsafe.types.UTF8String.fromString(path)
 
       override def next(): Boolean = {
         val row = it.read()
@@ -56,7 +64,7 @@ final class OrcRowReaderFactory(dataSchema: StructType,
         else {
           rowIndex += 1
           // the deserializer reuses its row — copy values out, appending
-          // the absolute file position as the last column
+          // the absolute file position (and `_file` when requested) last
           val out = new GenericInternalRow(width)
           var i = 0
           while (i < dataSchema.length) {
@@ -65,6 +73,7 @@ final class OrcRowReaderFactory(dataSchema: StructType,
             i += 1
           }
           out.update(dataSchema.length, rowIndex)
+          if (appendFilePath) out.update(dataSchema.length + 1, pathUtf8)
           current = out
           true
         }

@@ -1,6 +1,6 @@
 package graft.connector
 
-import graft.format.{GraftTable, ScanPlan}
+import graft.format.{GraftTable, ParquetIO, ScanPlan}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.ProjectingInternalRow
@@ -39,11 +39,25 @@ final class GraftRowLevelOperation(spark: SparkSession, table: GraftTable,
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"graft copy-on-write $cmd"
 
+  /** The operation's read carries `_file` so (a) Spark's runtime group
+    * filtering can build the dynamic matched-files subquery and (b) the
+    * ReplaceData plan gets a metadata projection, which hands the writer
+    * clean data-width rows (reference SparkCopyOnWriteOperation requires
+    * the same attribute). */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftSparkTable.FileColumn))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, table, table.newScan(), options,
       groupGranular = true,
       onPlan = (plan: ScanPlan) =>
-        scanned.set(plan.tasks.map(_.file.path).toSet))
+        scanned.set(plan.tasks.map(_.file.path).toSet),
+      // runtime group filtering narrowed the scan to files that actually
+      // contain matches — the commit must replace exactly that set
+      onRuntimeFilter = (keep: Set[String]) =>
+        scanned.updateAndGet(_.filter(p => keep.contains(ParquetIO.canonPath(p)))))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

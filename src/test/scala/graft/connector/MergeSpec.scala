@@ -67,6 +67,63 @@ class MergeSpec extends SparkSpec {
       "files that can't contain matches must survive by reference")
   }
 
+  test("_file metadata column serves the source file path") {
+    wh
+    spark.sql("""CREATE TABLE mg.db.mf (id BIGINT, v STRING)
+                 TBLPROPERTIES ('commit.manifest.min-count-to-merge'='1000')""")
+    spark.sql("INSERT INTO mg.db.mf VALUES (1, 'a')")
+    spark.sql("INSERT INTO mg.db.mf VALUES (2, 'b')")
+    val rows = spark.sql("SELECT id, _file FROM mg.db.mf ORDER BY id").collect()
+    val paths = GraftTable.load(spark, s"$wh/db/mf")
+      .newScan().planFiles().files.map(_.path).toSet
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(1)).toSet.subsetOf(paths))
+    assert(rows.map(_.getString(1)).distinct.length == 2)
+    // plain SELECT * does not include the metadata column
+    assert(spark.sql("SELECT * FROM mg.db.mf").columns.toSeq === Seq("id", "v"))
+    // aggregating by _file: per-file row counts
+    val counts = spark.sql(
+      "SELECT _file, count(*) AS n FROM mg.db.mf GROUP BY _file").collect()
+    assert(counts.length == 2 && counts.forall(_.getLong(1) == 1L))
+  }
+
+  test("_file works alongside live row-level deletes") {
+    wh
+    import spark.implicits._
+    spark.sql("CREATE TABLE mg.db.mfd (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO mg.db.mfd VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val t = GraftTable.load(spark, s"$wh/db/mfd")
+    graft.format.Deletes.deleteByEquality(t, Seq(2L).toDF("id"))
+    val rows = spark.sql("SELECT id, _file FROM mg.db.mfd ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(rows.forall(_.getString(1).nonEmpty))
+  }
+
+  test("join-only MERGE prunes groups at runtime (dynamic file filter)") {
+    wh
+    spark.sql("""CREATE TABLE mg.db.rt (id BIGINT, v STRING)
+                 TBLPROPERTIES ('commit.manifest.min-count-to-merge'='1000')""")
+    spark.sql("INSERT INTO mg.db.rt VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO mg.db.rt VALUES (100, 'x'), (200, 'y')")
+    val before = GraftTable.load(spark, s"$wh/db/rt")
+      .newScan().planFiles().files.map(_.path).toSet
+    spark.sql("CREATE TABLE mg.db.rsrc (id BIGINT)")
+    spark.sql("INSERT INTO mg.db.rsrc VALUES (2)")
+
+    // NO static target-only conjunct: group selection must come from the
+    // runtime file filter (dynamic subquery over _file)
+    spark.sql("""MERGE INTO mg.db.rt t USING mg.db.rsrc s ON t.id = s.id
+                 WHEN MATCHED THEN DELETE""")
+
+    assert(spark.sql("SELECT id FROM mg.db.rt ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 100L, 200L))
+    val after = GraftTable.load(spark, s"$wh/db/rt")
+      .newScan().planFiles().files.map(_.path).toSet
+    assert((before -- after).nonEmpty, "matched file must be rewritten")
+    assert((before & after).nonEmpty,
+      "files the runtime filter excluded must survive by reference")
+  }
+
   test("UPDATE SET via SQL (row-level op path)") {
     wh
     spark.sql("CREATE TABLE mg.db.upd (id BIGINT, v STRING)")
