@@ -133,6 +133,17 @@ class MergeSpec extends SparkSpec {
       .map(_.getString(0)).toSeq === Seq("a!", "b", "c!"))
   }
 
+  test("DELETE with a non-convertible predicate falls back to ReplaceData") {
+    wh
+    spark.sql("CREATE TABLE mg.db.ncd (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO mg.db.ncd VALUES (1, 'keep'), (2, 'drop-me'), (3, 'keep2')")
+    // contains() has no Filter conversion -> SupportsDelete.canDeleteWhere
+    // is false; the row-level op path must take over
+    spark.sql("DELETE FROM mg.db.ncd WHERE contains(v, 'drop')")
+    assert(spark.sql("SELECT id FROM mg.db.ncd ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L))
+  }
+
   test("MERGE on a partitioned table routes rewritten rows to partitions") {
     wh
     spark.sql("""CREATE TABLE mg.db.ptgt (id BIGINT, cat STRING)
