@@ -32,12 +32,16 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
-  /** `_file` metadata column (reference spark3 MetadataColumns._file): the
-    * source data-file path, served as a per-file partition constant. Powers
-    * provenance queries and MERGE's runtime group filtering. */
+  /** Metadata columns (reference spark3 MetadataColumns): `_file` — the
+    * source data-file path, served as a per-file partition constant —
+    * powers provenance queries and MERGE's runtime group filtering; `_pos`
+    * — the row's position in its file — pairs with `_file` to target
+    * position deletes from SQL (parquet rides the reader's row-index
+    * column, ORC the row-path counter; Avro rows aren't addressable by
+    * position and raise). */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(GraftSparkTable.FileMetadataColumn)
+    Array(GraftSparkTable.FileMetadataColumn, GraftSparkTable.PosMetadataColumn)
 
   /** SQL `DELETE FROM t WHERE p` (reference spark3 SparkTable implements
     * SupportsDelete with metadata-only deletes). Ours goes further:
@@ -100,6 +104,17 @@ object GraftSparkTable {
     override def dataType(): DataType = StringType
     override def isNullable: Boolean = false
     override def comment(): String = "path of the data file the row came from"
+  }
+
+  /** Name of the row-position metadata column. */
+  val PosColumn = "_pos"
+
+  object PosMetadataColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = PosColumn
+    override def dataType(): DataType = LongType
+    override def isNullable: Boolean = false
+    override def comment(): String = "row position within its data file"
   }
 
   /** The table's partition spec as Spark connector transforms (shared by
@@ -169,9 +184,14 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     // when absent and no data-file I/O when present
     val metaFile = requested.fieldNames.contains(GraftSparkTable.FileColumn) &&
       !clean.fieldNames.contains(GraftSparkTable.FileColumn)
-    val read = if (!metaFile) requested
-      else StructType(requested.fields.filterNot(
-        _.name == GraftSparkTable.FileColumn))
+    // `_pos`: the row's position in its file — parquet rides the readers'
+    // row-index column, ORC groups take the row-path counter scan
+    val metaPos = requested.fieldNames.contains(GraftSparkTable.PosColumn) &&
+      !clean.fieldNames.contains(GraftSparkTable.PosColumn)
+    val read = if (!metaFile && !metaPos) requested
+      else StructType(requested.fields.filterNot(f =>
+        f.name == GraftSparkTable.FileColumn ||
+        f.name == GraftSparkTable.PosColumn))
 
     // re-attach field ids to a (possibly nested-pruned) clean type by name
     // against the id-bearing scan schema, so nested id resolution works on
@@ -283,6 +303,15 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
             posTargetPaths.contains(ParquetIO.canonPath(t.file.path))))
           throw Deletes.unsupportedPosDeleteOn(fmt)
         val orcPos = groupPos && fmt == FileFormats.Orc
+        // `_pos` rides the same row-index machinery position deletes use:
+        // parquet appends the synthetic reader column, ORC groups take the
+        // row-path counter scan; Avro rows aren't addressable by position
+        val needRowIdx = groupPos || metaPos
+        val orcRow = fmt == FileFormats.Orc && (orcPos || metaPos)
+        if (metaPos && fmt == FileFormats.Avro)
+          throw new UnsupportedOperationException(
+            "_pos is not supported on avro data files (container rows are " +
+            "not addressable by position)")
         val fileSchema = m.schemas.getOrElse(schemaId, schema)
         val fileById = FieldIds.idToName(fileSchema)
         def fileName(target: StructField): String =
@@ -303,7 +332,7 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
         // partition constants (only _file possible — identity partServe +
         // deletes throws above)]; _file rides through the projection at
         // the END, matching the declared output
-        val posExtra = if (groupPos) 1 else 0
+        val posExtra = if (needRowIdx) 1 else 0
         val deletes: Option[GroupDeletes] =
           if (applicable.isEmpty && !groupPos) None
           else Some(GroupDeletes(
@@ -312,10 +341,11 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
               ds.names.map(n => clean.fields.find(_.name == n).get.dataType),
               ds.paths)),
             wideTarget.fields.map(_.dataType) ++
-              (if (groupPos) Seq(LongType) else Nil) ++
+              (if (needRowIdx) Seq(LongType) else Nil) ++
               (if (metaFile) Seq(StringType) else Nil),
             if (wideTarget.length == read.length && !groupPos) None
             else Some(read.fields.map(f => wideTarget.fieldIndex(f.name)).toSeq ++
+              (if (metaPos) Seq(wideTarget.length) else Nil) ++
               (if (metaFile) Seq(wideTarget.length + posExtra) else Nil)),
             new org.apache.spark.util.SerializableConfiguration(
               spark.sessionState.newHadoopConf()),
@@ -342,7 +372,7 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
         val groupRead = StructType(wideTarget.fields
           .filterNot(f => partServeNames.contains(f.name)).map(f =>
             StructField(renames(f.name), fileSide(f), f.nullable)) ++
-          (if (groupPos && !orcPos) Seq(StructField(
+          (if (needRowIdx && !orcRow) Seq(StructField(
             // nullable: the column is absent from the FILE (the reader treats
             // it as a missing optional column, then its RowIndexGenerator
             // overwrites the null vector with real row indexes). ORC pos
@@ -384,7 +414,7 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
         val index = new GraftFileIndex(spark, tasks.map(_.file), partSchema,
           partValsOf)
         val scan: Scan = fmt match {
-          case FileFormats.Orc if orcPos =>
+          case FileFormats.Orc if orcRow =>
             new GraftOrcRowScan(groupRead, tasks.map(_.file.path),
               new org.apache.spark.util.SerializableConfiguration(
                 spark.sessionState.newHadoopConf()),
@@ -416,8 +446,10 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     // re-projects above by attribute, so order differences from the pruned
     // request are fine
     val output =
-      if (partSchema.isEmpty) read
+      if (partSchema.isEmpty && !metaPos) read
       else StructType(read.fields.filterNot(f => partServeNames.contains(f.name)) ++
+        (if (metaPos) Seq(StructField(GraftSparkTable.PosColumn, LongType,
+          nullable = false)) else Nil) ++
         partSchema.fields)
     new GraftScan(output, groups.map(_._1), plan, spark, table, options,
       groups.map(_._2), runtimeFileFiltering = groupGranular,

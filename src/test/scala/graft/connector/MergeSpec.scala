@@ -133,6 +133,53 @@ class MergeSpec extends SparkSpec {
       .map(_.getString(0)).toSeq === Seq("a!", "b", "c!"))
   }
 
+  test("_pos metadata column: SQL-native position-delete workflow") {
+    wh
+    import spark.implicits._
+    spark.sql("CREATE TABLE mg.db.mp (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO mg.db.mp SELECT id, concat('v', id) FROM range(6)")
+    // positions are per-file row indexes, pairing with _file
+    val provenance = spark.sql(
+      "SELECT id, _file, _pos FROM mg.db.mp ORDER BY _file, _pos").collect()
+    assert(provenance.length == 6)
+    assert(provenance.groupBy(_.getString(1)).values
+      .forall(rows => rows.map(_.getLong(2)).toSeq == rows.indices.map(_.toLong)))
+    // the provenance drives a position delete directly
+    val pos = spark.sql(
+      "SELECT _file AS file_path, _pos AS pos FROM mg.db.mp WHERE id % 2 = 0")
+    val t = GraftTable.load(spark, s"$wh/db/mp")
+    graft.format.Deletes.deletePositions(t, pos)
+    assert(spark.sql("SELECT id FROM mg.db.mp ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L, 5L))
+    // _pos still serves correctly THROUGH the live position deletes
+    val after = spark.sql("SELECT id, _pos FROM mg.db.mp ORDER BY id").collect()
+    assert(after.map(_.getLong(0)).toSeq === Seq(1L, 3L, 5L))
+    assert(after.forall(_.getLong(1) >= 0))
+  }
+
+  test("_pos on an ORC table takes the row-path counter") {
+    wh
+    spark.sql("""CREATE TABLE mg.db.mporc (id BIGINT)
+                 TBLPROPERTIES ('write.format.default'='orc')""")
+    spark.sql("INSERT INTO mg.db.mporc SELECT id FROM range(4)")
+    val rows = spark.sql("SELECT id, _file, _pos FROM mg.db.mporc ORDER BY _file, _pos")
+      .collect()
+    assert(rows.length == 4)
+    assert(rows.groupBy(_.getString(1)).values
+      .forall(rs => rs.map(_.getLong(2)).toSeq == rs.indices.map(_.toLong)))
+  }
+
+  test("_pos on avro raises a clear error") {
+    wh
+    spark.sql("""CREATE TABLE mg.db.mpav (id BIGINT)
+                 TBLPROPERTIES ('write.format.default'='avro')""")
+    spark.sql("INSERT INTO mg.db.mpav VALUES (1)")
+    val e = intercept[Exception](
+      spark.sql("SELECT _pos FROM mg.db.mpav").collect())
+    assert(e.getMessage.contains("_pos") ||
+      Option(e.getCause).exists(_.getMessage.contains("_pos")))
+  }
+
   test("DELETE with a non-convertible predicate falls back to ReplaceData") {
     wh
     spark.sql("CREATE TABLE mg.db.ncd (id BIGINT, v STRING)")
