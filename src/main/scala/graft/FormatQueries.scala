@@ -509,6 +509,31 @@ object FormatQueries {
                FROM graftmrg.db.customer_merge GROUP BY 1 ORDER BY 1""")
     }),
 
+    // merge-on-read twin of q86 (SupportsDelta → RowDelta): matched rows
+    // become position deletes + change data files; the read applies them
+    // on the fly. Same post-merge state, so the same oracle formulation.
+    "q87_merge_mor" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftmor", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftmor.warehouse", tdir(dir, "morwh"))
+      withTable(s, dir, "morwh/db/customer_mor") { loc =>
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val tt = GraftTable.recreate(s, loc, c.schema,
+          properties = Map("write.merge.mode" -> "merge-on-read"))
+        GraftWrite.append(tt, c.coalesce(4))
+        c.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey").as("k"))
+          .createOrReplaceTempView("graft_mor_src")
+        s.sql("""MERGE INTO graftmor.db.customer_mor t USING graft_mor_src s
+                 ON t.c_custkey = s.k
+                 WHEN MATCHED AND s.k % 20 = 0 THEN DELETE
+                 WHEN MATCHED THEN UPDATE SET t.c_acctbal = t.c_acctbal + 100""")
+        tt
+      }
+      s.sql("""SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+               FROM graftmor.db.customer_mor GROUP BY 1 ORDER BY 1""")
+    }),
+
     // compaction preserves content (RewriteDataFilesAction)
     "q70_compaction" -> ((s, dir) => {
       val t = withTable(s, dir, "region_compacted") { loc =>
@@ -634,6 +659,14 @@ object FormatQueries {
     // the MERGE deleted every 20th customer and added 100 to every other
     // 10th one's balance — recompute that state directly
     "q86_merge_sql" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |CAST(SUM(CAST(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100
+        |  ELSE c_acctbal END AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE c_custkey % 20 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q87: merge-on-read MERGE reaches the same post-merge state as q86
+    "q87_merge_mor" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         |CAST(SUM(CAST(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100
         |  ELSE c_acctbal END AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal

@@ -1,0 +1,192 @@
+package graft.connector
+
+import graft.format._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Merge-on-read row-level operations (SupportsDelta → WriteDelta):
+  * instead of rewriting every file that contains a match (copy-on-write),
+  * the operation emits POSITION DELETES for matched rows plus data files
+  * for inserts/updated rows, committed as one RowDelta — the write cost is
+  * proportional to the CHANGE, not to the files touched. This is the
+  * natural fit for the reference's v2 delete design (api/.../RowDelta.java,
+  * PositionDeleteWriter): the commit algebra and delete-applying scans
+  * already exist; this wires Spark's delta planner onto them.
+  *
+  * Mode selection is per-command via Iceberg-named table properties
+  * `write.delete.mode` / `write.update.mode` / `write.merge.mode`
+  * (`copy-on-write` default, `merge-on-read` opt-in). Reads after a
+  * merge-on-read commit apply the deletes on the fly (parquet row-index /
+  * ORC row-path counter); compaction materializes them away.
+  */
+final class GraftDeltaOperation(spark: SparkSession, table: GraftTable,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft merge-on-read $cmd"
+
+  /** Matched rows are addressed by (file, position) — the position-delete
+    * key (reference PositionDelete<T>). */
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(GraftSparkTable.FileColumn),
+      Expressions.column(GraftSparkTable.PosColumn))
+
+  /** An updated row may land in a different partition (the update can
+    * change partition-source columns), so updates are DELETE + REINSERT —
+    * same choice as the reference's Spark integration. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  /** A NORMAL scan: row-level filters push down (matched rows only are
+    * needed — there is no carry-over set in a delta plan); `_file`/`_pos`
+    * arrive via the metadata-column machinery. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(spark, table, table.newScan(), options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def description(): String = s"graft row-delta $cmd"
+        override def toBatch: DeltaBatchWrite = new GraftDeltaBatchWrite(table)
+      }
+    }
+}
+
+/** One atomic RowDelta commit: executor tasks fan out data files for
+  * inserted/updated rows (the same writers batch INSERT uses) and one
+  * sorted position-delete file per task; the driver commit is pure
+  * metadata (reference BaseRowDelta). */
+final class GraftDeltaBatchWrite(table: GraftTable) extends DeltaBatchWrite {
+  import GraftBatchWrite._
+
+  private val m = table.metadata
+  private val stagingDir =
+    table.locations.newDataLocation(java.util.UUID.randomUUID().toString)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val schema = m.schema
+    val nameToIdx = schema.fieldNames.zipWithIndex.toMap
+    val fields = m.spec.fields.map { pf =>
+      val src = FieldIds.findById(schema, pf.sourceId).get
+      SpecField(pf.name, nameToIdx(src.name), pf.transform, src.dataType)
+    }
+    val conf = ParquetIO.writeConf(table.spark)
+    new GraftDeltaWriterFactory(
+      StructType(schema.fields.map(f => f.copy(metadata = Metadata.empty))),
+      schema, fields, stagingDir,
+      new org.apache.spark.util.SerializableConfiguration(conf),
+      Metrics.modesFor(schema, m.properties),
+      writeFormat(m.properties), m.properties)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fmt = writeFormat(m.properties)
+    val (dataMsgs, deleteMsgs) = messages.collect {
+      case GraftDeltaWriterFactory.DeltaTaskFiles(data, dels) => (data, dels)
+    }.unzip
+    val dataFiles = dataMsgs.flatten.map { sf =>
+      val fm = sf.metrics
+      DataFile(path = sf.path, partition = sf.partition,
+        recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
+        schemaId = m.currentSchemaId, specId = m.defaultSpecId,
+        valueCounts = fm.valueCounts, nullValueCounts = fm.nullValueCounts,
+        lowerBounds = fm.lowerBounds, upperBounds = fm.upperBounds,
+        splitOffsets = fm.splitOffsets, fileFormat = fmt)
+    }.toSeq
+    val deleteFiles = deleteMsgs.flatten.map { sf =>
+      DataFile(path = sf.path, content = FileContent.PositionDeletes,
+        recordCount = sf.metrics.recordCount,
+        fileSizeInBytes = sf.metrics.fileSize,
+        schemaId = m.currentSchemaId, specId = m.defaultSpecId)
+    }.toSeq
+    if (dataFiles.nonEmpty || deleteFiles.nonEmpty)
+      Commits.rowDelta(table, dataFiles, deleteFiles)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case GraftDeltaWriterFactory.DeltaTaskFiles(data, dels) =>
+      (data ++ dels).foreach(sf => table.ops.io.deleteIfExists(sf.path))
+    }
+}
+
+object GraftDeltaWriterFactory {
+  /** Commit message: data files (inserts/updated rows) + position-delete
+    * files, both with task-computed metrics. */
+  final case class DeltaTaskFiles(data: Seq[GraftBatchWrite.StagedFile],
+      deletes: Seq[GraftBatchWrite.StagedFile]) extends WriterCommitMessage
+}
+
+final class GraftDeltaWriterFactory(schema: StructType, idSchema: StructType,
+    fields: Seq[GraftBatchWrite.SpecField], stagingDir: String,
+    conf: org.apache.spark.util.SerializableConfiguration,
+    statModes: Map[Int, Metrics.Mode],
+    format: String,
+    props: Map[String, String]) extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      // inserts ride the SAME fanout writers batch INSERT uses
+      private val inserts = new GraftFanoutWriter(schema, idSchema, fields,
+        stagingDir, partitionId, taskId, conf, statModes, format, props)
+      // deletes buffer as (file, pos) and flush as ONE sorted parquet file
+      // per task (reference PositionDeleteWriter requires sorted input)
+      private val deletes =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+
+      override def insert(row: InternalRow): Unit = inserts.write(row)
+
+      override def reinsert(metadata: InternalRow, row: InternalRow): Unit =
+        insert(row)
+
+      override def delete(metadata: InternalRow, id: InternalRow): Unit =
+        deletes += ((id.getUTF8String(0).toString, id.getLong(1)))
+
+      override def update(metadata: InternalRow, id: InternalRow,
+          row: InternalRow): Unit = {
+        // unreachable with representUpdateAsDeleteAndInsert=true, but keep
+        // the semantics anyway
+        delete(metadata, id)
+        insert(row)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        val dataFiles = inserts.commit() match {
+          case GraftBatchWrite.TaskFiles(fs) => fs
+          case other => throw new IllegalStateException(s"unexpected $other")
+        }
+        val deleteFiles =
+          if (deletes.isEmpty) Nil
+          else {
+            val path = s"$stagingDir/delete-$partitionId-$taskId-" +
+              s"${java.util.UUID.randomUUID()}.parquet"
+            val deleteSchema = StructType(Seq(
+              StructField("file_path", StringType, nullable = false),
+              StructField("pos", LongType, nullable = false)))
+            val hp = new org.apache.hadoop.fs.Path(stagingDir)
+            hp.getFileSystem(conf.value).mkdirs(hp)
+            val w = ParquetIO.openWriter(path, deleteSchema, conf.value)
+            try {
+              deletes.sortInPlaceBy(identity) // (file_path, pos) order
+              deletes.foreach { case (f, p) =>
+                val r = new GenericInternalRow(2)
+                r.update(0, UTF8String.fromString(f))
+                r.update(1, p)
+                w.write(r)
+              }
+            } finally w.close()
+            val fm = Metrics.fromParquetFooter(path, idSchema, conf.value)
+            Seq(GraftBatchWrite.StagedFile(path, Map.empty, fm))
+          }
+        GraftDeltaWriterFactory.DeltaTaskFiles(dataFiles, deleteFiles)
+      }
+
+      override def abort(): Unit = inserts.abort()
+      override def close(): Unit = ()
+    }
+}

@@ -54,14 +54,25 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
   override def deleteWhere(filters: Array[Filter]): Unit =
     Deletes.deleteWhere(table, FilterBridge.convertAll(filters))
 
-  /** SQL MERGE INTO / UPDATE (and DELETE with non-convertible predicates):
-    * group-based copy-on-write via ReplaceData. Convertible DELETEs still
-    * take the SupportsDelete path above (Spark's metadata-only-delete
-    * optimization asks canDeleteWhere first). */
+  /** SQL MERGE INTO / UPDATE (and DELETE with non-convertible predicates).
+    * Per-command mode via `write.{delete,update,merge}.mode`:
+    * `copy-on-write` (default) rewrites matched files through ReplaceData;
+    * `merge-on-read` emits position deletes + change data as one RowDelta
+    * (SupportsDelta). Convertible DELETEs still take the SupportsDelete
+    * path above (Spark's metadata-only-delete optimization asks
+    * canDeleteWhere first). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new GraftRowLevelOperation(spark, table, info.command())
+    () => {
+      val key = s"write.${info.command().toString.toLowerCase}.mode"
+      table.metadata.properties.getOrElse(key, "copy-on-write") match {
+        case "merge-on-read" => new GraftDeltaOperation(spark, table, info.command())
+        case "copy-on-write" => new GraftRowLevelOperation(spark, table, info.command())
+        case other => throw new IllegalArgumentException(
+          s"$key: '$other' (expected copy-on-write or merge-on-read)")
+      }
+    }
 
   private def scan0: TableScan = {
     var s = table.newScan()

@@ -228,7 +228,23 @@ final class Actions(t: GraftTable) {
         fileFormat = byId(id).outFormat)
     }
     val del = planned.flatMap(_.paths).toSet
-    Commits.rewriteFiles(t, del, newFiles)
+    // dangling-delete hygiene: a position-delete file whose every target is
+    // gone after this pass no longer masks anything — drop it in the SAME
+    // commit, so delete files don't accumulate forever on a compacted
+    // table (the reference needs a separate remove-dangling-deletes pass).
+    // One driver read of each delete file's (small) path column.
+    val delCanon = del.map(ParquetIO.canonPath)
+    val liveAfterCanon =
+      plan.tasks.map(ts => ParquetIO.canonPath(ts.file.path)).toSet -- delCanon
+    val hconf = t.spark.sessionState.newHadoopConf()
+    val danglingDeletes = plan.deleteFiles
+      .filter(_._1.content == FileContent.PositionDeletes)
+      .map(_._1.path).distinct
+      .filter { p =>
+        val targets = Deletes.posDeleteTargets(Seq(p), hconf)
+        targets.forall(tp => !liveAfterCanon.contains(tp))
+      }.toSet
+    Commits.rewriteFiles(t, del ++ danglingDeletes, newFiles)
     RewriteResult(del.size, newFiles.size)
   }
 
