@@ -248,6 +248,64 @@ final class Actions(t: GraftTable) {
     RewriteResult(del.size, newFiles.size)
   }
 
+  /** Compact position-delete files (reference
+    * RewritePositionDeleteFilesAction): merge-on-read workloads land one
+    * small delete file per task per commit; this merges them into ~one
+    * sorted file per `targetSizeBytes` range and drops positions whose
+    * target data file is no longer live. ONE distributed job — read →
+    * range shuffle on (file_path, pos) → executor writes — and a commit
+    * that swaps delete files only; data files are untouched. */
+  def rewritePositionDeletes(targetSizeBytes: Long = 32L * 1024 * 1024): RewriteResult = {
+    import org.apache.spark.sql.functions.{col, udf}
+    val plan = t.newScan().planFiles()
+    val posFiles = plan.deleteFiles
+      .filter(_._1.content == FileContent.PositionDeletes)
+      .map(_._1).distinctBy(_.path)
+    if (posFiles.size < 2) return RewriteResult(0, 0)
+    val spark = t.spark
+    val liveB = spark.sparkContext.broadcast(
+      plan.tasks.map(ts => ParquetIO.canonPath(ts.file.path)).toSet)
+    val staging = t.locations.newDataLocation(java.util.UUID.randomUUID().toString)
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      ParquetIO.writeConf(spark))
+    val deleteSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file_path",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val nOut = math.max(1, math.min(posFiles.size,
+      math.ceil(posFiles.map(_.fileSizeInBytes).sum.toDouble / targetSizeBytes).toInt))
+    val live = udf((s: String) =>
+      s != null && liveB.value.contains(ParquetIO.canonPath(s)))
+    val staged: Seq[(String, Long)] = spark.read
+      .parquet(posFiles.map(_.path): _*)
+      .select(col("file_path"), col("pos"))
+      .filter(live(col("file_path"))) // dangling targets drop here
+      .repartitionByRange(nOut, col("file_path"), col("pos"))
+      .sortWithinPartitions(col("file_path"), col("pos"))
+      .queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val path = s"$staging/posdel-$pid-${java.util.UUID.randomUUID()}.parquet"
+          val w = ParquetIO.openWriter(path, deleteSchema, sconf.value)
+          var n = 0L
+          try it.foreach { row => w.write(row); n += 1 }
+          finally w.close()
+          Iterator.single((path, n))
+        }
+      }.collect().toSeq
+    val m = t.metadata
+    val newDeletes = staged.sortBy(_._1).map { case (path, n) =>
+      val hp = new org.apache.hadoop.fs.Path(path)
+      DataFile(path = path, content = FileContent.PositionDeletes,
+        recordCount = n,
+        fileSizeInBytes = hp.getFileSystem(sconf.value).getFileStatus(hp).getLen,
+        schemaId = m.currentSchemaId, specId = m.defaultSpecId)
+    }
+    Commits.rewriteFiles(t, posFiles.map(_.path).toSet, newDeletes)
+    RewriteResult(posFiles.size, newDeletes.size)
+  }
+
   private def binPack(files: Seq[(String, Long)], target: Long): Seq[Seq[String]] = {
     val bins = collection.mutable.ArrayBuffer[(collection.mutable.ArrayBuffer[String], Long)]()
     files.sortBy(-_._2).foreach { case (path, size) =>

@@ -98,6 +98,32 @@ class DeltaMergeSpec extends SparkSpec {
     assert(Set("z", "w").subsetOf(parts))
   }
 
+  test("rewritePositionDeletes compacts per-commit delete files") {
+    wh
+    spark.sql("""CREATE TABLE dm.db.pc (id BIGINT, v STRING)
+                 TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO dm.db.pc SELECT id, concat('v', id) FROM range(12)")
+    // three MoR deletes -> at least three position-delete files
+    spark.sql("DELETE FROM dm.db.pc WHERE id % 4 = 0")
+    spark.sql("DELETE FROM dm.db.pc WHERE id % 4 = 1")
+    spark.sql("DELETE FROM dm.db.pc WHERE id = 2")
+    val t = GraftTable.load(spark, s"$wh/db/pc")
+    val before = t.newScan().planFiles().deleteFiles
+      .filter(_._1.content == FileContent.PositionDeletes).map(_._1.path).distinct
+    assert(before.size >= 3, s"expected >=3 delete files, got ${before.size}")
+    val expected = spark.sql("SELECT id FROM dm.db.pc ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq
+
+    val res = graft.format.Actions.forTable(t).rewritePositionDeletes()
+    assert(res.rewrittenFiles == before.size && res.addedFiles >= 1)
+    val after = GraftTable.load(spark, s"$wh/db/pc").newScan().planFiles()
+      .deleteFiles.filter(_._1.content == FileContent.PositionDeletes)
+      .map(_._1.path).distinct
+    assert(after.size < before.size)
+    assert(spark.sql("SELECT id FROM dm.db.pc ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === expected)
+  }
+
   test("invalid mode property raises a clear error") {
     wh
     spark.sql("""CREATE TABLE dm.db.bad (id BIGINT)
