@@ -237,14 +237,23 @@ final class Actions(t: GraftTable) {
     val liveAfterCanon =
       plan.tasks.map(ts => ParquetIO.canonPath(ts.file.path)).toSet -- delCanon
     val hconf = t.spark.sessionState.newHadoopConf()
-    val danglingDeletes = plan.deleteFiles
+    val danglingPos = plan.deleteFiles
       .filter(_._1.content == FileContent.PositionDeletes)
       .map(_._1.path).distinct
       .filter { p =>
         val targets = Deletes.posDeleteTargets(Seq(p), hconf)
         targets.forall(tp => !liveAfterCanon.contains(tp))
       }.toSet
-    Commits.rewriteFiles(t, del ++ danglingDeletes, newFiles)
+    // equality deletes gate by sequence (they apply to files OLDER than the
+    // delete); rewritten files get a NEW sequence, so once no live file is
+    // older than a delete's sequence it can never match again
+    val liveSeqs = plan.tasks
+      .filter(ts => !del.contains(ts.file.path)).map(_.sequenceNumber)
+    val minLiveSeq = if (liveSeqs.isEmpty) Long.MaxValue else liveSeqs.min
+    val danglingEq = plan.deleteFiles
+      .filter(_._1.content == FileContent.EqualityDeletes)
+      .filter(_._2 <= minLiveSeq).map(_._1.path).toSet
+    Commits.rewriteFiles(t, del ++ danglingPos ++ danglingEq, newFiles)
     RewriteResult(del.size, newFiles.size)
   }
 

@@ -70,12 +70,15 @@ class DeltaMergeSpec extends SparkSpec {
     val plan = t.newScan().planFiles()
     assert(before.subsetOf(plan.files.map(_.path).toSet),
       "original files must survive merge-on-read delete/update")
-    // compaction materializes the deletes away
+    // compaction materializes the deletes away — and drops the now-
+    // dangling position AND equality delete files in the same commit
+    graft.format.Deletes.deleteByEquality(t, spark.sql("SELECT CAST(8 AS BIGINT) AS id"))
     graft.format.Actions.forTable(t).rewriteDataFiles(minInputFiles = 1)
     val after = GraftTable.load(spark, s"$wh/db/u").newScan().planFiles()
     assert(after.deleteFiles.isEmpty)
     assert(spark.sql("SELECT id, v FROM dm.db.u ORDER BY id").collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSeq === rows)
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      === rows.filterNot(_._1 == 8L))
   }
 
   test("merge-on-read MERGE on a partitioned table routes inserts") {
