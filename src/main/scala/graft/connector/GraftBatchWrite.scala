@@ -54,7 +54,8 @@ object GraftBatchWrite {
     * ReplaceData): swap the files the operation's scan planned for the
     * rewritten output. `replaced` is deferred — the scan plans after the
     * write builder is created. */
-  final case class RewriteMatched(replaced: () => Set[String]) extends Mode
+  final case class RewriteMatched(replaced: () => Set[String],
+      base: () => Option[Long] = () => None) extends Mode
 }
 
 final class GraftBatchWrite(table: GraftTable, mode: GraftBatchWrite.Mode)
@@ -109,11 +110,11 @@ final class GraftBatchWrite(table: GraftTable, mode: GraftBatchWrite.Mode)
       case Append => Commits.mergeAppend(table, files)
       case DynamicOverwrite => Commits.replacePartitions(table, files)
       case FilterOverwrite(e) => Commits.overwriteByFilter(table, e, files)
-      case RewriteMatched(replaced) =>
+      case RewriteMatched(replaced, base) =>
         val del = replaced()
         // a MERGE whose condition matched no groups has nothing to commit
         if (del.nonEmpty || files.nonEmpty)
-          Commits.rewriteFiles(table, del, files)
+          Commits.rewriteFiles(table, del, files, base())
     }
   }
 

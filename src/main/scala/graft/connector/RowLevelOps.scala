@@ -35,6 +35,10 @@ final class GraftRowLevelOperation(spark: SparkSession, table: GraftTable,
   /** Files the operation's scan planned — written at scan build (driver),
     * read at commit (driver). Canonical paths, matching manifests. */
   private val scanned = new AtomicReference[Set[String]](Set.empty)
+  // the snapshot the operation read: its commit validates no delete file
+  // landed in between (captured before planning, so a racing delete can
+  // only cause a spurious retry, never a missed conflict)
+  private val baseSnapshot = new AtomicReference[Option[Long]](None)
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"graft copy-on-write $cmd"
@@ -49,7 +53,8 @@ final class GraftRowLevelOperation(spark: SparkSession, table: GraftTable,
     Array(org.apache.spark.sql.connector.expressions.Expressions
       .column(GraftSparkTable.FileColumn))
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    baseSnapshot.set(table.currentSnapshot.map(_.snapshotId))
     new GraftScanBuilder(spark, table, table.newScan(), options,
       groupGranular = true,
       onPlan = (plan: ScanPlan) =>
@@ -58,6 +63,7 @@ final class GraftRowLevelOperation(spark: SparkSession, table: GraftTable,
       // contain matches — the commit must replace exactly that set
       onRuntimeFilter = (keep: Set[String]) =>
         scanned.updateAndGet(_.filter(p => keep.contains(ParquetIO.canonPath(p)))))
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -65,7 +71,8 @@ final class GraftRowLevelOperation(spark: SparkSession, table: GraftTable,
         override def description(): String = s"graft replace-data $cmd"
         override def toBatch: BatchWrite = {
           val inner = new GraftBatchWrite(table,
-            GraftBatchWrite.RewriteMatched(() => scanned.get()))
+            GraftBatchWrite.RewriteMatched(() => scanned.get(),
+              () => baseSnapshot.get()))
           // ReplaceData's physical rows carry a leading __row_operation
           // column when the plan has no metadata projection to strip it
           // (ReplaceDataExec falls back to the plain writing task) — adapt

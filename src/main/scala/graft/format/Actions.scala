@@ -63,6 +63,9 @@ final class Actions(t: GraftTable) {
   def rewriteDataFiles(targetSizeBytes: Long = 128L * 1024 * 1024,
       minInputFiles: Int = 2): RewriteResult = {
     val m = t.metadata
+    // outputs are produced against THIS snapshot's delete state; the
+    // commit validates no delete landed in between (ValidationException)
+    val baseSnapshot = m.currentSnapshotId
     val plan = t.newScan().planFiles()
     val groups = plan.tasks.groupBy(ts => (ts.file.partition, ts.file.schemaId))
       .values.filter(_.size >= minInputFiles).toSeq
@@ -253,7 +256,8 @@ final class Actions(t: GraftTable) {
     val danglingEq = plan.deleteFiles
       .filter(_._1.content == FileContent.EqualityDeletes)
       .filter(_._2 <= minLiveSeq).map(_._1.path).toSet
-    Commits.rewriteFiles(t, del ++ danglingPos ++ danglingEq, newFiles)
+    Commits.rewriteFiles(t, del ++ danglingPos ++ danglingEq, newFiles,
+      baseSnapshot)
     RewriteResult(del.size, newFiles.size)
   }
 

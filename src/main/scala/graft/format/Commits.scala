@@ -218,8 +218,26 @@ object Commits {
 
   /** RewriteFiles: atomic swap for compaction (reference BaseRewriteFiles). */
   def rewriteFiles(table: GraftTable, deletedPaths: Set[String],
-      newFiles: Seq[DataFile]): TableMetadata =
+      newFiles: Seq[DataFile], baseSnapshotId: Option[Long] = None): TableMetadata =
     table.ops.commitTransaction { m =>
+      // Conflict validation (reference BaseRewriteFiles validation): the
+      // rewrite's outputs were produced against `baseSnapshotId`'s delete
+      // state, and they commit with a NEW sequence number — a delete file
+      // committed since base would silently stop applying to them
+      // (position deletes die with the replaced paths; equality deletes
+      // seq-gate past the new files), resurrecting rows. Concurrent
+      // APPENDS stay allowed; concurrent DELETE commits abort the rewrite.
+      baseSnapshotId.filter(b => !m.currentSnapshotId.contains(b)).foreach { b =>
+        val anc = m.ancestors()
+        val newer =
+          if (anc.exists(_.snapshotId == b)) anc.dropWhile(_.snapshotId != b).drop(1)
+          else anc // base not on the current ancestry (rollback raced in)
+        val newDeletes = newer.exists(s => table.readManifestList(m, s).exists(
+          mf => mf.content != FileContent.Data && mf.addedSnapshotId == s.snapshotId))
+        if (newDeletes) throw new ValidationException(
+          s"delete files were committed while rewriting (base snapshot $b); " +
+          "retry the rewrite against the current state")
+      }
       val (seq, snapId) = nextIds(m)
       val kept = currentManifests(table, m).flatMap { mf =>
         val entries = table.readManifest(mf, m.schema)

@@ -88,6 +88,7 @@ object Deletes {
     catch {
       case _: ValidationException =>
         val m = table.metadata
+        val baseSnapshot = m.currentSnapshotId
         val schema = m.schema
         val bound = Exprs.bind(filter, schema)
         val plan = table.newScan().filter(filter).planFiles()
@@ -100,7 +101,7 @@ object Deletes {
           .dfFor(ScanPlan(plan.tasks, plan.deleteFiles, 0, 0, 0L, plan.tasks.size))
           .filter(!Exprs.toColumn(bound))
         val staged = GraftWrite.writeFiles(table, remaining)
-        Commits.rewriteFiles(table, touched.toSet, staged)
+        Commits.rewriteFiles(table, touched.toSet, staged, baseSnapshot)
     }
   }
 }

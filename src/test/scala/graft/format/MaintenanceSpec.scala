@@ -397,4 +397,28 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.toDF().count() == 5)
     assert(t.toDF().where(col("id") === 2L).count() == 0)
   }
+
+  test("rewriteFiles refuses when a delete landed since the base snapshot") {
+    val loc = freshLoc("rw-conflict")
+    val t = GraftTable.create(spark, loc, rows(4).schema)
+    GraftWrite.append(t, rows(4).coalesce(1))
+    val base = t.currentSnapshot.map(_.snapshotId)
+    val victim = t.newScan().planFiles().files.head.path
+
+    // concurrent APPEND: allowed — appends don't change delete state
+    GraftWrite.append(t, rows(4, 1).coalesce(1))
+    val staged = GraftWrite.writeFiles(t, rows(4).coalesce(1))
+    Commits.rewriteFiles(t, Set(victim), staged, base)
+    assert(t.toDF().count() === 8)
+
+    // concurrent DELETE commit: the rewrite's outputs were produced
+    // against the base delete state — refuse instead of resurrecting rows
+    val base2 = t.currentSnapshot.map(_.snapshotId)
+    val victim2 = t.newScan().planFiles().files.head.path
+    val staged2 = GraftWrite.writeFiles(t, rows(4).coalesce(1))
+    Deletes.deleteByEquality(t, Seq(1000L).toDF("id"))
+    val e = intercept[ValidationException](
+      Commits.rewriteFiles(t, Set(victim2), staged2, base2))
+    assert(e.getMessage.contains("delete files"))
+  }
 }
