@@ -127,6 +127,38 @@ class DeltaMergeSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq === expected)
   }
 
+  test("property: copy-on-write and merge-on-read MERGE agree (randomized)") {
+    wh
+    val rnd = new scala.util.Random(42)
+    for (round <- 0 until 4) {
+      val modes = Seq("copy-on-write", "merge-on-read")
+      val names = modes.map(m => s"prop_${round}_${m.take(4).replace("-", "")}")
+      val baseRows = (0 until 20).map(i => (i.toLong, rnd.nextInt(100)))
+      val srcRows = rnd.shuffle((0 until 30).toList).take(12)
+        .map(i => (i.toLong, rnd.nextInt(100)))
+      names.zip(modes).foreach { case (n, mode) =>
+        spark.sql(s"""CREATE TABLE dm.db.$n (id BIGINT, x INT)
+                      TBLPROPERTIES ('write.merge.mode'='$mode')""")
+        spark.sql(s"INSERT INTO dm.db.$n VALUES " +
+          baseRows.map { case (i, x) => s"($i, $x)" }.mkString(", "))
+      }
+      spark.sql("DROP TABLE IF EXISTS dm.db.prop_src")
+      spark.sql("CREATE TABLE dm.db.prop_src (id BIGINT, x INT)")
+      spark.sql("INSERT INTO dm.db.prop_src VALUES " +
+        srcRows.map { case (i, x) => s"($i, $x)" }.mkString(", "))
+      val results = names.map { n =>
+        spark.sql(s"""MERGE INTO dm.db.$n t USING dm.db.prop_src s ON t.id = s.id
+                      WHEN MATCHED AND s.x % 3 = 0 THEN DELETE
+                      WHEN MATCHED THEN UPDATE SET t.x = t.x + s.x
+                      WHEN NOT MATCHED AND s.x % 2 = 0 THEN INSERT *""")
+        spark.sql(s"SELECT id, x FROM dm.db.$n ORDER BY id").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSeq
+      }
+      assert(results(0) === results(1),
+        s"round $round: copy-on-write and merge-on-read diverged")
+    }
+  }
+
   test("invalid mode property raises a clear error") {
     wh
     spark.sql("""CREATE TABLE dm.db.bad (id BIGINT)
