@@ -29,6 +29,11 @@ import org.apache.spark.unsafe.types.UTF8String
 final class GraftDeltaOperation(spark: SparkSession, table: GraftTable,
     cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
 
+  // snapshot the operation read: the commit validates its position-delete
+  // targets are still live when the table advanced in between
+  private val baseSnapshot =
+    new java.util.concurrent.atomic.AtomicReference[Option[Long]](None)
+
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"graft merge-on-read $cmd"
 
@@ -46,14 +51,17 @@ final class GraftDeltaOperation(spark: SparkSession, table: GraftTable,
   /** A NORMAL scan: row-level filters push down (matched rows only are
     * needed — there is no carry-over set in a delta plan); `_file`/`_pos`
     * arrive via the metadata-column machinery. */
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    baseSnapshot.set(table.currentSnapshot.map(_.snapshotId))
     new GraftScanBuilder(spark, table, table.newScan(), options)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite {
         override def description(): String = s"graft row-delta $cmd"
-        override def toBatch: DeltaBatchWrite = new GraftDeltaBatchWrite(table)
+        override def toBatch: DeltaBatchWrite =
+          new GraftDeltaBatchWrite(table, () => baseSnapshot.get())
       }
     }
 }
@@ -62,7 +70,8 @@ final class GraftDeltaOperation(spark: SparkSession, table: GraftTable,
   * inserted/updated rows (the same writers batch INSERT uses) and one
   * sorted position-delete file per task; the driver commit is pure
   * metadata (reference BaseRowDelta). */
-final class GraftDeltaBatchWrite(table: GraftTable) extends DeltaBatchWrite {
+final class GraftDeltaBatchWrite(table: GraftTable,
+    base: () => Option[Long] = () => None) extends DeltaBatchWrite {
   import GraftBatchWrite._
 
   private val m = table.metadata
@@ -106,7 +115,7 @@ final class GraftDeltaBatchWrite(table: GraftTable) extends DeltaBatchWrite {
         schemaId = m.currentSchemaId, specId = m.defaultSpecId)
     }.toSeq
     if (dataFiles.nonEmpty || deleteFiles.nonEmpty)
-      Commits.rowDelta(table, dataFiles, deleteFiles)
+      Commits.rowDelta(table, dataFiles, deleteFiles, base())
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -258,10 +258,35 @@ object Commits {
     }
 
   /** RowDelta (v2): add data + delete files in one commit
-    * (reference api/.../RowDelta.java, BaseRowDelta). */
+    * (reference api/.../RowDelta.java, BaseRowDelta). With a base snapshot,
+    * position-delete targets are validated to still be live at commit
+    * (reference RowDelta.validateDataFilesExist): a concurrent rewrite
+    * replacing a targeted file would otherwise silently no-op the delete —
+    * the positions are path-addressed and the path is gone. Equality
+    * deletes need no such check: they apply to every live file OLDER than
+    * the delete's sequence, including concurrently-rewritten ones. */
   def rowDelta(table: GraftTable, dataFiles: Seq[DataFile],
-      deleteFiles: Seq[DataFile]): TableMetadata =
+      deleteFiles: Seq[DataFile],
+      baseSnapshotId: Option[Long] = None): TableMetadata =
     table.ops.commitTransaction { m =>
+      val posDeletes = deleteFiles.filter(_.content == FileContent.PositionDeletes)
+      if (posDeletes.nonEmpty &&
+          baseSnapshotId.exists(b => !m.currentSnapshotId.contains(b))) {
+        val live = currentManifests(table, m)
+          .filter(_.content == FileContent.Data)
+          .flatMap(mf => table.readManifest(mf, m.schema))
+          .filter(e => e.status != EntryStatus.Deleted &&
+            e.file.content == FileContent.Data)
+          .map(e => ParquetIO.canonPath(e.file.path)).toSet
+        val targets = Deletes.posDeleteTargets(posDeletes.map(_.path),
+          table.spark.sessionState.newHadoopConf())
+        val gone = targets.filterNot(live.contains)
+        if (gone.nonEmpty) throw new ValidationException(
+          s"position deletes target files replaced since snapshot " +
+          s"${baseSnapshotId.get}: ${gone.take(3).mkString(", ")}" +
+          (if (gone.size > 3) s" (+${gone.size - 3} more)" else "") +
+          "; retry against the current state")
+      }
       val (seq, snapId) = nextIds(m)
       def mk(fs: Seq[DataFile]) = fs.map(f =>
         ManifestEntry(EntryStatus.Added, snapId, seq,

@@ -421,4 +421,33 @@ class MaintenanceSpec extends SparkSpec {
       Commits.rewriteFiles(t, Set(victim2), staged2, base2))
     assert(e.getMessage.contains("delete files"))
   }
+
+  test("rowDelta refuses position deletes whose targets were rewritten away") {
+    val loc = freshLoc("rd-conflict")
+    val t = GraftTable.create(spark, loc, rows(4).schema)
+    GraftWrite.append(t, rows(4).coalesce(1))
+    GraftWrite.append(t, rows(4, 1).coalesce(1))
+    val base = t.currentSnapshot.map(_.snapshotId)
+    val target = t.newScan().planFiles().files.head.path
+    // stage a position-delete file targeting `target`
+    val pos = Seq((target, 0L)).toDF("file_path", "pos")
+    // concurrent compaction replaces every file
+    Actions.forTable(t).rewriteDataFiles(minInputFiles = 1)
+    // committing the stale delete must refuse, not silently no-op
+    val staged = {
+      val dir = java.nio.file.Files.createTempDirectory("rd-del").toString
+      pos.coalesce(1).write.parquet(dir + "/d")
+      t.ops.io.list(dir + "/d", ".parquet").map(_.path)
+    }
+    val files = staged.map { p =>
+      val fm = Metrics.fromParquetFooter(p, t.schema)
+      DataFile(path = p, content = FileContent.PositionDeletes,
+        recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize)
+    }
+    val e = intercept[ValidationException](
+      Commits.rowDelta(t, Nil, files, base))
+    assert(e.getMessage.contains("replaced since"))
+    // without a base (explicit opt-out) the commit goes through
+    Commits.rowDelta(t, Nil, files)
+  }
 }
