@@ -534,6 +534,27 @@ object FormatQueries {
                FROM graftmor.db.customer_mor GROUP BY 1 ORDER BY 1""")
     }),
 
+    // partition-spec evolution (beyond reference): half the table written
+    // unpartitioned, the layout evolved to identity(o_orderpriority) in
+    // one metadata commit, the other half written under the new spec —
+    // the filtered read must agree across both generations
+    "q88_spec_evolution" -> ((s, dir) => {
+      val t = withTable(s, dir, "orders_specevo") { loc =>
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        val tt = GraftTable.recreate(s, loc, o.schema)
+        GraftWrite.append(tt, o.filter(col("o_orderkey") % 2 === 0).coalesce(2))
+        Commits.updateSpec(tt)(_.identity("o_orderpriority"))
+        GraftWrite.append(tt, o.filter(col("o_orderkey") % 2 === 1).coalesce(2))
+        tt
+      }
+      t.newScan()
+        .filter(Exprs.in("o_orderpriority", Seq("1-URGENT", "4-NOT SPECIFIED")))
+        .toDF()
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // compaction preserves content (RewriteDataFilesAction)
     "q70_compaction" -> ((s, dir) => {
       val t = withTable(s, dir, "region_compacted") { loc =>
@@ -663,6 +684,12 @@ object FormatQueries {
         |CAST(SUM(CAST(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100
         |  ELSE c_acctbal END AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
         |FROM customer WHERE c_custkey % 20 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q88_spec_evolution" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '4-NOT SPECIFIED')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q87: merge-on-read MERGE reaches the same post-merge state as q86

@@ -67,7 +67,10 @@ final class Actions(t: GraftTable) {
     // commit validates no delete landed in between (ValidationException)
     val baseSnapshot = m.currentSnapshotId
     val plan = t.newScan().planFiles()
-    val groups = plan.tasks.groupBy(ts => (ts.file.partition, ts.file.schemaId))
+    // spec id joins the group key: a spec-evolved table compacts each
+    // generation under its OWN layout (outputs keep the group's spec)
+    val groups = plan.tasks
+      .groupBy(ts => (ts.file.partition, ts.file.schemaId, ts.file.specId))
       .values.filter(_.size >= minInputFiles).toSeq
     if (groups.isEmpty) return RewriteResult(0, 0)
 
@@ -98,7 +101,7 @@ final class Actions(t: GraftTable) {
     // plan bins driver-side; only BinTasks ship to executors
     var binId = 0
     val binTasks = Seq.newBuilder[BinTask]
-    val binMeta = collection.mutable.Map[Int, (Map[String, Any], Int)]()
+    val binMeta = collection.mutable.Map[Int, (Map[String, Any], Int, Int)]()
     groups.foreach { tasks =>
       val (partition, schemaId) = (tasks.head.file.partition, tasks.head.file.schemaId)
       // read schema: file-side names (by field id, at EVERY struct level —
@@ -138,7 +141,7 @@ final class Actions(t: GraftTable) {
         binTasks += BinTask(binId, bin, bin.map(seqByPath), readSchema,
           f"$staging/bin-$binId%05d.$outFormat",
           posDeletePaths, eqDeletes, fill, bin.map(fmtByPath), outFormat)
-        binMeta(binId) = (partition, schemaId)
+        binMeta(binId) = (partition, schemaId, tasks.head.file.specId)
         binId += 1
       }
     }
@@ -214,7 +217,7 @@ final class Actions(t: GraftTable) {
     val currentSchemaId = m.currentSchemaId
     val byId = planned.map(bt => bt.id -> bt).toMap
     val newFiles = results.toSeq.sortBy(_._1).map { case (id, fm) =>
-      val (partition, _) = binMeta(id)
+      val (partition, _, groupSpecId) = binMeta(id)
       DataFile(
         path = byId(id).out,
         content = FileContent.Data,
@@ -222,7 +225,7 @@ final class Actions(t: GraftTable) {
         recordCount = fm.recordCount,
         fileSizeInBytes = fm.fileSize,
         schemaId = currentSchemaId,
-        specId = m.defaultSpecId,
+        specId = groupSpecId,
         valueCounts = fm.valueCounts,
         nullValueCounts = fm.nullValueCounts,
         lowerBounds = fm.lowerBounds,

@@ -247,12 +247,16 @@ object Commits {
         else Some(writeManifest(table, m, mf.specId,
           keep.map(e => e.copy(status = EntryStatus.Existing)), snapId))
       }
-      val entries = newFiles.map(f =>
-        ManifestEntry(EntryStatus.Added, snapId, seq,
-          f.copy(schemaId = m.currentSchemaId, specId = m.defaultSpecId)))
-      val mf =
-        if (entries.isEmpty) Nil
-        else Seq(writeManifest(table, m, m.defaultSpecId, entries, snapId))
+      // manifests are per-spec: compaction outputs keep their GROUP's spec
+      // (the partition tuple is spelled in that spec's field names), so a
+      // spec-evolved table rewrites each generation under its own layout
+      val mf = newFiles.groupBy(_.specId).toSeq.sortBy(_._1).map {
+        case (sid, fs) =>
+          require(m.specs.contains(sid), s"unknown partition spec $sid")
+          writeManifest(table, m, sid, fs.map(f =>
+            ManifestEntry(EntryStatus.Added, snapId, seq,
+              f.copy(schemaId = m.currentSchemaId))), snapId)
+      }
       buildSnapshot(table, m, "replace", kept ++ mf,
         Map("rewritten-files" -> deletedPaths.size.toString))
     }
@@ -422,6 +426,24 @@ object Commits {
   def setProperties(table: GraftTable, props: Map[String, String]): TableMetadata =
     table.ops.commitTransaction(m => m.copy(properties = m.properties ++ props,
       lastUpdatedMillis = System.currentTimeMillis()))
+
+  /** Partition-spec evolution WITHOUT rewriting data (beyond the reference,
+    * whose UpdatePartitionSpec is absent — SURVEY §2.8): the new spec gets
+    * a fresh id and becomes the default for NEW writes; existing files keep
+    * their spec forever, and the scan prunes each manifest under its OWN
+    * spec (partTypesOf / projections are per-spec throughout the planner).
+    * At 100 TB this is the only affordable way to change partitioning —
+    * a layout migration is a metadata commit, not a table rewrite;
+    * compaction gradually migrates old files as a side effect only if the
+    * table is rewritten group-by-group under the new default. */
+  def updateSpec(table: GraftTable)(
+      build: PartitionSpec.Builder => PartitionSpec.Builder): TableMetadata =
+    table.ops.commitTransaction { m =>
+      val newId = m.specs.keys.max + 1
+      val spec = build(PartitionSpec.builderFor(m.schema)).build(newId)
+      m.copy(specs = m.specs + (newId -> spec), defaultSpecId = newId,
+        lastUpdatedMillis = System.currentTimeMillis())
+    }
 }
 
 /** Multi-update single-commit transaction (reference api/.../Transaction.java,
