@@ -555,6 +555,45 @@ object FormatQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // SQL stored procedures (Spark 4.1 CALL + ProcedureCatalog; beyond the
+    // reference, which ships the same actions as a Java-only API): snapshot
+    // management round-trip, bin-pack compaction, manifest rewrite and
+    // snapshot expiry all driven through `CALL graftproc.system.*`, then the
+    // steady-state content must still match the plain-parquet oracle
+    "q89_sql_procedures" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftproc", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftproc.warehouse", tdir(dir, "procwh"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftproc.db")
+      val marker = java.nio.file.Paths.get(tdir(dir, "procwh"), "_supplier_loaded")
+      if (!java.nio.file.Files.exists(marker)) {
+        s.sql("DROP TABLE IF EXISTS graftproc.db.supplier")
+        s.sql("""CREATE TABLE graftproc.db.supplier
+                 (s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE)""")
+        s.read.parquet(s"$dir/supplier.parquet")
+          .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+          .coalesce(2).createOrReplaceTempView("supplier_src")
+        // three append snapshots so the maintenance procedures have work
+        (0 to 2).foreach(i => s.sql(
+          s"INSERT INTO graftproc.db.supplier SELECT * FROM supplier_src WHERE s_suppkey % 3 = $i"))
+        // snapshot management: roll back to the first append, then forward
+        val snaps = s.sql(
+          "SELECT snapshot_id FROM graftproc.db.`supplier$snapshots` ORDER BY committed_at, snapshot_id")
+          .collect().map(_.getLong(0))
+        s.sql(s"CALL graftproc.system.rollback_to_snapshot('db.supplier', ${snaps.head})")
+        s.sql(s"CALL graftproc.system.set_current_snapshot('db.supplier', ${snaps.last})")
+        // maintenance: 3 small files -> 1, manifest rewrite, expiry
+        s.sql("CALL graftproc.system.rewrite_data_files('db.supplier')")
+        s.sql("CALL graftproc.system.rewrite_manifests('db.supplier')")
+        s.sql("""CALL graftproc.system.expire_snapshots(
+                   table => 'db.supplier',
+                   older_than => TIMESTAMP'2099-01-01 00:00:00')""")
+        java.nio.file.Files.writeString(marker, "ok")
+      }
+      s.sql("""SELECT s_nationkey, COUNT(*) AS n,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+               FROM graftproc.db.supplier GROUP BY s_nationkey ORDER BY s_nationkey""")
+    }),
+
     // compaction preserves content (RewriteDataFilesAction)
     "q70_compaction" -> ((s, dir) => {
       val t = withTable(s, dir, "region_compacted") { loc =>
@@ -635,6 +674,11 @@ object FormatQueries {
     "q76_manifest_rewrite" -> orderAggSqlWhere.format("1=1"),
 
     "q77_expire_cleanup" -> orderAggSqlWhere.format("1=1"),
+
+    "q89_sql_procedures" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |CAST(SUM(CAST(s_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "q78_sql_catalog" ->
       """SELECT p_brand, COUNT(*) AS n,

@@ -25,7 +25,7 @@ import scala.jdk.CollectionConverters._
   * `graft.db.\`t$snapshots\``.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with FunctionCatalog {
+  with FunctionCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -173,6 +173,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def functionExists(ident: Identifier): Boolean =
     GraftFunctions.names.contains(ident.name())
+
+  // ---- procedures: system.rollback_to_snapshot / expire_snapshots / ...
+  private lazy val procedures = {
+    // a procedure's `table` arg is an identifier string relative to this
+    // catalog ("db.t" or "t"); a leading catalog name is tolerated
+    def locate(identStr: String): String = {
+      val parts = identStr.split("\\.").toSeq.filter(_.nonEmpty)
+      val rel = if (parts.sizeIs > 1 && parts.head == catalogName) parts.tail
+                else parts
+      (warehouse +: rel).mkString("/")
+    }
+    new GraftProcedures(identStr => {
+      val dir = locate(identStr)
+      if (!GraftTable.exists(dir))
+        throw new NoSuchTableException(
+          Identifier.of(Array.empty, identStr))
+      GraftTable.load(spark, dir)
+    }, locate)
+  }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val ok = ident.namespace().isEmpty ||
+      ident.namespace().sameElements(Array("system"))
+    if (ok) procedures.byName.getOrElse(ident.name(),
+      throw new IllegalArgumentException(
+        s"procedure not found: $ident (have: ${procedures.names.mkString(", ")})"))
+    else throw new IllegalArgumentException(s"procedure not found: $ident")
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")) || namespace.isEmpty)
+      procedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else throw new NoSuchNamespaceException(namespace)
 
   // ---- namespaces = directories ----
   override def listNamespaces(): Array[Array[String]] = {

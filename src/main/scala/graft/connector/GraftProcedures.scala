@@ -1,0 +1,273 @@
+package graft.connector
+
+import graft.format._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import java.util.{Iterator => JIterator}
+
+/** SQL stored procedures: `CALL graft.system.rollback_to_snapshot('db.t', 3)`.
+  *
+  * The reference fork predates stored procedures entirely — its maintenance
+  * surface is the Java action API only (`actions/RewriteDataFilesAction.java`
+  * etc.), invoked from code. Spark 4.1 ships a native `ProcedureCatalog` +
+  * `CALL` statement (SPARK-44167), so the same actions this library already
+  * exposes programmatically (`format/Actions.scala`, `format/Commits.scala`)
+  * are republished here as procedures under the `system` namespace, with the
+  * argument names later Apache Iceberg standardized publicly (snapshot
+  * management, metadata/data rewrites, orphan cleanup, WAP publish, import).
+  *
+  * Execution model: Spark's `InvokeProcedures` analyzer rule evaluates the
+  * literal arguments into an `InternalRow`, invokes [[BoundProcedure.call]]
+  * eagerly on the driver, and requires each returned [[Scan]] to be a
+  * [[LocalScan]] it folds into a `LocalRelation`. That suits maintenance
+  * procedures: the heavy lifting (compaction, manifest rewrites, orphan
+  * diffs) still runs as distributed Spark jobs inside the action; only the
+  * summary counters come back as local rows.
+  *
+  * @param resolve  loads a `db.table` identifier string into a [[GraftTable]]
+  * @param locate   maps the identifier to its warehouse directory (used by
+  *                 `import_table`, whose target must not exist yet)
+  */
+final class GraftProcedures(resolve: String => GraftTable,
+    locate: String => String) {
+
+  // ---- plumbing --------------------------------------------------------
+
+  import GraftProcedures.ResultScan
+
+  /** One class serves both halves of the two-phase API: `bind` is identity
+    * because parameter types are fixed (no overloads per procedure). */
+  private final class Proc(pname: String, desc: String,
+      params: Array[ProcedureParameter], output: StructType)(
+      body: InternalRow => Array[InternalRow])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = pname
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): JIterator[Scan] =
+      java.util.List.of[Scan](ResultScan(body(input), output)).iterator()
+  }
+
+  private def p(name: String, dt: DataType) =
+    ProcedureParameter.in(name, dt).build()
+  private def pd(name: String, dt: DataType, defaultSql: String) =
+    ProcedureParameter.in(name, dt).defaultValue(defaultSql).build()
+
+  private def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
+  private def row(vals: Any*): InternalRow =
+    new GenericInternalRow(vals.map {
+      case s: String => UTF8String.fromString(s)
+      case x => x.asInstanceOf[AnyRef]
+    }.toArray[Any])
+  /** TimestampType args arrive as epoch micros. */
+  private def tsMillis(r: InternalRow, i: Int): Long = r.getLong(i) / 1000L
+
+  private val snapshotPair = StructType(Seq(
+    StructField("previous_snapshot_id", LongType, nullable = true),
+    StructField("current_snapshot_id", LongType, nullable = false)))
+  private def snapshotPairRow(prev: Option[Long], m: TableMetadata) =
+    Array(row(prev.map(Long.box).orNull, Long.box(m.currentSnapshotId.get)))
+
+  // ---- snapshot management (Commits) -----------------------------------
+
+  private val rollbackToSnapshot = new Proc("rollback_to_snapshot",
+    "set the current snapshot back to a known snapshot id",
+    Array(p("table", StringType), p("snapshot_id", LongType)), snapshotPair)({
+    in =>
+      val t = resolve(str(in, 0))
+      val prev = t.metadata.currentSnapshotId
+      snapshotPairRow(prev, Commits.rollbackTo(t, in.getLong(1)))
+  })
+
+  private val rollbackToTimestamp = new Proc("rollback_to_timestamp",
+    "set the current snapshot to the latest one at or before a timestamp",
+    Array(p("table", StringType), p("timestamp", TimestampType)), snapshotPair)({
+    in =>
+      val t = resolve(str(in, 0))
+      val m0 = t.metadata
+      val cutoff = tsMillis(in, 1)
+      val target = m0.snapshotLog
+        .filter(e => e.timestampMillis <= cutoff &&
+          m0.snapshot(e.snapshotId).isDefined)
+        .sortBy(_.timestampMillis).lastOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"no snapshot at or before timestamp-millis $cutoff"))
+      snapshotPairRow(m0.currentSnapshotId,
+        Commits.rollbackTo(t, target.snapshotId))
+  })
+
+  private val setCurrentSnapshot = new Proc("set_current_snapshot",
+    "set the current snapshot to any existing snapshot id",
+    Array(p("table", StringType), p("snapshot_id", LongType)), snapshotPair)({
+    in =>
+      val t = resolve(str(in, 0))
+      snapshotPairRow(t.metadata.currentSnapshotId,
+        Commits.rollbackTo(t, in.getLong(1)))
+  })
+
+  private val cherrypickSnapshot = new Proc("cherrypick_snapshot",
+    "apply a staged (WAP) append snapshot on top of the current state",
+    Array(p("table", StringType), p("snapshot_id", LongType)),
+    StructType(Seq(
+      StructField("source_snapshot_id", LongType, nullable = false),
+      StructField("current_snapshot_id", LongType, nullable = false))))({
+    in =>
+      val t = resolve(str(in, 0))
+      val src = in.getLong(1)
+      val m = Commits.cherrypick(t, src)
+      Array(row(Long.box(src), Long.box(m.currentSnapshotId.get)))
+  })
+
+  private val publishChanges = new Proc("publish_changes",
+    "cherry-pick the staged snapshot carrying a given wap.id",
+    Array(p("table", StringType), p("wap_id", StringType)),
+    StructType(Seq(
+      StructField("source_snapshot_id", LongType, nullable = false),
+      StructField("current_snapshot_id", LongType, nullable = false))))({
+    in =>
+      val t = resolve(str(in, 0))
+      val wapId = str(in, 1)
+      val src = t.metadata.snapshots
+        .find(_.summary.get("wap.id").contains(wapId))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no staged snapshot with wap.id=$wapId"))
+      val m = Commits.cherrypick(t, src.snapshotId)
+      Array(row(Long.box(src.snapshotId), Long.box(m.currentSnapshotId.get)))
+  })
+
+  private val ancestorsOf = new Proc("ancestors_of",
+    "walk the parent chain from a snapshot (default: current)",
+    Array(p("table", StringType), pd("snapshot_id", LongType, "NULL")),
+    StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("timestamp", TimestampType, nullable = false))))({
+    in =>
+      val t = resolve(str(in, 0))
+      val m = t.metadata
+      val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
+      val start =
+        if (in.isNullAt(1)) m.currentSnapshotId else Some(in.getLong(1))
+      Iterator.iterate(start.flatMap(byId.get))(
+          _.flatMap(_.parentId).flatMap(byId.get))
+        .takeWhile(_.isDefined).flatten
+        .map(s => row(Long.box(s.snapshotId),
+          Long.box(s.timestampMillis * 1000L)))
+        .toArray
+  })
+
+  // ---- maintenance actions (Actions) -----------------------------------
+
+  private val expireSnapshots = new Proc("expire_snapshots",
+    "drop snapshots older than a timestamp and delete unreferenced files",
+    Array(p("table", StringType),
+      pd("older_than", TimestampType, "NULL"),
+      pd("retain_last", IntegerType, "1")),
+    StructType(Seq(
+      StructField("expired_snapshots_count", IntegerType, nullable = false),
+      StructField("deleted_data_files_count", IntegerType, nullable = false))))({
+    in =>
+      val t = resolve(str(in, 0))
+      val olderThan =
+        if (in.isNullAt(1)) System.currentTimeMillis() else tsMillis(in, 1)
+      val r = Actions.forTable(t).expireSnapshots(olderThan, in.getInt(2))
+      Array(row(Int.box(r.expiredSnapshots), Int.box(r.deletedFiles)))
+  })
+
+  private val removeOrphanFiles = new Proc("remove_orphan_files",
+    "delete data-dir files not referenced by any snapshot (3-day guard)",
+    Array(p("table", StringType), pd("older_than", TimestampType, "NULL")),
+    StructType(Seq(
+      StructField("orphan_file_location", StringType, nullable = false))))({
+    in =>
+      val t = resolve(str(in, 0))
+      val r =
+        if (in.isNullAt(1)) Actions.forTable(t).removeOrphanFiles()
+        else Actions.forTable(t).removeOrphanFiles(tsMillis(in, 1))
+      r.deletedOrphans.map(row(_)).toArray
+  })
+
+  private val rewriteDataFiles = new Proc("rewrite_data_files",
+    "bin-pack compact data files (one distributed job)",
+    Array(p("table", StringType),
+      pd("target_size_bytes", LongType, (128L * 1024 * 1024).toString),
+      pd("min_input_files", IntegerType, "2")),
+    StructType(Seq(
+      StructField("rewritten_data_files_count", IntegerType, nullable = false),
+      StructField("added_data_files_count", IntegerType, nullable = false))))({
+    in =>
+      val t = resolve(str(in, 0))
+      val r = Actions.forTable(t).rewriteDataFiles(in.getLong(1), in.getInt(2))
+      Array(row(Int.box(r.rewrittenFiles), Int.box(r.addedFiles)))
+  })
+
+  private val rewritePositionDeletes = new Proc("rewrite_position_deletes",
+    "compact position-delete files and drop dead positions",
+    Array(p("table", StringType),
+      pd("target_size_bytes", LongType, (32L * 1024 * 1024).toString)),
+    StructType(Seq(
+      StructField("rewritten_delete_files_count", IntegerType, nullable = false),
+      StructField("added_delete_files_count", IntegerType, nullable = false))))({
+    in =>
+      val t = resolve(str(in, 0))
+      val r = Actions.forTable(t).rewritePositionDeletes(in.getLong(1))
+      Array(row(Int.box(r.rewrittenFiles), Int.box(r.addedFiles)))
+  })
+
+  private val rewriteManifests = new Proc("rewrite_manifests",
+    "rewrite the manifest tree partition-clustered (distributed)",
+    Array(p("table", StringType),
+      pd("entries_per_manifest", IntegerType, "1000")),
+    StructType(Seq(
+      StructField("added_manifests_count", IntegerType, nullable = false))))({
+    in =>
+      val t = resolve(str(in, 0))
+      Array(row(Int.box(Actions.forTable(t).rewriteManifests(in.getInt(1)))))
+  })
+
+  // ---- federation ------------------------------------------------------
+
+  private val importTable = new Proc("import_table",
+    "create a table from an existing parquet/orc/avro directory in place",
+    Array(p("table", StringType), p("source_path", StringType),
+      pd("format", StringType, "'parquet'")),
+    StructType(Seq(
+      StructField("imported_files_count", LongType, nullable = false),
+      StructField("table_location", StringType, nullable = false))))({
+    in =>
+      val spark = org.apache.spark.sql.SparkSession.active
+      val location = locate(str(in, 0))
+      val t = GraftWrite.importTable(spark, location, str(in, 1),
+        Map.empty, str(in, 2).toLowerCase)
+      val files =
+        t.metadata.currentSnapshot.flatMap(_.summary.get("total-data-files"))
+          .map(_.toLong)
+          .getOrElse(t.newScan().planFiles().tasks.size.toLong)
+      Array(row(Long.box(files), location))
+  })
+
+  // ---- registry --------------------------------------------------------
+
+  val byName: Map[String, UnboundProcedure] = Seq(
+    rollbackToSnapshot, rollbackToTimestamp, setCurrentSnapshot,
+    cherrypickSnapshot, publishChanges, ancestorsOf,
+    expireSnapshots, removeOrphanFiles,
+    rewriteDataFiles, rewritePositionDeletes, rewriteManifests,
+    importTable
+  ).map(proc => proc.name() -> (proc: UnboundProcedure)).toMap
+
+  def names: Seq[String] = byName.keys.toSeq.sorted
+}
+
+object GraftProcedures {
+  private final case class ResultScan(out: Array[InternalRow],
+      schema: StructType) extends LocalScan {
+    override def rows(): Array[InternalRow] = out
+    override def readSchema(): StructType = schema
+  }
+}

@@ -1,0 +1,156 @@
+package graft.connector
+
+import graft.SparkSpec
+import graft.format.{Commits, GraftTable, GraftWrite}
+import java.nio.file.{Files, Paths}
+
+/** SQL `CALL` procedures through the DSv2 ProcedureCatalog (Spark 4.1
+  * SPARK-44167). The reference fork has no procedure surface — these expose
+  * the same actions its Java API ships (the `actions` package,
+  * `core/.../SnapshotManager.java`) under the argument names Apache Iceberg
+  * later standardized publicly. */
+class ProcedureSpec extends SparkSpec {
+
+  private lazy val wh: String = {
+    val d = Files.createTempDirectory("graft-proc-wh").toString
+    spark.conf.set("spark.sql.catalog.gp", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gp.warehouse", d)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gp.db")
+    d
+  }
+
+  private var n = 0
+  /** Fresh table with `inserts` single-row append snapshots; returns name. */
+  private def fresh(inserts: Int): String = {
+    wh; n += 1
+    val name = s"p$n"
+    spark.sql(s"CREATE TABLE gp.db.$name (id BIGINT, v STRING)")
+    (1 to inserts).foreach(i =>
+      spark.sql(s"INSERT INTO gp.db.$name VALUES ($i, 'v$i')"))
+    name
+  }
+
+  private def snapshotIds(name: String): Seq[Long] =
+    spark.sql(s"SELECT snapshot_id FROM gp.db.`$name$$snapshots` ORDER BY committed_at, snapshot_id")
+      .collect().map(_.getLong(0)).toSeq
+
+  test("rollback_to_snapshot returns (previous, current) and moves the table") {
+    val t = fresh(2)
+    val ids = snapshotIds(t)
+    val out = spark.sql(
+      s"CALL gp.system.rollback_to_snapshot('db.$t', ${ids.head})").collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == ids.last, "previous_snapshot_id")
+    assert(out.head.getLong(1) == ids.head, "current_snapshot_id")
+    assert(spark.sql(s"SELECT * FROM gp.db.$t").count() == 1)
+  }
+
+  test("set_current_snapshot rolls forward again") {
+    val t = fresh(2)
+    val ids = snapshotIds(t)
+    spark.sql(s"CALL gp.system.rollback_to_snapshot('db.$t', ${ids.head})")
+    spark.sql(s"CALL gp.system.set_current_snapshot('db.$t', ${ids.last})")
+    assert(spark.sql(s"SELECT * FROM gp.db.$t").count() == 2)
+  }
+
+  test("rollback_to_timestamp picks the latest snapshot at or before the cutoff") {
+    val t = fresh(2)
+    val ids = snapshotIds(t)
+    val ts1 = spark.sql(
+      s"SELECT committed_at FROM gp.db.`$t$$snapshots` WHERE snapshot_id = ${ids.head}")
+      .collect().head.getTimestamp(0)
+    val out = spark.sql(
+      s"CALL gp.system.rollback_to_timestamp('db.$t', TIMESTAMP'$ts1')").collect()
+    assert(out.head.getLong(1) == ids.head)
+    assert(spark.sql(s"SELECT * FROM gp.db.$t").count() == 1)
+  }
+
+  test("cherrypick_snapshot and publish_changes surface WAP staging in SQL") {
+    val t = fresh(1)
+    val gt = GraftTable.load(spark, s"$wh/db/$t")
+    import spark.implicits._
+    val files = GraftWrite.writeFiles(gt,
+      Seq((100L, "staged")).toDF("id", "v").coalesce(1))
+    val (_, stagedId) = Commits.stageAppend(gt, files, wapId = "audit-9")
+    assert(spark.sql(s"SELECT * FROM gp.db.$t").count() == 1,
+      "staged snapshot must stay invisible")
+    val out = spark.sql(
+      s"CALL gp.system.publish_changes('db.$t', 'audit-9')").collect()
+    assert(out.head.getLong(0) == stagedId)
+    assert(spark.sql(s"SELECT * FROM gp.db.$t").count() == 2)
+  }
+
+  test("expire_snapshots with named args honors defaults and deletes files") {
+    val t = fresh(3)
+    // overwrite so older append files become unreferenced, then expire
+    spark.sql(s"INSERT OVERWRITE gp.db.$t VALUES (9, 'only')")
+    val out = spark.sql(
+      s"""CALL gp.system.expire_snapshots(
+            table => 'db.$t',
+            older_than => TIMESTAMP'2099-01-01 00:00:00')""").collect()
+    assert(out.head.getInt(0) == 3, "expired_snapshots_count")
+    assert(out.head.getInt(1) == 3, "deleted_data_files_count")
+    assert(spark.sql(s"SELECT v FROM gp.db.$t").collect().map(_.getString(0)).toSeq == Seq("only"))
+    assert(snapshotIds(t).size == 1)
+  }
+
+  test("remove_orphan_files reports and deletes unreferenced data files") {
+    val t = fresh(1)
+    val junk = Paths.get(s"$wh/db/$t/data/zz-orphan.parquet")
+    Files.write(junk, Array[Byte](1, 2, 3))
+    val out = spark.sql(
+      s"""CALL gp.system.remove_orphan_files(
+            table => 'db.$t',
+            older_than => TIMESTAMP'2099-01-01 00:00:00')""").collect()
+    assert(out.map(_.getString(0)).exists(_.endsWith("zz-orphan.parquet")))
+    assert(!Files.exists(junk))
+    assert(spark.sql(s"SELECT * FROM gp.db.$t").count() == 1)
+  }
+
+  test("rewrite_data_files bin-packs small files; rewrite_manifests compacts metadata") {
+    val t = fresh(3)
+    val out = spark.sql(
+      s"CALL gp.system.rewrite_data_files('db.$t', 134217728L, 2)").collect()
+    assert(out.head.getInt(0) == 3, "rewritten_data_files_count")
+    assert(out.head.getInt(1) == 1, "added_data_files_count")
+    assert(spark.sql(s"SELECT * FROM gp.db.$t").count() == 3)
+    val m = spark.sql(s"CALL gp.system.rewrite_manifests('db.$t')").collect()
+    assert(m.head.getInt(0) >= 1)
+    assert(spark.sql(s"SELECT * FROM gp.db.$t").count() == 3)
+  }
+
+  test("rewrite_position_deletes is a no-op without enough delete files") {
+    val t = fresh(2)
+    val out = spark.sql(
+      s"CALL gp.system.rewrite_position_deletes('db.$t')").collect()
+    assert(out.head.getInt(0) == 0 && out.head.getInt(1) == 0)
+  }
+
+  test("ancestors_of walks the parent chain (current by default)") {
+    val t = fresh(3)
+    val ids = snapshotIds(t)
+    val out = spark.sql(s"CALL gp.system.ancestors_of('db.$t')").collect()
+    assert(out.map(_.getLong(0)).toSeq == ids.reverse, "current-first chain")
+    val fromMiddle = spark.sql(
+      s"CALL gp.system.ancestors_of('db.$t', ${ids(1)})").collect()
+    assert(fromMiddle.map(_.getLong(0)).toSeq == ids.take(2).reverse)
+  }
+
+  test("import_table registers an existing parquet directory in place") {
+    wh
+    val src = Files.createTempDirectory("graft-proc-import").toString
+    spark.range(10).selectExpr("id", "CAST(id AS STRING) AS v")
+      .coalesce(2).write.mode("overwrite").parquet(src)
+    val out = spark.sql(
+      s"CALL gp.system.import_table('db.imported', '$src')").collect()
+    assert(out.head.getLong(0) == 2, "imported_files_count")
+    assert(spark.sql("SELECT * FROM gp.db.imported").count() == 10)
+    assert(spark.sql("SELECT * FROM gp.db.imported WHERE id < 3").count() == 3)
+  }
+
+  test("unknown procedure fails with a helpful message") {
+    wh
+    val e = intercept[Exception](spark.sql("CALL gp.system.nope()"))
+    assert(e.getMessage.contains("nope") || e.getMessage.toLowerCase.contains("procedure"))
+  }
+}
