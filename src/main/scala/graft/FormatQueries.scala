@@ -594,6 +594,32 @@ object FormatQueries {
                FROM graftproc.db.supplier GROUP BY s_nationkey ORDER BY s_nationkey""")
     }),
 
+    // sort-clustered rewrite (beyond the reference, which has no sort-order
+    // surface): interleaved appends make every file span the whole
+    // l_shipdate range; rewriteSorted range-clusters on it so the date
+    // filter prunes files by min/max stats alone — the 100 TB clustering
+    // story, content-verified against the plain-parquet oracle
+    "q90_sorted_rewrite" -> ((s, dir) => {
+      val t = withTable(s, dir, "lineitem_sorted") { loc =>
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+        val tt = GraftTable.recreate(s, loc, li.schema)
+        GraftWrite.append(tt, li.filter(col("l_orderkey") % 2 === 0).coalesce(2))
+        GraftWrite.append(tt, li.filter(col("l_orderkey") % 2 === 1).coalesce(2))
+        val total = tt.newScan().planFiles().tasks.map(_.file.fileSizeInBytes).sum
+        Actions.forTable(tt).rewriteSorted(Seq(("l_shipdate", true)),
+          targetSizeBytes = total / 4 + 1)
+        tt
+      }
+      t.newScan()
+        .filter(Exprs.and(Exprs.gtEq("l_shipdate", "1996-01-01"),
+          Exprs.lt("l_shipdate", "1996-07-01")))
+        .toDF()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(dec(col("l_extendedprice")))).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // compaction preserves content (RewriteDataFilesAction)
     "q70_compaction" -> ((s, dir) => {
       val t = withTable(s, dir, "region_compacted") { loc =>
@@ -674,6 +700,13 @@ object FormatQueries {
     "q76_manifest_rewrite" -> orderAggSqlWhere.format("1=1"),
 
     "q77_expire_cleanup" -> orderAggSqlWhere.format("1=1"),
+
+    "q90_sorted_rewrite" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q89_sql_procedures" ->
       """SELECT s_nationkey, COUNT(*) AS n,

@@ -193,16 +193,25 @@ final class GraftProcedures(resolve: String => GraftTable,
   })
 
   private val rewriteDataFiles = new Proc("rewrite_data_files",
-    "bin-pack compact data files (one distributed job)",
+    "compact data files: bin-pack by default, range-clustered with sort_by",
     Array(p("table", StringType),
       pd("target_size_bytes", LongType, (128L * 1024 * 1024).toString),
-      pd("min_input_files", IntegerType, "2")),
+      pd("min_input_files", IntegerType, "2"),
+      pd("sort_by", StringType, "''")),
     StructType(Seq(
       StructField("rewritten_data_files_count", IntegerType, nullable = false),
       StructField("added_data_files_count", IntegerType, nullable = false))))({
     in =>
       val t = resolve(str(in, 0))
-      val r = Actions.forTable(t).rewriteDataFiles(in.getLong(1), in.getInt(2))
+      val sortSpec = str(in, 3).split(',').map(_.trim).filter(_.nonEmpty)
+        .toSeq.map { part =>
+          val bits = part.split("\\s+")
+          (bits(0), !(bits.length > 1 && bits(1).equalsIgnoreCase("desc")))
+        }
+      val r =
+        if (sortSpec.isEmpty)
+          Actions.forTable(t).rewriteDataFiles(in.getLong(1), in.getInt(2))
+        else Actions.forTable(t).rewriteSorted(sortSpec, in.getLong(1))
       Array(row(Int.box(r.rewrittenFiles), Int.box(r.addedFiles)))
   })
 

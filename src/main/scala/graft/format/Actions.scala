@@ -234,11 +234,18 @@ final class Actions(t: GraftTable) {
         fileFormat = byId(id).outFormat)
     }
     val del = planned.flatMap(_.paths).toSet
-    // dangling-delete hygiene: a position-delete file whose every target is
-    // gone after this pass no longer masks anything — drop it in the SAME
-    // commit, so delete files don't accumulate forever on a compacted
-    // table (the reference needs a separate remove-dangling-deletes pass).
-    // One driver read of each delete file's (small) path column.
+    commitRewriteWithHygiene(plan, del, newFiles, baseSnapshot)
+  }
+
+  /** Shared tail of the data-file rewrites: drop delete files the rewrite
+    * made dangling, then swap atomically (with concurrent-delete
+    * validation via `baseSnapshot`). A position-delete file whose every
+    * target is gone no longer masks anything — drop it in the SAME commit,
+    * so delete files don't accumulate forever on a compacted table (the
+    * reference needs a separate remove-dangling-deletes pass). One driver
+    * read of each delete file's (small) path column. */
+  private def commitRewriteWithHygiene(plan: ScanPlan, del: Set[String],
+      newFiles: Seq[DataFile], baseSnapshot: Option[Long]): RewriteResult = {
     val delCanon = del.map(ParquetIO.canonPath)
     val liveAfterCanon =
       plan.tasks.map(ts => ParquetIO.canonPath(ts.file.path)).toSet -- delCanon
@@ -262,6 +269,49 @@ final class Actions(t: GraftTable) {
     Commits.rewriteFiles(t, del ++ danglingPos ++ danglingEq, newFiles,
       baseSnapshot)
     RewriteResult(del.size, newFiles.size)
+  }
+
+  /** Sort-clustered rewrite: rewrite the table's data files RANGE-CLUSTERED
+    * on `sortBy`, so each output file owns a disjoint slice of the sort-key
+    * space and min/max stats pruning on those columns skips whole files.
+    * `write.sort-order` already sorts rows WITHIN each incoming write task;
+    * this action is where GLOBAL clustering happens — at 100 TB, the
+    * difference between "every file might match" and "one file per key
+    * range matches".
+    *
+    * Reuses the library read path end-to-end (live deletes applied, old
+    * schema generations mapped by field id, imported identity-partition
+    * columns materialized), then ONE range shuffle sized to
+    * `targetSizeBytes` outputs and the same fanout write + atomic-swap
+    * commit as bin-pack compaction (including dangling-delete hygiene and
+    * concurrent-delete validation). Partitioned tables cluster by
+    * (partition transforms, then sortBy), so each output task writes to one
+    * partition directory run. Goes beyond the reference fork, which has no
+    * sort-order surface at all. */
+  def rewriteSorted(sortBy: Seq[(String, Boolean)],
+      targetSizeBytes: Long = 128L * 1024 * 1024): RewriteResult = {
+    require(sortBy.nonEmpty, "rewriteSorted needs at least one sort column")
+    val m = t.metadata
+    val schema = m.schema
+    sortBy.foreach { case (name, _) => require(
+      schema.fieldNames.contains(name), s"no such column: $name") }
+    val baseSnapshot = m.currentSnapshotId
+    val plan = t.newScan().planFiles()
+    if (plan.tasks.isEmpty) return RewriteResult(0, 0)
+    val sortCols = sortBy.map { case (name, asc) =>
+      if (asc) col(name).asc else col(name).desc }
+    // cluster by partition first so fanout writers see contiguous runs
+    val rangeCols =
+      if (m.spec.isPartitioned) m.spec.derivedColumns(schema).map(_._2.asc) ++ sortCols
+      else sortCols
+    val totalBytes = plan.tasks.map(_.file.fileSizeInBytes).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetSizeBytes).toInt)
+    val arranged = t.newScan().dfFor(plan)
+      .repartitionByRange(n, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+    val newFiles = GraftWrite.writeFiles(t, arranged)
+    commitRewriteWithHygiene(plan, plan.tasks.map(_.file.path).toSet,
+      newFiles, baseSnapshot)
   }
 
   /** Compact position-delete files (reference

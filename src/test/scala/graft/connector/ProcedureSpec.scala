@@ -119,6 +119,19 @@ class ProcedureSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM gp.db.$t").count() == 3)
   }
 
+  test("rewrite_data_files with sort_by range-clusters instead of bin-packing") {
+    val t = fresh(0)
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO gp.db.$t SELECT id, CAST(id AS STRING) FROM range(${i * 25}, ${i * 25 + 100}, 4)"))
+    val out = spark.sql(
+      s"""CALL gp.system.rewrite_data_files(
+            table => 'db.$t', sort_by => 'id desc')""").collect()
+    assert(out.head.getInt(0) >= 4, "all interleaved input files rewritten")
+    assert(out.head.getInt(1) >= 1 && out.head.getInt(1) < out.head.getInt(0))
+    assert(spark.sql(s"SELECT COUNT(DISTINCT id) FROM gp.db.$t").collect()
+      .head.getLong(0) == 100)
+  }
+
   test("rewrite_position_deletes is a no-op without enough delete files") {
     val t = fresh(2)
     val out = spark.sql(

@@ -450,4 +450,49 @@ class MaintenanceSpec extends SparkSpec {
     // without a base (explicit opt-out) the commit goes through
     Commits.rowDelta(t, Nil, files)
   }
+
+  test("rewriteSorted range-clusters files so stats pruning bites") {
+    val loc = freshLoc("sortrw")
+    val d = (0 until 400).map(i => (i.toLong, s"d-$i",
+        java.sql.Timestamp.valueOf("2024-02-01 08:00:00")))
+      .toDF("id", "data", "ts")
+    val t = GraftTable.create(spark, loc, d.schema)
+    // interleaved appends: every file's id range spans the whole key space
+    GraftWrite.append(t, d.filter(col("id") % 2 === 0).repartition(2))
+    GraftWrite.append(t, d.filter(col("id") % 2 === 1).repartition(2))
+    val before = t.newScan().filter(Exprs.lt("id", 10L)).planFiles()
+    assert(before.filesTotal == 4 && before.filesScanned == 4,
+      "unsorted: every file overlaps the probe range")
+    val total = t.newScan().planFiles().tasks.map(_.file.fileSizeInBytes).sum
+    val res = Actions.forTable(t)
+      .rewriteSorted(Seq(("id", true)), targetSizeBytes = total / 3 + 1)
+    assert(res.rewrittenFiles == 4 && res.addedFiles == 3)
+    assert(t.toDF().select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 400L))
+    val after = t.newScan().filter(Exprs.lt("id", 10L)).planFiles()
+    assert(after.filesTotal == 3)
+    assert(after.filesScanned == 1,
+      "range-clustered: one file owns the probe's key slice")
+  }
+
+  test("rewriteSorted applies live deletes and keeps hidden partitions") {
+    val loc = freshLoc("sortrwdel")
+    val t = GraftTable.create(spark, loc, rows(4).schema, _.day("ts"))
+    GraftWrite.append(t, rows(4, 0).coalesce(1)) // day 02-01, ids 0..3
+    GraftWrite.append(t, rows(4, 1).coalesce(1)) // day 02-02, ids 1000..1003
+    Deletes.deleteByEquality(t, Seq(2L, 1001L).toDF("id"))
+    val before = t.toDF().select("id").as[Long].collect().sorted.toSeq
+    assert(before == Seq(0L, 1L, 3L, 1000L, 1002L, 1003L))
+    val res = Actions.forTable(t).rewriteSorted(Seq(("id", false)))
+    assert(res.rewrittenFiles == 2)
+    assert(t.toDF().select("id").as[Long].collect().sorted.toSeq == before,
+      "deleted rows must not resurface after the sorted rewrite")
+    // partition layout survives: day pruning still works post-rewrite
+    val pruned = t.newScan()
+      .filter(Exprs.lt("ts", java.sql.Timestamp.valueOf("2024-02-02 00:00:00")))
+      .planFiles()
+    assert(pruned.filesScanned < pruned.filesTotal)
+    // the equality-delete file went dangling and was dropped in-commit
+    assert(t.newScan().planFiles().deleteFiles.isEmpty)
+  }
 }
