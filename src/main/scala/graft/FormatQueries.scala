@@ -620,6 +620,31 @@ object FormatQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // z-order rewrite: Morton-interleaved clustering on (p_partkey, p_size)
+    // means a range probe on EITHER column prunes files after the rewrite
+    // (ZOrderSpec/MaintenanceSpec assert the banding; here the gate verifies
+    // the rewritten table's content against the plain-parquet oracle)
+    "q91_zorder_rewrite" -> ((s, dir) => {
+      val t = withTable(s, dir, "part_zorder") { loc =>
+        val p = s.read.parquet(s"$dir/part.parquet")
+        val tt = GraftTable.recreate(s, loc, p.schema)
+        GraftWrite.append(tt, p.filter(col("p_partkey") % 2 === 0).coalesce(2))
+        GraftWrite.append(tt, p.filter(col("p_partkey") % 2 === 1).coalesce(2))
+        val total = tt.newScan().planFiles().tasks.map(_.file.fileSizeInBytes).sum
+        Actions.forTable(tt).rewriteZOrdered(Seq("p_partkey", "p_size"),
+          targetSizeBytes = total / 4 + 1)
+        tt
+      }
+      t.newScan()
+        .filter(Exprs.and(Exprs.ltEq("p_size", 15),
+          Exprs.lt("p_partkey", 500L)))
+        .toDF()
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(dec(col("p_retailprice")))).as("sum_price"))
+        .orderBy(col("p_brand"))
+    }),
+
     // compaction preserves content (RewriteDataFilesAction)
     "q70_compaction" -> ((s, dir) => {
       val t = withTable(s, dir, "region_compacted") { loc =>
@@ -700,6 +725,12 @@ object FormatQueries {
     "q76_manifest_rewrite" -> orderAggSqlWhere.format("1=1"),
 
     "q77_expire_cleanup" -> orderAggSqlWhere.format("1=1"),
+
+    "q91_zorder_rewrite" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        |CAST(SUM(CAST(p_retailprice AS DECIMAL(14,4))) AS DOUBLE) AS sum_price
+        |FROM part WHERE p_size <= 15 AND p_partkey < 500
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q90_sorted_rewrite" ->
       """SELECT l_returnflag, COUNT(*) AS n,

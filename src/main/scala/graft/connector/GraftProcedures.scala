@@ -203,15 +203,20 @@ final class GraftProcedures(resolve: String => GraftTable,
       StructField("added_data_files_count", IntegerType, nullable = false))))({
     in =>
       val t = resolve(str(in, 0))
-      val sortSpec = str(in, 3).split(',').map(_.trim).filter(_.nonEmpty)
-        .toSeq.map { part =>
-          val bits = part.split("\\s+")
-          (bits(0), !(bits.length > 1 && bits(1).equalsIgnoreCase("desc")))
-        }
-      val r =
-        if (sortSpec.isEmpty)
+      val ZOrderSyntax = """(?i)zorder\s*\((.*)\)""".r
+      val r = str(in, 3).trim match {
+        case "" =>
           Actions.forTable(t).rewriteDataFiles(in.getLong(1), in.getInt(2))
-        else Actions.forTable(t).rewriteSorted(sortSpec, in.getLong(1))
+        case ZOrderSyntax(inner) =>
+          Actions.forTable(t).rewriteZOrdered(
+            inner.split(',').map(_.trim).filter(_.nonEmpty).toSeq, in.getLong(1))
+        case sortSpec =>
+          Actions.forTable(t).rewriteSorted(
+            sortSpec.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
+              val bits = part.split("\\s+")
+              (bits(0), !(bits.length > 1 && bits(1).equalsIgnoreCase("desc")))
+            }, in.getLong(1))
+      }
       Array(row(Int.box(r.rewrittenFiles), Int.box(r.addedFiles)))
   })
 

@@ -1,5 +1,6 @@
 package graft.format
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Distributed maintenance actions — the reference's own Spark jobs
@@ -291,22 +292,44 @@ final class Actions(t: GraftTable) {
   def rewriteSorted(sortBy: Seq[(String, Boolean)],
       targetSizeBytes: Long = 128L * 1024 * 1024): RewriteResult = {
     require(sortBy.nonEmpty, "rewriteSorted needs at least one sort column")
-    val m = t.metadata
-    val schema = m.schema
     sortBy.foreach { case (name, _) => require(
-      schema.fieldNames.contains(name), s"no such column: $name") }
+      t.metadata.schema.fieldNames.contains(name), s"no such column: $name") }
+    rewriteClustered(_ => sortBy.map { case (name, asc) =>
+      if (asc) col(name).asc else col(name).desc }, targetSizeBytes)
+  }
+
+  /** Z-order twin of [[rewriteSorted]]: cluster on the Morton interleave of
+    * `cols` ([[ZOrder.zValue]]) instead of a lexicographic key, so range
+    * predicates on ANY participating column — not just the leading one —
+    * prune files by min/max stats after the rewrite. The multi-dimensional
+    * clustering a 100 TB table wants when two or three columns share the
+    * query load. */
+  def rewriteZOrdered(cols: Seq[String],
+      targetSizeBytes: Long = 128L * 1024 * 1024): RewriteResult =
+    rewriteClustered(df => Seq(ZOrder.zValue(df, cols).asc), targetSizeBytes)
+
+  /** Shared clustered-rewrite pipeline: library scan (live deletes applied,
+    * old schema generations mapped by field id, imported identity-partition
+    * columns materialized) → ONE range shuffle sized to `targetSizeBytes`
+    * outputs → in-partition sort → the same fanout write + atomic-swap
+    * commit as bin-pack compaction. `clusterCols` sees the scan DataFrame
+    * (for derived keys like the z-value). */
+  private def rewriteClustered(
+      clusterCols: org.apache.spark.sql.DataFrame => Seq[Column],
+      targetSizeBytes: Long): RewriteResult = {
+    val m = t.metadata
     val baseSnapshot = m.currentSnapshotId
     val plan = t.newScan().planFiles()
     if (plan.tasks.isEmpty) return RewriteResult(0, 0)
-    val sortCols = sortBy.map { case (name, asc) =>
-      if (asc) col(name).asc else col(name).desc }
+    val df = t.newScan().dfFor(plan)
     // cluster by partition first so fanout writers see contiguous runs
     val rangeCols =
-      if (m.spec.isPartitioned) m.spec.derivedColumns(schema).map(_._2.asc) ++ sortCols
-      else sortCols
+      if (m.spec.isPartitioned)
+        m.spec.derivedColumns(m.schema).map(_._2.asc) ++ clusterCols(df)
+      else clusterCols(df)
     val totalBytes = plan.tasks.map(_.file.fileSizeInBytes).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetSizeBytes).toInt)
-    val arranged = t.newScan().dfFor(plan)
+    val arranged = df
       .repartitionByRange(n, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
     val newFiles = GraftWrite.writeFiles(t, arranged)

@@ -161,6 +161,18 @@ class ProcedureSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM gp.db.imported WHERE id < 3").count() == 3)
   }
 
+  test("SHOW PROCEDURES and DESCRIBE PROCEDURE surface the registry") {
+    wh
+    val names = spark.sql("SHOW PROCEDURES IN gp.system").collect()
+      .map(_.getAs[String]("procedure_name")).toSet
+    assert(names.contains("rollback_to_snapshot"))
+    assert(names.contains("rewrite_data_files"))
+    assert(names.contains("import_table"))
+    val desc = spark.sql("DESCRIBE PROCEDURE gp.system.expire_snapshots")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("expire_snapshots"))
+  }
+
   test("unknown procedure fails with a helpful message") {
     wh
     val e = intercept[Exception](spark.sql("CALL gp.system.nope()"))

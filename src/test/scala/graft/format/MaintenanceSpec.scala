@@ -475,6 +475,31 @@ class MaintenanceSpec extends SparkSpec {
       "range-clustered: one file owns the probe's key slice")
   }
 
+  test("rewriteZOrdered prunes on BOTH dimensions after the rewrite") {
+    val loc = freshLoc("zorder")
+    // 64x64 grid scattered round-robin: before the rewrite every file
+    // spans the full range of both x and y
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val t = GraftTable.create(spark, loc, grid.schema)
+    GraftWrite.append(t, grid.repartition(4))
+    val total = t.newScan().planFiles().tasks.map(_.file.fileSizeInBytes).sum
+    val res = Actions.forTable(t)
+      .rewriteZOrdered(Seq("x", "y"), targetSizeBytes = total / 4 + 1)
+    assert(res.rewrittenFiles == 4 && res.addedFiles == 4)
+    assert(t.toDF().count() == 64 * 64)
+    // a narrow probe on EITHER dimension must skip files now
+    val px = t.newScan().filter(Exprs.lt("x", 8L)).planFiles()
+    assert(px.filesTotal == 4 && px.filesScanned < 4,
+      s"x probe scanned ${px.filesScanned}/4")
+    val py = t.newScan().filter(Exprs.lt("y", 8L)).planFiles()
+    assert(py.filesScanned < 4, s"y probe scanned ${py.filesScanned}/4")
+    // the 2-d corner probe hits fewer files than either 1-d probe alone
+    val pxy = t.newScan()
+      .filter(Exprs.and(Exprs.lt("x", 8L), Exprs.lt("y", 8L))).planFiles()
+    assert(pxy.filesScanned == 1, s"corner probe scanned ${pxy.filesScanned}/4")
+  }
+
   test("rewriteSorted applies live deletes and keeps hidden partitions") {
     val loc = freshLoc("sortrwdel")
     val t = GraftTable.create(spark, loc, rows(4).schema, _.day("ts"))
