@@ -518,18 +518,31 @@ final class Actions(t: GraftTable) {
       : OrphanResult = {
     import t.spark.implicits._
     val dataDir = t.locations.dataRoot
-    if (!t.ops.io.exists(dataDir)) return OrphanResult(Nil)
-    val actual = t.ops.io.list(dataDir)
-      .filter(fi => FileFormats.All.exists(ext => fi.path.endsWith("." + ext)))
-      .map(fi => (fi.path, fi.modifiedMillis))
-      .toDF("path", "mtime")
-    val m = t.metadata
-    val validManifests = m.snapshots
-      .flatMap(s => t.readManifestList(m, s)).distinctBy(_.path)
-    val entriesByPath = TableScan.readManifestsParallel(t, validManifests, m.schema)
-    val valid = validManifests
-      .flatMap(mf => entriesByPath(mf.path).map(_.file.path))
-      .toDF("path")
+    val io = t.ops.io
+    if (!io.exists(dataDir)) return OrphanResult(Nil)
+    // the driver lists ONE level (partition dirs / object-store hash
+    // prefixes — thousands at most); executors recurse into the prefixes in
+    // parallel. A 100 TB table's million-file listing never sits on the
+    // driver — only the (rare) orphan paths come back. The FileIO ships to
+    // tasks like every other distributed action here.
+    val (subdirs, rootFiles) = io.listShallow(dataDir)
+    val isData = (path: String) =>
+      FileFormats.All.exists(ext => path.endsWith("." + ext))
+    val listed =
+      if (subdirs.isEmpty) t.spark.emptyDataset[(String, Long)].toDF("path", "mtime")
+      else t.spark.sparkContext
+        .parallelize(subdirs, math.min(subdirs.size, 64))
+        .flatMap(d => io.list(d).collect {
+          case fi if isData(fi.path) => (fi.path, fi.modifiedMillis) })
+        .toDF("path", "mtime")
+    val actual = listed.unionAll(rootFiles
+      .collect { case fi if isData(fi.path) => (fi.path, fi.modifiedMillis) }
+      .toDF("path", "mtime"))
+    // the valid side is the distributed all_entries relation (executors
+    // parse manifests; reference RemoveOrphanFilesAction builds validFileDF
+    // the same way) — Deleted-status entries stay valid here, matching the
+    // conservative rule: only files NO manifest mentions are orphans
+    val valid = MetaTables.allEntries(t).select(col("file_path").as("path"))
     val orphans = actual.filter(col("mtime") < olderThanMillis)
       .join(valid, Seq("path"), "left_anti")
       .select("path").as[String].collect().sorted

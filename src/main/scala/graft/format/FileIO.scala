@@ -62,6 +62,13 @@ trait FileIO extends Serializable {
   /** Recursive listing of regular files under `dir` with the given suffix
     * ("" = all). Missing dir lists empty. */
   def list(dir: String, suffix: String = ""): Seq[FileInfo]
+
+  /** ONE level of `dir`: (subdirectory paths, regular files). The fan-out
+    * point for distributed listing — a driver lists the (few) first-level
+    * prefixes, executors recurse into them in parallel (`list`). Default
+    * falls back to a driver-side recursive walk reported as files-only. */
+  def listShallow(dir: String): (Seq[String], Seq[FileInfo]) =
+    (Nil, list(dir))
 }
 
 /** Default local-filesystem implementation (reference HadoopFileIO with a
@@ -122,6 +129,16 @@ object LocalFileIO extends FileIO {
       .map(f => FileInfo(f.toString, Files.size(f),
         Files.getLastModifiedTime(f).toMillis))
       .toSeq
+  }
+
+  override def listShallow(dir: String): (Seq[String], Seq[FileInfo]) = {
+    val root = p(dir)
+    if (!Files.exists(root)) return (Nil, Nil)
+    val entries = Files.list(root).iterator().asScala.toSeq
+    val (dirs, files) = entries.partition(Files.isDirectory(_))
+    (dirs.map(_.toString),
+      files.filter(Files.isRegularFile(_)).map(f => FileInfo(f.toString,
+        Files.size(f), Files.getLastModifiedTime(f).toMillis)))
   }
 }
 
@@ -229,5 +246,15 @@ final class HadoopFileIO(
         out += FileInfo(path, st.getLen, st.getModificationTime)
     }
     out.result()
+  }
+
+  override def listShallow(dir: String): (Seq[String], Seq[FileInfo]) = {
+    val f = fs(dir)
+    val p = new HPath(dir)
+    if (!f.exists(p)) return (Nil, Nil)
+    val (dirs, files) = f.listStatus(p).toSeq.partition(_.isDirectory)
+    (dirs.map(_.getPath.toString),
+      files.filter(_.isFile).map(st => FileInfo(st.getPath.toString,
+        st.getLen, st.getModificationTime)))
   }
 }

@@ -40,6 +40,25 @@ class FileIOSpec extends AnyFunSuite {
     assert(io.list(dir).isEmpty)
   }
 
+  test("listShallow splits one level into (dirs, files) on both impls") {
+    val local = tmpDir()
+    LocalFileIO.writeString(s"$local/top.txt", "t")
+    LocalFileIO.writeString(s"$local/p1/a.parquet", "a")
+    LocalFileIO.writeString(s"$local/p2/deep/b.parquet", "b")
+    val (dirs, files) = LocalFileIO.listShallow(local)
+    assert(dirs.map(d => d.substring(d.lastIndexOf('/') + 1)).sorted == Seq("p1", "p2"))
+    assert(files.map(_.path).map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("top.txt"))
+    assert(LocalFileIO.listShallow(s"$local/nope") == ((Nil, Nil)))
+    val io = new HadoopFileIO
+    val hdir = "file://" + tmpDir()
+    io.writeString(s"$hdir/top.txt", "t")
+    io.writeString(s"$hdir/p1/a.parquet", "a")
+    val (hdirs, hfiles) = io.listShallow(hdir)
+    assert(hdirs.size == 1 && hdirs.head.endsWith("/p1"))
+    assert(hfiles.size == 1 && hfiles.head.path.endsWith("/top.txt"))
+    assert(io.listShallow(s"$hdir/nope") == ((Nil, Nil)))
+  }
+
   test("hadoop io: writeExclusive is first-writer-wins") {
     val io = new HadoopFileIO
     val dir = "file://" + tmpDir()

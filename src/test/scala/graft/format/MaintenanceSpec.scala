@@ -475,6 +475,41 @@ class MaintenanceSpec extends SparkSpec {
       "range-clustered: one file owns the probe's key slice")
   }
 
+  test("removeOrphanFiles lists partition prefixes as executor tasks") {
+    val loc = freshLoc("orphdist")
+    val t = GraftTable.create(spark, loc, rows(2).schema, _.day("ts"))
+    GraftWrite.append(t, rows(2, 0).coalesce(1)) // day 02-01
+    GraftWrite.append(t, rows(2, 1).coalesce(1)) // day 02-02
+    // junk inside a PARTITION directory: only the distributed per-prefix
+    // recursion can find it (the driver sees one level: the day dirs)
+    val partDir = java.nio.file.Paths.get(
+      t.newScan().planFiles().tasks.head.file.path).getParent
+    val junk = partDir.resolve("zz-junk.parquet")
+    java.nio.file.Files.write(junk, Array[Byte](9))
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        tasks.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val res =
+      try Actions.forTable(t).removeOrphanFiles(System.currentTimeMillis() + 60000)
+      finally {
+        // listener events are async — poll (same as MetaScanSpec)
+        val deadline = System.currentTimeMillis() + 10000
+        while (tasks.get() < 2 && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(res.deletedOrphans.map(p =>
+      java.nio.file.Paths.get(p).getFileName.toString) == Seq("zz-junk.parquet"))
+    assert(!java.nio.file.Files.exists(junk))
+    assert(t.toDF().count() == 4, "live files survive")
+    assert(tasks.get() >= 2,
+      s"expected executor tasks for 2 partition prefixes, saw ${tasks.get()}")
+  }
+
   test("rewriteZOrdered prunes on BOTH dimensions after the rewrite") {
     val loc = freshLoc("zorder")
     // 64x64 grid scattered round-robin: before the rewrite every file
