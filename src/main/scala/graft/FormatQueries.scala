@@ -222,6 +222,27 @@ object FormatQueries {
       orderAgg(t.toDF())
     }),
 
+    // branch WAP (Iceberg v2 refs; beyond the reference fork): half the
+    // orders land on main, the other half commit to an "audit" branch
+    // (invisible to main readers), then fast_forward publishes the branch —
+    // the final main read must equal the full-table oracle
+    "q92_branch_wap" -> ((s, dir) => {
+      val t = withTable(s, dir, "orders_branch") { loc =>
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        val tt = GraftTable.recreate(s, loc, o.schema)
+        GraftWrite.append(tt, o.filter(col("o_orderkey") % 2 === 0).coalesce(2))
+        Commits.createBranch(tt, "audit")
+        GraftWrite.appendToBranch(tt, "audit",
+          o.filter(col("o_orderkey") % 2 === 1).coalesce(2))
+        require(tt.toDF().count() < o.count(),
+          "branch write must stay invisible on main before the publish")
+        Commits.fastForward(tt, "main",
+          tt.metadata.refs("audit").snapshotId)
+        tt
+      }
+      orderAgg(t.toDF())
+    }),
+
     // streaming sink: two epochs + a replayed epoch (dedup) = exactly-once
     "q73_streaming_epochs" -> ((s, dir) => {
       val t = withTable(s, dir, "customer_stream") { loc =>
@@ -712,6 +733,7 @@ object FormatQueries {
       "o_orderpriority <> '1-URGENT' OR o_totalprice > 1000"),
 
     "q72_wap_publish" -> orderAggSqlWhere.format("1=1"),
+    "q92_branch_wap" -> orderAggSqlWhere.format("1=1"),
 
     "q73_streaming_epochs" ->
       """SELECT c_mktsegment, COUNT(*) AS n,

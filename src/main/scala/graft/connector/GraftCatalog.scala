@@ -61,11 +61,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       new GraftSparkTable(spark, GraftTable.load(spark, tableDir(ident)), ident.toString)
   }
 
-  /** VERSION AS OF — version string = snapshot id. */
+  /** VERSION AS OF — a snapshot id, or a named ref (branch/tag/"main"). */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!GraftTable.exists(tableDir(ident))) throw new NoSuchTableException(ident)
-    new GraftSparkTable(spark, GraftTable.load(spark, tableDir(ident)),
-      ident.toString, snapshotId = Some(version.toLong))
+    val t = GraftTable.load(spark, tableDir(ident))
+    val snapId = version.toLongOption.orElse(t.metadata.refSnapshotId(version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$version is neither a snapshot id nor a ref of $ident"))
+    new GraftSparkTable(spark, t, ident.toString, snapshotId = Some(snapId))
   }
 
   /** TIMESTAMP AS OF — micros since epoch. */

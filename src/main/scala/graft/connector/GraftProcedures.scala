@@ -161,6 +161,64 @@ final class GraftProcedures(resolve: String => GraftTable,
         .toArray
   })
 
+  // ---- named refs: branches and tags -----------------------------------
+
+  private val refRow = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false)))
+
+  private val createBranch = new Proc("create_branch",
+    "create a branch at a snapshot (default: current head)",
+    Array(p("table", StringType), p("branch", StringType),
+      pd("snapshot_id", LongType, "NULL")), refRow)({ in =>
+      val t = resolve(str(in, 0))
+      val snap = if (in.isNullAt(2)) None else Some(in.getLong(2))
+      val m = Commits.createBranch(t, str(in, 1), snap)
+      Array(row(str(in, 1), Long.box(m.refs(str(in, 1)).snapshotId)))
+  })
+
+  private val createTag = new Proc("create_tag",
+    "create an immutable tag at a snapshot (default: current head)",
+    Array(p("table", StringType), p("tag", StringType),
+      pd("snapshot_id", LongType, "NULL"),
+      pd("max_ref_age_ms", LongType, "NULL")), refRow)({ in =>
+      val t = resolve(str(in, 0))
+      val snap = if (in.isNullAt(2)) None else Some(in.getLong(2))
+      val age = if (in.isNullAt(3)) None else Some(in.getLong(3))
+      val m = Commits.createTag(t, str(in, 1), snap, age)
+      Array(row(str(in, 1), Long.box(m.refs(str(in, 1)).snapshotId)))
+  })
+
+  private val dropRef = new Proc("drop_ref",
+    "drop a branch or tag by name",
+    Array(p("table", StringType), p("name", StringType)),
+    StructType(Seq(StructField("dropped", StringType, nullable = false))))({
+    in =>
+      Commits.dropRef(resolve(str(in, 0)), str(in, 1))
+      Array(row(str(in, 1)))
+  })
+
+  private val fastForward = new Proc("fast_forward",
+    "advance a branch (or 'main') to a descendant snapshot or ref head",
+    Array(p("table", StringType), p("branch", StringType),
+      p("to", StringType)),
+    StructType(Seq(
+      StructField("branch_updated", StringType, nullable = false),
+      StructField("previous_ref", LongType, nullable = true),
+      StructField("updated_ref", LongType, nullable = false))))({ in =>
+      val t = resolve(str(in, 0))
+      val name = str(in, 1)
+      val toStr = str(in, 2)
+      val target = toStr.toLongOption
+        .orElse(t.metadata.refSnapshotId(toStr))
+        .getOrElse(throw new IllegalArgumentException(
+          s"'$toStr' is neither a snapshot id nor a ref"))
+      val prev = t.metadata.refSnapshotId(name)
+      val m = Commits.fastForward(t, name, target)
+      Array(row(name, prev.map(Long.box).orNull,
+        Long.box(m.refSnapshotId(name).get)))
+  })
+
   // ---- maintenance actions (Actions) -----------------------------------
 
   private val expireSnapshots = new Proc("expire_snapshots",
@@ -270,6 +328,7 @@ final class GraftProcedures(resolve: String => GraftTable,
   val byName: Map[String, UnboundProcedure] = Seq(
     rollbackToSnapshot, rollbackToTimestamp, setCurrentSnapshot,
     cherrypickSnapshot, publishChanges, ancestorsOf,
+    createBranch, createTag, dropRef, fastForward,
     expireSnapshots, removeOrphanFiles,
     rewriteDataFiles, rewritePositionDeletes, rewriteManifests,
     importTable

@@ -355,9 +355,21 @@ object Commits {
       retainLast: Int = 1): (TableMetadata, Seq[String]) = {
     var orphaned: Seq[String] = Nil
     val updated = table.ops.commitTransaction { m =>
+      // refs past their max-ref-age retire FIRST (a tag's age counts from
+      // its snapshot's commit time); surviving refs then protect snapshots:
+      // a tag pins its target, a branch pins its whole ancestry
+      val now = System.currentTimeMillis()
+      val liveRefs = m.refs.filter { case (_, r) =>
+        r.maxRefAgeMs.forall(age => m.snapshot(r.snapshotId)
+          .forall(_.timestampMillis + age >= now))
+      }
+      val refKeep = liveRefs.values.flatMap { r =>
+        if (r.isBranch) m.ancestors(Some(r.snapshotId)).map(_.snapshotId)
+        else Seq(r.snapshotId)
+      }.toSet
       val byAge = m.snapshots.sortBy(s => (s.timestampMillis, s.snapshotId))
       val keepIds = (byAge.takeRight(retainLast).map(_.snapshotId) ++
-        m.currentSnapshotId).toSet
+        m.currentSnapshotId).toSet ++ refKeep
       val (keep, expire) = m.snapshots.partition(s =>
         keepIds.contains(s.snapshotId) || s.timestampMillis >= olderThanMillis)
       // files referenced before vs after (reference ExpireSnapshotsAction :150-175)
@@ -366,7 +378,7 @@ object Commits {
           .distinctBy(_.path)
           .flatMap(mf => table.readManifest(mf, m.schema).map(_.file.path)).toSet
       orphaned = (livePaths(expire) -- livePaths(keep)).toSeq.sorted
-      m.copy(snapshots = keep,
+      m.copy(snapshots = keep, refs = liveRefs,
         snapshotLog = m.snapshotLog.filter(e => keep.exists(_.snapshotId == e.snapshotId)))
     }
     (updated, orphaned)
@@ -381,6 +393,97 @@ object Commits {
         lastUpdatedMillis = System.currentTimeMillis(),
         snapshotLog = m.snapshotLog :+
           SnapshotLogEntry(System.currentTimeMillis(), snapshotId))
+    }
+
+  // ---- named refs: branches and tags (Iceberg v2 refs; beyond the
+  // reference fork, which predates them) ----
+
+  /** Create a branch at `snapshotId` (default: current head). */
+  def createBranch(table: GraftTable, name: String,
+      snapshotId: Option[Long] = None): TableMetadata =
+    createRef(table, name, snapshotId, isBranch = true, maxRefAgeMs = None)
+
+  /** Create an immutable tag at `snapshotId` (default: current head).
+    * `maxRefAgeMs` lets expireSnapshots retire the tag itself. */
+  def createTag(table: GraftTable, name: String,
+      snapshotId: Option[Long] = None,
+      maxRefAgeMs: Option[Long] = None): TableMetadata =
+    createRef(table, name, snapshotId, isBranch = false, maxRefAgeMs)
+
+  private def createRef(table: GraftTable, name: String,
+      snapshotId: Option[Long], isBranch: Boolean,
+      maxRefAgeMs: Option[Long]): TableMetadata =
+    table.ops.commitTransaction { m =>
+      require(name != "main", "'main' is the implicit current branch")
+      require(!m.refs.contains(name), s"ref already exists: $name")
+      val target = snapshotId.orElse(m.currentSnapshotId).getOrElse(
+        throw new IllegalArgumentException("table has no snapshot to reference"))
+      require(m.snapshot(target).isDefined, s"no snapshot $target")
+      m.copy(lastUpdatedMillis = System.currentTimeMillis(),
+        refs = m.refs + (name ->
+          SnapshotRef(target, isBranch, maxRefAgeMs = maxRefAgeMs)))
+    }
+
+  def dropRef(table: GraftTable, name: String): TableMetadata =
+    table.ops.commitTransaction { m =>
+      require(m.refs.contains(name), s"no such ref: $name")
+      m.copy(lastUpdatedMillis = System.currentTimeMillis(),
+        refs = m.refs - name)
+    }
+
+  /** Fast-forward a branch (or "main") to `toSnapshotId`. The target must
+    * DESCEND from the ref's current head — a fast-forward never discards
+    * commits (use rollbackTo for that); that descent requirement is what
+    * makes branch-WAP publishes safe. */
+  def fastForward(table: GraftTable, name: String,
+      toSnapshotId: Long): TableMetadata =
+    table.ops.commitTransaction { m =>
+      require(m.snapshot(toSnapshotId).isDefined, s"no snapshot $toSnapshotId")
+      val head = m.refSnapshotId(name).getOrElse(
+        if (name == "main") -1L
+        else throw new IllegalArgumentException(s"no such ref: $name"))
+      val reachable = m.ancestors(Some(toSnapshotId)).exists(_.snapshotId == head)
+      require(head == -1L || reachable,
+        s"$toSnapshotId does not descend from $name's head $head: not a fast-forward")
+      val now = System.currentTimeMillis()
+      if (name == "main")
+        m.copy(currentSnapshotId = Some(toSnapshotId), lastUpdatedMillis = now,
+          snapshotLog = m.snapshotLog :+ SnapshotLogEntry(now, toSnapshotId))
+      else {
+        require(m.refs(name).isBranch, s"cannot fast-forward tag: $name")
+        m.copy(lastUpdatedMillis = now,
+          refs = m.refs + (name -> m.refs(name).copy(snapshotId = toSnapshotId)))
+      }
+    }
+
+  /** Append files to a BRANCH head: same snapshot construction as
+    * fastAppend, but parented at (and advancing) the branch ref — main's
+    * head and the snapshot log stay untouched, so branch writes are
+    * invisible until a fastForward publishes them. */
+  def appendToBranch(table: GraftTable, branch: String,
+      newFiles: Seq[DataFile],
+      summary: Map[String, String] = Map.empty): TableMetadata =
+    table.ops.commitTransaction { m =>
+      val ref = m.refs.getOrElse(branch,
+        throw new IllegalArgumentException(s"no such branch: $branch"))
+      require(ref.isBranch, s"cannot append to tag: $branch")
+      val head = m.snapshot(ref.snapshotId).getOrElse(
+        throw new IllegalStateException(s"branch head ${ref.snapshotId} missing"))
+      val (seq, snapId) = nextIds(m)
+      val entries = newFiles.map(f =>
+        ManifestEntry(EntryStatus.Added, snapId, seq,
+          f.copy(schemaId =
+            if (m.schemas.contains(f.schemaId)) f.schemaId else m.currentSchemaId,
+            specId = m.defaultSpecId)))
+      val mf = writeManifest(table, m, m.defaultSpecId, entries, snapId)
+      val manifests = table.readManifestList(m, head) :+ mf
+      val listPath = writeManifestList(table, m, snapId, manifests)
+      val now = System.currentTimeMillis()
+      val snap = Snapshot(snapId, Some(head.snapshotId), seq, now, "append",
+        listPath, summary ++ Map("schema-id" -> m.currentSchemaId.toString))
+      m.copy(lastSequenceNumber = seq, lastUpdatedMillis = now,
+        snapshots = m.snapshots :+ snap,
+        refs = m.refs + (branch -> ref.copy(snapshotId = snapId)))
     }
 
   /** Cherry-pick a (staged / non-ancestor) append snapshot onto current —

@@ -40,6 +40,10 @@ final class TableScan private[format] (
 
   def useSnapshot(id: Long): TableScan =
     new TableScan(table, Some(id), asOfMillis, rowFilter, projection, incremental)
+  /** Read a named ref — branch head or tag ("main" = current). */
+  def useRef(name: String): TableScan =
+    useSnapshot(table.metadata.refSnapshotId(name).getOrElse(
+      throw new IllegalArgumentException(s"no such ref: $name")))
   def asOfTime(millis: Long): TableScan =
     new TableScan(table, snapshotId, Some(millis), rowFilter, projection, incremental)
   def filter(expr: Expr): TableScan =

@@ -169,6 +169,11 @@ object GraftWrite {
   def fastAppend(table: GraftTable, df: DataFrame): TableMetadata =
     Commits.fastAppend(table, writeFiles(table, df))
 
+  /** Append to a branch head; main stays untouched until fastForward. */
+  def appendToBranch(table: GraftTable, branch: String,
+      df: DataFrame): TableMetadata =
+    Commits.appendToBranch(table, branch, writeFiles(table, df))
+
   /** INSERT OVERWRITE … WHERE analog (SupportsOverwrite). */
   def overwrite(table: GraftTable, df: DataFrame, filter: Expr): TableMetadata =
     Commits.overwriteByFilter(table, filter, writeFiles(table, df))

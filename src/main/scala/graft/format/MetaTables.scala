@@ -40,6 +40,7 @@ object MetaTables {
     case "all_data_files" => allDataFiles(table)
     case "all_entries" => allEntries(table)
     case "all_manifests" => allManifests(table)
+    case "refs" => refs(table)
     case other => throw new IllegalArgumentException(s"unknown metadata table $other")
   }
 
@@ -96,6 +97,27 @@ object MetaTables {
 
   def allManifests(t: GraftTable): DataFrame =
     df(t.spark, manifestSchema, manifestRowsOf(t, t.metadata.snapshots))
+
+  /** `t$refs`: named branches/tags plus the implicit "main" row (public
+    * Iceberg RefsTable shape; snapshot-log scale → LocalRelation tier). */
+  def refs(t: GraftTable): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("min_snapshots_to_keep", IntegerType),
+      StructField("max_snapshot_age_in_ms", LongType),
+      StructField("max_ref_age_in_ms", LongType)))
+    val m = t.metadata
+    val main = m.currentSnapshotId.map(id =>
+      Row("main", "BRANCH", id, null, null, null)).toSeq
+    df(t.spark, schema, main ++ m.refs.toSeq.sortBy(_._1).map { case (n, r) =>
+      Row(n, if (r.isBranch) "BRANCH" else "TAG", r.snapshotId,
+        r.minSnapshotsToKeep.map(Int.box).orNull,
+        r.maxSnapshotAgeMs.map(Long.box).orNull,
+        r.maxRefAgeMs.map(Long.box).orNull)
+    })
+  }
 
   private[graft] val fileSchema = StructType(Seq(
     StructField("content", IntegerType),

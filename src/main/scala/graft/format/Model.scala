@@ -87,6 +87,18 @@ final case class Snapshot(
 
 final case class SnapshotLogEntry(timestampMillis: Long, snapshotId: Long)
 
+/** A named snapshot pointer — branch (mutable head) or tag (immutable
+  * mark), the Iceberg v2 `refs` map. The reference fork predates refs; the
+  * format here follows the public spec ("refs": name → {"snapshot-id",
+  * "type", retention fields}). "main" stays implicit: `currentSnapshotId`
+  * IS the main branch head, so v1 metadata round-trips unchanged. */
+final case class SnapshotRef(
+    snapshotId: Long,
+    isBranch: Boolean,
+    minSnapshotsToKeep: Option[Int] = None,
+    maxSnapshotAgeMs: Option[Long] = None,
+    maxRefAgeMs: Option[Long] = None)
+
 /** The metadata tree root (reference core/.../TableMetadata.java:195-).
   * One JSON file per version; commit = atomic rename (TableOps).
   */
@@ -104,9 +116,14 @@ final case class TableMetadata(
     properties: Map[String, String],
     currentSnapshotId: Option[Long],
     snapshots: Seq[Snapshot],
-    snapshotLog: Seq[SnapshotLogEntry]) {
+    snapshotLog: Seq[SnapshotLogEntry],
+    refs: Map[String, SnapshotRef] = Map.empty) {
 
   def schema: StructType = schemas(currentSchemaId)
+
+  /** Resolve a ref name to its snapshot id ("main" = the current head). */
+  def refSnapshotId(name: String): Option[Long] =
+    if (name == "main") currentSnapshotId else refs.get(name).map(_.snapshotId)
   def spec: PartitionSpec = specs(defaultSpecId)
   def currentSnapshot: Option[Snapshot] =
     currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
@@ -262,6 +279,17 @@ object Model {
       eo.put("timestamp-ms", e.timestampMillis)
       eo.put("snapshot-id", e.snapshotId)
     }
+    if (m.refs.nonEmpty) {
+      val ro = o.putObject("refs")
+      m.refs.toSeq.sortBy(_._1).foreach { case (name, r) =>
+        val e = ro.putObject(name)
+        e.put("snapshot-id", r.snapshotId)
+        e.put("type", if (r.isBranch) "branch" else "tag")
+        r.minSnapshotsToKeep.foreach(e.put("min-snapshots-to-keep", _))
+        r.maxSnapshotAgeMs.foreach(e.put("max-snapshot-age-ms", _))
+        r.maxRefAgeMs.foreach(e.put("max-ref-age-ms", _))
+      }
+    }
     pretty(o)
   }
 
@@ -286,7 +314,16 @@ object Model {
       snapshots = elems(n.get("snapshots")).map(snapshotFromJson).toSeq,
       snapshotLog = elems(n.get("snapshot-log")).map { eo =>
         SnapshotLogEntry(getLong(eo, "timestamp-ms"), getLong(eo, "snapshot-id"))
-      }.toSeq)
+      }.toSeq,
+      refs = Option(n.get("refs")).filterNot(_.isNull).map(ro =>
+        fields(ro).map { case (name, e) =>
+          name -> SnapshotRef(
+            snapshotId = getLong(e, "snapshot-id"),
+            isBranch = getStr(e, "type") == "branch",
+            minSnapshotsToKeep = optLong(e, "min-snapshots-to-keep").map(_.toInt),
+            maxSnapshotAgeMs = optLong(e, "max-snapshot-age-ms"),
+            maxRefAgeMs = optLong(e, "max-ref-age-ms"))
+        }.toMap).getOrElse(Map.empty))
   }
 
   // ---- Manifest (JSON lines of entries + header) ----

@@ -1,0 +1,120 @@
+package graft.format
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Named refs — branches and tags (public Iceberg v2 refs; the reference
+  * fork predates them): ref CRUD + JSON persistence, isolated branch
+  * writes, fast-forward publish (branch WAP), expiry protection, SQL
+  * VERSION AS OF by name, the `$refs` metadata table and ref procedures. */
+class RefsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshLoc(name: String): String = {
+    val d = Files.createTempDirectory(s"graft-$name")
+    Files.delete(d)
+    d.toString
+  }
+
+  private def rows(n: Int, off: Int = 0) =
+    (0 until n).map(i => ((off * 1000 + i).toLong, s"d-$off-$i"))
+      .toDF("id", "data")
+
+  test("refs round-trip through metadata JSON and survive reload") {
+    val loc = freshLoc("refs")
+    val t = GraftTable.create(spark, loc, rows(1).schema)
+    GraftWrite.append(t, rows(2, 0))
+    val s1 = t.currentSnapshot.get.snapshotId
+    Commits.createTag(t, "v1", maxRefAgeMs = Some(123456L))
+    Commits.createBranch(t, "dev")
+    val re = GraftTable.load(spark, loc).metadata
+    assert(re.refs("v1") == SnapshotRef(s1, isBranch = false,
+      maxRefAgeMs = Some(123456L)))
+    assert(re.refs("dev") == SnapshotRef(s1, isBranch = true))
+    assert(re.refSnapshotId("main").contains(s1))
+    intercept[IllegalArgumentException](Commits.createBranch(t, "dev"))
+    intercept[IllegalArgumentException](Commits.createBranch(t, "main"))
+    Commits.dropRef(t, "v1")
+    assert(!GraftTable.load(spark, loc).metadata.refs.contains("v1"))
+  }
+
+  test("branch appends are invisible on main until fastForward publishes") {
+    val loc = freshLoc("refswap")
+    val t = GraftTable.create(spark, loc, rows(1).schema)
+    GraftWrite.append(t, rows(2, 0))
+    Commits.createBranch(t, "audit")
+    GraftWrite.appendToBranch(t, "audit", rows(3, 1))
+    GraftWrite.appendToBranch(t, "audit", rows(1, 2))
+    assert(t.toDF().count() == 2, "main must not see branch writes")
+    assert(t.newScan().useRef("audit").toDF().count() == 6)
+    assert(t.newScan().useRef("main").toDF().count() == 2)
+    // the branch head parents back to the fork point
+    val m = t.metadata
+    val head = m.snapshot(m.refs("audit").snapshotId).get
+    assert(m.ancestors(Some(head.snapshotId)).map(_.snapshotId)
+      .contains(m.currentSnapshotId.get))
+    // publish: fast-forward main to the branch head
+    Commits.fastForward(t, "main", head.snapshotId)
+    assert(t.toDF().count() == 6)
+    // a tag is not fast-forwardable; a non-descendant is rejected
+    Commits.createTag(t, "pin")
+    intercept[IllegalArgumentException](
+      Commits.fastForward(t, "pin", head.snapshotId))
+    GraftWrite.append(t, rows(1, 3))
+    intercept[IllegalArgumentException](
+      Commits.fastForward(t, "main", head.snapshotId))
+  }
+
+  test("expireSnapshots keeps ref-reachable snapshots; aged tags retire") {
+    val loc = freshLoc("refsexp")
+    val t = GraftTable.create(spark, loc, rows(1).schema)
+    GraftWrite.append(t, rows(1, 0))
+    val s1 = t.currentSnapshot.get.snapshotId
+    GraftWrite.append(t, rows(1, 1))
+    GraftWrite.append(t, rows(1, 2))
+    Commits.createTag(t, "keepme", Some(s1))
+    Commits.createTag(t, "stale", Some(s1), maxRefAgeMs = Some(1L))
+    Thread.sleep(5)
+    val (m2, _) = Commits.expireSnapshots(t, System.currentTimeMillis() + 1000)
+    assert(m2.snapshot(s1).isDefined, "tagged snapshot survives expiry")
+    assert(m2.refs.contains("keepme"))
+    assert(!m2.refs.contains("stale"), "aged-out tag retires")
+    assert(t.newScan().useRef("keepme").toDF().count() == 1)
+    // drop the tag; the next expiry removes the snapshot
+    Commits.dropRef(t, "keepme")
+    val (m3, _) = Commits.expireSnapshots(t, System.currentTimeMillis() + 1000)
+    assert(m3.snapshot(s1).isEmpty)
+  }
+
+  test("SQL: VERSION AS OF ref name, $refs table, ref procedures") {
+    val wh = Files.createTempDirectory("graft-refs-wh").toString
+    spark.conf.set("spark.sql.catalog.rf", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rf.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rf.db")
+    spark.sql("CREATE TABLE rf.db.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO rf.db.t VALUES (1, 'one')")
+    spark.sql("CALL rf.system.create_tag('db.t', 'v1')")
+    spark.sql("INSERT INTO rf.db.t VALUES (2, 'two')")
+    val br = spark.sql("CALL rf.system.create_branch('db.t', 'dev')").collect()
+    assert(br.head.getString(0) == "dev")
+    // branch write via the library against the warehouse path
+    val gt = GraftTable.load(spark, s"$wh/db/t")
+    GraftWrite.appendToBranch(gt, "dev", Seq((9L, "dev-only")).toDF("id", "v"))
+    assert(spark.sql("SELECT * FROM rf.db.t").count() == 2)
+    assert(spark.sql("SELECT * FROM rf.db.t VERSION AS OF 'v1'").count() == 1)
+    assert(spark.sql("SELECT * FROM rf.db.t VERSION AS OF 'dev'").count() == 3)
+    assert(spark.sql("SELECT * FROM rf.db.t VERSION AS OF 'main'").count() == 2)
+    val refs = spark.sql("SELECT name, type, snapshot_id FROM rf.db.`t$refs` ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(refs == Seq(("dev", "BRANCH"), ("main", "BRANCH"), ("v1", "TAG")))
+    // publish dev via fast_forward(to = ref name), then read main
+    val ff = spark.sql("CALL rf.system.fast_forward('db.t', 'main', 'dev')").collect()
+    assert(ff.head.getString(0) == "main")
+    assert(spark.sql("SELECT * FROM rf.db.t").count() == 3)
+    spark.sql("CALL rf.system.drop_ref('db.t', 'dev')")
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM rf.db.t VERSION AS OF 'dev'").collect())
+    assert(e.getMessage.contains("dev"))
+  }
+}
