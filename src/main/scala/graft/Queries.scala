@@ -343,6 +343,13 @@ object Queries {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
 
+    // overlapping token-window chunking for a fixed-context trainer
+    // (32-token windows, 8-token overlap at gate scale; library default is
+    // 256/32) — per-chunk exact oracle via DuckDB list slicing
+    "q49_chunking" -> ((s, dir) =>
+      TextOps.chunk(t(s, dir, "documents"), "text", maxTokens = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // within-document repetition ratio (duplicate n-gram fraction) — the
     // standard corpus-quality rule for boilerplate/looping text; pure
     // codegen'd built-ins, no shuffle beyond the final sort
@@ -619,6 +626,18 @@ object Queries {
         |FROM p JOIN s sa ON p.a = sa.doc_id JOIN s sb ON p.b = sb.doc_id
         |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) >= 0.5
         |ORDER BY a, b""".stripMargin,
+
+    "q49_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |c AS (SELECT doc_id, tok,
+        |  CASE WHEN len(tok) <= 32 THEN 1
+        |       ELSE CAST(CEIL((len(tok) - 8) / 24.0) AS BIGINT) END AS k FROM t),
+        |x AS (SELECT doc_id, i - 1 AS chunk_id,
+        |  array_to_string(tok[(i-1)*24 + 1 : (i-1)*24 + 32], ' ') AS chunk_text
+        |  FROM c, LATERAL (SELECT unnest(generate_series(1, k)) AS i) r)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, chunk_text,
+        |  CAST(len(string_split(chunk_text, ' ')) AS INT) AS chunk_tokens
+        |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q48_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),

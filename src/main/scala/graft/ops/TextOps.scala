@@ -74,6 +74,29 @@ object TextOps {
   /** Token count via codegen'd `size(split(...))`. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Overlapping token-window chunking — the standard long-document prep
+    * for a fixed-context trainer: chunk `i` covers tokens
+    * `[i*stride, i*stride + maxTokens)` with `stride = maxTokens - overlap`,
+    * so consecutive chunks share `overlap` tokens and every token lands in
+    * at least one chunk (the last chunk may be shorter). Pure
+    * sequence/transform/posexplode built-ins — a narrow, shuffle-free
+    * projection that fuses into the scan's codegen at 100 TB like the rest
+    * of TextOps. Returns (doc_id, chunk_id, chunk_text, chunk_tokens). */
+  def chunk(docs: DataFrame, textCol: String = "text",
+      maxTokens: Int = 256, overlap: Int = 32): DataFrame = {
+    require(overlap >= 0 && maxTokens > overlap,
+      s"need maxTokens > overlap >= 0, got ($maxTokens, $overlap)")
+    val stride = maxTokens - overlap
+    val toks = tokens(col(textCol))
+    val nChunks = when(size(toks) <= maxTokens, lit(1)).otherwise(
+      ceil((size(toks) - lit(overlap)).cast("double") / stride).cast("int"))
+    val chunks = transform(sequence(lit(0), nChunks - 1), i =>
+      concat_ws(" ", slice(toks, i * stride + 1, lit(maxTokens))))
+    docs.select(col("doc_id"),
+        posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
+      .withColumn("chunk_tokens", size(split(col("chunk_text"), " ")))
+  }
+
   /** BPE-ish sub-word segmentation count: splits on whitespace AND on
     * letter/digit/punct boundaries, approximating a byte-pair tokenizer's
     * piece count without a vocab. Codegen'd regexp. */

@@ -17,6 +17,27 @@ class OpsSpec extends SparkSpec {
     })
   }
 
+  test("chunking: windows overlap correctly and cover every token") {
+    import spark.implicits._
+    val doc = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextOps.chunk(doc, "text", maxTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id").collect()
+    val c1 = out.filter(_.getLong(0) == 1L).map(_.getString(2))
+    // stride 3: [t1..t4], [t4..t7], [t7..t10] — boundary token shared
+    assert(c1.toSeq == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(out.filter(_.getLong(0) == 2L).map(_.getString(2)).toSeq == Seq("a b c"))
+    // invariant: sum of chunk tokens = n + (chunks-1) * overlap
+    assert(out.filter(_.getLong(0) == 1L).map(_.getInt(3)).sum == 10 + 2 * 1)
+    // coverage on real docs at the gate parameterization
+    val real = TextOps.chunk(docs, "text", maxTokens = 32, overlap = 8)
+    val perDoc = real.groupBy("doc_id")
+      .agg(sum("chunk_tokens").as("s"), count(lit(1)).as("k"))
+      .join(docs.select(col("doc_id"), TextOps.tokenCount(col("text")).as("n")), "doc_id")
+    assert(perDoc.filter(col("s") =!= col("n") + (col("k") - 1) * 8).count() == 0)
+    intercept[IllegalArgumentException](TextOps.chunk(doc, "text", 8, 8))
+  }
+
   test("language heuristic identifies hand-crafted samples") {
     assert(TextOps.languageOf("the cat sat on the mat and it was happy") === "en")
     assert(TextOps.languageOf("el perro corre en la casa y los gatos duermen") === "es")
