@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import graft.util.Murmur3
 
@@ -93,22 +93,26 @@ object Dedup {
     val withGrams = docsN.select(col("doc_id"), TextOps.gramHashes(n)(col("text")).as("gs"))
     val grams = withGrams
       .select(col("doc_id"), size(col("gs")).as("sz"), explode(col("gs")).as("g"))
-    // hot-gram pre-filter: a stopword-gram's doc list at corpus scale is a
-    // multi-GB aggregation buffer on ONE task, so grams with df > maxDf are
-    // dropped BEFORE any doc list materializes. The df count shuffles only
-    // (g, partial_count) thanks to map-side combine; the resulting hot set
-    // is tiny (stopword grams) and broadcast, so the full gram table is
-    // filtered map-side and still shuffles exactly once.
-    val pruned =
-      if (maxDf <= 0) grams
+    // hot-gram guard INSIDE the aggregation: a stopword-gram's doc list at
+    // corpus scale is a multi-GB buffer on ONE task, so the bounded-collect
+    // aggregator caps every buffer at maxDf entries and emits empty once
+    // the true df exceeds it (≡ dropping grams with df > maxDf). One
+    // shuffle, one pass over the gram table — an earlier version
+    // pre-counted df in a separate job and anti-joined, which hashed every
+    // document's grams TWICE and paid an extra count shuffle for the same
+    // result (BoundedCollectAgg docs have the numbers).
+    val docLists =
+      if (maxDf <= 0)
+        grams.groupBy("g")
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("sz")))).as("ds"))
+          .filter(size(col("ds")) >= 2)
       else {
-        val hot = grams.groupBy("g").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf)
-        grams.join(broadcast(hot.select("g")), Seq("g"), "left_anti")
+        val bounded = udaf(new BoundedCollectAgg(maxDf.toInt),
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt))
+        grams.groupBy("g")
+          .agg(bounded(col("doc_id"), col("sz")).as("ds"))
+          .filter(size(col("ds")) >= 2)
       }
-    val docLists = pruned.groupBy("g")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sz")))).as("ds"))
-      .filter(size(col("ds")).between(2, if (maxDf <= 0) Int.MaxValue else maxDf))
     val pairs = docLists.select(explode(pairCombos(col("ds"))).as("p"))
       .select(col("p._1").as("a"), col("p._2").as("sza"),
         col("p._3").as("b"), col("p._4").as("szb"))

@@ -17,6 +17,26 @@ class OpsSpec extends SparkSpec {
     })
   }
 
+  test("bounded-collect hot-gram guard: exact when cold, drops hot grams") {
+    import spark.implicits._
+    // no gram is hot at corpus scale -> guarded path must equal exact path
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+    val exact = Dedup.jaccardPairsFast(docs, 3, 0.5, maxDf = 0)
+      .collect().map(key).toSet
+    val guarded = Dedup.jaccardPairsFast(docs, 3, 0.5, maxDf = 2000)
+      .collect().map(key).toSet
+    assert(exact.nonEmpty && guarded == exact)
+    // d1=d2 share 4 grams, d3 shares only "p q r" with them; "p q r" has
+    // df=3 > maxDf=2 and is dropped by the guard: d3's pairs vanish, d1-d2
+    // survive on their remaining 3 grams (sz stays the FULL set size 4)
+    val synth = Seq((1L, "p q r s t u"), (2L, "p q r s t u"),
+      (3L, "p q r zz zz2 zz3")).toDF("doc_id", "text")
+    val out = Dedup.jaccardPairsFast(synth, 3, 0.5, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 3.0 / 5.0)))
+  }
+
   test("chunking: windows overlap correctly and cover every token") {
     import spark.implicits._
     val doc = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
