@@ -114,7 +114,10 @@ final class GraftBatchWrite(table: GraftTable, mode: GraftBatchWrite.Mode)
         val del = replaced()
         // a MERGE whose condition matched no groups has nothing to commit
         if (del.nonEmpty || files.nonEmpty)
-          Commits.rewriteFiles(table, del, files, base())
+          // CoW MERGE/UPDATE/DELETE changes the logical row set — commit as
+          // "overwrite" so CDC changelog reads don't skip it as a rewrite
+          Commits.rewriteFiles(table, del, files, base(),
+            operation = "overwrite")
     }
   }
 

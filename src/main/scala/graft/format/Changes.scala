@@ -1,0 +1,158 @@
+package graft.format
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Row-level change log between two snapshots (CDC).
+  *
+  * The reference's incremental read surfaces only appended rows and refuses
+  * ranges containing an overwrite
+  * (core/.../IncrementalDataTableScan.java:108-127). This extends the same
+  * snapshot-walk to the full DML vocabulary by diffing each consecutive
+  * snapshot pair's live file sets:
+  *
+  *   - data files added by a commit   → their live rows become INSERTs
+  *     (delete files committed alongside are applied first, so an upsert
+  *     emits what it actually made visible);
+  *   - data files removed by a commit → their then-live rows become DELETEs
+  *     (delete files already in force at the parent are applied first, so
+  *     rows that were dead before the commit are not re-reported);
+  *   - delete files added by a commit → the rows they newly suppress in
+  *     surviving data files become DELETEs, computed as pre-state
+  *     `exceptAll` post-state over ONLY the files the new deletes can
+  *     target (position deletes: named paths; equality deletes:
+  *     sequence-gated files).
+  *
+  * `replace` commits (compaction, clustering, manifest maintenance)
+  * preserve the logical row set and emit nothing.
+  *
+  * Scale: metadata walking is one scan plan per snapshot in the range
+  * (parallel manifest reads); data I/O touches only the commit's churn —
+  * added files, removed files, and delete-targeted files — never the full
+  * table. The only shuffle is the `exceptAll` over delete-targeted files,
+  * bounded by per-commit delete churn, not table size.
+  *
+  * Output schema = the table's CURRENT schema (old generations align by
+  * field id like any scan) plus three metadata columns: `_change_type`
+  * ("INSERT" | "DELETE"), `_change_ordinal` (0-based index of the commit
+  * among the change-emitting commits in the range), `_commit_snapshot_id`.
+  */
+object Changes {
+  val ChangeType = "_change_type"
+  val ChangeOrdinal = "_change_ordinal"
+  val CommitSnapshotId = "_commit_snapshot_id"
+  val Insert = "INSERT"
+  val Delete = "DELETE"
+
+  private def canon(p: String): String = ParquetIO.canonPath(p)
+
+  /** Changes in (`from`, `to`]: `from`=None means since table creation,
+    * `to`=None means up to the current snapshot. `from` must be `to` itself
+    * (empty result) or one of its ancestors. */
+  def between(table: GraftTable, from: Option[Long] = None,
+      to: Option[Long] = None): DataFrame = {
+    val m = table.metadata
+    val toId = to.orElse(m.currentSnapshotId).getOrElse(
+      throw new IllegalArgumentException("table has no snapshots"))
+    require(m.snapshot(toId).isDefined, s"no snapshot $toId")
+    val chain0 = m.ancestors(Some(toId)) // oldest first
+    from.foreach { f =>
+      require(f == toId || chain0.exists(_.snapshotId == f),
+        s"from snapshot $f is not an ancestor of $toId")
+    }
+    val chain = from match {
+      case Some(f) => chain0.drop(chain0.indexWhere(_.snapshotId == f) + 1)
+      case None => chain0
+    }
+
+    // one scan with NO pinned snapshot: every dfFor() read aligns to the
+    // current schema, giving the changelog a single uniform row type
+    val scan = table.newScan()
+    def read(tasks: Seq[FileScanTask], dels: Seq[(DataFile, Long)]): DataFrame =
+      scan.dfFor(ScanPlan(tasks, dels, 0, 0, 0, tasks.size))
+    def tag(df: DataFrame, tpe: String, ordinal: Int, snapId: Long): DataFrame =
+      df.withColumn(ChangeType, lit(tpe))
+        .withColumn(ChangeOrdinal, lit(ordinal))
+        .withColumn(CommitSnapshotId, lit(snapId))
+
+    val parts = Seq.newBuilder[DataFrame]
+    var prevPlan: ScanPlan = from match {
+      case Some(f) => scan.useSnapshot(f).planFiles()
+      case None => ScanPlan(Nil, Nil, 0, 0, 0, 0)
+    }
+    var ordinal = 0
+    chain.foreach { s =>
+      val planS = scan.useSnapshot(s.snapshotId).planFiles()
+      if (s.operation != "replace") {
+        val pPaths = prevPlan.tasks.map(t => canon(t.file.path)).toSet
+        val sPaths = planS.tasks.map(t => canon(t.file.path)).toSet
+        val pDelPaths = prevPlan.deleteFiles.map(d => canon(d._1.path)).toSet
+
+        val addedTasks = planS.tasks.filterNot(t => pPaths(canon(t.file.path)))
+        val removedTasks = prevPlan.tasks.filterNot(t => sPaths(canon(t.file.path)))
+        val newDeletes = planS.deleteFiles
+          .filterNot(d => pDelPaths(canon(d._1.path)))
+        val existingDeletes = prevPlan.deleteFiles
+
+        if (addedTasks.nonEmpty)
+          // same-commit equality deletes share the data files' sequence
+          // number, so dfFor's strict seq gate correctly skips them here;
+          // same-commit position deletes match by path and do apply
+          parts += tag(read(addedTasks, newDeletes), Insert, ordinal, s.snapshotId)
+        if (removedTasks.nonEmpty)
+          parts += tag(read(removedTasks, existingDeletes), Delete, ordinal, s.snapshotId)
+
+        if (newDeletes.nonEmpty) {
+          val survivors = planS.tasks.filter(t => pPaths(canon(t.file.path)))
+          val newPos = newDeletes.filter(_._1.content == FileContent.PositionDeletes)
+          val newEq = newDeletes.filter(_._1.content == FileContent.EqualityDeletes)
+          val posTargets: Set[String] =
+            if (newPos.isEmpty) Set.empty
+            else Deletes.posDeleteTargets(newPos.map(_._1.path).distinct,
+              table.spark.sessionState.newHadoopConf())
+          val candidates = survivors.filter(t =>
+            posTargets.contains(canon(t.file.path)) ||
+              newEq.exists(_._2 > t.sequenceNumber))
+          if (candidates.nonEmpty) {
+            val pre = read(candidates, existingDeletes)
+            val post = read(candidates, existingDeletes ++ newDeletes)
+            parts += tag(pre.exceptAll(post), Delete, ordinal, s.snapshotId)
+          }
+        }
+        ordinal += 1
+      }
+      prevPlan = planS
+    }
+
+    val built = parts.result()
+    if (built.isEmpty)
+      tag(read(Nil, Nil), Insert, 0, toId).filter(lit(false))
+    else built.reduce(_ unionByName _)
+  }
+
+  /** Collapse a changelog to its NET effect per distinct row content: a row
+    * inserted then deleted inside the range (or carried over by a
+    * copy-on-write rewrite as a same-commit DELETE + INSERT pair) cancels
+    * out; surviving net copies keep the type and provenance of the row's
+    * LAST change. Requires group-able column types (no maps). */
+  def net(changes: DataFrame): DataFrame = {
+    val metaCols = Set(ChangeType, ChangeOrdinal, CommitSnapshotId)
+    val dataCols = changes.columns.filterNot(metaCols).toSeq
+    changes
+      .withColumn("_delta",
+        when(col(ChangeType) === Insert, lit(1L)).otherwise(lit(-1L)))
+      .groupBy(dataCols.map(col): _*)
+      .agg(sum(col("_delta")).as("_net"),
+        max(struct(col(ChangeOrdinal), col(CommitSnapshotId))).as("_last"))
+      .filter(col("_net") =!= 0L)
+      .withColumn(ChangeType,
+        when(col("_net") > 0, lit(Insert)).otherwise(lit(Delete)))
+      .withColumn(ChangeOrdinal, col("_last")(ChangeOrdinal))
+      .withColumn(CommitSnapshotId, col("_last")(CommitSnapshotId))
+      .withColumn("_copy",
+        explode(array_repeat(lit(1), abs(col("_net")).cast(IntegerType))))
+      .select((dataCols ++ Seq(ChangeType, ChangeOrdinal, CommitSnapshotId))
+        .map(col): _*)
+  }
+}

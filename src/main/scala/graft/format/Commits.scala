@@ -218,7 +218,8 @@ object Commits {
 
   /** RewriteFiles: atomic swap for compaction (reference BaseRewriteFiles). */
   def rewriteFiles(table: GraftTable, deletedPaths: Set[String],
-      newFiles: Seq[DataFile], baseSnapshotId: Option[Long] = None): TableMetadata =
+      newFiles: Seq[DataFile], baseSnapshotId: Option[Long] = None,
+      operation: String = "replace"): TableMetadata =
     table.ops.commitTransaction { m =>
       // Conflict validation (reference BaseRewriteFiles validation): the
       // rewrite's outputs were produced against `baseSnapshotId`'s delete
@@ -257,7 +258,7 @@ object Commits {
             ManifestEntry(EntryStatus.Added, snapId, seq,
               f.copy(schemaId = m.currentSchemaId))), snapId)
       }
-      buildSnapshot(table, m, "replace", kept ++ mf,
+      buildSnapshot(table, m, operation, kept ++ mf,
         Map("rewritten-files" -> deletedPaths.size.toString))
     }
 
@@ -317,30 +318,36 @@ object Commits {
     val schema = m.schema
     val bound = Exprs.bind(filter, schema)
     currentManifests(table, m).flatMap { mf =>
-      val spec = m.specs(mf.specId)
-      val strictPart =
-        if (spec.isPartitioned) Projections.strict(bound, spec, schema) else AlwaysFalse
-      val inclusivePart =
-        if (spec.isPartitioned) Projections.inclusive(bound, spec, schema) else AlwaysTrue
-      val entries = table.readManifest(mf, schema)
-      val (toDelete, kept) = entries.partition { e =>
-        val f = e.file
-        val wholeFile =
-          (strictPart != AlwaysFalse && Projections.evalOnPartition(strictPart, f.partition)) ||
-          Evaluators.strictMetrics(bound, f)
-        val mightMatch =
-          (inclusivePart == AlwaysTrue || Projections.evalOnPartition(inclusivePart, f.partition)) &&
-          Evaluators.inclusiveMetrics(bound, f)
-        if (mightMatch && !wholeFile)
-          throw new ValidationException(
-            s"Cannot delete file where some, but not all, rows match filter: ${f.path}")
-        wholeFile
+      // delete-file manifests are untouched: DeleteFiles removes DATA files
+      // only (reference BaseDeleteFiles); a delete file left without targets
+      // dangles harmlessly until compaction drops it
+      if (mf.content != FileContent.Data) Some(mf)
+      else {
+        val spec = m.specs(mf.specId)
+        val strictPart =
+          if (spec.isPartitioned) Projections.strict(bound, spec, schema) else AlwaysFalse
+        val inclusivePart =
+          if (spec.isPartitioned) Projections.inclusive(bound, spec, schema) else AlwaysTrue
+        val entries = table.readManifest(mf, schema)
+        val (toDelete, kept) = entries.partition { e =>
+          val f = e.file
+          val wholeFile =
+            (strictPart != AlwaysFalse && Projections.evalOnPartition(strictPart, f.partition)) ||
+            Evaluators.strictMetrics(bound, f)
+          val mightMatch =
+            (inclusivePart == AlwaysTrue || Projections.evalOnPartition(inclusivePart, f.partition)) &&
+            Evaluators.inclusiveMetrics(bound, f)
+          if (mightMatch && !wholeFile)
+            throw new ValidationException(
+              s"Cannot delete file where some, but not all, rows match filter: ${f.path}")
+          wholeFile
+        }
+        if (toDelete.isEmpty) Some(mf)
+        else if (kept.isEmpty) None
+        else Some(writeManifest(table, m, mf.specId,
+          kept.map(e => e.copy(status = EntryStatus.Existing)),
+          m.currentSnapshotId.getOrElse(0L)))
       }
-      if (toDelete.isEmpty) Some(mf)
-      else if (kept.isEmpty) None
-      else Some(writeManifest(table, m, mf.specId,
-        kept.map(e => e.copy(status = EntryStatus.Existing)),
-        m.currentSnapshotId.getOrElse(0L)))
     }
   }
 

@@ -101,7 +101,11 @@ object Deletes {
           .dfFor(ScanPlan(plan.tasks, plan.deleteFiles, 0, 0, 0L, plan.tasks.size))
           .filter(!Exprs.toColumn(bound))
         val staged = GraftWrite.writeFiles(table, remaining)
-        Commits.rewriteFiles(table, touched.toSet, staged, baseSnapshot)
+        // a copy-on-write DELETE changes the logical row set — commit as
+        // "overwrite", not "replace" (replace is reserved for row-preserving
+        // rewrites and is skipped by CDC changelog reads)
+        Commits.rewriteFiles(table, touched.toSet, staged, baseSnapshot,
+          operation = "overwrite")
     }
   }
 }

@@ -33,10 +33,12 @@ class MergeSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(rows === Seq((1L, "a", 10L), (2L, "B", 21L), (3L, "c", 30L), (4L, "D", 0L)))
 
-    // one atomic snapshot for the whole MERGE, operation 'replace'
+    // one atomic snapshot for the whole MERGE; 'overwrite' because the
+    // logical row set changed ('replace' is reserved for row-preserving
+    // rewrites, which CDC changelog reads skip)
     val t = GraftTable.load(spark, s"$wh/db/tgt")
     assert(t.snapshots.size === 2)
-    assert(t.snapshots.last.operation === "replace")
+    assert(t.snapshots.last.operation === "overwrite")
   }
 
   test("MERGE WHEN MATCHED DELETE; untouched files survive by reference") {

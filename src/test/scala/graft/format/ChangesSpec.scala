@@ -1,0 +1,155 @@
+package graft.format
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC changelog semantics (Changes.between / Changes.net): inserts from
+  * appends, row-accurate deletes for metadata/equality/position deletes,
+  * silence on replace commits, net collapse of copy-on-write churn. */
+class ChangesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-changes-spec/$name"
+
+  private def fresh(name: String, df: DataFrame): GraftTable = {
+    val t = GraftTable.recreate(spark, tmp(name), df.schema)
+    t
+  }
+
+  private def docs(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, s"text-$i", i % 3)).toDF("id", "body", "grp")
+
+  test("appends emit INSERT rows with commit-ordered ordinals") {
+    val t = fresh("appends", docs(0 until 0))
+    GraftWrite.append(t, docs(0 until 4).coalesce(1))
+    GraftWrite.append(t, docs(4 until 6).coalesce(1))
+    val ch = Changes.between(t)
+    val byOrdinal = ch.groupBy(col(Changes.ChangeOrdinal), col(Changes.ChangeType))
+      .agg(count(lit(1)).as("n")).orderBy(col(Changes.ChangeOrdinal))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(byOrdinal === Seq((0, "INSERT", 4L), (1, "INSERT", 2L)))
+    // ordinals carry the right snapshot ids in commit order
+    val snaps = t.snapshots.map(_.snapshotId)
+    val ords = ch.select(col(Changes.ChangeOrdinal), col(Changes.CommitSnapshotId))
+      .distinct().as[(Int, Long)].collect().toMap
+    assert(ords === Map(0 -> snaps.head, 1 -> snaps.last))
+  }
+
+  test("from is exclusive and must be an ancestor of to") {
+    val t = fresh("range", docs(0 until 0))
+    GraftWrite.append(t, docs(0 until 4).coalesce(1))
+    GraftWrite.append(t, docs(4 until 6).coalesce(1))
+    val ids = t.snapshots.map(_.snapshotId)
+    val ch = Changes.between(t, from = Some(ids.head))
+    assert(ch.count() === 2)
+    assert(Changes.between(t, from = Some(ids.last)).count() === 0)
+    intercept[IllegalArgumentException] {
+      Changes.between(t, from = Some(ids.head + 999)).count()
+    }
+  }
+
+  test("equality-delete commit emits exactly the suppressed rows as DELETE") {
+    val t = fresh("eqdel", docs(0 until 0))
+    GraftWrite.append(t, docs(0 until 8).coalesce(2))
+    Deletes.deleteByEquality(t, Seq(1L, 5L).toDF("id"))
+    val ch = Changes.between(t)
+    val dels = ch.filter(col(Changes.ChangeType) === "DELETE")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(dels === Seq(1L, 5L))
+    assert(ch.filter(col(Changes.ChangeType) === "INSERT").count() === 8)
+    // and the delete carries the second commit's ordinal
+    val delOrd = ch.filter(col(Changes.ChangeType) === "DELETE")
+      .select(col(Changes.ChangeOrdinal)).distinct().as[Int].collect().toSeq
+    assert(delOrd === Seq(1))
+  }
+
+  test("position-delete commit emits exactly the targeted rows as DELETE") {
+    val t = fresh("posdel", docs(0 until 0))
+    GraftWrite.append(t, docs(0 until 6).coalesce(1))
+    val path = t.newScan().planFiles().tasks.head.file.path
+    val pos = spark.read.parquet(path)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id") === 2L || col("id") === 4L)
+      .select("file_path", "pos")
+    Deletes.deletePositions(t, pos)
+    val dels = Changes.between(t).filter(col(Changes.ChangeType) === "DELETE")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(dels === Seq(2L, 4L))
+  }
+
+  test("metadata-only delete emits the removed files' live rows as DELETE") {
+    // drop a whole file by a filter its stats prove (ids 0-3 < 4)
+    val t2 = fresh("metadel2", docs(0 until 0))
+    GraftWrite.append(t2, docs(0 until 4).coalesce(1))
+    GraftWrite.append(t2, docs(4 until 8).coalesce(1))
+    Commits.deleteByFilter(t2, Exprs.lt("id", 4L))
+    val ch = Changes.between(t2)
+    val dels = ch.filter(col(Changes.ChangeType) === "DELETE")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(dels === Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("rows already dead at the parent are not re-reported when their file is removed") {
+    val t = fresh("deadrows", docs(0 until 0))
+    GraftWrite.append(t, docs(0 until 4).coalesce(1))
+    Deletes.deleteByEquality(t, Seq(1L).toDF("id"))      // kill id=1 (MoR)
+    Commits.deleteByFilter(t, Exprs.lt("id", 100L))      // drop the file
+    val ch = Changes.between(t)
+    val dels = ch.filter(col(Changes.ChangeType) === "DELETE")
+      .groupBy("id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    // id=1 deleted once (by the eq delete), never again; others once each
+    assert(dels === Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("replace commits (compaction) emit nothing") {
+    val t = fresh("compact", docs(0 until 0))
+    GraftWrite.append(t, docs(0 until 4).coalesce(1))
+    GraftWrite.append(t, docs(4 until 8).coalesce(1))
+    val res = Actions.forTable(t).rewriteDataFiles(targetSizeBytes = 1L << 30)
+    assert(t.metadata.currentSnapshot.get.operation === "replace")
+    val ch = Changes.between(t)
+    assert(ch.filter(col(Changes.ChangeType) === "DELETE").count() === 0)
+    assert(ch.count() === 8)
+    // and the baseline advances THROUGH the replace: a delete after
+    // compaction diffs against the compacted file set
+    Deletes.deleteByEquality(t, Seq(6L).toDF("id"))
+    val dels = Changes.between(t).filter(col(Changes.ChangeType) === "DELETE")
+      .select("id").as[Long].collect().toSeq
+    assert(dels === Seq(6L))
+  }
+
+  test("net collapses copy-on-write churn to the logical delete") {
+    val t = fresh("cownet", docs(0 until 0))
+    GraftWrite.append(t, docs(0 until 6).coalesce(1))
+    Deletes.deleteWhere(t, Exprs.equal("id", 3L)) // CoW: rewrites the file
+    val ch = Changes.between(t)
+    // physical log: 6 inserts, then 6 deletes + 5 re-inserts (file rewrite)
+    assert(ch.filter(col(Changes.ChangeType) === "DELETE").count() === 6)
+    val netted = Changes.net(
+      Changes.between(t, from = Some(t.snapshots.head.snapshotId)))
+    // net effect of the CoW commit alone: exactly one row deleted
+    val rows = netted.select(col("id"), col(Changes.ChangeType))
+      .as[(Long, String)].collect().toSeq
+    assert(rows === Seq((3L, "DELETE")))
+    // net over the whole history: the 5 survivors inserted, nothing else
+    val full = Changes.net(Changes.between(t))
+    assert(full.filter(col(Changes.ChangeType) === "DELETE").count() === 0)
+    assert(full.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(0L, 1L, 2L, 4L, 5L))
+  }
+
+  test("overwrite emits deletes for replaced rows and inserts for new ones") {
+    val t = fresh("overwrite", docs(0 until 0))
+    GraftWrite.append(t, docs(0 until 4).coalesce(1))
+    val replacement = Seq((100L, "new", 0)).toDF("id", "body", "grp")
+    GraftWrite.overwrite(t, replacement, Exprs.lt("id", 100L))
+    val ch = Changes.between(t, from = Some(t.snapshots.head.snapshotId))
+    val byType = ch.groupBy(col(Changes.ChangeType)).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(byType === Map("DELETE" -> 4L, "INSERT" -> 1L))
+  }
+}
