@@ -243,6 +243,31 @@ object FormatQueries {
       orderAgg(t.toDF())
     }),
 
+    // CDC changelog through the SQL surface: two appends + an equality
+    // delete, read back as INSERT/DELETE rows per commit ordinal via
+    // CALL create_changelog_view — the oracle rebuilds each commit's
+    // row set from the source parquet, so a changelog that misses rows,
+    // re-reports dead ones, or mis-orders commits breaks the hash
+    "q93_changelog" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftcdc", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftcdc.warehouse", tdir(dir, "cdcwh"))
+      withTable(s, dir, "cdcwh/db/orders_cdc") { loc =>
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        val tt = GraftTable.recreate(s, loc, o.schema)
+        GraftWrite.append(tt, o.filter(col("o_orderkey") % 2 === 0).coalesce(2))
+        GraftWrite.append(tt, o.filter(col("o_orderkey") % 2 === 1).coalesce(2))
+        Deletes.deleteByEquality(tt,
+          o.filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey"))
+        tt
+      }
+      s.sql("""CALL graftcdc.system.create_changelog_view(
+                 table => 'db.orders_cdc', changelog_view => 'orders_changes')""")
+      s.sql("""SELECT _change_type AS change_type, _change_ordinal AS ordinal,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS total
+               FROM orders_changes GROUP BY 1, 2 ORDER BY ordinal, change_type""")
+    }),
+
     // streaming sink: two epochs + a replayed epoch (dedup) = exactly-once
     "q73_streaming_epochs" -> ((s, dir) => {
       val t = withTable(s, dir, "customer_stream") { loc =>
@@ -734,6 +759,23 @@ object FormatQueries {
 
     "q72_wap_publish" -> orderAggSqlWhere.format("1=1"),
     "q92_branch_wap" -> orderAggSqlWhere.format("1=1"),
+
+    // commit 0 appended even keys, commit 1 odd keys, commit 2
+    // equality-deleted the urgent orders — rebuild that changelog
+    "q93_changelog" ->
+      """SELECT * FROM (
+        |  SELECT 'INSERT' AS change_type, 0 AS ordinal, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'INSERT', 1, COUNT(*),
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |  UNION ALL
+        |  SELECT 'DELETE', 2, COUNT(*),
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE)
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |) ORDER BY ordinal, change_type""".stripMargin,
 
     "q73_streaming_epochs" ->
       """SELECT c_mktsegment, COUNT(*) AS n,

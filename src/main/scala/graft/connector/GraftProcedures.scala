@@ -323,6 +323,33 @@ final class GraftProcedures(resolve: String => GraftTable,
       Array(row(Long.box(files), location))
   })
 
+  // ---- CDC -------------------------------------------------------------
+
+  /** The changelog is a composed query plan (per-commit file-churn reads
+    * unioned), not a row list a LocalScan could carry — so like the Apache
+    * Iceberg procedure of the same name, it surfaces as a registered temp
+    * view the caller SELECTs from. */
+  private val createChangelogView = new Proc("create_changelog_view",
+    "register a temp view of row-level changes between two snapshots",
+    Array(p("table", StringType),
+      pd("changelog_view", StringType, "NULL"),
+      pd("start_snapshot_id", LongType, "NULL"),
+      pd("end_snapshot_id", LongType, "NULL"),
+      pd("net_changes", BooleanType, "false")),
+    StructType(Seq(
+      StructField("changelog_view", StringType, nullable = false))))({ in =>
+      val t = resolve(str(in, 0))
+      val from = if (in.isNullAt(2)) None else Some(in.getLong(2))
+      val to = if (in.isNullAt(3)) None else Some(in.getLong(3))
+      val raw = Changes.between(t, from, to)
+      val df = if (!in.isNullAt(4) && in.getBoolean(4)) Changes.net(raw) else raw
+      val view =
+        if (in.isNullAt(1)) str(in, 0).replace('.', '_') + "_changes"
+        else str(in, 1)
+      df.createOrReplaceTempView(view)
+      Array(row(view))
+  })
+
   // ---- registry --------------------------------------------------------
 
   val byName: Map[String, UnboundProcedure] = Seq(
@@ -331,7 +358,7 @@ final class GraftProcedures(resolve: String => GraftTable,
     createBranch, createTag, dropRef, fastForward,
     expireSnapshots, removeOrphanFiles,
     rewriteDataFiles, rewritePositionDeletes, rewriteManifests,
-    importTable
+    importTable, createChangelogView
   ).map(proc => proc.name() -> (proc: UnboundProcedure)).toMap
 
   def names: Seq[String] = byName.keys.toSeq.sorted

@@ -161,6 +161,31 @@ class ProcedureSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM gp.db.imported WHERE id < 3").count() == 3)
   }
 
+  test("create_changelog_view registers a queryable CDC view") {
+    val t = fresh(3)
+    val ids = snapshotIds(t)
+    spark.sql(s"DELETE FROM gp.db.$t WHERE id = 2")
+    val view = spark.sql(
+      s"CALL gp.system.create_changelog_view(table => 'db.$t')")
+      .collect().head.getString(0)
+    assert(view === s"db_${t}_changes")
+    val rows = spark.sql(
+      s"SELECT _change_type, id FROM $view ORDER BY _change_ordinal, id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("INSERT", 1L), ("INSERT", 2L), ("INSERT", 3L),
+      ("DELETE", 2L)))
+    // explicit view name + snapshot range + net collapse: within
+    // (first, head], id=2's insert and delete cancel, id=3 survives
+    val v2 = spark.sql(
+      s"""CALL gp.system.create_changelog_view(table => 'db.$t',
+          changelog_view => 'net_v', start_snapshot_id => ${ids.head},
+          net_changes => true)""").collect().head.getString(0)
+    assert(v2 === "net_v")
+    val net = spark.sql("SELECT _change_type, id FROM net_v")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(net === Seq(("INSERT", 3L)))
+  }
+
   test("SHOW PROCEDURES and DESCRIBE PROCEDURE surface the registry") {
     wh
     val names = spark.sql("SHOW PROCEDURES IN gp.system").collect()
