@@ -133,4 +133,51 @@ object Streaming {
   def incrementalSource(table: GraftTable, startSnapshotId: Option[Long] = None,
       maxBytesPerBatch: Long = Long.MaxValue): IncrementalSource =
     new IncrementalSource(table, startSnapshotId, maxBytesPerBatch)
+
+  /** CDC micro-batch source: each poll emits the row-level changelog
+    * ([[Changes.between]]) for the snapshots committed since the last poll
+    * and advances a snapshot-id offset. Unlike [[IncrementalSource]] (the
+    * reference's appends-only model), every DML commit streams — deletes and
+    * overwrites arrive as DELETE rows — while `replace` commits (compaction)
+    * pass silently instead of poisoning the stream. Batches slice at COMMIT
+    * granularity: `maxSnapshotsPerBatch` bounds how many commits one batch
+    * spans (their `_change_ordinal` restarts at 0 per batch), and I/O per
+    * batch is bounded by those commits' churn, not table size. */
+  final class ChangelogSource(table: GraftTable,
+      startSnapshotId: Option[Long] = None,
+      maxSnapshotsPerBatch: Int = Int.MaxValue) {
+    require(maxSnapshotsPerBatch > 0, "maxSnapshotsPerBatch must be positive")
+    // None = stream from table creation (first batch replays full history)
+    @volatile private var offset: Option[Long] = startSnapshotId
+
+    def currentOffset: Option[Long] = offset
+
+    /** Changes committed since the last poll; None when caught up. */
+    def nextBatch(): Option[DataFrame] = {
+      val m = table.metadata
+      val current = m.currentSnapshotId match {
+        case Some(id) => id
+        case None => return None
+      }
+      if (offset.contains(current)) return None
+      val chain = m.ancestors(Some(current)) // oldest first
+      val pending = offset match {
+        case Some(f) =>
+          val i = chain.indexWhere(_.snapshotId == f)
+          require(i >= 0, s"offset snapshot $f is no longer an ancestor of " +
+            s"$current (rollback or expiry past the stream's position)")
+          chain.drop(i + 1)
+        case None => chain
+      }
+      if (pending.isEmpty) return None
+      val to = pending.take(maxSnapshotsPerBatch).last.snapshotId
+      val df = Changes.between(table, offset, Some(to))
+      offset = Some(to)
+      Some(df)
+    }
+  }
+
+  def changelogSource(table: GraftTable, startSnapshotId: Option[Long] = None,
+      maxSnapshotsPerBatch: Int = Int.MaxValue): ChangelogSource =
+    new ChangelogSource(table, startSnapshotId, maxSnapshotsPerBatch)
 }

@@ -142,6 +142,40 @@ class ChangesSpec extends SparkSpec {
       Seq(0L, 1L, 2L, 4L, 5L))
   }
 
+  test("changelog source streams each commit's changes exactly once") {
+    val t = fresh("stream", docs(0 until 0))
+    val src = Streaming.changelogSource(t)
+    assert(src.nextBatch().isEmpty) // empty table: nothing to stream
+    GraftWrite.append(t, docs(0 until 4).coalesce(1))
+    GraftWrite.append(t, docs(4 until 6).coalesce(1))
+    val b1 = src.nextBatch().get // both commits in one batch
+    assert(b1.filter(col(Changes.ChangeType) === "INSERT").count() === 6)
+    assert(src.nextBatch().isEmpty) // caught up: offset advanced
+    Deletes.deleteByEquality(t, Seq(0L, 5L).toDF("id"))
+    val b2 = src.nextBatch().get // only the delete commit streams
+    val rows = b2.select(col(Changes.ChangeType), col("id"))
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(rows === Seq(("DELETE", 0L), ("DELETE", 5L)))
+    assert(src.nextBatch().isEmpty)
+  }
+
+  test("changelog source slices batches at commit granularity") {
+    val t = fresh("streamslice", docs(0 until 0))
+    GraftWrite.append(t, docs(0 until 4).coalesce(1))
+    GraftWrite.append(t, docs(4 until 6).coalesce(1))
+    GraftWrite.append(t, docs(6 until 9).coalesce(1))
+    // start AFTER the first commit, one commit per batch
+    val src = Streaming.changelogSource(t,
+      startSnapshotId = Some(t.snapshots.head.snapshotId),
+      maxSnapshotsPerBatch = 1)
+    assert(src.nextBatch().get.count() === 2)
+    assert(src.nextBatch().get.count() === 3)
+    assert(src.nextBatch().isEmpty)
+    // a rolled-back offset fails loudly instead of streaming garbage
+    Commits.rollbackTo(t, t.snapshots.head.snapshotId)
+    intercept[IllegalArgumentException](src.nextBatch())
+  }
+
   test("overwrite emits deletes for replaced rows and inserts for new ones") {
     val t = fresh("overwrite", docs(0 until 0))
     GraftWrite.append(t, docs(0 until 4).coalesce(1))
