@@ -350,6 +350,19 @@ object Queries {
       TextOps.chunk(t(s, dir, "documents"), "text", maxTokens = 32, overlap = 8)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // benchmark decontamination: every 17th document plays the held-out
+    // benchmark; corpus docs sharing any distinct 3-gram with it are
+    // flagged with their overlap count and fraction. The benchmark gram
+    // set broadcasts, so the corpus side is one map-side join — the exact
+    // shape a 100 TB decontamination run uses.
+    "q51_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Dedup.contamination(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0), n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // within-document repetition ratio (duplicate n-gram fraction) — the
     // standard corpus-quality rule for boilerplate/looping text; pure
     // codegen'd built-ins, no shuffle beyond the final sort
@@ -626,6 +639,19 @@ object Queries {
         |FROM p JOIN s sa ON p.a = sa.doc_id JOIN s sb ON p.b = sb.doc_id
         |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) >= 0.5
         |ORDER BY a, b""".stripMargin,
+
+    "q51_decontamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |g AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS gram
+        |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(tok)-2)) AS i) r
+        |      WHERE len(tok) >= 3),
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+        |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 17 <> 0),
+        |s AS (SELECT doc_id, COUNT(*) AS total_grams FROM c GROUP BY 1),
+        |o AS (SELECT c.doc_id, COUNT(*) AS overlap_grams FROM c JOIN b USING (gram) GROUP BY 1)
+        |SELECT o.doc_id, o.overlap_grams, s.total_grams,
+        |  CAST(o.overlap_grams AS DOUBLE) / CAST(s.total_grams AS DOUBLE) AS contamination
+        |FROM o JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q49_chunking" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),

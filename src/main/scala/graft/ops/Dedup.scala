@@ -147,6 +147,38 @@ object Dedup {
   })
 
   /**
+   * Benchmark decontamination: for each corpus document, how many of its
+   * distinct word n-grams also appear in ANY benchmark document — the
+   * n-gram-overlap test used to scrub evaluation sets out of training
+   * corpora before pretraining. Returns one row per contaminated document:
+   * `(doc_id, overlap_grams, total_grams, contamination)` where
+   * `contamination = overlap/total`; clean documents are absent.
+   *
+   * Scale: the benchmark side collapses to a DISTINCT gram set first —
+   * eval benchmarks are thousands of documents, so that set broadcasts
+   * (`broadcastBench`, default on) and the 100-TB corpus side is ONE
+   * map-side hash join + one partial-aggregated groupBy(doc_id); the
+   * corpus never shuffles its gram table. With `broadcastBench=false`
+   * (an unusually large benchmark) it degrades to a shuffle join on the
+   * gram string.
+   */
+  def contamination(corpus: DataFrame, bench: DataFrame, n: Int = 3,
+      broadcastBench: Boolean = true): DataFrame = {
+    val (grams, sizes) = gramSets(corpus, n)
+    val benchGrams = bench
+      .select(explode(TextOps.wordNgrams(TextOps.tokens(col("text")), n)).as("gram"))
+      .distinct()
+    val bg = if (broadcastBench) broadcast(benchGrams) else benchGrams
+    grams.join(bg, "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("overlap_grams"))
+      .join(sizes, "doc_id")
+      .select(col("doc_id"), col("overlap_grams"),
+        col("sz").as("total_grams"),
+        (col("overlap_grams").cast("double") / col("sz").cast("double"))
+          .as("contamination"))
+  }
+
+  /**
    * Connected components over an undirected near-dup pair graph `(a, b)` —
    * the clustering step of a dedup pipeline: every member doc gets its
    * component's MIN doc id as `cluster`, so "keep one per cluster" is a

@@ -37,6 +37,25 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 3.0 / 5.0)))
   }
 
+  test("decontamination flags exactly the docs sharing a benchmark n-gram") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a very quick brown fox runs far"), // shares "quick brown fox"
+      (2L, "the quick brown fox jumps high today"), // shares 3 grams
+      (3L, "totally unrelated words here now")) // clean → absent
+      .toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, bench, n = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1: 5 grams, 1 overlapping; doc 2: 5 grams, 3 overlapping
+    assert(out === Seq((1L, 1L, 5L), (2L, 3L, 5L)))
+    // the benchmark side must broadcast: corpus grams never shuffle
+    val plan = Dedup.contamination(corpus, bench)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("chunking: windows overlap correctly and cover every token") {
     import spark.implicits._
     val doc = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
