@@ -521,12 +521,31 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
     * (`onRuntimeFilter`). */
   private var runtimeKeep: Option[Set[String]] = None
 
+  /** Row-level-op scans advertise `_file` only (their keep-set must stay in
+    * sync with the operation's replaced-file set); ordinary scans advertise
+    * the partition-spec SOURCE columns across all spec generations, so
+    * Spark's dynamic partition pruning injects the dim side's join-key
+    * values at runtime and a star-schema fact scan drops whole files before
+    * reading — the same manifest pruning planFiles does statically, now fed
+    * by runtime values (reference SparkBatchQueryScan.filterAttributes). */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (runtimeFileFiltering)
       Array(org.apache.spark.sql.connector.expressions.Expressions
         .column(GraftSparkTable.FileColumn))
-    else Array.empty
+    else if (table == null) Array.empty
+    else {
+      val m = table.metadata
+      val outNames = output.fieldNames.toSet
+      m.specs.values.toSeq
+        .flatMap(_.fields.filterNot(_.transform == Transforms.VoidT)
+          .map(_.sourceId))
+        .distinct
+        .flatMap(id => FieldIds.findById(m.schema, id))
+        .map(_.name).filter(outNames.contains).distinct
+        .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+        .toArray
+    }
 
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
@@ -546,6 +565,42 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
         }.toSet
         runtimeKeep = Some(runtimeKeep.fold(vals)(_ intersect vals))
         onRuntimeFilter(vals)
+      // dynamic partition pruning: IN over a partition source column — the
+      // runtime values run through the SAME inclusive partition projection
+      // + file-stats pruning as a static filter, and surviving files become
+      // the keep-set planInputPartitions applies
+      case p: Predicate if p.name() == "IN" && p.children().nonEmpty &&
+          table != null && !runtimeFileFiltering =>
+        p.children()(0) match {
+          case nr: NamedReference if nr.fieldNames().length == 1 =>
+            try {
+              val colName = nr.fieldNames()(0)
+              val vals = p.children().drop(1).collect {
+                case l: XLit[_] if l.value() != null =>
+                  org.apache.spark.sql.catalyst.CatalystTypeConverters
+                    .convertToScala(l.value(), l.dataType())
+              }.toSeq
+              val m = table.metadata
+              val schema = m.schema
+              val bound = Exprs.bind(Exprs.in(colName, vals), schema)
+              val keep = plan.tasks.filter { t =>
+                val partOk = m.specs.get(t.file.specId) match {
+                  case Some(spec) if spec.isPartitioned =>
+                    val proj = Projections.inclusive(bound, spec, schema)
+                    proj == AlwaysTrue ||
+                      Projections.evalOnPartition(proj, t.file.partition)
+                  case _ => true
+                }
+                partOk && Evaluators.inclusiveMetrics(bound, t.file)
+              }.map(t => ParquetIO.canonPath(t.file.path)).toSet
+              runtimeKeep = Some(runtimeKeep.fold(keep)(_ intersect keep))
+            } catch {
+              // a value we can't coerce or a column we can't bind leaves
+              // the scan un-pruned — never wrong, just un-optimized
+              case scala.util.control.NonFatal(_) => ()
+            }
+          case _ => ()
+        }
       case _ => ()
     }
   }
