@@ -462,9 +462,49 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
         (if (metaPos) Seq(StructField(GraftSparkTable.PosColumn, LongType,
           nullable = false)) else Nil) ++
         partSchema.fields)
+    // storage-partitioned-join eligibility: opt-in via Spark's v2 bucketing
+    // conf, one scan group over one live all-identity spec, no row-position
+    // machinery (per-file partitions) and no row-level-op or metadata
+    // columns in play. Each file's partition key converts to Catalyst
+    // values once, spec-field order.
+    val spjInfo: Option[SpjInfo] =
+      if (groupGranular || metaFile || metaPos || posActive ||
+          groups.size != 1 || plan.tasks.isEmpty) None
+      else if (!spark.sessionState.conf
+          .getConfString("spark.sql.sources.v2.bucketing.enabled", "false")
+          .toBoolean) None
+      else plan.tasks.map(_.file.specId).distinct match {
+        case Seq(specId) => m.specs.get(specId).flatMap { spec =>
+          val identFields = spec.fields.filterNot(_.transform == Transforms.VoidT)
+          if (identFields.isEmpty ||
+              !identFields.forall(_.transform == Transforms.IdentityT)) None
+          else {
+            val resolved = identFields.map(pf =>
+              pf -> FieldIds.findById(schema, pf.sourceId))
+            if (resolved.exists(_._2.isEmpty)) None
+            else {
+              val cols = resolved.map(_._2.get.name)
+              val keyTypes = resolved.map(r => Types.cleanType(r._2.get.dataType))
+              try {
+                val keyOf = plan.tasks.map { t =>
+                  ParquetIO.canonPath(t.file.path) ->
+                    identFields.zip(keyTypes).map { case (pf, dt) =>
+                      Values.toCatalyst(t.file.partition.getOrElse(pf.name, null), dt)
+                    }
+                }.toMap
+                Some(SpjInfo(cols, keyTypes, keyOf))
+              } catch {
+                // an unconvertible partition value disables SPJ, never the scan
+                case scala.util.control.NonFatal(_) => None
+              }
+            }
+          }
+        }
+        case _ => None
+      }
     new GraftScan(output, groups.map(_._1), plan, spark, table, options,
       groups.map(_._2), runtimeFileFiltering = groupGranular,
-      onRuntimeFilter = onRuntimeFilter)
+      onRuntimeFilter = onRuntimeFilter, spjInfo = spjInfo)
   }
 
   /** Rename filter references current→file names; drop if any referenced
@@ -501,9 +541,11 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
     deletes: Seq[Option[GroupDeletes]] = Nil,
     runtimeFileFiltering: Boolean = false,
-    onRuntimeFilter: Set[String] => Unit = _ => ())
+    onRuntimeFilter: Set[String] => Unit = _ => (),
+    spjInfo: Option[SpjInfo] = None)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Statistics}
   import java.util.OptionalLong
@@ -533,6 +575,10 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
     if (runtimeFileFiltering)
       Array(org.apache.spark.sql.connector.expressions.Expressions
         .column(GraftSparkTable.FileColumn))
+    // key-grouped (storage-partitioned-join) scans skip runtime filtering:
+    // dropping partitions after reporting KeyGroupedPartitioning would
+    // break the partitioning contract both join sides already agreed on
+    else if (spjInfo.isDefined) Array.empty
     else if (table == null) Array.empty
     else {
       val m = table.metadata
@@ -616,13 +662,63 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
       OptionalLong.of(plan.tasks.map(_.file.recordCount).sum)
   }
 
+  // batch internals live on the SCAN (not per-toBatch instance) because
+  // outputPartitioning() needs the planned partitions before Spark asks for
+  // the batch — hoisting makes both consult the same lazily-planned state
+  private lazy val inner = groupScans.map(_.toBatch)
+  private lazy val innerFactories = inner.map(_.createReaderFactory())
+  private lazy val groupDeletes: Seq[Option[GroupDeletes]] =
+    if (deletes.isEmpty) groupScans.map(_ => None) else deletes
+  private lazy val partsByGroup: Seq[Array[InputPartition]] =
+    inner.map(_.planInputPartitions())
+
+  /** Storage-partitioned-join planning: when the builder proved the scan is
+    * one group over one all-identity spec (spjInfo), regroup the planned
+    * files into ONE InputPartition PER PARTITION KEY, each carrying its key
+    * row — Spark's KeyGroupedPartitioning contract, which lets two
+    * co-partitioned graft tables join with NO shuffle on either side
+    * (reference-beyond: the fork predates SPJ; Apache Iceberg's
+    * SparkPartitioningAwareScan is the public analogue). Any partition
+    * shape we can't regroup falls back to None = unknown partitioning. */
+  private lazy val keyedParts: Option[Array[InputPartition]] = spjInfo.flatMap { info =>
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    if (groupScans.size != 1) None
+    else {
+      val parts = partsByGroup.head
+      val fileParts = parts.collect { case fp: FilePartition => fp }
+      if (fileParts.length != parts.length) None
+      else {
+        val files = fileParts.flatMap(_.files).toSeq
+        val keyed = files.map(f =>
+          info.keyOf.get(ParquetIO.canonPath(f.filePath.toPath.toString)) -> f)
+        if (keyed.exists(_._1.isEmpty)) None
+        else {
+          val grouped = keyed.map { case (k, f) => (k.get, f) }.groupBy(_._1)
+            .toSeq.sortBy(_._1.map(v => String.valueOf(v)).mkString("\u0000"))
+          Some(grouped.zipWithIndex.map { case ((key, fs), i) =>
+            KeyedPartition(0, FilePartition(i, fs.map(_._2).toArray),
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                key.toArray)): InputPartition
+          }.toArray)
+        }
+      }
+    }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedParts match {
+      case Some(parts) if parts.nonEmpty =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          spjInfo.get.cols.map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+              : org.apache.spark.sql.connector.expressions.Expression).toArray,
+          parts.length)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
   override def toBatch: Batch = new Batch {
-    private lazy val inner = groupScans.map(_.toBatch)
-    private lazy val innerFactories = inner.map(_.createReaderFactory())
-    private lazy val groupDeletes: Seq[Option[GroupDeletes]] =
-      if (deletes.isEmpty) groupScans.map(_ => None) else deletes
-    private lazy val partsByGroup: Seq[Array[InputPartition]] =
-      inner.map(_.planInputPartitions())
 
     // scan-wide columnar decision, made ONCE on the driver (Spark requires
     // every partition of a scan to agree): clean groups ask their parquet
@@ -633,7 +729,7 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
         groupDeletes(i).forall(ColumnarDeletes.supports)
     }
 
-    override def planInputPartitions(): Array[InputPartition] = {
+    override def planInputPartitions(): Array[InputPartition] = keyedParts.getOrElse {
       import org.apache.spark.sql.execution.datasources.FilePartition
       val keep = runtimeKeep
       def kept(path: String): Boolean =
@@ -684,6 +780,26 @@ final case class GroupedPartition(group: Int,
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
+/** One partition per partition KEY (all its files), for storage-partitioned
+  * joins: Spark groups both join sides by `partitionKey` and skips the
+  * shuffle. Key values are Catalyst-typed, matching the clustering
+  * expressions' resolved types. */
+final case class KeyedPartition(group: Int,
+    inner: org.apache.spark.sql.connector.read.InputPartition,
+    key: org.apache.spark.sql.catalyst.InternalRow)
+  extends org.apache.spark.sql.connector.read.InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Builder-side proof that a scan is storage-partitioned-join-able: one
+  * scan group over one all-identity spec, with every planned file's
+  * partition key (Catalyst values, spec-field order) resolvable by path. */
+final case class SpjInfo(cols: Seq[String],
+    keyTypes: Seq[org.apache.spark.sql.types.DataType],
+    keyOf: Map[String, Seq[Any]])
+
 final case class GroupedReaderFactory(
     inner: Seq[org.apache.spark.sql.connector.read.PartitionReaderFactory],
     deletes: Seq[Option[GroupDeletes]],
@@ -694,6 +810,7 @@ final case class GroupedReaderFactory(
 
   private def unwrap(p: InputPartition): (Int, InputPartition, Option[String]) = p match {
     case GroupedPartition(g, ip, f) => (g, ip, f)
+    case KeyedPartition(g, ip, _) => (g, ip, None)
     case other => (0, other, None)
   }
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {

@@ -86,6 +86,53 @@ class RuntimePruningSpec extends SparkSpec {
       s"runtime pruning read $withDpp records vs $withoutDpp unpruned")
   }
 
+  test("co-partitioned tables join without a shuffle (storage-partitioned join)") {
+    wh
+    def mk(name: String): Unit = {
+      spark.sql(s"""CREATE TABLE dpp.db.$name (id BIGINT, grp BIGINT, v DOUBLE)
+                    PARTITIONED BY (grp)""")
+      (0L until 4L).foreach { g =>
+        spark.range(40).selectExpr(s"id + ${g * 1000} AS id", s"$g AS grp",
+          "CAST(id AS DOUBLE) AS v")
+          .coalesce(1).createOrReplaceTempView("spjbatch")
+        spark.sql(s"INSERT INTO dpp.db.$name SELECT * FROM spjbatch")
+      }
+    }
+    mk("spj_a"); mk("spj_b")
+    val q = """SELECT a.grp, COUNT(*) AS n
+               FROM dpp.db.spj_a a JOIN dpp.db.spj_b b
+                 ON a.grp = b.grp AND a.id = b.id
+               GROUP BY a.grp ORDER BY a.grp"""
+    def run(): (Seq[(Long, Long)], String) = {
+      val df = spark.sql(q)
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      (rows, df.queryExecution.executedPlan.toString) // post-AQE final plan
+    }
+    val expected = (0L until 4L).map(g => (g, 40L))
+    // broadcast off so the join NEEDS co-partitioning to avoid a shuffle;
+    // join keys (grp, id) are a SUPERSET of the partition keys (grp), which
+    // Spark only accepts for co-partitioning with this conf off
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      try {
+        val (rows, plan) = run()
+        assert(rows === expected)
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"expected a shuffle-free storage-partitioned join:\n$plan")
+      } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      // sanity: same query without v2 bucketing shuffles both sides
+      val (rows2, plan2) = run()
+      assert(rows2 === expected)
+      assert(plan2.contains("Exchange hashpartitioning"),
+        s"baseline run should shuffle:\n$plan2")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+    }
+  }
+
   test("runtime pruning never drops matching rows on unpartitioned tables") {
     wh
     // stats-only pruning path: no partitions, file min/max does the work
