@@ -48,6 +48,12 @@ trait FileIO extends Serializable {
   /** Write atomically with last-writer-wins semantics (temp + rename). */
   def writeString(path: String, content: String): Unit
 
+  /** Raw-bytes read — Avro manifests are binary. */
+  def readBytes(path: String): Array[Byte]
+
+  /** Atomic raw-bytes write (temp + rename), the binary [[writeString]]. */
+  def writeBytes(path: String, content: Array[Byte]): Unit
+
   /** Create `path` with `content` only if it does not exist, atomically —
     * the CAS primitive under the commit protocol. Local disk uses link(2)
     * (EEXIST is atomic); an object store maps this to a conditional PUT
@@ -82,11 +88,16 @@ object LocalFileIO extends FileIO {
 
   override def readString(path: String): String = Files.readString(p(path))
 
-  override def writeString(path: String, content: String): Unit = {
+  override def readBytes(path: String): Array[Byte] = Files.readAllBytes(p(path))
+
+  override def writeString(path: String, content: String): Unit =
+    writeBytes(path, content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  override def writeBytes(path: String, content: Array[Byte]): Unit = {
     val target = p(path)
     if (target.getParent != null) Files.createDirectories(target.getParent)
     val tmp = target.resolveSibling(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, content)
+    Files.write(tmp, content)
     Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
   }
@@ -167,26 +178,35 @@ final class HadoopFileIO(
   private def conf = sconf.value
   private def fs(path: String): FileSystem = new HPath(path).getFileSystem(conf)
 
-  override def readString(path: String): String = {
+  override def readString(path: String): String =
+    new String(readBytes(path), java.nio.charset.StandardCharsets.UTF_8)
+
+  override def readBytes(path: String): Array[Byte] = {
     val in = fs(path).open(new HPath(path))
-    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    try in.readAllBytes()
     finally in.close()
   }
 
-  private def writeTemp(target: HPath, content: String): HPath = {
+  private def writeTemp(target: HPath, content: String): HPath =
+    writeTempBytes(target, content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def writeTempBytes(target: HPath, content: Array[Byte]): HPath = {
     val f = fs(target.toString)
     val tmp = new HPath(target.getParent, s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(content)
     finally out.close()
     tmp
   }
 
-  override def writeString(path: String, content: String): Unit = {
+  override def writeString(path: String, content: String): Unit =
+    writeBytes(path, content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  override def writeBytes(path: String, content: Array[Byte]): Unit = {
     val target = new HPath(path)
     val f = fs(path)
     f.mkdirs(target.getParent)
-    val tmp = writeTemp(target, content)
+    val tmp = writeTempBytes(target, content)
     // FileContext's OVERWRITE rename is atomic on HDFS — a delete-then-
     // rename would open a window where the target (e.g. version-hint)
     // does not exist and concurrent loads fail

@@ -44,6 +44,50 @@ object Values {
     }
   }
 
+  /** Single-value BINARY serialization (the reference's
+    * `Conversions.toByteBuffer`, api/.../types/Conversions.java, and the
+    * Iceberg spec's Appendix D): fixed-width numerics little-endian,
+    * strings UTF-8, decimals as minimal two's-complement unscaled
+    * big-endian bytes. Used for bounds and partition values inside
+    * Avro-format manifests, where values are stored untyped (`bytes`) and
+    * decoded against the table schema / partition spec. */
+  def toBytes(v: Any, dt: DataType): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int): ByteBuffer = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType | DateType => le(4).putInt(v.asInstanceOf[Int]).array()
+      case LongType | TimestampType | TimestampNTZType =>
+        le(8).putLong(v.asInstanceOf[Long]).array()
+      case FloatType => le(4).putFloat(v.asInstanceOf[Float]).array()
+      case DoubleType => le(8).putDouble(v.asInstanceOf[Double]).array()
+      case BooleanType => Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0)
+      case StringType =>
+        v.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      case BinaryType => v.asInstanceOf[Array[Byte]]
+      case d: DecimalType =>
+        v.asInstanceOf[java.math.BigDecimal].setScale(d.scale)
+          .unscaledValue().toByteArray
+      case t => throw new IllegalArgumentException(s"cannot serialize $t")
+    }
+  }
+
+  def fromBytes(b: Array[Byte], dt: DataType): Any = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le: ByteBuffer = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType | DateType => le.getInt
+      case LongType | TimestampType | TimestampNTZType => le.getLong
+      case FloatType => le.getFloat
+      case DoubleType => le.getDouble
+      case BooleanType => b(0) != 0
+      case StringType => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      case BinaryType => b
+      case d: DecimalType =>
+        new java.math.BigDecimal(new java.math.BigInteger(b), d.scale)
+      case t => throw new IllegalArgumentException(s"cannot deserialize $t")
+    }
+  }
+
   /** Render a partition value as the hive-style dir string Spark writes. */
   def toDirString(v: Any): String = v match {
     case null => "__HIVE_DEFAULT_PARTITION__"
