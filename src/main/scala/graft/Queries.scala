@@ -25,9 +25,12 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as LongType
-    * nanos under a legacy flag. The flag (and the UTC rendering the oracle
-    * assumes) is scoped to an isolated child session — same SparkContext,
+  /** events.ts is parquet timestamp[us] with isAdjustedToUTC=false (naive).
+    * The oracle (DuckDB) renders naive timestamps verbatim, so rendering
+    * must not apply a timezone shift: a UTC session timezone guarantees
+    * that whether Spark maps the column to TIMESTAMP_NTZ (no shift by
+    * definition) or legacy TIMESTAMP (shift by session tz = UTC = no-op).
+    * The conf is scoped to an isolated child session — same SparkContext,
     * own SQLConf — so the caller's session is never mutated and queries
     * stay independent of execution order. One child per parent session
     * (building a SessionState costs ~250ms — not per query), weakly held. */
@@ -37,8 +40,7 @@ object Queries {
     val es = eventsSessions.synchronized {
       eventsSessions.computeIfAbsent(s, parent => {
         val child = parent.newSession()
-        child.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        child.conf.set("spark.sql.session.timeZone", "UTC") // oracle is naive UTC
+        child.conf.set("spark.sql.session.timeZone", "UTC") // oracle is naive
         child
       })
     }
@@ -239,7 +241,7 @@ object Queries {
     // --- events (streaming-shaped, batch semantics) ----------------------
     "q17_events_hourly" -> ((s, dir) => {
       val ev = events(s, dir)
-      ev.select(date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH:00").as("hour"),
+      ev.select(date_format(col("ts"), "yyyy-MM-dd HH:00").as("hour"),
           col("event_type"), col("value"))
         .groupBy(col("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), money(sum(dec14(col("value")))).as("sum_value"))
@@ -250,7 +252,8 @@ object Queries {
       val ev = events(s, dir)
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val flagged = ev.select(col("user_id"), col("ts"), col("event_id"),
-        when(col("ts") - lag(col("ts"), 1).over(w) > 1800000000000L, 1).otherwise(0).as("new_sess"))
+        when(col("ts") - lag(col("ts"), 1).over(w) > expr("INTERVAL '1800' SECOND"), 1)
+          .otherwise(0).as("new_sess"))
       val sessioned = flagged.select(col("user_id"), col("event_id"),
         sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("sess"))
       sessioned.groupBy(col("user_id"), col("sess")).agg(count(lit(1)).as("sess_events"))
