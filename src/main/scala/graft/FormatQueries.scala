@@ -268,6 +268,20 @@ object FormatQueries {
                FROM orders_changes GROUP BY 1, 2 ORDER BY ordinal, change_type""")
     }),
 
+    // metadata-only aggregates: full-table COUNT/MIN/MAX answered from
+    // manifest metrics via SupportsPushDownAggregates → LocalScan (zero
+    // data-file I/O; AggPushdownSpec asserts the plan is a LocalTableScan)
+    "q94_agg_pushdown" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftagg", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftagg.warehouse", tdir(dir, "aggwh"))
+      withTable(s, dir, "aggwh/db/lineitem_agg")(loc =>
+        GraftWrite.importParquet(s, loc, s"$dir/lineitem.parquet"))
+      s.sql("""SELECT COUNT(*) AS n, COUNT(l_returnflag) AS n_flag,
+               MIN(l_orderkey) AS mn_key, MAX(l_orderkey) AS mx_key,
+               MIN(l_shipdate) AS mn_ship, MAX(l_shipdate) AS mx_ship
+               FROM graftagg.db.lineitem_agg""")
+    }),
+
     // streaming sink: two epochs + a replayed epoch (dedup) = exactly-once
     "q73_streaming_epochs" -> ((s, dir) => {
       val t = withTable(s, dir, "customer_stream") { loc =>
@@ -776,6 +790,12 @@ object FormatQueries {
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE)
         |  FROM orders WHERE o_orderpriority = '1-URGENT'
         |) ORDER BY ordinal, change_type""".stripMargin,
+
+    "q94_agg_pushdown" ->
+      """SELECT COUNT(*) AS n, COUNT(l_returnflag) AS n_flag,
+        |MIN(l_orderkey) AS mn_key, MAX(l_orderkey) AS mx_key,
+        |MIN(l_shipdate) AS mn_ship, MAX(l_shipdate) AS mx_ship
+        |FROM lineitem""".stripMargin,
 
     "q73_streaming_epochs" ->
       """SELECT c_mktsegment, COUNT(*) AS n,

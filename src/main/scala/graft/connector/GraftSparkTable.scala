@@ -161,10 +161,35 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     groupGranular: Boolean = false,
     onPlan: ScanPlan => Unit = _ => (),
     onRuntimeFilter: Set[String] => Unit = _ => ())
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: Option[StructType] = None
+  private var pushedAgg: Option[AggPushdown.Pushed] = None
+
+  /** Metadata-only aggregates (see AggPushdown). Only complete pushdown is
+    * offered: when tryPush succeeds the single returned row IS the final
+    * answer, so Spark plans no aggregation at all. Spark only reaches here
+    * when no residual filter remains — and we residual every filter — so
+    * only unfiltered aggregates qualify, which keeps the metrics-vs-rows
+    * equivalence trivially exact. Row-level-operation scans (groupGranular)
+    * never aggregate. */
+  private def tryAgg(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation) =
+    if (groupGranular || pushed.nonEmpty) None
+    else AggPushdown.tryPush(table, base.planFiles(), agg)
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    pushedAgg = tryAgg(agg)
+    pushedAgg.isDefined
+  }
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (pushedAgg.isEmpty) pushedAgg = tryAgg(agg)
+    pushedAgg.isDefined
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => FilterBridge.convert(f).isDefined)
@@ -180,7 +205,18 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
   override def pruneColumns(required: StructType): Unit =
     requiredSchema = Some(required)
 
-  override def build(): Scan = {
+  override def build(): Scan = pushedAgg match {
+    case Some(p) =>
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          Array(p.row)
+        override def readSchema(): StructType = p.schema
+        override def description(): String = s"graft-metadata-agg(${p.funcs})"
+      }
+    case None => buildFileScan()
+  }
+
+  private def buildFileScan(): Scan = {
     val expr = FilterBridge.convertAll(pushed)
     val scan = if (expr == AlwaysTrue) base else base.filter(expr)
     val schema = scan.scanSchema
