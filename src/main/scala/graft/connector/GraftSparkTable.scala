@@ -48,8 +48,13 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
     * metadata-only when the filter provably covers whole files (strict
     * projection), copy-on-write rewrite of the touched files otherwise —
     * so any expressible predicate is deletable. */
+  /** True only when the delete is provably metadata-only (whole files,
+    * strict evaluation) — the reference's SparkTable.canDeleteWhere
+    * contract. Partial-file deletes return false so Spark plans the
+    * row-level operation, which honors `write.delete.mode`. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(f => FilterBridge.convert(f).isDefined)
+    filters.forall(f => FilterBridge.convert(f).isDefined) &&
+      Commits.canMetadataDelete(table, FilterBridge.convertAll(filters))
 
   override def deleteWhere(filters: Array[Filter]): Unit =
     Deletes.deleteWhere(table, FilterBridge.convertAll(filters))
@@ -58,9 +63,9 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
     * Per-command mode via `write.{delete,update,merge}.mode`:
     * `copy-on-write` (default) rewrites matched files through ReplaceData;
     * `merge-on-read` emits position deletes + change data as one RowDelta
-    * (SupportsDelta). Convertible DELETEs still take the SupportsDelete
-    * path above (Spark's metadata-only-delete optimization asks
-    * canDeleteWhere first). */
+    * (SupportsDelta). Metadata-only DELETEs (whole files) take the
+    * SupportsDelete path above — Spark asks canDeleteWhere first; every
+    * other DELETE lands here and honors the mode. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
@@ -162,7 +167,8 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     onPlan: ScanPlan => Unit = _ => (),
     onRuntimeFilter: Set[String] => Unit = _ => ())
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: Option[StructType] = None
@@ -190,6 +196,21 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     if (pushedAgg.isEmpty) pushedAgg = tryAgg(agg)
     pushedAgg.isDefined
   }
+
+  private var pushedLimit: Option[Int] = None
+
+  /** Bare `LIMIT n` (Spark only pushes when no Filter remains above the
+    * relation): plan just enough files to yield n rows instead of every
+    * file — `SELECT * FROM t LIMIT 10` on a 100k-file table reads one
+    * file. Always partial: Spark keeps the global Limit, so extra rows
+    * from the last file are harmless. Declined when row-level deletes are
+    * live (a file's surviving count is unknown) — detected at build time
+    * since the plan doesn't exist yet. */
+  override def pushLimit(n: Int): Boolean =
+    if (groupGranular) false
+    else { pushedLimit = Some(n); true }
+
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => FilterBridge.convert(f).isDefined)
@@ -220,7 +241,17 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     val expr = FilterBridge.convertAll(pushed)
     val scan = if (expr == AlwaysTrue) base else base.filter(expr)
     val schema = scan.scanSchema
-    val plan = scan.planFiles()
+    val planned = scan.planFiles()
+    val plan = pushedLimit match {
+      case Some(n) if pushed.isEmpty && planned.deleteFiles.isEmpty &&
+          !groupGranular =>
+        var acc = 0L
+        val kept = planned.tasks.takeWhile { t =>
+          val need = acc < n; acc += t.file.recordCount; need
+        }
+        planned.copy(tasks = kept, filesScanned = kept.size)
+      case _ => planned
+    }
     onPlan(plan)
     def strip(st: StructType) = Types.cleanType(st).asInstanceOf[StructType]
     val clean = strip(schema)
@@ -587,7 +618,8 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
   import java.util.OptionalLong
 
   override def readSchema(): StructType = output
-  override def description(): String = s"graft(${groupScans.size} scan groups)"
+  override def description(): String =
+    s"graft(${groupScans.size} scan groups, files=${plan.tasks.size})"
 
   /** Runtime group filtering (reference SparkCopyOnWriteScan): row-level
     * operation scans advertise `_file`, so Spark's

@@ -313,6 +313,39 @@ object Commits {
     })}
 
   /** Shared delete-by-filter manifest rewrite. */
+  /** Per-file delete decision: Some(true) = every row matches (drop whole
+    * file), Some(false) = no row can match (keep), None = partial match
+    * (metadata-only delete impossible for this file). */
+  private def wholeFileDelete(bound: Expr, spec: PartitionSpec,
+      schema: org.apache.spark.sql.types.StructType, f: DataFile): Option[Boolean] = {
+    val strictPart =
+      if (spec.isPartitioned) Projections.strict(bound, spec, schema) else AlwaysFalse
+    val inclusivePart =
+      if (spec.isPartitioned) Projections.inclusive(bound, spec, schema) else AlwaysTrue
+    val wholeFile =
+      (strictPart != AlwaysFalse && Projections.evalOnPartition(strictPart, f.partition)) ||
+      Evaluators.strictMetrics(bound, f)
+    val mightMatch =
+      (inclusivePart == AlwaysTrue || Projections.evalOnPartition(inclusivePart, f.partition)) &&
+      Evaluators.inclusiveMetrics(bound, f)
+    if (mightMatch && !wholeFile) None else Some(wholeFile)
+  }
+
+  /** Dry-run of rewriteForDelete's validation: true iff the filter can be
+    * applied as a metadata-only whole-file delete (reference
+    * SparkTable.canDeleteWhere: strict/inclusive evaluation over every
+    * live file — no data is read or written). */
+  private[graft] def canMetadataDelete(table: GraftTable, filter: Expr): Boolean = {
+    val m = table.metadata
+    val schema = m.schema
+    val bound = Exprs.bind(filter, schema)
+    currentManifests(table, m).filter(_.content == FileContent.Data).forall { mf =>
+      val spec = m.specs(mf.specId)
+      table.readManifest(mf, schema)
+        .forall(e => wholeFileDelete(bound, spec, schema, e.file).isDefined)
+    }
+  }
+
   private def rewriteForDelete(table: GraftTable, m: TableMetadata,
       filter: Expr): Seq[ManifestFile] = {
     val schema = m.schema
@@ -324,23 +357,11 @@ object Commits {
       if (mf.content != FileContent.Data) Some(mf)
       else {
         val spec = m.specs(mf.specId)
-        val strictPart =
-          if (spec.isPartitioned) Projections.strict(bound, spec, schema) else AlwaysFalse
-        val inclusivePart =
-          if (spec.isPartitioned) Projections.inclusive(bound, spec, schema) else AlwaysTrue
         val entries = table.readManifest(mf, schema)
         val (toDelete, kept) = entries.partition { e =>
-          val f = e.file
-          val wholeFile =
-            (strictPart != AlwaysFalse && Projections.evalOnPartition(strictPart, f.partition)) ||
-            Evaluators.strictMetrics(bound, f)
-          val mightMatch =
-            (inclusivePart == AlwaysTrue || Projections.evalOnPartition(inclusivePart, f.partition)) &&
-            Evaluators.inclusiveMetrics(bound, f)
-          if (mightMatch && !wholeFile)
+          wholeFileDelete(bound, spec, schema, e.file).getOrElse(
             throw new ValidationException(
-              s"Cannot delete file where some, but not all, rows match filter: ${f.path}")
-          wholeFile
+              s"Cannot delete file where some, but not all, rows match filter: ${e.file.path}"))
         }
         if (toDelete.isEmpty) Some(mf)
         else if (kept.isEmpty) None
