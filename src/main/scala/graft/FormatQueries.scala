@@ -282,6 +282,35 @@ object FormatQueries {
                FROM graftagg.db.lineitem_agg""")
     }),
 
+    // ANALYZE → committed NDV statistics (Stats.analyze, one distributed
+    // HLL++ pass). Gate pins low-cardinality columns where the sketch's
+    // sparse representation is exact, so DuckDB's COUNT(DISTINCT) matches.
+    "q95_analyze_ndv" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftstats", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftstats.warehouse", tdir(dir, "statswh"))
+      withTable(s, dir, "statswh/db/customer_stats")(loc =>
+        GraftWrite.importParquet(s, loc, s"$dir/customer.parquet"))
+      s.sql("""CALL graftstats.system.analyze_table(
+                 table => 'db.customer_stats',
+                 columns => 'c_mktsegment,c_nationkey')""")
+        .select(col("column").as("col_name"), col("ndv"))
+        .orderBy(col("col_name"))
+    }),
+
+    // SQL views over the ViewCatalog (GraftViews + GraftViewRules): the
+    // view's stored SQL re-resolves against the graft table at read time
+    "q96_sql_view" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftview", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftview.warehouse", tdir(dir, "viewwh"))
+      withTable(s, dir, "viewwh/db/orders_v")(loc =>
+        GraftWrite.importParquet(s, loc, s"$dir/orders.parquet"))
+      s.sql("""CREATE OR REPLACE VIEW graftview.db.ord_pri AS
+               SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS total
+               FROM graftview.db.orders_v GROUP BY o_orderpriority""")
+      s.sql("SELECT * FROM graftview.db.ord_pri ORDER BY o_orderpriority")
+    }),
+
     // streaming sink: two epochs + a replayed epoch (dedup) = exactly-once
     "q73_streaming_epochs" -> ((s, dir) => {
       val t = withTable(s, dir, "customer_stream") { loc =>
@@ -796,6 +825,15 @@ object FormatQueries {
         |MIN(l_orderkey) AS mn_key, MAX(l_orderkey) AS mx_key,
         |MIN(l_shipdate) AS mn_ship, MAX(l_shipdate) AS mx_ship
         |FROM lineitem""".stripMargin,
+
+    "q95_analyze_ndv" ->
+      """SELECT 'c_mktsegment' AS col_name,
+        |COUNT(DISTINCT c_mktsegment) AS ndv FROM customer
+        |UNION ALL
+        |SELECT 'c_nationkey', COUNT(DISTINCT c_nationkey) FROM customer
+        |ORDER BY col_name""".stripMargin,
+
+    "q96_sql_view" -> orderAggSqlWhere.format("1=1"),
 
     "q73_streaming_epochs" ->
       """SELECT c_mktsegment, COUNT(*) AS n,

@@ -25,7 +25,7 @@ import scala.jdk.CollectionConverters._
   * `graft.db.\`t$snapshots\``.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with FunctionCatalog with ProcedureCatalog {
+  with FunctionCatalog with ProcedureCatalog with GraftViews {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -38,6 +38,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def name(): String = catalogName
+  override protected def viewWarehouse: String = warehouse
 
   private def tableDir(ident: Identifier): String =
     (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")

@@ -350,6 +350,28 @@ final class GraftProcedures(resolve: String => GraftTable,
       Array(row(view))
   })
 
+  // ---- statistics ------------------------------------------------------
+
+  /** `CALL g.system.analyze_table(table => 'db.t' [, columns => 'a,b'])`:
+    * one distributed HLL++ pass over the current snapshot, committed as a
+    * statistics file the scan then reports to Spark's CBO (Stats.analyze;
+    * the reference's ANALYZE TABLE writes Puffin theta sketches the same
+    * way). Returns the recorded per-column NDVs. */
+  private val analyzeTable = new Proc("analyze_table",
+    "compute and record per-column NDV statistics for the current snapshot",
+    Array(p("table", StringType), pd("columns", StringType, "NULL")),
+    StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("ndv", LongType, nullable = false))))({ in =>
+    val t = resolve(str(in, 0))
+    val cols =
+      if (in.isNullAt(1)) Nil
+      else str(in, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val (_, stats) = Stats.analyzeAndCommit(t, cols)
+    stats.ndv.toSeq.sortBy(_._1)
+      .map { case (c, v) => row(c, Long.box(v)) }.toArray
+  })
+
   // ---- registry --------------------------------------------------------
 
   val byName: Map[String, UnboundProcedure] = Seq(
@@ -358,7 +380,7 @@ final class GraftProcedures(resolve: String => GraftTable,
     createBranch, createTag, dropRef, fastForward,
     expireSnapshots, removeOrphanFiles,
     rewriteDataFiles, rewritePositionDeletes, rewriteManifests,
-    importTable, createChangelogView
+    importTable, createChangelogView, analyzeTable
   ).map(proc => proc.name() -> (proc: UnboundProcedure)).toMap
 
   def names: Seq[String] = byName.keys.toSeq.sorted

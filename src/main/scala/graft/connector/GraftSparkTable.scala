@@ -571,7 +571,9 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
       }
     new GraftScan(output, groups.map(_._1), plan, spark, table, options,
       groups.map(_._2), runtimeFileFiltering = groupGranular,
-      onRuntimeFilter = onRuntimeFilter, spjInfo = spjInfo)
+      onRuntimeFilter = onRuntimeFilter, spjInfo = spjInfo,
+      ndvStats = scan.snapshot.map(_.snapshotId)
+        .flatMap(id => Stats.read(table, id)))
   }
 
   /** Rename filter references current→file names; drop if any referenced
@@ -609,7 +611,8 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
     deletes: Seq[Option[GroupDeletes]] = Nil,
     runtimeFileFiltering: Boolean = false,
     onRuntimeFilter: Set[String] => Unit = _ => (),
-    spjInfo: Option[SpjInfo] = None)
+    spjInfo: Option[SpjInfo] = None,
+    ndvStats: Option[Stats.TableStats] = None)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -728,6 +731,40 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
       OptionalLong.of(plan.tasks.map(_.file.fileSizeInBytes).sum)
     override def numRows(): OptionalLong =
       OptionalLong.of(plan.tasks.map(_.file.recordCount).sum)
+
+    /** Per-column stats for the CBO: NDV from the analyzed snapshot's
+      * statistics file (Stats.analyze — reference reads the same from
+      * Puffin sketches), null counts summed from manifest metrics. Both
+      * are estimates over the FULL snapshot; a file-pruned scan
+      * over-reports them, which Spark's estimation tolerates (reference
+      * SparkScan.estimateStatistics has the same behavior). */
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (table == null) return out
+      val nameToId = FieldIds.nameToId(table.metadata.schema)
+      output.fieldNames.foreach { name =>
+        val ndv = ndvStats.flatMap(_.ndv.get(name))
+        val nulls = nameToId.get(name).flatMap { id =>
+          val perFile = plan.tasks.map(_.file.nullValueCounts.get(id))
+          if (perFile.nonEmpty && perFile.forall(_.isDefined))
+            Some(perFile.flatten.sum)
+          else None
+        }
+        if (ndv.isDefined || nulls.isDefined)
+          out.put(org.apache.spark.sql.connector.expressions.Expressions.column(name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): OptionalLong =
+                ndv.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+              override def nullCount(): OptionalLong =
+                nulls.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+            })
+      }
+      out
+    }
   }
 
   // batch internals live on the SCAN (not per-toBatch instance) because

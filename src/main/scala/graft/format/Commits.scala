@@ -405,8 +405,13 @@ object Commits {
         snaps.flatMap(s => table.readManifestList(m, s))
           .distinctBy(_.path)
           .flatMap(mf => table.readManifest(mf, m.schema).map(_.file.path)).toSet
-      orphaned = (livePaths(expire) -- livePaths(keep)).toSeq.sorted
+      // statistics files of expired snapshots die with them
+      val deadStats = m.statistics.filterNot(sf =>
+        keep.exists(_.snapshotId == sf.snapshotId))
+      orphaned = ((livePaths(expire) -- livePaths(keep)).toSeq ++
+        deadStats.map(_.path)).sorted
       m.copy(snapshots = keep, refs = liveRefs,
+        statistics = m.statistics.diff(deadStats),
         snapshotLog = m.snapshotLog.filter(e => keep.exists(_.snapshotId == e.snapshotId)))
     }
     (updated, orphaned)
@@ -557,6 +562,18 @@ object Commits {
   def setProperties(table: GraftTable, props: Map[String, String]): TableMetadata =
     table.ops.commitTransaction(m => m.copy(properties = m.properties ++ props,
       lastUpdatedMillis = System.currentTimeMillis()))
+
+  /** Record a statistics file for its snapshot (reference
+    * UpdateStatistics.setStatistics), replacing any previous pointer for
+    * the same snapshot. */
+  def setStatistics(table: GraftTable, sf: StatisticsFile): TableMetadata =
+    table.ops.commitTransaction { m =>
+      require(m.snapshot(sf.snapshotId).isDefined,
+        s"cannot set statistics: no snapshot ${sf.snapshotId}")
+      m.copy(
+        statistics = m.statistics.filterNot(_.snapshotId == sf.snapshotId) :+ sf,
+        lastUpdatedMillis = System.currentTimeMillis())
+    }
 
   /** Partition-spec evolution WITHOUT rewriting data (beyond the reference,
     * whose UpdatePartitionSpec is absent — SURVEY §2.8): the new spec gets

@@ -99,6 +99,11 @@ final case class SnapshotRef(
     maxSnapshotAgeMs: Option[Long] = None,
     maxRefAgeMs: Option[Long] = None)
 
+/** Pointer to a per-snapshot table-statistics file (reference
+  * api/.../StatisticsFile.java; the reference stores Puffin theta
+  * sketches — ours is a JSON NDV map written by Stats.analyze). */
+final case class StatisticsFile(snapshotId: Long, path: String)
+
 /** The metadata tree root (reference core/.../TableMetadata.java:195-).
   * One JSON file per version; commit = atomic rename (TableOps).
   */
@@ -117,7 +122,11 @@ final case class TableMetadata(
     currentSnapshotId: Option[Long],
     snapshots: Seq[Snapshot],
     snapshotLog: Seq[SnapshotLogEntry],
-    refs: Map[String, SnapshotRef] = Map.empty) {
+    refs: Map[String, SnapshotRef] = Map.empty,
+    statistics: Seq[StatisticsFile] = Nil) {
+
+  def statisticsFor(snapshotId: Long): Option[StatisticsFile] =
+    statistics.find(_.snapshotId == snapshotId)
 
   def schema: StructType = schemas(currentSchemaId)
 
@@ -290,6 +299,14 @@ object Model {
         r.maxRefAgeMs.foreach(e.put("max-ref-age-ms", _))
       }
     }
+    if (m.statistics.nonEmpty) {
+      val st = o.putArray("statistics")
+      m.statistics.foreach { sf =>
+        val e = st.addObject()
+        e.put("snapshot-id", sf.snapshotId)
+        e.put("statistics-path", sf.path)
+      }
+    }
     pretty(o)
   }
 
@@ -323,7 +340,11 @@ object Model {
             minSnapshotsToKeep = optLong(e, "min-snapshots-to-keep").map(_.toInt),
             maxSnapshotAgeMs = optLong(e, "max-snapshot-age-ms"),
             maxRefAgeMs = optLong(e, "max-ref-age-ms"))
-        }.toMap).getOrElse(Map.empty))
+        }.toMap).getOrElse(Map.empty),
+      statistics = Option(n.get("statistics")).filterNot(_.isNull)
+        .map(elems(_).map(e => StatisticsFile(getLong(e, "snapshot-id"),
+          getStr(e, "statistics-path"))).toSeq)
+        .getOrElse(Nil))
   }
 
   // ---- Manifest (JSON lines of entries + header) ----

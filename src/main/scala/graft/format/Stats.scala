@@ -1,0 +1,90 @@
+package graft.format
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table-level column statistics: per-column NDV estimates tied to a
+  * snapshot (reference api/.../StatisticsFile.java + the Puffin
+  * theta-sketch files the reference's ANALYZE writes; ours is a JSON map
+  * produced by one distributed HLL++ aggregation).
+  *
+  * The NDV job is a single `approx_count_distinct` pass: HLL sketches are
+  * partial-aggregated map-side and merged, so the driver sees one row of
+  * (col → ndv) no matter the table size — the 100 TB cost is one full scan
+  * of the analyzed columns, which is the floor for any NDV computation.
+  * The scan reports these to Spark's CBO (GraftScan.columnStats), which is
+  * what makes join reordering and broadcast decisions informed instead of
+  * size-only guesses. */
+object Stats {
+
+  final case class TableStats(snapshotId: Long, rowCount: Long,
+      ndv: Map[String, Long])
+
+  /** Columns eligible for NDV analysis: top-level atomic fields. */
+  def analyzableColumns(schema: StructType): Seq[String] =
+    schema.fields.filter(f => f.dataType match {
+      case _: StructType | _: ArrayType | _: MapType => false
+      case _ => true
+    }).map(_.name).toSeq
+
+  /** One distributed aggregation over the current snapshot → TableStats.
+    * `columns` defaults to every top-level atomic column. `rsd` is the
+    * HLL++ relative standard deviation: 0.02 keeps the sketch a few KB
+    * per column while staying exact for small cardinalities (the sparse
+    * representation) and ±2% at scale. */
+  def analyze(table: GraftTable, columns: Seq[String] = Nil,
+      rsd: Double = 0.02): TableStats = {
+    val m = table.metadata
+    val snapId = m.currentSnapshotId.getOrElse(
+      throw new IllegalStateException("cannot analyze a table with no snapshot"))
+    val cols =
+      if (columns.nonEmpty) columns
+      else analyzableColumns(Types.cleanType(m.schema).asInstanceOf[StructType])
+    val bad = cols.filterNot(c => m.schema.fieldNames.contains(c))
+    require(bad.isEmpty, s"no such columns: ${bad.mkString(", ")}")
+    val df = table.newScan().toDF()
+    val aggs = count(lit(1)).as("_row_count") +:
+      cols.map(c => approx_count_distinct(col(c), rsd).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    TableStats(snapId, row.getLong(0),
+      cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i + 1) }.toMap)
+  }
+
+  /** Run the NDV job and commit the result: the stats file is written via
+    * the table's FileIO, then recorded in metadata (replacing any previous
+    * stats for the same snapshot). Returns the committed pointer. */
+  def analyzeAndCommit(table: GraftTable,
+      columns: Seq[String] = Nil): (StatisticsFile, TableStats) = {
+    val stats = analyze(table, columns)
+    val name = s"stats-${stats.snapshotId}-${java.util.UUID.randomUUID()}.json"
+    val path = table.ops.writeMetadataFile(name, toJson(stats))
+    val sf = StatisticsFile(stats.snapshotId, path)
+    Commits.setStatistics(table, sf)
+    (sf, stats)
+  }
+
+  /** Stats for a snapshot, if a statistics file was committed for it. */
+  def read(table: GraftTable, snapshotId: Long): Option[TableStats] =
+    table.metadata.statisticsFor(snapshotId).flatMap { sf =>
+      try Some(fromJson(table.ops.readFile(sf.path)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  def toJson(s: TableStats): String = {
+    val o = Json.obj()
+    o.put("snapshot-id", s.snapshotId)
+    o.put("row-count", s.rowCount)
+    val n = o.putObject("ndv")
+    s.ndv.toSeq.sortBy(_._1).foreach { case (c, v) => n.put(c, v) }
+    Json.pretty(o)
+  }
+
+  def fromJson(s: String): TableStats = {
+    val n = Json.parse(s)
+    val ndv = Option(n.get("ndv")).filterNot(_.isNull).map { no =>
+      Json.fields(no).map { case (k, v) => k -> v.asLong() }.toMap
+    }.getOrElse(Map.empty)
+    TableStats(Json.getLong(n, "snapshot-id"), Json.getLong(n, "row-count"), ndv)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.connector
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** SQL views through the ViewCatalog: create/read/replace/alter/rename/
+  * drop, persistence across catalog instances, and view-over-table reads
+  * resolving through the defining context. */
+class ViewSpec extends SparkSpec {
+
+  private lazy val wh: String = {
+    val d = Files.createTempDirectory("graft-viewwh").toString
+    spark.conf.set("spark.sql.catalog.gv", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gv.warehouse", d)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gv.db")
+    spark.sql("CREATE TABLE gv.db.base (id BIGINT, cat STRING, v DOUBLE)")
+    spark.sql("""INSERT INTO gv.db.base
+      SELECT id, concat('c', id % 3), CAST(id AS DOUBLE) FROM range(30)""")
+    d
+  }
+
+  test("CREATE VIEW + SELECT resolves the stored SQL against the base table") {
+    wh
+    spark.sql("""CREATE VIEW gv.db.v1 AS
+                 SELECT cat, count(*) AS n, sum(v) AS total
+                 FROM gv.db.base GROUP BY cat""")
+    val rows = spark.sql("SELECT * FROM gv.db.v1 ORDER BY cat").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(1)).sum == 30)
+    // the view tracks the table: new data is visible without re-creating
+    spark.sql("INSERT INTO gv.db.base VALUES (100, 'c0', 1.0)")
+    assert(spark.sql("SELECT sum(n) FROM gv.db.v1").collect()(0).getLong(0) == 31)
+  }
+
+  test("views persist across catalog instances (JSON on disk)") {
+    wh
+    spark.sql("CREATE VIEW gv.db.pv AS SELECT id FROM gv.db.base WHERE id < 5")
+    spark.conf.set("spark.sql.catalog.gv2", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gv2.warehouse", wh)
+    assert(spark.sql("SELECT * FROM gv2.db.pv").count() == 5)
+  }
+
+  test("REPLACE, ALTER SET properties, SHOW VIEWS, rename, drop") {
+    wh
+    spark.sql("CREATE VIEW gv.db.rv AS SELECT id FROM gv.db.base")
+    spark.sql("CREATE OR REPLACE VIEW gv.db.rv AS SELECT cat FROM gv.db.base")
+    assert(spark.sql("SELECT * FROM gv.db.rv").columns.toSeq == Seq("cat"))
+
+    spark.sql("ALTER VIEW gv.db.rv SET TBLPROPERTIES ('k'='v1')")
+    val c = spark.sessionState.catalogManager.catalog("gv")
+      .asInstanceOf[GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("db"), "rv")
+    assert(c.loadView(ident).properties().get("k") == "v1")
+
+    val listed = spark.sql("SHOW VIEWS IN gv.db").collect().map(_.getString(1))
+    assert(listed.contains("rv"))
+
+    spark.sql("ALTER VIEW gv.db.rv RENAME TO gv.db.rv2")
+    assert(!c.viewExists(ident) && spark.sql("SELECT * FROM gv.db.rv2").count() > 0)
+
+    spark.sql("DROP VIEW gv.db.rv2")
+    intercept[Exception](spark.sql("SELECT * FROM gv.db.rv2").collect())
+  }
+
+  test("CREATE VIEW on an existing name fails; IF NOT EXISTS is quiet") {
+    wh
+    spark.sql("CREATE VIEW gv.db.dup AS SELECT id FROM gv.db.base")
+    intercept[Exception](
+      spark.sql("CREATE VIEW gv.db.dup AS SELECT cat FROM gv.db.base"))
+    spark.sql("CREATE VIEW IF NOT EXISTS gv.db.dup AS SELECT cat FROM gv.db.base")
+    assert(spark.sql("SELECT * FROM gv.db.dup").columns.toSeq == Seq("id"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.format
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** Table statistics: the ANALYZE job, the metadata roundtrip, CBO
+  * reporting through the scan, and expiry cleanup. */
+class StatsSpec extends SparkSpec {
+
+  private lazy val wh: String = {
+    val d = Files.createTempDirectory("graft-statswh").toString
+    spark.conf.set("spark.sql.catalog.gs", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gs.warehouse", d)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gs.db")
+    spark.sql("CREATE TABLE gs.db.t (id BIGINT, cat STRING, v DOUBLE)")
+    spark.sql("""INSERT INTO gs.db.t
+      SELECT id, concat('c', id % 7), CAST(id AS DOUBLE) / 3 FROM range(500)""")
+    d
+  }
+
+  test("analyze computes exact NDV at small cardinality and roundtrips") {
+    wh
+    val t = GraftTable.load(spark, s"$wh/db/t")
+    val (sf, stats) = Stats.analyzeAndCommit(t)
+    assert(stats.rowCount == 500)
+    assert(stats.ndv("cat") == 7) // HLL++ sparse mode is exact here
+    assert(stats.ndv("id") >= 450 && stats.ndv("id") <= 550,
+      s"ndv(id)=${stats.ndv("id")} outside ±10% of 500")
+    val reread = Stats.read(GraftTable.load(spark, s"$wh/db/t"), sf.snapshotId)
+    assert(reread.contains(stats))
+  }
+
+  test("the procedure records stats and the scan reports NDV to the CBO") {
+    wh
+    val out = spark.sql(
+      "CALL gs.system.analyze_table(table => 'db.t', columns => 'cat,id')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("cat") == 7 && out("id") >= 450 && out("id") <= 550)
+
+    val relation = spark.sql("SELECT * FROM gs.db.t").queryExecution
+      .optimizedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation]
+    val colStats = relation.scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics().columnStats()
+    import scala.jdk.CollectionConverters._
+    val byName = colStats.asScala.map { case (k, v) => k.describe() -> v }
+    assert(byName("cat").distinctCount().getAsLong == 7)
+    assert(byName("id").distinctCount().getAsLong == out("id"))
+    assert(byName("cat").nullCount().getAsLong == 0)
+  }
+
+  test("stats are pinned to their snapshot: a new commit stops reporting them") {
+    wh
+    spark.sql("INSERT INTO gs.db.t VALUES (1000, 'c-new', 1.0)")
+    val t = GraftTable.load(spark, s"$wh/db/t")
+    val current = t.metadata.currentSnapshotId.get
+    assert(Stats.read(t, current).isEmpty, "new snapshot has no stats yet")
+    // the old snapshot's stats remain readable
+    val analyzed = t.metadata.statistics.map(_.snapshotId)
+    assert(analyzed.nonEmpty && analyzed.forall(_ != current))
+  }
+
+  test("expiring a snapshot drops its statistics file") {
+    wh
+    val loc = Files.createTempDirectory("graft-stats-exp").toString + "/t"
+    import spark.implicits._
+    val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("id", "s").schema)
+    GraftWrite.append(t, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val (sf1, _) = Stats.analyzeAndCommit(t)
+    GraftWrite.append(t, Seq((3L, "c")).toDF("id", "s"))
+    Stats.analyzeAndCommit(t)
+    val (m, orphaned) = Commits.expireSnapshots(t,
+      olderThanMillis = System.currentTimeMillis() + 1000, retainLast = 1)
+    assert(m.statistics.map(_.snapshotId) == Seq(m.currentSnapshotId.get))
+    assert(orphaned.contains(sf1.path), "expired snapshot's stats file is orphaned")
+  }
+}
