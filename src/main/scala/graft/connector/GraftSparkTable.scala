@@ -1153,6 +1153,38 @@ final class GraftWriteBuilder(table: GraftTable, queryId: String = "default")
       * files (the reference's write.distribution-mode=hash,
       * SparkWriteUtil/TableProperties.WRITE_DISTRIBUTION_MODE). `none`
       * skips the shuffle; unpartitioned tables never shuffle. */
+    /** Declared write sort order (reference api/.../SortOrder.java via the
+      * `write.sort-order` property: "col [asc|desc] [nulls-first|last],
+      * ..."): rows sort within tasks before writing, so every data file
+      * carries tight min/max bounds on the sort columns — metrics pruning
+      * then skips files the way partition pruning skips partitions. */
+    private def declaredSortOrder()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+      import org.apache.spark.sql.connector.expressions.{Expressions => XEx, NullOrdering, SortDirection}
+      val m = table.metadata
+      m.properties.get("write.sort-order").map { spec =>
+        spec.split(",").map(_.trim).filter(_.nonEmpty).map { part =>
+          val toks = part.split("\\s+").toSeq
+          val colName = toks.head
+          require(m.schema.fieldNames.contains(colName),
+            s"write.sort-order references unknown column: $colName")
+          val dir = toks.map(_.toLowerCase).find(t => t == "asc" || t == "desc")
+            .getOrElse("asc") match {
+            case "desc" => SortDirection.DESCENDING
+            case _ => SortDirection.ASCENDING
+          }
+          val nulls = toks.map(_.toLowerCase)
+            .find(t => t == "nulls-first" || t == "nulls-last") match {
+            case Some("nulls-last") => NullOrdering.NULLS_LAST
+            case Some("nulls-first") => NullOrdering.NULLS_FIRST
+            case _ => if (dir == SortDirection.ASCENDING) NullOrdering.NULLS_FIRST
+              else NullOrdering.NULLS_LAST
+          }
+          XEx.sort(XEx.column(colName), dir, nulls)
+        }
+      }.getOrElse(Array.empty)
+    }
+
     override def requiredDistribution(): Distribution = {
       val m = table.metadata
       val distMode = m.properties.getOrElse("write.distribution-mode",
@@ -1160,14 +1192,31 @@ final class GraftWriteBuilder(table: GraftTable, queryId: String = "default")
       val cluster = GraftSparkTable.partitionTransforms(m)
         .filterNot(_.name == "void")
         .map(t => t: org.apache.spark.sql.connector.expressions.Expression)
-      if (distMode == "none" || cluster.isEmpty) Distributions.unspecified()
-      else Distributions.clustered(cluster)
+      distMode match {
+        // range: a global range shuffle over partition transforms + sort
+        // order — total ordering across tasks, the layout a sorted table
+        // wants (reference write.distribution-mode=range)
+        case "range" =>
+          val order = (cluster.map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions.sort(c,
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+              org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST)) ++
+            declaredSortOrder()).toArray
+          if (order.isEmpty) Distributions.unspecified()
+          else Distributions.ordered(order)
+        case "none" => Distributions.unspecified()
+        case _ =>
+          if (cluster.isEmpty) Distributions.unspecified()
+          else Distributions.clustered(cluster)
+      }
     }
 
-    // fanout writers need no within-task order (PartitionedFanoutWriter
-    // keeps per-key open files), so don't pay for a sort
+    // fanout writers need no within-task order for correctness
+    // (PartitionedFanoutWriter keeps per-key open files), so only a
+    // DECLARED sort order pays for a sort
     override def requiredOrdering()
-        : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      declaredSortOrder()
 
     override def toBatch: BatchWrite = new GraftBatchWrite(table, mode)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =

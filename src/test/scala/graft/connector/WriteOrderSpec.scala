@@ -1,0 +1,74 @@
+package graft.connector
+
+import graft.SparkSpec
+import graft.format.{FieldIds, GraftTable}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Declared write sort order + range distribution: files must come out
+  * internally sorted with tight, non-overlapping bounds. */
+class WriteOrderSpec extends SparkSpec {
+
+  private lazy val wh: String = {
+    val d = Files.createTempDirectory("graft-ordwh").toString
+    spark.conf.set("spark.sql.catalog.go", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.go.warehouse", d)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS go.db")
+    d
+  }
+
+  test("write.sort-order sorts rows within every data file") {
+    wh
+    spark.sql("""CREATE TABLE go.db.sorted (id BIGINT, v STRING)
+                 TBLPROPERTIES ('write.sort-order'='id desc')""")
+    // shuffled input: without the declared order these files arrive unsorted
+    spark.sql("""INSERT INTO go.db.sorted
+      SELECT id, concat('v', id) FROM range(1000) ORDER BY hash(id)""")
+    val t = GraftTable.load(spark, s"$wh/db/sorted")
+    val files = t.newScan().planFiles().tasks.map(_.file.path)
+    assert(files.nonEmpty)
+    files.foreach { p =>
+      val ids = spark.read.parquet(p).select("id").collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sortBy(-_)), s"file not desc-sorted: $p")
+    }
+  }
+
+  test("range distribution yields non-overlapping file bounds") {
+    wh
+    spark.sql("""CREATE TABLE go.db.ranged (id BIGINT, v STRING)
+                 TBLPROPERTIES ('write.distribution-mode'='range',
+                                'write.sort-order'='id')""")
+    // AQE would coalesce this tiny shuffle to one partition; hold it open
+    // so the range layout is observable at spec scale
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try spark.sql("""INSERT INTO go.db.ranged
+      SELECT id, concat('v', id) FROM range(1000) ORDER BY hash(id)""")
+    finally prev match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None => spark.conf.unset(coalesceKey)
+    }
+    val t = GraftTable.load(spark, s"$wh/db/ranged")
+    val idField = FieldIds.nameToId(t.metadata.schema)("id")
+    val bounds = t.newScan().planFiles().tasks.map(_.file)
+      .map(f => (f.lowerBounds(idField).asInstanceOf[Long],
+        f.upperBounds(idField).asInstanceOf[Long]))
+      .sortBy(_._1)
+    assert(bounds.size > 1, "range shuffle should produce multiple files")
+    bounds.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"overlapping file ranges: $bounds")
+      case _ =>
+    }
+    assert(spark.sql("SELECT count(*) FROM go.db.ranged").collect()(0).getLong(0) == 1000)
+  }
+
+  test("an unknown sort column fails the write, not the read") {
+    wh
+    spark.sql("""CREATE TABLE go.db.badsort (id BIGINT)
+                 TBLPROPERTIES ('write.sort-order'='nope')""")
+    intercept[Exception](spark.sql("INSERT INTO go.db.badsort VALUES (1)"))
+    assert(spark.sql("SELECT * FROM go.db.badsort").count() == 0)
+  }
+}
