@@ -282,6 +282,24 @@ object FormatQueries {
                FROM graftagg.db.lineitem_agg""")
     }),
 
+    // GROUP BY on an identity partition column folds to per-partition
+    // metadata rows (AggPushdown group path — "rows per partition" without
+    // touching a data file; AggPushdownSpec asserts the LocalTableScan)
+    "q98_partition_agg" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftagg", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftagg.warehouse", tdir(dir, "aggwh"))
+      withTable(s, dir, "aggwh/db/orders_parted") { loc =>
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        val t = GraftTable.create(s, loc, o.schema, _.identity("o_orderpriority"))
+        GraftWrite.append(t, o.repartition(2))
+        t
+      }
+      s.sql("""SELECT o_orderpriority, COUNT(*) AS n,
+               MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key
+               FROM graftagg.db.orders_parted
+               GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
     // ANALYZE → committed NDV statistics (Stats.analyze, one distributed
     // HLL++ pass). Gate pins low-cardinality columns where the sketch's
     // sparse representation is exact, so DuckDB's COUNT(DISTINCT) matches.
@@ -309,6 +327,42 @@ object FormatQueries {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS total
                FROM graftview.db.orders_v GROUP BY o_orderpriority""")
       s.sql("SELECT * FROM graftview.db.ord_pri ORDER BY o_orderpriority")
+    }),
+
+    // streaming upsert (write.upsert.enabled): epoch 1 streams every
+    // customer, epoch 2 streams a re-keyed subset with bumped balances;
+    // each epoch is ONE RowDelta of equality deletes + data, so the final
+    // state is the DuckDB-computed post-upsert table
+    "q97_streaming_upsert" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftup", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftup.warehouse", tdir(dir, "upwh"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftup.db")
+      withTable(s, dir, "upwh/db/customer_upsert") { loc =>
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val srcLoc = tdir(dir, "upwh") + "/db/up_src"
+        val src = GraftTable.recreate(s, srcLoc, c.schema)
+        val sink = GraftTable.recreate(s, loc, c.schema)
+        Commits.setProperties(sink, Map(
+          "write.upsert.enabled" -> "true",
+          "write.upsert.key-columns" -> "c_custkey"))
+        val ckpt = tdir(dir, "upwh") + "/ckpt_upsert"
+        def runOnce(): Unit = {
+          val q = s.readStream.table("graftup.db.up_src").writeStream
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .toTable("graftup.db.customer_upsert")
+          q.awaitTermination(120000)
+        }
+        GraftWrite.append(src, c.coalesce(2))
+        runOnce()
+        GraftWrite.append(src, c.filter(col("c_custkey") % 10 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 1000).coalesce(1))
+        runOnce()
+        GraftTable.load(s, loc)
+      }
+      s.sql("""SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+               FROM graftup.db.customer_upsert GROUP BY 1 ORDER BY 1""")
     }),
 
     // streaming sink: two epochs + a replayed epoch (dedup) = exactly-once
@@ -826,6 +880,11 @@ object FormatQueries {
         |MIN(l_shipdate) AS mn_ship, MAX(l_shipdate) AS mx_ship
         |FROM lineitem""".stripMargin,
 
+    "q98_partition_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q95_analyze_ndv" ->
       """SELECT 'c_mktsegment' AS col_name,
         |COUNT(DISTINCT c_mktsegment) AS ndv FROM customer
@@ -834,6 +893,16 @@ object FormatQueries {
         |ORDER BY col_name""".stripMargin,
 
     "q96_sql_view" -> orderAggSqlWhere.format("1=1"),
+
+    "q97_streaming_upsert" ->
+      """WITH final AS (
+        |  SELECT c_mktsegment,
+        |    CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000
+        |         ELSE c_acctbal END AS bal
+        |  FROM customer)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        |CAST(SUM(CAST(bal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q73_streaming_epochs" ->
       """SELECT c_mktsegment, COUNT(*) AS n,

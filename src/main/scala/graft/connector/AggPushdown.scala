@@ -15,25 +15,29 @@ import graft.format._
   * same design; at 100 TB this turns a full-table `SELECT count(*)` into a
   * driver-side manifest walk it has already done for planning).
   *
+  * GROUP BY is supported when every grouping column is an IDENTITY
+  * partition source in the spec of every live file: files then group by
+  * their partition tuple and each group aggregates its own metrics — the
+  * classic "rows per partition" report without touching a data file.
+  *
   * Every refusal below exists to make a wrong-but-fast answer impossible;
   * refusing is always safe because Spark falls back to the ordinary scan:
   *  - live delete files: file metrics still count deleted rows
-  *  - GROUP BY, DISTINCT, non-top-level column references
-  *  - MIN/MAX on float/double: the model has no NaN counts, and parquet
-  *    stats drop NaNs (NaN sorts above +Inf in Spark) — the reference
-  *    refuses for the same reason
+  *  - DISTINCT, non-top-level column references, non-identity group-bys
+  *  - MIN/MAX on float/double: no NaN counts in the model (NaN sorts above
+  *    +Inf in Spark but parquet stats drop it — reference refuses too)
   *  - MIN/MAX on string/binary unless the column's metrics mode is `full`:
   *    truncate(N) bounds are range-safe but not value-exact
-  *  - any file whose metrics lack the needed count/bound — unless the
-  *    file's writer schema predates the column, in which case its rows are
-  *    all-null for it and contribute nothing to COUNT(col)/MIN/MAX
+  *  - a file whose metrics lack the needed count/bound (unless the file's
+  *    writer schema predates the column — then its rows are all-null and
+  *    contribute nothing)
   */
 object AggPushdown {
 
-  final case class Pushed(schema: StructType, row: InternalRow, funcs: String)
+  final case class Pushed(schema: StructType, rows: Array[InternalRow],
+      funcs: String)
 
   def tryPush(table: GraftTable, plan: ScanPlan, agg: Aggregation): Option[Pushed] = {
-    if (agg.groupByExpressions.nonEmpty) return None
     if (plan.deleteFiles.nonEmpty) return None
     val m = table.metadata
     val schema = m.schema
@@ -53,15 +57,42 @@ object AggPushdown {
     def fileHasColumn(file: DataFile, id: Int): Boolean =
       FieldIds.findById(m.schemas.getOrElse(file.schemaId, schema), id).isDefined
 
-    def countStar: Option[(Any, DataType)] =
-      Some((plan.tasks.map(_.file.recordCount).sum, LongType))
+    // ---- group files by identity-partition tuple (empty GROUP BY = one
+    // group over every task) --------------------------------------------
+    val groupCols: Seq[(Int, StructField)] = {
+      val resolved = agg.groupByExpressions.toSeq.map(colOf)
+      if (resolved.exists(_.isEmpty)) return None
+      resolved.flatten
+    }
+    if (groupCols.exists(c => Types.cleanType(c._2.dataType) == BinaryType))
+      return None
+    val groups: Seq[(Seq[Any], Seq[FileScanTask])] =
+      if (groupCols.isEmpty) Seq((Nil, plan.tasks))
+      else {
+        val keyed = plan.tasks.map { t =>
+          val spec = m.specs.getOrElse(t.file.specId, return None)
+          val key = groupCols.map { case (id, _) =>
+            spec.fields.find(pf =>
+              pf.transform == Transforms.IdentityT && pf.sourceId == id) match {
+              case Some(pf) => t.file.partition.getOrElse(pf.name, null)
+              case None => return None // not identity-partitioned here
+            }
+          }
+          (key, t)
+        }
+        keyed.groupBy(_._1).toSeq.map { case (k, ts) => (k, ts.map(_._2)) }
+      }
+
+    // ---- per-group aggregate evaluation --------------------------------
+    def countStar(tasks: Seq[FileScanTask]): Option[(Any, DataType)] =
+      Some((tasks.map(_.file.recordCount).sum, LongType))
 
     // value-counts include nulls (parquet chunk value count), so non-null
     // count = values - nulls; both must be present for every file that
     // physically carries the column
-    def countCol(id: Int): Option[(Any, DataType)] = {
+    def countCol(tasks: Seq[FileScanTask], id: Int): Option[(Any, DataType)] = {
       var total = 0L
-      plan.tasks.foreach { t =>
+      tasks.foreach { t =>
         if (fileHasColumn(t.file, id)) {
           (t.file.valueCounts.get(id), t.file.nullValueCounts.get(id)) match {
             case (Some(v), Some(n)) => total += v - n
@@ -80,12 +111,13 @@ object AggPushdown {
       case _ => false
     }
 
-    def bound(id: Int, fld: StructField, lower: Boolean): Option[(Any, DataType)] = {
+    def bound(tasks: Seq[FileScanTask], id: Int, fld: StructField,
+        lower: Boolean): Option[(Any, DataType)] = {
       val dt = Types.cleanType(fld.dataType)
       if (!minMaxSafe(id, dt)) return None
       val ord = Exprs.ordering(dt)
       var acc: Any = null
-      plan.tasks.foreach { t =>
+      tasks.foreach { t =>
         val f = t.file
         if (fileHasColumn(f, id)) {
           val allNull = (f.valueCounts.get(id), f.nullValueCounts.get(id)) match {
@@ -105,31 +137,60 @@ object AggPushdown {
       Some((acc, dt))
     }
 
-    val vals: Seq[Option[(Any, DataType)]] = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar => countStar
-      case c: Count if !c.isDistinct =>
-        colOf(c.column).flatMap { case (id, _) => countCol(id) }
-      case mn: Min =>
-        colOf(mn.column).flatMap { case (id, f) => bound(id, f, lower = true) }
-      case mx: Max =>
-        colOf(mx.column).flatMap { case (id, f) => bound(id, f, lower = false) }
-      case _ => None
+    def evalGroup(tasks: Seq[FileScanTask]): Option[Seq[(Any, DataType)]] = {
+      val vals = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => countStar(tasks)
+        case c: Count if !c.isDistinct =>
+          colOf(c.column).flatMap { case (id, _) => countCol(tasks, id) }
+        case mn: Min =>
+          colOf(mn.column).flatMap { case (id, f) =>
+            bound(tasks, id, f, lower = true) }
+        case mx: Max =>
+          colOf(mx.column).flatMap { case (id, f) =>
+            bound(tasks, id, f, lower = false) }
+        case _ => None
+      }
+      if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get))
     }
-    if (vals.exists(_.isEmpty)) return None
-    val resolved = vals.map(_.get)
 
-    val cells = resolved.map {
-      // canonical decimals must carry the column's exact scale for the
-      // unsafe row layout Spark reads them back through
-      case (bd: java.math.BigDecimal, dt: DecimalType) =>
-        try Values.toCatalyst(bd.setScale(dt.scale), dt)
+    // canonical decimals must carry the column's exact scale for the row
+    // layout Spark reads them back through
+    def cell(v: Any, dt: DataType): Any = (v, dt) match {
+      case (bd: java.math.BigDecimal, d: DecimalType) =>
+        Values.toCatalyst(bd.setScale(d.scale), d)
+      case _ => Values.toCatalyst(v, dt)
+    }
+
+    val results: Seq[(Seq[Any], Seq[(Any, DataType)])] =
+      groups.map { case (key, tasks) =>
+        evalGroup(tasks) match {
+          case Some(vals) => (key, vals)
+          case None => return None
+        }
+      }
+
+    val keyFields = groupCols.map { case (_, f) =>
+      StructField(f.name, Types.cleanType(f.dataType), nullable = true)
+    }
+    val aggFields = agg.aggregateExpressions.toSeq.zipWithIndex.map {
+      case (_, i) =>
+        // every group yields the same types; an empty GROUP BY has exactly
+        // one group, so results is never empty here
+        StructField(s"agg_$i", results.head._2(i)._2, nullable = true)
+    }
+    val rows = results.map { case (key, vals) =>
+      val keyCells = key.zip(groupCols).map { case (v, (_, f)) =>
+        try cell(v, Types.cleanType(f.dataType))
         catch { case _: ArithmeticException => return None }
-      case (v, dt) => Values.toCatalyst(v, dt)
-    }
-    val fields = resolved.zipWithIndex.map { case ((_, dt), i) =>
-      StructField(s"agg_$i", dt, nullable = true)
-    }
-    val names = agg.aggregateExpressions.toSeq.map(_.toString).mkString(", ")
-    Some(Pushed(StructType(fields), new GenericInternalRow(cells.toArray), names))
+      }
+      val aggCells = vals.map { case (v, dt) =>
+        try cell(v, dt)
+        catch { case _: ArithmeticException => return None }
+      }
+      new GenericInternalRow((keyCells ++ aggCells).toArray[Any]): InternalRow
+    }.toArray
+    val names = (agg.groupByExpressions.toSeq.map(_.toString) ++
+      agg.aggregateExpressions.toSeq.map(_.toString)).mkString(", ")
+    Some(Pushed(StructType(keyFields ++ aggFields), rows, names))
   }
 }

@@ -230,7 +230,7 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     case Some(p) =>
       new org.apache.spark.sql.connector.read.LocalScan {
         override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
-          Array(p.row)
+          p.rows
         override def readSchema(): StructType = p.schema
         override def description(): String = s"graft-metadata-agg(${p.funcs})"
       }
@@ -1127,7 +1127,10 @@ final class DeleteFilterReader(
   * fanout writers + one-snapshot commit (GraftBatchWrite). */
 final class GraftWriteBuilder(table: GraftTable, queryId: String = "default")
   extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite
-  with SupportsTruncate {
+  with SupportsTruncate
+  // update-mode streaming writes arrive as appends; the sink upserts them
+  // by key when write.upsert.enabled is set (GraftStreamingWrite.commit)
+  with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
   import GraftBatchWrite.{Append, DynamicOverwrite, FilterOverwrite, Mode}
 
   private var mode: Mode = Append

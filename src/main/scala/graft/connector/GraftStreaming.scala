@@ -221,8 +221,35 @@ final class GraftStreamingWrite(table: GraftTable, truncateFirst: Boolean,
     }.toSeq
     val summary = Map(Streaming.EpochKey -> epochId.toString,
       Streaming.QueryKey -> queryId)
+    val upsert = m.properties.get("write.upsert.enabled").contains("true")
     if (truncateFirst) Commits.overwriteByFilter(table, AlwaysTrue, files)
-    else Commits.fastAppend(table, files, summary)
+    else if (upsert && files.nonEmpty) {
+      // streaming upsert (Iceberg's write.upsert.enabled shape, keys via
+      // the write.upsert.key-columns property): the epoch commits ONE
+      // RowDelta of equality deletes on the batch's keys + the new data
+      // files. Sequence gating is strict (> not >=), so the deletes erase
+      // prior versions of each key but never the rows of this epoch. Keys
+      // are re-read from the just-written files, key columns only — one
+      // distributed columnar job bounded by the epoch's own output.
+      val keyCols = m.properties.getOrElse("write.upsert.key-columns",
+        throw new IllegalArgumentException(
+          "write.upsert.enabled requires write.upsert.key-columns"))
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val missing = keyCols.filterNot(m.schema.fieldNames.contains)
+      require(missing.isEmpty, s"write.upsert.key-columns not in schema: " +
+        missing.mkString(", "))
+      val spark = table.spark
+      val paths = files.map(_.path)
+      val reader = fileFormat match {
+        case FileFormats.Parquet => spark.read.parquet(paths: _*)
+        case FileFormats.Orc => spark.read.orc(paths: _*)
+        case other => throw new UnsupportedOperationException(
+          s"streaming upsert requires parquet or orc data files, not $other")
+      }
+      val keys = reader.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      val deleteFiles = Deletes.stageEqualityDeletes(table, keys)
+      Commits.rowDelta(table, files, deleteFiles, summary = summary)
+    } else Commits.fastAppend(table, files, summary)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

@@ -272,7 +272,8 @@ object Commits {
     * the delete's sequence, including concurrently-rewritten ones. */
   def rowDelta(table: GraftTable, dataFiles: Seq[DataFile],
       deleteFiles: Seq[DataFile],
-      baseSnapshotId: Option[Long] = None): TableMetadata =
+      baseSnapshotId: Option[Long] = None,
+      summary: Map[String, String] = Map.empty): TableMetadata =
     table.ops.commitTransaction { m =>
       val posDeletes = deleteFiles.filter(_.content == FileContent.PositionDeletes)
       if (posDeletes.nonEmpty &&
@@ -303,7 +304,7 @@ object Commits {
           Some(writeManifest(table, m, m.defaultSpecId, mk(deleteFiles), snapId)) else None
       ).flatten
       buildSnapshot(table, m, "overwrite", currentManifests(table, m) ++ mfs,
-        Map("delete-files" -> deleteFiles.size.toString))
+        summary + ("delete-files" -> deleteFiles.size.toString))
     }
 
   private def canonTuple(f: DataFile): Map[String, Any] =

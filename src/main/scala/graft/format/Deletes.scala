@@ -64,21 +64,26 @@ object Deletes {
     Commits.rowDelta(table, Nil, files)
   }
 
-  /** Delete all rows whose key columns match any row of `keys` (written
-    * before this commit). Commits a RowDelta with equality-delete files. */
-  def deleteByEquality(table: GraftTable, keys: DataFrame): TableMetadata = {
+  /** Write (but do not commit) equality-delete files for `keys` — shared
+    * by deleteByEquality and the streaming upsert sink, which commits them
+    * atomically WITH its epoch's data files in one RowDelta. */
+  def stageEqualityDeletes(table: GraftTable, keys: DataFrame): Seq[DataFile] = {
     val m = table.metadata
     val ids = keys.columns.map(FieldIds.nameToId(m.schema)).toSeq
     val paths = stage(table, keys.dropDuplicates().coalesce(1), keys.columns.toSeq)
-    val files = paths.map { p =>
+    paths.map { p =>
       val fm = Metrics.fromParquetFooter(p, m.schema)
       DataFile(path = p, content = FileContent.EqualityDeletes,
         recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
         schemaId = m.currentSchemaId, specId = m.defaultSpecId,
         equalityIds = ids)
     }
-    Commits.rowDelta(table, Nil, files)
   }
+
+  /** Delete all rows whose key columns match any row of `keys` (written
+    * before this commit). Commits a RowDelta with equality-delete files. */
+  def deleteByEquality(table: GraftTable, keys: DataFrame): TableMetadata =
+    Commits.rowDelta(table, Nil, stageEqualityDeletes(table, keys))
 
   /** SQL-DELETE-shaped helper: metadata-only when provable, else rewrite the
     * partially-matching files without the matching rows (copy-on-write

@@ -111,6 +111,30 @@ class AggPushdownSpec extends SparkSpec {
     assert(afterDel.collect()(0).getLong(0) == 4)
   }
 
+  test("GROUP BY identity partition columns folds to per-partition metadata rows") {
+    wh
+    spark.sql("""CREATE TABLE ga.db.parted (id BIGINT, cat STRING, v DOUBLE)
+                 PARTITIONED BY (cat)""")
+    spark.sql("""INSERT INTO ga.db.parted
+      SELECT id, concat('c', id % 3), CAST(id AS DOUBLE) FROM range(90)""")
+    spark.sql("INSERT INTO ga.db.parted VALUES (1000, 'c0', 0.5)")
+
+    val q = spark.sql(
+      "SELECT cat, count(*) AS n, min(id) AS mn, max(id) AS mx " +
+      "FROM ga.db.parted GROUP BY cat")
+    assertPushed(q)
+    val rows = q.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows("c0") == (31L, 0L, 1000L))
+    assert(rows("c1") == (30L, 1L, 88L))
+    assert(rows("c2") == (30L, 2L, 89L))
+
+    // grouping by a NON-partition column must fall back to a real scan
+    val byId = spark.sql("SELECT v, count(*) AS n FROM ga.db.parted GROUP BY v")
+    assertNotPushed(byId)
+    assert(byId.collect().map(_.getLong(1)).sum == 91)
+  }
+
   test("empty table: count 0, min/max null") {
     wh
     spark.sql("CREATE TABLE ga.db.empty (id BIGINT)")

@@ -1,0 +1,71 @@
+package graft.connector
+
+import graft.SparkSpec
+import graft.format.{FileContent, GraftTable}
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** Streaming upsert sink: each epoch commits equality deletes on the
+  * batch's keys plus the new data in one RowDelta, so re-keyed rows
+  * replace their prior versions while same-epoch rows survive. */
+class StreamingUpsertSpec extends SparkSpec {
+
+  private lazy val wh: String = {
+    val d = Files.createTempDirectory("graft-upwh").toString
+    spark.conf.set("spark.sql.catalog.gu", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gu.warehouse", d)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gu.db")
+    d
+  }
+
+  private def runOnce(src: String, sink: String, ckpt: String): Unit = {
+    val q = spark.readStream.table(src).writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .toTable(sink)
+    q.awaitTermination(60000)
+  }
+
+  test("re-keyed rows replace prior versions across epochs") {
+    wh
+    spark.sql("CREATE TABLE gu.db.src (id BIGINT, v STRING)")
+    spark.sql("""CREATE TABLE gu.db.sink (id BIGINT, v STRING)
+                 TBLPROPERTIES ('write.upsert.enabled'='true',
+                                'write.upsert.key-columns'='id')""")
+    val ckpt = Files.createTempDirectory("graft-upckpt").toString
+
+    spark.sql("INSERT INTO gu.db.src VALUES (1, 'a1'), (2, 'b1')")
+    runOnce("gu.db.src", "gu.db.sink", ckpt)
+    assert(spark.sql("SELECT id, v FROM gu.db.sink ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a1"), (2L, "b1")))
+
+    // epoch 2 re-keys id=1 and adds id=3: id=1 must be REPLACED
+    spark.sql("INSERT INTO gu.db.src VALUES (1, 'a2'), (3, 'c1')")
+    runOnce("gu.db.src", "gu.db.sink", ckpt)
+    assert(spark.sql("SELECT id, v FROM gu.db.sink ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a2"), (2L, "b1"), (3L, "c1")))
+
+    // the upsert commit is a RowDelta: equality-delete files exist
+    val t = GraftTable.load(spark, s"$wh/db/sink")
+    val eqDeletes = t.newScan().planFiles().deleteFiles
+      .filter(_._1.content == FileContent.EqualityDeletes)
+    assert(eqDeletes.nonEmpty, "expected equality-delete files from upsert")
+    assert(eqDeletes.forall(_._1.equalityIds.nonEmpty))
+  }
+
+  test("upsert without key columns fails the epoch commit clearly") {
+    wh
+    spark.sql("CREATE TABLE gu.db.src2 (id BIGINT, v STRING)")
+    spark.sql("""CREATE TABLE gu.db.badsink (id BIGINT, v STRING)
+                 TBLPROPERTIES ('write.upsert.enabled'='true')""")
+    spark.sql("INSERT INTO gu.db.src2 VALUES (1, 'a')")
+    val ckpt = Files.createTempDirectory("graft-upckpt2").toString
+    val ex = intercept[Exception] {
+      runOnce("gu.db.src2", "gu.db.badsink", ckpt)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("write.upsert.key-columns")))
+  }
+}
