@@ -865,7 +865,10 @@ object Queries {
     "q06_selective_filter", "q11_running_total", "q17_events_hourly",
     "q32_exact_dedup", "q33_jaccard_pairs", "q33_jaccard_default",
     "q39_cosine_topk", "q63_partition_prune", "q78_sql_catalog",
-    "q82_orc_source", "q83_avro_source")
+    "q82_orc_source", "q83_avro_source",
+    // metadata-only aggregation: expected ~0.1s regardless of table size
+    // (the whole point — compare against q01's full-scan aggregate)
+    "q94_agg_pushdown", "q98_partition_agg")
 
   /** The 11 queries benched since round 1 — the stable cross-round signal.
     * Per-query times are ±20% noisy run to run; this subtotal is what the
