@@ -7,7 +7,6 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.StructType
@@ -88,6 +87,25 @@ object GraftViewRules {
         case Some((vc, _, ident)) =>
           AlterGraftView(vc, ident, keys.map(ViewChange.removeProperty))
         case None => a
+      }
+    case a @ AlterViewAs(UnresolvedView(parts, _, _, _), originalText, _) =>
+      viewCatalogFor(spark, parts) match {
+        case Some((vc, _, ident)) =>
+          // replace the query, keep the stored properties
+          val props = try {
+            vc.loadView(ident).properties().asScala.toMap
+              .view.filterKeys(!ViewCatalog.RESERVED_PROPERTIES.contains(_)).toMap
+          } catch { case _: NoSuchViewException => Map.empty[String, String] }
+          CreateGraftView(vc, ident, originalText, Nil, None, props,
+            allowExisting = false, replace = true)
+        case None => a
+      }
+    case d @ DescribeRelation(UnresolvedTableOrView(parts, _, _), spec, ext, out)
+        if spec.isEmpty =>
+      viewCatalogFor(spark, parts) match {
+        case Some((vc, _, ident)) if vc.viewExists(ident) =>
+          DescribeGraftView(vc, ident, ext, out)
+        case _ => d
       }
     case r @ RenameTable(UnresolvedTableOrView(parts, _, _), newName, true) =>
       viewCatalogFor(spark, parts) match {
@@ -255,5 +273,23 @@ final case class RenameGraftView(catalog: ViewCatalog, from: Identifier,
   override def run(spark: SparkSession): Seq[Row] = {
     catalog.renameView(from, to)
     Nil
+  }
+}
+
+final case class DescribeGraftView(catalog: ViewCatalog, ident: Identifier,
+    isExtended: Boolean, override val output: Seq[Attribute])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = catalog.loadView(ident)
+    val cols = v.schema().fields.toSeq.map(f =>
+      Row(f.name, f.dataType.simpleString, null))
+    if (!isExtended) cols
+    else cols ++ Seq(
+      Row("", "", ""),
+      Row("# Detailed View Information", "", ""),
+      Row("Name", (ident.namespace() :+ ident.name()).mkString("."), ""),
+      Row("View Text", v.query(), ""),
+      Row("View Catalog and Namespace",
+        (v.currentCatalog() +: v.currentNamespace()).mkString("."), ""))
   }
 }

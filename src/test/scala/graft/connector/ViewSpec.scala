@@ -63,6 +63,30 @@ class ViewSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT * FROM gv.db.rv2").collect())
   }
 
+  test("ALTER VIEW AS replaces the query but keeps properties") {
+    wh
+    spark.sql("CREATE VIEW gv.db.av AS SELECT id FROM gv.db.base")
+    spark.sql("ALTER VIEW gv.db.av SET TBLPROPERTIES ('keep'='me')")
+    spark.sql("ALTER VIEW gv.db.av AS SELECT cat, v FROM gv.db.base")
+    assert(spark.sql("SELECT * FROM gv.db.av").columns.toSeq == Seq("cat", "v"))
+    val c = spark.sessionState.catalogManager.catalog("gv")
+      .asInstanceOf[GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("db"), "av")
+    assert(c.loadView(ident).properties().get("keep") == "me")
+  }
+
+  test("DESCRIBE shows the view schema; EXTENDED adds the stored SQL") {
+    wh
+    spark.sql("CREATE VIEW gv.db.dv AS SELECT id, cat FROM gv.db.base")
+    val cols = spark.sql("DESCRIBE gv.db.dv").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(cols.take(2).toSeq == Seq(("id", "bigint"), ("cat", "string")))
+    val ext = spark.sql("DESCRIBE EXTENDED gv.db.dv").collect()
+      .map(_.getString(0))
+    assert(ext.contains("View Text"))
+  }
+
   test("CREATE VIEW on an existing name fails; IF NOT EXISTS is quiet") {
     wh
     spark.sql("CREATE VIEW gv.db.dup AS SELECT id FROM gv.db.base")
