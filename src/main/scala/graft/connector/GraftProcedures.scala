@@ -264,7 +264,13 @@ final class GraftProcedures(resolve: String => GraftTable,
       val ZOrderSyntax = """(?i)zorder\s*\((.*)\)""".r
       val r = str(in, 3).trim match {
         case "" =>
-          Actions.forTable(t).rewriteDataFiles(in.getLong(1), in.getInt(2))
+          // no explicit sort → honor the table's declared write.sort-order
+          // (compaction then restores the clustering new writes maintain)
+          val declared = SortOrders.fromProperties(t.metadata.properties)
+          if (declared.nonEmpty)
+            Actions.forTable(t).rewriteSorted(
+              declared.map(f => (f.column, f.ascending)), in.getLong(1))
+          else Actions.forTable(t).rewriteDataFiles(in.getLong(1), in.getInt(2))
         case ZOrderSyntax(inner) =>
           Actions.forTable(t).rewriteZOrdered(
             inner.split(',').map(_.trim).filter(_.nonEmpty).toSeq, in.getLong(1))

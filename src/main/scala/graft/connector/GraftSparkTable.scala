@@ -1165,27 +1165,13 @@ final class GraftWriteBuilder(table: GraftTable, queryId: String = "default")
         : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
       import org.apache.spark.sql.connector.expressions.{Expressions => XEx, NullOrdering, SortDirection}
       val m = table.metadata
-      m.properties.get("write.sort-order").map { spec =>
-        spec.split(",").map(_.trim).filter(_.nonEmpty).map { part =>
-          val toks = part.split("\\s+").toSeq
-          val colName = toks.head
-          require(m.schema.fieldNames.contains(colName),
-            s"write.sort-order references unknown column: $colName")
-          val dir = toks.map(_.toLowerCase).find(t => t == "asc" || t == "desc")
-            .getOrElse("asc") match {
-            case "desc" => SortDirection.DESCENDING
-            case _ => SortDirection.ASCENDING
-          }
-          val nulls = toks.map(_.toLowerCase)
-            .find(t => t == "nulls-first" || t == "nulls-last") match {
-            case Some("nulls-last") => NullOrdering.NULLS_LAST
-            case Some("nulls-first") => NullOrdering.NULLS_FIRST
-            case _ => if (dir == SortDirection.ASCENDING) NullOrdering.NULLS_FIRST
-              else NullOrdering.NULLS_LAST
-          }
-          XEx.sort(XEx.column(colName), dir, nulls)
-        }
-      }.getOrElse(Array.empty)
+      SortOrders.fromProperties(m.properties).map { f =>
+        require(m.schema.fieldNames.contains(f.column),
+          s"write.sort-order references unknown column: ${f.column}")
+        XEx.sort(XEx.column(f.column),
+          if (f.ascending) SortDirection.ASCENDING else SortDirection.DESCENDING,
+          if (f.nullsFirst) NullOrdering.NULLS_FIRST else NullOrdering.NULLS_LAST)
+      }.toArray
     }
 
     override def requiredDistribution(): Distribution = {

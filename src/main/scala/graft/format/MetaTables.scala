@@ -41,6 +41,7 @@ object MetaTables {
     case "all_entries" => allEntries(table)
     case "all_manifests" => allManifests(table)
     case "refs" => refs(table)
+    case "statistics" => statistics(table)
     case other => throw new IllegalArgumentException(s"unknown metadata table $other")
   }
 
@@ -100,6 +101,21 @@ object MetaTables {
 
   /** `t$refs`: named branches/tags plus the implicit "main" row (public
     * Iceberg RefsTable shape; snapshot-log scale → LocalRelation tier). */
+  /** `t$statistics` — committed NDV statistics files (reference
+    * StatisticsTable over StatisticsFile entries). */
+  def statistics(t: GraftTable): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("statistics_path", StringType, nullable = false),
+      StructField("row_count", LongType),
+      StructField("ndv", MapType(StringType, LongType))))
+    df(t.spark, schema, t.metadata.statistics.sortBy(_.snapshotId).map { sf =>
+      val st = Stats.read(t, sf.snapshotId)
+      Row(sf.snapshotId, sf.path,
+        st.map(s => Long.box(s.rowCount)).orNull, st.map(_.ndv).orNull)
+    })
+  }
+
   def refs(t: GraftTable): DataFrame = {
     val schema = StructType(Seq(
       StructField("name", StringType, nullable = false),

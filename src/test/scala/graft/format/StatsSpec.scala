@@ -61,6 +61,16 @@ class StatsSpec extends SparkSpec {
     assert(analyzed.nonEmpty && analyzed.forall(_ != current))
   }
 
+  test("the $statistics metadata table lists committed stats") {
+    wh
+    val rows = spark.sql("SELECT snapshot_id, row_count, ndv FROM gs.db.`t$statistics`")
+      .collect()
+    assert(rows.nonEmpty)
+    val latest = rows.maxBy(_.getLong(0))
+    assert(latest.getLong(1) >= 500)
+    assert(latest.getMap[String, Long](2).get("cat").contains(7L))
+  }
+
   test("expiring a snapshot drops its statistics file") {
     wh
     val loc = Files.createTempDirectory("graft-stats-exp").toString + "/t"
