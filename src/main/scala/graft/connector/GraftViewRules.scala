@@ -152,11 +152,25 @@ final case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan
 
   private val maxDepth = 16
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // a write would otherwise EXPAND its target view bottom-up and fail
+    // with an unrelated error; refuse it by name first
+    plan.foreach {
+      case i: InsertIntoStatement => i.table match {
+        case u: UnresolvedRelation if !isTempView(u.multipartIdentifier) &&
+            GraftViewRules.viewCatalogFor(spark, u.multipartIdentifier)
+              .exists { case (vc, _, id) => vc.viewExists(id) } =>
+          throw new UnsupportedOperationException(
+            s"cannot write to a view: ${u.multipartIdentifier.mkString(".")}")
+        case _ => ()
+      }
+      case _ => ()
+    }
     plan.resolveOperatorsUp {
       case u: UnresolvedRelation if !u.isStreaming =>
         expand(u, 0).getOrElse(u)
     }
+  }
 
   private def isTempView(parts: Seq[String]): Boolean =
     spark.sessionState.catalog.isTempView(parts)

@@ -76,6 +76,23 @@ class ViewSpec extends SparkSpec {
     assert(c.loadView(ident).properties().get("keep") == "me")
   }
 
+  test("a view over a view expands recursively; INSERT INTO a view refuses") {
+    wh
+    spark.sql("""CREATE VIEW gv.db.inner_v AS
+                 SELECT cat, v FROM gv.db.base WHERE v >= 10""")
+    spark.sql("""CREATE VIEW gv.db.outer_v AS
+                 SELECT cat, count(*) AS n FROM gv.db.inner_v GROUP BY cat""")
+    val n = spark.sql("SELECT sum(n) FROM gv.db.outer_v").collect()(0).getLong(0)
+    assert(n == spark.sql("SELECT count(*) FROM gv.db.base WHERE v >= 10")
+      .collect()(0).getLong(0))
+
+    val ex = intercept[Exception](
+      spark.sql("INSERT INTO gv.db.inner_v VALUES ('x', 1.0)"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("cannot write to a view")))
+  }
+
   test("DESCRIBE shows the view schema; EXTENDED adds the stored SQL") {
     wh
     spark.sql("CREATE VIEW gv.db.dv AS SELECT id, cat FROM gv.db.base")

@@ -61,6 +61,27 @@ class StatsSpec extends SparkSpec {
     assert(analyzed.nonEmpty && analyzed.forall(_ != current))
   }
 
+  test("with CBO enabled, NDV reaches the optimizer's attribute stats") {
+    wh
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.planStats.enabled")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "true"))
+    // stats are pinned per snapshot; analyze the CURRENT one
+    spark.sql("CALL gs.system.analyze_table(table => 'db.t', columns => 'cat')")
+    try {
+      val expected = spark.sql("SELECT count(DISTINCT cat) FROM gs.db.t")
+        .collect()(0).getLong(0)
+      val stats = spark.sql("SELECT cat, v FROM gs.db.t")
+        .queryExecution.optimizedPlan.stats
+      val byName = stats.attributeStats.map { case (a, s) => a.name -> s }
+      assert(byName.get("cat").flatMap(_.distinctCount).contains(BigInt(expected)),
+        s"expected ndv(cat)=$expected in $byName")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("the $statistics metadata table lists committed stats") {
     wh
     val rows = spark.sql("SELECT snapshot_id, row_count, ndv FROM gs.db.`t$statistics`")
@@ -68,7 +89,9 @@ class StatsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     val latest = rows.maxBy(_.getLong(0))
     assert(latest.getLong(1) >= 500)
-    assert(latest.getMap[String, Long](2).get("cat").contains(7L))
+    val expected = spark.sql("SELECT count(DISTINCT cat) FROM gs.db.t")
+      .collect()(0).getLong(0)
+    assert(latest.getMap[String, Long](2).get("cat").contains(expected))
   }
 
   test("expiring a snapshot drops its statistics file") {
