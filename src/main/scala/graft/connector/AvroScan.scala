@@ -32,21 +32,32 @@ final class GraftAvroScan(
     partSchema: StructType, // partition-served columns, appended after data
     files: Seq[(String, Long, Seq[Any])], // (path, size, partition values)
     conf: org.apache.spark.util.SerializableConfiguration,
-    maxSplitBytes: Long = 128L * 1024 * 1024)
+    maxSplitBytes: Long = 128L * 1024 * 1024,
+    // position deletes / `_pos` on avro groups: files stay UNSPLIT (a
+    // byte-range split cannot know how many rows precede it) and each
+    // reader appends an absolute file-position counter after the data
+    // columns — the same shape as GraftOrcRowScan. Transitional by design:
+    // compaction materializes the deletes away.
+    withRowIndex: Boolean = false)
   extends Scan with Batch with Serializable {
 
-  override def readSchema(): StructType = StructType(readSchema ++ partSchema)
+  override def readSchema(): StructType = StructType(readSchema.fields.toSeq ++
+    (if (withRowIndex)
+      Seq(org.apache.spark.sql.types.StructField("_graft_row_index",
+        org.apache.spark.sql.types.LongType))
+    else Nil) ++ partSchema)
   override def toBatch: Batch = this
   override def description(): String = s"graft-avro(${files.size} files)"
 
   override def planInputPartitions(): Array[InputPartition] =
     files.flatMap { case (p, size, vals) =>
-      GraftAvroScan.ranges(size, maxSplitBytes)
+      (if (withRowIndex) Seq((0L, Long.MaxValue))
+       else GraftAvroScan.ranges(size, maxSplitBytes))
         .map { case (s, e) => AvroFilePartition(p, s, e, vals): InputPartition }
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(readSchema, partSchema.length, conf)
+    new AvroReaderFactory(readSchema, partSchema.length, conf, withRowIndex)
 }
 
 object GraftAvroScan {
@@ -67,7 +78,8 @@ object GraftAvroScan {
 }
 
 final class AvroReaderFactory(readSchema: StructType, partCols: Int,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    withRowIndex: Boolean = false)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -75,17 +87,21 @@ final class AvroReaderFactory(readSchema: StructType, partCols: Int,
     new PartitionReader[InternalRow] {
       private val it = AvroIO.open(ap.path, readSchema, conf.value, ap.start, ap.end)
       private var current: InternalRow = _
-      private val width = readSchema.length + partCols
+      private var rowIndex = -1L
+      private val idxCols = if (withRowIndex) 1 else 0
+      private val width = readSchema.length + idxCols + partCols
 
       override def next(): Boolean = {
         val row = it.read()
         if (row == null) false
         else {
+          rowIndex += 1
           current =
-            if (partCols == 0) row
+            if (partCols == 0 && !withRowIndex) row
             else {
-              // append partition-served constants after the data columns —
-              // the same output layout Spark's FileScan produces
+              // layout: [data..., row index?, partition constants...] —
+              // the same output shape Spark's FileScan produces, with the
+              // synthetic counter between data and partition columns
               val out = new GenericInternalRow(width)
               var i = 0
               while (i < readSchema.length) {
@@ -93,8 +109,9 @@ final class AvroReaderFactory(readSchema: StructType, partCols: Int,
                   else row.get(i, readSchema(i).dataType))
                 i += 1
               }
+              if (withRowIndex) out.update(readSchema.length, rowIndex)
               ap.partValues.zipWithIndex.foreach { case (v, j) =>
-                out.update(readSchema.length + j, v)
+                out.update(readSchema.length + idxCols + j, v)
               }
               out
             }

@@ -345,13 +345,13 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
       else Nil))
 
     // position deletes ride the parquet readers' synthetic row-index column;
-    // ORC groups that a position delete actually TARGETS fall back to a
-    // row-path scan with a file-position counter (GraftOrcRowScan —
-    // position deletes are format-agnostic in the reference,
-    // core/.../deletes/Deletes.java:70-123); Avro files cannot carry them
-    // (documented trade). Target detection costs one driver read of the
-    // (small, per-commit) delete files' path column — and only on tables
-    // that contain non-parquet files while position deletes are live.
+    // ORC and Avro groups that a position delete actually TARGETS fall back
+    // to a row-path scan with a file-position counter (GraftOrcRowScan /
+    // GraftAvroScan withRowIndex — position deletes are format-agnostic in
+    // the reference, core/.../deletes/Deletes.java:70-123). Target
+    // detection costs one driver read of the (small, per-commit) delete
+    // files' path column — and only on tables that contain non-parquet
+    // files while position deletes are live.
     lazy val posTargetPaths: Set[String] =
       Deletes.posDeleteTargets(posPaths, spark.sessionState.newHadoopConf())
 
@@ -369,27 +369,20 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
         if (eqDeletes.isEmpty) 0L else t.sequenceNumber, t.file.fileFormat))
       .toSeq.sortBy(_._1).map { case ((schemaId, seqKey, fmt), tasks) =>
         // parquet: every group rides the (cheap, vectorized) row-index
-        // column while deletes are live; ORC: only targeted groups pay the
-        // row-path fallback; Avro: targeted files are an error
+        // column while deletes are live; ORC and Avro: only TARGETED
+        // groups pay the unsplit row-path counter fallback
         val groupPos = posActive && (fmt match {
           case FileFormats.Parquet => true
-          case FileFormats.Orc => tasks.exists(t =>
+          case _ => tasks.exists(t =>
             posTargetPaths.contains(ParquetIO.canonPath(t.file.path)))
-          case _ => false
         })
-        if (posActive && !groupPos && fmt != FileFormats.Orc && tasks.exists(t =>
-            posTargetPaths.contains(ParquetIO.canonPath(t.file.path))))
-          throw Deletes.unsupportedPosDeleteOn(fmt)
         val orcPos = groupPos && fmt == FileFormats.Orc
         // `_pos` rides the same row-index machinery position deletes use:
-        // parquet appends the synthetic reader column, ORC groups take the
-        // row-path counter scan; Avro rows aren't addressable by position
+        // parquet appends the synthetic reader column; ORC groups take the
+        // row-path counter scan; Avro groups go unsplit with a counter
         val needRowIdx = groupPos || metaPos
         val orcRow = fmt == FileFormats.Orc && (orcPos || metaPos)
-        if (metaPos && fmt == FileFormats.Avro)
-          throw new UnsupportedOperationException(
-            "_pos is not supported on avro data files (container rows are " +
-            "not addressable by position)")
+        val avroIdx = fmt == FileFormats.Avro && needRowIdx
         val fileSchema = m.schemas.getOrElse(schemaId, schema)
         val fileById = FieldIds.idToName(fileSchema)
         def fileName(target: StructField): String =
@@ -450,7 +443,7 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
         val groupRead = StructType(wideTarget.fields
           .filterNot(f => partServeNames.contains(f.name)).map(f =>
             StructField(renames(f.name), fileSide(f), f.nullable)) ++
-          (if (needRowIdx && !orcRow) Seq(StructField(
+          (if (needRowIdx && !orcRow && !avroIdx) Seq(StructField(
             // nullable: the column is absent from the FILE (the reader treats
             // it as a missing optional column, then its RowIndexGenerator
             // overwrites the null vector with real row indexes). ORC pos
@@ -510,7 +503,8 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
                   .map { case (v, f) => graft.format.Values.toCatalyst(v, f.dataType) })),
               new org.apache.spark.util.SerializableConfiguration(
                 spark.sessionState.newHadoopConf()),
-              spark.sessionState.conf.filesMaxPartitionBytes)
+              spark.sessionState.conf.filesMaxPartitionBytes,
+              withRowIndex = avroIdx)
           case _ =>
             ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
               dataSchema = groupData, readDataSchema = groupRead,
@@ -863,7 +857,8 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
               Some(ParquetIO.canonPath(op.path))): InputPartition)
           case ap: AvroFilePartition =>
             if (!kept(ap.path)) Nil
-            else Seq(GroupedPartition(i, ap): InputPartition)
+            else Seq(GroupedPartition(i, ap,
+              Some(ParquetIO.canonPath(ap.path))): InputPartition)
           case other =>
             if (posGroup) throw new IllegalStateException(
               s"position deletes need file-granular partitions, got ${other.getClass}")

@@ -32,14 +32,6 @@ object Deletes {
     out.toSet
   }
 
-  /** Position deletes apply to parquet (row-index column) and ORC (row-path
-    * counter) data files; Avro files cannot carry them. One spelling for
-    * every path. */
-  def unsupportedPosDeleteOn(fmt: String): UnsupportedOperationException =
-    new UnsupportedOperationException(
-      s"position deletes target $fmt data files; position deletes are " +
-      "supported on parquet and orc data files only — rewrite the files first")
-
   private def stage(table: GraftTable, df: DataFrame, sorted: Seq[String]): Seq[String] = {
     val dir = table.locations.newDataLocation(s"deletes-${UUID.randomUUID()}")
     val out = if (sorted.nonEmpty) df.sortWithinPartitions(sorted.map(col): _*) else df

@@ -183,12 +183,12 @@ final class TableScan private[format] (
     val eqDeletes = plan.deleteFiles.filter(_._1.content == FileContent.EqualityDeletes)
     val posDeletes = plan.deleteFiles.filter(_._1.content == FileContent.PositionDeletes)
 
-    // position deletes ride parquet's `_metadata.row_index`; ORC groups a
-    // position delete actually TARGETS read row-path with a file-position
-    // counter (readOrcWithPos — position deletes are format-agnostic in the
-    // reference, Deletes.java:70-123); Avro files cannot carry them. Target
-    // detection is one small driver read of the delete files' path column,
-    // and only on tables that mix formats under live position deletes.
+    // position deletes ride parquet's `_metadata.row_index`; ORC and Avro
+    // groups a position delete actually TARGETS read row-path with a
+    // file-position counter (readOrcWithPos / readAvroWithPos — position
+    // deletes are format-agnostic in the reference, Deletes.java:70-123).
+    // Target detection is one small driver read of the delete files' path
+    // column, only on tables that mix formats under live position deletes.
     lazy val posTargets: Set[String] = Deletes.posDeleteTargets(
       posDeletes.map(_._1.path).distinct,
       spark.sessionState.newHadoopConf())
@@ -205,13 +205,9 @@ final class TableScan private[format] (
       val fileSchema = m.schemas.getOrElse(schemaId, schema)
       val groupPos = posDeletes.nonEmpty && (fmt match {
         case FileFormats.Parquet => true // row-index column is free
-        case FileFormats.Orc => tasks.exists(t =>
+        case _ => tasks.exists(t => // orc/avro: only targeted groups pay
           posTargets.contains(ParquetIO.canonPath(t.file.path)))
-        case _ => false
       })
-      if (posDeletes.nonEmpty && !groupPos && fmt != FileFormats.Orc &&
-          tasks.exists(t => posTargets.contains(ParquetIO.canonPath(t.file.path))))
-        throw Deletes.unsupportedPosDeleteOn(fmt)
       def readTasks(ts: Seq[FileScanTask]): DataFrame = {
         val clean = stripIds(fileSchema)
         fmt match {
@@ -223,6 +219,9 @@ final class TableScan private[format] (
           case FileFormats.Orc =>
             alignToSchema(spark.read.schema(clean).orc(ts.map(_.file.path): _*),
               fileSchema, schema)
+          case FileFormats.Avro if groupPos =>
+            alignToSchema(readAvroWithPos(spark, ts.map(_.file.path), clean),
+              fileSchema, schema, keep = Seq("_g_file", "_g_pos"))
           case FileFormats.Avro =>
             alignToSchema(readAvro(spark,
               ts.map(t => t.file.path -> t.file.fileSizeInBytes), clean),
@@ -263,8 +262,8 @@ final class TableScan private[format] (
       subs.map { df0 =>
         val posApplied =
           if (!groupPos) df0
-          else if (fmt == FileFormats.Orc) antiJoinPositions(df0, posDeletes)
-          else applyPosDeletes(df0, posDeletes)
+          else if (fmt == FileFormats.Parquet) applyPosDeletes(df0, posDeletes)
+          else antiJoinPositions(df0, posDeletes) // orc/avro row-path reads
         applyEqDeletes(posApplied, eqDeletes.filter(_._2 > seq), schema)
       }
     }
@@ -416,6 +415,40 @@ final class TableScan private[format] (
     * partition per FILE (a split would need stripe row offsets to keep
     * positions absolute — file-level parallelism is preserved, and
     * compaction clears the position-deleted state). */
+  /** Avro row-path read carrying (_g_file, _g_pos) for position-delete
+    * anti-joins: files stay UNSPLIT (a byte-range split cannot know how
+    * many rows precede it), each task counts absolute file positions —
+    * the avro analog of readOrcWithPos. */
+  private def readAvroWithPos(spark: SparkSession, files: Seq[String],
+      clean: StructType): DataFrame = {
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val outSchema = StructType(clean.fields.toSeq ++ Seq(
+      StructField("_g_file", StringType), StructField("_g_pos", LongType)))
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(1, files.size))
+      .flatMap { p =>
+        val it = AvroIO.open(p, clean, sconf.value, 0L, Long.MaxValue)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => it.close()))
+        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(clean)
+        val canonFile = ParquetIO.canonPath(p)
+        new Iterator[org.apache.spark.sql.Row] {
+          private var cur = it.read()
+          private var pos = -1L
+          override def hasNext: Boolean = cur != null
+          override def next(): org.apache.spark.sql.Row = {
+            pos += 1
+            val data = conv(cur).asInstanceOf[org.apache.spark.sql.Row]
+            cur = it.read()
+            org.apache.spark.sql.Row.fromSeq(data.toSeq ++ Seq(canonFile, pos))
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   private def readOrcWithPos(spark: SparkSession, files: Seq[String],
       clean: StructType): DataFrame = {
     val sconf = new org.apache.spark.util.SerializableConfiguration(

@@ -171,15 +171,13 @@ class MergeSpec extends SparkSpec {
       .forall(rs => rs.map(_.getLong(2)).toSeq == rs.indices.map(_.toLong)))
   }
 
-  test("_pos on avro raises a clear error") {
+  test("_pos on avro serves the unsplit row-path counter") {
     wh
     spark.sql("""CREATE TABLE mg.db.mpav (id BIGINT)
                  TBLPROPERTIES ('write.format.default'='avro')""")
     spark.sql("INSERT INTO mg.db.mpav VALUES (1)")
-    val e = intercept[Exception](
-      spark.sql("SELECT _pos FROM mg.db.mpav").collect())
-    assert(e.getMessage.contains("_pos") ||
-      Option(e.getCause).exists(_.getMessage.contains("_pos")))
+    val rows = spark.sql("SELECT _pos, id FROM mg.db.mpav").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
   }
 
   test("DELETE with a non-convertible predicate falls back to ReplaceData") {

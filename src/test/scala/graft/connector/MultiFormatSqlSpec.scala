@@ -166,4 +166,48 @@ class MultiFormatSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM mf.db.orcpos").collect()
       .head.getLong(0) === 2L)
   }
+
+  test("position deletes apply to avro groups inside SQL reads") {
+    wh
+    import spark.implicits._
+    spark.sql("""CREATE TABLE mf.db.avropos (id BIGINT, v STRING)
+                 TBLPROPERTIES ('write.format.default'='avro')""")
+    spark.sql("INSERT INTO mf.db.avropos SELECT id, CONCAT('v', id) FROM range(6)")
+    val t = GraftTable.load(spark, s"$wh/db/avropos")
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val keySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val paths = t.newScan().planFiles().tasks.map(_.file.path)
+    val pos = spark.sparkContext.parallelize(paths, paths.size).flatMap { p =>
+      val out = Seq.newBuilder[(String, Long, Long)]
+      val it = graft.format.AvroIO.open(p, keySchema, sconf.value, 0L, Long.MaxValue)
+      try {
+        var i = -1L
+        var r = it.read()
+        while (r != null) { i += 1; out += ((p, i, r.getLong(0))); r = it.read() }
+      } finally it.close()
+      out.result()
+    }.toDF("file_path", "pos", "id")
+      .filter($"id" % 3 === 0).select("file_path", "pos")
+    graft.format.Deletes.deletePositions(t, pos)
+    assert(spark.sql("SELECT id FROM mf.db.avropos ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 5L))
+    assert(spark.sql("SELECT count(*) FROM mf.db.avropos").collect()
+      .head.getLong(0) === 4L)
+  }
+
+  test("_pos works on avro groups (unsplit counter scan)") {
+    wh
+    spark.sql("""CREATE TABLE mf.db.avroidx (id BIGINT)
+                 TBLPROPERTIES ('write.format.default'='avro')""")
+    spark.sql("INSERT INTO mf.db.avroidx SELECT id FROM range(4)")
+    val rows = spark.sql("SELECT _pos, id FROM mf.db.avroidx")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 4)
+    // per file, positions start at 0 and are dense
+    assert(rows.map(_._1).min == 0L)
+    assert(rows.groupBy(_._1).forall(_._2.length <= rows.length))
+  }
 }

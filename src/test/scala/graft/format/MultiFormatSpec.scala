@@ -288,15 +288,19 @@ class MultiFormatSpec extends SparkSpec {
     assert(t.toDF().count() === 8)
   }
 
-  test("position deletes targeting avro raise a clear error") {
+  test("position deletes apply on avro tables (unsplit row-path counter)") {
     val loc = freshLoc("posdel-avro")
-    val t = GraftTable.create(spark, loc, sample(3).schema,
+    val t = GraftTable.create(spark, loc, sample(5).schema,
       properties = Map("write.format.default" -> "avro"))
-    GraftWrite.append(t, sample(3))
+    GraftWrite.append(t, sample(5).coalesce(1))
     val target = t.newScan().planFiles().files.head.path
-    Deletes.deletePositions(t, Seq((target, 0L)).toDF("file_path", "pos"))
-    val e = intercept[UnsupportedOperationException](t.toDF().count())
-    assert(e.getMessage.contains("position deletes"))
+    Deletes.deletePositions(t, Seq((target, 0L), (target, 3L)).toDF("file_path", "pos"))
+    assert(t.toDF().select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 4L))
+    // an untargeted avro file in a later commit keeps its byte-range splits
+    // and is untouched by the delete
+    GraftWrite.append(t, sample(5, 1).coalesce(1))
+    assert(t.toDF().count() === 8)
   }
 
   test("mixed-format table: parquet + orc + avro files scan as one table") {
