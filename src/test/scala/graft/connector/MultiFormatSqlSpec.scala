@@ -198,6 +198,21 @@ class MultiFormatSqlSpec extends SparkSpec {
       .head.getLong(0) === 4L)
   }
 
+  test("merge-on-read DELETE works on an avro table end-to-end") {
+    wh
+    spark.sql("""CREATE TABLE mf.db.avromor (id BIGINT, v STRING)
+                 TBLPROPERTIES ('write.format.default'='avro',
+                                'write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO mf.db.avromor SELECT id, CONCAT('v', id) FROM range(6)")
+    spark.sql("DELETE FROM mf.db.avromor WHERE id IN (1, 4)")
+    assert(spark.sql("SELECT id FROM mf.db.avromor ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(0L, 2L, 3L, 5L))
+    val t = GraftTable.load(spark, s"$wh/db/avromor")
+    val dels = t.newScan().planFiles().deleteFiles.map(_._1.content).distinct
+    assert(dels.contains(graft.format.FileContent.PositionDeletes),
+      s"expected MoR position deletes, got $dels")
+  }
+
   test("_pos works on avro groups (unsplit counter scan)") {
     wh
     spark.sql("""CREATE TABLE mf.db.avroidx (id BIGINT)
