@@ -42,6 +42,8 @@ object MetaTables {
     case "all_manifests" => allManifests(table)
     case "refs" => refs(table)
     case "statistics" => statistics(table)
+    case "data_files" => dataFiles(table)
+    case "delete_files" => deleteFilesTable(table)
     case other => throw new IllegalArgumentException(s"unknown metadata table $other")
   }
 
@@ -201,10 +203,23 @@ object MetaTables {
   /** Distributed entry/file relation: the driver ships (path, specId) pairs;
     * executors parse. A million-file table surfaces here without a single
     * entry row materializing on the driver. */
+  /** Manifest descriptors selected by CONTENT: data and delete files live
+    * in separate manifests, so `data_files` / `delete_files` need no row
+    * filter at all — just a smaller manifest list. */
+  private def manifestsByContent(t: GraftTable, snaps: Seq[Snapshot],
+      deletesOnly: Option[Boolean]): Seq[ManifestFile] = {
+    val all = manifestsOf(t, snaps)
+    deletesOnly match {
+      case Some(true) => all.filterNot(_.content == FileContent.Data)
+      case Some(false) => all.filter(_.content == FileContent.Data)
+      case None => all
+    }
+  }
+
   private def entriesDf(t: GraftTable, snaps: Seq[Snapshot],
-      filesOnly: Boolean): DataFrame = {
+      filesOnly: Boolean, deletesOnly: Option[Boolean] = None): DataFrame = {
     val schema = if (filesOnly) fileSchema else entrySchema
-    val manifests = manifestsOf(t, snaps)
+    val manifests = manifestsByContent(t, snaps, deletesOnly)
     if (manifests.isEmpty) return df(t.spark, schema, Nil)
     val spec = readSpec(t, manifests, filesOnly)
     val sc = t.spark.sparkContext
@@ -221,11 +236,17 @@ object MetaTables {
   private[graft] def distributedScanInputs(t: GraftTable, name: String)
       : Option[(Seq[(String, Int)], ManifestReadSpec, StructType)] =
     name.toLowerCase match {
-      case n @ ("files" | "entries" | "all_data_files" | "all_entries") =>
-        val filesOnly = n.endsWith("files")
+      case n @ ("files" | "entries" | "all_data_files" | "all_entries" |
+                "data_files" | "delete_files") =>
+        val filesOnly = n != "entries" && n != "all_entries"
         val snaps =
           if (n.startsWith("all_")) t.metadata.snapshots else t.currentSnapshot.toSeq
-        val manifests = manifestsOf(t, snaps)
+        val deletesOnly = n match {
+          case "data_files" => Some(false)
+          case "delete_files" => Some(true)
+          case _ => None
+        }
+        val manifests = manifestsByContent(t, snaps, deletesOnly)
         Some((manifests.map(mf => (mf.path, mf.specId)),
           readSpec(t, manifests, filesOnly),
           if (filesOnly) fileSchema else entrySchema))
@@ -240,6 +261,14 @@ object MetaTables {
 
   def files(t: GraftTable): DataFrame =
     entriesDf(t, t.currentSnapshot.toSeq, filesOnly = true)
+
+  def dataFiles(t: GraftTable): DataFrame =
+    entriesDf(t, t.currentSnapshot.toSeq, filesOnly = true,
+      deletesOnly = Some(false))
+
+  def deleteFilesTable(t: GraftTable): DataFrame =
+    entriesDf(t, t.currentSnapshot.toSeq, filesOnly = true,
+      deletesOnly = Some(true))
 
   def allDataFiles(t: GraftTable): DataFrame =
     entriesDf(t, t.metadata.snapshots, filesOnly = true)

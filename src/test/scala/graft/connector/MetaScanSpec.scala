@@ -79,4 +79,20 @@ class MetaScanSpec extends SparkSpec {
     assert(MetaTables.files(t).count() == 1)
     assert(MetaTables.allEntries(t).count() >= 3)
   }
+
+  test("data_files and delete_files split the files relation by content") {
+    wh
+    spark.sql("""CREATE TABLE ms.db.dd (id BIGINT)
+                 TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO ms.db.dd SELECT id FROM range(6)")
+    spark.sql("DELETE FROM ms.db.dd WHERE id = 2")
+
+    val data = spark.sql("SELECT content FROM ms.db.`dd$data_files`").collect()
+    assert(data.nonEmpty && data.forall(_.getInt(0) == 0))
+    val dels = spark.sql("SELECT content FROM ms.db.`dd$delete_files`").collect()
+    assert(dels.nonEmpty && dels.forall(_.getInt(0) != 0))
+    // files = data + deletes
+    assert(spark.sql("SELECT * FROM ms.db.`dd$files`").count() ==
+      data.length + dels.length)
+  }
 }
