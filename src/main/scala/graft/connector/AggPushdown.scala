@@ -137,6 +137,21 @@ object AggPushdown {
       Some((acc, dt))
     }
 
+    // output types are static per aggregate function — they must not be
+    // derived from evaluated groups, because a GROUP BY over zero live
+    // files has zero groups yet still needs a (zero-row) typed schema
+    val aggTypes: Seq[DataType] = {
+      val resolved = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some(LongType)
+        case c: Count if !c.isDistinct => colOf(c.column).map(_ => LongType)
+        case mn: Min => colOf(mn.column).map(c => Types.cleanType(c._2.dataType))
+        case mx: Max => colOf(mx.column).map(c => Types.cleanType(c._2.dataType))
+        case _ => None
+      }
+      if (resolved.exists(_.isEmpty)) return None
+      resolved.flatten
+    }
+
     def evalGroup(tasks: Seq[FileScanTask]): Option[Seq[(Any, DataType)]] = {
       val vals = agg.aggregateExpressions.toSeq.map {
         case _: CountStar => countStar(tasks)
@@ -172,11 +187,8 @@ object AggPushdown {
     val keyFields = groupCols.map { case (_, f) =>
       StructField(f.name, Types.cleanType(f.dataType), nullable = true)
     }
-    val aggFields = agg.aggregateExpressions.toSeq.zipWithIndex.map {
-      case (_, i) =>
-        // every group yields the same types; an empty GROUP BY has exactly
-        // one group, so results is never empty here
-        StructField(s"agg_$i", results.head._2(i)._2, nullable = true)
+    val aggFields = aggTypes.zipWithIndex.map { case (dt, i) =>
+      StructField(s"agg_$i", dt, nullable = true)
     }
     val rows = results.map { case (key, vals) =>
       val keyCells = key.zip(groupCols).map { case (v, (_, f)) =>

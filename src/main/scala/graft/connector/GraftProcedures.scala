@@ -264,13 +264,19 @@ final class GraftProcedures(resolve: String => GraftTable,
       val ZOrderSyntax = """(?i)zorder\s*\((.*)\)""".r
       val r = str(in, 3).trim match {
         case "" =>
-          // no explicit sort → honor the table's declared write.sort-order
-          // (compaction then restores the clustering new writes maintain)
+          // default stays bin-pack even when the table declares a
+          // write.sort-order: rewriteSorted rewrites unconditionally, so
+          // defaulting to it would turn an idempotent nightly compaction
+          // into a full-table rewrite every run (and ignore
+          // min_input_files). Sorted compaction is an explicit ask:
+          // sort_by => 'declared' resolves the table's declared order.
+          Actions.forTable(t).rewriteDataFiles(in.getLong(1), in.getInt(2))
+        case decl if decl.equalsIgnoreCase("declared") =>
           val declared = SortOrders.fromProperties(t.metadata.properties)
-          if (declared.nonEmpty)
-            Actions.forTable(t).rewriteSorted(
-              declared.map(f => (f.column, f.ascending)), in.getLong(1))
-          else Actions.forTable(t).rewriteDataFiles(in.getLong(1), in.getInt(2))
+          require(declared.nonEmpty,
+            "sort_by => 'declared' needs a write.sort-order table property")
+          Actions.forTable(t).rewriteSorted(
+            declared.map(f => (f.column, f.ascending)), in.getLong(1))
         case ZOrderSyntax(inner) =>
           Actions.forTable(t).rewriteZOrdered(
             inner.split(',').map(_.trim).filter(_.nonEmpty).toSeq, in.getLong(1))
@@ -374,7 +380,7 @@ final class GraftProcedures(resolve: String => GraftTable,
       if (in.isNullAt(1)) Nil
       else str(in, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val (_, stats) = Stats.analyzeAndCommit(t, cols)
-    stats.ndv.toSeq.sortBy(_._1)
+    stats.ndvByName(t.metadata.schema).toSeq.sortBy(_._1)
       .map { case (c, v) => row(c, Long.box(v)) }.toArray
   })
 

@@ -181,9 +181,22 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     * only unfiltered aggregates qualify, which keeps the metrics-vs-rows
     * equivalence trivially exact. Row-level-operation scans (groupGranular)
     * never aggregate. */
+  // memoized per aggregation: supportCompletePushDown and pushAggregation
+  // both ask, and a refused attempt must not pay a second manifest walk
+  private var aggAttempt:
+    Option[(org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      Option[AggPushdown.Pushed])] = None
+
   private def tryAgg(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation) =
-    if (groupGranular || pushed.nonEmpty) None
-    else AggPushdown.tryPush(table, base.planFiles(), agg)
+    aggAttempt match {
+      case Some((prev, res)) if prev == agg => res
+      case _ =>
+        val res =
+          if (groupGranular || pushed.nonEmpty) None
+          else AggPushdown.tryPush(table, base.planFiles(), agg)
+        aggAttempt = Some((agg, res))
+        res
+    }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
@@ -193,7 +206,7 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (pushedAgg.isEmpty) pushedAgg = tryAgg(agg)
+    pushedAgg = tryAgg(agg)
     pushedAgg.isDefined
   }
 
@@ -741,7 +754,9 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
       if (table == null) return out
       val nameToId = FieldIds.nameToId(table.metadata.schema)
       output.fieldNames.foreach { name =>
-        val ndv = ndvStats.flatMap(_.ndv.get(name))
+        // NDV lookup by field id — stable across metadata-only renames
+        val ndv = nameToId.get(name).flatMap(id =>
+          ndvStats.flatMap(_.ndv.get(id)))
         val nulls = nameToId.get(name).flatMap { id =>
           val perFile = plan.tasks.map(_.file.nullValueCounts.get(id))
           if (perFile.nonEmpty && perFile.forall(_.isDefined))

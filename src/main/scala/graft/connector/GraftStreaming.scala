@@ -247,6 +247,20 @@ final class GraftStreamingWrite(table: GraftTable, truncateFirst: Boolean,
           s"streaming upsert requires parquet or orc data files, not $other")
       }
       val keys = reader.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      // two rows with one key INSIDE an epoch would both survive (the
+      // epoch's deletes are strictly older-sequence-gated and never touch
+      // its own files), silently breaking the one-row-per-key invariant —
+      // and "which row wins" is undefined in an unordered batch. Fail the
+      // epoch with the offending key instead.
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val dup = keys.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).collect()
+      if (dup.nonEmpty)
+        throw new IllegalStateException(
+          "streaming upsert epoch contains duplicate key " +
+          keyCols.zipWithIndex.map { case (c, i) => s"$c=${dup(0).get(i)}" }
+            .mkString("(", ", ", ")") +
+          "; deduplicate upstream (e.g. dropDuplicates on the key columns)")
       val deleteFiles = Deletes.stageEqualityDeletes(table, keys)
       Commits.rowDelta(table, files, deleteFiles, summary = summary)
     } else Commits.fastAppend(table, files, summary)

@@ -51,6 +51,17 @@ object GraftViewRules {
     }
   }
 
+  private def isTempView(spark: SparkSession, parts: Seq[String]): Boolean =
+    try spark.sessionState.catalog.isTempView(parts)
+    catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Resolve name parts to (view catalog, identifier), refusing session
+    * temp views — a bare `DROP VIEW tv` under a Graft current catalog must
+    * still hit the temp view, never a stored one of the same name. */
+  private def storedViewTarget(spark: SparkSession, parts: Seq[String])
+      : Option[(ViewCatalog, String, Identifier)] =
+    if (isTempView(spark, parts)) None else viewCatalogFor(spark, parts)
+
   /** Parse-time DDL rewrite (see class doc). */
   def rewriteDdl(spark: SparkSession, plan: LogicalPlan): LogicalPlan = plan match {
     case c @ CreateView(UnresolvedIdentifier(parts, _), cols, comment, _,
@@ -64,51 +75,59 @@ object GraftViewRules {
         case None => c
       }
     case d @ DropView(UnresolvedIdentifier(parts, _), ifExists) =>
-      viewCatalogFor(spark, parts) match {
+      storedViewTarget(spark, parts) match {
         case Some((vc, _, ident)) => DropGraftView(vc, ident, ifExists)
         case None => d
       }
     case s @ ShowViews(UnresolvedNamespace(parts, _), pattern, out) =>
-      // only claim the statement when the namespace names a view catalog
-      (if (parts.nonEmpty) viewCatalogFor(spark, parts :+ "?") else None) match {
-        case Some((vc, _, _)) =>
-          ShowGraftViews(vc, parts.tail.toArray, pattern, out)
-        case None => s
+      // resolve the namespace the way identifiers resolve: a leading
+      // catalog name wins, otherwise the current catalog owns the parts
+      val cm = spark.sessionState.catalogManager
+      val (cat, ns) =
+        (if (parts.nonEmpty)
+          try Some(cm.catalog(parts.head)) catch { case _: Exception => None }
+        else None) match {
+          case Some(c) => (c, parts.tail)
+          case None => (cm.currentCatalog,
+            if (parts.nonEmpty) parts else cm.currentNamespace.toSeq)
+        }
+      cat match {
+        case vc: ViewCatalog => ShowGraftViews(vc, ns.toArray, pattern, out)
+        case _ => s
       }
     case a @ SetViewProperties(UnresolvedView(parts, _, _, _), props) =>
-      viewCatalogFor(spark, parts) match {
+      storedViewTarget(spark, parts) match {
         case Some((vc, _, ident)) =>
           AlterGraftView(vc, ident,
             props.toSeq.map { case (k, v) => ViewChange.setProperty(k, v) })
         case None => a
       }
     case a @ UnsetViewProperties(UnresolvedView(parts, _, _, _), keys, _) =>
-      viewCatalogFor(spark, parts) match {
+      storedViewTarget(spark, parts) match {
         case Some((vc, _, ident)) =>
           AlterGraftView(vc, ident, keys.map(ViewChange.removeProperty))
         case None => a
       }
     case a @ AlterViewAs(UnresolvedView(parts, _, _, _), originalText, _) =>
-      viewCatalogFor(spark, parts) match {
-        case Some((vc, _, ident)) =>
-          // replace the query, keep the stored properties
-          val props = try {
-            vc.loadView(ident).properties().asScala.toMap
-              .view.filterKeys(!ViewCatalog.RESERVED_PROPERTIES.contains(_)).toMap
-          } catch { case _: NoSuchViewException => Map.empty[String, String] }
+      storedViewTarget(spark, parts) match {
+        // only claim a view that EXISTS: ALTER VIEW on a missing name must
+        // not silently create it — leave it for Spark's (failing) resolution
+        case Some((vc, _, ident)) if vc.viewExists(ident) =>
+          val props = vc.loadView(ident).properties().asScala.toMap
+            .view.filterKeys(!ViewCatalog.RESERVED_PROPERTIES.contains(_)).toMap
           CreateGraftView(vc, ident, originalText, Nil, None, props,
             allowExisting = false, replace = true)
-        case None => a
+        case _ => a
       }
     case d @ DescribeRelation(UnresolvedTableOrView(parts, _, _), spec, ext, out)
         if spec.isEmpty =>
-      viewCatalogFor(spark, parts) match {
+      storedViewTarget(spark, parts) match {
         case Some((vc, _, ident)) if vc.viewExists(ident) =>
           DescribeGraftView(vc, ident, ext, out)
         case _ => d
       }
     case r @ RenameTable(UnresolvedTableOrView(parts, _, _), newName, true) =>
-      viewCatalogFor(spark, parts) match {
+      storedViewTarget(spark, parts) match {
         case Some((vc, _, ident)) if vc.viewExists(ident) =>
           viewCatalogFor(spark, newName) match {
             case Some((vc2, _, to)) if vc2 == vc => RenameGraftView(vc, ident, to)

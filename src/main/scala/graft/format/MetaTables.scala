@@ -114,7 +114,8 @@ object MetaTables {
     df(t.spark, schema, t.metadata.statistics.sortBy(_.snapshotId).map { sf =>
       val st = Stats.read(t, sf.snapshotId)
       Row(sf.snapshotId, sf.path,
-        st.map(s => Long.box(s.rowCount)).orNull, st.map(_.ndv).orNull)
+        st.map(s => Long.box(s.rowCount)).orNull,
+        st.map(_.ndvByName(t.metadata.schema)).orNull)
     })
   }
 

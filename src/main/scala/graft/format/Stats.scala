@@ -18,8 +18,16 @@ import org.apache.spark.sql.types._
   * size-only guesses. */
 object Stats {
 
+  /** NDVs are keyed by FIELD ID, not name: a metadata-only rename must not
+    * leave a stale column's NDV answering for an unrelated new column
+    * (manifest metrics key by id for exactly the same reason). */
   final case class TableStats(snapshotId: Long, rowCount: Long,
-      ndv: Map[String, Long])
+      ndv: Map[Int, Long]) {
+    def ndvByName(schema: org.apache.spark.sql.types.StructType): Map[String, Long] =
+      ndv.flatMap { case (id, v) =>
+        FieldIds.findById(schema, id).map(_.name -> v)
+      }
+  }
 
   /** Columns eligible for NDV analysis: top-level atomic fields. */
   def analyzableColumns(schema: StructType): Seq[String] =
@@ -47,8 +55,9 @@ object Stats {
     val aggs = count(lit(1)).as("_row_count") +:
       cols.map(c => approx_count_distinct(col(c), rsd).as(c))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val nameToId = FieldIds.nameToId(m.schema)
     TableStats(snapId, row.getLong(0),
-      cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i + 1) }.toMap)
+      cols.zipWithIndex.map { case (c, i) => nameToId(c) -> row.getLong(i + 1) }.toMap)
   }
 
   /** Run the NDV job and commit the result: the stats file is written via
@@ -75,15 +84,15 @@ object Stats {
     val o = Json.obj()
     o.put("snapshot-id", s.snapshotId)
     o.put("row-count", s.rowCount)
-    val n = o.putObject("ndv")
-    s.ndv.toSeq.sortBy(_._1).foreach { case (c, v) => n.put(c, v) }
+    val n = o.putObject("ndv") // keys are field ids
+    s.ndv.toSeq.sortBy(_._1).foreach { case (id, v) => n.put(id.toString, v) }
     Json.pretty(o)
   }
 
   def fromJson(s: String): TableStats = {
     val n = Json.parse(s)
     val ndv = Option(n.get("ndv")).filterNot(_.isNull).map { no =>
-      Json.fields(no).map { case (k, v) => k -> v.asLong() }.toMap
+      Json.fields(no).map { case (k, v) => k.toInt -> v.asLong() }.toMap
     }.getOrElse(Map.empty)
     TableStats(Json.getLong(n, "snapshot-id"), Json.getLong(n, "row-count"), ndv)
   }

@@ -143,4 +143,12 @@ class AggPushdownSpec extends SparkSpec {
     val r = q.collect()(0)
     assert(r.getLong(0) == 0 && r.isNullAt(1))
   }
+
+  test("GROUP BY over an empty partitioned table yields zero rows") {
+    wh
+    spark.sql("""CREATE TABLE ga.db.emptyp (id BIGINT, cat STRING)
+                 PARTITIONED BY (cat)""")
+    val q = spark.sql("SELECT cat, count(*) AS n FROM ga.db.emptyp GROUP BY cat")
+    assert(q.collect().isEmpty)
+  }
 }

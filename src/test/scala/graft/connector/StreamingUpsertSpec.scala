@@ -54,6 +54,23 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(eqDeletes.forall(_._1.equalityIds.nonEmpty))
   }
 
+  test("duplicate keys inside one epoch fail with the offending key") {
+    wh
+    spark.sql("CREATE TABLE gu.db.src3 (id BIGINT, v STRING)")
+    spark.sql("""CREATE TABLE gu.db.dupsink (id BIGINT, v STRING)
+                 TBLPROPERTIES ('write.upsert.enabled'='true',
+                                'write.upsert.key-columns'='id')""")
+    spark.sql("INSERT INTO gu.db.src3 VALUES (7, 'a'), (7, 'b'), (8, 'c')")
+    val ckpt = Files.createTempDirectory("graft-upckpt3").toString
+    val ex = intercept[Exception] {
+      runOnce("gu.db.src3", "gu.db.dupsink", ckpt)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m =>
+      m.contains("duplicate key") && m.contains("id=7")))
+  }
+
   test("upsert without key columns fails the epoch commit clearly") {
     wh
     spark.sql("CREATE TABLE gu.db.src2 (id BIGINT, v STRING)")

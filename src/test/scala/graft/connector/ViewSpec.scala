@@ -104,6 +104,32 @@ class ViewSpec extends SparkSpec {
     assert(ext.contains("View Text"))
   }
 
+  test("temp views are never hijacked; relative SHOW VIEWS; ALTER AS on missing fails") {
+    wh
+    spark.sql("CREATE VIEW gv.db.shadow AS SELECT id FROM gv.db.base")
+    spark.sql("CREATE TEMP VIEW shadow AS SELECT 42 AS answer")
+    spark.sql("USE gv.db")
+    try {
+      // bare name under a graft current catalog: the TEMP view must win
+      assert(spark.sql("SELECT * FROM shadow").columns.toSeq == Seq("answer"))
+      spark.sql("DROP VIEW shadow") // drops the temp view, not the stored one
+      val c = spark.sessionState.catalogManager.catalog("gv")
+        .asInstanceOf[GraftCatalog]
+      assert(c.viewExists(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), "shadow")), "stored view must survive DROP of the temp view")
+
+      // relative namespace resolves through the current catalog
+      val listed = spark.sql("SHOW VIEWS IN db").collect().map(_.getString(1))
+      assert(listed.contains("shadow"))
+
+      // ALTER VIEW ... AS must not create a missing view
+      intercept[Exception](
+        spark.sql("ALTER VIEW gv.db.nope_missing AS SELECT 1"))
+      assert(!c.viewExists(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), "nope_missing")))
+    } finally spark.sql("USE spark_catalog.default")
+  }
+
   test("CREATE VIEW on an existing name fails; IF NOT EXISTS is quiet") {
     wh
     spark.sql("CREATE VIEW gv.db.dup AS SELECT id FROM gv.db.base")

@@ -64,7 +64,7 @@ class WriteOrderSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM go.db.ranged").collect()(0).getLong(0) == 1000)
   }
 
-  test("rewrite_data_files with no sort_by honors the declared sort order") {
+  test("rewrite_data_files sort_by => 'declared' compacts into the declared order") {
     wh
     spark.sql("""CREATE TABLE go.db.resort (id BIGINT)
                  TBLPROPERTIES ('write.sort-order'='id desc')""")
@@ -73,7 +73,8 @@ class WriteOrderSpec extends SparkSpec {
     import spark.implicits._
     graft.format.GraftWrite.append(t,
       spark.range(100).select((rand(7) * 1000).cast("long").as("id")).coalesce(1))
-    spark.sql("CALL go.system.rewrite_data_files(table => 'db.resort', min_input_files => 1)")
+    spark.sql("""CALL go.system.rewrite_data_files(table => 'db.resort',
+                   sort_by => 'declared')""")
     val t2 = GraftTable.load(spark, s"$wh/db/resort")
     t2.newScan().planFiles().tasks.map(_.file.path).foreach { p =>
       val ids = spark.read.parquet(p).select("id").collect().map(_.getLong(0))

@@ -23,9 +23,10 @@ class StatsSpec extends SparkSpec {
     val t = GraftTable.load(spark, s"$wh/db/t")
     val (sf, stats) = Stats.analyzeAndCommit(t)
     assert(stats.rowCount == 500)
-    assert(stats.ndv("cat") == 7) // HLL++ sparse mode is exact here
-    assert(stats.ndv("id") >= 450 && stats.ndv("id") <= 550,
-      s"ndv(id)=${stats.ndv("id")} outside ±10% of 500")
+    val byName = stats.ndvByName(t.metadata.schema)
+    assert(byName("cat") == 7) // HLL++ sparse mode is exact here
+    assert(byName("id") >= 450 && byName("id") <= 550,
+      s"ndv(id)=${byName("id")} outside ±10% of 500")
     val reread = Stats.read(GraftTable.load(spark, s"$wh/db/t"), sf.snapshotId)
     assert(reread.contains(stats))
   }
