@@ -103,8 +103,21 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
   override def properties(): java.util.Map[String, String] =
     table.metadata.properties.asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(spark, table, scan0, options)
+  /** Per-read options (Iceberg's read-option names): `snapshot-id`,
+    * `as-of-timestamp` (millis), `branch`, `tag` — the DataFrame-API
+    * spelling of time travel (`spark.read.option(...).table(...)`), same
+    * semantics as VERSION/TIMESTAMP AS OF. SQL-level time travel (a
+    * snapshotId on this table instance) wins if both are present. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    var s = scan0
+    if (snapshotId.isEmpty && asOfMillis.isEmpty) {
+      Option(options.get("snapshot-id")).foreach(v => s = s.useSnapshot(v.toLong))
+      Option(options.get("as-of-timestamp")).foreach(v => s = s.asOfTime(v.toLong))
+      Option(options.get("branch")).orElse(Option(options.get("tag")))
+        .foreach(r => s = s.useRef(r))
+    }
+    new GraftScanBuilder(spark, table, s, options)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(table, info.queryId())

@@ -31,6 +31,24 @@ class CatalogSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq == Seq("a", "b"))
   }
 
+  test("DataFrame read options: snapshot-id, as-of-timestamp, branch") {
+    wh
+    spark.sql("CREATE TABLE g.db.ropt (id BIGINT)")
+    spark.sql("INSERT INTO g.db.ropt VALUES (1)")
+    val t = graft.format.GraftTable.load(spark, s"$wh/db/ropt")
+    val snap1 = t.metadata.currentSnapshotId.get
+    graft.format.Commits.createBranch(t, "b1")
+    spark.sql("INSERT INTO g.db.ropt VALUES (2)")
+
+    assert(spark.read.option("snapshot-id", snap1.toString)
+      .table("g.db.ropt").count() == 1)
+    assert(spark.read.option("branch", "b1").table("g.db.ropt").count() == 1)
+    assert(spark.read.table("g.db.ropt").count() == 2)
+    assert(spark.read.option("as-of-timestamp",
+        System.currentTimeMillis().toString)
+      .table("g.db.ropt").count() == 2)
+  }
+
   test("INSERT appends create snapshots; VERSION AS OF + TIMESTAMP AS OF") {
     wh
     spark.sql("CREATE TABLE g.db.tt (id BIGINT, v STRING)")
