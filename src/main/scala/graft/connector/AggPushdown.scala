@@ -26,8 +26,10 @@ import graft.format._
   *  - DISTINCT, non-top-level column references, non-identity group-bys
   *  - MIN/MAX on float/double: no NaN counts in the model (NaN sorts above
   *    +Inf in Spark but parquet stats drop it — reference refuses too)
-  *  - MIN/MAX on string/binary unless the column's metrics mode is `full`:
-  *    truncate(N) bounds are range-safe but not value-exact
+  *  - MIN/MAX on string/binary unless EVERY contributing file attests
+  *    full-mode bounds (per-file fullBoundIds): truncate(N) bounds are
+  *    range-safe but not value-exact, and the current table property can't
+  *    speak for files written under an earlier mode
   *  - a file whose metrics lack the needed count/bound (unless the file's
   *    writer schema predates the column — then its rows are all-null and
   *    contribute nothing)
@@ -42,7 +44,6 @@ object AggPushdown {
     val m = table.metadata
     val schema = m.schema
     val nameToId = FieldIds.nameToId(schema)
-    val modes = Metrics.modesFor(schema, m.properties)
 
     def colOf(e: XExpr): Option[(Int, StructField)] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -105,7 +106,10 @@ object AggPushdown {
 
     def minMaxSafe(id: Int, dt: DataType): Boolean = dt match {
       case FloatType | DoubleType => false
-      case StringType | BinaryType => modes.get(id).contains(Metrics.FullMode)
+      // string/binary also need the PER-FILE exact-bounds check in `bound`:
+      // a file written while the column's metrics mode was truncate(N) keeps
+      // truncated bounds forever, regardless of the CURRENT property value
+      case StringType | BinaryType => true
       case IntegerType | LongType | DateType | TimestampType |
            TimestampNTZType | BooleanType | _: DecimalType => true
       case _ => false
@@ -115,6 +119,7 @@ object AggPushdown {
         lower: Boolean): Option[(Any, DataType)] = {
       val dt = Types.cleanType(fld.dataType)
       if (!minMaxSafe(id, dt)) return None
+      val needExact = dt == StringType || dt == BinaryType
       val ord = Exprs.ordering(dt)
       var acc: Any = null
       tasks.foreach { t =>
@@ -125,6 +130,10 @@ object AggPushdown {
             case _ => false
           }
           if (!allNull) {
+            // truncated bounds are range-safe but not value-exact (the
+            // upper bound's last char is even incremented) — every file
+            // contributing a value must attest full-mode bounds
+            if (needExact && !f.fullBoundIds.contains(id)) return None
             (if (lower) f.lowerBounds else f.upperBounds).get(id) match {
               case Some(v) =>
                 if (acc == null || (lower && ord.lt(v, acc)) ||

@@ -106,7 +106,8 @@ final class GraftDeltaBatchWrite(table: GraftTable,
         schemaId = m.currentSchemaId, specId = m.defaultSpecId,
         valueCounts = fm.valueCounts, nullValueCounts = fm.nullValueCounts,
         lowerBounds = fm.lowerBounds, upperBounds = fm.upperBounds,
-        splitOffsets = fm.splitOffsets, fileFormat = fmt)
+        splitOffsets = fm.splitOffsets, fullBoundIds = fm.fullBoundIds,
+        fileFormat = fmt)
     }.toSeq
     val deleteFiles = deleteMsgs.flatten.map { sf =>
       DataFile(path = sf.path, content = FileContent.PositionDeletes,

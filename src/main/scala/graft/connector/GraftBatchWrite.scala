@@ -104,7 +104,8 @@ final class GraftBatchWrite(table: GraftTable, mode: GraftBatchWrite.Mode)
         schemaId = m.currentSchemaId, specId = m.defaultSpecId,
         valueCounts = fm.valueCounts, nullValueCounts = fm.nullValueCounts,
         lowerBounds = fm.lowerBounds, upperBounds = fm.upperBounds,
-        splitOffsets = fm.splitOffsets, fileFormat = fmt)
+        splitOffsets = fm.splitOffsets, fullBoundIds = fm.fullBoundIds,
+        fileFormat = fmt)
     }.toSeq
     mode match {
       case Append => Commits.mergeAppend(table, files)

@@ -217,6 +217,7 @@ final class GraftStreamingWrite(table: GraftTable, truncateFirst: Boolean,
         schemaId = m.currentSchemaId, specId = m.defaultSpecId,
         valueCounts = fm.valueCounts, nullValueCounts = fm.nullValueCounts,
         lowerBounds = fm.lowerBounds, upperBounds = fm.upperBounds,
+        fullBoundIds = fm.fullBoundIds,
         fileFormat = fileFormat)
     }.toSeq
     val summary = Map(Streaming.EpochKey -> epochId.toString,

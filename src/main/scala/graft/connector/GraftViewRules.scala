@@ -41,8 +41,13 @@ object GraftViewRules {
        catch { case _: Exception => None }) match {
         case Some(c) if nameParts.length > 1 =>
           (c, nameParts.head, nameParts.tail)
-        case _ => (cm.currentCatalog, cm.currentCatalog.name,
-          cm.currentNamespace.toSeq ++ nameParts)
+        // Spark's CatalogAndIdentifier only applies the current namespace
+        // to SINGLE-part names; `db.v` under USE cat.ns must resolve to
+        // namespace [db], not [ns, db]
+        case _ if nameParts.length == 1 =>
+          (cm.currentCatalog, cm.currentCatalog.name,
+            cm.currentNamespace.toSeq ++ nameParts)
+        case _ => (cm.currentCatalog, cm.currentCatalog.name, nameParts)
       }
     cat match {
       case vc: ViewCatalog if rest.nonEmpty =>
@@ -206,12 +211,14 @@ final case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan
           case w: UnresolvedWith => w.cteRelations.map(_._1)
         }.flatten.toSet
         // re-qualify table references against the DEFINING context so the
-        // view is stable under the reader's USE catalog/namespace
+        // view is stable under the reader's USE catalog/namespace — and
+        // under the reader's temp views: only CTE names defined inside the
+        // view body are exempt (reference ResolveViews qualifies
+        // unconditionally; CREATE VIEW rejects temp-view refs up front)
         val qualified = parsed.transformUp {
           case r: UnresolvedRelation if r.multipartIdentifier.length < 3 &&
               !(r.multipartIdentifier.length == 1 &&
-                (cteNames.contains(r.multipartIdentifier.head) ||
-                 isTempView(r.multipartIdentifier))) =>
+                cteNames.contains(r.multipartIdentifier.head)) =>
             val full =
               if (r.multipartIdentifier.length == 1)
                 v.currentCatalog +: (v.currentNamespace.toSeq ++ r.multipartIdentifier)
@@ -247,6 +254,26 @@ final case class CreateGraftView(catalog: ViewCatalog, ident: Identifier,
     allowExisting: Boolean, replace: Boolean) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     if (allowExisting && catalog.viewExists(ident)) return Nil
+    // a stored view must mean the same thing for every reader, so its body
+    // may not capture session temp views (Spark rejects this for v1
+    // persistent views too; reference ResolveViews qualifies all refs)
+    locally {
+      val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+      val cteNames = parsed.collect {
+        case w: UnresolvedWith => w.cteRelations.map(_._1)
+      }.flatten.toSet
+      parsed.foreach {
+        case r: UnresolvedRelation
+            if !(r.multipartIdentifier.length == 1 &&
+                 cteNames.contains(r.multipartIdentifier.head)) &&
+               (try spark.sessionState.catalog.isTempView(r.multipartIdentifier)
+                catch { case scala.util.control.NonFatal(_) => false }) =>
+          throw new UnsupportedOperationException(
+            s"cannot create stored view ${ident.name()}: it references " +
+            s"temporary view ${r.multipartIdentifier.mkString(".")}")
+        case _ => ()
+      }
+    }
     val analyzed = spark.sql(sql).queryExecution.analyzed
     val queryCols = analyzed.schema.fieldNames
     if (userCols.nonEmpty && userCols.length != queryCols.length)
@@ -284,9 +311,17 @@ final case class ShowGraftViews(catalog: ViewCatalog, namespace: Array[String],
     pattern: Option[String], override val output: Seq[Attribute])
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val re = pattern.map(p =>
-      java.util.regex.Pattern.compile(p.replace("*", ".*"),
-        java.util.regex.Pattern.CASE_INSENSITIVE))
+    // SHOW VIEWS patterns are literals plus '*' wildcards and '|'
+    // alternation (SparkSQL StringUtils.filterPattern semantics) — quote
+    // every literal segment so regex metacharacters ('.', '+', parens)
+    // match themselves
+    val re = pattern.map { p =>
+      val regex = p.split("\\|", -1).map(_.split("\\*", -1)
+        .map(seg => if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg))
+        .mkString(".*")).mkString("|")
+      java.util.regex.Pattern.compile(regex,
+        java.util.regex.Pattern.CASE_INSENSITIVE)
+    }
     catalog.listViews(namespace.toIndexedSeq: _*).toSeq
       .filter(i => re.forall(_.matcher(i.name()).matches()))
       .map(i => Row(i.namespace().mkString("."), i.name(), false))

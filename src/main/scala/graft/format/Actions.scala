@@ -232,6 +232,7 @@ final class Actions(t: GraftTable) {
         lowerBounds = fm.lowerBounds,
         upperBounds = fm.upperBounds,
         splitOffsets = fm.splitOffsets,
+        fullBoundIds = fm.fullBoundIds,
         fileFormat = byId(id).outFormat)
     }
     val del = planned.flatMap(_.paths).toSet

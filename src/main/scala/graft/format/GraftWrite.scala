@@ -158,6 +158,7 @@ object GraftWrite {
         lowerBounds = fm.lowerBounds,
         upperBounds = fm.upperBounds,
         splitOffsets = fm.splitOffsets,
+        fullBoundIds = fm.fullBoundIds,
         fileFormat = fmt)
     }
   }
@@ -373,7 +374,8 @@ object GraftWrite {
         schemaId = schemaId, specId = table.metadata.defaultSpecId,
         valueCounts = fm.valueCounts, nullValueCounts = fm.nullValueCounts,
         lowerBounds = fm.lowerBounds, upperBounds = fm.upperBounds,
-        splitOffsets = fm.splitOffsets, fileFormat = format)
+        splitOffsets = fm.splitOffsets, fullBoundIds = fm.fullBoundIds,
+        fileFormat = format)
     }
     Commits.fastAppend(table, dataFiles)
   }

@@ -60,7 +60,25 @@ object Metrics {
       nullValueCounts: Map[Int, Long],
       lowerBounds: Map[Int, Any],
       upperBounds: Map[Int, Any],
-      splitOffsets: Seq[Long])
+      splitOffsets: Seq[Long],
+      // string/binary field ids whose bounds were written UNTRUNCATED (mode
+      // `full` at collection time) — recorded per file because the table's
+      // metrics mode can change after the file is written, and a truncated
+      // upper bound is range-safe but not value-exact (its last char is
+      // incremented): consumers needing exact values (aggregate pushdown)
+      // must check the file, not the current property
+      fullBoundIds: Seq[Int] = Nil)
+
+  /** String/binary top-level field ids collected under `full` mode. */
+  def fullBoundIds(schema: StructType, modes: Map[Int, Mode]): Seq[Int] =
+    schema.fields.toSeq.flatMap { f =>
+      val id = FieldIds.idOf(f)
+      Types.cleanType(f.dataType) match {
+        case StringType | BinaryType
+            if modes.getOrElse(id, DefaultMode) == FullMode => Some(id)
+        case _ => None
+      }
+    }
 
   /** Truncate a lower bound: plain prefix keeps `lower <= truncated` false…
     * actually lower bounds truncate DOWN (prefix), upper bounds truncate UP
@@ -203,7 +221,8 @@ object Metrics {
         else Option(boundLen(id).map(truncateUpper(v, _)).getOrElse(v)).map(id -> _)
       }.toMap
       FileMetrics(recordCount, input.getLength, valueCounts.toMap,
-        nullCounts.toMap, lower, upper, offsets.result())
+        nullCounts.toMap, lower, upper, offsets.result(),
+        fullBoundIds(schema, modes))
     } finally reader.close()
   }
 

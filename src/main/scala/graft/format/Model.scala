@@ -31,6 +31,10 @@ final case class DataFile(
     upperBounds: Map[Int, Any] = Map.empty,
     equalityIds: Seq[Int] = Nil,
     splitOffsets: Seq[Long] = Nil,
+    // string/binary field ids whose bounds are exact (written under metrics
+    // mode `full`) — see Metrics.fullBoundIds; absent in older manifests,
+    // which consumers must treat as "bounds may be truncated"
+    fullBoundIds: Seq[Int] = Nil,
     // physical encoding of the file (reference api/.../FileFormat.java:
     // PARQUET | ORC | AVRO); delete files are always parquet
     fileFormat: String = FileFormats.Parquet)
@@ -199,6 +203,9 @@ object Model {
     if (f.splitOffsets.nonEmpty) {
       val a = o.putArray("split-offsets"); f.splitOffsets.foreach(a.add)
     }
+    if (f.fullBoundIds.nonEmpty) {
+      val a = o.putArray("full-bound-ids"); f.fullBoundIds.foreach(a.add)
+    }
     // absent = parquet, so pre-multiformat metadata reads unchanged
     if (f.fileFormat != FileFormats.Parquet) o.put("file-format", f.fileFormat)
     o
@@ -232,6 +239,8 @@ object Model {
         .map(a => elems(a).map(_.asInt()).toSeq).getOrElse(Nil),
       splitOffsets = Option(n.get("split-offsets"))
         .map(a => elems(a).map(_.asLong()).toSeq).getOrElse(Nil),
+      fullBoundIds = Option(n.get("full-bound-ids"))
+        .map(a => elems(a).map(_.asInt()).toSeq).getOrElse(Nil),
       fileFormat = Option(n.get("file-format")).map(_.asText())
         .getOrElse(FileFormats.Parquet))
   }

@@ -126,7 +126,8 @@ object OrcIO {
       }
       FileMetrics(recordCount, fileSize, valueCounts.toMap, nullCounts.toMap,
         lower.toMap, upper.toMap,
-        reader.getStripes.asScala.map(_.getOffset).toSeq)
+        reader.getStripes.asScala.map(_.getOffset).toSeq,
+        Metrics.fullBoundIds(schema, modes))
     } finally reader.close()
   }
 

@@ -51,7 +51,10 @@ object Stats {
       else analyzableColumns(Types.cleanType(m.schema).asInstanceOf[StructType])
     val bad = cols.filterNot(c => m.schema.fieldNames.contains(c))
     require(bad.isEmpty, s"no such columns: ${bad.mkString(", ")}")
-    val df = table.newScan().toDF()
+    // pin the scan to the snapshot captured above: a concurrent commit
+    // between the metadata read and the scan must not record NDVs computed
+    // over a newer snapshot against the older snapshot id
+    val df = table.newScan().useSnapshot(snapId).toDF()
     val aggs = count(lit(1)).as("_row_count") +:
       cols.map(c => approx_count_distinct(col(c), rsd).as(c))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)

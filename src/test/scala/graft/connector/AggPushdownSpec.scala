@@ -90,6 +90,25 @@ class AggPushdownSpec extends SparkSpec {
     assert(r.getString(0) == "a-very-long-string-beyond-16-chars" && r.getString(1) == "b")
   }
 
+  test("string min/max refuses when a live file predates the full-metrics mode") {
+    wh
+    spark.sql("CREATE TABLE ga.db.mixed_s (s STRING)")
+    spark.sql("INSERT INTO ga.db.mixed_s VALUES ('z-very-long-string-beyond-16-chars-zzz')")
+    // switching the mode AFTER the write cannot make the old file's
+    // truncated bounds value-exact — the per-file attestation must refuse
+    spark.sql("""ALTER TABLE ga.db.mixed_s
+                 SET TBLPROPERTIES ('write.metadata.metrics.default'='full')""")
+    val q = spark.sql("SELECT max(s) AS mx FROM ga.db.mixed_s")
+    assertNotPushed(q)
+    assert(q.collect()(0).getString(0) == "z-very-long-string-beyond-16-chars-zzz")
+
+    // a new full-mode file doesn't legitimize the old truncated one
+    spark.sql("INSERT INTO ga.db.mixed_s VALUES ('a')")
+    val q2 = spark.sql("SELECT max(s) AS mx FROM ga.db.mixed_s")
+    assertNotPushed(q2)
+    assert(q2.collect()(0).getString(0) == "z-very-long-string-beyond-16-chars-zzz")
+  }
+
   test("live deletes refuse pushdown; schema evolution counts only non-null") {
     wh
     spark.sql("CREATE TABLE ga.db.ev (id BIGINT)")

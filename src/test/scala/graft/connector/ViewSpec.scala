@@ -130,6 +130,58 @@ class ViewSpec extends SparkSpec {
     } finally spark.sql("USE spark_catalog.default")
   }
 
+  test("namespace-qualified names under USE; stored views ignore reader temp views") {
+    wh
+    val c = spark.sessionState.catalogManager.catalog("gv")
+      .asInstanceOf[GraftCatalog]
+    def ident(n: String) =
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), n)
+    spark.sql("CREATE VIEW gv.db.nsv AS SELECT id FROM gv.db.base WHERE id < 3")
+    spark.sql("USE gv.db")
+    try {
+      // db.nsv under USE gv.db resolves to namespace [db], not [db, db]
+      assert(spark.sql("SELECT * FROM db.nsv").count() == 3)
+      spark.sql("CREATE VIEW db.nsv2 AS SELECT id FROM gv.db.base WHERE id < 2")
+      assert(c.viewExists(ident("nsv2")))
+      assert(spark.sql("SELECT * FROM db.nsv2").count() == 2)
+      spark.sql("DROP VIEW db.nsv2")
+      assert(!c.viewExists(ident("nsv2")))
+
+      // a stored view defined over a bare table name must not be captured
+      // by a READER temp view of that name — every reader sees the same view
+      spark.sql("CREATE VIEW bare_v AS SELECT id FROM base")
+      spark.sql("CREATE TEMP VIEW base AS SELECT 1 AS x")
+      try {
+        assert(spark.sql("SELECT * FROM gv.db.bare_v").columns.toSeq == Seq("id"))
+        assert(spark.sql("SELECT count(*) FROM gv.db.bare_v")
+          .collect()(0).getLong(0) >= 30)
+      } finally spark.sql("DROP VIEW base")
+
+      // CREATE VIEW whose body references a temp view is rejected
+      spark.sql("CREATE TEMP VIEW tvx AS SELECT 7 AS y")
+      try {
+        val ex = intercept[Exception](
+          spark.sql("CREATE VIEW gv.db.badv AS SELECT * FROM tvx"))
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(ex).exists(_.contains("temporary view")))
+        assert(!c.viewExists(ident("badv")))
+      } finally spark.sql("DROP VIEW tvx")
+    } finally spark.sql("USE spark_catalog.default")
+  }
+
+  test("SHOW VIEWS pattern treats regex metacharacters as literals") {
+    wh
+    spark.sql("CREATE VIEW gv.db.pat1 AS SELECT id FROM gv.db.base")
+    // '.' must match itself, not any character
+    assert(spark.sql("SHOW VIEWS IN gv.db LIKE 'pat.'").collect().isEmpty)
+    assert(spark.sql("SHOW VIEWS IN gv.db LIKE 'pat*'").collect()
+      .map(_.getString(1)).contains("pat1"))
+    // '|' alternation still works alongside quoting
+    assert(spark.sql("SHOW VIEWS IN gv.db LIKE 'zzz|pat*'").collect()
+      .map(_.getString(1)).contains("pat1"))
+  }
+
   test("CREATE VIEW on an existing name fails; IF NOT EXISTS is quiet") {
     wh
     spark.sql("CREATE VIEW gv.db.dup AS SELECT id FROM gv.db.base")
