@@ -347,13 +347,24 @@ final class GraftProcedures(resolve: String => GraftTable,
       pd("changelog_view", StringType, "NULL"),
       pd("start_snapshot_id", LongType, "NULL"),
       pd("end_snapshot_id", LongType, "NULL"),
-      pd("net_changes", BooleanType, "false")),
+      pd("net_changes", BooleanType, "false"),
+      // wall-clock alternative to the snapshot-id pair: (start, end] with
+      // each bound resolved to the newest snapshot at or before it
+      pd("start_timestamp", TimestampType, "NULL"),
+      pd("end_timestamp", TimestampType, "NULL")),
     StructType(Seq(
       StructField("changelog_view", StringType, nullable = false))))({ in =>
       val t = resolve(str(in, 0))
-      val from = if (in.isNullAt(2)) None else Some(in.getLong(2))
-      val to = if (in.isNullAt(3)) None else Some(in.getLong(3))
-      val raw = Changes.between(t, from, to)
+      val fromId = if (in.isNullAt(2)) None else Some(in.getLong(2))
+      val toId = if (in.isNullAt(3)) None else Some(in.getLong(3))
+      val startMs = if (in.isNullAt(5)) None else Some(tsMillis(in, 5))
+      val endMs = if (in.isNullAt(6)) None else Some(tsMillis(in, 6))
+      require(fromId.isEmpty || startMs.isEmpty,
+        "pass start_snapshot_id or start_timestamp, not both")
+      require(toId.isEmpty || endMs.isEmpty,
+        "pass end_snapshot_id or end_timestamp, not both")
+      val (fromTs, toTs) = Changes.rangeForTimestamps(t, startMs, endMs)
+      val raw = Changes.between(t, fromId.orElse(fromTs), toId.orElse(toTs))
       val df = if (!in.isNullAt(4) && in.getBoolean(4)) Changes.net(raw) else raw
       val view =
         if (in.isNullAt(1)) str(in, 0).replace('.', '_') + "_changes"

@@ -47,11 +47,27 @@ object Changes {
 
   private def canon(p: String): String = ParquetIO.canonPath(p)
 
+  /** Default cap on union branches in one changelog plan (see `between`). */
+  val DefaultMaxPlanWidth = 64
+
   /** Changes in (`from`, `to`]: `from`=None means since table creation,
     * `to`=None means up to the current snapshot. `from` must be `to` itself
-    * (empty result) or one of its ancestors. */
+    * (empty result) or one of its ancestors.
+    *
+    * `maxPlanWidth` bounds the driver-side plan: a long history (say 10⁴
+    * commits) must not become a 10⁴-branch union — analyzer/optimizer cost
+    * and plan size grow superlinearly with branch count. Every
+    * `maxPlanWidth` per-commit branches collapse into one lazily
+    * local-checkpointed leaf, so the final plan holds ceil(n/width) cheap
+    * leaves regardless of range length. Trade: each batch materializes its
+    * changelog output into executor block storage (MEMORY_AND_DISK) on
+    * first action — bounded by the changelog's own output size, which the
+    * consumer reads anyway — and, lineage being truncated, a lost executor
+    * fails the job instead of recomputing. */
   def between(table: GraftTable, from: Option[Long] = None,
-      to: Option[Long] = None): DataFrame = {
+      to: Option[Long] = None,
+      maxPlanWidth: Int = DefaultMaxPlanWidth): DataFrame = {
+    require(maxPlanWidth > 0, "maxPlanWidth must be positive")
     val m = table.metadata
     val toId = to.orElse(m.currentSnapshotId).getOrElse(
       throw new IllegalArgumentException("table has no snapshots"))
@@ -128,7 +144,28 @@ object Changes {
     val built = parts.result()
     if (built.isEmpty)
       tag(read(Nil, Nil), Insert, 0, toId).filter(lit(false))
-    else built.reduce(_ unionByName _)
+    else if (built.size <= maxPlanWidth) built.reduce(_ unionByName _)
+    else built.grouped(maxPlanWidth).toSeq
+      .map(_.reduce(_ unionByName _).localCheckpoint(false))
+      .reduce(_ unionByName _)
+  }
+
+  /** Resolve a (`startMs`, `endMs`] wall-clock range to a (`from`, `to`)
+    * snapshot-id pair for `between`: `from` = newest snapshot at or before
+    * `startMs` (exclusive start — its own changes are NOT included),
+    * `to` = newest snapshot at or before `endMs`. A start before the first
+    * snapshot means "since table creation"; an end before the first
+    * snapshot is an error (empty range would be ambiguous with it). */
+  def rangeForTimestamps(table: GraftTable, startMs: Option[Long],
+      endMs: Option[Long]): (Option[Long], Option[Long]) = {
+    val m = table.metadata
+    val to = endMs.map { ms =>
+      m.snapshotAsOfTime(ms).map(_.snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"no snapshot committed at or before end timestamp $ms"))
+    }
+    val from = startMs.flatMap(ms => m.snapshotAsOfTime(ms).map(_.snapshotId))
+    (from, to)
   }
 
   /** Collapse a changelog to its NET effect per distinct row content: a row

@@ -186,6 +186,28 @@ class ProcedureSpec extends SparkSpec {
     assert(net === Seq(("INSERT", 3L)))
   }
 
+  test("create_changelog_view accepts wall-clock range arguments") {
+    wh
+    spark.sql("CREATE TABLE gp.db.tsrange (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gp.db.tsrange VALUES (1, 'a')")
+    Thread.sleep(5) // commits must not share a millisecond timestamp
+    spark.sql("INSERT INTO gp.db.tsrange VALUES (2, 'b')")
+    Thread.sleep(5)
+    spark.sql("INSERT INTO gp.db.tsrange VALUES (3, 'c')")
+    val ms = spark.sql(
+      "SELECT committed_at FROM gp.db.`tsrange$snapshots` ORDER BY committed_at")
+      .collect().head.getTimestamp(0).getTime
+    // start at the first commit's own time → exclusive → commits 2 and 3
+    spark.sql(
+      s"""CALL gp.system.create_changelog_view(table => 'db.tsrange',
+          changelog_view => 'ts_v', start_timestamp => timestamp_millis(${ms}L))""")
+    assert(spark.sql("SELECT count(*) FROM ts_v").collect().head.getLong(0) == 2)
+    // a snapshot id and a timestamp for the same boundary conflict
+    intercept[Exception](spark.sql(
+      s"""CALL gp.system.create_changelog_view(table => 'db.tsrange',
+          start_snapshot_id => 1, start_timestamp => timestamp_millis(${ms}L))"""))
+  }
+
   test("SHOW PROCEDURES and DESCRIBE PROCEDURE surface the registry") {
     wh
     val names = spark.sql("SHOW PROCEDURES IN gp.system").collect()

@@ -142,6 +142,62 @@ class ChangesSpec extends SparkSpec {
       Seq(0L, 1L, 2L, 4L, 5L))
   }
 
+  test("a 200-commit range builds a bounded plan and stays correct") {
+    val t = fresh("manycommits", docs(0 until 0))
+    // stage 200 one-row files in ONE job, then give each its own commit —
+    // the changelog cost under test is metadata/plan shape, not file writes
+    val dir = tmp("manycommits-stage")
+    docs(0 until 200).repartitionByRange(200, col("id"))
+      .write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      .sorted.toSeq
+    assert(files.size === 200)
+    val m0 = t.metadata
+    val fms = Metrics.forFiles(spark, files, m0.schema,
+      Metrics.modesFor(m0.schema, m0.properties))
+    files.foreach { f =>
+      val fm = fms(f)
+      Commits.fastAppend(t, Seq(DataFile(path = f,
+        recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
+        schemaId = m0.currentSchemaId, specId = m0.defaultSpecId,
+        valueCounts = fm.valueCounts, nullValueCounts = fm.nullValueCounts,
+        lowerBounds = fm.lowerBounds, upperBounds = fm.upperBounds,
+        splitOffsets = fm.splitOffsets)))
+    }
+    assert(t.snapshots.size === 200)
+    val ch = Changes.between(t, maxPlanWidth = 16)
+    // plan is ceil(200/16) = 13 checkpointed leaves, not 200 scan branches
+    val nodes = ch.queryExecution.analyzed.collect { case n => n }.size
+    assert(nodes < 80, s"changelog plan has $nodes nodes — union not bounded?")
+    assert(ch.count() === 200)
+    assert(ch.filter(col(Changes.ChangeType) === "INSERT").count() === 200)
+    val ords = ch.select(col(Changes.ChangeOrdinal)).distinct().count()
+    assert(ords === 200)
+    // batched and unbatched plans agree row-for-row
+    val unbatched = Changes.between(t)
+    assert(ch.select("id").as[Long].collect().sorted.toSeq ===
+      unbatched.select("id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("timestamp ranges resolve to snapshot boundaries") {
+    val t = fresh("tsrange", docs(0 until 0))
+    GraftWrite.append(t, docs(0 until 2).coalesce(1))
+    val afterFirst = t.metadata.currentSnapshot.get.timestampMillis
+    Thread.sleep(5)
+    GraftWrite.append(t, docs(2 until 5).coalesce(1))
+    // start at the first commit's time → exclusive: only the second commit
+    val (from, to) = Changes.rangeForTimestamps(t, Some(afterFirst), None)
+    assert(from === Some(t.snapshots.head.snapshotId) && to.isEmpty)
+    assert(Changes.between(t, from, to).count() === 3)
+    // start before the first snapshot = since table creation
+    val (f2, _) = Changes.rangeForTimestamps(t, Some(afterFirst - 100000), None)
+    assert(f2.isEmpty)
+    // end before the first snapshot is an error, not an empty range
+    intercept[IllegalArgumentException](
+      Changes.rangeForTimestamps(t, None, Some(afterFirst - 100000)))
+  }
+
   test("changelog source streams each commit's changes exactly once") {
     val t = fresh("stream", docs(0 until 0))
     val src = Streaming.changelogSource(t)
