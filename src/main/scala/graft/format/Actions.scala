@@ -433,6 +433,7 @@ final class Actions(t: GraftTable) {
     if (manifests.isEmpty) return 0
     val io = t.ops.io
     val metadataDir = s"${t.location}/metadata"
+    val codec = MetaCodec.codecFor(m.properties)
     // the id-resolution schema manifest JSON round-trips through (same
     // choice as GraftTable.readManifest: the schema with the widest id set)
     val idSchema = m.schemas.toSeq.map(_._2).reduceLeft((a, b) =>
@@ -451,7 +452,8 @@ final class Actions(t: GraftTable) {
         val paths = mfs.map(_.path)
         val readTasks = math.min(paths.size, math.max(1, sc.defaultParallelism * 4))
         sc.parallelize(paths, readTasks)
-          .flatMap(p => Model.manifestFromJson(io.readString(p), idSchema, typesMap))
+          .flatMap(p => Model.manifestFromJson(
+            MetaCodec.decode(io.readBytes(p)), idSchema, typesMap))
           .filter(_.status != EntryStatus.Deleted)
           .map(e => (e.file.partition.toSeq.sortBy(_._1)
             .map(kv => Values.toDirString(kv._2)).mkString("/") + e.file.path,
@@ -460,12 +462,14 @@ final class Actions(t: GraftTable) {
           .mapPartitions { it =>
             it.map(_._2).grouped(entriesPerManifest).map { group =>
               val entries = group.toSeq
-              val path = s"$metadataDir/manifest-${java.util.UUID.randomUUID()}.json"
-              val content = Model.manifestToJson(entries, idSchema, typesMap)
-              io.writeString(path, content)
+              val path = s"$metadataDir/manifest-${java.util.UUID.randomUUID()}" +
+                MetaCodec.ext(codec)
+              val bytes = MetaCodec.encode(
+                Model.manifestToJson(entries, idSchema, typesMap), codec)
+              io.writeBytes(path, bytes)
               // addedSnapshotId is stamped driver-side at commit (the new
               // snapshot id is not known until the CAS)
-              Commits.buildManifestFile(path, content.length.toLong, specId,
+              Commits.buildManifestFile(path, bytes.length.toLong, specId,
                 entries, 0L, spec, types)
             }
           }.collect().toSeq
@@ -482,8 +486,9 @@ final class Actions(t: GraftTable) {
           s"$baseSnapshotId, found ${meta.currentSnapshotId}")
       val (seq, sid) = (meta.lastSequenceNumber + 1, meta.lastSequenceNumber + 1)
       val stamped = newManifests.map(_.copy(addedSnapshotId = sid))
-      val listPath = t.ops.newManifestListPath(sid)
-      io.writeString(listPath, Model.manifestListToJson(stamped, t.partTypesOf(meta)))
+      val listPath = t.ops.newManifestListPath(sid, MetaCodec.ext(codec))
+      io.writeBytes(listPath, MetaCodec.encode(
+        Model.manifestListToJson(stamped, t.partTypesOf(meta)), codec))
       val now = System.currentTimeMillis()
       val snap = Snapshot(sid, meta.currentSnapshotId, seq, now, "replace",
         listPath, Map("schema-id" -> meta.currentSchemaId.toString,

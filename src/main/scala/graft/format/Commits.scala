@@ -59,18 +59,21 @@ object Commits {
       specId: Int, entries: Seq[ManifestEntry], addedSnapshotId: Long): ManifestFile = {
     val spec = m.specs(specId)
     val types = table.partTypesOf(m)(specId)
-    val path = table.ops.newManifestPath()
-    val content = Model.manifestToJson(entries, m.schema, types.toMap)
-    table.ops.io.writeString(path, content)
-    buildManifestFile(path, content.length.toLong, specId, entries,
+    val codec = MetaCodec.codecFor(m.properties)
+    val path = table.ops.newManifestPath(MetaCodec.ext(codec))
+    val bytes = MetaCodec.encode(
+      Model.manifestToJson(entries, m.schema, types.toMap), codec)
+    table.ops.io.writeBytes(path, bytes)
+    buildManifestFile(path, bytes.length.toLong, specId, entries,
       addedSnapshotId, spec, types)
   }
 
   private def writeManifestList(table: GraftTable, m: TableMetadata,
       snapshotId: Long, manifests: Seq[ManifestFile]): String = {
-    val path = table.ops.newManifestListPath(snapshotId)
-    table.ops.io.writeString(path,
-      Model.manifestListToJson(manifests, table.partTypesOf(m)))
+    val codec = MetaCodec.codecFor(m.properties)
+    val path = table.ops.newManifestListPath(snapshotId, MetaCodec.ext(codec))
+    table.ops.io.writeBytes(path, MetaCodec.encode(
+      Model.manifestListToJson(manifests, table.partTypesOf(m)), codec))
     path
   }
 

@@ -24,6 +24,9 @@ object FileIO {
   def forPath(location: String): FileIO = {
     val scheme = new org.apache.hadoop.fs.Path(location).toUri.getScheme
     if (scheme == null) LocalFileIO
+    // the conditional-PUT object-store path (mem:// = in-process store;
+    // a production s3/gs/abfs client registers the same way)
+    else if (scheme == "mem") new ObjectStoreFileIO(InMemoryObjectStore)
     else new HadoopFileIO()
   }
 }

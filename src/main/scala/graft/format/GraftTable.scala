@@ -546,12 +546,13 @@ final class GraftTable(val ops: TableOps, val spark: SparkSession) {
   }
 
   private[format] def readManifestList(m: TableMetadata, s: Snapshot): Seq[ManifestFile] =
-    Model.manifestListFromJson(ops.readFile(s.manifestList), partTypesOf(m))
+    Model.manifestListFromJson(MetaCodec.decode(ops.io.readBytes(s.manifestList)),
+      partTypesOf(m))
 
   private[format] def readManifest(mf: ManifestFile, schema: StructType): Seq[ManifestEntry] = {
     val m = metadata
     val types = partTypesOf(m)(mf.specId).toMap
-    Model.manifestFromJson(ops.readFile(mf.path),
+    Model.manifestFromJson(MetaCodec.decode(ops.io.readBytes(mf.path)),
       m.schemas.toSeq.map(_._2).reduceLeft((a, b) =>
         if (FieldIds.maxId(b) > FieldIds.maxId(a)) b else a),
       types)

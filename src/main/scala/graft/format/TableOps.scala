@@ -20,10 +20,20 @@ final class TableOps(val location: String, explicitIo: FileIO = null) {
   private def versionFile(v: Int): String = s"$metadataDir/v$v.metadata.json"
   private def hintFile: String = s"$metadataDir/version-hint.text"
 
-  def exists(): Boolean = io.exists(hintFile)
+  def exists(): Boolean = io.exists(hintFile) || io.exists(versionFile(1))
 
-  def currentVersion(): Int =
-    if (!exists()) 0 else io.readString(hintFile).trim.toInt
+  /** Latest committed version. The hint is advisory and can lag or land
+    * out of order — two racing committers write their hints AFTER the CAS,
+    * so the later version's hint can be overwritten by the earlier one's
+    * (permanently, on an object store). Probe forward from the hint like
+    * the reference HadoopTableOperations.findVersion(): version files are
+    * the truth, the hint only shortcuts the walk. */
+  def currentVersion(): Int = {
+    var v =
+      if (io.exists(hintFile)) io.readString(hintFile).trim.toInt else 0
+    while (io.exists(versionFile(v + 1))) v += 1
+    v
+  }
 
   // version-keyed parse cache: `current()` is called per manifest during
   // (parallel) planning, and re-parsing a large table's metadata JSON N
@@ -58,21 +68,29 @@ final class TableOps(val location: String, explicitIo: FileIO = null) {
 
   /** Optimistic-retry loop around a metadata transform (reference
     * SnapshotProducer: Tasks.foreach(ops).retry(...).onlyRetryOn(
-    * CommitFailedException)). `apply` must be side-effect-free on retry. */
+    * CommitFailedException)). `apply` must be side-effect-free on retry.
+    * Retry count comes from the table's `commit.retry.num-retries`
+    * property (reference TableProperties.COMMIT_NUM_RETRIES, default 4)
+    * unless `retries` overrides it — high-contention writers (many
+    * concurrent streaming epochs) raise the property, not the code. */
   def commitTransaction(apply: TableMetadata => TableMetadata,
-      retries: Int = 4): TableMetadata = {
+      retries: Int = -1): TableMetadata = {
     var attempt = 0
     while (true) {
       val baseVersion = currentVersion()
       val base = current()
+      val maxRetries =
+        if (retries >= 0) retries
+        else Option(base).flatMap(_.properties.get("commit.retry.num-retries"))
+          .map(_.toInt).getOrElse(4)
       val updated = apply(base)
       try {
         commit(baseVersion, updated)
         return updated
       } catch {
-        case _: CommitFailedException if attempt < retries =>
+        case _: CommitFailedException if attempt < maxRetries =>
           attempt += 1
-          Thread.sleep(math.min(100L << attempt, 1000L))
+          Thread.sleep(math.min(25L << math.min(attempt, 6), 1000L))
       }
     }
     throw new IllegalStateException("unreachable")
@@ -87,8 +105,8 @@ final class TableOps(val location: String, explicitIo: FileIO = null) {
 
   def readFile(path: String): String = io.readString(path)
 
-  def newManifestPath(): String =
-    s"$metadataDir/manifest-${UUID.randomUUID()}.json"
-  def newManifestListPath(snapshotId: Long): String =
-    s"$metadataDir/snap-$snapshotId-${UUID.randomUUID()}.json"
+  def newManifestPath(ext: String = ".json"): String =
+    s"$metadataDir/manifest-${UUID.randomUUID()}$ext"
+  def newManifestListPath(snapshotId: Long, ext: String = ".json"): String =
+    s"$metadataDir/snap-$snapshotId-${UUID.randomUUID()}$ext"
 }
