@@ -98,7 +98,8 @@ object Changes {
       case None => ScanPlan(Nil, Nil, 0, 0, 0, 0)
     }
     var ordinal = 0
-    chain.foreach { s =>
+
+    def fullDiff(s: Snapshot): Unit = {
       val planS = scan.useSnapshot(s.snapshotId).planFiles()
       if (s.operation != "replace") {
         val pPaths = prevPlan.tasks.map(t => canon(t.file.path)).toSet
@@ -139,6 +140,40 @@ object Changes {
         ordinal += 1
       }
       prevPlan = planS
+    }
+
+    chain.foreach { s =>
+      // plain appends — the dominant commit kind on ingest tables — diff at
+      // MANIFEST level: the commit's new files are exactly the Added
+      // entries of manifests it added, so the walk costs O(churn) per
+      // commit instead of a full O(table) plan per snapshot (the reference
+      // incremental scan prunes manifests by added-snapshot-id the same
+      // way). Any commit that touches delete files or removes data falls
+      // through to the full plan diff.
+      val appendManifests: Option[Seq[ManifestFile]] =
+        if (s.operation != "append") None
+        else {
+          val added = table.readManifestList(m, s)
+            .filter(_.addedSnapshotId == s.snapshotId)
+          if (added.exists(_.content != FileContent.Data)) None
+          else Some(added)
+        }
+      appendManifests match {
+        case Some(added) =>
+          // merged manifests carry re-located older entries too — only the
+          // entries this commit itself added are its changes
+          val newTasks = added
+            .flatMap(mf => table.readManifest(mf, m.schema))
+            .filter(e => e.status == EntryStatus.Added &&
+              e.snapshotId == s.snapshotId)
+            .map(e => FileScanTask(e.file, e.sequenceNumber, AlwaysTrue))
+          if (newTasks.nonEmpty)
+            parts += tag(read(newTasks, Nil), Insert, ordinal, s.snapshotId)
+          prevPlan = ScanPlan(prevPlan.tasks ++ newTasks,
+            prevPlan.deleteFiles, 0, 0, 0, 0)
+          ordinal += 1
+        case None => fullDiff(s)
+      }
     }
 
     val built = parts.result()

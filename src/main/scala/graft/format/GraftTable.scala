@@ -208,6 +208,25 @@ final class TableScan private[format] (
         case _ => tasks.exists(t => // orc/avro: only targeted groups pay
           posTargets.contains(ParquetIO.canonPath(t.file.path)))
       })
+      // parquet/orc read through a metadata-fed FileIndex (HadoopFsRelation
+      // over GraftFileIndex, the same index the DSv2 and streaming paths
+      // use): spark.read.parquet(paths) existence-checks every root path on
+      // the driver at analysis time — 100k files means 100k stat calls
+      // (HEADs, on an object store) before the first byte of data. Sizes
+      // are already committed in the manifests; planning must not re-derive
+      // them from the filesystem.
+      def readIndexed(files: Seq[DataFile], clean: StructType): DataFrame = {
+        val fileFormat = fmt match {
+          case FileFormats.Orc =>
+            new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat()
+          case _ =>
+            new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+        }
+        spark.baseRelationToDataFrame(
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+            new graft.connector.GraftFileIndex(spark, files),
+            StructType(Nil), clean, None, fileFormat, Map.empty)(spark))
+      }
       def readTasks(ts: Seq[FileScanTask]): DataFrame = {
         val clean = stripIds(fileSchema)
         fmt match {
@@ -217,8 +236,7 @@ final class TableScan private[format] (
             alignToSchema(readOrcWithPos(spark, ts.map(_.file.path), clean),
               fileSchema, schema, keep = Seq("_g_file", "_g_pos"))
           case FileFormats.Orc =>
-            alignToSchema(spark.read.schema(clean).orc(ts.map(_.file.path): _*),
-              fileSchema, schema)
+            alignToSchema(readIndexed(ts.map(_.file), clean), fileSchema, schema)
           case FileFormats.Avro if groupPos =>
             alignToSchema(readAvroWithPos(spark, ts.map(_.file.path), clean),
               fileSchema, schema, keep = Seq("_g_file", "_g_pos"))
@@ -227,8 +245,7 @@ final class TableScan private[format] (
               ts.map(t => t.file.path -> t.file.fileSizeInBytes), clean),
               fileSchema, schema)
           case _ =>
-            alignToSchema(spark.read.schema(clean).parquet(ts.map(_.file.path): _*),
-              fileSchema, schema)
+            alignToSchema(readIndexed(ts.map(_.file), clean), fileSchema, schema)
         }
       }
       // identity-partition source columns absent from the FILES (imported
@@ -486,12 +503,57 @@ object TableScan {
     * thread churn (reference ManifestGroup's ParallelIterable worker pool,
     * core/.../util/ThreadPools.java). */
   private lazy val manifestPool: java.util.concurrent.ExecutorService =
-    java.util.concurrent.Executors.newFixedThreadPool(8,
+    java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(8, Runtime.getRuntime.availableProcessors()),
       (r: Runnable) => {
         val t = new Thread(r, "graft-manifest-reader")
         t.setDaemon(true)
         t
       })
+
+  /** Parsed-manifest LRU, weighted by entry count. Manifest files are
+    * immutable once written (UUID paths, never overwritten), so caching
+    * the parse is always safe; the key carries the id-resolution schema
+    * and partition types because the SAME bytes parse differently after a
+    * schema/spec evolution. Sized so a ~200k-entry table plans hot with
+    * zero parse work — the difference between a changelog/planning loop
+    * that re-parses the whole tree per snapshot and one that parses each
+    * manifest once (reference caches at the ContentCache/manifest layer
+    * for the same reason). */
+  private object ManifestCache {
+    private val MaxWeight = 200000L
+    private val map =
+      new java.util.LinkedHashMap[AnyRef, (Seq[ManifestEntry], Long)](
+        256, 0.75f, true)
+    private var weight = 0L
+
+    def getOrLoad(key: AnyRef, load: => Seq[ManifestEntry]): Seq[ManifestEntry] = {
+      val hit = map.synchronized(Option(map.get(key)))
+      hit match {
+        case Some((e, _)) => e
+        case None =>
+          val e = load // parse outside the lock; racing loads duplicate work, not state
+          val w = math.max(e.size.toLong, 1L)
+          map.synchronized {
+            if (map.get(key) == null) {
+              map.put(key, (e, w))
+              weight += w
+              val it = map.entrySet().iterator()
+              while (weight > MaxWeight && it.hasNext) {
+                val eldest = it.next()
+                weight -= eldest.getValue._2
+                it.remove()
+              }
+            }
+          }
+          e
+      }
+    }
+  }
+
+  private[format] def cachedManifest(key: AnyRef,
+      load: => Seq[ManifestEntry]): Seq[ManifestEntry] =
+    ManifestCache.getOrLoad(key, load)
 
   /** Read many manifests concurrently; results keyed by manifest path so the
     * caller can process them in its own deterministic order. */
@@ -552,10 +614,11 @@ final class GraftTable(val ops: TableOps, val spark: SparkSession) {
   private[format] def readManifest(mf: ManifestFile, schema: StructType): Seq[ManifestEntry] = {
     val m = metadata
     val types = partTypesOf(m)(mf.specId).toMap
-    Model.manifestFromJson(MetaCodec.decode(ops.io.readBytes(mf.path)),
-      m.schemas.toSeq.map(_._2).reduceLeft((a, b) =>
-        if (FieldIds.maxId(b) > FieldIds.maxId(a)) b else a),
-      types)
+    val idSchema = m.schemas.toSeq.map(_._2).reduceLeft((a, b) =>
+      if (FieldIds.maxId(b) > FieldIds.maxId(a)) b else a)
+    TableScan.cachedManifest((mf.path, idSchema, types),
+      Model.manifestFromJson(MetaCodec.decode(ops.io.readBytes(mf.path)),
+        idSchema, types))
   }
 }
 

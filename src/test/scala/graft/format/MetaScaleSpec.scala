@@ -1,0 +1,193 @@
+package graft.format
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Metadata-path-at-scale proof: a synthetic 100,000-file / 1,000-manifest
+  * / 1,000-snapshot tree (metadata ONLY — data paths are fabricated, no
+  * data I/O anywhere) driving planFiles, manifest-list pruning, the
+  * distributed metadata tables, rewriteManifests, a deep changelog plan,
+  * and the manifest codec's byte win. Ceilings are ~4× the measured local
+  * numbers — they exist to catch a scale regression (an accidental
+  * driver-side O(files) loop or plan blow-up), not to benchmark the
+  * machine. Measured numbers are recorded in COVERAGE.md each round.
+  *
+  * The reference's own headline is exactly this path (site/docs/
+  * performance.md:20-29: plan multi-petabyte tables from a single node
+  * using metadata only).
+  */
+class MetaScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ManifestCount = 1000
+  private val FilesPerManifest = 100
+  private val Cats = 100 // manifests cluster by cat: 10 manifests per cat
+  private val ListedSnapshots = 60 // trailing snapshots with real list files
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Build the fixture: manifests written in ONE distributed job; manifest
+    * lists only for the trailing snapshots (older list paths are phantom —
+    * nothing here reads them); one fabricated 1,000-snapshot metadata
+    * commit. Construction itself is part of the proof: the 100k-entry tree
+    * must come up in seconds without the driver serializing every entry. */
+  private lazy val table: GraftTable = {
+    val loc = s"${sys.props("java.io.tmpdir")}/graft-metascale/t"
+    val base = Seq.empty[(Long, String, Double)].toDF("id", "cat", "v")
+    val t = GraftTable.recreate(spark, loc, base.schema, _.identity("cat"))
+    val m1 = t.metadata
+    val schema = m1.schema
+    val spec = m1.spec
+    val types = t.partTypesOf(m1)(m1.defaultSpecId)
+    val typesMap = types.toMap
+    val idFieldId = FieldIds.nameToId(schema)("id")
+    val io = t.ops.io
+    val filesPer = FilesPerManifest
+    val manifestsPerCat = ManifestCount / Cats
+
+    val descriptors = spark.sparkContext
+      .parallelize(0 until ManifestCount, 64)
+      .map { mi =>
+        val cat = s"c${mi / manifestsPerCat}"
+        val entries = (0 until filesPer).map { fi =>
+          val id = (mi.toLong * filesPer + fi) * 100L
+          ManifestEntry(EntryStatus.Added, mi + 1L, mi + 1L,
+            DataFile(
+              path = s"$loc/data/cat=$cat/f-$mi-$fi.parquet",
+              partition = Map("cat" -> cat),
+              recordCount = 100L,
+              fileSizeInBytes = 32L << 20,
+              valueCounts = Map(idFieldId -> 100L),
+              nullValueCounts = Map(idFieldId -> 0L),
+              lowerBounds = Map(idFieldId -> id),
+              upperBounds = Map(idFieldId -> (id + 99L))))
+        }
+        val path = s"$loc/metadata/manifest-scale-$mi" +
+          MetaCodec.ext(MetaCodec.Gzip)
+        val bytes = MetaCodec.encode(
+          Model.manifestToJson(entries, schema, typesMap), MetaCodec.Gzip)
+        io.writeBytes(path, bytes)
+        Commits.buildManifestFile(path, bytes.length.toLong, 0, entries,
+          mi + 1L, spec, types)
+      }.collect().toSeq
+
+    // trailing manifest lists: snapshot k sees manifests 0 until k
+    val now = System.currentTimeMillis()
+    def listPath(k: Int) = s"$loc/metadata/snap-scale-$k" +
+      MetaCodec.ext(MetaCodec.Gzip)
+    ((ManifestCount - ListedSnapshots + 1) to ManifestCount).foreach { k =>
+      io.writeBytes(listPath(k), MetaCodec.encode(
+        Model.manifestListToJson(descriptors.take(k), t.partTypesOf(m1)),
+        MetaCodec.Gzip))
+    }
+    val snapshots = (1 to ManifestCount).map { k =>
+      Snapshot(k.toLong, if (k == 1) None else Some(k - 1L), k.toLong,
+        now - (ManifestCount - k) * 1000L, "append", listPath(k),
+        Map("schema-id" -> m1.currentSchemaId.toString))
+    }
+    val m2 = m1.copy(
+      lastSequenceNumber = ManifestCount.toLong,
+      lastUpdatedMillis = now,
+      currentSnapshotId = Some(ManifestCount.toLong),
+      snapshots = snapshots,
+      snapshotLog = snapshots.map(s =>
+        SnapshotLogEntry(s.timestampMillis, s.snapshotId)))
+    t.ops.commit(1, m2)
+    t
+  }
+
+  test("planFiles plans 100k files from metadata in bounded time") {
+    val (plan, secs) = timed(table.newScan().planFiles())
+    assert(plan.tasks.size === ManifestCount * FilesPerManifest)
+    assert(plan.deleteFiles.isEmpty)
+    info(f"planFiles full (cold): $secs%.2f s for ${plan.tasks.size} files")
+    assert(secs < 20.0, f"full planFiles took $secs%.1f s")
+    // manifests are immutable → the parse cache makes repeat planning
+    // (query loops, changelogs) metadata-I/O-free
+    val (plan2, hot) = timed(table.newScan().planFiles())
+    assert(plan2.tasks.size === plan.tasks.size)
+    info(f"planFiles full (hot): $hot%.2f s")
+    assert(hot < secs / 2 && hot < 5.0, f"hot planFiles took $hot%.2f s")
+  }
+
+  test("manifest-list pruning narrows a partition filter to 1% of manifests") {
+    val (plan, secs) = timed(
+      table.newScan().filter(Exprs.equal("cat", "c5")).planFiles())
+    assert(plan.tasks.size === FilesPerManifest * (ManifestCount / Cats))
+    // the manifest-list stage must have pruned, not post-filtered: scanned
+    // counter tracks manifests actually parsed
+    assert(plan.manifestsScanned <= ManifestCount / Cats,
+      s"parsed ${plan.manifestsScanned} manifests for a 10-manifest filter")
+    info(f"planFiles pruned: $secs%.2f s, ${plan.manifestsScanned} manifests parsed")
+    assert(secs < 5.0)
+  }
+
+  test("metrics pruning keeps a selective id filter to one file per manifest-range") {
+    val (plan, _) = timed(
+      table.newScan().filter(Exprs.and(
+        Exprs.gtEq("id", 5000000L), Exprs.lt("id", 5000100L))).planFiles())
+    assert(plan.tasks.size === 1, "id bounds must isolate a single file")
+  }
+
+  test("entries metadata table streams 100k entries through executors") {
+    val (n, secs) = timed(MetaTables.entries(table).count())
+    assert(n === ManifestCount * FilesPerManifest)
+    info(f"entries count: $secs%.2f s")
+    assert(secs < 30.0)
+  }
+
+  test("partitions metadata table aggregates the distributed relation") {
+    val (rows, secs) = timed(MetaTables.partitions(table)
+      .select("partition.cat", "record_count", "file_count").collect())
+    assert(rows.length === Cats)
+    assert(rows.map(_.getLong(1)).sum === 100L * ManifestCount * FilesPerManifest)
+    assert(rows.map(_.getLong(2)).sum === ManifestCount * FilesPerManifest)
+    info(f"partitions: $secs%.2f s for ${rows.length} partitions")
+    assert(secs < 30.0)
+  }
+
+  test("a 40-commit changelog over the deep history builds a bounded plan") {
+    val fromId = ManifestCount - 40L
+    val (df, secs) = timed(
+      Changes.between(table, from = Some(fromId), maxPlanWidth = 8))
+    val nodes = df.queryExecution.analyzed.collect { case n => n }.size
+    info(f"changelog build: $secs%.2f s, $nodes plan nodes")
+    assert(nodes < 60, s"changelog plan has $nodes nodes")
+    assert(secs < 30.0)
+  }
+
+  test("gzip manifests are several times smaller than plain JSON") {
+    val m = table.metadata
+    val mfs = table.readManifestList(m, m.currentSnapshot.get).take(100)
+    val gzBytes = mfs.map(_.length).sum
+    val plainBytes = mfs.map { mf =>
+      MetaCodec.decode(table.ops.io.readBytes(mf.path))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+    }.sum
+    info(f"manifest bytes: gzip $gzBytes%d vs plain $plainBytes%d " +
+      f"(${plainBytes.toDouble / gzBytes}%.1fx)")
+    assert(gzBytes * 3 < plainBytes,
+      s"expected >3x byte win, got gzip=$gzBytes plain=$plainBytes")
+  }
+
+  test("rewriteManifests compacts 1000 manifests distributed; plan unchanged") {
+    val (written, secs) = timed(
+      Actions.forTable(table).rewriteManifests(entriesPerManifest = 1000))
+    // range partitioning samples boundaries, so each output holds UP TO
+    // 1000 entries: expect ~100-200 manifests, a 5-10x compaction
+    assert(written >= ManifestCount * FilesPerManifest / 1000 &&
+      written <= 2 * ManifestCount * FilesPerManifest / 1000,
+      s"unexpected manifest count $written")
+    info(f"rewriteManifests: $secs%.2f s → $written manifests")
+    assert(secs < 120.0)
+    val plan = table.newScan().planFiles()
+    assert(plan.tasks.size === ManifestCount * FilesPerManifest)
+    val pruned = table.newScan().filter(Exprs.equal("cat", "c5")).planFiles()
+    assert(pruned.tasks.size === FilesPerManifest * (ManifestCount / Cats))
+  }
+}
