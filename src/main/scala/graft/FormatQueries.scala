@@ -365,6 +365,34 @@ object FormatQueries {
                FROM graftup.db.customer_upsert GROUP BY 1 ORDER BY 1""")
     }),
 
+    // equality-delete compaction: upsert-style history (append, eq-delete,
+    // append, eq-delete), then rewriteEqualityDeletes converts every live
+    // eq delete into position deletes — visible rows must not move, and
+    // only position deletes may remain live
+    "q99_eq_delete_compaction" -> ((s, dir) => {
+      val t = withTable(s, dir, "customer_eq2pos") { loc =>
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val tt = GraftTable.recreate(s, loc, c.schema)
+        GraftWrite.append(tt, c.filter(col("c_custkey") % 2 === 0).coalesce(2))
+        Deletes.deleteByEquality(tt,
+          c.filter(col("c_acctbal") < 0 && col("c_custkey") % 2 === 0)
+            .select(col("c_custkey")))
+        GraftWrite.append(tt, c.filter(col("c_custkey") % 2 === 1).coalesce(2))
+        Deletes.deleteByEquality(tt,
+          c.filter(col("c_mktsegment") === "BUILDING" && col("c_custkey") % 2 === 1)
+            .select(col("c_custkey")))
+        val res = Actions.forTable(tt).rewriteEqualityDeletes()
+        require(res.rewrittenFiles == 2, s"expected 2 eq files converted: $res")
+        val live = tt.newScan().planFiles().deleteFiles
+        require(live.forall(_._1.content == FileContent.PositionDeletes),
+          "eq deletes must be gone after conversion")
+        tt
+      }
+      t.toDF().groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("c_acctbal")))).as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // streaming sink: two epochs + a replayed epoch (dedup) = exactly-once
     "q73_streaming_epochs" -> ((s, dir) => {
       val t = withTable(s, dir, "customer_stream") { loc =>
@@ -828,6 +856,14 @@ object FormatQueries {
       """SELECT c_mktsegment, COUNT(*) AS n,
         |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
         |FROM customer WHERE c_acctbal >= 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q99_eq_delete_compaction" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |WHERE (c_custkey % 2 = 0 AND c_acctbal >= 0)
+        |   OR (c_custkey % 2 = 1 AND c_mktsegment <> 'BUILDING')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q66_schema_evolution" ->

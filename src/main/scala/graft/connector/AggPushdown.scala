@@ -111,7 +111,7 @@ object AggPushdown {
       // truncated bounds forever, regardless of the CURRENT property value
       case StringType | BinaryType => true
       case IntegerType | LongType | DateType | TimestampType |
-           TimestampNTZType | BooleanType | _: DecimalType => true
+           TimestampNTZType | BooleanType | _: DecimalType | _: TimeType => true
       case _ => false
     }
 

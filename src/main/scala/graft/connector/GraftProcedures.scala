@@ -303,6 +303,18 @@ final class GraftProcedures(resolve: String => GraftTable,
       Array(row(Int.box(r.rewrittenFiles), Int.box(r.addedFiles)))
   })
 
+  private val rewriteEqualityDeletes = new Proc("rewrite_equality_deletes",
+    "convert live equality deletes into compactable position deletes",
+    Array(p("table", StringType)),
+    StructType(Seq(
+      StructField("rewritten_delete_files_count", IntegerType, nullable = false),
+      StructField("added_delete_files_count", IntegerType, nullable = false))))({
+    in =>
+      val t = resolve(str(in, 0))
+      val r = Actions.forTable(t).rewriteEqualityDeletes()
+      Array(row(Int.box(r.rewrittenFiles), Int.box(r.addedFiles)))
+  })
+
   private val rewriteManifests = new Proc("rewrite_manifests",
     "rewrite the manifest tree partition-clustered (distributed)",
     Array(p("table", StringType),
@@ -402,7 +414,8 @@ final class GraftProcedures(resolve: String => GraftTable,
     cherrypickSnapshot, publishChanges, ancestorsOf,
     createBranch, createTag, dropRef, fastForward,
     expireSnapshots, removeOrphanFiles,
-    rewriteDataFiles, rewritePositionDeletes, rewriteManifests,
+    rewriteDataFiles, rewritePositionDeletes, rewriteEqualityDeletes,
+    rewriteManifests,
     importTable, createChangelogView, analyzeTable
   ).map(proc => proc.name() -> (proc: UnboundProcedure)).toMap
 

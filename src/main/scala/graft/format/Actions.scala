@@ -396,6 +396,112 @@ final class Actions(t: GraftTable) {
     RewriteResult(posFiles.size, newDeletes.size)
   }
 
+  /** Convert live equality-delete files into position deletes — the
+    * standard maintenance for long-lived streaming-upsert tables
+    * (reference convert-equality-deletes rewrite): every scan pays an
+    * anti-join per live eq-delete group forever, while a position delete
+    * is a cheap per-file mask and compacts further via
+    * [[rewritePositionDeletes]]. One distributed job per equality-id
+    * group: data rows that an eq file suppresses (same keys, data
+    * sequence < delete sequence, null-safe like the scan's own anti-join)
+    * are located by (file, row-position) and written as sorted position
+    * deletes; the commit swaps delete files only, data untouched.
+    *
+    * Conservative no-op when any targetable data file is non-parquet
+    * (row positions there read row-path; converting only part of an eq
+    * file's targets would resurrect the rest). */
+  def rewriteEqualityDeletes(): RewriteResult = {
+    import org.apache.spark.sql.functions.{col, lit, max, udf}
+    val plan = t.newScan().planFiles()
+    val eqFiles = plan.deleteFiles
+      .filter(_._1.content == FileContent.EqualityDeletes).distinctBy(_._1.path)
+    if (eqFiles.isEmpty) return RewriteResult(0, 0)
+    val maxSeq = eqFiles.map(_._2).max
+    val candidates = plan.tasks.filter(_.sequenceNumber < maxSeq)
+    if (candidates.exists(_.file.fileFormat != FileFormats.Parquet))
+      return RewriteResult(0, 0)
+    val spark = t.spark
+    val m = t.metadata
+    val schema = m.schema
+    val seqOf = spark.sparkContext.broadcast(
+      candidates.map(ts => ParquetIO.canonPath(ts.file.path) -> ts.sequenceNumber)
+        .toMap)
+    val canon = udf((s: String) => ParquetIO.canonPath(s))
+    val dataSeq = udf((s: String) => seqOf.value.getOrElse(ParquetIO.canonPath(s), Long.MaxValue))
+
+    val suppressed: Seq[org.apache.spark.sql.DataFrame] =
+      eqFiles.groupBy(_._1.equalityIds).toSeq.sortBy(_._1.mkString(",")).map {
+        case (ids, group) =>
+          val names = ids.map(id => FieldIds.findById(schema, id).get.name)
+          // newest delete wins per key: a data row is suppressed iff some
+          // eq row with equal keys carries a NEWER sequence
+          val del = group.map { case (f, seq) =>
+            spark.read.parquet(f.path).select(names.map(col): _*)
+              .withColumn("_eq_seq", lit(seq))
+          }.reduce(_ unionByName _)
+            .groupBy(names.map(col): _*).agg(max(col("_eq_seq")).as("_eq_seq"))
+          // candidates grouped by writer schema so renamed key columns
+          // resolve by field id; promoted leaves cast up to the table type
+          candidates.groupBy(_.file.schemaId).toSeq.sortBy(_._1).map {
+            case (schemaId, tasks) =>
+              val fileSchema = m.schemas.getOrElse(schemaId, schema)
+              val pairs = ids.map { id =>
+                val tf = FieldIds.findById(schema, id).get
+                val ff = FieldIds.findById(fileSchema, id).getOrElse(tf)
+                (ff.name, tf.name, Types.cleanType(tf.dataType))
+              }
+              val data = spark.read
+                .schema(Types.cleanType(fileSchema)
+                  .asInstanceOf[org.apache.spark.sql.types.StructType])
+                .parquet(tasks.map(_.file.path): _*)
+                .select(pairs.map { case (fn, tn, dt) =>
+                  col(fn).cast(dt).as(tn) } :+
+                  col("_metadata.file_path").as("_g_file") :+
+                  col("_metadata.row_index").as("_g_pos"): _*)
+              val cond = names.map(n => data(n) <=> del(n)).reduce(_ && _)
+              data.join(del, cond, "inner")
+                .filter(dataSeq(col("_g_file")) < col("_eq_seq"))
+                .select(canon(col("_g_file")).as("file_path"),
+                  col("_g_pos").as("pos"))
+          }.reduce(_ unionByName _)
+      }
+    if (suppressed.isEmpty) return RewriteResult(0, 0)
+    val positions = suppressed.reduce(_ unionByName _).dropDuplicates("file_path", "pos")
+
+    val staging = t.locations.newDataLocation(java.util.UUID.randomUUID().toString)
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      ParquetIO.writeConf(spark))
+    val deleteSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file_path",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val staged: Seq[(String, Long)] = positions
+      .repartitionByRange(math.max(1, spark.sparkContext.defaultParallelism / 4),
+        col("file_path"), col("pos"))
+      .sortWithinPartitions(col("file_path"), col("pos"))
+      .queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val path = s"$staging/eq2pos-$pid-${java.util.UUID.randomUUID()}.parquet"
+          val w = ParquetIO.openWriter(path, deleteSchema, sconf.value)
+          var n = 0L
+          try it.foreach { row => w.write(row); n += 1 }
+          finally w.close()
+          Iterator.single((path, n))
+        }
+      }.collect().toSeq
+    val newDeletes = staged.sortBy(_._1).map { case (path, n) =>
+      val hp = new org.apache.hadoop.fs.Path(path)
+      DataFile(path = path, content = FileContent.PositionDeletes,
+        recordCount = n,
+        fileSizeInBytes = hp.getFileSystem(sconf.value).getFileStatus(hp).getLen,
+        schemaId = m.currentSchemaId, specId = m.defaultSpecId)
+    }
+    Commits.rewriteFiles(t, eqFiles.map(_._1.path).toSet, newDeletes)
+    RewriteResult(eqFiles.size, newDeletes.size)
+  }
+
   private def binPack(files: Seq[(String, Long)], target: Long): Seq[Seq[String]] = {
     val bins = collection.mutable.ArrayBuffer[(collection.mutable.ArrayBuffer[String], Long)]()
     files.sortBy(-_._2).foreach { case (path, size) =>

@@ -126,6 +126,10 @@ object Exprs {
       i.getEpochSecond * 1000000L + i.getNano / 1000
     case (ldt: LocalDateTime, TimestampType | TimestampNTZType) =>
       ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000
+    // time canonical = nanos-of-day (Spark's internal TIME encoding)
+    case (l: Long, _: TimeType) => l
+    case (t: java.time.LocalTime, _: TimeType) => t.toNanoOfDay
+    case (s: String, _: TimeType) => java.time.LocalTime.parse(s).toNanoOfDay
     case (s: String, StringType) => s
     case (b: Boolean, BooleanType) => b
     case (b: Array[Byte], BinaryType) => b
@@ -155,7 +159,8 @@ object Exprs {
   def ordering(dt: DataType): Ordering[Any] = {
     val o: Ordering[_] = dt match {
       case IntegerType | DateType => Ordering.Int
-      case LongType | TimestampType | TimestampNTZType => Ordering.Long
+      case LongType | TimestampType | TimestampNTZType | _: TimeType =>
+        Ordering.Long
       case DoubleType => Ordering.Double.TotalOrdering
       case FloatType => Ordering.Float.TotalOrdering
       case StringType => Ordering.String
@@ -237,6 +242,8 @@ object Exprs {
       val us = v.asInstanceOf[Long]
       lit(LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
         (Math.floorMod(us, 1000000L) * 1000).toInt, ZoneOffset.UTC))
+    case _: TimeType => // canonical nanos-of-day
+      lit(java.time.LocalTime.ofNanoOfDay(v.asInstanceOf[Long]))
     case _ => lit(v)
   }
 

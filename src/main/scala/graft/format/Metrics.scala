@@ -245,6 +245,17 @@ object Metrics {
             }
             case _ => None
           }
+        case (INT32 | INT64, _: TimeType) =>
+          // canonical = nanos-of-day (Spark's internal TIME encoding)
+          val raw = v.asInstanceOf[Number].longValue()
+          logical match {
+            case t: LogicalTypeAnnotation.TimeLogicalTypeAnnotation => t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(raw * 1000000L)
+              case LogicalTypeAnnotation.TimeUnit.MICROS => Some(raw * 1000L)
+              case LogicalTypeAnnotation.TimeUnit.NANOS => Some(raw)
+            }
+            case _ => None
+          }
         case (INT64, IntegerType) => Some(v.asInstanceOf[Number].intValue())
         case (DOUBLE, DoubleType) => Some(v.asInstanceOf[Number].doubleValue())
         case (FLOAT, FloatType) => Some(v.asInstanceOf[Number].floatValue())

@@ -15,7 +15,8 @@ object Values {
     if (v == null) { parent.putNull(field); return }
     dt match {
       case IntegerType | DateType => parent.put(field, v.asInstanceOf[Int])
-      case LongType | TimestampType | TimestampNTZType =>
+      // time canonical = nanos-of-day (Spark's internal TIME encoding)
+      case LongType | TimestampType | TimestampNTZType | _: TimeType =>
         parent.put(field, v.asInstanceOf[Long])
       case DoubleType => parent.put(field, v.asInstanceOf[Double])
       case FloatType => parent.put(field, v.asInstanceOf[Float])
@@ -33,7 +34,7 @@ object Values {
     if (n == null || n.isNull) return null
     dt match {
       case IntegerType | DateType => n.asInt()
-      case LongType | TimestampType | TimestampNTZType => n.asLong()
+      case LongType | TimestampType | TimestampNTZType | _: TimeType => n.asLong()
       case DoubleType => n.asDouble()
       case FloatType => n.asDouble().toFloat
       case StringType => n.asText()
@@ -56,7 +57,7 @@ object Values {
     def le(n: Int): ByteBuffer = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
     dt match {
       case IntegerType | DateType => le(4).putInt(v.asInstanceOf[Int]).array()
-      case LongType | TimestampType | TimestampNTZType =>
+      case LongType | TimestampType | TimestampNTZType | _: TimeType =>
         le(8).putLong(v.asInstanceOf[Long]).array()
       case FloatType => le(4).putFloat(v.asInstanceOf[Float]).array()
       case DoubleType => le(8).putDouble(v.asInstanceOf[Double]).array()
@@ -76,7 +77,7 @@ object Values {
     def le: ByteBuffer = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
     dt match {
       case IntegerType | DateType => le.getInt
-      case LongType | TimestampType | TimestampNTZType => le.getLong
+      case LongType | TimestampType | TimestampNTZType | _: TimeType => le.getLong
       case FloatType => le.getFloat
       case DoubleType => le.getDouble
       case BooleanType => b(0) != 0
@@ -99,7 +100,7 @@ object Values {
     if (s == "__HIVE_DEFAULT_PARTITION__") return null
     dt match {
       case IntegerType | DateType => s.toInt
-      case LongType | TimestampType | TimestampNTZType => s.toLong
+      case LongType | TimestampType | TimestampNTZType | _: TimeType => s.toLong
       case StringType => s
       case DoubleType => s.toDouble
       case FloatType => s.toFloat
@@ -149,6 +150,8 @@ object Values {
         val us = v.asInstanceOf[Long]
         lit(java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
           (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
+      case _: TimeType =>
+        lit(java.time.LocalTime.ofNanoOfDay(v.asInstanceOf[Long]))
       case other => lit(v).cast(other)
     }
   }

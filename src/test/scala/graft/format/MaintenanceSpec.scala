@@ -559,4 +559,51 @@ class MaintenanceSpec extends SparkSpec {
     // the equality-delete file went dangling and was dropped in-commit
     assert(t.newScan().planFiles().deleteFiles.isEmpty)
   }
+
+  test("rewriteEqualityDeletes converts eq deletes to position deletes") {
+    val loc = freshLoc("eq2pos")
+    val t = GraftTable.create(spark, loc, rows(4).schema)
+    GraftWrite.append(t, rows(4, 0).coalesce(1)) // ids 0..3
+    Deletes.deleteByEquality(t, Seq(1L).toDF("id"))
+    GraftWrite.append(t, rows(4, 1).coalesce(1)) // ids 1000..1003, NEWER than the delete
+    Deletes.deleteByEquality(t, Seq(3L, 1002L).toDF("id"))
+    // a key that also appears in a NEWER file: only the older occurrence dies
+    val before = t.toDF().select("id").as[Long].collect().sorted.toSeq
+    assert(before == Seq(0L, 2L, 1000L, 1001L, 1003L))
+
+    val res = Actions.forTable(t).rewriteEqualityDeletes()
+    assert(res.rewrittenFiles == 2, "both eq-delete files converted")
+    assert(res.addedFiles >= 1)
+    val delsAfter = t.newScan().planFiles().deleteFiles
+    assert(delsAfter.nonEmpty &&
+      delsAfter.forall(_._1.content == FileContent.PositionDeletes),
+      "only position deletes remain")
+    assert(t.toDF().select("id").as[Long].collect().sorted.toSeq == before,
+      "visible rows unchanged by the conversion")
+    // the conversion is a replace commit: CDC emits nothing for it
+    val ch = Changes.between(t,
+      from = Some(t.snapshots.init.last.snapshotId))
+    assert(ch.count() === 0)
+    // and the position deletes now compact further
+    val sizes = Actions.forTable(t).rewritePositionDeletes()
+    assert(t.toDF().select("id").as[Long].collect().sorted.toSeq == before)
+  }
+
+  test("rewriteEqualityDeletes: null keys and no-op cases") {
+    val loc = freshLoc("eq2posnull")
+    val t = GraftTable.create(spark, loc,
+      Seq((Option(1L), "a")).toDF("k", "v").schema)
+    assert(Actions.forTable(t).rewriteEqualityDeletes() ==
+      Actions.RewriteResult(0, 0))
+    GraftWrite.append(t, Seq((Option(1L), "a"), (None: Option[Long], "b"),
+      (Option(3L), "c")).toDF("k", "v").coalesce(1))
+    Deletes.deleteByEquality(t, Seq(None: Option[Long]).toDF("k"))
+    val before = t.toDF().select("v").as[String].collect().sorted.toSeq
+    assert(before == Seq("a", "c"), "null key matches null-safely")
+    val res = Actions.forTable(t).rewriteEqualityDeletes()
+    assert(res.rewrittenFiles == 1)
+    assert(t.toDF().select("v").as[String].collect().sorted.toSeq == before)
+    assert(t.newScan().planFiles().deleteFiles
+      .forall(_._1.content == FileContent.PositionDeletes))
+  }
 }

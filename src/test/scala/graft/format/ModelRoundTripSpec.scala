@@ -15,7 +15,7 @@ class ModelRoundTripSpec extends AnyFunSuite {
   private val N = 500
 
   /** (type, random value) for every supported leaf type. */
-  private def randomLeaf(rnd: Random): (DataType, Any) = rnd.nextInt(9) match {
+  private def randomLeaf(rnd: Random): (DataType, Any) = rnd.nextInt(10) match {
     case 0 => (IntegerType, rnd.nextInt())
     case 1 => (LongType, rnd.nextLong())
     case 2 => (DoubleType, rnd.nextDouble() * 1e12 - 5e11)
@@ -29,6 +29,8 @@ class ModelRoundTripSpec extends AnyFunSuite {
     case 7 => (TimestampNTZType, rnd.nextLong() % 4102444800000000L)
     case 8 => (DecimalType(14, 4), new java.math.BigDecimal(
       java.math.BigInteger.valueOf(rnd.nextLong() % 999999999L), 4))
+    case 9 => // TIME: canonical nanos-of-day
+      (TimeType(6), math.abs(rnd.nextLong()) % 86400000000000L)
   }
 
   test("bound values of every supported type round-trip through manifest JSON") {

@@ -1,0 +1,77 @@
+package graft.format
+
+import graft.SparkSpec
+import java.time.LocalTime
+import org.apache.spark.sql.types.TimeType
+
+/** TIME columns end-to-end (closes the last §1.2 type row): Spark 4.1's
+  * TimeType maps to canonical nanos-of-day longs through metadata JSON,
+  * footer metrics, expression pruning and the SQL surface. The reference
+  * models time as micros-of-day longs (api/.../types/Types.java:189) but
+  * its own Spark conversion throws — this engine supports it outright. */
+class TimeTypeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Spark 4.1 gates TimeType behind this flag (SQLConf.TIME_TYPE_ENABLED,
+  // default false); graft supports the type whenever the session does
+  spark.conf.set("spark.sql.timeType.enabled", "true")
+
+  private def tmp(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-timetype/$name"
+
+  test("canonical codec + coercion + ordering for TIME") {
+    val t = TimeType(6)
+    val noon = LocalTime.NOON.toNanoOfDay
+    assert(Exprs.coerce(LocalTime.NOON, t) === noon)
+    assert(Exprs.coerce("12:00", t) === noon)
+    assert(Exprs.coerce(noon, t) === noon)
+    assert(Exprs.ordering(t).lt(
+      LocalTime.of(1, 0).toNanoOfDay, LocalTime.of(2, 0).toNanoOfDay))
+    val o = Json.obj()
+    Values.toJson(o, "v", noon, t)
+    assert(Values.fromJson(o.get("v"), t) === noon)
+    assert(Values.fromBytes(Values.toBytes(noon, t), t) === noon)
+  }
+
+  test("TIME columns write, scan, and stat-prune through the library path") {
+    val df = Seq(
+      (1L, LocalTime.of(1, 15, 0)),
+      (2L, LocalTime.of(9, 30, 0)),
+      (3L, LocalTime.of(22, 45, 0))).toDF("id", "t")
+    val table = GraftTable.recreate(spark, tmp("lib"), df.schema)
+    GraftWrite.append(table, df.filter($"id" < 3L).coalesce(1))
+    GraftWrite.append(table, df.filter($"id" === 3L).coalesce(1))
+
+    val all = table.toDF().orderBy("id").collect()
+    assert(all.map(_.getAs[LocalTime]("t")).toSeq ===
+      Seq(LocalTime.of(1, 15), LocalTime.of(9, 30), LocalTime.of(22, 45)))
+
+    // footer metrics became canonical bounds → file-level pruning works
+    val pruned = table.newScan()
+      .filter(Exprs.gt("t", LocalTime.of(12, 0))).planFiles()
+    assert(pruned.tasks.size === 1, "afternoon filter must prune the morning file")
+    val rows = table.newScan().filter(Exprs.gt("t", LocalTime.of(12, 0)))
+      .toDF().collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
+  test("TIME through SQL: DDL, DML, filters, metadata-only min/max") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-timewh").toString
+    spark.conf.set("spark.sql.catalog.gtt", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtt.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtt.db")
+    spark.sql("CREATE TABLE gtt.db.shifts (id BIGINT, start TIME)")
+    spark.sql("""INSERT INTO gtt.db.shifts VALUES
+      (1, TIME'06:00:00'), (2, TIME'14:00:00'), (3, TIME'22:00:00')""")
+    assert(spark.sql("SELECT * FROM gtt.db.shifts").count() === 3)
+    val late = spark.sql(
+      "SELECT id FROM gtt.db.shifts WHERE start > TIME'13:00:00' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(late === Seq(2L, 3L))
+    // metadata-only MIN/MAX: TIME bounds are exact (never truncated)
+    val mm = spark.sql("SELECT min(start) AS mn, max(start) AS mx FROM gtt.db.shifts")
+    val r = mm.collect()(0)
+    assert(r.getAs[LocalTime]("mn") === LocalTime.of(6, 0))
+    assert(r.getAs[LocalTime]("mx") === LocalTime.of(22, 0))
+  }
+}
