@@ -207,15 +207,17 @@ final case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan
       case (vc, catName, ident) if vc.viewExists(ident) =>
         val v = vc.loadView(ident)
         val parsed = spark.sessionState.sqlParser.parsePlan(v.query)
-        val cteNames = parsed.collect {
+        val cteNames = (parsed +: parsed.subqueriesAll).flatMap(_.collect {
           case w: UnresolvedWith => w.cteRelations.map(_._1)
-        }.flatten.toSet
+        }.flatten).toSet
         // re-qualify table references against the DEFINING context so the
         // view is stable under the reader's USE catalog/namespace — and
         // under the reader's temp views: only CTE names defined inside the
         // view body are exempt (reference ResolveViews qualifies
-        // unconditionally; CREATE VIEW rejects temp-view refs up front)
-        val qualified = parsed.transformUp {
+        // unconditionally; CREATE VIEW rejects temp-view refs up front).
+        // *WithSubqueries: references inside IN/EXISTS/scalar subquery
+        // expressions must requalify too
+        val qualified = parsed.transformUpWithSubqueries {
           case r: UnresolvedRelation if r.multipartIdentifier.length < 3 &&
               !(r.multipartIdentifier.length == 1 &&
                 cteNames.contains(r.multipartIdentifier.head)) =>
@@ -226,7 +228,7 @@ final case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan
             r.copy(multipartIdentifier = full)
         }
         // nested stored views expand recursively with a depth guard
-        val resolved = qualified.resolveOperatorsUp {
+        val resolved = qualified.transformUpWithSubqueries {
           case inner: UnresolvedRelation if !inner.isStreaming =>
             expand(inner, depth + 1).getOrElse(inner)
         }
@@ -259,10 +261,13 @@ final case class CreateGraftView(catalog: ViewCatalog, ident: Identifier,
     // persistent views too; reference ResolveViews qualifies all refs)
     locally {
       val parsed = spark.sessionState.sqlParser.parsePlan(sql)
-      val cteNames = parsed.collect {
+      // subqueriesAll: IN/EXISTS/scalar subquery expressions hold nested
+      // plans that plain foreach/collect never visit
+      val trees = parsed +: parsed.subqueriesAll
+      val cteNames = trees.flatMap(_.collect {
         case w: UnresolvedWith => w.cteRelations.map(_._1)
-      }.flatten.toSet
-      parsed.foreach {
+      }.flatten).toSet
+      trees.foreach(_.foreach {
         case r: UnresolvedRelation
             if !(r.multipartIdentifier.length == 1 &&
                  cteNames.contains(r.multipartIdentifier.head)) &&
@@ -272,7 +277,7 @@ final case class CreateGraftView(catalog: ViewCatalog, ident: Identifier,
             s"cannot create stored view ${ident.name()}: it references " +
             s"temporary view ${r.multipartIdentifier.mkString(".")}")
         case _ => ()
-      }
+      })
     }
     val analyzed = spark.sql(sql).queryExecution.analyzed
     val queryCols = analyzed.schema.fieldNames

@@ -418,6 +418,13 @@ final class Actions(t: GraftTable) {
     if (eqFiles.isEmpty) return RewriteResult(0, 0)
     val maxSeq = eqFiles.map(_._2).max
     val candidates = plan.tasks.filter(_.sequenceNumber < maxSeq)
+    if (candidates.isEmpty) {
+      // the eq deletes predate every live data file, so they suppress
+      // nothing now and (sequence numbers only grow) never will — dropping
+      // them IS the conversion
+      Commits.rewriteFiles(t, eqFiles.map(_._1.path).toSet, Nil)
+      return RewriteResult(eqFiles.size, 0)
+    }
     if (candidates.exists(_.file.fileFormat != FileFormats.Parquet))
       return RewriteResult(0, 0)
     val spark = t.spark

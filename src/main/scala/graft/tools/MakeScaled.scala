@@ -53,7 +53,7 @@ object MakeScaled {
     scaled("documents", Seq("doc_id"), (d, i) =>
       if (i == 0) d
       else d.withColumn("text", concat(col("text"), lit(s" copytag$i")))
-        .withColumn("n_chars", col("n_chars") + lit(9 + i.toString.length)))
+        .withColumn("n_chars", col("n_chars") + lit(s" copytag$i".length)))
     scaled("embeddings", Seq("vec_id"), (d, i) =>
       if (i == 0) d
       else d.withColumn("embedding",

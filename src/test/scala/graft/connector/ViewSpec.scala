@@ -170,6 +170,29 @@ class ViewSpec extends SparkSpec {
     } finally spark.sql("USE spark_catalog.default")
   }
 
+  test("subquery expressions inside view bodies are qualified and guarded too") {
+    wh
+    spark.sql("USE gv.db")
+    try {
+      // defining context captured for references INSIDE an IN-subquery
+      spark.sql("""CREATE VIEW subq_v AS
+                   SELECT id FROM base WHERE id IN (SELECT id FROM base WHERE id < 4)""")
+      spark.sql("USE spark_catalog.default")
+      assert(spark.sql("SELECT * FROM gv.db.subq_v").count() === 4)
+
+      // temp-view references hiding inside a subquery are still rejected
+      spark.sql("CREATE TEMP VIEW sq_tv AS SELECT 1 AS id")
+      try {
+        val ex = intercept[Exception](spark.sql(
+          """CREATE VIEW gv.db.badsq AS
+             SELECT id FROM gv.db.base WHERE id IN (SELECT id FROM sq_tv)"""))
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(ex).exists(_.contains("temporary view")))
+      } finally spark.sql("DROP VIEW sq_tv")
+    } finally spark.sql("USE spark_catalog.default")
+  }
+
   test("SHOW VIEWS pattern treats regex metacharacters as literals") {
     wh
     spark.sql("CREATE VIEW gv.db.pat1 AS SELECT id FROM gv.db.base")

@@ -589,6 +589,21 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.toDF().select("id").as[Long].collect().sorted.toSeq == before)
   }
 
+  test("rewriteEqualityDeletes drops eq deletes older than all live data") {
+    val loc = freshLoc("eq2posold")
+    val t = GraftTable.create(spark, loc, rows(2).schema)
+    GraftWrite.append(t, rows(2, 0).coalesce(1))
+    Deletes.deleteByEquality(t, Seq(0L).toDF("id"))
+    // drop the only older data file: the eq delete now targets nothing
+    Commits.deleteByFilter(t, Exprs.lt("id", 100L))
+    GraftWrite.append(t, rows(2, 1).coalesce(1))
+    assert(t.newScan().planFiles().deleteFiles.nonEmpty)
+    val res = Actions.forTable(t).rewriteEqualityDeletes()
+    assert(res == Actions.RewriteResult(1, 0))
+    assert(t.newScan().planFiles().deleteFiles.isEmpty)
+    assert(t.toDF().count() === 2)
+  }
+
   test("rewriteEqualityDeletes: null keys and no-op cases") {
     val loc = freshLoc("eq2posnull")
     val t = GraftTable.create(spark, loc,

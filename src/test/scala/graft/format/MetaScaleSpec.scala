@@ -102,6 +102,7 @@ class MetaScaleSpec extends SparkSpec {
   }
 
   test("planFiles plans 100k files from metadata in bounded time") {
+    table.metadata // materialize the lazy fixture OUTSIDE the timing
     val (plan, secs) = timed(table.newScan().planFiles())
     assert(plan.tasks.size === ManifestCount * FilesPerManifest)
     assert(plan.deleteFiles.isEmpty)
