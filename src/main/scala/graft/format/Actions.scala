@@ -565,8 +565,7 @@ final class Actions(t: GraftTable) {
         val paths = mfs.map(_.path)
         val readTasks = math.min(paths.size, math.max(1, sc.defaultParallelism * 4))
         sc.parallelize(paths, readTasks)
-          .flatMap(p => Model.manifestFromJson(
-            MetaCodec.decode(io.readBytes(p)), idSchema, typesMap))
+          .flatMap(p => MetaCodec.readManifest(io.readBytes(p), idSchema, typesMap))
           .filter(_.status != EntryStatus.Deleted)
           .map(e => (e.file.partition.toSeq.sortBy(_._1)
             .map(kv => Values.toDirString(kv._2)).mkString("/") + e.file.path,
@@ -577,8 +576,7 @@ final class Actions(t: GraftTable) {
               val entries = group.toSeq
               val path = s"$metadataDir/manifest-${java.util.UUID.randomUUID()}" +
                 MetaCodec.ext(codec)
-              val bytes = MetaCodec.encode(
-                Model.manifestToJson(entries, idSchema, typesMap), codec)
+              val bytes = MetaCodec.writeManifest(entries, idSchema, typesMap, codec)
               io.writeBytes(path, bytes)
               // addedSnapshotId is stamped driver-side at commit (the new
               // snapshot id is not known until the CAS)
@@ -600,8 +598,8 @@ final class Actions(t: GraftTable) {
       val (seq, sid) = (meta.lastSequenceNumber + 1, meta.lastSequenceNumber + 1)
       val stamped = newManifests.map(_.copy(addedSnapshotId = sid))
       val listPath = t.ops.newManifestListPath(sid, MetaCodec.ext(codec))
-      io.writeBytes(listPath, MetaCodec.encode(
-        Model.manifestListToJson(stamped, t.partTypesOf(meta)), codec))
+      io.writeBytes(listPath,
+        MetaCodec.writeManifestList(stamped, t.partTypesOf(meta), codec))
       val now = System.currentTimeMillis()
       val snap = Snapshot(sid, meta.currentSnapshotId, seq, now, "replace",
         listPath, Map("schema-id" -> meta.currentSchemaId.toString,

@@ -61,8 +61,7 @@ object Commits {
     val types = table.partTypesOf(m)(specId)
     val codec = MetaCodec.codecFor(m.properties)
     val path = table.ops.newManifestPath(MetaCodec.ext(codec))
-    val bytes = MetaCodec.encode(
-      Model.manifestToJson(entries, m.schema, types.toMap), codec)
+    val bytes = MetaCodec.writeManifest(entries, m.schema, types.toMap, codec)
     table.ops.io.writeBytes(path, bytes)
     buildManifestFile(path, bytes.length.toLong, specId, entries,
       addedSnapshotId, spec, types)
@@ -72,8 +71,8 @@ object Commits {
       snapshotId: Long, manifests: Seq[ManifestFile]): String = {
     val codec = MetaCodec.codecFor(m.properties)
     val path = table.ops.newManifestListPath(snapshotId, MetaCodec.ext(codec))
-    table.ops.io.writeBytes(path, MetaCodec.encode(
-      Model.manifestListToJson(manifests, table.partTypesOf(m)), codec))
+    table.ops.io.writeBytes(path,
+      MetaCodec.writeManifestList(manifests, table.partTypesOf(m), codec))
     path
   }
 

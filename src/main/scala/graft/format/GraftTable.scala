@@ -608,8 +608,7 @@ final class GraftTable(val ops: TableOps, val spark: SparkSession) {
   }
 
   private[format] def readManifestList(m: TableMetadata, s: Snapshot): Seq[ManifestFile] =
-    Model.manifestListFromJson(MetaCodec.decode(ops.io.readBytes(s.manifestList)),
-      partTypesOf(m))
+    MetaCodec.readManifestList(ops.io.readBytes(s.manifestList), partTypesOf(m))
 
   private[format] def readManifest(mf: ManifestFile, schema: StructType): Seq[ManifestEntry] = {
     val m = metadata
@@ -617,8 +616,7 @@ final class GraftTable(val ops: TableOps, val spark: SparkSession) {
     val idSchema = m.schemas.toSeq.map(_._2).reduceLeft((a, b) =>
       if (FieldIds.maxId(b) > FieldIds.maxId(a)) b else a)
     TableScan.cachedManifest((mf.path, idSchema, types),
-      Model.manifestFromJson(MetaCodec.decode(ops.io.readBytes(mf.path)),
-        idSchema, types))
+      MetaCodec.readManifest(ops.io.readBytes(mf.path), idSchema, types))
   }
 }
 

@@ -165,8 +165,7 @@ object MetaTables {
   private[graft] def manifestRows(io: FileIO, path: String,
       idSchema: StructType, partTypes: Map[String, DataType],
       filesOnly: Boolean): Seq[Row] = {
-    val entries = Model.manifestFromJson(
-      MetaCodec.decode(io.readBytes(path)), idSchema, partTypes)
+    val entries = MetaCodec.readManifest(io.readBytes(path), idSchema, partTypes)
     val selected =
       if (filesOnly) entries.filter(_.status != EntryStatus.Deleted) else entries
     selected.map { e =>

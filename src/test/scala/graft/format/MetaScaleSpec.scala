@@ -176,6 +176,45 @@ class MetaScaleSpec extends SparkSpec {
       s"expected >3x byte win, got gzip=$gzBytes plain=$plainBytes")
   }
 
+  test("avro manifests beat JSON on bytes and parse time at 10k entries") {
+    val m = table.metadata
+    val schema = m.schema
+    val typesMap = table.partTypesOf(m)(m.defaultSpecId).toMap
+    val idFieldId = FieldIds.nameToId(schema)("id")
+    val entries = (0 until 10000).map { i =>
+      ManifestEntry(EntryStatus.Added, 1L, 1L, DataFile(
+        path = s"data/cat=c${i % Cats}/f-$i.parquet",
+        partition = Map("cat" -> s"c${i % Cats}"),
+        recordCount = 100L, fileSizeInBytes = 32L << 20,
+        valueCounts = Map(idFieldId -> 100L),
+        nullValueCounts = Map(idFieldId -> 0L),
+        lowerBounds = Map(idFieldId -> i * 100L),
+        upperBounds = Map(idFieldId -> (i * 100L + 99L))))
+    }
+    val avro = MetaCodec.writeManifest(entries, schema, typesMap, MetaCodec.Avro)
+    val gz = MetaCodec.writeManifest(entries, schema, typesMap, MetaCodec.Gzip)
+    val plain = MetaCodec.writeManifest(entries, schema, typesMap, MetaCodec.None_)
+    def parseMedian(bytes: Array[Byte]): Double = {
+      val runs = (1 to 5).map { _ =>
+        val (r, s) = timed(MetaCodec.readManifest(bytes, schema, typesMap))
+        assert(r.size === entries.size)
+        s
+      }
+      runs.sorted.apply(runs.size / 2)
+    }
+    val (ta, tg, tp) = (parseMedian(avro), parseMedian(gz), parseMedian(plain))
+    info(f"bytes: avro ${avro.length}%d, json.gz ${gz.length}%d, " +
+      f"json ${plain.length}%d (json/avro ${plain.length.toDouble / avro.length}%.1fx)")
+    info(f"parse median: avro $ta%.3f s, json.gz $tg%.3f s, json $tp%.3f s")
+    assert(avro.length * 4 < plain.length,
+      s"expected >4x byte win over plain JSON, avro=${avro.length} plain=${plain.length}")
+    // the honest claim is parse cost, not just bytes: binary decode must at
+    // least match the Jackson tree walk (it is typically several× faster —
+    // the 2x allowance only absorbs CI timer noise)
+    assert(ta < tg * 2 && ta < tp * 2,
+      f"avro parse $ta%.3f s vs json.gz $tg%.3f s / json $tp%.3f s")
+  }
+
   test("rewriteManifests compacts 1000 manifests distributed; plan unchanged") {
     val (written, secs) = timed(
       Actions.forTable(table).rewriteManifests(entriesPerManifest = 1000))
