@@ -393,6 +393,37 @@ object FormatQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // deletion vectors (iceberg v3 / puffin): on a format-version 3 table a
+    // merge-on-read DELETE writes roaring-bitmap DVs instead of parquet
+    // position-delete files; scans apply them via one ranged read per data
+    // file, and rewritePositionDeletes restores the one-DV-per-file invariant
+    "q100_dv_delete" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftdv", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftdv.warehouse", tdir(dir, "dvwh"))
+      withTable(s, dir, "dvwh/db/customer_dv") { loc =>
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val tt = GraftTable.recreate(s, loc, c.schema,
+          properties = Map("format-version" -> "3",
+            "write.delete.mode" -> "merge-on-read"))
+        GraftWrite.append(tt, c.coalesce(2))
+        s.sql("DELETE FROM graftdv.db.customer_dv WHERE c_custkey % 5 = 0")
+        val t2 = GraftTable.load(s, loc)
+        val dels = t2.newScan().planFiles().deleteFiles.map(_._1)
+        require(dels.nonEmpty && dels.forall(_.fileFormat == FileFormats.Puffin),
+          "v3 merge-on-read DELETE must produce deletion vectors")
+        Actions.forTable(t2).rewritePositionDeletes()
+        val after = GraftTable.load(s, loc).newScan().planFiles()
+          .deleteFiles.map(_._1)
+        require(after.forall(_.fileFormat == FileFormats.Puffin) &&
+          after.map(_.referencedDataFile).distinct.size == after.size,
+          "compaction must leave one DV per data file")
+        t2
+      }
+      s.sql("""SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+               FROM graftdv.db.customer_dv GROUP BY 1 ORDER BY 1""")
+    }),
+
     // streaming sink: two epochs + a replayed epoch (dedup) = exactly-once
     "q73_streaming_epochs" -> ((s, dir) => {
       val t = withTable(s, dir, "customer_stream") { loc =>
@@ -864,6 +895,12 @@ object FormatQueries {
         |FROM customer
         |WHERE (c_custkey % 2 = 0 AND c_acctbal >= 0)
         |   OR (c_custkey % 2 = 1 AND c_mktsegment <> 'BUILDING')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q100_dv_delete" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE c_custkey % 5 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q66_schema_evolution" ->

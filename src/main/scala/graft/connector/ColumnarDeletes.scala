@@ -54,14 +54,15 @@ final class ColumnarDeleteFilterReader(
   private lazy val resolved: Seq[(Array[Int], Set[Vector[Any]])] =
     cfg.sets.map(s => (s.ordinals, s.keySet(cfg.conf.value)))
 
-  private lazy val positions: Array[Long] = cfg.pos match {
-    case Some(p) =>
-      val file = dataFile.getOrElse(throw new IllegalStateException(
-        "position deletes require file-granular partitions"))
-      PosDeleteCache.get(p.paths, cfg.conf.value)
-        .getOrElse(graft.format.ParquetIO.canonPath(file), Array.emptyLongArray)
-    case None => Array.emptyLongArray
-  }
+  private lazy val positions: org.roaringbitmap.longlong.Roaring64NavigableMap =
+    cfg.pos match {
+      case Some(p) =>
+        val file = dataFile.getOrElse(throw new IllegalStateException(
+          "position deletes require file-granular partitions"))
+        PosDeleteCache.get(p.paths, p.dvs, cfg.conf.value)
+          .getOrElse(graft.format.ParquetIO.canonPath(file), PosDeleteCache.Empty)
+      case None => PosDeleteCache.Empty
+    }
 
   private val outOrdinals: Array[Int] =
     cfg.project.map(_.toArray).getOrElse(Array.tabulate(cfg.types.length)(identity))
@@ -72,9 +73,8 @@ final class ColumnarDeleteFilterReader(
   private val identityProjection = cfg.project.isEmpty
 
   private def deleted(batch: ColumnarBatch, i: Int): Boolean =
-    cfg.pos.exists(p => positions.length > 0 &&
-      java.util.Arrays.binarySearch(positions,
-        batch.column(p.rowIdxOrdinal).getLong(i)) >= 0) ||
+    cfg.pos.exists(p => !positions.isEmpty &&
+      positions.contains(batch.column(p.rowIdxOrdinal).getLong(i))) ||
     (resolved.nonEmpty && {
       val row = batch.getRow(i) // shared cursor row, no allocation
       resolved.exists { case (ordinals, keys) =>

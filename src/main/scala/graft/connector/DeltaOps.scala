@@ -91,14 +91,16 @@ final class GraftDeltaBatchWrite(table: GraftTable,
       schema, fields, stagingDir,
       new org.apache.spark.util.SerializableConfiguration(conf),
       Metrics.modesFor(schema, m.properties),
-      writeFormat(m.properties), m.properties)
+      writeFormat(m.properties), m.properties,
+      dvMode = Dvs.enabled(m), m.currentSchemaId, m.defaultSpecId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fmt = writeFormat(m.properties)
-    val (dataMsgs, deleteMsgs) = messages.collect {
-      case GraftDeltaWriterFactory.DeltaTaskFiles(data, dels) => (data, dels)
-    }.unzip
+    val (dataMsgs, deleteMsgs, dvMsgs) = messages.collect {
+      case GraftDeltaWriterFactory.DeltaTaskFiles(data, dels, dvs) =>
+        (data, dels, dvs)
+    }.unzip3
     val dataFiles = dataMsgs.flatten.map { sf =>
       val fm = sf.metrics
       DataFile(path = sf.path, partition = sf.partition,
@@ -114,22 +116,25 @@ final class GraftDeltaBatchWrite(table: GraftTable,
         recordCount = sf.metrics.recordCount,
         fileSizeInBytes = sf.metrics.fileSize,
         schemaId = m.currentSchemaId, specId = m.defaultSpecId)
-    }.toSeq
+    }.toSeq ++ dvMsgs.flatten.toSeq
     if (dataFiles.nonEmpty || deleteFiles.nonEmpty)
       Commits.rowDelta(table, dataFiles, deleteFiles, base())
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case GraftDeltaWriterFactory.DeltaTaskFiles(data, dels) =>
-      (data ++ dels).foreach(sf => table.ops.io.deleteIfExists(sf.path))
+    messages.collect { case GraftDeltaWriterFactory.DeltaTaskFiles(data, dels, dvs) =>
+      (data.map(_.path) ++ dels.map(_.path) ++ dvs.map(_.path).distinct)
+        .foreach(p => table.ops.io.deleteIfExists(p))
     }
 }
 
 object GraftDeltaWriterFactory {
   /** Commit message: data files (inserts/updated rows) + position-delete
-    * files, both with task-computed metrics. */
+    * files with task-computed metrics + (v3) deletion-vector descriptors,
+    * which are complete manifest entries already. */
   final case class DeltaTaskFiles(data: Seq[GraftBatchWrite.StagedFile],
-      deletes: Seq[GraftBatchWrite.StagedFile]) extends WriterCommitMessage
+      deletes: Seq[GraftBatchWrite.StagedFile],
+      dvs: Seq[DataFile] = Nil) extends WriterCommitMessage
 }
 
 final class GraftDeltaWriterFactory(schema: StructType, idSchema: StructType,
@@ -137,7 +142,10 @@ final class GraftDeltaWriterFactory(schema: StructType, idSchema: StructType,
     conf: org.apache.spark.util.SerializableConfiguration,
     statModes: Map[Int, Metrics.Mode],
     format: String,
-    props: Map[String, String]) extends DeltaWriterFactory {
+    props: Map[String, String],
+    dvMode: Boolean = false,
+    schemaId: Int = 0,
+    specId: Int = 0) extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
@@ -169,6 +177,22 @@ final class GraftDeltaWriterFactory(schema: StructType, idSchema: StructType,
         val dataFiles = inserts.commit() match {
           case GraftBatchWrite.TaskFiles(fs) => fs
           case other => throw new IllegalStateException(s"unexpected $other")
+        }
+        if (dvMode && deletes.nonEmpty) {
+          // v3: one puffin file per task, one bitmap blob per data file
+          val byFile = scala.collection.mutable
+            .HashMap[String, org.roaringbitmap.longlong.Roaring64NavigableMap]()
+          deletes.foreach { case (f, p) =>
+            byFile.getOrElseUpdate(ParquetIO.canonPath(f),
+              new org.roaringbitmap.longlong.Roaring64NavigableMap()).addLong(p)
+          }
+          val hp = new org.apache.hadoop.fs.Path(stagingDir)
+          hp.getFileSystem(conf.value).mkdirs(hp)
+          val path = s"$stagingDir/dv-$partitionId-$taskId-" +
+            s"${java.util.UUID.randomUUID()}.puffin"
+          val dvFiles = Dvs.writePuffin(path, byFile.toSeq, schemaId, specId,
+            conf.value)
+          return GraftDeltaWriterFactory.DeltaTaskFiles(dataFiles, Nil, dvFiles)
         }
         val deleteFiles =
           if (deletes.isEmpty) Nil

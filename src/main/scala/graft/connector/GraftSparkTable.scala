@@ -322,10 +322,13 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     // PositionStreamDeleteFilter, core/.../deletes/Deletes.java:70-123).
     // No sequence gating is needed: a position delete names its data file
     // by path, and paths are never reused.
-    val posPaths: Seq[String] =
-      plan.deleteFiles.filter(_._1.content == FileContent.PositionDeletes)
-        .map(_._1.path).distinct.sorted
-    val posActive = posPaths.nonEmpty
+    val posFiles: Seq[DataFile] =
+      plan.deleteFiles.filter(_._1.content == FileContent.PositionDeletes).map(_._1)
+    val posPaths: Seq[String] = posFiles
+      .filterNot(_.fileFormat == FileFormats.Puffin).map(_.path).distinct.sorted
+    // deletion vectors (v3): blob addresses come straight from the manifest
+    val posDvs: Seq[DvSlice] = Dvs.slicesOf(posFiles)
+    val posActive = posPaths.nonEmpty || posDvs.nonEmpty
 
     // equality deletes: only the delete-file PATHS travel in the plan; each
     // executor loads (and caches) the key sets itself, so a 100M-key
@@ -379,7 +382,7 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     // files' path column — and only on tables that contain non-parquet
     // files while position deletes are live.
     lazy val posTargetPaths: Set[String] =
-      Deletes.posDeleteTargets(posPaths, spark.sessionState.newHadoopConf())
+      Deletes.posDeleteTargetFiles(posFiles, spark.sessionState.newHadoopConf())
 
     // one file-source scan per (writer-schema generation, file format):
     // columns are re-mapped to each generation's *file* names by field id
@@ -446,7 +449,7 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
               (if (metaFile) Seq(wideTarget.length + posExtra) else Nil)),
             new org.apache.spark.util.SerializableConfiguration(
               spark.sessionState.newHadoopConf()),
-            if (groupPos) Some(PosDeleteSource(posPaths, wideTarget.length))
+            if (groupPos) Some(PosDeleteSource(posPaths, posDvs, wideTarget.length))
             else None))
         val renames: Map[String, String] =
           wideTarget.fields.map(f => f.name -> fileName(f)).toMap
@@ -1043,43 +1046,52 @@ object DeleteKeyCache {
   }
 }
 
-/** Executor-side position-delete source: the delete FILES and the ordinal
-  * of the synthetic row-index column in the physical read row. */
-final case class PosDeleteSource(paths: Seq[String], rowIdxOrdinal: Int)
+/** Executor-side position-delete source: parquet delete files + DV blob
+  * addresses, and the ordinal of the synthetic row-index column in the
+  * physical read row. */
+final case class PosDeleteSource(paths: Seq[String],
+    dvs: Seq[graft.format.DvSlice], rowIdxOrdinal: Int)
   extends Serializable
 
-/** Per-executor cache of position-delete sets: delete files → (canonical
-  * data-file path → sorted positions). Sorted long arrays keep a 100M-row
-  * delete at ~800 MB instead of a boxed set's multi-GB. Budget is ~512 MB of
-  * approximate bytes (8 B per position + per-file array overhead), the same
-  * unit as DeleteKeyCache. */
+/** Per-executor cache of position-delete sets: delete sources → (canonical
+  * data-file path → roaring bitmap of dead positions). Bitmaps keep a
+  * 100M-row delete at tens of MB (vs 800 MB of sorted longs) and probe in
+  * ~O(1); DV blobs load with one ranged read each and OR into the same
+  * per-file map as any legacy parquet positions (union semantics — see
+  * [[graft.format.Dvs]]). Budget ~512 MB of serialized-size bytes, the
+  * same unit as DeleteKeyCache. */
 object PosDeleteCache {
-  import graft.format.ParquetIO
+  import graft.format.{Dvs, DvSlice, ParquetIO}
   import org.apache.spark.sql.types.{StructField, StructType}
+  import org.roaringbitmap.longlong.Roaring64NavigableMap
+
+  /** Shared read-only empty set for files with no live deletes. */
+  val Empty: Roaring64NavigableMap = new Roaring64NavigableMap()
 
   private[connector] val cache =
-    new WeightedLruCache[Map[String, Array[Long]]](512L * 1024 * 1024)(
-      _.valuesIterator.map(v => 64L + 8L * v.length).sum.max(1L))
+    new WeightedLruCache[Map[String, Roaring64NavigableMap]](512L * 1024 * 1024)(
+      _.valuesIterator.map(v => 64L + v.serializedSizeInBytes()).sum.max(1L))
 
-  def get(paths: Seq[String],
-      conf: org.apache.hadoop.conf.Configuration): Map[String, Array[Long]] =
-    cache.get(paths.mkString("\n"))(load(paths, conf))
+  def get(paths: Seq[String], dvs: Seq[DvSlice],
+      conf: org.apache.hadoop.conf.Configuration): Map[String, Roaring64NavigableMap] =
+    cache.get((paths ++ dvs.map(d => s"${d.path}@${d.offset}")).mkString("\n"))(
+      load(paths, dvs, conf))
 
-  private def load(paths: Seq[String],
-      conf: org.apache.hadoop.conf.Configuration): Map[String, Array[Long]] = {
+  private def load(paths: Seq[String], dvs: Seq[DvSlice],
+      conf: org.apache.hadoop.conf.Configuration): Map[String, Roaring64NavigableMap] = {
     val schema = StructType(Seq(
       StructField("file_path", org.apache.spark.sql.types.StringType),
       StructField("pos", LongType)))
-    val byFile = scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuilder.ofLong]()
+    val byFile = scala.collection.mutable.HashMap[String, Roaring64NavigableMap]()
+    def setOf(f: String): Roaring64NavigableMap =
+      byFile.getOrElseUpdate(f, new Roaring64NavigableMap())
     paths.foreach(p => ParquetIO.readAll(p, schema, conf) { row =>
-      if (!row.isNullAt(0) && !row.isNullAt(1)) {
-        val f = ParquetIO.canonPath(row.getUTF8String(0).toString)
-        byFile.getOrElseUpdate(f, new scala.collection.mutable.ArrayBuilder.ofLong) += row.getLong(1)
-      }
+      if (!row.isNullAt(0) && !row.isNullAt(1))
+        setOf(ParquetIO.canonPath(row.getUTF8String(0).toString))
+          .addLong(row.getLong(1))
     })
-    byFile.map { case (f, b) =>
-      val a = b.result(); java.util.Arrays.sort(a); f -> a
-    }.toMap
+    dvs.foreach(s => setOf(s.referenced).or(Dvs.read(s.path, s.offset, s.length, conf)))
+    byFile.toMap
   }
 }
 
@@ -1107,21 +1119,22 @@ final class DeleteFilterReader(
   private lazy val resolved: Seq[(Array[Int], Set[Vector[Any]])] =
     cfg.sets.map(s => (s.ordinals, s.keySet(cfg.conf.value)))
 
-  private lazy val positions: Array[Long] = cfg.pos match {
-    case Some(p) =>
-      val file = dataFile.getOrElse(throw new IllegalStateException(
-        "position deletes require file-granular partitions"))
-      PosDeleteCache.get(p.paths, cfg.conf.value)
-        .getOrElse(graft.format.ParquetIO.canonPath(file), Array.emptyLongArray)
-    case None => Array.emptyLongArray
-  }
+  private lazy val positions: org.roaringbitmap.longlong.Roaring64NavigableMap =
+    cfg.pos match {
+      case Some(p) =>
+        val file = dataFile.getOrElse(throw new IllegalStateException(
+          "position deletes require file-granular partitions"))
+        PosDeleteCache.get(p.paths, p.dvs, cfg.conf.value)
+          .getOrElse(graft.format.ParquetIO.canonPath(file), PosDeleteCache.Empty)
+      case None => PosDeleteCache.Empty
+    }
 
   private def canonical(row: InternalRow, i: Int): Any =
     graft.format.ParquetIO.canonicalValue(row, i, cfg.types(i))
 
   private def deleted(row: InternalRow): Boolean =
-    cfg.pos.exists(p => positions.length > 0 &&
-      java.util.Arrays.binarySearch(positions, row.getLong(p.rowIdxOrdinal)) >= 0) ||
+    cfg.pos.exists(p => !positions.isEmpty &&
+      positions.contains(row.getLong(p.rowIdxOrdinal))) ||
     resolved.exists { case (ordinals, keys) =>
       keys.contains(ordinals.map(i => canonical(row, i)).toVector)
     }

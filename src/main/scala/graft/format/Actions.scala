@@ -30,6 +30,7 @@ object Actions {
   final case class BinTask(id: Int, paths: Seq[String], seqs: Seq[Long],
       readSchema: org.apache.spark.sql.types.StructType, out: String,
       posDeletePaths: Seq[String],
+      posDvs: Seq[DvSlice],
       eqDeletes: Seq[(Long, graft.connector.DeleteKeySource)],
       // (ordinal → constant Catalyst value): identity-partition columns that
       // exist only in the bin's partition tuple, not in the input files
@@ -85,9 +86,12 @@ final class Actions(t: GraftTable) {
     // RowDataRewriter reads through its delete filter): rewritten files get
     // a newer sequence number, so un-applied equality deletes would stop
     // matching and position deletes would orphan with the old paths
-    val posDeletePaths = plan.deleteFiles
-      .filter(_._1.content == FileContent.PositionDeletes)
-      .map(_._1.path).distinct.sorted
+    val posDeleteFiles = plan.deleteFiles
+      .filter(_._1.content == FileContent.PositionDeletes).map(_._1)
+    val posDeletePaths = posDeleteFiles
+      .filterNot(_.fileFormat == FileFormats.Puffin)
+      .map(_.path).distinct.sorted
+    val posDvs = Dvs.slicesOf(posDeleteFiles)
     val eqDeletes: Seq[(Long, graft.connector.DeleteKeySource)] = plan.deleteFiles
       .filter(_._1.content == FileContent.EqualityDeletes)
       .groupBy(d => (d._1.equalityIds, d._2)).toSeq
@@ -141,7 +145,7 @@ final class Actions(t: GraftTable) {
       bins.filter(_.size >= minInputFiles).foreach { bin =>
         binTasks += BinTask(binId, bin, bin.map(seqByPath), readSchema,
           f"$staging/bin-$binId%05d.$outFormat",
-          posDeletePaths, eqDeletes, fill, bin.map(fmtByPath), outFormat)
+          posDeletePaths, posDvs, eqDeletes, fill, bin.map(fmtByPath), outFormat)
         binMeta(binId) = (partition, schemaId, tasks.head.file.specId)
         binId += 1
       }
@@ -163,9 +167,9 @@ final class Actions(t: GraftTable) {
         val conf = sconf.value
         // delete sets load once per executor (shared caches); positions key
         // by canonical path, equality sets gate on each file's sequence
-        val pos: Map[String, Array[Long]] =
-          if (bt.posDeletePaths.isEmpty) Map.empty
-          else graft.connector.PosDeleteCache.get(bt.posDeletePaths, conf)
+        val pos: Map[String, org.roaringbitmap.longlong.Roaring64NavigableMap] =
+          if (bt.posDeletePaths.isEmpty && bt.posDvs.isEmpty) Map.empty
+          else graft.connector.PosDeleteCache.get(bt.posDeletePaths, bt.posDvs, conf)
         val eq = bt.eqDeletes.map { case (seq, src) =>
           (seq, src.ordinals, src.types,
             graft.connector.DeleteKeyCache.get(src, conf))
@@ -179,13 +183,13 @@ final class Actions(t: GraftTable) {
         // retry hits its own deterministic path with create(overwrite=false)
         val fm = try {
           bt.paths.lazyZip(bt.seqs).lazyZip(fmts).foreach { case (p, fileSeq, fmt) =>
-            val deadPos = pos.getOrElse(ParquetIO.canonPath(p), Array.emptyLongArray)
+            val deadPos = pos.getOrElse(ParquetIO.canonPath(p),
+              graft.connector.PosDeleteCache.Empty)
             val applicable = eq.filter(_._1 > fileSeq)
             var idx = -1L // sequential full-file read ⇒ counter = row index
             DataFileIO.readAll(p, fmt, bt.readSchema, conf) { row =>
               idx += 1
-              val dead = (deadPos.length > 0 &&
-                  java.util.Arrays.binarySearch(deadPos, idx) >= 0) ||
+              val dead = (!deadPos.isEmpty && deadPos.contains(idx)) ||
                 applicable.exists { case (_, ords, types, keys) =>
                   keys.contains(ords.indices.map(i =>
                     ParquetIO.canonicalValue(row, ords(i), types(i))).toVector)
@@ -252,13 +256,23 @@ final class Actions(t: GraftTable) {
     val liveAfterCanon =
       plan.tasks.map(ts => ParquetIO.canonPath(ts.file.path)).toSet -- delCanon
     val hconf = t.spark.sessionState.newHadoopConf()
-    val danglingPos = plan.deleteFiles
-      .filter(_._1.content == FileContent.PositionDeletes)
-      .map(_._1.path).distinct
+    val posEntries = plan.deleteFiles
+      .filter(_._1.content == FileContent.PositionDeletes).map(_._1)
+      .distinctBy(f => (f.path, f.referencedDataFile))
+    val (dvEntries, pqEntries) =
+      posEntries.partition(_.fileFormat == FileFormats.Puffin)
+    val danglingPq = pqEntries.map(_.path).distinct
       .filter { p =>
         val targets = Deletes.posDeleteTargets(Seq(p), hconf)
         targets.forall(tp => !liveAfterCanon.contains(tp))
       }.toSet
+    // a puffin file is dangling when EVERY blob's referenced data file is
+    // gone (zero I/O — targets live in the manifest entries)
+    val danglingDv = dvEntries.groupBy(_.path).collect {
+      case (p, es) if es.forall(_.referencedDataFile.exists(r =>
+        !liveAfterCanon.contains(ParquetIO.canonPath(r)))) => p
+    }.toSet
+    val danglingPos = danglingPq ++ danglingDv
     // equality deletes gate by sequence (they apply to files OLDER than the
     // delete); rewritten files get a NEW sequence, so once no live file is
     // older than a delete's sequence it can never match again
@@ -348,35 +362,60 @@ final class Actions(t: GraftTable) {
   def rewritePositionDeletes(targetSizeBytes: Long = 32L * 1024 * 1024): RewriteResult = {
     import org.apache.spark.sql.functions.{col, udf}
     val plan = t.newScan().planFiles()
-    val posFiles = plan.deleteFiles
+    val posEntries = plan.deleteFiles
       .filter(_._1.content == FileContent.PositionDeletes)
-      .map(_._1).distinctBy(_.path)
-    if (posFiles.size < 2) return RewriteResult(0, 0)
+      .map(_._1).distinctBy(f => (f.path, f.referencedDataFile))
+    val distinctPaths = posEntries.map(_.path).distinct
+    val dvMode = Dvs.enabled(t.metadata)
+    val totalBytes = posEntries.distinctBy(_.path).map(_.fileSizeInBytes).sum
+    val nOut = math.max(1, math.min(distinctPaths.size,
+      math.ceil(totalBytes.toDouble / targetSizeBytes).toInt))
+    // skip when already compact: v2 — a single delete file; v3 — all-puffin
+    // with one DV per data file in at most nOut container files (the
+    // restored one-DV-per-file invariant of the spec)
+    val compact =
+      if (dvMode) posEntries.forall(_.fileFormat == FileFormats.Puffin) &&
+        posEntries.map(_.referencedDataFile).distinct.size == posEntries.size &&
+        distinctPaths.size <= nOut
+      else distinctPaths.size < 2
+    if (posEntries.isEmpty || compact) return RewriteResult(0, 0)
     val spark = t.spark
     val liveB = spark.sparkContext.broadcast(
       plan.tasks.map(ts => ParquetIO.canonPath(ts.file.path)).toSet)
+    val live = udf((s: String) =>
+      s != null && liveB.value.contains(ParquetIO.canonPath(s)))
+    val positions = Deletes.positionsDF(spark, posEntries)
+      .filter(live(col("file_path"))) // dangling targets drop here
+    val newDeletes =
+      if (dvMode) Dvs.stageFromPositions(t, positions, partitions = nOut)
+      else stagePositionsParquet(positions, nOut, "posdel")
+    Commits.rewriteFiles(t, distinctPaths.toSet, newDeletes)
+    RewriteResult(distinctPaths.size, newDeletes.map(_.path).distinct.size)
+  }
+
+  /** Stage a (file_path, pos) DataFrame as sorted parquet position-delete
+    * files — shared by the v2 position-delete compaction and the
+    * equality→position conversion. */
+  private def stagePositionsParquet(positions: org.apache.spark.sql.DataFrame,
+      nOut: Int, prefix: String): Seq[DataFile] = {
+    import org.apache.spark.sql.functions.col
+    val m = t.metadata
     val staging = t.locations.newDataLocation(java.util.UUID.randomUUID().toString)
     val sconf = new org.apache.spark.util.SerializableConfiguration(
-      ParquetIO.writeConf(spark))
+      ParquetIO.writeConf(t.spark))
     val deleteSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("file_path",
         org.apache.spark.sql.types.StringType, nullable = false),
       org.apache.spark.sql.types.StructField("pos",
         org.apache.spark.sql.types.LongType, nullable = false)))
-    val nOut = math.max(1, math.min(posFiles.size,
-      math.ceil(posFiles.map(_.fileSizeInBytes).sum.toDouble / targetSizeBytes).toInt))
-    val live = udf((s: String) =>
-      s != null && liveB.value.contains(ParquetIO.canonPath(s)))
-    val staged: Seq[(String, Long)] = spark.read
-      .parquet(posFiles.map(_.path): _*)
+    val staged: Seq[(String, Long)] = positions
       .select(col("file_path"), col("pos"))
-      .filter(live(col("file_path"))) // dangling targets drop here
       .repartitionByRange(nOut, col("file_path"), col("pos"))
       .sortWithinPartitions(col("file_path"), col("pos"))
       .queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
         if (it.isEmpty) Iterator.empty
         else {
-          val path = s"$staging/posdel-$pid-${java.util.UUID.randomUUID()}.parquet"
+          val path = s"$staging/$prefix-$pid-${java.util.UUID.randomUUID()}.parquet"
           val w = ParquetIO.openWriter(path, deleteSchema, sconf.value)
           var n = 0L
           try it.foreach { row => w.write(row); n += 1 }
@@ -384,16 +423,13 @@ final class Actions(t: GraftTable) {
           Iterator.single((path, n))
         }
       }.collect().toSeq
-    val m = t.metadata
-    val newDeletes = staged.sortBy(_._1).map { case (path, n) =>
+    staged.sortBy(_._1).map { case (path, n) =>
       val hp = new org.apache.hadoop.fs.Path(path)
       DataFile(path = path, content = FileContent.PositionDeletes,
         recordCount = n,
         fileSizeInBytes = hp.getFileSystem(sconf.value).getFileStatus(hp).getLen,
         schemaId = m.currentSchemaId, specId = m.defaultSpecId)
     }
-    Commits.rewriteFiles(t, posFiles.map(_.path).toSet, newDeletes)
-    RewriteResult(posFiles.size, newDeletes.size)
   }
 
   /** Convert live equality-delete files into position deletes — the
@@ -474,39 +510,14 @@ final class Actions(t: GraftTable) {
       }
     if (suppressed.isEmpty) return RewriteResult(0, 0)
     val positions = suppressed.reduce(_ unionByName _).dropDuplicates("file_path", "pos")
-
-    val staging = t.locations.newDataLocation(java.util.UUID.randomUUID().toString)
-    val sconf = new org.apache.spark.util.SerializableConfiguration(
-      ParquetIO.writeConf(spark))
-    val deleteSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("file_path",
-        org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField("pos",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    val staged: Seq[(String, Long)] = positions
-      .repartitionByRange(math.max(1, spark.sparkContext.defaultParallelism / 4),
-        col("file_path"), col("pos"))
-      .sortWithinPartitions(col("file_path"), col("pos"))
-      .queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
-        if (it.isEmpty) Iterator.empty
-        else {
-          val path = s"$staging/eq2pos-$pid-${java.util.UUID.randomUUID()}.parquet"
-          val w = ParquetIO.openWriter(path, deleteSchema, sconf.value)
-          var n = 0L
-          try it.foreach { row => w.write(row); n += 1 }
-          finally w.close()
-          Iterator.single((path, n))
-        }
-      }.collect().toSeq
-    val newDeletes = staged.sortBy(_._1).map { case (path, n) =>
-      val hp = new org.apache.hadoop.fs.Path(path)
-      DataFile(path = path, content = FileContent.PositionDeletes,
-        recordCount = n,
-        fileSizeInBytes = hp.getFileSystem(sconf.value).getFileStatus(hp).getLen,
-        schemaId = m.currentSchemaId, specId = m.defaultSpecId)
-    }
+    // v3 tables convert straight to deletion vectors; v2 stages sorted
+    // parquet position-delete files
+    val newDeletes =
+      if (Dvs.enabled(m)) Dvs.stageFromPositions(t, positions)
+      else stagePositionsParquet(positions,
+        math.max(1, spark.sparkContext.defaultParallelism / 4), "eq2pos")
     Commits.rewriteFiles(t, eqFiles.map(_._1.path).toSet, newDeletes)
-    RewriteResult(eqFiles.size, newDeletes.size)
+    RewriteResult(eqFiles.size, newDeletes.map(_.path).distinct.size)
   }
 
   private def binPack(files: Seq[(String, Long)], target: Long): Seq[Seq[String]] = {

@@ -126,7 +126,7 @@ object Changes {
           val newEq = newDeletes.filter(_._1.content == FileContent.EqualityDeletes)
           val posTargets: Set[String] =
             if (newPos.isEmpty) Set.empty
-            else Deletes.posDeleteTargets(newPos.map(_._1.path).distinct,
+            else Deletes.posDeleteTargetFiles(newPos.map(_._1),
               table.spark.sessionState.newHadoopConf())
           val candidates = survivors.filter(t =>
             posTargets.contains(canon(t.file.path)) ||

@@ -286,7 +286,7 @@ object Commits {
           .filter(e => e.status != EntryStatus.Deleted &&
             e.file.content == FileContent.Data)
           .map(e => ParquetIO.canonPath(e.file.path)).toSet
-        val targets = Deletes.posDeleteTargets(posDeletes.map(_.path),
+        val targets = Deletes.posDeleteTargetFiles(posDeletes,
           table.spark.sessionState.newHadoopConf())
         val gone = targets.filterNot(live.contains)
         if (gone.nonEmpty) throw new ValidationException(
@@ -563,8 +563,22 @@ object Commits {
   }
 
   def setProperties(table: GraftTable, props: Map[String, String]): TableMetadata =
-    table.ops.commitTransaction(m => m.copy(properties = m.properties ++ props,
-      lastUpdatedMillis = System.currentTimeMillis()))
+    table.ops.commitTransaction { m =>
+      // `format-version` upgrades the metadata FIELD (iceberg
+      // TableMetadata.upgradeToFormatVersion semantics): 2 → 3 turns on
+      // deletion-vector writes; downgrades are refused — v3 artifacts
+      // (puffin DVs) would be unreadable under v2 rules
+      val fv = props.get("format-version").map { v =>
+        val n = v.trim.toInt
+        require(n == 2 || n == 3, s"unsupported format-version $n (2 or 3)")
+        require(n >= m.formatVersion,
+          s"cannot downgrade format-version ${m.formatVersion} -> $n")
+        n
+      }.getOrElse(m.formatVersion)
+      m.copy(formatVersion = fv,
+        properties = m.properties ++ (props - "format-version"),
+        lastUpdatedMillis = System.currentTimeMillis())
+    }
 
   /** Record a statistics file for its snapshot (reference
     * UpdateStatistics.setStatistics), replacing any previous pointer for

@@ -1,6 +1,6 @@
 package graft.format
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 import java.util.UUID
@@ -32,6 +32,51 @@ object Deletes {
     out.toSet
   }
 
+  /** Target detection over the delete FILES: deletion vectors name their
+    * data file in the manifest (zero I/O); parquet position deletes need
+    * the per-file path-column read above. */
+  def posDeleteTargetFiles(files: Seq[DataFile],
+      conf: org.apache.hadoop.conf.Configuration): Set[String] = {
+    val (dvs, parquet) = files.partition(_.fileFormat == FileFormats.Puffin)
+    dvs.flatMap(_.referencedDataFile).map(ParquetIO.canonPath).toSet ++
+      posDeleteTargets(parquet.map(_.path).distinct, conf)
+  }
+
+  /** All (canonical file_path, pos) pairs of a mixed set of position-delete
+    * files as one DataFrame: parquet files read through Spark's source; DV
+    * blobs expand executor-side from their bitmaps (one task per blob). */
+  def positionsDF(spark: SparkSession, files: Seq[DataFile]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val canon = udf((s: String) => ParquetIO.canonPath(s))
+    val (dvs, parquetFiles) = files.partition(_.fileFormat == FileFormats.Puffin)
+    val out = StructType(Seq(StructField("file_path", StringType),
+      StructField("pos", LongType)))
+    val parts = Seq.newBuilder[DataFrame]
+    if (parquetFiles.nonEmpty)
+      parts += spark.read.parquet(parquetFiles.map(_.path).distinct: _*)
+        .select(canon(col("file_path")).as("file_path"), col("pos"))
+    val slices = Dvs.slicesOf(dvs)
+    if (slices.nonEmpty) {
+      val sconf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      val rdd = spark.sparkContext
+        .parallelize(slices, math.max(1, slices.size))
+        .flatMap { s =>
+          val it = Dvs.read(s.path, s.offset, s.length, sconf.value).getLongIterator
+          new Iterator[Row] {
+            override def hasNext: Boolean = it.hasNext
+            override def next(): Row = Row(s.referenced, it.next())
+          }
+        }
+      parts += spark.createDataFrame(rdd, out)
+    }
+    val built = parts.result()
+    if (built.isEmpty) spark.createDataFrame(
+      new java.util.ArrayList[Row](), out)
+    else built.reduce(_ unionByName _)
+  }
+
   private def stage(table: GraftTable, df: DataFrame, sorted: Seq[String]): Seq[String] = {
     val dir = table.locations.newDataLocation(s"deletes-${UUID.randomUUID()}")
     val out = if (sorted.nonEmpty) df.sortWithinPartitions(sorted.map(col): _*) else df
@@ -41,8 +86,11 @@ object Deletes {
 
   /** Delete specific row positions. `positions`: (file_path, pos) — use the
     * values surfaced by `_metadata.file_path` / `_metadata.row_index` of a
-    * table scan. Commits a RowDelta. */
+    * table scan. Commits a RowDelta; on format-version 3 tables the
+    * positions land as puffin deletion vectors instead of parquet files. */
   def deletePositions(table: GraftTable, positions: DataFrame): TableMetadata = {
+    if (Dvs.enabled(table.metadata))
+      return Commits.rowDelta(table, Nil, Dvs.stageFromPositions(table, positions))
     val named = positions.toDF("file_path", "pos")
       .withColumn("pos", col("pos").cast("long"))
     val paths = stage(table, named.coalesce(1), Seq("file_path", "pos"))

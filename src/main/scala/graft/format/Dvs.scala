@@ -1,0 +1,128 @@
+package graft.format
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, udf}
+import org.roaringbitmap.longlong.Roaring64NavigableMap
+
+/** Deletion vectors (iceberg v3): position deletes stored as one roaring
+  * bitmap per DATA file inside a Puffin container, addressed straight from
+  * the manifest (`referenced_data_file`, `content_offset`,
+  * `content_size_in_bytes`). Enabled when the table's format-version is 3
+  * (`ALTER TABLE ... SET TBLPROPERTIES ('format-version'='3')`).
+  *
+  * Scale rationale vs parquet position-delete files: a reader task opens
+  * exactly the blob of the file it scans (one ranged read, no footer walk,
+  * no (file_path, pos) decode of OTHER files' deletes), membership is a
+  * bitmap probe instead of a binary search over an 8-byte-per-position
+  * array, and a 100M-position vector is tens of MB instead of 800 MB.
+  * The reference fork predates v3; the format follows the public spec.
+  *
+  * Commit semantics here are UNION: all live DVs and parquet position
+  * deletes for a file apply together (deletes are a monotone position set,
+  * so union is always correct). The spec's one-DV-per-file invariant is
+  * restored by maintenance ([[Actions.rewritePositionDeletes]] merges
+  * everything into one DV per file); write paths avoid the read-merge-write
+  * a strict invariant would force on every small MERGE commit.
+  */
+/** Executor-shippable address of one DV blob. */
+final case class DvSlice(path: String, offset: Long, length: Long,
+    referenced: String) extends Serializable
+
+object Dvs {
+
+  def enabled(m: TableMetadata): Boolean = m.formatVersion >= 3
+
+  /** Blob addresses of the puffin members of a delete-file set (canonical
+    * referenced paths; deduplicated — the same blob can be planned through
+    * several manifests after rewrites). */
+  def slicesOf(files: Seq[DataFile]): Seq[DvSlice] =
+    files.filter(_.fileFormat == FileFormats.Puffin).flatMap { f =>
+      for {
+        ref <- f.referencedDataFile
+        off <- f.contentOffset
+        len <- f.contentSizeInBytes
+      } yield DvSlice(f.path, off, len, ParquetIO.canonPath(ref))
+    }.distinct.sortBy(s => (s.path, s.offset))
+
+  /** Serialize bitmaps (keyed by canonical data-file path) into one puffin
+    * file's bytes + per-blob DataFile descriptors for the manifest. */
+  def buildPuffin(path: String, dvs: Seq[(String, Roaring64NavigableMap)],
+      schemaId: Int, specId: Int): (Array[Byte], Seq[DataFile]) = {
+    val blobs = dvs.sortBy(_._1).map { case (refFile, bm) =>
+      (Puffin.DvBlobType, Seq.empty[Int], -1L, -1L, Puffin.dvBlobPayload(bm),
+        Map("referenced-data-file" -> refFile,
+          "cardinality" -> bm.getLongCardinality.toString))
+    }
+    val (bytes, metas) = Puffin.write(blobs)
+    val files = metas.zip(dvs.sortBy(_._1)).map { case (meta, (refFile, bm)) =>
+      DataFile(path = path, content = FileContent.PositionDeletes,
+        recordCount = bm.getLongCardinality,
+        fileSizeInBytes = bytes.length.toLong,
+        schemaId = schemaId, specId = specId,
+        fileFormat = FileFormats.Puffin,
+        referencedDataFile = Some(refFile),
+        contentOffset = Some(meta.offset),
+        contentSizeInBytes = Some(meta.length))
+    }
+    (bytes, files)
+  }
+
+  /** Write one puffin DV file through the Hadoop filesystem (executor- or
+    * driver-side) and return its manifest descriptors. */
+  def writePuffin(path: String, dvs: Seq[(String, Roaring64NavigableMap)],
+      schemaId: Int, specId: Int, conf: Configuration): Seq[DataFile] = {
+    val (bytes, files) = buildPuffin(path, dvs, schemaId, specId)
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(conf)
+    val out = fs.create(hp, false)
+    try out.write(bytes) finally out.close()
+    files
+  }
+
+  /** Load one DV blob: a single ranged read at the manifest-recorded
+    * address — the footer is never touched on the scan path. */
+  def read(path: String, offset: Long, length: Long,
+      conf: Configuration): Roaring64NavigableMap = {
+    val hp = new Path(path)
+    val in = hp.getFileSystem(conf).open(hp)
+    val buf = new Array[Byte](length.toInt)
+    try in.readFully(offset, buf) finally in.close()
+    Puffin.dvFromBlobPayload(buf)
+  }
+
+  /** Stage a (file_path, pos) DataFrame as puffin DV files — the DV dual of
+    * the parquet position-delete stagers: hash-partition by data file so
+    * each file's bitmap builds in exactly one task, write one puffin file
+    * per non-empty partition. Returns manifest descriptors (uncommitted). */
+  def stageFromPositions(table: GraftTable, positions: DataFrame,
+      partitions: Int = 0): Seq[DataFile] = {
+    val m = table.metadata
+    val staging = table.locations.newDataLocation(java.util.UUID.randomUUID().toString)
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      ParquetIO.writeConf(table.spark))
+    val canon = udf((s: String) => ParquetIO.canonPath(s))
+    val named = positions.toDF("file_path", "pos")
+      .select(canon(col("file_path")).as("file_path"), col("pos").cast("long").as("pos"))
+    val n = if (partitions > 0) partitions
+      else math.max(1, math.min(named.sparkSession.sparkContext.defaultParallelism,
+        32))
+    val (schemaId, specId) = (m.currentSchemaId, m.defaultSpecId)
+    named.repartition(n, col("file_path"))
+      .queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+        val byFile = scala.collection.mutable.HashMap[String, Roaring64NavigableMap]()
+        it.foreach { row =>
+          if (!row.isNullAt(0) && !row.isNullAt(1))
+            byFile.getOrElseUpdate(row.getUTF8String(0).toString,
+              new Roaring64NavigableMap()).addLong(row.getLong(1))
+        }
+        if (byFile.isEmpty) Iterator.empty
+        else {
+          val path = s"$staging/dv-$pid-${java.util.UUID.randomUUID()}.puffin"
+          Iterator.single(writePuffin(path, byFile.toSeq, schemaId, specId,
+            sconf.value))
+        }
+      }.collect().toSeq.flatten.sortBy(f => (f.path, f.referencedDataFile))
+  }
+}

@@ -189,9 +189,8 @@ final class TableScan private[format] (
     // deletes are format-agnostic in the reference, Deletes.java:70-123).
     // Target detection is one small driver read of the delete files' path
     // column, only on tables that mix formats under live position deletes.
-    lazy val posTargets: Set[String] = Deletes.posDeleteTargets(
-      posDeletes.map(_._1.path).distinct,
-      spark.sessionState.newHadoopConf())
+    lazy val posTargets: Set[String] = Deletes.posDeleteTargetFiles(
+      posDeletes.map(_._1), spark.sessionState.newHadoopConf())
 
     // group files by (writer schema, sequence number, file format) — the
     // seq key exists only when equality deletes are live, exactly like the
@@ -420,10 +419,8 @@ final class TableScan private[format] (
     * columns (parquet: from row metadata; ORC: from the row-path counter). */
   private def antiJoinPositions(df0: DataFrame,
       posDeletes: Seq[(DataFile, Long)]): DataFrame = {
-    val spark = table.spark
-    val canon = udf((s: String) => ParquetIO.canonPath(s))
-    val dels = spark.read.parquet(posDeletes.map(_._1.path).distinct: _*)
-      .select(canon(col("file_path")).as("_g_file"), col("pos").as("_g_pos"))
+    val dels = Deletes.positionsDF(table.spark, posDeletes.map(_._1))
+      .toDF("_g_file", "_g_pos")
     df0.join(broadcast(dels), Seq("_g_file", "_g_pos"), "left_anti")
       .drop("_g_file", "_g_pos")
   }
@@ -627,8 +624,12 @@ object GraftTable {
       properties: Map[String, String] = Map.empty): GraftTable = {
     val withIds = if (FieldIds.hasIds(schema)) schema else FieldIds.assignFresh(schema)
     val spec = specBuild(PartitionSpec.builderFor(withIds)).build(0)
+    // `format-version` is a metadata FIELD, not a property: 2 (default) or
+    // 3 (deletion vectors) — same surface as iceberg's table-property spell
+    val fv = properties.get("format-version").map(_.trim.toInt).getOrElse(2)
+    require(fv == 2 || fv == 3, s"unsupported format-version $fv (2 or 3)")
     val meta = TableMetadata(
-      formatVersion = 2,
+      formatVersion = fv,
       tableUuid = java.util.UUID.randomUUID().toString,
       location = location,
       lastSequenceNumber = 0L,
@@ -638,7 +639,7 @@ object GraftTable {
       schemas = Map(0 -> withIds),
       defaultSpecId = 0,
       specs = Map(0 -> spec),
-      properties = properties,
+      properties = properties - "format-version",
       currentSnapshotId = None,
       snapshots = Nil,
       snapshotLog = Nil)

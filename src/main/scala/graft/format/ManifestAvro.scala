@@ -57,6 +57,14 @@ object ManifestAvro {
       .name("split_offsets").`type`().array().items().longType().arrayDefault(java.util.List.of())
       .name("full_bound_ids").`type`().array().items().intType().arrayDefault(java.util.List.of())
       .name("file_format").`type`().stringType().stringDefault(FileFormats.Parquet)
+      // deletion-vector address (v3): null on data files and non-DV deletes;
+      // null defaults keep pre-DV manifests readable via schema resolution
+      .name("referenced_data_file").`type`().unionOf().nullType().and()
+        .stringType().endUnion().nullDefault()
+      .name("content_offset").`type`().unionOf().nullType().and()
+        .longType().endUnion().nullDefault()
+      .name("content_size_in_bytes").`type`().unionOf().nullType().and()
+        .longType().endUnion().nullDefault()
       .endRecord()
     SchemaBuilder.record("manifest_entry").namespace("graft.manifest").fields()
       .requiredInt("status")
@@ -167,6 +175,9 @@ object ManifestAvro {
       df.put("split_offsets", f.splitOffsets.map(Long.box).asJava)
       df.put("full_bound_ids", f.fullBoundIds.map(Int.box).asJava)
       df.put("file_format", f.fileFormat)
+      df.put("referenced_data_file", f.referencedDataFile.orNull)
+      df.put("content_offset", f.contentOffset.map(Long.box).orNull)
+      df.put("content_size_in_bytes", f.contentSizeInBytes.map(Long.box).orNull)
       val rec = new GenericData.Record(entrySchema)
       rec.put("status", e.status)
       rec.put("snapshot_id", e.snapshotId)
@@ -217,7 +228,12 @@ object ManifestAvro {
           splitOffsets = df.get("split_offsets")
             .asInstanceOf[java.util.List[java.lang.Long]].asScala.map(_.longValue()).toSeq,
           fullBoundIds = intSeq("full_bound_ids"),
-          fileFormat = strKey(df.get("file_format"))))
+          fileFormat = strKey(df.get("file_format")),
+          referencedDataFile = Option(df.get("referenced_data_file")).map(strKey),
+          contentOffset = Option(df.get("content_offset"))
+            .map(_.asInstanceOf[java.lang.Long].longValue()),
+          contentSizeInBytes = Option(df.get("content_size_in_bytes"))
+            .map(_.asInstanceOf[java.lang.Long].longValue())))
     }.toVector
   }
 

@@ -146,7 +146,11 @@ object MetaTables {
     StructField("record_count", LongType),
     StructField("file_size_in_bytes", LongType),
     StructField("spec_id", IntegerType),
-    StructField("schema_id", IntegerType)))
+    StructField("schema_id", IntegerType),
+    // deletion-vector address (null on data files / non-DV deletes)
+    StructField("referenced_data_file", StringType),
+    StructField("content_offset", LongType),
+    StructField("content_size_in_bytes", LongType)))
 
   private[graft] val entrySchema = StructType(
     StructField("status", IntegerType) +:
@@ -172,7 +176,9 @@ object MetaTables {
       val f = e.file
       val fileCols = Seq[Any](f.content, f.path, f.fileFormat,
         f.partition.map { case (k, v) => k -> Values.toDirString(v) },
-        f.recordCount, f.fileSizeInBytes, f.specId, f.schemaId)
+        f.recordCount, f.fileSizeInBytes, f.specId, f.schemaId,
+        f.referencedDataFile.orNull, f.contentOffset.map(Long.box).orNull,
+        f.contentSizeInBytes.map(Long.box).orNull)
       if (filesOnly) Row(fileCols: _*)
       else Row((Seq[Any](e.status, e.snapshotId, e.sequenceNumber) ++ fileCols): _*)
     }

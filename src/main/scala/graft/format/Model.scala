@@ -36,14 +36,23 @@ final case class DataFile(
     // which consumers must treat as "bounds may be truncated"
     fullBoundIds: Seq[Int] = Nil,
     // physical encoding of the file (reference api/.../FileFormat.java:
-    // PARQUET | ORC | AVRO); delete files are always parquet
-    fileFormat: String = FileFormats.Parquet)
+    // PARQUET | ORC | AVRO); position-delete files are parquet, or — on
+    // format-version 3 tables — PUFFIN deletion vectors
+    fileFormat: String = FileFormats.Parquet,
+    // deletion-vector fields (iceberg v3 spec: a puffin blob holding the
+    // deleted-position bitmap of ONE data file; the manifest carries the
+    // blob address so readers seek straight to it with zero extra I/O)
+    referencedDataFile: Option[String] = None,
+    contentOffset: Option[Long] = None,
+    contentSizeInBytes: Option[Long] = None)
 
-/** Data-file encodings (reference api/.../FileFormat.java). */
+/** Data-file encodings (reference api/.../FileFormat.java; puffin is the
+  * iceberg-v3 deletion-vector container, past the reference's horizon). */
 object FileFormats {
   val Parquet = "parquet"
   val Orc = "orc"
   val Avro = "avro"
+  val Puffin = "puffin"
   val All: Seq[String] = Seq(Parquet, Orc, Avro)
 }
 
@@ -208,6 +217,9 @@ object Model {
     }
     // absent = parquet, so pre-multiformat metadata reads unchanged
     if (f.fileFormat != FileFormats.Parquet) o.put("file-format", f.fileFormat)
+    f.referencedDataFile.foreach(o.put("referenced-data-file", _))
+    f.contentOffset.foreach(o.put("content-offset", _))
+    f.contentSizeInBytes.foreach(o.put("content-size-in-bytes", _))
     o
   }
 
@@ -242,7 +254,10 @@ object Model {
       fullBoundIds = Option(n.get("full-bound-ids"))
         .map(a => elems(a).map(_.asInt()).toSeq).getOrElse(Nil),
       fileFormat = Option(n.get("file-format")).map(_.asText())
-        .getOrElse(FileFormats.Parquet))
+        .getOrElse(FileFormats.Parquet),
+      referencedDataFile = Option(n.get("referenced-data-file")).map(_.asText()),
+      contentOffset = optLong(n, "content-offset"),
+      contentSizeInBytes = optLong(n, "content-size-in-bytes"))
   }
 
   // ---- Snapshot ----

@@ -92,13 +92,14 @@ class CacheSpec extends SparkSpec {
     }
     assert(path != null)
     val conf = spark.sessionState.newHadoopConf()
-    val m = PosDeleteCache.get(Seq(path), conf)
-    // the three local spellings collapse to ONE canonical key, sorted
-    assert(m(ParquetIO.canonPath("file:/data/a.parquet")).toSeq == Seq(3L, 7L, 11L))
+    val m = PosDeleteCache.get(Seq(path), Nil, conf)
+    // the three local spellings collapse to ONE canonical key
+    assert(m(ParquetIO.canonPath("file:/data/a.parquet")).toArray.toSeq ==
+      Seq(3L, 7L, 11L))
     // the hdfs path stays its own key
-    assert(m("hdfs://nn/data/a.parquet").toSeq == Seq(5L))
+    assert(m("hdfs://nn/data/a.parquet").toArray.toSeq == Seq(5L))
     assert(m.size == 2)
     // cache hit: same paths key returns the same instance without reload
-    assert(PosDeleteCache.get(Seq(path), conf) eq m)
+    assert(PosDeleteCache.get(Seq(path), Nil, conf) eq m)
   }
 }

@@ -1,0 +1,214 @@
+package graft.format
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.roaringbitmap.longlong.Roaring64NavigableMap
+import java.nio.file.Files
+
+/** Deletion vectors (iceberg v3 / puffin): container codec, format-version
+  * plumbing, DV write paths (deletePositions, MoR SQL, eq-conversion,
+  * compaction), and every read path applying them (library scan, DSv2 SQL,
+  * ORC row-path, rewrite actions). */
+class DvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshLoc(name: String): String = {
+    val d = Files.createTempDirectory(s"graft-$name")
+    Files.delete(d)
+    d.toString
+  }
+
+  private def bm(vals: Long*): Roaring64NavigableMap = {
+    val b = new Roaring64NavigableMap()
+    vals.foreach(b.addLong)
+    b
+  }
+
+  // ---- puffin container + DV blob codec ----
+
+  test("puffin: round-trip blobs through the container and footer") {
+    val payloadA = Puffin.dvBlobPayload(bm(0L, 5L, 1L << 33))
+    val payloadB = Puffin.dvBlobPayload(bm(7L))
+    val (bytes, metas) = Puffin.write(Seq(
+      (Puffin.DvBlobType, Nil, 11L, 3L, payloadA, Map("referenced-data-file" -> "/a")),
+      (Puffin.DvBlobType, Nil, 11L, 3L, payloadB, Map("referenced-data-file" -> "/b"))))
+    assert(bytes.startsWith(Puffin.Magic))
+    assert(bytes.endsWith(Puffin.Magic))
+    val parsed = Puffin.readFooter(bytes)
+    assert(parsed === metas)
+    assert(parsed.map(_.properties("referenced-data-file")) === Seq("/a", "/b"))
+    val back = Puffin.dvFromBlobPayload(
+      bytes.slice(parsed.head.offset.toInt,
+        (parsed.head.offset + parsed.head.length).toInt))
+    assert(back.contains(0L) && back.contains(5L) && back.contains(1L << 33))
+    assert(back.getLongCardinality === 3L)
+  }
+
+  test("puffin: DV blob CRC and magic corruption are detected") {
+    val payload = Puffin.dvBlobPayload(bm(1L, 2L, 3L))
+    val flipped = payload.clone(); flipped(10) = (flipped(10) ^ 0x7).toByte
+    intercept[IllegalArgumentException](Puffin.dvFromBlobPayload(flipped))
+    val badMagic = payload.clone(); badMagic(4) = 0x00
+    intercept[IllegalArgumentException](Puffin.dvFromBlobPayload(badMagic))
+  }
+
+  // ---- format-version plumbing ----
+
+  test("format-version: create at 3, upgrade 2->3, refuse downgrade") {
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t3 = GraftTable.create(spark, freshLoc("fv3"), df.schema,
+      properties = Map("format-version" -> "3"))
+    assert(t3.metadata.formatVersion === 3)
+    assert(!t3.metadata.properties.contains("format-version"))
+    val t2 = GraftTable.create(spark, freshLoc("fv2"), df.schema)
+    assert(t2.metadata.formatVersion === 2)
+    Commits.setProperties(t2, Map("format-version" -> "3", "k" -> "v"))
+    assert(t2.metadata.formatVersion === 3)
+    assert(t2.metadata.properties.get("k").contains("v"))
+    intercept[IllegalArgumentException](
+      Commits.setProperties(t2, Map("format-version" -> "2")))
+    intercept[IllegalArgumentException](
+      GraftTable.create(spark, freshLoc("fv4"), df.schema,
+        properties = Map("format-version" -> "4")))
+  }
+
+  // ---- DV write + read paths ----
+
+  private def idsOf(t: GraftTable): Seq[Long] =
+    t.toDF().select("id").as[Long].collect().sorted.toSeq
+
+  private def deleteWherePos(t: GraftTable, cond: org.apache.spark.sql.Column): Unit = {
+    val paths = t.newScan().planFiles().tasks.map(_.file.path)
+    val pos = spark.read.parquet(paths: _*)
+      .withColumn("fp", col("_metadata.file_path"))
+      .withColumn("rp", col("_metadata.row_index"))
+      .filter(cond).select("fp", "rp")
+    Deletes.deletePositions(t, pos)
+  }
+
+  test("v3 deletePositions writes DVs; library scan applies them") {
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = GraftTable.create(spark, freshLoc("dvlib"), df.schema,
+      properties = Map("format-version" -> "3"))
+    GraftWrite.append(t, df.repartition(3))
+    deleteWherePos(t, col("id") % 7 === 0)
+    val dels = t.newScan().planFiles().deleteFiles.map(_._1)
+    assert(dels.nonEmpty)
+    assert(dels.forall(_.fileFormat === FileFormats.Puffin))
+    assert(dels.forall(f => f.referencedDataFile.isDefined &&
+      f.contentOffset.isDefined && f.contentSizeInBytes.isDefined))
+    assert(dels.map(_.recordCount).sum === 15L) // 0,7,...,98
+    assert(idsOf(t) === (0L until 100L).filter(_ % 7 != 0))
+    // manifest codec round-trips the DV address (avro is the default codec)
+    val t2 = GraftTable.load(spark, t.location)
+    val dels2 = t2.newScan().planFiles().deleteFiles.map(_._1)
+    assert(dels2.toSet === dels.toSet)
+  }
+
+  test("v3 DSv2 SQL scan applies DVs; two DV commits on one file union") {
+    val wh = Files.createTempDirectory("graft-dvwh").toString
+    spark.conf.set("spark.sql.catalog.dvc", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.dvc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dvc.db")
+    spark.sql("""CREATE TABLE dvc.db.t (id BIGINT, v STRING)
+                 TBLPROPERTIES ('format-version'='3')""")
+    spark.sql("INSERT INTO dvc.db.t SELECT id, concat('v', id) FROM range(50)")
+    val t = GraftTable.load(spark, s"$wh/db/t")
+    deleteWherePos(t, col("id") < 5)
+    deleteWherePos(t, col("id") >= 45) // second DV generation, same files
+    val got = spark.sql("SELECT id FROM dvc.db.t ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(got === (5L until 45L))
+    // both DV generations are live (union semantics pre-compaction)
+    val gens = t.newScan().planFiles().deleteFiles.map(_._1.path).distinct
+    assert(gens.size === 2)
+  }
+
+  test("v3 MoR MERGE/DELETE SQL writes DVs, not parquet deletes") {
+    val wh = Files.createTempDirectory("graft-dvm").toString
+    spark.conf.set("spark.sql.catalog.dvm", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.dvm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dvm.db")
+    spark.sql("""CREATE TABLE dvm.db.t (id BIGINT, v STRING)
+                 TBLPROPERTIES ('format-version'='3',
+                                'write.delete.mode'='merge-on-read',
+                                'write.merge.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO dvm.db.t SELECT id, concat('v', id) FROM range(20)")
+    val before = GraftTable.load(spark, s"$wh/db/t")
+      .newScan().planFiles().files.map(_.path).toSet
+    spark.sql("DELETE FROM dvm.db.t WHERE id % 4 = 1")
+    spark.sql("""MERGE INTO dvm.db.t t USING (SELECT 2 AS id, 'X' AS v) s
+                 ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET t.v = s.v
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val t = GraftTable.load(spark, s"$wh/db/t")
+    val plan = t.newScan().planFiles()
+    assert(before.subsetOf(plan.files.map(_.path).toSet), "MoR must not rewrite")
+    val dels = plan.deleteFiles.map(_._1)
+    assert(dels.nonEmpty && dels.forall(_.fileFormat === FileFormats.Puffin))
+    val rows = spark.sql("SELECT id, v FROM dvm.db.t WHERE id IN (1,2,3)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows === Set((2L, "X"), (3L, "v3")))
+    assert(spark.sql("SELECT count(*) FROM dvm.db.t").as[Long].head() === 15L)
+  }
+
+  test("v3 mixed legacy parquet position deletes + DVs apply together") {
+    val df = (0L until 40L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = GraftTable.create(spark, freshLoc("dvmix"), df.schema)
+    GraftWrite.append(t, df.repartition(2))
+    deleteWherePos(t, col("id") < 4) // v2: parquet position-delete file
+    Commits.setProperties(t, Map("format-version" -> "3"))
+    deleteWherePos(t, col("id") >= 36) // v3: DV
+    val fmts = t.newScan().planFiles().deleteFiles.map(_._1.fileFormat).distinct.sorted
+    assert(fmts === Seq(FileFormats.Parquet, FileFormats.Puffin))
+    assert(idsOf(t) === (4L until 36L))
+    // compaction of the delete files merges BOTH kinds into one DV per
+    // data file and restores the spec's one-DV invariant
+    val res = Actions.forTable(t).rewritePositionDeletes()
+    assert(res.rewrittenFiles >= 2) // the parquet file + >=1 puffin file
+    val after = t.newScan().planFiles().deleteFiles.map(_._1)
+    assert(after.forall(_.fileFormat === FileFormats.Puffin))
+    assert(after.map(_.referencedDataFile).distinct.size === after.size)
+    assert(after.map(_.path).distinct.size === 1)
+    assert(idsOf(t) === (4L until 36L))
+    // already compact now: second run is a no-op
+    assert(Actions.forTable(t).rewritePositionDeletes() === Actions.RewriteResult(0, 0))
+  }
+
+  test("v3 DVs on ORC data files apply via the row-path scan") {
+    val df = (0L until 30L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = GraftTable.create(spark, freshLoc("dvorc"), df.schema,
+      properties = Map("format-version" -> "3",
+        "write.format.default" -> "orc"))
+    GraftWrite.append(t, df.coalesce(1))
+    // locate positions through the library scan's own (_file,_pos) dual:
+    // ORC files carry no parquet row-index metadata, so delete by reading
+    // all rows and picking ordinals 0..4 of the single file
+    val file = t.newScan().planFiles().tasks.head.file.path
+    val pos = (0L until 5L).map(p => (file, p)).toDF("file_path", "pos")
+    Deletes.deletePositions(t, pos)
+    assert(t.newScan().planFiles().deleteFiles
+      .forall(_._1.fileFormat === FileFormats.Puffin))
+    assert(idsOf(t) === (5L until 30L))
+  }
+
+  test("v3 equality-delete conversion and data compaction work under DVs") {
+    val df = (0L until 30L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = GraftTable.create(spark, freshLoc("dveq"), df.schema,
+      properties = Map("format-version" -> "3"))
+    GraftWrite.append(t, df.repartition(2))
+    Deletes.deleteByEquality(t, Seq(3L, 9L).toDF("id"))
+    deleteWherePos(t, col("id") === 12L)
+    val conv = Actions.forTable(t).rewriteEqualityDeletes()
+    assert(conv.rewrittenFiles === 1)
+    val dels = t.newScan().planFiles().deleteFiles.map(_._1)
+    assert(dels.forall(_.content == FileContent.PositionDeletes))
+    assert(dels.exists(_.fileFormat == FileFormats.Puffin))
+    assert(idsOf(t) === (0L until 30L).filterNot(Set(3L, 9L, 12L)))
+    // full compaction reads THROUGH the DVs and drops them as dangling
+    Actions.forTable(t).rewriteDataFiles(minInputFiles = 1)
+    val plan = t.newScan().planFiles()
+    assert(plan.deleteFiles.isEmpty)
+    assert(idsOf(t) === (0L until 30L).filterNot(Set(3L, 9L, 12L)))
+  }
+}

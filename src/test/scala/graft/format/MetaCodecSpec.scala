@@ -51,12 +51,17 @@ class MetaCodecSpec extends SparkSpec {
         equalityIds = Seq(ids(1)), splitOffsets = Seq(4L, 400L),
         fullBoundIds = Seq(ids(2)), fileFormat = FileFormats.Orc)),
       ManifestEntry(EntryStatus.Deleted, 8L, 4L, DataFile(
-        path = "data/f2.parquet", content = FileContent.PositionDeletes)))
+        path = "data/f2.parquet", content = FileContent.PositionDeletes)),
+      ManifestEntry(EntryStatus.Added, 9L, 5L, DataFile(
+        path = "data/dv1.puffin", content = FileContent.PositionDeletes,
+        recordCount = 7L, fileFormat = FileFormats.Puffin,
+        referencedDataFile = Some("/data/f1.parquet"),
+        contentOffset = Some(4L), contentSizeInBytes = Some(99L))))
 
     val bytes = MetaCodec.writeManifest(entries, schema, partTypes, MetaCodec.Avro)
     assert(ManifestAvro.isAvro(bytes))
     val back = MetaCodec.readManifest(bytes, schema, partTypes)
-    assert(back.size === 2)
+    assert(back.size === 3)
     val (e, o) = (back.head, entries.head)
     assert(e.status === o.status && e.snapshotId === o.snapshotId &&
       e.sequenceNumber === o.sequenceNumber)
@@ -80,6 +85,11 @@ class MetaCodecSpec extends SparkSpec {
     cmp(e.file.upperBounds, upper)
     assert(back(1).file.content === FileContent.PositionDeletes)
     assert(back(1).file.fileFormat === FileFormats.Parquet)
+    assert(back(1).file.referencedDataFile === None)
+    // deletion-vector address fields (v3) round-trip — avro AND json
+    assert(back(2).file === entries(2).file)
+    val json = MetaCodec.writeManifest(entries, schema, partTypes, MetaCodec.None_)
+    assert(MetaCodec.readManifest(json, schema, partTypes)(2).file === entries(2).file)
   }
 
   test("avro manifest list round-trips descriptors and summaries") {
