@@ -179,11 +179,15 @@ final class GraftDeltaWriterFactory(schema: StructType, idSchema: StructType,
           case other => throw new IllegalStateException(s"unexpected $other")
         }
         if (dvMode && deletes.nonEmpty) {
-          // v3: one puffin file per task, one bitmap blob per data file
+          // v3: one puffin file per task, one bitmap blob per data file.
+          // Canonicalize each distinct raw path ONCE — a task masks rows in
+          // a handful of files but may buffer millions of positions
+          val canonOf = scala.collection.mutable.HashMap[String, String]()
           val byFile = scala.collection.mutable
             .HashMap[String, org.roaringbitmap.longlong.Roaring64NavigableMap]()
           deletes.foreach { case (f, p) =>
-            byFile.getOrElseUpdate(ParquetIO.canonPath(f),
+            byFile.getOrElseUpdate(
+              canonOf.getOrElseUpdate(f, ParquetIO.canonPath(f)),
               new org.roaringbitmap.longlong.Roaring64NavigableMap()).addLong(p)
           }
           val hp = new org.apache.hadoop.fs.Path(stagingDir)

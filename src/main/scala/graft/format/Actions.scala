@@ -655,7 +655,7 @@ final class Actions(t: GraftTable) {
     // tasks like every other distributed action here.
     val (subdirs, rootFiles) = io.listShallow(dataDir)
     val isData = (path: String) =>
-      FileFormats.All.exists(ext => path.endsWith("." + ext))
+      (FileFormats.All :+ FileFormats.Puffin).exists(ext => path.endsWith("." + ext))
     val listed =
       if (subdirs.isEmpty) t.spark.emptyDataset[(String, Long)].toDF("path", "mtime")
       else t.spark.sparkContext

@@ -48,7 +48,9 @@ object Deletes {
   def positionsDF(spark: SparkSession, files: Seq[DataFile]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val canon = udf((s: String) => ParquetIO.canonPath(s))
+    // null-tolerant like the executor-side loader (PosDeleteCache skips
+    // null rows): canonicalizing before filtering must not throw
+    val canon = udf((s: String) => if (s == null) null else ParquetIO.canonPath(s))
     val (dvs, parquetFiles) = files.partition(_.fileFormat == FileFormats.Puffin)
     val out = StructType(Seq(StructField("file_path", StringType),
       StructField("pos", LongType)))
@@ -56,6 +58,7 @@ object Deletes {
     if (parquetFiles.nonEmpty)
       parts += spark.read.parquet(parquetFiles.map(_.path).distinct: _*)
         .select(canon(col("file_path")).as("file_path"), col("pos"))
+        .filter(col("file_path").isNotNull && col("pos").isNotNull)
     val slices = Dvs.slicesOf(dvs)
     if (slices.nonEmpty) {
       val sconf = new org.apache.spark.util.SerializableConfiguration(

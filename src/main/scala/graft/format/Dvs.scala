@@ -36,27 +36,33 @@ object Dvs {
 
   /** Blob addresses of the puffin members of a delete-file set (canonical
     * referenced paths; deduplicated — the same blob can be planned through
-    * several manifests after rewrites). */
+    * several manifests after rewrites). An incomplete address is a loud
+    * error, not a skipped delete: silently ignoring the entry would
+    * resurrect its masked rows. */
   def slicesOf(files: Seq[DataFile]): Seq[DvSlice] =
-    files.filter(_.fileFormat == FileFormats.Puffin).flatMap { f =>
-      for {
-        ref <- f.referencedDataFile
-        off <- f.contentOffset
-        len <- f.contentSizeInBytes
-      } yield DvSlice(f.path, off, len, ParquetIO.canonPath(ref))
+    files.filter(_.fileFormat == FileFormats.Puffin).map { f =>
+      (f.referencedDataFile, f.contentOffset, f.contentSizeInBytes) match {
+        case (Some(ref), Some(off), Some(len)) =>
+          DvSlice(f.path, off, len, ParquetIO.canonPath(ref))
+        case _ => throw new IllegalStateException(
+          s"corrupt manifest: puffin delete entry ${f.path} is missing its " +
+          "deletion-vector address (referenced-data-file/content-offset/" +
+          "content-size-in-bytes)")
+      }
     }.distinct.sortBy(s => (s.path, s.offset))
 
   /** Serialize bitmaps (keyed by canonical data-file path) into one puffin
     * file's bytes + per-blob DataFile descriptors for the manifest. */
   def buildPuffin(path: String, dvs: Seq[(String, Roaring64NavigableMap)],
       schemaId: Int, specId: Int): (Array[Byte], Seq[DataFile]) = {
-    val blobs = dvs.sortBy(_._1).map { case (refFile, bm) =>
+    val sorted = dvs.sortBy(_._1)
+    val blobs = sorted.map { case (refFile, bm) =>
       (Puffin.DvBlobType, Seq.empty[Int], -1L, -1L, Puffin.dvBlobPayload(bm),
         Map("referenced-data-file" -> refFile,
           "cardinality" -> bm.getLongCardinality.toString))
     }
     val (bytes, metas) = Puffin.write(blobs)
-    val files = metas.zip(dvs.sortBy(_._1)).map { case (meta, (refFile, bm)) =>
+    val files = metas.zip(sorted).map { case (meta, (refFile, bm)) =>
       DataFile(path = path, content = FileContent.PositionDeletes,
         recordCount = bm.getLongCardinality,
         fileSizeInBytes = bytes.length.toLong,
@@ -102,7 +108,7 @@ object Dvs {
     val staging = table.locations.newDataLocation(java.util.UUID.randomUUID().toString)
     val sconf = new org.apache.spark.util.SerializableConfiguration(
       ParquetIO.writeConf(table.spark))
-    val canon = udf((s: String) => ParquetIO.canonPath(s))
+    val canon = udf((s: String) => if (s == null) null else ParquetIO.canonPath(s))
     val named = positions.toDF("file_path", "pos")
       .select(canon(col("file_path")).as("file_path"), col("pos").cast("long").as("pos"))
     val n = if (partitions > 0) partitions

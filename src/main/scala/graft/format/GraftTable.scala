@@ -135,7 +135,12 @@ final class TableScan private[format] (
             val keepByAdded = incremental.isEmpty ||
               (e.status == EntryStatus.Added &&
                 manifests.exists(_.addedSnapshotId == e.snapshotId))
+            // delete files are committed with an EMPTY partition tuple
+            // (they are partition-global: eq deletes, position deletes,
+            // DVs) — partition pruning must not drop them, or masked rows
+            // resurrect under any partition-filtered scan
             val partOk = projected == AlwaysTrue ||
+              (e.file.content != FileContent.Data && e.file.partition.isEmpty) ||
               Projections.evalOnPartition(projected, e.file.partition)
             if (keepByAdded && partOk) {
               if (e.file.content == FileContent.Data) {

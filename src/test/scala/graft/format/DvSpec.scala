@@ -192,6 +192,41 @@ class DvSpec extends SparkSpec {
     assert(idsOf(t) === (5L until 30L))
   }
 
+  test("partition-pruned scans still apply partition-global delete files") {
+    val df = (0L until 40L)
+      .map(i => (i, if (i % 2 == 0) "a" else "b", s"v$i"))
+      .toDF("id", "cat", "v")
+    val t = GraftTable.create(spark, freshLoc("dvpart"), df.schema,
+      _.identity("cat"), properties = Map("format-version" -> "3"))
+    GraftWrite.append(t, df.repartition(2))
+    deleteWherePos(t, col("id") < 2) // DV: one row in each partition
+    Deletes.deleteByEquality(t, Seq(4L).toDF("id")) // eq delete, cat=a
+    // a partition-filtered scan prunes to cat=a files, but the delete
+    // files carry an EMPTY (global) partition tuple — they must survive
+    // pruning or ids 0 and 4 resurrect
+    val plan = t.newScan().filter(Exprs.equal("cat", "a")).planFiles()
+    assert(plan.deleteFiles.size >= 2, "global delete files were pruned away")
+    val got = t.newScan().filter(Exprs.equal("cat", "a")).toDF()
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got === (0L until 40L).filter(i => i % 2 == 0 && i != 0 && i != 4))
+    // same through SQL pushdown (the DSv2 planFiles path)
+    val wh = Files.createTempDirectory("graft-dvp").toString
+    spark.conf.set("spark.sql.catalog.dvp", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.dvp.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dvp.db")
+    spark.sql("""CREATE TABLE dvp.db.t (id BIGINT, cat STRING, v STRING)
+                 PARTITIONED BY (cat)
+                 TBLPROPERTIES ('format-version'='3',
+                                'write.delete.mode'='merge-on-read')""")
+    spark.sql("""INSERT INTO dvp.db.t
+                 SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END,
+                        concat('v', id) FROM range(20)""")
+    spark.sql("DELETE FROM dvp.db.t WHERE id IN (0, 2)")
+    val sqlGot = spark.sql("SELECT id FROM dvp.db.t WHERE cat = 'a' ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(sqlGot === (0L until 20L).filter(i => i % 2 == 0 && i != 0 && i != 2))
+  }
+
   test("v3 equality-delete conversion and data compaction work under DVs") {
     val df = (0L until 30L).map(i => (i, s"v$i")).toDF("id", "v")
     val t = GraftTable.create(spark, freshLoc("dveq"), df.schema,
