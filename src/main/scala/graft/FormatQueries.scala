@@ -424,6 +424,36 @@ object FormatQueries {
                FROM graftdv.db.customer_dv GROUP BY 1 ORDER BY 1""")
     }),
 
+    // changelog update images: a v3 merge-on-read UPDATE lands as one
+    // RowDelta commit (deletion vectors + replacement rows); the changelog
+    // view with identifier_columns pairs each key's DELETE+INSERT into
+    // UPDATE_BEFORE/UPDATE_AFTER (iceberg compute-updates semantics)
+    "q101_changelog_updates" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftcup", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftcup.warehouse", tdir(dir, "cupwh"))
+      withTable(s, dir, "cupwh/db/customer_cdc") { loc =>
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val tt = GraftTable.recreate(s, loc, c.schema,
+          properties = Map("format-version" -> "3",
+            "write.update.mode" -> "merge-on-read"))
+        GraftWrite.append(tt, c.coalesce(2))
+        s.sql("UPDATE graftcup.db.customer_cdc SET c_acctbal = 0.0 " +
+          "WHERE c_acctbal < 0")
+        val t2 = GraftTable.load(s, loc)
+        require(t2.newScan().planFiles().deleteFiles
+          .forall(_._1.fileFormat == FileFormats.Puffin),
+          "v3 MoR UPDATE must mask old rows with deletion vectors")
+        t2
+      }
+      s.sql("""CALL graftcup.system.create_changelog_view(
+                 table => 'db.customer_cdc',
+                 changelog_view => 'customer_changes',
+                 identifier_columns => 'c_custkey')""")
+      s.sql("""SELECT _change_type AS change_type, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+               FROM customer_changes GROUP BY 1 ORDER BY 1""")
+    }),
+
     // streaming sink: two epochs + a replayed epoch (dedup) = exactly-once
     "q73_streaming_epochs" -> ((s, dir) => {
       val t = withTable(s, dir, "customer_stream") { loc =>
@@ -902,6 +932,19 @@ object FormatQueries {
         |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
         |FROM customer WHERE c_custkey % 5 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q101_changelog_updates" ->
+      """SELECT 'INSERT' AS change_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |UNION ALL
+        |SELECT 'UPDATE_AFTER', COUNT(*), CAST(0 AS DOUBLE)
+        |FROM customer WHERE c_acctbal < 0
+        |UNION ALL
+        |SELECT 'UPDATE_BEFORE', COUNT(*),
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE)
+        |FROM customer WHERE c_acctbal < 0
+        |ORDER BY 1""".stripMargin,
 
     "q66_schema_evolution" ->
       """SELECT s_suppkey, s_acctbal AS balance, 'none' AS tier

@@ -363,7 +363,11 @@ final class GraftProcedures(resolve: String => GraftTable,
       // wall-clock alternative to the snapshot-id pair: (start, end] with
       // each bound resolved to the newest snapshot at or before it
       pd("start_timestamp", TimestampType, "NULL"),
-      pd("end_timestamp", TimestampType, "NULL")),
+      pd("end_timestamp", TimestampType, "NULL"),
+      // comma-separated key columns: pair each commit's DELETE+INSERT on
+      // the same key into UPDATE_BEFORE/UPDATE_AFTER rows (iceberg
+      // compute-updates); implies carryover removal, excludes net_changes
+      pd("identifier_columns", StringType, "NULL")),
     StructType(Seq(
       StructField("changelog_view", StringType, nullable = false))))({ in =>
       val t = resolve(str(in, 0))
@@ -375,9 +379,23 @@ final class GraftProcedures(resolve: String => GraftTable,
         "pass start_snapshot_id or start_timestamp, not both")
       require(toId.isEmpty || endMs.isEmpty,
         "pass end_snapshot_id or end_timestamp, not both")
+      val idCols = if (in.isNullAt(7)) Nil
+        else str(in, 7).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val netChanges = !in.isNullAt(4) && in.getBoolean(4)
+      require(!(netChanges && idCols.nonEmpty),
+        "net_changes cannot be combined with identifier_columns")
       val (fromTs, toTs) = Changes.rangeForTimestamps(t, startMs, endMs)
       val raw = Changes.between(t, fromId.orElse(fromTs), toId.orElse(toTs))
-      val df = if (!in.isNullAt(4) && in.getBoolean(4)) Changes.net(raw) else raw
+      val df =
+        if (netChanges) Changes.net(raw)
+        else {
+          // view output is carryover-free (iceberg create_changelog_view
+          // removes carry-over rows unconditionally); the raw per-commit
+          // stream stays available via Changes.between
+          val cleaned = Changes.removeCarryovers(raw)
+          if (idCols.isEmpty) cleaned
+          else Changes.computeUpdates(cleaned, idCols)
+        }
       val view =
         if (in.isNullAt(1)) str(in, 0).replace('.', '_') + "_changes"
         else str(in, 1)

@@ -44,6 +44,8 @@ object Changes {
   val CommitSnapshotId = "_commit_snapshot_id"
   val Insert = "INSERT"
   val Delete = "DELETE"
+  val UpdateBefore = "UPDATE_BEFORE"
+  val UpdateAfter = "UPDATE_AFTER"
 
   private def canon(p: String): String = ParquetIO.canonPath(p)
 
@@ -208,6 +210,57 @@ object Changes {
     * copy-on-write rewrite as a same-commit DELETE + INSERT pair) cancels
     * out; surviving net copies keep the type and provenance of the row's
     * LAST change. Requires group-able column types (no maps). */
+  /** Remove carry-over rows (iceberg ChangelogIterator.removeCarryovers):
+    * a commit that physically rewrites files — copy-on-write DELETE/
+    * UPDATE/MERGE, overwriteByFilter — re-emits every row it did NOT
+    * logically change as a DELETE from the removed file plus an identical
+    * INSERT in the added file. Cancel such pairs per commit, count-matched
+    * (n deletes and m inserts of the same row leave |n-m| survivors of the
+    * majority kind, so true duplicate-row churn is preserved). One shuffle
+    * over the changelog OUTPUT — churn-bounded, never table-bounded. */
+  def removeCarryovers(changes: DataFrame): DataFrame = {
+    val metaCols = Set(ChangeType, ChangeOrdinal, CommitSnapshotId)
+    val dataCols = changes.columns.filterNot(metaCols).toSeq
+    val pair = least(col("_ins"), col("_del"))
+    changes
+      .groupBy((dataCols :+ ChangeOrdinal :+ CommitSnapshotId).map(col): _*)
+      .agg(
+        sum(when(col(ChangeType) === Insert, 1L).otherwise(0L)).as("_ins"),
+        sum(when(col(ChangeType) === Delete, 1L).otherwise(0L)).as("_del"))
+      .withColumn(ChangeType, explode(concat(
+        array_repeat(lit(Insert), (col("_ins") - pair).cast(IntegerType)),
+        array_repeat(lit(Delete), (col("_del") - pair).cast(IntegerType)))))
+      .select((dataCols ++ Seq(ChangeType, ChangeOrdinal, CommitSnapshotId))
+        .map(col): _*)
+  }
+
+  /** Pair each commit's DELETE + INSERT on the same identifier key into
+    * UPDATE_BEFORE / UPDATE_AFTER rows (iceberg ChangelogIterator
+    * .computeUpdates). Run on carryover-free input. A key whose commit
+    * holds anything other than exactly one DELETE and one INSERT keeps its
+    * plain change types — identifier uniqueness is violated there and
+    * guessing pairings would fabricate update images. One window shuffle
+    * on (identifier columns, ordinal), changelog-output-bounded. */
+  def computeUpdates(changes: DataFrame, identifierCols: Seq[String]): DataFrame = {
+    require(identifierCols.nonEmpty, "identifier columns required")
+    val missing = identifierCols.filterNot(changes.columns.contains)
+    require(missing.isEmpty, s"identifier columns not in changelog: " +
+      missing.mkString(", "))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((identifierCols :+ ChangeOrdinal).map(col): _*)
+    changes
+      .withColumn("_ins",
+        sum(when(col(ChangeType) === Insert, 1L).otherwise(0L)).over(w))
+      .withColumn("_del",
+        sum(when(col(ChangeType) === Delete, 1L).otherwise(0L)).over(w))
+      .withColumn(ChangeType,
+        when(col("_ins") === 1L && col("_del") === 1L,
+          when(col(ChangeType) === Delete, lit(UpdateBefore))
+            .otherwise(lit(UpdateAfter)))
+        .otherwise(col(ChangeType)))
+      .drop("_ins", "_del")
+  }
+
   def net(changes: DataFrame): DataFrame = {
     val metaCols = Set(ChangeType, ChangeOrdinal, CommitSnapshotId)
     val dataCols = changes.columns.filterNot(metaCols).toSeq

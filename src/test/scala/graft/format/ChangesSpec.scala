@@ -142,6 +142,92 @@ class ChangesSpec extends SparkSpec {
       Seq(0L, 1L, 2L, 4L, 5L))
   }
 
+  test("removeCarryovers cancels copy-on-write rewrite churn per commit") {
+    val t = fresh("carry", docs(0 until 0))
+    GraftWrite.append(t, docs(0 until 6).coalesce(1))
+    Deletes.deleteWhere(t, Exprs.equal("id", 3L)) // CoW: rewrites the file
+    val raw = Changes.between(t)
+    // physical log: 6 inserts, then 6 deletes + 5 re-inserts (carryovers)
+    assert(raw.count() === 17)
+    val cleaned = Changes.removeCarryovers(raw)
+    // per-commit view after cancellation: ordinal 0 inserts 0..5, ordinal 1
+    // deletes ONLY the logically removed row
+    val byOrdinal = cleaned
+      .groupBy(col(Changes.ChangeOrdinal), col(Changes.ChangeType))
+      .agg(count(lit(1)).as("n")).orderBy(col(Changes.ChangeOrdinal))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(byOrdinal === Seq((0, "INSERT", 6L), (1, "DELETE", 1L)))
+    assert(cleaned.filter(col(Changes.ChangeType) === "DELETE")
+      .select("id").as[Long].collect().toSeq === Seq(3L))
+    // duplicate rows that only partially cancel keep their surplus: append
+    // the same row twice, CoW-delete one copy of it
+    val d = fresh("carrydup", docs(0 until 0))
+    val dup = Seq((9L, "same", 0), (9L, "same", 0)).toDF("id", "body", "grp")
+    GraftWrite.append(d, dup.coalesce(1))
+    // rewrite the file keeping only ONE copy (overwrite with filter)
+    GraftWrite.overwrite(d,
+      Seq((9L, "same", 0)).toDF("id", "body", "grp").coalesce(1),
+      Exprs.equal("id", 9L))
+    val dc = Changes.removeCarryovers(Changes.between(d,
+      from = Some(d.snapshots.head.snapshotId)))
+    val kinds = dc.select(col(Changes.ChangeType)).as[String].collect().toSeq
+    assert(kinds === Seq("DELETE"), s"surplus delete must survive: $kinds")
+  }
+
+  test("computeUpdates pairs same-key DELETE+INSERT into update images") {
+    val t = fresh("updates", docs(0 until 0))
+    GraftWrite.append(t, docs(0 until 4).coalesce(1))
+    // one commit that updates id=1 (CoW rewrite changes its body), keeps
+    // the rest as carryovers, via deleteWhere + append in one... simplest:
+    // overwrite the file with id=1 modified — DELETE(old 1) + INSERT(new 1)
+    // + carryovers for 0,2,3 in the same commit
+    val updated = Seq((0L, "text-0", 0), (1L, "CHANGED", 1),
+      (2L, "text-2", 2), (3L, "text-3", 0)).toDF("id", "body", "grp")
+    GraftWrite.overwrite(t, updated.coalesce(1), Exprs.alwaysTrue)
+    val cleaned = Changes.removeCarryovers(
+      Changes.between(t, from = Some(t.snapshots.head.snapshotId)))
+    val upd = Changes.computeUpdates(cleaned, Seq("id"))
+    val rows = upd.select(col("id"), col("body"), col(Changes.ChangeType))
+      .as[(Long, String, String)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(rows === Seq(
+      (1L, "CHANGED", Changes.UpdateAfter),
+      (1L, "text-1", Changes.UpdateBefore)))
+    // a key with only an INSERT in its commit keeps its plain type
+    GraftWrite.append(t, docs(10 until 11).coalesce(1))
+    val all = Changes.computeUpdates(Changes.removeCarryovers(
+      Changes.between(t, from = Some(t.snapshots.head.snapshotId))), Seq("id"))
+    val kinds = all.select(col("id"), col(Changes.ChangeType))
+      .as[(Long, String)].collect().toSet
+    assert(kinds === Set((1L, Changes.UpdateBefore), (1L, Changes.UpdateAfter),
+      (10L, "INSERT")))
+  }
+
+  test("create_changelog_view with identifier_columns emits update images") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-cdcup").toString
+    spark.conf.set("spark.sql.catalog.cdcup", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cdcup.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cdcup.db")
+    spark.sql("""CREATE TABLE cdcup.db.t (id BIGINT, v STRING)
+                 TBLPROPERTIES ('write.update.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO cdcup.db.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("UPDATE cdcup.db.t SET v = 'A' WHERE id = 1")
+    spark.sql("""CALL cdcup.system.create_changelog_view(
+                   table => 'db.t', changelog_view => 'cdcup_changes',
+                   identifier_columns => 'id')""")
+    val rows = spark.sql(
+      """SELECT id, v, _change_type FROM cdcup_changes
+         ORDER BY _change_ordinal, _change_type, id""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows === Seq((1L, "a", "INSERT"), (2L, "b", "INSERT"),
+      (1L, "A", Changes.UpdateAfter), (1L, "a", Changes.UpdateBefore)))
+    // net_changes + identifier_columns is refused
+    intercept[Exception] {
+      spark.sql("""CALL cdcup.system.create_changelog_view(
+                     table => 'db.t', net_changes => true,
+                     identifier_columns => 'id')""").collect()
+    }
+  }
+
   test("a 200-commit range builds a bounded plan and stays correct") {
     val t = fresh("manycommits", docs(0 until 0))
     // stage 200 one-row files in ONE job, then give each its own commit —
