@@ -55,6 +55,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       MetaTables.distributedScanInputs(t, metaName) match {
         case Some((manifests, spec, schema)) =>
           MetaScanTable(ident.toString, manifests, spec, schema)
+        case None if metaName.equalsIgnoreCase("position_deletes") =>
+          // delete-state-scale rows (never driver-collected): one task per
+          // delete file / DV blob
+          val files = t.newScan().planFiles().deleteFiles
+            .filter(_._1.content == graft.format.FileContent.PositionDeletes)
+            .map(_._1).distinctBy(f => (f.path, f.referencedDataFile))
+          val (dvFiles, pq) =
+            files.partition(_.fileFormat == graft.format.FileFormats.Puffin)
+          PosDeleteScanTable(ident.toString,
+            pq.map(_.path).distinct.sorted, graft.format.Dvs.slicesOf(dvFiles),
+            new org.apache.spark.util.SerializableConfiguration(
+              spark.sessionState.newHadoopConf()))
         case None => RowsTable(ident.toString, MetaTables(t, metaName))
       }
     case _ =>

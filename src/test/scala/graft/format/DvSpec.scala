@@ -227,6 +227,44 @@ class DvSpec extends SparkSpec {
     assert(sqlGot === (0L until 20L).filter(i => i % 2 == 0 && i != 0 && i != 2))
   }
 
+  test("position_deletes metadata table lists parquet and DV positions") {
+    val df = (0L until 20L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = GraftTable.create(spark, freshLoc("dvmeta"), df.schema)
+    GraftWrite.append(t, df.coalesce(1))
+    deleteWherePos(t, col("id") === 2L) // v2: parquet delete
+    Commits.setProperties(t, Map("format-version" -> "3"))
+    deleteWherePos(t, col("id") === 7L) // v3: DV
+    val rows = MetaTables(t, "position_deletes")
+      .select("pos", "delete_file_path").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows.map(_._1) === Seq(2L, 7L))
+    assert(rows(0)._2.endsWith(".parquet"))
+    assert(rows(1)._2.endsWith(".puffin"))
+    val dataFiles = MetaTables(t, "position_deletes")
+      .select("file_path").distinct().collect().map(_.getString(0)).toSet
+    val live = t.newScan().planFiles().files.map(f => ParquetIO.canonPath(f.path)).toSet
+    assert(dataFiles.subsetOf(live))
+    // SQL surface rides the distributed PosDeleteScanTable (one task per
+    // delete file / DV blob), never a driver collect
+    val wh = Files.createTempDirectory("graft-dvpd").toString
+    spark.conf.set("spark.sql.catalog.dvpd", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.dvpd.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dvpd.db")
+    spark.sql("""CREATE TABLE dvpd.db.pd (id BIGINT, v STRING)
+                 TBLPROPERTIES ('format-version'='3',
+                                'write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO dvpd.db.pd SELECT id, concat('v', id) FROM range(10)")
+    spark.sql("DELETE FROM dvpd.db.pd WHERE id IN (3, 4)")
+    val sqlRows = spark.sql(
+      """SELECT file_path, pos, delete_file_path
+         FROM dvpd.db.`pd$position_deletes`""").collect()
+    assert(sqlRows.length === 2)
+    assert(sqlRows.forall(_.getString(2).endsWith(".puffin")))
+    val liveSql = GraftTable.load(spark, s"$wh/db/pd").newScan().planFiles()
+      .files.map(f => ParquetIO.canonPath(f.path)).toSet
+    assert(sqlRows.map(_.getString(0)).toSet.subsetOf(liveSql))
+  }
+
   test("v3 equality-delete conversion and data compaction work under DVs") {
     val df = (0L until 30L).map(i => (i, s"v$i")).toDF("id", "v")
     val t = GraftTable.create(spark, freshLoc("dveq"), df.schema,
