@@ -52,6 +52,35 @@ class DvSpec extends SparkSpec {
     intercept[IllegalArgumentException](Puffin.dvFromBlobPayload(badMagic))
   }
 
+  test("scale: a 10M-position DV is compact to store, fast to load and probe") {
+    val bm = new Roaring64NavigableMap()
+    val rnd = new java.util.Random(7)
+    var i = 0
+    while (i < 10_000_000) {
+      bm.addLong(math.abs(rnd.nextLong()) % 2_000_000_000L); i += 1
+    }
+    val n = bm.getLongCardinality
+    val payload = Puffin.dvBlobPayload(bm)
+    // worst-case-ish random density: ~2.2 B/position vs 8 B/position for
+    // the sorted-long-array representation DVs replaced
+    assert(payload.length < 4L * n, s"${payload.length} B for $n positions")
+    val t0 = System.nanoTime()
+    val back = Puffin.dvFromBlobPayload(payload)
+    val loadMs = (System.nanoTime() - t0) / 1e6
+    assert(back.getLongCardinality === n)
+    var hits = 0L
+    val t1 = System.nanoTime()
+    var j = 0
+    while (j < 1_000_000) { if (back.contains(j * 2003L)) hits += 1; j += 1 }
+    val probeMs = (System.nanoTime() - t1) / 1e6
+    info(f"positions=$n payload=${payload.length / 1048576.0}%.1f MB " +
+      f"load=$loadMs%.0f ms probe(1M)=$probeMs%.0f ms hits=$hits")
+    // generous ceilings — this guards against accidental O(n) probes or a
+    // non-portable serialization fallback, not micro-regressions
+    assert(loadMs < 5000, s"DV deserialization took $loadMs ms")
+    assert(probeMs < 5000, s"1M membership probes took $probeMs ms")
+  }
+
   // ---- format-version plumbing ----
 
   test("format-version: create at 3, upgrade 2->3, refuse downgrade") {
