@@ -250,18 +250,82 @@ final class GraftProcedures(resolve: String => GraftTable,
       r.deletedOrphans.map(row(_)).toArray
   })
 
+  /** Parse a SQL `where` string into a graft Expr for FILE-SELECTION
+    * scoping (iceberg rewrite_data_files `where` semantics): analyze the
+    * predicate against an empty frame with the table's schema, translate
+    * to DSv2 source filters, and bridge those. Anything that cannot fully
+    * translate is refused — a dropped conjunct would silently widen the
+    * rewrite scope (harmless) but a dropped disjunct would narrow it. */
+  private def parseWhere(t: GraftTable, where: String): Expr = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala
+    if (where.trim.isEmpty) return Exprs.alwaysTrue
+    val empty = t.spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      Types.cleanType(t.schema)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val cond = empty.filter(where).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(throw new IllegalArgumentException(s"cannot parse where: $where"))
+    def bad(e: ce.Expression): Nothing = throw new IllegalArgumentException(
+      s"unsupported where predicate: ${e.sql} (use column-vs-literal " +
+      "comparisons, IN, IS [NOT] NULL, AND/OR/NOT, LIKE 'prefix%')")
+    def name(e: ce.Expression): String = e match {
+      case a: ce.AttributeReference => a.name
+      case other => bad(other)
+    }
+    def toExpr(e: ce.Expression): Expr = e match {
+      case ce.EqualTo(a: ce.AttributeReference, ce.Literal(v, dt)) =>
+        Exprs.equal(a.name, convertToScala(v, dt))
+      case ce.EqualTo(ce.Literal(v, dt), a: ce.AttributeReference) =>
+        Exprs.equal(a.name, convertToScala(v, dt))
+      case ce.GreaterThan(a: ce.AttributeReference, ce.Literal(v, dt)) =>
+        Exprs.gt(a.name, convertToScala(v, dt))
+      case ce.GreaterThan(ce.Literal(v, dt), a: ce.AttributeReference) =>
+        Exprs.lt(a.name, convertToScala(v, dt))
+      case ce.GreaterThanOrEqual(a: ce.AttributeReference, ce.Literal(v, dt)) =>
+        Exprs.gtEq(a.name, convertToScala(v, dt))
+      case ce.GreaterThanOrEqual(ce.Literal(v, dt), a: ce.AttributeReference) =>
+        Exprs.ltEq(a.name, convertToScala(v, dt))
+      case ce.LessThan(a: ce.AttributeReference, ce.Literal(v, dt)) =>
+        Exprs.lt(a.name, convertToScala(v, dt))
+      case ce.LessThan(ce.Literal(v, dt), a: ce.AttributeReference) =>
+        Exprs.gt(a.name, convertToScala(v, dt))
+      case ce.LessThanOrEqual(a: ce.AttributeReference, ce.Literal(v, dt)) =>
+        Exprs.ltEq(a.name, convertToScala(v, dt))
+      case ce.LessThanOrEqual(ce.Literal(v, dt), a: ce.AttributeReference) =>
+        Exprs.gtEq(a.name, convertToScala(v, dt))
+      case ce.In(a: ce.AttributeReference, vs) if vs.forall(_.isInstanceOf[ce.Literal]) =>
+        Exprs.in(a.name, vs.collect {
+          case ce.Literal(v, dt) if v != null => convertToScala(v, dt) })
+      case ce.IsNull(a) => Exprs.isNull(name(a))
+      case ce.IsNotNull(a) => Exprs.notNull(name(a))
+      case ce.And(l, r) => Exprs.and(toExpr(l), toExpr(r))
+      case ce.Or(l, r) => Exprs.or(toExpr(l), toExpr(r))
+      case ce.Not(c) => Exprs.not(toExpr(c))
+      case ce.StartsWith(a: ce.AttributeReference, ce.Literal(v, _)) =>
+        Exprs.startsWith(a.name, v.toString)
+      case other => bad(other)
+    }
+    toExpr(cond)
+  }
+
   private val rewriteDataFiles = new Proc("rewrite_data_files",
     "compact data files: bin-pack by default, range-clustered with sort_by",
     Array(p("table", StringType),
       pd("target_size_bytes", LongType, (128L * 1024 * 1024).toString),
       pd("min_input_files", IntegerType, "2"),
-      pd("sort_by", StringType, "''")),
+      pd("sort_by", StringType, "''"),
+      // SQL predicate scoping FILE SELECTION (files that might match are
+      // rewritten whole): at 100 TB compaction runs per-partition
+      pd("where", StringType, "''")),
     StructType(Seq(
       StructField("rewritten_data_files_count", IntegerType, nullable = false),
       StructField("added_data_files_count", IntegerType, nullable = false))))({
     in =>
       val t = resolve(str(in, 0))
       val ZOrderSyntax = """(?i)zorder\s*\((.*)\)""".r
+      val scope = parseWhere(t, str(in, 4))
       val r = str(in, 3).trim match {
         case "" =>
           // default stays bin-pack even when the table declares a
@@ -270,22 +334,23 @@ final class GraftProcedures(resolve: String => GraftTable,
           // into a full-table rewrite every run (and ignore
           // min_input_files). Sorted compaction is an explicit ask:
           // sort_by => 'declared' resolves the table's declared order.
-          Actions.forTable(t).rewriteDataFiles(in.getLong(1), in.getInt(2))
+          Actions.forTable(t).rewriteDataFiles(in.getLong(1), in.getInt(2), scope)
         case decl if decl.equalsIgnoreCase("declared") =>
           val declared = SortOrders.fromProperties(t.metadata.properties)
           require(declared.nonEmpty,
             "sort_by => 'declared' needs a write.sort-order table property")
           Actions.forTable(t).rewriteSorted(
-            declared.map(f => (f.column, f.ascending)), in.getLong(1))
+            declared.map(f => (f.column, f.ascending)), in.getLong(1), scope)
         case ZOrderSyntax(inner) =>
           Actions.forTable(t).rewriteZOrdered(
-            inner.split(',').map(_.trim).filter(_.nonEmpty).toSeq, in.getLong(1))
+            inner.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+            in.getLong(1), scope)
         case sortSpec =>
           Actions.forTable(t).rewriteSorted(
             sortSpec.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
               val bits = part.split("\\s+")
               (bits(0), !(bits.length > 1 && bits(1).equalsIgnoreCase("desc")))
-            }, in.getLong(1))
+            }, in.getLong(1), scope)
       }
       Array(row(Int.box(r.rewrittenFiles), Int.box(r.addedFiles)))
   })

@@ -63,12 +63,16 @@ final class Actions(t: GraftTable) {
     * CURRENT schema's column order, so output files are always
     * current-schema. */
   def rewriteDataFiles(targetSizeBytes: Long = 128L * 1024 * 1024,
-      minInputFiles: Int = 2): RewriteResult = {
+      minInputFiles: Int = 2, filter: Expr = AlwaysTrue): RewriteResult = {
     val m = t.metadata
     // outputs are produced against THIS snapshot's delete state; the
     // commit validates no delete landed in between (ValidationException)
     val baseSnapshot = m.currentSnapshotId
-    val plan = t.newScan().planFiles()
+    // `filter` scopes FILE SELECTION only (partition + metrics pruning —
+    // files that might match are rewritten WHOLE; rows are never dropped):
+    // at 100 TB compaction runs per-partition, not per-table. Hygiene and
+    // conflict validation still run against the FULL live set below.
+    val plan = t.newScan().filter(filter).planFiles()
     // spec id joins the group key: a spec-evolved table compacts each
     // generation under its OWN layout (outputs keep the group's spec)
     val groups = plan.tasks
@@ -240,7 +244,10 @@ final class Actions(t: GraftTable) {
         fileFormat = byId(id).outFormat)
     }
     val del = planned.flatMap(_.paths).toSet
-    commitRewriteWithHygiene(plan, del, newFiles, baseSnapshot)
+    // hygiene judges dangling deletes against the FULL live set — a scoped
+    // plan would misread deletes targeting out-of-scope files as dangling
+    val hygienePlan = if (filter == AlwaysTrue) plan else t.newScan().planFiles()
+    commitRewriteWithHygiene(hygienePlan, del, newFiles, baseSnapshot)
   }
 
   /** Shared tail of the data-file rewrites: drop delete files the rewrite
@@ -305,12 +312,13 @@ final class Actions(t: GraftTable) {
     * partition directory run. Goes beyond the reference fork, which has no
     * sort-order surface at all. */
   def rewriteSorted(sortBy: Seq[(String, Boolean)],
-      targetSizeBytes: Long = 128L * 1024 * 1024): RewriteResult = {
+      targetSizeBytes: Long = 128L * 1024 * 1024,
+      filter: Expr = AlwaysTrue): RewriteResult = {
     require(sortBy.nonEmpty, "rewriteSorted needs at least one sort column")
     sortBy.foreach { case (name, _) => require(
       t.metadata.schema.fieldNames.contains(name), s"no such column: $name") }
     rewriteClustered(_ => sortBy.map { case (name, asc) =>
-      if (asc) col(name).asc else col(name).desc }, targetSizeBytes)
+      if (asc) col(name).asc else col(name).desc }, targetSizeBytes, filter)
   }
 
   /** Z-order twin of [[rewriteSorted]]: cluster on the Morton interleave of
@@ -320,8 +328,10 @@ final class Actions(t: GraftTable) {
     * clustering a 100 TB table wants when two or three columns share the
     * query load. */
   def rewriteZOrdered(cols: Seq[String],
-      targetSizeBytes: Long = 128L * 1024 * 1024): RewriteResult =
-    rewriteClustered(df => Seq(ZOrder.zValue(df, cols).asc), targetSizeBytes)
+      targetSizeBytes: Long = 128L * 1024 * 1024,
+      filter: Expr = AlwaysTrue): RewriteResult =
+    rewriteClustered(df => Seq(ZOrder.zValue(df, cols).asc), targetSizeBytes,
+      filter)
 
   /** Shared clustered-rewrite pipeline: library scan (live deletes applied,
     * old schema generations mapped by field id, imported identity-partition
@@ -331,10 +341,12 @@ final class Actions(t: GraftTable) {
     * (for derived keys like the z-value). */
   private def rewriteClustered(
       clusterCols: org.apache.spark.sql.DataFrame => Seq[Column],
-      targetSizeBytes: Long): RewriteResult = {
+      targetSizeBytes: Long, filter: Expr = AlwaysTrue): RewriteResult = {
     val m = t.metadata
     val baseSnapshot = m.currentSnapshotId
-    val plan = t.newScan().planFiles()
+    // `filter` scopes file selection only; the materializing scan below is
+    // a FRESH unfiltered one, so no residual row filter can drop rows
+    val plan = t.newScan().filter(filter).planFiles()
     if (plan.tasks.isEmpty) return RewriteResult(0, 0)
     val df = t.newScan().dfFor(plan)
     // cluster by partition first so fanout writers see contiguous runs
@@ -348,7 +360,8 @@ final class Actions(t: GraftTable) {
       .repartitionByRange(n, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
     val newFiles = GraftWrite.writeFiles(t, arranged)
-    commitRewriteWithHygiene(plan, plan.tasks.map(_.file.path).toSet,
+    val hygienePlan = if (filter == AlwaysTrue) plan else t.newScan().planFiles()
+    commitRewriteWithHygiene(hygienePlan, plan.tasks.map(_.file.path).toSet,
       newFiles, baseSnapshot)
   }
 

@@ -294,6 +294,56 @@ class DvSpec extends SparkSpec {
     assert(sqlRows.map(_.getString(0)).toSet.subsetOf(liveSql))
   }
 
+  test("where-scoped compaction rewrites only matching files, keeps foreign deletes") {
+    val df = (0L until 40L)
+      .map(i => (i, if (i % 2 == 0) "a" else "b", s"v$i"))
+      .toDF("id", "cat", "v")
+    val t = GraftTable.create(spark, freshLoc("dvscope"), df.schema,
+      _.identity("cat"), properties = Map("format-version" -> "3"))
+    GraftWrite.append(t, df.filter(col("cat") === "a").repartition(2))
+    GraftWrite.append(t, df.filter(col("cat") === "b").repartition(2))
+    // delete one row in partition b — its DV targets an out-of-scope file
+    deleteWherePos(t, col("id") === 1L)
+    val before = t.newScan().planFiles()
+    val bFiles = before.tasks.filter(_.file.partition("cat") == "b")
+      .map(_.file.path).toSet
+    // compact ONLY partition a
+    val res = Actions.forTable(t).rewriteDataFiles(minInputFiles = 1,
+      filter = Exprs.equal("cat", "a"))
+    assert(res.rewrittenFiles >= 2 && res.addedFiles >= 1)
+    val after = t.newScan().planFiles()
+    // partition b files untouched, and the DV targeting them SURVIVES
+    // (hygiene judged against the full live set, not the scoped plan)
+    assert(after.tasks.filter(_.file.partition("cat") == "b")
+      .map(_.file.path).toSet === bFiles)
+    assert(after.deleteFiles.nonEmpty, "out-of-scope DV must not be dropped")
+    val got = t.toDF().select("id").as[Long].collect().sorted.toSeq
+    assert(got === (0L until 40L).filterNot(_ == 1L))
+    // SQL spelling of the same scope
+    val wh = Files.createTempDirectory("graft-dvsc").toString
+    spark.conf.set("spark.sql.catalog.dvsc", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.dvsc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dvsc.db")
+    spark.sql("""CREATE TABLE dvsc.db.s (id BIGINT, cat STRING)
+                 PARTITIONED BY (cat)""")
+    spark.sql("""INSERT INTO dvsc.db.s
+                 SELECT id, CASE WHEN id < 5 THEN 'x' ELSE 'y' END
+                 FROM range(10)""")
+    spark.sql("INSERT INTO dvsc.db.s VALUES (100, 'x'), (101, 'y')")
+    val sres = spark.sql("""CALL dvsc.system.rewrite_data_files(
+        table => 'db.s', min_input_files => 1, where => "cat = 'x'")""")
+      .collect().head
+    assert(sres.getInt(0) >= 2) // both x files rewritten, y untouched
+    val st = GraftTable.load(spark, s"$wh/db/s")
+    val counts = st.newScan().planFiles().tasks
+      .groupBy(_.file.partition("cat")).view.mapValues(_.size).toMap
+    assert(counts("x") === 1 && counts("y") === 2)
+    intercept[IllegalArgumentException] {
+      spark.sql("""CALL dvsc.system.rewrite_data_files(
+          table => 'db.s', where => 'length(cat) > 0')""").collect()
+    }
+  }
+
   test("v3 equality-delete conversion and data compaction work under DVs") {
     val df = (0L until 30L).map(i => (i, s"v$i")).toDF("id", "v")
     val t = GraftTable.create(spark, freshLoc("dveq"), df.schema,
