@@ -346,6 +346,16 @@ object Queries {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
 
+    // stratified sampling: exactly n docs per language, deterministic by
+    // content hash — WindowGroupLimit keeps the per-task state at n rows
+    // per (group, partition) before the single group shuffle
+    "q102_stratified_sample" -> ((s, dir) =>
+      graft.ops.Sampling.stratified(t(s, dir, "documents"),
+          col("lang"), col("doc_id"), 40)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))),
+
     // overlapping token-window chunking for a fixed-context trainer
     // (32-token windows, 8-token overlap at gate scale; library default is
     // 256/32) — per-chunk exact oracle via DuckDB list slicing
@@ -713,6 +723,16 @@ object Queries {
         |ELSE 'train' END AS split, COUNT(*) AS n
         |FROM (SELECT md5_number_lower(CAST(doc_id AS VARCHAR)) % 8192 AS b FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // hex-digest ordering is engine-agnostic (unsigned), unlike the signed
+    // 64-bit reinterpretation the bucket ops use
+    "q102_stratified_sample" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM (SELECT lang, n_chars, row_number() OVER (
+        |        PARTITION BY lang
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rk
+        |      FROM documents)
+        |WHERE rk <= 40 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // simhash/fingerprint hash tokens with md5-lower-64 (= DuckDB's
     // md5_number_lower), so the oracle recomputes the identical bits.

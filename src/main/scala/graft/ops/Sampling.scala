@@ -34,6 +34,23 @@ object Sampling {
     df.filter(hashBucket(key, buckets) < (rate * buckets).toInt)
   }
 
+  /** Exactly `n` rows per group (fewer when the group is smaller), chosen
+    * deterministically: the rows with the smallest md5(key) win, ties
+    * broken by the key itself. The hex DIGEST string is the sort key —
+    * lexicographic hex order equals unsigned numeric order in any engine,
+    * where a signed-long reinterpretation would not. Spark plans the
+    * rank<=n filter as a WindowGroupLimit: every task keeps only its local
+    * top-n per group BEFORE the shuffle, so the exchange carries at most
+    * n rows per (group, input-partition) — the scalable top-n-per-group
+    * shape even when one group holds most of the corpus. */
+  def stratified(df: DataFrame, group: Column, key: Column, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(group)
+      .orderBy(md5(key.cast("string")).asc, key.cast("string").asc)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= n).drop("_rk")
+  }
+
   /** Label each row train/val/test by content hash: fractions in [0,1],
     * train gets the remainder. Deterministic and disjoint by construction. */
   def split(df: DataFrame, key: Column, valFraction: Double,

@@ -173,6 +173,26 @@ class OpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("stratified sampling: exact per-group quota, WindowGroupLimit plan") {
+    import org.apache.spark.sql.functions._
+    val sampled = graft.ops.Sampling.stratified(docs, col("lang"), col("doc_id"), 5)
+    val counts = sampled.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, total) =>
+      assert(counts(lang) === math.min(5L, total), s"lang $lang") }
+    // deterministic: same rows on re-evaluation with different partitioning
+    val again = graft.ops.Sampling.stratified(docs.repartition(7),
+      col("lang"), col("doc_id"), 5)
+    assert(again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      sampled.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // the rank<=n filter must plan as a WindowGroupLimit (partial limit
+    // BEFORE the group shuffle), not a full window over every row
+    val physical = sampled.queryExecution.executedPlan.toString
+    assert(physical.contains("WindowGroupLimit"), physical.take(2000))
+  }
+
   test("multimodal decode pipeline emits typed metadata and frames") {
     val media = Multimodal.withPayload(docs)
     val decoded = Multimodal.decodeAll(spark, media).collect()
