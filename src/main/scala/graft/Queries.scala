@@ -356,6 +356,11 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"))),
 
+    // exact-substring dedup (Lee et al.): docs sharing any 20-token window
+    "q103_dup_spans" -> ((s, dir) =>
+      graft.ops.Dedup.duplicateSpans(t(s, dir, "documents"), k = 20)
+        .orderBy(col("doc_id"))),
+
     // overlapping token-window chunking for a fixed-context trainer
     // (32-token windows, 8-token overlap at gate scale; library default is
     // 256/32) — per-chunk exact oracle via DuckDB list slicing
@@ -723,6 +728,19 @@ object Queries {
         |ELSE 'train' END AS split, COUNT(*) AS n
         |FROM (SELECT md5_number_lower(CAST(doc_id AS VARCHAR)) % 8192 AS b FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q103_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id,
+        |        md5_number_lower(array_to_string(list_slice(toks, i, i + 19), ' ')) AS h
+        |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 19)) AS i) s
+        |      WHERE len(toks) >= 20),
+        |d AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM w GROUP BY 1),
+        |dup AS (SELECT doc_id, COUNT(*) AS dup_windows
+        |        FROM w WHERE h IN (SELECT h FROM d) GROUP BY 1)
+        |SELECT dup.doc_id, tot.n_windows, dup.dup_windows
+        |FROM dup JOIN tot USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // hex-digest ordering is engine-agnostic (unsigned), unlike the signed
     // 64-bit reinterpretation the bucket ops use

@@ -30,6 +30,41 @@ object Dedup {
       .groupBy(col("h"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** Cross-document duplicated k-token spans — the exact-substring side of
+    * training-data dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", at token-window granularity): every
+    * k-token sliding window is hashed to 64 bits; a window whose content
+    * occurs in MORE THAN ONE document marks a duplicated span. Returns
+    * (doc_id, n_windows, dup_windows) for docs with at least one
+    * duplicated window — the caller trims or drops flagged spans.
+    *
+    * Scale shape: windows are built per-row with array built-ins (no
+    * shuffle), then ONE hash-shuffle on the 8-byte window hash computes
+    * document frequency, and a semi-join + per-doc count re-associate.
+    * The shuffle payload is (hash, doc_id) — never window text. The
+    * duplicated-hash side of the semi-join is corpus-duplication-sized;
+    * AQE picks broadcast when it is small (the common case). */
+  def duplicateSpans(docs: DataFrame, k: Int = 20): DataFrame = {
+    require(k > 1, s"window must span >1 token: $k")
+    // one UDF call per DOC emits the hash array; the exploded rows carry
+    // (doc_id, 8-byte hash) only — never the token array or window text
+    val hashAll = udf((toks: Seq[String]) =>
+      (0 to toks.length - k).map(i =>
+        TextOps.md5Lower64(toks.slice(i, i + k).mkString(" "))))
+    val base = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
+      .filter(size(col("_t")) >= k)
+    val wins = base.select(col("doc_id"), explode(hashAll(col("_t"))).as("_h"))
+    val dup = wins.groupBy(col("_h"))
+      .agg(countDistinct(col("doc_id")).as("_df"))
+      .filter(col("_df") > 1).select(col("_h"))
+    wins.join(dup, Seq("_h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_windows"))
+      .join(wins.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_windows"), col("dup_windows"))
+  }
+
   /** (doc_id, gram) exploded distinct word-ngram sets + per-doc set size. */
   private def gramSets(docs: DataFrame, n: Int): (DataFrame, DataFrame) = {
     val grams = docs

@@ -193,6 +193,26 @@ class OpsSpec extends SparkSpec {
     assert(physical.contains("WindowGroupLimit"), physical.take(2000))
   }
 
+  test("duplicateSpans flags exactly the docs sharing a k-token window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val shared = (1 to 6).map(i => s"w$i").mkString(" ") // 6 shared tokens
+    val d = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"$shared epsilon zeta eta theta iota"),
+      (3L, "totally different words that never repeat anywhere else ok")
+    ).toDF("doc_id", "text")
+    val res = graft.ops.Dedup.duplicateSpans(d, k = 6)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc1: 10 tokens -> 5 windows, 1 (the shared run) duplicated;
+    // doc2: 11 tokens -> 6 windows, 1 duplicated; doc3: absent
+    assert(res === Seq((1L, 5L, 1L), (2L, 6L, 1L)))
+    // a doc shorter than k tokens is simply out of scope, not an error
+    val short = Seq((9L, "too short")).toDF("doc_id", "text")
+    assert(graft.ops.Dedup.duplicateSpans(short, k = 6).count() === 0L)
+  }
+
   test("multimodal decode pipeline emits typed metadata and frames") {
     val media = Multimodal.withPayload(docs)
     val decoded = Multimodal.decodeAll(spark, media).collect()
