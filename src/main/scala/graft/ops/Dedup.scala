@@ -38,16 +38,17 @@ object Dedup {
     * (doc_id, n_windows, dup_windows) for docs with at least one
     * duplicated window — the caller trims or drops flagged spans.
     *
-    * Scale shape: windows are built per-row with array built-ins (no
-    * shuffle), then ONE hash-shuffle on the 8-byte window hash computes
-    * document frequency, and a semi-join + per-doc count re-associate.
-    * The shuffle payload is (hash, doc_id) — never window text. The
-    * duplicated-hash side of the semi-join is corpus-duplication-sized;
-    * AQE picks broadcast when it is small (the common case). */
+    * Scale shape: the corpus is read and window-hashed ONCE (one UDF call
+    * per doc emits the hash array; exploded rows carry doc_id + 8-byte
+    * hash, never window text), then exactly two shuffles: a window
+    * min/max over the hash marks cross-document hashes (min(doc) ≠
+    * max(doc) ⟺ >1 distinct doc — constant state per group, no
+    * collect_set and no join), and one per-doc aggregation produces both
+    * counters. A naive formulation (df-filter + semi-join + totals join)
+    * rescans and rehashes the corpus three times — the dominant cost at
+    * 100 TB. */
   def duplicateSpans(docs: DataFrame, k: Int = 20): DataFrame = {
     require(k > 1, s"window must span >1 token: $k")
-    // one UDF call per DOC emits the hash array; the exploded rows carry
-    // (doc_id, 8-byte hash) only — never the token array or window text
     val hashAll = udf((toks: Seq[String]) =>
       (0 to toks.length - k).map(i =>
         TextOps.md5Lower64(toks.slice(i, i + k).mkString(" "))))
@@ -55,13 +56,14 @@ object Dedup {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
       .filter(size(col("_t")) >= k)
     val wins = base.select(col("doc_id"), explode(hashAll(col("_t"))).as("_h"))
-    val dup = wins.groupBy(col("_h"))
-      .agg(countDistinct(col("doc_id")).as("_df"))
-      .filter(col("_df") > 1).select(col("_h"))
-    wins.join(dup, Seq("_h"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_windows"))
-      .join(wins.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_windows")), Seq("doc_id"))
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
+    wins
+      .withColumn("_dup",
+        min(col("doc_id")).over(byHash) =!= max(col("doc_id")).over(byHash))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("_dup"), 1L).otherwise(0L)).as("dup_windows"))
+      .filter(col("dup_windows") > 0)
       .select(col("doc_id"), col("n_windows"), col("dup_windows"))
   }
 
