@@ -361,6 +361,11 @@ object Queries {
       graft.ops.Dedup.duplicateSpans(t(s, dir, "documents"), k = 20)
         .orderBy(col("doc_id"))),
 
+    // corpus-relative keyword extraction: top-3 tf-idf terms per doc
+    "q104_tfidf_terms" -> ((s, dir) =>
+      graft.ops.TextOps.tfidfTopTerms(t(s, dir, "documents"), topK = 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
     // overlapping token-window chunking for a fixed-context trainer
     // (32-token windows, 8-token overlap at gate scale; library default is
     // 256/32) — per-chunk exact oracle via DuckDB list slicing
@@ -728,6 +733,21 @@ object Queries {
         |ELSE 'train' END AS split, COUNT(*) AS n
         |FROM (SELECT md5_number_lower(CAST(doc_id AS VARCHAR)) % 8192 AS b FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // scores stay internal (ln may differ in the last ulp across engines);
+    // (tf, df, rank) are integers and rank ties break on the term string
+    "q104_tfidf_terms" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms WHERE term <> '' GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df, rank FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) DESC,
+        |                    tf.term) AS rank
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q103_dup_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

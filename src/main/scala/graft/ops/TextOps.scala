@@ -237,4 +237,32 @@ object TextOps {
       fingerprintUdf(t).as("fingerprint"),
       langIdUdf(col("text")).as("lang_pred"))
   }
+
+  /** Per-document top-k terms by tf·idf (idf = ln(n_docs / df)) — keyword
+    * extraction for corpus exploration and quality filters. Unlike the
+    * per-row ops above this is corpus-relative, so it shuffles: once on
+    * (doc, term) for term frequencies, once on term for document
+    * frequencies, a term-keyed join (vocabulary-sized build side — AQE
+    * broadcasts it when small), and a per-doc rank that plans as a
+    * WindowGroupLimit (local top-k before the doc shuffle). The raw score
+    * stays internal; output carries (tf, df, rank) — integers rank
+    * identically everywhere, while ln() may differ in the last ulp
+    * between engines. */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 5): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy((col("tf") * log(col("n_docs").cast("double") / col("df"))).desc,
+        col("term").asc)
+    tf.join(dfreq, "term").crossJoin(n)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
+  }
 }

@@ -213,6 +213,24 @@ class OpsSpec extends SparkSpec {
     assert(graft.ops.Dedup.duplicateSpans(short, k = 6).count() === 0L)
   }
 
+  test("tfidfTopTerms ranks corpus-distinctive terms above common ones") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = Seq(
+      (1L, "common common common rare1 rare1"),
+      (2L, "common common rare2"),
+      (3L, "common rare3 rare3 rare3")
+    ).toDF("doc_id", "text")
+    val res = graft.ops.TextOps.tfidfTopTerms(d, topK = 1).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // "common" appears in every doc (idf = ln(1) = 0), so each doc's top
+    // term is its own rare token despite lower tf
+    assert(res === Seq((1L, "rare1"), (2L, "rare2"), (3L, "rare3")))
+    val plan = graft.ops.TextOps.tfidfTopTerms(d, topK = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+  }
+
   test("multimodal decode pipeline emits typed metadata and frames") {
     val media = Multimodal.withPayload(docs)
     val decoded = Multimodal.decodeAll(spark, media).collect()
