@@ -14,6 +14,18 @@ final case class ScanEvent(
     filesTotal: Long,
     filesScanned: Int)
 
+/** One successful commit that created snapshots (the reference fork's
+  * event surface stops at ScanEvent — api/.../events/ — this is the
+  * commit-side dual later Iceberg added as CreateSnapshotEvent): emitted
+  * once per NEW snapshot, after the metadata swap is durable, so audit
+  * hooks never observe a commit that subsequently lost its CAS race. */
+final case class CommitEvent(
+    tableLocation: String,
+    snapshotId: Long,
+    sequenceNumber: Long,
+    operation: String,
+    summary: Map[String, String])
+
 /** Process-wide scan-listener registry (reference
   * api/.../events/Listeners.java: static register + notifyAll). Listener
   * failures propagate to the scan, exactly like the reference — a listener
@@ -21,6 +33,8 @@ final case class ScanEvent(
 object Listeners {
   private val listeners =
     new java.util.concurrent.CopyOnWriteArrayList[ScanEvent => Unit]()
+  private val commitListeners =
+    new java.util.concurrent.CopyOnWriteArrayList[CommitEvent => Unit]()
 
   def register(l: ScanEvent => Unit): ScanEvent => Unit = {
     listeners.add(l); l
@@ -28,8 +42,19 @@ object Listeners {
 
   def unregister(l: ScanEvent => Unit): Unit = listeners.remove(l)
 
+  def registerCommit(l: CommitEvent => Unit): CommitEvent => Unit = {
+    commitListeners.add(l); l
+  }
+
+  def unregisterCommit(l: CommitEvent => Unit): Unit =
+    commitListeners.remove(l)
+
   private[format] def isEmpty: Boolean = listeners.isEmpty
+  private[format] def isCommitEmpty: Boolean = commitListeners.isEmpty
 
   private[format] def notifyAll(e: ScanEvent): Unit =
     listeners.forEach(l => l(e))
+
+  private[format] def notifyAll(e: CommitEvent): Unit =
+    commitListeners.forEach(l => l(e))
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
   * residual filter. */
 final case class FileScanTask(file: DataFile, sequenceNumber: Long, residual: Expr)
 
-/** Plan result + pruning observability (used by tests and `$scan_report`). */
+/** Plan result + pruning observability (consumed by tests and ScanEvent). */
 final case class ScanPlan(
     tasks: Seq[FileScanTask],
     deleteFiles: Seq[(DataFile, Long)],

@@ -97,6 +97,15 @@ final class TableOps(val location: String, explicitIo: FileIO = null) {
       val updated = apply(base)
       try {
         commit(baseVersion, updated)
+        // commit observability: one event per snapshot this commit created,
+        // emitted only after the swap is durable (a CAS loser never fires)
+        if (!Listeners.isCommitEmpty) {
+          val known = Option(base).map(_.snapshots.map(_.snapshotId).toSet)
+            .getOrElse(Set.empty)
+          updated.snapshots.filterNot(s => known.contains(s.snapshotId))
+            .foreach(s => Listeners.notifyAll(CommitEvent(location,
+              s.snapshotId, s.sequenceNumber, s.operation, s.summary)))
+        }
         return updated
       } catch {
         case _: CommitFailedException if attempt < maxRetries =>

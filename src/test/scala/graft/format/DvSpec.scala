@@ -344,6 +344,22 @@ class DvSpec extends SparkSpec {
     }
   }
 
+  test("aborted delta writes clean up staged DV containers") {
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = GraftTable.create(spark, freshLoc("dvabort"), df.schema,
+      properties = Map("format-version" -> "3"))
+    val path = t.locations.newDataLocation("stage") + "/dv-abort.puffin"
+    val dvFiles = Dvs.writePuffin(path, Seq(("/data/x.parquet", bm(1L, 2L))),
+      0, 0, spark.sessionState.newHadoopConf())
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      new java.net.URI(s"file://$path").getPath)))
+    val bw = new graft.connector.GraftDeltaBatchWrite(t)
+    bw.abort(Array(
+      graft.connector.GraftDeltaWriterFactory.DeltaTaskFiles(Nil, Nil, dvFiles)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      new java.net.URI(s"file://$path").getPath)))
+  }
+
   test("v3 equality-delete conversion and data compaction work under DVs") {
     val df = (0L until 30L).map(i => (i, s"v$i")).toDF("id", "v")
     val t = GraftTable.create(spark, freshLoc("dveq"), df.schema,

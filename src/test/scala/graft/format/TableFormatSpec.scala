@@ -327,6 +327,29 @@ class TableFormatSpec extends SparkSpec {
     assert(seen.size == 1)
   }
 
+  test("commit listeners observe each created snapshot after the swap") {
+    val loc = freshLoc("commitevents")
+    val t = GraftTable.create(spark, loc, rows(2).schema)
+    val seen = collection.mutable.ArrayBuffer[CommitEvent]()
+    val l = Listeners.registerCommit(e => seen.synchronized { seen += e; () })
+    try {
+      GraftWrite.append(t, rows(2, 0).coalesce(1))
+      GraftWrite.append(t, rows(3, 1).coalesce(1))
+      // a snapshot-less commit (properties) emits nothing
+      Commits.setProperties(t, Map("k" -> "v"))
+      // copy-on-write delete emits exactly one overwrite event
+      Deletes.deleteWhere(t, Exprs.equal("id", 1L))
+    } finally Listeners.unregisterCommit(l)
+    assert(seen.map(_.operation) === Seq("append", "append", "overwrite"))
+    assert(seen.map(_.snapshotId) === t.snapshots.map(_.snapshotId))
+    assert(seen.forall(_.tableLocation == loc))
+    assert(seen.head.summary.contains("added-records") ||
+      seen.head.summary.nonEmpty)
+    val before = seen.size
+    GraftWrite.append(t, rows(1, 4).coalesce(1))
+    assert(seen.size == before, "unregistered listener must not fire")
+  }
+
   test("allowIncompatibleChanges gates required columns (UpdateSchema.java:47)") {
     val loc = freshLoc("incompat")
     val t = GraftTable.create(spark, loc, rows(2).schema)
