@@ -318,7 +318,10 @@ final class GraftProcedures(resolve: String => GraftTable,
       pd("sort_by", StringType, "''"),
       // SQL predicate scoping FILE SELECTION (files that might match are
       // rewritten whole): at 100 TB compaction runs per-partition
-      pd("where", StringType, "''")),
+      pd("where", StringType, "''"),
+      // files carrying >= this many live delete files compact even when
+      // their partition is size-compact (iceberg delete-file-threshold)
+      pd("delete_file_threshold", IntegerType, Int.MaxValue.toString)),
     StructType(Seq(
       StructField("rewritten_data_files_count", IntegerType, nullable = false),
       StructField("added_data_files_count", IntegerType, nullable = false))))({
@@ -334,7 +337,8 @@ final class GraftProcedures(resolve: String => GraftTable,
           // into a full-table rewrite every run (and ignore
           // min_input_files). Sorted compaction is an explicit ask:
           // sort_by => 'declared' resolves the table's declared order.
-          Actions.forTable(t).rewriteDataFiles(in.getLong(1), in.getInt(2), scope)
+          Actions.forTable(t).rewriteDataFiles(in.getLong(1), in.getInt(2),
+            scope, in.getInt(5))
         case decl if decl.equalsIgnoreCase("declared") =>
           val declared = SortOrders.fromProperties(t.metadata.properties)
           require(declared.nonEmpty,

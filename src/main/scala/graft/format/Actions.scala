@@ -63,7 +63,8 @@ final class Actions(t: GraftTable) {
     * CURRENT schema's column order, so output files are always
     * current-schema. */
   def rewriteDataFiles(targetSizeBytes: Long = 128L * 1024 * 1024,
-      minInputFiles: Int = 2, filter: Expr = AlwaysTrue): RewriteResult = {
+      minInputFiles: Int = 2, filter: Expr = AlwaysTrue,
+      deleteFileThreshold: Int = Int.MaxValue): RewriteResult = {
     val m = t.metadata
     // outputs are produced against THIS snapshot's delete state; the
     // commit validates no delete landed in between (ValidationException)
@@ -73,11 +74,39 @@ final class Actions(t: GraftTable) {
     // at 100 TB compaction runs per-partition, not per-table. Hygiene and
     // conflict validation still run against the FULL live set below.
     val plan = t.newScan().filter(filter).planFiles()
+    // delete pressure per data file (iceberg delete-file-threshold): a
+    // file carrying >= threshold live delete files gets compacted even
+    // when its partition is already size-compact — long-lived MoR tables
+    // otherwise accumulate per-scan delete-apply cost forever. Cost: the
+    // DV side is manifest-only; parquet pos-delete targets need one small
+    // driver read; eq deletes count by sequence comparison.
+    lazy val deletePressure: Map[String, Int] = {
+      val posFiles = plan.deleteFiles
+        .filter(_._1.content == FileContent.PositionDeletes).map(_._1)
+        .distinctBy(f => (f.path, f.referencedDataFile))
+      val hconf = t.spark.sessionState.newHadoopConf()
+      val posCounts = scala.collection.mutable.HashMap[String, Int]()
+      posFiles.foreach { f =>
+        Deletes.posDeleteTargetFiles(Seq(f), hconf).foreach(tp =>
+          posCounts(tp) = posCounts.getOrElse(tp, 0) + 1)
+      }
+      val eqSeqs = plan.deleteFiles
+        .filter(_._1.content == FileContent.EqualityDeletes).map(_._2)
+      plan.tasks.map { ts =>
+        ParquetIO.canonPath(ts.file.path) ->
+          (posCounts.getOrElse(ParquetIO.canonPath(ts.file.path), 0) +
+            eqSeqs.count(_ > ts.sequenceNumber))
+      }.toMap
+    }
     // spec id joins the group key: a spec-evolved table compacts each
     // generation under its OWN layout (outputs keep the group's spec)
     val groups = plan.tasks
       .groupBy(ts => (ts.file.partition, ts.file.schemaId, ts.file.specId))
-      .values.filter(_.size >= minInputFiles).toSeq
+      .values.filter(g => g.size >= minInputFiles ||
+        (deleteFileThreshold != Int.MaxValue && g.exists(ts =>
+          deletePressure.getOrElse(ParquetIO.canonPath(ts.file.path), 0) >=
+            deleteFileThreshold)))
+      .toSeq
     if (groups.isEmpty) return RewriteResult(0, 0)
 
     val schema = m.schema
@@ -146,7 +175,13 @@ final class Actions(t: GraftTable) {
       val outFormat = graft.connector.GraftBatchWrite.writeFormat(m.properties)
       val bins = binPack(tasks.map(ts => ts.file.path -> ts.file.fileSizeInBytes),
         targetSizeBytes)
-      bins.filter(_.size >= minInputFiles).foreach { bin =>
+      // a bin qualifies by merge width, or because it holds a
+      // delete-burdened file (the threshold path compacts singletons too)
+      def pressured(bin: Seq[String]): Boolean =
+        deleteFileThreshold != Int.MaxValue && bin.exists(p =>
+          deletePressure.getOrElse(ParquetIO.canonPath(p), 0) >=
+            deleteFileThreshold)
+      bins.filter(b => b.size >= minInputFiles || pressured(b)).foreach { bin =>
         binTasks += BinTask(binId, bin, bin.map(seqByPath), readSchema,
           f"$staging/bin-$binId%05d.$outFormat",
           posDeletePaths, posDvs, eqDeletes, fill, bin.map(fmtByPath), outFormat)

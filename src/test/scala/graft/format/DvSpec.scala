@@ -344,6 +344,28 @@ class DvSpec extends SparkSpec {
     }
   }
 
+  test("delete-file-threshold compaction rewrites delete-burdened files") {
+    val df = (0L until 20L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = GraftTable.create(spark, freshLoc("dvthresh"), df.schema,
+      properties = Map("format-version" -> "3"))
+    GraftWrite.append(t, df.coalesce(1)) // ONE size-compact file
+    deleteWherePos(t, col("id") === 2L) // DV generation 1
+    deleteWherePos(t, col("id") === 5L) // DV generation 2
+    Deletes.deleteByEquality(t, Seq(9L).toDF("id")) // + an eq delete
+    // size-based compaction skips a single file...
+    assert(Actions.forTable(t).rewriteDataFiles() === Actions.RewriteResult(0, 0))
+    // ...but three live delete files on it cross the threshold
+    val res = Actions.forTable(t).rewriteDataFiles(deleteFileThreshold = 3)
+    assert(res.rewrittenFiles === 1 && res.addedFiles === 1)
+    val after = t.newScan().planFiles()
+    assert(after.deleteFiles.isEmpty, "deletes must compact away")
+    assert(idsOf(t) === (0L until 20L).filterNot(Set(2L, 5L, 9L)))
+    // below-threshold pressure still skips
+    deleteWherePos(t, col("id") === 0L)
+    assert(Actions.forTable(t).rewriteDataFiles(deleteFileThreshold = 3)
+      === Actions.RewriteResult(0, 0))
+  }
+
   test("aborted delta writes clean up staged DV containers") {
     val df = Seq((1L, "a")).toDF("id", "v")
     val t = GraftTable.create(spark, freshLoc("dvabort"), df.schema,
