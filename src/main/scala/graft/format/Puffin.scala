@@ -39,7 +39,8 @@ object Puffin {
     * per-write-task artifacts (a handful of bitmaps), so building the byte
     * image in memory matches how they are produced; statistics files are
     * similarly bounded. Returns (bytes, blob metas with final offsets). */
-  def write(blobs: Seq[(String, Seq[Int], Long, Long, Array[Byte], Map[String, String])])
+  def write(blobs: Seq[(String, Seq[Int], Long, Long, Array[Byte], Map[String, String])],
+      fileProperties: Map[String, String] = Map.empty)
       : (Array[Byte], Seq[BlobMeta]) = {
     val out = new ByteArrayOutputStream(8192)
     out.write(Magic)
@@ -50,7 +51,7 @@ object Puffin {
     }
     // footer: Magic, payload, payload size (LE int), flags (0), Magic
     out.write(Magic)
-    val payload = footerJson(metas).getBytes(StandardCharsets.UTF_8)
+    val payload = footerJson(metas, fileProperties).getBytes(StandardCharsets.UTF_8)
     out.write(payload)
     val tail = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
     tail.putInt(payload.length)
@@ -60,7 +61,8 @@ object Puffin {
     (out.toByteArray, metas)
   }
 
-  private def footerJson(metas: Seq[BlobMeta]): String = {
+  private def footerJson(metas: Seq[BlobMeta],
+      fileProperties: Map[String, String]): String = {
     import Json._
     val root = obj()
     val arr = root.putArray("blobs")
@@ -74,12 +76,40 @@ object Puffin {
       o.put("length", b.length)
       if (b.properties.nonEmpty) putStrMap(o, "properties", b.properties)
     }
+    if (fileProperties.nonEmpty) putStrMap(root, "properties", fileProperties)
     Json.write(root)
+  }
+
+  /** File-level footer properties (puffin-spec FileMetadata.properties). */
+  def readFileProperties(bytes: Array[Byte]): Map[String, String] = {
+    import Json._
+    footerNode(bytes).map(n => strMap(n.get("properties"))).getOrElse(Map.empty)
   }
 
   /** Parse the footer of a serialized Puffin file into blob descriptors. */
   def readFooter(bytes: Array[Byte]): Seq[BlobMeta] = {
     import Json._
+    val n = footerNode(bytes).getOrElse(
+      throw new IllegalArgumentException("not a puffin file"))
+    elems(n.get("blobs")).map { o =>
+      BlobMeta(
+        blobType = getStr(o, "type"),
+        fields = Option(o.get("fields"))
+          .map(a => elems(a).map(_.asInt()).toSeq).getOrElse(Nil),
+        snapshotId = getLong(o, "snapshot-id"),
+        sequenceNumber = getLong(o, "sequence-number"),
+        offset = getLong(o, "offset"),
+        length = getLong(o, "length"),
+        properties = strMap(o.get("properties")))
+    }.toSeq
+  }
+
+  def isPuffin(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && bytes(0) == Magic(0) && bytes(1) == Magic(1) &&
+      bytes(2) == Magic(2) && bytes(3) == Magic(3)
+
+  private def footerNode(bytes: Array[Byte])
+      : Option[com.fasterxml.jackson.databind.JsonNode] = {
     require(bytes.length >= 20, "puffin file too short")
     def magicAt(off: Int): Boolean =
       bytes(off) == Magic(0) && bytes(off + 1) == Magic(1) &&
@@ -94,18 +124,8 @@ object Puffin {
     val payloadStart = bytes.length - 12 - payloadSize
     require(payloadStart >= 8 && magicAt(payloadStart - 4),
       "corrupt puffin footer (payload start magic missing)")
-    val n = parse(new String(bytes, payloadStart, payloadSize, StandardCharsets.UTF_8))
-    elems(n.get("blobs")).map { o =>
-      BlobMeta(
-        blobType = getStr(o, "type"),
-        fields = Option(o.get("fields"))
-          .map(a => elems(a).map(_.asInt()).toSeq).getOrElse(Nil),
-        snapshotId = getLong(o, "snapshot-id"),
-        sequenceNumber = getLong(o, "sequence-number"),
-        offset = getLong(o, "offset"),
-        length = getLong(o, "length"),
-        properties = strMap(o.get("properties")))
-    }.toSeq
+    Some(Json.parse(
+      new String(bytes, payloadStart, payloadSize, StandardCharsets.UTF_8)))
   }
 
   // ---- deletion-vector-v1 blob codec (iceberg v3 spec) ----

@@ -63,25 +63,53 @@ object Stats {
       cols.zipWithIndex.map { case (c, i) => nameToId(c) -> row.getLong(i + 1) }.toMap)
   }
 
-  /** Run the NDV job and commit the result: the stats file is written via
-    * the table's FileIO, then recorded in metadata (replacing any previous
-    * stats for the same snapshot). Returns the committed pointer. */
+  /** Run the NDV job and commit the result: the stats land as a PUFFIN
+    * statistics file like the reference's ANALYZE output — one blob per
+    * analyzed column (type `graft-ndv-v1`, fields = [field id], blob
+    * property `ndv`, payload = the 8-byte BE estimate; the reference's
+    * payload is an apache-datasketches theta sketch, ours is the merged
+    * HLL++ point estimate), row count as a footer file property — then
+    * recorded in metadata (replacing any previous stats for the same
+    * snapshot). Returns the committed pointer. */
   def analyzeAndCommit(table: GraftTable,
       columns: Seq[String] = Nil): (StatisticsFile, TableStats) = {
     val stats = analyze(table, columns)
-    val name = s"stats-${stats.snapshotId}-${java.util.UUID.randomUUID()}.json"
-    val path = table.ops.writeMetadataFile(name, toJson(stats))
+    val seq = table.metadata.snapshot(stats.snapshotId)
+      .map(_.sequenceNumber).getOrElse(-1L)
+    val blobs = stats.ndv.toSeq.sortBy(_._1).map { case (id, v) =>
+      ("graft-ndv-v1", Seq(id), stats.snapshotId, seq,
+        java.nio.ByteBuffer.allocate(8).putLong(v).array(),
+        Map("ndv" -> v.toString))
+    }
+    val (bytes, _) = Puffin.write(blobs,
+      Map("row-count" -> stats.rowCount.toString))
+    val name = s"stats-${stats.snapshotId}-${java.util.UUID.randomUUID()}.puffin"
+    val path = table.ops.writeMetadataBytes(name, bytes)
     val sf = StatisticsFile(stats.snapshotId, path)
     Commits.setStatistics(table, sf)
     (sf, stats)
   }
 
-  /** Stats for a snapshot, if a statistics file was committed for it. */
+  /** Stats for a snapshot, if a statistics file was committed for it.
+    * Content-sniffed: puffin (current) or the pre-round-10 JSON map. */
   def read(table: GraftTable, snapshotId: Long): Option[TableStats] =
     table.metadata.statisticsFor(snapshotId).flatMap { sf =>
-      try Some(fromJson(table.ops.readFile(sf.path)))
-      catch { case scala.util.control.NonFatal(_) => None }
+      try {
+        val bytes = table.ops.io.readBytes(sf.path)
+        if (Puffin.isPuffin(bytes)) Some(fromPuffin(snapshotId, bytes))
+        else Some(fromJson(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
+
+  private def fromPuffin(snapshotId: Long, bytes: Array[Byte]): TableStats = {
+    val ndv = Puffin.readFooter(bytes)
+      .filter(b => b.blobType == "graft-ndv-v1" && b.fields.size == 1)
+      .flatMap(b => b.properties.get("ndv").map(v => b.fields.head -> v.toLong))
+      .toMap
+    val rows = Puffin.readFileProperties(bytes)
+      .get("row-count").map(_.toLong).getOrElse(0L)
+    TableStats(snapshotId, rows, ndv)
+  }
 
   def toJson(s: TableStats): String = {
     val o = Json.obj()

@@ -126,6 +126,12 @@ final class TableOps(val location: String, explicitIo: FileIO = null) {
     path
   }
 
+  def writeMetadataBytes(name: String, content: Array[Byte]): String = {
+    val path = s"$metadataDir/$name"
+    io.writeBytes(path, content)
+    path
+  }
+
   def readFile(path: String): String = io.readString(path)
 
   def newManifestPath(ext: String = ".json"): String =

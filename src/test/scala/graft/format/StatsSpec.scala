@@ -29,6 +29,17 @@ class StatsSpec extends SparkSpec {
       s"ndv(id)=${byName("id")} outside ±10% of 500")
     val reread = Stats.read(GraftTable.load(spark, s"$wh/db/t"), sf.snapshotId)
     assert(reread.contains(stats))
+    // the committed file is a puffin statistics file (reference ANALYZE
+    // shape): one ndv blob per column + a row-count footer property
+    val bytes = t.ops.io.readBytes(sf.path)
+    assert(Puffin.isPuffin(bytes))
+    assert(Puffin.readFooter(bytes).forall(_.blobType == "graft-ndv-v1"))
+    assert(Puffin.readFileProperties(bytes)("row-count") == "500")
+    // pre-round-10 JSON statistics files still read (content sniff)
+    t.ops.io.writeBytes(sf.path,
+      Stats.toJson(stats).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(Stats.read(GraftTable.load(spark, s"$wh/db/t"), sf.snapshotId)
+      .contains(stats))
   }
 
   test("the procedure records stats and the scan reports NDV to the CBO") {
