@@ -58,9 +58,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case None if metaName.equalsIgnoreCase("position_deletes") =>
           // delete-state-scale rows (never driver-collected): one task per
           // delete file / DV blob
-          val files = t.newScan().planFiles().deleteFiles
-            .filter(_._1.content == graft.format.FileContent.PositionDeletes)
-            .map(_._1).distinctBy(f => (f.path, f.referencedDataFile))
+          val files = graft.format.Deletes.posDeleteFilesOf(t)
           val (dvFiles, pq) =
             files.partition(_.fileFormat == graft.format.FileFormats.Puffin)
           PosDeleteScanTable(ident.toString,

@@ -270,41 +270,47 @@ final class GraftProcedures(resolve: String => GraftTable,
     def bad(e: ce.Expression): Nothing = throw new IllegalArgumentException(
       s"unsupported where predicate: ${e.sql} (use column-vs-literal " +
       "comparisons, IN, IS [NOT] NULL, AND/OR/NOT, LIKE 'prefix%')")
-    def name(e: ce.Expression): String = e match {
-      case a: ce.AttributeReference => a.name
-      case other => bad(other)
+    // the ANALYZED (not optimized) plan is matched — the optimizer would
+    // fold the whole Filter away over the empty frame — so type coercion
+    // still wraps literals in casts (id < 5 on BIGINT is `id < cast(5)`).
+    // Any foldable operand evaluates to its literal here.
+    object Lit {
+      def unapply(e: ce.Expression): Option[Any] =
+        if (e.foldable) Some(convertToScala(e.eval(null), e.dataType)) else None
+    }
+    object Attr {
+      def unapply(e: ce.Expression): Option[String] = e match {
+        case a: ce.AttributeReference => Some(a.name)
+        // coercion wraps the COLUMN side in an identity cast too (IN list
+        // coercion does this even when no width changes); only the no-op
+        // cast is safe to see through — a real cast changes the domain
+        case c: ce.Cast => c.child match {
+          case a: ce.AttributeReference if c.dataType == a.dataType =>
+            Some(a.name)
+          case _ => None
+        }
+        case _ => None
+      }
     }
     def toExpr(e: ce.Expression): Expr = e match {
-      case ce.EqualTo(a: ce.AttributeReference, ce.Literal(v, dt)) =>
-        Exprs.equal(a.name, convertToScala(v, dt))
-      case ce.EqualTo(ce.Literal(v, dt), a: ce.AttributeReference) =>
-        Exprs.equal(a.name, convertToScala(v, dt))
-      case ce.GreaterThan(a: ce.AttributeReference, ce.Literal(v, dt)) =>
-        Exprs.gt(a.name, convertToScala(v, dt))
-      case ce.GreaterThan(ce.Literal(v, dt), a: ce.AttributeReference) =>
-        Exprs.lt(a.name, convertToScala(v, dt))
-      case ce.GreaterThanOrEqual(a: ce.AttributeReference, ce.Literal(v, dt)) =>
-        Exprs.gtEq(a.name, convertToScala(v, dt))
-      case ce.GreaterThanOrEqual(ce.Literal(v, dt), a: ce.AttributeReference) =>
-        Exprs.ltEq(a.name, convertToScala(v, dt))
-      case ce.LessThan(a: ce.AttributeReference, ce.Literal(v, dt)) =>
-        Exprs.lt(a.name, convertToScala(v, dt))
-      case ce.LessThan(ce.Literal(v, dt), a: ce.AttributeReference) =>
-        Exprs.gt(a.name, convertToScala(v, dt))
-      case ce.LessThanOrEqual(a: ce.AttributeReference, ce.Literal(v, dt)) =>
-        Exprs.ltEq(a.name, convertToScala(v, dt))
-      case ce.LessThanOrEqual(ce.Literal(v, dt), a: ce.AttributeReference) =>
-        Exprs.gtEq(a.name, convertToScala(v, dt))
-      case ce.In(a: ce.AttributeReference, vs) if vs.forall(_.isInstanceOf[ce.Literal]) =>
-        Exprs.in(a.name, vs.collect {
-          case ce.Literal(v, dt) if v != null => convertToScala(v, dt) })
-      case ce.IsNull(a) => Exprs.isNull(name(a))
-      case ce.IsNotNull(a) => Exprs.notNull(name(a))
+      case ce.EqualTo(Attr(a), Lit(v)) => Exprs.equal(a, v)
+      case ce.EqualTo(Lit(v), Attr(a)) => Exprs.equal(a, v)
+      case ce.GreaterThan(Attr(a), Lit(v)) => Exprs.gt(a, v)
+      case ce.GreaterThan(Lit(v), Attr(a)) => Exprs.lt(a, v)
+      case ce.GreaterThanOrEqual(Attr(a), Lit(v)) => Exprs.gtEq(a, v)
+      case ce.GreaterThanOrEqual(Lit(v), Attr(a)) => Exprs.ltEq(a, v)
+      case ce.LessThan(Attr(a), Lit(v)) => Exprs.lt(a, v)
+      case ce.LessThan(Lit(v), Attr(a)) => Exprs.gt(a, v)
+      case ce.LessThanOrEqual(Attr(a), Lit(v)) => Exprs.ltEq(a, v)
+      case ce.LessThanOrEqual(Lit(v), Attr(a)) => Exprs.gtEq(a, v)
+      case ce.In(Attr(a), vs) if vs.forall(_.foldable) =>
+        Exprs.in(a, vs.collect { case Lit(v) if v != null => v })
+      case ce.IsNull(Attr(a)) => Exprs.isNull(a)
+      case ce.IsNotNull(Attr(a)) => Exprs.notNull(a)
       case ce.And(l, r) => Exprs.and(toExpr(l), toExpr(r))
       case ce.Or(l, r) => Exprs.or(toExpr(l), toExpr(r))
       case ce.Not(c) => Exprs.not(toExpr(c))
-      case ce.StartsWith(a: ce.AttributeReference, ce.Literal(v, _)) =>
-        Exprs.startsWith(a.name, v.toString)
+      case ce.StartsWith(Attr(a), Lit(v)) => Exprs.startsWith(a, v.toString)
       case other => bad(other)
     }
     toExpr(cond)

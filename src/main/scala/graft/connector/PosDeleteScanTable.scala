@@ -63,23 +63,40 @@ final case class PosDeleteReaderFactory(conf: SerializableConfiguration)
     new PartitionReader[InternalRow] {
       private val ser = ExpressionEncoder(
         RowEncoder.encoderFor(PosDeleteScanTable.Schema)).createSerializer()
+      // parquet files STREAM row by row — a 100M-position delete file must
+      // not materialize as boxed rows in the task; DV blobs stream from
+      // their (in-memory, compact) bitmap
+      private var openReader: org.apache.parquet.hadoop.ParquetReader[
+        org.apache.spark.sql.catalyst.InternalRow] = null
       private val it: Iterator[Row] = p.asInstanceOf[PosDeletePartition] match {
         case PosDeletePartition(Some(path), _) =>
           val schema = StructType(Seq(StructField("file_path", StringType),
             StructField("pos", LongType)))
-          val rows = Seq.newBuilder[Row]
-          ParquetIO.readAll(path, schema, conf.value) { r =>
-            if (!r.isNullAt(0) && !r.isNullAt(1))
-              rows += Row(ParquetIO.canonPath(r.getUTF8String(0).toString),
-                r.getLong(1), path)
+          val src = ParquetIO.canonPath(path)
+          openReader = ParquetIO.open(path, schema, conf.value)
+          new Iterator[Row] {
+            private var row = advance()
+            private def advance(): org.apache.spark.sql.catalyst.InternalRow = {
+              var r = openReader.read()
+              while (r != null && (r.isNullAt(0) || r.isNullAt(1)))
+                r = openReader.read()
+              r
+            }
+            override def hasNext: Boolean = row != null
+            override def next(): Row = {
+              val out = Row(ParquetIO.canonPath(row.getUTF8String(0).toString),
+                row.getLong(1), src)
+              row = advance()
+              out
+            }
           }
-          rows.result().iterator
         case PosDeletePartition(_, Some(s)) =>
+          val src = ParquetIO.canonPath(s.path)
           val longs = Dvs.read(s.path, s.offset, s.length, conf.value)
             .getLongIterator
           new Iterator[Row] {
             override def hasNext: Boolean = longs.hasNext
-            override def next(): Row = Row(s.referenced, longs.next(), s.path)
+            override def next(): Row = Row(s.referenced, longs.next(), src)
           }
         case _ => Iterator.empty
       }
@@ -87,6 +104,6 @@ final case class PosDeleteReaderFactory(conf: SerializableConfiguration)
       override def next(): Boolean =
         if (it.hasNext) { current = ser(it.next()).copy(); true } else false
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      override def close(): Unit = if (openReader != null) openReader.close()
     }
 }

@@ -90,8 +90,11 @@ final class Actions(t: GraftTable) {
         Deletes.posDeleteTargetFiles(Seq(f), hconf).foreach(tp =>
           posCounts(tp) = posCounts.getOrElse(tp, 0) + 1)
       }
+      // distinct by path: a delete file planned through several manifests
+      // after rewrites must count once
       val eqSeqs = plan.deleteFiles
-        .filter(_._1.content == FileContent.EqualityDeletes).map(_._2)
+        .filter(_._1.content == FileContent.EqualityDeletes)
+        .distinctBy(_._1.path).map(_._2)
       plan.tasks.map { ts =>
         ParquetIO.canonPath(ts.file.path) ->
           (posCounts.getOrElse(ParquetIO.canonPath(ts.file.path), 0) +

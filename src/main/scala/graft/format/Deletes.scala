@@ -42,10 +42,21 @@ object Deletes {
       posDeleteTargets(parquet.map(_.path).distinct, conf)
   }
 
+  /** The live position-delete FILES of a table, deduplicated at entry
+    * granularity (the same delete file — or the same DV blob — can be
+    * planned through several manifests after rewrites). */
+  def posDeleteFilesOf(t: GraftTable): Seq[DataFile] =
+    t.newScan().planFiles().deleteFiles
+      .filter(_._1.content == FileContent.PositionDeletes).map(_._1)
+      .distinctBy(f => (f.path, f.referencedDataFile))
+
   /** All (canonical file_path, pos) pairs of a mixed set of position-delete
     * files as one DataFrame: parquet files read through Spark's source; DV
-    * blobs expand executor-side from their bitmaps (one task per blob). */
-  def positionsDF(spark: SparkSession, files: Seq[DataFile]): DataFrame = {
+    * blobs expand executor-side from their bitmaps (one task per blob).
+    * `withSource` appends a canonical `delete_file_path` column (the
+    * position_deletes metadata-table shape). */
+  def positionsDF(spark: SparkSession, files: Seq[DataFile],
+      withSource: Boolean = false): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     // null-tolerant like the executor-side loader (PosDeleteCache skips
@@ -53,12 +64,17 @@ object Deletes {
     val canon = udf((s: String) => if (s == null) null else ParquetIO.canonPath(s))
     val (dvs, parquetFiles) = files.partition(_.fileFormat == FileFormats.Puffin)
     val out = StructType(Seq(StructField("file_path", StringType),
-      StructField("pos", LongType)))
+      StructField("pos", LongType)) ++
+      (if (withSource) Seq(StructField("delete_file_path", StringType)) else Nil))
     val parts = Seq.newBuilder[DataFrame]
-    if (parquetFiles.nonEmpty)
-      parts += spark.read.parquet(parquetFiles.map(_.path).distinct: _*)
-        .select(canon(col("file_path")).as("file_path"), col("pos"))
-        .filter(col("file_path").isNotNull && col("pos").isNotNull)
+    if (parquetFiles.nonEmpty) {
+      val base = spark.read.parquet(parquetFiles.map(_.path).distinct: _*)
+        .select(Seq(canon(col("file_path")).as("file_path"), col("pos")) ++
+          (if (withSource)
+            Seq(canon(col("_metadata.file_path")).as("delete_file_path"))
+          else Nil): _*)
+      parts += base.filter(col("file_path").isNotNull && col("pos").isNotNull)
+    }
     val slices = Dvs.slicesOf(dvs)
     if (slices.nonEmpty) {
       val sconf = new org.apache.spark.util.SerializableConfiguration(
@@ -66,10 +82,13 @@ object Deletes {
       val rdd = spark.sparkContext
         .parallelize(slices, math.max(1, slices.size))
         .flatMap { s =>
+          val src = ParquetIO.canonPath(s.path)
           val it = Dvs.read(s.path, s.offset, s.length, sconf.value).getLongIterator
           new Iterator[Row] {
             override def hasNext: Boolean = it.hasNext
-            override def next(): Row = Row(s.referenced, it.next())
+            override def next(): Row =
+              if (withSource) Row(s.referenced, it.next(), src)
+              else Row(s.referenced, it.next())
           }
         }
       parts += spark.createDataFrame(rdd, out)

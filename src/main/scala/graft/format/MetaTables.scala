@@ -287,45 +287,8 @@ object MetaTables {
     * path from row metadata), DV blobs expanded executor-side from their
     * bitmaps. Useful for delete-state inspection and as the read half of
     * external delete-rewrite tooling. */
-  def positionDeletes(t: GraftTable): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val spark = t.spark
-    val files = t.newScan().planFiles().deleteFiles
-      .filter(_._1.content == FileContent.PositionDeletes).map(_._1)
-      .distinctBy(f => (f.path, f.referencedDataFile))
-    val out = StructType(Seq(
-      StructField("file_path", StringType),
-      StructField("pos", LongType),
-      StructField("delete_file_path", StringType)))
-    val canon = org.apache.spark.sql.functions.udf(
-      (s: String) => if (s == null) null else ParquetIO.canonPath(s))
-    val (dvs, parquetFiles) = files.partition(_.fileFormat == FileFormats.Puffin)
-    val parts = Seq.newBuilder[DataFrame]
-    if (parquetFiles.nonEmpty)
-      parts += spark.read.parquet(parquetFiles.map(_.path).distinct: _*)
-        .select(canon(col("file_path")).as("file_path"), col("pos"),
-          col("_metadata.file_path").as("delete_file_path"))
-        .filter(col("file_path").isNotNull && col("pos").isNotNull)
-    val slices = Dvs.slicesOf(dvs)
-    if (slices.nonEmpty) {
-      val sconf = new org.apache.spark.util.SerializableConfiguration(
-        spark.sessionState.newHadoopConf())
-      parts += spark.createDataFrame(
-        spark.sparkContext.parallelize(slices, math.max(1, slices.size))
-          .flatMap { s =>
-            val it = Dvs.read(s.path, s.offset, s.length, sconf.value)
-              .getLongIterator
-            new Iterator[Row] {
-              override def hasNext: Boolean = it.hasNext
-              override def next(): Row = Row(s.referenced, it.next(), s.path)
-            }
-          }, out)
-    }
-    parts.result() match {
-      case Seq() => df(spark, out, Nil)
-      case built => built.reduce(_ unionByName _)
-    }
-  }
+  def positionDeletes(t: GraftTable): DataFrame =
+    Deletes.positionsDF(t.spark, Deletes.posDeleteFilesOf(t), withSource = true)
 
   /** `t$partitions`: record_count/file_count per partition
     * (reference PartitionsTable.java:39-43) — a distributed aggregation

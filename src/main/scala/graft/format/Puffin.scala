@@ -83,14 +83,13 @@ object Puffin {
   /** File-level footer properties (puffin-spec FileMetadata.properties). */
   def readFileProperties(bytes: Array[Byte]): Map[String, String] = {
     import Json._
-    footerNode(bytes).map(n => strMap(n.get("properties"))).getOrElse(Map.empty)
+    strMap(footerNode(bytes).get("properties"))
   }
 
   /** Parse the footer of a serialized Puffin file into blob descriptors. */
   def readFooter(bytes: Array[Byte]): Seq[BlobMeta] = {
     import Json._
-    val n = footerNode(bytes).getOrElse(
-      throw new IllegalArgumentException("not a puffin file"))
+    val n = footerNode(bytes)
     elems(n.get("blobs")).map { o =>
       BlobMeta(
         blobType = getStr(o, "type"),
@@ -109,7 +108,7 @@ object Puffin {
       bytes(2) == Magic(2) && bytes(3) == Magic(3)
 
   private def footerNode(bytes: Array[Byte])
-      : Option[com.fasterxml.jackson.databind.JsonNode] = {
+      : com.fasterxml.jackson.databind.JsonNode = {
     require(bytes.length >= 20, "puffin file too short")
     def magicAt(off: Int): Boolean =
       bytes(off) == Magic(0) && bytes(off + 1) == Magic(1) &&
@@ -124,8 +123,8 @@ object Puffin {
     val payloadStart = bytes.length - 12 - payloadSize
     require(payloadStart >= 8 && magicAt(payloadStart - 4),
       "corrupt puffin footer (payload start magic missing)")
-    Some(Json.parse(
-      new String(bytes, payloadStart, payloadSize, StandardCharsets.UTF_8)))
+    Json.parse(
+      new String(bytes, payloadStart, payloadSize, StandardCharsets.UTF_8))
   }
 
   // ---- deletion-vector-v1 blob codec (iceberg v3 spec) ----

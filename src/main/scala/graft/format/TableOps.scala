@@ -95,10 +95,22 @@ final class TableOps(val location: String, explicitIo: FileIO = null) {
         else Option(base).flatMap(_.properties.get("commit.retry.num-retries"))
           .map(_.toInt).getOrElse(4)
       val updated = apply(base)
-      try {
-        commit(baseVersion, updated)
+      val committed =
+        try { commit(baseVersion, updated); true }
+        catch {
+          case _: CommitFailedException if attempt < maxRetries =>
+            attempt += 1
+            // a conflict means our view was stale: re-probe past the memo so
+            // the retry sees the real head even while the hint lags
+            currentVersion(forceProbe = true)
+            Thread.sleep(math.min(25L << math.min(attempt, 6), 1000L))
+            false
+        }
+      if (committed) {
         // commit observability: one event per snapshot this commit created,
-        // emitted only after the swap is durable (a CAS loser never fires)
+        // fired OUTSIDE the retry try-block — the swap is already durable,
+        // so a throwing listener must propagate (the listener contract)
+        // without tricking the loop into re-applying a committed transform
         if (!Listeners.isCommitEmpty) {
           val known = Option(base).map(_.snapshots.map(_.snapshotId).toSet)
             .getOrElse(Set.empty)
@@ -107,13 +119,6 @@ final class TableOps(val location: String, explicitIo: FileIO = null) {
               s.snapshotId, s.sequenceNumber, s.operation, s.summary)))
         }
         return updated
-      } catch {
-        case _: CommitFailedException if attempt < maxRetries =>
-          attempt += 1
-          // a conflict means our view was stale: re-probe past the memo so
-          // the retry sees the real head even while the hint lags
-          currentVersion(forceProbe = true)
-          Thread.sleep(math.min(25L << math.min(attempt, 6), 1000L))
       }
     }
     throw new IllegalStateException("unreachable")

@@ -245,9 +245,12 @@ object TextOps {
     * frequencies, a term-keyed join (vocabulary-sized build side — AQE
     * broadcasts it when small), and a per-doc rank that plans as a
     * WindowGroupLimit (local top-k before the doc shuffle). The raw score
-    * stays internal; output carries (tf, df, rank) — integers rank
-    * identically everywhere, while ln() may differ in the last ulp
-    * between engines. */
+    * stays internal; output carries (tf, df, rank). Exact score TIES
+    * break on the term string, so identical (tf, df) pairs rank the same
+    * in every engine; the residual cross-engine hazard is two DISTINCT
+    * (tf, df) pairs whose scores differ by under one ulp of ln() — such
+    * a flip is data-determined (not flaky) and absent from the gate
+    * corpus at all three scale factors. */
   def tfidfTopTerms(docs: DataFrame, topK: Int = 5): DataFrame = {
     require(topK > 0, s"topK must be positive: $topK")
     val terms = docs

@@ -5,7 +5,7 @@ object PlanProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
-    val dir = "/root/testdata/sf0.01"
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     println("=== PLAN q103 ===")
     println(graft.ops.Dedup.duplicateSpans(docs, 20).queryExecution.executedPlan.toString.take(4000))

@@ -342,6 +342,13 @@ class DvSpec extends SparkSpec {
       spark.sql("""CALL dvsc.system.rewrite_data_files(
           table => 'db.s', where => 'length(cat) > 0')""").collect()
     }
+    // coerced literals parse too: `id < 200` on BIGINT analyzes as
+    // id < cast(200), which must not be refused as unsupported
+    val r2 = spark.sql("""CALL dvsc.system.rewrite_data_files(
+        table => 'db.s', min_input_files => 1,
+        where => 'id >= 0 AND id < 200 AND id IN (0,1,2,3,4,100,101)')""")
+      .collect().head
+    assert(r2.getInt(0) >= 1)
   }
 
   test("delete-file-threshold compaction rewrites delete-burdened files") {

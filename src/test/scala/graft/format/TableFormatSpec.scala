@@ -350,6 +350,20 @@ class TableFormatSpec extends SparkSpec {
     assert(seen.size == before, "unregistered listener must not fire")
   }
 
+  test("a throwing commit listener propagates but never duplicates the commit") {
+    val loc = freshLoc("commitlistenerthrow")
+    val t = GraftTable.create(spark, loc, rows(2).schema)
+    val l = Listeners.registerCommit(
+      _ => throw new RuntimeException("audit hook down"))
+    try {
+      intercept[RuntimeException](GraftWrite.append(t, rows(2, 0).coalesce(1)))
+    } finally Listeners.unregisterCommit(l)
+    // the swap was durable BEFORE the listener fired, and the retry loop
+    // must not treat the listener failure as a lost CAS and re-commit
+    assert(t.snapshots.size == 1, "duplicate commit from listener failure")
+    assert(t.toDF().count() == 2)
+  }
+
   test("allowIncompatibleChanges gates required columns (UpdateSchema.java:47)") {
     val loc = freshLoc("incompat")
     val t = GraftTable.create(spark, loc, rows(2).schema)
