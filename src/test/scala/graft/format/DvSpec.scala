@@ -373,6 +373,26 @@ class DvSpec extends SparkSpec {
       === Actions.RewriteResult(0, 0))
   }
 
+  test("expiry physically deletes DV containers once no snapshot needs them") {
+    val df = (0L until 20L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = GraftTable.create(spark, freshLoc("dvexpire"), df.schema,
+      properties = Map("format-version" -> "3"))
+    GraftWrite.append(t, df.coalesce(1))
+    deleteWherePos(t, col("id") === 3L)
+    val puffin = t.newScan().planFiles().deleteFiles.map(_._1.path).distinct
+    assert(puffin.size === 1)
+    def exists(p: String) = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(new java.net.URI(s"file://$p").getPath))
+    assert(exists(puffin.head))
+    // compaction materializes the DV away; expiry then reclaims the bytes
+    Actions.forTable(t).rewriteDataFiles(minInputFiles = 1)
+    assert(exists(puffin.head), "still referenced by historical snapshots")
+    val res = Actions.forTable(t).expireSnapshots(System.currentTimeMillis() + 1000)
+    assert(res.expiredSnapshots >= 2)
+    assert(!exists(puffin.head), "expired DV container must be deleted")
+    assert(idsOf(t) === (0L until 20L).filterNot(_ == 3L))
+  }
+
   test("aborted delta writes clean up staged DV containers") {
     val df = Seq((1L, "a")).toDF("id", "v")
     val t = GraftTable.create(spark, freshLoc("dvabort"), df.schema,
