@@ -373,6 +373,33 @@ class DvSpec extends SparkSpec {
       === Actions.RewriteResult(0, 0))
   }
 
+  test("concurrent DV commits union without lost deletes") {
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = GraftTable.create(spark, freshLoc("dvconc"), df.schema,
+      properties = Map("format-version" -> "3"))
+    GraftWrite.append(t, df.coalesce(1))
+    val file = t.newScan().planFiles().tasks.head.file.path
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until 8).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val tt = GraftTable.load(spark, t.location)
+            // all eight commits target the SAME data file: every one must
+            // survive the CAS retries and union at read time
+            Deletes.deletePositions(tt,
+              Seq((file, i.toLong * 3)).toDF("file_path", "pos"))
+          }
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val t2 = GraftTable.load(spark, t.location)
+    assert(t2.snapshots.size === 9) // append + 8 delete commits, none lost
+    val masked = (0 until 8).map(_.toLong * 3).toSet
+    assert(idsOf(t2) === (0L until 100L).filterNot(masked))
+  }
+
   test("expiry physically deletes DV containers once no snapshot needs them") {
     val df = (0L until 20L).map(i => (i, s"v$i")).toDF("id", "v")
     val t = GraftTable.create(spark, freshLoc("dvexpire"), df.schema,
