@@ -454,6 +454,30 @@ object FormatQueries {
                FROM customer_changes GROUP BY 1 ORDER BY 1""")
     }),
 
+    // initial column defaults (iceberg v3): files predating an added
+    // column read its default back — a metadata-only backfill applied by
+    // the scan (constant vectors per old-generation group) and
+    // materialized by compaction
+    "q105_default_values" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftdef", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftdef.warehouse", tdir(dir, "defwh"))
+      withTable(s, dir, "defwh/db/customer_defaults") { loc =>
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val tt = GraftTable.recreate(s, loc, c.schema)
+        GraftWrite.append(tt, c.filter(col("c_custkey") % 2 === 0).coalesce(2))
+        SchemaUpdate(tt)
+          .addColumn("c_tier", StringType, initialDefault = Some("basic"))
+          .commit()
+        GraftWrite.append(tt,
+          c.filter(col("c_custkey") % 2 === 1)
+            .withColumn("c_tier", lit("gold")).coalesce(2))
+        tt
+      }
+      s.sql("""SELECT c_tier, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+               FROM graftdef.db.customer_defaults GROUP BY 1 ORDER BY 1""")
+    }),
+
     // streaming sink: two epochs + a replayed epoch (dedup) = exactly-once
     "q73_streaming_epochs" -> ((s, dir) => {
       val t = withTable(s, dir, "customer_stream") { loc =>
@@ -945,6 +969,12 @@ object FormatQueries {
         |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE)
         |FROM customer WHERE c_acctbal < 0
         |ORDER BY 1""".stripMargin,
+
+    "q105_default_values" ->
+      """SELECT CASE WHEN c_custkey % 2 = 0 THEN 'basic' ELSE 'gold' END AS c_tier,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q66_schema_evolution" ->
       """SELECT s_suppkey, s_acctbal AS balance, 'none' AS tier

@@ -58,6 +58,16 @@ object AggPushdown {
     def fileHasColumn(file: DataFile, id: Int): Boolean =
       FieldIds.findById(m.schemas.getOrElse(file.schemaId, schema), id).isDefined
 
+    // a file predating a column is treated as all-null below — correct for
+    // plain added columns, WRONG once the column carries an initial
+    // default (the scan backfills real values the manifests know nothing
+    // about). Refuse the metadata answer whenever any live file predates a
+    // defaulted aggregated column.
+    def defaultBlind(id: Int): Boolean =
+      FieldIds.findById(schema, id).exists(f =>
+        Defaults.of(f).isDefined &&
+          plan.tasks.exists(t => !fileHasColumn(t.file, id)))
+
     // ---- group files by identity-partition tuple (empty GROUP BY = one
     // group over every task) --------------------------------------------
     val groupCols: Seq[(Int, StructField)] = {
@@ -92,6 +102,7 @@ object AggPushdown {
     // count = values - nulls; both must be present for every file that
     // physically carries the column
     def countCol(tasks: Seq[FileScanTask], id: Int): Option[(Any, DataType)] = {
+      if (defaultBlind(id)) return None
       var total = 0L
       tasks.foreach { t =>
         if (fileHasColumn(t.file, id)) {
@@ -118,7 +129,7 @@ object AggPushdown {
     def bound(tasks: Seq[FileScanTask], id: Int, fld: StructField,
         lower: Boolean): Option[(Any, DataType)] = {
       val dt = Types.cleanType(fld.dataType)
-      if (!minMaxSafe(id, dt)) return None
+      if (!minMaxSafe(id, dt) || defaultBlind(id)) return None
       val needExact = dt == StringType || dt == BinaryType
       val ord = Exprs.ordering(dt)
       var acc: Any = null

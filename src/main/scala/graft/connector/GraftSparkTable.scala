@@ -362,10 +362,16 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
           fs => !fs.fields.exists(ff => FieldIds.idOf(ff) == i)))
       }
     }
-    if (partServe.nonEmpty && (eqDeletes.nonEmpty || posActive))
+    // initial defaults present on any requested column? (fills are
+    // per-group below; this only gates the rare partition-served combo)
+    val anyDefaults = read.fields.exists(f =>
+      FieldIds.findById(schema, FieldIds.nameToId(schema).getOrElse(f.name, -1))
+        .exists(tf => Defaults.of(tf).isDefined))
+    if (partServe.nonEmpty && (eqDeletes.nonEmpty || posActive || anyDefaults))
       throw new UnsupportedOperationException(
-        "row-level deletes are not supported on tables whose identity-partition " +
-        "columns are metadata-only (imported hive layouts); rewrite the files first")
+        "row-level deletes and initial defaults are not supported on tables " +
+        "whose identity-partition columns are metadata-only (imported hive " +
+        "layouts); rewrite the files first")
     val partServeNames = partServe.map(_.name).toSet
     val partSchema = StructType(partServe.map(f =>
       StructField(f.name, Types.cleanType(f.dataType), nullable = true)) ++
@@ -540,7 +546,28 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
               readPartitionSchema = partSchema,
               pushedFilters = groupFilters, options = options)
         }
-        (scan, deletes)
+        // initial-default backfill for columns this generation predates:
+        // (ordinal in the physical read row, clean type, catalyst value) —
+        // applied by a reader wrapper UNDER the delete filters
+        val fileIdSet = fileSchema.fields.map(FieldIds.idOf).toSet
+        val fills: Option[FillConfig] = {
+          val fs = wideTarget.fields.toSeq.zipWithIndex.flatMap { case (f, ord) =>
+            FieldIds.nameToId(schema).get(f.name)
+              .flatMap(FieldIds.findById(schema, _))
+              .filter(tf => !fileIdSet.contains(FieldIds.idOf(tf)))
+              .flatMap(tf => Defaults.of(tf).map { v =>
+                val ct = Types.cleanType(tf.dataType)
+                (ord, ct, Values.toCatalyst(v, ct))
+              })
+          }
+          if (fs.isEmpty) None
+          else Some(FillConfig(
+            wideTarget.fields.map(_.dataType).toSeq ++
+              (if (needRowIdx) Seq(LongType) else Nil) ++
+              (if (metaFile) Seq(StringType) else Nil),
+            fs))
+        }
+        (scan, deletes, fills)
     }
     // declared output = physical layout: data columns (minus partition-
     // served) then partition-served columns (incl. `_file`) — Spark
@@ -596,7 +623,8 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
       groups.map(_._2), runtimeFileFiltering = groupGranular,
       onRuntimeFilter = onRuntimeFilter, spjInfo = spjInfo,
       ndvStats = scan.snapshot.map(_.snapshotId)
-        .flatMap(id => Stats.read(table, id)))
+        .flatMap(id => Stats.read(table, id)),
+      fills = groups.map(_._3))
   }
 
   /** Rename filter references current→file names; drop if any referenced
@@ -635,7 +663,8 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
     runtimeFileFiltering: Boolean = false,
     onRuntimeFilter: Set[String] => Unit = _ => (),
     spjInfo: Option[SpjInfo] = None,
-    ndvStats: Option[Stats.TableStats] = None)
+    ndvStats: Option[Stats.TableStats] = None,
+    fills: Seq[Option[FillConfig]] = Nil)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -799,6 +828,8 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
   private lazy val innerFactories = inner.map(_.createReaderFactory())
   private lazy val groupDeletes: Seq[Option[GroupDeletes]] =
     if (deletes.isEmpty) groupScans.map(_ => None) else deletes
+  private lazy val groupFills: Seq[Option[FillConfig]] =
+    if (fills.isEmpty) groupScans.map(_ => None) else fills
   private lazy val partsByGroup: Seq[Array[InputPartition]] =
     inner.map(_.planInputPartitions())
 
@@ -900,7 +931,7 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
       }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      GroupedReaderFactory(innerFactories, groupDeletes, columnar)
+      GroupedReaderFactory(innerFactories, groupDeletes, columnar, groupFills)
   }
 }
 
@@ -934,7 +965,8 @@ final case class SpjInfo(cols: Seq[String],
 final case class GroupedReaderFactory(
     inner: Seq[org.apache.spark.sql.connector.read.PartitionReaderFactory],
     deletes: Seq[Option[GroupDeletes]],
-    columnar: Boolean = false)
+    columnar: Boolean = false,
+    fills: Seq[Option[FillConfig]] = Nil)
   extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
@@ -946,7 +978,13 @@ final case class GroupedReaderFactory(
   }
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val (g, ip, dataFile) = unwrap(p)
-    val reader = inner(g).createReader(ip)
+    val base = inner(g).createReader(ip)
+    // default backfill sits UNDER the delete filter, so eq-delete keys on
+    // a defaulted column match against the filled value
+    val reader = fills.lift(g).flatten match {
+      case Some(cfg) => new ConstantFillRowReader(base, cfg)
+      case None => base
+    }
     deletes.lift(g).flatten match {
       case Some(cfg) => new DeleteFilterReader(reader, cfg, dataFile)
       case None => reader
@@ -954,7 +992,11 @@ final case class GroupedReaderFactory(
   }
   override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val (g, ip, dataFile) = unwrap(p)
-    val reader = inner(g).createColumnarReader(ip)
+    val base = inner(g).createColumnarReader(ip)
+    val reader = fills.lift(g).flatten match {
+      case Some(cfg) => new ConstantFillColumnarReader(base, cfg)
+      case None => base
+    }
     deletes.lift(g).flatten match {
       case Some(cfg) => new ColumnarDeleteFilterReader(reader, cfg, dataFile)
       case None => reader

@@ -172,6 +172,10 @@ final class Actions(t: GraftTable) {
               pf.transform == Transforms.IdentityT)
             .map(pf => ord -> Values.toCatalyst(
               partition.getOrElse(pf.name, null), f.dataType))
+            // initial defaults MATERIALIZE on rewrite: the output file
+            // claims the current schema, so the backfill becomes physical
+            .orElse(Defaults.of(f).map(v =>
+              ord -> Values.toCatalyst(v, Types.cleanType(f.dataType))))
         }
       val seqByPath = tasks.map(ts => ts.file.path -> ts.sequenceNumber).toMap
       val fmtByPath = tasks.map(ts => ts.file.path -> ts.file.fileFormat).toMap

@@ -356,7 +356,13 @@ final class TableScan private[format] (
     val cols = target.fields.map { tf =>
       fileById.get(FieldIds.idOf(tf)) match {
         case Some(ff) => alignCol(col(ff.name), ff.dataType, tf.dataType).as(tf.name)
-        case None => lit(null).cast(Types.cleanType(tf.dataType)).as(tf.name) // added column
+        case None =>
+          // column added after this file was written: its initial default
+          // backfills every row (iceberg v3); absent default reads null
+          Defaults.of(tf) match {
+            case Some(v) => Values.toLiteral(v, Types.cleanType(tf.dataType)).as(tf.name)
+            case None => lit(null).cast(Types.cleanType(tf.dataType)).as(tf.name)
+          }
       }
     }
     df.select((cols.toSeq ++ keep.map(col)): _*)

@@ -18,7 +18,8 @@ final case class SchemaUpdate(table: GraftTable) {
   private var ops: Seq[StructType => StructType] = Nil
   // (parent path — Nil = top level, name, type, nullable, doc); ids are
   // assigned at commit so concurrent builders can't collide
-  private var newColumns: Seq[(Seq[String], String, DataType, Boolean, Option[String])] = Nil
+  private var newColumns: Seq[(Seq[String], String, DataType, Boolean,
+    Option[String], Option[Any])] = Nil
   private var incompatibleAllowed = false
 
   /** Opt in to changes that can break reads of OLDER data files — adding a
@@ -50,15 +51,27 @@ final case class SchemaUpdate(table: GraftTable) {
 
   /** Add a column; a dotted `name` ("who.zip") adds inside that struct. */
   def addColumn(name: String, dt: DataType, nullable: Boolean = true,
-      doc: Option[String] = None): SchemaUpdate = {
+      doc: Option[String] = None,
+      initialDefault: Option[Any] = None): SchemaUpdate = {
     val path = split(name)
-    newColumns = newColumns :+ ((path.init, path.last, dt, nullable, doc)); this
+    initialDefault.foreach { _ =>
+      require(path.init.isEmpty,
+        "initial defaults are supported on top-level columns only")
+      require(!dt.isInstanceOf[StructType] &&
+        !dt.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+        !dt.isInstanceOf[org.apache.spark.sql.types.MapType],
+        "initial defaults are supported on atomic columns only")
+    }
+    newColumns = newColumns :+
+      ((path.init, path.last, dt, nullable, doc, initialDefault))
+    this
   }
 
   /** Add a column INSIDE the struct at `parent` (dot path) — reference
     * UpdateSchema.addColumn(parent, name, type). */
   def addColumn(parent: String, name: String, dt: DataType): SchemaUpdate = {
-    newColumns = newColumns :+ ((split(parent), name, dt, true, None)); this
+    newColumns = newColumns :+ ((split(parent), name, dt, true, None, None))
+    this
   }
 
   /** Rename the (possibly nested) column at `from`; `to` is the bare new
@@ -183,7 +196,7 @@ final case class SchemaUpdate(table: GraftTable) {
           s"cannot add required column ${(c._1 :+ c._2).mkString(".")}: " +
           "older files lack it — call allowIncompatibleChanges() first")
       }
-      newColumns.foreach { case (parent, name, dt0, nullable, doc) =>
+      newColumns.foreach { case (parent, name, dt0, nullable, doc, default) =>
         lastId += 1
         val fieldId = lastId
         // a struct-typed added column needs ids on ITS fields too
@@ -197,7 +210,9 @@ final case class SchemaUpdate(table: GraftTable) {
         val base = StructField(name, dt, nullable)
         val withDoc = doc.map(d => base.copy(metadata =
           new MetadataBuilder().putString("comment", d).build())).getOrElse(base)
-        val field = FieldIds.withId(withDoc, fieldId)
+        val withDefault =
+          default.map(Defaults.withDefault(withDoc, _)).getOrElse(withDoc)
+        val field = FieldIds.withId(withDefault, fieldId)
         st = atPath(st, parent) { s =>
           require(!s.fieldNames.contains(name),
             s"column ${(parent :+ name).mkString(".")} exists")
