@@ -500,6 +500,36 @@ final class GraftProcedures(resolve: String => GraftTable,
       .map { case (c, v) => row(c, Long.box(v)) }.toArray
   })
 
+  /** `CALL g.system.add_column(table => 'db.t', name => 'tier',
+    * type => 'STRING' [, initial_default => 'basic'])` — the SQL spelling
+    * of SchemaUpdate.addColumn with an initial default (Spark's ALTER
+    * TABLE ... DEFAULT grammar is gated behind a catalog capability tied
+    * to Spark-side default semantics; the procedure keeps the v3
+    * metadata-backfill semantics explicit). The default string parses by
+    * CASTing to the column type. */
+  private val addColumn = new Proc("add_column",
+    "add a top-level column, optionally with an initial default",
+    Array(p("table", StringType), p("name", StringType),
+      p("type", StringType),
+      pd("initial_default", StringType, "NULL")),
+    StructType(Seq(StructField("added", StringType, nullable = false))))({ in =>
+      val t = resolve(str(in, 0))
+      val name = str(in, 1)
+      val dt = org.apache.spark.sql.types.DataType.fromDDL(str(in, 2))
+      val default = if (in.isNullAt(3)) None else {
+        val raw = str(in, 3)
+        val lit = org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+            StringType), dt, Some("UTC")).eval(null)
+        require(lit != null, s"cannot cast '$raw' to ${dt.sql}")
+        Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(lit, dt))
+      }
+      SchemaUpdate(t).addColumn(name, dt, initialDefault = default).commit()
+      Array(row(name))
+  })
+
   // ---- registry --------------------------------------------------------
 
   val byName: Map[String, UnboundProcedure] = Seq(
@@ -509,7 +539,7 @@ final class GraftProcedures(resolve: String => GraftTable,
     expireSnapshots, removeOrphanFiles,
     rewriteDataFiles, rewritePositionDeletes, rewriteEqualityDeletes,
     rewriteManifests,
-    importTable, createChangelogView, analyzeTable
+    importTable, createChangelogView, analyzeTable, addColumn
   ).map(proc => proc.name() -> (proc: UnboundProcedure)).toMap
 
   def names: Seq[String] = byName.keys.toSeq.sorted

@@ -77,6 +77,25 @@ class DefaultsSpec extends SparkSpec {
       .as[Long].head() === 9L)
   }
 
+  test("the add_column procedure spells defaults in SQL") {
+    val wh = Files.createTempDirectory("graft-defproc").toString
+    spark.conf.set("spark.sql.catalog.gdefp", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdefp.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdefp.db")
+    spark.sql("CREATE TABLE gdefp.db.t (id BIGINT)")
+    spark.sql("INSERT INTO gdefp.db.t SELECT id FROM range(5)")
+    spark.sql("""CALL gdefp.system.add_column(table => 'db.t',
+                   name => 'score', type => 'BIGINT',
+                   initial_default => '42')""")
+    assert(spark.sql("SELECT DISTINCT score FROM gdefp.db.t")
+      .as[Long].collect().toSeq === Seq(42L))
+    intercept[Exception] {
+      spark.sql("""CALL gdefp.system.add_column(table => 'db.t',
+                     name => 'bad', type => 'BIGINT',
+                     initial_default => 'not-a-number')""").collect()
+    }
+  }
+
   test("metadata-only aggregates refuse defaulted columns with missing stats") {
     val df = (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v")
     val wh = Files.createTempDirectory("graft-defagg").toString
