@@ -44,6 +44,19 @@ class DvSpec extends SparkSpec {
     assert(back.getLongCardinality === 3L)
   }
 
+  test("property: random position sets round-trip the DV blob codec exactly") {
+    val rnd = new scala.util.Random(41)
+    (0 until 50).foreach { trial =>
+      val n = rnd.nextInt(2000)
+      val positions = Seq.fill(n)(rnd.nextLong(1L << rnd.nextInt(40)).abs).distinct
+      val in = bm(positions: _*)
+      val out = Puffin.dvFromBlobPayload(Puffin.dvBlobPayload(in))
+      assert(out.getLongCardinality === in.getLongCardinality, s"trial $trial")
+      positions.foreach(p => assert(out.contains(p), s"trial $trial lost $p"))
+      assert(!out.contains(Long.MaxValue - 1), s"trial $trial phantom")
+    }
+  }
+
   test("puffin: DV blob CRC and magic corruption are detected") {
     val payload = Puffin.dvBlobPayload(bm(1L, 2L, 3L))
     val flipped = payload.clone(); flipped(10) = (flipped(10) ^ 0x7).toByte
