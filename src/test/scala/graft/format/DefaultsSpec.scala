@@ -77,6 +77,35 @@ class DefaultsSpec extends SparkSpec {
       .as[Long].head() === 9L)
   }
 
+  test("MoR UPDATE keyed on a backfilled column materializes the default") {
+    val wh = Files.createTempDirectory("graft-defmor").toString
+    spark.conf.set("spark.sql.catalog.gdefm", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdefm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdefm.db")
+    spark.sql("""CREATE TABLE gdefm.db.t (id BIGINT, v STRING)
+                 TBLPROPERTIES ('format-version'='3',
+                                'write.update.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO gdefm.db.t SELECT id, concat('v', id) FROM range(5)")
+    SchemaUpdate(GraftTable.load(spark, s"$wh/db/t"))
+      .addColumn("tier", StringType, initialDefault = Some("basic"))
+      .commit()
+    // the predicate only matches through the BACKFILL; the delta write's
+    // reinsert must carry the filled value so it materializes
+    spark.sql("UPDATE gdefm.db.t SET v = 'X' WHERE tier = 'basic' AND id = 2")
+    val rows = spark.sql("SELECT id, v, tier FROM gdefm.db.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows === (0L until 5L).map(i =>
+      (i, if (i == 2) "X" else s"v$i", "basic")))
+    // the updated row's tier is now PHYSICAL (its new file carries the
+    // current schema), no longer a metadata backfill
+    val t = GraftTable.load(spark, s"$wh/db/t")
+    val newFiles = t.newScan().planFiles().tasks
+      .filter(_.file.schemaId == t.metadata.currentSchemaId).map(_.file.path)
+    assert(newFiles.nonEmpty)
+    assert(spark.read.parquet(newFiles: _*).select("tier")
+      .collect().map(_.getString(0)).toSeq === Seq("basic"))
+  }
+
   test("the add_column procedure spells defaults in SQL") {
     val wh = Files.createTempDirectory("graft-defproc").toString
     spark.conf.set("spark.sql.catalog.gdefp", "graft.connector.GraftCatalog")
