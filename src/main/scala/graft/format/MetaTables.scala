@@ -44,6 +44,8 @@ object MetaTables {
     case "statistics" => statistics(table)
     case "data_files" => dataFiles(table)
     case "delete_files" => deleteFilesTable(table)
+    case "all_files" => allDataFiles(table) // data + delete files, all snapshots
+    case "all_delete_files" => allDeleteFiles(table)
     case "position_deletes" => positionDeletes(table)
     case other => throw new IllegalArgumentException(s"unknown metadata table $other")
   }
@@ -245,13 +247,14 @@ object MetaTables {
       : Option[(Seq[(String, Int)], ManifestReadSpec, StructType)] =
     name.toLowerCase match {
       case n @ ("files" | "entries" | "all_data_files" | "all_entries" |
-                "data_files" | "delete_files") =>
+                "data_files" | "delete_files" | "all_files" |
+                "all_delete_files") =>
         val filesOnly = n != "entries" && n != "all_entries"
         val snaps =
           if (n.startsWith("all_")) t.metadata.snapshots else t.currentSnapshot.toSeq
         val deletesOnly = n match {
           case "data_files" => Some(false)
-          case "delete_files" => Some(true)
+          case "delete_files" | "all_delete_files" => Some(true)
           case _ => None
         }
         val manifests = manifestsByContent(t, snaps, deletesOnly)
@@ -280,6 +283,10 @@ object MetaTables {
 
   def allDataFiles(t: GraftTable): DataFrame =
     entriesDf(t, t.metadata.snapshots, filesOnly = true)
+
+  def allDeleteFiles(t: GraftTable): DataFrame =
+    entriesDf(t, t.metadata.snapshots, filesOnly = true,
+      deletesOnly = Some(true))
 
   /** `t$position_deletes` (reference-successor PositionDeletesTable): every
     * live deleted position as (data file, pos, source delete file) rows —

@@ -286,6 +286,13 @@ class DvSpec extends SparkSpec {
       .select("file_path").distinct().collect().map(_.getString(0)).toSet
     val live = t.newScan().planFiles().files.map(f => ParquetIO.canonPath(f.path)).toSet
     assert(dataFiles.subsetOf(live))
+    // all_delete_files: both delete generations (parquet + puffin DV),
+    // every snapshot; all_files: data + deletes
+    val kinds = MetaTables(t, "all_delete_files")
+      .select("file_format").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds === Set(FileFormats.Parquet, FileFormats.Puffin))
+    assert(MetaTables(t, "all_files").count() >=
+      MetaTables(t, "all_delete_files").count() + 1)
     // SQL surface rides the distributed PosDeleteScanTable (one task per
     // delete file / DV blob), never a driver collect
     val wh = Files.createTempDirectory("graft-dvpd").toString
