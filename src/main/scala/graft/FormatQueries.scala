@@ -463,7 +463,8 @@ object FormatQueries {
       s.conf.set("spark.sql.catalog.graftdef.warehouse", tdir(dir, "defwh"))
       withTable(s, dir, "defwh/db/customer_defaults") { loc =>
         val c = s.read.parquet(s"$dir/customer.parquet")
-        val tt = GraftTable.recreate(s, loc, c.schema)
+        val tt = GraftTable.recreate(s, loc, c.schema,
+          properties = Map("format-version" -> "3"))
         GraftWrite.append(tt, c.filter(col("c_custkey") % 2 === 0).coalesce(2))
         SchemaUpdate(tt)
           .addColumn("c_tier", StringType, initialDefault = Some("basic"))

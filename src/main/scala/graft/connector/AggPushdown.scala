@@ -63,10 +63,12 @@ object AggPushdown {
     // default (the scan backfills real values the manifests know nothing
     // about). Refuse the metadata answer whenever any live file predates a
     // defaulted aggregated column.
+    val defaultBlindMemo = scala.collection.mutable.HashMap[Int, Boolean]()
     def defaultBlind(id: Int): Boolean =
-      FieldIds.findById(schema, id).exists(f =>
-        Defaults.of(f).isDefined &&
-          plan.tasks.exists(t => !fileHasColumn(t.file, id)))
+      defaultBlindMemo.getOrElseUpdate(id,
+        FieldIds.findById(schema, id).exists(f =>
+          Defaults.of(f).isDefined &&
+            plan.tasks.exists(t => !fileHasColumn(t.file, id))))
 
     // ---- group files by identity-partition tuple (empty GROUP BY = one
     // group over every task) --------------------------------------------

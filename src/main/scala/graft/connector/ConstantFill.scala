@@ -79,7 +79,7 @@ object ConstantFill {
       case ByteType => c.setByte(v.asInstanceOf[Byte])
       case ShortType => c.setShort(v.asInstanceOf[Short])
       case IntegerType | DateType => c.setInt(v.asInstanceOf[Int])
-      case LongType | TimestampType | TimestampNTZType =>
+      case LongType | TimestampType | TimestampNTZType | _: TimeType =>
         c.setLong(v.asInstanceOf[Long])
       case FloatType => c.setFloat(v.asInstanceOf[Float])
       case DoubleType => c.setDouble(v.asInstanceOf[Double])

@@ -523,8 +523,16 @@ final class GraftProcedures(resolve: String => GraftTable,
             org.apache.spark.unsafe.types.UTF8String.fromString(raw),
             StringType), dt, Some("UTC")).eval(null)
         require(lit != null, s"cannot cast '$raw' to ${dt.sql}")
-        Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
-          .convertToScala(lit, dt))
+        // date/time catalyst primitives (days-int, micros/nanos-long) ARE
+        // the Values codec's canonical domain — converting them to
+        // java.sql types would crash serialization
+        Some(dt match {
+          case DateType | TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType |
+               _: org.apache.spark.sql.types.TimeType => lit
+          case _ => org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToScala(lit, dt)
+        })
       }
       SchemaUpdate(t).addColumn(name, dt, initialDefault = default).commit()
       Array(row(name))

@@ -685,9 +685,11 @@ final class Actions(t: GraftTable) {
     import t.spark.implicits._
     val m = t.metadata
     val before = m.snapshots.size
-    val beforeFiles = MetaTables.allDataFiles(t).select("file_path").as[String]
+    // allFiles = data AND delete files (parquet deletes, puffin DVs):
+    // expiry must reclaim every newly unreferenced kind
+    val beforeFiles = MetaTables.allFiles(t).select("file_path").as[String]
     val (updated, _) = Commits.expireSnapshots(t, olderThanMillis, retainLast)
-    val afterFiles = MetaTables.allDataFiles(t).select("file_path").as[String]
+    val afterFiles = MetaTables.allFiles(t).select("file_path").as[String]
     val orphaned = beforeFiles.except(afterFiles).collect()
     orphaned.foreach(t.ops.io.deleteIfExists)
     ExpireResult(before - updated.snapshots.size, orphaned.length)

@@ -1,6 +1,6 @@
 package graft.format
 
-import org.apache.spark.sql.types.{DataType, Metadata, MetadataBuilder, StructField, StructType}
+import org.apache.spark.sql.types.{MetadataBuilder, StructField}
 
 /** Initial column defaults (iceberg v3 `initial-default`): a column added
   * to an existing table may carry a default that READS apply to every row
@@ -29,12 +29,4 @@ object Defaults {
       .putString(Key, Json.write(o)).build())
   }
 
-  /** (field name → default) for every defaulted top-level column of
-    * `schema` that is ABSENT (by id) from `fileSchema`. */
-  def missingDefaults(schema: StructType, fileSchema: StructType): Seq[(StructField, Any)] = {
-    val fileIds = fileSchema.fields.map(FieldIds.idOf).toSet
-    schema.fields.toSeq
-      .filter(f => !fileIds.contains(FieldIds.idOf(f)))
-      .flatMap(f => of(f).map(f -> _))
-  }
 }

@@ -44,7 +44,7 @@ object MetaTables {
     case "statistics" => statistics(table)
     case "data_files" => dataFiles(table)
     case "delete_files" => deleteFilesTable(table)
-    case "all_files" => allDataFiles(table) // data + delete files, all snapshots
+    case "all_files" => allFiles(table) // data + delete files, all snapshots
     case "all_delete_files" => allDeleteFiles(table)
     case "position_deletes" => positionDeletes(table)
     case other => throw new IllegalArgumentException(s"unknown metadata table $other")
@@ -253,7 +253,9 @@ object MetaTables {
         val snaps =
           if (n.startsWith("all_")) t.metadata.snapshots else t.currentSnapshot.toSeq
         val deletesOnly = n match {
-          case "data_files" => Some(false)
+          // all_data_files = DATA only, like the reference AllDataFilesTable
+          // (it returned delete files too until round 10's review caught it)
+          case "data_files" | "all_data_files" => Some(false)
           case "delete_files" | "all_delete_files" => Some(true)
           case _ => None
         }
@@ -282,6 +284,10 @@ object MetaTables {
       deletesOnly = Some(true))
 
   def allDataFiles(t: GraftTable): DataFrame =
+    entriesDf(t, t.metadata.snapshots, filesOnly = true,
+      deletesOnly = Some(false))
+
+  def allFiles(t: GraftTable): DataFrame =
     entriesDf(t, t.metadata.snapshots, filesOnly = true)
 
   def allDeleteFiles(t: GraftTable): DataFrame =

@@ -61,6 +61,12 @@ final case class SchemaUpdate(table: GraftTable) {
         !dt.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
         !dt.isInstanceOf[org.apache.spark.sql.types.MapType],
         "initial defaults are supported on atomic columns only")
+      // the Values codec (and the manifest stats domain) has no byte/short
+      // representation — refuse up front with a clear message rather than
+      // failing inside serialization at commit
+      require(dt != org.apache.spark.sql.types.ByteType &&
+        dt != org.apache.spark.sql.types.ShortType,
+        s"initial defaults are not supported for ${dt.sql}; use INT or BIGINT")
     }
     newColumns = newColumns :+
       ((path.init, path.last, dt, nullable, doc, initialDefault))
@@ -196,6 +202,12 @@ final case class SchemaUpdate(table: GraftTable) {
           s"cannot add required column ${(c._1 :+ c._2).mkString(".")}: " +
           "older files lack it — call allowIncompatibleChanges() first")
       }
+      // initial defaults are a v3 feature (like deletion vectors): a
+      // spec-compliant v2 reader would ignore the metadata and read null
+      // where this implementation backfills — silent interop divergence
+      require(newColumns.forall(_._6.isEmpty) || m.formatVersion >= 3,
+        "initial defaults require format-version 3 " +
+        "(ALTER TABLE ... SET TBLPROPERTIES ('format-version'='3'))")
       newColumns.foreach { case (parent, name, dt0, nullable, doc, default) =>
         lastId += 1
         val fieldId = lastId

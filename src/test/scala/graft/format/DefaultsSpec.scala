@@ -19,7 +19,8 @@ class DefaultsSpec extends SparkSpec {
 
   test("library reads backfill old files; new files store real values") {
     val df = (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v")
-    val t = GraftTable.create(spark, freshLoc("deflib"), df.schema)
+    val t = GraftTable.create(spark, freshLoc("deflib"), df.schema,
+      properties = Map("format-version" -> "3"))
     GraftWrite.append(t, df.coalesce(1)) // generation 1: no tier column
     SchemaUpdate(t)
       .addColumn("tier", StringType, initialDefault = Some("basic"))
@@ -38,6 +39,14 @@ class DefaultsSpec extends SparkSpec {
     intercept[IllegalArgumentException](SchemaUpdate(t)
       .addColumn("s", StructType(Seq(StructField("a", LongType))),
         initialDefault = Some(1L)))
+    intercept[IllegalArgumentException](SchemaUpdate(t)
+      .addColumn("b", ByteType, initialDefault = Some(1.toByte)))
+    // a v2 table refuses defaults (a spec-compliant v2 reader would read
+    // null where we backfill — silent interop divergence)
+    val v2 = GraftTable.create(spark, freshLoc("defv2"), df.schema)
+    GraftWrite.append(v2, df.coalesce(1))
+    intercept[IllegalArgumentException](SchemaUpdate(v2)
+      .addColumn("tier", StringType, initialDefault = Some("basic")).commit())
   }
 
   test("DSv2 SQL reads backfill vectorized, compose with DVs, and survive compaction") {
@@ -111,13 +120,20 @@ class DefaultsSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.gdefp", "graft.connector.GraftCatalog")
     spark.conf.set("spark.sql.catalog.gdefp.warehouse", wh)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gdefp.db")
-    spark.sql("CREATE TABLE gdefp.db.t (id BIGINT)")
+    spark.sql("""CREATE TABLE gdefp.db.t (id BIGINT)
+                 TBLPROPERTIES ('format-version'='3')""")
     spark.sql("INSERT INTO gdefp.db.t SELECT id FROM range(5)")
     spark.sql("""CALL gdefp.system.add_column(table => 'db.t',
                    name => 'score', type => 'BIGINT',
                    initial_default => '42')""")
     assert(spark.sql("SELECT DISTINCT score FROM gdefp.db.t")
       .as[Long].collect().toSeq === Seq(42L))
+    // date defaults: the catalyst days-int IS the codec's canonical domain
+    spark.sql("""CALL gdefp.system.add_column(table => 'db.t',
+                   name => 'since', type => 'DATE',
+                   initial_default => '2024-01-15')""")
+    assert(spark.sql("SELECT DISTINCT CAST(since AS STRING) FROM gdefp.db.t")
+      .as[String].collect().toSeq === Seq("2024-01-15"))
     intercept[Exception] {
       spark.sql("""CALL gdefp.system.add_column(table => 'db.t',
                      name => 'bad', type => 'BIGINT',
@@ -131,7 +147,8 @@ class DefaultsSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.gdefa", "graft.connector.GraftCatalog")
     spark.conf.set("spark.sql.catalog.gdefa.warehouse", wh)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gdefa.db")
-    val t = GraftTable.create(spark, s"$wh/db/t", df.schema)
+    val t = GraftTable.create(spark, s"$wh/db/t", df.schema,
+      properties = Map("format-version" -> "3"))
     GraftWrite.append(t, df.coalesce(1))
     SchemaUpdate(t).addColumn("score", LongType, initialDefault = Some(7L)).commit()
     // MIN over a column the old file has no stats for must NOT fold to a
