@@ -215,6 +215,38 @@ class MetaScaleSpec extends SparkSpec {
       f"avro parse $ta%.3f s vs json.gz $tg%.3f s / json $tp%.3f s")
   }
 
+  test("10k DV entries round-trip the manifest codec and plan driver-cheap") {
+    val m = table.metadata
+    val schema = m.schema
+    val typesMap = table.partTypesOf(m)(m.defaultSpecId).toMap
+    // one DV per data file across 100 puffin containers — the shape a
+    // heavy merge-on-read table settles into after maintenance
+    val entries = (0 until 10000).map { i =>
+      ManifestEntry(EntryStatus.Added, 2L, 2L, DataFile(
+        path = s"metadata/dv-${i / 100}.puffin",
+        content = FileContent.PositionDeletes,
+        recordCount = 1000L, fileSizeInBytes = 1L << 20,
+        fileFormat = FileFormats.Puffin,
+        referencedDataFile = Some(s"data/f-$i.parquet"),
+        contentOffset = Some((i % 100) * 10000L),
+        contentSizeInBytes = Some(9999L)))
+    }
+    val bytes = MetaCodec.writeManifest(entries, schema, typesMap, MetaCodec.Avro)
+    val (back, parseS) = timed(MetaCodec.readManifest(bytes, schema, typesMap))
+    assert(back === entries)
+    // target detection and slice planning are pure manifest reads: zero
+    // file I/O, bounded driver time for 10k vectors
+    val files = back.map(_.file)
+    val (targets, targetS) = timed(
+      Deletes.posDeleteTargetFiles(files, spark.sessionState.newHadoopConf()))
+    assert(targets.size === 10000)
+    val (slices, sliceS) = timed(Dvs.slicesOf(files))
+    assert(slices.size === 10000)
+    info(f"10k DV entries: manifest ${bytes.length / 1024} KB, " +
+      f"parse $parseS%.3f s, targets $targetS%.3f s, slices $sliceS%.3f s")
+    assert(parseS < 5 && targetS < 2 && sliceS < 2)
+  }
+
   test("rewriteManifests compacts 1000 manifests distributed; plan unchanged") {
     val (written, secs) = timed(
       Actions.forTable(table).rewriteManifests(entriesPerManifest = 1000))
