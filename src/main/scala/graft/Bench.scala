@@ -31,12 +31,33 @@ object Bench {
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => }
     }
-    val results = names.map { name =>
+    def timeSec(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try body catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
     }
+    // median-of-3 measured passes per query: one noisy sample (GC pause,
+    // host contention) cannot fake a regression or an improvement
+    val Runs = 3
+    val samples: Seq[Seq[(String, Double)]] = (0 until Runs).map { _ =>
+      names.map(n => n -> timeSec(SparkEntry.queries(n)(spark, sfDir).count()))
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val results: Seq[(String, Double)] = names.zipWithIndex.map { case (n, i) =>
+      n -> median(samples.map(_(i)._2))
+    }
+    // pinned HOST-calibration workload, independent of the library and the
+    // data: 64M rows hashed and shuffled into 1k groups. Its median lets
+    // cross-round comparisons normalize away machine drift (a round's
+    // meaningful signal is total/calibration, not raw seconds).
+    val calRuns = (0 until Runs).map { _ =>
+      timeSec {
+        spark.range(0L, 64000000L, 1L, cpus.toInt)
+          .selectExpr("xxhash64(id) % 1024 AS b", "id")
+          .groupBy("b").count().count()
+      }
+    }
+    val calibration = median(calRuns)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -45,7 +66,8 @@ object Bench {
     val lfl11 = results.filter(r => Queries.likeForLike11.contains(r._1))
       .map(_._2).sum
     spark.stop()
-    realOut.println(s"""{"metric":"total","value":$total,"unit":"sec","lfl11":$lfl11,"queries":$qs,"sf":"$sfDir"}""")
+    val calJson = calRuns.mkString("[", ",", "]")
+    realOut.println(s"""{"metric":"total","value":$total,"unit":"sec","lfl11":$lfl11,"runs":$Runs,"calibration":$calibration,"calibration_runs":$calJson,"queries":$qs,"sf":"$sfDir"}""")
     realOut.flush()
   }
 }

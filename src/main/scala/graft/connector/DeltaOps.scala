@@ -112,10 +112,16 @@ final class GraftDeltaBatchWrite(table: GraftTable,
         fileFormat = fmt)
     }.toSeq
     val deleteFiles = deleteMsgs.flatten.map { sf =>
-      DataFile(path = sf.path, content = FileContent.PositionDeletes,
+      val base = DataFile(path = sf.path, content = FileContent.PositionDeletes,
         recordCount = sf.metrics.recordCount,
         fileSizeInBytes = sf.metrics.fileSize,
         schemaId = m.currentSchemaId, specId = m.defaultSpecId)
+      (sf.metrics.lowerBounds.get(graft.format.Deletes.PathFieldId),
+        sf.metrics.upperBounds.get(graft.format.Deletes.PathFieldId)) match {
+        case (Some(lo: String), Some(hi: String)) =>
+          graft.format.Deletes.withPosTargets(base, lo, hi)
+        case _ => base
+      }
     }.toSeq ++ dvMsgs.flatten.toSeq
     if (dataFiles.nonEmpty || deleteFiles.nonEmpty)
       Commits.rowDelta(table, dataFiles, deleteFiles, base())
@@ -218,7 +224,16 @@ final class GraftDeltaWriterFactory(schema: StructType, idSchema: StructType,
                 w.write(r)
               }
             } finally w.close()
+            // target metadata for per-task attachment at scan time
+            // (Deletes.posIndex): canonical min/max of the paths this file
+            // masks, carried to the manifest via the reserved path-bound id
+            val canon = deletes.iterator.map(_._1).distinct
+              .map(ParquetIO.canonPath).toSeq
             val fm = Metrics.fromParquetFooter(path, idSchema, conf.value)
+              .copy(valueCounts = Map.empty, nullValueCounts = Map.empty,
+                lowerBounds = Map(graft.format.Deletes.PathFieldId -> canon.min),
+                upperBounds = Map(graft.format.Deletes.PathFieldId -> canon.max),
+                fullBoundIds = Seq(graft.format.Deletes.PathFieldId))
             Seq(GraftBatchWrite.StagedFile(path, Map.empty, fm))
           }
         GraftDeltaWriterFactory.DeltaTaskFiles(dataFiles, deleteFiles)

@@ -833,6 +833,21 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
   private lazy val partsByGroup: Seq[Array[InputPartition]] =
     inner.map(_.planInputPartitions())
 
+  /** Driver-side per-task delete matcher: canonical data-file path → the
+    * position-delete files / DV slices that can reference it. Built from
+    * manifest metadata (DV `referenced_data_file`, parquet path bounds) with
+    * zero delete-file I/O on current tables; legacy delete files without
+    * target metadata pay one cached driver read each (Deletes.posIndex). */
+  private lazy val posScopeOf: String => PosScope = {
+    val posFiles = plan.deleteFiles
+      .filter(_._1.content == FileContent.PositionDeletes).map(_._1)
+      .distinctBy(f => (f.path, f.referencedDataFile))
+    val dvByTarget = Dvs.slicesOf(posFiles).groupBy(_.referenced)
+    val parquetOf =
+      Deletes.posIndex(posFiles, spark.sessionState.newHadoopConf())
+    p => PosScope(parquetOf(p), dvByTarget.getOrElse(p, Nil))
+  }
+
   /** Storage-partitioned-join planning: when the builder proved the scan is
     * one group over one all-identity spec (spjInfo), regroup the planned
     * files into ONE InputPartition PER PARTITION KEY, each carrying its key
@@ -908,19 +923,27 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
             // the lookup agrees on every filesystem scheme)
             val files = fp.files.filter(f => kept(f.filePath.toPath.toString))
             if (files.isEmpty) Nil
-            else if (posGroup) files.toSeq.map(f => GroupedPartition(i,
-              FilePartition(fp.index, Array(f)),
-              Some(ParquetIO.canonPath(f.filePath.toPath.toString))): InputPartition)
+            else if (posGroup) files.toSeq.map { f =>
+              val canon = ParquetIO.canonPath(f.filePath.toPath.toString)
+              GroupedPartition(i, FilePartition(fp.index, Array(f)),
+                Some(canon), Some(posScopeOf(canon))): InputPartition
+            }
             else Seq(GroupedPartition(i, FilePartition(fp.index, files)): InputPartition)
           // ORC row-path and Avro partitions are file-granular by construction
           case op: OrcRowFilePartition =>
             if (!kept(op.path)) Nil
-            else Seq(GroupedPartition(i, op,
-              Some(ParquetIO.canonPath(op.path))): InputPartition)
+            else {
+              val canon = ParquetIO.canonPath(op.path)
+              Seq(GroupedPartition(i, op, Some(canon),
+                if (posGroup) Some(posScopeOf(canon)) else None): InputPartition)
+            }
           case ap: AvroFilePartition =>
             if (!kept(ap.path)) Nil
-            else Seq(GroupedPartition(i, ap,
-              Some(ParquetIO.canonPath(ap.path))): InputPartition)
+            else {
+              val canon = ParquetIO.canonPath(ap.path)
+              Seq(GroupedPartition(i, ap, Some(canon),
+                if (posGroup) Some(posScopeOf(canon)) else None): InputPartition)
+            }
           case other =>
             if (posGroup) throw new IllegalStateException(
               s"position deletes need file-granular partitions, got ${other.getClass}")
@@ -937,10 +960,19 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
 
 final case class GroupedPartition(group: Int,
     inner: org.apache.spark.sql.connector.read.InputPartition,
-    dataFile: Option[String] = None)
+    dataFile: Option[String] = None,
+    posScope: Option[PosScope] = None)
   extends org.apache.spark.sql.connector.read.InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
+
+/** Per-TASK position-delete attachment (reference DeleteFileIndex +
+  * FileScanTask.deletes(), core/.../DeleteFileIndex.java): only the delete
+  * files / DV slices that can reference this partition's data file travel
+  * with it, so an executor's delete I/O is bounded by its own tasks'
+  * deletes — not O(scan-wide delete bytes) per executor. */
+final case class PosScope(paths: Seq[String],
+    dvs: Seq[graft.format.DvSlice]) extends Serializable
 
 /** One partition per partition KEY (all its files), for storage-partitioned
   * joins: Spark groups both join sides by `partitionKey` and skips the
@@ -971,13 +1003,24 @@ final case class GroupedReaderFactory(
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
 
-  private def unwrap(p: InputPartition): (Int, InputPartition, Option[String]) = p match {
-    case GroupedPartition(g, ip, f) => (g, ip, f)
-    case KeyedPartition(g, ip, _) => (g, ip, None)
-    case other => (0, other, None)
+  private def unwrap(p: InputPartition)
+      : (Int, InputPartition, Option[String], Option[PosScope]) = p match {
+    case GroupedPartition(g, ip, f, sc) => (g, ip, f, sc)
+    case KeyedPartition(g, ip, _) => (g, ip, None, None)
+    case other => (0, other, None, None)
   }
+  /** Narrow the group's delete config to THIS task's position-delete scope
+    * (per-task attachment): the reader then loads only the delete files /
+    * DV slices that can reference its data file. A partition without a
+    * scope keeps the group config unchanged. */
+  private def scoped(cfg: GroupDeletes, sc: Option[PosScope]): GroupDeletes =
+    sc match {
+      case Some(s) =>
+        cfg.copy(pos = cfg.pos.map(p => p.copy(paths = s.paths, dvs = s.dvs)))
+      case None => cfg
+    }
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val (g, ip, dataFile) = unwrap(p)
+    val (g, ip, dataFile, sc) = unwrap(p)
     val base = inner(g).createReader(ip)
     // default backfill sits UNDER the delete filter, so eq-delete keys on
     // a defaulted column match against the filled value
@@ -986,19 +1029,20 @@ final case class GroupedReaderFactory(
       case None => base
     }
     deletes.lift(g).flatten match {
-      case Some(cfg) => new DeleteFilterReader(reader, cfg, dataFile)
+      case Some(cfg) => new DeleteFilterReader(reader, scoped(cfg, sc), dataFile)
       case None => reader
     }
   }
   override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val (g, ip, dataFile) = unwrap(p)
+    val (g, ip, dataFile, sc) = unwrap(p)
     val base = inner(g).createColumnarReader(ip)
     val reader = fills.lift(g).flatten match {
       case Some(cfg) => new ConstantFillColumnarReader(base, cfg)
       case None => base
     }
     deletes.lift(g).flatten match {
-      case Some(cfg) => new ColumnarDeleteFilterReader(reader, cfg, dataFile)
+      case Some(cfg) =>
+        new ColumnarDeleteFilterReader(reader, scoped(cfg, sc), dataFile)
       case None => reader
     }
   }

@@ -463,7 +463,11 @@ final class Actions(t: GraftTable) {
         org.apache.spark.sql.types.StringType, nullable = false),
       org.apache.spark.sql.types.StructField("pos",
         org.apache.spark.sql.types.LongType, nullable = false)))
-    val staged: Seq[(String, Long)] = positions
+    // each task also tracks the canonical path range it wrote (memoized per
+    // raw path — input is sorted by file_path), so the committed manifest
+    // entries carry target metadata and later scans attach this delete file
+    // per task with zero I/O (Deletes.posIndex)
+    val staged: Seq[(String, Long, String, String)] = positions
       .select(col("file_path"), col("pos"))
       .repartitionByRange(nOut, col("file_path"), col("pos"))
       .sortWithinPartitions(col("file_path"), col("pos"))
@@ -473,17 +477,31 @@ final class Actions(t: GraftTable) {
           val path = s"$staging/$prefix-$pid-${java.util.UUID.randomUUID()}.parquet"
           val w = ParquetIO.openWriter(path, deleteSchema, sconf.value)
           var n = 0L
-          try it.foreach { row => w.write(row); n += 1 }
+          var lastRaw: String = null
+          var minCanon: String = null
+          var maxCanon: String = null
+          try it.foreach { row =>
+            val raw = row.getUTF8String(0).toString
+            if (raw != lastRaw) {
+              lastRaw = raw
+              val canon = ParquetIO.canonPath(raw)
+              if (minCanon == null || canon < minCanon) minCanon = canon
+              if (maxCanon == null || canon > maxCanon) maxCanon = canon
+            }
+            w.write(row); n += 1
+          }
           finally w.close()
-          Iterator.single((path, n))
+          Iterator.single((path, n, minCanon, maxCanon))
         }
       }.collect().toSeq
-    staged.sortBy(_._1).map { case (path, n) =>
+    staged.sortBy(_._1).map { case (path, n, minCanon, maxCanon) =>
       val hp = new org.apache.hadoop.fs.Path(path)
-      DataFile(path = path, content = FileContent.PositionDeletes,
+      val base = DataFile(path = path, content = FileContent.PositionDeletes,
         recordCount = n,
         fileSizeInBytes = hp.getFileSystem(sconf.value).getFileStatus(hp).getLen,
         schemaId = m.currentSchemaId, specId = m.defaultSpecId)
+      if (minCanon == null) base
+      else Deletes.withPosTargets(base, minCanon, maxCanon)
     }
   }
 

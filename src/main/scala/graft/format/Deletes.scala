@@ -17,30 +17,139 @@ import scala.jdk.CollectionConverters._
   */
 object Deletes {
 
+  /** Reserved delete-file field ids (iceberg spec, "Position Delete Files":
+    * 2147483546 = file_path, 2147483545 = pos; reference
+    * core/src/main/java/org/apache/iceberg/MetadataColumns.java
+    * DELETE_FILE_PATH/DELETE_FILE_POS). Our parquet position-delete writers
+    * record the CANONICAL min/max target path under [[PathFieldId]] in the
+    * manifest bounds (and `referenced_data_file` when the file targets
+    * exactly one data file), so scan planning can attach each delete file
+    * to its data files with ZERO delete-file I/O — the analogue of the
+    * reference's DeleteFileIndex per-FileScanTask matching. */
+  val PathFieldId: Int = 2147483546
+  val PosFieldId: Int = 2147483545
+
+  /** Bound-value types for the reserved ids, merged into the manifest
+    * codecs' schema-derived type map so the bounds survive round-trip. */
+  val reservedBoundTypes: Map[Int, org.apache.spark.sql.types.DataType] = Map(
+    PathFieldId -> org.apache.spark.sql.types.StringType,
+    PosFieldId -> org.apache.spark.sql.types.LongType)
+
   /** Canonical data-file paths targeted by position-delete files (one
     * driver-side read of the small per-commit path column). Shared by both
     * scan paths' parquet-only guard, so the check cannot drift. */
   def posDeleteTargets(paths: Seq[String],
       conf: org.apache.hadoop.conf.Configuration): Set[String] = {
     val out = scala.collection.mutable.HashSet[String]()
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("file_path",
-        org.apache.spark.sql.types.StringType)))
-    paths.foreach(p => ParquetIO.readAll(p, schema, conf) { r =>
-      if (!r.isNullAt(0)) out += ParquetIO.canonPath(r.getUTF8String(0).toString)
-    })
+    paths.foreach(p => out ++= cachedTargets(p, conf))
     out.toSet
   }
 
-  /** Target detection over the delete FILES: deletion vectors name their
-    * data file in the manifest (zero I/O); parquet position deletes need
-    * the per-file path-column read above. */
+  // Driver-side cache of delete files' target-path sets: a delete file is
+  // immutable, so one path-column read serves every subsequent scan. Only
+  // LEGACY files (written before target metadata was recorded in the
+  // manifest) ever reach this read; capped by entry count — target sets are
+  // a handful of short strings.
+  private val targetCache =
+    new java.util.LinkedHashMap[String, Set[String]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Set[String]]): Boolean = size > 8192
+    }
+
+  private def cachedTargets(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Set[String] = {
+    targetCache.synchronized {
+      val hit = targetCache.get(path)
+      if (hit != null) return hit
+    }
+    val out = scala.collection.mutable.HashSet[String]()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file_path",
+        org.apache.spark.sql.types.StringType)))
+    ParquetIO.readAll(path, schema, conf) { r =>
+      if (!r.isNullAt(0)) out += ParquetIO.canonPath(r.getUTF8String(0).toString)
+    }
+    val set = out.toSet
+    targetCache.synchronized { targetCache.put(path, set) }
+    set
+  }
+
+  /** The canonical target-path range a delete file's metadata pins, if any:
+    * `referenced_data_file` (DVs, single-target parquet) or the reserved
+    * path-bounds recorded at write time. */
+  private def metaTargetRange(f: DataFile): Option[(String, String)] =
+    f.referencedDataFile.map(ParquetIO.canonPath).map(p => (p, p)).orElse {
+      (f.lowerBounds.get(PathFieldId), f.upperBounds.get(PathFieldId)) match {
+        case (Some(lo: String), Some(hi: String)) => Some((lo, hi))
+        case _ => None
+      }
+    }
+
+  /** Target detection over the delete FILES: manifest metadata
+    * (referenced_data_file / path bounds lower==upper) answers single-target
+    * files with zero I/O; only legacy multi-target parquet files pay the
+    * (cached) per-file path-column read. Multi-target files WITH bounds
+    * return nothing here — callers needing exact sets use [[posIndex]]. */
   def posDeleteTargetFiles(files: Seq[DataFile],
       conf: org.apache.hadoop.conf.Configuration): Set[String] = {
     val (dvs, parquet) = files.partition(_.fileFormat == FileFormats.Puffin)
+    val (known, unknown) =
+      parquet.distinctBy(_.path).partition(f => metaTargetRange(f).isDefined)
     dvs.flatMap(_.referencedDataFile).map(ParquetIO.canonPath).toSet ++
-      posDeleteTargets(parquet.map(_.path).distinct, conf)
+      known.flatMap { f =>
+        val (lo, hi) = metaTargetRange(f).get
+        if (lo == hi) Seq(lo)
+        // multi-target with bounds: exact membership needs the file read
+        else cachedTargets(f.path, conf)
+      } ++ posDeleteTargets(unknown.map(_.path), conf)
   }
+
+  /** Per-task delete-file matcher (reference DeleteFileIndex,
+    * core/.../DeleteFileIndex.java + FileScanTask.deletes()): canonical
+    * data-file path → the parquet position-delete files that can contain
+    * its positions. Exact and zero-I/O when the manifest carries
+    * `referenced_data_file` or equal path bounds; a conservative string
+    * range match for multi-target files with bounds (a superset — the
+    * executor's per-file bitmap lookup keeps correctness); legacy files
+    * without metadata fall back to one cached driver read each. */
+  def posIndex(files: Seq[DataFile],
+      conf: org.apache.hadoop.conf.Configuration): String => Seq[String] = {
+    val parquet = files.filterNot(_.fileFormat == FileFormats.Puffin)
+      .distinctBy(_.path)
+    val exact = scala.collection.mutable.HashMap[String, List[String]]()
+    val ranged = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    def addExact(target: String, deletePath: String): Unit =
+      exact(target) = deletePath :: exact.getOrElse(target, Nil)
+    parquet.foreach { f =>
+      metaTargetRange(f) match {
+        case Some((lo, hi)) if lo == hi => addExact(lo, f.path)
+        case Some((lo, hi)) => ranged += ((f.path, lo, hi))
+        case None => cachedTargets(f.path, conf).foreach(addExact(_, f.path))
+      }
+    }
+    p => (exact.getOrElse(p, Nil) ++
+      ranged.collect { case (dp, lo, hi) if lo <= p && p <= hi => dp }).sorted
+  }
+
+  /** Annotate a freshly-staged parquet position-delete file with its
+    * target metadata (one read of the just-written small file): canonical
+    * path bounds always, `referenced_data_file` when single-target. */
+  def annotatePosTargets(f: DataFile,
+      conf: org.apache.hadoop.conf.Configuration): DataFile = {
+    val targets = cachedTargets(f.path, conf)
+    if (targets.isEmpty) f else withPosTargets(f, targets.min, targets.max)
+  }
+
+  /** Record target metadata computed by the writer itself (no re-read). */
+  def withPosTargets(f: DataFile, minPath: String, maxPath: String): DataFile =
+    f.copy(
+      referencedDataFile =
+        if (minPath == maxPath) Some(minPath) else f.referencedDataFile,
+      lowerBounds = f.lowerBounds + (PathFieldId -> minPath),
+      upperBounds = f.upperBounds + (PathFieldId -> maxPath),
+      fullBoundIds =
+        if (f.fullBoundIds.contains(PathFieldId)) f.fullBoundIds
+        else f.fullBoundIds :+ PathFieldId)
 
   /** The live position-delete FILES of a table, deduplicated at entry
     * granularity (the same delete file — or the same DV blob — can be
@@ -116,12 +225,13 @@ object Deletes {
     val named = positions.toDF("file_path", "pos")
       .withColumn("pos", col("pos").cast("long"))
     val paths = stage(table, named.coalesce(1), Seq("file_path", "pos"))
+    val conf = table.spark.sessionState.newHadoopConf()
     val files = paths.map { p =>
       val fm = Metrics.fromParquetFooter(p, table.schema)
-      DataFile(path = p, content = FileContent.PositionDeletes,
+      annotatePosTargets(DataFile(path = p, content = FileContent.PositionDeletes,
         recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
         schemaId = table.metadata.currentSchemaId,
-        specId = table.metadata.defaultSpecId)
+        specId = table.metadata.defaultSpecId), conf)
     }
     Commits.rowDelta(table, Nil, files)
   }

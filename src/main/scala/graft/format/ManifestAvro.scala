@@ -137,7 +137,7 @@ object ManifestAvro {
 
   def writeManifest(entries: Seq[ManifestEntry], schema: StructType,
       partTypes: Map[String, DataType]): Array[Byte] = {
-    val types = FieldIds.typeById(schema)
+    val types = FieldIds.typeById(schema) ++ Deletes.reservedBoundTypes
     val dfSchema = entrySchema.getField("data_file").schema()
     writeOcf(entrySchema, entries.iterator.map { e =>
       val f = e.file
@@ -189,7 +189,7 @@ object ManifestAvro {
 
   def readManifest(bytes: Array[Byte], schema: StructType,
       partTypes: Map[String, DataType]): Seq[ManifestEntry] = {
-    val types = FieldIds.typeById(schema)
+    val types = FieldIds.typeById(schema) ++ Deletes.reservedBoundTypes
     readOcf(bytes, entrySchema).map { rec =>
       val df = rec.get("data_file").asInstanceOf[GenericRecord]
       def longMap(name: String): Map[Int, Long] =

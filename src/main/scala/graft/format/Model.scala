@@ -197,7 +197,7 @@ object Model {
     }
     longMap("value-counts", f.valueCounts)
     longMap("null-value-counts", f.nullValueCounts)
-    val types = FieldIds.typeById(schema)
+    val types = FieldIds.typeById(schema) ++ Deletes.reservedBoundTypes
     def boundMap(name: String, m: Map[Int, Any]): Unit = if (m.nonEmpty) {
       val mo = o.putObject(name)
       m.toSeq.sortBy(_._1).foreach { case (k, v) =>
@@ -229,7 +229,7 @@ object Model {
       Option(n.get(name)).map(mo =>
         fields(mo).map { case (k, v) => k.toInt -> v.asLong() }.toMap)
         .getOrElse(Map.empty)
-    val types = FieldIds.typeById(schema)
+    val types = FieldIds.typeById(schema) ++ Deletes.reservedBoundTypes
     def boundMap(name: String): Map[Int, Any] =
       Option(n.get(name)).map(mo =>
         fields(mo).flatMap { case (k, v) =>

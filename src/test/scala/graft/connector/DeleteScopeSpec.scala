@@ -1,0 +1,162 @@
+package graft.connector
+
+import graft.SparkSpec
+import graft.format._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import java.nio.file.Files
+
+/** Per-TASK position-delete attachment (reference DeleteFileIndex +
+  * FileScanTask.deletes(), core/.../DeleteFileIndex.java): each scan task
+  * must carry ONLY the delete files / DV slices that can reference its data
+  * file — never the whole scan's delete set — so executor delete I/O is
+  * bounded by the executor's own tasks. */
+class DeleteScopeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshLoc(name: String): String = {
+    val d = Files.createTempDirectory(s"graft-$name")
+    Files.delete(d)
+    d.toString
+  }
+
+  /** The DSv2 batch partitions of a full-table scan, with their scopes. */
+  private def partitions(t: GraftTable): Seq[GroupedPartition] = {
+    val b = new GraftScanBuilder(spark, t, t.newScan(),
+      CaseInsensitiveStringMap.empty())
+    b.build().toBatch.planInputPartitions().toSeq.map {
+      case gp: GroupedPartition => gp
+      case other => fail(s"expected GroupedPartition, got ${other.getClass}")
+    }
+  }
+
+  /** Delete rows at the given predicate via per-file deletePositions calls
+    * — one single-target delete file per data file. */
+  private def deletePerFile(t: GraftTable,
+      cond: org.apache.spark.sql.Column): Unit = {
+    val paths = t.newScan().planFiles().tasks.map(_.file.path)
+    paths.foreach { p =>
+      val pos = spark.read.parquet(p)
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("pos"), col("id"))
+        .filter(cond).select("file_path", "pos")
+      if (pos.count() > 0) Deletes.deletePositions(t, pos)
+    }
+  }
+
+  test("parquet position deletes: each task carries only its own delete file") {
+    val df = (0L until 90L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = GraftTable.create(spark, freshLoc("scope-pq"), df.schema)
+    GraftWrite.append(t, df.repartition(3))
+    deletePerFile(t, col("id") % 9 === 0)
+    val dels = t.newScan().planFiles().deleteFiles.map(_._1).distinctBy(_.path)
+    assert(dels.size === 3)
+    // write-time target metadata landed in the manifest: single-target
+    // files carry referenced_data_file + exact canonical path bounds
+    dels.foreach { d =>
+      assert(d.referencedDataFile.isDefined, s"no referenced file on ${d.path}")
+      assert(d.lowerBounds.get(Deletes.PathFieldId) ===
+        d.upperBounds.get(Deletes.PathFieldId))
+      assert(d.fullBoundIds.contains(Deletes.PathFieldId))
+    }
+    val byTarget = dels.map(d =>
+      ParquetIO.canonPath(d.referencedDataFile.get) -> d.path).toMap
+    val parts = partitions(t)
+    assert(parts.size === 3)
+    parts.foreach { p =>
+      val scope = p.posScope.getOrElse(fail(s"no posScope on ${p.dataFile}"))
+      assert(scope.dvs.isEmpty)
+      assert(scope.paths === Seq(byTarget(p.dataFile.get)),
+        s"task for ${p.dataFile.get} must carry exactly its own delete file")
+    }
+    // and the scan is still correct
+    assert(t.toDF().select("id").as[Long].collect().sorted.toSeq ===
+      (0L until 90L).filterNot(_ % 9 == 0))
+  }
+
+  test("deletion vectors: each task carries only its own DV slice") {
+    val df = (0L until 80L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = GraftTable.create(spark, freshLoc("scope-dv"), df.schema,
+      properties = Map("format-version" -> "3"))
+    GraftWrite.append(t, df.repartition(4))
+    val paths = t.newScan().planFiles().tasks.map(_.file.path)
+    val pos = spark.read.parquet(paths: _*)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id") % 5 === 0).select("file_path", "pos")
+    Deletes.deletePositions(t, pos)
+    val dels = t.newScan().planFiles().deleteFiles.map(_._1)
+    assert(dels.nonEmpty && dels.forall(_.fileFormat === FileFormats.Puffin))
+    val parts = partitions(t)
+    assert(parts.size === 4)
+    parts.foreach { p =>
+      val scope = p.posScope.getOrElse(fail(s"no posScope on ${p.dataFile}"))
+      assert(scope.paths.isEmpty)
+      assert(scope.dvs.size === 1, s"expected one DV slice for ${p.dataFile}")
+      assert(scope.dvs.head.referenced === p.dataFile.get,
+        "task must carry only the DV slice referencing its own file")
+    }
+    assert(t.toDF().select("id").as[Long].collect().sorted.toSeq ===
+      (0L until 80L).filterNot(_ % 5 == 0))
+  }
+
+  test("multi-target delete file attaches by path range, scan stays correct") {
+    val df = (0L until 60L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = GraftTable.create(spark, freshLoc("scope-multi"), df.schema)
+    GraftWrite.append(t, df.repartition(3))
+    // one deletePositions call spanning ALL files → one multi-target file
+    val paths = t.newScan().planFiles().tasks.map(_.file.path)
+    val pos = spark.read.parquet(paths: _*)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id") % 4 === 0).select("file_path", "pos")
+    Deletes.deletePositions(t, pos)
+    val dels = t.newScan().planFiles().deleteFiles.map(_._1).distinctBy(_.path)
+    assert(dels.size === 1)
+    val d = dels.head
+    assert(d.referencedDataFile.isEmpty, "multi-target must not claim one file")
+    val lo = d.lowerBounds(Deletes.PathFieldId).asInstanceOf[String]
+    val hi = d.upperBounds(Deletes.PathFieldId).asInstanceOf[String]
+    assert(lo < hi)
+    // every task inside the range gets the delete file; correctness holds
+    partitions(t).foreach { p =>
+      val scope = p.posScope.getOrElse(fail(s"no posScope on ${p.dataFile}"))
+      assert(scope.paths === Seq(d.path))
+    }
+    assert(t.toDF().select("id").as[Long].collect().sorted.toSeq ===
+      (0L until 60L).filterNot(_ % 4 == 0))
+  }
+
+  test("legacy delete file without target metadata resolves exactly via one read") {
+    val df = (0L until 40L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = GraftTable.create(spark, freshLoc("scope-legacy"), df.schema)
+    GraftWrite.append(t, df.repartition(2))
+    val files = t.newScan().planFiles().tasks.map(_.file.path).sorted
+    // hand-stage a delete file targeting ONLY the first data file and
+    // commit it WITHOUT target metadata (an old writer's manifest entry)
+    val target = files.head
+    val positions = spark.read.parquet(target)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id") % 3 === 0).select("file_path", "pos")
+      .orderBy("file_path", "pos")
+    val stagedDir = t.locations.newDataLocation("legacy-del")
+    positions.coalesce(1).write.parquet(stagedDir)
+    val path = t.ops.io.list(stagedDir, ".parquet").map(_.path).head
+    val n = spark.read.parquet(path).count()
+    Commits.rowDelta(t, Nil, Seq(DataFile(path = path,
+      content = FileContent.PositionDeletes, recordCount = n,
+      fileSizeInBytes = 1L, schemaId = t.metadata.currentSchemaId,
+      specId = t.metadata.defaultSpecId)))
+    val canonTarget = ParquetIO.canonPath(target)
+    partitions(t).foreach { p =>
+      val scope = p.posScope.getOrElse(fail(s"no posScope on ${p.dataFile}"))
+      if (p.dataFile.get == canonTarget)
+        assert(scope.paths === Seq(path), "target task must carry the file")
+      else
+        assert(scope.paths.isEmpty,
+          "non-target task must not carry the legacy delete file")
+    }
+    assert(t.toDF().count() === 40L - n)
+  }
+}

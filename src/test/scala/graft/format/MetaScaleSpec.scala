@@ -242,9 +242,25 @@ class MetaScaleSpec extends SparkSpec {
     assert(targets.size === 10000)
     val (slices, sliceS) = timed(Dvs.slicesOf(files))
     assert(slices.size === 10000)
+    // per-TASK attachment bound: with 10k DVs live, a task's delete scope
+    // is exactly ITS file's one slice — executor delete I/O is one ranged
+    // read per task, not O(total DV bytes) per executor (the scan builds
+    // this same index in GraftScan.posScopeOf, zero file I/O for DVs)
+    val (scopeS) = {
+      val t0 = System.nanoTime()
+      val dvByTarget = slices.groupBy(_.referenced)
+      val parquetOf = Deletes.posIndex(files, spark.sessionState.newHadoopConf())
+      (0 until 10000).foreach { i =>
+        val p = ParquetIO.canonPath(s"data/f-$i.parquet")
+        assert(dvByTarget(p).size === 1)
+        assert(parquetOf(p).isEmpty)
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
     info(f"10k DV entries: manifest ${bytes.length / 1024} KB, " +
-      f"parse $parseS%.3f s, targets $targetS%.3f s, slices $sliceS%.3f s")
-    assert(parseS < 5 && targetS < 2 && sliceS < 2)
+      f"parse $parseS%.3f s, targets $targetS%.3f s, slices $sliceS%.3f s, " +
+      f"per-task scoping $scopeS%.3f s")
+    assert(parseS < 5 && targetS < 2 && sliceS < 2 && scopeS < 2)
   }
 
   test("rewriteManifests compacts 1000 manifests distributed; plan unchanged") {
