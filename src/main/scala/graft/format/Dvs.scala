@@ -92,10 +92,35 @@ object Dvs {
   def read(path: String, offset: Long, length: Long,
       conf: Configuration): Roaring64NavigableMap = {
     val hp = new Path(path)
-    val in = hp.getFileSystem(conf).open(hp)
+    val fs = hp.getFileSystem(conf)
     val buf = new Array[Byte](length.toInt)
-    try in.readFully(offset, buf) finally in.close()
-    Puffin.dvFromBlobPayload(buf)
+    // ranged reads against object stores fail transiently (connection
+    // resets, throttling) far more often than whole-file reads; a DV load
+    // sits mid-task, so ride out transient faults with a short bounded
+    // retry instead of failing the task. readFully reads the whole range
+    // or throws IOException (retried); a blob that decodes but fails CRC
+    // is genuine corruption and propagates immediately.
+    retryTransient(attempts = 3) {
+      val in = fs.open(hp)
+      try in.readFully(offset, buf) finally in.close()
+      Puffin.dvFromBlobPayload(buf)
+    }
+  }
+
+  /** Run `body`, retrying up to `attempts` total times on IOException with
+    * short backoff; the last failure propagates. */
+  private[format] def retryTransient[T](attempts: Int)(body: => T): T = {
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case e: java.io.IOException =>
+          if (attempt >= attempts) throw e
+          Thread.sleep(25L << attempt)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Stage a (file_path, pos) DataFrame as puffin DV files — the DV dual of

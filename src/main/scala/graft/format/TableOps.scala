@@ -13,6 +13,15 @@ import java.util.UUID
   */
 final class CommitFailedException(msg: String) extends RuntimeException(msg)
 
+/** The commit CAS errored in a way that leaves the outcome UNDETERMINED —
+  * e.g. the conditional PUT's response was lost after the object may have
+  * landed (the reference's CommitStateUnknownException,
+  * core/.../exceptions/CommitStateUnknownException.java). Callers must NOT
+  * retry (a retry could apply the transform twice) and must NOT clean up
+  * the commit's files (committed metadata may reference them). */
+final class CommitStateUnknownException(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
+
 final class TableOps(val location: String, explicitIo: FileIO = null) {
   /** IO resolved by the location's scheme unless explicitly injected. */
   val io: FileIO = if (explicitIo != null) explicitIo else FileIO.forPath(location)
@@ -70,12 +79,40 @@ final class TableOps(val location: String, explicitIo: FileIO = null) {
   def commit(baseVersion: Int, updated: TableMetadata): Int = {
     io.mkdirs(metadataDir)
     val next = baseVersion + 1
-    if (!io.writeExclusive(versionFile(next), Model.metadataToJson(updated)))
+    val json = Model.metadataToJson(updated)
+    val won =
+      try io.writeExclusive(versionFile(next), json)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          // the CAS RESPONSE was lost (network fault after the request may
+          // have landed). Resolve by reading the version back: ours →
+          // the PUT succeeded; someone else's → we lost the race (plain
+          // retriable failure); absent → genuinely unknown — surface
+          // CommitStateUnknown, because a blind retry could double-apply
+          // if the in-flight PUT lands late (reference commit protocol,
+          // core/.../BaseTransaction.java CommitStateUnknownException
+          // handling).
+          readBack(next) match {
+            case Some(existing) if existing == json => true
+            case Some(_) => false
+            case None => throw new CommitStateUnknownException(
+              s"commit of version $next errored before its outcome was " +
+                "observable; not retrying (retry could double-apply)", e)
+          }
+      }
+    if (!won)
       throw new CommitFailedException(s"version $next already committed")
-    // hint is advisory (readers fall back to scanning versions)
-    io.writeString(hintFile, next.toString)
+    // hint is advisory and best-effort: the CAS above is already durable,
+    // so a lost hint write must NOT fail the commit (readers probe forward
+    // from any stale hint — see currentVersion)
+    try io.writeString(hintFile, next.toString)
+    catch { case scala.util.control.NonFatal(_) => }
     next
   }
+
+  private def readBack(v: Int): Option[String] =
+    try Some(io.readString(versionFile(v)))
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Optimistic-retry loop around a metadata transform (reference
     * SnapshotProducer: Tasks.foreach(ops).retry(...).onlyRetryOn(

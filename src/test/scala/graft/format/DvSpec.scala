@@ -94,6 +94,35 @@ class DvSpec extends SparkSpec {
     assert(probeMs < 5000, s"1M membership probes took $probeMs ms")
   }
 
+  test("DV ranged-read retry: transient IO faults ride out, hard faults propagate") {
+    // succeeds on the third attempt
+    var calls = 0
+    val got = Dvs.retryTransient(attempts = 3) {
+      calls += 1
+      if (calls < 3) throw new java.io.IOException(s"transient $calls")
+      42
+    }
+    assert(got === 42 && calls === 3)
+    // exhausted attempts propagate the last failure
+    var hard = 0
+    val e = intercept[java.io.IOException] {
+      Dvs.retryTransient(attempts = 3) {
+        hard += 1
+        throw new java.io.IOException(s"persistent $hard")
+      }
+    }
+    assert(hard === 3 && e.getMessage === "persistent 3")
+    // non-IO failures (corrupt blob CRC) do NOT retry
+    var bad = 0
+    intercept[IllegalArgumentException] {
+      Dvs.retryTransient(attempts = 3) {
+        bad += 1
+        Puffin.dvFromBlobPayload(Array.fill[Byte](16)(7))
+      }
+    }
+    assert(bad === 1, "corruption must not retry")
+  }
+
   // ---- format-version plumbing ----
 
   test("format-version: create at 3, upgrade 2->3, refuse downgrade") {

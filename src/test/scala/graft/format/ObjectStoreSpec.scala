@@ -128,4 +128,127 @@ class ObjectStoreSpec extends AnyFunSuite {
     // the ancestry is one unbroken chain through all commits
     assert(m.ancestors().size === threads * commitsPer)
   }
+
+  // ---- fault injection around the ObjectStoreClient seam ----
+
+  /** Programmable-fault wrapper: faults fire once, then clear. */
+  private final class FaultyStore(inner: ObjectStoreClient)
+    extends ObjectStoreClient {
+    /** Perform the conditional PUT, then throw (the RESPONSE is lost). */
+    @volatile var losePutIfAbsentResponse = false
+    /** Do NOT perform the conditional PUT, throw (request never arrived). */
+    @volatile var dropPutIfAbsent = false
+    /** Do NOT perform the next plain PUT to a key containing this
+      * substring, throw instead. */
+    @volatile var dropPutMatching: String = null
+    /** Runs just before the next conditional PUT (race interposition). */
+    @volatile var beforePutIfAbsent: () => Unit = null
+
+    override def get(key: String): Option[Array[Byte]] = inner.get(key)
+    override def put(key: String, bytes: Array[Byte]): Unit = {
+      val drop = dropPutMatching
+      if (drop != null && key.contains(drop)) {
+        dropPutMatching = null
+        throw new java.io.IOException(s"injected: PUT $key dropped")
+      }
+      inner.put(key, bytes)
+    }
+    override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean = {
+      val hook = beforePutIfAbsent
+      if (hook != null) { beforePutIfAbsent = null; hook() }
+      if (dropPutIfAbsent) {
+        dropPutIfAbsent = false
+        throw new java.io.IOException(s"injected: conditional PUT $key dropped")
+      }
+      val r = inner.putIfAbsent(key, bytes)
+      if (losePutIfAbsentResponse) {
+        losePutIfAbsentResponse = false
+        throw new java.io.IOException(s"injected: response for $key lost")
+      }
+      r
+    }
+    override def delete(key: String): Unit = inner.delete(key)
+    override def list(prefix: String): Seq[(String, Long, Long)] =
+      inner.list(prefix)
+  }
+
+  test("CAS lands but the response is lost: commit resolves, no double-apply") {
+    val spark = graft.SparkSpecBase.spark
+    val loc = freshLoc("unk1")
+    GraftTable.create(spark, loc, schema)
+    val faulty = new FaultyStore(InMemoryObjectStore)
+    val fops = new TableOps(loc, new ObjectStoreFileIO(faulty))
+    var applies = 0
+    faulty.losePutIfAbsentResponse = true
+    val updated = fops.commitTransaction { m =>
+      applies += 1
+      m.copy(properties = m.properties + ("fault" -> "survived"))
+    }
+    assert(applies === 1, "a landed CAS must not re-apply the transform")
+    assert(updated.properties.get("fault").contains("survived"))
+    assert(new TableOps(loc).currentVersion() === 2)
+    assert(new TableOps(loc).current().properties("fault") === "survived")
+  }
+
+  test("CAS loses the race AND the response is lost: plain retry, no lost update") {
+    val spark = graft.SparkSpecBase.spark
+    val loc = freshLoc("unk2")
+    GraftTable.create(spark, loc, schema)
+    val faulty = new FaultyStore(InMemoryObjectStore)
+    val fops = new TableOps(loc, new ObjectStoreFileIO(faulty))
+    // just before our CAS fires, a rival commits version 2; our CAS then
+    // returns false but its response is ALSO lost — read-back sees the
+    // rival's bytes → ordinary CommitFailed → optimistic retry re-applies
+    // on the new base and wins version 3
+    faulty.beforePutIfAbsent = () => {
+      val rival = new TableOps(loc)
+      rival.commitTransaction(m =>
+        m.copy(properties = m.properties + ("rival" -> "first")))
+    }
+    faulty.losePutIfAbsentResponse = true
+    var applies = 0
+    fops.commitTransaction { m =>
+      applies += 1
+      m.copy(properties = m.properties + ("ours" -> "second"))
+    }
+    assert(applies === 2, "lost race must retry on the fresh base")
+    val m = new TableOps(loc).current()
+    assert(m.properties("rival") === "first" && m.properties("ours") === "second")
+    assert(new TableOps(loc).currentVersion() === 3)
+  }
+
+  test("CAS response lost with nothing at the key: CommitStateUnknown, no blind retry") {
+    val spark = graft.SparkSpecBase.spark
+    val loc = freshLoc("unk3")
+    GraftTable.create(spark, loc, schema)
+    val faulty = new FaultyStore(InMemoryObjectStore)
+    val fops = new TableOps(loc, new ObjectStoreFileIO(faulty))
+    faulty.dropPutIfAbsent = true
+    var applies = 0
+    intercept[CommitStateUnknownException] {
+      fops.commitTransaction { m =>
+        applies += 1
+        m.copy(properties = m.properties + ("never" -> "lands"))
+      }
+    }
+    assert(applies === 1, "unknown outcome must not be retried")
+    assert(new TableOps(loc).currentVersion() === 1)
+    assert(!new TableOps(loc).current().properties.contains("never"))
+  }
+
+  test("a lost hint write cannot fail a durable commit") {
+    val spark = graft.SparkSpecBase.spark
+    val loc = freshLoc("unk4")
+    GraftTable.create(spark, loc, schema)
+    val faulty = new FaultyStore(InMemoryObjectStore)
+    val fops = new TableOps(loc, new ObjectStoreFileIO(faulty))
+    faulty.dropPutMatching = "version-hint"
+    fops.commitTransaction(m =>
+      m.copy(properties = m.properties + ("hint" -> "lost")))
+    // a FRESH reader (clean io, no caches) must converge on the committed
+    // version by probing forward past the stale hint
+    val reader = new TableOps(loc)
+    assert(reader.currentVersion() === 2)
+    assert(reader.current().properties("hint") === "lost")
+  }
 }
