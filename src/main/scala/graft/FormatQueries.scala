@@ -454,6 +454,38 @@ object FormatQueries {
                FROM customer_changes GROUP BY 1 ORDER BY 1""")
     }),
 
+    // row lineage (iceberg v3): a single sorted data file pins _row_id =
+    // rank-1 deterministically; a MoR UPDATE masks old rows with DVs and
+    // re-inserts them with fresh ids from the advanced next-row-id counter
+    // (a contiguous range, so SUM is deterministic) at the new sequence
+    "q106_row_lineage" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftlin", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftlin.warehouse", tdir(dir, "linwh"))
+      withTable(s, dir, "linwh/db/customer_lineage") { loc =>
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val tt = GraftTable.recreate(s, loc, c.schema,
+          properties = Map("format-version" -> "3",
+            "write.update.mode" -> "merge-on-read"))
+        GraftWrite.append(tt, c.coalesce(1).sortWithinPartitions("c_custkey"))
+        s.sql("UPDATE graftlin.db.customer_lineage SET c_acctbal = 0.0 " +
+          "WHERE c_acctbal < 0")
+        val t2 = GraftTable.load(s, loc)
+        require(t2.metadata.nextRowId > 0, "lineage bases must be assigned")
+        t2
+      }
+      s.sql("""SELECT
+                 CASE WHEN _last_updated_sequence_number = 1
+                      THEN 'original' ELSE 'updated' END AS generation,
+                 COUNT(*) AS n,
+                 SUM(CASE WHEN _last_updated_sequence_number = 1
+                          THEN _row_id ELSE 0 END) AS orig_id_sum,
+                 SUM(CASE WHEN _last_updated_sequence_number > 1
+                          THEN _row_id ELSE 0 END) AS fresh_id_sum,
+                 MAX(_last_updated_sequence_number) AS max_seq
+               FROM graftlin.db.customer_lineage
+               GROUP BY 1 ORDER BY 1""")
+    }),
+
     // initial column defaults (iceberg v3): files predating an added
     // column read its default back — a metadata-only backfill applied by
     // the scan (constant vectors per old-generation group) and
@@ -969,6 +1001,28 @@ object FormatQueries {
         |SELECT 'UPDATE_BEFORE', COUNT(*),
         |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE)
         |FROM customer WHERE c_acctbal < 0
+        |ORDER BY 1""".stripMargin,
+
+    "q106_row_lineage" ->
+      """WITH ranked AS (
+        |  SELECT c_acctbal,
+        |         row_number() OVER (ORDER BY c_custkey) - 1 AS rid
+        |  FROM customer
+        |), tot AS (SELECT COUNT(*) AS n_total FROM customer)
+        |SELECT 'original' AS generation,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(rid) AS BIGINT) AS orig_id_sum,
+        |       CAST(0 AS BIGINT) AS fresh_id_sum,
+        |       CAST(1 AS BIGINT) AS max_seq
+        |FROM ranked WHERE c_acctbal >= 0
+        |UNION ALL
+        |SELECT 'updated',
+        |       COUNT(*),
+        |       CAST(0 AS BIGINT),
+        |       CAST((SELECT n_total FROM tot) * COUNT(*)
+        |            + COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT),
+        |       CAST(2 AS BIGINT)
+        |FROM ranked WHERE c_acctbal < 0
         |ORDER BY 1""".stripMargin,
 
     "q105_default_values" ->

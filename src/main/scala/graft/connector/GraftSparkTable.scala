@@ -41,7 +41,8 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
     * position and raise). */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(GraftSparkTable.FileMetadataColumn, GraftSparkTable.PosMetadataColumn)
+    Array(GraftSparkTable.FileMetadataColumn, GraftSparkTable.PosMetadataColumn,
+      GraftSparkTable.RowIdMetadataColumn, GraftSparkTable.LastUpdatedMetadataColumn)
 
   /** SQL `DELETE FROM t WHERE p` (reference spark3 SparkTable implements
     * SupportsDelete with metadata-only deletes). Ours goes further:
@@ -144,6 +145,28 @@ object GraftSparkTable {
     override def dataType(): DataType = LongType
     override def isNullable: Boolean = false
     override def comment(): String = "row position within its data file"
+  }
+
+  /** Row-lineage metadata columns (iceberg v3; see [[graft.format.Lineage]]):
+    * `_row_id` = the file's manifest `first_row_id` + row position for
+    * computed files, the stored column for compacted (materialized) files;
+    * `_last_updated_sequence_number` = the commit sequence that last wrote
+    * the row. NULL on files committed before the table reached v3. */
+  object RowIdMetadataColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = Lineage.RowIdColumn
+    override def dataType(): DataType = LongType
+    override def isNullable: Boolean = true
+    override def comment(): String = "durable row identity (v3 row lineage)"
+  }
+
+  object LastUpdatedMetadataColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = Lineage.LastUpdatedColumn
+    override def dataType(): DataType = LongType
+    override def isNullable: Boolean = true
+    override def comment(): String =
+      "sequence number of the commit that last wrote the row (v3 row lineage)"
   }
 
   /** The table's partition spec as Spark connector transforms (shared by
@@ -292,10 +315,20 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     // row-index column, ORC groups take the row-path counter scan
     val metaPos = requested.fieldNames.contains(GraftSparkTable.PosColumn) &&
       !clean.fieldNames.contains(GraftSparkTable.PosColumn)
-    val read = if (!metaFile && !metaPos) requested
+    // `_row_id` / `_last_updated_sequence_number`: v3 row lineage — served
+    // by a projection wrapper (LineageRowReader) from the file's manifest
+    // base + row index, or from the physical columns on compacted files
+    val metaRowId = requested.fieldNames.contains(Lineage.RowIdColumn) &&
+      !clean.fieldNames.contains(Lineage.RowIdColumn)
+    val metaLuseq = requested.fieldNames.contains(Lineage.LastUpdatedColumn) &&
+      !clean.fieldNames.contains(Lineage.LastUpdatedColumn)
+    val metaLineage = metaRowId || metaLuseq
+    val read = if (!metaFile && !metaPos && !metaLineage) requested
       else StructType(requested.fields.filterNot(f =>
         f.name == GraftSparkTable.FileColumn ||
-        f.name == GraftSparkTable.PosColumn))
+        f.name == GraftSparkTable.PosColumn ||
+        f.name == Lineage.RowIdColumn ||
+        f.name == Lineage.LastUpdatedColumn))
 
     // re-attach field ids to a (possibly nested-pruned) clean type by name
     // against the id-bearing scan schema, so nested id resolution works on
@@ -401,8 +434,19 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     // resolvable.
     val groups = plan.tasks
       .groupBy(t => (t.file.schemaId,
-        if (eqDeletes.isEmpty) 0L else t.sequenceNumber, t.file.fileFormat))
-      .toSeq.sortBy(_._1).map { case ((schemaId, seqKey, fmt), tasks) =>
+        if (eqDeletes.isEmpty) 0L else t.sequenceNumber, t.file.fileFormat,
+        // lineage splits groups by read strategy: computed files take the
+        // row-index path with a per-file base, compacted (materialized)
+        // files read their stored columns, pre-v3 files read NULL
+        if (!metaLineage) 0
+        else Lineage.modeOf(t.file, t.sequenceNumber) match {
+          case _: Lineage.Computed => 1
+          case Lineage.Stored => 2
+          case Lineage.Absent => 0
+        }))
+      .toSeq.sortBy(_._1).map { case ((schemaId, seqKey, fmt, lineageKind), tasks) =>
+        val lineageComputed = metaLineage && lineageKind == 1
+        val lineageStored = metaLineage && lineageKind == 2
         // parquet: every group rides the (cheap, vectorized) row-index
         // column while deletes are live; ORC and Avro: only TARGETED
         // groups pay the unsplit row-path counter fallback
@@ -415,8 +459,8 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
         // `_pos` rides the same row-index machinery position deletes use:
         // parquet appends the synthetic reader column; ORC groups take the
         // row-path counter scan; Avro groups go unsplit with a counter
-        val needRowIdx = groupPos || metaPos
-        val orcRow = fmt == FileFormats.Orc && (orcPos || metaPos)
+        val needRowIdx = groupPos || metaPos || lineageComputed
+        val orcRow = fmt == FileFormats.Orc && (orcPos || metaPos || lineageComputed)
         val avroIdx = fmt == FileFormats.Avro && needRowIdx
         val fileSchema = m.schemas.getOrElse(schemaId, schema)
         val fileById = FieldIds.idToName(fileSchema)
@@ -439,6 +483,12 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
         // deletes throws above)]; _file rides through the projection at
         // the END, matching the declared output
         val posExtra = if (needRowIdx) 1 else 0
+        val storedExtra = if (lineageStored) 2 else 0
+        // the delete filter's projection emits the INTERMEDIATE layout the
+        // lineage wrapper consumes: read columns, then rowIdx when a final
+        // column needs it (_pos or computed lineage), then stored lineage
+        // columns, then _file
+        val keepRowIdx = metaPos || lineageComputed
         val deletes: Option[GroupDeletes] =
           if (applicable.isEmpty && !groupPos) None
           else Some(GroupDeletes(
@@ -448,11 +498,15 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
               ds.paths)),
             wideTarget.fields.map(_.dataType) ++
               (if (needRowIdx) Seq(LongType) else Nil) ++
+              (if (lineageStored) Seq(LongType, LongType) else Nil) ++
               (if (metaFile) Seq(StringType) else Nil),
-            if (wideTarget.length == read.length && !groupPos) None
+            if (wideTarget.length == read.length && !groupPos && !metaLineage) None
             else Some(read.fields.map(f => wideTarget.fieldIndex(f.name)).toSeq ++
-              (if (metaPos) Seq(wideTarget.length) else Nil) ++
-              (if (metaFile) Seq(wideTarget.length + posExtra) else Nil)),
+              (if (keepRowIdx) Seq(wideTarget.length) else Nil) ++
+              (if (lineageStored) Seq(wideTarget.length + posExtra,
+                wideTarget.length + posExtra + 1) else Nil) ++
+              (if (metaFile)
+                Seq(wideTarget.length + posExtra + storedExtra) else Nil)),
             new org.apache.spark.util.SerializableConfiguration(
               spark.sessionState.newHadoopConf()),
             if (groupPos) Some(PosDeleteSource(posPaths, posDvs, wideTarget.length))
@@ -485,6 +539,12 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
             // groups append their counter inside GraftOrcRowScan instead.
             org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
               .ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true))
+          else Nil) ++
+          // compacted (materialized-lineage) files store the lineage
+          // columns physically — read them like ordinary data columns
+          (if (lineageStored) Seq(
+            StructField(Lineage.RowIdColumn, LongType, nullable = true),
+            StructField(Lineage.LastUpdatedColumn, LongType, nullable = true))
           else Nil))
         // file-side full schema: file names (all levels) with target types
         // where ids align; groupRead's structs are subsets of these
@@ -495,7 +555,11 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
               ff.copy(dataType = Types.fileSideType(tf.dataType, ff.dataType))
             case None => ff
           }
-        }))
+        } ++
+          (if (lineageStored) Seq(
+            StructField(Lineage.RowIdColumn, LongType, nullable = true),
+            StructField(Lineage.LastUpdatedColumn, LongType, nullable = true))
+          else Nil)))
         // filters on partition-served columns can't reach parquet (the
         // column isn't in the files) — they stay Spark-side residuals over
         // the appended constants; partition PRUNING already fired in
@@ -564,20 +628,52 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
           else Some(FillConfig(
             wideTarget.fields.map(_.dataType).toSeq ++
               (if (needRowIdx) Seq(LongType) else Nil) ++
+              (if (lineageStored) Seq(LongType, LongType) else Nil) ++
               (if (metaFile) Seq(StringType) else Nil),
             fs))
         }
-        (scan, deletes, fills)
+        // lineage projection config: the wrapper reader turns the group's
+        // INTERMEDIATE layout [data..., rowIdx?, stored?, constants...]
+        // into the declared output [data..., _pos?, _row_id?, _luseq?,
+        // constants...] — computed groups take (base, seq) per partition
+        val lineageCfg: Option[LineageConfig] =
+          if (!metaLineage) None
+          else {
+            val dataTypes =
+              read.fields.filterNot(f => partServeNames.contains(f.name))
+                .map(f => Types.cleanType(f.dataType)).toSeq
+            val withDeletes = deletes.isDefined
+            // under deletes partServe is empty, so dataCount agrees either way
+            val tailTypes: Seq[DataType] =
+              if (withDeletes) (if (metaFile) Seq(StringType) else Nil)
+              else partSchema.fields.map(f => f.dataType).toSeq
+            Some(LineageConfig(
+              types = dataTypes ++
+                (if (keepRowIdx) Seq(LongType) else Nil) ++
+                (if (lineageStored) Seq(LongType, LongType) else Nil) ++
+                tailTypes,
+              dataCount = dataTypes.size,
+              hasRowIdx = keepRowIdx,
+              hasStored = lineageStored,
+              tailCount = tailTypes.size,
+              emitPos = metaPos, emitRowId = metaRowId, emitLuseq = metaLuseq,
+              kind = lineageKind))
+          }
+        (scan, deletes, fills, lineageCfg)
     }
     // declared output = physical layout: data columns (minus partition-
     // served) then partition-served columns (incl. `_file`) — Spark
     // re-projects above by attribute, so order differences from the pruned
     // request are fine
     val output =
-      if (partSchema.isEmpty && !metaPos) read
+      if (partSchema.isEmpty && !metaPos && !metaLineage) read
       else StructType(read.fields.filterNot(f => partServeNames.contains(f.name)) ++
         (if (metaPos) Seq(StructField(GraftSparkTable.PosColumn, LongType,
           nullable = false)) else Nil) ++
+        (if (metaRowId) Seq(StructField(Lineage.RowIdColumn, LongType,
+          nullable = true)) else Nil) ++
+        (if (metaLuseq) Seq(StructField(Lineage.LastUpdatedColumn, LongType,
+          nullable = true)) else Nil) ++
         partSchema.fields)
     // storage-partitioned-join eligibility: opt-in via Spark's v2 bucketing
     // conf, one scan group over one live all-identity spec, no row-position
@@ -585,7 +681,7 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     // columns in play. Each file's partition key converts to Catalyst
     // values once, spec-field order.
     val spjInfo: Option[SpjInfo] =
-      if (groupGranular || metaFile || metaPos || posActive ||
+      if (groupGranular || metaFile || metaPos || metaLineage || posActive ||
           groups.size != 1 || plan.tasks.isEmpty) None
       else if (!spark.sessionState.conf
           .getConfString("spark.sql.sources.v2.bucketing.enabled", "false")
@@ -624,7 +720,8 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
       onRuntimeFilter = onRuntimeFilter, spjInfo = spjInfo,
       ndvStats = scan.snapshot.map(_.snapshotId)
         .flatMap(id => Stats.read(table, id)),
-      fills = groups.map(_._3))
+      fills = groups.map(_._3),
+      lineages = groups.map(_._4))
   }
 
   /** Rename filter references current→file names; drop if any referenced
@@ -664,7 +761,8 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
     onRuntimeFilter: Set[String] => Unit = _ => (),
     spjInfo: Option[SpjInfo] = None,
     ndvStats: Option[Stats.TableStats] = None,
-    fills: Seq[Option[FillConfig]] = Nil)
+    fills: Seq[Option[FillConfig]] = Nil,
+    lineages: Seq[Option[LineageConfig]] = Nil)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -830,6 +928,18 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
     if (deletes.isEmpty) groupScans.map(_ => None) else deletes
   private lazy val groupFills: Seq[Option[FillConfig]] =
     if (fills.isEmpty) groupScans.map(_ => None) else fills
+  private lazy val groupLineages: Seq[Option[LineageConfig]] =
+    if (lineages.isEmpty) groupScans.map(_ => None) else lineages
+
+  /** Per-file lineage scope for COMPUTED groups: canonical path → (manifest
+    * first_row_id base, data sequence number). Metadata-only. */
+  private lazy val lineageScopeOf: Map[String, LineageScope] =
+    plan.tasks.flatMap(t => t.file.firstRowId match {
+      case Some(base) if base >= 0 =>
+        Some(ParquetIO.canonPath(t.file.path) ->
+          LineageScope(base, t.sequenceNumber))
+      case _ => None
+    }).toMap
   private lazy val partsByGroup: Seq[Array[InputPartition]] =
     inner.map(_.planInputPartitions())
 
@@ -902,7 +1012,10 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
     // types (ColumnarDeletes.supports). Any holdout drops the scan to rows.
     private lazy val columnar: Boolean = inner.indices.forall { i =>
       partsByGroup(i).forall(p => innerFactories(i).supportColumnarReads(p)) &&
-        groupDeletes(i).forall(ColumnarDeletes.supports)
+        groupDeletes(i).forall(ColumnarDeletes.supports) &&
+        // lineage scans run on the row path: the wrapper projection is a
+        // row transform (lineage queries are audit-grade, not hot-path)
+        groupLineages(i).isEmpty
     }
 
     override def planInputPartitions(): Array[InputPartition] = keyedParts.getOrElse {
@@ -912,7 +1025,13 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
         keep.forall(_.contains(ParquetIO.canonPath(path)))
       partsByGroup.zipWithIndex.flatMap { case (parts, i) =>
         val posGroup = groupDeletes(i).exists(_.pos.isDefined)
-        if (!posGroup && keep.isEmpty)
+        // computed-lineage groups need one task per file too: the row-id
+        // base is a per-FILE constant carried on the partition
+        val lineageGroup = groupLineages(i).exists(_.kind == 1)
+        def scopes(canon: String): (Option[PosScope], Option[LineageScope]) =
+          (if (posGroup) Some(posScopeOf(canon)) else None,
+            if (lineageGroup) lineageScopeOf.get(canon) else None)
+        if (!posGroup && !lineageGroup && keep.isEmpty)
           parts.toSeq.map(p => GroupedPartition(i, p): InputPartition)
         else parts.toSeq.flatMap {
           case fp: FilePartition =>
@@ -923,10 +1042,11 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
             // the lookup agrees on every filesystem scheme)
             val files = fp.files.filter(f => kept(f.filePath.toPath.toString))
             if (files.isEmpty) Nil
-            else if (posGroup) files.toSeq.map { f =>
+            else if (posGroup || lineageGroup) files.toSeq.map { f =>
               val canon = ParquetIO.canonPath(f.filePath.toPath.toString)
+              val (ps, ls) = scopes(canon)
               GroupedPartition(i, FilePartition(fp.index, Array(f)),
-                Some(canon), Some(posScopeOf(canon))): InputPartition
+                Some(canon), ps, ls): InputPartition
             }
             else Seq(GroupedPartition(i, FilePartition(fp.index, files)): InputPartition)
           // ORC row-path and Avro partitions are file-granular by construction
@@ -934,19 +1054,20 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
             if (!kept(op.path)) Nil
             else {
               val canon = ParquetIO.canonPath(op.path)
-              Seq(GroupedPartition(i, op, Some(canon),
-                if (posGroup) Some(posScopeOf(canon)) else None): InputPartition)
+              val (ps, ls) = scopes(canon)
+              Seq(GroupedPartition(i, op, Some(canon), ps, ls): InputPartition)
             }
           case ap: AvroFilePartition =>
             if (!kept(ap.path)) Nil
             else {
               val canon = ParquetIO.canonPath(ap.path)
-              Seq(GroupedPartition(i, ap, Some(canon),
-                if (posGroup) Some(posScopeOf(canon)) else None): InputPartition)
+              val (ps, ls) = scopes(canon)
+              Seq(GroupedPartition(i, ap, Some(canon), ps, ls): InputPartition)
             }
           case other =>
-            if (posGroup) throw new IllegalStateException(
-              s"position deletes need file-granular partitions, got ${other.getClass}")
+            if (posGroup || lineageGroup) throw new IllegalStateException(
+              "position deletes and computed lineage need file-granular " +
+                s"partitions, got ${other.getClass}")
             // unknown partition shape: keep it — runtime filtering is an
             // optimization, never required for correctness
             else Seq(GroupedPartition(i, other): InputPartition)
@@ -954,16 +1075,99 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
       }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      GroupedReaderFactory(innerFactories, groupDeletes, columnar, groupFills)
+      GroupedReaderFactory(innerFactories, groupDeletes, columnar, groupFills,
+        groupLineages)
   }
 }
 
 final case class GroupedPartition(group: Int,
     inner: org.apache.spark.sql.connector.read.InputPartition,
     dataFile: Option[String] = None,
-    posScope: Option[PosScope] = None)
+    posScope: Option[PosScope] = None,
+    lineage: Option[LineageScope] = None)
   extends org.apache.spark.sql.connector.read.InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Per-task row-lineage constants for COMPUTED files (see
+  * [[graft.format.Lineage]]): `_row_id` = firstRowId + row index,
+  * `_last_updated_sequence_number` = seq. */
+final case class LineageScope(firstRowId: Long, seq: Long) extends Serializable
+
+/** Per-GROUP lineage projection config: describes the group's INTERMEDIATE
+  * row layout ([data × dataCount, rowIdx?, storedRowId/storedLuseq?,
+  * tail × tailCount]) and which declared lineage columns to emit between
+  * the data columns and the tail. `kind`: 0 = pre-v3 files (NULL lineage),
+  * 1 = computed (needs the partition's [[LineageScope]]), 2 = stored
+  * (compacted files carry the physical columns). */
+final case class LineageConfig(
+    types: Seq[org.apache.spark.sql.types.DataType],
+    dataCount: Int,
+    hasRowIdx: Boolean,
+    hasStored: Boolean,
+    tailCount: Int,
+    emitPos: Boolean,
+    emitRowId: Boolean,
+    emitLuseq: Boolean,
+    kind: Int) extends Serializable {
+  def rowIdxAt: Int = dataCount
+  def storedAt: Int = dataCount + (if (hasRowIdx) 1 else 0)
+  def tailFrom: Int =
+    dataCount + (if (hasRowIdx) 1 else 0) + (if (hasStored) 2 else 0)
+}
+
+/** Final projection for lineage scans: intermediate → declared output.
+  * Sits ABOVE the delete filter, so lineage reflects only LIVE rows. */
+final class LineageRowReader(
+    inner: org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow],
+    cfg: LineageConfig, scope: Option[LineageScope])
+  extends org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  private val outWidth = cfg.dataCount +
+    (if (cfg.emitPos) 1 else 0) + (if (cfg.emitRowId) 1 else 0) +
+    (if (cfg.emitLuseq) 1 else 0) + cfg.tailCount
+
+  override def next(): Boolean = inner.next()
+
+  override def get(): InternalRow = {
+    val row = inner.get()
+    val out = new GenericInternalRow(outWidth)
+    var o = 0
+    var i = 0
+    while (i < cfg.dataCount) {
+      out.update(o, if (row.isNullAt(i)) null else row.get(i, cfg.types(i)))
+      o += 1; i += 1
+    }
+    if (cfg.emitPos) { out.update(o, row.getLong(cfg.rowIdxAt)); o += 1 }
+    if (cfg.emitRowId) {
+      val v: Any = cfg.kind match {
+        case 1 => scope.map(s => Long.box(s.firstRowId + row.getLong(cfg.rowIdxAt))).orNull
+        case 2 => if (row.isNullAt(cfg.storedAt)) null else Long.box(row.getLong(cfg.storedAt))
+        case _ => null
+      }
+      out.update(o, v); o += 1
+    }
+    if (cfg.emitLuseq) {
+      val v: Any = cfg.kind match {
+        case 1 => scope.map(s => Long.box(s.seq)).orNull
+        case 2 =>
+          if (row.isNullAt(cfg.storedAt + 1)) null
+          else Long.box(row.getLong(cfg.storedAt + 1))
+        case _ => null
+      }
+      out.update(o, v); o += 1
+    }
+    var t = 0
+    while (t < cfg.tailCount) {
+      val src = cfg.tailFrom + t
+      out.update(o, if (row.isNullAt(src)) null else row.get(src, cfg.types(src)))
+      o += 1; t += 1
+    }
+    out
+  }
+  override def close(): Unit = inner.close()
 }
 
 /** Per-TASK position-delete attachment (reference DeleteFileIndex +
@@ -998,16 +1202,17 @@ final case class GroupedReaderFactory(
     inner: Seq[org.apache.spark.sql.connector.read.PartitionReaderFactory],
     deletes: Seq[Option[GroupDeletes]],
     columnar: Boolean = false,
-    fills: Seq[Option[FillConfig]] = Nil)
+    fills: Seq[Option[FillConfig]] = Nil,
+    lineages: Seq[Option[LineageConfig]] = Nil)
   extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
 
   private def unwrap(p: InputPartition)
-      : (Int, InputPartition, Option[String], Option[PosScope]) = p match {
-    case GroupedPartition(g, ip, f, sc) => (g, ip, f, sc)
-    case KeyedPartition(g, ip, _) => (g, ip, None, None)
-    case other => (0, other, None, None)
+      : (Int, InputPartition, Option[String], Option[PosScope], Option[LineageScope]) = p match {
+    case GroupedPartition(g, ip, f, sc, ls) => (g, ip, f, sc, ls)
+    case KeyedPartition(g, ip, _) => (g, ip, None, None, None)
+    case other => (0, other, None, None, None)
   }
   /** Narrow the group's delete config to THIS task's position-delete scope
     * (per-task attachment): the reader then loads only the delete files /
@@ -1020,7 +1225,7 @@ final case class GroupedReaderFactory(
       case None => cfg
     }
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val (g, ip, dataFile, sc) = unwrap(p)
+    val (g, ip, dataFile, sc, ls) = unwrap(p)
     val base = inner(g).createReader(ip)
     // default backfill sits UNDER the delete filter, so eq-delete keys on
     // a defaulted column match against the filled value
@@ -1028,13 +1233,18 @@ final case class GroupedReaderFactory(
       case Some(cfg) => new ConstantFillRowReader(base, cfg)
       case None => base
     }
-    deletes.lift(g).flatten match {
+    val afterDeletes = deletes.lift(g).flatten match {
       case Some(cfg) => new DeleteFilterReader(reader, scoped(cfg, sc), dataFile)
       case None => reader
     }
+    // lineage projection is the OUTERMOST wrapper: only live rows get ids
+    lineages.lift(g).flatten match {
+      case Some(cfg) => new LineageRowReader(afterDeletes, cfg, ls)
+      case None => afterDeletes
+    }
   }
   override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val (g, ip, dataFile, sc) = unwrap(p)
+    val (g, ip, dataFile, sc, _) = unwrap(p)
     val base = inner(g).createColumnarReader(ip)
     val reader = fills.lift(g).flatten match {
       case Some(cfg) => new ConstantFillColumnarReader(base, cfg)

@@ -41,7 +41,11 @@ object Actions {
       // compaction reads any format and writes the table's current
       // write.format.default, so it doubles as a format-migration action
       formats: Seq[String] = Nil,
-      outFormat: String = FileFormats.Parquet)
+      outFormat: String = FileFormats.Parquet,
+      // per-input-file row-lineage read strategy (aligned with paths), used
+      // only on v3 lineage tables where the output MATERIALIZES lineage:
+      // >= 0 computed base, -1 stored columns, -2 pre-v3 null (see Lineage)
+      lineage: Seq[Long] = Nil)
 }
 
 final class Actions(t: GraftTable) {
@@ -113,8 +117,20 @@ final class Actions(t: GraftTable) {
     if (groups.isEmpty) return RewriteResult(0, 0)
 
     val schema = m.schema
+    // v3 row lineage: compaction must PRESERVE row identity, so the output
+    // files materialize `_row_id` / `_last_updated_sequence_number` as
+    // physical columns (Lineage.Stored) — computed from each input file's
+    // base + position, copied through from already-materialized inputs
+    val lineageOn = Lineage.enabled(m)
+    val lineageCols =
+      if (!lineageOn) Nil
+      else Seq(
+        org.apache.spark.sql.types.StructField(Lineage.RowIdColumn,
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField(Lineage.LastUpdatedColumn,
+          org.apache.spark.sql.types.LongType, nullable = true))
     val writeSchema = org.apache.spark.sql.types.StructType(schema.fields.map(
-      _.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+      _.copy(metadata = org.apache.spark.sql.types.Metadata.empty)) ++ lineageCols)
     val staging = t.locations.newDataLocation(java.util.UUID.randomUUID().toString)
     t.ops.io.mkdirs(staging)
 
@@ -158,7 +174,7 @@ final class Actions(t: GraftTable) {
           case None => org.apache.spark.sql.types.StructField(f.name,
             Types.cleanType(f.dataType), nullable = true)
         }
-      })
+      } ++ lineageCols) // stored-lineage inputs have them; others read null
       // identity-partition columns missing from this generation's FILES
       // (imported hive layouts) must be materialized from the bin's
       // (constant) partition tuple — otherwise the rewritten file, which
@@ -179,6 +195,12 @@ final class Actions(t: GraftTable) {
         }
       val seqByPath = tasks.map(ts => ts.file.path -> ts.sequenceNumber).toMap
       val fmtByPath = tasks.map(ts => ts.file.path -> ts.file.fileFormat).toMap
+      val linByPath: Map[String, Long] = tasks.map(ts =>
+        ts.file.path -> (ts.file.firstRowId match {
+          case Some(Lineage.Materialized) => -1L // stored: copy through
+          case Some(base) => base                // computed: base + position
+          case None => -2L                       // pre-v3: null lineage
+        })).toMap
       val outFormat = graft.connector.GraftBatchWrite.writeFormat(m.properties)
       val bins = binPack(tasks.map(ts => ts.file.path -> ts.file.fileSizeInBytes),
         targetSizeBytes)
@@ -191,7 +213,8 @@ final class Actions(t: GraftTable) {
       bins.filter(b => b.size >= minInputFiles || pressured(b)).foreach { bin =>
         binTasks += BinTask(binId, bin, bin.map(seqByPath), readSchema,
           f"$staging/bin-$binId%05d.$outFormat",
-          posDeletePaths, posDvs, eqDeletes, fill, bin.map(fmtByPath), outFormat)
+          posDeletePaths, posDvs, eqDeletes, fill, bin.map(fmtByPath), outFormat,
+          lineage = if (lineageOn) bin.map(linByPath) else Nil)
         binMeta(binId) = (partition, schemaId, tasks.head.file.specId)
         binId += 1
       }
@@ -228,10 +251,16 @@ final class Actions(t: GraftTable) {
         // failure there must still clean the staged output, or the task
         // retry hits its own deterministic path with create(overwrite=false)
         val fm = try {
-          bt.paths.lazyZip(bt.seqs).lazyZip(fmts).foreach { case (p, fileSeq, fmt) =>
+          bt.paths.indices.foreach { k =>
+            val (p, fileSeq, fmt) = (bt.paths(k), bt.seqs(k), fmts(k))
             val deadPos = pos.getOrElse(ParquetIO.canonPath(p),
               graft.connector.PosDeleteCache.Empty)
             val applicable = eq.filter(_._1 > fileSeq)
+            // lineage materialization: base >= 0 sets (base+idx, fileSeq)
+            // into the trailing columns; -1 copies the input's stored
+            // columns through; -2 (pre-v3) leaves them null
+            val linBase = if (bt.lineage.isEmpty) -2L else bt.lineage(k)
+            val rewrite = bt.fill.nonEmpty || linBase >= 0
             var idx = -1L // sequential full-file read ⇒ counter = row index
             DataFileIO.readAll(p, fmt, bt.readSchema, conf) { row =>
               idx += 1
@@ -241,9 +270,9 @@ final class Actions(t: GraftTable) {
                     ParquetIO.canonicalValue(row, ords(i), types(i))).toVector)
                 }
               if (!dead) {
-                if (bt.fill.isEmpty) writer.write(row)
+                if (!rewrite) writer.write(row)
                 else {
-                  // copy + materialize the constant partition columns
+                  // copy + materialize constant partition / lineage columns
                   val out = new org.apache.spark.sql.catalyst.expressions
                     .GenericInternalRow(bt.readSchema.length)
                   var c = 0
@@ -254,6 +283,10 @@ final class Actions(t: GraftTable) {
                     c += 1
                   }
                   bt.fill.foreach { case (ord, v) => out.update(ord, v) }
+                  if (linBase >= 0) {
+                    out.update(bt.readSchema.length - 2, linBase + idx)
+                    out.update(bt.readSchema.length - 1, fileSeq)
+                  }
                   writer.write(out)
                 }
               }
@@ -283,7 +316,10 @@ final class Actions(t: GraftTable) {
         upperBounds = fm.upperBounds,
         splitOffsets = fm.splitOffsets,
         fullBoundIds = fm.fullBoundIds,
-        fileFormat = byId(id).outFormat)
+        fileFormat = byId(id).outFormat,
+        // the output physically carries preserved row ids (see above) —
+        // the commit must NOT assign it a fresh base
+        firstRowId = if (lineageOn) Some(Lineage.Materialized) else None)
     }
     val del = planned.flatMap(_.paths).toSet
     // hygiene judges dangling deletes against the FULL live set — a scoped

@@ -81,6 +81,29 @@ object Commits {
     (seq, seq) // snapshotId == sequenceNumber: deterministic, monotonic
   }
 
+  /** Row-lineage base assignment (iceberg v3 "Row Lineage"; see [[Lineage]]):
+    * on format-version-3 tables, every freshly added data file gets a
+    * `first_row_id` base from the table's `next-row-id` counter, advanced
+    * by its record count. Runs INSIDE the commit transaction so optimistic
+    * retries re-assign against the fresh base — ids stay collision-free
+    * under concurrent committers. Files that already carry a base (or the
+    * [[Lineage.Materialized]] marker from compaction) keep it. */
+  private[format] def assignRowIds(m: TableMetadata,
+      files: Seq[DataFile]): (Seq[DataFile], TableMetadata) =
+    if (m.formatVersion < 3) (files, m)
+    else {
+      var next = m.nextRowId
+      val out = files.map { f =>
+        if (f.content != FileContent.Data || f.firstRowId.isDefined) f
+        else {
+          val g = f.copy(firstRowId = Some(next))
+          next += f.recordCount
+          g
+        }
+      }
+      (out, if (next == m.nextRowId) m else m.copy(nextRowId = next))
+    }
+
   private def buildSnapshot(table: GraftTable, m: TableMetadata, op: String,
       manifests: Seq[ManifestFile], extraSummary: Map[String, String]): TableMetadata = {
     val (seq, snapId) = nextIds(m)
@@ -111,10 +134,11 @@ object Commits {
       summary: Map[String, String] = Map.empty): TableMetadata =
     table.ops.commitTransaction(fastAppendOn(table, _, newFiles, summary))
 
-  private[format] def fastAppendOn(table: GraftTable, m: TableMetadata,
+  private[format] def fastAppendOn(table: GraftTable, m0: TableMetadata,
       newFiles: Seq[DataFile], summary: Map[String, String] = Map.empty): TableMetadata = {
+      val (files, m) = assignRowIds(m0, newFiles)
       val (seq, snapId) = nextIds(m)
-      val entries = newFiles.map(f =>
+      val entries = files.map(f =>
         ManifestEntry(EntryStatus.Added, snapId, seq,
           // a file keeps its declared schema generation when it is a
           // RECORDED one (imported files point at the physical file schema,
@@ -131,9 +155,10 @@ object Commits {
     * min-merge-count — keeps planning O(few manifests) on long-lived tables. */
   def mergeAppend(table: GraftTable, newFiles: Seq[DataFile],
       summary: Map[String, String] = Map.empty): TableMetadata =
-    table.ops.commitTransaction { m =>
+    table.ops.commitTransaction { m0 =>
+      val (files, m) = assignRowIds(m0, newFiles)
       val (seq, snapId) = nextIds(m)
-      val entries = newFiles.map(f =>
+      val entries = files.map(f =>
         ManifestEntry(EntryStatus.Added, snapId, seq,
           f.copy(schemaId = m.currentSchemaId, specId = m.defaultSpecId)))
       val newMf = writeManifest(table, m, m.defaultSpecId, entries, snapId)
@@ -179,11 +204,12 @@ object Commits {
       newFiles: Seq[DataFile]): TableMetadata =
     table.ops.commitTransaction(overwriteByFilterOn(table, _, filter, newFiles))
 
-  private[format] def overwriteByFilterOn(table: GraftTable, m: TableMetadata,
+  private[format] def overwriteByFilterOn(table: GraftTable, m0: TableMetadata,
       filter: Expr, newFiles: Seq[DataFile]): TableMetadata = {
+      val (files, m) = assignRowIds(m0, newFiles)
       val (seq, snapId) = nextIds(m)
       val afterDelete = rewriteForDelete(table, m, filter)
-      val entries = newFiles.map(f =>
+      val entries = files.map(f =>
         ManifestEntry(EntryStatus.Added, snapId, seq,
           f.copy(schemaId = m.currentSchemaId, specId = m.defaultSpecId)))
       val mf = writeManifest(table, m, m.defaultSpecId, entries, snapId)
@@ -196,8 +222,9 @@ object Commits {
   def replacePartitions(table: GraftTable, newFiles: Seq[DataFile]): TableMetadata =
     table.ops.commitTransaction(replacePartitionsOn(table, _, newFiles))
 
-  private[format] def replacePartitionsOn(table: GraftTable, m: TableMetadata,
-      newFiles: Seq[DataFile]): TableMetadata = {
+  private[format] def replacePartitionsOn(table: GraftTable, m0: TableMetadata,
+      newFiles0: Seq[DataFile]): TableMetadata = {
+      val (newFiles, m) = assignRowIds(m0, newFiles0)
       val (seq, snapId) = nextIds(m)
       val touched: Set[Map[String, Any]] = newFiles.map(canonTuple).toSet
       val kept = currentManifests(table, m).map { mf =>
@@ -241,26 +268,30 @@ object Commits {
           s"delete files were committed while rewriting (base snapshot $b); " +
           "retry the rewrite against the current state")
       }
-      val (seq, snapId) = nextIds(m)
-      val kept = currentManifests(table, m).flatMap { mf =>
-        val entries = table.readManifest(mf, m.schema)
+      // lineage: compaction outputs arrive MATERIALIZED (Lineage.Materialized
+      // marker — they physically carry preserved row ids); any other added
+      // file gets a fresh base here
+      val (newFiles2, m1) = assignRowIds(m, newFiles)
+      val (seq, snapId) = nextIds(m1)
+      val kept = currentManifests(table, m1).flatMap { mf =>
+        val entries = table.readManifest(mf, m1.schema)
         val keep = entries.filter(e => !deletedPaths.contains(e.file.path))
         if (keep.size == entries.size) Some(mf)
         else if (keep.isEmpty) None
-        else Some(writeManifest(table, m, mf.specId,
+        else Some(writeManifest(table, m1, mf.specId,
           keep.map(e => e.copy(status = EntryStatus.Existing)), snapId))
       }
       // manifests are per-spec: compaction outputs keep their GROUP's spec
       // (the partition tuple is spelled in that spec's field names), so a
       // spec-evolved table rewrites each generation under its own layout
-      val mf = newFiles.groupBy(_.specId).toSeq.sortBy(_._1).map {
+      val mf = newFiles2.groupBy(_.specId).toSeq.sortBy(_._1).map {
         case (sid, fs) =>
-          require(m.specs.contains(sid), s"unknown partition spec $sid")
-          writeManifest(table, m, sid, fs.map(f =>
+          require(m1.specs.contains(sid), s"unknown partition spec $sid")
+          writeManifest(table, m1, sid, fs.map(f =>
             ManifestEntry(EntryStatus.Added, snapId, seq,
-              f.copy(schemaId = m.currentSchemaId))), snapId)
+              f.copy(schemaId = m1.currentSchemaId))), snapId)
       }
-      buildSnapshot(table, m, operation, kept ++ mf,
+      buildSnapshot(table, m1, operation, kept ++ mf,
         Map("rewritten-files" -> deletedPaths.size.toString))
     }
 
@@ -295,17 +326,18 @@ object Commits {
           (if (gone.size > 3) s" (+${gone.size - 3} more)" else "") +
           "; retry against the current state")
       }
-      val (seq, snapId) = nextIds(m)
+      val (dataFiles2, m1) = assignRowIds(m, dataFiles)
+      val (seq, snapId) = nextIds(m1)
       def mk(fs: Seq[DataFile]) = fs.map(f =>
         ManifestEntry(EntryStatus.Added, snapId, seq,
-          f.copy(schemaId = m.currentSchemaId, specId = m.defaultSpecId)))
+          f.copy(schemaId = m1.currentSchemaId, specId = m1.defaultSpecId)))
       val mfs = Seq(
-        if (dataFiles.nonEmpty)
-          Some(writeManifest(table, m, m.defaultSpecId, mk(dataFiles), snapId)) else None,
+        if (dataFiles2.nonEmpty)
+          Some(writeManifest(table, m1, m1.defaultSpecId, mk(dataFiles2), snapId)) else None,
         if (deleteFiles.nonEmpty)
-          Some(writeManifest(table, m, m.defaultSpecId, mk(deleteFiles), snapId)) else None
+          Some(writeManifest(table, m1, m1.defaultSpecId, mk(deleteFiles), snapId)) else None
       ).flatten
-      buildSnapshot(table, m, "overwrite", currentManifests(table, m) ++ mfs,
+      buildSnapshot(table, m1, "overwrite", currentManifests(table, m1) ++ mfs,
         summary + ("delete-files" -> deleteFiles.size.toString))
     }
 

@@ -65,6 +65,10 @@ object ManifestAvro {
         .longType().endUnion().nullDefault()
       .name("content_size_in_bytes").`type`().unionOf().nullType().and()
         .longType().endUnion().nullDefault()
+      // row-lineage base (v3): null default keeps pre-lineage manifests
+      // readable via schema resolution
+      .name("first_row_id").`type`().unionOf().nullType().and()
+        .longType().endUnion().nullDefault()
       .endRecord()
     SchemaBuilder.record("manifest_entry").namespace("graft.manifest").fields()
       .requiredInt("status")
@@ -178,6 +182,7 @@ object ManifestAvro {
       df.put("referenced_data_file", f.referencedDataFile.orNull)
       df.put("content_offset", f.contentOffset.map(Long.box).orNull)
       df.put("content_size_in_bytes", f.contentSizeInBytes.map(Long.box).orNull)
+      df.put("first_row_id", f.firstRowId.map(Long.box).orNull)
       val rec = new GenericData.Record(entrySchema)
       rec.put("status", e.status)
       rec.put("snapshot_id", e.snapshotId)
@@ -233,6 +238,8 @@ object ManifestAvro {
           contentOffset = Option(df.get("content_offset"))
             .map(_.asInstanceOf[java.lang.Long].longValue()),
           contentSizeInBytes = Option(df.get("content_size_in_bytes"))
+            .map(_.asInstanceOf[java.lang.Long].longValue()),
+          firstRowId = Option(df.get("first_row_id"))
             .map(_.asInstanceOf[java.lang.Long].longValue())))
     }.toVector
   }

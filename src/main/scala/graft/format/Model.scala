@@ -44,7 +44,14 @@ final case class DataFile(
     // blob address so readers seek straight to it with zero extra I/O)
     referencedDataFile: Option[String] = None,
     contentOffset: Option[Long] = None,
-    contentSizeInBytes: Option[Long] = None)
+    contentSizeInBytes: Option[Long] = None,
+    // row-lineage base (iceberg v3 spec, "Row Lineage"): rows of this data
+    // file have _row_id = firstRowId + position. Assigned by the COMMIT
+    // (Commits.assignRowIds) on format-version-3 tables; None on files
+    // committed before the table reached v3 (their lineage reads NULL);
+    // Lineage.Materialized (-1) marks rewritten files that carry the
+    // lineage COLUMNS physically (compaction preserves row ids)
+    firstRowId: Option[Long] = None)
 
 /** Data-file encodings (reference api/.../FileFormat.java; puffin is the
   * iceberg-v3 deletion-vector container, past the reference's horizon). */
@@ -136,7 +143,10 @@ final case class TableMetadata(
     snapshots: Seq[Snapshot],
     snapshotLog: Seq[SnapshotLogEntry],
     refs: Map[String, SnapshotRef] = Map.empty,
-    statistics: Seq[StatisticsFile] = Nil) {
+    statistics: Seq[StatisticsFile] = Nil,
+    // next unassigned row-lineage id (iceberg v3 "next-row-id"): advanced
+    // by every commit that adds data files to a format-version-3 table
+    nextRowId: Long = 0L) {
 
   def statisticsFor(snapshotId: Long): Option[StatisticsFile] =
     statistics.find(_.snapshotId == snapshotId)
@@ -220,6 +230,7 @@ object Model {
     f.referencedDataFile.foreach(o.put("referenced-data-file", _))
     f.contentOffset.foreach(o.put("content-offset", _))
     f.contentSizeInBytes.foreach(o.put("content-size-in-bytes", _))
+    f.firstRowId.foreach(o.put("first-row-id", _))
     o
   }
 
@@ -257,7 +268,8 @@ object Model {
         .getOrElse(FileFormats.Parquet),
       referencedDataFile = Option(n.get("referenced-data-file")).map(_.asText()),
       contentOffset = optLong(n, "content-offset"),
-      contentSizeInBytes = optLong(n, "content-size-in-bytes"))
+      contentSizeInBytes = optLong(n, "content-size-in-bytes"),
+      firstRowId = optLong(n, "first-row-id"))
   }
 
   // ---- Snapshot ----
@@ -331,6 +343,8 @@ object Model {
         e.put("statistics-path", sf.path)
       }
     }
+    // absent = 0, so pre-lineage metadata round-trips byte-identical
+    if (m.nextRowId != 0L) o.put("next-row-id", m.nextRowId)
     pretty(o)
   }
 
@@ -368,7 +382,8 @@ object Model {
       statistics = Option(n.get("statistics")).filterNot(_.isNull)
         .map(elems(_).map(e => StatisticsFile(getLong(e, "snapshot-id"),
           getStr(e, "statistics-path"))).toSeq)
-        .getOrElse(Nil))
+        .getOrElse(Nil),
+      nextRowId = optLong(n, "next-row-id").getOrElse(0L))
   }
 
   // ---- Manifest (JSON lines of entries + header) ----

@@ -1,0 +1,129 @@
+package graft.connector
+
+import graft.SparkSpec
+import graft.format._
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Row lineage (iceberg v3 `_row_id` / `_last_updated_sequence_number`;
+  * [[graft.format.Lineage]]): commit-time base assignment, the DSv2 read
+  * surface (computed, stored, pre-v3-null), stability under MoR deletes,
+  * and update semantics. */
+class LineageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var wh: String = _
+
+  private def catalogTable(name: String, props: String = ""): String = {
+    if (wh == null) {
+      wh = Files.createTempDirectory("graft-lineage").toString
+      spark.conf.set("spark.sql.catalog.lin", "graft.connector.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.lin.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS lin.db")
+    }
+    spark.sql(s"""CREATE TABLE lin.db.$name (id BIGINT, v STRING)
+                  TBLPROPERTIES ('format-version'='3'$props)""")
+    s"lin.db.$name"
+  }
+
+  private def lineageOf(t: String): Map[Long, (Long, Long)] =
+    spark.sql(s"SELECT id, _row_id, _last_updated_sequence_number FROM $t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("commit assigns per-file bases; scan computes base + position") {
+    val t = catalogTable("basic")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(30)")
+    spark.sql(s"INSERT INTO $t SELECT id + 100, 'x' FROM range(20)")
+    val rows = spark.sql(
+      s"SELECT id, _row_id, _last_updated_sequence_number FROM $t").collect()
+    assert(rows.length === 50)
+    val rowIds = rows.map(_.getLong(1)).sorted
+    assert(rowIds.toSeq === (0L until 50L), "ids are dense and collision-free")
+    // second commit's rows carry the second sequence number
+    val bySeq = rows.groupBy(_.getLong(2)).view.mapValues(_.length).toMap
+    assert(bySeq === Map(1L -> 30, 2L -> 20))
+    // metadata records the advanced counter and per-file bases
+    val gt = GraftTable.load(spark, s"$wh/db/basic")
+    assert(gt.metadata.nextRowId === 50L)
+    val files = gt.newScan().planFiles().tasks.map(_.file)
+    assert(files.forall(_.firstRowId.exists(_ >= 0)))
+    assert(files.map(f => (f.firstRowId.get, f.recordCount)).sortBy(_._1)
+      .foldLeft(0L) { case (expect, (base, n)) =>
+        assert(base === expect, "bases tile the id space"); base + n
+      } === 50L)
+  }
+
+  test("MoR delete keeps surviving rows' identity") {
+    val t = catalogTable("mordel",
+      ", 'write.delete.mode'='merge-on-read'")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(40)")
+    val before = lineageOf(t)
+    spark.sql(s"DELETE FROM $t WHERE id % 4 = 1")
+    val after = lineageOf(t)
+    assert(after.keySet === before.keySet.filterNot(_ % 4 == 1))
+    after.foreach { case (id, lin) =>
+      assert(lin === before(id), s"row $id must keep its lineage")
+    }
+  }
+
+  test("MoR update: untouched rows stable, updated rows re-identified at the new sequence") {
+    val t = catalogTable("morupd",
+      ", 'write.delete.mode'='merge-on-read', 'write.merge.mode'='merge-on-read'")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(20)")
+    val before = lineageOf(t)
+    spark.sql(s"""MERGE INTO $t t USING (SELECT 3 AS id, 'X' AS v) s
+                  ON t.id = s.id
+                  WHEN MATCHED THEN UPDATE SET t.v = s.v""")
+    val after = lineageOf(t)
+    assert(after.keySet === before.keySet)
+    after.filterNot(_._1 == 3L).foreach { case (id, lin) =>
+      assert(lin === before(id), s"untouched row $id must keep its lineage")
+    }
+    // the rewritten row is a delete+insert: fresh id from the advanced
+    // counter, sequence of the MERGE commit
+    assert(after(3L)._1 >= 20L, "updated row draws a fresh id")
+    assert(after(3L)._2 > before(3L)._2, "updated row carries the new sequence")
+  }
+
+  test("rewriteDataFiles preserves row identity by materializing lineage") {
+    val t = catalogTable("compact",
+      ", 'write.delete.mode'='merge-on-read'")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(25)")
+    spark.sql(s"INSERT INTO $t SELECT id + 50, 'b' FROM range(25)")
+    spark.sql(s"DELETE FROM $t WHERE id % 5 = 2") // MoR: DVs stay live
+    val before = lineageOf(t)
+    val gt = GraftTable.load(spark, s"$wh/db/compact")
+    val res = new Actions(gt).rewriteDataFiles(minInputFiles = 2)
+    assert(res.rewrittenFiles >= 2 && res.addedFiles >= 1)
+    // outputs are marked materialized; live deletes were applied in-flight
+    val files = GraftTable.load(spark, s"$wh/db/compact")
+      .newScan().planFiles().tasks.map(_.file)
+    assert(files.forall(_.firstRowId.contains(Lineage.Materialized)))
+    val after = lineageOf(t)
+    assert(after === before, "compaction must not change any row's lineage")
+    // a SECOND compaction round reads the stored columns back unchanged
+    spark.sql(s"INSERT INTO $t SELECT id + 200, 'c' FROM range(5)")
+    val before2 = lineageOf(t)
+    new Actions(GraftTable.load(spark, s"$wh/db/compact"))
+      .rewriteDataFiles(minInputFiles = 2)
+    assert(lineageOf(t) === before2, "stored lineage copies through")
+  }
+
+  test("pre-v3 files read NULL lineage; files committed after the upgrade read values") {
+    catalogTable("up0") // ensure the catalog exists
+    spark.sql("CREATE TABLE lin.db.up (id BIGINT, v STRING)") // v2 default
+    spark.sql("INSERT INTO lin.db.up SELECT id, concat('v', id) FROM range(10)")
+    spark.sql("ALTER TABLE lin.db.up SET TBLPROPERTIES ('format-version'='3')")
+    spark.sql("INSERT INTO lin.db.up SELECT id + 100, 'n' FROM range(5)")
+    val rows = spark.sql(
+      "SELECT id, _row_id, _last_updated_sequence_number FROM lin.db.up")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else Long.box(r.getLong(1)),
+        if (r.isNullAt(2)) null else Long.box(r.getLong(2))))
+    val (oldRows, newRows) = rows.partition(_._1 < 100L)
+    assert(oldRows.length === 10 && oldRows.forall(r => r._2 == null && r._3 == null),
+      "pre-v3 rows read NULL lineage")
+    assert(newRows.length === 5 && newRows.forall(r => r._2 != null && r._3 != null))
+    assert(newRows.map(_._2.longValue).sorted.toSeq === (0L until 5L))
+  }
+}
