@@ -454,6 +454,61 @@ object FormatQueries {
                FROM customer_changes GROUP BY 1 ORDER BY 1""")
     }),
 
+    // changelog net_changes: over (insert evens, insert odds, delete the
+    // %5 keys) the net view shows each SURVIVOR exactly once as INSERT —
+    // keys born and deleted inside the range leave no trace
+    "q108_net_changes" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftnet", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftnet.warehouse", tdir(dir, "netwh"))
+      withTable(s, dir, "netwh/db/customer_net") { loc =>
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val tt = GraftTable.recreate(s, loc, c.schema)
+        GraftWrite.append(tt, c.filter(col("c_custkey") % 2 === 0).coalesce(2))
+        GraftWrite.append(GraftTable.load(s, loc),
+          c.filter(col("c_custkey") % 2 === 1).coalesce(2))
+        s.sql("DELETE FROM graftnet.db.customer_net WHERE c_custkey % 5 = 0")
+        GraftTable.load(s, loc)
+      }
+      s.sql("""CALL graftnet.system.create_changelog_view(
+                 table => 'db.customer_net',
+                 changelog_view => 'customer_net_changes',
+                 net_changes => true)""")
+      s.sql("""SELECT _change_type AS change_type, c_mktsegment AS seg,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+               FROM customer_net_changes GROUP BY 1, 2 ORDER BY 1, 2""")
+    }),
+
+    // nested initial defaults (iceberg v3): a struct field added with a
+    // default backfills old generations, and compaction MATERIALIZES the
+    // value physically (the output claims the current schema)
+    "q107_nested_defaults" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftnd", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftnd.warehouse", tdir(dir, "ndwh"))
+      withTable(s, dir, "ndwh/db/customer_nested") { loc =>
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val withInfo = c.withColumn("c_info",
+          struct(col("c_mktsegment").as("seg")))
+        val tt = GraftTable.recreate(s, loc, withInfo.schema,
+          properties = Map("format-version" -> "3"))
+        GraftWrite.append(tt,
+          withInfo.filter(col("c_custkey") % 2 === 0).coalesce(2))
+        SchemaUpdate(GraftTable.load(s, loc))
+          .addColumn("c_info.pri", StringType, initialDefault = Some("std"))
+          .commit()
+        val gen2 = c.filter(col("c_custkey") % 2 === 1).withColumn("c_info",
+          struct(col("c_mktsegment").as("seg"), lit("plus").as("pri")))
+        GraftWrite.append(GraftTable.load(s, loc), gen2.coalesce(2))
+        // compaction must materialize the backfill physically
+        Actions.forTable(GraftTable.load(s, loc))
+          .rewriteDataFiles(minInputFiles = 1)
+        GraftTable.load(s, loc)
+      }
+      s.sql("""SELECT c_info.pri AS pri, c_info.seg AS seg, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+               FROM graftnd.db.customer_nested GROUP BY 1, 2 ORDER BY 1, 2""")
+    }),
+
     // row lineage (iceberg v3): a single sorted data file pins _row_id =
     // rank-1 deterministically; a MoR UPDATE masks old rows with DVs and
     // re-inserts them with fresh ids from the advanced next-row-id counter
@@ -1002,6 +1057,18 @@ object FormatQueries {
         |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE)
         |FROM customer WHERE c_acctbal < 0
         |ORDER BY 1""".stripMargin,
+
+    "q108_net_changes" ->
+      """SELECT 'INSERT' AS change_type, c_mktsegment AS seg, COUNT(*) AS n,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE c_custkey % 5 <> 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q107_nested_defaults" ->
+      """SELECT CASE WHEN c_custkey % 2 = 0 THEN 'std' ELSE 'plus' END AS pri,
+        |c_mktsegment AS seg, COUNT(*) AS n,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q106_row_lineage" ->
       """WITH ranked AS (

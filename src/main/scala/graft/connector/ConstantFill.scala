@@ -15,9 +15,14 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   * value.
   *
   * `fills`: (physical ordinal in the group's read row, clean data type,
-  * CATALYST default value). */
+  * CATALYST default value). `nested`: struct-NESTED defaulted fields this
+  * generation predates — (top ordinal, field-index path inside the struct,
+  * value); applied on the ROW path only (a constant inside a non-constant
+  * struct has no columnar shortcut), so groups with nested fills drop the
+  * scan to rows. */
 final case class FillConfig(types: Seq[DataType],
-    fills: Seq[(Int, DataType, Any)]) extends Serializable
+    fills: Seq[(Int, DataType, Any)],
+    nested: Seq[(Int, Seq[Int], Any)] = Nil) extends Serializable
 
 /** Columnar: replace the null vectors with constant vectors — zero per-row
   * work, and the batch stays columnar (no repack). */
@@ -61,6 +66,12 @@ final class ConstantFillRowReader(
       i += 1
     }
     cfg.fills.foreach { case (ord, _, v) => out.update(ord, v) }
+    cfg.nested.foreach { case (ord, path, v) =>
+      val st = cfg.types(ord).asInstanceOf[StructType]
+      if (!row.isNullAt(ord))
+        out.update(ord,
+          graft.format.Defaults.fillStruct(row.getStruct(ord, st.length), st, path, v))
+    }
     current = out
     true
   }

@@ -323,12 +323,29 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     val metaLuseq = requested.fieldNames.contains(Lineage.LastUpdatedColumn) &&
       !clean.fieldNames.contains(Lineage.LastUpdatedColumn)
     val metaLineage = metaRowId || metaLuseq
-    val read = if (!metaFile && !metaPos && !metaLineage) requested
+    val read0 = if (!metaFile && !metaPos && !metaLineage) requested
       else StructType(requested.fields.filterNot(f =>
         f.name == GraftSparkTable.FileColumn ||
         f.name == GraftSparkTable.PosColumn ||
         f.name == Lineage.RowIdColumn ||
         f.name == Lineage.LastUpdatedColumn))
+    // structs carrying NESTED initial defaults read UN-pruned: a scan that
+    // requests only the absent (defaulted) child gets a null struct from
+    // the file source — parent null-ness would be unobservable, and the
+    // backfill could not distinguish "parent null" from "child missing"
+    def hasNestedDefault(dt: DataType): Boolean = dt match {
+      case s: StructType => s.fields.exists(f =>
+        f.metadata.contains(Defaults.Key) || hasNestedDefault(f.dataType))
+      case _ => false
+    }
+    val read = StructType(read0.fields.map { f =>
+      FieldIds.nameToId(schema).get(f.name)
+        .flatMap(FieldIds.findById(schema, _)) match {
+        case Some(tf) if hasNestedDefault(tf.dataType) =>
+          f.copy(dataType = Types.cleanType(tf.dataType))
+        case _ => f
+      }
+    })
 
     // re-attach field ids to a (possibly nested-pruned) clean type by name
     // against the id-bearing scan schema, so nested id resolution works on
@@ -614,6 +631,7 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
         // (ordinal in the physical read row, clean type, catalyst value) —
         // applied by a reader wrapper UNDER the delete filters
         val fileIdSet = fileSchema.fields.map(FieldIds.idOf).toSet
+        val allFileIds = FieldIds.allIds(fileSchema)
         val fills: Option[FillConfig] = {
           val fs = wideTarget.fields.toSeq.zipWithIndex.flatMap { case (f, ord) =>
             FieldIds.nameToId(schema).get(f.name)
@@ -624,13 +642,29 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
                 (ord, ct, Values.toCatalyst(v, ct))
               })
           }
-          if (fs.isEmpty) None
+          // struct-nested defaults this generation predates: the COLUMN
+          // exists in the file, the defaulted descendant doesn't. Path
+          // indices are computed over the pruned-with-ids target type —
+          // the same field order the physical struct carries (fileSideType
+          // keeps target order)
+          val nested = wideTarget.fields.toSeq.zipWithIndex.flatMap {
+            case (f, ord) if f.dataType.isInstanceOf[StructType] =>
+              FieldIds.nameToId(schema).get(f.name)
+                .flatMap(FieldIds.findById(schema, _))
+                .filter(tf => fileIdSet.contains(FieldIds.idOf(tf))).toSeq
+                .flatMap { tf =>
+                  Defaults.nestedFills(resolveIds(f.dataType, tf.dataType),
+                    allFileIds).map { case (path, _, v) => (ord, path, v) }
+                }
+            case _ => Nil
+          }
+          if (fs.isEmpty && nested.isEmpty) None
           else Some(FillConfig(
             wideTarget.fields.map(_.dataType).toSeq ++
               (if (needRowIdx) Seq(LongType) else Nil) ++
               (if (lineageStored) Seq(LongType, LongType) else Nil) ++
               (if (metaFile) Seq(StringType) else Nil),
-            fs))
+            fs, nested))
         }
         // lineage projection config: the wrapper reader turns the group's
         // INTERMEDIATE layout [data..., rowIdx?, stored?, constants...]
@@ -1015,7 +1049,10 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
         groupDeletes(i).forall(ColumnarDeletes.supports) &&
         // lineage scans run on the row path: the wrapper projection is a
         // row transform (lineage queries are audit-grade, not hot-path)
-        groupLineages(i).isEmpty
+        groupLineages(i).isEmpty &&
+        // nested default fills rewrite struct values per row — no columnar
+        // constant-vector shortcut exists inside a non-constant struct
+        groupFills(i).forall(_.nested.isEmpty)
     }
 
     override def planInputPartitions(): Array[InputPartition] = keyedParts.getOrElse {

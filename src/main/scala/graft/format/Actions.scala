@@ -37,6 +37,11 @@ object Actions {
       // (imported hive layouts) — materialized into the rewritten file so
       // the output is complete under the current schema
       fill: Seq[(Int, Any)] = Nil,
+      // struct-nested initial defaults the input generation predates:
+      // (top ordinal, field-index path, value) — materialized on rewrite
+      // because the output claims the current schema (a physically-present
+      // null would otherwise stop the metadata backfill from applying)
+      nestedFill: Seq[(Int, Seq[Int], Any)] = Nil,
       // per-input-file encodings (aligned with paths) + the output encoding:
       // compaction reads any format and writes the table's current
       // write.format.default, so it doubles as a format-migration action
@@ -193,6 +198,16 @@ final class Actions(t: GraftTable) {
             .orElse(Defaults.of(f).map(v =>
               ord -> Values.toCatalyst(v, Types.cleanType(f.dataType))))
         }
+      val allFileIds = FieldIds.allIds(fileSchema)
+      val nestedFill: Seq[(Int, Seq[Int], Any)] =
+        schema.fields.toSeq.zipWithIndex.flatMap {
+          case (f, ord) if f.dataType.isInstanceOf[
+              org.apache.spark.sql.types.StructType] &&
+              fileIds.contains(FieldIds.idOf(f)) =>
+            Defaults.nestedFills(f.dataType, allFileIds)
+              .map { case (p, _, v) => (ord, p, v) }
+          case _ => Nil
+        }
       val seqByPath = tasks.map(ts => ts.file.path -> ts.sequenceNumber).toMap
       val fmtByPath = tasks.map(ts => ts.file.path -> ts.file.fileFormat).toMap
       val linByPath: Map[String, Long] = tasks.map(ts =>
@@ -213,7 +228,8 @@ final class Actions(t: GraftTable) {
       bins.filter(b => b.size >= minInputFiles || pressured(b)).foreach { bin =>
         binTasks += BinTask(binId, bin, bin.map(seqByPath), readSchema,
           f"$staging/bin-$binId%05d.$outFormat",
-          posDeletePaths, posDvs, eqDeletes, fill, bin.map(fmtByPath), outFormat,
+          posDeletePaths, posDvs, eqDeletes, fill, nestedFill,
+          bin.map(fmtByPath), outFormat,
           lineage = if (lineageOn) bin.map(linByPath) else Nil)
         binMeta(binId) = (partition, schemaId, tasks.head.file.specId)
         binId += 1
@@ -260,7 +276,8 @@ final class Actions(t: GraftTable) {
             // into the trailing columns; -1 copies the input's stored
             // columns through; -2 (pre-v3) leaves them null
             val linBase = if (bt.lineage.isEmpty) -2L else bt.lineage(k)
-            val rewrite = bt.fill.nonEmpty || linBase >= 0
+            val rewrite =
+              bt.fill.nonEmpty || bt.nestedFill.nonEmpty || linBase >= 0
             var idx = -1L // sequential full-file read ⇒ counter = row index
             DataFileIO.readAll(p, fmt, bt.readSchema, conf) { row =>
               idx += 1
@@ -283,6 +300,12 @@ final class Actions(t: GraftTable) {
                     c += 1
                   }
                   bt.fill.foreach { case (ord, v) => out.update(ord, v) }
+                  bt.nestedFill.foreach { case (ord, path, v) =>
+                    val st = bt.readSchema(ord).dataType
+                      .asInstanceOf[org.apache.spark.sql.types.StructType]
+                    if (!out.isNullAt(ord)) out.update(ord,
+                      Defaults.fillStruct(out.getStruct(ord, st.length), st, path, v))
+                  }
                   if (linBase >= 0) {
                     out.update(bt.readSchema.length - 2, linBase + idx)
                     out.update(bt.readSchema.length - 1, fileSeq)

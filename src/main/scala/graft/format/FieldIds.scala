@@ -69,6 +69,21 @@ object FieldIds {
   def findById(st: StructType, id: Int): Option[StructField] =
     st.fields.find(f => idOf(f) == id)
 
+  /** Every id across all id-bearing struct levels (nested evolution needs
+    * "which fields does this file GENERATION know" at full depth). */
+  def allIds(st: StructType): Set[Int] = {
+    val b = Set.newBuilder[Int]
+    def walk(s: StructType): Unit = s.fields.foreach { f =>
+      if (f.metadata.contains(Key)) b += idOf(f)
+      f.dataType match {
+        case inner: StructType if structHasIds(inner) => walk(inner)
+        case _ => ()
+      }
+    }
+    walk(st)
+    b.result()
+  }
+
   def idToName(st: StructType): Map[Int, String] =
     st.fields.map(f => idOf(f) -> f.name).toMap
 

@@ -381,7 +381,15 @@ final class TableScan private[format] (
           byId.get(FieldIds.idOf(tf)) match {
             case Some(ff) =>
               alignCol(src.getField(ff.name), ff.dataType, tf.dataType).as(tf.name)
-            case None => lit(null).cast(Types.cleanType(tf.dataType)).as(tf.name)
+            case None =>
+              // nested add: its initial default backfills (iceberg v3);
+              // absent default reads null
+              Defaults.of(tf) match {
+                case Some(v) =>
+                  Values.toLiteral(v, Types.cleanType(tf.dataType)).as(tf.name)
+                case None =>
+                  lit(null).cast(Types.cleanType(tf.dataType)).as(tf.name)
+              }
           }
         }
         // struct() of nulls is a non-null struct — preserve struct-level nulls

@@ -55,8 +55,9 @@ final case class SchemaUpdate(table: GraftTable) {
       initialDefault: Option[Any] = None): SchemaUpdate = {
     val path = split(name)
     initialDefault.foreach { _ =>
-      require(path.init.isEmpty,
-        "initial defaults are supported on top-level columns only")
+      // nested defaults are allowed — the dotted path can only descend
+      // STRUCTS (atPath refuses arrays/maps), which is exactly the shape
+      // where a per-row backfill is unambiguous
       require(!dt.isInstanceOf[StructType] &&
         !dt.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
         !dt.isInstanceOf[org.apache.spark.sql.types.MapType],

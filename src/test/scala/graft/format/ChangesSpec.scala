@@ -142,6 +142,26 @@ class ChangesSpec extends SparkSpec {
       Seq(0L, 1L, 2L, 4L, 5L))
   }
 
+  test("net: a key inserted then deleted inside the range disappears") {
+    val t = fresh("netrange", docs(0 until 0))
+    GraftWrite.append(t, docs(0 until 4).coalesce(1))  // commit 1
+    GraftWrite.append(t, docs(4 until 8).coalesce(1))  // commit 2
+    Deletes.deleteWhere(t, Exprs.equal("id", 5L))       // commit 3 (CoW)
+    // the WHOLE range: id 5 was born and died inside it — it must leave
+    // no trace, while every other id nets to exactly one INSERT
+    val full = Changes.net(Changes.between(t))
+      .select(col("id"), col(Changes.ChangeType)).as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    assert(full === (0L until 8L).filterNot(_ == 5L).map(_ -> "INSERT"))
+    // a SUB-range that excludes the birth commit still reports the delete
+    // (and the CoW rewrite's carryover churn nets to nothing)
+    val tail = Changes.net(Changes.between(t,
+        from = Some(t.snapshots(1).snapshotId)))
+      .select(col("id"), col(Changes.ChangeType)).as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    assert(tail === Seq((5L, "DELETE")))
+  }
+
   test("removeCarryovers cancels copy-on-write rewrite churn per commit") {
     val t = fresh("carry", docs(0 until 0))
     GraftWrite.append(t, docs(0 until 6).coalesce(1))

@@ -35,8 +35,6 @@ class DefaultsSpec extends SparkSpec {
     assert(rows.drop(10).forall(r => r._2 == "gold" && r._3 == 99L))
     // defaults are refused where they cannot be honored
     intercept[IllegalArgumentException](SchemaUpdate(t)
-      .addColumn("info.x", LongType, initialDefault = Some(1L)))
-    intercept[IllegalArgumentException](SchemaUpdate(t)
       .addColumn("s", StructType(Seq(StructField("a", LongType))),
         initialDefault = Some(1L)))
     intercept[IllegalArgumentException](SchemaUpdate(t)
@@ -47,6 +45,59 @@ class DefaultsSpec extends SparkSpec {
     GraftWrite.append(v2, df.coalesce(1))
     intercept[IllegalArgumentException](SchemaUpdate(v2)
       .addColumn("tier", StringType, initialDefault = Some("basic")).commit())
+  }
+
+  test("nested initial defaults backfill struct fields across every surface") {
+    val df = (0L until 8L).map(i => (i, s"v$i")).toDF("id", "v")
+      .withColumn("info", when(col("id") =!= 7L, struct(col("v").as("tag"))))
+    val t = GraftTable.create(spark, freshLoc("defnest"), df.schema,
+      properties = Map("format-version" -> "3"))
+    GraftWrite.append(t, df.coalesce(1)) // generation 1: info = {tag}
+    SchemaUpdate(t)
+      .addColumn("info.pri", StringType, initialDefault = Some("std"))
+      .commit()
+    val gen2 = (10L until 13L).map(i => (i, s"v$i")).toDF("id", "v")
+      .withColumn("info", struct(col("v").as("tag"), lit("high").as("pri")))
+    GraftWrite.append(t, gen2.coalesce(1))
+    def check(rows: Seq[(Long, String)], surface: String): Unit = {
+      val byId = rows.toMap
+      (0L until 7L).foreach(i => assert(byId(i) == "std", s"$surface: row $i backfills"))
+      assert(byId(7L) == null, s"$surface: null parent struct stays null")
+      (10L until 13L).foreach(i => assert(byId(i) == "high", s"$surface: row $i stores"))
+    }
+    // library surface
+    check(t.toDF().select(col("id"), col("info.pri")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toSeq,
+      "library")
+    // DSv2 SQL surface
+    val wh = Files.createTempDirectory("graft-defnwh").toString
+    spark.conf.set("spark.sql.catalog.gnest", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gnest.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gnest.db")
+    spark.sql("CREATE TABLE gnest.db.t (id BIGINT, v STRING, " +
+      "info STRUCT<tag: STRING>) TBLPROPERTIES ('format-version'='3')")
+    val ct = GraftTable.load(spark, s"$wh/db/t")
+    GraftWrite.append(ct, df.coalesce(1))
+    SchemaUpdate(ct)
+      .addColumn("info.pri", StringType, initialDefault = Some("std"))
+      .commit()
+    GraftWrite.append(GraftTable.load(spark, s"$wh/db/t"), gen2.coalesce(1))
+    check(spark.sql("SELECT id, info.pri FROM gnest.db.t").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toSeq,
+      "dsv2")
+    // compaction MATERIALIZES the nested default (the output claims the
+    // current schema, so the backfill must become physical)
+    // each generation is its own single-file group — compact them all
+    new Actions(GraftTable.load(spark, s"$wh/db/t")).rewriteDataFiles(minInputFiles = 1)
+    val t2 = GraftTable.load(spark, s"$wh/db/t")
+    check(spark.sql("SELECT id, info.pri FROM gnest.db.t").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toSeq,
+      "post-compaction")
+    val physical = spark.read.parquet(
+      t2.newScan().planFiles().tasks.map(_.file.path): _*)
+      .select(col("id"), col("info.pri")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+    check(physical.toSeq, "physical")
   }
 
   test("DSv2 SQL reads backfill vectorized, compose with DVs, and survive compaction") {
