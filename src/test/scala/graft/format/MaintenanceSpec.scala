@@ -589,6 +589,72 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.toDF().select("id").as[Long].collect().sorted.toSeq == before)
   }
 
+  test("steady-state CDC lifecycle: 100 upsert commits converge under maintenance") {
+    // the long-lived streaming-upsert table, end to end: 100 RowDelta
+    // epochs (the exact commit shape the upsert sink produces — data file
+    // + equality-delete file per epoch), then the standard maintenance
+    // pair. Convergence contract: ZERO live equality deletes, at most one
+    // DV per data file, unchanged query answers, and a bounded plan.
+    val df0 = Seq((0L, 0L)).toDF("id", "epoch")
+    val t = GraftTable.create(spark, freshLoc("cdclife"), df0.schema,
+      properties = Map("format-version" -> "3")) // DV mode
+    val keys = 25
+    val epochs = 100
+    (0 until epochs).foreach { e =>
+      // each epoch upserts 5 rotating keys — every key is rewritten ~20x
+      val batch = (0 until 5).map(i => (((e * 5 + i) % keys).toLong, e.toLong))
+        .toDF("id", "epoch").coalesce(1)
+      val dataFiles = GraftWrite.writeFiles(t, batch)
+      val delFiles = Deletes.stageEqualityDeletes(t, batch.select("id"))
+      Commits.rowDelta(t, dataFiles, delFiles)
+    }
+    def expected: Map[Long, Long] = (0 until epochs).flatMap(e =>
+      (0 until 5).map(i => ((e * 5 + i) % keys).toLong -> e.toLong)).toMap
+    def state(): Map[Long, Long] = {
+      // newest epoch wins per key — the upsert contract
+      t.toDF().groupBy("id").agg(max("epoch").as("epoch"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val plan0 = t.newScan().planFiles()
+    val eq0 = plan0.deleteFiles.count(_._1.content == FileContent.EqualityDeletes)
+    assert(eq0 >= epochs - 1, "one live eq-delete set per epoch pre-maintenance")
+    val want = expected
+    assert(state() === want)
+
+    // maintenance pass 1: every eq delete becomes a positional mask
+    val conv = Actions.forTable(t).rewriteEqualityDeletes()
+    assert(conv.rewrittenFiles === eq0)
+    val plan1 = t.newScan().planFiles()
+    assert(plan1.deleteFiles.forall(_._1.content == FileContent.PositionDeletes),
+      "zero live equality deletes after conversion")
+    assert(state() === want)
+
+    // maintenance pass 2: DVs merge to ONE per data file
+    Actions.forTable(t).rewritePositionDeletes()
+    val plan2 = t.newScan().planFiles()
+    val dvPerFile = plan2.deleteFiles.map(_._1)
+      .filter(_.content == FileContent.PositionDeletes)
+      .groupBy(_.referencedDataFile)
+    assert(dvPerFile.forall(_._2.size == 1),
+      s"one DV per data file, got ${dvPerFile.view.mapValues(_.size).toMap}")
+    assert(plan2.deleteFiles.size <= plan2.tasks.size,
+      "bounded plan: no more delete entries than data files")
+    assert(state() === want)
+
+    // optional final compaction: the table returns to a delete-free,
+    // few-file steady state with row lineage preserved
+    Actions.forTable(t).rewriteDataFiles(
+      targetSizeBytes = 512L * 1024 * 1024, minInputFiles = 2)
+    val plan3 = t.newScan().planFiles()
+    assert(plan3.deleteFiles.isEmpty, "compaction retires every delete")
+    assert(plan3.tasks.size < 5, s"compacted to few files: ${plan3.tasks.size}")
+    assert(state() === want)
+    info(s"epochs=$epochs keys=$keys | pre: files=${plan0.tasks.size} " +
+      s"eqDeletes=$eq0 | post-convert: deletes=${plan1.deleteFiles.size} | " +
+      s"post-merge: deletes=${plan2.deleteFiles.size} | " +
+      s"post-compaction: files=${plan3.tasks.size} deletes=0")
+  }
+
   test("rewriteEqualityDeletes drops eq deletes older than all live data") {
     val loc = freshLoc("eq2posold")
     val t = GraftTable.create(spark, loc, rows(2).schema)
