@@ -449,7 +449,11 @@ final class Actions(t: GraftTable) {
     // a FRESH unfiltered one, so no residual row filter can drop rows
     val plan = t.newScan().filter(filter).planFiles()
     if (plan.tasks.isEmpty) return RewriteResult(0, 0)
-    val df = t.newScan().dfFor(plan)
+    // v3 row lineage: clustered rewrites preserve row identity the same
+    // way bin-pack compaction does — read the lineage columns through the
+    // library scan and MATERIALIZE them into the sorted outputs
+    val lineageOn = Lineage.enabled(m)
+    val df = t.newScan().dfFor(plan, withLineage = lineageOn)
     // cluster by partition first so fanout writers see contiguous runs
     val rangeCols =
       if (m.spec.isPartitioned)
@@ -460,7 +464,7 @@ final class Actions(t: GraftTable) {
     val arranged = df
       .repartitionByRange(n, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
-    val newFiles = GraftWrite.writeFiles(t, arranged)
+    val newFiles = GraftWrite.writeFiles(t, arranged, lineage = lineageOn)
     val hygienePlan = if (filter == AlwaysTrue) plan else t.newScan().planFiles()
     commitRewriteWithHygiene(hygienePlan, plan.tasks.map(_.file.path).toSet,
       newFiles, baseSnapshot)

@@ -173,17 +173,43 @@ final class TableScan private[format] (
     * SparkScanBuilder.java:121-123). */
   def toDF(): DataFrame = dfFor(planFiles())
 
+  /** Table rows plus the v3 row-lineage columns `_row_id` /
+    * `_last_updated_sequence_number` ([[Lineage]]) — the library twin of
+    * the DSv2 metadata columns. Computed files derive base + position
+    * (parquet via `_metadata.row_index`, ORC/Avro via the row-path
+    * counter readers), compacted files read their stored columns, pre-v3
+    * files read NULL. Also the input for lineage-preserving clustered
+    * rewrites (Actions.rewriteSorted / rewriteZOrdered). */
+  def lineageDF(): DataFrame = dfFor(planFiles(), withLineage = true)
+
   /** Materialize an EXPLICIT plan (used by toDF and by the streaming
     * source's file-sliced micro-batches, which select a file subset of an
     * append range). */
-  private[format] def dfFor(plan: ScanPlan): DataFrame = {
+  private[format] def dfFor(plan: ScanPlan,
+      withLineage: Boolean = false): DataFrame = {
     val spark = table.spark
     val m = meta
     val schema = scanSchema
+    val linCols = Seq(
+      StructField(Lineage.RowIdColumn, LongType, nullable = true),
+      StructField(Lineage.LastUpdatedColumn, LongType, nullable = true))
     if (plan.tasks.isEmpty) {
+      val base = projectedSchema(schema)
       return spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), projectedSchema(schema))
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        if (withLineage) StructType(base.fields ++ linCols) else base)
     }
+    // per-file lineage constants (metadata-only): canonical path →
+    // (first_row_id base, data sequence number); absent for stored/pre-v3
+    lazy val linInfo: Map[String, (Long, Long)] =
+      plan.tasks.flatMap(ts => ts.file.firstRowId match {
+        case Some(b) if b >= 0 =>
+          Some(ParquetIO.canonPath(ts.file.path) -> (b, ts.sequenceNumber))
+        case _ => None
+      }).toMap
+    lazy val rowIdOf = udf((f: String, p: Long) => linInfo.get(f).map(i => i._1 + p))
+    lazy val seqOf = udf((f: String) => linInfo.get(f).map(_._2))
+    lazy val canonOf = udf((s: String) => ParquetIO.canonPath(s))
 
     val eqDeletes = plan.deleteFiles.filter(_._1.content == FileContent.EqualityDeletes)
     val posDeletes = plan.deleteFiles.filter(_._1.content == FileContent.PositionDeletes)
@@ -204,14 +230,27 @@ final class TableScan private[format] (
     // embedded a 100k-entry literal map in every equality-delete read)
     val grouped = plan.tasks.groupBy(t =>
       (t.file.schemaId, if (eqDeletes.isEmpty) 0L else t.sequenceNumber,
-        t.file.fileFormat))
-    val parts = grouped.toSeq.sortBy(_._1).flatMap { case ((schemaId, seq, fmt), tasks) =>
+        t.file.fileFormat,
+        // lineage splits groups by read strategy, like the DSv2 path:
+        // 1 = computed (base + position), 2 = stored columns, 0 = null
+        if (!withLineage) 0
+        else Lineage.modeOf(t.file, t.sequenceNumber) match {
+          case _: Lineage.Computed => 1
+          case Lineage.Stored => 2
+          case Lineage.Absent => 0
+        }))
+    val parts = grouped.toSeq.sortBy(_._1).flatMap {
+      case ((schemaId, seq, fmt, linKind), tasks) =>
       val fileSchema = m.schemas.getOrElse(schemaId, schema)
       val groupPos = posDeletes.nonEmpty && (fmt match {
         case FileFormats.Parquet => true // row-index column is free
         case _ => tasks.exists(t => // orc/avro: only targeted groups pay
           posTargets.contains(ParquetIO.canonPath(t.file.path)))
       })
+      // computed-lineage ORC/Avro groups need row positions even without
+      // live position deletes
+      val posRead = groupPos ||
+        (withLineage && linKind == 1 && fmt != FileFormats.Parquet)
       // parquet/orc read through a metadata-fed FileIndex (HadoopFsRelation
       // over GraftFileIndex, the same index the DSv2 and streaming paths
       // use): spark.read.parquet(paths) existence-checks every root path on
@@ -232,24 +271,34 @@ final class TableScan private[format] (
             StructType(Nil), clean, None, fileFormat, Map.empty)(spark))
       }
       def readTasks(ts: Seq[FileScanTask]): DataFrame = {
-        val clean = stripIds(fileSchema)
+        // stored-lineage files (compaction outputs) physically carry the
+        // two lineage columns — read them like data columns, kept through
+        // the alignment projection
+        val linRead = withLineage && linKind == 2
+        val clean = StructType(stripIds(fileSchema).fields ++
+          (if (linRead) linCols else Nil))
+        val linKeep =
+          if (linRead) Seq(Lineage.RowIdColumn, Lineage.LastUpdatedColumn)
+          else Nil
         fmt match {
-          case FileFormats.Orc if groupPos =>
+          case FileFormats.Orc if posRead =>
             // row-path read carrying (_g_file, _g_pos) — kept through the
             // alignment projection for the position anti-join below
             alignToSchema(readOrcWithPos(spark, ts.map(_.file.path), clean),
-              fileSchema, schema, keep = Seq("_g_file", "_g_pos"))
+              fileSchema, schema, keep = Seq("_g_file", "_g_pos") ++ linKeep)
           case FileFormats.Orc =>
-            alignToSchema(readIndexed(ts.map(_.file), clean), fileSchema, schema)
-          case FileFormats.Avro if groupPos =>
+            alignToSchema(readIndexed(ts.map(_.file), clean), fileSchema,
+              schema, keep = linKeep)
+          case FileFormats.Avro if posRead =>
             alignToSchema(readAvroWithPos(spark, ts.map(_.file.path), clean),
-              fileSchema, schema, keep = Seq("_g_file", "_g_pos"))
+              fileSchema, schema, keep = Seq("_g_file", "_g_pos") ++ linKeep)
           case FileFormats.Avro =>
             alignToSchema(readAvro(spark,
               ts.map(t => t.file.path -> t.file.fileSizeInBytes), clean),
-              fileSchema, schema)
+              fileSchema, schema, keep = linKeep)
           case _ =>
-            alignToSchema(readIndexed(ts.map(_.file), clean), fileSchema, schema)
+            alignToSchema(readIndexed(ts.map(_.file), clean), fileSchema,
+              schema, keep = linKeep)
         }
       }
       // identity-partition source columns absent from the FILES (imported
@@ -281,10 +330,32 @@ final class TableScan private[format] (
       // resolve above joins/unions): positions first, then only the
       // equality sets NEWER than this group's files
       subs.map { df0 =>
+        // lineage attaches BEFORE the delete anti-joins (`_metadata` does
+        // not resolve above a join); values are per-row facts, so dead
+        // rows simply drop afterwards and survivors keep their identity
+        val withLin =
+          if (!withLineage) df0
+          else linKind match {
+            case 1 if fmt == FileFormats.Parquet =>
+              val cf = canonOf(col("_metadata.file_path"))
+              df0.withColumn(Lineage.RowIdColumn,
+                  rowIdOf(cf, col("_metadata.row_index")))
+                .withColumn(Lineage.LastUpdatedColumn, seqOf(cf))
+            case 1 =>
+              // _g_file is already canonical in the row-path readers
+              val base = df0.withColumn(Lineage.RowIdColumn,
+                  rowIdOf(col("_g_file"), col("_g_pos")))
+                .withColumn(Lineage.LastUpdatedColumn, seqOf(col("_g_file")))
+              if (groupPos) base else base.drop("_g_file", "_g_pos")
+            case 2 => df0 // stored columns already read
+            case _ => df0
+              .withColumn(Lineage.RowIdColumn, lit(null).cast(LongType))
+              .withColumn(Lineage.LastUpdatedColumn, lit(null).cast(LongType))
+          }
         val posApplied =
-          if (!groupPos) df0
-          else if (fmt == FileFormats.Parquet) applyPosDeletes(df0, posDeletes)
-          else antiJoinPositions(df0, posDeletes) // orc/avro row-path reads
+          if (!groupPos) withLin
+          else if (fmt == FileFormats.Parquet) applyPosDeletes(withLin, posDeletes)
+          else antiJoinPositions(withLin, posDeletes) // orc/avro row-path reads
         applyEqDeletes(posApplied, eqDeletes.filter(_._2 > seq), schema)
       }
     }

@@ -29,7 +29,8 @@ object GraftWrite {
     * FileFormatWriter (vectorized, partitionBy fanout); Avro — which Spark
     * itself has no built-in writer for — runs as one executor job over the
     * same fanout writers the DSv2 path uses (AvroIO container files). */
-  def writeFiles(table: GraftTable, df: DataFrame): Seq[DataFile] = {
+  def writeFiles(table: GraftTable, df: DataFrame,
+      lineage: Boolean = false): Seq[DataFile] = {
     val m = table.metadata
     val schema = m.schema
     val spec = m.spec
@@ -38,9 +39,17 @@ object GraftWrite {
     // tables get a hash-prefixed key)
     val staging = table.locations.newDataLocation(UUID.randomUUID().toString)
 
-    // align df columns to the table schema (names must match; types cast)
+    // align df columns to the table schema (names must match; types cast);
+    // lineage-preserving rewrites additionally carry the two row-lineage
+    // columns through to the physical files (Lineage.Stored outputs)
     val aligned = df.select(schema.fields.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      col(f.name).cast(f.dataType).as(f.name)).toSeq ++
+      (if (lineage) Seq(
+        col(Lineage.RowIdColumn).cast(org.apache.spark.sql.types.LongType)
+          .as(Lineage.RowIdColumn),
+        col(Lineage.LastUpdatedColumn).cast(org.apache.spark.sql.types.LongType)
+          .as(Lineage.LastUpdatedColumn))
+      else Nil): _*)
 
     // INT96 (Spark's legacy default) has no usable footer stats; micros is
     // also what the canonical value model assumes (SURVEY §7.4 item 4)
@@ -60,7 +69,8 @@ object GraftWrite {
       case _ => aligned
     }
 
-    if (fmt == FileFormats.Avro) return writeAvro(table, sorted, staging)
+    if (fmt == FileFormats.Avro)
+      return writeAvro(table, sorted, staging, lineage)
 
     // Spark's writer honors the same table-property codec choice; the
     // value is already CANONICAL (DataFileIO.compressionOf), so both write
@@ -81,14 +91,16 @@ object GraftWrite {
     } else {
       save(sorted.write.mode(SaveMode.ErrorIfExists))
     }
-    collectFiles(table, staging, m.currentSchemaId, spec, schema, fmt)
+    val files = collectFiles(table, staging, m.currentSchemaId, spec, schema, fmt)
+    if (lineage) files.map(_.copy(firstRowId = Some(Lineage.Materialized)))
+    else files
   }
 
   /** Avro write: ONE executor job through the DSv2 fanout writers (Spark has
     * no built-in Avro sink; partition routing, per-file metrics, and file
     * naming are shared with the connector write path). */
   private def writeAvro(table: GraftTable, sorted: DataFrame,
-      staging: String): Seq[DataFile] = {
+      staging: String, lineage: Boolean = false): Seq[DataFile] = {
     import graft.connector.GraftBatchWrite
     val m = table.metadata
     val schema = m.schema
@@ -97,9 +109,18 @@ object GraftWrite {
       val src = FieldIds.findById(schema, pf.sourceId).get
       GraftBatchWrite.SpecField(pf.name, nameToIdx(src.name), pf.transform, src.dataType)
     }
+    // lineage rewrites carry two trailing long columns; spec-field
+    // ordinals reference the leading table columns, so routing is unchanged
+    val linTail =
+      if (lineage) Seq(
+        org.apache.spark.sql.types.StructField(Lineage.RowIdColumn,
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField(Lineage.LastUpdatedColumn,
+          org.apache.spark.sql.types.LongType, nullable = true))
+      else Nil
     val factory = new graft.connector.GraftWriterFactory(
       org.apache.spark.sql.types.StructType(schema.fields.map(f =>
-        f.copy(metadata = org.apache.spark.sql.types.Metadata.empty))),
+        f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)) ++ linTail),
       schema, specFields, staging,
       new org.apache.spark.util.SerializableConfiguration(
         table.spark.sessionState.newHadoopConf()),
@@ -115,7 +136,8 @@ object GraftWrite {
       DataFile(path = sf.path, partition = sf.partition,
         recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
         schemaId = m.currentSchemaId, specId = m.defaultSpecId,
-        fileFormat = FileFormats.Avro)
+        fileFormat = FileFormats.Avro,
+        firstRowId = if (lineage) Some(Lineage.Materialized) else None)
     }
   }
 

@@ -109,6 +109,43 @@ class LineageSpec extends SparkSpec {
     assert(lineageOf(t) === before2, "stored lineage copies through")
   }
 
+  test("library lineageDF matches the DSv2 columns, across kinds and deletes") {
+    val t = catalogTable("libsurf",
+      ", 'write.delete.mode'='merge-on-read'")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(30)")
+    spark.sql(s"INSERT INTO $t SELECT id + 100, 'b' FROM range(10)")
+    spark.sql(s"DELETE FROM $t WHERE id % 6 = 1") // live DVs
+    val gt = GraftTable.load(spark, s"$wh/db/libsurf")
+    // compact PART of the table so stored and computed files coexist
+    new Actions(gt).rewriteDataFiles(minInputFiles = 1,
+      filter = Exprs.gtEq("id", 100L))
+    spark.sql(s"INSERT INTO $t SELECT id + 200, 'c' FROM range(5)")
+    val viaSql = lineageOf(t)
+    val viaLib = GraftTable.load(spark, s"$wh/db/libsurf").newScan().lineageDF()
+      .select("id", Lineage.RowIdColumn, Lineage.LastUpdatedColumn)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaLib === viaSql,
+      "library lineage surface must agree with the DSv2 metadata columns")
+  }
+
+  test("rewriteSorted preserves row identity (clustered rewrite materializes)") {
+    val t = catalogTable("sortlin")
+    spark.sql(s"INSERT INTO $t SELECT id * 7 % 40, concat('v', id) FROM range(40)")
+    spark.sql(s"INSERT INTO $t SELECT id + 500, concat('b', id) FROM range(10)")
+    val before = spark.sql(
+      s"SELECT v, _row_id, _last_updated_sequence_number FROM $t")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val gt = GraftTable.load(spark, s"$wh/db/sortlin")
+    new Actions(gt).rewriteSorted(Seq(("id", true)))
+    val t2 = GraftTable.load(spark, s"$wh/db/sortlin")
+    assert(t2.newScan().planFiles().tasks
+      .forall(_.file.firstRowId.contains(Lineage.Materialized)))
+    val after = spark.sql(
+      s"SELECT v, _row_id, _last_updated_sequence_number FROM $t")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(after === before, "sorted rewrite must not change any row's lineage")
+  }
+
   test("pre-v3 files read NULL lineage; files committed after the upgrade read values") {
     catalogTable("up0") // ensure the catalog exists
     spark.sql("CREATE TABLE lin.db.up (id BIGINT, v STRING)") // v2 default
