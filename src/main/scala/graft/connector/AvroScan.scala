@@ -38,14 +38,22 @@ final class GraftAvroScan(
     // reader appends an absolute file-position counter after the data
     // columns — the same shape as GraftOrcRowScan. Transitional by design:
     // compaction materializes the deletes away.
-    withRowIndex: Boolean = false)
+    withRowIndex: Boolean = false,
+    // trailing STORED-lineage columns in readSchema (compacted v3 files):
+    // the counter sits BETWEEN the data columns and these, matching the
+    // downstream group layout [data..., rowIdx, stored..., constants...]
+    trailingStored: Int = 0)
   extends Scan with Batch with Serializable {
 
-  override def readSchema(): StructType = StructType(readSchema.fields.toSeq ++
+  private def dataLen = readSchema.length -
+    (if (withRowIndex) trailingStored else 0)
+
+  override def readSchema(): StructType = StructType(
+    readSchema.fields.take(dataLen).toSeq ++
     (if (withRowIndex)
       Seq(org.apache.spark.sql.types.StructField("_graft_row_index",
         org.apache.spark.sql.types.LongType))
-    else Nil) ++ partSchema)
+    else Nil) ++ readSchema.fields.drop(dataLen) ++ partSchema)
   override def toBatch: Batch = this
   override def description(): String = s"graft-avro(${files.size} files)"
 
@@ -57,7 +65,8 @@ final class GraftAvroScan(
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(readSchema, partSchema.length, conf, withRowIndex)
+    new AvroReaderFactory(readSchema, partSchema.length, conf, withRowIndex,
+      trailingStored)
 }
 
 object GraftAvroScan {
@@ -79,7 +88,8 @@ object GraftAvroScan {
 
 final class AvroReaderFactory(readSchema: StructType, partCols: Int,
     conf: org.apache.spark.util.SerializableConfiguration,
-    withRowIndex: Boolean = false)
+    withRowIndex: Boolean = false,
+    trailingStored: Int = 0)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -89,6 +99,10 @@ final class AvroReaderFactory(readSchema: StructType, partCols: Int,
       private var current: InternalRow = _
       private var rowIndex = -1L
       private val idxCols = if (withRowIndex) 1 else 0
+      // the counter sits before any stored-lineage tail; without a counter
+      // the file layout already matches the group layout
+      private val dataLen = readSchema.length -
+        (if (withRowIndex) trailingStored else 0)
       private val width = readSchema.length + idxCols + partCols
 
       override def next(): Boolean = {
@@ -99,19 +113,26 @@ final class AvroReaderFactory(readSchema: StructType, partCols: Int,
           current =
             if (partCols == 0 && !withRowIndex) row
             else {
-              // layout: [data..., row index?, partition constants...] —
-              // the same output shape Spark's FileScan produces, with the
-              // synthetic counter between data and partition columns
+              // layout: [data..., row index?, stored lineage?, partition
+              // constants...] — the same output shape Spark's FileScan
+              // produces, with the synthetic counter between data and any
+              // stored-lineage tail
               val out = new GenericInternalRow(width)
               var i = 0
-              while (i < readSchema.length) {
+              while (i < dataLen) {
                 out.update(i, if (row.isNullAt(i)) null
                   else row.get(i, readSchema(i).dataType))
                 i += 1
               }
-              if (withRowIndex) out.update(readSchema.length, rowIndex)
-              ap.partValues.zipWithIndex.foreach { case (v, j) =>
-                out.update(readSchema.length + idxCols + j, v)
+              if (withRowIndex) out.update(dataLen, rowIndex)
+              var j = dataLen
+              while (j < readSchema.length) {
+                out.update(j + idxCols, if (row.isNullAt(j)) null
+                  else row.get(j, readSchema(j).dataType))
+                j += 1
+              }
+              ap.partValues.zipWithIndex.foreach { case (v, k) =>
+                out.update(readSchema.length + idxCols + k, v)
               }
               out
             }

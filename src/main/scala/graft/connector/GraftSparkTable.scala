@@ -338,10 +338,28 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
         f.metadata.contains(Defaults.Key) || hasNestedDefault(f.dataType))
       case _ => false
     }
+    // ids of the defaulted descendant struct fields under a target type
+    def defaultedIds(dt: DataType): Seq[Int] = dt match {
+      case s: StructType => s.fields.toSeq.flatMap { f =>
+        (if (f.metadata.contains(Defaults.Key) &&
+             f.metadata.contains(FieldIds.Key)) Seq(FieldIds.idOf(f)) else Nil) ++
+          defaultedIds(f.dataType)
+      }
+      case _ => Nil
+    }
+    val m = table.metadata
+    val usedSchemas = plan.tasks.map(_.file.schemaId).distinct
+      .map(id => m.schemas.getOrElse(id, schema))
+    lazy val usedFileIds: Seq[Set[Int]] = usedSchemas.map(FieldIds.allIds)
     val read = StructType(read0.fields.map { f =>
       FieldIds.nameToId(schema).get(f.name)
         .flatMap(FieldIds.findById(schema, _)) match {
-        case Some(tf) if hasNestedDefault(tf.dataType) =>
+        // un-prune only when a PLANNED file generation actually misses a
+        // defaulted descendant id — post-add generations (the steady state
+        // once old files compact away) keep full nested pruning
+        case Some(tf) if hasNestedDefault(tf.dataType) &&
+            defaultedIds(tf.dataType).exists(id =>
+              usedFileIds.exists(ids => !ids.contains(id))) =>
           f.copy(dataType = Types.cleanType(tf.dataType))
         case _ => f
       }
@@ -398,13 +416,10 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     // names): served as Spark PARTITION values for EVERY group — constant
     // column vectors appended by Spark's own readers, the reference's
     // PartitionUtil.constantsMap — so all generations share one layout.
-    val m = table.metadata
     val identPartName: Map[String, String] = // target col name → tuple key
       m.specs.values.flatMap(_.fields.filter(_.transform == Transforms.IdentityT))
         .flatMap(pf => FieldIds.findById(schema, pf.sourceId).map(_.name -> pf.name))
         .toMap
-    val usedSchemas = plan.tasks.map(_.file.schemaId).distinct
-      .map(id => m.schemas.getOrElse(id, schema))
     val partServe: Seq[StructField] = read.fields.toSeq.filter { f =>
       identPartName.contains(f.name) && {
         val id = FieldIds.nameToId(schema).get(f.name)
@@ -412,11 +427,13 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
           fs => !fs.fields.exists(ff => FieldIds.idOf(ff) == i)))
       }
     }
-    // initial defaults present on any requested column? (fills are
-    // per-group below; this only gates the rare partition-served combo)
+    // initial defaults present on any requested column, top-level OR
+    // struct-nested? (fills are per-group below; this only gates the rare
+    // partition-served combo, where fill ordinals over wideTarget would
+    // misalign with the physical row that excludes partServe columns)
     val anyDefaults = read.fields.exists(f =>
       FieldIds.findById(schema, FieldIds.nameToId(schema).getOrElse(f.name, -1))
-        .exists(tf => Defaults.of(tf).isDefined))
+        .exists(tf => Defaults.of(tf).isDefined || hasNestedDefault(tf.dataType)))
     if (partServe.nonEmpty && (eqDeletes.nonEmpty || posActive || anyDefaults))
       throw new UnsupportedOperationException(
         "row-level deletes and initial defaults are not supported on tables " +
@@ -605,7 +622,11 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
             new GraftOrcRowScan(groupRead, tasks.map(_.file.path),
               new org.apache.spark.util.SerializableConfiguration(
                 spark.sessionState.newHadoopConf()),
-              appendFilePath = metaFile)
+              appendFilePath = metaFile,
+              // stored-lineage columns sit at groupRead's tail; the scan's
+              // position counter must land BEFORE them to match the group
+              // layout [data..., rowIdx, stored...]
+              trailingStored = if (lineageStored) 2 else 0)
           case FileFormats.Orc =>
             org.apache.spark.sql.execution.datasources.v2.orc.OrcScan(
               spark, spark.sessionState.newHadoopConf(), index,
@@ -620,7 +641,8 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
               new org.apache.spark.util.SerializableConfiguration(
                 spark.sessionState.newHadoopConf()),
               spark.sessionState.conf.filesMaxPartitionBytes,
-              withRowIndex = avroIdx)
+              withRowIndex = avroIdx,
+              trailingStored = if (lineageStored) 2 else 0)
           case _ =>
             ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
               dataSchema = groupData, readDataSchema = groupRead,
@@ -710,12 +732,14 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
           nullable = true)) else Nil) ++
         partSchema.fields)
     // storage-partitioned-join eligibility: opt-in via Spark's v2 bucketing
-    // conf, one scan group over one live all-identity spec, no row-position
-    // machinery (per-file partitions) and no row-level-op or metadata
-    // columns in play. Each file's partition key converts to Catalyst
-    // values once, spec-field order.
+    // conf, one scan group over one live all-identity spec, no row-level-op
+    // or metadata columns in play. Live position deletes / DVs are
+    // compatible: the keyed partitions carry file-granular delete-scoped
+    // subs (KeyedPartition.subs), so a co-partitioned join over a MoR
+    // table still skips the shuffle. Each file's partition key converts to
+    // Catalyst values once, spec-field order.
     val spjInfo: Option[SpjInfo] =
-      if (groupGranular || metaFile || metaPos || metaLineage || posActive ||
+      if (groupGranular || metaFile || metaPos || metaLineage ||
           groups.size != 1 || plan.tasks.isEmpty) None
       else if (!spark.sessionState.conf
           .getConfString("spark.sql.sources.v2.bucketing.enabled", "false")
@@ -992,6 +1016,45 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
     p => PosScope(parquetOf(p), dvByTarget.getOrElse(p, Nil))
   }
 
+  /** Driver-side equality-delete partition matcher (the eq twin of
+    * [[posScopeOf]] — reference DeleteFileIndex partition indexing):
+    * partition-scoped eq-delete files (written per partition by
+    * Deletes.stageEqualityDeletes) can only hit data files of the SAME
+    * partition under the same spec; files without a tuple — and any
+    * cross-spec pairing, where tuples aren't comparable — stay
+    * partition-global. Metadata-only: no delete-file I/O. */
+  private lazy val eqPartOf: Map[String, (Int, Map[String, Any])] =
+    plan.deleteFiles.filter(_._1.content == FileContent.EqualityDeletes)
+      .map(_._1).filter(_.partition.nonEmpty)
+      .map(f => ParquetIO.canonPath(f.path) -> (f.specId, f.partition)).toMap
+  private lazy val dataPartOf: Map[String, (Int, Map[String, Any])] =
+    plan.tasks.map(t => ParquetIO.canonPath(t.file.path) ->
+      (t.file.specId, t.file.partition)).toMap
+  private def eqCanHit(deletePath: String, dataPaths: Seq[String]): Boolean =
+    eqPartOf.get(ParquetIO.canonPath(deletePath)) match {
+      case None => true // partition-global delete file
+      case Some((specId, tuple)) => dataPaths.exists { dp =>
+        dataPartOf.get(dp) match {
+          case Some((dSpec, dTuple)) => dSpec != specId || dTuple == tuple
+          case None => true // unknown data file: keep (never drop deletes)
+        }
+      }
+    }
+  /** Per-task narrowing of a group's equality-delete sources: for each
+    * DeleteKeySource (order preserved), the delete-file paths that can hit
+    * any of the task's data files. None = nothing narrowed (single cache
+    * entry shared by every task of the scan). */
+  private def eqScopeFor(group: Int, dataPaths: Seq[String])
+      : Option[Seq[Seq[String]]] =
+    if (eqPartOf.isEmpty) None
+    else groupDeletes(group).filter(_.sets.nonEmpty).flatMap { cfg =>
+      val narrowed = cfg.sets.map(ks =>
+        ks.paths.filter(dp => eqCanHit(dp, dataPaths)))
+      if (narrowed.zip(cfg.sets).forall { case (n, ks) => n.length == ks.paths.length })
+        None
+      else Some(narrowed)
+    }
+
   /** Storage-partitioned-join planning: when the builder proved the scan is
     * one group over one all-identity spec (spjInfo), regroup the planned
     * files into ONE InputPartition PER PARTITION KEY, each carrying its key
@@ -1013,10 +1076,27 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
           info.keyOf.get(ParquetIO.canonPath(f.filePath.toPath.toString)) -> f)
         if (keyed.exists(_._1.isEmpty)) None
         else {
+          val posGroup = groupDeletes(0).exists(_.pos.isDefined)
+          val eqActive = eqPartOf.nonEmpty && groupDeletes(0).exists(_.sets.nonEmpty)
           val grouped = keyed.map { case (k, f) => (k.get, f) }.groupBy(_._1)
             .toSeq.sortBy(_._1.map(v => String.valueOf(v)).mkString("\u0000"))
           Some(grouped.zipWithIndex.map { case ((key, fs), i) =>
-            KeyedPartition(0, FilePartition(i, fs.map(_._2).toArray),
+            // MoR: file-granular subs, each with its own delete scope --
+            // the same per-task attachment the non-SPJ path gets
+            val subs =
+              if (posGroup) fs.map(_._2).toSeq.map { f =>
+                val canon = ParquetIO.canonPath(f.filePath.toPath.toString)
+                GroupedPartition(0, FilePartition(i, Array(f)), Some(canon),
+                  Some(posScopeOf(canon)), None,
+                  if (eqActive) eqScopeFor(0, Seq(canon)) else None)
+              }
+              else {
+                val canons = fs.toSeq.map(f =>
+                  ParquetIO.canonPath(f._2.filePath.toPath.toString))
+                Seq(GroupedPartition(0, FilePartition(i, fs.map(_._2).toArray),
+                  eqScope = if (eqActive) eqScopeFor(0, canons) else None))
+              }
+            KeyedPartition(0, subs,
               new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
                 key.toArray)): InputPartition
           }.toArray)
@@ -1047,10 +1127,12 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
     private lazy val columnar: Boolean = inner.indices.forall { i =>
       partsByGroup(i).forall(p => innerFactories(i).supportColumnarReads(p)) &&
         groupDeletes(i).forall(ColumnarDeletes.supports) &&
-        // lineage scans run on the row path: the wrapper projection is a
-        // row transform (lineage queries are audit-grade, not hot-path)
-        groupLineages(i).isEmpty &&
-        // nested default fills rewrite struct values per row — no columnar
+        // lineage stays columnar (LineageColumnarReader): computed ids are
+        // one vectorized base+rowIdx add per batch, stored/absent lineage
+        // are pass-through/constant vectors — CDC consumers scanning
+        // _row_id over parquet tables never pay the row-path tax. ORC/Avro
+        // lineage groups drop to rows via their factories' own answer.
+        // Nested default fills rewrite struct values per row — no columnar
         // constant-vector shortcut exists inside a non-constant struct
         groupFills(i).forall(_.nested.isEmpty)
     }
@@ -1065,10 +1147,15 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
         // computed-lineage groups need one task per file too: the row-id
         // base is a per-FILE constant carried on the partition
         val lineageGroup = groupLineages(i).exists(_.kind == 1)
+        // partition-scoped equality deletes narrow each task's key-set
+        // sources to its own partition's delete files
+        val eqActive = eqPartOf.nonEmpty && groupDeletes(i).exists(_.sets.nonEmpty)
         def scopes(canon: String): (Option[PosScope], Option[LineageScope]) =
           (if (posGroup) Some(posScopeOf(canon)) else None,
             if (lineageGroup) lineageScopeOf.get(canon) else None)
-        if (!posGroup && !lineageGroup && keep.isEmpty)
+        def eqScope(canons: Seq[String]): Option[Seq[Seq[String]]] =
+          if (eqActive) eqScopeFor(i, canons) else None
+        if (!posGroup && !lineageGroup && keep.isEmpty && !eqActive)
           parts.toSeq.map(p => GroupedPartition(i, p): InputPartition)
         else parts.toSeq.flatMap {
           case fp: FilePartition =>
@@ -1083,30 +1170,37 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
               val canon = ParquetIO.canonPath(f.filePath.toPath.toString)
               val (ps, ls) = scopes(canon)
               GroupedPartition(i, FilePartition(fp.index, Array(f)),
-                Some(canon), ps, ls): InputPartition
+                Some(canon), ps, ls, eqScope(Seq(canon))): InputPartition
             }
-            else Seq(GroupedPartition(i, FilePartition(fp.index, files)): InputPartition)
+            else {
+              val canons = files.toSeq.map(f =>
+                ParquetIO.canonPath(f.filePath.toPath.toString))
+              Seq(GroupedPartition(i, FilePartition(fp.index, files),
+                eqScope = eqScope(canons)): InputPartition)
+            }
           // ORC row-path and Avro partitions are file-granular by construction
           case op: OrcRowFilePartition =>
             if (!kept(op.path)) Nil
             else {
               val canon = ParquetIO.canonPath(op.path)
               val (ps, ls) = scopes(canon)
-              Seq(GroupedPartition(i, op, Some(canon), ps, ls): InputPartition)
+              Seq(GroupedPartition(i, op, Some(canon), ps, ls,
+                eqScope(Seq(canon))): InputPartition)
             }
           case ap: AvroFilePartition =>
             if (!kept(ap.path)) Nil
             else {
               val canon = ParquetIO.canonPath(ap.path)
               val (ps, ls) = scopes(canon)
-              Seq(GroupedPartition(i, ap, Some(canon), ps, ls): InputPartition)
+              Seq(GroupedPartition(i, ap, Some(canon), ps, ls,
+                eqScope(Seq(canon))): InputPartition)
             }
           case other =>
             if (posGroup || lineageGroup) throw new IllegalStateException(
               "position deletes and computed lineage need file-granular " +
                 s"partitions, got ${other.getClass}")
-            // unknown partition shape: keep it — runtime filtering is an
-            // optimization, never required for correctness
+            // unknown partition shape: keep it — runtime filtering and eq
+            // scoping are optimizations, never required for correctness
             else Seq(GroupedPartition(i, other): InputPartition)
         }
       }.toArray
@@ -1121,7 +1215,10 @@ final case class GroupedPartition(group: Int,
     inner: org.apache.spark.sql.connector.read.InputPartition,
     dataFile: Option[String] = None,
     posScope: Option[PosScope] = None,
-    lineage: Option[LineageScope] = None)
+    lineage: Option[LineageScope] = None,
+    // per-DeleteKeySource allowed delete-file paths (partition-scoped
+    // equality deletes); None = the group config applies unchanged
+    eqScope: Option[Seq[Seq[String]]] = None)
   extends org.apache.spark.sql.connector.read.InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
@@ -1207,6 +1304,79 @@ final class LineageRowReader(
   override def close(): Unit = inner.close()
 }
 
+/** Columnar lineage projection (the batch dual of [[LineageRowReader]]):
+  * computed lineage is a per-file CONSTANT base plus the reader's row-index
+  * vector — one vectorized add per batch — and stored/absent lineage are
+  * pass-through/constant vectors, so CDC consumers scanning `_row_id` over
+  * large parquet tables keep whole-stage-codegen-feedable batches instead
+  * of paying the row-path tax. Pass-through columns are never copied. */
+final class LineageColumnarReader(
+    inner: org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch],
+    cfg: LineageConfig, scope: Option[LineageScope])
+  extends org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private var current: ColumnarBatch = _
+  private var owned: Seq[ColumnVector] = Nil // vectors we allocated per batch
+
+  private val outWidth = cfg.dataCount +
+    (if (cfg.emitPos) 1 else 0) + (if (cfg.emitRowId) 1 else 0) +
+    (if (cfg.emitLuseq) 1 else 0) + cfg.tailCount
+
+  private def nullVector(n: Int): ColumnVector = {
+    val v = ConstantFill.vector(n, LongType, null)
+    owned = v +: owned; v
+  }
+  private def constVector(n: Int, value: Long): ColumnVector = {
+    val v = ConstantFill.vector(n, LongType, value)
+    owned = v +: owned; v
+  }
+
+  override def next(): Boolean = {
+    if (!inner.next()) return false
+    val b = inner.get()
+    val n = b.numRows()
+    closeOwned()
+    val out = new Array[ColumnVector](outWidth)
+    var o = 0
+    var i = 0
+    while (i < cfg.dataCount) { out(o) = b.column(i); o += 1; i += 1 }
+    if (cfg.emitPos) { out(o) = b.column(cfg.rowIdxAt); o += 1 }
+    if (cfg.emitRowId) {
+      out(o) = cfg.kind match {
+        case 1 => scope match {
+          case Some(s) =>
+            val idx = b.column(cfg.rowIdxAt)
+            val v = new OnHeapColumnVector(n, LongType)
+            var r = 0
+            while (r < n) { v.putLong(r, s.firstRowId + idx.getLong(r)); r += 1 }
+            owned = v +: owned; v
+          case None => nullVector(n)
+        }
+        case 2 => b.column(cfg.storedAt)
+        case _ => nullVector(n)
+      }
+      o += 1
+    }
+    if (cfg.emitLuseq) {
+      out(o) = cfg.kind match {
+        case 1 => scope.map(s => constVector(n, s.seq)).getOrElse(nullVector(n))
+        case 2 => b.column(cfg.storedAt + 1)
+        case _ => nullVector(n)
+      }
+      o += 1
+    }
+    var t = 0
+    while (t < cfg.tailCount) { out(o) = b.column(cfg.tailFrom + t); o += 1; t += 1 }
+    current = new ColumnarBatch(out, n)
+    true
+  }
+  private def closeOwned(): Unit = { owned.foreach(_.close()); owned = Nil }
+  override def get(): ColumnarBatch = current
+  override def close(): Unit = { closeOwned(); inner.close() }
+}
+
 /** Per-TASK position-delete attachment (reference DeleteFileIndex +
   * FileScanTask.deletes(), core/.../DeleteFileIndex.java): only the delete
   * files / DV slices that can reference this partition's data file travel
@@ -1218,14 +1388,39 @@ final case class PosScope(paths: Seq[String],
 /** One partition per partition KEY (all its files), for storage-partitioned
   * joins: Spark groups both join sides by `partitionKey` and skips the
   * shuffle. Key values are Catalyst-typed, matching the clustering
-  * expressions' resolved types. */
+  * expressions' resolved types. `subs` carries the key's files as ordinary
+  * [[GroupedPartition]]s — file-granular with their own [[PosScope]]s when
+  * row-position machinery (live DVs / position deletes) is in play, so a
+  * co-partitioned join over a MoR table still skips the shuffle; the
+  * reader concatenates the subs. */
 final case class KeyedPartition(group: Int,
-    inner: org.apache.spark.sql.connector.read.InputPartition,
+    subs: Seq[GroupedPartition],
     key: org.apache.spark.sql.catalyst.InternalRow)
   extends org.apache.spark.sql.connector.read.InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
-  override def preferredLocations(): Array[String] = inner.preferredLocations()
+  override def preferredLocations(): Array[String] =
+    subs.flatMap(_.preferredLocations()).distinct.toArray
+}
+
+/** Sequential concatenation of per-file readers inside one SPJ partition. */
+final class ConcatReader[T](makers: Seq[() => org.apache.spark.sql.connector.read.PartitionReader[T]])
+  extends org.apache.spark.sql.connector.read.PartitionReader[T] {
+  private val it = makers.iterator
+  private var cur: org.apache.spark.sql.connector.read.PartitionReader[T] = _
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!it.hasNext) return false
+        cur = it.next()()
+      }
+      if (cur.next()) return true
+      cur.close(); cur = null
+    }
+    false
+  }
+  override def get(): T = cur.get()
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }
 
 /** Builder-side proof that a scan is storage-partitioned-join-able: one
@@ -1246,23 +1441,40 @@ final case class GroupedReaderFactory(
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
 
   private def unwrap(p: InputPartition)
-      : (Int, InputPartition, Option[String], Option[PosScope], Option[LineageScope]) = p match {
-    case GroupedPartition(g, ip, f, sc, ls) => (g, ip, f, sc, ls)
-    case KeyedPartition(g, ip, _) => (g, ip, None, None, None)
-    case other => (0, other, None, None, None)
+      : (Int, InputPartition, Option[String], Option[PosScope],
+        Option[LineageScope], Option[Seq[Seq[String]]]) = p match {
+    case GroupedPartition(g, ip, f, sc, ls, eq) => (g, ip, f, sc, ls, eq)
+    case other => (0, other, None, None, None, None)
   }
-  /** Narrow the group's delete config to THIS task's position-delete scope
-    * (per-task attachment): the reader then loads only the delete files /
-    * DV slices that can reference its data file. A partition without a
-    * scope keeps the group config unchanged. */
-  private def scoped(cfg: GroupDeletes, sc: Option[PosScope]): GroupDeletes =
-    sc match {
+  /** Narrow the group's delete config to THIS task's position-delete and
+    * equality-delete scopes (per-task attachment): the reader then loads
+    * only the delete files / DV slices / key sets that can reference its
+    * data files. A partition without a scope keeps the group config
+    * unchanged. Key sources narrowed to ZERO paths drop out entirely (no
+    * per-row probe against a guaranteed-empty set). */
+  private def scoped(cfg: GroupDeletes, sc: Option[PosScope],
+      eq: Option[Seq[Seq[String]]]): GroupDeletes = {
+    val afterPos = sc match {
       case Some(s) =>
         cfg.copy(pos = cfg.pos.map(p => p.copy(paths = s.paths, dvs = s.dvs)))
       case None => cfg
     }
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val (g, ip, dataFile, sc, ls) = unwrap(p)
+    eq match {
+      case Some(allowed) => afterPos.copy(sets =
+        afterPos.sets.zip(allowed).collect {
+          case (ks, paths) if paths.nonEmpty => ks.copy(paths = paths)
+        })
+      case None => afterPos
+    }
+  }
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+    // SPJ partitions concatenate their per-file delete-scoped subs
+    case kp: KeyedPartition =>
+      new ConcatReader[InternalRow](kp.subs.map(s => () => createReader(s)))
+    case _ => createSingleReader(p)
+  }
+  private def createSingleReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val (g, ip, dataFile, sc, ls, eq) = unwrap(p)
     val base = inner(g).createReader(ip)
     // default backfill sits UNDER the delete filter, so eq-delete keys on
     // a defaulted column match against the filled value
@@ -1271,7 +1483,7 @@ final case class GroupedReaderFactory(
       case None => base
     }
     val afterDeletes = deletes.lift(g).flatten match {
-      case Some(cfg) => new DeleteFilterReader(reader, scoped(cfg, sc), dataFile)
+      case Some(cfg) => new DeleteFilterReader(reader, scoped(cfg, sc, eq), dataFile)
       case None => reader
     }
     // lineage projection is the OUTERMOST wrapper: only live rows get ids
@@ -1280,17 +1492,28 @@ final case class GroupedReaderFactory(
       case None => afterDeletes
     }
   }
-  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val (g, ip, dataFile, sc, _) = unwrap(p)
+  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = p match {
+    case kp: KeyedPartition =>
+      new ConcatReader[org.apache.spark.sql.vectorized.ColumnarBatch](
+        kp.subs.map(s => () => createColumnarReader(s)))
+    case _ => createSingleColumnarReader(p)
+  }
+  private def createSingleColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val (g, ip, dataFile, sc, ls, eq) = unwrap(p)
     val base = inner(g).createColumnarReader(ip)
     val reader = fills.lift(g).flatten match {
       case Some(cfg) => new ConstantFillColumnarReader(base, cfg)
       case None => base
     }
-    deletes.lift(g).flatten match {
+    val afterDeletes = deletes.lift(g).flatten match {
       case Some(cfg) =>
-        new ColumnarDeleteFilterReader(reader, scoped(cfg, sc), dataFile)
+        new ColumnarDeleteFilterReader(reader, scoped(cfg, sc, eq), dataFile)
       case None => reader
+    }
+    // lineage projection is the OUTERMOST wrapper: only live rows get ids
+    lineages.lift(g).flatten match {
+      case Some(cfg) => new LineageColumnarReader(afterDeletes, cfg, ls)
+      case None => afterDeletes
     }
   }
   // the scan-wide flag was decided on the driver over ALL partitions (clean

@@ -24,12 +24,20 @@ final class GraftOrcRowScan(
     dataSchema: StructType, // file-side names, target types (data columns)
     files: Seq[String],
     conf: org.apache.spark.util.SerializableConfiguration,
-    appendFilePath: Boolean = false) // serve `_file` after the counter
+    appendFilePath: Boolean = false, // serve `_file` after the counter
+    // trailing STORED-lineage columns in dataSchema (compacted v3 files):
+    // the counter must sit BETWEEN the data columns and these, because the
+    // group layout downstream is [data..., rowIdx, stored..., _file?] — the
+    // same slot the parquet path's synthetic row-index column occupies
+    trailingStored: Int = 0)
   extends Scan with Batch with Serializable {
 
+  private def dataLen = dataSchema.length - trailingStored
+
   override def readSchema(): StructType =
-    StructType(dataSchema.fields.toSeq ++
+    StructType(dataSchema.fields.take(dataLen).toSeq ++
       Seq(StructField("_graft_row_index", LongType)) ++
+      dataSchema.fields.drop(dataLen) ++
       (if (appendFilePath)
         Seq(StructField(GraftSparkTable.FileColumn, StringType, nullable = false))
       else Nil))
@@ -40,12 +48,13 @@ final class GraftOrcRowScan(
     files.map(p => OrcRowFilePartition(p): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new OrcRowReaderFactory(dataSchema, conf, appendFilePath)
+    new OrcRowReaderFactory(dataSchema, conf, appendFilePath, trailingStored)
 }
 
 final class OrcRowReaderFactory(dataSchema: StructType,
     conf: org.apache.spark.util.SerializableConfiguration,
-    appendFilePath: Boolean = false)
+    appendFilePath: Boolean = false,
+    trailingStored: Int = 0)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -54,6 +63,7 @@ final class OrcRowReaderFactory(dataSchema: StructType,
       private val it = OrcIO.open(path, dataSchema, conf.value)
       private var current: InternalRow = _
       private var rowIndex = -1L
+      private val dataLen = dataSchema.length - trailingStored
       private val width = dataSchema.length + 1 + (if (appendFilePath) 1 else 0)
       private val pathUtf8 =
         org.apache.spark.unsafe.types.UTF8String.fromString(path)
@@ -63,16 +73,24 @@ final class OrcRowReaderFactory(dataSchema: StructType,
         if (row == null) false
         else {
           rowIndex += 1
-          // the deserializer reuses its row — copy values out, appending
-          // the absolute file position (and `_file` when requested) last
+          // the deserializer reuses its row — copy values out, inserting
+          // the absolute file position between the data columns and any
+          // stored-lineage tail (then `_file` when requested, last)
           val out = new GenericInternalRow(width)
           var i = 0
-          while (i < dataSchema.length) {
+          while (i < dataLen) {
             out.update(i, if (row.isNullAt(i)) null
               else row.get(i, dataSchema(i).dataType))
             i += 1
           }
-          out.update(dataSchema.length, rowIndex)
+          out.update(dataLen, rowIndex)
+          var j = 0
+          while (j < trailingStored) {
+            val src = dataLen + j
+            out.update(src + 1, if (row.isNullAt(src)) null
+              else row.get(src, dataSchema(src).dataType))
+            j += 1
+          }
           if (appendFilePath) out.update(dataSchema.length + 1, pathUtf8)
           current = out
           true

@@ -238,14 +238,66 @@ object Deletes {
 
   /** Write (but do not commit) equality-delete files for `keys` — shared
     * by deleteByEquality and the streaming upsert sink, which commits them
-    * atomically WITH its epoch's data files in one RowDelta. */
+    * atomically WITH its epoch's data files in one RowDelta.
+    *
+    * Partition scoping (reference DeleteFileIndex partition+seq indexing,
+    * core/.../DeleteFileIndex.java): when every partition SOURCE column of
+    * the current spec is among the key columns, a delete row can only hit
+    * rows of its own partition — so the keys split into one eq-delete file
+    * PER PARTITION, each carrying its tuple. planFiles then prunes delete
+    * entries by partition exactly like data files, and the scan attaches
+    * each key set only to tasks of its own partition, so a partition-local
+    * streaming upsert never ships other partitions' key sets. Keys that
+    * don't determine the partition keep the partition-GLOBAL empty-tuple
+    * shape (the conservative bypass planFiles preserves). */
   def stageEqualityDeletes(table: GraftTable, keys: DataFrame): Seq[DataFile] = {
     val m = table.metadata
+    val spec = m.spec
     val ids = keys.columns.map(FieldIds.nameToId(m.schema)).toSeq
-    val paths = stage(table, keys.dropDuplicates().coalesce(1), keys.columns.toSeq)
-    paths.map { p =>
+    val keyCols = keys.columns.toSet
+    val srcNames = spec.fields.filterNot(_.transform == Transforms.VoidT)
+      .flatMap(pf => FieldIds.findById(m.schema, pf.sourceId).map(_.name))
+    val partitionScoped = spec.isPartitioned && srcNames.nonEmpty &&
+      srcNames.forall(keyCols.contains)
+    if (!partitionScoped) {
+      val paths = stage(table, keys.dropDuplicates().coalesce(1), keys.columns.toSeq)
+      return paths.map { p =>
+        val fm = Metrics.fromParquetFooter(p, m.schema)
+        DataFile(path = p, content = FileContent.EqualityDeletes,
+          recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
+          schemaId = m.currentSchemaId, specId = m.defaultSpecId,
+          equalityIds = ids)
+      }
+    }
+    // one file per partition: repartition by the derived partition columns
+    // (each output task holds whole partitions), hive-style fanout dirs
+    // carry the tuple — the same layout the data writers use
+    val dir = table.locations.newDataLocation(s"deletes-${UUID.randomUUID()}")
+    val derived = spec.derivedColumns(m.schema)
+    val withP = derived.foldLeft(keys.dropDuplicates()) { case (d, (name, c)) =>
+      d.withColumn(GraftWrite.DirPrefix + name, c)
+    }
+    withP
+      .repartition(derived.map(d => col(GraftWrite.DirPrefix + d._1)): _*)
+      .sortWithinPartitions(keys.columns.map(col).toSeq: _*)
+      .write.mode(SaveMode.ErrorIfExists)
+      .partitionBy(derived.map(GraftWrite.DirPrefix + _._1): _*)
+      .parquet(dir)
+    val types = spec.resultTypes(m.schema).toMap
+    val files = table.ops.io.list(dir, ".parquet").map(_.path).sorted
+    files.map { p =>
+      val rel = p.stripPrefix(dir).stripPrefix("/")
+      val tuple = rel.split('/').dropRight(1).flatMap { seg =>
+        val eq = seg.indexOf('=')
+        if (eq > 0 && seg.startsWith(GraftWrite.DirPrefix)) {
+          val name = seg.substring(GraftWrite.DirPrefix.length, eq)
+          val raw = java.net.URLDecoder.decode(seg.substring(eq + 1), "UTF-8")
+          types.get(name).map(dt => name -> Values.fromDirString(raw, dt))
+        } else None
+      }.toMap
       val fm = Metrics.fromParquetFooter(p, m.schema)
       DataFile(path = p, content = FileContent.EqualityDeletes,
+        partition = tuple,
         recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
         schemaId = m.currentSchemaId, specId = m.defaultSpecId,
         equalityIds = ids)

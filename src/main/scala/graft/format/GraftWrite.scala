@@ -18,7 +18,7 @@ import java.util.UUID
   */
 object GraftWrite {
 
-  private val DirPrefix = "__p_"
+  private[format] val DirPrefix = "__p_"
 
   /** Table property: comma-separated `col [asc|desc]` write clustering. */
   val SortOrderKey = "write.sort-order"
@@ -351,8 +351,11 @@ object GraftWrite {
       val spec = partCols.foldLeft(PartitionSpec.builderFor(full))(
         (b, c) => b.identity(c)).build(0)
       val now = System.currentTimeMillis()
+      // same `format-version` property spell GraftTable.create honors
+      val fv = properties.get("format-version").map(_.trim.toInt).getOrElse(2)
+      require(fv == 2 || fv == 3, s"unsupported format-version $fv (2 or 3)")
       val meta = TableMetadata(
-        formatVersion = 2,
+        formatVersion = fv,
         tableUuid = java.util.UUID.randomUUID().toString,
         location = location,
         lastSequenceNumber = 0L,
@@ -362,7 +365,7 @@ object GraftWrite {
         schemas = Map(0 -> physical, 1 -> full),
         defaultSpecId = 0,
         specs = Map(0 -> spec),
-        properties = properties +
+        properties = (properties - "format-version") +
           (NameMapping.PropertyKey -> NameMapping.fromSchema(full).toJson),
         currentSnapshotId = None,
         snapshots = Nil,

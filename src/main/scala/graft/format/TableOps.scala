@@ -110,9 +110,26 @@ final class TableOps(val location: String, explicitIo: FileIO = null) {
     next
   }
 
-  private def readBack(v: Int): Option[String] =
-    try Some(io.readString(versionFile(v)))
-    catch { case scala.util.control.NonFatal(_) => None }
+  /** Read the version file back to resolve a lost CAS response. A single
+    * transient GET failure must not convert a DURABLE commit into an
+    * operator-facing unknown outcome, so the read retries a few times with
+    * short backoff before giving up; a key that stays absent through the
+    * retries still reads as None (→ CommitStateUnknown — the in-flight PUT
+    * may land late, so the outcome genuinely is undetermined). */
+  private def readBack(v: Int): Option[String] = {
+    var attempt = 1
+    val maxAttempts = 3
+    while (attempt <= maxAttempts) {
+      try return Some(io.readString(versionFile(v)))
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          if (attempt == maxAttempts) return None
+          Thread.sleep(25L << attempt)
+          attempt += 1
+      }
+    }
+    None
+  }
 
   /** Optimistic-retry loop around a metadata transform (reference
     * SnapshotProducer: Tasks.foreach(ops).retry(...).onlyRetryOn(

@@ -50,10 +50,35 @@ object MakeScaled {
     scaled("orders", Seq("o_orderkey", "o_custkey"))
     scaled("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
     scaled("events", Seq("event_id", "user_id"))
+    // Documents: per-copy word-substitution CIPHER (a bijection over the
+    // corpus vocabulary, shift differs per copy). A bijection preserves
+    // every within-copy n-gram relationship exactly — the source's
+    // near-dup cluster structure, so the dup RATE stays sf0.1-like at any
+    // multiple — while copies share no words, so no cross-copy n-gram can
+    // match. (The earlier suffix-token tweak left cross-copy texts
+    // near-identical: every doc became a `copies`-sized cluster and the
+    // pair-emitting dedup workloads blew up ~copies² beyond what a true
+    // larger scale factor contains.)
+    val vocab = spark.read.parquet(s"$src/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "").distinct().orderBy("w")
+      .collect().map(_.getString(0))
+    require(vocab.length > copies,
+      s"cipher needs |vocab| (${vocab.length}) > copies ($copies)")
+    val vIdx = vocab.zipWithIndex.toMap
     scaled("documents", Seq("doc_id"), (d, i) =>
       if (i == 0) d
-      else d.withColumn("text", concat(col("text"), lit(s" copytag$i")))
-        .withColumn("n_chars", col("n_chars") + lit(s" copytag$i".length)))
+      else {
+        // shift = i: distinct nonzero shifts for every copy as long as
+        // copies < |vocab| (checked), so no copy's cipher collapses to
+        // identity and no two copies share a mapping
+        val perm = udf((t: String) => if (t == null) null else
+          t.split(' ').map(w =>
+            vIdx.get(w).map(ix => vocab((ix + i) % vocab.length))
+              .getOrElse(w)).mkString(" "))
+        d.withColumn("text", perm(col("text")))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      })
     scaled("embeddings", Seq("vec_id"), (d, i) =>
       if (i == 0) d
       else d.withColumn("embedding",

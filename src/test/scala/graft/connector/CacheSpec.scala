@@ -54,6 +54,31 @@ class CacheSpec extends SparkSpec {
     assert(loads == 1)
   }
 
+  test("DeleteKeyCache holds its 512 MB budget under a GDPR-scale key-set storm") {
+    // the global-shipping worst case, measured: demand ~880 MB of key sets
+    // (100 sets × 100k single-column keys ≈ 8.8 MB weighed each) through
+    // the REAL executor cache — it must evict, never exceed its budget,
+    // and keep the entry being served resident
+    val cache = DeleteKeyCache.cache
+    val budget = 512L * 1024 * 1024
+    val t0 = System.nanoTime()
+    (0 until 100).foreach { i =>
+      val s = cache.get(s"cachespec-eq-$i") {
+        (0 until 100000).map(k => Vector[Any](i * 1000000L + k)).toSet
+      }
+      assert(s.size == 100000)
+      assert(cache.currentWeight <= budget,
+        s"budget exceeded at insert $i: ${cache.currentWeight}")
+      assert(cache.contains(s"cachespec-eq-$i"),
+        "the set being served must stay resident")
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(cache.entryCount < 100, "some sets must have been evicted")
+    info(f"100 × 100k-key sets: retained ${cache.entryCount} entries, " +
+      f"weight ${cache.currentWeight / (1024 * 1024)} MB, $secs%.1f s")
+    assert(secs < 60.0)
+  }
+
   test("canonPath collapses file: URIs and keeps other schemes distinct") {
     assert(ParquetIO.canonPath("/data/f.parquet") == "/data/f.parquet")
     assert(ParquetIO.canonPath("file:/data/f.parquet") == "/data/f.parquet")

@@ -127,6 +127,75 @@ class DeleteScopeSpec extends SparkSpec {
       (0L until 60L).filterNot(_ % 4 == 0))
   }
 
+  test("partition-clustered equality deletes: per-partition files, per-task key-set scope") {
+    val df = (0L until 60L).map(i => (i, i % 3, s"v$i")).toDF("id", "grp", "v")
+    val t = GraftTable.create(spark, freshLoc("scope-eq"), df.schema,
+      _.identity("grp"))
+    GraftWrite.append(t, df)
+    // upsert-shaped keys: (grp, id) — grp is the partition source, so the
+    // staging fans out one eq-delete file PER PARTITION with its tuple
+    val keys = Seq((0L, 0L), (0L, 3L), (1L, 7L)).toDF("grp", "id")
+    Deletes.deleteByEquality(t, keys)
+    val dels = t.newScan().planFiles().deleteFiles.map(_._1)
+      .filter(_.content == FileContent.EqualityDeletes).distinctBy(_.path)
+    assert(dels.size === 2, "one eq-delete file per touched partition")
+    assert(dels.forall(_.partition.nonEmpty), "files must carry their tuple")
+    assert(dels.map(_.partition("grp")).toSet === Set(0L, 1L))
+    val delByGrp = dels.map(d => d.partition("grp") -> d.path).toMap
+    // plan-time pruning: a partition-filtered scan carries ONLY that
+    // partition's delete entries (the empty-tuple bypass is not taken)
+    val prunedPlan = t.newScan().filter(Exprs.equal("grp", 0L)).planFiles()
+    assert(prunedPlan.deleteFiles.map(_._1.path).distinct ===
+      Seq(delByGrp(0L)), "scan of grp=0 must not plan grp=1's delete file")
+    assert(t.newScan().filter(Exprs.equal("grp", 2L)).planFiles()
+      .deleteFiles.isEmpty, "untouched partition plans no delete files")
+    // per-task scope: with one file per Spark partition, each task's key
+    // sources narrow to exactly its own partition's delete file
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+    try {
+      val dataParts = t.newScan().planFiles().tasks
+        .map(ft => ParquetIO.canonPath(ft.file.path) -> ft.file.partition("grp"))
+        .toMap
+      val parts = partitions(t)
+      assert(parts.nonEmpty)
+      parts.foreach { p =>
+        val files = p.inner match {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.map(f => ParquetIO.canonPath(f.filePath.toPath.toString)).toSeq
+          case other => fail(s"expected FilePartition, got ${other.getClass}")
+        }
+        val grps = files.map(dataParts).toSet
+        val expected = grps.flatMap(delByGrp.get).toSeq.sorted
+        val scope = p.eqScope.getOrElse(
+          fail(s"no eqScope on task over partitions $grps"))
+        assert(scope.flatten.sorted === expected,
+          s"task over $grps must carry exactly its partitions' key sets")
+      }
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    // correctness end-to-end
+    assert(t.toDF().select("id").as[Long].collect().sorted.toSeq ===
+      (0L until 60L).filterNot(Set(0L, 3L, 7L)))
+  }
+
+  test("keys that don't determine the partition stay partition-global") {
+    val df = (0L until 30L).map(i => (i, i % 3, s"v$i")).toDF("id", "grp", "v")
+    val t = GraftTable.create(spark, freshLoc("scope-eqg"), df.schema,
+      _.identity("grp"))
+    GraftWrite.append(t, df)
+    Deletes.deleteByEquality(t, Seq(5L, 11L).toDF("id"))
+    val dels = t.newScan().planFiles().deleteFiles.map(_._1)
+      .filter(_.content == FileContent.EqualityDeletes).distinctBy(_.path)
+    assert(dels.size === 1 && dels.head.partition.isEmpty,
+      "id alone cannot be partition-scoped")
+    // the global file survives every partition-filtered plan
+    assert(t.newScan().filter(Exprs.equal("grp", 2L)).planFiles()
+      .deleteFiles.map(_._1.path) === Seq(dels.head.path))
+    // no scoping applies: tasks carry the group config unchanged
+    assert(partitions(t).forall(_.eqScope.isEmpty))
+    assert(t.toDF().select("id").as[Long].collect().sorted.toSeq ===
+      (0L until 30L).filterNot(Set(5L, 11L)))
+  }
+
   test("legacy delete file without target metadata resolves exactly via one read") {
     val df = (0L until 40L).map(i => (i, s"v$i")).toDF("id", "v")
     val t = GraftTable.create(spark, freshLoc("scope-legacy"), df.schema)

@@ -146,6 +146,97 @@ class LineageSpec extends SparkSpec {
     assert(after === before, "sorted rewrite must not change any row's lineage")
   }
 
+  test("lineage scans stay COLUMNAR on parquet (computed, stored, and under live DVs)") {
+    val t = catalogTable("columnar",
+      ", 'write.delete.mode'='merge-on-read'")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(30)")
+    spark.sql(s"INSERT INTO $t SELECT id + 100, 'b' FROM range(10)")
+    def assertColumnar(tag: String): Unit = {
+      val df = spark.sql(
+        s"SELECT id, _row_id, _last_updated_sequence_number FROM $t")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ColumnarToRow"),
+        s"$tag: lineage scan must stay columnar:\n$plan")
+    }
+    assertColumnar("computed")
+    val before = lineageOf(t)
+    spark.sql(s"DELETE FROM $t WHERE id % 6 = 1") // live DVs + lineage
+    assertColumnar("computed + DVs")
+    val afterDel = lineageOf(t)
+    assert(afterDel.keySet === before.keySet.filterNot(_ % 6 == 1))
+    afterDel.foreach { case (id, lin) => assert(lin === before(id)) }
+    // compact → stored lineage; reads stay columnar and unchanged
+    new Actions(GraftTable.load(spark, s"$wh/db/columnar"))
+      .rewriteDataFiles(minInputFiles = 1)
+    assertColumnar("stored")
+    assert(lineageOf(t) === afterDel)
+  }
+
+  test("ORC stored lineage with _pos and live MoR deletes (counter sits before stored columns)") {
+    val t = catalogTable("orcstored",
+      ", 'write.delete.mode'='merge-on-read', 'write.format.default'='orc'")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(20)")
+    spark.sql(s"INSERT INTO $t SELECT id + 100, 'b' FROM range(10)")
+    val before = lineageOf(t)
+    // compaction materializes the lineage columns physically in ORC outputs
+    new Actions(GraftTable.load(spark, s"$wh/db/orcstored"))
+      .rewriteDataFiles(minInputFiles = 2)
+    val files = GraftTable.load(spark, s"$wh/db/orcstored")
+      .newScan().planFiles().tasks.map(_.file)
+    assert(files.nonEmpty && files.forall(f =>
+      f.firstRowId.contains(Lineage.Materialized) &&
+        f.fileFormat == FileFormats.Orc))
+    assert(lineageOf(t) === before, "stored ORC lineage reads back unchanged")
+    // `_pos` forces the ORC row-path counter scan on stored-lineage files:
+    // the counter must land BETWEEN the data and stored columns, or _row_id
+    // silently reads the file position instead
+    val withPos = spark.sql(
+      s"SELECT id, _pos, _row_id, _last_updated_sequence_number FROM $t")
+      .collect()
+    assert(withPos.map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+      === before, "_row_id/_luseq must survive a _pos scan on stored ORC files")
+    assert(withPos.map(_.getLong(1)).sorted.toSeq === (0L until 30L),
+      "one compacted file: positions are dense from 0")
+    // live row-level deletes target the compacted ORC files; survivors keep
+    // their identity and the position lookup drops exactly the right rows
+    spark.sql(s"DELETE FROM $t WHERE id % 5 = 3")
+    val after = lineageOf(t)
+    assert(after.keySet === before.keySet.filterNot(_ % 5 == 3))
+    after.foreach { case (id, lin) =>
+      assert(lin === before(id), s"row $id must keep its lineage")
+    }
+    val posAfter = spark.sql(s"SELECT id, _pos, _row_id FROM $t").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(posAfter === after.view.mapValues(_._1).toMap)
+  }
+
+  test("Avro stored lineage with _pos and live MoR deletes") {
+    val t = catalogTable("avrostored",
+      ", 'write.delete.mode'='merge-on-read', 'write.format.default'='avro'")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(15)")
+    spark.sql(s"INSERT INTO $t SELECT id + 100, 'b' FROM range(10)")
+    val before = lineageOf(t)
+    new Actions(GraftTable.load(spark, s"$wh/db/avrostored"))
+      .rewriteDataFiles(minInputFiles = 2)
+    val files = GraftTable.load(spark, s"$wh/db/avrostored")
+      .newScan().planFiles().tasks.map(_.file)
+    assert(files.nonEmpty && files.forall(f =>
+      f.firstRowId.contains(Lineage.Materialized) &&
+        f.fileFormat == FileFormats.Avro))
+    assert(lineageOf(t) === before, "stored Avro lineage reads back unchanged")
+    val withPos = spark.sql(
+      s"SELECT id, _pos, _row_id, _last_updated_sequence_number FROM $t")
+      .collect()
+    assert(withPos.map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+      === before, "_row_id/_luseq must survive a _pos scan on stored Avro files")
+    spark.sql(s"DELETE FROM $t WHERE id % 5 = 3")
+    val after = lineageOf(t)
+    assert(after.keySet === before.keySet.filterNot(_ % 5 == 3))
+    after.foreach { case (id, lin) =>
+      assert(lin === before(id), s"row $id must keep its lineage")
+    }
+  }
+
   test("pre-v3 files read NULL lineage; files committed after the upgrade read values") {
     catalogTable("up0") // ensure the catalog exists
     spark.sql("CREATE TABLE lin.db.up (id BIGINT, v STRING)") // v2 default

@@ -133,6 +133,49 @@ class RuntimePruningSpec extends SparkSpec {
     }
   }
 
+  test("storage-partitioned join survives live DVs (MoR) without a shuffle") {
+    wh
+    def mk(name: String): Unit = {
+      spark.sql(s"""CREATE TABLE dpp.db.$name (id BIGINT, grp BIGINT, v DOUBLE)
+                    PARTITIONED BY (grp)
+                    TBLPROPERTIES ('format-version'='3',
+                      'write.delete.mode'='merge-on-read')""")
+      (0L until 4L).foreach { g =>
+        spark.range(30).selectExpr(s"id + ${g * 1000} AS id", s"$g AS grp",
+          "CAST(id AS DOUBLE) AS v")
+          .coalesce(1).createOrReplaceTempView("spjmorb")
+        spark.sql(s"INSERT INTO dpp.db.$name SELECT * FROM spjmorb")
+      }
+      // live DVs on every partition — rows with id%10=3 disappear MoR-style
+      spark.sql(s"DELETE FROM dpp.db.$name WHERE id % 10 = 3")
+      val t = graft.format.GraftTable.load(spark, s"$wh/db/$name")
+      assert(t.newScan().planFiles().deleteFiles.nonEmpty,
+        s"$name must carry live delete files for this test to mean anything")
+    }
+    mk("spjm_a"); mk("spjm_b")
+    val q = """SELECT a.grp, COUNT(*) AS n
+               FROM dpp.db.spjm_a a JOIN dpp.db.spjm_b b
+                 ON a.grp = b.grp AND a.id = b.id
+               GROUP BY a.grp ORDER BY a.grp"""
+    // 30 rows per partition minus the 3 deleted (id%10=3 hits 3 of 30)
+    val expected = (0L until 4L).map(g => (g, 27L))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val df = spark.sql(q)
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows === expected, "MoR deletes must apply inside the SPJ scan")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"live DVs must not cost the storage-partitioned join its shuffle:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    }
+  }
+
   test("runtime pruning never drops matching rows on unpartitioned tables") {
     wh
     // stats-only pruning path: no partitions, file min/max does the work

@@ -85,6 +85,19 @@ class DefaultsSpec extends SparkSpec {
     check(spark.sql("SELECT id, info.pri FROM gnest.db.t").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toSeq,
       "dsv2")
+    // nested-pruning scope: the scan un-prunes `info` only while a planned
+    // generation MISSES the defaulted descendant; a query over a defaulted
+    // column's sibling widens to the full struct pre-compaction (the
+    // backfill must observe parent null-ness) and prunes again once every
+    // generation stores the field
+    def infoReadFields(): Seq[String] =
+      spark.sql("SELECT info.tag FROM gnest.db.t").queryExecution.sparkPlan
+        .collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }.head.output.find(_.name == "info").get.dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    assert(infoReadFields() === Seq("tag", "pri"),
+      "mixed generations must un-prune the defaulted struct")
     // compaction MATERIALIZES the nested default (the output claims the
     // current schema, so the backfill must become physical)
     // each generation is its own single-file group — compact them all
@@ -93,6 +106,8 @@ class DefaultsSpec extends SparkSpec {
     check(spark.sql("SELECT id, info.pri FROM gnest.db.t").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toSeq,
       "post-compaction")
+    assert(infoReadFields() === Seq("tag"),
+      "all generations store the default now — nested pruning must return")
     val physical = spark.read.parquet(
       t2.newScan().planFiles().tasks.map(_.file.path): _*)
       .select(col("id"), col("info.pri")).collect()

@@ -116,6 +116,40 @@ class ImportSpec extends SparkSpec {
       == Seq(3L, 4L))
   }
 
+  test("struct-NESTED initial defaults on partition-served tables are refused, not misread") {
+    // imported hive layouts serve identity-partition columns from directory
+    // metadata; fill ordinals are computed over the logical row INCLUDING
+    // those columns, so a backfill would misalign — the guard must catch
+    // nested defaults exactly like top-level ones
+    val src = freshLoc("hive-nstruct")
+    Seq((1L, "a", "p1"), (2L, "b", "p2"))
+      .toDF("id", "v", "part")
+      .withColumn("info", struct(col("v").as("tag")))
+      .select("id", "info", "part")
+      .write.partitionBy("part").parquet(src)
+    val wh = freshLoc("imp-ndef-wh")
+    spark.conf.set("spark.sql.catalog.gimpn", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gimpn.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gimpn.db")
+    val loc = s"$wh/db/t"
+    val t = GraftWrite.importParquet(spark, loc, src,
+      properties = Map("format-version" -> "3"))
+    SchemaUpdate(t)
+      .addColumn("info.pri", StringType, initialDefault = Some("std"))
+      .commit()
+    // partition column + defaulted struct requested together → refused on
+    // the DSv2 path (the fill would misalign with the physical row)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT part, info FROM gimpn.db.t").collect()
+    }
+    assert(ex.getMessage != null &&
+      ex.getMessage.contains("initial defaults"), s"wrong error: $ex")
+    // without the partition-served column the backfill aligns and applies
+    val vals = spark.sql("SELECT id, info.pri FROM gimpn.db.t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(vals === Map(1L -> "std", 2L -> "std"))
+  }
+
   test("unpartitioned import still round-trips with name mapping recorded") {
     val src = freshLoc("flat-src")
     Seq((1L, "x"), (2L, "y")).toDF("id", "v").coalesce(1).write.parquet(src)

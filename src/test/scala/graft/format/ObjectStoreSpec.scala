@@ -143,8 +143,19 @@ class ObjectStoreSpec extends AnyFunSuite {
     @volatile var dropPutMatching: String = null
     /** Runs just before the next conditional PUT (race interposition). */
     @volatile var beforePutIfAbsent: () => Unit = null
+    /** Fail the next N GETs of keys containing this substring. */
+    @volatile var failGetMatching: String = null
+    @volatile var failGetCount = 0
 
-    override def get(key: String): Option[Array[Byte]] = inner.get(key)
+    override def get(key: String): Option[Array[Byte]] = {
+      val fg = failGetMatching
+      if (fg != null && key.contains(fg) && failGetCount > 0) {
+        failGetCount -= 1
+        if (failGetCount == 0) failGetMatching = null
+        throw new java.io.IOException(s"injected: GET $key failed")
+      }
+      inner.get(key)
+    }
     override def put(key: String, bytes: Array[Byte]): Unit = {
       val drop = dropPutMatching
       if (drop != null && key.contains(drop)) {
@@ -215,6 +226,31 @@ class ObjectStoreSpec extends AnyFunSuite {
     val m = new TableOps(loc).current()
     assert(m.properties("rival") === "first" && m.properties("ours") === "second")
     assert(new TableOps(loc).currentVersion() === 3)
+  }
+
+  test("CAS lands, response lost, AND the read-back GET flakes: retry resolves the durable commit") {
+    val spark = graft.SparkSpecBase.spark
+    val loc = freshLoc("unk4")
+    GraftTable.create(spark, loc, schema)
+    val faulty = new FaultyStore(InMemoryObjectStore)
+    val fops = new TableOps(loc, new ObjectStoreFileIO(faulty))
+    faulty.losePutIfAbsentResponse = true
+    // the first read-back GET of v2 fails transiently; the bounded retry
+    // must find the landed bytes instead of reporting CommitStateUnknown.
+    // Armed just before the CAS so the version-probe GETs don't consume it.
+    faulty.beforePutIfAbsent = () => {
+      faulty.failGetMatching = "v2.metadata.json"
+      faulty.failGetCount = 1
+    }
+    var applies = 0
+    val updated = fops.commitTransaction { m =>
+      applies += 1
+      m.copy(properties = m.properties + ("flaky" -> "resolved"))
+    }
+    assert(applies === 1, "a landed CAS must not re-apply the transform")
+    assert(updated.properties.get("flaky").contains("resolved"))
+    assert(new TableOps(loc).currentVersion() === 2)
+    assert(new TableOps(loc).current().properties("flaky") === "resolved")
   }
 
   test("CAS response lost with nothing at the key: CommitStateUnknown, no blind retry") {
