@@ -1030,29 +1030,49 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
   private lazy val dataPartOf: Map[String, (Int, Map[String, Any])] =
     plan.tasks.map(t => ParquetIO.canonPath(t.file.path) ->
       (t.file.specId, t.file.partition)).toMap
-  private def eqCanHit(deletePath: String, dataPaths: Seq[String]): Boolean =
-    eqPartOf.get(ParquetIO.canonPath(deletePath)) match {
-      case None => true // partition-global delete file
-      case Some((specId, tuple)) => dataPaths.exists { dp =>
-        dataPartOf.get(dp) match {
-          case Some((dSpec, dTuple)) => dSpec != specId || dTuple == tuple
-          case None => true // unknown data file: keep (never drop deletes)
+  /** Per-source partition INDEX over a group's equality-delete paths,
+    * built once per scan: global (tuple-less) paths, plus per delete-file
+    * spec a tuple → paths map and the spec's full path list (served whole
+    * to cross-spec data files, where tuples aren't comparable —
+    * [[Deletes.eqDeleteCanHit]]'s cases, indexed). Keeps per-task scoping
+    * at O(partitions-per-task) map lookups instead of O(live delete
+    * files) per task — the same driver-cost shape as posScopeOf. */
+  private lazy val eqIndexByGroup: Map[Int, Seq[(Seq[String],
+      Map[Int, (Seq[String], Map[Map[String, Any], Seq[String]])])]] =
+    groupDeletes.zipWithIndex.collect {
+      case (Some(cfg), g) if cfg.sets.nonEmpty && eqPartOf.nonEmpty =>
+        g -> cfg.sets.map { ks =>
+          val (scoped, global) =
+            ks.paths.partition(dp => eqPartOf.contains(ParquetIO.canonPath(dp)))
+          val bySpec = scoped.groupBy(dp => eqPartOf(ParquetIO.canonPath(dp))._1)
+            .map { case (spec, paths) =>
+              spec -> (paths,
+                paths.groupBy(dp => eqPartOf(ParquetIO.canonPath(dp))._2))
+            }
+          (global, bySpec)
         }
-      }
-    }
+    }.toMap
   /** Per-task narrowing of a group's equality-delete sources: for each
     * DeleteKeySource (order preserved), the delete-file paths that can hit
     * any of the task's data files. None = nothing narrowed (single cache
     * entry shared by every task of the scan). */
   private def eqScopeFor(group: Int, dataPaths: Seq[String])
       : Option[Seq[Seq[String]]] =
-    if (eqPartOf.isEmpty) None
-    else groupDeletes(group).filter(_.sets.nonEmpty).flatMap { cfg =>
-      val narrowed = cfg.sets.map(ks =>
-        ks.paths.filter(dp => eqCanHit(dp, dataPaths)))
-      if (narrowed.zip(cfg.sets).forall { case (n, ks) => n.length == ks.paths.length })
-        None
-      else Some(narrowed)
+    eqIndexByGroup.get(group).flatMap { index =>
+      // a data file we can't resolve keeps every delete (never drop)
+      val unknown = dataPaths.exists(dp => !dataPartOf.contains(dp))
+      if (unknown) None
+      else {
+        val parts = dataPaths.map(dataPartOf).distinct
+        val narrowed = index.map { case (global, bySpec) =>
+          (global ++ bySpec.toSeq.flatMap { case (spec, (all, byTuple)) =>
+            if (parts.exists(_._1 != spec)) all // cross-spec: keep whole spec
+            else parts.flatMap(p => byTuple.getOrElse(p._2, Nil))
+          }).distinct.sorted
+        }
+        val sizes = groupDeletes(group).get.sets.map(_.paths.length)
+        if (narrowed.map(_.length) == sizes) None else Some(narrowed)
+      }
     }
 
   /** Storage-partitioned-join planning: when the builder proved the scan is

@@ -104,6 +104,19 @@ object Deletes {
       } ++ posDeleteTargets(unknown.map(_.path), conf)
   }
 
+  /** Can an equality-delete file's keys hit rows of a data file with the
+    * given (specId, partition)? Partition-global delete files (empty
+    * tuple) and cross-spec pairings (tuples aren't comparable across
+    * specs) always can; a tuple-carrying file under the SAME spec hits
+    * only its own partition. The semantics GraftScan.eqIndexByGroup
+    * encodes as a tuple→paths index for O(1)-per-partition task scoping;
+    * kept as the reference predicate for specs (MetaScaleSpec asserts the
+    * index agrees with it at 10k delete files). */
+  def eqDeleteCanHit(deleteSpecId: Int, deletePartition: Map[String, Any],
+      dataSpecId: Int, dataPartition: Map[String, Any]): Boolean =
+    deletePartition.isEmpty || deleteSpecId != dataSpecId ||
+      deletePartition == dataPartition
+
   /** Per-task delete-file matcher (reference DeleteFileIndex,
     * core/.../DeleteFileIndex.java + FileScanTask.deletes()): canonical
     * data-file path → the parquet position-delete files that can contain

@@ -157,7 +157,13 @@ final class TableOps(val location: String, explicitIo: FileIO = null) {
             // a conflict means our view was stale: re-probe past the memo so
             // the retry sees the real head even while the hint lags
             currentVersion(forceProbe = true)
-            Thread.sleep(math.min(25L << math.min(attempt, 6), 1000L))
+            // JITTERED exponential backoff: a deterministic schedule makes
+            // N concurrent writers retry in lockstep and collide again on
+            // every round (thundering herd) — randomizing the top half
+            // desynchronizes them (reference Tasks.exponentialBackoff)
+            val base = math.min(25L << math.min(attempt, 6), 1000L)
+            Thread.sleep(base / 2 +
+              java.util.concurrent.ThreadLocalRandom.current().nextLong(base / 2 + 1))
             false
         }
       if (committed) {

@@ -54,6 +54,40 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(eqDeletes.forall(_._1.equalityIds.nonEmpty))
   }
 
+  test("partitioned upsert stages partition-scoped delete files (tuple-carrying)") {
+    wh
+    spark.sql("CREATE TABLE gu.db.psrc (id BIGINT, grp BIGINT, v STRING)")
+    // keys = (grp, id): grp is the partition source, so every epoch's
+    // equality deletes fan out one file per touched partition — a
+    // partition-local consumer never plans another partition's key sets
+    spark.sql("""CREATE TABLE gu.db.psink (id BIGINT, grp BIGINT, v STRING)
+                 PARTITIONED BY (grp)
+                 TBLPROPERTIES ('write.upsert.enabled'='true',
+                                'write.upsert.key-columns'='grp,id')""")
+    val ckpt = Files.createTempDirectory("graft-upckpt-p").toString
+    spark.sql("INSERT INTO gu.db.psrc VALUES (1, 0, 'a1'), (2, 0, 'b1'), (1, 1, 'c1')")
+    runOnce("gu.db.psrc", "gu.db.psink", ckpt)
+    // epoch 2 re-keys (0,1) and adds (1,2): only partitions 0 and 1 touched
+    spark.sql("INSERT INTO gu.db.psrc VALUES (1, 0, 'a2'), (2, 1, 'd1')")
+    runOnce("gu.db.psrc", "gu.db.psink", ckpt)
+    assert(spark.sql("SELECT grp, id, v FROM gu.db.psink ORDER BY grp, id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((0L, 1L, "a2"), (0L, 2L, "b1"), (1L, 1L, "c1"), (1L, 2L, "d1")))
+    val t = GraftTable.load(spark, s"$wh/db/psink")
+    val eqDeletes = t.newScan().planFiles().deleteFiles
+      .filter(_._1.content == FileContent.EqualityDeletes).map(_._1)
+    assert(eqDeletes.nonEmpty)
+    assert(eqDeletes.forall(_.partition.nonEmpty),
+      "partition-clustered upsert keys must stage tuple-carrying delete files")
+    // a partition-filtered scan plans only its own partition's delete files
+    val grpVals = t.newScan()
+      .filter(graft.format.Exprs.equal("grp", 0L)).planFiles()
+      .deleteFiles.filter(_._1.content == FileContent.EqualityDeletes)
+      .map(_._1.partition("grp")).distinct
+    assert(grpVals == Seq(0L),
+      s"scan of grp=0 planned delete files of partitions $grpVals")
+  }
+
   test("duplicate keys inside one epoch fail with the offending key") {
     wh
     spark.sql("CREATE TABLE gu.db.src3 (id BIGINT, v STRING)")

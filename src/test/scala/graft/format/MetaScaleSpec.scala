@@ -263,6 +263,54 @@ class MetaScaleSpec extends SparkSpec {
     assert(parseS < 5 && targetS < 2 && sliceS < 2 && scopeS < 2)
   }
 
+  test("10k partition-local equality-delete entries round-trip and scope driver-cheap") {
+    val m = table.metadata
+    val schema = m.schema
+    val typesMap = table.partTypesOf(m)(m.defaultSpecId).toMap
+    val keyId = FieldIds.nameToId(schema)("id")
+    // 100 partition-local eq-delete files per partition across 100 cats —
+    // the shape a partition-clustered streaming upsert accumulates before
+    // maintenance converges it
+    val entries = (0 until 10000).map { i =>
+      ManifestEntry(EntryStatus.Added, 2L, 2L, DataFile(
+        path = s"deletes/eq-$i.parquet",
+        content = FileContent.EqualityDeletes,
+        partition = Map("cat" -> s"c${i % Cats}"),
+        recordCount = 1000L, fileSizeInBytes = 1L << 20,
+        schemaId = m.currentSchemaId, specId = m.defaultSpecId,
+        equalityIds = Seq(keyId)))
+    }
+    val bytes = MetaCodec.writeManifest(entries, schema, typesMap, MetaCodec.Avro)
+    val (back, parseS) = timed(MetaCodec.readManifest(bytes, schema, typesMap))
+    assert(back === entries)
+    // the scan-side scoping shape: one pass builds tuple→paths, then each
+    // of 100k tasks resolves its partition's delete subset with map
+    // lookups — never an O(live delete files) walk per task
+    val files = back.map(_.file)
+    val (_, scopeS) = timed {
+      val byTuple = files.groupBy(_.partition)
+        .map { case (t, fs) => t -> fs.map(_.path) }
+      (0 until 100000).foreach { i =>
+        val part = Map[String, Any]("cat" -> s"c${i % Cats}")
+        val hits = byTuple(part)
+        assert(hits.size === 100)
+      }
+      // the index must agree with the reference predicate on hits, spec
+      // mismatches (conservative keep) and the empty-tuple bypass
+      val d = files.head
+      assert(Deletes.eqDeleteCanHit(d.specId, d.partition, d.specId, d.partition))
+      assert(!Deletes.eqDeleteCanHit(d.specId, d.partition, d.specId,
+        Map("cat" -> "other")))
+      assert(Deletes.eqDeleteCanHit(d.specId, d.partition, d.specId + 1,
+        Map("cat" -> "other")), "cross-spec pairings keep the delete")
+      assert(Deletes.eqDeleteCanHit(d.specId, Map.empty, d.specId,
+        Map("cat" -> "other")), "partition-global files always apply")
+    }
+    info(f"10k eq-delete entries: manifest ${bytes.length / 1024} KB, " +
+      f"parse $parseS%.3f s, 100k-task scoping $scopeS%.3f s")
+    assert(parseS < 5 && scopeS < 2)
+  }
+
   test("rewriteManifests compacts 1000 manifests distributed; plan unchanged") {
     val (written, secs) = timed(
       Actions.forTable(table).rewriteManifests(entriesPerManifest = 1000))

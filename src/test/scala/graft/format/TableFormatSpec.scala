@@ -444,7 +444,12 @@ class TableFormatSpec extends SparkSpec {
 
   test("commit stress: 8 concurrent writers, 3 commits each, nothing lost") {
     val loc = freshLoc("stress")
-    val t = GraftTable.create(spark, loc, rows(1).schema)
+    // 8-way contention: a writer can lose many consecutive races, so a
+    // high-contention deployment raises the retry property (the documented
+    // knob — commitTransaction's default 4 matches the reference's
+    // COMMIT_NUM_RETRIES and is sized for light contention)
+    val t = GraftTable.create(spark, loc, rows(1).schema,
+      properties = Map("commit.retry.num-retries" -> "25"))
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = (0 until 8).map { w =>
       new Thread(() => {
