@@ -1186,11 +1186,20 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
             // the lookup agrees on every filesystem scheme)
             val files = fp.files.filter(f => kept(f.filePath.toPath.toString))
             if (files.isEmpty) Nil
-            else if (posGroup || lineageGroup) files.toSeq.map { f =>
-              val canon = ParquetIO.canonPath(f.filePath.toPath.toString)
-              val (ps, ls) = scopes(canon)
-              GroupedPartition(i, FilePartition(fp.index, Array(f)),
-                Some(canon), ps, ls, eqScope(Seq(canon))): InputPartition
+            else if (posGroup || lineageGroup) {
+              // file-granular scoping WITHOUT losing Spark's bin-packing:
+              // keep the original FilePartition boundary (Spark already
+              // sized it to maxSplitBytes/bytesPerCore) and emit ONE task
+              // whose reader concatenates the per-file delete-scoped subs
+              // — small MoR files don't degrade to one task each
+              val subs = files.toSeq.map { f =>
+                val canon = ParquetIO.canonPath(f.filePath.toPath.toString)
+                val (ps, ls) = scopes(canon)
+                GroupedPartition(i, FilePartition(fp.index, Array(f)),
+                  Some(canon), ps, ls, eqScope(Seq(canon)))
+              }
+              Seq(if (subs.size == 1) subs.head: InputPartition
+                  else MultiFilePartition(subs): InputPartition)
             }
             else {
               val canons = files.toSeq.map(f =>
@@ -1423,6 +1432,14 @@ final case class KeyedPartition(group: Int,
     subs.flatMap(_.preferredLocations()).distinct.toArray
 }
 
+/** One scan task over SEVERAL file-granular delete-scoped subs (MoR scans
+  * keep Spark's bin-packing — the reader concatenates the subs). */
+final case class MultiFilePartition(subs: Seq[GroupedPartition])
+  extends org.apache.spark.sql.connector.read.InputPartition {
+  override def preferredLocations(): Array[String] =
+    subs.flatMap(_.preferredLocations()).distinct.toArray
+}
+
 /** Sequential concatenation of per-file readers inside one SPJ partition. */
 final class ConcatReader[T](makers: Seq[() => org.apache.spark.sql.connector.read.PartitionReader[T]])
   extends org.apache.spark.sql.connector.read.PartitionReader[T] {
@@ -1488,9 +1505,12 @@ final case class GroupedReaderFactory(
     }
   }
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
-    // SPJ partitions concatenate their per-file delete-scoped subs
+    // SPJ / bin-packed MoR partitions concatenate their per-file
+    // delete-scoped subs
     case kp: KeyedPartition =>
       new ConcatReader[InternalRow](kp.subs.map(s => () => createReader(s)))
+    case mp: MultiFilePartition =>
+      new ConcatReader[InternalRow](mp.subs.map(s => () => createReader(s)))
     case _ => createSingleReader(p)
   }
   private def createSingleReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -1516,6 +1536,9 @@ final case class GroupedReaderFactory(
     case kp: KeyedPartition =>
       new ConcatReader[org.apache.spark.sql.vectorized.ColumnarBatch](
         kp.subs.map(s => () => createColumnarReader(s)))
+    case mp: MultiFilePartition =>
+      new ConcatReader[org.apache.spark.sql.vectorized.ColumnarBatch](
+        mp.subs.map(s => () => createColumnarReader(s)))
     case _ => createSingleColumnarReader(p)
   }
   private def createSingleColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {

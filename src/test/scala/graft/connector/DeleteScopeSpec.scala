@@ -20,12 +20,15 @@ class DeleteScopeSpec extends SparkSpec {
     d.toString
   }
 
-  /** The DSv2 batch partitions of a full-table scan, with their scopes. */
+  /** The DSv2 batch partitions of a full-table scan, with their scopes —
+    * bin-packed MoR partitions flatten to their file-granular subs (each
+    * sub carries its own scope; the task boundary is the pack). */
   private def partitions(t: GraftTable): Seq[GroupedPartition] = {
     val b = new GraftScanBuilder(spark, t, t.newScan(),
       CaseInsensitiveStringMap.empty())
-    b.build().toBatch.planInputPartitions().toSeq.map {
-      case gp: GroupedPartition => gp
+    b.build().toBatch.planInputPartitions().toSeq.flatMap {
+      case gp: GroupedPartition => Seq(gp)
+      case mp: MultiFilePartition => mp.subs
       case other => fail(s"expected GroupedPartition, got ${other.getClass}")
     }
   }
@@ -194,6 +197,36 @@ class DeleteScopeSpec extends SparkSpec {
     assert(partitions(t).forall(_.eqScope.isEmpty))
     assert(t.toDF().select("id").as[Long].collect().sorted.toSeq ===
       (0L until 30L).filterNot(Set(5L, 11L)))
+  }
+
+  test("MoR scans keep Spark's bin-packing: many small deleted files, few tasks") {
+    val df = (0L until 200L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = GraftTable.create(spark, freshLoc("scope-pack"), df.schema,
+      properties = Map("format-version" -> "3"))
+    // 20 tiny files; DVs land on every one of them
+    GraftWrite.append(t, df.repartition(20))
+    val paths = t.newScan().planFiles().tasks.map(_.file.path)
+    assert(paths.size === 20)
+    val pos = spark.read.parquet(paths: _*)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id") % 4 === 0).select("file_path", "pos")
+    Deletes.deletePositions(t, pos)
+    val b = new GraftScanBuilder(spark, t, t.newScan(),
+      CaseInsensitiveStringMap.empty())
+    val parts = b.build().toBatch.planInputPartitions().toSeq
+    assert(parts.size < 20,
+      s"per-file delete scoping must not undo bin-packing: ${parts.size} tasks")
+    val subs = parts.flatMap {
+      case mp: MultiFilePartition => mp.subs
+      case gp: GroupedPartition => Seq(gp)
+      case other => fail(s"unexpected partition ${other.getClass}")
+    }
+    assert(subs.size === 20, "every file keeps its own scoped sub")
+    assert(subs.forall(s => s.posScope.exists(_.dvs.size == 1)))
+    // the concatenating reader still answers exactly
+    assert(t.toDF().select("id").as[Long].collect().sorted.toSeq ===
+      (0L until 200L).filterNot(_ % 4 == 0))
   }
 
   test("legacy delete file without target metadata resolves exactly via one read") {
