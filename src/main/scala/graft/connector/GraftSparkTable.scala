@@ -290,7 +290,24 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     val expr = FilterBridge.convertAll(pushed)
     val scan = if (expr == AlwaysTrue) base else base.filter(expr)
     val schema = scan.scanSchema
-    val planned = scan.planFiles()
+    val planned0 = scan.planFiles()
+    // equality-delete entries prune through the SAME metrics evaluator as
+    // data files, over their KEY-column stats (recorded at stage time): a
+    // key matching a row that survives the filter agrees with it on every
+    // key column, so a filter no key can satisfy proves the delete set
+    // irrelevant to the RESULT. Sound ONLY here: this scan re-applies the
+    // whole filter as a residual (a resurrected row failing it is
+    // discarded above); group-granular row-level ops and the library's
+    // whole-file readers (deleteWhere CoW) must keep every entry.
+    val planned =
+      if (expr == AlwaysTrue || groupGranular ||
+          planned0.deleteFiles.isEmpty) planned0
+      else {
+        val bound = Exprs.bind(expr, schema)
+        planned0.copy(deleteFiles = planned0.deleteFiles.filter(d =>
+          d._1.content != FileContent.EqualityDeletes ||
+            Evaluators.inclusiveMetrics(bound, d._1)))
+      }
     val plan = pushedLimit match {
       case Some(n) if pushed.isEmpty && planned.deleteFiles.isEmpty &&
           !groupGranular =>
@@ -832,6 +849,9 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
   override def description(): String =
     s"graft(${groupScans.size} scan groups, files=${plan.tasks.size})"
 
+  /** Test visibility: the (possibly eq-delete-pruned) plan this scan runs. */
+  private[connector] def scanPlan: ScanPlan = plan
+
   /** Runtime group filtering (reference SparkCopyOnWriteScan): row-level
     * operation scans advertise `_file`, so Spark's
     * RowLevelOperationRuntimeGroupFiltering injects a dynamic subquery of
@@ -1023,13 +1043,21 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
     * partition under the same spec; files without a tuple — and any
     * cross-spec pairing, where tuples aren't comparable — stay
     * partition-global. Metadata-only: no delete-file I/O. */
-  private lazy val eqPartOf: Map[String, (Int, Map[String, Any])] =
+  private lazy val eqFileOf: Map[String, DataFile] =
     plan.deleteFiles.filter(_._1.content == FileContent.EqualityDeletes)
-      .map(_._1).filter(_.partition.nonEmpty)
-      .map(f => ParquetIO.canonPath(f.path) -> (f.specId, f.partition)).toMap
-  private lazy val dataPartOf: Map[String, (Int, Map[String, Any])] =
-    plan.tasks.map(t => ParquetIO.canonPath(t.file.path) ->
-      (t.file.specId, t.file.partition)).toMap
+      .map(_._1).map(f => ParquetIO.canonPath(f.path) -> f).toMap
+  private lazy val eqPartOf: Map[String, (Int, Map[String, Any])] =
+    eqFileOf.collect { case (p, f) if f.partition.nonEmpty =>
+      p -> (f.specId, f.partition) }
+  /** Key-RANGE scoping is worthwhile when any live eq-delete file carries
+    * key-column stats (staged files always do; legacy entries don't). */
+  private lazy val eqBoundsActive: Boolean =
+    table != null && eqFileOf.valuesIterator.exists(f =>
+      f.equalityIds.exists(id => f.lowerBounds.contains(id) ||
+        f.nullValueCounts.get(id).contains(0L)))
+  private lazy val eqScopable: Boolean = eqPartOf.nonEmpty || eqBoundsActive
+  private lazy val dataFileOf: Map[String, DataFile] =
+    plan.tasks.map(t => ParquetIO.canonPath(t.file.path) -> t.file).toMap
   /** Per-source partition INDEX over a group's equality-delete paths,
     * built once per scan: global (tuple-less) paths, plus per delete-file
     * spec a tuple → paths map and the spec's full path list (served whole
@@ -1040,7 +1068,7 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
   private lazy val eqIndexByGroup: Map[Int, Seq[(Seq[String],
       Map[Int, (Seq[String], Map[Map[String, Any], Seq[String]])])]] =
     groupDeletes.zipWithIndex.collect {
-      case (Some(cfg), g) if cfg.sets.nonEmpty && eqPartOf.nonEmpty =>
+      case (Some(cfg), g) if cfg.sets.nonEmpty && eqScopable =>
         g -> cfg.sets.map { ks =>
           val (scoped, global) =
             ks.paths.partition(dp => eqPartOf.contains(ParquetIO.canonPath(dp)))
@@ -1052,23 +1080,37 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
           (global, bySpec)
         }
     }.toMap
+  // key-range checks are per (candidate, task) — bounded so a pathological
+  // many-live-global-deletes scan can't regress planning to O(files×deletes)
+  private val EqBoundsCap = 1024
   /** Per-task narrowing of a group's equality-delete sources: for each
     * DeleteKeySource (order preserved), the delete-file paths that can hit
-    * any of the task's data files. None = nothing narrowed (single cache
-    * entry shared by every task of the scan). */
+    * any of the task's data files — first by partition tuple (indexed),
+    * then by KEY-column range overlap ([[Deletes.eqBoundsCanHit]], the
+    * upstream canContainEqDeletesForFile analogue). None = nothing
+    * narrowed (single cache entry shared by every task of the scan). */
   private def eqScopeFor(group: Int, dataPaths: Seq[String])
       : Option[Seq[Seq[String]]] =
     eqIndexByGroup.get(group).flatMap { index =>
       // a data file we can't resolve keeps every delete (never drop)
-      val unknown = dataPaths.exists(dp => !dataPartOf.contains(dp))
+      val unknown = dataPaths.exists(dp => !dataFileOf.contains(dp))
       if (unknown) None
       else {
-        val parts = dataPaths.map(dataPartOf).distinct
+        val dataFiles = dataPaths.map(dataFileOf)
+        val parts = dataFiles.map(f => (f.specId, f.partition)).distinct
+        lazy val schema = table.metadata.schema
         val narrowed = index.map { case (global, bySpec) =>
-          (global ++ bySpec.toSeq.flatMap { case (spec, (all, byTuple)) =>
+          val cands = global ++ bySpec.toSeq.flatMap { case (spec, (all, byTuple)) =>
             if (parts.exists(_._1 != spec)) all // cross-spec: keep whole spec
             else parts.flatMap(p => byTuple.getOrElse(p._2, Nil))
-          }).distinct.sorted
+          }
+          val bounded =
+            if (!eqBoundsActive || cands.length > EqBoundsCap) cands
+            else cands.filter { dp =>
+              val del = eqFileOf(ParquetIO.canonPath(dp))
+              dataFiles.exists(df => Deletes.eqBoundsCanHit(del, df, schema))
+            }
+          bounded.distinct.sorted
         }
         val sizes = groupDeletes(group).get.sets.map(_.paths.length)
         if (narrowed.map(_.length) == sizes) None else Some(narrowed)
@@ -1097,7 +1139,7 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
         if (keyed.exists(_._1.isEmpty)) None
         else {
           val posGroup = groupDeletes(0).exists(_.pos.isDefined)
-          val eqActive = eqPartOf.nonEmpty && groupDeletes(0).exists(_.sets.nonEmpty)
+          val eqActive = eqScopable && groupDeletes(0).exists(_.sets.nonEmpty)
           val grouped = keyed.map { case (k, f) => (k.get, f) }.groupBy(_._1)
             .toSeq.sortBy(_._1.map(v => String.valueOf(v)).mkString("\u0000"))
           Some(grouped.zipWithIndex.map { case ((key, fs), i) =>
@@ -1169,7 +1211,7 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
         val lineageGroup = groupLineages(i).exists(_.kind == 1)
         // partition-scoped equality deletes narrow each task's key-set
         // sources to its own partition's delete files
-        val eqActive = eqPartOf.nonEmpty && groupDeletes(i).exists(_.sets.nonEmpty)
+        val eqActive = eqScopable && groupDeletes(i).exists(_.sets.nonEmpty)
         def scopes(canon: String): (Option[PosScope], Option[LineageScope]) =
           (if (posGroup) Some(posScopeOf(canon)) else None,
             if (lineageGroup) lineageScopeOf.get(canon) else None)

@@ -272,15 +272,28 @@ object Deletes {
       .flatMap(pf => FieldIds.findById(m.schema, pf.sourceId).map(_.name))
     val partitionScoped = spec.isPartitioned && srcNames.nonEmpty &&
       srcNames.forall(keyCols.contains)
+    // footer metrics ride into the manifest: key-column bounds let the
+    // scan skip attaching a key set to tasks whose files can't contain any
+    // key (Deletes.eqBoundsCanHit — upstream Iceberg's
+    // DeleteFileIndex#canContainEqDeletesForFile), and plan-time filters
+    // prune delete entries through the same inclusive-metrics evaluator
+    // as data files
+    def staged(p: String, tuple: Map[String, Any]): DataFile = {
+      val fm = Metrics.fromParquetFooter(p, m.schema)
+      DataFile(path = p, content = FileContent.EqualityDeletes,
+        partition = tuple,
+        recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
+        schemaId = m.currentSchemaId, specId = m.defaultSpecId,
+        valueCounts = fm.valueCounts,
+        nullValueCounts = fm.nullValueCounts,
+        lowerBounds = fm.lowerBounds,
+        upperBounds = fm.upperBounds,
+        fullBoundIds = fm.fullBoundIds,
+        equalityIds = ids)
+    }
     if (!partitionScoped) {
       val paths = stage(table, keys.dropDuplicates().coalesce(1), keys.columns.toSeq)
-      return paths.map { p =>
-        val fm = Metrics.fromParquetFooter(p, m.schema)
-        DataFile(path = p, content = FileContent.EqualityDeletes,
-          recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
-          schemaId = m.currentSchemaId, specId = m.defaultSpecId,
-          equalityIds = ids)
-      }
+      return paths.map(p => staged(p, Map.empty))
     }
     // one file per partition: repartition by the derived partition columns
     // (each output task holds whole partitions), hive-style fanout dirs
@@ -308,14 +321,35 @@ object Deletes {
           types.get(name).map(dt => name -> Values.fromDirString(raw, dt))
         } else None
       }.toMap
-      val fm = Metrics.fromParquetFooter(p, m.schema)
-      DataFile(path = p, content = FileContent.EqualityDeletes,
-        partition = tuple,
-        recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
-        schemaId = m.currentSchemaId, specId = m.defaultSpecId,
-        equalityIds = ids)
+      staged(p, tuple)
     }
   }
+
+  /** Key-RANGE check for an equality-delete file against a data file
+    * (upstream Iceberg DeleteFileIndex#canContainEqDeletesForFile): the
+    * delete's keys can only hit the file if, for EVERY key column, either
+    * a null key could match a null value (neither side provably
+    * null-free) or the two value ranges overlap. Conservative true
+    * whenever either side lacks the stats (legacy files, truncated-off
+    * metrics modes). */
+  def eqBoundsCanHit(delete: DataFile, data: DataFile,
+      schema: org.apache.spark.sql.types.StructType): Boolean =
+    delete.equalityIds.forall { id =>
+      val deleteMayNull = !delete.nullValueCounts.get(id).contains(0L)
+      val dataMayNull = !data.nullValueCounts.get(id).contains(0L)
+      if (deleteMayNull && dataMayNull) true
+      else (delete.lowerBounds.get(id), delete.upperBounds.get(id),
+            data.lowerBounds.get(id), data.upperBounds.get(id)) match {
+        case (Some(dl), Some(du), Some(fl), Some(fu)) =>
+          FieldIds.findById(schema, id) match {
+            case Some(f) =>
+              val ord = Exprs.ordering(Types.cleanType(f.dataType))
+              ord.lteq(dl, fu) && ord.lteq(fl, du)
+            case None => true
+          }
+        case _ => true
+      }
+    }
 
   /** Delete all rows whose key columns match any row of `keys` (written
     * before this commit). Commits a RowDelta with equality-delete files. */

@@ -147,6 +147,13 @@ final class TableScan private[format] (
                 if (bound == AlwaysTrue || Evaluators.inclusiveMetrics(bound, e.file))
                   tasks += FileScanTask(e.file, e.sequenceNumber, bound)
               } else deletes += ((e.file, e.sequenceNumber))
+              // NOTE: delete entries are NEVER pruned by the row filter
+              // here — library consumers (deleteWhere's copy-on-write
+              // rewrite, group-granular row-level ops) plan with a filter
+              // but then read WHOLE files, where a filter-pruned equality
+              // delete would resurrect masked rows. The DSv2 scan, which
+              // re-applies the full filter as a residual, prunes its own
+              // eq-delete entries (GraftScanBuilder.buildFileScan).
             }
           }
         }

@@ -153,12 +153,12 @@ class DeleteScopeSpec extends SparkSpec {
     assert(t.newScan().filter(Exprs.equal("grp", 2L)).planFiles()
       .deleteFiles.isEmpty, "untouched partition plans no delete files")
     // per-task scope: with one file per Spark partition, each task's key
-    // sources narrow to exactly its own partition's delete file
+    // sources narrow to exactly the delete files its partition AND key
+    // ranges admit — the index must agree with the reference predicate
     spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
     try {
-      val dataParts = t.newScan().planFiles().tasks
-        .map(ft => ParquetIO.canonPath(ft.file.path) -> ft.file.partition("grp"))
-        .toMap
+      val taskFiles = t.newScan().planFiles().tasks
+        .map(ft => ParquetIO.canonPath(ft.file.path) -> ft.file).toMap
       val parts = partitions(t)
       assert(parts.nonEmpty)
       parts.foreach { p =>
@@ -167,12 +167,15 @@ class DeleteScopeSpec extends SparkSpec {
             fp.files.map(f => ParquetIO.canonPath(f.filePath.toPath.toString)).toSeq
           case other => fail(s"expected FilePartition, got ${other.getClass}")
         }
-        val grps = files.map(dataParts).toSet
-        val expected = grps.flatMap(delByGrp.get).toSeq.sorted
-        val scope = p.eqScope.getOrElse(
-          fail(s"no eqScope on task over partitions $grps"))
-        assert(scope.flatten.sorted === expected,
-          s"task over $grps must carry exactly its partitions' key sets")
+        val expected = dels.filter(d => files.exists { fp =>
+          val df = taskFiles(fp)
+          df.partition("grp") == d.partition("grp") &&
+            Deletes.eqBoundsCanHit(d, df, t.schema)
+        }).map(_.path).sorted
+        val scopePaths = p.eqScope.map(_.flatten.sorted)
+          .getOrElse(dels.map(_.path).sorted) // None = un-narrowed full set
+        assert(scopePaths === expected,
+          s"task over $files must carry exactly the admissible key sets")
       }
     } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
     // correctness end-to-end
@@ -193,10 +196,89 @@ class DeleteScopeSpec extends SparkSpec {
     // the global file survives every partition-filtered plan
     assert(t.newScan().filter(Exprs.equal("grp", 2L)).planFiles()
       .deleteFiles.map(_._1.path) === Seq(dels.head.path))
-    // no scoping applies: tasks carry the group config unchanged
-    assert(partitions(t).forall(_.eqScope.isEmpty))
+    // the file applies partition-globally, but KEY-RANGE scoping still
+    // drops the set from tasks whose files cannot contain keys 5/11
+    val idF = FieldIds.nameToId(t.schema)("id")
+    val ranges = t.newScan().planFiles().tasks.map(ft =>
+      ParquetIO.canonPath(ft.file.path) ->
+        (ft.file.lowerBounds(idF).asInstanceOf[Long],
+         ft.file.upperBounds(idF).asInstanceOf[Long])).toMap
+    partitions(t).foreach { p =>
+      val paths = p.inner match {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.map(f => ParquetIO.canonPath(f.filePath.toPath.toString)).toSeq
+        case other => fail(s"expected FilePartition, got ${other.getClass}")
+      }
+      val overlaps = paths.exists { dp =>
+        val (lo, hi) = ranges(dp); lo <= 11L && 5L <= hi
+      }
+      if (overlaps) assert(p.eqScope.isEmpty, "overlapping task keeps the set")
+      else assert(p.eqScope.exists(_.flatten.isEmpty),
+        "a task whose files cannot contain the keys must not load the set")
+    }
     assert(t.toDF().select("id").as[Long].collect().sorted.toSeq ===
       (0L until 30L).filterNot(Set(5L, 11L)))
+  }
+
+  test("key-range scoping: an eq delete attaches only to tasks that can contain its keys") {
+    val t = GraftTable.create(spark, freshLoc("scope-eqb"),
+      Seq((0L, "v")).toDF("id", "v").schema)
+    // three files with DISJOINT id ranges: [0,100), [100,200), [200,300)
+    (0 until 3).foreach { b =>
+      GraftWrite.append(t, (b * 100 until b * 100 + 100)
+        .map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1))
+    }
+    // keys land entirely inside the middle file's range
+    Deletes.deleteByEquality(t, Seq(105L, 150L).toDF("id"))
+    val dels = t.newScan().planFiles().deleteFiles.map(_._1)
+      .filter(_.content == FileContent.EqualityDeletes)
+    assert(dels.size === 1 && dels.head.partition.isEmpty)
+    val idField = FieldIds.nameToId(t.schema)("id")
+    assert(dels.head.lowerBounds.get(idField).contains(105L) &&
+      dels.head.upperBounds.get(idField).contains(150L),
+      "staged eq-delete files must record key-column bounds")
+    // the LIBRARY plan must KEEP the entry even under a filter no key can
+    // satisfy — whole-file consumers (deleteWhere CoW, row-level ops) read
+    // beyond the filter and a pruned delete would resurrect masked rows
+    assert(t.newScan().filter(Exprs.gtEq("id", 200L)).planFiles()
+      .deleteFiles.map(_._1.path) === Seq(dels.head.path))
+    // the DSv2 scan re-applies the full filter as residual, so IT prunes
+    // the entry when no key can satisfy the filter — and keeps it otherwise
+    def dsv2Plan(f: org.apache.spark.sql.sources.Filter): ScanPlan = {
+      val b = new GraftScanBuilder(spark, t, t.newScan(),
+        CaseInsensitiveStringMap.empty())
+      b.pushFilters(Array(f))
+      b.build().asInstanceOf[GraftScan].scanPlan
+    }
+    assert(dsv2Plan(org.apache.spark.sql.sources.GreaterThanOrEqual("id", 200L))
+      .deleteFiles.isEmpty, "keys 105/150 cannot hit any row with id >= 200")
+    assert(dsv2Plan(org.apache.spark.sql.sources.LessThanOrEqual("id", 160L))
+      .deleteFiles.map(_._1.path) === Seq(dels.head.path))
+    // scan-time: only the middle file's task carries the key source.
+    // 64 KB + the default 4 MB open cost → one (unsplit) file per task
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try {
+      val ranges = t.newScan().planFiles().tasks.map(ft =>
+        ParquetIO.canonPath(ft.file.path) ->
+          ft.file.lowerBounds(idField).asInstanceOf[Long]).toMap
+      val parts = partitions(t)
+      assert(parts.size === 3)
+      parts.foreach { p =>
+        val lo = p.inner match {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            ranges(ParquetIO.canonPath(fp.files.head.filePath.toPath.toString))
+          case other => fail(s"expected FilePartition, got ${other.getClass}")
+        }
+        if (lo == 100L)
+          assert(p.eqScope.isEmpty,
+            "the overlapping task keeps the (un-narrowed) group config")
+        else
+          assert(p.eqScope.exists(_.flatten.isEmpty),
+            s"task over [$lo,${lo + 99}] must not load the key set")
+      }
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    assert(t.toDF().select("id").as[Long].collect().sorted.toSeq ===
+      (0L until 300L).filterNot(Set(105L, 150L)))
   }
 
   test("MoR scans keep Spark's bin-packing: many small deleted files, few tasks") {
