@@ -278,22 +278,29 @@ object Deletes {
     // DeleteFileIndex#canContainEqDeletesForFile), and plan-time filters
     // prune delete entries through the same inclusive-metrics evaluator
     // as data files
-    def staged(p: String, tuple: Map[String, Any]): DataFile = {
-      val fm = Metrics.fromParquetFooter(p, m.schema)
-      DataFile(path = p, content = FileContent.EqualityDeletes,
-        partition = tuple,
-        recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
-        schemaId = m.currentSchemaId, specId = m.defaultSpecId,
-        valueCounts = fm.valueCounts,
-        nullValueCounts = fm.nullValueCounts,
-        lowerBounds = fm.lowerBounds,
-        upperBounds = fm.upperBounds,
-        fullBoundIds = fm.fullBoundIds,
-        equalityIds = ids)
+    // footer metrics as a distributed job when many files staged (one
+    // file per partition can mean hundreds per epoch — no per-file driver
+    // reads at scale, same as the data writers' collectFiles)
+    def stagedAll(paths: Seq[String],
+        tupleOf: String => Map[String, Any]): Seq[DataFile] = {
+      val metricsByPath = Metrics.forFiles(table.spark, paths, m.schema)
+      paths.map { p =>
+        val fm = metricsByPath(p)
+        DataFile(path = p, content = FileContent.EqualityDeletes,
+          partition = tupleOf(p),
+          recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
+          schemaId = m.currentSchemaId, specId = m.defaultSpecId,
+          valueCounts = fm.valueCounts,
+          nullValueCounts = fm.nullValueCounts,
+          lowerBounds = fm.lowerBounds,
+          upperBounds = fm.upperBounds,
+          fullBoundIds = fm.fullBoundIds,
+          equalityIds = ids)
+      }
     }
     if (!partitionScoped) {
       val paths = stage(table, keys.dropDuplicates().coalesce(1), keys.columns.toSeq)
-      return paths.map(p => staged(p, Map.empty))
+      return stagedAll(paths, _ => Map.empty)
     }
     // one file per partition: repartition by the derived partition columns
     // (each output task holds whole partitions), hive-style fanout dirs
@@ -311,9 +318,9 @@ object Deletes {
       .parquet(dir)
     val types = spec.resultTypes(m.schema).toMap
     val files = table.ops.io.list(dir, ".parquet").map(_.path).sorted
-    files.map { p =>
+    stagedAll(files, p => {
       val rel = p.stripPrefix(dir).stripPrefix("/")
-      val tuple = rel.split('/').dropRight(1).flatMap { seg =>
+      rel.split('/').dropRight(1).flatMap { seg =>
         val eq = seg.indexOf('=')
         if (eq > 0 && seg.startsWith(GraftWrite.DirPrefix)) {
           val name = seg.substring(GraftWrite.DirPrefix.length, eq)
@@ -321,8 +328,7 @@ object Deletes {
           types.get(name).map(dt => name -> Values.fromDirString(raw, dt))
         } else None
       }.toMap
-      staged(p, tuple)
-    }
+    })
   }
 
   /** Key-RANGE check for an equality-delete file against a data file

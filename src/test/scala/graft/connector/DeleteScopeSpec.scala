@@ -220,6 +220,32 @@ class DeleteScopeSpec extends SparkSpec {
       (0L until 30L).filterNot(Set(5L, 11L)))
   }
 
+  test("cross-spec equality deletes stay conservative: old-generation rows never resurrect") {
+    // data written under spec 0 (identity grp); the spec then evolves to
+    // identity grp2 and the upsert keys cluster on grp2 — the delete files
+    // carry NEW-spec tuples, which are NOT comparable with the old files'
+    // tuples, so scoping must keep the sets for every old-generation task
+    val df = (0L until 40L).map(i => (i, i % 2, i % 4, s"v$i"))
+      .toDF("id", "grp", "grp2", "v")
+    val t = GraftTable.create(spark, freshLoc("scope-xspec"), df.schema,
+      _.identity("grp"))
+    GraftWrite.append(t, df)
+    Commits.updateSpec(t)(_.identity("grp2"))
+    val t2 = GraftTable.load(spark, t.location)
+    Deletes.deleteByEquality(t2, Seq((0L, 4L), (1L, 9L)).toDF("grp2", "id"))
+    val dels = t2.newScan().planFiles().deleteFiles.map(_._1)
+      .filter(_.content == FileContent.EqualityDeletes)
+    assert(dels.nonEmpty && dels.forall(d =>
+      d.partition.contains("grp2") && d.specId == t2.metadata.defaultSpecId))
+    // the deletes apply to OLD-spec files despite the tuple mismatch
+    assert(t2.toDF().select("id").as[Long].collect().sorted.toSeq ===
+      (0L until 40L).filterNot(Set(4L, 9L)))
+    // and an old-spec partition-filtered scan still carries them
+    assert(t2.newScan().filter(Exprs.equal("grp", 0L)).toDF()
+      .select("id").as[Long].collect().sorted.toSeq ===
+      (0L until 40L).filter(_ % 2 == 0).filterNot(Set(4L)))
+  }
+
   test("key-range scoping: an eq delete attaches only to tasks that can contain its keys") {
     val t = GraftTable.create(spark, freshLoc("scope-eqb"),
       Seq((0L, "v")).toDF("id", "v").schema)
