@@ -318,17 +318,7 @@ object Deletes {
       .parquet(dir)
     val types = spec.resultTypes(m.schema).toMap
     val files = table.ops.io.list(dir, ".parquet").map(_.path).sorted
-    stagedAll(files, p => {
-      val rel = p.stripPrefix(dir).stripPrefix("/")
-      rel.split('/').dropRight(1).flatMap { seg =>
-        val eq = seg.indexOf('=')
-        if (eq > 0 && seg.startsWith(GraftWrite.DirPrefix)) {
-          val name = seg.substring(GraftWrite.DirPrefix.length, eq)
-          val raw = java.net.URLDecoder.decode(seg.substring(eq + 1), "UTF-8")
-          types.get(name).map(dt => name -> Values.fromDirString(raw, dt))
-        } else None
-      }.toMap
-    })
+    stagedAll(files, GraftWrite.tupleFromDirs(dir, _, types))
   }
 
   /** Key-RANGE check for an equality-delete file against a data file

@@ -106,6 +106,16 @@ final class TableScan private[format] (
     var filesTotal = 0L
     val tasks = Seq.newBuilder[FileScanTask]
     val deletes = Seq.newBuilder[(DataFile, Long)]
+    // tuple-carrying delete entries whose partition fails the projected
+    // filter under their OWN spec. Dropping them is only sound when every
+    // surviving data file shares that spec: cross-spec application is
+    // conservative (Deletes.eqDeleteCanHit — tuples aren't comparable
+    // across specs), so a delete pruned by its spec-1 tuple may still have
+    // to mask surviving spec-0 rows. Whole-file consumers (deleteWhere's
+    // copy-on-write rewrite) would otherwise resurrect those rows at a
+    // newer sequence number.
+    val tuplePruned = Seq.newBuilder[(DataFile, Long, Int)]
+    val keptDataSpecs = scala.collection.mutable.HashSet[Int]()
 
     // summary-level pruning first (pure in-memory), then the surviving
     // manifests are read IN PARALLEL — manifest I/O + parse is what
@@ -135,18 +145,25 @@ final class TableScan private[format] (
             val keepByAdded = incremental.isEmpty ||
               (e.status == EntryStatus.Added &&
                 manifests.exists(_.addedSnapshotId == e.snapshotId))
-            // delete files are committed with an EMPTY partition tuple
-            // (they are partition-global: eq deletes, position deletes,
-            // DVs) — partition pruning must not drop them, or masked rows
-            // resurrect under any partition-filtered scan
+            // delete files with an EMPTY partition tuple are
+            // partition-global (position deletes, DVs, unclustered eq
+            // deletes) — partition pruning must not drop them, or masked
+            // rows resurrect under any partition-filtered scan. Tuple-
+            // carrying eq deletes prune under their own spec, but the drop
+            // is deferred until the kept data specs are known (see
+            // tuplePruned above).
             val partOk = projected == AlwaysTrue ||
               (e.file.content != FileContent.Data && e.file.partition.isEmpty) ||
               Projections.evalOnPartition(projected, e.file.partition)
             if (keepByAdded && partOk) {
               if (e.file.content == FileContent.Data) {
-                if (bound == AlwaysTrue || Evaluators.inclusiveMetrics(bound, e.file))
+                if (bound == AlwaysTrue || Evaluators.inclusiveMetrics(bound, e.file)) {
                   tasks += FileScanTask(e.file, e.sequenceNumber, bound)
+                  keptDataSpecs += mf.specId
+                }
               } else deletes += ((e.file, e.sequenceNumber))
+            } else if (keepByAdded && e.file.content != FileContent.Data) {
+              tuplePruned += ((e.file, e.sequenceNumber, mf.specId))
               // NOTE: delete entries are NEVER pruned by the row filter
               // here — library consumers (deleteWhere's copy-on-write
               // rewrite, group-granular row-level ops) plan with a filter
@@ -160,7 +177,12 @@ final class TableScan private[format] (
       }
     }
     val ts = tasks.result()
-    val plan = ScanPlan(ts, deletes.result(), manifests.size, manifestsScanned,
+    // a tuple-pruned delete stays dropped only if every kept data file is
+    // of the delete's own spec; any cross-spec survivor forces it back in
+    val keptDeletes = deletes.result() ++ tuplePruned.result().collect {
+      case (f, seq, specId) if keptDataSpecs.exists(_ != specId) => (f, seq)
+    }
+    val plan = ScanPlan(ts, keptDeletes, manifests.size, manifestsScanned,
       filesTotal, ts.size)
     // scan observability (reference Listeners.notifyAll(new ScanEvent(...))
     // in BaseTableScan.planFiles): skipped entirely when nobody listens

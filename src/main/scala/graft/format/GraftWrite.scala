@@ -20,6 +20,25 @@ object GraftWrite {
 
   private[format] val DirPrefix = "__p_"
 
+  /** Decode a hive-style staged path's partition tuple: every
+    * `__p_<name>=<value>` directory segment between `base` and the file
+    * name, URL-decoded and parsed at the spec's result type. Shared by
+    * the data writer and the equality-delete stager — the two sides MUST
+    * decode identically, or delete-file tuples stop matching data-file
+    * tuples and partition scoping silently drops deletes. */
+  private[format] def tupleFromDirs(base: String, path: String,
+      types: Map[String, org.apache.spark.sql.types.DataType]): Map[String, Any] = {
+    val rel = path.stripPrefix(base).stripPrefix("/")
+    rel.split('/').dropRight(1).flatMap { seg =>
+      val eq = seg.indexOf('=')
+      if (eq > 0 && seg.startsWith(DirPrefix)) {
+        val name = seg.substring(DirPrefix.length, eq)
+        val raw = java.net.URLDecoder.decode(seg.substring(eq + 1), "UTF-8")
+        types.get(name).map(dt => name -> Values.fromDirString(raw, dt))
+      } else None
+    }.toMap
+  }
+
   /** Table property: comma-separated `col [asc|desc]` write clustering. */
   val SortOrderKey = "write.sort-order"
 
@@ -156,16 +175,7 @@ object GraftWrite {
       Metrics.modesFor(schema, table.metadata.properties), fmt)
     files.map { p =>
       // partition tuple from hive-style dirs: __p_<name>=<value>
-      val rel = p.stripPrefix(staging).stripPrefix("/")
-      val segs = rel.split('/')
-      val tuple = segs.dropRight(1).flatMap { seg =>
-        val eq = seg.indexOf('=')
-        if (eq > 0 && seg.startsWith(DirPrefix)) {
-          val name = seg.substring(DirPrefix.length, eq)
-          val raw = java.net.URLDecoder.decode(seg.substring(eq + 1), "UTF-8")
-          types.get(name).map(dt => name -> Values.fromDirString(raw, dt))
-        } else None
-      }.toMap
+      val tuple = tupleFromDirs(staging, p, types)
       val fm = metricsByPath(p)
       DataFile(
         path = p,

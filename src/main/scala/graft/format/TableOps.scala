@@ -122,6 +122,12 @@ final class TableOps(val location: String, explicitIo: FileIO = null) {
     while (attempt <= maxAttempts) {
       try return Some(io.readString(versionFile(v)))
       catch {
+        // not-found is retried DELIBERATELY, not as a transient fault: the
+        // lost-response PUT may still be in flight server-side, and the
+        // ~150 ms of backoff is a grace window that turns a late-landing
+        // commit from CommitStateUnknown into a definitive answer. The
+        // cost on the genuinely-absent path is three GETs before the
+        // (already exceptional) unknown-state surface.
         case scala.util.control.NonFatal(_) =>
           if (attempt == maxAttempts) return None
           Thread.sleep(25L << attempt)

@@ -246,6 +246,31 @@ class DeleteScopeSpec extends SparkSpec {
       (0L until 40L).filter(_ % 2 == 0).filterNot(Set(4L)))
   }
 
+  test("cross-spec deleteWhere on the new partition column keeps eq deletes") {
+    // data under spec 0 (identity grp), spec evolves to identity(grp2),
+    // eq deletes staged with {grp2: …} tuples. A copy-on-write DELETE
+    // filtered on grp2 projects that filter onto the DELETE's spec and
+    // would tuple-prune the grp2=0 key set — while the spec-0 data files
+    // (projected AlwaysTrue under identity(grp)) survive and still hold
+    // rows masked by it. planFiles must keep tuple-pruned deletes whenever
+    // any kept data file is of a different spec, or the rewrite
+    // resurrects the masked rows at a newer sequence number.
+    val df = (0L until 40L).map(i => (i, i % 2, i % 4, s"v$i"))
+      .toDF("id", "grp", "grp2", "v")
+    val t = GraftTable.create(spark, freshLoc("scope-xspec-cow"), df.schema,
+      _.identity("grp"))
+    GraftWrite.append(t, df)
+    Commits.updateSpec(t)(_.identity("grp2"))
+    val t2 = GraftTable.load(spark, t.location)
+    Deletes.deleteByEquality(t2, Seq((0L, 4L), (1L, 9L)).toDF("grp2", "id"))
+    Deletes.deleteWhere(GraftTable.load(spark, t.location),
+      Exprs.equal("grp2", 1L))
+    val t3 = GraftTable.load(spark, t.location)
+    assert(t3.toDF().select("id").as[Long].collect().sorted.toSeq ===
+      (0L until 40L).filterNot(i => i % 4 == 1).filterNot(_ == 4L),
+      "id=4 (grp2=0, masked by the tuple-pruned eq delete) must not resurrect")
+  }
+
   test("key-range scoping: an eq delete attaches only to tasks that can contain its keys") {
     val t = GraftTable.create(spark, freshLoc("scope-eqb"),
       Seq((0L, "v")).toDF("id", "v").schema)
