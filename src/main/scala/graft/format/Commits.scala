@@ -21,6 +21,16 @@ object Commits {
   val ManifestMinMergeCount = "commit.manifest.min-count-to-merge"
   val ManifestMinMergeDefault = 8
 
+  /** Property: roll a manifest when its estimated encoded size passes this
+    * (reference TableProperties.MANIFEST_TARGET_SIZE_BYTES, default 8 MB —
+    * the knob RollingManifestWriter and ManifestMergeManager bin by). */
+  val ManifestTargetSizeKey = "commit.manifest.target-size-bytes"
+  val ManifestTargetSizeDefault: Long = 8L * 1024 * 1024
+
+  private[format] def manifestTargetBytes(m: TableMetadata): Long =
+    m.properties.get(ManifestTargetSizeKey).map(_.toLong)
+      .getOrElse(ManifestTargetSizeDefault)
+
   // ---- manifest construction ----
 
   private[format] def summaries(spec: PartitionSpec, types: Seq[(String, DataType)],
@@ -66,6 +76,54 @@ object Commits {
     buildManifestFile(path, bytes.length.toLong, specId, entries,
       addedSnapshotId, spec, types)
   }
+
+  /** Cheap per-entry encoded-size estimate for rolling. The reference's
+    * RollingManifestWriter rolls on ACTUAL bytes written; MetaCodec encodes
+    * a manifest in one shot, so rolling cuts on an estimate instead — path
+    * plus stats maps dominate an encoded entry, and being ±2× off only
+    * moves the roll point, never correctness. */
+  private[format] def estimatedEntryBytes(e: ManifestEntry): Long = {
+    def boundsBytes(m: Map[Int, Any]): Long = m.valuesIterator.map {
+      case s: String => s.length + 6L
+      case b: Array[Byte] => b.length + 6L
+      case _ => 14L
+    }.sum
+    64L + e.file.path.length + e.file.partition.size * 16L +
+      (e.file.valueCounts.size + e.file.nullValueCounts.size) * 12L +
+      boundsBytes(e.file.lowerBounds) + boundsBytes(e.file.upperBounds)
+  }
+
+  /** Split entries into rolling chunks targeting
+    * `commit.manifest.target-size-bytes` of encoded manifest each
+    * (reference RollingManifestWriter): one oversized append — a
+    * 100k-file import — lands as several target-sized manifests, so
+    * plan-time manifest reads parallelize and per-manifest partition
+    * summaries stay tight, instead of one giant manifest on one thread. */
+  private[format] def rollEntries(m: TableMetadata,
+      entries: Seq[ManifestEntry]): Seq[Seq[ManifestEntry]] = {
+    val target = manifestTargetBytes(m)
+    val chunks = Seq.newBuilder[Seq[ManifestEntry]]
+    var cur = Seq.newBuilder[ManifestEntry]
+    var curBytes = 0L
+    var curN = 0
+    entries.foreach { e =>
+      val b = estimatedEntryBytes(e)
+      if (curN > 0 && curBytes + b > target) {
+        chunks += cur.result(); cur = Seq.newBuilder; curBytes = 0L; curN = 0
+      }
+      cur += e; curBytes += b; curN += 1
+    }
+    chunks += cur.result()
+    chunks.result()
+  }
+
+  /** Write entries as one manifest per rolled chunk. */
+  private[format] def writeManifests(table: GraftTable, m: TableMetadata,
+      specId: Int, entries: Seq[ManifestEntry],
+      addedSnapshotId: Long): Seq[ManifestFile] =
+    if (entries.isEmpty) Nil
+    else rollEntries(m, entries)
+      .map(ch => writeManifest(table, m, specId, ch, addedSnapshotId))
 
   private def writeManifestList(table: GraftTable, m: TableMetadata,
       snapshotId: Long, manifests: Seq[ManifestFile]): String = {
@@ -146,8 +204,68 @@ object Commits {
           f.copy(schemaId =
             if (m.schemas.contains(f.schemaId)) f.schemaId else m.currentSchemaId,
             specId = m.defaultSpecId)))
-      val mf = writeManifest(table, m, m.defaultSpecId, entries, snapId)
-      buildSnapshot(table, m, "append", currentManifests(table, m) :+ mf, summary)
+      val mfs = writeManifests(table, m, m.defaultSpecId, entries, snapId)
+      buildSnapshot(table, m, "append", currentManifests(table, m) ++ mfs, summary)
+  }
+
+  /** FastAppend for file-count-scale appends (imports): the rolled manifest
+    * chunks are ENCODED AND WRITTEN BY EXECUTORS — the driver handles only
+    * descriptors, so a 100k-file import never serializes through one
+    * thread's manifest encode (the reference's Spark import utilities write
+    * manifests in tasks the same way). Entries are stamped with a
+    * PROVISIONAL (sequence, snapshot) id read before the job; the commit
+    * validates the guess under CAS and falls back to the driver-side
+    * rolling write on the rare concurrent commit — correctness never
+    * depends on the guess, only the fast path does. */
+  def fastAppendDistributed(table: GraftTable, newFiles: Seq[DataFile],
+      summary: Map[String, String] = Map.empty): TableMetadata = {
+    val m0 = table.metadata
+    val (files, mProv) = assignRowIds(m0, newFiles)
+    val (seq, snapId) = nextIds(mProv)
+    val specId = mProv.defaultSpecId
+    val entries = files.map(f =>
+      ManifestEntry(EntryStatus.Added, snapId, seq,
+        f.copy(schemaId =
+          if (mProv.schemas.contains(f.schemaId)) f.schemaId else mProv.currentSchemaId,
+          specId = specId)))
+    val chunks = rollEntries(mProv, entries)
+    val spec = mProv.specs(specId)
+    val types = table.partTypesOf(mProv)(specId)
+    val typesMap = types.toMap
+    val codec = MetaCodec.codecFor(mProv.properties)
+    val schema = mProv.schema
+    val metadataDir = s"${table.location}/metadata"
+    val io = table.ops.io
+    val sc = table.spark.sparkContext
+    val manifests: Seq[ManifestFile] =
+      if (chunks.size == 1) writeManifests(table, mProv, specId, entries, snapId)
+      else sc.parallelize(chunks, math.min(chunks.size,
+          math.max(1, sc.defaultParallelism)))
+        .map { group =>
+          val path = s"$metadataDir/manifest-${java.util.UUID.randomUUID()}" +
+            MetaCodec.ext(codec)
+          val bytes = MetaCodec.writeManifest(group, schema, typesMap, codec)
+          io.writeBytes(path, bytes)
+          buildManifestFile(path, bytes.length.toLong, specId, group, snapId,
+            spec, types)
+        }.collect().toSeq
+    table.ops.commitTransaction { m =>
+      val (seqNow, snapNow) = nextIds(m)
+      val provisionalHolds = seqNow == seq && snapNow == snapId &&
+        m.currentSchemaId == m0.currentSchemaId &&
+        m.defaultSpecId == m0.defaultSpecId &&
+        (m.formatVersion < 3 || m.nextRowId == m0.nextRowId)
+      if (provisionalHolds) {
+        val mRow = if (mProv.nextRowId != m.nextRowId)
+          m.copy(nextRowId = mProv.nextRowId) else m
+        buildSnapshot(table, mRow, "append",
+          currentManifests(table, mRow) ++ manifests, summary)
+      } else
+        // concurrent commit moved the ids under us: the pre-written
+        // manifests are orphans (removeOrphanFiles reclaims them) and the
+        // append re-runs driver-side against the fresh metadata
+        fastAppendOn(table, m, newFiles, summary)
+    }
   }
 
   /** MergeAppend (reference MergingSnapshotProducer/ManifestMergeManager):
@@ -161,22 +279,43 @@ object Commits {
       val entries = files.map(f =>
         ManifestEntry(EntryStatus.Added, snapId, seq,
           f.copy(schemaId = m.currentSchemaId, specId = m.defaultSpecId)))
-      val newMf = writeManifest(table, m, m.defaultSpecId, entries, snapId)
+      val newMfs = writeManifests(table, m, m.defaultSpecId, entries, snapId)
       val existing = currentManifests(table, m)
       val minMerge = m.properties.get(ManifestMinMergeCount)
         .map(_.toInt).getOrElse(ManifestMinMergeDefault)
-      val all = existing :+ newMf
+      val all = existing ++ newMfs
       val manifests =
         if (all.size <= minMerge) all
-        else { // merge per spec-id
-          all.groupBy(_.specId).toSeq.sortBy(_._1).map { case (specId, mfs) =>
-            if (mfs.size == 1) mfs.head
-            else {
-              val merged = mfs.flatMap(mf => table.readManifest(mf, m.schema))
-                .filter(_.status != EntryStatus.Deleted)
-                .map(e => e.copy(status =
-                  if (e.snapshotId == snapId) EntryStatus.Added else EntryStatus.Existing))
-              writeManifest(table, m, specId, merged, snapId)
+        else {
+          // merge per spec-id in TARGET-SIZE BINS (reference
+          // ManifestMergeManager.groupManifests): manifests already at the
+          // target sit alone in their bin and pass through untouched, so a
+          // steady-state table of N full manifests never re-reads them —
+          // merging everything into one would make each append re-encode
+          // the whole table's metadata (quadratic over the table's life)
+          // and produce a single giant manifest that serializes planning.
+          val target = manifestTargetBytes(m)
+          all.groupBy(_.specId).toSeq.sortBy(_._1).flatMap { case (specId, mfs) =>
+            val bins = Seq.newBuilder[Seq[ManifestFile]]
+            var bin = Seq.newBuilder[ManifestFile]
+            var binBytes = 0L
+            var binN = 0
+            mfs.foreach { mf =>
+              if (binN > 0 && binBytes + mf.length > target) {
+                bins += bin.result(); bin = Seq.newBuilder; binBytes = 0L; binN = 0
+              }
+              bin += mf; binBytes += mf.length; binN += 1
+            }
+            bins += bin.result()
+            bins.result().flatMap { group =>
+              if (group.size == 1) group
+              else {
+                val merged = group.flatMap(mf => table.readManifest(mf, m.schema))
+                  .filter(_.status != EntryStatus.Deleted)
+                  .map(e => e.copy(status =
+                    if (e.snapshotId == snapId) EntryStatus.Added else EntryStatus.Existing))
+                writeManifests(table, m, specId, merged, snapId)
+              }
             }
           }
         }
@@ -212,8 +351,8 @@ object Commits {
       val entries = files.map(f =>
         ManifestEntry(EntryStatus.Added, snapId, seq,
           f.copy(schemaId = m.currentSchemaId, specId = m.defaultSpecId)))
-      val mf = writeManifest(table, m, m.defaultSpecId, entries, snapId)
-      buildSnapshot(table, m, "overwrite", afterDelete :+ mf, Map.empty)
+      val mfs = writeManifests(table, m, m.defaultSpecId, entries, snapId)
+      buildSnapshot(table, m, "overwrite", afterDelete ++ mfs, Map.empty)
   }
 
   /** Dynamic partition overwrite (reference BaseReplacePartitions; used by
@@ -241,8 +380,8 @@ object Commits {
       val entries = newFiles.map(f =>
         ManifestEntry(EntryStatus.Added, snapId, seq,
           f.copy(schemaId = m.currentSchemaId, specId = m.defaultSpecId)))
-      val mf = writeManifest(table, m, m.defaultSpecId, entries, snapId)
-      buildSnapshot(table, m, "replace", kept :+ mf, Map.empty)
+      val mfs = writeManifests(table, m, m.defaultSpecId, entries, snapId)
+      buildSnapshot(table, m, "replace", kept ++ mfs, Map.empty)
   }
 
   /** RewriteFiles: atomic swap for compaction (reference BaseRewriteFiles). */
@@ -284,10 +423,10 @@ object Commits {
       // manifests are per-spec: compaction outputs keep their GROUP's spec
       // (the partition tuple is spelled in that spec's field names), so a
       // spec-evolved table rewrites each generation under its own layout
-      val mf = newFiles2.groupBy(_.specId).toSeq.sortBy(_._1).map {
+      val mf = newFiles2.groupBy(_.specId).toSeq.sortBy(_._1).flatMap {
         case (sid, fs) =>
           require(m1.specs.contains(sid), s"unknown partition spec $sid")
-          writeManifest(table, m1, sid, fs.map(f =>
+          writeManifests(table, m1, sid, fs.map(f =>
             ManifestEntry(EntryStatus.Added, snapId, seq,
               f.copy(schemaId = m1.currentSchemaId))), snapId)
       }
@@ -331,12 +470,9 @@ object Commits {
       def mk(fs: Seq[DataFile]) = fs.map(f =>
         ManifestEntry(EntryStatus.Added, snapId, seq,
           f.copy(schemaId = m1.currentSchemaId, specId = m1.defaultSpecId)))
-      val mfs = Seq(
-        if (dataFiles2.nonEmpty)
-          Some(writeManifest(table, m1, m1.defaultSpecId, mk(dataFiles2), snapId)) else None,
-        if (deleteFiles.nonEmpty)
-          Some(writeManifest(table, m1, m1.defaultSpecId, mk(deleteFiles), snapId)) else None
-      ).flatten
+      val mfs =
+        writeManifests(table, m1, m1.defaultSpecId, mk(dataFiles2), snapId) ++
+          writeManifests(table, m1, m1.defaultSpecId, mk(deleteFiles), snapId)
       buildSnapshot(table, m1, "overwrite", currentManifests(table, m1) ++ mfs,
         summary + ("delete-files" -> deleteFiles.size.toString))
     }
@@ -543,8 +679,8 @@ object Commits {
           f.copy(schemaId =
             if (m.schemas.contains(f.schemaId)) f.schemaId else m.currentSchemaId,
             specId = m.defaultSpecId)))
-      val mf = writeManifest(table, m, m.defaultSpecId, entries, snapId)
-      val manifests = table.readManifestList(m, head) :+ mf
+      val mfs = writeManifests(table, m, m.defaultSpecId, entries, snapId)
+      val manifests = table.readManifestList(m, head) ++ mfs
       val listPath = writeManifestList(table, m, snapId, manifests)
       val now = System.currentTimeMillis()
       val snap = Snapshot(snapId, Some(head.snapshotId), seq, now, "append",
@@ -581,9 +717,9 @@ object Commits {
       val entries = newFiles.map(f =>
         ManifestEntry(EntryStatus.Added, snapId, seq,
           f.copy(schemaId = m.currentSchemaId, specId = m.defaultSpecId)))
-      val mf = writeManifest(table, m, m.defaultSpecId, entries, snapId)
+      val mfs = writeManifests(table, m, m.defaultSpecId, entries, snapId)
       val listPath = writeManifestList(table, m, snapId,
-        currentManifests(table, m) :+ mf)
+        currentManifests(table, m) ++ mfs)
       val now = System.currentTimeMillis()
       val snap = Snapshot(snapId, m.currentSnapshotId, seq, now, "append",
         listPath, Map("wap.id" -> wapId, "schema-id" -> m.currentSchemaId.toString))

@@ -412,6 +412,13 @@ object GraftWrite {
         splitOffsets = fm.splitOffsets, fullBoundIds = fm.fullBoundIds,
         fileFormat = format)
     }
-    Commits.fastAppend(table, dataFiles)
+    // file-count-scale imports write their rolled manifest chunks in
+    // executors (driver handles descriptors only); small imports stay on
+    // the simpler driver path. The threshold property exists so tests can
+    // force the distributed path without 10k fixture files.
+    val threshold = table.metadata.properties
+      .get("import.distributed-manifest-threshold").map(_.toInt).getOrElse(10000)
+    if (dataFiles.size < threshold) Commits.fastAppend(table, dataFiles)
+    else Commits.fastAppendDistributed(table, dataFiles)
   }
 }
