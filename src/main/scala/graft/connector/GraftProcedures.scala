@@ -391,9 +391,11 @@ final class GraftProcedures(resolve: String => GraftTable,
   })
 
   private val rewriteManifests = new Proc("rewrite_manifests",
-    "rewrite the manifest tree partition-clustered (distributed)",
+    "rewrite the manifest tree partition-clustered (distributed); " +
+      "entries_per_manifest 0 derives the chunk from " +
+      "commit.manifest.target-size-bytes",
     Array(p("table", StringType),
-      pd("entries_per_manifest", IntegerType, "1000")),
+      pd("entries_per_manifest", IntegerType, "0")),
     StructType(Seq(
       StructField("added_manifests_count", IntegerType, nullable = false))))({
     in =>

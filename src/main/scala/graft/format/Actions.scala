@@ -685,12 +685,24 @@ final class Actions(t: GraftTable) {
     * sorted, and wrote everything on the driver, which is a single-node
     * bottleneck in exactly the action whose purpose is fixing metadata at
     * scale. */
-  def rewriteManifests(entriesPerManifest: Int = 1000): Int = {
+  def rewriteManifests(entriesPerManifest: Int = 0): Int = {
     val m = t.metadata
     val current = m.currentSnapshot.getOrElse(return 0)
     val baseSnapshotId = current.snapshotId
     val manifests = t.readManifestList(m, current)
     if (manifests.isEmpty) return 0
+    // default chunking derives from `commit.manifest.target-size-bytes`
+    // using the ACTUAL encoded bytes-per-entry of the current tree, so the
+    // rewrite converges to the same manifest size every append rolls at;
+    // an explicit entriesPerManifest overrides (tests, tuning)
+    val perManifest =
+      if (entriesPerManifest > 0) entriesPerManifest
+      else {
+        val live = math.max(1L,
+          manifests.map(mf => (mf.addedFilesCount + mf.existingFilesCount).toLong).sum)
+        val avg = math.max(1L, manifests.map(_.length).sum / live)
+        math.max(1L, Commits.manifestTargetBytes(m) / avg).toInt
+      }
     val io = t.ops.io
     val metadataDir = s"${t.location}/metadata"
     val codec = MetaCodec.codecFor(m.properties)
@@ -708,7 +720,7 @@ final class Actions(t: GraftTable) {
         // live entry count is already on the descriptors — no counting pass
         val liveCount = mfs.map(mf => mf.addedFilesCount + mf.existingFilesCount).sum
         val numRanges = math.max(1,
-          math.ceil(liveCount.toDouble / entriesPerManifest).toInt)
+          math.ceil(liveCount.toDouble / perManifest).toInt)
         val paths = mfs.map(_.path)
         val readTasks = math.min(paths.size, math.max(1, sc.defaultParallelism * 4))
         sc.parallelize(paths, readTasks)
@@ -719,7 +731,7 @@ final class Actions(t: GraftTable) {
             e.copy(status = EntryStatus.Existing)))
           .sortByKey(ascending = true, numPartitions = numRanges)
           .mapPartitions { it =>
-            it.map(_._2).grouped(entriesPerManifest).map { group =>
+            it.map(_._2).grouped(perManifest).map { group =>
               val entries = group.toSeq
               val path = s"$metadataDir/manifest-${java.util.UUID.randomUUID()}" +
                 MetaCodec.ext(codec)
@@ -785,34 +797,84 @@ final class Actions(t: GraftTable) {
     import t.spark.implicits._
     val dataDir = t.locations.dataRoot
     val io = t.ops.io
-    if (!io.exists(dataDir)) return OrphanResult(Nil)
-    // the driver lists ONE level (partition dirs / object-store hash
-    // prefixes — thousands at most); executors recurse into the prefixes in
-    // parallel. A 100 TB table's million-file listing never sits on the
-    // driver — only the (rare) orphan paths come back. The FileIO ships to
-    // tasks like every other distributed action here.
-    val (subdirs, rootFiles) = io.listShallow(dataDir)
-    val isData = (path: String) =>
-      (FileFormats.All :+ FileFormats.Puffin).exists(ext => path.endsWith("." + ext))
-    val listed =
-      if (subdirs.isEmpty) t.spark.emptyDataset[(String, Long)].toDF("path", "mtime")
-      else t.spark.sparkContext
-        .parallelize(subdirs, math.min(subdirs.size, 64))
-        .flatMap(d => io.list(d).collect {
-          case fi if isData(fi.path) => (fi.path, fi.modifiedMillis) })
-        .toDF("path", "mtime")
-    val actual = listed.unionAll(rootFiles
-      .collect { case fi if isData(fi.path) => (fi.path, fi.modifiedMillis) }
-      .toDF("path", "mtime"))
-    // the valid side is the distributed all_entries relation (executors
-    // parse manifests; reference RemoveOrphanFilesAction builds validFileDF
-    // the same way) — Deleted-status entries stay valid here, matching the
-    // conservative rule: only files NO manifest mentions are orphans
-    val valid = MetaTables.allEntries(t).select(col("file_path").as("path"))
-    val orphans = actual.filter(col("mtime") < olderThanMillis)
-      .join(valid, Seq("path"), "left_anti")
-      .select("path").as[String].collect().sorted
+    val orphans: Seq[String] = if (!io.exists(dataDir)) Nil else {
+      // the driver lists ONE level (partition dirs / object-store hash
+      // prefixes — thousands at most); executors recurse into the prefixes in
+      // parallel. A 100 TB table's million-file listing never sits on the
+      // driver — only the (rare) orphan paths come back. The FileIO ships to
+      // tasks like every other distributed action here.
+      val (subdirs, rootFiles) = io.listShallow(dataDir)
+      val isData = (path: String) =>
+        (FileFormats.All :+ FileFormats.Puffin).exists(ext => path.endsWith("." + ext))
+      val listed =
+        if (subdirs.isEmpty) t.spark.emptyDataset[(String, Long)].toDF("path", "mtime")
+        else t.spark.sparkContext
+          .parallelize(subdirs, math.min(subdirs.size, 64))
+          .flatMap(d => io.list(d).collect {
+            case fi if isData(fi.path) => (fi.path, fi.modifiedMillis) })
+          .toDF("path", "mtime")
+      val actual = listed.unionAll(rootFiles
+        .collect { case fi if isData(fi.path) => (fi.path, fi.modifiedMillis) }
+        .toDF("path", "mtime"))
+      // the valid side is the distributed all_entries relation (executors
+      // parse manifests; reference RemoveOrphanFilesAction builds validFileDF
+      // the same way) — Deleted-status entries stay valid here, matching the
+      // conservative rule: only files NO manifest mentions are orphans
+      val valid = MetaTables.allEntries(t).select(col("file_path").as("path"))
+      actual.filter(col("mtime") < olderThanMillis)
+        .join(valid, Seq("path"), "left_anti")
+        .select("path").as[String].collect().sorted.toSeq
+    }
     orphans.foreach(t.ops.io.deleteIfExists)
-    OrphanResult(orphans.toSeq)
+
+    // ---- metadata-dir sweep (reference RemoveOrphanFilesAction includes
+    // metadata files in validFileDF): manifests, manifest lists and stats
+    // files no table VERSION ever referenced are commit-attempt leftovers
+    // — optimistic-retry re-writes and the distributed-import fallback
+    // orphan them BY DESIGN, and nothing else reclaims them. Version
+    // JSONs and the hint are the commit log itself: never candidates.
+    // Valid-set reads (all version files + all their manifest lists) run
+    // in executors; only paths come back.
+    val metadataDir = s"${t.location}/metadata"
+    def nameOf(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val metaCandidates = io.list(metadataDir).filter { fi =>
+      val n = nameOf(fi.path)
+      (n.startsWith("manifest-") || n.startsWith("snap-") ||
+        n.startsWith("stats-")) && fi.modifiedMillis < olderThanMillis
+    }.map(_.path)
+    val metaOrphans: Seq[String] =
+      if (metaCandidates.isEmpty) Nil
+      else {
+        val versionPaths = io.list(metadataDir).map(_.path)
+          .filter(_.endsWith(".metadata.json"))
+        val sc = t.spark.sparkContext
+        val referenced = sc.parallelize(versionPaths,
+            math.max(1, math.min(versionPaths.size, 64)))
+          .map(p => Model.metadataFromJson(io.readString(p)))
+          .flatMap { m =>
+            val lists = m.snapshots.map(s => (s.manifestList, Some(m)))
+            val stats = m.statistics.map(sf => (sf.path, None: Option[TableMetadata]))
+            lists ++ stats
+          }
+          // one version references a list path once per retained snapshot
+          // and lists repeat across versions — dedup before the reads
+          .reduceByKey((a, _) => a)
+          .flatMap { case (path, mOpt) =>
+            path +: (mOpt match {
+              case Some(m) =>
+                // a list already deleted by expireSnapshots reads as
+                // nothing — its manifests were deleted with it
+                val bytes =
+                  try Some(io.readBytes(path))
+                  catch { case _: java.io.IOException => None }
+                bytes.toSeq.flatMap(b => MetaCodec
+                  .readManifestList(b, GraftTable.partTypesOf(m)).map(_.path))
+              case None => Nil
+            })
+          }.distinct().collect().toSet
+        metaCandidates.filterNot(referenced).sorted
+      }
+    metaOrphans.foreach(t.ops.io.deleteIfExists)
+    OrphanResult(orphans.toSeq ++ metaOrphans)
   }
 }

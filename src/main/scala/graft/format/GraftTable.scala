@@ -714,14 +714,8 @@ final class GraftTable(val ops: TableOps, val spark: SparkSession) {
   def toDF(): DataFrame = newScan().toDF()
 
   // ---- manifest I/O (shared with Commits/Actions) ----
-  private[format] def partTypesOf(m: TableMetadata)(specId: Int): Seq[(String, DataType)] = {
-    val spec = m.specs(specId)
-    // resolve against any schema that has all source ids (latest wins)
-    val sch = m.schemas.toSeq.sortBy(-_._1).map(_._2)
-      .find(s => spec.fields.forall(f => FieldIds.findById(s, f.sourceId).isDefined))
-      .getOrElse(m.schema)
-    spec.resultTypes(sch)
-  }
+  private[format] def partTypesOf(m: TableMetadata)(specId: Int): Seq[(String, DataType)] =
+    GraftTable.partTypesOf(m)(specId)
 
   private[format] def readManifestList(m: TableMetadata, s: Snapshot): Seq[ManifestFile] =
     MetaCodec.readManifestList(ops.io.readBytes(s.manifestList), partTypesOf(m))
@@ -737,6 +731,18 @@ final class GraftTable(val ops: TableOps, val spark: SparkSession) {
 }
 
 object GraftTable {
+
+  /** Partition-tuple result types of a spec, pure over the metadata (no
+    * session state) so executor tasks can resolve manifests from a parsed
+    * TableMetadata alone. */
+  private[format] def partTypesOf(m: TableMetadata)(specId: Int): Seq[(String, DataType)] = {
+    val spec = m.specs(specId)
+    // resolve against any schema that has all source ids (latest wins)
+    val sch = m.schemas.toSeq.sortBy(-_._1).map(_._2)
+      .find(s => spec.fields.forall(f => FieldIds.findById(s, f.sourceId).isDefined))
+      .getOrElse(m.schema)
+    spec.resultTypes(sch)
+  }
   /** Create a new (empty) table — metadata v1, no snapshot. */
   def create(spark: SparkSession, location: String, schema: StructType,
       specBuild: PartitionSpec.Builder => PartitionSpec.Builder = identity,

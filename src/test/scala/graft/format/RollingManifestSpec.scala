@@ -107,6 +107,43 @@ class RollingManifestSpec extends SparkSpec {
     // v3 would also need distinct row-id bases; this table is v2, so the
     // invariant here is simply both snapshots in the log
     assert(t2.metadata.snapshots.size === 2)
+
+    // the fallback orphaned the provisionally-written manifests; the
+    // metadata sweep of removeOrphanFiles reclaims exactly those and
+    // leaves every version-referenced manifest, list and version file
+    val io = t2.ops.io
+    val before = io.list(s"$loc/metadata").map(_.path).toSet
+    val res = Actions.forTable(t2)
+      .removeOrphanFiles(System.currentTimeMillis() + 60000)
+    val metaOrphans = res.deletedOrphans.filter(_.contains("/metadata/"))
+    assert(metaOrphans.nonEmpty,
+      "the fallback's provisional manifests must be reclaimed")
+    // the retry also orphans attempt 1's manifest LIST (written before the
+    // CAS that the rival won) — both kinds are commit-attempt leftovers
+    assert(metaOrphans.forall(p =>
+      p.contains("manifest-") || p.contains("/snap-")))
+    assert(metaOrphans.exists(_.contains("manifest-")))
+    val after = io.list(s"$loc/metadata").map(_.path).toSet
+    assert(after === before -- metaOrphans)
+    // nothing live was touched: the table still reads fine
+    val t3 = new GraftTable(new TableOps(loc), spark)
+    assert(t3.newScan().planFiles().tasks.size === 8)
+    assert(t3.metadata.snapshots.size === 2)
+  }
+
+  test("metadata sweep keeps every referenced manifest across snapshots") {
+    val loc = freshLoc("msweep")
+    val t = GraftTable.create(spark, loc, schema,
+      properties = Map(Commits.ManifestTargetSizeKey -> "2000"))
+    Commits.fastAppend(t, descs(30))
+    Commits.fastAppend(t, descs(30, offset = 30))
+    val metaBefore = t.ops.io.list(s"${t.location}/metadata").map(_.path).toSet
+    val res = Actions.forTable(t)
+      .removeOrphanFiles(System.currentTimeMillis() + 60000)
+    assert(res.deletedOrphans.filter(_.contains("/metadata/")).isEmpty,
+      "a clean commit history has no metadata orphans")
+    assert(t.ops.io.list(s"${t.location}/metadata").map(_.path).toSet === metaBefore)
+    assert(t.newScan().planFiles().tasks.size === 60)
   }
 }
 
