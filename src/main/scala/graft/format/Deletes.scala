@@ -237,7 +237,12 @@ object Deletes {
       return Commits.rowDelta(table, Nil, Dvs.stageFromPositions(table, positions))
     val named = positions.toDF("file_path", "pos")
       .withColumn("pos", col("pos").cast("long"))
-    val paths = stage(table, named.coalesce(1), Seq("file_path", "pos"))
+    // range-partitioned on (file_path, pos): staged files cover DISJOINT
+    // path ranges, so posIndex's bounds matching attaches each to only its
+    // own targets; AQE coalesces a small position set to one file
+    val paths = stage(table,
+      named.repartitionByRange(col("file_path"), col("pos")),
+      Seq("file_path", "pos"))
     val conf = table.spark.sessionState.newHadoopConf()
     val files = paths.map { p =>
       val fm = Metrics.fromParquetFooter(p, table.schema)
@@ -299,7 +304,16 @@ object Deletes {
       }
     }
     if (!partitionScoped) {
-      val paths = stage(table, keys.dropDuplicates().coalesce(1), keys.columns.toSeq)
+      // range-partition the deduped keys on the key columns: each staged
+      // file holds a DISJOINT sorted key range, so a GDPR-scale key set
+      // writes in parallel instead of through one task, and per-file key
+      // bounds are tight and non-overlapping — eqBoundsCanHit then
+      // attaches each file only to the tasks its range can hit. The
+      // partition count is left unspecified so AQE coalesces a small key
+      // set back to a single file.
+      val paths = stage(table,
+        keys.dropDuplicates().repartitionByRange(keys.columns.map(col).toSeq: _*),
+        keys.columns.toSeq)
       return stagedAll(paths, _ => Map.empty)
     }
     // one file per partition: repartition by the derived partition columns

@@ -332,6 +332,68 @@ class DeleteScopeSpec extends SparkSpec {
       (0L until 300L).filterNot(Set(105L, 150L)))
   }
 
+  test("a global key set stages as range-disjoint files that scope per task") {
+    val t = GraftTable.create(spark, freshLoc("scope-eqsplit"),
+      Seq((0L, "v")).toDF("id", "v").schema)
+    // three files with DISJOINT id ranges: [0,100), [100,200), [200,300)
+    (0 until 3).foreach { b =>
+      GraftWrite.append(t, (b * 100 until b * 100 + 100)
+        .map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1))
+    }
+    // keys span the whole domain; with coalescing off and 3 shuffle
+    // partitions the range repartition stages 3 SORTED, DISJOINT files
+    // (at scale AQE sizes this split instead — the point is the staging
+    // never funnels a GDPR-size key set through one task)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try Deletes.deleteByEquality(t, (0L until 300L by 7L).toDF("id"))
+    finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+    }
+    val dels = t.newScan().planFiles().deleteFiles.map(_._1)
+      .filter(_.content == FileContent.EqualityDeletes)
+    assert(dels.size === 3, "range staging must split the key set")
+    val idField = FieldIds.nameToId(t.schema)("id")
+    val ranges = dels.map(d => (d.lowerBounds(idField).asInstanceOf[Long],
+      d.upperBounds(idField).asInstanceOf[Long])).sorted
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, "ranges must be disjoint")
+      case _ =>
+    }
+    assert(t.toDF().select("id").as[Long].collect().sorted.toSeq ===
+      (0L until 300L).filterNot(_ % 7 == 0))
+    // per-task scope: each data file attaches ONLY the delete files whose
+    // key range overlaps its id range
+    val byPath = dels.map(d => d.path ->
+      (d.lowerBounds(idField).asInstanceOf[Long],
+        d.upperBounds(idField).asInstanceOf[Long])).toMap
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try {
+      val taskRanges = t.newScan().planFiles().tasks.map(ft =>
+        ParquetIO.canonPath(ft.file.path) ->
+          ft.file.lowerBounds(idField).asInstanceOf[Long]).toMap
+      partitions(t).foreach { p =>
+        val lo = p.inner match {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            taskRanges(ParquetIO.canonPath(fp.files.head.filePath.toPath.toString))
+          case other => fail(s"expected FilePartition, got ${other.getClass}")
+        }
+        val expected = byPath.collect {
+          case (path, (dlo, dhi)) if dlo <= lo + 99 && lo <= dhi => path
+        }.toSet
+        p.eqScope match {
+          case Some(scoped) => assert(scoped.flatten.toSet.subsetOf(expected),
+            s"task over [$lo,${lo + 99}] must attach only overlapping key files")
+          case None => fail("expected a narrowed eq scope per task")
+        }
+      }
+      // under-attachment would resurrect rows in THIS task layout too
+      assert(t.toDF().select("id").as[Long].collect().sorted.toSeq ===
+        (0L until 300L).filterNot(_ % 7 == 0))
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
   test("MoR scans keep Spark's bin-packing: many small deleted files, few tasks") {
     val df = (0L until 200L).map(i => (i, s"v$i")).toDF("id", "v")
     val t = GraftTable.create(spark, freshLoc("scope-pack"), df.schema,

@@ -116,6 +116,35 @@ class MetaScaleSpec extends SparkSpec {
     assert(hot < secs / 2 && hot < 5.0, f"hot planFiles took $hot%.2f s")
   }
 
+  test("a 100k-file append rolls into bounded manifests, written in executors") {
+    val loc = s"${sys.props("java.io.tmpdir")}/graft-metascale/roll"
+    val base = Seq.empty[(Long, String)].toDF("id", "v")
+    val t = GraftTable.recreate(spark, loc, base.schema)
+    val idFieldId = FieldIds.nameToId(t.schema)("id")
+    val descs = (0 until 100000).map { i =>
+      DataFile(path = f"$loc/data/f-$i%06d.parquet",
+        recordCount = 100L, fileSizeInBytes = 32L << 20,
+        lowerBounds = Map(idFieldId -> i.toLong * 100L),
+        upperBounds = Map(idFieldId -> (i.toLong * 100L + 99L)))
+    }
+    val (_, secs) = timed(Commits.fastAppendDistributed(t, descs))
+    info(f"distributed 100k-file append: $secs%.2f s")
+    assert(secs < 60.0, f"append took $secs%.1f s")
+    val m = t.metadata
+    val mfs = t.readManifestList(m, m.currentSnapshot.get)
+    assert(mfs.size >= 2,
+      s"100k entries must roll past the 8 MB target (got ${mfs.size})")
+    assert(mfs.size <= 64, s"roll produced ${mfs.size} manifests")
+    assert(mfs.map(_.addedFilesCount).sum === 100000)
+    // the rolled tree plans whole and metrics-prunes to one file
+    val (plan, planSecs) = timed(t.newScan().planFiles())
+    assert(plan.tasks.size === 100000)
+    assert(planSecs < 20.0)
+    val (pruned, _) = timed(t.newScan().filter(Exprs.and(
+      Exprs.gtEq("id", 5000000L), Exprs.lt("id", 5000100L))).planFiles())
+    assert(pruned.tasks.size === 1)
+  }
+
   test("manifest-list pruning narrows a partition filter to 1% of manifests") {
     val (plan, secs) = timed(
       table.newScan().filter(Exprs.equal("cat", "c5")).planFiles())
