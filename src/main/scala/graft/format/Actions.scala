@@ -837,7 +837,9 @@ final class Actions(t: GraftTable) {
     // in executors; only paths come back.
     val metadataDir = s"${t.location}/metadata"
     def nameOf(p: String) = p.substring(p.lastIndexOf('/') + 1)
-    val metaCandidates = io.list(metadataDir).filter { fi =>
+    // one LIST serves both the candidate and the version-file sides
+    val metaListing = io.list(metadataDir)
+    val metaCandidates = metaListing.filter { fi =>
       val n = nameOf(fi.path)
       (n.startsWith("manifest-") || n.startsWith("snap-") ||
         n.startsWith("stats-")) && fi.modifiedMillis < olderThanMillis
@@ -845,7 +847,7 @@ final class Actions(t: GraftTable) {
     val metaOrphans: Seq[String] =
       if (metaCandidates.isEmpty) Nil
       else {
-        val versionPaths = io.list(metadataDir).map(_.path)
+        val versionPaths = metaListing.map(_.path)
           .filter(_.endsWith(".metadata.json"))
         val sc = t.spark.sparkContext
         val referenced = sc.parallelize(versionPaths,

@@ -93,6 +93,26 @@ object Commits {
       boundsBytes(e.file.lowerBounds) + boundsBytes(e.file.upperBounds)
   }
 
+  /** Greedy sequential size-packing: cut BEFORE the element that would
+    * overflow `target`, never split an element. Order-preserving — both
+    * the entry roll and the manifest-merge bins depend on that. */
+  private[format] def packBySize[A](items: Seq[A], sizeOf: A => Long,
+      target: Long): Seq[Seq[A]] = {
+    val chunks = Seq.newBuilder[Seq[A]]
+    var cur = Seq.newBuilder[A]
+    var curBytes = 0L
+    var curN = 0
+    items.foreach { a =>
+      val b = sizeOf(a)
+      if (curN > 0 && curBytes + b > target) {
+        chunks += cur.result(); cur = Seq.newBuilder; curBytes = 0L; curN = 0
+      }
+      cur += a; curBytes += b; curN += 1
+    }
+    chunks += cur.result()
+    chunks.result()
+  }
+
   /** Split entries into rolling chunks targeting
     * `commit.manifest.target-size-bytes` of encoded manifest each
     * (reference RollingManifestWriter): one oversized append — a
@@ -100,22 +120,8 @@ object Commits {
     * plan-time manifest reads parallelize and per-manifest partition
     * summaries stay tight, instead of one giant manifest on one thread. */
   private[format] def rollEntries(m: TableMetadata,
-      entries: Seq[ManifestEntry]): Seq[Seq[ManifestEntry]] = {
-    val target = manifestTargetBytes(m)
-    val chunks = Seq.newBuilder[Seq[ManifestEntry]]
-    var cur = Seq.newBuilder[ManifestEntry]
-    var curBytes = 0L
-    var curN = 0
-    entries.foreach { e =>
-      val b = estimatedEntryBytes(e)
-      if (curN > 0 && curBytes + b > target) {
-        chunks += cur.result(); cur = Seq.newBuilder; curBytes = 0L; curN = 0
-      }
-      cur += e; curBytes += b; curN += 1
-    }
-    chunks += cur.result()
-    chunks.result()
-  }
+      entries: Seq[ManifestEntry]): Seq[Seq[ManifestEntry]] =
+    packBySize(entries, estimatedEntryBytes, manifestTargetBytes(m))
 
   /** Write entries as one manifest per rolled chunk. */
   private[format] def writeManifests(table: GraftTable, m: TableMetadata,
@@ -287,37 +293,31 @@ object Commits {
       val manifests =
         if (all.size <= minMerge) all
         else {
-          // merge per spec-id in TARGET-SIZE BINS (reference
-          // ManifestMergeManager.groupManifests): manifests already at the
-          // target sit alone in their bin and pass through untouched, so a
-          // steady-state table of N full manifests never re-reads them —
-          // merging everything into one would make each append re-encode
-          // the whole table's metadata (quadratic over the table's life)
-          // and produce a single giant manifest that serializes planning.
+          // merge per (spec-id, content kind) in TARGET-SIZE BINS
+          // (reference ManifestMergeManager.groupManifests): manifests
+          // already at the target sit alone in their bin and pass through
+          // untouched, so a steady-state table of N full manifests never
+          // re-reads them — merging everything into one would make each
+          // append re-encode the whole table's metadata (quadratic over
+          // the table's life) and produce a single giant manifest that
+          // serializes planning. Content kind joins the bin key because a
+          // manifest is data-only or delete-only by construction and the
+          // metadata tables route whole manifests by that flag — a mixed
+          // merge would misfile entries in data_files/delete_files.
           val target = manifestTargetBytes(m)
-          all.groupBy(_.specId).toSeq.sortBy(_._1).flatMap { case (specId, mfs) =>
-            val bins = Seq.newBuilder[Seq[ManifestFile]]
-            var bin = Seq.newBuilder[ManifestFile]
-            var binBytes = 0L
-            var binN = 0
-            mfs.foreach { mf =>
-              if (binN > 0 && binBytes + mf.length > target) {
-                bins += bin.result(); bin = Seq.newBuilder; binBytes = 0L; binN = 0
-              }
-              bin += mf; binBytes += mf.length; binN += 1
-            }
-            bins += bin.result()
-            bins.result().flatMap { group =>
-              if (group.size == 1) group
-              else {
-                val merged = group.flatMap(mf => table.readManifest(mf, m.schema))
-                  .filter(_.status != EntryStatus.Deleted)
-                  .map(e => e.copy(status =
-                    if (e.snapshotId == snapId) EntryStatus.Added else EntryStatus.Existing))
-                writeManifests(table, m, specId, merged, snapId)
+          all.groupBy(mf => (mf.specId, mf.content != FileContent.Data))
+            .toSeq.sortBy(_._1).flatMap { case ((specId, _), mfs) =>
+              packBySize[ManifestFile](mfs, _.length, target).flatMap { group =>
+                if (group.size == 1) group
+                else {
+                  val merged = group.flatMap(mf => table.readManifest(mf, m.schema))
+                    .filter(_.status != EntryStatus.Deleted)
+                    .map(e => e.copy(status =
+                      if (e.snapshotId == snapId) EntryStatus.Added else EntryStatus.Existing))
+                  writeManifests(table, m, specId, merged, snapId)
+                }
               }
             }
-          }
         }
       buildSnapshot(table, m, "append", manifests, summary)
     }

@@ -243,14 +243,52 @@ object Deletes {
     val paths = stage(table,
       named.repartitionByRange(col("file_path"), col("pos")),
       Seq("file_path", "pos"))
-    val conf = table.spark.sessionState.newHadoopConf()
-    val files = paths.map { p =>
-      val fm = Metrics.fromParquetFooter(p, table.schema)
-      annotatePosTargets(DataFile(path = p, content = FileContent.PositionDeletes,
-        recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
-        schemaId = table.metadata.currentSchemaId,
-        specId = table.metadata.defaultSpecId), conf)
-    }
+    val m = table.metadata
+    def desc(p: String, records: Long, size: Long) =
+      DataFile(path = p, content = FileContent.PositionDeletes,
+        recordCount = records, fileSizeInBytes = size,
+        schemaId = m.currentSchemaId, specId = m.defaultSpecId)
+    val files =
+      if (paths.size <= 4) {
+        // tiny sets: local reads beat a job round-trip (Metrics.forFiles
+        // makes the same call)
+        val conf = table.spark.sessionState.newHadoopConf()
+        paths.map { p =>
+          val fm = Metrics.fromParquetFooter(p, table.schema)
+          annotatePosTargets(desc(p, fm.recordCount, fm.fileSize), conf)
+        }
+      } else {
+        // a large position set staged range-partitioned: the canonical
+        // min/max target pass (what annotatePosTargets reads per file)
+        // runs in EXECUTORS, one task per staged file — no sequential
+        // driver reads undoing the parallel staging
+        val sconf = HadoopFileIO.sessionConf()
+        val pathOnly = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("file_path",
+            org.apache.spark.sql.types.StringType)))
+        table.spark.sparkContext
+          .parallelize(paths, math.min(paths.size, 64))
+          .map { p =>
+            var n = 0L; var lo: String = null; var hi: String = null
+            ParquetIO.readAll(p, pathOnly, sconf.value) { r =>
+              n += 1
+              if (!r.isNullAt(0)) {
+                val c = ParquetIO.canonPath(r.getUTF8String(0).toString)
+                if (lo == null || c < lo) lo = c
+                if (hi == null || c > hi) hi = c
+              }
+            }
+            val hp = new org.apache.hadoop.fs.Path(p)
+            val size = hp.getFileSystem(sconf.value).getFileStatus(hp).getLen
+            (p, n, size, Option(lo), Option(hi))
+          }.collect().toSeq.map { case (p, n, size, lo, hi) =>
+            val f = desc(p, n, size)
+            (lo, hi) match {
+              case (Some(a), Some(b)) => withPosTargets(f, a, b)
+              case _ => f
+            }
+          }
+      }
     Commits.rowDelta(table, Nil, files)
   }
 

@@ -122,7 +122,7 @@ final class TableScan private[format] (
     // dominates planning a large table from one node (reference
     // ManifestGroup.java:182-186 ParallelIterable). Entry filtering below
     // stays sequential in manifest order, so results are deterministic.
-    val evaluated = manifests.map { mf =>
+    val evaluated0 = manifests.map { mf =>
       val spec = m.specs(mf.specId)
       val partTypes = spec.resultTypes(schema)
       val projected =
@@ -132,6 +132,16 @@ final class TableScan private[format] (
         Evaluators.manifestMightMatch(projected, spec, mf.partitionSummaries, partTypes)
       (mf, projected, mightMatch)
     }
+    // summary-pruning a DELETE manifest is only sound when every data
+    // manifest that might match shares its spec: tuples aren't comparable
+    // across specs, and the entry-level cross-spec guard (tuplePruned
+    // below) can only see entries that were READ — a summary-skipped
+    // delete manifest is the same resurrection hole one level up. Any
+    // possibly-matching data manifest of another spec forces the delete
+    // manifest back in; its entries then flow through the entry guard.
+    val dataSpecsMaybe = evaluated0.collect {
+      case (mf, _, true) if mf.content == FileContent.Data => mf.specId }.toSet
+    val evaluated = evaluated0
     val entriesByPath: Map[String, Seq[ManifestEntry]] =
       TableScan.readManifestsParallel(table,
         evaluated.collect { case (mf, _, true) => mf }, schema)

@@ -42,6 +42,12 @@ object GraftWrite {
   /** Table property: comma-separated `col [asc|desc]` write clustering. */
   val SortOrderKey = "write.sort-order"
 
+  /** Table property: imports with at least this many files write their
+    * rolled manifest chunks in executor tasks (see
+    * [[Commits.fastAppendDistributed]]). */
+  val ImportManifestThresholdKey = "import.distributed-manifest-threshold"
+  val ImportManifestThresholdDefault = 10000
+
   /** Write df as new data files of `table` (no commit) and return them.
     * The encoding follows `write.format.default` (reference
     * TableProperties.DEFAULT_FILE_FORMAT): parquet and ORC ride Spark's own
@@ -417,7 +423,8 @@ object GraftWrite {
     // the simpler driver path. The threshold property exists so tests can
     // force the distributed path without 10k fixture files.
     val threshold = table.metadata.properties
-      .get("import.distributed-manifest-threshold").map(_.toInt).getOrElse(10000)
+      .get(ImportManifestThresholdKey).map(_.toInt)
+      .getOrElse(ImportManifestThresholdDefault)
     if (dataFiles.size < threshold) Commits.fastAppend(table, dataFiles)
     else Commits.fastAppendDistributed(table, dataFiles)
   }

@@ -271,6 +271,29 @@ class DeleteScopeSpec extends SparkSpec {
       "id=4 (grp2=0, masked by the tuple-pruned eq delete) must not resurrect")
   }
 
+  test("cross-spec deleteWhere survives summary pruning of the delete manifest") {
+    // same shape as the entry-level test, but the keys are confined to ONE
+    // partition: the delete manifest's grp2 summary is [0,0], so a grp2=1
+    // filter prunes the WHOLE manifest at summary level — before its
+    // entries can reach the entry-level tuplePruned guard. planFiles must
+    // force a summary-pruned delete manifest back in whenever a
+    // possibly-matching data manifest of another spec survives.
+    val df = (0L until 40L).map(i => (i, i % 2, i % 4, s"v$i"))
+      .toDF("id", "grp", "grp2", "v")
+    val t = GraftTable.create(spark, freshLoc("scope-xspec-mf"), df.schema,
+      _.identity("grp"))
+    GraftWrite.append(t, df)
+    Commits.updateSpec(t)(_.identity("grp2"))
+    val t2 = GraftTable.load(spark, t.location)
+    Deletes.deleteByEquality(t2, Seq((0L, 4L), (0L, 8L)).toDF("grp2", "id"))
+    Deletes.deleteWhere(GraftTable.load(spark, t.location),
+      Exprs.equal("grp2", 1L))
+    val t3 = GraftTable.load(spark, t.location)
+    assert(t3.toDF().select("id").as[Long].collect().sorted.toSeq ===
+      (0L until 40L).filterNot(i => i % 4 == 1).filterNot(Set(4L, 8L)),
+      "ids 4/8 (grp2=0, masked by the summary-pruned manifest) must not resurrect")
+  }
+
   test("key-range scoping: an eq delete attaches only to tasks that can contain its keys") {
     val t = GraftTable.create(spark, freshLoc("scope-eqb"),
       Seq((0L, "v")).toDF("id", "v").schema)
@@ -344,12 +367,14 @@ class DeleteScopeSpec extends SparkSpec {
     // partitions the range repartition stages 3 SORTED, DISJOINT files
     // (at scale AQE sizes this split instead — the point is the staging
     // never funnels a GDPR-size key set through one task)
+    val priorCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    val priorShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "3")
     try Deletes.deleteByEquality(t, (0L until 300L by 7L).toDF("id"))
     finally {
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", priorCoalesce)
+      spark.conf.set("spark.sql.shuffle.partitions", priorShuffle)
     }
     val dels = t.newScan().planFiles().deleteFiles.map(_._1)
       .filter(_.content == FileContent.EqualityDeletes)

@@ -79,7 +79,7 @@ class RollingManifestSpec extends SparkSpec {
     val t = GraftWrite.importParquet(spark, freshLoc("dimp"), src,
       properties = Map(
         Commits.ManifestTargetSizeKey -> "400",
-        "import.distributed-manifest-threshold" -> "2"))
+        GraftWrite.ImportManifestThresholdKey -> "2"))
     val mfs = manifestsOf(t)
     assert(mfs.size > 1, "the import must roll into several manifests")
     assert(mfs.map(_.addedFilesCount).sum === 6)
