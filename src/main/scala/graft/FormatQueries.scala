@@ -142,6 +142,32 @@ object FormatQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // cross-spec merge-on-read: a partition-scoped equality delete
+    // committed under an EVOLVED spec must survive a partition-filtered
+    // copy-on-write deleteWhere whose filter summary-prunes the delete
+    // manifest — partition tuples aren't comparable across specs, so the
+    // delete applies conservatively to surviving old-spec files
+    // (reference DeleteFileIndex.java never prunes a delete file against
+    // an incomparable spec)
+    "q109_cross_spec_mor" -> ((s, dir) => {
+      val t = withTable(s, dir, "customer_xspec") { loc =>
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val tt = GraftTable.recreate(s, loc, c.schema,
+          _.identity("c_mktsegment"))
+        GraftWrite.append(tt, c.coalesce(2))
+        Commits.updateSpec(tt)(_.identity("c_nationkey"))
+        Deletes.deleteByEquality(GraftTable.load(s, loc),
+          c.filter(col("c_nationkey") === 7 && col("c_custkey") % 2 === 1)
+            .select(col("c_nationkey"), col("c_custkey")))
+        Deletes.deleteWhere(GraftTable.load(s, loc),
+          Exprs.equal("c_nationkey", 10))
+        GraftTable.load(s, loc)
+      }
+      t.toDF().groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("c_acctbal")))).as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // schema evolution: rename + added column are metadata-only
     "q66_schema_evolution" -> ((s, dir) => {
       val t = withTable(s, dir, "supplier_evolved") { loc =>
@@ -1043,6 +1069,14 @@ object FormatQueries {
       """SELECT c_mktsegment, COUNT(*) AS n,
         |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
         |FROM customer WHERE c_custkey % 5 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q109_cross_spec_mor" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |WHERE NOT (c_nationkey = 7 AND c_custkey % 2 = 1)
+        |  AND c_nationkey <> 10
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q101_changelog_updates" ->

@@ -1083,6 +1083,9 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
   // key-range checks are per (candidate, task) — bounded so a pathological
   // many-live-global-deletes scan can't regress planning to O(files×deletes)
   private val EqBoundsCap = 1024
+  private val eqBoundsCapWarned = new java.util.concurrent.atomic.AtomicBoolean
+  @transient private lazy val scanLog =
+    org.slf4j.LoggerFactory.getLogger(classOf[GraftScan])
   /** Per-task narrowing of a group's equality-delete sources: for each
     * DeleteKeySource (order preserved), the delete-file paths that can hit
     * any of the task's data files — first by partition tuple (indexed),
@@ -1104,8 +1107,15 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
             if (parts.exists(_._1 != spec)) all // cross-spec: keep whole spec
             else parts.flatMap(p => byTuple.getOrElse(p._2, Nil))
           }
+          val overCap = cands.length > EqBoundsCap
+          if (eqBoundsActive && overCap &&
+              eqBoundsCapWarned.compareAndSet(false, true))
+            scanLog.warn(s"key-range narrowing of equality deletes skipped: " +
+              s"${cands.length} candidate delete files for one task exceed " +
+              s"the $EqBoundsCap planning cap (partition-tuple scoping still " +
+              s"applies; consider compacting equality deletes)")
           val bounded =
-            if (!eqBoundsActive || cands.length > EqBoundsCap) cands
+            if (!eqBoundsActive || overCap) cands
             else cands.filter { dp =>
               val del = eqFileOf(ParquetIO.canonPath(dp))
               dataFiles.exists(df => Deletes.eqBoundsCanHit(del, df, schema))

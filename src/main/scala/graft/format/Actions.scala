@@ -865,10 +865,17 @@ final class Actions(t: GraftTable) {
             path +: (mOpt match {
               case Some(m) =>
                 // a list already deleted by expireSnapshots reads as
-                // nothing — its manifests were deleted with it
+                // nothing — its manifests were deleted with it. ONLY
+                // definite not-found may be swallowed: a transient read
+                // failure on a LIVE snapshot's list would omit its
+                // manifests from the valid set and delete them (reference
+                // RemoveOrphanFilesAction fails on unreadable metadata)
                 val bytes =
                   try Some(io.readBytes(path))
-                  catch { case _: java.io.IOException => None }
+                  catch {
+                    case _: java.io.FileNotFoundException => None
+                    case _: java.nio.file.NoSuchFileException => None
+                  }
                 bytes.toSeq.flatMap(b => MetaCodec
                   .readManifestList(b, GraftTable.partTypesOf(m)).map(_.path))
               case None => Nil

@@ -141,7 +141,13 @@ final class TableScan private[format] (
     // manifest back in; its entries then flow through the entry guard.
     val dataSpecsMaybe = evaluated0.collect {
       case (mf, _, true) if mf.content == FileContent.Data => mf.specId }.toSet
-    val evaluated = evaluated0
+    val evaluated = evaluated0.map {
+      case (mf, projected, false)
+          if mf.content != FileContent.Data &&
+            dataSpecsMaybe.exists(_ != mf.specId) =>
+        (mf, projected, true)
+      case other => other
+    }
     val entriesByPath: Map[String, Seq[ManifestEntry]] =
       TableScan.readManifestsParallel(table,
         evaluated.collect { case (mf, _, true) => mf }, schema)

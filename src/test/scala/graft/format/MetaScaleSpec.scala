@@ -340,6 +340,49 @@ class MetaScaleSpec extends SparkSpec {
     assert(parseS < 5 && scopeS < 2)
   }
 
+  test("a summary-pruned cross-spec delete manifest is forced back in at 10k-entry scale") {
+    // the round-12 resurrection shape, pinned at metadata scale: 10k
+    // eq-delete entries under an EVOLVED spec, a partition filter whose
+    // summary prunes their whole manifest — planFiles must force the
+    // manifest back in (cross-spec tuples are incomparable) and keep every
+    // entry, in bounded time (no O(files×deletes) re-walk)
+    val loc = s"${sys.props("java.io.tmpdir")}/graft-metascale/xspec"
+    val base = Seq.empty[(Long, String, String, Double)]
+      .toDF("id", "cat", "cat2", "v")
+    val t = GraftTable.recreate(spark, loc, base.schema, _.identity("cat"))
+    val dataFiles = (0 until 1000).map { i =>
+      DataFile(
+        path = s"$loc/data/cat=c${i % 10}/f-$i.parquet",
+        partition = Map("cat" -> s"c${i % 10}"),
+        recordCount = 100L, fileSizeInBytes = 32L << 20)
+    }
+    Commits.fastAppend(t, dataFiles)
+    Commits.updateSpec(t)(_.identity("cat2"))
+    val t2 = GraftTable.load(spark, loc)
+    val keyId = FieldIds.nameToId(t2.schema)("id")
+    val delFiles = (0 until 10000).map { i =>
+      DataFile(
+        path = s"$loc/deletes/eq-$i.parquet",
+        content = FileContent.EqualityDeletes,
+        partition = Map("cat2" -> "z0"),
+        recordCount = 10L, fileSizeInBytes = 1L << 20,
+        schemaId = t2.metadata.currentSchemaId,
+        specId = t2.metadata.defaultSpecId,
+        equalityIds = Seq(keyId))
+    }
+    Commits.rowDelta(t2, Nil, delFiles)
+    val t3 = GraftTable.load(spark, loc)
+    // cat2='zz-none' fails the delete manifest's [z0,z0] summary; spec-0
+    // data manifests project the filter to AlwaysTrue and all survive
+    val (plan, secs) = timed(
+      t3.newScan().filter(Exprs.equal("cat2", "zz-none")).planFiles())
+    assert(plan.tasks.size === 1000)
+    assert(plan.deleteFiles.size === 10000,
+      "every cross-spec delete entry must survive the summary-pruned manifest")
+    info(f"cross-spec forced re-read: plan $secs%.3f s")
+    assert(secs < 10)
+  }
+
   test("rewriteManifests compacts 1000 manifests distributed; plan unchanged") {
     val (written, secs) = timed(
       Actions.forTable(table).rewriteManifests(entriesPerManifest = 1000))

@@ -131,6 +131,34 @@ class RollingManifestSpec extends SparkSpec {
     assert(t3.metadata.snapshots.size === 2)
   }
 
+  test("metadata sweep FAILS on a transient manifest-list read error instead of deleting live manifests") {
+    val loc = s"mem://bucket/msweepf-${java.util.UUID.randomUUID()}"
+    GraftTable.create(spark, loc, schema)
+    val t0 = new GraftTable(new TableOps(loc), spark)
+    Commits.fastAppend(t0, descs(5))
+    Commits.fastAppend(t0, descs(5, offset = 5))
+    val metaBefore = t0.ops.io.list(s"$loc/metadata").map(_.path).toSet
+    // every GET of a live manifest list hiccups (transient store error,
+    // NOT not-found) — the sweep must fail the action, because treating
+    // the list as expired would classify its manifests as orphans and
+    // delete live metadata (reference RemoveOrphanFiles fails on
+    // unreadable metadata rather than classifying)
+    val faulty = new FailingGetStore(InMemoryObjectStore, "/metadata/snap-")
+    val tf = new GraftTable(new TableOps(loc, new ObjectStoreFileIO(faulty)), spark)
+    val ex = intercept[Exception] {
+      Actions.forTable(tf).removeOrphanFiles(System.currentTimeMillis() + 60000)
+    }
+    def causes(e: Throwable): List[Throwable] =
+      if (e == null) Nil else e :: causes(e.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => c.getMessage != null && c.getMessage.contains("injected")),
+      s"expected the injected store error to surface, got: $ex")
+    assert(t0.ops.io.list(s"$loc/metadata").map(_.path).toSet === metaBefore,
+      "a failed sweep must not have deleted anything")
+    assert(new GraftTable(new TableOps(loc), spark)
+      .newScan().planFiles().tasks.size === 10)
+  }
+
   test("metadata sweep keeps every referenced manifest across snapshots") {
     val loc = freshLoc("msweep")
     val t = GraftTable.create(spark, loc, schema,
@@ -159,6 +187,22 @@ private final class RivalInjectingStore(inner: ObjectStoreClient)
     if (hook != null) { beforePutIfAbsent = null; hook() }
     inner.putIfAbsent(key, bytes)
   }
+  override def delete(key: String): Unit = inner.delete(key)
+  override def list(prefix: String): Seq[(String, Long, Long)] = inner.list(prefix)
+}
+
+/** Store whose GETs of keys containing `substr` always fail with a plain
+  * IOException (a transient store error, NOT not-found). Top-level so the
+  * closure-captured FileIO serializes into local-mode tasks. */
+private final class FailingGetStore(inner: ObjectStoreClient, substr: String)
+  extends ObjectStoreClient {
+  override def get(key: String): Option[Array[Byte]] =
+    if (key.contains(substr))
+      throw new java.io.IOException(s"injected: transient GET failure $key")
+    else inner.get(key)
+  override def put(key: String, bytes: Array[Byte]): Unit = inner.put(key, bytes)
+  override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean =
+    inner.putIfAbsent(key, bytes)
   override def delete(key: String): Unit = inner.delete(key)
   override def list(prefix: String): Seq[(String, Long, Long)] = inner.list(prefix)
 }
