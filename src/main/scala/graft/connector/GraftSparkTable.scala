@@ -1066,7 +1066,8 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
     * at O(partitions-per-task) map lookups instead of O(live delete
     * files) per task — the same driver-cost shape as posScopeOf. */
   private lazy val eqIndexByGroup: Map[Int, Seq[(Seq[String],
-      Map[Int, (Seq[String], Map[Map[String, Any], Seq[String]])])]] =
+      Map[Int, (Seq[String], Map[Map[String, Any], Seq[String]])],
+      Option[EqRangeIndex])]] =
     groupDeletes.zipWithIndex.collect {
       case (Some(cfg), g) if cfg.sets.nonEmpty && eqScopable =>
         g -> cfg.sets.map { ks =>
@@ -1077,12 +1078,24 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
               spec -> (paths,
                 paths.groupBy(dp => eqPartOf(ParquetIO.canonPath(dp))._2))
             }
-          (global, bySpec)
+          // above the linear-sweep cap, global (tuple-less) paths get an
+          // interval index (built once per scan) so narrowing stays
+          // O(log n + hits) per task instead of turning off
+          val rangeIdx =
+            if (eqBoundsActive && global.length > EqBoundsCap)
+              Some(EqRangeIndex.build(
+                global.map(dp => eqFileOf(ParquetIO.canonPath(dp))),
+                table.metadata.schema))
+            else None
+          (global, bySpec, rangeIdx)
         }
     }.toMap
-  // key-range checks are per (candidate, task) — bounded so a pathological
-  // many-live-global-deletes scan can't regress planning to O(files×deletes)
-  private val EqBoundsCap = 1024
+  // PER-CANDIDATE key-range checks are linear sweeps — bounded so a
+  // pathological many-live-deletes scan can't regress planning to
+  // O(files×deletes); global sets above the cap switch to [[EqRangeIndex]]
+  private lazy val EqBoundsCap: Int =
+    if (spark == null) 1024
+    else spark.conf.get("spark.graft.eq-bounds-linear-cap", "1024").toInt
   private val eqBoundsCapWarned = new java.util.concurrent.atomic.AtomicBoolean
   @transient private lazy val scanLog =
     org.slf4j.LoggerFactory.getLogger(classOf[GraftScan])
@@ -1102,25 +1115,35 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
         val dataFiles = dataPaths.map(dataFileOf)
         val parts = dataFiles.map(f => (f.specId, f.partition)).distinct
         lazy val schema = table.metadata.schema
-        val narrowed = index.map { case (global, bySpec) =>
-          val cands = global ++ bySpec.toSeq.flatMap { case (spec, (all, byTuple)) =>
+        def boundsHit(dp: String): Boolean = {
+          val del = eqFileOf(ParquetIO.canonPath(dp))
+          dataFiles.exists(df => Deletes.eqBoundsCanHit(del, df, schema))
+        }
+        val narrowed = index.map { case (global, bySpec, rangeIdx) =>
+          val scopedCands = bySpec.toSeq.flatMap { case (spec, (all, byTuple)) =>
             if (parts.exists(_._1 != spec)) all // cross-spec: keep whole spec
             else parts.flatMap(p => byTuple.getOrElse(p._2, Nil))
           }
-          val overCap = cands.length > EqBoundsCap
-          if (eqBoundsActive && overCap &&
+          val globalNarrowed = rangeIdx match {
+            case Some(idx) =>
+              // interval pre-filter (superset), then the exact multi-key
+              // re-check on the (small) survivor set
+              dataFiles.flatMap(idx.candidatesFor).distinct.filter(boundsHit)
+            case None =>
+              if (!eqBoundsActive) global else global.filter(boundsHit)
+          }
+          val scopedOverCap = scopedCands.length > EqBoundsCap
+          if (eqBoundsActive && scopedOverCap &&
               eqBoundsCapWarned.compareAndSet(false, true))
-            scanLog.warn(s"key-range narrowing of equality deletes skipped: " +
-              s"${cands.length} candidate delete files for one task exceed " +
-              s"the $EqBoundsCap planning cap (partition-tuple scoping still " +
-              s"applies; consider compacting equality deletes)")
-          val bounded =
-            if (!eqBoundsActive || overCap) cands
-            else cands.filter { dp =>
-              val del = eqFileOf(ParquetIO.canonPath(dp))
-              dataFiles.exists(df => Deletes.eqBoundsCanHit(del, df, schema))
-            }
-          bounded.distinct.sorted
+            scanLog.warn(s"key-range narrowing of partition-scoped equality " +
+              s"deletes skipped for one task: ${scopedCands.length} candidates " +
+              s"in the task's partitions exceed the $EqBoundsCap linear-sweep " +
+              s"cap (partition-tuple scoping still applies; consider " +
+              s"compacting equality deletes)")
+          val scopedNarrowed =
+            if (!eqBoundsActive || scopedOverCap) scopedCands
+            else scopedCands.filter(boundsHit)
+          (globalNarrowed ++ scopedNarrowed).distinct.sorted
         }
         val sizes = groupDeletes(group).get.sets.map(_.paths.length)
         if (narrowed.map(_.length) == sizes) None else Some(narrowed)

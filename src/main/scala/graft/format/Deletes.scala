@@ -433,3 +433,144 @@ object Deletes {
     }
   }
 }
+
+/** Static interval index over equality-delete files' FIRST-key ranges:
+  * entries sorted by lower bound with a segment-tree max over upper
+  * bounds, answering "which delete files' key ranges can intersect this
+  * data file's range" in O(log n + hits) instead of a linear sweep over
+  * every live delete file. This is the planning structure that keeps
+  * per-task key-range narrowing affordable when thousands of global
+  * (tuple-less) equality deletes are live — the shape a long-running
+  * GDPR/right-to-be-forgotten pipeline accumulates between maintenance
+  * runs (reference DeleteFileIndex keeps global deletes in one
+  * sequence-sorted array and falls back to scanning it per data file;
+  * core/src/main/java/org/apache/iceberg/DeleteFileIndex.java).
+  *
+  * The result is a conservative SUPERSET pre-filter on the first
+  * equality key only: callers re-check survivors with
+  * [[Deletes.eqBoundsCanHit]] for full multi-column exactness, so using
+  * the index can never change which deletes apply. Files the range logic
+  * cannot constrain (no equality ids, missing bounds on the first key)
+  * are always returned; files whose first key may contain nulls are
+  * returned whenever the data file may too. */
+final class EqRangeIndex private (
+    groups: Seq[EqRangeIndex.IdGroup],
+    always: Seq[String]) extends Serializable {
+  import EqRangeIndex.IdGroup
+
+  /** Paths of delete files whose first-key range may intersect `data`'s
+    * (plus every unconstrainable file). Superset of the exact answer. */
+  def candidatesFor(data: DataFile): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    out ++= always
+    groups.foreach { g => collectGroup(g, data, out) }
+    out.result()
+  }
+
+  private def collectGroup(g: IdGroup, data: DataFile,
+      out: scala.collection.mutable.Builder[String, Seq[String]]): Unit = {
+    out ++= g.noBounds
+    val dataMayNull = !data.nullValueCounts.get(g.id).contains(0L)
+    if (dataMayNull) out ++= g.mayNull
+    (data.lowerBounds.get(g.id), data.upperBounds.get(g.id)) match {
+      case (Some(fl), Some(fu)) =>
+        // indices i with lo(i) <= fu, among them hi(i) >= fl
+        val limit = upperBound(g, fu)
+        if (limit >= 0) collect(g, 1, 0, g.treeSize - 1, limit, fl, out)
+      case _ =>
+        // a data file without bounds on the key can hold anything
+        var i = 0
+        while (i < g.paths.length) { out += g.paths(i); i += 1 }
+    }
+  }
+
+  /** Largest index with lo(i) <= v, or -1. */
+  private def upperBound(g: IdGroup, v: Any): Int = {
+    var a = 0; var b = g.lo.length - 1; var res = -1
+    while (a <= b) {
+      val mid = (a + b) >>> 1
+      if (g.ord.lteq(g.lo(mid), v)) { res = mid; a = mid + 1 } else b = mid - 1
+    }
+    res
+  }
+
+  /** Segment descent over [nodeLo,nodeHi] ∩ [0,limit]: emit leaves with
+    * hi >= fl, pruning subtrees whose max(hi) < fl. */
+  private def collect(g: IdGroup, node: Int, nodeLo: Int, nodeHi: Int,
+      limit: Int, fl: Any,
+      out: scala.collection.mutable.Builder[String, Seq[String]]): Unit = {
+    if (nodeLo > limit) return
+    val m = g.maxHi(node)
+    if (m == null || g.ord.lt(m, fl)) return
+    if (nodeLo == nodeHi) {
+      if (nodeLo < g.paths.length) out += g.paths(nodeLo)
+      return
+    }
+    val mid = (nodeLo + nodeHi) >>> 1
+    collect(g, 2 * node, nodeLo, mid, limit, fl, out)
+    collect(g, 2 * node + 1, mid + 1, nodeHi, limit, fl, out)
+  }
+}
+
+object EqRangeIndex {
+  private[format] final case class IdGroup(
+      id: Int,
+      ord: Ordering[Any],
+      lo: Array[Any],       // sorted ascending
+      hi: Array[Any],
+      paths: Array[String],
+      maxHi: Array[Any],    // 1-based segment tree over hi
+      treeSize: Int,
+      noBounds: Seq[String],
+      mayNull: Seq[String]) extends Serializable
+
+  /** Build over delete files (any content mix is fine — callers pass
+    * equality deletes). O(n log n) once per scan. */
+  def build(files: Seq[DataFile],
+      schema: org.apache.spark.sql.types.StructType): EqRangeIndex = {
+    val (withId, noId) = files.partition(_.equalityIds.nonEmpty)
+    val groups = withId.groupBy(_.equalityIds.head).toSeq.sortBy(_._1).flatMap {
+      case (id, fs) =>
+        FieldIds.findById(schema, id) match {
+          case None => // unknown field: nothing to compare against — keep all
+            Some(IdGroup(id, null, Array.empty, Array.empty, Array.empty,
+              Array.empty, 1, fs.map(_.path), Nil))
+          case Some(field) =>
+            val ord = Exprs.ordering(Types.cleanType(field.dataType))
+            val (bounded, unbounded) = fs.partition(f =>
+              f.lowerBounds.contains(id) && f.upperBounds.contains(id))
+            val sorted = bounded.sortBy(_.lowerBounds(id))(ord)
+            val n = sorted.length
+            var ts = 1
+            while (ts < math.max(n, 1)) ts <<= 1
+            val lo = new Array[Any](n); val hi = new Array[Any](n)
+            val paths = new Array[String](n)
+            var i = 0
+            while (i < n) {
+              lo(i) = sorted(i).lowerBounds(id)
+              hi(i) = sorted(i).upperBounds(id)
+              paths(i) = sorted(i).path
+              i += 1
+            }
+            val maxHi = new Array[Any](2 * ts)
+            i = 0
+            while (i < n) { maxHi(ts + i) = hi(i); i += 1 }
+            var node = ts - 1
+            while (node >= 1) {
+              val l = maxHi(2 * node); val r = maxHi(2 * node + 1)
+              maxHi(node) =
+                if (l == null) r
+                else if (r == null) l
+                else if (ord.gteq(l, r)) l else r
+              node -= 1
+            }
+            val mayNull = sorted.collect {
+              case f if !f.nullValueCounts.get(id).contains(0L) => f.path
+            }
+            Some(IdGroup(id, ord, lo, hi, paths, maxHi, ts,
+              unbounded.map(_.path), mayNull))
+        }
+    }
+    new EqRangeIndex(groups, noId.map(_.path))
+  }
+}
