@@ -1058,16 +1058,24 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
   private lazy val eqScopable: Boolean = eqPartOf.nonEmpty || eqBoundsActive
   private lazy val dataFileOf: Map[String, DataFile] =
     plan.tasks.map(t => ParquetIO.canonPath(t.file.path) -> t.file).toMap
+  /** One equality-delete key source of a group, pre-indexed once per scan:
+    * global (tuple-less) paths, per delete-file spec a tuple → paths map
+    * and the spec's full path list (served whole to cross-spec data files,
+    * where tuples aren't comparable — [[Deletes.eqDeleteCanHit]]'s cases,
+    * indexed), plus — above the linear-sweep cap — an interval index over
+    * the set's key ranges shared by both the global and the scoped
+    * narrowing paths. */
+  private final case class EqSetIndex(
+      global: Seq[String],
+      globalCanon: Set[String],
+      bySpec: Map[Int, (Seq[String], Map[Map[String, Any], Seq[String]])],
+      rangeIdx: Option[EqRangeIndex])
+
   /** Per-source partition INDEX over a group's equality-delete paths,
-    * built once per scan: global (tuple-less) paths, plus per delete-file
-    * spec a tuple → paths map and the spec's full path list (served whole
-    * to cross-spec data files, where tuples aren't comparable —
-    * [[Deletes.eqDeleteCanHit]]'s cases, indexed). Keeps per-task scoping
-    * at O(partitions-per-task) map lookups instead of O(live delete
+    * built once per scan. Keeps per-task scoping at
+    * O(partitions-per-task) map lookups instead of O(live delete
     * files) per task — the same driver-cost shape as posScopeOf. */
-  private lazy val eqIndexByGroup: Map[Int, Seq[(Seq[String],
-      Map[Int, (Seq[String], Map[Map[String, Any], Seq[String]])],
-      Option[EqRangeIndex])]] =
+  private lazy val eqIndexByGroup: Map[Int, Seq[EqSetIndex]] =
     groupDeletes.zipWithIndex.collect {
       case (Some(cfg), g) if cfg.sets.nonEmpty && eqScopable =>
         g -> cfg.sets.map { ks =>
@@ -1078,25 +1086,52 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
               spec -> (paths,
                 paths.groupBy(dp => eqPartOf(ParquetIO.canonPath(dp))._2))
             }
-          // above the linear-sweep cap, global (tuple-less) paths get an
-          // interval index (built once per scan) so narrowing stays
-          // O(log n + hits) per task instead of turning off
+          // above the linear-sweep cap, the whole set gets ONE interval
+          // index (built once per scan) so narrowing stays O(log n + hits)
+          // per task instead of turning off — for tuple-less paths AND for
+          // partition-scoped candidate sets that exceed the cap inside a
+          // single task's partitions
           val rangeIdx =
-            if (eqBoundsActive && global.length > EqBoundsCap)
+            if (eqBoundsActive &&
+                (global.length > EqBoundsCap || scoped.length > EqBoundsCap))
               Some(EqRangeIndex.build(
-                global.map(dp => eqFileOf(ParquetIO.canonPath(dp))),
+                ks.paths.map(dp => eqFileOf(ParquetIO.canonPath(dp))),
                 table.metadata.schema))
             else None
-          (global, bySpec, rangeIdx)
+          EqSetIndex(global,
+            global.map(ParquetIO.canonPath).toSet, bySpec, rangeIdx)
         }
     }.toMap
   // PER-CANDIDATE key-range checks are linear sweeps — bounded so a
   // pathological many-live-deletes scan can't regress planning to
-  // O(files×deletes); global sets above the cap switch to [[EqRangeIndex]]
+  // O(files×deletes); sets above the cap switch to [[EqRangeIndex]]
   private lazy val EqBoundsCap: Int =
     if (spark == null) 1024
-    else spark.conf.get("spark.graft.eq-bounds-linear-cap", "1024").toInt
-  private val eqBoundsCapWarned = new java.util.concurrent.atomic.AtomicBoolean
+    else {
+      val raw = spark.conf.get("spark.graft.eq-bounds-linear-cap", "1024")
+      scala.util.Try(raw.trim.toInt).toOption.filter(_ > 0).getOrElse {
+        scanLog.warn(s"ignoring invalid spark.graft.eq-bounds-linear-cap" +
+          s"='$raw' (want a positive int); using 1024")
+        1024
+      }
+    }
+  // aggregated narrowing observability: tasks scoped, candidate delete
+  // files before/after narrowing — logged once per planning pass so a
+  // scale operator can see whether narrowing is effective without a
+  // profiler (drained by logEqNarrowing)
+  private val eqNarrowTasks = new java.util.concurrent.atomic.AtomicLong
+  private val eqNarrowBefore = new java.util.concurrent.atomic.AtomicLong
+  private val eqNarrowAfter = new java.util.concurrent.atomic.AtomicLong
+  private def logEqNarrowing(): Unit = {
+    val t = eqNarrowTasks.getAndSet(0L)
+    val before = eqNarrowBefore.getAndSet(0L)
+    val after = eqNarrowAfter.getAndSet(0L)
+    if (t > 0L) {
+      val pct = if (before == 0L) 100.0 else after * 100.0 / before
+      scanLog.debug(f"eq-delete narrowing: $t%d tasks, candidate delete " +
+        f"files $before%d -> $after%d ($pct%.1f%% kept)")
+    }
+  }
   @transient private lazy val scanLog =
     org.slf4j.LoggerFactory.getLogger(classOf[GraftScan])
   /** Per-task narrowing of a group's equality-delete sources: for each
@@ -1119,33 +1154,49 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
           val del = eqFileOf(ParquetIO.canonPath(dp))
           dataFiles.exists(df => Deletes.eqBoundsCanHit(del, df, schema))
         }
-        val narrowed = index.map { case (global, bySpec, rangeIdx) =>
-          val scopedCands = bySpec.toSeq.flatMap { case (spec, (all, byTuple)) =>
+        val narrowed = index.map { si =>
+          val scopedCands = si.bySpec.toSeq.flatMap { case (spec, (all, byTuple)) =>
             if (parts.exists(_._1 != spec)) all // cross-spec: keep whole spec
             else parts.flatMap(p => byTuple.getOrElse(p._2, Nil))
           }
-          val globalNarrowed = rangeIdx match {
-            case Some(idx) =>
-              // interval pre-filter (superset), then the exact multi-key
-              // re-check on the (small) survivor set
-              dataFiles.flatMap(idx.candidatesFor).distinct.filter(boundsHit)
-            case None =>
-              if (!eqBoundsActive) global else global.filter(boundsHit)
-          }
-          val scopedOverCap = scopedCands.length > EqBoundsCap
-          if (eqBoundsActive && scopedOverCap &&
-              eqBoundsCapWarned.compareAndSet(false, true))
-            scanLog.warn(s"key-range narrowing of partition-scoped equality " +
-              s"deletes skipped for one task: ${scopedCands.length} candidates " +
-              s"in the task's partitions exceed the $EqBoundsCap linear-sweep " +
-              s"cap (partition-tuple scoping still applies; consider " +
-              s"compacting equality deletes)")
+          // the set's interval index queried ONCE per task (shared by the
+          // global and the scoped halves): a conservative superset of the
+          // delete files whose key ranges can touch the task's files
+          lazy val idxCands: Set[String] = si.rangeIdx.fold(Set.empty[String])(
+            idx => dataFiles.flatMap(idx.candidatesFor)
+              .map(ParquetIO.canonPath).toSet)
+          // pre-filter through the index when available, then the exact
+          // multi-key re-check — UNLESS the candidate set itself exceeds
+          // the cap (a near-total set means narrowing buys nothing and the
+          // re-check is O(candidates × taskFiles); keep the superset, as
+          // the pre-index code kept everything above the cap)
+          def narrow(cands: Seq[String]): Seq[String] =
+            if (cands.length > EqBoundsCap) cands else cands.filter(boundsHit)
+          val globalNarrowed =
+            if (!eqBoundsActive) si.global
+            else si.rangeIdx match {
+              case Some(_) => narrow(si.global.filter(dp =>
+                idxCands.contains(ParquetIO.canonPath(dp))))
+              case None => narrow(si.global)
+            }
           val scopedNarrowed =
-            if (!eqBoundsActive || scopedOverCap) scopedCands
-            else scopedCands.filter(boundsHit)
+            if (!eqBoundsActive) scopedCands
+            else if (scopedCands.length <= EqBoundsCap)
+              scopedCands.filter(boundsHit)
+            else si.rangeIdx match {
+              // over-cap scoped candidates: intersect the tuple-scoped set
+              // with the index's range candidates — narrowing stays on
+              // instead of the former warn-and-skip cliff
+              case Some(_) => narrow(scopedCands.filter(dp =>
+                idxCands.contains(ParquetIO.canonPath(dp))))
+              case None => scopedCands // unreachable: over-cap builds the index
+            }
           (globalNarrowed ++ scopedNarrowed).distinct.sorted
         }
         val sizes = groupDeletes(group).get.sets.map(_.paths.length)
+        eqNarrowTasks.incrementAndGet()
+        eqNarrowBefore.addAndGet(sizes.sum.toLong)
+        eqNarrowAfter.addAndGet(narrowed.map(_.length).sum.toLong)
         if (narrowed.map(_.length) == sizes) None else Some(narrowed)
       }
     }
@@ -1232,7 +1283,13 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
         groupFills(i).forall(_.nested.isEmpty)
     }
 
-    override def planInputPartitions(): Array[InputPartition] = keyedParts.getOrElse {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val out = planPartitionsImpl()
+      logEqNarrowing()
+      out
+    }
+
+    private def planPartitionsImpl(): Array[InputPartition] = keyedParts.getOrElse {
       import org.apache.spark.sql.execution.datasources.FilePartition
       val keep = runtimeKeep
       def kept(path: String): Boolean =

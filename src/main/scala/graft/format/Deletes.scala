@@ -524,15 +524,54 @@ object EqRangeIndex {
       noBounds: Seq[String],
       mayNull: Seq[String]) extends Serializable
 
+  /** Candidate index keys for one delete file: equality keys with full
+    * bounds AND a schema-resolvable field (needed for an ordering). Any
+    * single equality key is a valid conservative pre-filter — a matching
+    * row must equal the delete row on EVERY key, so disjoint ranges on any
+    * one key rule the pairing out. */
+  private def indexableIds(f: DataFile,
+      schema: org.apache.spark.sql.types.StructType): Seq[Int] =
+    f.equalityIds.filter(id =>
+      f.lowerBounds.contains(id) && f.upperBounds.contains(id) &&
+        FieldIds.findById(schema, id).isDefined)
+
   /** Build over delete files (any content mix is fine — callers pass
-    * equality deletes). O(n log n) once per scan. */
+    * equality deletes). O(ids × n log n) once per scan.
+    *
+    * Each file is indexed under its most SELECTIVE bounded equality key,
+    * not blindly `equalityIds.head`: selectivity of a key is the fraction
+    * of DISJOINT merged range clusters over the files bounded on it — a
+    * low-cardinality leading key (e.g. `tenant_id` in a
+    * `(tenant_id, user_id)` composite, where every file spans the same
+    * few tenants) scores ~1/n and would degrade the pre-filter to a
+    * near-full superset, while a high-cardinality key with tight disjoint
+    * ranges scores ~1 and keeps it sharp. */
   def build(files: Seq[DataFile],
       schema: org.apache.spark.sql.types.StructType): EqRangeIndex = {
-    val (withId, noId) = files.partition(_.equalityIds.nonEmpty)
-    val groups = withId.groupBy(_.equalityIds.head).toSeq.sortBy(_._1).flatMap {
+    val (withId, noId) = files.partition(indexableIds(_, schema).nonEmpty)
+    val ids = withId.flatMap(indexableIds(_, schema)).distinct
+    val score: Map[Int, Double] = ids.map { id =>
+      val field = FieldIds.findById(schema, id).get
+      val ord = Exprs.ordering(Types.cleanType(field.dataType))
+      val ranges = withId.filter(indexableIds(_, schema).contains(id))
+        .map(f => (f.lowerBounds(id), f.upperBounds(id))).sortBy(_._1)(ord)
+      var clusters = 0
+      var curHi: Option[Any] = None
+      ranges.foreach { case (lo, hi) =>
+        curHi match {
+          case Some(h) if ord.gteq(h, lo) =>
+            if (ord.gt(hi, h)) curHi = Some(hi)
+          case _ => clusters += 1; curHi = Some(hi)
+        }
+      }
+      id -> clusters.toDouble / ranges.length
+    }.toMap
+    val groups = withId
+      .groupBy(f => indexableIds(f, schema).maxBy(id => (score(id), -id)))
+      .toSeq.sortBy(_._1).flatMap {
       case (id, fs) =>
         FieldIds.findById(schema, id) match {
-          case None => // unknown field: nothing to compare against — keep all
+          case None => // unreachable: indexableIds requires a resolvable field
             Some(IdGroup(id, null, Array.empty, Array.empty, Array.empty,
               Array.empty, 1, fs.map(_.path), Nil))
           case Some(field) =>

@@ -1,0 +1,117 @@
+package graft.format
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[EqRangeIndex]] unit coverage: the interval pre-filter must stay a
+  * conservative SUPERSET of the exact multi-key predicate
+  * ([[Deletes.eqBoundsCanHit]]) while choosing the most SELECTIVE bounded
+  * equality key per file — a low-cardinality leading key (few tenants)
+  * must not degrade the pre-filter to a near-full scan when a
+  * high-cardinality key (user ids) is available. */
+class EqRangeIndexSpec extends AnyFunSuite {
+
+  private val schema = FieldIds.assignFresh(StructType(Seq(
+    StructField("tenant_id", LongType),
+    StructField("user_id", LongType),
+    StructField("v", StringType))))
+  private val tenantId = FieldIds.nameToId(schema)("tenant_id")
+  private val userId = FieldIds.nameToId(schema)("user_id")
+
+  private def eqDel(i: Int, tenantLo: Long, tenantHi: Long,
+      userLo: Long, userHi: Long): DataFile =
+    DataFile(path = s"deletes/eq-$i.parquet",
+      content = FileContent.EqualityDeletes,
+      recordCount = 10L, fileSizeInBytes = 1L << 10,
+      nullValueCounts = Map(tenantId -> 0L, userId -> 0L),
+      lowerBounds = Map(tenantId -> tenantLo, userId -> userLo),
+      upperBounds = Map(tenantId -> tenantHi, userId -> userHi),
+      equalityIds = Seq(tenantId, userId))
+
+  private def dataFile(tenantLo: Long, tenantHi: Long,
+      userLo: Long, userHi: Long): DataFile =
+    DataFile(path = s"data/f-$userLo.parquet",
+      recordCount = 100L, fileSizeInBytes = 1L << 20,
+      nullValueCounts = Map(tenantId -> 0L, userId -> 0L),
+      lowerBounds = Map(tenantId -> tenantLo, userId -> userLo),
+      upperBounds = Map(tenantId -> tenantHi, userId -> userHi))
+
+  test("composite key with low-cardinality first key: the selective key is chosen") {
+    // 200 delete files, ALL spanning the same single tenant — first-key
+    // indexing would return every file for any tenant-1 data file; user_id
+    // ranges are tight and disjoint, so the selective-key index narrows to
+    // the one file whose user range overlaps
+    val dels = (0 until 200).map(i =>
+      eqDel(i, 1L, 1L, i * 10L, i * 10L + 9L))
+    val idx = EqRangeIndex.build(dels, schema)
+    val data = dataFile(1L, 1L, 1003L, 1005L)
+    val cands = idx.candidatesFor(data)
+    assert(cands === Seq("deletes/eq-100.parquet"),
+      s"selective-key index must narrow to the overlapping file, got ${cands.size}")
+    // a data file overlapping no user range gets nothing
+    assert(idx.candidatesFor(dataFile(1L, 1L, 5000L, 5100L)).isEmpty)
+  }
+
+  test("index candidates are a superset of the exact multi-key predicate") {
+    // mixed shapes: overlapping user ranges, multi-tenant files, one file
+    // without user bounds (must always be returned), one that may hold
+    // null users
+    val dels = (0 until 50).map(i =>
+      eqDel(i, (i % 5).toLong, (i % 5).toLong, i * 7L, i * 7L + 20L)) ++
+      Seq(
+        DataFile(path = "deletes/unbounded.parquet",
+          content = FileContent.EqualityDeletes,
+          recordCount = 1L, fileSizeInBytes = 1L,
+          equalityIds = Seq(tenantId, userId)),
+        eqDel(998, 0L, 4L, 0L, 400L).copy(path = "deletes/wide.parquet"),
+        eqDel(999, 2L, 2L, 90L, 95L).copy(path = "deletes/nullish.parquet",
+          nullValueCounts = Map(tenantId -> 0L)))
+    val idx = EqRangeIndex.build(dels, schema)
+    val datas = (0 until 40).map(i =>
+      dataFile((i % 3).toLong, (i % 3).toLong, i * 11L, i * 11L + 15L)) :+
+      dataFile(0L, 4L, 0L, 500L)
+    datas.foreach { df =>
+      val cands = idx.candidatesFor(df).toSet
+      dels.foreach { del =>
+        if (Deletes.eqBoundsCanHit(del, df, schema))
+          assert(cands.contains(del.path),
+            s"index dropped ${del.path} which eqBoundsCanHit admits for ${df.path}")
+      }
+    }
+  }
+
+  test("files whose only bounded key differs are indexed under their own keys") {
+    // one population bounded only on tenant, another only on user — each
+    // must land in its own group and narrow on its own ranges
+    val tenantOnly = (0 until 10).map { i =>
+      DataFile(path = s"deletes/t-$i.parquet",
+        content = FileContent.EqualityDeletes,
+        recordCount = 1L, fileSizeInBytes = 1L,
+        nullValueCounts = Map(tenantId -> 0L, userId -> 0L),
+        lowerBounds = Map(tenantId -> i.toLong),
+        upperBounds = Map(tenantId -> i.toLong),
+        equalityIds = Seq(tenantId, userId))
+    }
+    val userOnly = (0 until 10).map { i =>
+      DataFile(path = s"deletes/u-$i.parquet",
+        content = FileContent.EqualityDeletes,
+        recordCount = 1L, fileSizeInBytes = 1L,
+        nullValueCounts = Map(tenantId -> 0L, userId -> 0L),
+        lowerBounds = Map(userId -> (i * 100L)),
+        upperBounds = Map(userId -> (i * 100L + 50L)),
+        equalityIds = Seq(tenantId, userId))
+    }
+    val idx = EqRangeIndex.build(tenantOnly ++ userOnly, schema)
+    val cands = idx.candidatesFor(dataFile(3L, 3L, 120L, 130L)).toSet
+    assert(cands === Set("deletes/t-3.parquet", "deletes/u-1.parquet"))
+  }
+
+  test("a data file without bounds on a group's key keeps that whole group") {
+    val dels = (0 until 20).map(i => eqDel(i, 1L, 1L, i * 10L, i * 10L + 5L))
+    val idx = EqRangeIndex.build(dels, schema)
+    val blind = DataFile(path = "data/noStats.parquet",
+      recordCount = 100L, fileSizeInBytes = 1L << 20)
+    assert(idx.candidatesFor(blind).toSet === dels.map(_.path).toSet,
+      "no data bounds → every delete file stays a candidate")
+  }
+}

@@ -383,6 +383,76 @@ class MetaScaleSpec extends SparkSpec {
     assert(secs < 10)
   }
 
+  test("over-cap partition-scoped equality deletes keep key-range narrowing via the interval index") {
+    // 2,000 partition-scoped eq-delete descriptors live in ONE partition —
+    // above the 1,024 linear-sweep cap, the per-task candidate set used to
+    // warn and skip key-range narrowing entirely (a perf cliff: every c0
+    // task attached all 2,000 key sets). The per-scan interval index must
+    // keep narrowing on: each task attaches exactly the delete files whose
+    // key ranges overlap its own files', in bounded plan time.
+    import graft.connector.{GraftScanBuilder, GroupedPartition, MultiFilePartition}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val loc = s"${sys.props("java.io.tmpdir")}/graft-metascale/eqscoped"
+    val base = Seq.empty[(Long, String, String)].toDF("id", "cat", "v")
+    val t = GraftTable.recreate(spark, loc, base.schema, _.identity("cat"))
+    val idF = FieldIds.nameToId(t.schema)("id")
+    // 100 data files in cat=c0 with disjoint 100-wide id ranges
+    val dataFiles = (0 until 100).map { i =>
+      DataFile(path = s"$loc/data/cat=c0/f-$i.parquet",
+        partition = Map("cat" -> "c0"),
+        recordCount = 100L, fileSizeInBytes = 32L << 20,
+        nullValueCounts = Map(idF -> 0L),
+        lowerBounds = Map(idF -> i * 100L),
+        upperBounds = Map(idF -> (i * 100L + 99L)))
+    }
+    Commits.fastAppend(t, dataFiles)
+    val t2 = GraftTable.load(spark, loc)
+    // 2,000 scoped eq-delete descriptors, 5-wide disjoint key ranges
+    val dels = (0 until 2000).map { i =>
+      DataFile(path = s"$loc/deletes/eq-$i.parquet",
+        content = FileContent.EqualityDeletes,
+        partition = Map("cat" -> "c0"),
+        recordCount = 5L, fileSizeInBytes = 1L << 10,
+        schemaId = t2.metadata.currentSchemaId,
+        specId = t2.metadata.defaultSpecId,
+        nullValueCounts = Map(idF -> 0L),
+        lowerBounds = Map(idF -> i * 5L),
+        upperBounds = Map(idF -> (i * 5L + 4L)),
+        equalityIds = Seq(idF))
+    }
+    Commits.rowDelta(t2, Nil, dels)
+    val t3 = GraftTable.load(spark, loc)
+    val fileOf = t3.newScan().planFiles().tasks
+      .map(ft => ParquetIO.canonPath(ft.file.path) -> ft.file).toMap
+    val b = new GraftScanBuilder(spark, t3, t3.newScan(),
+      CaseInsensitiveStringMap.empty())
+    val (parts, secs) = timed(b.build().toBatch.planInputPartitions().toSeq)
+    info(f"over-cap scoped planning: $secs%.3f s, ${parts.size} tasks")
+    assert(secs < 10.0, f"planning with 2000 scoped deletes took $secs%.1f s")
+    val grouped = parts.flatMap {
+      case gp: GroupedPartition => Seq(gp)
+      case mp: MultiFilePartition => mp.subs
+      case other => fail(s"unexpected partition ${other.getClass}")
+    }
+    assert(grouped.nonEmpty)
+    grouped.foreach { p =>
+      val taskFiles = p.inner match {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.map(f =>
+            fileOf(ParquetIO.canonPath(f.filePath.toPath.toString))).toSeq
+        case other => fail(s"expected FilePartition, got ${other.getClass}")
+      }
+      val expected = dels.filter(d =>
+        taskFiles.exists(df => Deletes.eqBoundsCanHit(d, df, t3.schema)))
+        .map(_.path).sorted
+      val scope = p.eqScope.getOrElse(fail("narrowing must stay ON above the cap"))
+      assert(scope.flatten.sorted === expected,
+        s"task over ${taskFiles.map(_.path)} must narrow to its overlapping deletes")
+      assert(scope.flatten.size < 500,
+        s"narrowed scope still carries ${scope.flatten.size} of 2000 files")
+    }
+  }
+
   test("rewriteManifests compacts 1000 manifests distributed; plan unchanged") {
     val (written, secs) = timed(
       Actions.forTable(table).rewriteManifests(entriesPerManifest = 1000))
