@@ -36,15 +36,21 @@ object Bench {
       try body catch { case _: Throwable => }
       (System.nanoTime() - t0) / 1e9
     }
-    // median-of-3 measured passes per query: one noisy sample (GC pause,
-    // host contention) cannot fake a regression or an improvement
-    val Runs = 3
+    // median-of-5 measured passes per query, with the min/max spread
+    // recorded alongside: same-tree variance at sf0.1 is ±15% run to run,
+    // larger than most code-level deltas — the median plus the published
+    // spread is what makes a cross-round comparison able to tell a real
+    // regression from host noise
+    val Runs = 5
     val samples: Seq[Seq[(String, Double)]] = (0 until Runs).map { _ =>
       names.map(n => n -> timeSec(SparkEntry.queries(n)(spark, sfDir).count()))
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    val results: Seq[(String, Double)] = names.zipWithIndex.map { case (n, i) =>
-      n -> median(samples.map(_(i)._2))
+    val perQuery: Seq[(String, Seq[Double])] = names.zipWithIndex.map {
+      case (n, i) => n -> samples.map(_(i)._2)
+    }
+    val results: Seq[(String, Double)] = perQuery.map {
+      case (n, xs) => n -> median(xs)
     }
     // pinned HOST-calibration workload, independent of the library and the
     // data: 64M rows hashed and shuffled into 1k groups. Its median lets
@@ -67,7 +73,10 @@ object Bench {
       .map(_._2).sum
     spark.stop()
     val calJson = calRuns.mkString("[", ",", "]")
-    realOut.println(s"""{"metric":"total","value":$total,"unit":"sec","lfl11":$lfl11,"runs":$Runs,"calibration":$calibration,"calibration_runs":$calJson,"queries":$qs,"sf":"$sfDir"}""")
+    val spreadJson = perQuery.map { case (n, xs) =>
+      "\"" + n + "\":[" + xs.min + "," + xs.max + "]"
+    }.mkString("{", ",", "}")
+    realOut.println(s"""{"metric":"total","value":$total,"unit":"sec","lfl11":$lfl11,"runs":$Runs,"calibration":$calibration,"calibration_runs":$calJson,"queries":$qs,"queries_spread":$spreadJson,"sf":"$sfDir"}""")
     realOut.flush()
   }
 }

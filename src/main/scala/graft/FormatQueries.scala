@@ -168,6 +168,43 @@ object FormatQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // merge-on-read PLANNING at scale: thousands of live global equality
+    // deletes with tight disjoint key ranges over range-clustered data —
+    // the per-scan interval index must keep task scoping sharp (each task
+    // attaches only the delete files its key range admits, ~1/48th of the
+    // set) and planning time bounded. Benched since round 14 so an
+    // eq-index planning regression shows up in BENCH_r*.json, not only in
+    // MetaScaleSpec asserts.
+    "q110_mor_eq_planning" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftmorp", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftmorp.warehouse", tdir(dir, "morpwh"))
+      withTable(s, dir, "morpwh/db/orders_mor") { loc =>
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        val tt = GraftTable.recreate(s, loc, o.schema)
+        GraftWrite.append(tt, o.repartitionByRange(48, col("o_orderkey")))
+        // force a many-file staged key set (AQE would coalesce it away);
+        // range staging keeps per-file key bounds tight and disjoint, so
+        // at sf0.1 this leaves ~5k live equality-delete files
+        val priorCoalesce =
+          s.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        val priorShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        s.conf.set("spark.sql.shuffle.partitions", "5000")
+        try Deletes.deleteByEquality(tt,
+          o.filter(col("o_orderkey") % 10 === 7).select(col("o_orderkey")))
+        finally {
+          s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", priorCoalesce)
+          s.conf.set("spark.sql.shuffle.partitions", priorShuffle)
+        }
+        tt
+      }
+      // the DSv2 read path: GraftScanBuilder → per-task eq scoping through
+      // the interval index → columnar MoR readers
+      s.sql("""SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS total
+               FROM graftmorp.db.orders_mor GROUP BY 1 ORDER BY 1""")
+    }),
+
     // schema evolution: rename + added column are metadata-only
     "q66_schema_evolution" -> ((s, dir) => {
       val t = withTable(s, dir, "supplier_evolved") { loc =>
@@ -1070,6 +1107,8 @@ object FormatQueries {
         |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
         |FROM customer WHERE c_custkey % 5 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q110_mor_eq_planning" -> orderAggSqlWhere.format("o_orderkey % 10 <> 7"),
 
     "q109_cross_spec_mor" ->
       """SELECT c_mktsegment, COUNT(*) AS n,

@@ -926,7 +926,11 @@ object Queries {
     "q82_orc_source", "q83_avro_source",
     // metadata-only aggregation: expected ~0.1s regardless of table size
     // (the whole point — compare against q01's full-scan aggregate)
-    "q94_agg_pushdown", "q98_partition_agg")
+    "q94_agg_pushdown", "q98_partition_agg",
+    // merge-on-read planning stress: ~5k live eq-delete files at sf0.1 —
+    // guards the interval-index planning path with wall-clock, not only
+    // MetaScaleSpec asserts (added round 14)
+    "q110_mor_eq_planning")
 
   /** The 11 queries benched since round 1 — the stable cross-round signal.
     * Per-query times are ±20% noisy run to run; this subtotal is what the
