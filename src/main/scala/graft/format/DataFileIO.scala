@@ -12,6 +12,32 @@ import org.apache.spark.sql.types.StructType
   */
 object DataFileIO {
 
+  /** Metadata-fed multi-file DataFrame read: `spark.read.parquet(paths:_*)`
+    * existence-checks every ROOT path on the driver at analysis time —
+    * thousands of live files mean thousands of stat calls (HEADs, on an
+    * object store) before the first byte of data. Sizes are already
+    * committed in the manifests, so read through the descriptor-backed
+    * FileIndex instead — the same index the DSv2 and dfFor paths use.
+    * `schema` is the file-side (id-stripped) read schema; Spark's
+    * `_metadata` columns stay available. Descriptor sizes are TRUSTED for
+    * split planning (a row group past the recorded length is skipped) —
+    * the same contract the reference's manifests carry for
+    * file_size_in_bytes. */
+  def indexedDF(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[DataFile], format: String,
+      schema: StructType): org.apache.spark.sql.DataFrame = {
+    val ff = format match {
+      case FileFormats.Orc =>
+        new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat()
+      case _ =>
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+    }
+    spark.baseRelationToDataFrame(
+      org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        new graft.connector.GraftFileIndex(spark, files),
+        StructType(Nil), schema, None, ff, Map.empty)(spark))
+  }
+
   /** Stream `path` (of `format`) projected to `schema` (file-side names).
     * A non-plaintext `em` decrypts the stored bytes to a local staging file
     * first (the format libraries need a seekable plaintext file); plaintext

@@ -190,7 +190,11 @@ object Deletes {
       (if (withSource) Seq(StructField("delete_file_path", StringType)) else Nil))
     val parts = Seq.newBuilder[DataFrame]
     if (parquetFiles.nonEmpty) {
-      val base = spark.read.parquet(parquetFiles.map(_.path).distinct: _*)
+      // descriptor-backed read — no per-path driver stat calls at scale
+      val base = DataFileIO.indexedDF(spark,
+        parquetFiles.distinctBy(_.path), FileFormats.Parquet,
+        StructType(Seq(StructField("file_path", StringType),
+          StructField("pos", LongType))))
         .select(Seq(canon(col("file_path")).as("file_path"), col("pos")) ++
           (if (withSource)
             Seq(canon(col("_metadata.file_path")).as("delete_file_path"))

@@ -526,9 +526,15 @@ final class TableScan private[format] (
     val spark = table.spark
     var cur = df0
     dels.groupBy(_._1.equalityIds).foreach { case (ids, group) =>
-      val names = ids.map(id => FieldIds.findById(schema, id).get.name)
-      val del = spark.read.parquet(group.map(_._1.path).distinct: _*)
-        .select(names.map(col): _*).dropDuplicates(names)
+      val fields = ids.map(id => FieldIds.findById(schema, id).get)
+      val names = fields.map(_.name)
+      // descriptor-backed read: a GDPR-scale delete set (thousands of
+      // files) must not stat every path on the driver at analysis time
+      val keySchema = StructType(fields.map(f => StructField(f.name,
+        Types.cleanType(f.dataType), nullable = true)))
+      val del = DataFileIO.indexedDF(spark,
+        group.map(_._1).distinctBy(_.path), FileFormats.Parquet, keySchema)
+        .dropDuplicates(names)
       val cond = names.map(n => cur(n) <=> del(n)).reduce(_ && _)
       cur = cur.join(broadcast(del), cond, "left_anti")
     }

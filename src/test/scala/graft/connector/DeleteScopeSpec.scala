@@ -464,11 +464,16 @@ class DeleteScopeSpec extends SparkSpec {
       .orderBy("file_path", "pos")
     val stagedDir = t.locations.newDataLocation("legacy-del")
     positions.coalesce(1).write.parquet(stagedDir)
-    val path = t.ops.io.list(stagedDir, ".parquet").map(_.path).head
+    val staged = t.ops.io.list(stagedDir, ".parquet").head
+    val path = staged.path
     val n = spark.read.parquet(path).count()
+    // legacy = missing TARGET metadata (referenced file, path bounds) —
+    // the size must still be the real one: manifests are the source of
+    // truth for read split planning (reference manifests require
+    // file_size_in_bytes and trust it the same way)
     Commits.rowDelta(t, Nil, Seq(DataFile(path = path,
       content = FileContent.PositionDeletes, recordCount = n,
-      fileSizeInBytes = 1L, schemaId = t.metadata.currentSchemaId,
+      fileSizeInBytes = staged.size, schemaId = t.metadata.currentSchemaId,
       specId = t.metadata.defaultSpecId)))
     val canonTarget = ParquetIO.canonPath(target)
     partitions(t).foreach { p =>

@@ -383,6 +383,25 @@ class MetaScaleSpec extends SparkSpec {
     assert(secs < 10)
   }
 
+  test("DSv2 batch planning over 100k files is bounded (no O(files²) index walk)") {
+    // the connector path: GraftScanBuilder → GraftFileIndex → Spark
+    // FileScan partition planning. PartitioningAwareFileIndex.allFiles()
+    // consults leafFiles/leafDirToChildrenFiles once PER ROOT PATH — an
+    // uncached index makes that O(files²) Path normalization (hours at
+    // 100k files; caught at 1,500 delete files costing 9 s per job).
+    // The cached index must plan 100k files in seconds.
+    import graft.connector.GraftScanBuilder
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    table.metadata // materialize the fixture outside the timing
+    val b = new GraftScanBuilder(spark, table, table.newScan(),
+      CaseInsensitiveStringMap.empty())
+    val batch = b.build().toBatch
+    val (parts, secs) = timed(batch.planInputPartitions())
+    info(f"DSv2 planInputPartitions over 100k files: $secs%.2f s, ${parts.length} partitions")
+    assert(parts.length > 0)
+    assert(secs < 60.0, f"DSv2 planning took $secs%.1f s")
+  }
+
   test("over-cap partition-scoped equality deletes keep key-range narrowing via the interval index") {
     // 2,000 partition-scoped eq-delete descriptors live in ONE partition —
     // above the 1,024 linear-sweep cap, the per-task candidate set used to
