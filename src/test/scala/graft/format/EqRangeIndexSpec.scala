@@ -106,6 +106,59 @@ class EqRangeIndexSpec extends AnyFunSuite {
     assert(cands === Set("deletes/t-3.parquet", "deletes/u-1.parquet"))
   }
 
+  test("property: the index never drops a delete file whose rows can match (2000 seeded cases)") {
+    // row-level truth, the same strategy as PruningPropertySpec: generate
+    // ACTUAL delete rows and data rows, derive honest per-file stats
+    // (sometimes dropping them, as truncated metrics modes do), and assert
+    // that whenever some delete row null-safe-equals some data row on ALL
+    // equality columns, the index returns that delete file as a candidate.
+    // This is the property that makes the index safe to use as a
+    // pre-filter: a miss here is a resurrected deleted row at read time.
+    val rnd = new scala.util.Random(20260814L)
+    def genRow(): (Option[Long], Option[Long]) = (
+      if (rnd.nextInt(8) == 0) None else Some(rnd.nextLong(4)),
+      if (rnd.nextInt(8) == 0) None else Some(rnd.nextLong(60)))
+    def stats(rows: Seq[(Option[Long], Option[Long])], dropBounds: Boolean,
+        dropNullCounts: Boolean): (Map[Int, Any], Map[Int, Any], Map[Int, Long]) = {
+      val (ts, us) = (rows.map(_._1).flatten, rows.map(_._2).flatten)
+      val lower = (if (ts.nonEmpty && !dropBounds) Map(tenantId -> (ts.min: Any)) else Map.empty[Int, Any]) ++
+        (if (us.nonEmpty && !dropBounds) Map(userId -> (us.min: Any)) else Map.empty[Int, Any])
+      val upper = (if (ts.nonEmpty && !dropBounds) Map(tenantId -> (ts.max: Any)) else Map.empty[Int, Any]) ++
+        (if (us.nonEmpty && !dropBounds) Map(userId -> (us.max: Any)) else Map.empty[Int, Any])
+      val nulls = if (dropNullCounts) Map.empty[Int, Long] else Map(
+        tenantId -> rows.count(_._1.isEmpty).toLong,
+        userId -> rows.count(_._2.isEmpty).toLong)
+      (lower, upper, nulls)
+    }
+    (0 until 2000).foreach { iter =>
+      val delFiles = (0 until (2 + rnd.nextInt(28))).map { i =>
+        val rows = Seq.fill(1 + rnd.nextInt(4))(genRow())
+        val (lo, hi, nulls) = stats(rows, rnd.nextInt(6) == 0, rnd.nextInt(6) == 0)
+        (DataFile(path = s"d-$i", content = FileContent.EqualityDeletes,
+          recordCount = rows.size.toLong, fileSizeInBytes = 1L,
+          nullValueCounts = nulls, lowerBounds = lo, upperBounds = hi,
+          equalityIds = Seq(tenantId, userId)), rows)
+      }
+      val idx = EqRangeIndex.build(delFiles.map(_._1), schema)
+      (0 until (1 + rnd.nextInt(7))).foreach { _ =>
+        val dataRows = Seq.fill(1 + rnd.nextInt(6))(genRow())
+        val (lo, hi, nulls) = stats(dataRows, rnd.nextInt(6) == 0, rnd.nextInt(6) == 0)
+        val data = DataFile(path = "data", recordCount = dataRows.size.toLong,
+          fileSizeInBytes = 1L, nullValueCounts = nulls,
+          lowerBounds = lo, upperBounds = hi)
+        val cands = idx.candidatesFor(data).toSet
+        delFiles.foreach { case (df, delRows) =>
+          val canMatch = delRows.exists(d => dataRows.exists(r =>
+            d._1 == r._1 && d._2 == r._2)) // null-safe equality on BOTH keys
+          if (canMatch)
+            assert(cands.contains(df.path),
+              s"iter $iter: index dropped ${df.path} with matching rows " +
+              s"(del=$delRows data=$dataRows)")
+        }
+      }
+    }
+  }
+
   test("a data file without bounds on a group's key keeps that whole group") {
     val dels = (0 until 20).map(i => eqDel(i, 1L, 1L, i * 10L, i * 10L + 5L))
     val idx = EqRangeIndex.build(dels, schema)
