@@ -63,16 +63,21 @@ final class GraftFileIndex(spark: SparkSession, files: Seq[DataFile],
     if (partSchema.fields.isEmpty) SparkPartitionSpec.emptySpec
     else SparkPartitionSpec(partSchema, Nil)
 
-  override def listFiles(partitionFilters: Seq[Expression],
-      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
-    if (partSchema.fields.isEmpty) super.listFiles(partitionFilters, dataFilters)
-    else files.groupBy(partValues).toSeq.sortBy(_._1.mkString("/"))
+  // cached like the leaf maps: Spark lists several times per query
+  // (statistics, partitioning, execution) and the grouping is pure
+  private lazy val partitionedDirs: Seq[PartitionDirectory] =
+    files.groupBy(partValues).toSeq.sortBy(_._1.mkString("/"))
       .map { case (vals, fs) =>
         val row = InternalRow.fromSeq(vals.zip(partSchema.fields).map {
           case (v, f) => Values.toCatalyst(v, f.dataType)
         })
         PartitionDirectory(row, fs.map(f => statusOf(f.path)).toArray)
       }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    if (partSchema.fields.isEmpty) super.listFiles(partitionFilters, dataFilters)
+    else partitionedDirs
 
   override def leafFiles: LinkedHashMap[HPath, FileStatus] = leafFilesCached
 
