@@ -402,6 +402,65 @@ class MetaScaleSpec extends SparkSpec {
     assert(secs < 60.0, f"DSv2 planning took $secs%.1f s")
   }
 
+  test("DSv2 MoR planning: 100k data files x 5k global eq-deletes stays bounded") {
+    // the composed worst case for the round-14 planning machinery: a
+    // 100k-file table with 5,000 live GLOBAL equality-delete files (above
+    // the linear-sweep cap → interval index) planned through the DSv2
+    // batch path — per-task narrowing must stay O(log deletes + hits) per
+    // task across ~tens of thousands of tasks, with per-set canonical maps
+    // and the per-task scope cache keeping repeat planning free
+    import graft.connector.{GraftScanBuilder, GroupedPartition, MultiFilePartition}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val loc = s"${sys.props("java.io.tmpdir")}/graft-metascale/morwide"
+    val base = Seq.empty[(Long, String)].toDF("id", "v")
+    val t = GraftTable.recreate(spark, loc, base.schema)
+    val idF = FieldIds.nameToId(t.schema)("id")
+    val dataDescs = (0 until 100000).map { i =>
+      DataFile(path = f"$loc/data/f-$i%06d.parquet",
+        recordCount = 100L, fileSizeInBytes = 32L << 20,
+        nullValueCounts = Map(idF -> 0L),
+        lowerBounds = Map(idF -> i.toLong * 100L),
+        upperBounds = Map(idF -> (i.toLong * 100L + 99L)))
+    }
+    Commits.fastAppendDistributed(t, dataDescs)
+    val t2 = GraftTable.load(spark, loc)
+    val dels = (0 until 5000).map { j =>
+      DataFile(path = s"$loc/deletes/eq-$j.parquet",
+        content = FileContent.EqualityDeletes,
+        recordCount = 5L, fileSizeInBytes = 1L << 10,
+        schemaId = t2.metadata.currentSchemaId,
+        specId = t2.metadata.defaultSpecId,
+        nullValueCounts = Map(idF -> 0L),
+        lowerBounds = Map(idF -> j.toLong * 2000L),
+        upperBounds = Map(idF -> (j.toLong * 2000L + 4L)),
+        equalityIds = Seq(idF))
+    }
+    Commits.rowDelta(t2, Nil, dels)
+    val t3 = GraftTable.load(spark, loc)
+    val b = new GraftScanBuilder(spark, t3, t3.newScan(),
+      CaseInsensitiveStringMap.empty())
+    val batch = b.build().toBatch
+    val (parts, secs) = timed(batch.planInputPartitions())
+    info(f"100k x 5k MoR planning: $secs%.2f s, ${parts.length} partitions")
+    assert(secs < 60.0, f"MoR planning took $secs%.1f s")
+    // repeat planning rides the per-task scope cache
+    val (_, hot) = timed(batch.planInputPartitions())
+    info(f"repeat planning: $hot%.2f s")
+    assert(hot < secs, "repeat planning must not redo narrowing")
+    // spot-check narrowing quality: each delete range overlaps exactly one
+    // data file, so no task may carry more than a handful of delete paths
+    val sample = parts.take(200).flatMap {
+      case gp: GroupedPartition => Seq(gp)
+      case mp: MultiFilePartition => mp.subs
+      case _ => Nil
+    }
+    assert(sample.nonEmpty)
+    sample.foreach { p =>
+      p.eqScope.foreach(scope => assert(scope.flatten.size <= 16,
+        s"task carries ${scope.flatten.size} delete files; narrowing failed"))
+    }
+  }
+
   test("over-cap partition-scoped equality deletes keep key-range narrowing via the interval index") {
     // 2,000 partition-scoped eq-delete descriptors live in ONE partition —
     // above the 1,024 linear-sweep cap, the per-task candidate set used to
