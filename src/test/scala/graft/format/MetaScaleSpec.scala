@@ -531,6 +531,76 @@ class MetaScaleSpec extends SparkSpec {
     }
   }
 
+  test("cross-spec over-cap scoped deletes still narrow by key range") {
+    // the trickiest interaction: 2,000 delete files partition-scoped
+    // under an EVOLVED spec (tuples incomparable with the data files'
+    // spec → the whole set is a candidate for every task) AND above the
+    // linear-sweep cap. Key-range narrowing is tuple-independent, so the
+    // interval index must still cut each task's set to the exact
+    // eqBoundsCanHit answer — never the other way (dropping a delete a
+    // cross-spec row needs would resurrect it).
+    import graft.connector.{GraftScanBuilder, GroupedPartition, MultiFilePartition}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val loc = s"${sys.props("java.io.tmpdir")}/graft-metascale/xspeccap"
+    val base = Seq.empty[(Long, String, String)].toDF("id", "cat", "cat2")
+    val t = GraftTable.recreate(spark, loc, base.schema, _.identity("cat"))
+    val idF = FieldIds.nameToId(t.schema)("id")
+    val dataFiles = (0 until 50).map { i =>
+      DataFile(path = s"$loc/data/cat=c0/f-$i.parquet",
+        partition = Map("cat" -> "c0"),
+        recordCount = 100L, fileSizeInBytes = 32L << 20,
+        nullValueCounts = Map(idF -> 0L),
+        lowerBounds = Map(idF -> i * 200L),
+        upperBounds = Map(idF -> (i * 200L + 199L)))
+    }
+    Commits.fastAppend(t, dataFiles)
+    Commits.updateSpec(t)(_.identity("cat2"))
+    val t2 = GraftTable.load(spark, loc)
+    val dels = (0 until 2000).map { j =>
+      DataFile(path = s"$loc/deletes/eq-$j.parquet",
+        content = FileContent.EqualityDeletes,
+        partition = Map("cat2" -> "z0"), // evolved-spec tuple
+        recordCount = 5L, fileSizeInBytes = 1L << 10,
+        schemaId = t2.metadata.currentSchemaId,
+        specId = t2.metadata.defaultSpecId,
+        nullValueCounts = Map(idF -> 0L),
+        lowerBounds = Map(idF -> j * 5L),
+        upperBounds = Map(idF -> (j * 5L + 4L)),
+        equalityIds = Seq(idF))
+    }
+    Commits.rowDelta(t2, Nil, dels)
+    val t3 = GraftTable.load(spark, loc)
+    val fileOf = t3.newScan().planFiles().tasks
+      .map(ft => ParquetIO.canonPath(ft.file.path) -> ft.file).toMap
+    val b = new GraftScanBuilder(spark, t3, t3.newScan(),
+      CaseInsensitiveStringMap.empty())
+    val (parts, secs) = timed(b.build().toBatch.planInputPartitions().toSeq)
+    info(f"cross-spec over-cap planning: $secs%.2f s, ${parts.size} tasks")
+    assert(secs < 10.0)
+    val grouped = parts.flatMap {
+      case gp: GroupedPartition => Seq(gp)
+      case mp: MultiFilePartition => mp.subs
+      case other => fail(s"unexpected partition ${other.getClass}")
+    }
+    assert(grouped.nonEmpty)
+    grouped.foreach { p =>
+      val taskFiles = p.inner match {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.map(f =>
+            fileOf(ParquetIO.canonPath(f.filePath.toPath.toString))).toSeq
+        case other => fail(s"expected FilePartition, got ${other.getClass}")
+      }
+      val expected = dels.filter(d =>
+        taskFiles.exists(df => Deletes.eqBoundsCanHit(d, df, t3.schema)))
+        .map(_.path).sorted
+      val scope = p.eqScope.getOrElse(fail("narrowing must stay ON"))
+      assert(scope.flatten.sorted === expected,
+        "cross-spec tasks must narrow to exactly the key-range-admissible deletes")
+      assert(scope.flatten.size < 200,
+        s"scope still carries ${scope.flatten.size} of 2000 cross-spec files")
+    }
+  }
+
   test("rewriteManifests compacts 1000 manifests distributed; plan unchanged") {
     val (written, secs) = timed(
       Actions.forTable(table).rewriteManifests(entriesPerManifest = 1000))
