@@ -88,6 +88,31 @@ class StreamingUpsertSpec extends SparkSpec {
       s"scan of grp=0 planned delete files of partitions $grpVals")
   }
 
+  test("ORC-format upsert: the key re-read rides the descriptor-backed ORC reader") {
+    // the epoch's keys are re-read from the just-written data files; for
+    // an ORC table that read goes through DataFileIO.indexedDF with the
+    // ORC file format — replacement semantics must hold end to end
+    wh
+    spark.sql("CREATE TABLE gu.db.osrc (id BIGINT, v STRING)")
+    spark.sql("""CREATE TABLE gu.db.osink (id BIGINT, v STRING)
+                 TBLPROPERTIES ('write.format.default'='orc',
+                                'write.upsert.enabled'='true',
+                                'write.upsert.key-columns'='id')""")
+    val ckpt = Files.createTempDirectory("graft-upckpt-orc").toString
+    spark.sql("INSERT INTO gu.db.osrc VALUES (1, 'a1'), (2, 'b1')")
+    runOnce("gu.db.osrc", "gu.db.osink", ckpt)
+    spark.sql("INSERT INTO gu.db.osrc VALUES (1, 'a2'), (3, 'c1')")
+    runOnce("gu.db.osrc", "gu.db.osink", ckpt)
+    assert(spark.sql("SELECT id, v FROM gu.db.osink ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a2"), (2L, "b1"), (3L, "c1")))
+    val t = GraftTable.load(spark, s"$wh/db/osink")
+    val plan = t.newScan().planFiles()
+    assert(plan.tasks.forall(_.file.fileFormat == graft.format.FileFormats.Orc),
+      "data files must be ORC")
+    assert(plan.deleteFiles.exists(_._1.content == FileContent.EqualityDeletes))
+  }
+
   test("duplicate keys inside one epoch fail with the offending key") {
     wh
     spark.sql("CREATE TABLE gu.db.src3 (id BIGINT, v STRING)")
