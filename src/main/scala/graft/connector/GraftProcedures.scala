@@ -390,6 +390,21 @@ final class GraftProcedures(resolve: String => GraftTable,
       Array(row(Int.box(r.rewrittenFiles), Int.box(r.addedFiles)))
   })
 
+  private val verifyFileSizes = new Proc("verify_file_sizes",
+    "stat every live file (distributed) and report descriptors whose " +
+      "recorded size disagrees with the store — split planning trusts " +
+      "recorded sizes, so run after ingesting external/legacy manifests",
+    Array(p("table", StringType)),
+    StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("recorded_size", LongType, nullable = false),
+      StructField("actual_size", LongType, nullable = false))))({
+    in =>
+      val t = resolve(str(in, 0))
+      Actions.forTable(t).verifyFileSizes().map(mm =>
+        row(mm.path, Long.box(mm.recorded), Long.box(mm.actual))).toArray
+  })
+
   private val rewriteManifests = new Proc("rewrite_manifests",
     "rewrite the manifest tree partition-clustered (distributed); " +
       "entries_per_manifest 0 derives the chunk from " +
@@ -548,7 +563,7 @@ final class GraftProcedures(resolve: String => GraftTable,
     createBranch, createTag, dropRef, fastForward,
     expireSnapshots, removeOrphanFiles,
     rewriteDataFiles, rewritePositionDeletes, rewriteEqualityDeletes,
-    rewriteManifests,
+    rewriteManifests, verifyFileSizes,
     importTable, createChangelogView, analyzeTable, addColumn
   ).map(proc => proc.name() -> (proc: UnboundProcedure)).toMap
 

@@ -421,11 +421,17 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     // (reference loads sets executor-side: EqualitySetDeleteFilter,
     // Deletes.java:128). Tasks are grouped by sequence number so each
     // sub-scan knows which delete sets are newer than its files.
+    // grouping includes the FILE-side key names (resolved via each delete
+    // file's staged schemaId — Deletes.eqKeyFileNames): files staged before
+    // a key-column rename physically carry the old names, and reading them
+    // by current name would null-fill and resurrect their deletes
     val eqDeletes: Seq[EqDeleteSet] =
       plan.deleteFiles.filter(_._1.content == FileContent.EqualityDeletes)
-        .groupBy(d => (d._1.equalityIds, d._2)).toSeq.map { case ((ids, seq), group) =>
+        .groupBy(d => (d._1.equalityIds, d._2,
+          Deletes.eqKeyFileNames(m.schemas, schema, d._1)))
+        .toSeq.map { case ((ids, seq, fileNames), group) =>
           val names = ids.map(id => FieldIds.findById(schema, id).get.name)
-          EqDeleteSet(names, seq, group.map(_._1.path).sorted)
+          EqDeleteSet(names, fileNames, seq, group.map(_._1.path).sorted)
         }
 
     // identity-partition source columns physically absent from at least one
@@ -545,6 +551,7 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
           else Some(GroupDeletes(
             applicable.map(ds => DeleteKeySource(
               ds.names.map(wideTarget.fieldIndex).toArray, ds.names,
+              ds.fileNames,
               ds.names.map(n => clean.fields.find(_.name == n).get.dataType),
               ds.paths)),
             wideTarget.fields.map(_.dataType) ++
@@ -1727,15 +1734,21 @@ final case class GroupedReaderFactory(
   override def supportColumnarReads(p: InputPartition): Boolean = columnar
 }
 
-/** Equality-delete set descriptor: key column names + the delete FILES —
-  * never the keys themselves (those are loaded executor-side). */
-final case class EqDeleteSet(names: Seq[String], seq: Long,
-    paths: Seq[String]) extends Serializable
+/** Equality-delete set descriptor: key column names (current-schema for
+  * the data-side probe, file-side for loading the delete files, which may
+  * predate a rename) + the delete FILES — never the keys themselves (those
+  * are loaded executor-side). */
+final case class EqDeleteSet(names: Seq[String], fileNames: Seq[String],
+    seq: Long, paths: Seq[String]) extends Serializable
 
 /** Executor-side key-set source: ordinals into the read row, key types, and
-  * the delete-file paths to load. `keySet` materializes (and caches) the
-  * set in the executor JVM. */
+  * the delete-file paths to load. `fileNames` are the column names as
+  * physically written in the delete files (staged-schema names — may
+  * predate a rename); `names` are the current-schema names the data side
+  * reads under. `keySet` materializes (and caches) the set in the executor
+  * JVM. */
 final case class DeleteKeySource(ordinals: Array[Int], names: Seq[String],
+    fileNames: Seq[String],
     types: Seq[org.apache.spark.sql.types.DataType], paths: Seq[String])
   extends Serializable {
   def keySet(conf: org.apache.hadoop.conf.Configuration): Set[Vector[Any]] =
@@ -1795,14 +1808,22 @@ object DeleteKeyCache {
 
   private def load(src: DeleteKeySource,
       conf: org.apache.hadoop.conf.Configuration): Set[Vector[Any]] = {
-    val schema = StructType(src.names.zip(src.types).map {
+    // file-side (staged-schema) names: delete files written before a key
+    // rename carry the old column names. Spark's ReadSupport name-matches
+    // and silently null-fills absent columns — an all-null key set would
+    // resurrect every intended delete — so the footer is validated first
+    // and a missing key column FAILS the scan instead.
+    val schema = StructType(src.fileNames.zip(src.types).map {
       case (n, t) => StructField(n, t)
     })
     val set = scala.collection.mutable.HashSet[Vector[Any]]()
-    src.paths.foreach(p => ParquetIO.readAll(p, schema, conf) { row =>
-      set += src.types.indices.map(i =>
-        ParquetIO.canonicalValue(row, i, src.types(i))).toVector
-    })
+    src.paths.foreach { p =>
+      ParquetIO.readAll(p, schema, conf, requireAll = true,
+        what = "equality-delete file") { row =>
+        set += src.types.indices.map(i =>
+          ParquetIO.canonicalValue(row, i, src.types(i))).toVector
+      }
+    }
     set.toSet
   }
 }
@@ -1846,7 +1867,11 @@ object PosDeleteCache {
     val byFile = scala.collection.mutable.HashMap[String, Roaring64NavigableMap]()
     def setOf(f: String): Roaring64NavigableMap =
       byFile.getOrElseUpdate(f, new Roaring64NavigableMap())
-    paths.foreach(p => ParquetIO.readAll(p, schema, conf) { row =>
+    // the spec fixes position-delete column names, so absence means a
+    // corrupt/foreign file — null-filling would resurrect its deletes
+    // (requireAll validates against the footer the reader already loads)
+    paths.foreach(p => ParquetIO.readAll(p, schema, conf,
+        requireAll = true, what = "position-delete file") { row =>
       if (!row.isNullAt(0) && !row.isNullAt(1))
         setOf(ParquetIO.canonPath(row.getUTF8String(0).toString))
           .addLong(row.getLong(1))

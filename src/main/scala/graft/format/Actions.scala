@@ -18,6 +18,9 @@ object Actions {
   final case class RewriteResult(rewrittenFiles: Int, addedFiles: Int)
   final case class ExpireResult(expiredSnapshots: Int, deletedFiles: Int)
   final case class OrphanResult(deletedOrphans: Seq[String])
+  /** One file whose recorded size disagrees with the store (actual = -1:
+    * missing). Produced by [[Actions.verifyFileSizes]]. */
+  final case class SizeMismatch(path: String, recorded: Long, actual: Long)
 
   /** One compaction bin as shipped to an executor task: input files (with
     * their sequence numbers, for equality-delete gating), the read schema
@@ -149,13 +152,16 @@ final class Actions(t: GraftTable) {
       .filterNot(_.fileFormat == FileFormats.Puffin)
       .map(_.path).distinct.sorted
     val posDvs = Dvs.slicesOf(posDeleteFiles)
+    // grouped by file-side key names too (Deletes.eqKeyFileNames): delete
+    // files staged before a key rename carry the old column names
     val eqDeletes: Seq[(Long, graft.connector.DeleteKeySource)] = plan.deleteFiles
       .filter(_._1.content == FileContent.EqualityDeletes)
-      .groupBy(d => (d._1.equalityIds, d._2)).toSeq
-      .map { case ((ids, seq), group) =>
+      .groupBy(d => (d._1.equalityIds, d._2,
+        Deletes.eqKeyFileNames(m.schemas, schema, d._1))).toSeq
+      .map { case ((ids, seq, fileNames), group) =>
         val names = ids.map(id => FieldIds.findById(schema, id).get.name)
         seq -> graft.connector.DeleteKeySource(
-          names.map(schema.fieldIndex).toArray, names,
+          names.map(schema.fieldIndex).toArray, names, fileNames,
           names.map(n => Types.cleanType(schema(n).dataType)),
           group.map(_._1.path).distinct.sorted)
       }
@@ -613,9 +619,13 @@ final class Actions(t: GraftTable) {
         case (ids, group) =>
           val names = ids.map(id => FieldIds.findById(schema, id).get.name)
           // newest delete wins per key: a data row is suppressed iff some
-          // eq row with equal keys carries a NEWER sequence
+          // eq row with equal keys carries a NEWER sequence. Each delete
+          // file reads under its STAGED names (pre-rename files carry the
+          // old column names) and aliases back to the current ones.
           val del = group.map { case (f, seq) =>
-            spark.read.parquet(f.path).select(names.map(col): _*)
+            val fileNames = Deletes.eqKeyFileNames(m.schemas, schema, f)
+            spark.read.parquet(f.path).select(fileNames.map(col): _*)
+              .toDF(names: _*)
               .withColumn("_eq_seq", lit(seq))
           }.reduce(_ unionByName _)
             .groupBy(names.map(col): _*).agg(max(col("_eq_seq")).as("_eq_seq"))
@@ -769,6 +779,44 @@ final class Actions(t: GraftTable) {
         snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(now, sid))
     }
     newManifests.size
+  }
+
+  /** Verify every live file's recorded `file_size_in_bytes` against the
+    * store — one distributed stat sweep, mismatches collected (tiny by
+    * construction). Scan planning TRUSTS manifest sizes for splits
+    * (DataFileIO.indexedDF; same contract as the reference's manifests):
+    * an UNDERSTATED size silently truncates the read — for delete files
+    * that means deleted rows resurrect — so run this after ingesting
+    * external or legacy manifests, where sizes weren't produced by this
+    * library's writers. `actual` is -1 for files missing from the store;
+    * puffin DV entries compare the recorded blob end (offset+length)
+    * against the blob file's real length. */
+  def verifyFileSizes(): Seq[Actions.SizeMismatch] = {
+    val plan = t.newScan().planFiles()
+    val recorded: Seq[(String, Long, Boolean)] =
+      (plan.tasks.map(_.file) ++ plan.deleteFiles.map(_._1)).map { f =>
+        if (f.fileFormat == FileFormats.Puffin)
+          // DV blob: the recorded slice end must FIT the blob file
+          (f.path, f.contentOffset.getOrElse(0L) +
+            f.contentSizeInBytes.getOrElse(0L), true)
+        else (f.path, f.fileSizeInBytes, false)
+      }.distinct
+    if (recorded.isEmpty) return Nil
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      t.spark.sessionState.newHadoopConf())
+    t.spark.sparkContext
+      .parallelize(recorded, math.min(recorded.size, 64).max(1))
+      .flatMap { case (p, rec, dv) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val actual =
+          try hp.getFileSystem(sconf.value).getFileStatus(hp).getLen
+          catch { case _: java.io.FileNotFoundException => -1L }
+        // a DV slice may end before the blob file does; parquet/orc/avro
+        // sizes must match exactly (overstatement is as suspect as
+        // understatement — the descriptor didn't come from this file)
+        val ok = if (dv) actual >= rec else actual == rec
+        if (ok) None else Some(Actions.SizeMismatch(p, rec, actual))
+      }.collect().toSeq.sortBy(_.path)
   }
 
   /** Expire old snapshots and PHYSICALLY delete newly unreferenced files.

@@ -22,7 +22,11 @@ object DataFileIO {
     * `_metadata` columns stay available. Descriptor sizes are TRUSTED for
     * split planning (a row group past the recorded length is skipped) —
     * the same contract the reference's manifests carry for
-    * file_size_in_bytes. */
+    * file_size_in_bytes. An UNDERSTATED size therefore silently truncates
+    * the read (for delete files: deleted rows resurrect); sizes written by
+    * this library come from the real footer/stat, and externally ingested
+    * manifests can be checked with `Actions.verifyFileSizes` /
+    * `system.verify_file_sizes` before first use. */
   def indexedDF(spark: org.apache.spark.sql.SparkSession,
       files: Seq[DataFile], format: String,
       schema: StructType): org.apache.spark.sql.DataFrame = {

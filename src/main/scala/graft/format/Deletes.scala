@@ -296,6 +296,32 @@ object Deletes {
     Commits.rowDelta(table, Nil, files)
   }
 
+  /** File-side column name of each equality key of delete file `f`,
+    * resolved against the schema `f` was STAGED under (`f.schemaId`) —
+    * renames after staging are metadata-only (reference resolves delete
+    * columns by field id, core/.../deletes/Deletes.java:128 via the
+    * schema's id lookup), so CURRENT-schema names can diverge from the
+    * column names physically written inside the delete file. Reading a
+    * renamed key by its current name would null-fill (Spark's parquet
+    * source name-matches and null-fills absent columns), and an all-null
+    * key set silently resurrects the intended deletes. Falls back to the
+    * scan schema when the staged schema no longer tracks the id (legacy
+    * manifests default schemaId=0); fails LOUDLY when an id resolves in
+    * neither — a delete set whose keys cannot be located must never be
+    * silently dropped. */
+  def eqKeyFileNames(schemas: Map[Int, org.apache.spark.sql.types.StructType],
+      current: org.apache.spark.sql.types.StructType, f: DataFile): Seq[String] = {
+    val staged = schemas.getOrElse(f.schemaId, current)
+    f.equalityIds.map { id =>
+      FieldIds.findById(staged, id).orElse(FieldIds.findById(current, id))
+        .map(_.name).getOrElse(throw new IllegalStateException(
+          s"equality-delete file ${f.path}: key field id $id resolves in " +
+          s"neither its staged schema ${f.schemaId} nor the current schema " +
+          "— refusing to read (null-filling the key column would resurrect " +
+          "its deletes)"))
+    }
+  }
+
   /** Write (but do not commit) equality-delete files for `keys` — shared
     * by deleteByEquality and the streaming upsert sink, which commits them
     * atomically WITH its epoch's data files in one RowDelta.
@@ -552,12 +578,18 @@ object EqRangeIndex {
     * ranges scores ~1 and keeps it sharp. */
   def build(files: Seq[DataFile],
       schema: org.apache.spark.sql.types.StructType): EqRangeIndex = {
-    val (withId, noId) = files.partition(indexableIds(_, schema).nonEmpty)
-    val ids = withId.flatMap(indexableIds(_, schema)).distinct
+    // indexableIds walks FieldIds.findById per equality id — resolve it
+    // ONCE per file here; re-deriving it inside the per-id scoring filter
+    // and the groupBy was O(ids² × files × schema-lookup) per scan build,
+    // quadratic for wide composite equality keys
+    val idsOf: Map[String, Seq[Int]] =
+      files.map(f => f.path -> indexableIds(f, schema)).toMap
+    val (withId, noId) = files.partition(f => idsOf(f.path).nonEmpty)
+    val ids = withId.flatMap(f => idsOf(f.path)).distinct
     val score: Map[Int, Double] = ids.map { id =>
       val field = FieldIds.findById(schema, id).get
       val ord = Exprs.ordering(Types.cleanType(field.dataType))
-      val ranges = withId.filter(indexableIds(_, schema).contains(id))
+      val ranges = withId.filter(f => idsOf(f.path).contains(id))
         .map(f => (f.lowerBounds(id), f.upperBounds(id))).sortBy(_._1)(ord)
       var clusters = 0
       var curHi: Option[Any] = None
@@ -571,7 +603,7 @@ object EqRangeIndex {
       id -> clusters.toDouble / ranges.length
     }.toMap
     val groups = withId
-      .groupBy(f => indexableIds(f, schema).maxBy(id => (score(id), -id)))
+      .groupBy(f => idsOf(f.path).maxBy(id => (score(id), -id)))
       .toSeq.sortBy(_._1).flatMap {
       case (id, fs) =>
         FieldIds.findById(schema, id) match {

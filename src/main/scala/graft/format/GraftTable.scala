@@ -525,15 +525,21 @@ final class TableScan private[format] (
     if (dels.isEmpty) return df0
     val spark = table.spark
     var cur = df0
-    dels.groupBy(_._1.equalityIds).foreach { case (ids, group) =>
+    // sub-group by file-side key names: delete files staged under an older
+    // schema may carry the key columns under pre-rename names — reading by
+    // CURRENT name would null-fill and resurrect their deletes
+    dels.groupBy(d => (d._1.equalityIds,
+        Deletes.eqKeyFileNames(table.metadata.schemas, schema, d._1)))
+      .foreach { case ((ids, fileNames), group) =>
       val fields = ids.map(id => FieldIds.findById(schema, id).get)
       val names = fields.map(_.name)
       // descriptor-backed read: a GDPR-scale delete set (thousands of
       // files) must not stat every path on the driver at analysis time
-      val keySchema = StructType(fields.map(f => StructField(f.name,
-        Types.cleanType(f.dataType), nullable = true)))
+      val keySchema = StructType(fileNames.zip(fields).map { case (fn, f) =>
+        StructField(fn, Types.cleanType(f.dataType), nullable = true) })
       val del = DataFileIO.indexedDF(spark,
         group.map(_._1).distinctBy(_.path), FileFormats.Parquet, keySchema)
+        .toDF(names: _*) // positional rename back to scan-schema names
         .dropDuplicates(names)
       val cond = names.map(n => cur(n) <=> del(n)).reduce(_ && _)
       cur = cur.join(broadcast(del), cond, "left_anti")

@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
 import org.apache.spark.sql.internal.LegacyBehaviorPolicy
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 /** Executor-side parquet row I/O on Spark's own ReadSupport — no
   * SparkSession or driver involvement, so delete-file key loading and
@@ -21,8 +22,16 @@ object ParquetIO {
 
   /** Iterate `path` projected to `schema` (name-matched, id-agnostic).
     * Returned rows may be reused by the reader — copy or extract values
-    * before advancing. Caller must exhaust or close. */
-  def open(path: String, schema: StructType, conf: Configuration): ParquetReader[InternalRow] = {
+    * before advancing. Caller must exhaust or close.
+    *
+    * `requireAll` makes a requested column that is ABSENT from the file
+    * fail loudly instead of silently null-filling (ReadSupport's default).
+    * Delete-file key loads set it: an all-null key set would resurrect
+    * every deleted row. The check rides the footer the reader already
+    * loaded (ReadSupport.init sees the file schema) — zero extra I/O. */
+  def open(path: String, schema: StructType, conf: Configuration,
+      requireAll: Boolean = false,
+      what: String = "file"): ParquetReader[InternalRow] = {
     val c = new Configuration(conf)
     c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
     // ParquetToSparkSchemaConverter asserts these are PRESENT (normally the
@@ -35,21 +44,65 @@ object ParquetIO {
     c.setIfUnset("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     c.setIfUnset("spark.sql.legacy.parquet.nanosAsLong", "false")
     c.setIfUnset("spark.sql.parquet.fieldId.read.enabled", "false")
-    val support = new ParquetReadSupport(
-      convertTz = None,
-      enableVectorizedReader = false,
-      datetimeRebaseSpec = RebaseSpec(LegacyBehaviorPolicy.CORRECTED),
-      int96RebaseSpec = RebaseSpec(LegacyBehaviorPolicy.CORRECTED))
+    val support =
+      if (!requireAll) new ParquetReadSupport(
+        convertTz = None,
+        enableVectorizedReader = false,
+        datetimeRebaseSpec = RebaseSpec(LegacyBehaviorPolicy.CORRECTED),
+        int96RebaseSpec = RebaseSpec(LegacyBehaviorPolicy.CORRECTED))
+      else new ParquetReadSupport(
+        convertTz = None,
+        enableVectorizedReader = false,
+        datetimeRebaseSpec = RebaseSpec(LegacyBehaviorPolicy.CORRECTED),
+        int96RebaseSpec = RebaseSpec(LegacyBehaviorPolicy.CORRECTED)) {
+        override def init(context: org.apache.parquet.hadoop.api.InitContext)
+            : org.apache.parquet.hadoop.api.ReadSupport.ReadContext = {
+          val present = context.getFileSchema.getFields.asScala
+            .map(_.getName.toLowerCase(java.util.Locale.ROOT)).toSet
+          val missing = schema.fieldNames.filterNot(n =>
+            present.contains(n.toLowerCase(java.util.Locale.ROOT)))
+          if (missing.nonEmpty) throw new IllegalStateException(
+            s"$what $path does not contain required column(s) " +
+            s"${missing.mkString(", ")} (has: ${present.mkString(", ")}) — " +
+            "refusing to null-fill, which would silently drop its deletes")
+          super.init(context)
+        }
+      }
     ParquetReader.builder[InternalRow](support, new HPath(path)).withConf(c).build()
   }
 
-  def readAll(path: String, schema: StructType, conf: Configuration)
+  def readAll(path: String, schema: StructType, conf: Configuration,
+      requireAll: Boolean = false, what: String = "file")
       (consume: InternalRow => Unit): Unit = {
-    val reader = open(path, schema, conf)
+    val reader = open(path, schema, conf, requireAll, what)
     try {
       var row = reader.read()
       while (row != null) { consume(row); row = reader.read() }
     } finally reader.close()
+  }
+
+  /** Fail LOUDLY when `path`'s footer lacks any of `names` (top-level,
+    * case-insensitive like the readers above). [[open]]'s ReadSupport
+    * name-matches and silently null-fills absent requested columns — for
+    * delete-file key loads that silence would RESURRECT deleted rows, so
+    * the callers that feed anti-join/filter sets validate the footer
+    * first. One extra footer read per file, on the executor, behind the
+    * per-executor delete caches — never per task. */
+  def requireColumns(path: String, names: Seq[String], conf: Configuration,
+      what: String): Unit = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new HPath(path), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val present =
+      try reader.getFileMetaData.getSchema.getFields.asScala
+        .map(_.getName.toLowerCase(java.util.Locale.ROOT)).toSet
+      finally reader.close()
+    val missing = names.filterNot(n =>
+      present.contains(n.toLowerCase(java.util.Locale.ROOT)))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"$what file $path does not contain required column(s) " +
+      s"${missing.mkString(", ")} (has: ${present.mkString(", ")}) — " +
+      "refusing to null-fill, which would silently drop its deletes")
   }
 
   /** Hadoop conf for executor-side parquet WRITES: the session conf plus the

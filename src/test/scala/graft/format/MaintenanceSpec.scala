@@ -687,4 +687,43 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.newScan().planFiles().deleteFiles
       .forall(_._1.content == FileContent.PositionDeletes))
   }
+
+  test("verifyFileSizes flags understated, overstated, and missing files") {
+    val loc = freshLoc("verify-sizes")
+    val t = GraftTable.create(spark, loc, rows(2).schema)
+    GraftWrite.append(t, rows(4, 0).coalesce(1))
+    val t1 = GraftTable.load(spark, loc)
+    assert(Actions.forTable(t1).verifyFileSizes().isEmpty)
+    // ingest "legacy" descriptors: one understating a REAL file's size
+    // (the silent-truncation shape — split planning would skip its row
+    // groups), one pointing at a file that does not exist
+    val real = t1.newScan().planFiles().tasks.head.file
+    val bad = Seq(
+      real.copy(path = real.path, fileSizeInBytes = 1L),
+      real.copy(path = s"$loc/data/ghost.parquet"))
+    Commits.fastAppend(GraftTable.load(spark, loc), bad)
+    val mm = Actions.forTable(GraftTable.load(spark, loc)).verifyFileSizes()
+      .map(x => (x.path, x.recorded, x.actual))
+    assert(mm.size === 2)
+    val under = mm.find(_._1 == real.path).get
+    assert(under._2 === 1L && under._3 > 1L)
+    val ghost = mm.find(_._1.endsWith("ghost.parquet")).get
+    assert(ghost._3 === -1L)
+  }
+
+  test("verify_file_sizes procedure surfaces mismatches through SQL") {
+    val wh = freshLoc("verify-wh")
+    spark.conf.set("spark.sql.catalog.vfs", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.vfs.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vfs.db")
+    spark.sql("CREATE TABLE vfs.db.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO vfs.db.t VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql("CALL vfs.system.verify_file_sizes('db.t')").count() === 0)
+    val t = GraftTable.load(spark, s"$wh/db/t")
+    val real = t.newScan().planFiles().tasks.head.file
+    Commits.fastAppend(t, Seq(real.copy(fileSizeInBytes = 3L)))
+    val out = spark.sql("CALL vfs.system.verify_file_sizes('db.t')").collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 3L && out.head.getLong(2) > 3L)
+  }
 }

@@ -1,0 +1,158 @@
+package graft.format
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Key-column RENAME vs row-level deletes (reference resolves delete
+  * columns by field id — core/.../deletes/Deletes.java:128 over the id
+  * lookup of the schema the file was written with): equality-delete files
+  * staged BEFORE a rename physically carry the OLD column names. Every
+  * reader of those files must resolve the key columns via the file's
+  * staged schemaId (Deletes.eqKeyFileNames), because Spark's parquet
+  * source name-matches and silently NULL-FILLS absent requested columns —
+  * which would turn the anti-join into "delete the null-keyed rows" and
+  * resurrect every intended delete. */
+class RenameDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshLoc(name: String): String = {
+    val d = Files.createTempDirectory(s"graft-$name")
+    Files.delete(d)
+    d.toString
+  }
+
+  /** id 0..99; eq-delete ids {3,7} by the ORIGINAL column name; rename
+    * id→ident; returns the reloaded table. */
+  private def renamedTable(name: String): (GraftTable, String) = {
+    val loc = freshLoc(name)
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t0 = GraftTable.create(spark, loc, df.schema)
+    GraftWrite.append(t0, df.repartition(2))
+    Deletes.deleteByEquality(GraftTable.load(spark, loc),
+      Seq(3L, 7L).toDF("id"))
+    SchemaUpdate(GraftTable.load(spark, loc))
+      .renameColumn("id", "ident").commit()
+    (GraftTable.load(spark, loc), loc)
+  }
+
+  test("library scan applies pre-rename equality deletes after key rename") {
+    val (t, _) = renamedTable("ren-lib")
+    val ids = t.newScan().toDF().select("ident").as[Long].collect().sorted
+    assert(ids.length === 98)
+    assert(!ids.contains(3L) && !ids.contains(7L))
+    // rows NOT named by the deletes all survive — null-fill would have
+    // dropped nothing here (no null keys), so also prove a MIXED scan:
+    // a post-rename delete under the NEW name coexists with the old set
+    Deletes.deleteByEquality(t, Seq(11L).toDF("ident"))
+    val t2 = GraftTable.load(spark, t.location)
+    val ids2 = t2.newScan().toDF().select("ident").as[Long].collect().sorted
+    assert(ids2.length === 97)
+    assert(!ids2.contains(11L) && !ids2.contains(3L) && !ids2.contains(7L))
+  }
+
+  test("DSv2 scan applies pre-rename equality deletes after key rename") {
+    val wh = freshLoc("ren-wh")
+    spark.conf.set("spark.sql.catalog.rd", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rd.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rd.db")
+    val loc = s"$wh/db/t"
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t0 = GraftTable.create(spark, loc, df.schema)
+    GraftWrite.append(t0, df.repartition(2))
+    Deletes.deleteByEquality(GraftTable.load(spark, loc),
+      Seq(3L, 7L).toDF("id"))
+    SchemaUpdate(GraftTable.load(spark, loc))
+      .renameColumn("id", "ident").commit()
+    val ids = spark.sql("SELECT ident FROM rd.db.t ORDER BY ident")
+      .as[Long].collect()
+    assert(ids.length === 98)
+    assert(!ids.contains(3L) && !ids.contains(7L))
+  }
+
+  test("compaction applies pre-rename equality deletes after key rename") {
+    val (t, loc) = renamedTable("ren-compact")
+    val r = Actions.forTable(t).rewriteDataFiles()
+    assert(r.rewrittenFiles > 0)
+    val t2 = GraftTable.load(spark, loc)
+    // compacted files carry a newer sequence — the eq set no longer
+    // attaches, so the rows must be PHYSICALLY gone
+    assert(t2.newScan().planFiles().deleteFiles.isEmpty ||
+      t2.newScan().toDF().count() === 98)
+    val ids = t2.newScan().toDF().select("ident").as[Long].collect()
+    assert(ids.length === 98)
+    assert(!ids.contains(3L) && !ids.contains(7L))
+  }
+
+  test("rewrite_equality_deletes converts pre-rename sets after key rename") {
+    val (t, loc) = renamedTable("ren-rewrite-eq")
+    val r = Actions.forTable(t).rewriteEqualityDeletes()
+    assert(r.rewrittenFiles > 0)
+    val t2 = GraftTable.load(spark, loc)
+    assert(t2.newScan().planFiles().deleteFiles
+      .forall(_._1.content != FileContent.EqualityDeletes))
+    val ids = t2.newScan().toDF().select("ident").as[Long].collect()
+    assert(ids.length === 98)
+    assert(!ids.contains(3L) && !ids.contains(7L))
+  }
+
+  test("eqKeyFileNames fails loudly when a key id resolves in no schema") {
+    val (t, _) = renamedTable("ren-badid")
+    val bogus = DataFile(path = "/nope/del.parquet",
+      content = FileContent.EqualityDeletes, schemaId = 999,
+      equalityIds = Seq(12345))
+    val e = intercept[IllegalStateException] {
+      Deletes.eqKeyFileNames(t.metadata.schemas, t.metadata.schema, bogus)
+    }
+    assert(e.getMessage.contains("12345"))
+  }
+
+  test("DSv2 scan fails loudly when an eq-delete file lacks its key column") {
+    val wh = freshLoc("ren-strict-wh")
+    spark.conf.set("spark.sql.catalog.rs", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rs.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rs.db")
+    val loc = s"$wh/db/t"
+    val df = (0L until 20L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t0 = GraftTable.create(spark, loc, df.schema)
+    GraftWrite.append(t0, df.coalesce(1))
+    // a "delete" file carrying the WRONG column entirely — a reader that
+    // silently null-fills would simply drop zero rows and report success
+    val badDir = s"$loc/data/bad-del"
+    Seq(5L).toDF("other").coalesce(1).write.parquet(badDir)
+    val part = new java.io.File(badDir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val t1 = GraftTable.load(spark, loc)
+    val keyId = FieldIds.nameToId(t1.metadata.schema)("id")
+    val desc = DataFile(path = part.getAbsolutePath,
+      content = FileContent.EqualityDeletes,
+      recordCount = 1L, fileSizeInBytes = part.length(),
+      schemaId = t1.metadata.currentSchemaId, equalityIds = Seq(keyId))
+    Commits.rowDelta(t1, Nil, Seq(desc))
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM rs.db.t").count()
+    }
+    def causes(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: causes(x.getCause)
+    assert(causes(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("required column")),
+      s"expected a required-column failure, got: $e")
+  }
+
+  test("requireColumns fails loudly on a delete file missing its columns") {
+    val dir = Files.createTempDirectory("graft-reqcols")
+    val p = s"$dir/other.parquet"
+    Seq((1L, "x")).toDF("a", "b").coalesce(1).write.mode("overwrite").parquet(p)
+    val part = new java.io.File(p).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    val conf = spark.sessionState.newHadoopConf()
+    val e = intercept[IllegalStateException] {
+      ParquetIO.requireColumns(part, Seq("file_path", "pos"), conf,
+        "position-delete")
+    }
+    assert(e.getMessage.contains("file_path"))
+    // present columns pass, case-insensitively
+    ParquetIO.requireColumns(part, Seq("A", "b"), conf, "test")
+  }
+}
