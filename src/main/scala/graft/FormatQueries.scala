@@ -142,6 +142,31 @@ object FormatQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // key-column rename ACROSS live equality deletes: the first delete set
+    // is staged under the original name, the key column is then renamed
+    // (metadata-only), and a second set is staged under the NEW name — one
+    // scan must apply both, resolving each file's key column through its
+    // staged schemaId (reading the pre-rename set by the current name
+    // would null-fill and resurrect its deletes)
+    "q111_rename_eq_delete" -> ((s, dir) => {
+      val t = withTable(s, dir, "customer_rendel") { loc =>
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val tt = GraftTable.recreate(s, loc, c.schema)
+        GraftWrite.append(tt, c.coalesce(2))
+        Deletes.deleteByEquality(tt,
+          c.filter(col("c_acctbal") < 0).select(col("c_custkey")))
+        SchemaUpdate(GraftTable.load(s, loc))
+          .renameColumn("c_custkey", "c_ckey").commit()
+        Deletes.deleteByEquality(GraftTable.load(s, loc),
+          c.filter(col("c_custkey") % 7 === 3)
+            .select(col("c_custkey").as("c_ckey")))
+        GraftTable.load(s, loc)
+      }
+      t.toDF().groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("c_acctbal")))).as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // cross-spec merge-on-read: a partition-scoped equality delete
     // committed under an EVOLVED spec must survive a partition-filtered
     // copy-on-write deleteWhere whose filter summary-prunes the delete
@@ -1109,6 +1134,13 @@ object FormatQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q110_mor_eq_planning" -> orderAggSqlWhere.format("o_orderkey % 10 <> 7"),
+
+    "q111_rename_eq_delete" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |WHERE c_acctbal >= 0 AND c_custkey % 7 <> 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q109_cross_spec_mor" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
