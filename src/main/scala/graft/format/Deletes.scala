@@ -418,10 +418,15 @@ object Deletes {
       if (deleteMayNull && dataMayNull) true
       else (delete.lowerBounds.get(id), delete.upperBounds.get(id),
             data.lowerBounds.get(id), data.upperBounds.get(id)) match {
-        case (Some(dl), Some(du), Some(fl), Some(fu)) =>
+        case (Some(dl0), Some(du0), Some(fl0), Some(fu0)) =>
           FieldIds.findById(schema, id) match {
             case Some(f) =>
-              val ord = Exprs.ordering(Types.cleanType(f.dataType))
+              val dt = Types.cleanType(f.dataType)
+              val ord = Exprs.ordering(dt)
+              // widen: bounds decoded/staged before a type promotion may
+              // still carry the narrow runtime class
+              val (dl, du) = (Values.widen(dl0, dt), Values.widen(du0, dt))
+              val (fl, fu) = (Values.widen(fl0, dt), Values.widen(fu0, dt))
               ord.lteq(dl, fu) && ord.lteq(fl, du)
             case None => true
           }
@@ -503,7 +508,10 @@ final class EqRangeIndex private (
     val dataMayNull = !data.nullValueCounts.get(g.id).contains(0L)
     if (dataMayNull) out ++= g.mayNull
     (data.lowerBounds.get(g.id), data.upperBounds.get(g.id)) match {
-      case (Some(fl), Some(fu)) =>
+      case (Some(fl0), Some(fu0)) =>
+        // widen: data files written before a type promotion carry
+        // narrow-typed bounds
+        val fl = Values.widen(fl0, g.dt); val fu = Values.widen(fu0, g.dt)
         // indices i with lo(i) <= fu, among them hi(i) >= fl
         val limit = upperBound(g, fu)
         if (limit >= 0) collect(g, 1, 0, g.treeSize - 1, limit, fl, out)
@@ -546,6 +554,7 @@ object EqRangeIndex {
   private[format] final case class IdGroup(
       id: Int,
       ord: Ordering[Any],
+      dt: org.apache.spark.sql.types.DataType, // for widening query bounds
       lo: Array[Any],       // sorted ascending
       hi: Array[Any],
       paths: Array[String],
@@ -608,13 +617,17 @@ object EqRangeIndex {
       case (id, fs) =>
         FieldIds.findById(schema, id) match {
           case None => // unreachable: indexableIds requires a resolvable field
-            Some(IdGroup(id, null, Array.empty, Array.empty, Array.empty,
+            Some(IdGroup(id, null, org.apache.spark.sql.types.NullType,
+              Array.empty, Array.empty, Array.empty,
               Array.empty, 1, fs.map(_.path), Nil))
           case Some(field) =>
-            val ord = Exprs.ordering(Types.cleanType(field.dataType))
+            val dt = Types.cleanType(field.dataType)
+            val ord = Exprs.ordering(dt)
             val (bounded, unbounded) = fs.partition(f =>
               f.lowerBounds.contains(id) && f.upperBounds.contains(id))
-            val sorted = bounded.sortBy(_.lowerBounds(id))(ord)
+            // widen: entries staged before a type promotion may carry the
+            // narrow runtime class — one ordering must fit all generations
+            val sorted = bounded.sortBy(f => Values.widen(f.lowerBounds(id), dt))(ord)
             val n = sorted.length
             var ts = 1
             while (ts < math.max(n, 1)) ts <<= 1
@@ -622,8 +635,8 @@ object EqRangeIndex {
             val paths = new Array[String](n)
             var i = 0
             while (i < n) {
-              lo(i) = sorted(i).lowerBounds(id)
-              hi(i) = sorted(i).upperBounds(id)
+              lo(i) = Values.widen(sorted(i).lowerBounds(id), dt)
+              hi(i) = Values.widen(sorted(i).upperBounds(id), dt)
               paths(i) = sorted(i).path
               i += 1
             }
@@ -642,7 +655,7 @@ object EqRangeIndex {
             val mayNull = sorted.collect {
               case f if !f.nullValueCounts.get(id).contains(0L) => f.path
             }
-            Some(IdGroup(id, ord, lo, hi, paths, maxHi, ts,
+            Some(IdGroup(id, ord, dt, lo, hi, paths, maxHi, ts,
               unbounded.map(_.path), mayNull))
         }
     }

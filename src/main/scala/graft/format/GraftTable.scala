@@ -751,8 +751,12 @@ final class GraftTable(val ops: TableOps, val spark: SparkSession) {
   private[format] def readManifest(mf: ManifestFile, schema: StructType): Seq[ManifestEntry] = {
     val m = metadata
     val types = partTypesOf(m)(mf.specId).toMap
-    val idSchema = m.schemas.toSeq.map(_._2).reduceLeft((a, b) =>
-      if (FieldIds.maxId(b) > FieldIds.maxId(a)) b else a)
+    // id-resolution schema: widest id coverage, LATEST schema on ties — a
+    // pure type promotion adds no ids, and decoding with the pre-promotion
+    // schema would hand planning narrow-typed bounds that mis-compare
+    // against the current type's ordering
+    val idSchema = m.schemas.toSeq
+      .maxBy { case (sid, st) => (FieldIds.maxId(st), sid) }._2
     TableScan.cachedManifest((mf.path, idSchema, types),
       MetaCodec.readManifest(ops.io.readBytes(mf.path), idSchema, types))
   }

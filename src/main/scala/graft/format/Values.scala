@@ -11,8 +11,26 @@ import java.util.Base64
   * same information). */
 object Values {
 
-  def toJson(parent: ObjectNode, field: String, v: Any, dt: DataType): Unit = {
-    if (v == null) { parent.putNull(field); return }
+  /** Widen a runtime value to `dt`'s runtime class along the ALLOWED
+    * promotion axes (int→long, float→double — SchemaUpdate's
+    * promotionAllowed; reference TypeUtil.isPromotionAllowed): after a
+    * type promotion, descriptors staged earlier still carry the OLD
+    * runtime class in memory, and pre-promotion manifests carry the old
+    * byte width. Normalizing here (and in [[fromBytes]]) keeps every
+    * bounds comparison and manifest re-encode (merges, rewrites)
+    * promotion-safe — the reference does the width tolerance in
+    * Conversions.fromByteBuffer (api/.../types/Conversions.java). */
+  def widen(v: Any, dt: DataType): Any = (v, dt) match {
+    case (i: java.lang.Integer,
+        LongType | TimestampType | TimestampNTZType | _: TimeType) =>
+      i.longValue()
+    case (f: java.lang.Float, DoubleType) => f.doubleValue()
+    case _ => v
+  }
+
+  def toJson(parent: ObjectNode, field: String, v0: Any, dt: DataType): Unit = {
+    if (v0 == null) { parent.putNull(field); return }
+    val v = widen(v0, dt)
     dt match {
       case IntegerType | DateType => parent.put(field, v.asInstanceOf[Int])
       // time canonical = nanos-of-day (Spark's internal TIME encoding)
@@ -52,9 +70,10 @@ object Values {
     * big-endian bytes. Used for bounds and partition values inside
     * Avro-format manifests, where values are stored untyped (`bytes`) and
     * decoded against the table schema / partition spec. */
-  def toBytes(v: Any, dt: DataType): Array[Byte] = {
+  def toBytes(v0: Any, dt: DataType): Array[Byte] = {
     import java.nio.{ByteBuffer, ByteOrder}
     def le(n: Int): ByteBuffer = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    val v = widen(v0, dt) // stale pre-promotion runtime classes re-encode
     dt match {
       case IntegerType | DateType => le(4).putInt(v.asInstanceOf[Int]).array()
       case LongType | TimestampType | TimestampNTZType | _: TimeType =>
@@ -77,9 +96,14 @@ object Values {
     def le: ByteBuffer = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
     dt match {
       case IntegerType | DateType => le.getInt
-      case LongType | TimestampType | TimestampNTZType | _: TimeType => le.getLong
+      // width tolerance: bounds written before an int→long / float→double
+      // promotion are 4 bytes — read at the old width, return widened
+      // (reference Conversions.fromByteBuffer does the same)
+      case LongType | TimestampType | TimestampNTZType | _: TimeType =>
+        if (b.length == 4) le.getInt.toLong else le.getLong
       case FloatType => le.getFloat
-      case DoubleType => le.getDouble
+      case DoubleType =>
+        if (b.length == 4) le.getFloat.toDouble else le.getDouble
       case BooleanType => b(0) != 0
       case StringType => new String(b, java.nio.charset.StandardCharsets.UTF_8)
       case BinaryType => b

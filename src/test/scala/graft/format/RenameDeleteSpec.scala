@@ -108,6 +108,40 @@ class RenameDeleteSpec extends SparkSpec {
     assert(e.getMessage.contains("12345"))
   }
 
+  test("eq deletes survive key-column type promotion (int→long), all paths") {
+    val wh = freshLoc("prom-wh")
+    spark.conf.set("spark.sql.catalog.pr", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.pr.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS pr.db")
+    val loc = s"$wh/db/t"
+    val df = (0 until 100).map(i => (i, s"v$i")).toDF("id", "v")
+    val t0 = GraftTable.create(spark, loc, df.schema)
+    GraftWrite.append(t0, df.repartition(2))
+    // staged while the key is INT — the delete file physically holds int32
+    Deletes.deleteByEquality(GraftTable.load(spark, loc),
+      Seq(3, 7).toDF("id"))
+    SchemaUpdate(GraftTable.load(spark, loc))
+      .updateColumnType("id", LongType).commit()
+    // library scan: loaded keys must still match the (now long) data side
+    val t1 = GraftTable.load(spark, loc)
+    val lib = t1.newScan().toDF().select("id").as[Long].collect().sorted
+    assert(lib.length === 98 && !lib.contains(3L) && !lib.contains(7L))
+    // DSv2 scan (executor-side DeleteKeyCache, canonicalValue probe)
+    val dsv2 = spark.sql("SELECT id FROM pr.db.t ORDER BY id").as[Long].collect()
+    assert(dsv2.length === 98 && !dsv2.contains(3L) && !dsv2.contains(7L))
+    // a post-promotion delete (long keys) coexists with the int-staged set
+    Deletes.deleteByEquality(GraftTable.load(spark, loc), Seq(11L).toDF("id"))
+    val both = GraftTable.load(spark, loc).newScan().toDF()
+      .select("id").as[Long].collect()
+    assert(both.length === 97 && !both.contains(11L) && !both.contains(3L))
+    // compaction reads through the mixed-type delete sets too
+    val r = Actions.forTable(GraftTable.load(spark, loc)).rewriteDataFiles()
+    assert(r.rewrittenFiles > 0)
+    val after = GraftTable.load(spark, loc).newScan().toDF()
+      .select("id").as[Long].collect()
+    assert(after.sorted.toSeq === both.sorted.toSeq)
+  }
+
   test("DSv2 scan fails loudly when an eq-delete file lacks its key column") {
     val wh = freshLoc("ren-strict-wh")
     spark.conf.set("spark.sql.catalog.rs", "graft.connector.GraftCatalog")
