@@ -167,6 +167,36 @@ object FormatQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // key-column TYPE PROMOTION (int→long) across live equality deletes:
+    // the first set is staged while the key is int (the delete file
+    // physically holds int32, manifests carry 4-byte bounds), the key is
+    // promoted, and a second set is staged as long — one scan applies
+    // both, bucket partitioning on the promoted key stays stable (Iceberg
+    // hashes int as long for exactly this reason, Bucket.java), and the
+    // long-literal range filter compares against widened pre-promotion
+    // bounds in pruning (reference Conversions.fromByteBuffer width
+    // tolerance)
+    "q112_promote_eq_delete" -> ((s, dir) => {
+      val t = withTable(s, dir, "customer_promote") { loc =>
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val narrow = c.withColumn("c_custkey", col("c_custkey").cast(IntegerType))
+        val tt = GraftTable.recreate(s, loc, narrow.schema,
+          _.bucket("c_custkey", 4))
+        GraftWrite.append(tt, narrow.repartition(2))
+        Deletes.deleteByEquality(tt,
+          narrow.filter(col("c_acctbal") < 0).select(col("c_custkey")))
+        SchemaUpdate(GraftTable.load(s, loc))
+          .updateColumnType("c_custkey", LongType).commit()
+        Deletes.deleteByEquality(GraftTable.load(s, loc),
+          c.filter(col("c_custkey") % 7 === 3).select(col("c_custkey")))
+        GraftTable.load(s, loc)
+      }
+      t.toDF().filter(col("c_custkey") <= lit(1000L))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("c_acctbal")))).as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // cross-spec merge-on-read: a partition-scoped equality delete
     // committed under an EVOLVED spec must survive a partition-filtered
     // copy-on-write deleteWhere whose filter summary-prunes the delete
@@ -1140,6 +1170,13 @@ object FormatQueries {
         |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
         |FROM customer
         |WHERE c_acctbal >= 0 AND c_custkey % 7 <> 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q112_promote_eq_delete" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |WHERE c_acctbal >= 0 AND c_custkey % 7 <> 3 AND c_custkey <= 1000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q109_cross_spec_mor" ->

@@ -142,6 +142,48 @@ class RenameDeleteSpec extends SparkSpec {
     assert(after.sorted.toSeq === both.sorted.toSeq)
   }
 
+  test("eq deletes survive key-column type promotion (float→double)") {
+    val loc = freshLoc("prom-fd")
+    val df = (0 until 50).map(i => (i.toLong, i.toFloat)).toDF("id", "score")
+    val t0 = GraftTable.create(spark, loc, df.schema)
+    GraftWrite.append(t0, df.repartition(2))
+    // staged while the key is FLOAT — the delete file physically holds f32
+    Deletes.deleteByEquality(GraftTable.load(spark, loc),
+      Seq(3.0f, 7.0f).toDF("score"))
+    SchemaUpdate(GraftTable.load(spark, loc))
+      .updateColumnType("score", DoubleType).commit()
+    val ids = GraftTable.load(spark, loc).newScan().toDF()
+      .select("id").as[Long].collect().sorted
+    assert(ids.length === 48 && !ids.contains(3L) && !ids.contains(7L))
+    // a post-promotion delete (double keys) coexists with the f32 set
+    Deletes.deleteByEquality(GraftTable.load(spark, loc),
+      Seq(11.0d).toDF("score"))
+    val both = GraftTable.load(spark, loc).newScan().toDF()
+      .select("id").as[Long].collect()
+    assert(both.length === 47 && !both.contains(11L) && !both.contains(3L))
+  }
+
+  test("truncate-partitioned key survives int→long promotion: pruning + values") {
+    val loc = freshLoc("prom-trunc")
+    val df1 = (0 until 100).map(i => (i, s"a$i")).toDF("k", "v")
+    val t0 = GraftTable.create(spark, loc, df1.schema, _.truncate("k", 10))
+    GraftWrite.append(t0, df1.repartition(2))
+    SchemaUpdate(GraftTable.load(spark, loc))
+      .updateColumnType("k", LongType).commit()
+    GraftWrite.append(GraftTable.load(spark, loc),
+      (100L until 200L).map(i => (i, s"b$i")).toDF("k", "v").repartition(2))
+    val t = GraftTable.load(spark, loc)
+    // range filter crossing both generations: partition tuples staged as
+    // 4-byte ints AND 8-byte longs must prune under ONE widened ordering
+    val scan = t.newScan()
+      .filter(Exprs.and(Exprs.gtEq("k", 42L), Exprs.lt("k", 158L)))
+    val got = scan.toDF().select("k").as[Long].collect().sorted
+    assert(got.toSeq === (42L until 158L))
+    val all = t.newScan().planFiles().tasks.size
+    val pruned = scan.planFiles().tasks.size
+    assert(pruned < all, s"truncate pruning inert after promotion ($pruned/$all)")
+  }
+
   test("DSv2 scan fails loudly when an eq-delete file lacks its key column") {
     val wh = freshLoc("ren-strict-wh")
     spark.conf.set("spark.sql.catalog.rs", "graft.connector.GraftCatalog")
