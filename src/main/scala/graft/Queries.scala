@@ -314,6 +314,22 @@ object Queries {
       Dedup.jaccardPairsFast(t(s, dir, "documents"), n = 3, threshold = 0.5)
         .orderBy(col("a"), col("b"))),
 
+    // INCREMENTAL near-dup: dedupe a fresh increment (doc_id % 10 = 0 —
+    // a deterministic ~10% slice standing in for "this week's crawl")
+    // against the standing corpus; corpus×corpus pairs are never
+    // materialized, which is the steady-state append path at 100 TB.
+    // Exact parameters (maxDf = 0) so the q33-style oracle applies with
+    // the touching-pair restriction; benched so the incremental path's
+    // sub-q33 cost is measured, not asserted.
+    "q113_incremental_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.incrementalJaccardPairs(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        n = 3, threshold = 0.5, maxDf = 0)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // 32 bands x 2 rows: P(candidate | J=0.5) = 1-(1-0.25)^32 ≈ 0.9999, so
     // the exact-verified output equals the exact-Jaccard answer (the oracle)
     // with overwhelming probability while shuffle volume stays O(docs x b).
@@ -646,6 +662,24 @@ object Queries {
         |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) >= 0.5
         |ORDER BY a, b""".stripMargin,
 
+    // q33's exact-Jaccard oracle restricted to pairs touching the fresh
+    // slice (doc_id % 10 = 0): old×old pairs are out of scope by the
+    // operator's contract, so the gate fails if the incremental path
+    // either LEAKS an old×old pair or DROPS a fresh-touching one.
+    "q113_incremental_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |g AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS gram
+        |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(tok)-2)) AS i) r
+        |      WHERE len(tok) >= 3),
+        |s AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
+        |p AS (SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS inter
+        |      FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id GROUP BY 1, 2)
+        |SELECT p.a, p.b, CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) AS jaccard
+        |FROM p JOIN s sa ON p.a = sa.doc_id JOIN s sb ON p.b = sb.doc_id
+        |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) >= 0.5
+        |  AND (p.a % 10 = 0 OR p.b % 10 = 0)
+        |ORDER BY a, b""".stripMargin,
+
     // q34's LSH candidates are exact-verified against threshold 0.5, and the
     // band parameters make missing a true pair vanishingly unlikely, so the
     // oracle is the EXACT n-gram-Jaccard answer (same formulation as q33):
@@ -930,7 +964,11 @@ object Queries {
     // merge-on-read planning stress: ~5k live eq-delete files at sf0.1 —
     // guards the interval-index planning path with wall-clock, not only
     // MetaScaleSpec asserts (added round 14)
-    "q110_mor_eq_planning")
+    "q110_mor_eq_planning",
+    // incremental near-dup (added round 16): must bench well UNDER the
+    // full-corpus q33 — the contrast is the point (pair volume tracks
+    // the increment, not the corpus)
+    "q113_incremental_jaccard")
 
   /** The 11 queries benched since round 1 — the stable cross-round signal.
     * Per-query times are ±20% noisy run to run; this subtotal is what the

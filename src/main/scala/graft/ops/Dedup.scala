@@ -159,6 +159,92 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /**
+   * Incremental near-dup detection: Jaccard pairs `(a, b, jaccard)` where
+   * AT LEAST ONE side is a fresh document — the steady-state append
+   * pattern of a production corpus (dedupe this week's crawl against the
+   * corpus without re-pairing the corpus against itself).
+   *
+   * Same two-shuffle shape as [[jaccardPairsFast]] (8-byte hashed grams,
+   * bounded hot-gram collect), but the O(df²) per-gram pair expansion and
+   * the pair-count shuffle are restricted to pairs touching a fresh doc —
+   * O(df × df_fresh) per gram. At steady state (increment ≪ corpus) the
+   * dominant old×old quadratic term is never materialized: the corpus
+   * side still streams its grams once (no persisted index in-call), but
+   * pair volume tracks the increment, not the corpus.
+   *
+   * Compose with the table format's incremental scan to feed `fresh`:
+   * `t.newScan().appendsBetween(from, to).toDF()` is exactly the new-docs
+   * increment between two snapshots (see IncrementalDedupSpec).
+   *
+   * The fresh flag rides the SIGN of the per-doc gram-set size (`sz` is
+   * strictly positive — a doc with no grams emits no rows), so the
+   * bounded aggregator and the 12-byte (gram, doc, sz) shuffle rows are
+   * identical to the full-corpus path. `corpus` and `fresh` must have
+   * disjoint numeric `doc_id`s.
+   */
+  def incrementalJaccardPairs(corpus: DataFrame, fresh: DataFrame,
+      n: Int = 3, threshold: Double = 0.1, maxDf: Long = 2000): DataFrame = {
+    for ((d, nm) <- Seq((corpus, "corpus"), (fresh, "fresh")))
+      require(d.schema("doc_id").dataType.isInstanceOf[
+          org.apache.spark.sql.types.NumericType],
+        s"incrementalJaccardPairs requires a numeric doc_id in $nm, " +
+          s"got ${d.schema("doc_id").dataType}")
+    def grams(d: DataFrame, newSide: Boolean) = {
+      val szCol = size(col("gs"))
+      d.select(col("doc_id").cast("long").as("doc_id"),
+          TextOps.gramHashes(n)(col("text")).as("gs"))
+        .select(col("doc_id"),
+          (if (newSide) -szCol else szCol).as("sz"),
+          explode(col("gs")).as("g"))
+    }
+    val all = grams(corpus, newSide = false)
+      .unionByName(grams(fresh, newSide = true))
+    val docLists =
+      if (maxDf <= 0)
+        all.groupBy("g")
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("sz")))).as("ds"))
+          .filter(size(col("ds")) >= 2)
+      else {
+        val bounded = udaf(new BoundedCollectAgg(maxDf.toInt),
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt))
+        all.groupBy("g")
+          .agg(bounded(col("doc_id"), col("sz")).as("ds"))
+          .filter(size(col("ds")) >= 2)
+      }
+    val pairs = docLists.select(explode(pairCombosFreshTouching(col("ds"))).as("p"))
+      .select(col("p._1").as("a"), col("p._2").as("sza"),
+        col("p._3").as("b"), col("p._4").as("szb"))
+    pairs.groupBy("a", "b", "sza", "szb").agg(count(lit(1)).as("inter"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("sza") + col("szb") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** [[pairCombos]] twin for the incremental path: skips pairs where BOTH
+    * sz values are positive (old×old), emits |sz| for the survivors. The
+    * per-gram work stays O(df²) comparisons but only O(df × df_fresh)
+    * materialized tuples — the shuffle after this UDF is the one that
+    * explodes at corpus scale, the comparison loop is not. */
+  private val pairCombosFreshTouching = udf((ds: Seq[org.apache.spark.sql.Row]) => {
+    val k = ds.length
+    val out = Seq.newBuilder[(Long, Int, Long, Int)]
+    var i = 0
+    while (i < k) {
+      val a = ds(i).getLong(0)
+      val sa = ds(i).getInt(1)
+      var j = i + 1
+      while (j < k) {
+        val sb = ds(j).getInt(1)
+        if (sa < 0 || sb < 0)
+          out += ((a, math.abs(sa), ds(j).getLong(0), math.abs(sb)))
+        j += 1
+      }
+      i += 1
+    }
+    out.result()
+  })
+
   /** All ordered (a<b) pairs of a sorted (doc_id: long, sz: int) list as a
     * tight two-loop UDF. An earlier higher-order-function formulation
     * (transform/slice/flatten) was ~25% slower end-to-end at sf0.1: HOF

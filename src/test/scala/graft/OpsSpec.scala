@@ -37,6 +37,95 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 3.0 / 5.0)))
   }
 
+  test("incremental jaccard = full jaccard restricted to fresh-touching pairs") {
+    import spark.implicits._
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+    val full = Dedup.jaccardPairsFast(docs, 3, 0.5, maxDf = 0)
+      .filter(col("a") % 10 === 0 || col("b") % 10 === 0)
+      .collect().map(key).toSet
+    val incr = Dedup.incrementalJaccardPairs(corpus, fresh, 3, 0.5, maxDf = 0)
+      .collect().map(key).toSet
+    assert(incr === full)
+    // old×old pairs must be absent even when highly similar: two corpus
+    // twins plus one fresh doc sharing nothing with them
+    val synth = Seq((1L, "p q r s t u"), (3L, "p q r s t u"),
+      (10L, "zz zz2 zz3 zz4 zz5")).toDF("doc_id", "text")
+    val out = Dedup.incrementalJaccardPairs(
+      synth.filter(col("doc_id") =!= 10L), synth.filter(col("doc_id") === 10L),
+      3, 0.1, maxDf = 0).collect()
+    assert(out.isEmpty, "old×old pair leaked into the incremental output")
+    // bounded (default-maxDf) path agrees with the exact path at cold scale
+    val guarded = Dedup.incrementalJaccardPairs(corpus, fresh, 3, 0.5)
+      .collect().map(key).toSet
+    assert(guarded === full)
+  }
+
+  test("incremental jaccard composes with the table format's incremental scan") {
+    import spark.implicits._
+    import graft.format._
+    val loc = java.nio.file.Files.createTempDirectory("graft-incrdedup").toString + "/t"
+    val base = docs.select("doc_id", "text")
+    val t0 = GraftTable.create(spark, loc, base.schema)
+    GraftWrite.append(t0, base.filter(col("doc_id") % 10 =!= 0))
+    val s1 = GraftTable.load(spark, loc).currentSnapshot.get.snapshotId
+    GraftWrite.append(GraftTable.load(spark, loc),
+      base.filter(col("doc_id") % 10 === 0))
+    val t1 = GraftTable.load(spark, loc)
+    val s2 = t1.currentSnapshot.get.snapshotId
+    // the increment IS the appendsBetween slice — no bookkeeping columns
+    val fresh = t1.newScan().appendsBetween(s1, s2).toDF()
+    val corpus = t1.newScan().useSnapshot(s1).toDF()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+    val incr = Dedup.incrementalJaccardPairs(corpus, fresh, 3, 0.5, maxDf = 0)
+      .collect().map(key).toSet
+    val full = Dedup.jaccardPairsFast(base, 3, 0.5, maxDf = 0)
+      .filter(col("a") % 10 === 0 || col("b") % 10 === 0)
+      .collect().map(key).toSet
+    assert(incr === full)
+  }
+
+  test("incremental jaccard rides a streaming ingest: each pair surfaces exactly once") {
+    import spark.implicits._
+    import graft.format._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val loc = java.nio.file.Files.createTempDirectory("graft-sdedup").toString + "/t"
+    val base = docs.select("doc_id", "text")
+    val t0 = GraftTable.create(spark, loc, base.schema)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    def rowsOf(p: org.apache.spark.sql.DataFrame) =
+      p.as[(Long, String)].collect().toSeq
+    val collected = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    // per-epoch: dedupe the micro-batch against the PRE-epoch snapshot,
+    // then commit the batch — the standing corpus never re-pairs itself,
+    // and across epochs every pair is found exactly once (in the epoch
+    // its later member arrived)
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$loc-ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epochId: Long) =>
+        val t = GraftTable.load(spark, loc)
+        val pairs = Dedup.incrementalJaccardPairs(
+            t.toDF(), batch, 3, 0.5, maxDf = 0).collect()
+          .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+        collected.synchronized { collected ++= pairs }
+        Streaming.commitEpoch(t, batch, epochId)
+        ()
+      }
+      .start()
+    mem.addData(rowsOf(base.filter(col("doc_id") % 10 =!= 0)): _*)
+    q.processAllAvailable()
+    mem.addData(rowsOf(base.filter(col("doc_id") % 10 === 0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val full = Dedup.jaccardPairsFast(base, 3, 0.5, maxDf = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+    assert(collected.size === collected.toSet.size, "a pair surfaced twice")
+    assert(collected.toSet === full.toSet)
+  }
+
   test("decontamination flags exactly the docs sharing a benchmark n-gram") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
