@@ -498,6 +498,34 @@ object Queries {
         .orderBy(col("label"))
     }),
 
+    // INCREMENTAL embedding near-dup: fresh vectors (vec_id % 10 = 0)
+    // LSH-joined against the full corpus — corpus buckets never
+    // self-join. Same exact-with-overwhelming-probability parameters as
+    // q43 (64 tables), oracle = exact cosine pairs touching fresh.
+    "q114_embedding_neardup_incr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.embeddingNearDupIncremental(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0),
+        threshold = 0.45, nTables = 64)
+        .select(col("a"), col("b"), round(col("cos"), 5).as("cos"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // INCREMENTAL exact dedup: the fresh increment is a re-keyed copy of
+    // a corpus slice (doc_id + 100000, same text — sf0.01 documents are
+    // all distinct, so the dup relation is synthesized deterministically
+    // and the oracle reproduces it verbatim); every fresh doc must
+    // resolve to its original as keeper via the digest semi-join path.
+    "q115_exact_dedup_incr" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.incrementalExact(
+        d,
+        d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- multimodal plumbing ---------------------------------------------
     "q50_multimodal_decode" -> ((s, dir) => {
       val media = Multimodal.withPayload(t(s, dir, "documents"))
@@ -900,6 +928,28 @@ object Queries {
         |/ (sqrt(list_sum(list_transform(a.embedding, x->CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
         |   * sqrt(list_sum(list_transform(b.embedding, x->CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) >= 0.45
         |ORDER BY a, b""".stripMargin,
+
+    // q114 = q42's exact-cosine oracle restricted to pairs touching the
+    // fresh slice (vec_id % 10 = 0): the gate fails if the incremental
+    // LSH path leaks an old×old pair or drops a fresh-touching one.
+    "q114_embedding_neardup_incr" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |round(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
+        |/ (sqrt(list_sum(list_transform(a.embedding, x->CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(b.embedding, x->CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 5) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE (a.vec_id % 10 = 0 OR b.vec_id % 10 = 0)
+        |AND list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
+        |/ (sqrt(list_sum(list_transform(a.embedding, x->CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(b.embedding, x->CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) >= 0.45
+        |ORDER BY a, b""".stripMargin,
+
+    // the fresh increment is documents (doc_id % 10 = 0) re-keyed by
+    // +100000 with unchanged text; texts are globally distinct, so each
+    // fresh doc's sole digest-mate is its original — keeper = original id
+    "q115_exact_dedup_incr" ->
+      """SELECT doc_id + 100000 AS doc_id, doc_id AS keeper, md5(text) AS h
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
 
     // q43's LSH candidates are exact-cosine-verified at the same threshold
     // as q42, so with 32 hash tables the output equals the exact answer.

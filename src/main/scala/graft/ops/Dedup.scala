@@ -221,6 +221,54 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental EXACT dedup: fresh documents whose text already exists
+    * in the corpus (or in a smaller-id fresh doc) — `(doc_id, keeper, h)`
+    * per duplicate fresh doc. Steady-state shape: both sides shuffle
+    * 16-byte digests only, and the corpus side is first reduced by a
+    * semi-join against the fresh digest set (broadcast when the increment
+    * is small — the usual case), so the big side never feeds the groupBy
+    * at full width. */
+  def incrementalExact(corpus: DataFrame, fresh: DataFrame): DataFrame = {
+    def digests(d: DataFrame) =
+      d.select(col("doc_id").cast("long").as("doc_id"),
+        md5(col("text").cast("binary")).as("h"))
+    val fh = digests(fresh)
+    val ch = digests(corpus).join(fh.select("h").distinct(), Seq("h"), "left_semi")
+    val keepers = ch.unionByName(fh)
+      .groupBy("h").agg(min("doc_id").as("keeper"))
+    fh.join(keepers, "h")
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("keeper"), col("h"))
+  }
+
+  /** Incremental embedding near-dup: cosine pairs `(a, b, cos)` touching
+    * a fresh vector, via the same multi-table sign-random-projection LSH
+    * as [[embeddingNearDupLsh]] — but the bucket join is fresh×all, so
+    * corpus buckets never self-join. At steady state the fresh banded
+    * side is increment-sized (broadcast-able) and candidate volume tracks
+    * the increment; the corpus is banded once, never paired with itself.
+    * `corpus` and `fresh` must have disjoint `vec_id`s. */
+  def embeddingNearDupIncremental(corpus: DataFrame, fresh: DataFrame,
+      threshold: Double, nTables: Int = 24, nBits: Int = 6): DataFrame = {
+    import graft.ops.{Similarity => S}
+    val bucketsUdf = udf((v: Seq[Float]) => S.lshBuckets(v, nTables, nBits))
+    def banded(d: DataFrame) = d.select(col("vec_id"), col("embedding"),
+      explode(bucketsUdf(col("embedding"))).as("bucket"))
+    val fb = banded(fresh)
+    val all = banded(corpus).unionByName(fb)
+    val lt = col("x.vec_id") < col("y.vec_id")
+    val cand = fb.as("x").join(all.as("y"), Seq("bucket"))
+      .filter(col("x.vec_id") =!= col("y.vec_id"))
+      .select(
+        when(lt, col("x.vec_id")).otherwise(col("y.vec_id")).as("a"),
+        when(lt, col("y.vec_id")).otherwise(col("x.vec_id")).as("b"),
+        when(lt, col("x.embedding")).otherwise(col("y.embedding")).as("ea"),
+        when(lt, col("y.embedding")).otherwise(col("x.embedding")).as("eb"))
+      .dropDuplicates("a", "b")
+    cand.select(col("a"), col("b"), S.cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** [[pairCombos]] twin for the incremental path: skips pairs where BOTH
     * sz values are positive (old×old), emits |sz| for the survivors. The
     * per-gram work stays O(df²) comparisons but only O(df × df_fresh)

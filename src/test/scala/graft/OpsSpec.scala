@@ -126,6 +126,33 @@ class OpsSpec extends SparkSpec {
     assert(collected.toSet === full.toSet)
   }
 
+  test("incremental exact dedup resolves fresh dups to corpus keepers") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val fresh = Seq((10L, "beta"), (11L, "beta"), (12L, "delta"), (13L, "delta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(corpus, fresh)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // 10,11 → corpus keeper 2; 13 → fresh keeper 12; 12 itself is a
+    // keeper (absent); corpus-only rows never appear
+    assert(out === Seq((10L, 2L), (11L, 2L), (13L, 12L)))
+  }
+
+  test("incremental embedding near-dup = exact pairs touching fresh") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e5))
+    val full = Dedup.embeddingNearDupExact(emb, 0.45)
+      .filter(col("a") % 10 === 0 || col("b") % 10 === 0)
+      .collect().map(key).toSet
+    val incr = Dedup.embeddingNearDupIncremental(
+      emb.filter(col("vec_id") % 10 =!= 0),
+      emb.filter(col("vec_id") % 10 === 0),
+      0.45, nTables = 64)
+      .collect().map(key).toSet
+    assert(incr === full && full.nonEmpty)
+  }
+
   test("decontamination flags exactly the docs sharing a benchmark n-gram") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
