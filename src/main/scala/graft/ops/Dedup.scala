@@ -264,9 +264,11 @@ object Dedup {
         when(lt, col("y.vec_id")).otherwise(col("x.vec_id")).as("b"),
         when(lt, col("x.embedding")).otherwise(col("y.embedding")).as("ea"),
         when(lt, col("y.embedding")).otherwise(col("x.embedding")).as("eb"))
-      .dropDuplicates("a", "b")
+    // verify-then-dedup, same rationale as embeddingNearDupLsh: only
+    // threshold-passing (a, b, cos) rows reach the dedup shuffle
     cand.select(col("a"), col("b"), S.cosine(col("ea"), col("eb")).as("cos"))
       .filter(col("cos") >= threshold)
+      .dropDuplicates("a", "b")
   }
 
   /** [[pairCombos]] twin for the incremental path: skips pairs where BOTH
@@ -476,9 +478,15 @@ object Dedup {
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         col("x.embedding").as("ea"), col("y.embedding").as("eb"))
-      .dropDuplicates("a", "b")
+    // verify BEFORE deduplicating: a pair surfacing from k shared buckets
+    // recomputes its cosine k times map-side (k ≤ nTables, O(dim) each),
+    // but the dedup shuffle then carries only threshold-passing
+    // (a, b, cos) rows — not every candidate with BOTH embedding arrays
+    // in tow. At corpus scale the shuffle-byte saving dwarfs the
+    // duplicate dot products.
     cand.select(col("a"), col("b"), S.cosine(col("ea"), col("eb")).as("cos"))
       .filter(col("cos") >= threshold)
+      .dropDuplicates("a", "b")
   }
 
   // --- SimHash near-dup ---------------------------------------------------
