@@ -138,19 +138,38 @@ object Dedup {
     // pre-counted df in a separate job and anti-joined, which hashed every
     // document's grams TWICE and paid an extra count shuffle for the same
     // result (BoundedCollectAgg docs have the numbers).
-    val docLists =
+    jaccardFromGrams(grams, maxDf, threshold, pairCombos)
+  }
+
+  /** Shared tail of the full and incremental Jaccard paths: per-gram doc
+    * lists (bounded-collect hot-gram guard above `maxDf`, exact
+    * sorted-collect otherwise), optional codegen'd group pre-filter, pair
+    * expansion via `combos`, then the pair-count shuffle and the Jaccard
+    * score. One copy so the bounded-collect semantics, the df ≥ 2 filter,
+    * and the score arithmetic cannot silently diverge between the twins
+    * (the gate relies on their equality). */
+  private def jaccardFromGrams(grams: DataFrame, maxDf: Long,
+      threshold: Double,
+      combos: org.apache.spark.sql.expressions.UserDefinedFunction,
+      groupFilter: Option[Column] = None): DataFrame = {
+    val grouped =
       if (maxDf <= 0)
         grams.groupBy("g")
           .agg(sort_array(collect_list(struct(col("doc_id"), col("sz")))).as("ds"))
-          .filter(size(col("ds")) >= 2)
       else {
         val bounded = udaf(new BoundedCollectAgg(maxDf.toInt),
           Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt))
         grams.groupBy("g")
           .agg(bounded(col("doc_id"), col("sz")).as("ds"))
-          .filter(size(col("ds")) >= 2)
+          // the tuple encoder names the struct fields _1/_2 — rename via
+          // a no-op cast so groupFilter sees the same (doc_id, sz) shape
+          // on both paths
+          .withColumn("ds",
+            col("ds").cast("array<struct<doc_id:bigint,sz:int>>"))
       }
-    val pairs = docLists.select(explode(pairCombos(col("ds"))).as("p"))
+    val docLists = groupFilter.foldLeft(
+      grouped.filter(size(col("ds")) >= 2))(_ filter _)
+    val pairs = docLists.select(explode(combos(col("ds"))).as("p"))
       .select(col("p._1").as("a"), col("p._2").as("sza"),
         col("p._3").as("b"), col("p._4").as("szb"))
     pairs.groupBy("a", "b", "sza", "szb").agg(count(lit(1)).as("inter"))
@@ -200,45 +219,37 @@ object Dedup {
     }
     val all = grams(corpus, newSide = false)
       .unionByName(grams(fresh, newSide = true))
-    val docLists =
-      if (maxDf <= 0)
-        all.groupBy("g")
-          .agg(sort_array(collect_list(struct(col("doc_id"), col("sz")))).as("ds"))
-          .filter(size(col("ds")) >= 2)
-      else {
-        val bounded = udaf(new BoundedCollectAgg(maxDf.toInt),
-          Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt))
-        all.groupBy("g")
-          .agg(bounded(col("doc_id"), col("sz")).as("ds"))
-          .filter(size(col("ds")) >= 2)
-      }
-    val pairs = docLists.select(explode(pairCombosFreshTouching(col("ds"))).as("p"))
-      .select(col("p._1").as("a"), col("p._2").as("sza"),
-        col("p._3").as("b"), col("p._4").as("szb"))
-    pairs.groupBy("a", "b", "sza", "szb").agg(count(lit(1)).as("inter"))
-      .select(col("a"), col("b"),
-        (col("inter").cast("double") / (col("sza") + col("szb") - col("inter")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    // at steady state (increment ≪ corpus) nearly every gram group is
+    // old-only and would emit nothing — drop those with a codegen'd
+    // exists() BEFORE the pair UDF ever deserializes the list, so the
+    // O(df²) expansion loop only runs on fresh-touching groups
+    jaccardFromGrams(all, maxDf, threshold, pairCombosFreshTouching,
+      groupFilter = Some(exists(col("ds"), d => d.getField("sz") < lit(0))))
   }
 
   /** Incremental EXACT dedup: fresh documents whose text already exists
-    * in the corpus (or in a smaller-id fresh doc) — `(doc_id, keeper, h)`
-    * per duplicate fresh doc. Steady-state shape: both sides shuffle
-    * 16-byte digests only, and the corpus side is first reduced by a
-    * semi-join against the fresh digest set (broadcast when the increment
-    * is small — the usual case), so the big side never feeds the groupBy
-    * at full width. */
+    * in the corpus (or in another fresh doc) — `(doc_id, keeper, h)` per
+    * duplicate fresh doc. The corpus is the STANDING side: a fresh doc
+    * duplicating corpus content is the duplicate regardless of id order
+    * (keeper = min corpus id for the digest, even when every corpus mate
+    * has a larger id than the fresh doc — the corpus rows are already
+    * committed and can't be retro-deduped). Only when a digest has no
+    * corpus mate does first-fresh-id-wins apply within the increment.
+    * Steady-state shape: both sides shuffle 16-byte digests only, and the
+    * corpus side is first reduced by a semi-join against the fresh digest
+    * set (broadcast when the increment is small — the usual case), so the
+    * big side never feeds the groupBy at full width. */
   def incrementalExact(corpus: DataFrame, fresh: DataFrame): DataFrame = {
     def digests(d: DataFrame) =
       d.select(col("doc_id").cast("long").as("doc_id"),
         md5(col("text").cast("binary")).as("h"))
     val fh = digests(fresh)
     val ch = digests(corpus).join(fh.select("h").distinct(), Seq("h"), "left_semi")
-    val keepers = ch.unionByName(fh)
-      .groupBy("h").agg(min("doc_id").as("keeper"))
-    fh.join(keepers, "h")
-      .filter(col("doc_id") =!= col("keeper"))
-      .select(col("doc_id"), col("keeper"), col("h"))
+    val corpusKeepers = ch.groupBy("h").agg(min("doc_id").as("ck"))
+    val freshMins = fh.groupBy("h").agg(min("doc_id").as("fk"))
+    fh.join(freshMins, "h").join(corpusKeepers, Seq("h"), "left_outer")
+      .filter(col("ck").isNotNull || col("doc_id") =!= col("fk"))
+      .select(col("doc_id"), coalesce(col("ck"), col("fk")).as("keeper"), col("h"))
   }
 
   /** Incremental embedding near-dup: cosine pairs `(a, b, cos)` touching
@@ -247,7 +258,14 @@ object Dedup {
     * corpus buckets never self-join. At steady state the fresh banded
     * side is increment-sized (broadcast-able) and candidate volume tracks
     * the increment; the corpus is banded once, never paired with itself.
-    * `corpus` and `fresh` must have disjoint `vec_id`s. */
+    * `corpus` and `fresh` must have disjoint `vec_id`s.
+    *
+    * The fresh side's banding UDF is evaluated twice (as the join's build
+    * side and inside the union) — deliberate: it is increment-sized
+    * narrow map work (nTables projections per vector), and a library op
+    * that silently `cache()`s leaks executor memory with no unpersist
+    * point. Callers with an expensive fresh plan should persist it
+    * themselves before calling. */
   def embeddingNearDupIncremental(corpus: DataFrame, fresh: DataFrame,
       threshold: Double, nTables: Int = 24, nBits: Int = 6): DataFrame = {
     import graft.ops.{Similarity => S}

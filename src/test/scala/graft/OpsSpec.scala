@@ -128,15 +128,18 @@ class OpsSpec extends SparkSpec {
 
   test("incremental exact dedup resolves fresh dups to corpus keepers") {
     import spark.implicits._
-    val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
-    val fresh = Seq((10L, "beta"), (11L, "beta"), (12L, "delta"), (13L, "delta"))
+    val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (50L, "omega"))
       .toDF("doc_id", "text")
+    val fresh = Seq((10L, "beta"), (11L, "beta"), (12L, "delta"), (13L, "delta"),
+      (5L, "omega")).toDF("doc_id", "text")
     val out = Dedup.incrementalExact(corpus, fresh)
       .orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     // 10,11 → corpus keeper 2; 13 → fresh keeper 12; 12 itself is a
-    // keeper (absent); corpus-only rows never appear
-    assert(out === Seq((10L, 2L), (11L, 2L), (13L, 12L)))
+    // keeper (absent); corpus-only rows never appear. 5 → 50: the corpus
+    // mate keeps even with a LARGER id — the standing side wins, the
+    // fresh doc is the duplicate
+    assert(out === Seq((5L, 50L), (10L, 2L), (11L, 2L), (13L, 12L)))
   }
 
   test("incremental embedding near-dup = exact pairs touching fresh") {
