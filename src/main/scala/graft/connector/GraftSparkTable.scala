@@ -1804,7 +1804,14 @@ object DeleteKeyCache {
 
   def get(src: DeleteKeySource,
       conf: org.apache.hadoop.conf.Configuration): Set[Vector[Any]] =
-    cache.get(src.paths.mkString("\n"))(load(src, conf))
+    // the key must carry the resolved file-side names AND key types, not
+    // just the paths: on a long-lived executor a set cached before an
+    // int→long key promotion (or a rename re-resolution) would otherwise
+    // be served to a post-promotion scan whose probe builds Vector[Long]
+    // against cached Vector[Integer] — contains() always false, every
+    // delete silently stops applying
+    cache.get((src.paths ++ src.fileNames ++
+      src.types.map(_.catalogString)).mkString("\n"))(load(src, conf))
 
   private def load(src: DeleteKeySource,
       conf: org.apache.hadoop.conf.Configuration): Set[Vector[Any]] = {

@@ -800,7 +800,16 @@ final class Actions(t: GraftTable) {
           (f.path, f.contentOffset.getOrElse(0L) +
             f.contentSizeInBytes.getOrElse(0L), true)
         else (f.path, f.fileSizeInBytes, false)
-      }.distinct
+      }.distinct match {
+        // one puffin blob holds many DV slices — one stat per path (the
+        // max slice end subsumes the rest), not one HEAD per slice.
+        // Exact-size rows stay ungrouped: conflicting recorded sizes for
+        // one plain file must EACH be checked (at least one is wrong)
+        case rs =>
+          val (dvs, plain) = rs.partition(_._3)
+          dvs.groupBy(_._1).map { case (p, ss) =>
+            (p, ss.map(_._2).max, true) }.toSeq ++ plain
+      }
     if (recorded.isEmpty) return Nil
     val sconf = new org.apache.spark.util.SerializableConfiguration(
       t.spark.sessionState.newHadoopConf())

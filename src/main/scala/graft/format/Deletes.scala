@@ -597,9 +597,14 @@ object EqRangeIndex {
     val ids = withId.flatMap(f => idsOf(f.path)).distinct
     val score: Map[Int, Double] = ids.map { id =>
       val field = FieldIds.findById(schema, id).get
-      val ord = Exprs.ordering(Types.cleanType(field.dataType))
+      val dt = Types.cleanType(field.dataType)
+      val ord = Exprs.ordering(dt)
+      // widen here too: pre-promotion bounds carry the narrow runtime
+      // class, and this scoring sweep runs BEFORE the widened
+      // group-building path — unwidened values would CCE inside ord
       val ranges = withId.filter(f => idsOf(f.path).contains(id))
-        .map(f => (f.lowerBounds(id), f.upperBounds(id))).sortBy(_._1)(ord)
+        .map(f => (Values.widen(f.lowerBounds(id), dt),
+          Values.widen(f.upperBounds(id), dt))).sortBy(_._1)(ord)
       var clusters = 0
       var curHi: Option[Any] = None
       ranges.foreach { case (lo, hi) =>

@@ -93,6 +93,43 @@ object FieldIds {
   def typeById(st: StructType): Map[Int, DataType] =
     st.fields.map(f => idOf(f) -> f.dataType).toMap
 
+  /** Overlay each id-bearing ATOMIC field's latest committed type onto
+    * `base` — decode-schema safety across type promotions: the schema
+    * picked for id coverage may predate an int→long / float→double
+    * promotion, and decoding post-promotion 8-byte bounds at the narrow
+    * type reads only the LOW 4 BYTES (silent truncation past 2^31).
+    * Structure and names stay `base`'s; only leaf types advance. Schema
+    * evolution only changes an existing id's type via promotion
+    * (SchemaUpdate.promotionAllowed), so "latest wins" is always the
+    * widest. `schemas` must be in ascending schemaId order. */
+  def overlayLatestTypes(base: StructType, schemas: Seq[StructType]): StructType = {
+    def atomic(dt: DataType): Boolean = dt match {
+      case _: StructType | _: ArrayType | _: MapType => false
+      case _ => true
+    }
+    val latest = scala.collection.mutable.Map[Int, DataType]()
+    def collect(s: StructType): Unit = s.fields.foreach { f =>
+      f.dataType match {
+        case inner: StructType if structHasIds(inner) => collect(inner)
+        case dt if atomic(dt) && f.metadata.contains(Key) =>
+          latest(idOf(f)) = dt
+        case _ => ()
+      }
+    }
+    schemas.foreach(collect) // ascending: later commits win
+    def rewrite(s: StructType): StructType = StructType(s.fields.map { f =>
+      f.dataType match {
+        case inner: StructType if structHasIds(inner) =>
+          f.copy(dataType = rewrite(inner))
+        case dt if atomic(dt) && f.metadata.contains(Key) =>
+          latest.get(idOf(f)).filterNot(_ == dt)
+            .map(nt => f.copy(dataType = nt)).getOrElse(f)
+        case _ => f
+      }
+    })
+    rewrite(base)
+  }
+
   /** Serialize with ids (StructType.json keeps metadata — nested included). */
   def toJson(st: StructType): String = st.json
   def fromJson(s: String): StructType =

@@ -528,9 +528,24 @@ final class TableScan private[format] (
     // sub-group by file-side key names: delete files staged under an older
     // schema may carry the key columns under pre-rename names — reading by
     // CURRENT name would null-fill and resurrect their deletes
-    dels.groupBy(d => (d._1.equalityIds,
+    val groups = dels.groupBy(d => (d._1.equalityIds,
         Deletes.eqKeyFileNames(table.metadata.schemas, schema, d._1)))
-      .foreach { case ((ids, fileNames), group) =>
+    // loud-fail parity with the DSv2 path (DeleteKeyCache requireAll):
+    // indexedDF rides Spark's ParquetFileFormat, which name-matches and
+    // silently NULL-FILLS an absent key column — an all-null key set
+    // anti-join-deletes the null-keyed data rows and drops every intended
+    // delete. Validate each delete file's footer EXECUTOR-side (one tiny
+    // job per scan, no driver stats — GDPR-scale sets stay distributed).
+    locally {
+      val checks = groups.toSeq.flatMap { case ((_, fileNames), group) =>
+        group.map(_._1.path).distinct.map(p => (p, fileNames)) }
+      val sconf = HadoopFileIO.sessionConf()
+      spark.sparkContext
+        .parallelize(checks, math.max(1, math.min(checks.size, 32)))
+        .foreach { case (p, names) =>
+          ParquetIO.requireColumns(p, names, sconf.value, "equality-delete") }
+    }
+    groups.foreach { case ((ids, fileNames), group) =>
       val fields = ids.map(id => FieldIds.findById(schema, id).get)
       val names = fields.map(_.name)
       // descriptor-backed read: a GDPR-scale delete set (thousands of
@@ -754,9 +769,17 @@ final class GraftTable(val ops: TableOps, val spark: SparkSession) {
     // id-resolution schema: widest id coverage, LATEST schema on ties — a
     // pure type promotion adds no ids, and decoding with the pre-promotion
     // schema would hand planning narrow-typed bounds that mis-compare
-    // against the current type's ordering
-    val idSchema = m.schemas.toSeq
-      .maxBy { case (sid, st) => (FieldIds.maxId(st), sid) }._2
+    // against the current type's ordering. The tie-break alone is not
+    // enough when a LATER schema dropped the max-id column (the base pick
+    // regresses to a pre-promotion schema), so each field's type is then
+    // overlaid with its latest committed type — 8-byte post-promotion
+    // bounds must never decode through a 4-byte branch
+    val idSchema = {
+      val base = m.schemas.toSeq
+        .maxBy { case (sid, st) => (FieldIds.maxId(st), sid) }._2
+      FieldIds.overlayLatestTypes(base,
+        m.schemas.toSeq.sortBy(_._1).map(_._2))
+    }
     TableScan.cachedManifest((mf.path, idSchema, types),
       MetaCodec.readManifest(ops.io.readBytes(mf.path), idSchema, types))
   }

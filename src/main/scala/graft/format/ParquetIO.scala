@@ -44,19 +44,14 @@ object ParquetIO {
     c.setIfUnset("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     c.setIfUnset("spark.sql.legacy.parquet.nanosAsLong", "false")
     c.setIfUnset("spark.sql.parquet.fieldId.read.enabled", "false")
-    val support =
-      if (!requireAll) new ParquetReadSupport(
-        convertTz = None,
-        enableVectorizedReader = false,
-        datetimeRebaseSpec = RebaseSpec(LegacyBehaviorPolicy.CORRECTED),
-        int96RebaseSpec = RebaseSpec(LegacyBehaviorPolicy.CORRECTED))
-      else new ParquetReadSupport(
-        convertTz = None,
-        enableVectorizedReader = false,
-        datetimeRebaseSpec = RebaseSpec(LegacyBehaviorPolicy.CORRECTED),
-        int96RebaseSpec = RebaseSpec(LegacyBehaviorPolicy.CORRECTED)) {
-        override def init(context: org.apache.parquet.hadoop.api.InitContext)
-            : org.apache.parquet.hadoop.api.ReadSupport.ReadContext = {
+    val support = new ParquetReadSupport(
+      convertTz = None,
+      enableVectorizedReader = false,
+      datetimeRebaseSpec = RebaseSpec(LegacyBehaviorPolicy.CORRECTED),
+      int96RebaseSpec = RebaseSpec(LegacyBehaviorPolicy.CORRECTED)) {
+      override def init(context: org.apache.parquet.hadoop.api.InitContext)
+          : org.apache.parquet.hadoop.api.ReadSupport.ReadContext = {
+        if (requireAll) {
           val present = context.getFileSchema.getFields.asScala
             .map(_.getName.toLowerCase(java.util.Locale.ROOT)).toSet
           val missing = schema.fieldNames.filterNot(n =>
@@ -65,9 +60,10 @@ object ParquetIO {
             s"$what $path does not contain required column(s) " +
             s"${missing.mkString(", ")} (has: ${present.mkString(", ")}) — " +
             "refusing to null-fill, which would silently drop its deletes")
-          super.init(context)
         }
+        super.init(context)
       }
+    }
     ParquetReader.builder[InternalRow](support, new HPath(path)).withConf(c).build()
   }
 

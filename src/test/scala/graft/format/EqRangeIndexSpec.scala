@@ -159,6 +159,30 @@ class EqRangeIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("build survives narrow pre-promotion runtime bounds (Integer under LongType)") {
+    // descriptors staged before an int→long promotion still carry
+    // java.lang.Integer bounds in memory — BOTH the cluster-scoring sweep
+    // and the group build must widen before ordering, or planning dies
+    // with a ClassCastException inside Ordering.Long
+    def narrowDel(i: Int, lo: Int, hi: Int): DataFile =
+      DataFile(path = s"deletes/narrow-$i.parquet",
+        content = FileContent.EqualityDeletes,
+        recordCount = 10L, fileSizeInBytes = 1L << 10,
+        nullValueCounts = Map(userId -> 0L),
+        lowerBounds = Map(userId -> Int.box(lo)),
+        upperBounds = Map(userId -> Int.box(hi)),
+        equalityIds = Seq(userId))
+    val mixed = Seq(narrowDel(0, 10, 20), narrowDel(1, 30, 40),
+      eqDel(2, 1L, 1L, 25L, 35L)) // post-promotion file with Long bounds
+    val idx = EqRangeIndex.build(mixed, schema)
+    val hit = idx.candidatesFor(dataFile(1L, 1L, 15L, 15L))
+    assert(hit.contains("deletes/narrow-0.parquet"))
+    assert(!hit.contains("deletes/narrow-1.parquet"))
+    val overlap = idx.candidatesFor(dataFile(1L, 1L, 32L, 33L))
+    assert(overlap.toSet ==
+      Set("deletes/narrow-1.parquet", "deletes/eq-2.parquet"))
+  }
+
   test("a data file without bounds on a group's key keeps that whole group") {
     val dels = (0 until 20).map(i => eqDel(i, 1L, 1L, i * 10L, i * 10L + 5L))
     val idx = EqRangeIndex.build(dels, schema)

@@ -120,6 +120,13 @@ class RenameDeleteSpec extends SparkSpec {
     // staged while the key is INT — the delete file physically holds int32
     Deletes.deleteByEquality(GraftTable.load(spark, loc),
       Seq(3, 7).toDF("id"))
+    // scan BEFORE the promotion so the executor-side DeleteKeyCache is
+    // warm with Integer-typed key tuples — the post-promotion scan below
+    // must NOT be served that stale set (the cache key carries the key
+    // types; a paths-only key would probe Vector[Long] against cached
+    // Vector[Integer] and silently resurrect both deletes)
+    val pre = spark.sql("SELECT id FROM pr.db.t").count()
+    assert(pre === 98)
     SchemaUpdate(GraftTable.load(spark, loc))
       .updateColumnType("id", LongType).commit()
     // library scan: loaded keys must still match the (now long) data side
@@ -214,6 +221,60 @@ class RenameDeleteSpec extends SparkSpec {
     assert(causes(e).exists(c =>
       c.getMessage != null && c.getMessage.contains("required column")),
       s"expected a required-column failure, got: $e")
+  }
+
+  test("library scan fails loudly when an eq-delete file lacks its key column") {
+    // twin of the DSv2 test above: the library path reads delete keys
+    // through DataFileIO.indexedDF (Spark's ParquetFileFormat), which
+    // null-fills absent columns — an all-null key set would anti-join-
+    // delete the null-keyed rows and drop every intended delete, so the
+    // scan validates each delete file's footer executor-side first
+    val loc = freshLoc("lib-strict")
+    val df = (0L until 20L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t0 = GraftTable.create(spark, loc, df.schema)
+    GraftWrite.append(t0, df.coalesce(1))
+    val badDir = s"$loc/data/bad-del"
+    Seq(5L).toDF("other").coalesce(1).write.parquet(badDir)
+    val part = new java.io.File(badDir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val t1 = GraftTable.load(spark, loc)
+    val keyId = FieldIds.nameToId(t1.metadata.schema)("id")
+    val desc = DataFile(path = part.getAbsolutePath,
+      content = FileContent.EqualityDeletes,
+      recordCount = 1L, fileSizeInBytes = part.length(),
+      schemaId = t1.metadata.currentSchemaId, equalityIds = Seq(keyId))
+    Commits.rowDelta(t1, Nil, Seq(desc))
+    val e = intercept[Exception] {
+      GraftTable.load(spark, loc).newScan().toDF().count()
+    }
+    def causes(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: causes(x.getCause)
+    assert(causes(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("required column")),
+      s"expected a required-column failure, got: $e")
+  }
+
+  test("bounds decode at promoted width after a later schema drops the max-id column") {
+    // schema 0: (a int id1, b string id2); schema 1 DROPS b (max id
+    // regresses); schema 2 promotes a to long. A decode schema picked for
+    // id coverage alone would be schema 0 and read post-promotion 8-byte
+    // bounds for `a` at the 4-byte branch — the low 32 bits of 3e9 decode
+    // as a NEGATIVE bound and stats pruning wrongly prunes the file
+    val loc = freshLoc("prom-drop")
+    val df = Seq((1, "x"), (2, "y")).toDF("a", "b")
+    val t0 = GraftTable.create(spark, loc, df.schema)
+    GraftWrite.append(t0, df.coalesce(1))
+    SchemaUpdate(GraftTable.load(spark, loc)).deleteColumn("b").commit()
+    SchemaUpdate(GraftTable.load(spark, loc))
+      .updateColumnType("a", LongType).commit()
+    GraftWrite.append(GraftTable.load(spark, loc),
+      Seq(Tuple1(3000000000L)).toDF("a").coalesce(1))
+    val t = GraftTable.load(spark, loc)
+    assert(t.newScan().toDF().count() === 3)
+    val hit = t.newScan().filter(Exprs.gtEq("a", 2500000000L)).toDF()
+      .select("a").as[Long].collect()
+    assert(hit.toSeq === Seq(3000000000L),
+      "post-promotion bounds decoded at the narrow width — file pruned away")
   }
 
   test("requireColumns fails loudly on a delete file missing its columns") {
