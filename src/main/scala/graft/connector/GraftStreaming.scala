@@ -35,6 +35,65 @@ final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
   private val maxBytes: Long =
     options.getLong("max-bytes-per-trigger", Long.MaxValue)
 
+  // ---- initial load (offset 0): the full state of ONE pinned snapshot,
+  // planned by the BATCH scan machinery so position/equality deletes, DVs,
+  // default fills, and lineage apply exactly as in batch reads — the raw
+  // per-format append scans below would resurrect deleted rows (and every
+  // superseded upsert version) in the first batch of a MoR table ----
+  @volatile private var pinnedInitial: Long = 0L
+  /** The stream's own initial-load snapshot: pinned at first resolution
+    * (re-resolved only while the table is still empty). */
+  private def initialSnapshot(): Long = {
+    if (pinnedInitial == 0L)
+      pinnedInitial = table.currentSnapshot.map(_.snapshotId).getOrElse(0L)
+    pinnedInitial
+  }
+  // keyed by snapshot id: a checkpoint replay of the initial batch carries
+  // the ORIGINAL end offset in the WAL, which may differ from this run's
+  // pin — the scan must be built for exactly the offset's snapshot
+  private val initialScanMemo =
+    new java.util.concurrent.atomic.AtomicReference[(Long, GraftScan)](null)
+  private def initialScanFor(snap: Long): GraftScan = {
+    val cached = initialScanMemo.get()
+    if (cached != null && cached._1 == snap) cached._2
+    else {
+      val gs = new GraftScanBuilder(spark, table,
+        table.newScan().useSnapshot(snap), options).build() match {
+        case g: GraftScan => g
+        case other => throw new IllegalStateException(
+          s"unexpected initial-load scan ${other.getClass.getName}")
+      }
+      initialScanMemo.set((snap, gs))
+      gs
+    }
+  }
+  /** Re-home a batch-scan partition into the streaming factory's group
+    * space (initial-load groups sit after the per-format append groups). */
+  private def shiftGroup(p: InputPartition, by: Int): InputPartition = p match {
+    case gp: GroupedPartition => gp.copy(group = gp.group + by)
+    case kp: KeyedPartition => kp.copy(group = kp.group + by,
+      subs = kp.subs.map(s => s.copy(group = s.group + by)))
+    case mp: MultiFilePartition =>
+      mp.copy(subs = mp.subs.map(s => s.copy(group = s.group + by)))
+    case other => GroupedPartition(by, other)
+  }
+
+  // one backlog plan per (offset, table head) — latestOffset and
+  // planInputPartitions of the same trigger otherwise each pay a full
+  // per-snapshot manifest plan of the pending range
+  @volatile private var pendingMemo:
+    ((Streaming.StreamOffset, Long), Seq[(Long, Int, FileScanTask)]) = null
+  private def pendingFor(s: Streaming.StreamOffset): Seq[(Long, Int, FileScanTask)] = {
+    val key = (s, table.metadata.currentSnapshotId.getOrElse(0L))
+    val m = pendingMemo
+    if (m != null && m._1 == key) m._2
+    else {
+      val p = Streaming.pendingFiles(table, s)
+      pendingMemo = (key, p)
+      p
+    }
+  }
+
   // Trigger.AvailableNow: capture the end ONCE; budgeted batches then run
   // until they land exactly on it (without this, Spark takes the FIRST
   // latestOffset result — one budget's worth — as the whole query's end)
@@ -89,26 +148,42 @@ final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
     * Spark's AvailableNow wrapper captures this once and compares offsets
     * by EQUALITY, so budgeted progression must land on exactly this value
     * after draining — which (snap, count) is and sentinel forms are not. */
-  private def allAvailable(start: FileSliceOffset): FileSliceOffset = {
-    val current = table.currentSnapshot.map(_.snapshotId).getOrElse(0L)
-    if (current == 0L) return start
-    val count = table.newScan()
-      .appendsBetween(current - 1, current).planFiles().tasks.size
-    FileSliceOffset(current, count)
-  }
+  private def allAvailable(start: FileSliceOffset): FileSliceOffset =
+    table.currentSnapshot match {
+      case None => start
+      case Some(_) if start.snapshotId == 0L =>
+        // initial load: the pinned snapshot, fully consumed
+        val snap = initialSnapshot()
+        if (snap == 0L) start else FileSliceOffset(snap, Int.MaxValue)
+      case Some(head) if head.snapshotId <= start.snapshotId => start // caught up
+      case Some(head) if head.operation == "append" =>
+        FileSliceOffset(head.snapshotId, table.newScan()
+          .appendsBetween(head.snapshotId - 1, head.snapshotId)
+          .planFiles().tasks.size)
+      case Some(head) =>
+        // replace/delete head appends nothing (consumed-sentinel end so
+        // budgeted progression can LAND on it — a (head, count-of-appends)
+        // form is unreachable when the head appended no files); an
+        // OVERWRITE head still fails when the range is planned (reference
+        // parity: incremental reads cannot stream an overwrite) — but the
+        // END computation itself must not crash a caught-up poll
+        FileSliceOffset(head.snapshotId, Int.MaxValue)
+    }
 
   override def latestOffset(): Offset =
     allAvailable(initialOffset().asInstanceOf[FileSliceOffset])
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[FileSliceOffset]
-    // initial load (offset 0) is the full current table state, un-sliced
+    // initial load (offset 0) is the full pinned-snapshot state, un-sliced
     if (s.snapshotId == 0L || maxBytes == Long.MaxValue) capAt(allAvailable(s))
     else {
       val (tasks, next) =
-        Streaming.takeBudget(Streaming.pendingFiles(table, s.toStream),
-          s.toStream, maxBytes)
-      if (tasks.isEmpty) s
+        Streaming.takeBudget(pendingFor(s.toStream), s.toStream, maxBytes)
+      // caught up on appendable files: land on the CANONICAL end so a
+      // head snapshot that appended nothing (replace/delete) still
+      // reaches offset equality under Trigger.AvailableNow
+      if (tasks.isEmpty) capAt(allAvailable(s))
       else capAt(FileSliceOffset(next.snapshotId, next.fileIdx))
     }
   }
@@ -133,28 +208,49 @@ final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
     val from = start.asInstanceOf[FileSliceOffset]
     val to = end.asInstanceOf[FileSliceOffset]
     if (from == to) return Array.empty
-    val files: Seq[DataFile] =
-      if (from.snapshotId == 0L)
-        table.newScan().useSnapshot(to.snapshotId).planFiles().files
-      else Streaming.pendingFiles(table, from.toStream)
+    if (from.snapshotId == 0L)
+      // full state of the offset's snapshot through the BATCH planner —
+      // delete-scoped partitions, shifted past the append format groups
+      initialScanFor(to.snapshotId).toBatch.planInputPartitions()
+        .map(shiftGroup(_, FileFormats.All.size))
+    else {
+      val files = pendingFor(from.toStream)
         .takeWhile { case (snap, i, _) =>
           snap < to.snapshotId || (snap == to.snapshotId && i < to.fileIdx)
         }
         .map(_._3.file)
-    if (files.isEmpty) Array.empty
-    else groupedPartitions(files)
+      if (files.isEmpty) Array.empty
+      else groupedPartitions(files)
+    }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
     // factory depends only on schema/conf, not the batch's file list; one
     // inner factory per format in the same fixed order as the partitions.
     // Micro-batch reads stay on the row path (columnar=false): the factory
     // cannot know a batch's formats up front, and Spark requires every
     // partition of a batch to agree — incremental slices are small, the
     // batch path keeps full vectorization
-    GroupedReaderFactory(
-      FileFormats.All.map(fmt => scanFor(fmt, Nil).toBatch.createReaderFactory()),
-      FileFormats.All.map(_ => None), columnar = false)
+    val incr = FileFormats.All.map(fmt =>
+      scanFor(fmt, Nil).toBatch.createReaderFactory())
+    val nones = FileFormats.All.map(_ => None)
+    initialScanMemo.get() match {
+      // the initial-load batch reads through the BATCH scan's own factory
+      // (delete filters, fills, lineage), its groups shifted past the
+      // append format groups — planInputPartitions always runs before the
+      // batch's factory is created, so the memo is set whenever an
+      // initial-load partition can reach this factory
+      case (_, gs) => gs.toBatch.createReaderFactory() match {
+        case GroupedReaderFactory(inner, dels, _, fills, lineages) =>
+          GroupedReaderFactory(incr ++ inner, nones ++ dels,
+            columnar = false, nones ++ fills, nones ++ lineages)
+        case other => throw new IllegalStateException(
+          s"unexpected batch reader factory ${other.getClass.getName}")
+      }
+      case null =>
+        GroupedReaderFactory(incr, nones, columnar = false)
+    }
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -203,10 +299,9 @@ final class GraftStreamingWrite(table: GraftTable, truncateFirst: Boolean,
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val replayed = table.metadata.snapshots.exists(s =>
-      s.summary.get(Streaming.EpochKey).contains(epochId.toString) &&
-        s.summary.get(Streaming.QueryKey).contains(queryId))
-    if (replayed) { abort(epochId, messages); return }
+    if (Streaming.isEpochCommitted(table, epochId, queryId)) {
+      abort(epochId, messages); return
+    }
     val m = table.metadata
     // metrics were computed executor-side (GraftFanoutWriter.commit);
     // the epoch commit is metadata-only on the driver
@@ -223,7 +318,10 @@ final class GraftStreamingWrite(table: GraftTable, truncateFirst: Boolean,
     val summary = Map(Streaming.EpochKey -> epochId.toString,
       Streaming.QueryKey -> queryId)
     val upsert = m.properties.get("write.upsert.enabled").contains("true")
-    if (truncateFirst) Commits.overwriteByFilter(table, AlwaysTrue, files)
+    // the epoch summary rides EVERY commit shape — a truncate epoch
+    // without it would make replays undetectable
+    if (truncateFirst)
+      Commits.overwriteByFilter(table, AlwaysTrue, files, summary)
     else if (upsert && files.nonEmpty) {
       // streaming upsert (Iceberg's write.upsert.enabled shape, keys via
       // the write.upsert.key-columns property): the epoch commits ONE
@@ -252,23 +350,28 @@ final class GraftStreamingWrite(table: GraftTable, truncateFirst: Boolean,
         org.apache.spark.sql.types.StructField(f.name,
           Types.cleanType(f.dataType), nullable = true)
       })
+      // persisted: the dup check AND delete staging both consume this —
+      // unpersisted, each would re-read every epoch data file
       val keys = DataFileIO.indexedDF(spark, files, fileFormat, keySchema)
-      // two rows with one key INSIDE an epoch would both survive (the
-      // epoch's deletes are strictly older-sequence-gated and never touch
-      // its own files), silently breaking the one-row-per-key invariant —
-      // and "which row wins" is undefined in an unordered batch. Fail the
-      // epoch with the offending key instead.
-      import org.apache.spark.sql.functions.{col, count, lit}
-      val dup = keys.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1).limit(1).collect()
-      if (dup.nonEmpty)
-        throw new IllegalStateException(
-          "streaming upsert epoch contains duplicate key " +
-          keyCols.zipWithIndex.map { case (c, i) => s"$c=${dup(0).get(i)}" }
-            .mkString("(", ", ", ")") +
-          "; deduplicate upstream (e.g. dropDuplicates on the key columns)")
-      val deleteFiles = Deletes.stageEqualityDeletes(table, keys)
-      Commits.rowDelta(table, files, deleteFiles, summary = summary)
+        .persist()
+      try {
+        // two rows with one key INSIDE an epoch would both survive (the
+        // epoch's deletes are strictly older-sequence-gated and never touch
+        // its own files), silently breaking the one-row-per-key invariant —
+        // and "which row wins" is undefined in an unordered batch. Fail the
+        // epoch with the offending key instead.
+        import org.apache.spark.sql.functions.{col, count, lit}
+        val dup = keys.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).limit(1).collect()
+        if (dup.nonEmpty)
+          throw new IllegalStateException(
+            "streaming upsert epoch contains duplicate key " +
+            keyCols.zipWithIndex.map { case (c, i) => s"$c=${dup(0).get(i)}" }
+              .mkString("(", ", ", ")") +
+            "; deduplicate upstream (e.g. dropDuplicates on the key columns)")
+        val deleteFiles = Deletes.stageEqualityDeletes(table, keys)
+        Commits.rowDelta(table, files, deleteFiles, summary = summary)
+      } finally keys.unpersist(false)
     } else Commits.fastAppend(table, files, summary)
   }
 

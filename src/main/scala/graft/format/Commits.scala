@@ -340,11 +340,14 @@ object Commits {
   /** Overwrite-by-filter: delete matching files + append new
     * (reference BaseOverwriteFiles / SparkBatchWrite filter-overwrite :198-207). */
   def overwriteByFilter(table: GraftTable, filter: Expr,
-      newFiles: Seq[DataFile]): TableMetadata =
-    table.ops.commitTransaction(overwriteByFilterOn(table, _, filter, newFiles))
+      newFiles: Seq[DataFile],
+      summary: Map[String, String] = Map.empty): TableMetadata =
+    table.ops.commitTransaction(
+      overwriteByFilterOn(table, _, filter, newFiles, summary))
 
   private[format] def overwriteByFilterOn(table: GraftTable, m0: TableMetadata,
-      filter: Expr, newFiles: Seq[DataFile]): TableMetadata = {
+      filter: Expr, newFiles: Seq[DataFile],
+      summary: Map[String, String] = Map.empty): TableMetadata = {
       val (files, m) = assignRowIds(m0, newFiles)
       val (seq, snapId) = nextIds(m)
       val afterDelete = rewriteForDelete(table, m, filter)
@@ -352,7 +355,7 @@ object Commits {
         ManifestEntry(EntryStatus.Added, snapId, seq,
           f.copy(schemaId = m.currentSchemaId, specId = m.defaultSpecId)))
       val mfs = writeManifests(table, m, m.defaultSpecId, entries, snapId)
-      buildSnapshot(table, m, "overwrite", afterDelete ++ mfs, Map.empty)
+      buildSnapshot(table, m, "overwrite", afterDelete ++ mfs, summary)
   }
 
   /** Dynamic partition overwrite (reference BaseReplacePartitions; used by

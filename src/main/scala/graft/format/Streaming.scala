@@ -19,19 +19,28 @@ object Streaming {
   val EpochKey = "streaming.epoch-id"
   val QueryKey = "streaming.query-id"
 
+  /** Shared replay predicate: was `epochId` of `queryId` already committed
+    * to this table? ONE implementation for the library sink and the DSv2
+    * StreamingWrite so the dedup scheme cannot drift between them. */
+  def isEpochCommitted(table: GraftTable, epochId: Long,
+      queryId: String): Boolean =
+    table.metadata.snapshots.exists(s =>
+      s.summary.get(EpochKey).contains(epochId.toString) &&
+        s.summary.get(QueryKey).contains(queryId))
+
   /** Idempotent epoch commit for foreachBatch sinks. Returns false when the
     * epoch was already committed (replay after failure). */
   def commitEpoch(table: GraftTable, df: DataFrame, epochId: Long,
       queryId: String = "default", complete: Boolean = false): Boolean = {
-    val replayed = table.metadata.snapshots.exists(s =>
-      s.summary.get(EpochKey).contains(epochId.toString) &&
-        s.summary.get(QueryKey).contains(queryId))
-    if (replayed) return false
+    if (isEpochCommitted(table, epochId, queryId)) return false
     val files = GraftWrite.writeFiles(table, df)
     val summary = Map(EpochKey -> epochId.toString, QueryKey -> queryId)
     if (complete) {
-      // Complete mode: replace the whole table (OverwriteFiles alwaysTrue)
-      Commits.overwriteByFilter(table, AlwaysTrue, files)
+      // Complete mode: replace the whole table (OverwriteFiles alwaysTrue).
+      // The epoch summary MUST ride the overwrite snapshot too — dropping
+      // it would make a replayed Complete epoch undetectable (a spurious
+      // duplicate overwrite + duplicate changelog downstream)
+      Commits.overwriteByFilter(table, AlwaysTrue, files, summary)
     } else {
       Commits.fastAppend(table, files, summary)
     }
@@ -63,7 +72,17 @@ object Streaming {
       from: StreamOffset): Seq[(Long, Int, FileScanTask)] = {
     val m = table.metadata
     val current = m.currentSnapshotId.getOrElse(0L)
-    m.ancestors(Some(current)).filter(_.snapshotId >= from.snapshotId)
+    m.ancestors(Some(current))
+      .filter(s =>
+        s.snapshotId > from.snapshotId ||
+          // the from snapshot only needs re-planning when PARTIALLY
+          // consumed — a fully-consumed one (MaxValue sentinel: initial
+          // load, start-snapshot-id, caught-up offset) must be skipped
+          // outright, or a consumed OVERWRITE snapshot (e.g. a streaming
+          // upsert epoch) would crash every subsequent poll inside
+          // appendsBetween and leave the stream permanently stuck with no
+          // restart path
+          (s.snapshotId == from.snapshotId && from.fileIdx != Int.MaxValue))
       .sortBy(_.snapshotId)
       .flatMap { s =>
         val tasks = table.newScan()
@@ -120,7 +139,11 @@ object Streaming {
       if (offset.snapshotId == 0L && startSnapshotId.isEmpty) {
         if (current == 0L) return None
         offset = StreamOffset(current, Int.MaxValue)
-        return Some(table.newScan().toDF()) // initial load: full current state
+        // initial load: full state of EXACTLY the offset snapshot — an
+        // unpinned scan would re-resolve at plan time and include rows a
+        // concurrent writer committed after `current` was read, which the
+        // next poll then replays (duplicates)
+        return Some(table.newScan().useSnapshot(current).toDF())
       }
       val (tasks, next) =
         takeBudget(pendingFiles(table, offset), offset, maxBytesPerBatch)

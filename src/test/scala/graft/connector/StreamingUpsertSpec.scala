@@ -113,6 +113,67 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(plan.deleteFiles.exists(_._1.content == FileContent.EqualityDeletes))
   }
 
+  test("readStream initial load applies merge-on-read deletes, then streams past the consumed overwrite") {
+    wh
+    spark.sql("CREATE TABLE gu.db.m1 (id BIGINT, v STRING)")
+    spark.sql("""CREATE TABLE gu.db.m2 (id BIGINT, v STRING)
+                 TBLPROPERTIES ('write.upsert.enabled'='true',
+                                'write.upsert.key-columns'='id')""")
+    spark.sql("CREATE TABLE gu.db.m3 (id BIGINT, v STRING)")
+    val ck1 = Files.createTempDirectory("graft-morck1").toString
+    val ck2 = Files.createTempDirectory("graft-morck2").toString
+    // two upsert epochs: id=1 has a superseded version under live deletes
+    spark.sql("INSERT INTO gu.db.m1 VALUES (1, 'a1'), (2, 'b1')")
+    runOnce("gu.db.m1", "gu.db.m2", ck1)
+    spark.sql("INSERT INTO gu.db.m1 VALUES (1, 'a2')")
+    runOnce("gu.db.m1", "gu.db.m2", ck1)
+    // FRESH stream from the MoR table: the initial batch must be the
+    // CURRENT state — a raw append-file read would resurrect 'a1' (and
+    // the table head is an upsert/overwrite snapshot, so a naive
+    // incremental re-plan of the consumed offset would crash every poll)
+    runOnce("gu.db.m2", "gu.db.m3", ck2)
+    assert(spark.sql("SELECT id, v FROM gu.db.m3 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a2"), (2L, "b1")))
+    // a plain append on m2 must stream through, past the consumed
+    // overwrite snapshot the checkpoint offset points at
+    spark.sql("INSERT INTO gu.db.m2 VALUES (3, 'c1')")
+    runOnce("gu.db.m2", "gu.db.m3", ck2)
+    assert(spark.sql("SELECT id, v FROM gu.db.m3 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a2"), (2L, "b1"), (3L, "c1")))
+  }
+
+  test("caught-up stream survives a replace (compaction) head snapshot") {
+    wh
+    spark.sql("CREATE TABLE gu.db.c1 (id BIGINT, v STRING)")
+    spark.sql("CREATE TABLE gu.db.c2 (id BIGINT, v STRING)")
+    val ckpt = Files.createTempDirectory("graft-compck").toString
+    spark.sql("INSERT INTO gu.db.c1 VALUES (1, 'a')")
+    spark.sql("INSERT INTO gu.db.c1 VALUES (2, 'b')")
+    runOnce("gu.db.c1", "gu.db.c2", ckpt)
+    assert(spark.sql("SELECT count(*) FROM gu.db.c2").collect()(0).getLong(0) == 2)
+    // head becomes a "replace" snapshot that appends no files: the end
+    // offset must still be computable AND reachable under AvailableNow
+    // (budgeted), without duplicating the compacted rows
+    val r = graft.format.Actions
+      .forTable(GraftTable.load(spark, s"$wh/db/c1")).rewriteDataFiles()
+    assert(r.rewrittenFiles > 0, "fixture: compaction must have run")
+    val q = spark.readStream.table("gu.db.c1").writeStream
+      .option("checkpointLocation", ckpt)
+      .option("max-bytes-per-trigger", "1")
+      .trigger(Trigger.AvailableNow())
+      .toTable("gu.db.c2")
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT count(*) FROM gu.db.c2").collect()(0).getLong(0) == 2,
+      "compacted rows must not re-stream")
+    // appends after the replace still flow
+    spark.sql("INSERT INTO gu.db.c1 VALUES (3, 'c')")
+    runOnce("gu.db.c1", "gu.db.c2", ckpt)
+    assert(spark.sql("SELECT id FROM gu.db.c2 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("duplicate keys inside one epoch fail with the offending key") {
     wh
     spark.sql("CREATE TABLE gu.db.src3 (id BIGINT, v STRING)")

@@ -253,6 +253,20 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.snapshots.size == 2)
   }
 
+  test("Complete-mode epoch commit carries the summary: replays are deduped") {
+    val loc = freshLoc("complete-replay")
+    val t = GraftTable.create(spark, loc, rows(1).schema)
+    assert(Streaming.commitEpoch(t, rows(2, 0), epochId = 5, complete = true))
+    val snaps = GraftTable.load(spark, loc).snapshots.size
+    // the overwrite snapshot must carry the epoch summary — without it a
+    // replayed Complete epoch re-runs the whole truncate-and-rewrite and
+    // emits a duplicate changelog downstream
+    assert(!Streaming.commitEpoch(GraftTable.load(spark, loc), rows(2, 0),
+      epochId = 5, complete = true))
+    assert(GraftTable.load(spark, loc).snapshots.size == snaps)
+    assert(GraftTable.load(spark, loc).toDF().count() == 2)
+  }
+
   test("structured streaming end-to-end: readStream -> graft sink commits epochs") {
     val loc = freshLoc("sstream")
     val t = GraftTable.create(spark, loc, rows(1).schema)
