@@ -58,8 +58,32 @@ final class GraftDeltaOperation(spark: SparkSession, table: GraftTable,
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite = new DeltaWrite {
+      override def build(): DeltaWrite = new DeltaWrite
+        with RequiresDistributionAndOrdering {
         override def description(): String = s"graft row-delta $cmd"
+        // sort each task's rows by (_file, _pos), nulls first: insert rows
+        // (null metadata) lead, delete rows follow in position order — the
+        // writer then STREAMS deletes to one sorted file per task instead
+        // of buffering every (path, pos) tuple on heap and sorting at
+        // commit (reference SparkPositionDeltaWrite orders by
+        // _spec_id/_partition/_file/_pos the same way). Distribution stays
+        // unspecified: clustering by _file would funnel all insert rows
+        // (null _file) into one task.
+        override def requiredDistribution():
+            org.apache.spark.sql.connector.distributions.Distribution =
+          org.apache.spark.sql.connector.distributions.Distributions
+            .unspecified()
+        override def requiredOrdering():
+            Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array(
+            Expressions.sort(
+              Expressions.column(GraftSparkTable.FileColumn),
+              org.apache.spark.sql.connector.expressions.SortDirection
+                .ASCENDING),
+            Expressions.sort(
+              Expressions.column(GraftSparkTable.PosColumn),
+              org.apache.spark.sql.connector.expressions.SortDirection
+                .ASCENDING))
         override def toBatch: DeltaBatchWrite =
           new GraftDeltaBatchWrite(table, () => baseSnapshot.get())
       }
@@ -158,18 +182,70 @@ final class GraftDeltaWriterFactory(schema: StructType, idSchema: StructType,
       // inserts ride the SAME fanout writers batch INSERT uses
       private val inserts = new GraftFanoutWriter(schema, idSchema, fields,
         stagingDir, partitionId, taskId, conf, statModes, format, props)
-      // deletes buffer as (file, pos) and flush as ONE sorted parquet file
-      // per task (reference PositionDeleteWriter requires sorted input)
-      private val deletes =
-        scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      // every file this task stages besides the insert outputs — abort()
+      // must clean them too, or a failure after the delete/DV write leaks
+      // the staged file until an orphan sweep (and each retry leaks one)
+      private val stagedPaths = scala.collection.mutable.ArrayBuffer.empty[String]
+      // DV mode: per-file roaring bitmaps, built as rows arrive (compact —
+      // a 100M-position mask is tens of MB, never a tuple-per-row buffer)
+      private val canonOf = scala.collection.mutable.HashMap[String, String]()
+      private val byFile = scala.collection.mutable
+        .HashMap[String, org.roaringbitmap.longlong.Roaring64NavigableMap]()
+      // parquet mode: deletes STREAM to one sorted file per task — the
+      // write declares ordering by (_file, _pos), so rows arrive sorted
+      // (reference PositionDeleteWriter requires sorted input) and no
+      // task-level (path, pos) buffer or commit-time sort is needed. An
+      // out-of-order row means the required ordering was not honored —
+      // fail the task loudly rather than write an unsorted delete file.
+      private var delWriter: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = null
+      private var delPath: String = null
+      private var delCanonMin: String = null
+      private var delCanonMax: String = null
+      private var lastFile: String = null
+      private var lastPos: Long = -1L
+      private val deleteSchema = StructType(Seq(
+        StructField("file_path", StringType, nullable = false),
+        StructField("pos", LongType, nullable = false)))
 
       override def insert(row: InternalRow): Unit = inserts.write(row)
 
       override def reinsert(metadata: InternalRow, row: InternalRow): Unit =
         insert(row)
 
-      override def delete(metadata: InternalRow, id: InternalRow): Unit =
-        deletes += ((id.getUTF8String(0).toString, id.getLong(1)))
+      override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+        val f = id.getUTF8String(0).toString
+        val p = id.getLong(1)
+        if (dvMode) {
+          byFile.getOrElseUpdate(
+            canonOf.getOrElseUpdate(f, ParquetIO.canonPath(f)),
+            new org.roaringbitmap.longlong.Roaring64NavigableMap()).addLong(p)
+        } else {
+          if (delWriter == null) {
+            val hp = new org.apache.hadoop.fs.Path(stagingDir)
+            hp.getFileSystem(conf.value).mkdirs(hp)
+            delPath = s"$stagingDir/delete-$partitionId-$taskId-" +
+              s"${java.util.UUID.randomUUID()}.parquet"
+            stagedPaths += delPath
+            delWriter = ParquetIO.openWriter(delPath, deleteSchema, conf.value)
+          }
+          if (lastFile != null &&
+              (f < lastFile || (f == lastFile && p < lastPos)))
+            throw new IllegalStateException(
+              s"position deletes arrived unsorted (($f, $p) after " +
+              s"($lastFile, $lastPos)) — required ordering not honored")
+          val r = new GenericInternalRow(2)
+          r.update(0, UTF8String.fromString(f))
+          r.update(1, p)
+          delWriter.write(r)
+          if (f != lastFile) {
+            val c = canonOf.getOrElseUpdate(f, ParquetIO.canonPath(f))
+            if (delCanonMin == null || c < delCanonMin) delCanonMin = c
+            if (delCanonMax == null || c > delCanonMax) delCanonMax = c
+          }
+          lastFile = f
+          lastPos = p
+        }
+      }
 
       override def update(metadata: InternalRow, id: InternalRow,
           row: InternalRow): Unit = {
@@ -184,62 +260,48 @@ final class GraftDeltaWriterFactory(schema: StructType, idSchema: StructType,
           case GraftBatchWrite.TaskFiles(fs) => fs
           case other => throw new IllegalStateException(s"unexpected $other")
         }
-        if (dvMode && deletes.nonEmpty) {
-          // v3: one puffin file per task, one bitmap blob per data file.
-          // Canonicalize each distinct raw path ONCE — a task masks rows in
-          // a handful of files but may buffer millions of positions
-          val canonOf = scala.collection.mutable.HashMap[String, String]()
-          val byFile = scala.collection.mutable
-            .HashMap[String, org.roaringbitmap.longlong.Roaring64NavigableMap]()
-          deletes.foreach { case (f, p) =>
-            byFile.getOrElseUpdate(
-              canonOf.getOrElseUpdate(f, ParquetIO.canonPath(f)),
-              new org.roaringbitmap.longlong.Roaring64NavigableMap()).addLong(p)
-          }
+        if (dvMode && byFile.nonEmpty) {
+          // v3: one puffin file per task, one bitmap blob per data file
           val hp = new org.apache.hadoop.fs.Path(stagingDir)
           hp.getFileSystem(conf.value).mkdirs(hp)
           val path = s"$stagingDir/dv-$partitionId-$taskId-" +
             s"${java.util.UUID.randomUUID()}.puffin"
+          stagedPaths += path
           val dvFiles = Dvs.writePuffin(path, byFile.toSeq, schemaId, specId,
             conf.value)
           return GraftDeltaWriterFactory.DeltaTaskFiles(dataFiles, Nil, dvFiles)
         }
         val deleteFiles =
-          if (deletes.isEmpty) Nil
+          if (delWriter == null) Nil
           else {
-            val path = s"$stagingDir/delete-$partitionId-$taskId-" +
-              s"${java.util.UUID.randomUUID()}.parquet"
-            val deleteSchema = StructType(Seq(
-              StructField("file_path", StringType, nullable = false),
-              StructField("pos", LongType, nullable = false)))
-            val hp = new org.apache.hadoop.fs.Path(stagingDir)
-            hp.getFileSystem(conf.value).mkdirs(hp)
-            val w = ParquetIO.openWriter(path, deleteSchema, conf.value)
-            try {
-              deletes.sortInPlaceBy(identity) // (file_path, pos) order
-              deletes.foreach { case (f, p) =>
-                val r = new GenericInternalRow(2)
-                r.update(0, UTF8String.fromString(f))
-                r.update(1, p)
-                w.write(r)
-              }
-            } finally w.close()
+            delWriter.close()
+            delWriter = null
             // target metadata for per-task attachment at scan time
             // (Deletes.posIndex): canonical min/max of the paths this file
             // masks, carried to the manifest via the reserved path-bound id
-            val canon = deletes.iterator.map(_._1).distinct
-              .map(ParquetIO.canonPath).toSeq
-            val fm = Metrics.fromParquetFooter(path, idSchema, conf.value)
+            val fm = Metrics.fromParquetFooter(delPath, idSchema, conf.value)
               .copy(valueCounts = Map.empty, nullValueCounts = Map.empty,
-                lowerBounds = Map(graft.format.Deletes.PathFieldId -> canon.min),
-                upperBounds = Map(graft.format.Deletes.PathFieldId -> canon.max),
+                lowerBounds = Map(graft.format.Deletes.PathFieldId -> delCanonMin),
+                upperBounds = Map(graft.format.Deletes.PathFieldId -> delCanonMax),
                 fullBoundIds = Seq(graft.format.Deletes.PathFieldId))
-            Seq(GraftBatchWrite.StagedFile(path, Map.empty, fm))
+            Seq(GraftBatchWrite.StagedFile(delPath, Map.empty, fm))
           }
         GraftDeltaWriterFactory.DeltaTaskFiles(dataFiles, deleteFiles)
       }
 
-      override def abort(): Unit = inserts.abort()
+      override def abort(): Unit = {
+        inserts.abort()
+        if (delWriter != null) {
+          try delWriter.close() catch { case _: Exception => () }
+          delWriter = null
+        }
+        val fs = new org.apache.hadoop.fs.Path(stagingDir)
+          .getFileSystem(conf.value)
+        stagedPaths.foreach { p =>
+          try fs.delete(new org.apache.hadoop.fs.Path(p), false)
+          catch { case _: java.io.IOException => () }
+        }
+      }
       override def close(): Unit = ()
     }
 }

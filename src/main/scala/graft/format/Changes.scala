@@ -94,7 +94,7 @@ object Changes {
         .withColumn(ChangeOrdinal, lit(ordinal))
         .withColumn(CommitSnapshotId, lit(snapId))
 
-    val parts = Seq.newBuilder[DataFrame]
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var prevPlan: ScanPlan = from match {
       case Some(f) => scan.useSnapshot(f).planFiles()
       case None => ScanPlan(Nil, Nil, 0, 0, 0, 0)
@@ -102,6 +102,7 @@ object Changes {
     var ordinal = 0
 
     def fullDiff(s: Snapshot): Unit = {
+      val before = parts.length
       val planS = scan.useSnapshot(s.snapshotId).planFiles()
       if (s.operation != "replace") {
         val pPaths = prevPlan.tasks.map(t => canon(t.file.path)).toSet
@@ -130,21 +131,57 @@ object Changes {
             if (newPos.isEmpty) Set.empty
             else Deletes.posDeleteTargetFiles(newPos.map(_._1),
               table.spark.sessionState.newHadoopConf())
+          // narrow the eq-delete candidates with the same partition- and
+          // key-bounds scoping the scan path uses — one small eq-delete
+          // commit on a wide table must NOT force an exceptAll over every
+          // surviving file ("data I/O touches only the commit's churn")
+          val schema = table.metadata.schema
           val candidates = survivors.filter(t =>
             posTargets.contains(canon(t.file.path)) ||
-              newEq.exists(_._2 > t.sequenceNumber))
+              newEq.exists { case (d, dseq) =>
+                dseq > t.sequenceNumber &&
+                  Deletes.eqDeleteCanHit(d.specId, d.partition,
+                    t.file.specId, t.file.partition) &&
+                  Deletes.eqBoundsCanHit(d, t.file, schema)
+              })
           if (candidates.nonEmpty) {
             val pre = read(candidates, existingDeletes)
             val post = read(candidates, existingDeletes ++ newDeletes)
             parts += tag(pre.exceptAll(post), Delete, ordinal, s.snapshotId)
           }
         }
-        ordinal += 1
       }
+      // dense ordinals: only change-EMITTING commits count (the documented
+      // contract) — a no-op delete or an empty append must not leave gaps
+      if (parts.length > before) ordinal += 1
       prevPlan = planS
     }
 
-    chain.foreach { s =>
+    // expiration horizon: with from=None, ancestors() truncates at the
+    // first EXPIRED parent — treating the oldest retained snapshot like
+    // any other commit would drop pre-horizon rows from the changelog (or
+    // re-attribute them to a later commit). Emit the horizon snapshot's
+    // FULL state as the baseline INSERT batch instead: all pre-horizon
+    // history collapses into one insert attributed to the oldest retained
+    // snapshot, and replaying the changelog reconstructs the table exactly.
+    var rest = chain
+    if (from.isEmpty) {
+      chain.headOption
+        .filter(s0 => s0.parentId.isDefined &&
+          m.snapshot(s0.parentId.get).isEmpty)
+        .foreach { s0 =>
+          val plan0 = scan.useSnapshot(s0.snapshotId).planFiles()
+          if (plan0.tasks.nonEmpty) {
+            parts += tag(read(plan0.tasks, plan0.deleteFiles),
+              Insert, ordinal, s0.snapshotId)
+            ordinal += 1
+          }
+          prevPlan = plan0
+          rest = chain.tail
+        }
+    }
+
+    rest.foreach { s =>
       // plain appends — the dominant commit kind on ingest tables — diff at
       // MANIFEST level: the commit's new files are exactly the Added
       // entries of manifests it added, so the walk costs O(churn) per
@@ -169,16 +206,17 @@ object Changes {
             .filter(e => e.status == EntryStatus.Added &&
               e.snapshotId == s.snapshotId)
             .map(e => FileScanTask(e.file, e.sequenceNumber, AlwaysTrue))
-          if (newTasks.nonEmpty)
+          if (newTasks.nonEmpty) {
             parts += tag(read(newTasks, Nil), Insert, ordinal, s.snapshotId)
+            ordinal += 1
+          }
           prevPlan = ScanPlan(prevPlan.tasks ++ newTasks,
             prevPlan.deleteFiles, 0, 0, 0, 0)
-          ordinal += 1
         case None => fullDiff(s)
       }
     }
 
-    val built = parts.result()
+    val built = parts.toSeq
     if (built.isEmpty)
       tag(read(Nil, Nil), Insert, 0, toId).filter(lit(false))
     else if (built.size <= maxPlanWidth) built.reduce(_ unionByName _)
@@ -205,11 +243,6 @@ object Changes {
     (from, to)
   }
 
-  /** Collapse a changelog to its NET effect per distinct row content: a row
-    * inserted then deleted inside the range (or carried over by a
-    * copy-on-write rewrite as a same-commit DELETE + INSERT pair) cancels
-    * out; surviving net copies keep the type and provenance of the row's
-    * LAST change. Requires group-able column types (no maps). */
   /** Remove carry-over rows (iceberg ChangelogIterator.removeCarryovers):
     * a commit that physically rewrites files — copy-on-write DELETE/
     * UPDATE/MERGE, overwriteByFilter — re-emits every row it did NOT
@@ -217,12 +250,21 @@ object Changes {
     * INSERT in the added file. Cancel such pairs per commit, count-matched
     * (n deletes and m inserts of the same row leave |n-m| survivors of the
     * majority kind, so true duplicate-row churn is preserved). One shuffle
-    * over the changelog OUTPUT — churn-bounded, never table-bounded. */
+    * over the changelog OUTPUT — churn-bounded, never table-bounded.
+    * Run BEFORE [[computeUpdates]]: update-typed rows are rejected at
+    * runtime (the count-matching would otherwise silently drop them).
+    * Requires group-able column types (no maps). */
   def removeCarryovers(changes: DataFrame): DataFrame = {
     val metaCols = Set(ChangeType, ChangeOrdinal, CommitSnapshotId)
     val dataCols = changes.columns.filterNot(metaCols).toSeq
     val pair = least(col("_ins"), col("_del"))
     changes
+      // loud guard: UPDATE_BEFORE/UPDATE_AFTER rows count as neither
+      // insert nor delete below and would vanish without a trace
+      .withColumn("_chk", assert_true(
+        col(ChangeType).isin(Insert, Delete),
+        lit("removeCarryovers requires plain INSERT/DELETE input — " +
+          "run it BEFORE computeUpdates"))).drop("_chk")
       .groupBy((dataCols :+ ChangeOrdinal :+ CommitSnapshotId).map(col): _*)
       .agg(
         sum(when(col(ChangeType) === Insert, 1L).otherwise(0L)).as("_ins"),
@@ -261,12 +303,20 @@ object Changes {
       .drop("_ins", "_del")
   }
 
+  /** Collapse a changelog to its NET effect per distinct row content: a
+    * row inserted then deleted inside the range (or carried over by a
+    * copy-on-write rewrite as a same-commit DELETE + INSERT pair) cancels
+    * out; surviving net copies keep the type and provenance of the row's
+    * LAST change. Accepts [[computeUpdates]] output too: UPDATE_AFTER
+    * counts as an insert and UPDATE_BEFORE as a delete. Requires
+    * group-able column types (no maps). */
   def net(changes: DataFrame): DataFrame = {
     val metaCols = Set(ChangeType, ChangeOrdinal, CommitSnapshotId)
     val dataCols = changes.columns.filterNot(metaCols).toSeq
     changes
       .withColumn("_delta",
-        when(col(ChangeType) === Insert, lit(1L)).otherwise(lit(-1L)))
+        when(col(ChangeType).isin(Insert, UpdateAfter), lit(1L))
+          .otherwise(lit(-1L)))
       .groupBy(dataCols.map(col): _*)
       .agg(sum(col("_delta")).as("_net"),
         max(struct(col(ChangeOrdinal), col(CommitSnapshotId))).as("_last"))

@@ -415,14 +415,32 @@ object Commits {
       // file gets a fresh base here
       val (newFiles2, m1) = assignRowIds(m, newFiles)
       val (seq, snapId) = nextIds(m1)
+      val found = scala.collection.mutable.HashSet[String]()
       val kept = currentManifests(table, m1).flatMap { mf =>
         val entries = table.readManifest(mf, m1.schema)
-        val keep = entries.filter(e => !deletedPaths.contains(e.file.path))
+        val keep = entries.filter { e =>
+          val dead = deletedPaths.contains(e.file.path)
+          if (dead) found += e.file.path
+          !dead
+        }
         if (keep.size == entries.size) Some(mf)
         else if (keep.isEmpty) None
         else Some(writeManifest(table, m1, mf.specId,
           keep.map(e => e.copy(status = EntryStatus.Existing)), snapId))
       }
+      // every replaced file must still be LIVE (reference BaseRewriteFiles /
+      // OverwriteFiles "Missing required files to delete"): a concurrent
+      // compaction or metadata-only DELETE removes files through
+      // data-content manifests — invisible to the delete-manifest check
+      // above — and silently skipping the absent path would re-add its
+      // carried-over rows from the rewrite output (duplicated or
+      // resurrected rows)
+      val missing = deletedPaths -- found
+      if (missing.nonEmpty) throw new ValidationException(
+        s"missing required files to delete (concurrently removed): " +
+        missing.take(3).mkString(", ") +
+        (if (missing.size > 3) s" … (${missing.size} total)" else "") +
+        "; retry against the current state")
       // manifests are per-spec: compaction outputs keep their GROUP's spec
       // (the partition tuple is spelled in that spec's field names), so a
       // spec-evolved table rewrites each generation under its own layout

@@ -37,6 +37,37 @@ class ChangesSpec extends SparkSpec {
     assert(ords === Map(0 -> snaps.head, 1 -> snaps.last))
   }
 
+  test("expiration horizon: pre-horizon state becomes the baseline INSERT batch") {
+    val t = fresh("horizon", docs(0 until 0))
+    GraftWrite.append(t, docs(0 until 4).coalesce(1)) // A — will be expired
+    GraftWrite.append(GraftTable.load(spark, tmp("horizon")),
+      docs(4 until 6).coalesce(1)) // B
+    Deletes.deleteByEquality(GraftTable.load(spark, tmp("horizon")),
+      Seq(1L).toDF("id")) // C
+    // expire A: ancestors() now truncates at B — a naive walk would seed
+    // the baseline with only B's appends, silently dropping A's rows from
+    // the changelog (or re-attributing them to C)
+    Commits.expireSnapshots(GraftTable.load(spark, tmp("horizon")),
+      olderThanMillis = System.currentTimeMillis() + 1000, retainLast = 2)
+    val t2 = GraftTable.load(spark, tmp("horizon"))
+    assert(t2.snapshots.size === 2, "fixture: A must be expired")
+    val ch = Changes.between(t2)
+    // replaying the changelog reconstructs the table exactly: horizon
+    // snapshot B's FULL state (A's rows + B's rows) as INSERT ordinal 0,
+    // then C's delete of id=1
+    val net = Changes.net(ch).select("id").as[Long].collect().sorted
+    assert(net.toSeq === GraftTable.load(spark, tmp("horizon"))
+      .toDF().select("id").as[Long].collect().sorted.toSeq)
+    val byType = ch.groupBy(col(Changes.ChangeType))
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    assert(byType("INSERT") === 6L, "baseline must carry ALL pre-horizon rows")
+    assert(byType("DELETE") === 1L)
+    // ordinals stay dense: baseline 0, delete commit 1
+    val ords = ch.select(col(Changes.ChangeOrdinal)).distinct()
+      .as[Int].collect().sorted
+    assert(ords.toSeq === Seq(0, 1))
+  }
+
   test("from is exclusive and must be an ancestor of to") {
     val t = fresh("range", docs(0 until 0))
     GraftWrite.append(t, docs(0 until 4).coalesce(1))

@@ -436,6 +436,25 @@ class MaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("delete files"))
   }
 
+  test("rewriteFiles refuses when a replaced file was concurrently removed") {
+    val loc = freshLoc("rw-missing")
+    val t = GraftTable.create(spark, loc, rows(4).schema)
+    GraftWrite.append(t, rows(4).coalesce(1))
+    GraftWrite.append(GraftTable.load(spark, loc), rows(4, 1).coalesce(1))
+    val t1 = GraftTable.load(spark, loc)
+    val victim = t1.newScan().planFiles().files.head.path
+    val staged = GraftWrite.writeFiles(t1, rows(4).coalesce(1))
+    // a concurrent metadata-only DELETE removes the victim through a DATA
+    // manifest — invisible to the newer-delete-manifest check; silently
+    // skipping the absent path would re-add its carried-over rows from
+    // the rewrite output (resurrection)
+    Commits.deleteByFilter(GraftTable.load(spark, loc),
+      Exprs.lt("id", 1000L)) // strict: covers whole files at this layout
+    val e = intercept[ValidationException](
+      Commits.rewriteFiles(GraftTable.load(spark, loc), Set(victim), staged))
+    assert(e.getMessage.contains("missing required files"))
+  }
+
   test("rowDelta refuses position deletes whose targets were rewritten away") {
     val loc = freshLoc("rd-conflict")
     val t = GraftTable.create(spark, loc, rows(4).schema)
