@@ -136,6 +136,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         su.updateColumnType(u.fieldNames().mkString("."), u.newDataType()); schemaChanged = true
       case n: TableChange.UpdateColumnNullability =>
         if (n.nullable()) { su.makeColumnOptional(n.fieldNames().mkString(".")); schemaChanged = true }
+        else throw new IllegalArgumentException(
+          "SET NOT NULL is not supported: existing files may already hold " +
+          "nulls in " + n.fieldNames().mkString(".") +
+          " (use SchemaUpdate.requireColumn with allowIncompatibleChanges " +
+          "from the library API to force it)")
       case p: TableChange.SetProperty => props += (p.property() -> p.value())
       case rm: TableChange.RemoveProperty => () // properties are additive here
       case other => throw new IllegalArgumentException(s"unsupported change $other")
@@ -147,9 +152,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = Paths.get(tableDir(ident))
-    if (!Files.exists(dir)) false
+    // only a REAL table directory may be dropped: an identifier that
+    // resolves to a namespace (or arbitrary) directory must answer false,
+    // not recursively delete everything under it
+    if (!Files.exists(dir) || !GraftTable.exists(dir.toString)) false
     else {
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      graft.format.LocalFileIO.deleteRecursive(dir.toString)
       true
     }
   }
@@ -164,12 +172,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Files.move(Paths.get(tableDir(oldIdent)), Paths.get(tableDir(target)))
   }
 
+  /** Drain a directory stream THEN close it — `Files.list`/`walk` hold an
+    * open directory fd until closed; a long-lived session issuing
+    * repeated SHOW TABLES would otherwise leak fds toward the ulimit. */
+  private def listing[A](s: java.util.stream.Stream[java.nio.file.Path])(
+      f: Iterator[java.nio.file.Path] => Iterator[A]): Seq[A] =
+    try f(s.iterator().asScala).toSeq finally s.close()
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = Paths.get((warehouse +: namespace.toSeq).mkString("/"))
     if (!Files.exists(dir)) throw new NoSuchNamespaceException(namespace)
-    Files.list(dir).iterator().asScala
-      .filter(p => GraftTable.exists(p.toString))
-      .map(p => Identifier.of(namespace, p.getFileName.toString)).toArray
+    listing(Files.list(dir))(_.filter(p => GraftTable.exists(p.toString))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))).toArray
   }
 
   // ---- functions: system.bucket / truncate / years / months / days / hours
@@ -226,9 +240,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listNamespaces(): Array[Array[String]] = {
     val root = Paths.get(warehouse)
     if (!Files.exists(root)) return Array.empty
-    Files.list(root).iterator().asScala.filter(Files.isDirectory(_))
+    listing(Files.list(root))(_.filter(Files.isDirectory(_))
       .filterNot(p => GraftTable.exists(p.toString))
-      .map(p => Array(p.getFileName.toString)).toArray
+      .map(p => Array(p.getFileName.toString))).toArray
   }
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces() else Array.empty
@@ -247,7 +261,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = Paths.get((warehouse +: namespace.toSeq).mkString("/"))
     if (!Files.exists(dir)) false
     else {
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      // SupportsNamespaces contract: without CASCADE a non-empty
+      // namespace must be REFUSED, not silently destroyed with every
+      // table in it
+      if (!cascade) {
+        val s = Files.list(dir)
+        val nonEmpty = try s.iterator().hasNext finally s.close()
+        if (nonEmpty) throw new org.apache.spark.sql.catalyst.analysis
+          .NonEmptyNamespaceException(
+            namespace, s"namespace ${namespace.mkString(".")} is not empty")
+      }
+      graft.format.LocalFileIO.deleteRecursive(dir.toString)
       true
     }
   }

@@ -82,7 +82,15 @@ final class GraftProcedures(resolve: String => GraftTable,
     in =>
       val t = resolve(str(in, 0))
       val prev = t.metadata.currentSnapshotId
-      snapshotPairRow(prev, Commits.rollbackTo(t, in.getLong(1)))
+      // the SAFE variant (reference RollbackToSnapshotProcedure): the
+      // target must be an ancestor of the current state — an arbitrary
+      // existing snapshot (staged WAP, divergent branch) is what
+      // set_current_snapshot is for
+      val target = in.getLong(1)
+      require(t.metadata.ancestors().exists(_.snapshotId == target),
+        s"snapshot $target is not an ancestor of the current state — " +
+        "use set_current_snapshot to move to an arbitrary snapshot")
+      snapshotPairRow(prev, Commits.rollbackTo(t, target))
   })
 
   private val rollbackToTimestamp = new Proc("rollback_to_timestamp",
@@ -231,8 +239,18 @@ final class GraftProcedures(resolve: String => GraftTable,
       StructField("deleted_data_files_count", IntegerType, nullable = false))))({
     in =>
       val t = resolve(str(in, 0))
+      // default retention = now − history.expire.max-snapshot-age-ms
+      // (5 days, the reference's default): a bare maintenance CALL must
+      // not wipe all time travel / rollback / changelog history — "now"
+      // is only what an EXPLICIT older_than asks for
       val olderThan =
-        if (in.isNullAt(1)) System.currentTimeMillis() else tsMillis(in, 1)
+        if (in.isNullAt(1)) {
+          val maxAge = t.metadata.properties
+            .get("history.expire.max-snapshot-age-ms")
+            .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+            .getOrElse(5L * 24 * 3600 * 1000)
+          System.currentTimeMillis() - maxAge
+        } else tsMillis(in, 1)
       val r = Actions.forTable(t).expireSnapshots(olderThan, in.getInt(2))
       Array(row(Int.box(r.expiredSnapshots), Int.box(r.deletedFiles)))
   })
@@ -335,6 +353,16 @@ final class GraftProcedures(resolve: String => GraftTable,
       val t = resolve(str(in, 0))
       val ZOrderSyntax = """(?i)zorder\s*\((.*)\)""".r
       val scope = parseWhere(t, str(in, 4))
+      // delete_file_threshold FORCES under-sized bins into the bin-pack
+      // rewrite; sorted/z-order rewrites are unconditional (every file in
+      // scope rewrites, deletes always materialize away), so combining
+      // the two is a contradiction — refuse rather than silently ignore
+      // the parameter
+      if (in.getInt(5) != Int.MaxValue && str(in, 3).trim.nonEmpty)
+        throw new IllegalArgumentException(
+          "delete_file_threshold applies to bin-pack compaction only; " +
+          "sorted/z-order rewrites are unconditional and always " +
+          "materialize deletes away")
       val r = str(in, 3).trim match {
         case "" =>
           // default stays bin-pack even when the table declares a

@@ -22,6 +22,9 @@ trait GraftViews extends ViewCatalog { self =>
 
   // supplied by GraftCatalog
   protected def viewWarehouse: String
+  /** This catalog's registered name — RENAME targets may arrive
+    * catalog-qualified, mirroring GraftCatalog.renameTable. */
+  def name(): String
 
   private def nsDir(ns: Array[String]) =
     Paths.get((viewWarehouse +: ns.toSeq).mkString("/"))
@@ -31,11 +34,13 @@ trait GraftViews extends ViewCatalog { self =>
   override def listViews(namespace: String*): Array[Identifier] = {
     val dir = nsDir(namespace.toArray)
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace.toArray)
-    Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".view.json"))
-      .map(p => Identifier.of(namespace.toArray,
-        p.getFileName.toString.stripSuffix(".view.json")))
-      .toArray.sortBy(_.name())
+    val s = Files.list(dir) // close the stream: it holds an open dir fd
+    val names =
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".view.json"))
+        .map(_.getFileName.toString.stripSuffix(".view.json")).toSeq
+      finally s.close()
+    names.map(Identifier.of(namespace.toArray, _)).toArray.sortBy(_.name())
   }
 
   override def viewExists(ident: Identifier): Boolean =
@@ -92,7 +97,15 @@ trait GraftViews extends ViewCatalog { self =>
   override def dropView(ident: Identifier): Boolean =
     Files.deleteIfExists(viewFile(ident))
 
-  override def renameView(from: Identifier, to: Identifier): Unit = {
+  override def renameView(from: Identifier, to0: Identifier): Unit = {
+    // RENAME TO targets may arrive catalog-qualified (same contract as
+    // GraftCatalog.renameTable): strip our own leading catalog name, or
+    // `ALTER VIEW c.db.v RENAME TO c.db.v2` resolves into the bogus
+    // namespace [c, db]
+    val to =
+      if (to0.namespace().headOption.contains(name()))
+        Identifier.of(to0.namespace().drop(1), to0.name())
+      else to0
     if (!viewExists(from)) throw new NoSuchViewException(from)
     if (viewExists(to)) throw new ViewAlreadyExistsException(to)
     if (!Files.isDirectory(nsDir(to.namespace())))

@@ -718,6 +718,15 @@ object Commits {
     val snap = m0.snapshot(snapshotId)
       .getOrElse(throw new IllegalArgumentException(s"no snapshot $snapshotId"))
     require(snap.operation == "append", "can only cherry-pick append snapshots")
+    // duplicate-publish guard (reference WapUtil/duplicate-commit check):
+    // the published-wap-id marker written below is CONSULTED here — a
+    // retried publish_changes/cherrypick_snapshot would otherwise append
+    // the same staged files a second time, duplicating every row
+    val marker = snap.summary.getOrElse("wap.id", snapshotId.toString)
+    if (m0.ancestors().exists(
+        _.summary.get("published-wap-id").contains(marker)))
+      throw new ValidationException(
+        s"snapshot $snapshotId (wap id '$marker') was already published")
     val added = table.readManifestList(m0, snap)
       .filter(_.addedSnapshotId == snapshotId)
       .flatMap(mf => table.readManifest(mf, m0.schema))

@@ -266,6 +266,12 @@ object GraftWrite {
   def importTable(spark: org.apache.spark.sql.SparkSession, location: String,
       dataPath: String, properties: Map[String, String],
       format: String): GraftTable = {
+    // the target must not already be a live table: the import wipes
+    // `location` before writing fresh metadata, and silently destroying
+    // an existing table from a CALL/typo is never right
+    require(!GraftTable.exists(location),
+      s"table location $location already holds a graft table — " +
+      "refusing to overwrite it (drop it first to re-import)")
     // scheme-aware listing (FileIO seam): imports work off hdfs/object
     // stores the same as local dirs; a single-file path lists itself
     val files = FileIO.forPath(dataPath)

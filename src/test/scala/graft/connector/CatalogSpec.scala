@@ -430,4 +430,50 @@ class CatalogSpec extends SparkSpec {
     assert(!spark.sql("SHOW TABLES IN g.db").collect()
       .exists(_.getString(1) == "listed"))
   }
+
+  test("DROP NAMESPACE without CASCADE refuses a non-empty namespace") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.dropns")
+    spark.sql("CREATE TABLE g.dropns.keepme (id BIGINT)")
+    spark.sql("INSERT INTO g.dropns.keepme VALUES (1)")
+    val e = intercept[Exception](spark.sql("DROP NAMESPACE g.dropns"))
+    // Spark surfaces the catalog's NonEmptyNamespaceException as
+    // SCHEMA_NOT_EMPTY
+    assert(e.getMessage.toLowerCase.contains("contains objects") ||
+      e.getMessage.toLowerCase.contains("not empty"), s"got: $e")
+    // the table (and its data) must be untouched by the refused drop
+    assert(spark.sql("SELECT * FROM g.dropns.keepme").count() == 1)
+    // CASCADE is the explicit opt-in
+    spark.sql("DROP NAMESPACE g.dropns CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN g").collect()
+      .exists(_.getString(0) == "dropns"))
+  }
+
+  test("dropTable on a namespace directory answers false, never deletes it") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.guardns")
+    spark.sql("CREATE TABLE g.guardns.inner (id BIGINT)")
+    spark.sql("INSERT INTO g.guardns.inner VALUES (7)")
+    val c = spark.sessionState.catalogManager.catalog("g")
+      .asInstanceOf[GraftCatalog]
+    // an identifier resolving to the NAMESPACE directory (not a table)
+    val bogus = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty[String], "guardns")
+    assert(!c.dropTable(bogus), "a non-table directory must answer false")
+    assert(spark.sql("SELECT * FROM g.guardns.inner").count() == 1,
+      "the namespace and its tables must survive")
+  }
+
+  test("ALTER COLUMN SET NOT NULL is refused, not silently ignored") {
+    wh
+    spark.sql("CREATE TABLE g.db.nn (id BIGINT, v STRING)")
+    // Spark's analyzer refuses before the catalog sees it; the catalog's
+    // own guard (this round) covers direct TableCatalog API callers
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE g.db.nn ALTER COLUMN v SET NOT NULL"))
+    assert(e.getMessage.contains("SET NOT NULL") ||
+      e.getMessage.contains("non-nullable"), s"got: $e")
+    // DROP NOT NULL (make optional) still works
+    spark.sql("ALTER TABLE g.db.nn ALTER COLUMN v DROP NOT NULL")
+  }
 }

@@ -80,6 +80,65 @@ class ProcedureSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM gp.db.$t").count() == 2)
   }
 
+  test("publish_changes refuses a second publish of the same wap id") {
+    val t = fresh(1)
+    val gt = GraftTable.load(spark, s"$wh/db/$t")
+    import spark.implicits._
+    val files = GraftWrite.writeFiles(gt,
+      Seq((200L, "once")).toDF("id", "v").coalesce(1))
+    Commits.stageAppend(gt, files, wapId = "audit-10")
+    spark.sql(s"CALL gp.system.publish_changes('db.$t', 'audit-10')").collect()
+    assert(spark.sql(s"SELECT * FROM gp.db.$t").count() == 2)
+    // a retried CALL (client timeout, at-least-once runner) must NOT
+    // append the staged files again
+    val e = intercept[Exception](
+      spark.sql(s"CALL gp.system.publish_changes('db.$t', 'audit-10')").collect())
+    assert(e.getMessage.contains("already published"), s"got: $e")
+    assert(spark.sql(s"SELECT * FROM gp.db.$t").count() == 2)
+  }
+
+  test("rollback_to_snapshot requires an ancestor; set_current_snapshot does not") {
+    val t = fresh(1)
+    val gt = GraftTable.load(spark, s"$wh/db/$t")
+    import spark.implicits._
+    val files = GraftWrite.writeFiles(gt,
+      Seq((300L, "staged")).toDF("id", "v").coalesce(1))
+    val (_, stagedId) = Commits.stageAppend(gt, files, wapId = "nope")
+    // the staged snapshot EXISTS but is not an ancestor of current
+    val e = intercept[Exception](spark.sql(
+      s"CALL gp.system.rollback_to_snapshot('db.$t', $stagedId)").collect())
+    assert(e.getMessage.contains("not an ancestor"), s"got: $e")
+    // the explicit any-snapshot variant still reaches it
+    spark.sql(
+      s"CALL gp.system.set_current_snapshot('db.$t', $stagedId)").collect()
+    // the staged snapshot carries base + staged rows
+    assert(spark.sql(s"SELECT * FROM gp.db.$t").count() == 2)
+  }
+
+  test("bare expire_snapshots keeps recent history (5-day default window)") {
+    val t = fresh(3)
+    assert(snapshotIds(t).size == 3)
+    val out = spark.sql(
+      s"CALL gp.system.expire_snapshots('db.$t')").collect()
+    // every snapshot is younger than the 5-day default retention — a bare
+    // maintenance call must not wipe time travel / rollback history
+    assert(out.head.getInt(0) == 0, "no snapshot may expire")
+    assert(snapshotIds(t).size == 3)
+  }
+
+  test("import_table refuses to overwrite an existing table") {
+    val t = fresh(1)
+    val src = Files.createTempDirectory("graft-imp-src").toString
+    spark.range(3).selectExpr("id", "'x' AS v").coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    val e = intercept[Exception](spark.sql(
+      s"CALL gp.system.import_table(table => 'db.$t', source_path => '$src')")
+      .collect())
+    assert(e.getMessage.contains("refusing to overwrite"), s"got: $e")
+    assert(spark.sql(s"SELECT * FROM gp.db.$t").count() == 1,
+      "existing table must be untouched")
+  }
+
   test("expire_snapshots with named args honors defaults and deletes files") {
     val t = fresh(3)
     // overwrite so older append files become unreferenced, then expire
