@@ -1787,6 +1787,10 @@ private[connector] final class WeightedLruCache[V <: AnyRef](maxWeight: Long)(we
   private[connector] def entryCount: Int = synchronized(lru.size())
   private[connector] def currentWeight: Long = synchronized(weight)
   private[connector] def contains(key: String): Boolean = values.containsKey(key)
+  private[connector] def keys: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    values.keySet().asScala.toSeq
+  }
 }
 
 /** Per-executor cache of loaded equality-delete key sets: many tasks of one

@@ -145,17 +145,28 @@ final class Actions(t: GraftTable) {
     // live row-level deletes must be APPLIED during the rewrite (reference
     // RowDataRewriter reads through its delete filter): rewritten files get
     // a newer sequence number, so un-applied equality deletes would stop
-    // matching and position deletes would orphan with the old paths
+    // matching and position deletes would orphan with the old paths.
+    // Each bin ships only the delete state that can REACH its files — a
+    // per-partition MoR table at 100 TB carries one delete set per
+    // partition, and an unscoped plan loads EVERY partition's sets on every
+    // executor (O(table deletes) per task instead of O(bin deletes)).
     val posDeleteFiles = plan.deleteFiles
       .filter(_._1.content == FileContent.PositionDeletes).map(_._1)
-    val posDeletePaths = posDeleteFiles
-      .filterNot(_.fileFormat == FileFormats.Puffin)
-      .map(_.path).distinct.sorted
-    val posDvs = Dvs.slicesOf(posDeleteFiles)
-    // grouped by file-side key names too (Deletes.eqKeyFileNames): delete
-    // files staged before a key rename carry the old column names
-    val eqDeletes: Seq[(Long, graft.connector.DeleteKeySource)] = plan.deleteFiles
+      .distinctBy(f => (f.path, f.referencedDataFile))
+    val hadoopConf = t.spark.sessionState.newHadoopConf()
+    // canonical data path → the parquet pos-delete files that can hold its
+    // positions (manifest metadata; only legacy files pay a cached read)
+    val posIdx = Deletes.posIndex(posDeleteFiles, hadoopConf)
+    val dvByTarget: Map[String, Seq[DvSlice]] =
+      Dvs.slicesOf(posDeleteFiles).groupBy(_.referenced)
+    val eqEntries = plan.deleteFiles
       .filter(_._1.content == FileContent.EqualityDeletes)
+    // grouped by file-side key names too (Deletes.eqKeyFileNames): delete
+    // files staged before a key rename carry the old column names. Sorted
+    // path lists keep the executor DeleteKeyCache key stable, so groups
+    // scoped to the same entries share one loaded set per executor.
+    def eqSources(entries: Seq[(DataFile, Long)])
+        : Seq[(Long, graft.connector.DeleteKeySource)] = entries
       .groupBy(d => (d._1.equalityIds, d._2,
         Deletes.eqKeyFileNames(m.schemas, schema, d._1))).toSeq
       .map { case ((ids, seq, fileNames), group) =>
@@ -164,7 +175,17 @@ final class Actions(t: GraftTable) {
           names.map(schema.fieldIndex).toArray, names, fileNames,
           names.map(n => Types.cleanType(schema(n).dataType)),
           group.map(_._1.path).distinct.sorted)
-      }
+      }.sortBy(_._1)
+    // per-(spec, partition) equality scoping, memoized across groups (the
+    // scan path's Deletes.eqDeleteCanHit semantics); the per-file bounds
+    // refinement below is capped like the scan's linear sweep — above the
+    // cap, partition scoping alone still bounds the shipped sets
+    val EqScopeBoundsCap = 1024
+    val eqScopeCache = scala.collection.mutable.HashMap[
+      (Int, Map[String, Any]), Seq[(DataFile, Long)]]()
+    def eqEntriesFor(specId: Int, partition: Map[String, Any]) =
+      eqScopeCache.getOrElseUpdate((specId, partition), eqEntries.filter(d =>
+        Deletes.eqDeleteCanHit(d._1.specId, d._1.partition, specId, partition)))
 
     // plan bins driver-side; only BinTasks ship to executors
     var binId = 0
@@ -214,6 +235,16 @@ final class Actions(t: GraftTable) {
               .map { case (p, _, v) => (ord, p, v) }
           case _ => Nil
         }
+      // equality sets this group's partition can see, refined by per-file
+      // key-range overlap when the set count is sweepable
+      val scopedEq0 = eqEntriesFor(tasks.head.file.specId, partition)
+      val scopedEq =
+        if (scopedEq0.size > EqScopeBoundsCap) scopedEq0
+        else scopedEq0.filter { case (d, dseq) =>
+          tasks.exists(ts => dseq > ts.sequenceNumber &&
+            Deletes.eqBoundsCanHit(d, ts.file, schema))
+        }
+      val groupEq = eqSources(scopedEq)
       val seqByPath = tasks.map(ts => ts.file.path -> ts.sequenceNumber).toMap
       val fmtByPath = tasks.map(ts => ts.file.path -> ts.file.fileFormat).toMap
       val linByPath: Map[String, Long] = tasks.map(ts =>
@@ -232,9 +263,13 @@ final class Actions(t: GraftTable) {
           deletePressure.getOrElse(ParquetIO.canonPath(p), 0) >=
             deleteFileThreshold)
       bins.filter(b => b.size >= minInputFiles || pressured(b)).foreach { bin =>
+        // position deletes attach per data file: ship only the bin's
+        val binCanon = bin.map(ParquetIO.canonPath)
+        val binPos = binCanon.flatMap(posIdx).distinct.sorted
+        val binDvs = binCanon.flatMap(c => dvByTarget.getOrElse(c, Nil))
         binTasks += BinTask(binId, bin, bin.map(seqByPath), readSchema,
           f"$staging/bin-$binId%05d.$outFormat",
-          posDeletePaths, posDvs, eqDeletes, fill, nestedFill,
+          binPos, binDvs, groupEq, fill, nestedFill,
           bin.map(fmtByPath), outFormat,
           lineage = if (lineageOn) bin.map(linByPath) else Nil)
         binMeta(binId) = (partition, schemaId, tasks.head.file.specId)
@@ -614,47 +649,89 @@ final class Actions(t: GraftTable) {
     val canon = udf((s: String) => ParquetIO.canonPath(s))
     val dataSeq = udf((s: String) => seqOf.value.getOrElse(ParquetIO.canonPath(s), Long.MaxValue))
 
+    // the (file, pos) pairs one delete group suppresses among `scoped`
+    def suppressedFor(ids: Seq[Int], group: Seq[(DataFile, Long)],
+        scoped: Seq[FileScanTask]): org.apache.spark.sql.DataFrame = {
+      val names = ids.map(id => FieldIds.findById(schema, id).get.name)
+      // newest delete wins per key: a data row is suppressed iff some
+      // eq row with equal keys carries a NEWER sequence. Each delete
+      // file reads under its STAGED names (pre-rename files carry the
+      // old column names) and aliases back to the current ones.
+      val del = group.map { case (f, seq) =>
+        val fileNames = Deletes.eqKeyFileNames(m.schemas, schema, f)
+        spark.read.parquet(f.path).select(fileNames.map(col): _*)
+          .toDF(names: _*)
+          .withColumn("_eq_seq", lit(seq))
+      }.reduce(_ unionByName _)
+        .groupBy(names.map(col): _*).agg(max(col("_eq_seq")).as("_eq_seq"))
+      // candidates grouped by writer schema so renamed key columns
+      // resolve by field id; promoted leaves cast up to the table type
+      scoped.groupBy(_.file.schemaId).toSeq.sortBy(_._1).map {
+        case (schemaId, tasks) =>
+          val fileSchema = m.schemas.getOrElse(schemaId, schema)
+          val pairs = ids.map { id =>
+            val tf = FieldIds.findById(schema, id).get
+            val ff = FieldIds.findById(fileSchema, id).getOrElse(tf)
+            (ff.name, tf.name, Types.cleanType(tf.dataType))
+          }
+          val data = spark.read
+            .schema(Types.cleanType(fileSchema)
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+            .parquet(tasks.map(_.file.path): _*)
+            .select(pairs.map { case (fn, tn, dt) =>
+              col(fn).cast(dt).as(tn) } :+
+              col("_metadata.file_path").as("_g_file") :+
+              col("_metadata.row_index").as("_g_pos"): _*)
+          val cond = names.map(n => data(n) <=> del(n)).reduce(_ && _)
+          data.join(del, cond, "inner")
+            .filter(dataSeq(col("_g_file")) < col("_eq_seq"))
+            .select(canon(col("_g_file")).as("file_path"),
+              col("_g_pos").as("pos"))
+      }.reduce(_ unionByName _)
+    }
+
     val suppressed: Seq[org.apache.spark.sql.DataFrame] =
-      eqFiles.groupBy(_._1.equalityIds).toSeq.sortBy(_._1.mkString(",")).map {
+      eqFiles.groupBy(_._1.equalityIds).toSeq.sortBy(_._1.mkString(",")).flatMap {
         case (ids, group) =>
-          val names = ids.map(id => FieldIds.findById(schema, id).get.name)
-          // newest delete wins per key: a data row is suppressed iff some
-          // eq row with equal keys carries a NEWER sequence. Each delete
-          // file reads under its STAGED names (pre-rename files carry the
-          // old column names) and aliases back to the current ones.
-          val del = group.map { case (f, seq) =>
-            val fileNames = Deletes.eqKeyFileNames(m.schemas, schema, f)
-            spark.read.parquet(f.path).select(fileNames.map(col): _*)
-              .toDF(names: _*)
-              .withColumn("_eq_seq", lit(seq))
-          }.reduce(_ unionByName _)
-            .groupBy(names.map(col): _*).agg(max(col("_eq_seq")).as("_eq_seq"))
-          // candidates grouped by writer schema so renamed key columns
-          // resolve by field id; promoted leaves cast up to the table type
-          candidates.groupBy(_.file.schemaId).toSeq.sortBy(_._1).map {
-            case (schemaId, tasks) =>
-              val fileSchema = m.schemas.getOrElse(schemaId, schema)
-              val pairs = ids.map { id =>
-                val tf = FieldIds.findById(schema, id).get
-                val ff = FieldIds.findById(fileSchema, id).getOrElse(tf)
-                (ff.name, tf.name, Types.cleanType(tf.dataType))
+          // candidate prefilter — skip data files no delete in this group
+          // can reach (the join + sequence gate keep exact semantics; this
+          // only cuts the files READ). Exact per-pair sweep (partition
+          // scoping + key-range overlap) under a product cap; above it, a
+          // scope-bucket check: candidates hit by a partition-global
+          // delete, their own partition's newest delete, or any cross-spec
+          // tupled delete (conservative — tuples aren't comparable there).
+          val scoped =
+            if (candidates.size.toLong * group.size <= 4_000_000L)
+              candidates.filter(ts => group.exists { case (f, dseq) =>
+                dseq > ts.sequenceNumber &&
+                  Deletes.eqDeleteCanHit(f.specId, f.partition,
+                    ts.file.specId, ts.file.partition) &&
+                  Deletes.eqBoundsCanHit(f, ts.file, schema)
+              })
+            else {
+              val tupled = group.filter(_._1.partition.nonEmpty)
+              val globalMax = group.collect {
+                case (f, s) if f.partition.isEmpty => s }.maxOption
+              val scopeMax = tupled.groupBy(d => (d._1.specId, d._1.partition))
+                .map { case (k, g) => k -> g.map(_._2).max }
+              val crossMax = tupled.map(_._2).maxOption
+              candidates.filter { ts =>
+                def newer(s: Option[Long]) = s.exists(_ > ts.sequenceNumber)
+                newer(globalMax) ||
+                  newer(scopeMax.get((ts.file.specId, ts.file.partition))) ||
+                  (newer(crossMax) &&
+                    tupled.exists(d => d._1.specId != ts.file.specId &&
+                      d._2 > ts.sequenceNumber))
               }
-              val data = spark.read
-                .schema(Types.cleanType(fileSchema)
-                  .asInstanceOf[org.apache.spark.sql.types.StructType])
-                .parquet(tasks.map(_.file.path): _*)
-                .select(pairs.map { case (fn, tn, dt) =>
-                  col(fn).cast(dt).as(tn) } :+
-                  col("_metadata.file_path").as("_g_file") :+
-                  col("_metadata.row_index").as("_g_pos"): _*)
-              val cond = names.map(n => data(n) <=> del(n)).reduce(_ && _)
-              data.join(del, cond, "inner")
-                .filter(dataSeq(col("_g_file")) < col("_eq_seq"))
-                .select(canon(col("_g_file")).as("file_path"),
-                  col("_g_pos").as("pos"))
-          }.reduce(_ unionByName _)
+            }
+          if (scoped.isEmpty) Nil else Seq(suppressedFor(ids, group, scoped))
       }
-    if (suppressed.isEmpty) return RewriteResult(0, 0)
+    if (suppressed.isEmpty) {
+      // live deletes, but nothing left they can suppress — dropping them
+      // is still the correct conversion
+      Commits.rewriteFiles(t, eqFiles.map(_._1.path).toSet, Nil)
+      return RewriteResult(eqFiles.size, 0)
+    }
     val positions = suppressed.reduce(_ unionByName _).dropDuplicates("file_path", "pos")
     // v3 tables convert straight to deletion vectors; v2 stages sorted
     // parquet position-delete files
@@ -716,10 +793,11 @@ final class Actions(t: GraftTable) {
     val io = t.ops.io
     val metadataDir = s"${t.location}/metadata"
     val codec = MetaCodec.codecFor(m.properties)
-    // the id-resolution schema manifest JSON round-trips through (same
-    // choice as GraftTable.readManifest: the schema with the widest id set)
-    val idSchema = m.schemas.toSeq.map(_._2).reduceLeft((a, b) =>
-      if (FieldIds.maxId(b) > FieldIds.maxId(a)) b else a)
+    // promotion-safe id-resolution schema (same pick as
+    // GraftTable.readManifest): the stale widest-id-only copy here decoded
+    // post-promotion 8-byte bounds through the 4-byte branch AND re-encoded
+    // the truncated values — permanent bounds corruption on rewrite
+    val idSchema = FieldIds.idResolutionSchema(m.schemas)
     val sc = t.spark.sparkContext
 
     val newManifests: Seq[ManifestFile] =

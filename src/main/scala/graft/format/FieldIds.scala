@@ -93,6 +93,19 @@ object FieldIds {
   def typeById(st: StructType): Map[Int, DataType] =
     st.fields.map(f => idOf(f) -> f.dataType).toMap
 
+  /** THE id-resolution schema manifest bytes round-trip through: widest id
+    * coverage, LATEST schema on ties (a pure type promotion adds no ids),
+    * each atomic field's type overlaid with its latest committed one (the
+    * widest-id pick may predate a promotion when a later schema dropped
+    * the max-id column). Every manifest decode/encode site must use THIS
+    * helper — a stale local copy of the pick decoded post-promotion 8-byte
+    * bounds through a 4-byte branch (silent truncation past 2^31), and
+    * rewriteManifests then re-encoded the corrupted bounds permanently. */
+  def idResolutionSchema(schemas: Map[Int, StructType]): StructType = {
+    val base = schemas.toSeq.maxBy { case (sid, st) => (maxId(st), sid) }._2
+    overlayLatestTypes(base, schemas.toSeq.sortBy(_._1).map(_._2))
+  }
+
   /** Overlay each id-bearing ATOMIC field's latest committed type onto
     * `base` — decode-schema safety across type promotions: the schema
     * picked for id coverage may predate an int→long / float→double

@@ -766,20 +766,10 @@ final class GraftTable(val ops: TableOps, val spark: SparkSession) {
   private[format] def readManifest(mf: ManifestFile, schema: StructType): Seq[ManifestEntry] = {
     val m = metadata
     val types = partTypesOf(m)(mf.specId).toMap
-    // id-resolution schema: widest id coverage, LATEST schema on ties — a
-    // pure type promotion adds no ids, and decoding with the pre-promotion
-    // schema would hand planning narrow-typed bounds that mis-compare
-    // against the current type's ordering. The tie-break alone is not
-    // enough when a LATER schema dropped the max-id column (the base pick
-    // regresses to a pre-promotion schema), so each field's type is then
-    // overlaid with its latest committed type — 8-byte post-promotion
-    // bounds must never decode through a 4-byte branch
-    val idSchema = {
-      val base = m.schemas.toSeq
-        .maxBy { case (sid, st) => (FieldIds.maxId(st), sid) }._2
-      FieldIds.overlayLatestTypes(base,
-        m.schemas.toSeq.sortBy(_._1).map(_._2))
-    }
+    // promotion-safe pick shared by every manifest decode/encode site —
+    // 8-byte post-promotion bounds must never decode through a 4-byte
+    // branch (see FieldIds.idResolutionSchema)
+    val idSchema = FieldIds.idResolutionSchema(m.schemas)
     TableScan.cachedManifest((mf.path, idSchema, types),
       MetaCodec.readManifest(ops.io.readBytes(mf.path), idSchema, types))
   }

@@ -201,10 +201,10 @@ object MetaTables {
   private[graft] def readSpec(t: GraftTable, manifests: Seq[ManifestFile],
       filesOnly: Boolean): ManifestReadSpec = {
     val m = t.metadata
-    // the id-resolution schema manifests round-trip through: the one with
-    // the widest id set (same choice as GraftTable.readManifest)
-    val idSchema = m.schemas.toSeq.map(_._2).reduceLeft((a, b) =>
-      if (FieldIds.maxId(b) > FieldIds.maxId(a)) b else a)
+    // promotion-safe id-resolution schema (same pick as
+    // GraftTable.readManifest — a stale narrow-type copy here decoded
+    // post-promotion 8-byte bounds through the 4-byte branch)
+    val idSchema = FieldIds.idResolutionSchema(m.schemas)
     val typesBySpec = manifests.map(_.specId).distinct
       .map(id => id -> t.partTypesOf(m)(id).toMap).toMap
     ManifestReadSpec(t.ops.io, idSchema, typesBySpec, filesOnly)

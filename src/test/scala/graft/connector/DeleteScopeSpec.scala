@@ -486,4 +486,59 @@ class DeleteScopeSpec extends SparkSpec {
     }
     assert(t.toDF().count() === 40L - n)
   }
+
+  test("compaction bins ship only their partition's delete sets") {
+    val loc = freshLoc("scope-compact")
+    val df = (0L until 80L).map(i => (i % 2, i, s"v$i")).toDF("grp", "id", "v")
+    val t0 = GraftTable.create(spark, loc, df.schema, _.identity("grp"))
+    // two appends → two files per partition (so bins merge per partition)
+    GraftWrite.append(t0, df.filter(col("id") < 40).repartition(1))
+    GraftWrite.append(GraftTable.load(spark, loc),
+      df.filter(col("id") >= 40).repartition(1))
+    // keys determine the partition → one PARTITION-SCOPED eq file per grp
+    Deletes.deleteByEquality(GraftTable.load(spark, loc),
+      Seq((0L, 4L), (1L, 9L)).toDF("grp", "id"))
+    // plus one single-target position-delete file per data file
+    // hits both parities → position deletes exist in both partitions
+    deletePerFile(GraftTable.load(spark, loc),
+      col("id") % 10 === 6 || col("id") % 10 === 7)
+    val before = GraftTable.load(spark, loc).newScan().planFiles()
+    val eqByGrp: Map[Any, Seq[String]] = before.deleteFiles
+      .filter(_._1.content == FileContent.EqualityDeletes).map(_._1)
+      .groupBy(_.partition("grp")).map { case (g, fs) => g -> fs.map(_.path) }
+    assert(eqByGrp.size === 2 && eqByGrp.values.forall(_.size == 1))
+    val posByGrp: Map[Long, Set[String]] = before.deleteFiles
+      .filter(_._1.content == FileContent.PositionDeletes).map(_._1)
+      .groupBy(d => ParquetIO.canonPath(d.referencedDataFile.get))
+      .map { case (target, fs) =>
+        val task = before.tasks.find(ts =>
+          ParquetIO.canonPath(ts.file.path) == target).get
+        task.file.partition("grp").asInstanceOf[Long] -> fs.map(_.path).toSet
+      }.groupBy(_._1).map { case (g, m) => g -> m.values.flatten.toSet }
+    val res = Actions.forTable(GraftTable.load(spark, loc))
+      .rewriteDataFiles(minInputFiles = 2)
+    assert(res.rewrittenFiles === 4 && res.addedFiles === 2)
+    // correctness: both delete kinds applied during the rewrite
+    val expected = (0L until 80L)
+      .filterNot(i => i == 4L || i == 9L || i % 10 == 6 || i % 10 == 7)
+    assert(GraftTable.load(spark, loc).toDF()
+      .select("id").as[Long].collect().sorted.toSeq === expected)
+    // hygiene: every delete file became dangling with the rewrite
+    assert(GraftTable.load(spark, loc).newScan().planFiles()
+      .deleteFiles.isEmpty)
+    // the scoping itself, pinned through the executor caches: no loaded
+    // key set or position set may MIX the two partitions' delete files —
+    // an unscoped plan ships every partition's sets to every bin
+    val eq0 = eqByGrp(0L).head
+    val eq1 = eqByGrp(1L).head
+    val eqKeys = DeleteKeyCache.cache.keys
+    assert(eqKeys.exists(_.contains(eq0)) && eqKeys.exists(_.contains(eq1)),
+      "compaction must have loaded both partitions' key sets")
+    assert(!eqKeys.exists(k => k.contains(eq0) && k.contains(eq1)),
+      "a bin task loaded BOTH partitions' eq-delete sets — unscoped plan")
+    val posKeys = PosDeleteCache.cache.keys
+    for (p0 <- posByGrp(0L); p1 <- posByGrp(1L))
+      assert(!posKeys.exists(k => k.contains(p0) && k.contains(p1)),
+        "a bin task loaded BOTH partitions' position deletes — unscoped plan")
+  }
 }

@@ -181,6 +181,35 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.toDF().count() == 5)
   }
 
+  test("rewriteManifests keeps post-promotion 8-byte bounds exact") {
+    val loc = freshLoc("rwm-promo")
+    val df0 = (0 until 5).map(i => (i, s"a-$i")).toDF("k", "data") // k INT
+    val t0 = GraftTable.create(spark, loc, df0.schema,
+      properties = Map(Commits.ManifestMinMergeCount -> "100"))
+    GraftWrite.append(t0, df0.coalesce(1))
+    // PURE promotion: no new field ids, so the widest-id schema pick TIES
+    // between the pre- and post-promotion schemas — the stale
+    // rewriteManifests copy resolved the tie to the narrow one
+    SchemaUpdate(GraftTable.load(spark, loc))
+      .updateColumnType("k", org.apache.spark.sql.types.LongType).commit()
+    val big = 3000000000L // > Int.MaxValue: the 8-byte bound decodes to a
+                          // NEGATIVE int through a 4-byte branch
+    GraftWrite.append(GraftTable.load(spark, loc),
+      Seq((big, "big-0"), (big + 7, "big-1")).toDF("k", "data").coalesce(1))
+    val written = Actions.forTable(GraftTable.load(spark, loc))
+      .rewriteManifests(entriesPerManifest = 100)
+    assert(written >= 1)
+    val t = GraftTable.load(spark, loc)
+    // bounds survived the decode→re-encode round trip: metrics pruning
+    // still plans exactly the big-value file (pre-fix the rewrite stamped
+    // it with truncated negative bounds and this filter pruned it away)
+    val plan = t.newScan().filter(Exprs.equal("k", big)).planFiles()
+    assert(plan.tasks.size === 1,
+      s"big-value file lost to corrupted bounds: ${plan.tasks.size} tasks")
+    assert(t.newScan().filter(Exprs.equal("k", big)).toDF().count() === 1)
+    assert(t.toDF().count() === 7)
+  }
+
   test("rewriteManifests runs entry processing as executor tasks (RewriteManifestsAction:186-246)") {
     val loc = freshLoc("rwmdist")
     val t = GraftTable.create(spark, loc, rows(1).schema, _.day("ts"),
