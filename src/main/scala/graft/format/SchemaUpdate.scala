@@ -144,6 +144,7 @@ final case class SchemaUpdate(table: GraftTable) {
 
   def deleteColumn(name: String): SchemaUpdate = {
     val path = split(name)
+    deletedPaths = deletedPaths :+ path
     ops = ops :+ { st: StructType =>
       atPath(st, path.init) { s =>
         require(s.fieldNames.contains(path.last), s"no column $name")
@@ -152,6 +153,30 @@ final case class SchemaUpdate(table: GraftTable) {
     }
     this
   }
+
+  private var deletedPaths: Seq[Seq[String]] = Nil
+
+  /** Field ids the queued deletes would remove (the named fields plus, for
+    * struct columns, everything nested under them); paths that no longer
+    * resolve are left to the ops' own "no column" error. */
+  private def deletedIds(schema: StructType): Set[Int] =
+    deletedPaths.flatMap { path =>
+      def walk(st: StructType, p: Seq[String]): Option[StructField] =
+        st.fields.find(_.name == p.head).flatMap { f =>
+          if (p.tail.isEmpty) Some(f)
+          else f.dataType match {
+            case s: StructType => walk(s, p.tail)
+            case _ => None
+          }
+        }
+      walk(schema, path).toSeq.flatMap { f =>
+        val nested = f.dataType match {
+          case s: StructType => FieldIds.allIds(s)
+          case _ => Set.empty[Int]
+        }
+        nested + FieldIds.idOf(f)
+      }
+    }.toSet
 
   def moveFirst(name: String): SchemaUpdate = move(name, _ => 0)
   def moveAfter(name: String, after: String): SchemaUpdate = {
@@ -193,8 +218,37 @@ final case class SchemaUpdate(table: GraftTable) {
       case _ => false
     }
 
-  def commit(): TableMetadata =
+  def commit(): TableMetadata = {
+    // live equality deletes keyed on a to-be-deleted column would make the
+    // scan unable to resolve the key against current rows — refuse up
+    // front with an actionable message (one metadata read, outside the
+    // retry loop; the rare concurrent-stage race still fails loudly at
+    // scan time via the key-resolution guard)
+    if (deletedPaths.nonEmpty) {
+      val ids = deletedIds(table.metadata.schema)
+      if (ids.nonEmpty) {
+        val keyed = table.newScan().planFiles().deleteFiles
+          .filter(_._1.content == FileContent.EqualityDeletes)
+          .filter(_._1.equalityIds.exists(ids))
+        require(keyed.isEmpty,
+          s"cannot delete column(s): ${keyed.map(_._1.path).distinct.size} " +
+          "live equality-delete files key on them — run " +
+          "rewrite_equality_deletes (or compact) first")
+      }
+    }
     table.ops.commitTransaction { m =>
+      // a field referenced by ANY registered partition spec cannot be
+      // deleted (reference SchemaUpdate): partTypesOf resolves every
+      // spec source on EVERY manifest read, so committing this would
+      // make the table permanently unreadable
+      val delIds = deletedIds(m.schema)
+      if (delIds.nonEmpty) m.specs.values.foreach { sp =>
+        sp.fields.find(pf => delIds(pf.sourceId)).foreach { pf =>
+          throw new IllegalArgumentException(
+            s"cannot delete column: partition field ${pf.name} of spec " +
+            s"${sp.specId} derives from it (source field id ${pf.sourceId})")
+        }
+      }
       var st = m.schema
       ops.foreach(op => st = op(st))
       var lastId = math.max(m.lastColumnId, FieldIds.maxId(st))
@@ -239,4 +293,5 @@ final case class SchemaUpdate(table: GraftTable) {
         schemas = m.schemas + (newSchemaId -> st),
         lastUpdatedMillis = System.currentTimeMillis())
     }
+  }
 }

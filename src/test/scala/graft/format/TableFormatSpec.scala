@@ -224,6 +224,38 @@ class TableFormatSpec extends SparkSpec {
     assert(out3.count() == 3)
   }
 
+  test("deleteColumn refuses partition sources and eq-delete key columns") {
+    import org.apache.spark.sql.functions.col
+    val loc = freshLoc("delguard")
+    val df = (0L until 20L).map(i => (i % 2, i, s"v$i")).toDF("grp", "id", "v")
+    val t0 = GraftTable.create(spark, loc, df.schema, _.identity("grp"))
+    GraftWrite.append(t0, df.repartition(1))
+    // a partition source cannot be deleted: partTypesOf resolves every
+    // spec source on every manifest read — the commit would permanently
+    // brick the table
+    val e1 = intercept[IllegalArgumentException](
+      SchemaUpdate(GraftTable.load(spark, loc)).deleteColumn("grp").commit())
+    assert(e1.getMessage.contains("partition field"), s"got: $e1")
+    assert(GraftTable.load(spark, loc).toDF().count() === 20,
+      "refused delete must leave the table readable")
+    // a column carrying live equality-delete keys cannot be deleted
+    Deletes.deleteByEquality(GraftTable.load(spark, loc),
+      Seq(3L, 7L).toDF("id"))
+    val e2 = intercept[IllegalArgumentException](
+      SchemaUpdate(GraftTable.load(spark, loc)).deleteColumn("id").commit())
+    assert(e2.getMessage.contains("equality-delete"), s"got: $e2")
+    assert(GraftTable.load(spark, loc).toDF().count() === 18)
+    // once the deletes convert to position deletes, the delete succeeds
+    Actions.forTable(GraftTable.load(spark, loc)).rewriteEqualityDeletes()
+    SchemaUpdate(GraftTable.load(spark, loc)).deleteColumn("id").commit()
+    val out = GraftTable.load(spark, loc).toDF()
+    assert(out.columns.toSeq === Seq("grp", "v"))
+    assert(out.count() === 18)
+    // unreferenced columns still delete freely
+    SchemaUpdate(GraftTable.load(spark, loc)).deleteColumn("v").commit()
+    assert(GraftTable.load(spark, loc).toDF().columns.toSeq === Seq("grp"))
+  }
+
   test("randomized nested evolution: old file reads unchanged through any rename/move/promote sequence") {
     val rnd = new scala.util.Random(42)
     val loc = freshLoc("evoprop")
