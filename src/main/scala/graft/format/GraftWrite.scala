@@ -20,9 +20,33 @@ object GraftWrite {
 
   private[format] val DirPrefix = "__p_"
 
+  /** Hive-style partition-dir unescape (Spark's
+    * ExternalCatalogUtils.unescapePathName): decode `%XX` sequences ONLY.
+    * `URLDecoder` is NOT the inverse of the writer's escaping — it also
+    * turns '+' into a space, and '+' is a character the Hive escaper
+    * leaves literal, so a partition value containing '+' would decode to
+    * the wrong tuple (pruning then silently drops the partition and
+    * delete-file tuples stop matching data-file tuples). */
+  private[format] def unescapeDir(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val code =
+          try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Decode a hive-style staged path's partition tuple: every
     * `__p_<name>=<value>` directory segment between `base` and the file
-    * name, URL-decoded and parsed at the spec's result type. Shared by
+    * name, Hive-unescaped and parsed at the spec's result type. Shared by
     * the data writer and the equality-delete stager — the two sides MUST
     * decode identically, or delete-file tuples stop matching data-file
     * tuples and partition scoping silently drops deletes. */
@@ -33,7 +57,7 @@ object GraftWrite {
       val eq = seg.indexOf('=')
       if (eq > 0 && seg.startsWith(DirPrefix)) {
         val name = seg.substring(DirPrefix.length, eq)
-        val raw = java.net.URLDecoder.decode(seg.substring(eq + 1), "UTF-8")
+        val raw = unescapeDir(seg.substring(eq + 1))
         types.get(name).map(dt => name -> Values.fromDirString(raw, dt))
       } else None
     }.toMap
@@ -76,10 +100,6 @@ object GraftWrite {
           .as(Lineage.LastUpdatedColumn))
       else Nil): _*)
 
-    // INT96 (Spark's legacy default) has no usable footer stats; micros is
-    // also what the canonical value model assumes (SURVEY §7.4 item 4)
-    df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-
     // write.sort-order: cluster rows within files so column bounds stay
     // tight and stats pruning bites (the reference's SortOrder contract —
     // position-delete writers and metrics quality both depend on it)
@@ -106,15 +126,28 @@ object GraftWrite {
         case FileFormats.Orc => w.option("compression", codec).orc(staging)
         case _ => w.option("compression", codec).parquet(staging)
       }
-    if (spec.isPartitioned) {
-      val derived = spec.derivedColumns(schema)
-      val withP = derived.foldLeft(sorted) { case (d, (name, c)) =>
-        d.withColumn(DirPrefix + name, c)
+    // INT96 (Spark's legacy default) has no usable footer stats; micros is
+    // also what the canonical value model assumes (SURVEY §7.4 item 4).
+    // Scoped to THIS write and restored: a library call must not
+    // permanently flip session-level parquet behavior under the user
+    val sess = df.sparkSession
+    val TsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = sess.conf.getOption(TsKey)
+    sess.conf.set(TsKey, "TIMESTAMP_MICROS")
+    try {
+      if (spec.isPartitioned) {
+        val derived = spec.derivedColumns(schema)
+        val withP = derived.foldLeft(sorted) { case (d, (name, c)) =>
+          d.withColumn(DirPrefix + name, c)
+        }
+        save(withP.write.mode(SaveMode.ErrorIfExists)
+          .partitionBy(derived.map(DirPrefix + _._1): _*))
+      } else {
+        save(sorted.write.mode(SaveMode.ErrorIfExists))
       }
-      save(withP.write.mode(SaveMode.ErrorIfExists)
-        .partitionBy(derived.map(DirPrefix + _._1): _*))
-    } else {
-      save(sorted.write.mode(SaveMode.ErrorIfExists))
+    } finally prevTs match {
+      case Some(v) => sess.conf.set(TsKey, v)
+      case None => sess.conf.unset(TsKey)
     }
     val files = collectFiles(table, staging, m.currentSchemaId, spec, schema, fmt)
     if (lineage) files.map(_.copy(firstRowId = Some(Lineage.Materialized)))
@@ -285,8 +318,7 @@ object GraftWrite {
         .filter(_.contains('='))
         .map { seg =>
           val eq = seg.indexOf('=')
-          seg.substring(0, eq) ->
-            java.net.URLDecoder.decode(seg.substring(eq + 1), "UTF-8")
+          seg.substring(0, eq) -> unescapeDir(seg.substring(eq + 1))
         }
     }
     val segsPerFile = files.map(f => f -> segsOf(f)).toMap

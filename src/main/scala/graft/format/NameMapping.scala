@@ -36,10 +36,13 @@ final case class NameMapping(byPath: Map[String, Int]) {
     walk(schema, "")
   }
 
-  def toJson: String =
-    byPath.toSeq.sortBy(_._2)
-      .map { case (p, id) => s""""${p}":$id""" }
-      .mkString("{", ",", "}")
+  def toJson: String = {
+    // proper JSON escaping — a column name holding a quote or backslash
+    // must survive the property round-trip
+    val o = Json.obj()
+    byPath.toSeq.sortBy(_._2).foreach { case (p, id) => o.put(p, id) }
+    Json.write(o)
+  }
 }
 
 object NameMapping {

@@ -224,6 +224,31 @@ class TableFormatSpec extends SparkSpec {
     assert(out3.count() == 3)
   }
 
+  test("partition values with '+', '%', '=' round-trip through dir encoding") {
+    // '+' is the trap: the Hive escaper leaves it LITERAL, so a
+    // URLDecoder-based dir decode turns it into a space — the tuple then
+    // mismatches, pruning drops the partition, and per-partition delete
+    // files stop attaching
+    val loc = freshLoc("dirs-esc")
+    val df = Seq(("a+b", 1L), ("a b", 2L), ("50%off", 3L), ("x=y", 4L))
+      .toDF("cat", "id")
+    val t0 = GraftTable.create(spark, loc, df.schema, _.identity("cat"))
+    GraftWrite.append(t0, df.repartition(1))
+    val plan = GraftTable.load(spark, loc).newScan().planFiles()
+    assert(plan.tasks.map(_.file.partition("cat")).toSet ===
+      Set("a+b", "a b", "50%off", "x=y"))
+    val hit = GraftTable.load(spark, loc).newScan()
+      .filter(Exprs.equal("cat", "a+b")).toDF().select("id").as[Long].collect()
+    assert(hit.toSeq === Seq(1L), "partition pruning must keep the '+' value")
+    // the partition-scoped eq-delete stager shares the decode: the staged
+    // tuple must match the data tuple or the delete never applies
+    Deletes.deleteByEquality(GraftTable.load(spark, loc),
+      Seq(("a+b", 1L)).toDF("cat", "id"))
+    assert(GraftTable.load(spark, loc).toDF().count() === 3)
+    assert(GraftTable.load(spark, loc).newScan()
+      .filter(Exprs.equal("cat", "a+b")).toDF().count() === 0)
+  }
+
   test("deleteColumn refuses partition sources and eq-delete key columns") {
     import org.apache.spark.sql.functions.col
     val loc = freshLoc("delguard")
