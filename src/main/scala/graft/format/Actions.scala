@@ -916,10 +916,18 @@ final class Actions(t: GraftTable) {
     // allFiles = data AND delete files (parquet deletes, puffin DVs):
     // expiry must reclaim every newly unreferenced kind
     val beforeFiles = MetaTables.allFiles(t).select("file_path").as[String]
-    val (updated, _) = Commits.expireSnapshots(t, olderThanMillis, retainLast)
+    // collectOrphans = false: the commit transform must not re-read every
+    // kept manifest on the driver inside the retry loop when the diff
+    // below already runs distributed; the returned paths are then just
+    // the expired snapshots' statistics files (metadata-cheap), which the
+    // distributed data-file diff cannot see
+    val (updated, statOrphans) =
+      Commits.expireSnapshots(t, olderThanMillis, retainLast,
+        collectOrphans = false)
     val afterFiles = MetaTables.allFiles(t).select("file_path").as[String]
     val orphaned = beforeFiles.except(afterFiles).collect()
     orphaned.foreach(t.ops.io.deleteIfExists)
+    statOrphans.foreach(t.ops.io.deleteIfExists)
     ExpireResult(before - updated.snapshots.size, orphaned.length)
   }
 

@@ -572,7 +572,12 @@ object Commits {
     * physically delete (ExpireSnapshotsAction does this with Dataset.except —
     * our Actions wrapper mirrors that). */
   def expireSnapshots(table: GraftTable, olderThanMillis: Long,
-      retainLast: Int = 1): (TableMetadata, Seq[String]) = {
+      retainLast: Int = 1,
+      // the orphan diff reads EVERY kept+expired manifest on the driver,
+      // inside the retry loop — callers that diff distributed afterwards
+      // (Actions.expireSnapshots) pass false and get only the (cheap)
+      // dead-statistics paths back
+      collectOrphans: Boolean = true): (TableMetadata, Seq[String]) = {
     var orphaned: Seq[String] = Nil
     val updated = table.ops.commitTransaction { m =>
       // refs past their max-ref-age retire FIRST (a tag's age counts from
@@ -600,8 +605,8 @@ object Commits {
       // statistics files of expired snapshots die with them
       val deadStats = m.statistics.filterNot(sf =>
         keep.exists(_.snapshotId == sf.snapshotId))
-      orphaned = ((livePaths(expire) -- livePaths(keep)).toSeq ++
-        deadStats.map(_.path)).sorted
+      orphaned = ((if (collectOrphans) (livePaths(expire) -- livePaths(keep)).toSeq
+        else Nil) ++ deadStats.map(_.path)).sorted
       m.copy(snapshots = keep, refs = liveRefs,
         statistics = m.statistics.diff(deadStats),
         snapshotLog = m.snapshotLog.filter(e => keep.exists(_.snapshotId == e.snapshotId)))
@@ -761,22 +766,27 @@ object Commits {
   }
 
   def setProperties(table: GraftTable, props: Map[String, String]): TableMetadata =
-    table.ops.commitTransaction { m =>
-      // `format-version` upgrades the metadata FIELD (iceberg
-      // TableMetadata.upgradeToFormatVersion semantics): 2 → 3 turns on
-      // deletion-vector writes; downgrades are refused — v3 artifacts
-      // (puffin DVs) would be unreadable under v2 rules
-      val fv = props.get("format-version").map { v =>
-        val n = v.trim.toInt
-        require(n == 2 || n == 3, s"unsupported format-version $n (2 or 3)")
-        require(n >= m.formatVersion,
-          s"cannot downgrade format-version ${m.formatVersion} -> $n")
-        n
-      }.getOrElse(m.formatVersion)
-      m.copy(formatVersion = fv,
-        properties = m.properties ++ (props - "format-version"),
-        lastUpdatedMillis = System.currentTimeMillis())
-    }
+    table.ops.commitTransaction(setPropertiesOn(_, props))
+
+  /** Shared by the direct commit and [[GraftTransaction.setProperties]]:
+    * `format-version` upgrades the metadata FIELD (iceberg
+    * TableMetadata.upgradeToFormatVersion semantics): 2 → 3 turns on
+    * deletion-vector writes; downgrades are refused — v3 artifacts
+    * (puffin DVs) would be unreadable under v2 rules. Routing it into the
+    * plain property map instead would silently change nothing. */
+  private[format] def setPropertiesOn(m: TableMetadata,
+      props: Map[String, String]): TableMetadata = {
+    val fv = props.get("format-version").map { v =>
+      val n = v.trim.toInt
+      require(n == 2 || n == 3, s"unsupported format-version $n (2 or 3)")
+      require(n >= m.formatVersion,
+        s"cannot downgrade format-version ${m.formatVersion} -> $n")
+      n
+    }.getOrElse(m.formatVersion)
+    m.copy(formatVersion = fv,
+      properties = m.properties ++ (props - "format-version"),
+      lastUpdatedMillis = System.currentTimeMillis())
+  }
 
   /** Record a statistics file for its snapshot (reference
     * UpdateStatistics.setStatistics), replacing any previous pointer for
@@ -829,7 +839,7 @@ final class GraftTransaction(table: GraftTable) {
   def replacePartitions(files: Seq[DataFile]): this.type =
     add(Commits.replacePartitionsOn(table, _, files))
   def setProperties(props: Map[String, String]): this.type =
-    add(m => m.copy(properties = m.properties ++ props))
+    add(Commits.setPropertiesOn(_, props))
 
   def commit(): TableMetadata =
     table.ops.commitTransaction(base => ops.foldLeft(base)((m, op) => op(m)))

@@ -120,4 +120,40 @@ class StatsSpec extends SparkSpec {
     assert(m.statistics.map(_.snapshotId) == Seq(m.currentSnapshotId.get))
     assert(orphaned.contains(sf1.path), "expired snapshot's stats file is orphaned")
   }
+
+  test("the expire ACTION physically deletes expired statistics files") {
+    wh
+    val loc = Files.createTempDirectory("graft-stats-act").toString + "/t"
+    import spark.implicits._
+    val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("id", "s").schema)
+    GraftWrite.append(t, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val (sf1, _) = Stats.analyzeAndCommit(t)
+    GraftWrite.append(t, Seq((3L, "c")).toDF("id", "s"))
+    Stats.analyzeAndCommit(t)
+    assert(t.ops.io.exists(sf1.path))
+    // the distributed data-file diff can't see stats files — the action
+    // must delete the expired snapshot's puffin itself, not leave it to
+    // a later orphan sweep
+    Actions.forTable(GraftTable.load(spark, loc))
+      .expireSnapshots(System.currentTimeMillis() + 1000, retainLast = 1)
+    assert(!t.ops.io.exists(sf1.path),
+      "expired statistics file must be physically deleted by the action")
+  }
+
+  test("transaction setProperties upgrades format-version like the direct commit") {
+    wh
+    val loc = Files.createTempDirectory("graft-txn-fv").toString + "/t"
+    import spark.implicits._
+    val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("id", "s").schema)
+    GraftTransaction.begin(t)
+      .setProperties(Map("format-version" -> "3", "k" -> "v")).commit()
+    val m = GraftTable.load(spark, loc).metadata
+    assert(m.formatVersion === 3)
+    assert(m.properties.get("k").contains("v"))
+    assert(!m.properties.contains("format-version"),
+      "format-version is a metadata field, never a plain property")
+    intercept[IllegalArgumentException](
+      GraftTransaction.begin(GraftTable.load(spark, loc))
+        .setProperties(Map("format-version" -> "2")).commit())
+  }
 }
