@@ -6,10 +6,22 @@ import org.apache.spark.sql.sources._
 /** Spark `sources.Filter` → graft `Expr` (the reference's SparkFilters
   * bridge, spark3/.../SparkFilters.java:64-201). Unconvertible filters
   * return None and simply stay Spark-side — residual safety: Spark
-  * re-applies every filter after the scan regardless. */
+  * re-applies every filter after the scan regardless.
+  *
+  * Conversion is polarity-aware: dropping null IN-values (the reference
+  * does the same, SparkFilters.java:148-154) selects exactly the same
+  * ROWS as the SQL predicate — TRUE rows — but flips that predicate's
+  * NULLs to FALSE, so under an odd number of NOTs the converted
+  * expression selects rows SQL would not (`a NOT IN (1, NULL)` is never
+  * TRUE in SQL, yet `NotIn(a, [1])` matches every a ≠ 1). A null-carrying
+  * IN in negative position is therefore UNconvertible — the delete path
+  * then routes to the row-level operation, which evaluates the original
+  * Catalyst predicate with proper three-valued logic. */
 object FilterBridge {
 
-  def convert(f: Filter): Option[Expr] = f match {
+  def convert(f: Filter): Option[Expr] = conv(f, positive = true)
+
+  private def conv(f: Filter, positive: Boolean): Option[Expr] = f match {
     case EqualTo(a, v) => Some(Exprs.equal(a, v))
     case EqualNullSafe(a, null) => Some(Exprs.isNull(a))
     case EqualNullSafe(a, v) => Some(Exprs.equal(a, v))
@@ -18,20 +30,36 @@ object FilterBridge {
     case LessThan(a, v) => Some(Exprs.lt(a, v))
     case LessThanOrEqual(a, v) => Some(Exprs.ltEq(a, v))
     case In(a, vs) =>
-      // the reference drops null IN-values (SparkFilters.java:148-154)
-      Some(Exprs.in(a, vs.filter(_ != null).toSeq))
+      if (!positive && vs.contains(null)) None // see scaladoc
+      else Some(Exprs.in(a, vs.filter(_ != null).toSeq))
     case IsNull(a) => Some(Exprs.isNull(a))
     case IsNotNull(a) => Some(Exprs.notNull(a))
     case And(l, r) =>
-      for { cl <- convert(l); cr <- convert(r) } yield Exprs.and(cl, cr)
+      for { cl <- conv(l, positive); cr <- conv(r, positive) } yield Exprs.and(cl, cr)
     case Or(l, r) =>
-      for { cl <- convert(l); cr <- convert(r) } yield Exprs.or(cl, cr)
-    case Not(c) => convert(c).map(Exprs.not)
+      for { cl <- conv(l, positive); cr <- conv(r, positive) } yield Exprs.or(cl, cr)
+    case Not(c) => conv(c, !positive).map(Exprs.not)
     case StringStartsWith(a, p) => Some(Exprs.startsWith(a, p))
     case _ => None
   }
 
-  /** Convert the convertible subset; the rest is Spark's problem. */
+  /** Convert the convertible subset; the rest is Spark's problem. Safe
+    * ONLY where something re-applies the full original predicate (the
+    * scan residual) or a caller has verified every filter converts
+    * (canDeleteWhere) — a dropped filter WIDENS the expression. */
   def convertAll(filters: Array[Filter]): Expr =
     filters.flatMap(convert).foldLeft(Exprs.alwaysTrue)(Exprs.and)
+
+  /** Convert for positions with NO residual re-apply (filter overwrite):
+    * every filter must convert, or the operation is refused loudly —
+    * silently dropping one would widen the overwrite's delete scope up
+    * to a full-table truncate. */
+  def convertRequired(filters: Array[Filter]): Expr = {
+    val bad = filters.filter(f => convert(f).isEmpty)
+    if (bad.nonEmpty) throw new UnsupportedOperationException(
+      "cannot convert filter(s) for overwrite: " + bad.mkString(", ") +
+      " — rewrite the condition with supported predicates " +
+      "(=, <=>, <, <=, >, >=, IN, IS NULL, AND, OR, NOT, startsWith)")
+    convertAll(filters)
+  }
 }

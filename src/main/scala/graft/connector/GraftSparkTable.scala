@@ -112,6 +112,14 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     var s = scan0
     if (snapshotId.isEmpty && asOfMillis.isEmpty) {
+      // at most ONE time-travel spelling per read (Iceberg rejects the
+      // combination too): silently letting one option win would hand back
+      // data from a snapshot the user did not ask for
+      val given = Seq("snapshot-id", "as-of-timestamp", "branch", "tag")
+        .filter(k => options.get(k) != null)
+      if (given.size > 1) throw new IllegalArgumentException(
+        s"conflicting time-travel options: ${given.mkString(", ")} — " +
+        "specify at most one of snapshot-id / as-of-timestamp / branch / tag")
       Option(options.get("snapshot-id")).foreach(v => s = s.useSnapshot(v.toLong))
       Option(options.get("as-of-timestamp")).foreach(v => s = s.asOfTime(v.toLong))
       Option(options.get("branch")).orElse(Option(options.get("tag")))
@@ -229,10 +237,20 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
       case _ =>
         val res =
           if (groupGranular || pushed.nonEmpty) None
-          else AggPushdown.tryPush(table, base.planFiles(), agg)
+          else AggPushdown.tryPush(table, planBase(), agg)
         aggAttempt = Some((agg, res))
         res
     }
+
+  // one manifest walk per builder for the UNFILTERED plan: a refused agg
+  // pushdown (tryAgg) and the fallback buildFileScan would otherwise each
+  // pay a full planFiles() on the same scan
+  private var basePlan: Option[graft.format.ScanPlan] = None
+  private def planBase(): graft.format.ScanPlan = basePlan match {
+    case Some(p) => p
+    case None =>
+      val p = base.planFiles(); basePlan = Some(p); p
+  }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
@@ -290,7 +308,7 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     val expr = FilterBridge.convertAll(pushed)
     val scan = if (expr == AlwaysTrue) base else base.filter(expr)
     val schema = scan.scanSchema
-    val planned0 = scan.planFiles()
+    val planned0 = if (expr == AlwaysTrue) planBase() else scan.planFiles()
     // equality-delete entries prune through the SAME metrics evaluator as
     // data files, over their KEY-column stats (recorded at stage time): a
     // key matching a row that survives the filter agrees with it on every
@@ -431,7 +449,10 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
           Deletes.eqKeyFileNames(m.schemas, schema, d._1)))
         .toSeq.map { case ((ids, seq, fileNames), group) =>
           val names = ids.map(id => FieldIds.findById(schema, id).get.name)
-          EqDeleteSet(names, fileNames, seq, group.map(_._1.path).sorted)
+          // distinct like posPaths: the same delete file planned through
+          // two manifest entries must not be read twice per executor load
+          // (and the dedup keeps the cache key stable across scans)
+          EqDeleteSet(names, fileNames, seq, group.map(_._1.path).distinct.sorted)
         }
 
     // identity-partition source columns physically absent from at least one
@@ -643,9 +664,20 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
           partValsOf)
         val scan: Scan = fmt match {
           case FileFormats.Orc if orcRow =>
-            new GraftOrcRowScan(groupRead, tasks.map(_.file.path),
+            // partition-served identity columns ride as per-file constants
+            // (the vectorized branch gets them from GraftFileIndex): raw
+            // tuple values convert to Catalyst once per file here
+            val orcConsts: DataFile => Seq[Any] = df =>
+              partValsOf(df).take(partServe.size).zip(partServe).map {
+                case (v, f) => graft.format.Values.toCatalyst(v,
+                  Types.cleanType(f.dataType))
+              }
+            new GraftOrcRowScan(groupRead,
+              tasks.map(t => (t.file.path, orcConsts(t.file))),
               new org.apache.spark.util.SerializableConfiguration(
                 spark.sessionState.newHadoopConf()),
+              partConsts = StructType(partServe.map(f => StructField(f.name,
+                Types.cleanType(f.dataType), nullable = true))),
               appendFilePath = metaFile,
               // stored-lineage columns sit at groupRead's tail; the scan's
               // position counter must land BEFORE them to match the group
@@ -1969,7 +2001,11 @@ final class GraftWriteBuilder(table: GraftTable, queryId: String = "default")
   private var mode: Mode = Append
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
-    mode = FilterOverwrite(FilterBridge.convertAll(filters)); this
+    // convertRequired, NOT convertAll: nothing re-applies the original
+    // condition after a filter overwrite, so a silently dropped filter
+    // would widen the delete scope (an all-unconvertible array widens to
+    // AlwaysTrue — a full-table truncate)
+    mode = FilterOverwrite(FilterBridge.convertRequired(filters)); this
   }
   override def overwriteDynamicPartitions(): WriteBuilder = {
     mode = DynamicOverwrite; this

@@ -18,17 +18,27 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * preserved, untargeted ORC groups stay on Spark's vectorized OrcScan,
   * and compaction (delete-aware rewrite) clears this state — a
   * position-deleted ORC file is transitional by design. */
-final case class OrcRowFilePartition(path: String) extends InputPartition
+final case class OrcRowFilePartition(path: String,
+    consts: Seq[Any]) extends InputPartition
 
 final class GraftOrcRowScan(
     dataSchema: StructType, // file-side names, target types (data columns)
-    files: Seq[String],
+    files: Seq[(String, Seq[Any])], // path + partition-served constants
     conf: org.apache.spark.util.SerializableConfiguration,
-    appendFilePath: Boolean = false, // serve `_file` after the counter
+    // partition-served identity columns (imported hive layouts): the
+    // column exists only in the partition tuple, so the reader serves it
+    // as a per-file CONSTANT — in the same slot Spark's own readers give
+    // it via the file index, between any stored-lineage tail and `_file`.
+    // Omitting them (the pre-fix shape) left the physical row NARROWER
+    // than the declared output whenever `_pos`/lineage forced this scan
+    // on a table with metadata-only partition columns.
+    partConsts: StructType = new StructType(),
+    appendFilePath: Boolean = false, // serve `_file` after the constants
     // trailing STORED-lineage columns in dataSchema (compacted v3 files):
     // the counter must sit BETWEEN the data columns and these, because the
-    // group layout downstream is [data..., rowIdx, stored..., _file?] — the
-    // same slot the parquet path's synthetic row-index column occupies
+    // group layout downstream is [data..., rowIdx, stored..., consts...,
+    // _file?] — the same slot the parquet path's synthetic row-index
+    // column occupies
     trailingStored: Int = 0)
   extends Scan with Batch with Serializable {
 
@@ -38,6 +48,7 @@ final class GraftOrcRowScan(
     StructType(dataSchema.fields.take(dataLen).toSeq ++
       Seq(StructField("_graft_row_index", LongType)) ++
       dataSchema.fields.drop(dataLen) ++
+      partConsts.fields ++
       (if (appendFilePath)
         Seq(StructField(GraftSparkTable.FileColumn, StringType, nullable = false))
       else Nil))
@@ -45,26 +56,31 @@ final class GraftOrcRowScan(
   override def description(): String = s"graft-orc-rows(${files.size} files)"
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(p => OrcRowFilePartition(p): InputPartition).toArray
+    files.map { case (p, cs) => OrcRowFilePartition(p, cs): InputPartition }
+      .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new OrcRowReaderFactory(dataSchema, conf, appendFilePath, trailingStored)
+    new OrcRowReaderFactory(dataSchema, conf, partConsts.length,
+      appendFilePath, trailingStored)
 }
 
 final class OrcRowReaderFactory(dataSchema: StructType,
     conf: org.apache.spark.util.SerializableConfiguration,
+    numConsts: Int = 0,
     appendFilePath: Boolean = false,
     trailingStored: Int = 0)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val path = p.asInstanceOf[OrcRowFilePartition].path
+    val part = p.asInstanceOf[OrcRowFilePartition]
+    val path = part.path
     new PartitionReader[InternalRow] {
       private val it = OrcIO.open(path, dataSchema, conf.value)
       private var current: InternalRow = _
       private var rowIndex = -1L
       private val dataLen = dataSchema.length - trailingStored
-      private val width = dataSchema.length + 1 + (if (appendFilePath) 1 else 0)
+      private val width =
+        dataSchema.length + 1 + numConsts + (if (appendFilePath) 1 else 0)
       private val pathUtf8 =
         org.apache.spark.unsafe.types.UTF8String.fromString(path)
 
@@ -75,7 +91,8 @@ final class OrcRowReaderFactory(dataSchema: StructType,
           rowIndex += 1
           // the deserializer reuses its row — copy values out, inserting
           // the absolute file position between the data columns and any
-          // stored-lineage tail (then `_file` when requested, last)
+          // stored-lineage tail, then the partition-served constants,
+          // then `_file` when requested, last
           val out = new GenericInternalRow(width)
           var i = 0
           while (i < dataLen) {
@@ -91,7 +108,13 @@ final class OrcRowReaderFactory(dataSchema: StructType,
               else row.get(src, dataSchema(src).dataType))
             j += 1
           }
-          if (appendFilePath) out.update(dataSchema.length + 1, pathUtf8)
+          var k = 0
+          while (k < numConsts) {
+            out.update(dataSchema.length + 1 + k, part.consts(k))
+            k += 1
+          }
+          if (appendFilePath)
+            out.update(dataSchema.length + 1 + numConsts, pathUtf8)
           current = out
           true
         }

@@ -464,6 +464,57 @@ class CatalogSpec extends SparkSpec {
       "the namespace and its tables must survive")
   }
 
+  test("overwrite with an unconvertible condition is refused, not widened") {
+    wh
+    spark.sql("CREATE TABLE g.db.ovg (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.ovg VALUES (1, 'xa'), (2, 'b')")
+    import spark.implicits._
+    // `contains` translates to sources.StringContains, which the filter
+    // bridge cannot convert — the pre-fix path silently dropped it,
+    // widening the overwrite to a FULL-TABLE truncate
+    val e = intercept[Exception] {
+      Seq((9L, "xz")).toDF("id", "v").writeTo("g.db.ovg")
+        .overwrite(org.apache.spark.sql.functions.col("v").contains("x"))
+    }
+    assert(e.getMessage.contains("cannot convert filter") ||
+      e.getMessage.toLowerCase.contains("overwrite"), s"got: $e")
+    assert(spark.sql("SELECT * FROM g.db.ovg").count() === 2,
+      "a refused overwrite must leave the table untouched")
+  }
+
+  test("DELETE WHERE NOT IN with a NULL literal deletes nothing") {
+    wh
+    spark.sql("CREATE TABLE g.db.nin (id BIGINT)")
+    spark.sql("INSERT INTO g.db.nin VALUES (2), (3)")
+    // SQL: `id NOT IN (1, NULL)` is never TRUE (FALSE or NULL for every
+    // row). The null-dropping In conversion is only sound in positive
+    // position — pre-fix it became NotIn([1]), the strict evaluator
+    // proved the whole [2,3] file matched, and the metadata delete
+    // dropped both rows
+    spark.sql("DELETE FROM g.db.nin WHERE id NOT IN (1, NULL)")
+    assert(spark.sql("SELECT * FROM g.db.nin").count() === 2,
+      "NOT IN with a NULL literal must delete nothing")
+    // the usual NOT IN (no nulls) still deletes
+    spark.sql("DELETE FROM g.db.nin WHERE id NOT IN (2)")
+    assert(spark.sql("SELECT id FROM g.db.nin").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("conflicting time-travel read options are rejected") {
+    wh
+    spark.sql("CREATE TABLE g.db.ttc (id BIGINT)")
+    spark.sql("INSERT INTO g.db.ttc VALUES (1)")
+    val snap = graft.format.GraftTable.load(spark, s"$wh/db/ttc")
+      .currentSnapshot.get.snapshotId
+    val e = intercept[Exception](
+      spark.read.option("snapshot-id", snap.toString)
+        .option("as-of-timestamp", "1234").table("g.db.ttc").collect())
+    assert(e.getMessage.contains("conflicting time-travel"), s"got: $e")
+    // a single option still works
+    assert(spark.read.option("snapshot-id", snap.toString)
+      .table("g.db.ttc").count() === 1)
+  }
+
   test("ALTER COLUMN SET NOT NULL is refused, not silently ignored") {
     wh
     spark.sql("CREATE TABLE g.db.nn (id BIGINT, v STRING)")

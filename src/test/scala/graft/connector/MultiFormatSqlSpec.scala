@@ -213,6 +213,25 @@ class MultiFormatSqlSpec extends SparkSpec {
       s"expected MoR position deletes, got $dels")
   }
 
+  test("_pos on an imported hive-layout ORC table serves partition constants") {
+    wh
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-orcimp-src").toString
+    Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("cat", "id")
+      .repartition(1).write.mode("overwrite").partitionBy("cat").orc(src)
+    graft.format.GraftWrite.importOrc(spark, s"$wh/db/orcimp", src)
+    // `cat` lives only in directory names (partition-served); `_pos`
+    // forces the ORC row-path scan, which must append the partition
+    // constants in the same slot the vectorized readers serve them —
+    // the pre-fix scan emitted a row NARROWER than the declared output
+    val rows = spark.sql("SELECT cat, id, _pos FROM mf.db.orcimp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(t => (t._1, t._2)).toSet ===
+      Set(("a", 1L), ("a", 2L), ("b", 3L)))
+    assert(rows.filter(_._1 == "a").map(_._3).sorted.toSeq === Seq(0L, 1L))
+    assert(rows.filter(_._1 == "b").map(_._3).toSeq === Seq(0L))
+  }
+
   test("_pos works on avro groups (unsplit counter scan)") {
     wh
     spark.sql("""CREATE TABLE mf.db.avroidx (id BIGINT)
