@@ -197,6 +197,30 @@ object FormatQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // SQL DELETE polarity: `NOT IN (1, NULL)` is never TRUE in SQL, so it
+    // must delete NOTHING — the null-dropping IN conversion is only
+    // row-equivalent in positive position, and pre-round-16 the widened
+    // NotIn truncated whole files through the strict evaluator. The
+    // follow-up null-free NOT IN delete must still work, which the final
+    // aggregate only reproduces if BOTH deletes behaved
+    "q116_notin_null_delete" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftnin", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftnin.warehouse", tdir(dir, "ninwh"))
+      withTable(s, dir, "ninwh/db/customer_nin") { loc =>
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val tt = GraftTable.recreate(s, loc, c.schema)
+        GraftWrite.append(tt, c.coalesce(2))
+        s.sql("DELETE FROM graftnin.db.customer_nin " +
+          "WHERE c_custkey NOT IN (1, NULL)")
+        s.sql("DELETE FROM graftnin.db.customer_nin " +
+          "WHERE c_nationkey NOT IN (0, 1, 2, 3, 4, 5, 6, 7)")
+        GraftTable.load(s, loc)
+      }
+      s.sql("""SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+               FROM graftnin.db.customer_nin GROUP BY 1 ORDER BY 1""")
+    }),
+
     // cross-spec merge-on-read: a partition-scoped equality delete
     // committed under an EVOLVED spec must survive a partition-filtered
     // copy-on-write deleteWhere whose filter summary-prunes the delete
@@ -1177,6 +1201,13 @@ object FormatQueries {
         |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
         |FROM customer
         |WHERE c_acctbal >= 0 AND c_custkey % 7 <> 3 AND c_custkey <= 1000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q116_notin_null_delete" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6, 7)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q109_cross_spec_mor" ->

@@ -22,6 +22,11 @@ object FilterBridge {
   def convert(f: Filter): Option[Expr] = conv(f, positive = true)
 
   private def conv(f: Filter, positive: Boolean): Option[Expr] = f match {
+    // null-valued comparisons stay unconverted (Catalyst normally folds
+    // them away first; if one does arrive, binding a null literal throws
+    // and an unpushed filter is never wrong)
+    case EqualTo(_, null) | GreaterThan(_, null) | GreaterThanOrEqual(_, null)
+       | LessThan(_, null) | LessThanOrEqual(_, null) => None
     case EqualTo(a, v) => Some(Exprs.equal(a, v))
     case EqualNullSafe(a, null) => Some(Exprs.isNull(a))
     case EqualNullSafe(a, v) => Some(Exprs.equal(a, v))

@@ -310,28 +310,34 @@ final class GraftProcedures(resolve: String => GraftTable,
         case _ => None
       }
     }
-    def toExpr(e: ce.Expression): Expr = e match {
-      case ce.EqualTo(Attr(a), Lit(v)) => Exprs.equal(a, v)
-      case ce.EqualTo(Lit(v), Attr(a)) => Exprs.equal(a, v)
-      case ce.GreaterThan(Attr(a), Lit(v)) => Exprs.gt(a, v)
-      case ce.GreaterThan(Lit(v), Attr(a)) => Exprs.lt(a, v)
-      case ce.GreaterThanOrEqual(Attr(a), Lit(v)) => Exprs.gtEq(a, v)
-      case ce.GreaterThanOrEqual(Lit(v), Attr(a)) => Exprs.ltEq(a, v)
-      case ce.LessThan(Attr(a), Lit(v)) => Exprs.lt(a, v)
-      case ce.LessThan(Lit(v), Attr(a)) => Exprs.gt(a, v)
-      case ce.LessThanOrEqual(Attr(a), Lit(v)) => Exprs.ltEq(a, v)
-      case ce.LessThanOrEqual(Lit(v), Attr(a)) => Exprs.gtEq(a, v)
+    def toExpr(e: ce.Expression, positive: Boolean): Expr = e match {
+      case ce.EqualTo(Attr(a), Lit(v)) if v != null => Exprs.equal(a, v)
+      case ce.EqualTo(Lit(v), Attr(a)) if v != null => Exprs.equal(a, v)
+      case ce.GreaterThan(Attr(a), Lit(v)) if v != null => Exprs.gt(a, v)
+      case ce.GreaterThan(Lit(v), Attr(a)) if v != null => Exprs.lt(a, v)
+      case ce.GreaterThanOrEqual(Attr(a), Lit(v)) if v != null => Exprs.gtEq(a, v)
+      case ce.GreaterThanOrEqual(Lit(v), Attr(a)) if v != null => Exprs.ltEq(a, v)
+      case ce.LessThan(Attr(a), Lit(v)) if v != null => Exprs.lt(a, v)
+      case ce.LessThan(Lit(v), Attr(a)) if v != null => Exprs.gt(a, v)
+      case ce.LessThanOrEqual(Attr(a), Lit(v)) if v != null => Exprs.ltEq(a, v)
+      case ce.LessThanOrEqual(Lit(v), Attr(a)) if v != null => Exprs.gtEq(a, v)
       case ce.In(Attr(a), vs) if vs.forall(_.foldable) =>
-        Exprs.in(a, vs.collect { case Lit(v) if v != null => v })
+        val lits = vs.map { case Lit(v) => v }
+        // null IN-values drop safely only in POSITIVE position (same
+        // polarity rule as FilterBridge): under an odd number of NOTs the
+        // dropped null flips rows SQL would never select
+        if (!positive && lits.contains(null)) bad(e)
+        else Exprs.in(a, lits.filter(_ != null))
       case ce.IsNull(Attr(a)) => Exprs.isNull(a)
       case ce.IsNotNull(Attr(a)) => Exprs.notNull(a)
-      case ce.And(l, r) => Exprs.and(toExpr(l), toExpr(r))
-      case ce.Or(l, r) => Exprs.or(toExpr(l), toExpr(r))
-      case ce.Not(c) => Exprs.not(toExpr(c))
-      case ce.StartsWith(Attr(a), Lit(v)) => Exprs.startsWith(a, v.toString)
+      case ce.And(l, r) => Exprs.and(toExpr(l, positive), toExpr(r, positive))
+      case ce.Or(l, r) => Exprs.or(toExpr(l, positive), toExpr(r, positive))
+      case ce.Not(c) => Exprs.not(toExpr(c, !positive))
+      case ce.StartsWith(Attr(a), Lit(v)) if v != null =>
+        Exprs.startsWith(a, v.toString)
       case other => bad(other)
     }
-    toExpr(cond)
+    toExpr(cond, positive = true)
   }
 
   private val rewriteDataFiles = new Proc("rewrite_data_files",

@@ -151,6 +151,15 @@ object Exprs {
           .find(f => if (caseSensitive) f.name == ref else f.name.equalsIgnoreCase(ref))
           .getOrElse(throw new IllegalArgumentException(
             s"cannot bind ${p.ref}: not in ${schema.fieldNames.mkString(",")}"))
+        // null literals are rejected LOUDLY (reference Literals.from(null)
+        // throws too): a null inside e.g. an Int IN-list would silently
+        // unbox to 0 in the interpreted evaluator and prune/match the
+        // wrong files. Use isNull/notNull for null checks; callers
+        // converting external predicates drop or refuse nulls first.
+        if (op != PredOp.IsNull && op != PredOp.NotNull)
+          require(vs.forall(_ != null),
+            s"cannot bind $ref: null literal in ${op} values " +
+            "(use isNull/notNull for null checks)")
         BoundPred(op, FieldIds.idOf(f), f.name, f.dataType, vs.map(coerce(_, f.dataType)))
       case b: BoundPred => b
     }

@@ -528,7 +528,10 @@ object Dedup {
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         hammingUdf(col("x.fp"), col("y.fp")).as("hamming"))
-      .distinct()
+      // verify BEFORE deduplicating (same rationale as embeddingNearDupLsh):
+      // a pair can surface from up to 4 shared bands, but the dedup shuffle
+      // should carry only Hamming-passing rows, not every candidate
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -191,6 +191,23 @@ class ProcedureSpec extends SparkSpec {
       .head.getLong(0) == 100)
   }
 
+  test("where scope refuses NOT IN with a NULL literal (polarity rule)") {
+    val t = fresh(2)
+    // `id NOT IN (1, NULL)` is never TRUE in SQL; the null-dropping IN
+    // conversion is only sound in positive position, so the scope parser
+    // must refuse rather than silently widen the file selection
+    val e = intercept[Exception](spark.sql(
+      s"""CALL gp.system.rewrite_data_files(
+            table => 'db.$t', where => 'id NOT IN (1, NULL)')""").collect())
+    assert(e.getMessage.contains("unsupported where predicate"), s"got: $e")
+    // positive-position NULL-carrying IN still converts (row-equivalent)
+    val ok = spark.sql(
+      s"""CALL gp.system.rewrite_data_files(
+            table => 'db.$t', where => 'id IN (1, NULL)',
+            min_input_files => 1)""").collect()
+    assert(ok.nonEmpty)
+  }
+
   test("rewrite_position_deletes is a no-op without enough delete files") {
     val t = fresh(2)
     val out = spark.sql(

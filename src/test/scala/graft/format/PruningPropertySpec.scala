@@ -159,6 +159,21 @@ class PruningPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bind rejects null literals loudly (no silent unbox-to-zero)") {
+    // a null inside an Int/Long IN-list would unbox to 0 in the
+    // interpreted evaluator and match/prune the wrong files — binding
+    // must refuse instead (reference Literals.from(null) throws too)
+    for (bad <- Seq(Exprs.in("v", Seq(1L, null)),
+                    Exprs.equal("v", null),
+                    Exprs.notIn("v", Seq(null)))) {
+      val e = intercept[IllegalArgumentException](Exprs.bind(bad, schema))
+      assert(e.getMessage.contains("null literal"), s"got: $e")
+    }
+    // null CHECKS still bind
+    assert(Exprs.bind(Exprs.isNull("v"), schema).isInstanceOf[BoundPred])
+    assert(Exprs.bind(Exprs.notNull("v"), schema).isInstanceOf[BoundPred])
+  }
+
   test("string bound truncation keeps bounds valid (UnicodeUtil semantics)") {
     val r = new Random(46)
     (0 until N).foreach { _ =>
