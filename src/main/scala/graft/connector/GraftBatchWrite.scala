@@ -163,7 +163,11 @@ final class GraftFanoutWriter(schema: StructType, idSchema: StructType,
     if (row.isNullAt(f.ordinal)) return null
     f.srcType match {
       case IntegerType | DateType => row.getInt(f.ordinal)
-      case LongType | TimestampType | TimestampNTZType => row.getLong(f.ordinal)
+      // TIME rides as nanos-of-day longs internally (the same canonical
+      // encoding Values/Exprs use), so a time-partitioned table writes
+      // through the same branch as timestamps
+      case LongType | TimestampType | TimestampNTZType | _: TimeType =>
+        row.getLong(f.ordinal)
       case StringType => row.getUTF8String(f.ordinal).toString
       case DoubleType => row.getDouble(f.ordinal)
       case FloatType => row.getFloat(f.ordinal)

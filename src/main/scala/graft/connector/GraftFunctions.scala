@@ -30,7 +30,9 @@ object GraftFunctions {
     if (row.isNullAt(i)) return null
     dt match {
       case IntegerType | DateType => row.getInt(i)
-      case LongType | TimestampType | TimestampNTZType => row.getLong(i)
+      // TIME rides internally as nanos-of-day longs (the canonical form)
+      case LongType | TimestampType | TimestampNTZType | _: TimeType =>
+        row.getLong(i)
       case StringType => row.getUTF8String(i).toString
       case d: DecimalType => row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
       case BinaryType => row.getBinary(i)

@@ -85,6 +85,9 @@ object Transforms {
       case LongType => Murmur3.hashLong(v.asInstanceOf[Long])
       case DateType => Murmur3.hashInt(v.asInstanceOf[Int])
       case TimestampType | TimestampNTZType => Murmur3.hashLong(v.asInstanceOf[Long])
+      // canonical TIME is nanos-of-day; the iceberg spec buckets time by
+      // its MICROS-of-day long, so hash at micros for spec parity
+      case _: TimeType => Murmur3.hashLong(v.asInstanceOf[Long] / 1000L)
       case StringType => Murmur3.hashString(v.asInstanceOf[String])
       case FloatType => Murmur3.hashFloat(v.asInstanceOf[Float])
       case DoubleType => Murmur3.hashDouble(v.asInstanceOf[Double])
@@ -100,6 +103,11 @@ object Transforms {
       case StringType =>
         udf((s: String) => if (s == null) null
           else Int.box((Murmur3.hashString(s) & Integer.MAX_VALUE) % n))
+          .apply(c)
+      case _: TimeType => // micros-of-day, matching hash() above
+        udf((t: java.time.LocalTime) => if (t == null) null
+          else Int.box((Murmur3.hashLong(t.toNanoOfDay / 1000L) &
+            Integer.MAX_VALUE) % n))
           .apply(c)
       case _ => // all remaining supported types canonicalize to a long
         udf((l: java.lang.Long) => if (l == null) null

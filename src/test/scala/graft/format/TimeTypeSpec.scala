@@ -74,4 +74,38 @@ class TimeTypeSpec extends SparkSpec {
     assert(r.getAs[LocalTime]("mn") === LocalTime.of(6, 0))
     assert(r.getAs[LocalTime]("mx") === LocalTime.of(22, 0))
   }
+
+  test("TIME as a partition source writes through the DSv2 fanout writer") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-timepart").toString
+    spark.conf.set("spark.sql.catalog.gtp", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtp.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtp.db")
+    // hour-bucketing a TIME column is a natural shift-table layout; the
+    // fanout writer must extract the nanos-of-day long (it threw
+    // IllegalArgumentException("partition source type") before the fix)
+    spark.sql("""CREATE TABLE gtp.db.shifts (id BIGINT, start TIME)
+      PARTITIONED BY (bucket(4, start))""")
+    spark.sql("""INSERT INTO gtp.db.shifts VALUES
+      (1, TIME'06:00:00'), (2, TIME'14:00:00'), (3, TIME'22:00:00')""")
+    val rows = spark.sql("SELECT id, start FROM gtp.db.shifts ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getAs[LocalTime](1)))
+    assert(rows.toSeq === Seq((1L, LocalTime.of(6, 0)),
+      (2L, LocalTime.of(14, 0)), (3L, LocalTime.of(22, 0))))
+    // partition pruning actually bites: an equality filter on the source
+    // column projects to its bucket
+    val one = spark.sql(
+      "SELECT id FROM gtp.db.shifts WHERE start = TIME'14:00:00'").collect()
+    assert(one.map(_.getLong(0)).toSeq === Seq(2L))
+
+    // identity TIME partitioning: the tuple value (nanos-of-day) round-trips
+    // through the manifest codec and partition dir strings
+    spark.sql("""CREATE TABLE gtp.db.slots (id BIGINT, at TIME)
+      PARTITIONED BY (at)""")
+    spark.sql("""INSERT INTO gtp.db.slots VALUES
+      (1, TIME'06:30:00'), (2, TIME'06:30:00'), (3, TIME'18:00:00')""")
+    assert(spark.sql(
+      "SELECT id FROM gtp.db.slots WHERE at = TIME'06:30:00' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(spark.sql("SELECT * FROM gtp.db.slots").count() === 3)
+  }
 }
