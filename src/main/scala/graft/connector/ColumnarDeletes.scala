@@ -27,7 +27,7 @@ object ColumnarDeletes {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
          FloatType | DoubleType | DateType | TimestampType | TimestampNTZType |
          StringType | BinaryType => true
-    case _: DecimalType => true
+    case _: DecimalType | _: TimeType => true // TIME rides the long lane
     case _ => false
   }
 
@@ -134,8 +134,9 @@ final class ColumnarDeleteFilterReader(
         if (src.isNullAt(i)) dst.putNull(j) else dst.putShort(j, src.getShort(i)); j += 1 }
       case IntegerType | DateType => while (j < k) { val i = sel(j)
         if (src.isNullAt(i)) dst.putNull(j) else dst.putInt(j, src.getInt(i)); j += 1 }
-      case LongType | TimestampType | TimestampNTZType => while (j < k) { val i = sel(j)
-        if (src.isNullAt(i)) dst.putNull(j) else dst.putLong(j, src.getLong(i)); j += 1 }
+      case LongType | TimestampType | TimestampNTZType | _: TimeType =>
+        while (j < k) { val i = sel(j)
+          if (src.isNullAt(i)) dst.putNull(j) else dst.putLong(j, src.getLong(i)); j += 1 }
       case FloatType => while (j < k) { val i = sel(j)
         if (src.isNullAt(i)) dst.putNull(j) else dst.putFloat(j, src.getFloat(i)); j += 1 }
       case DoubleType => while (j < k) { val i = sel(j)

@@ -174,7 +174,9 @@ object ParquetIO {
     if (row.isNullAt(i)) return null
     dt match {
       case IntegerType | DateType => row.getInt(i)
-      case LongType | TimestampType | TimestampNTZType => row.getLong(i)
+      // TIME is canonical nanos-of-day, internally a long
+      case LongType | TimestampType | TimestampNTZType | _: TimeType =>
+        row.getLong(i)
       case StringType => row.getUTF8String(i).toString
       case DoubleType => row.getDouble(i)
       case FloatType => row.getFloat(i)

@@ -108,4 +108,26 @@ class TimeTypeSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
     assert(spark.sql("SELECT * FROM gtp.db.slots").count() === 3)
   }
+
+  test("MoR deletes on a TIME-carrying table stay columnar and correct") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-timemor").toString
+    spark.conf.set("spark.sql.catalog.gtm", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtm.db")
+    spark.sql("""CREATE TABLE gtm.db.punches (id BIGINT, at TIME)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.sql("""INSERT INTO gtm.db.punches VALUES
+      (1, TIME'06:00:00'), (2, TIME'12:00:00'),
+      (3, TIME'18:00:00'), (4, TIME'23:59:59')""")
+    spark.sql("DELETE FROM gtm.db.punches WHERE id IN (2, 4)")
+    // TIME is packable (long lane): live position deletes must not drop
+    // the scan off the vectorized path (assert on the sort-free plan — AQE
+    // wraps sorted plans before the scan node prints)
+    val flat = spark.sql("SELECT id, at FROM gtm.db.punches")
+    assert(flat.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      s"TIME MoR scan must stay columnar:\n${flat.queryExecution.executedPlan}")
+    val df = spark.sql("SELECT id, at FROM gtm.db.punches ORDER BY id")
+    assert(df.collect().map(r => (r.getLong(0), r.getAs[LocalTime](1))).toSeq
+      === Seq((1L, LocalTime.of(6, 0)), (3L, LocalTime.of(18, 0))))
+  }
 }
