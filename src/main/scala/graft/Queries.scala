@@ -402,6 +402,27 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // PII redaction (emails / IPv4s / intl phone numbers → typed
+    // placeholders) — the scrub stage before tokenization. The synthetic
+    // corpus is digit-free, so the gate PLANTS one of each per document
+    // deterministically, then redacts and counts; DuckDB reproduces the
+    // plant and the scrub with its own regex engine (RE2) — the patterns
+    // are written to the java.util.regex ∩ RE2 subset, so a hash match
+    // means an independent engine agrees on every redaction decision.
+    // Narrow per-row map: no shuffle beyond the final sort.
+    "q117_pii_redaction" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."),
+          (col("doc_id") % 200).cast("string"), lit(".7 call +1415555"),
+          (col("doc_id") % 10000).cast("string")).as("text"))
+      planted.select(
+        Seq(col("doc_id"), TextOps.redactPii(col("text")).as("red")) ++
+          TextOps.piiCounts(col("text")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
     // within-document repetition ratio (duplicate n-gram fraction) — the
     // standard corpus-quality rule for boilerplate/looping text; pure
     // codegen'd built-ins, no shuffle beyond the final sort
@@ -749,6 +770,25 @@ object Queries {
         |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, chunk_text,
         |  CAST(len(string_split(chunk_text, ' ')) AS INT) AS chunk_tokens
         |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q117_pii_redaction" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |  '@example.com from 10.0.' || CAST(doc_id % 200 AS VARCHAR) ||
+        |  '.7 call +1415555' || CAST(doc_id % 10000 AS VARCHAR) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+[0-9]{7,15}', '<PHONE>', 'g') AS red,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+[0-9]{7,15}')) AS INT) AS n_phones
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q48_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),

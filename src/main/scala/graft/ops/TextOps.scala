@@ -114,6 +114,35 @@ object TextOps {
     lit(0.5) * least(lit(1.0), n / lit(50.0)) + lit(0.3) * (uniq / n) + lit(0.2) * (stops / n)
   }
 
+  // --- PII redaction ------------------------------------------------------
+
+  /** Engine-portable PII patterns: the common subset of java.util.regex
+    * and RE2 (no lookaround, no backreferences), so a DuckDB/Trino stage
+    * reproduces the scrub decision for the same text. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  /** International format only (`+` then 7-15 digits): bare digit runs are
+    * too ambiguous to scrub unconditionally (ids, quantities, years). */
+  val PhonePattern = "\\+[0-9]{7,15}"
+
+  /** PII scrub — emails → `<EMAIL>`, IPv4s → `<IP>`, international-format
+    * phone numbers → `<PHONE>` — the redaction stage a training pipeline
+    * runs before tokenization. Replacement order is fixed (emails first:
+    * their local/domain parts contain digit-and-dot runs the IP pattern
+    * would otherwise bite into). Codegen'd `regexp_replace` chain: a
+    * narrow per-row map that fuses into the scan at 100 TB like the rest
+    * of TextOps. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailPattern, "<EMAIL>"), Ipv4Pattern, "<IP>"), PhonePattern, "<PHONE>")
+
+  /** Per-row PII hit counts (n_emails, n_ips, n_phones) — corpus audit /
+    * filter-threshold companion to [[redactPii]]. */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))).as("n_emails"),
+    size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))).as("n_ips"),
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0))).as("n_phones"))
+
   // --- token hashing ------------------------------------------------------
 
   /** Lower 64 bits of MD5(UTF-8 bytes), little-endian — the same value as

@@ -350,6 +350,28 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1500))
   }
 
+  test("redactPii scrubs emails/IPs/phones and leaves clean text alone") {
+    import graft.ops.TextOps
+    import spark.implicits._
+    val d = Seq(
+      (1L, "reach me at jane.doe+spam@sub.example.co.uk or +14155551234 now"),
+      (2L, "server 192.168.1.250 and 10.0.0.7 rebooted"),
+      (3L, "no pii here just words and 42 numbers"),
+      (4L, "a@b.io x")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        TextOps.redactPii(col("text")).as("red"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1L) === "reach me at <EMAIL> or <PHONE> now")
+    assert(out(2L) === "server <IP> and <IP> rebooted")
+    assert(out(3L) === "no pii here just words and 42 numbers")
+    assert(out(4L) === "<EMAIL> x")
+    val counts = d.select(Seq(col("doc_id")) ++ TextOps.piiCounts(col("text")): _*)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(counts(1L) === ((1, 0, 1)))
+    assert(counts(2L) === ((0, 2, 0)))
+    assert(counts(3L) === ((0, 0, 0)))
+  }
+
   test("multimodal decode pipeline emits typed metadata and frames") {
     val media = Multimodal.withPayload(docs)
     val decoded = Multimodal.decodeAll(spark, media).collect()
