@@ -349,6 +349,19 @@ object Queries {
         Dedup.jaccardPairsFast(t(s, dir, "documents"), n = 3, threshold = 0.5, maxDf = 0))
         .orderBy(col("doc_id"))),
 
+    // quality-aware dedup survivors: cluster the 0.5-jaccard pair graph,
+    // keep each cluster's longest doc (n_chars desc, ties → lowest id),
+    // pass unclustered docs through — the step that turns pairs into the
+    // deduped corpus. Integral score keeps the oracle float-free.
+    "q118_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.keepBest(docs.select(col("doc_id"), col("n_chars"), col("text")),
+          Dedup.jaccardPairsFast(docs, n = 3, threshold = 0.5, maxDf = 0),
+          col("n_chars"))
+        .select(col("doc_id"), col("cluster"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic content-hash sampling / splitting — buckets are a power
     // of two so the signed-hash pmod equals the oracle's unsigned mod
     "q46_hash_sample" -> ((s, dir) =>
@@ -800,6 +813,32 @@ object Queries {
         |CASE WHEN len(g2) > 0 THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)/CAST(len(g2) AS DOUBLE) END AS rep2,
         |CASE WHEN len(g3) > 0 THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/CAST(len(g3) AS DOUBLE) END AS rep3
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q118_keep_best" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |g AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS gram
+        |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(tok)-2)) AS i) r
+        |      WHERE len(tok) >= 3),
+        |s AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
+        |p AS (SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS inter
+        |      FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT p.a, p.b
+        |      FROM p JOIN s sa ON p.a = sa.doc_id JOIN s sb ON p.b = sb.doc_id
+        |      WHERE CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) >= 0.5),
+        |edges AS (SELECT a AS x, b AS y FROM jp UNION SELECT b AS x, a AS y FROM jp),
+        |reach(x, y) AS (
+        |  SELECT x, y FROM edges
+        |  UNION
+        |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x WHERE e.y <> r.x),
+        |members AS (SELECT DISTINCT x FROM edges),
+        |comp AS (SELECT m.x AS doc_id, LEAST(m.x, MIN(r.y)) AS cluster
+        |         FROM members m LEFT JOIN reach r ON r.x = m.x GROUP BY m.x),
+        |lab AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster, d.n_chars
+        |        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+        |rk AS (SELECT doc_id, cluster,
+        |         ROW_NUMBER() OVER (PARTITION BY cluster
+        |           ORDER BY n_chars DESC, doc_id ASC) AS rn FROM lab)
+        |SELECT doc_id, cluster, (rn = 1) AS keep FROM rk ORDER BY doc_id""".stripMargin,
 
     "q45_dup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),

@@ -408,6 +408,30 @@ object Dedup {
     labels.select(col("x").as("doc_id"), col("label").as("cluster"))
   }
 
+  /** Quality-aware dedup survivor selection — the step that turns a pair
+    * graph into the deduped corpus: every duplicate cluster keeps its
+    * best-scoring member (`score` descending, ties broken by lowest
+    * doc_id); unclustered docs keep themselves. Returns every doc with
+    * `(cluster, keep)` so callers can either filter `keep` for the
+    * surviving corpus or audit what a drop would remove.
+    *
+    * Scale shape: clustering is [[duplicateClusters]] (min-label
+    * propagation, rounds = component diameter); the keeper choice is one
+    * window pass partitioned by cluster — near-dup clusters are small
+    * clumps, so no partition skews, and the docs→clusters join broadcasts
+    * at steady state (clustered docs ≪ corpus). */
+  def keepBest(docs: DataFrame, pairs: DataFrame,
+      score: Column): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+    val labeled = docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster",
+        coalesce(col("cluster"), col("doc_id").cast("long")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+      .orderBy(score.desc, col("doc_id").asc)
+    labeled.withColumn("_rk", row_number().over(w))
+      .withColumn("keep", col("_rk") === 1).drop("_rk")
+  }
+
   // --- MinHash + LSH ------------------------------------------------------
 
   /** k minhash values per shingle set, via k seeded murmur3 hashes. */

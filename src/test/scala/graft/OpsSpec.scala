@@ -350,6 +350,23 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1500))
   }
 
+  test("keepBest keeps the top-scoring member per cluster, passes singletons") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, 10L), (2L, 30L), (3L, 20L), // cluster {1,2,3}: 2 wins (score 30)
+      (4L, 5L), (5L, 5L),              // cluster {4,5}: tie → lowest id (4)
+      (9L, 1L)                          // unclustered: keeps itself
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val out = Dedup.keepBest(d, pairs, col("score"))
+      .select(col("doc_id"), col("cluster"), col("keep"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out === Map(
+      1L -> ((1L, false)), 2L -> ((1L, true)), 3L -> ((1L, false)),
+      4L -> ((4L, true)), 5L -> ((4L, false)),
+      9L -> ((9L, true))))
+  }
+
   test("redactPii scrubs emails/IPs/phones and leaves clean text alone") {
     import graft.ops.TextOps
     import spark.implicits._
