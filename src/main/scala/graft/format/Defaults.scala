@@ -28,7 +28,11 @@ object Defaults {
   def withDefault(f: StructField, v: Any): StructField = {
     require(v != null, "an initial default of null is just the absent default")
     val o = Json.obj()
-    Values.toJson(o, "v", v, Types.cleanType(f.dataType))
+    // coerce like a filter literal (Int → Long, "2024-01-01" → epoch day,
+    // LocalTime → nanos, …): callers pass natural Scala literals, the
+    // codec wants the canonical domain
+    Values.toJson(o, "v",
+      Exprs.coerce(v, Types.cleanType(f.dataType)), Types.cleanType(f.dataType))
     f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
       .putString(Key, Json.write(o)).build())
   }

@@ -33,6 +33,13 @@ class DefaultsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
     assert(rows.take(10).forall(r => r._2 == "basic" && r._3 == 7L))
     assert(rows.drop(10).forall(r => r._2 == "gold" && r._3 == 99L))
+    // natural Scala literals coerce to the canonical domain (Int → Long
+    // for a BIGINT column) instead of failing inside the JSON codec
+    SchemaUpdate(GraftTable.load(spark, t.location))
+      .addColumn("rank", LongType, initialDefault = Some(3)).commit()
+    val coerced = GraftTable.load(spark, t.location).toDF()
+      .select("rank").distinct().collect().map(_.getLong(0)).toSet
+    assert(coerced === Set(3L))
     // defaults are refused where they cannot be honored
     intercept[IllegalArgumentException](SchemaUpdate(t)
       .addColumn("s", StructType(Seq(StructField("a", LongType))),
