@@ -221,6 +221,31 @@ object FormatQueries {
                FROM graftnin.db.customer_nin GROUP BY 1 ORDER BY 1""")
     }),
 
+    // NOT LIKE 'prefix%' delete with SQL null semantics: Not(startsWith)
+    // is irreducible in the NOT rewrite (pre-fix the planner looped
+    // forever on it), strict evaluation refuses bare NOT so the delete
+    // routes to the row-level three-valued path, and the planted
+    // NULL-segment row must SURVIVE (NOT LIKE is never TRUE on NULL)
+    "q119_not_like_delete" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftnsw", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftnsw.warehouse", tdir(dir, "nswwh"))
+      withTable(s, dir, "nswwh/db/customer_nsw") { loc =>
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val tt = GraftTable.recreate(s, loc, c.schema)
+        val nullRow = c.limit(1)
+          .withColumn("c_custkey", lit(-1L))
+          .withColumn("c_acctbal", lit(0.0))
+          .withColumn("c_mktsegment", lit(null).cast("string"))
+        GraftWrite.append(tt, c.coalesce(2).unionByName(nullRow))
+        s.sql("DELETE FROM graftnsw.db.customer_nsw " +
+          "WHERE c_mktsegment NOT LIKE 'B%'")
+        GraftTable.load(s, loc)
+      }
+      s.sql("""SELECT COALESCE(c_mktsegment, '<null>') AS seg, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+               FROM graftnsw.db.customer_nsw GROUP BY 1 ORDER BY 1""")
+    }),
+
     // cross-spec merge-on-read: a partition-scoped equality delete
     // committed under an EVOLVED spec must survive a partition-filtered
     // copy-on-write deleteWhere whose filter summary-prunes the delete
@@ -1201,6 +1226,15 @@ object FormatQueries {
         |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
         |FROM customer
         |WHERE c_acctbal >= 0 AND c_custkey % 7 <> 3 AND c_custkey <= 1000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q119_not_like_delete" ->
+      """WITH t AS (SELECT c_mktsegment, c_acctbal FROM customer
+        |           UNION ALL SELECT NULL, 0.0)
+        |SELECT COALESCE(c_mktsegment, '<null>') AS seg, COUNT(*) AS n,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+        |FROM t
+        |WHERE c_mktsegment LIKE 'B%' OR c_mktsegment IS NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q116_notin_null_delete" ->

@@ -79,13 +79,18 @@ object Exprs {
   def startsWith(c: String, p: String) = Pred(PredOp.StartsWith, c, Seq(p))
 
   /** De Morgan push-down of Not to the leaves
-    * (reference api/.../expressions/RewriteNot.java). */
+    * (reference api/.../expressions/RewriteNot.java). `Not(startsWith)` is
+    * IRREDUCIBLE (StartsWith has no negated op) and comes back unchanged —
+    * every recursive consumer of this function must treat a surviving
+    * `Not` as terminal, or it loops forever (bind did, pre-round-16). */
   def rewriteNot(e: Expr): Expr = e match {
     case Not(And(l, r)) => Or(rewriteNot(not(l)), rewriteNot(not(r)))
     case Not(Or(l, r)) => And(rewriteNot(not(l)), rewriteNot(not(r)))
     case Not(Not(c)) => rewriteNot(c)
     case Not(Pred(op, ref, vs)) if op != PredOp.StartsWith =>
       Pred(op.negate, ref, vs)
+    case Not(BoundPred(op, id, n, dt, vs)) if op != PredOp.StartsWith =>
+      BoundPred(op.negate, id, n, dt, vs)
     case Not(AlwaysTrue) => AlwaysFalse
     case Not(AlwaysFalse) => AlwaysTrue
     case And(l, r) => And(rewriteNot(l), rewriteNot(r))
@@ -145,7 +150,12 @@ object Exprs {
       case AlwaysFalse => AlwaysFalse
       case And(l, r) => and(bind(l, schema, caseSensitive), bind(r, schema, caseSensitive))
       case Or(l, r) => or(bind(l, schema, caseSensitive), bind(r, schema, caseSensitive))
-      case Not(c) => bind(rewriteNot(Not(c)), schema, caseSensitive)
+      case Not(c) => rewriteNot(Not(c)) match {
+        // irreducible (Not(startsWith)): bind the child, keep the Not —
+        // recursing on the unchanged node looped forever
+        case Not(inner) => not(bind(inner, schema, caseSensitive))
+        case reduced => bind(reduced, schema, caseSensitive)
+      }
       case p @ Pred(op, ref, vs) =>
         val f = schema.fields
           .find(f => if (caseSensitive) f.name == ref else f.name.equalsIgnoreCase(ref))

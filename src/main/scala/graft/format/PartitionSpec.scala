@@ -112,7 +112,12 @@ object Projections {
       Exprs.and(projectWith(l, spec, schema, strict), projectWith(r, spec, schema, strict))
     case Or(l, r) =>
       Exprs.or(projectWith(l, spec, schema, strict), projectWith(r, spec, schema, strict))
-    case Not(c) => projectWith(Exprs.rewriteNot(Not(c)), spec, schema, strict)
+    case Not(c) => Exprs.rewriteNot(Not(c)) match {
+      // irreducible (Not(startsWith)): no transform projects a negated
+      // prefix — conservative terminal instead of recursing forever
+      case Not(_) => if (strict) AlwaysFalse else AlwaysTrue
+      case reduced => projectWith(reduced, spec, schema, strict)
+    }
     case p: Pred => throw new IllegalStateException(s"project needs bound expr: $p")
     case BoundPred(op, fieldId, _, dt, vs) =>
       val candidates = spec.fields.filter(_.sourceId == fieldId).flatMap { pf =>

@@ -482,6 +482,25 @@ class CatalogSpec extends SparkSpec {
       "a refused overwrite must leave the table untouched")
   }
 
+  test("NOT LIKE 'prefix%' plans, scans, and deletes with SQL null semantics") {
+    wh
+    spark.sql("CREATE TABLE g.db.nsw (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO g.db.nsw VALUES (1, 'px'), (2, 'qx'), (3, NULL)")
+    // pre-fix this HUNG the planner: Not(startsWith) is irreducible in
+    // rewriteNot and bind recursed on the unchanged node forever
+    val rows = spark.sql(
+      "SELECT id FROM g.db.nsw WHERE s NOT LIKE 'p%' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows === Seq(2L), "NOT LIKE is never TRUE on NULL")
+    // the residual-free delete path: strict evaluation refuses bare NOT,
+    // so this routes to the row-level operation's three-valued logic —
+    // the NULL row must survive
+    spark.sql("DELETE FROM g.db.nsw WHERE s NOT LIKE 'p%'")
+    assert(spark.sql("SELECT id FROM g.db.nsw ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L),
+      "DELETE NOT LIKE must keep the NULL row")
+  }
+
   test("DELETE WHERE NOT IN with a NULL literal deletes nothing") {
     wh
     spark.sql("CREATE TABLE g.db.nin (id BIGINT)")
