@@ -29,7 +29,12 @@ object FilterBridge {
        | LessThan(_, null) | LessThanOrEqual(_, null) => None
     case EqualTo(a, v) => Some(Exprs.equal(a, v))
     case EqualNullSafe(a, null) => Some(Exprs.isNull(a))
-    case EqualNullSafe(a, v) => Some(Exprs.equal(a, v))
+    case EqualNullSafe(a, v) =>
+      // positive: `a <=> v` (v non-null) selects exactly `a = v`'s TRUE
+      // rows. Negative: `NOT (a <=> v)` is TRUE on null rows, but Eq's
+      // negation (NotEq) is never TRUE on null — unconvertible (the
+      // property spec's second find; same class as the NOT IN rule)
+      if (positive) Some(Exprs.equal(a, v)) else None
     case GreaterThan(a, v) => Some(Exprs.gt(a, v))
     case GreaterThanOrEqual(a, v) => Some(Exprs.gtEq(a, v))
     case LessThan(a, v) => Some(Exprs.lt(a, v))
@@ -44,7 +49,12 @@ object FilterBridge {
     case Or(l, r) =>
       for { cl <- conv(l, positive); cr <- conv(r, positive) } yield Exprs.or(cl, cr)
     case Not(c) => conv(c, !positive).map(Exprs.not)
-    case StringStartsWith(a, p) => Some(Exprs.startsWith(a, p))
+    case StringStartsWith(a, p) =>
+      // negative: startsWith has no negated op, so `NOT startsWith` rides
+      // as an irreducible Not node whose two-valued evaluation counts
+      // null rows as TRUE (SQL: never TRUE) — unconvertible instead.
+      // With every leaf polarity-guarded, bridge output is Not-free.
+      if (positive) Some(Exprs.startsWith(a, p)) else None
     case _ => None
   }
 

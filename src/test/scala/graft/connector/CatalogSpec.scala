@@ -501,6 +501,20 @@ class CatalogSpec extends SparkSpec {
       "DELETE NOT LIKE must keep the NULL row")
   }
 
+  test("DELETE WHERE NOT (a <=> v) deletes the NULL rows too") {
+    wh
+    spark.sql("CREATE TABLE g.db.nns (id BIGINT, a BIGINT)")
+    spark.sql("INSERT INTO g.db.nns VALUES (1, 5), (2, 7), (3, NULL)")
+    // SQL: NOT (a <=> 5) is TRUE for a=7 AND a=NULL (null-safe equality
+    // is two-valued). The Eq conversion is only sound in positive
+    // position — pre-fix the converted NotEq was never TRUE on null, so
+    // depending on the evaluator the NULL row silently survived
+    spark.sql("DELETE FROM g.db.nns WHERE NOT (a <=> 5)")
+    assert(spark.sql("SELECT id FROM g.db.nns").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L),
+      "NOT (a <=> 5) must delete both the 7 row and the NULL row")
+  }
+
   test("DELETE WHERE NOT IN with a NULL literal deletes nothing") {
     wh
     spark.sql("CREATE TABLE g.db.nin (id BIGINT)")
