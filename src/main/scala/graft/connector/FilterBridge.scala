@@ -49,12 +49,10 @@ object FilterBridge {
     case Or(l, r) =>
       for { cl <- conv(l, positive); cr <- conv(r, positive) } yield Exprs.or(cl, cr)
     case Not(c) => conv(c, !positive).map(Exprs.not)
-    case StringStartsWith(a, p) =>
-      // negative: startsWith has no negated op, so `NOT startsWith` rides
-      // as an irreducible Not node whose two-valued evaluation counts
-      // null rows as TRUE (SQL: never TRUE) — unconvertible instead.
-      // With every leaf polarity-guarded, bridge output is Not-free.
-      if (positive) Some(Exprs.startsWith(a, p)) else None
+    // convertible in BOTH polarities: notStartsWith is non-null-and-not-
+    // prefixed, exactly `NOT (s LIKE 'p%')`'s TRUE rows, so the NOT
+    // rewrite stays total and bridge output stays Not-free
+    case StringStartsWith(a, p) => Some(Exprs.startsWith(a, p))
     case _ => None
   }
 

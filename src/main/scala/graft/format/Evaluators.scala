@@ -87,6 +87,22 @@ object Evaluators {
           if (boundMismatch(lower, isLower = true) ||
               boundMismatch(upper, isLower = false)) RowsCannotMatch
           else RowsMightMatch
+        case PredOp.NotStartsWith =>
+          // no row matches iff EVERY value starts with the prefix (null
+          // rows never match notStartsWith). Sound with truncated bounds:
+          // the lower bound is a PREFIX of the real minimum, and an
+          // incremented upper that still starts with the prefix forces
+          // every in-range value's first |prefix| chars to equal it
+          // (public Iceberg InclusiveMetricsEvaluator.notStartsWith).
+          (lower, upper) match {
+            case (Some(lo: String), Some(up: String))
+                if lo.length >= vs.head.asInstanceOf[String].length &&
+                   up.length >= vs.head.asInstanceOf[String].length &&
+                   lo.startsWith(vs.head.asInstanceOf[String]) &&
+                   up.startsWith(vs.head.asInstanceOf[String]) =>
+              RowsCannotMatch
+            case _ => RowsMightMatch
+          }
       }
   }
 
@@ -131,7 +147,32 @@ object Evaluators {
           noNulls && vs.forall { v =>
             lower.exists(lo => ord.gt(lo, v)) || upper.exists(up => ord.lt(up, v))
           }
-        case PredOp.StartsWith => false
+        case PredOp.StartsWith =>
+          // every row starts with the prefix: same bound logic as the
+          // inclusive notStartsWith cannot-match (plus no nulls)
+          noNulls && {
+            val prefix = vs.head.asInstanceOf[String]
+            (lower, upper) match {
+              case (Some(lo: String), Some(up: String)) =>
+                lo.length >= prefix.length && up.length >= prefix.length &&
+                  lo.startsWith(prefix) && up.startsWith(prefix)
+              case _ => false
+            }
+          }
+        case PredOp.NotStartsWith =>
+          // every row is non-null and outside the prefix block [p, succ p):
+          // upper entirely below p, or the real minimum's first |p| chars
+          // already above p (lower bounds are prefixes of the real min)
+          noNulls && {
+            val prefix = vs.head.asInstanceOf[String]
+            upper.exists { case up: String => up.compareTo(prefix) < 0
+                           case _ => false } ||
+            lower.exists { case lo: String =>
+                             lo.length >= prefix.length &&
+                               lo.substring(0, prefix.length)
+                                 .compareTo(prefix) > 0
+                           case _ => false }
+          }
       }
   }
 

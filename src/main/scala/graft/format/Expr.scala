@@ -19,9 +19,12 @@ object PredOp {
   case object NotEq extends PredOp { def negate = Eq }
   case object In extends PredOp { def negate = NotIn }
   case object NotIn extends PredOp { def negate = In }
-  case object StartsWith extends PredOp {
-    def negate = throw new UnsupportedOperationException("negate(startsWith)")
-  }
+  case object StartsWith extends PredOp { def negate = NotStartsWith }
+  /** TRUE iff the value is NON-NULL and does not start with the prefix —
+    * exactly SQL's `NOT (s LIKE 'p%')` TRUE rows, so negation stays total
+    * and two-valued (public Iceberg added NOT_STARTS_WITH for the same
+    * reason). */
+  case object NotStartsWith extends PredOp { def negate = StartsWith }
 }
 
 /** Boolean expression tree over named columns — the engine's filter IR
@@ -77,20 +80,20 @@ object Exprs {
   def in(c: String, vs: Seq[Any]) = Pred(PredOp.In, c, vs)
   def notIn(c: String, vs: Seq[Any]) = Pred(PredOp.NotIn, c, vs)
   def startsWith(c: String, p: String) = Pred(PredOp.StartsWith, c, Seq(p))
+  def notStartsWith(c: String, p: String) = Pred(PredOp.NotStartsWith, c, Seq(p))
 
   /** De Morgan push-down of Not to the leaves
-    * (reference api/.../expressions/RewriteNot.java). `Not(startsWith)` is
-    * IRREDUCIBLE (StartsWith has no negated op) and comes back unchanged —
-    * every recursive consumer of this function must treat a surviving
-    * `Not` as terminal, or it loops forever (bind did, pre-round-16). */
+    * (reference api/.../expressions/RewriteNot.java). Every PredOp has a
+    * total negation (startsWith ↔ notStartsWith), so the rewrite fully
+    * eliminates Not from predicate trees; bind and the projections still
+    * treat a hypothetical surviving Not as terminal (recursing on an
+    * unchanged node looped the planner forever, pre-round-16). */
   def rewriteNot(e: Expr): Expr = e match {
     case Not(And(l, r)) => Or(rewriteNot(not(l)), rewriteNot(not(r)))
     case Not(Or(l, r)) => And(rewriteNot(not(l)), rewriteNot(not(r)))
     case Not(Not(c)) => rewriteNot(c)
-    case Not(Pred(op, ref, vs)) if op != PredOp.StartsWith =>
-      Pred(op.negate, ref, vs)
-    case Not(BoundPred(op, id, n, dt, vs)) if op != PredOp.StartsWith =>
-      BoundPred(op.negate, id, n, dt, vs)
+    case Not(Pred(op, ref, vs)) => Pred(op.negate, ref, vs)
+    case Not(BoundPred(op, id, n, dt, vs)) => BoundPred(op.negate, id, n, dt, vs)
     case Not(AlwaysTrue) => AlwaysFalse
     case Not(AlwaysFalse) => AlwaysTrue
     case And(l, r) => And(rewriteNot(l), rewriteNot(r))
@@ -222,6 +225,8 @@ object Exprs {
         case PredOp.NotIn => !vs.exists(ordering(dt).equiv(v, _))
         case PredOp.StartsWith =>
           v.asInstanceOf[String].startsWith(vs.head.asInstanceOf[String])
+        case PredOp.NotStartsWith => // null already handled: not TRUE
+          !v.asInstanceOf[String].startsWith(vs.head.asInstanceOf[String])
       }
     case p: Pred => throw new IllegalStateException(s"unbound predicate: $p")
   }
@@ -250,6 +255,7 @@ object Exprs {
         case PredOp.In => c.isInCollection(vs.map(v => litOf(v, dt)))
         case PredOp.NotIn => !c.isInCollection(vs.map(v => litOf(v, dt)))
         case PredOp.StartsWith => c.startsWith(vs.head.asInstanceOf[String])
+        case PredOp.NotStartsWith => !c.startsWith(vs.head.asInstanceOf[String])
       }
     case p: Pred => throw new IllegalStateException(s"unbound predicate: $p")
   }

@@ -174,12 +174,28 @@ object Transforms {
         val p = vs.head.asInstanceOf[String]
         if (p.codePointCount(0, p.length) <= w) Some((PredOp.StartsWith, Seq(p)))
         else Some((PredOp.Eq, Seq(apply(p, src))))
+      case PredOp.NotStartsWith if src == StringType =>
+        // prefix within the truncation width: a value starts with p iff
+        // its partition value does, so the projection is EXACT (uniform
+        // within each partition) — usable inclusively and strictly
+        val p = vs.head.asInstanceOf[String]
+        if (p.codePointCount(0, p.length) <= w)
+          Some((PredOp.NotStartsWith, Seq(p)))
+        else None
       case _ => None
     }
     def projectStrict(op: PredOp, vs: Seq[Any], src: DataType) = op match {
       case PredOp.Lt => Some((PredOp.Lt, vs.map(apply(_, src))))
       case PredOp.Gt => Some((PredOp.Gt, vs.map(apply(_, src))))
       case PredOp.NotEq => None // same truncation can hold unequal values
+      case PredOp.NotStartsWith if src == StringType =>
+        val p = vs.head.asInstanceOf[String]
+        if (p.codePointCount(0, p.length) <= w)
+          Some((PredOp.NotStartsWith, Seq(p))) // exact (see project)
+        else
+          // prefix longer than the width: partitions whose value differs
+          // from truncate(p) hold ONLY non-p-prefixed (non-null) rows
+          Some((PredOp.NotEq, Seq(apply(p, src))))
       case _ => None
     }
   }

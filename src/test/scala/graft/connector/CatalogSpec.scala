@@ -499,6 +499,17 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT id FROM g.db.nsw ORDER BY id").collect()
       .map(_.getLong(0)).toSeq === Seq(1L, 3L),
       "DELETE NOT LIKE must keep the NULL row")
+    // and notStartsWith PRUNES: on a truncate-partitioned table the
+    // all-'p' partition's file never reaches the NOT LIKE scan
+    spark.sql("""CREATE TABLE g.db.nswp (id BIGINT, s STRING)
+      PARTITIONED BY (truncate(1, s))""")
+    spark.sql("INSERT INTO g.db.nswp VALUES (1, 'pa'), (2, 'pb')")
+    spark.sql("INSERT INTO g.db.nswp VALUES (3, 'qa'), (4, 'qb')")
+    val q = spark.sql("SELECT id FROM g.db.nswp WHERE s NOT LIKE 'p%'")
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("files=1"),
+      s"NOT LIKE must prune the p-partition's file:\n$desc")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L))
   }
 
   test("DELETE WHERE NOT (a <=> v) deletes the NULL rows too") {

@@ -119,6 +119,47 @@ class PruningPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("string partition projections sound (startsWith / notStartsWith × truncate)") {
+    val r = new Random(49)
+    val sId = 2
+    def genS(): String = {
+      val alphabet = "ab"
+      (0 until r.nextInt(7)).map(_ => alphabet(r.nextInt(2))).mkString
+    }
+    val strTransforms: Seq[Transform] =
+      Seq(Transforms.IdentityT, Transforms.TruncateT(3), Transforms.BucketT(5))
+    (0 until N).foreach { _ =>
+      val rows: List[Option[String]] =
+        List.fill(1 + r.nextInt(8))(
+          if (r.nextInt(5) == 0) None else Some(genS()))
+      val tr = strTransforms(r.nextInt(strTransforms.size))
+      val spec = PartitionSpec(0, Seq(PartitionField(sId, tr, "p")))
+      val pred = r.nextInt(4) match {
+        case 0 => Exprs.startsWith("s", genS().take(1 + r.nextInt(5)))
+        // prefix length crosses the truncate(3) width both ways
+        case 1 => Exprs.notStartsWith("s", genS().take(1 + r.nextInt(5)))
+        case 2 => Exprs.equal("s", genS())
+        case 3 => Exprs.lt("s", genS())
+      }
+      val bound = Exprs.bind(Exprs.rewriteNot(
+        if (r.nextBoolean()) pred else Exprs.not(pred)), schema)
+      def rowMatches(row: Option[String]): Boolean =
+        Exprs.eval(bound, _ => row.orNull)
+      val inc = Projections.inclusive(bound, spec, schema)
+      val str = Projections.strict(bound, spec, schema)
+      rows.groupBy(row => row.map(v => tr.apply(v, StringType)).orNull)
+        .foreach { case (pval, rs) =>
+          val tuple = Map("p" -> pval)
+          if (rs.exists(rowMatches))
+            assert(inc == AlwaysTrue || Projections.evalOnPartition(inc, tuple),
+              s"inclusive pruned matching partition pval=$pval rows=$rs tr=$tr expr=$bound proj=$inc")
+          if (str != AlwaysFalse && Projections.evalOnPartition(str, tuple))
+            assert(rs.forall(rowMatches),
+              s"strict over-claimed pval=$pval rows=$rs tr=$tr expr=$bound proj=$str")
+        }
+    }
+  }
+
   test("string metrics pruning sound under truncate(16) bounds + startsWith") {
     val r = new Random(47)
     val sId = 2
@@ -138,7 +179,7 @@ class PruningPropertySpec extends AnyFunSuite {
           else Map(sId -> Metrics.truncateLower(nonNull.min)),
         upperBounds = if (nonNull.isEmpty) Map.empty
           else Option(Metrics.truncateUpper(nonNull.max)).map(sId -> _).toMap)
-      val pred = r.nextInt(7) match {
+      val pred = r.nextInt(8) match {
         case 0 => Exprs.lt("s", genStr())
         case 1 => Exprs.ltEq("s", genStr())
         case 2 => Exprs.gt("s", genStr())
@@ -146,6 +187,10 @@ class PruningPropertySpec extends AnyFunSuite {
         case 4 => Exprs.equal("s", genStr())
         case 5 => Exprs.startsWith("s", genStr().take(1 + r.nextInt(5)))
         case 6 => Exprs.in("s", Seq(genStr(), genStr()))
+        // prefixes both inside and beyond the 16-char truncation width:
+        // the notStartsWith evaluators' length guards must hold on
+        // truncated bounds
+        case 7 => Exprs.notStartsWith("s", genStr().take(1 + r.nextInt(19)))
       }
       val bound = Exprs.bind(pred, schema)
       def matches(row: Option[String]): Boolean =
