@@ -246,6 +246,28 @@ object FormatQueries {
                FROM graftnsw.db.customer_nsw GROUP BY 1 ORDER BY 1""")
     }),
 
+    // metadata-only LIKE-prefix delete: truncate(1)-partitioned segments
+    // are prefix-uniform, so the strict projection proves whole
+    // partitions and the DELETE drops files without rewriting any data
+    // (the CatalogSpec twin asserts the no-rewrite property; this gate
+    // pins the RESULT against DuckDB)
+    "q120_like_prefix_delete" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftlpd", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftlpd.warehouse", tdir(dir, "lpdwh"))
+      withTable(s, dir, "lpdwh/db/customer_lpd") { loc =>
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val tt = GraftTable.recreate(s, loc, c.schema,
+          _.truncate("c_mktsegment", 1))
+        GraftWrite.append(tt, c.coalesce(2))
+        s.sql("DELETE FROM graftlpd.db.customer_lpd " +
+          "WHERE c_mktsegment LIKE 'B%'")
+        GraftTable.load(s, loc)
+      }
+      s.sql("""SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+               FROM graftlpd.db.customer_lpd GROUP BY 1 ORDER BY 1""")
+    }),
+
     // cross-spec merge-on-read: a partition-scoped equality delete
     // committed under an EVOLVED spec must survive a partition-filtered
     // copy-on-write deleteWhere whose filter summary-prunes the delete
@@ -1226,6 +1248,13 @@ object FormatQueries {
         |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
         |FROM customer
         |WHERE c_acctbal >= 0 AND c_custkey % 7 <> 3 AND c_custkey <= 1000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q120_like_prefix_delete" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |WHERE c_mktsegment NOT LIKE 'B%'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q119_not_like_delete" ->

@@ -188,6 +188,14 @@ object Transforms {
       case PredOp.Lt => Some((PredOp.Lt, vs.map(apply(_, src))))
       case PredOp.Gt => Some((PredOp.Gt, vs.map(apply(_, src))))
       case PredOp.NotEq => None // same truncation can hold unequal values
+      case PredOp.StartsWith if src == StringType =>
+        // prefix within the width: partitions are prefix-uniform, so the
+        // projection is exact strictly too — this is what makes
+        // `DELETE WHERE s LIKE 'p%'` a metadata-only whole-partition drop
+        val p = vs.head.asInstanceOf[String]
+        if (p.codePointCount(0, p.length) <= w)
+          Some((PredOp.StartsWith, Seq(p)))
+        else None // pv == trunc(p) can't prove the tail chars
       case PredOp.NotStartsWith if src == StringType =>
         val p = vs.head.asInstanceOf[String]
         if (p.codePointCount(0, p.length) <= w)

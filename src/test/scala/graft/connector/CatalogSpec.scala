@@ -510,6 +510,18 @@ class CatalogSpec extends SparkSpec {
     assert(desc.contains("files=1"),
       s"NOT LIKE must prune the p-partition's file:\n$desc")
     assert(q.collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L))
+    // LIKE 'p%' deletes are metadata-only on prefix-uniform partitions:
+    // the strict truncate projection proves whole files, so no data file
+    // is rewritten
+    val before = spark.sql("SELECT file_path FROM g.db.`nswp$files`")
+      .collect().map(_.getString(0)).toSet
+    spark.sql("DELETE FROM g.db.nswp WHERE s LIKE 'q%'")
+    val after = spark.sql("SELECT file_path FROM g.db.`nswp$files`")
+      .collect().map(_.getString(0)).toSet
+    assert(after.subsetOf(before) && after.size == before.size - 1,
+      s"LIKE-prefix delete must drop one file and write none: $before -> $after")
+    assert(spark.sql("SELECT id FROM g.db.nswp").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
   }
 
   test("DELETE WHERE NOT (a <=> v) deletes the NULL rows too") {
