@@ -54,7 +54,8 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
     * contract. Partial-file deletes return false so Spark plans the
     * row-level operation, which honors `write.delete.mode`. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(f => FilterBridge.convert(f).isDefined) &&
+    filters.forall(f => FilterBridge.convert(f).exists(e =>
+      scala.util.Try(Exprs.bind(e, table.metadata.schema)).isSuccess)) &&
       Commits.canMetadataDelete(table, FilterBridge.convertAll(filters))
 
   override def deleteWhere(filters: Array[Filter]): Unit =
@@ -280,7 +281,13 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
   override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(f => FilterBridge.convert(f).isDefined)
+    // accept only filters that CONVERT and BIND: Spark 4 pushes nested
+    // attribute references ("info.tag") through this API, and the bridge
+    // can't know names — an unbindable accepted filter crashed scan
+    // planning instead of staying Spark-side (nested stats aren't
+    // recorded anyway, so refusing loses no pruning)
+    pushed = filters.filter(f => FilterBridge.convert(f).exists(e =>
+      scala.util.Try(Exprs.bind(e, base.scanSchema)).isSuccess))
     // return ALL filters as post-scan: Spark re-applies them — residual
     // safety exactly as the reference (SparkScanBuilder.java:121-123).
     // (In group-granular mode Spark ignores the residual: the ReplaceData

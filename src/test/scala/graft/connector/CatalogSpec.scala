@@ -482,6 +482,29 @@ class CatalogSpec extends SparkSpec {
       "a refused overwrite must leave the table untouched")
   }
 
+  test("nested-field filters scan and delete (unbindable refs stay Spark-side)") {
+    wh
+    spark.sql("CREATE TABLE g.db.nfil (id BIGINT, info STRUCT<tag: STRING, n: BIGINT>)")
+    spark.sql("""INSERT INTO g.db.nfil VALUES
+      (1, named_struct('tag', 'x', 'n', 5L)),
+      (2, named_struct('tag', 'y', 'n', 6L)), (3, NULL)""")
+    // Spark 4 pushes nested attribute references ("info.tag") through the
+    // V1-Filter pushdown API; pre-fix the builder accepted them and scan
+    // planning crashed with "cannot bind info.tag"
+    assert(spark.sql("SELECT id FROM g.db.nfil WHERE info.tag = 'x'")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // DELETE on a nested field routes to the row-level operation
+    // (canDeleteWhere must answer false, not throw)
+    spark.sql("DELETE FROM g.db.nfil WHERE info.tag = 'y'")
+    assert(spark.sql("SELECT id FROM g.db.nfil ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    // a top-level column whose NAME contains a dot still binds and pushes
+    spark.sql("CREATE TABLE g.db.dotted (id BIGINT, `a.b` STRING)")
+    spark.sql("INSERT INTO g.db.dotted VALUES (1, 'x'), (2, 'y')")
+    assert(spark.sql("SELECT id FROM g.db.dotted WHERE `a.b` = 'x'")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("NOT LIKE 'prefix%' plans, scans, and deletes with SQL null semantics") {
     wh
     spark.sql("CREATE TABLE g.db.nsw (id BIGINT, s STRING)")
