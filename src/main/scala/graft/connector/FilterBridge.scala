@@ -22,6 +22,11 @@ object FilterBridge {
   def convert(f: Filter): Option[Expr] = conv(f, positive = true)
 
   private def conv(f: Filter, positive: Boolean): Option[Expr] = f match {
+    // a bare `DELETE FROM t` arrives as the literal TRUE filter — without
+    // this case canDeleteWhere refused and Spark errored out ("Cannot
+    // delete from table where [TRUE]") instead of truncating
+    case _: AlwaysTrue => Some(Exprs.alwaysTrue)
+    case _: AlwaysFalse => Some(Exprs.alwaysFalse)
     // null-valued comparisons stay unconverted (Catalyst normally folds
     // them away first; if one does arrive, binding a null literal throws
     // and an unpushed filter is never wrong)

@@ -58,7 +58,8 @@ object GraftBatchWrite {
       base: () => Option[Long] = () => None) extends Mode
 }
 
-final class GraftBatchWrite(table: GraftTable, mode: GraftBatchWrite.Mode)
+final class GraftBatchWrite(table: GraftTable, mode: GraftBatchWrite.Mode,
+    branch: Option[String] = None)
   extends BatchWrite {
   import GraftBatchWrite._
 
@@ -108,6 +109,10 @@ final class GraftBatchWrite(table: GraftTable, mode: GraftBatchWrite.Mode)
         fileFormat = fmt)
     }.toSeq
     mode match {
+      // branch identifier (`t.branch_x`): appends advance the BRANCH head;
+      // other modes were refused at the write builder
+      case Append if branch.isDefined =>
+        Commits.appendToBranch(table, branch.get, files)
       case Append => Commits.mergeAppend(table, files)
       case DynamicOverwrite => Commits.replacePartitions(table, files)
       case FilterOverwrite(e) => Commits.overwriteByFilter(table, e, files)

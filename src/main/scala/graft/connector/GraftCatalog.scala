@@ -68,8 +68,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case None => RowsTable(ident.toString, MetaTables(t, metaName))
       }
     case _ =>
-      if (!GraftTable.exists(tableDir(ident))) throw new NoSuchTableException(ident)
-      new GraftSparkTable(spark, GraftTable.load(spark, tableDir(ident)), ident.toString)
+      if (GraftTable.exists(tableDir(ident)))
+        new GraftSparkTable(spark, GraftTable.load(spark, tableDir(ident)), ident.toString)
+      else refTable(ident).getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  /** `t.branch_x` / `t.tag_x` ref spelling (the public Iceberg identifier
+    * form): reads pin to the ref's snapshot; branch identifiers also
+    * accept APPENDS (committed to the branch head). Both the quoted
+    * single-name form (`` `t.branch_x` ``) and the multipart form
+    * (db.t.branch_x → namespace [db, t]) resolve. A real table always
+    * wins — this only runs when the identifier itself doesn't exist. */
+  private val RefName = """^(.+)\.(branch|tag)_(.+)$""".r
+  private val RefLeaf = """^(branch|tag)_(.+)$""".r
+  private def refTable(ident: Identifier): Option[Table] = {
+    val candidate = ident.name() match {
+      case RefName(base, kind, ref) =>
+        Some((Identifier.of(ident.namespace(), base), kind, ref))
+      case RefLeaf(kind, ref) if ident.namespace().nonEmpty =>
+        Some((Identifier.of(ident.namespace().init,
+          ident.namespace().last), kind, ref))
+      case _ => None
+    }
+    candidate.filter(c => GraftTable.exists(tableDir(c._1))).flatMap {
+      case (bi, kind, ref) =>
+        val t = GraftTable.load(spark, tableDir(bi))
+        val isBranch = kind == "branch"
+        val known = ref == "main" ||
+          t.metadata.refs.get(ref).exists(_.isBranch == isBranch)
+        if (!known) None
+        else t.metadata.refSnapshotId(ref).map { snap =>
+          new GraftSparkTable(spark, t, ident.toString,
+            snapshotId = Some(snap),
+            // branch_main appends are plain main appends
+            writeBranch = if (isBranch && ref != "main") Some(ref) else None)
+        }
+    }
   }
 
   /** VERSION AS OF — a snapshot id, or a named ref (branch/tag/"main"). */

@@ -26,7 +26,10 @@ import scala.jdk.CollectionConverters._
   */
 final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
     ident: String, snapshotId: Option[Long] = None,
-    asOfMillis: Option[Long] = None)
+    asOfMillis: Option[Long] = None,
+    // `t.branch_x` identifier spelling: reads pin to the ref via
+    // snapshotId; APPENDS commit to the branch head instead of main
+    writeBranch: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -129,8 +132,16 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
     new GraftScanBuilder(spark, table, s, options)
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(table, info.queryId())
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // a snapshot-pinned relation (tag identifier, VERSION/TIMESTAMP AS OF)
+    // is read-only: without this guard an INSERT INTO `t.tag_v1` silently
+    // appended to MAIN. Branch identifiers stay writable (branch append).
+    if (writeBranch.isEmpty && (snapshotId.nonEmpty || asOfMillis.nonEmpty))
+      throw new UnsupportedOperationException(
+        s"$ident is a snapshot-pinned (tag / time-travel) relation — " +
+        "writes must target the table or a branch identifier")
+    new GraftWriteBuilder(table, info.queryId(), writeBranch)
+  }
 }
 
 object GraftSparkTable {
@@ -1997,7 +2008,8 @@ final class DeleteFilterReader(
   * spark3/.../SparkWriteBuilder.java:47-131): append, filter overwrite,
   * dynamic partition overwrite, truncate all land in the same executor-side
   * fanout writers + one-snapshot commit (GraftBatchWrite). */
-final class GraftWriteBuilder(table: GraftTable, queryId: String = "default")
+final class GraftWriteBuilder(table: GraftTable, queryId: String = "default",
+    branch: Option[String] = None)
   extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite
   with SupportsTruncate
   // update-mode streaming writes arrive as appends; the sink upserts them
@@ -2007,7 +2019,13 @@ final class GraftWriteBuilder(table: GraftTable, queryId: String = "default")
 
   private var mode: Mode = Append
 
+  private def noBranch(op: String): Unit =
+    require(branch.isEmpty,
+      s"$op is not supported on a branch identifier — only INSERT INTO " +
+      "(append); operate on the main table or fast-forward first")
+
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    noBranch("INSERT OVERWRITE")
     // convertRequired, NOT convertAll: nothing re-applies the original
     // condition after a filter overwrite, so a silently dropped filter
     // would widen the delete scope (an all-unconvertible array widens to
@@ -2015,9 +2033,11 @@ final class GraftWriteBuilder(table: GraftTable, queryId: String = "default")
     mode = FilterOverwrite(FilterBridge.convertRequired(filters)); this
   }
   override def overwriteDynamicPartitions(): WriteBuilder = {
+    noBranch("dynamic partition overwrite")
     mode = DynamicOverwrite; this
   }
   override def truncate(): WriteBuilder = {
+    noBranch("TRUNCATE")
     mode = FilterOverwrite(AlwaysTrue); this
   }
 
@@ -2083,7 +2103,7 @@ final class GraftWriteBuilder(table: GraftTable, queryId: String = "default")
         : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
       declaredSortOrder()
 
-    override def toBatch: BatchWrite = new GraftBatchWrite(table, mode)
+    override def toBatch: BatchWrite = new GraftBatchWrite(table, mode, branch)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStreamingWrite(table,
         truncateFirst = mode.isInstanceOf[FilterOverwrite], queryId)

@@ -482,6 +482,51 @@ class CatalogSpec extends SparkSpec {
       "a refused overwrite must leave the table untouched")
   }
 
+  test("branch/tag identifier spelling: reads pin to the ref, appends advance it") {
+    wh
+    spark.sql("CREATE TABLE g.db.brt (id BIGINT)")
+    spark.sql("INSERT INTO g.db.brt VALUES (1)")
+    val t = graft.format.GraftTable.load(spark, s"$wh/db/brt")
+    graft.format.Commits.createBranch(t, "dev")
+    graft.format.Commits.createTag(GraftTable_load(s"$wh/db/brt"), "v1")
+    spark.sql("INSERT INTO g.db.brt VALUES (2)") // main moves on
+    // reads pin to the ref's snapshot (both spellings)
+    assert(spark.sql("SELECT * FROM g.db.`brt.branch_dev`").count() === 1)
+    assert(spark.sql("SELECT * FROM g.db.brt.branch_dev").count() === 1)
+    assert(spark.sql("SELECT * FROM g.db.`brt.tag_v1`").count() === 1)
+    // appends advance the BRANCH head; main stays untouched
+    spark.sql("INSERT INTO g.db.`brt.branch_dev` VALUES (10)")
+    assert(spark.sql("SELECT id FROM g.db.`brt.branch_dev` ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 10L))
+    assert(spark.sql("SELECT id FROM g.db.brt ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // non-append writes and tag writes are refused
+    val e1 = intercept[Exception](
+      spark.sql("INSERT OVERWRITE g.db.`brt.branch_dev` VALUES (9)"))
+    assert(e1.getMessage.toLowerCase.contains("branch"), s"got $e1")
+    val e2 = intercept[Exception](
+      spark.sql("INSERT INTO g.db.`brt.tag_v1` VALUES (9)"))
+    assert(e2 != null)
+    // a ref that doesn't exist stays NoSuchTable
+    intercept[Exception](spark.sql("SELECT * FROM g.db.`brt.branch_nope`").collect())
+  }
+
+  private def GraftTable_load(loc: String) =
+    graft.format.GraftTable.load(spark, loc)
+
+  test("bare DELETE FROM truncates as a metadata-only delete") {
+    wh
+    spark.sql("CREATE TABLE g.db.bared (id BIGINT)")
+    spark.sql("INSERT INTO g.db.bared VALUES (1), (2)")
+    // Spark pushes the literal TRUE filter; pre-fix the bridge refused it
+    // and Spark errored ("Cannot delete from table where [TRUE]")
+    spark.sql("DELETE FROM g.db.bared")
+    assert(spark.sql("SELECT * FROM g.db.bared").count() === 0)
+    val op = spark.sql("SELECT operation FROM g.db.`bared$snapshots` " +
+      "ORDER BY snapshot_id DESC LIMIT 1").collect().head.getString(0)
+    assert(op === "delete", "a bare DELETE must be a metadata-only truncate")
+  }
+
   test("nested-field filters scan and delete (unbindable refs stay Spark-side)") {
     wh
     spark.sql("CREATE TABLE g.db.nfil (id BIGINT, info STRUCT<tag: STRING, n: BIGINT>)")
