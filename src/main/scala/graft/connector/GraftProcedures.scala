@@ -591,6 +591,85 @@ final class GraftProcedures(resolve: String => GraftTable,
 
   // ---- registry --------------------------------------------------------
 
+  // ---- partition-spec evolution (Commits.updateSpec) -------------------
+
+  /** `bucket(4, id)` / `truncate(3, s)` / `days(ts)` / `identity(c)` /
+    * bare column name → (transform, source column). */
+  private val TwoArgT = """(?i)\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*([^)]+?)\s*\)\s*""".r
+  private val OneArgT = """(?i)\s*(identity|years?|months?|days?|hours?|void)\s*\(\s*([^)]+?)\s*\)\s*""".r
+  private def parseField(s: String): (graft.format.Transform, String) = s match {
+    case TwoArgT(t, n, col) => t.toLowerCase match {
+      case "bucket" => (Transforms.BucketT(n.toInt), col)
+      case _ => (Transforms.TruncateT(n.toInt), col)
+    }
+    case OneArgT(t, col) =>
+      (Transforms.fromString(t.toLowerCase.stripSuffix("s")), col)
+    case col => (Transforms.IdentityT, col.trim)
+  }
+
+  private val specRow = StructType(Seq(
+    StructField("spec_id", IntegerType, nullable = false),
+    StructField("fields", StringType, nullable = false)))
+  private def specRowOf(m: TableMetadata): Array[InternalRow] = {
+    val sp = m.specs(m.defaultSpecId)
+    Array(row(Int.box(sp.specId),
+      sp.fields.map(f => s"${f.name}=${f.transform.name}").mkString(", ")))
+  }
+
+  private val addPartitionField = new Proc("add_partition_field",
+    "evolve the default spec: append a partition field (affects NEW data " +
+    "only; old files keep their spec and scans handle both)",
+    Array(p("table", StringType), p("field", StringType),
+      pd("name", StringType, "''")),
+    specRow)({ in =>
+      val t = resolve(str(in, 0))
+      val (tr, col) = parseField(str(in, 1))
+      val explicit = str(in, 2)
+      val m = t.metadata
+      val schema = m.schema
+      val m2 = Commits.updateSpec(t) { b =>
+        m.spec.fields.foreach(pf =>
+          b.add(FieldIds.findById(schema, pf.sourceId).getOrElse(
+            throw new IllegalStateException(
+              s"spec source id ${pf.sourceId} missing from schema")).name,
+            pf.transform, pf.name))
+        val name =
+          if (explicit.nonEmpty) explicit
+          else if (tr == Transforms.IdentityT) col
+          else s"${col}_${tr.name.takeWhile(_ != '[')}"
+        require(!m.spec.fields.exists(_.name == name),
+          s"partition field $name already exists in the default spec")
+        b.add(col, tr, name)
+      }
+      specRowOf(m2)
+  })
+
+  private val dropPartitionField = new Proc("drop_partition_field",
+    "evolve the default spec: remove a partition field by name or " +
+    "transform spelling (old files keep their spec)",
+    Array(p("table", StringType), p("field", StringType)),
+    specRow)({ in =>
+      val t = resolve(str(in, 0))
+      val m = t.metadata
+      val schema = m.schema
+      val arg = str(in, 1)
+      val target = m.spec.fields.find(_.name == arg).orElse {
+        scala.util.Try(parseField(arg)).toOption.flatMap { case (tr, col) =>
+          m.spec.fields.find(pf => pf.transform == tr &&
+            FieldIds.findById(schema, pf.sourceId).exists(_.name == col))
+        }
+      }.getOrElse(throw new IllegalArgumentException(
+        s"no partition field matches '$arg' in the default spec " +
+        s"(${m.spec.fields.map(_.name).mkString(", ")})"))
+      val m2 = Commits.updateSpec(t) { b =>
+        m.spec.fields.filterNot(_ eq target).foreach(pf =>
+          b.add(FieldIds.findById(schema, pf.sourceId).get.name,
+            pf.transform, pf.name))
+        b
+      }
+      specRowOf(m2)
+  })
+
   val byName: Map[String, UnboundProcedure] = Seq(
     rollbackToSnapshot, rollbackToTimestamp, setCurrentSnapshot,
     cherrypickSnapshot, publishChanges, ancestorsOf,
@@ -598,7 +677,8 @@ final class GraftProcedures(resolve: String => GraftTable,
     expireSnapshots, removeOrphanFiles,
     rewriteDataFiles, rewritePositionDeletes, rewriteEqualityDeletes,
     rewriteManifests, verifyFileSizes,
-    importTable, createChangelogView, analyzeTable, addColumn
+    importTable, createChangelogView, analyzeTable, addColumn,
+    addPartitionField, dropPartitionField
   ).map(proc => proc.name() -> (proc: UnboundProcedure)).toMap
 
   def names: Seq[String] = byName.keys.toSeq.sorted

@@ -191,6 +191,33 @@ class ProcedureSpec extends SparkSpec {
       .head.getLong(0) == 100)
   }
 
+  test("add/drop_partition_field evolve the default spec through SQL") {
+    val t = fresh(0)
+    spark.sql(s"INSERT INTO gp.db.$t SELECT id, CAST(id AS STRING) FROM range(4)")
+    // append a bucket field: new data partitions, old files keep spec 0
+    val add = spark.sql(
+      s"CALL gp.system.add_partition_field('db.$t', 'bucket(4, id)')").collect()
+    assert(add.head.getInt(0) === 1 && add.head.getString(1).contains("id_bucket"))
+    spark.sql(s"INSERT INTO gp.db.$t SELECT id, CAST(id AS STRING) FROM range(4, 8)")
+    // both generations scan together
+    assert(spark.sql(s"SELECT COUNT(DISTINCT id) FROM gp.db.$t")
+      .collect().head.getLong(0) === 8)
+    // pruning bites on the NEW generation's files
+    assert(spark.sql(s"SELECT id FROM gp.db.$t WHERE id = 5").collect()
+      .map(_.getLong(0)).toSeq === Seq(5L))
+    // drop it by transform spelling; a third generation is unpartitioned
+    val drop = spark.sql(
+      s"CALL gp.system.drop_partition_field('db.$t', 'bucket(4, id)')").collect()
+    assert(drop.head.getInt(0) === 2 && drop.head.getString(1) === "")
+    spark.sql(s"INSERT INTO gp.db.$t SELECT id, CAST(id AS STRING) FROM range(8, 10)")
+    assert(spark.sql(s"SELECT COUNT(*) FROM gp.db.$t")
+      .collect().head.getLong(0) === 10)
+    // unknown field refuses loudly
+    val e = intercept[Exception](spark.sql(
+      s"CALL gp.system.drop_partition_field('db.$t', 'nope')").collect())
+    assert(e.getMessage.contains("no partition field"), s"got: $e")
+  }
+
   test("where scope refuses NOT IN with a NULL literal (polarity rule)") {
     val t = fresh(2)
     // `id NOT IN (1, NULL)` is never TRUE in SQL; the null-dropping IN
