@@ -56,13 +56,28 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
     * strict evaluation) — the reference's SparkTable.canDeleteWhere
     * contract. Partial-file deletes return false so Spark plans the
     * row-level operation, which honors `write.delete.mode`. */
+  /** True on ref / time-travel relations, whose row-level DML would
+    * otherwise read the pin but COMMIT against main (observed: `DELETE
+    * FROM t.tag_v1 WHERE …` deleted main rows before this guard). */
+  private def pinned: Boolean =
+    snapshotId.nonEmpty || asOfMillis.nonEmpty || writeBranch.nonEmpty
+
+  private def refusePinnedDml(op: String): Unit =
+    if (pinned) throw new UnsupportedOperationException(
+      s"$op is not supported on $ident — branch/tag and time-travel " +
+      "relations accept reads (and branch appends) only; run the " +
+      "operation on the main table, or fast-forward / cherry-pick")
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(f => FilterBridge.convert(f).exists(e =>
-      scala.util.Try(Exprs.bind(e, table.metadata.schema)).isSuccess)) &&
+    !pinned &&
+      filters.forall(f => FilterBridge.convert(f).exists(e =>
+        scala.util.Try(Exprs.bind(e, table.metadata.schema)).isSuccess)) &&
       Commits.canMetadataDelete(table, FilterBridge.convertAll(filters))
 
-  override def deleteWhere(filters: Array[Filter]): Unit =
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    refusePinnedDml("DELETE")
     Deletes.deleteWhere(table, FilterBridge.convertAll(filters))
+  }
 
   /** SQL MERGE INTO / UPDATE (and DELETE with non-convertible predicates).
     * Per-command mode via `write.{delete,update,merge}.mode`:
@@ -75,6 +90,7 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => {
+      refusePinnedDml(info.command().toString)
       val key = s"write.${info.command().toString.toLowerCase}.mode"
       table.metadata.properties.getOrElse(key, "copy-on-write") match {
         case "merge-on-read" => new GraftDeltaOperation(spark, table, info.command())
@@ -2104,8 +2120,11 @@ final class GraftWriteBuilder(table: GraftTable, queryId: String = "default",
       declaredSortOrder()
 
     override def toBatch: BatchWrite = new GraftBatchWrite(table, mode, branch)
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(branch.isEmpty,
+        "streaming writes target the main table, not a branch identifier")
       new GraftStreamingWrite(table,
         truncateFirst = mode.isInstanceOf[FilterOverwrite], queryId)
+    }
   }
 }

@@ -509,6 +509,17 @@ class CatalogSpec extends SparkSpec {
     assert(e2 != null)
     // a ref that doesn't exist stays NoSuchTable
     intercept[Exception](spark.sql("SELECT * FROM g.db.`brt.branch_nope`").collect())
+    // row-level DML on a pinned relation is refused — pre-guard, DELETE
+    // FROM a TAG silently deleted MAIN rows (it read the pin but committed
+    // against the live table)
+    val e3 = intercept[Exception](
+      spark.sql("DELETE FROM g.db.`brt.tag_v1` WHERE id = 1"))
+    assert(e3.getMessage.toLowerCase.contains("not supported"), s"got $e3")
+    val e4 = intercept[Exception](
+      spark.sql("UPDATE g.db.`brt.branch_dev` SET id = 99 WHERE id = 1"))
+    assert(e4.getMessage.toLowerCase.contains("not supported"), s"got $e4")
+    assert(spark.sql("SELECT id FROM g.db.brt ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L), "main must be untouched")
   }
 
   private def GraftTable_load(loc: String) =
