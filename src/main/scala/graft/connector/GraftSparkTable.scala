@@ -113,10 +113,17 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
     Types.cleanType(scan0.scanSchema).asInstanceOf[StructType]
 
   override def capabilities(): JSet[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
-      TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
-      TableCapability.TRUNCATE).asJava
+    // pinned relations (branch/tag identifiers, VERSION/TIMESTAMP AS OF)
+    // advertise neither streaming capability: the micro-batch source
+    // follows the LIVE snapshot line, so a streaming read of `t.branch_x`
+    // silently streamed main's rows before this guard
+    (if (pinned)
+      Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    else
+      Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
+        TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
+        TableCapability.TRUNCATE)).asJava
 
   override def partitioning(): Array[XTransform] =
     GraftSparkTable.partitionTransforms(table.metadata)

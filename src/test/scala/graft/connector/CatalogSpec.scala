@@ -520,6 +520,16 @@ class CatalogSpec extends SparkSpec {
     assert(e4.getMessage.toLowerCase.contains("not supported"), s"got $e4")
     assert(spark.sql("SELECT id FROM g.db.brt ORDER BY id").collect()
       .map(_.getLong(0)).toSeq === Seq(1L, 2L), "main must be untouched")
+    // streaming reads refuse pinned relations (the micro-batch source
+    // follows the LIVE snapshot line — it silently streamed main pre-guard)
+    val e5 = intercept[Exception] {
+      val ck = Files.createTempDirectory("graft-brt-ck").toString
+      spark.readStream.table("g.db.`brt.branch_dev`").writeStream
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("g.db.brt_sink_never")
+    }
+    assert(e5.getMessage.toLowerCase.contains("does not support"), s"got $e5")
   }
 
   private def GraftTable_load(loc: String) =
