@@ -627,6 +627,12 @@ final class GraftProcedures(resolve: String => GraftTable,
       val explicit = str(in, 2)
       val m = t.metadata
       val schema = m.schema
+      // a malformed transform spelling falls through to bare-identity on
+      // the whole string — turn the "key not found" into a usable message
+      require(schema.fieldNames.contains(col),
+        s"no column '$col' in ${schema.fieldNames.mkString(", ")} — " +
+        "expected a column name or bucket(N, col) / truncate(W, col) / " +
+        "years|months|days|hours(col)")
       val m2 = Commits.updateSpec(t) { b =>
         m.spec.fields.foreach(pf =>
           b.add(FieldIds.findById(schema, pf.sourceId).getOrElse(
