@@ -31,10 +31,16 @@ object Bench {
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => }
     }
-    def timeSec(body: => Unit): Double = {
+    // Measured passes must NOT swallow exceptions: a query that starts
+    // throwing would otherwise bench as a near-zero time and read as a
+    // speedup across rounds. A failure is recorded per query (err field)
+    // and fails the whole run (nonzero exit). Warmup above still swallows.
+    def timeSec(body: => Unit): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try body catch { case _: Throwable => }
-      (System.nanoTime() - t0) / 1e9
+      try { body; Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        Left(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
     }
     // median-of-5 measured passes per query, with the min/max spread
     // recorded alongside: same-tree variance at sf0.1 is ±15% run to run,
@@ -42,27 +48,35 @@ object Bench {
     // spread is what makes a cross-round comparison able to tell a real
     // regression from host noise
     val Runs = 5
-    val samples: Seq[Seq[(String, Double)]] = (0 until Runs).map { _ =>
+    val samples: Seq[Seq[(String, Either[String, Double])]] = (0 until Runs).map { _ =>
       names.map(n => n -> timeSec(SparkEntry.queries(n)(spark, sfDir).count()))
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    val perQuery: Seq[(String, Seq[Double])] = names.zipWithIndex.map {
+    val perQuery: Seq[(String, Seq[Either[String, Double]])] = names.zipWithIndex.map {
       case (n, i) => n -> samples.map(_(i)._2)
     }
-    val results: Seq[(String, Double)] = perQuery.map {
-      case (n, xs) => n -> median(xs)
+    // a query is failed if ANY measured pass threw; its entry carries err
+    // instead of a time and the run exits nonzero
+    val errors: Seq[(String, String)] = perQuery.collect {
+      case (n, xs) if xs.exists(_.isLeft) => n -> xs.collectFirst { case Left(e) => e }.get
+    }
+    val results: Seq[(String, Double)] = perQuery.collect {
+      case (n, xs) if xs.forall(_.isRight) => n -> median(xs.map(_.toOption.get))
     }
     // pinned HOST-calibration workload, independent of the library and the
-    // data: 64M rows hashed and shuffled into 1k groups. Its median lets
-    // cross-round comparisons normalize away machine drift (a round's
-    // meaningful signal is total/calibration, not raw seconds).
-    val calRuns = (0 until Runs).map { _ =>
+    // data: 768M rows hashed and shuffled into 1k groups (~2-3 s/run, sized
+    // so JIT/startup jitter amortizes — at the old 64M the run medians
+    // moved more round-to-round than the queries they were meant to
+    // normalize). The first run is warmup and discarded; the median of the
+    // rest lets cross-round comparisons normalize away machine drift (a
+    // round's meaningful signal is total/calibration, not raw seconds).
+    val calRuns = (0 to Runs).map { _ =>
       timeSec {
-        spark.range(0L, 64000000L, 1L, cpus.toInt)
+        spark.range(0L, 768000000L, 1L, cpus.toInt)
           .selectExpr("xxhash64(id) % 1024 AS b", "id")
           .groupBy("b").count().count()
       }
-    }
+    }.collect { case Right(t) => t }.drop(1)
     val calibration = median(calRuns)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -73,10 +87,18 @@ object Bench {
       .map(_._2).sum
     spark.stop()
     val calJson = calRuns.mkString("[", ",", "]")
-    val spreadJson = perQuery.map { case (n, xs) =>
-      "\"" + n + "\":[" + xs.min + "," + xs.max + "]"
+    val spreadJson = perQuery.collect { case (n, xs) if xs.forall(_.isRight) =>
+      val ts = xs.map(_.toOption.get)
+      "\"" + n + "\":[" + ts.min + "," + ts.max + "]"
     }.mkString("{", ",", "}")
-    realOut.println(s"""{"metric":"total","value":$total,"unit":"sec","lfl11":$lfl11,"runs":$Runs,"calibration":$calibration,"calibration_runs":$calJson,"queries":$qs,"queries_spread":$spreadJson,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (n, e) =>
+      "\"" + n + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    realOut.println(s"""{"metric":"total","value":$total,"unit":"sec","lfl11":$lfl11,"runs":$Runs,"calibration":$calibration,"calibration_runs":$calJson,"queries":$qs,"queries_spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}""")
     realOut.flush()
+    if (errors.nonEmpty) {
+      System.err.println(s"BENCH FAILED: ${errors.map(_._1).mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
