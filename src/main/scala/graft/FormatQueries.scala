@@ -1178,6 +1178,64 @@ object FormatQueries {
         .orderBy(col("p_brand"))
     }),
 
+    // row-level DML on a BRANCH identifier (public-Iceberg branch DML;
+    // beyond the reference fork, which predates refs): CoW DELETE, UPDATE,
+    // and a MERGE insert all commit to the branch ref; the result reads
+    // BOTH heads — a commit that leaked to main, or a branch read that
+    // missed a DML, breaks the hash
+    "q121_branch_dml" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftbr", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftbr.warehouse", tdir(dir, "brwh"))
+      withTable(s, dir, "brwh/db/orders_brdml") { loc =>
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        val tt = GraftTable.recreate(s, loc, o.schema)
+        GraftWrite.append(tt, o.coalesce(4))
+        Commits.createBranch(tt, "work")
+        val b = "graftbr.db.`orders_brdml.branch_work`"
+        s.sql(s"DELETE FROM $b WHERE o_orderpriority = '1-URGENT'")
+        s.sql(s"UPDATE $b SET o_custkey = o_custkey + 1000000 " +
+          "WHERE o_orderpriority = '2-HIGH'")
+        s.sql(s"""MERGE INTO $b t
+          USING (SELECT * FROM graftbr.db.orders_brdml
+                 WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0) src
+          ON t.o_orderkey = src.o_orderkey
+          WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_orderstatus,
+            o_totalprice, o_orderdate, o_orderpriority)
+          VALUES (src.o_orderkey, -src.o_custkey, src.o_orderstatus,
+            src.o_totalprice, src.o_orderdate, src.o_orderpriority)""")
+        GraftTable.load(s, loc)
+      }
+      def agg(src: String, from: String) = s.sql(
+        s"""SELECT '$src' AS src, o_orderpriority, COUNT(*) AS n,
+           |CAST(SUM(o_custkey) AS BIGINT) AS sum_ck,
+           |CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS total
+           |FROM $from GROUP BY o_orderpriority""".stripMargin)
+      agg("branch", "graftbr.db.`orders_brdml.branch_work`")
+        .unionByName(agg("main", "graftbr.db.orders_brdml"))
+        .orderBy(col("src"), col("o_orderpriority"))
+    }),
+
+    // steady-state composition: the incremental SCAN (appendsBetween)
+    // feeds incremental DEDUP end-to-end — snapshot 1 is the standing
+    // corpus, snapshot 2 appends the fresh increment, and the dedup's
+    // fresh side IS the incremental scan's output (q113 gets the same
+    // slice by filtering; this is the path a production pipeline runs)
+    "q122_incremental_scan_dedup" -> ((s, dir) => {
+      val t = withTable(s, dir, "documents_2snap") { loc =>
+        val d = s.read.parquet(s"$dir/documents.parquet")
+        val tt = GraftTable.recreate(s, loc, d.schema)
+        GraftWrite.append(tt, d.filter(col("doc_id") % 10 =!= 0).coalesce(2))
+        GraftWrite.append(tt, d.filter(col("doc_id") % 10 === 0).coalesce(2))
+        tt
+      }
+      val ids = t.snapshots.map(_.snapshotId)
+      val corpus = t.newScan().useSnapshot(ids.head).toDF()
+      val fresh = t.newScan().appendsBetween(ids.head, ids.last).toDF()
+      graft.ops.Dedup.incrementalJaccardPairs(corpus, fresh,
+        n = 3, threshold = 0.5, maxDf = 0)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // compaction preserves content (RewriteDataFilesAction)
     "q70_compaction" -> ((s, dir) => {
       val t = withTable(s, dir, "region_compacted") { loc =>
@@ -1192,6 +1250,48 @@ object FormatQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // branch after DELETE('1-URGENT') + UPDATE(2-HIGH custkey+1e6) +
+    // MERGE-reinsert of every third urgent order with negated custkey;
+    // main must still equal the untouched source table
+    "q121_branch_dml" ->
+      """WITH br AS (
+        |  SELECT o_orderpriority,
+        |         CASE WHEN o_orderpriority = '2-HIGH'
+        |              THEN o_custkey + 1000000 ELSE o_custkey END AS ck,
+        |         o_totalprice
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderpriority, -o_custkey AS ck, o_totalprice
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0)
+        |SELECT 'branch' AS src, o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(ck) AS BIGINT) AS sum_ck,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS total
+        |FROM br GROUP BY 2
+        |UNION ALL
+        |SELECT 'main' AS src, o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(o_custkey) AS BIGINT) AS sum_ck,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 2
+        |ORDER BY src, o_orderpriority""".stripMargin,
+
+    // same exact-Jaccard oracle as q113: the table's two snapshots split
+    // documents by doc_id % 10, so incremental-scan-fed dedup must equal
+    // the filter-sliced answer
+    "q122_incremental_scan_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |g AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS gram
+        |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(tok)-2)) AS i) r
+        |      WHERE len(tok) >= 3),
+        |s AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
+        |p AS (SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS inter
+        |      FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id GROUP BY 1, 2)
+        |SELECT p.a, p.b, CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) AS jaccard
+        |FROM p JOIN s sa ON p.a = sa.doc_id JOIN s sb ON p.b = sb.doc_id
+        |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) >= 0.5
+        |  AND (p.a % 10 = 0 OR p.b % 10 = 0)
+        |ORDER BY a, b""".stripMargin,
+
     "q60_format_scan" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) AS sum_qty

@@ -27,7 +27,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * ORC row-path counter); compaction materializes them away.
   */
 final class GraftDeltaOperation(spark: SparkSession, table: GraftTable,
-    cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
+    cmd: RowLevelOperation.Command,
+    // `t.branch_x` identifier target: the operation reads the BRANCH head
+    // and the RowDelta commits to the branch ref — main is never touched
+    branch: Option[String] = None) extends RowLevelOperation with SupportsDelta {
 
   // snapshot the operation read: the commit validates its position-delete
   // targets are still live when the table advanced in between
@@ -52,8 +55,13 @@ final class GraftDeltaOperation(spark: SparkSession, table: GraftTable,
     * needed — there is no carry-over set in a delta plan); `_file`/`_pos`
     * arrive via the metadata-column machinery. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    baseSnapshot.set(table.currentSnapshot.map(_.snapshotId))
-    new GraftScanBuilder(spark, table, table.newScan(), options)
+    val head = branch.map(b => table.metadata.refSnapshotId(b).getOrElse(
+        throw new IllegalArgumentException(s"no such branch: $b")))
+      .orElse(table.currentSnapshot.map(_.snapshotId))
+    baseSnapshot.set(head)
+    var s = table.newScan()
+    head.filter(_ => branch.isDefined).foreach(id => s = s.useSnapshot(id))
+    new GraftScanBuilder(spark, table, s, options)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
@@ -85,7 +93,7 @@ final class GraftDeltaOperation(spark: SparkSession, table: GraftTable,
               org.apache.spark.sql.connector.expressions.SortDirection
                 .ASCENDING))
         override def toBatch: DeltaBatchWrite =
-          new GraftDeltaBatchWrite(table, () => baseSnapshot.get())
+          new GraftDeltaBatchWrite(table, () => baseSnapshot.get(), branch)
       }
     }
 }
@@ -95,7 +103,8 @@ final class GraftDeltaOperation(spark: SparkSession, table: GraftTable,
   * sorted position-delete file per task; the driver commit is pure
   * metadata (reference BaseRowDelta). */
 final class GraftDeltaBatchWrite(table: GraftTable,
-    base: () => Option[Long] = () => None) extends DeltaBatchWrite {
+    base: () => Option[Long] = () => None,
+    branch: Option[String] = None) extends DeltaBatchWrite {
   import GraftBatchWrite._
 
   private val m = table.metadata
@@ -148,7 +157,7 @@ final class GraftDeltaBatchWrite(table: GraftTable,
       }
     }.toSeq ++ dvMsgs.flatten.toSeq
     if (dataFiles.nonEmpty || deleteFiles.nonEmpty)
-      Commits.rowDelta(table, dataFiles, deleteFiles, base())
+      Commits.rowDelta(table, dataFiles, deleteFiles, base(), branch = branch)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

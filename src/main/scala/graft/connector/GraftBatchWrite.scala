@@ -121,9 +121,10 @@ final class GraftBatchWrite(table: GraftTable, mode: GraftBatchWrite.Mode,
         // a MERGE whose condition matched no groups has nothing to commit
         if (del.nonEmpty || files.nonEmpty)
           // CoW MERGE/UPDATE/DELETE changes the logical row set — commit as
-          // "overwrite" so CDC changelog reads don't skip it as a rewrite
+          // "overwrite" so CDC changelog reads don't skip it as a rewrite;
+          // on a branch identifier the rewrite targets the branch ref
           Commits.rewriteFiles(table, del, files, base(),
-            operation = "overwrite")
+            operation = "overwrite", branch = branch)
     }
   }
 

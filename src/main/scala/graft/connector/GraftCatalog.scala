@@ -97,11 +97,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val known = ref == "main" ||
           t.metadata.refs.get(ref).exists(_.isBranch == isBranch)
         if (!known) None
+        // branch_main IS main: resolve to the plain (unpinned) table so
+        // reads follow the live head and every write path — append,
+        // overwrite, row-level DML, streaming — behaves exactly like the
+        // base identifier (tag_main stays a pinned read)
+        else if (isBranch && ref == "main")
+          Some(new GraftSparkTable(spark, t, ident.toString))
         else t.metadata.refSnapshotId(ref).map { snap =>
           new GraftSparkTable(spark, t, ident.toString,
             snapshotId = Some(snap),
-            // branch_main appends are plain main appends
-            writeBranch = if (isBranch && ref != "main") Some(ref) else None)
+            writeBranch = if (isBranch) Some(ref) else None)
         }
     }
   }

@@ -56,17 +56,21 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
     * strict evaluation) — the reference's SparkTable.canDeleteWhere
     * contract. Partial-file deletes return false so Spark plans the
     * row-level operation, which honors `write.delete.mode`. */
-  /** True on ref / time-travel relations, whose row-level DML would
-    * otherwise read the pin but COMMIT against main (observed: `DELETE
-    * FROM t.tag_v1 WHERE …` deleted main rows before this guard). */
+  /** True on ref / time-travel relations (branch identifiers included:
+    * their snapshot pin matters for streaming and metadata-delete checks). */
   private def pinned: Boolean =
     snapshotId.nonEmpty || asOfMillis.nonEmpty || writeBranch.nonEmpty
 
+  /** True on tag / time-travel relations, whose row-level DML would
+    * otherwise read the pin but COMMIT against main (observed: `DELETE
+    * FROM t.tag_v1 WHERE …` deleted main rows before this guard). Branch
+    * identifiers are NOT refused: their DML reads the branch head and
+    * commits the rewrite to the branch ref (public-Iceberg branch DML). */
   private def refusePinnedDml(op: String): Unit =
-    if (pinned) throw new UnsupportedOperationException(
-      s"$op is not supported on $ident — branch/tag and time-travel " +
-      "relations accept reads (and branch appends) only; run the " +
-      "operation on the main table, or fast-forward / cherry-pick")
+    if (pinned && writeBranch.isEmpty) throw new UnsupportedOperationException(
+      s"$op is not supported on $ident — tag and time-travel relations " +
+      "accept reads only; run the operation on the main table or a " +
+      "branch identifier, or fast-forward / cherry-pick")
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     !pinned &&
@@ -75,7 +79,13 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
       Commits.canMetadataDelete(table, FilterBridge.convertAll(filters))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    refusePinnedDml("DELETE")
+    // the metadata-only path targets MAIN's manifests; canDeleteWhere
+    // already returns false for every pinned relation (branch included —
+    // branch DELETEs take the row-level path, which commits to the ref),
+    // so reaching here pinned means the planner skipped the check
+    if (pinned) throw new UnsupportedOperationException(
+      s"metadata-only DELETE is not supported on $ident — pinned relations " +
+      "delete through the row-level path")
     Deletes.deleteWhere(table, FilterBridge.convertAll(filters))
   }
 
@@ -93,8 +103,10 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
       refusePinnedDml(info.command().toString)
       val key = s"write.${info.command().toString.toLowerCase}.mode"
       table.metadata.properties.getOrElse(key, "copy-on-write") match {
-        case "merge-on-read" => new GraftDeltaOperation(spark, table, info.command())
-        case "copy-on-write" => new GraftRowLevelOperation(spark, table, info.command())
+        case "merge-on-read" =>
+          new GraftDeltaOperation(spark, table, info.command(), writeBranch)
+        case "copy-on-write" =>
+          new GraftRowLevelOperation(spark, table, info.command(), writeBranch)
         case other => throw new IllegalArgumentException(
           s"$key: '$other' (expected copy-on-write or merge-on-read)")
       }

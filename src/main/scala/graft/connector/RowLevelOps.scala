@@ -30,7 +30,10 @@ import java.util.concurrent.atomic.AtomicReference
   * the rewrite carries a newer sequence number, exactly like the library
   * deleteWhere path. */
 final class GraftRowLevelOperation(spark: SparkSession, table: GraftTable,
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+    cmd: RowLevelOperation.Command,
+    // `t.branch_x` identifier target: the operation reads the BRANCH head
+    // and commits the rewrite to the branch ref — main is never touched
+    branch: Option[String] = None) extends RowLevelOperation {
 
   /** Files the operation's scan planned — written at scan build (driver),
     * read at commit (driver). Canonical paths, matching manifests. */
@@ -54,8 +57,15 @@ final class GraftRowLevelOperation(spark: SparkSession, table: GraftTable,
       .column(GraftSparkTable.FileColumn))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    baseSnapshot.set(table.currentSnapshot.map(_.snapshotId))
-    new GraftScanBuilder(spark, table, table.newScan(), options,
+    // base = the head this operation reads: the branch ref's snapshot for
+    // branch DML, main's current snapshot otherwise
+    val head = branch.map(b => table.metadata.refSnapshotId(b).getOrElse(
+        throw new IllegalArgumentException(s"no such branch: $b")))
+      .orElse(table.currentSnapshot.map(_.snapshotId))
+    baseSnapshot.set(head)
+    var s = table.newScan()
+    head.filter(_ => branch.isDefined).foreach(id => s = s.useSnapshot(id))
+    new GraftScanBuilder(spark, table, s, options,
       groupGranular = true,
       onPlan = (plan: ScanPlan) =>
         scanned.set(plan.tasks.map(_.file.path).toSet),
@@ -72,7 +82,7 @@ final class GraftRowLevelOperation(spark: SparkSession, table: GraftTable,
         override def toBatch: BatchWrite = {
           val inner = new GraftBatchWrite(table,
             GraftBatchWrite.RewriteMatched(() => scanned.get(),
-              () => baseSnapshot.get()))
+              () => baseSnapshot.get()), branch)
           // ReplaceData's physical rows carry a leading __row_operation
           // column when the plan has no metadata projection to strip it
           // (ReplaceDataExec falls back to the plain writing task) — adapt

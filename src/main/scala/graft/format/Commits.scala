@@ -169,24 +169,55 @@ object Commits {
     }
 
   private def buildSnapshot(table: GraftTable, m: TableMetadata, op: String,
-      manifests: Seq[ManifestFile], extraSummary: Map[String, String]): TableMetadata = {
+      manifests: Seq[ManifestFile], extraSummary: Map[String, String],
+      branch: Option[String] = None): TableMetadata = {
     val (seq, snapId) = nextIds(m)
     val added = manifests.filter(_.addedSnapshotId == snapId)
     val listPath = writeManifestList(table, m, snapId, manifests)
     val now = System.currentTimeMillis()
-    val snap = Snapshot(snapId, m.currentSnapshotId, seq, now, op, listPath,
+    val snap = Snapshot(snapId,
+      headSnapshot(m, branch).map(_.snapshotId), seq, now, op, listPath,
       Map(
         "schema-id" -> m.currentSchemaId.toString,
         "added-data-files" -> added.map(_.addedFilesCount).sum.toString,
         "added-records" -> added.map(_.addedRowsCount).sum.toString,
         "total-manifests" -> manifests.size.toString) ++ extraSummary)
-    m.copy(
-      lastSequenceNumber = seq,
-      lastUpdatedMillis = now,
-      currentSnapshotId = Some(snapId),
-      snapshots = m.snapshots :+ snap,
-      snapshotLog = m.snapshotLog :+ SnapshotLogEntry(now, snapId))
+    branch match {
+      // branch commit: parented at (and advancing) the branch ref only —
+      // main's head and the snapshot log stay untouched, exactly like
+      // appendToBranch, so branch DML is invisible until a fast-forward
+      case Some(b) if b != "main" =>
+        m.copy(
+          lastSequenceNumber = seq,
+          lastUpdatedMillis = now,
+          snapshots = m.snapshots :+ snap,
+          refs = m.refs + (b -> m.refs(b).copy(snapshotId = snapId)))
+      case _ =>
+        m.copy(
+          lastSequenceNumber = seq,
+          lastUpdatedMillis = now,
+          currentSnapshotId = Some(snapId),
+          snapshots = m.snapshots :+ snap,
+          snapshotLog = m.snapshotLog :+ SnapshotLogEntry(now, snapId))
+    }
   }
+
+  /** The snapshot a write reads from / parents at: main's head, or a named
+    * branch's head. Tags and unknown refs refuse — a tag is immutable. */
+  private[format] def headSnapshot(m: TableMetadata,
+      branch: Option[String]): Option[Snapshot] = branch match {
+    case None | Some("main") => m.currentSnapshot
+    case Some(b) =>
+      val ref = m.refs.getOrElse(b,
+        throw new IllegalArgumentException(s"no such branch: $b"))
+      require(ref.isBranch, s"cannot write to tag: $b")
+      Some(m.snapshot(ref.snapshotId).getOrElse(
+        throw new IllegalStateException(s"branch head ${ref.snapshotId} missing")))
+  }
+
+  private def headManifests(table: GraftTable, m: TableMetadata,
+      branch: Option[String]): Seq[ManifestFile] =
+    headSnapshot(m, branch).map(s => table.readManifestList(m, s)).getOrElse(Nil)
 
   private def currentManifests(table: GraftTable, m: TableMetadata): Seq[ManifestFile] =
     m.currentSnapshot.map(s => table.readManifestList(m, s)).getOrElse(Nil)
@@ -390,8 +421,13 @@ object Commits {
   /** RewriteFiles: atomic swap for compaction (reference BaseRewriteFiles). */
   def rewriteFiles(table: GraftTable, deletedPaths: Set[String],
       newFiles: Seq[DataFile], baseSnapshotId: Option[Long] = None,
-      operation: String = "replace"): TableMetadata =
+      operation: String = "replace",
+      // named-branch target: the rewrite reads the BRANCH head's manifests
+      // and the commit advances only the branch ref (row-level DML on a
+      // `t.branch_x` identifier rides this)
+      branch: Option[String] = None): TableMetadata =
     table.ops.commitTransaction { m =>
+      val headId = headSnapshot(m, branch).map(_.snapshotId)
       // Conflict validation (reference BaseRewriteFiles validation): the
       // rewrite's outputs were produced against `baseSnapshotId`'s delete
       // state, and they commit with a NEW sequence number — a delete file
@@ -399,8 +435,8 @@ object Commits {
       // (position deletes die with the replaced paths; equality deletes
       // seq-gate past the new files), resurrecting rows. Concurrent
       // APPENDS stay allowed; concurrent DELETE commits abort the rewrite.
-      baseSnapshotId.filter(b => !m.currentSnapshotId.contains(b)).foreach { b =>
-        val anc = m.ancestors()
+      baseSnapshotId.filter(b => !headId.contains(b)).foreach { b =>
+        val anc = m.ancestors(headId)
         val newer =
           if (anc.exists(_.snapshotId == b)) anc.dropWhile(_.snapshotId != b).drop(1)
           else anc // base not on the current ancestry (rollback raced in)
@@ -416,7 +452,7 @@ object Commits {
       val (newFiles2, m1) = assignRowIds(m, newFiles)
       val (seq, snapId) = nextIds(m1)
       val found = scala.collection.mutable.HashSet[String]()
-      val kept = currentManifests(table, m1).flatMap { mf =>
+      val kept = headManifests(table, m1, branch).flatMap { mf =>
         val entries = table.readManifest(mf, m1.schema)
         val keep = entries.filter { e =>
           val dead = deletedPaths.contains(e.file.path)
@@ -452,7 +488,7 @@ object Commits {
               f.copy(schemaId = m1.currentSchemaId))), snapId)
       }
       buildSnapshot(table, m1, operation, kept ++ mf,
-        Map("rewritten-files" -> deletedPaths.size.toString))
+        Map("rewritten-files" -> deletedPaths.size.toString), branch)
     }
 
   /** RowDelta (v2): add data + delete files in one commit
@@ -466,12 +502,15 @@ object Commits {
   def rowDelta(table: GraftTable, dataFiles: Seq[DataFile],
       deleteFiles: Seq[DataFile],
       baseSnapshotId: Option[Long] = None,
-      summary: Map[String, String] = Map.empty): TableMetadata =
+      summary: Map[String, String] = Map.empty,
+      // named-branch target: delete targets validate against the BRANCH
+      // head's live set and the commit advances only the branch ref
+      branch: Option[String] = None): TableMetadata =
     table.ops.commitTransaction { m =>
       val posDeletes = deleteFiles.filter(_.content == FileContent.PositionDeletes)
       if (posDeletes.nonEmpty &&
-          baseSnapshotId.exists(b => !m.currentSnapshotId.contains(b))) {
-        val live = currentManifests(table, m)
+          baseSnapshotId.exists(b => !headSnapshot(m, branch).map(_.snapshotId).contains(b))) {
+        val live = headManifests(table, m, branch)
           .filter(_.content == FileContent.Data)
           .flatMap(mf => table.readManifest(mf, m.schema))
           .filter(e => e.status != EntryStatus.Deleted &&
@@ -494,8 +533,8 @@ object Commits {
       val mfs =
         writeManifests(table, m1, m1.defaultSpecId, mk(dataFiles2), snapId) ++
           writeManifests(table, m1, m1.defaultSpecId, mk(deleteFiles), snapId)
-      buildSnapshot(table, m1, "overwrite", currentManifests(table, m1) ++ mfs,
-        summary + ("delete-files" -> deleteFiles.size.toString))
+      buildSnapshot(table, m1, "overwrite", headManifests(table, m1, branch) ++ mfs,
+        summary + ("delete-files" -> deleteFiles.size.toString), branch)
     }
 
   private def canonTuple(f: DataFile): Map[String, Any] =

@@ -509,15 +509,17 @@ class CatalogSpec extends SparkSpec {
     assert(e2 != null)
     // a ref that doesn't exist stays NoSuchTable
     intercept[Exception](spark.sql("SELECT * FROM g.db.`brt.branch_nope`").collect())
-    // row-level DML on a pinned relation is refused — pre-guard, DELETE
-    // FROM a TAG silently deleted MAIN rows (it read the pin but committed
-    // against the live table)
+    // row-level DML on a TAG / time-travel pin is refused — pre-guard,
+    // DELETE FROM a TAG silently deleted MAIN rows (it read the pin but
+    // committed against the live table)
     val e3 = intercept[Exception](
       spark.sql("DELETE FROM g.db.`brt.tag_v1` WHERE id = 1"))
     assert(e3.getMessage.toLowerCase.contains("not supported"), s"got $e3")
-    val e4 = intercept[Exception](
-      spark.sql("UPDATE g.db.`brt.branch_dev` SET id = 99 WHERE id = 1"))
-    assert(e4.getMessage.toLowerCase.contains("not supported"), s"got $e4")
+    // row-level DML on a BRANCH identifier reads the branch head and
+    // commits the rewrite to the branch ref — main stays untouched
+    spark.sql("UPDATE g.db.`brt.branch_dev` SET id = 99 WHERE id = 1")
+    assert(spark.sql("SELECT id FROM g.db.`brt.branch_dev` ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(10L, 99L))
     assert(spark.sql("SELECT id FROM g.db.brt ORDER BY id").collect()
       .map(_.getLong(0)).toSeq === Seq(1L, 2L), "main must be untouched")
     // streaming reads refuse pinned relations (the micro-batch source
@@ -530,6 +532,78 @@ class CatalogSpec extends SparkSpec {
         .toTable("g.db.brt_sink_never")
     }
     assert(e5.getMessage.toLowerCase.contains("does not support"), s"got $e5")
+  }
+
+  test("row-level DML on a branch identifier commits to the ref, never main") {
+    wh
+    spark.sql("CREATE TABLE g.db.brdml (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.brdml VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val t = GraftTable_load(s"$wh/db/brdml")
+    graft.format.Commits.createBranch(t, "work")
+    spark.sql("INSERT INTO g.db.brdml VALUES (4, 'd')") // main moves on
+    val mainBefore = GraftTable_load(s"$wh/db/brdml")
+      .metadata.currentSnapshotId.get
+
+    // copy-on-write DELETE against the branch head
+    spark.sql("DELETE FROM g.db.`brdml.branch_work` WHERE id = 2")
+    // copy-on-write UPDATE against the branch head
+    spark.sql("UPDATE g.db.`brdml.branch_work` SET v = 'A' WHERE id = 1")
+    // MERGE INTO the branch: one update, one insert
+    spark.sql("""MERGE INTO g.db.`brdml.branch_work` tgt
+      USING (SELECT * FROM VALUES (3L, 'C'), (9L, 'i') AS s(id, v)) src
+      ON tgt.id = src.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql(
+        "SELECT id, v FROM g.db.`brdml.branch_work` ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "A"), (3L, "C"), (9L, "i")))
+    // main: untouched rows AND untouched head
+    assert(spark.sql("SELECT id FROM g.db.brdml ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L), "main rows changed")
+    assert(GraftTable_load(s"$wh/db/brdml").metadata.currentSnapshotId.get
+      === mainBefore, "main head moved")
+
+    // merge-on-read DELETE against the branch (position deletes on the ref)
+    spark.sql("ALTER TABLE g.db.brdml " +
+      "SET TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    spark.sql("DELETE FROM g.db.`brdml.branch_work` WHERE id = 3")
+    assert(spark.sql("SELECT id FROM g.db.`brdml.branch_work` ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 9L))
+    assert(spark.sql("SELECT id FROM g.db.brdml ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L), "main rows changed")
+
+    // fast-forward is still how branch work publishes: the branch head
+    // does NOT descend from main's (both advanced), so it must refuse
+    val head = GraftTable_load(s"$wh/db/brdml").metadata
+      .refSnapshotId("work").get
+    val e = intercept[Exception](graft.format.Commits.fastForward(
+      GraftTable_load(s"$wh/db/brdml"), "main", head))
+    assert(e.getMessage.contains("not a fast-forward"))
+
+    // branch_main is main: DML through the branch_main spelling hits main
+    spark.sql("DELETE FROM g.db.`brdml.branch_main` WHERE id = 4")
+    assert(spark.sql("SELECT id FROM g.db.brdml ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(spark.sql("SELECT id FROM g.db.`brdml.branch_work` ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 9L),
+      "branch must not see main's delete")
+  }
+
+  test("branch DML conflict: a main commit between scan and write cannot bleed in") {
+    wh
+    spark.sql("CREATE TABLE g.db.brconf (id BIGINT)")
+    spark.sql("INSERT INTO g.db.brconf VALUES (1), (2)")
+    val t0 = GraftTable_load(s"$wh/db/brconf")
+    graft.format.Commits.createBranch(t0, "iso")
+    // DML on the branch reads ONLY branch-head files even after main
+    // rewrites its own copy of the data
+    spark.sql("DELETE FROM g.db.brconf WHERE id = 1") // main diverges
+    spark.sql("UPDATE g.db.`brconf.branch_iso` SET id = 20 WHERE id = 2")
+    assert(spark.sql("SELECT id FROM g.db.`brconf.branch_iso` ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 20L))
+    assert(spark.sql("SELECT id FROM g.db.brconf ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
   }
 
   private def GraftTable_load(loc: String) =
