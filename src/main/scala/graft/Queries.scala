@@ -567,6 +567,27 @@ object Queries {
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
           col("channels"), col("format"), col("sha"))
         .orderBy(col("doc_id"))
+    }),
+
+    // REAL image decode: synthesize a real PNG/JPEG per doc in executors
+    // (dimensions derived from doc_id), then header-probe the bytes back
+    // through the JDK's ImageIO readers — the oracle recomputes the
+    // expected dimensions from doc_id, so a decode that misparses the
+    // container (or a fallback to the stub) breaks the hash. Encode and
+    // probe both run partition-local; no shuffle.
+    "q123_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val fmt = if (id % 2 == 0) "png" else "jpeg"
+          (id, Multimodal.ImageCodec.encode(
+            1 + (id % 13).toInt, 1 + (id % 7).toInt, fmt, seed = id))
+        }).toDF("doc_id", "payload")
+      Multimodal.decodeAll(s, media).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("channels"), col("format"))
+        .orderBy(col("doc_id"))
     }))
 
   /** DuckDB oracles. Keys absent here get the driver's rows-only check. */
@@ -1056,6 +1077,14 @@ object Queries {
         |CAST(3 AS INTEGER) AS channels,
         |CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
         |sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q123_image_decode" ->
+      """SELECT doc_id,
+        |CAST(1 + doc_id % 13 AS INTEGER) AS width,
+        |CAST(1 + doc_id % 7 AS INTEGER) AS height,
+        |CAST(3 AS INTEGER) AS channels,
+        |CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin) ++ FormatQueries.oracles ++ defaultTwinOracles
 
   /** q33_jaccard_default runs the library-default hot-gram guard

@@ -403,4 +403,29 @@ class OpsSpec extends SparkSpec {
     assert(frames.count() > 0)
     assert(frames.groupBy("doc_id").count().agg(max("count")).head().getLong(0) <= 4)
   }
+
+  test("ImageCodec: real PNG/JPEG header probe, non-images fall through") {
+    import graft.ops.Multimodal.ImageCodec
+    val png = ImageCodec.encode(13, 7, "png", seed = 42L)
+    assert(png.take(4).toSeq === Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte),
+      "encode must produce a real PNG container")
+    assert(ImageCodec.probe(png) ===
+      Some(Multimodal.MediaMeta(13, 7, 3, "png")))
+    val jpg = ImageCodec.encode(640, 480, "jpeg", seed = 7L)
+    assert(ImageCodec.probe(jpg) ===
+      Some(Multimodal.MediaMeta(640, 480, 3, "jpeg")))
+    // non-image bytes: no reader claims them
+    assert(ImageCodec.probe("not an image at all".getBytes("UTF-8")).isEmpty)
+    assert(ImageCodec.probe(Array.empty[Byte]).isEmpty)
+    // a PNG truncated before the IHDR chunk must not crash the probe
+    assert(ImageCodec.probe(png.take(12)).isEmpty)
+    // decodeAll routes image payloads through the REAL probe (stub would
+    // report width = n_bytes % 640, wrong for any real container)
+    import spark.implicits._
+    val media = Seq((1L, png), (2L, jpg)).toDF("doc_id", "payload")
+    val rows = Multimodal.decodeAll(spark, media).collect()
+      .map(d => d.doc_id -> ((d.width, d.height, d.channels, d.format))).toMap
+    assert(rows(1L) === ((13, 7, 3, "png")))
+    assert(rows(2L) === ((640, 480, 3, "jpeg")))
+  }
 }
