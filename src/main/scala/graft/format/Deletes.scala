@@ -469,11 +469,11 @@ object Deletes {
   }
 }
 
-/** Static interval index over equality-delete files' FIRST-key ranges:
-  * entries sorted by lower bound with a segment-tree max over upper
-  * bounds, answering "which delete files' key ranges can intersect this
-  * data file's range" in O(log n + hits) instead of a linear sweep over
-  * every live delete file. This is the planning structure that keeps
+/** Static interval index over equality-delete files' key ranges: per
+  * equality key, entries sorted by lower bound with a segment-tree max
+  * over upper bounds, answering "which delete files' key ranges can
+  * intersect this data file's range" in O(log n + hits) per key instead
+  * of a linear sweep over every live delete file. This is the planning structure that keeps
   * per-task key-range narrowing affordable when thousands of global
   * (tuple-less) equality deletes are live — the shape a long-running
   * GDPR/right-to-be-forgotten pipeline accumulates between maintenance
@@ -481,30 +481,53 @@ object Deletes {
   * sequence-sorted array and falls back to scanning it per data file;
   * core/src/main/java/org/apache/iceberg/DeleteFileIndex.java).
   *
-  * The result is a conservative SUPERSET pre-filter on the first
-  * equality key only: callers re-check survivors with
-  * [[Deletes.eqBoundsCanHit]] for full multi-column exactness, so using
-  * the index can never change which deletes apply. Files the range logic
-  * cannot constrain (no equality ids, missing bounds on the first key)
-  * are always returned; files whose first key may contain nulls are
-  * returned whenever the data file may too. */
+  * Every file is indexed under EVERY bounded, schema-resolvable equality
+  * key, and a file is a candidate only when each of its key groups
+  * admits it — a matching row must equal the delete row on ALL keys, so
+  * a disjoint range on ANY key rules the pairing out. The intersection
+  * is what keeps a composite key useful when no single key is selective
+  * (e.g. `(tenant_id, user_id)` where both ranges overlap heavily across
+  * files but rarely together): best-single-key indexing degrades to a
+  * near-total superset there, which upstream also blows past the exact
+  * re-check's candidate cap — defeating the one pre-filter meant to keep
+  * that path affordable.
+  *
+  * The result is still a conservative SUPERSET: callers re-check
+  * survivors with [[Deletes.eqBoundsCanHit]] for full exactness, so
+  * using the index can never change which deletes apply. Files the range
+  * logic cannot constrain at all (no indexable key) are always returned;
+  * within a group, files whose key may contain nulls are admitted
+  * whenever the data file may hold nulls too. */
 final class EqRangeIndex private (
     groups: Seq[EqRangeIndex.IdGroup],
-    always: Seq[String]) extends Serializable {
+    always: Seq[String],
+    // path → number of groups it is indexed under (intersection target)
+    keyCount: Map[String, Int]) extends Serializable {
   import EqRangeIndex.IdGroup
 
-  /** Paths of delete files whose first-key range may intersect `data`'s
-    * (plus every unconstrainable file). Superset of the exact answer. */
+  /** Paths of delete files whose every indexed key range may intersect
+    * `data`'s (plus every unconstrainable file). Superset of the exact
+    * multi-key answer; sorted for deterministic planning. */
   def candidatesFor(data: DataFile): Seq[String] = {
     val out = Seq.newBuilder[String]
     out ++= always
-    groups.foreach { g => collectGroup(g, data, out) }
-    out.result()
+    if (groups.nonEmpty) {
+      val counts = new java.util.HashMap[String, Int]()
+      groups.foreach { g =>
+        val perGroup = Seq.newBuilder[String]
+        collectGroup(g, data, perGroup)
+        // dedup within the group (a may-null file can also range-match)
+        // before counting, or it would double-count toward keyCount
+        perGroup.result().distinct.foreach(p =>
+          counts.merge(p, 1, Integer.sum(_, _)))
+      }
+      counts.forEach((p, c) => if (c == keyCount(p)) out += p)
+    }
+    out.result().sorted
   }
 
   private def collectGroup(g: IdGroup, data: DataFile,
       out: scala.collection.mutable.Builder[String, Seq[String]]): Unit = {
-    out ++= g.noBounds
     val dataMayNull = !data.nullValueCounts.get(g.id).contains(0L)
     if (dataMayNull) out ++= g.mayNull
     (data.lowerBounds.get(g.id), data.upperBounds.get(g.id)) match {
@@ -560,110 +583,72 @@ object EqRangeIndex {
       paths: Array[String],
       maxHi: Array[Any],    // 1-based segment tree over hi
       treeSize: Int,
-      noBounds: Seq[String],
       mayNull: Seq[String]) extends Serializable
 
-  /** Candidate index keys for one delete file: equality keys with full
-    * bounds AND a schema-resolvable field (needed for an ordering). Any
-    * single equality key is a valid conservative pre-filter — a matching
-    * row must equal the delete row on EVERY key, so disjoint ranges on any
-    * one key rule the pairing out. */
+  /** Index keys for one delete file: equality keys with full bounds AND a
+    * schema-resolvable field (needed for an ordering). Each one is a
+    * valid conservative pre-filter on its own — a matching row must equal
+    * the delete row on EVERY key, so disjoint ranges on any one key rule
+    * the pairing out — and candidatesFor intersects all of them. */
   private def indexableIds(f: DataFile,
       schema: org.apache.spark.sql.types.StructType): Seq[Int] =
-    f.equalityIds.filter(id =>
+    f.equalityIds.distinct.filter(id =>
       f.lowerBounds.contains(id) && f.upperBounds.contains(id) &&
         FieldIds.findById(schema, id).isDefined)
 
   /** Build over delete files (any content mix is fine — callers pass
-    * equality deletes). O(ids × n log n) once per scan.
-    *
-    * Each file is indexed under its most SELECTIVE bounded equality key,
-    * not blindly `equalityIds.head`: selectivity of a key is the fraction
-    * of DISJOINT merged range clusters over the files bounded on it — a
-    * low-cardinality leading key (e.g. `tenant_id` in a
-    * `(tenant_id, user_id)` composite, where every file spans the same
-    * few tenants) scores ~1/n and would degrade the pre-filter to a
-    * near-full superset, while a high-cardinality key with tight disjoint
-    * ranges scores ~1 and keeps it sharp. */
+    * equality deletes). O(ids × n log n) once per scan: every file is
+    * indexed under every indexable key, so a composite-key population
+    * costs one sorted array + segment tree per key — the same work the
+    * former per-key selectivity-scoring sweep already paid, now kept as
+    * queryable structure instead of thrown away after picking one key. */
   def build(files: Seq[DataFile],
       schema: org.apache.spark.sql.types.StructType): EqRangeIndex = {
     // indexableIds walks FieldIds.findById per equality id — resolve it
-    // ONCE per file here; re-deriving it inside the per-id scoring filter
-    // and the groupBy was O(ids² × files × schema-lookup) per scan build,
-    // quadratic for wide composite equality keys
+    // ONCE per file here (re-deriving it per group was quadratic for wide
+    // composite equality keys)
     val idsOf: Map[String, Seq[Int]] =
       files.map(f => f.path -> indexableIds(f, schema)).toMap
     val (withId, noId) = files.partition(f => idsOf(f.path).nonEmpty)
-    val ids = withId.flatMap(f => idsOf(f.path)).distinct
-    val score: Map[Int, Double] = ids.map { id =>
+    val ids = withId.flatMap(f => idsOf(f.path)).distinct.sorted
+    val groups = ids.map { id =>
+      val fs = withId.filter(f => idsOf(f.path).contains(id))
       val field = FieldIds.findById(schema, id).get
       val dt = Types.cleanType(field.dataType)
       val ord = Exprs.ordering(dt)
-      // widen here too: pre-promotion bounds carry the narrow runtime
-      // class, and this scoring sweep runs BEFORE the widened
-      // group-building path — unwidened values would CCE inside ord
-      val ranges = withId.filter(f => idsOf(f.path).contains(id))
-        .map(f => (Values.widen(f.lowerBounds(id), dt),
-          Values.widen(f.upperBounds(id), dt))).sortBy(_._1)(ord)
-      var clusters = 0
-      var curHi: Option[Any] = None
-      ranges.foreach { case (lo, hi) =>
-        curHi match {
-          case Some(h) if ord.gteq(h, lo) =>
-            if (ord.gt(hi, h)) curHi = Some(hi)
-          case _ => clusters += 1; curHi = Some(hi)
-        }
+      // widen: entries staged before a type promotion may carry the
+      // narrow runtime class — one ordering must fit all generations
+      val sorted = fs.sortBy(f => Values.widen(f.lowerBounds(id), dt))(ord)
+      val n = sorted.length
+      var ts = 1
+      while (ts < math.max(n, 1)) ts <<= 1
+      val lo = new Array[Any](n); val hi = new Array[Any](n)
+      val paths = new Array[String](n)
+      var i = 0
+      while (i < n) {
+        lo(i) = Values.widen(sorted(i).lowerBounds(id), dt)
+        hi(i) = Values.widen(sorted(i).upperBounds(id), dt)
+        paths(i) = sorted(i).path
+        i += 1
       }
-      id -> clusters.toDouble / ranges.length
-    }.toMap
-    val groups = withId
-      .groupBy(f => idsOf(f.path).maxBy(id => (score(id), -id)))
-      .toSeq.sortBy(_._1).flatMap {
-      case (id, fs) =>
-        FieldIds.findById(schema, id) match {
-          case None => // unreachable: indexableIds requires a resolvable field
-            Some(IdGroup(id, null, org.apache.spark.sql.types.NullType,
-              Array.empty, Array.empty, Array.empty,
-              Array.empty, 1, fs.map(_.path), Nil))
-          case Some(field) =>
-            val dt = Types.cleanType(field.dataType)
-            val ord = Exprs.ordering(dt)
-            val (bounded, unbounded) = fs.partition(f =>
-              f.lowerBounds.contains(id) && f.upperBounds.contains(id))
-            // widen: entries staged before a type promotion may carry the
-            // narrow runtime class — one ordering must fit all generations
-            val sorted = bounded.sortBy(f => Values.widen(f.lowerBounds(id), dt))(ord)
-            val n = sorted.length
-            var ts = 1
-            while (ts < math.max(n, 1)) ts <<= 1
-            val lo = new Array[Any](n); val hi = new Array[Any](n)
-            val paths = new Array[String](n)
-            var i = 0
-            while (i < n) {
-              lo(i) = Values.widen(sorted(i).lowerBounds(id), dt)
-              hi(i) = Values.widen(sorted(i).upperBounds(id), dt)
-              paths(i) = sorted(i).path
-              i += 1
-            }
-            val maxHi = new Array[Any](2 * ts)
-            i = 0
-            while (i < n) { maxHi(ts + i) = hi(i); i += 1 }
-            var node = ts - 1
-            while (node >= 1) {
-              val l = maxHi(2 * node); val r = maxHi(2 * node + 1)
-              maxHi(node) =
-                if (l == null) r
-                else if (r == null) l
-                else if (ord.gteq(l, r)) l else r
-              node -= 1
-            }
-            val mayNull = sorted.collect {
-              case f if !f.nullValueCounts.get(id).contains(0L) => f.path
-            }
-            Some(IdGroup(id, ord, dt, lo, hi, paths, maxHi, ts,
-              unbounded.map(_.path), mayNull))
-        }
+      val maxHi = new Array[Any](2 * ts)
+      i = 0
+      while (i < n) { maxHi(ts + i) = hi(i); i += 1 }
+      var node = ts - 1
+      while (node >= 1) {
+        val l = maxHi(2 * node); val r = maxHi(2 * node + 1)
+        maxHi(node) =
+          if (l == null) r
+          else if (r == null) l
+          else if (ord.gteq(l, r)) l else r
+        node -= 1
+      }
+      val mayNull = sorted.collect {
+        case f if !f.nullValueCounts.get(id).contains(0L) => f.path
+      }
+      IdGroup(id, ord, dt, lo, hi, paths, maxHi, ts, mayNull)
     }
-    new EqRangeIndex(groups, noId.map(_.path))
+    val keyCount = withId.map(f => f.path -> idsOf(f.path).size).toMap
+    new EqRangeIndex(groups, noId.map(_.path), keyCount)
   }
 }

@@ -5,10 +5,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** [[EqRangeIndex]] unit coverage: the interval pre-filter must stay a
   * conservative SUPERSET of the exact multi-key predicate
-  * ([[Deletes.eqBoundsCanHit]]) while choosing the most SELECTIVE bounded
-  * equality key per file — a low-cardinality leading key (few tenants)
-  * must not degrade the pre-filter to a near-full scan when a
-  * high-cardinality key (user ids) is available. */
+  * ([[Deletes.eqBoundsCanHit]]) while INTERSECTING per-key admissions —
+  * a low-cardinality key (few tenants) must not degrade the pre-filter
+  * to a near-full scan when another key (user ids) can rule files out,
+  * and a composite where NO single key is selective must still narrow
+  * through the joint ranges. */
 class EqRangeIndexSpec extends AnyFunSuite {
 
   private val schema = FieldIds.assignFresh(StructType(Seq(
@@ -50,6 +51,27 @@ class EqRangeIndexSpec extends AnyFunSuite {
       s"selective-key index must narrow to the overlapping file, got ${cands.size}")
     // a data file overlapping no user range gets nothing
     assert(idx.candidatesFor(dataFile(1L, 1L, 5000L, 5100L)).isEmpty)
+  }
+
+  test("composite key where NO single key is selective: intersection still narrows") {
+    // every file's tenant range and user range each overlap ~half the
+    // population for the probe point, but jointly only ONE file admits
+    // it: best-single-key indexing returns ~50 candidates either way
+    // (blowing the downstream exact-recheck cap), the intersection
+    // returns exactly the joint match
+    val dels = (0 until 100).map(i =>
+      eqDel(i, i.toLong, i + 60L, 1000L - 10 * i, 1600L - 10 * i))
+    val idx = EqRangeIndex.build(dels, schema)
+    val cands = idx.candidatesFor(dataFile(50L, 50L, 500L, 500L))
+    // tenant=50 admits i in [0,50] (51 files); user=500 admits i in
+    // [50,99] (50 files); jointly only i=50
+    assert(cands === Seq("deletes/eq-50.parquet"),
+      s"intersection must narrow to the joint match, got ${cands.size}")
+    // sanity: each single key really is non-selective here
+    assert(dels.count(d => d.lowerBounds(tenantId).asInstanceOf[Long] <= 50L &&
+      d.upperBounds(tenantId).asInstanceOf[Long] >= 50L) === 51)
+    assert(dels.count(d => d.lowerBounds(userId).asInstanceOf[Long] <= 500L &&
+      d.upperBounds(userId).asInstanceOf[Long] >= 500L) === 50)
   }
 
   test("index candidates are a superset of the exact multi-key predicate") {
