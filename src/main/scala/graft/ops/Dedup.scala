@@ -252,6 +252,19 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("ck"), col("fk")).as("keeper"), col("h"))
   }
 
+  /** LSH banding for [[embeddingNearDupIncremental]]'s `freshBanded`
+    * hook: one `(vec_id, embedding, bucket)` row per (vector, table) via
+    * sign-random-projection. Exposed so a caller with an expensive fresh
+    * plan can band once, `persist()`, and hand the result in — the
+    * parameters must match the dedup call's `nTables`/`nBits` or buckets
+    * won't align across the two sides. */
+  def bandEmbeddings(d: DataFrame, nTables: Int = 24, nBits: Int = 6): DataFrame = {
+    import graft.ops.{Similarity => S}
+    val bucketsUdf = udf((v: Seq[Float]) => S.lshBuckets(v, nTables, nBits))
+    d.select(col("vec_id"), col("embedding"),
+      explode(bucketsUdf(col("embedding"))).as("bucket"))
+  }
+
   /** Incremental embedding near-dup: cosine pairs `(a, b, cos)` touching
     * a fresh vector, via the same multi-table sign-random-projection LSH
     * as [[embeddingNearDupLsh]] — but the bucket join is fresh×all, so
@@ -260,19 +273,20 @@ object Dedup {
     * the increment; the corpus is banded once, never paired with itself.
     * `corpus` and `fresh` must have disjoint `vec_id`s.
     *
-    * The fresh side's banding UDF is evaluated twice (as the join's build
-    * side and inside the union) — deliberate: it is increment-sized
-    * narrow map work (nTables projections per vector), and a library op
-    * that silently `cache()`s leaks executor memory with no unpersist
-    * point. Callers with an expensive fresh plan should persist it
-    * themselves before calling. */
+    * Without `freshBanded`, the fresh side's banding is evaluated twice
+    * (as the join's build side and inside the union) — deliberate: it is
+    * increment-sized narrow map work, and a library op that silently
+    * `cache()`s leaks executor memory with no unpersist point. Callers
+    * with an expensive fresh plan should pass
+    * `freshBanded = Some(bandEmbeddings(fresh, nTables, nBits).persist())`
+    * (same parameters!) and unpersist it themselves afterwards; `fresh`
+    * is then ignored. */
   def embeddingNearDupIncremental(corpus: DataFrame, fresh: DataFrame,
-      threshold: Double, nTables: Int = 24, nBits: Int = 6): DataFrame = {
+      threshold: Double, nTables: Int = 24, nBits: Int = 6,
+      freshBanded: Option[DataFrame] = None): DataFrame = {
     import graft.ops.{Similarity => S}
-    val bucketsUdf = udf((v: Seq[Float]) => S.lshBuckets(v, nTables, nBits))
-    def banded(d: DataFrame) = d.select(col("vec_id"), col("embedding"),
-      explode(bucketsUdf(col("embedding"))).as("bucket"))
-    val fb = banded(fresh)
+    def banded(d: DataFrame) = bandEmbeddings(d, nTables, nBits)
+    val fb = freshBanded.getOrElse(banded(fresh))
     val all = banded(corpus).unionByName(fb)
     val lt = col("x.vec_id") < col("y.vec_id")
     val cand = fb.as("x").join(all.as("y"), Seq("bucket"))

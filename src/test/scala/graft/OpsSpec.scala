@@ -156,6 +156,33 @@ class OpsSpec extends SparkSpec {
     assert(incr === full && full.nonEmpty)
   }
 
+  test("freshBanded hook: an expensive fresh plan is evaluated exactly once") {
+    import spark.implicits._
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e5))
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val freshRaw = emb.filter(col("vec_id") % 10 === 0)
+    val nFresh = freshRaw.count()
+    // an accumulator-counting UDF standing in for expensive upstream work
+    val acc = spark.sparkContext.longAccumulator("freshEvals")
+    val counted = udf((v: Seq[Float]) => { acc.add(1); v })
+    val fresh = freshRaw.withColumn("embedding", counted(col("embedding")))
+    // without the hook the banding (and the UDF above it) runs twice
+    val baseline = Dedup.embeddingNearDupIncremental(corpus, fresh,
+      0.45, nTables = 64).collect().map(key).toSet
+    assert(acc.value >= 2 * nFresh,
+      s"expected the un-persisted path to evaluate fresh twice, got ${acc.value}")
+    acc.reset()
+    val fb = Dedup.bandEmbeddings(fresh, nTables = 64).persist()
+    fb.count() // materialize: every fresh row evaluated here, once
+    val out = Dedup.embeddingNearDupIncremental(corpus, fresh,
+      0.45, nTables = 64, freshBanded = Some(fb)).collect().map(key).toSet
+    fb.unpersist()
+    assert(acc.value === nFresh,
+      s"freshBanded path must evaluate fresh once, got ${acc.value}")
+    assert(out === baseline && out.nonEmpty)
+  }
+
   test("decontamination flags exactly the docs sharing a benchmark n-gram") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
