@@ -114,8 +114,10 @@ final class GraftBatchWrite(table: GraftTable, mode: GraftBatchWrite.Mode,
       case Append if branch.isDefined =>
         Commits.appendToBranch(table, branch.get, files)
       case Append => Commits.mergeAppend(table, files)
-      case DynamicOverwrite => Commits.replacePartitions(table, files)
-      case FilterOverwrite(e) => Commits.overwriteByFilter(table, e, files)
+      case DynamicOverwrite =>
+        Commits.replacePartitions(table, files, branch)
+      case FilterOverwrite(e) =>
+        Commits.overwriteByFilter(table, e, files, branch = branch)
       case RewriteMatched(replaced, base) =>
         val del = replaced()
         // a MERGE whose condition matched no groups has nothing to commit

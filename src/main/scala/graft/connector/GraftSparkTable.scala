@@ -129,7 +129,16 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
     // advertise neither streaming capability: the micro-batch source
     // follows the LIVE snapshot line, so a streaming read of `t.branch_x`
     // silently streamed main's rows before this guard
-    (if (pinned)
+    (if (writeBranch.nonEmpty)
+      // branch identifiers: full batch write surface (appends, filter /
+      // dynamic overwrite, truncate — all committing to the ref) plus
+      // micro-batch reads FOLLOWING the branch line; streaming writes
+      // still target main only
+      Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.MICRO_BATCH_READ,
+        TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
+        TableCapability.TRUNCATE)
+    else if (pinned)
       Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
     else
       Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -164,7 +173,18 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
       Option(options.get("branch")).orElse(Option(options.get("tag")))
         .foreach(r => s = s.useRef(r))
     }
-    new GraftScanBuilder(spark, table, s, options)
+    // a branch IDENTIFIER relation must stream the branch line, not main:
+    // surface the branch as a read option so the scan's micro-batch path
+    // (GraftScan.toMicroBatchStream) follows the ref (batch reads ignore
+    // it — they are pinned through the snapshot above)
+    val opts = writeBranch match {
+      case Some(b) if options.get("branch") == null =>
+        val m = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+        m.put("branch", b)
+        new CaseInsensitiveStringMap(m)
+      case _ => options
+    }
+    new GraftScanBuilder(spark, table, s, opts)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1043,8 +1063,19 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
   }
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(spark, table, options)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // snapshot pins make no sense for a stream (it follows a commit
+    // line); a silently-ignored option would read data the user didn't
+    // ask for — refuse loudly. `branch` is the one supported spelling:
+    // the stream follows the branch ref's commit line.
+    Seq("snapshot-id", "as-of-timestamp", "tag").foreach { k =>
+      if (options.get(k) != null) throw new UnsupportedOperationException(
+        s"streaming reads do not support the $k option — streams follow " +
+        "the main (or branch) commit line")
+    }
+    new GraftMicroBatchStream(spark, table, options,
+      Option(options.get("branch")))
+  }
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
@@ -2054,13 +2085,10 @@ final class GraftWriteBuilder(table: GraftTable, queryId: String = "default",
 
   private var mode: Mode = Append
 
-  private def noBranch(op: String): Unit =
-    require(branch.isEmpty,
-      s"$op is not supported on a branch identifier — only INSERT INTO " +
-      "(append); operate on the main table or fast-forward first")
-
+  // every batch mode works against a branch identifier too: the commit
+  // reads the BRANCH head's manifests and advances only the ref
+  // (Commits.overwriteByFilterOn / replacePartitionsOn branch target)
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
-    noBranch("INSERT OVERWRITE")
     // convertRequired, NOT convertAll: nothing re-applies the original
     // condition after a filter overwrite, so a silently dropped filter
     // would widen the delete scope (an all-unconvertible array widens to
@@ -2068,11 +2096,9 @@ final class GraftWriteBuilder(table: GraftTable, queryId: String = "default",
     mode = FilterOverwrite(FilterBridge.convertRequired(filters)); this
   }
   override def overwriteDynamicPartitions(): WriteBuilder = {
-    noBranch("dynamic partition overwrite")
     mode = DynamicOverwrite; this
   }
   override def truncate(): WriteBuilder = {
-    noBranch("TRUNCATE")
     mode = FilterOverwrite(AlwaysTrue); this
   }
 

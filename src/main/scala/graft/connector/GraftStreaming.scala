@@ -25,15 +25,33 @@ final case class FileSliceOffset(snapshotId: Long, fileIdx: Int) extends Offset 
   * (start, end] at FILE granularity — `spark.readStream.table("g.db.t")`.
   * With `max-bytes-per-trigger` set, admission control slices oversized
   * backlogs (including WITHIN one snapshot) into size-budgeted batches.
-  * The physical read is Spark's ParquetScan partitions, same as batch. */
+  * The physical read is Spark's ParquetScan partitions, same as batch.
+  * With `branch` set the stream follows the BRANCH ref's commit line
+  * (appends to the branch surface as batches; main commits never do) —
+  * the `t.branch_x` identifier spelling routes here too. */
 final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
-    options: CaseInsensitiveStringMap) extends MicroBatchStream
+    options: CaseInsensitiveStringMap,
+    branch: Option[String] = None) extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
   private val maxBytes: Long =
     options.getLong("max-bytes-per-trigger", Long.MaxValue)
+
+  /** The head of the commit line this stream follows: main's current
+    * snapshot, or the branch ref's head. A dropped branch fails the next
+    * poll loudly rather than silently falling back to main. */
+  private def head(): Option[Snapshot] = branch match {
+    case None => table.currentSnapshot
+    case Some(b) =>
+      val m = table.metadata
+      val ref = m.refs.getOrElse(b,
+        throw new IllegalStateException(s"streamed branch no longer exists: $b"))
+      require(ref.isBranch, s"cannot stream a tag: $b")
+      Some(m.snapshot(ref.snapshotId).getOrElse(
+        throw new IllegalStateException(s"branch head ${ref.snapshotId} missing")))
+  }
 
   // ---- initial load (offset 0): the full state of ONE pinned snapshot,
   // planned by the BATCH scan machinery so position/equality deletes, DVs,
@@ -45,7 +63,7 @@ final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
     * (re-resolved only while the table is still empty). */
   private def initialSnapshot(): Long = {
     if (pinnedInitial == 0L)
-      pinnedInitial = table.currentSnapshot.map(_.snapshotId).getOrElse(0L)
+      pinnedInitial = head().map(_.snapshotId).getOrElse(0L)
     pinnedInitial
   }
   // keyed by snapshot id: a checkpoint replay of the initial batch carries
@@ -84,11 +102,12 @@ final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
   @volatile private var pendingMemo:
     ((Streaming.StreamOffset, Long), Seq[(Long, Int, FileScanTask)]) = null
   private def pendingFor(s: Streaming.StreamOffset): Seq[(Long, Int, FileScanTask)] = {
-    val key = (s, table.metadata.currentSnapshotId.getOrElse(0L))
+    val headId = head().map(_.snapshotId).getOrElse(0L)
+    val key = (s, headId)
     val m = pendingMemo
     if (m != null && m._1 == key) m._2
     else {
-      val p = Streaming.pendingFiles(table, s)
+      val p = Streaming.pendingFiles(table, s, Some(headId))
       pendingMemo = (key, p)
       p
     }
@@ -149,7 +168,7 @@ final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
     * by EQUALITY, so budgeted progression must land on exactly this value
     * after draining — which (snap, count) is and sentinel forms are not. */
   private def allAvailable(start: FileSliceOffset): FileSliceOffset =
-    table.currentSnapshot match {
+    head() match {
       case None => start
       case Some(_) if start.snapshotId == 0L =>
         // initial load: the pinned snapshot, fully consumed

@@ -372,35 +372,39 @@ object Commits {
     * (reference BaseOverwriteFiles / SparkBatchWrite filter-overwrite :198-207). */
   def overwriteByFilter(table: GraftTable, filter: Expr,
       newFiles: Seq[DataFile],
-      summary: Map[String, String] = Map.empty): TableMetadata =
+      summary: Map[String, String] = Map.empty,
+      branch: Option[String] = None): TableMetadata =
     table.ops.commitTransaction(
-      overwriteByFilterOn(table, _, filter, newFiles, summary))
+      overwriteByFilterOn(table, _, filter, newFiles, summary, branch))
 
   private[format] def overwriteByFilterOn(table: GraftTable, m0: TableMetadata,
       filter: Expr, newFiles: Seq[DataFile],
-      summary: Map[String, String] = Map.empty): TableMetadata = {
+      summary: Map[String, String] = Map.empty,
+      branch: Option[String] = None): TableMetadata = {
       val (files, m) = assignRowIds(m0, newFiles)
       val (seq, snapId) = nextIds(m)
-      val afterDelete = rewriteForDelete(table, m, filter)
+      val afterDelete = rewriteForDelete(table, m, filter, branch)
       val entries = files.map(f =>
         ManifestEntry(EntryStatus.Added, snapId, seq,
           f.copy(schemaId = m.currentSchemaId, specId = m.defaultSpecId)))
       val mfs = writeManifests(table, m, m.defaultSpecId, entries, snapId)
-      buildSnapshot(table, m, "overwrite", afterDelete ++ mfs, summary)
+      buildSnapshot(table, m, "overwrite", afterDelete ++ mfs, summary, branch)
   }
 
   /** Dynamic partition overwrite (reference BaseReplacePartitions; used by
     * SparkBatchWrite.java:186-194): drop every file in a partition touched
     * by the new data. */
-  def replacePartitions(table: GraftTable, newFiles: Seq[DataFile]): TableMetadata =
-    table.ops.commitTransaction(replacePartitionsOn(table, _, newFiles))
+  def replacePartitions(table: GraftTable, newFiles: Seq[DataFile],
+      branch: Option[String] = None): TableMetadata =
+    table.ops.commitTransaction(replacePartitionsOn(table, _, newFiles, branch))
 
   private[format] def replacePartitionsOn(table: GraftTable, m0: TableMetadata,
-      newFiles0: Seq[DataFile]): TableMetadata = {
+      newFiles0: Seq[DataFile],
+      branch: Option[String] = None): TableMetadata = {
       val (newFiles, m) = assignRowIds(m0, newFiles0)
       val (seq, snapId) = nextIds(m)
       val touched: Set[Map[String, Any]] = newFiles.map(canonTuple).toSet
-      val kept = currentManifests(table, m).map { mf =>
+      val kept = headManifests(table, m, branch).map { mf =>
         val entries = table.readManifest(mf, m.schema)
         val (dropped, keep) = entries.partition(e =>
           mf.specId == m.defaultSpecId && touched.contains(canonTuple(e.file)))
@@ -415,7 +419,7 @@ object Commits {
         ManifestEntry(EntryStatus.Added, snapId, seq,
           f.copy(schemaId = m.currentSchemaId, specId = m.defaultSpecId)))
       val mfs = writeManifests(table, m, m.defaultSpecId, entries, snapId)
-      buildSnapshot(table, m, "replace", kept ++ mfs, Map.empty)
+      buildSnapshot(table, m, "replace", kept ++ mfs, Map.empty, branch)
   }
 
   /** RewriteFiles: atomic swap for compaction (reference BaseRewriteFiles). */
@@ -578,10 +582,10 @@ object Commits {
   }
 
   private def rewriteForDelete(table: GraftTable, m: TableMetadata,
-      filter: Expr): Seq[ManifestFile] = {
+      filter: Expr, branch: Option[String] = None): Seq[ManifestFile] = {
     val schema = m.schema
     val bound = Exprs.bind(filter, schema)
-    currentManifests(table, m).flatMap { mf =>
+    headManifests(table, m, branch).flatMap { mf =>
       // delete-file manifests are untouched: DeleteFiles removes DATA files
       // only (reference BaseDeleteFiles); a delete file left without targets
       // dangles harmlessly until compaction drops it

@@ -67,11 +67,12 @@ object Streaming {
 
   /** Every (snapshotId, index, task) not yet consumed at `from`: oldest
     * snapshot first, manifest order within a snapshot. Shared by the
-    * library source and the DSv2 MicroBatchStream. */
+    * library source and the DSv2 MicroBatchStream. `head` overrides the
+    * commit line being followed (a branch ref's head instead of main). */
   private[graft] def pendingFiles(table: GraftTable,
-      from: StreamOffset): Seq[(Long, Int, FileScanTask)] = {
+      from: StreamOffset, head: Option[Long] = None): Seq[(Long, Int, FileScanTask)] = {
     val m = table.metadata
-    val current = m.currentSnapshotId.getOrElse(0L)
+    val current = head.orElse(m.currentSnapshotId).getOrElse(0L)
     m.ancestors(Some(current))
       .filter(s =>
         s.snapshotId > from.snapshotId ||

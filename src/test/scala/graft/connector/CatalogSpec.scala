@@ -500,10 +500,7 @@ class CatalogSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(1L, 10L))
     assert(spark.sql("SELECT id FROM g.db.brt ORDER BY id")
       .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
-    // non-append writes and tag writes are refused
-    val e1 = intercept[Exception](
-      spark.sql("INSERT OVERWRITE g.db.`brt.branch_dev` VALUES (9)"))
-    assert(e1.getMessage.toLowerCase.contains("branch"), s"got $e1")
+    // tag writes are refused
     val e2 = intercept[Exception](
       spark.sql("INSERT INTO g.db.`brt.tag_v1` VALUES (9)"))
     assert(e2 != null)
@@ -522,12 +519,31 @@ class CatalogSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(10L, 99L))
     assert(spark.sql("SELECT id FROM g.db.brt ORDER BY id").collect()
       .map(_.getLong(0)).toSeq === Seq(1L, 2L), "main must be untouched")
-    // streaming reads refuse pinned relations (the micro-batch source
-    // follows the LIVE snapshot line — it silently streamed main pre-guard)
+    // INSERT OVERWRITE against a branch truncates + rewrites the BRANCH
+    // only (the overwrite commit reads the branch head's manifests and
+    // advances the ref)
+    spark.sql("INSERT OVERWRITE g.db.`brt.branch_dev` VALUES (9)")
+    assert(spark.sql("SELECT id FROM g.db.`brt.branch_dev`").collect()
+      .map(_.getLong(0)).toSeq === Seq(9L))
+    assert(spark.sql("SELECT id FROM g.db.brt ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L),
+      "main must survive a branch overwrite")
+    // streaming a BRANCH identifier follows the BRANCH commit line (it
+    // silently streamed main pre-guard; now it's a first-class source)
+    val ck = Files.createTempDirectory("graft-brt-ck").toString
+    val q = spark.readStream.table("g.db.`brt.branch_dev`").writeStream
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("g.db.brt_sink")
+    q.awaitTermination()
+    assert(spark.sql("SELECT id FROM g.db.brt_sink").collect()
+      .map(_.getLong(0)).toSeq === Seq(9L),
+      "the stream must surface the branch's rows, not main's")
+    // streaming a TAG still refuses (a tag is a fixed snapshot, not a line)
     val e5 = intercept[Exception] {
-      val ck = Files.createTempDirectory("graft-brt-ck").toString
-      spark.readStream.table("g.db.`brt.branch_dev`").writeStream
-        .option("checkpointLocation", ck)
+      val ck2 = Files.createTempDirectory("graft-brt-ck2").toString
+      spark.readStream.table("g.db.`brt.tag_v1`").writeStream
+        .option("checkpointLocation", ck2)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .toTable("g.db.brt_sink_never")
     }
@@ -588,6 +604,64 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT id FROM g.db.`brdml.branch_work` ORDER BY id")
       .collect().map(_.getLong(0)).toSeq === Seq(1L, 9L),
       "branch must not see main's delete")
+  }
+
+  test("dynamic partition overwrite on a branch replaces only the branch's partitions") {
+    wh
+    spark.sql("CREATE TABLE g.db.brdyn (id BIGINT, part STRING) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO g.db.brdyn VALUES (1, 'a'), (2, 'b')")
+    graft.format.Commits.createBranch(GraftTable_load(s"$wh/db/brdyn"), "exp")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      spark.sql("INSERT OVERWRITE g.db.`brdyn.branch_exp` VALUES (10, 'a'), (30, 'c')")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // branch: partition 'a' replaced, 'b' carried, 'c' added
+    assert(spark.sql("SELECT id FROM g.db.`brdyn.branch_exp` ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L, 10L, 30L))
+    assert(spark.sql("SELECT id FROM g.db.brdyn ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L), "main must be untouched")
+  }
+
+  test("a branch stream surfaces branch appends and never main's") {
+    wh
+    spark.sql("CREATE TABLE g.db.brstr (id BIGINT)")
+    spark.sql("INSERT INTO g.db.brstr VALUES (1)")
+    graft.format.Commits.createBranch(GraftTable_load(s"$wh/db/brstr"), "live")
+    val ck = Files.createTempDirectory("graft-brstr-ck").toString
+    def drain(): Unit = {
+      val q = spark.readStream.option("branch", "live").table("g.db.brstr")
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("g.db.brstr_sink")
+      q.awaitTermination()
+    }
+    drain() // initial load = the branch head's full state
+    def sink() = spark.sql("SELECT id FROM g.db.brstr_sink ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(sink() === Seq(1L))
+    spark.sql("INSERT INTO g.db.brstr VALUES (2)")               // main only
+    spark.sql("INSERT INTO g.db.`brstr.branch_live` VALUES (3)") // branch
+    drain()
+    assert(sink() === Seq(1L, 3L),
+      "the resumed stream must pick up the branch append and skip main's")
+    // snapshot pins are refused for streams (they follow a line, not a
+    // pin); the refusal surfaces through the streaming query's failure
+    val e = intercept[Exception] {
+      val ck2 = Files.createTempDirectory("graft-brstr-ck2").toString
+      spark.readStream.option("snapshot-id", "1").table("g.db.brstr")
+        .writeStream.option("checkpointLocation", ck2)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("g.db.brstr_sink_never")
+        .awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("streaming reads do not support")),
+      s"got $e")
   }
 
   test("branch DML conflict: a main commit between scan and write cannot bleed in") {
