@@ -130,12 +130,11 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
     // follows the LIVE snapshot line, so a streaming read of `t.branch_x`
     // silently streamed main's rows before this guard
     (if (writeBranch.nonEmpty)
-      // branch identifiers: full batch write surface (appends, filter /
-      // dynamic overwrite, truncate — all committing to the ref) plus
-      // micro-batch reads FOLLOWING the branch line; streaming writes
-      // still target main only
+      // branch identifiers: the full surface of the main table — batch
+      // writes (appends, filter / dynamic overwrite, truncate), streaming
+      // reads AND writes — all following / committing to the ref
       Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.MICRO_BATCH_READ,
+        TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
         TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
         TableCapability.TRUNCATE)
     else if (pinned)
@@ -2165,11 +2164,8 @@ final class GraftWriteBuilder(table: GraftTable, queryId: String = "default",
       declaredSortOrder()
 
     override def toBatch: BatchWrite = new GraftBatchWrite(table, mode, branch)
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-      require(branch.isEmpty,
-        "streaming writes target the main table, not a branch identifier")
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStreamingWrite(table,
-        truncateFirst = mode.isInstanceOf[FilterOverwrite], queryId)
-    }
+        truncateFirst = mode.isInstanceOf[FilterOverwrite], queryId, branch)
   }
 }

@@ -281,7 +281,10 @@ final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
   * fastAppend, Complete/truncate → overwrite-all). Reuses the batch fanout
   * writers. */
 final class GraftStreamingWrite(table: GraftTable, truncateFirst: Boolean,
-    queryId: String) extends StreamingWrite {
+    queryId: String,
+    // `t.branch_x` sink: every epoch commit targets the branch ref (the
+    // epoch-replay check is line-agnostic — it scans all snapshots)
+    branch: Option[String] = None) extends StreamingWrite {
   import GraftBatchWrite.TaskFiles
 
   // captured ONCE at query start: a mid-stream ALTER of
@@ -340,7 +343,7 @@ final class GraftStreamingWrite(table: GraftTable, truncateFirst: Boolean,
     // the epoch summary rides EVERY commit shape — a truncate epoch
     // without it would make replays undetectable
     if (truncateFirst)
-      Commits.overwriteByFilter(table, AlwaysTrue, files, summary)
+      Commits.overwriteByFilter(table, AlwaysTrue, files, summary, branch)
     else if (upsert && files.nonEmpty) {
       // streaming upsert (Iceberg's write.upsert.enabled shape, keys via
       // the write.upsert.key-columns property): the epoch commits ONE
@@ -389,9 +392,13 @@ final class GraftStreamingWrite(table: GraftTable, truncateFirst: Boolean,
               .mkString("(", ", ", ")") +
             "; deduplicate upstream (e.g. dropDuplicates on the key columns)")
         val deleteFiles = Deletes.stageEqualityDeletes(table, keys)
-        Commits.rowDelta(table, files, deleteFiles, summary = summary)
+        Commits.rowDelta(table, files, deleteFiles, summary = summary,
+          branch = branch)
       } finally keys.unpersist(false)
-    } else Commits.fastAppend(table, files, summary)
+    } else branch match {
+      case Some(b) => Commits.appendToBranch(table, b, files, summary)
+      case None => Commits.fastAppend(table, files, summary)
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

@@ -664,6 +664,27 @@ class CatalogSpec extends SparkSpec {
       s"got $e")
   }
 
+  test("a streaming write to a branch identifier advances the ref, not main") {
+    wh
+    spark.sql("CREATE TABLE g.db.brsink (id BIGINT)")
+    spark.sql("INSERT INTO g.db.brsink VALUES (1)")
+    graft.format.Commits.createBranch(GraftTable_load(s"$wh/db/brsink"), "ing")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    mem.addData(10L, 11L)
+    val ck = Files.createTempDirectory("graft-brsink-ck").toString
+    val q = mem.toDF().toDF("id").writeStream
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("g.db.`brsink.branch_ing`")
+    q.awaitTermination()
+    assert(spark.sql("SELECT id FROM g.db.`brsink.branch_ing` ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 10L, 11L))
+    assert(spark.sql("SELECT id FROM g.db.brsink ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L), "main must be untouched")
+  }
+
   test("branch DML conflict: a main commit between scan and write cannot bleed in") {
     wh
     spark.sql("CREATE TABLE g.db.brconf (id BIGINT)")
