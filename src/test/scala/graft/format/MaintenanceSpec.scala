@@ -260,6 +260,41 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.toDF().count() == 2)
   }
 
+  test("expireSnapshots never orphans files shared between main and a DML'd branch") {
+    // branch CoW DML rewrites the branch's copy of fileA; main still
+    // references fileA, and the branch's BASE snapshot (kept as branch
+    // ancestry) does too. An expire that dropped either protection would
+    // physically delete a file a live reader needs.
+    val loc = freshLoc("brexpire")
+    val t = GraftTable.create(spark, loc, rows(2).schema)
+    GraftWrite.append(t, rows(2, 0).coalesce(1)) // snap1: fileA (shared)
+    val fileA = MetaTables.files(t).select("file_path").as[String].collect().toSet
+    Commits.createBranch(t, "work")
+    GraftWrite.append(t, rows(2, 1).coalesce(1)) // snap2 (main): fileB
+    val fileB = MetaTables.files(t).select("file_path").as[String]
+      .collect().toSet -- fileA
+    // branch CoW DELETE: rewrites fileA on the BRANCH line only
+    val staged = GraftWrite.writeFiles(t,
+      t.newScan().useRef("work").toDF().filter(col("id") =!= 0L))
+    Commits.rewriteFiles(t, fileA, staged,
+      baseSnapshotId = t.metadata.refSnapshotId("work"), branch = Some("work"))
+    // main rewrite makes snap2 expirable (fileB dies with it)
+    GraftWrite.overwriteAll(t, rows(3, 2))
+    val res = Actions.forTable(t).expireSnapshots(System.currentTimeMillis() + 1000)
+    assert(res.expiredSnapshots >= 1)
+    // fileA is gone from BOTH heads, but the branch's base snapshot is
+    // branch ancestry — it must survive the expire physically
+    fileA.foreach(p => assert(Files.exists(java.nio.file.Paths.get(p)),
+      s"shared file deleted by expire: $p"))
+    // fileB was only ever on main's expired line — it must die
+    fileB.foreach(p => assert(!Files.exists(java.nio.file.Paths.get(p)),
+      s"dead main file survived expire: $p"))
+    // both lines still read correctly
+    assert(t.toDF().count() == 3)
+    assert(t.newScan().useRef("work").toDF().select("id").as[Long]
+      .collect().toSet == Set(1L))
+  }
+
   test("removeOrphanFiles deletes unreferenced files only") {
     val loc = freshLoc("orphan")
     val t = GraftTable.create(spark, loc, rows(2).schema)
