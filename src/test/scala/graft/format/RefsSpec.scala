@@ -117,4 +117,52 @@ class RefsSpec extends SparkSpec {
       spark.sql("SELECT * FROM rf.db.t VERSION AS OF 'dev'").collect())
     assert(e.getMessage.contains("dev"))
   }
+
+  test("branch commits race main commits: both lines converge to the serial state") {
+    // 2 main appenders, 2 branch appenders, and a branch CoW rewrite all
+    // race under the optimistic CAS: every commit must land (the retry
+    // re-reads head/ref inside the transaction), main must see ONLY its
+    // own appends, the branch ONLY its own — any cross-line bleed or a
+    // lost commit breaks the row sets.
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val loc = freshLoc("refsrace")
+    val t0 = GraftTable.create(spark, loc, rows(1).schema,
+      properties = Map("commit.retry.num-retries" -> "100"))
+    GraftWrite.append(t0, rows(100, 0).coalesce(1)) // base: ids 0-99
+    Commits.createBranch(t0, "work")
+    val baseFiles = t0.newScan().useRef("work").planFiles()
+      .tasks.map(_.file.path).toSet
+    val branchBase = t0.metadata.refSnapshotId("work").get
+    // the rewrite's replacement is staged BEFORE the race (CoW shape)
+    val staged = GraftWrite.writeFiles(t0,
+      t0.newScan().useRef("work").toDF().filter(col("id") >= 50L))
+    val pool = Executors.newFixedThreadPool(5)
+    val gate = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def task(body: => Unit): Runnable = () => {
+      gate.await()
+      try body catch { case e: Throwable => errs.add(e) }
+    }
+    pool.submit(task(GraftWrite.append(GraftTable.load(spark, loc), rows(10, 1))))
+    pool.submit(task(GraftWrite.append(GraftTable.load(spark, loc), rows(10, 2))))
+    pool.submit(task(GraftWrite.appendToBranch(GraftTable.load(spark, loc),
+      "work", rows(10, 3))))
+    pool.submit(task(GraftWrite.appendToBranch(GraftTable.load(spark, loc),
+      "work", rows(10, 4))))
+    pool.submit(task(Commits.rewriteFiles(GraftTable.load(spark, loc),
+      baseFiles, staged, baseSnapshotId = Some(branchBase),
+      branch = Some("work"))))
+    gate.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"commit failed: ${errs.peek()}")
+    val t = GraftTable.load(spark, loc)
+    val mainIds = t.toDF().select("id").as[Long].collect().toSet
+    val branchIds = t.newScan().useRef("work").toDF()
+      .select("id").as[Long].collect().toSet
+    assert(mainIds ===
+      ((0L until 100L) ++ (1000L until 1010L) ++ (2000L until 2010L)).toSet)
+    assert(branchIds ===
+      ((50L until 100L) ++ (3000L until 3010L) ++ (4000L until 4010L)).toSet)
+  }
 }
