@@ -554,6 +554,52 @@ object FormatQueries {
                FROM graftup.db.customer_upsert GROUP BY 1 ORDER BY 1""")
     }),
 
+    // streaming a BRANCH identifier follows the branch's commit line: the
+    // first drain is the branch head's initial load (even orders), then
+    // MAIN advances (odd orders — must never surface) and the BRANCH gets
+    // the urgent odds; the resumed stream must deliver exactly the branch
+    // append. A stream that followed main, or re-pinned instead of
+    // following the ref, breaks the hash.
+    "q124_branch_stream" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftbs", "graft.connector.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftbs.warehouse", tdir(dir, "bswh"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftbs.db")
+      withTable(s, dir, "bswh/db/orders_bsink") { loc =>
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        val srcLoc = tdir(dir, "bswh") + "/db/orders_bsrc"
+        val src = GraftTable.recreate(s, srcLoc, o.schema)
+        GraftTable.recreate(s, loc, o.schema)
+        val ckpt = tdir(dir, "bswh") + "/ckpt_branch_stream"
+        // a rebuild after a crashed partial build must not resume from the
+        // previous attempt's checkpoint (offsets point at the wiped src)
+        val ckptPath = java.nio.file.Paths.get(ckpt)
+        if (java.nio.file.Files.exists(ckptPath)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(ckptPath).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        def runOnce(): Unit = {
+          val q = s.readStream
+            .table("graftbs.db.`orders_bsrc.branch_feed`").writeStream
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .toTable("graftbs.db.orders_bsink")
+          q.awaitTermination(120000)
+        }
+        GraftWrite.append(src, o.filter(col("o_orderkey") % 2 === 0).coalesce(2))
+        Commits.createBranch(src, "feed")
+        runOnce() // initial load = the branch head (even orders)
+        GraftWrite.append(GraftTable.load(s, srcLoc),
+          o.filter(col("o_orderkey") % 2 === 1).coalesce(2)) // main only
+        GraftWrite.appendToBranch(GraftTable.load(s, srcLoc), "feed",
+          o.filter(col("o_orderkey") % 2 === 1 &&
+            col("o_orderpriority") === "1-URGENT").coalesce(1))
+        runOnce() // resume: exactly the branch append, never main's
+        GraftTable.load(s, loc)
+      }
+      orderAgg(s.table("graftbs.db.orders_bsink"))
+    }),
+
     // equality-delete compaction: upsert-style history (append, eq-delete,
     // append, eq-delete), then rewriteEqualityDeletes converts every live
     // eq delete into position deletes — visible rows must not move, and
@@ -1300,6 +1346,8 @@ object FormatQueries {
 
     "q61_time_travel" -> orderAggSqlWhere.format("o_orderkey % 2 = 0"),
     "q62_incremental" -> orderAggSqlWhere.format("o_orderkey % 2 = 1"),
+    "q124_branch_stream" -> orderAggSqlWhere.format(
+      "o_orderkey % 2 = 0 OR (o_orderkey % 2 = 1 AND o_orderpriority = '1-URGENT')"),
 
     "q63_partition_prune" ->
       """SELECT l_returnflag, COUNT(*) AS n,

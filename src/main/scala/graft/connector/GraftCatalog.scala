@@ -74,11 +74,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** `t.branch_x` / `t.tag_x` ref spelling (the public Iceberg identifier
-    * form): reads pin to the ref's snapshot; branch identifiers also
-    * accept APPENDS (committed to the branch head). Both the quoted
-    * single-name form (`` `t.branch_x` ``) and the multipart form
-    * (db.t.branch_x → namespace [db, t]) resolve. A real table always
-    * wins — this only runs when the identifier itself doesn't exist. */
+    * form): tag reads pin to the ref's snapshot; branch identifiers carry
+    * the table's FULL surface against the ref — batch reads, appends,
+    * overwrites, row-level DML, streaming reads and writes — every commit
+    * advancing the branch head, never main. Both the quoted single-name
+    * form (`` `t.branch_x` ``) and the multipart form (db.t.branch_x →
+    * namespace [db, t]) resolve. A real table always wins — this only
+    * runs when the identifier itself doesn't exist. */
   private val RefName = """^(.+)\.(branch|tag)_(.+)$""".r
   private val RefLeaf = """^(branch|tag)_(.+)$""".r
   private def refTable(ident: Identifier): Option[Table] = {

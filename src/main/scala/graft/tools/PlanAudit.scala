@@ -1,0 +1,22 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.extensions", "graft.connector.GraftSparkExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    for (q <- Seq("q122_incremental_scan_dedup", "q123_image_decode")) {
+      System.err.println(s"===== $q =====")
+      System.err.println(graft.SparkEntry.queries(q)(spark, dir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode))
+    }
+    spark.stop()
+  }
+}
