@@ -341,6 +341,20 @@ object Queries {
       Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, bands = 32, rows = 2, threshold = 0.5)
         .orderBy(col("a"), col("b"))),
 
+    // INCREMENTAL MinHash+LSH: q34's steady-state twin — the band join is
+    // fresh×all (corpus bands never self-join), exact-verified, so the
+    // oracle is the exact-Jaccard answer restricted to fresh-touching
+    // pairs (q113's oracle; same 32x2 gate-only parameterization as q34 —
+    // the library default stays 16x4, see q34's note)
+    "q125_incremental_minhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.minhashLshPairsIncremental(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        n = 3, bands = 32, rows = 2, threshold = 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // dedup clustering: connected components over the EXACT jaccard pair
     // graph (threshold 0.5) — every member doc labeled with its component's
     // min doc id. The oracle recomputes components via a recursive CTE.
@@ -750,6 +764,24 @@ object Queries {
     // operator's contract, so the gate fails if the incremental path
     // either LEAKS an old×old pair or DROPS a fresh-touching one.
     "q113_incremental_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |g AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS gram
+        |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(tok)-2)) AS i) r
+        |      WHERE len(tok) >= 3),
+        |s AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
+        |p AS (SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS inter
+        |      FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id GROUP BY 1, 2)
+        |SELECT p.a, p.b, CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) AS jaccard
+        |FROM p JOIN s sa ON p.a = sa.doc_id JOIN s sb ON p.b = sb.doc_id
+        |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) >= 0.5
+        |  AND (p.a % 10 = 0 OR p.b % 10 = 0)
+        |ORDER BY a, b""".stripMargin,
+
+    // q125 shares q113's oracle: the incremental LSH path is
+    // exact-verified and the 32x2 gate bands make a recall miss
+    // vanishingly unlikely, so the answer is the exact fresh-touching
+    // Jaccard pair set
+    "q125_incremental_minhash" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
         |g AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS gram
         |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(tok)-2)) AS i) r

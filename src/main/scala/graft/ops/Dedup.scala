@@ -500,6 +500,52 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental MinHash+LSH near-dup: banded candidate pairs touching a
+    * FRESH document, verified with exact Jaccard — the [[minhashLshPairs]]
+    * twin for the steady-state append path. The band join is fresh×all,
+    * so corpus bands never self-join: at steady state (increment ≪
+    * corpus) the fresh banded side is increment-sized (broadcast-able)
+    * and candidate volume tracks the increment, while the corpus pays
+    * only its banding map work. `corpus` and `fresh` must have disjoint
+    * `doc_id`s. Signature computation is referenced from both the banding
+    * and the verify joins, but the verify side prunes to the gram column,
+    * so the k-hash signature UDF runs once per side. */
+  def minhashLshPairsIncremental(corpus: DataFrame, fresh: DataFrame,
+      n: Int = 3, bands: Int = 16, rows: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val k = bands * rows
+    val sigUdf = udf((toks: Seq[String]) => minhashSignature(toks, k))
+    val bandUdf = udf((sig: Seq[Int]) =>
+      (0 until bands).map(bd => bd.toLong << 32 |
+        (Murmur3.hashString(sig.slice(bd * rows, bd * rows + rows).mkString(",")).toLong & 0xffffffffL)))
+    def prep(d: DataFrame) = d
+      .select(col("doc_id"),
+        TextOps.wordNgrams(TextOps.tokens(col("text")), n).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .withColumn("sig", sigUdf(col("grams")))
+    def banded(w: DataFrame) =
+      w.select(col("doc_id"), explode(bandUdf(col("sig"))).as("band"))
+    val cw = prep(corpus); val fw = prep(fresh)
+    val fb = banded(fw)
+    val all = banded(cw).unionByName(fb)
+    val lt = col("x.doc_id") < col("y.doc_id")
+    val cand = fb.as("x").join(all.as("y"), Seq("band"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .select(
+        when(lt, col("x.doc_id")).otherwise(col("y.doc_id")).as("a"),
+        when(lt, col("y.doc_id")).otherwise(col("x.doc_id")).as("b"))
+      .distinct()
+    val sets = cw.select(col("doc_id"), col("grams"))
+      .unionByName(fw.select(col("doc_id"), col("grams")))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("grams").as("ga")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("grams").as("gb")), "b")
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // --- embedding-cosine near-dup ------------------------------------------
 
   /**

@@ -63,6 +63,32 @@ class OpsSpec extends SparkSpec {
     assert(guarded === full)
   }
 
+  test("incremental minhash-LSH = full LSH restricted to fresh-touching pairs") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+    // identical banding (deterministic minhash + murmur3) means the
+    // touching-pair candidate sets coincide exactly, and both verify with
+    // the same exact Jaccard — so this is equality, not recall-overlap
+    val full = Dedup.minhashLshPairs(docs, n = 3, bands = 32, rows = 2,
+        threshold = 0.5)
+      .filter(col("a") % 10 === 0 || col("b") % 10 === 0)
+      .collect().map(key).toSet
+    val incr = Dedup.minhashLshPairsIncremental(corpus, fresh,
+        n = 3, bands = 32, rows = 2, threshold = 0.5)
+      .collect().map(key).toSet
+    assert(incr === full && full.nonEmpty)
+    // old×old pairs never surface, however similar
+    import spark.implicits._
+    val synth = Seq((1L, "p q r s t u"), (3L, "p q r s t u"),
+      (10L, "zz zz2 zz3 zz4 zz5")).toDF("doc_id", "text")
+    val out = Dedup.minhashLshPairsIncremental(
+      synth.filter(col("doc_id") =!= 10L), synth.filter(col("doc_id") === 10L),
+      n = 3, bands = 32, rows = 2, threshold = 0.1).collect()
+    assert(out.isEmpty, "old×old pair leaked into the incremental output")
+  }
+
   test("incremental jaccard composes with the table format's incremental scan") {
     import spark.implicits._
     import graft.format._

@@ -118,6 +118,39 @@ class RefsSpec extends SparkSpec {
     assert(e.getMessage.contains("dev"))
   }
 
+  test("branch-WAP with DML: staged data is fixed on the branch, then published") {
+    // the classic write-audit-publish flow, now with a row-level fix ON
+    // the staging branch: stage an append, audit flags bad rows, a branch
+    // CoW rewrite removes them, fast-forward publishes — main jumps from
+    // its untouched head straight to the audited state
+    val loc = freshLoc("refswapdml")
+    val t = GraftTable.create(spark, loc, rows(1).schema)
+    GraftWrite.append(t, rows(10, 0)) // main: ids 0-9
+    val mainHead = t.metadata.currentSnapshotId.get
+    Commits.createBranch(t, "audit")
+    GraftWrite.appendToBranch(t, "audit", rows(10, 1).coalesce(1)) // staged
+    // audit: id 1005 is bad — rewrite the staged file on the BRANCH
+    val t1 = GraftTable.load(spark, loc)
+    val branchFiles = t1.newScan().useRef("audit").planFiles()
+      .tasks.map(_.file.path).toSet
+    val stagedOnly = branchFiles -- t1.newScan().useSnapshot(mainHead)
+      .planFiles().tasks.map(_.file.path).toSet
+    val fixed = GraftWrite.writeFiles(t1, t1.newScan().useRef("audit").toDF()
+      .filter(col("id") >= 1000L && col("id") =!= 1005L))
+    Commits.rewriteFiles(t1, stagedOnly, fixed,
+      baseSnapshotId = t1.metadata.refSnapshotId("audit"),
+      branch = Some("audit"))
+    // main is still pre-stage; the publish fast-forwards it to the
+    // audited branch head (main's head is branch ancestry, so it's legal)
+    val t2 = GraftTable.load(spark, loc)
+    assert(t2.metadata.currentSnapshotId.contains(mainHead))
+    Commits.fastForward(t2, "main", t2.metadata.refSnapshotId("audit").get)
+    val ids = GraftTable.load(spark, loc).toDF()
+      .select("id").as[Long].collect().toSet
+    assert(ids === ((0L until 10L) ++
+      (1000L until 1010L).filterNot(_ == 1005L)).toSet)
+  }
+
   test("branch commits race main commits: both lines converge to the serial state") {
     // 2 main appenders, 2 branch appenders, and a branch CoW rewrite all
     // race under the optimistic CAS: every commit must land (the retry
