@@ -472,6 +472,20 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // INCREMENTAL SimHash pairs: fresh×all 16-bit band join with exact
+    // recall at hamming<=3 (pigeonhole over 4 bands), so the oracle is the
+    // EXACT hamming pair set restricted to fresh-touching pairs — DuckDB
+    // recomputes the fingerprints bit-for-bit (md5-lower-64 tokens, q35's
+    // construction) and brute-forces the pairs.
+    "q126_incremental_simhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.simhashPairsIncremental(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        maxHamming = 3)
+        .orderBy(col("a"), col("b"))
+    }),
+
     "q36_langid" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       docs.select(col("doc_id"), TextOps.langIdUdf(col("text")).as("lang_pred"))
@@ -974,6 +988,19 @@ object Queries {
         |      FROM t CROSS JOIN (SELECT unnest(generate_series(0,63)) AS bit) bits GROUP BY 1,2)
         |SELECT doc_id, CAST(SUM(CASE WHEN w > 0 THEN (CASE WHEN bit = 63 THEN -9223372036854775808 ELSE (1::BIGINT << bit) END) ELSE 0 END) AS BIGINT) AS simhash
         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q126_incremental_simhash" ->
+      """WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
+        |b AS (SELECT doc_id, bit, SUM(CASE WHEN (md5_number_lower(tok) >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS w
+        |      FROM t CROSS JOIN (SELECT unnest(generate_series(0,63)) AS bit) bits GROUP BY 1,2),
+        |f AS (SELECT doc_id, CAST(SUM(CASE WHEN w > 0 THEN (CASE WHEN bit = 63 THEN -9223372036854775808 ELSE (1::BIGINT << bit) END) ELSE 0 END) AS BIGINT) AS simhash
+        |      FROM b GROUP BY doc_id)
+        |SELECT fa.doc_id AS a, fb.doc_id AS b,
+        |       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INTEGER) AS hamming
+        |FROM f fa JOIN f fb ON fa.doc_id < fb.doc_id
+        |WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+        |  AND (fa.doc_id % 10 = 0 OR fb.doc_id % 10 = 0)
+        |ORDER BY a, b""".stripMargin,
 
     "q36_langid" ->
       """WITH f AS (

@@ -618,4 +618,32 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Incremental SimHash near-dup: pairs within `maxHamming` bits that
+    * touch a FRESH document — [[simhashPairs]]' steady-state twin. The
+    * 16-bit band join is fresh×all, so corpus bands never self-join; by
+    * pigeonhole a pair within 3 bits shares at least one of the 4 bands,
+    * so recall is EXACT (same guarantee as the full path). `corpus` and
+    * `fresh` must have disjoint `doc_id`s. */
+  def simhashPairsIncremental(corpus: DataFrame, fresh: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    def fps(d: DataFrame) = d.select(col("doc_id"),
+      TextOps.simhashUdf(TextOps.tokens(col("text"))).as("fp"))
+    def banded(w: DataFrame) = w.select(col("doc_id"), col("fp"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"), shiftrightunsigned(col("fp"), i * 16)
+          .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+    val fb = banded(fps(fresh))
+    val all = banded(fps(corpus)).unionByName(fb)
+    val hammingUdf = udf((a: Long, b: Long) => hamming64(a, b))
+    val lt = col("x.doc_id") < col("y.doc_id")
+    fb.as("x").join(all.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(
+        when(lt, col("x.doc_id")).otherwise(col("y.doc_id")).as("a"),
+        when(lt, col("y.doc_id")).otherwise(col("x.doc_id")).as("b"),
+        hammingUdf(col("x.fp"), col("y.fp")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

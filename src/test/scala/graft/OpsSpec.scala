@@ -89,6 +89,26 @@ class OpsSpec extends SparkSpec {
     assert(out.isEmpty, "old×old pair leaked into the incremental output")
   }
 
+  test("incremental simhash = full simhash pairs restricted to fresh-touching") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2))
+    val full = Dedup.simhashPairs(docs, maxHamming = 3)
+      .filter(col("a") % 10 === 0 || col("b") % 10 === 0)
+      .collect().map(key).toSet
+    val incr = Dedup.simhashPairsIncremental(corpus, fresh, maxHamming = 3)
+      .collect().map(key).toSet
+    assert(incr === full && full.nonEmpty)
+    import spark.implicits._
+    val synth = Seq((1L, "p q r s t u"), (3L, "p q r s t u"),
+      (10L, "zz zz2 zz3 zz4 zz5")).toDF("doc_id", "text")
+    val out = Dedup.simhashPairsIncremental(
+      synth.filter(col("doc_id") =!= 10L), synth.filter(col("doc_id") === 10L),
+      maxHamming = 64).collect()
+    assert(out.isEmpty, "old×old pair leaked into the incremental output")
+  }
+
   test("incremental jaccard composes with the table format's incremental scan") {
     import spark.implicits._
     import graft.format._
