@@ -1282,6 +1282,28 @@ object FormatQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // PERSISTED signature store: the corpus' MinHash signatures live in a
+    // graft table (binary-packed, computed once), so the steady-state
+    // near-dup job hashes ONLY the fresh increment and re-reads text just
+    // for candidate-touched docs. Oracle = exact fresh-touching Jaccard
+    // (same construction as q125, which recomputes corpus signatures per
+    // run — this is the amortized variant a nightly 100 TB pipeline runs).
+    "q127_signature_store" -> ((s, dir) => {
+      val store = withTable(s, dir, "doc_sigs") { loc =>
+        val d = s.read.parquet(s"$dir/documents.parquet")
+        val sigs = graft.ops.Dedup.minhashSignatures(
+          d.filter(col("doc_id") % 10 =!= 0), n = 3, bands = 32, rows = 2)
+        val tt = GraftTable.recreate(s, loc, sigs.schema)
+        GraftWrite.append(tt, sigs.coalesce(2))
+        tt
+      }
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Dedup.minhashLshPairsFromStore(store.toDF(),
+        d.filter(col("doc_id") % 10 === 0), d,
+        n = 3, bands = 32, rows = 2, threshold = 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // compaction preserves content (RewriteDataFilesAction)
     "q70_compaction" -> ((s, dir) => {
       val t = withTable(s, dir, "region_compacted") { loc =>
@@ -1325,6 +1347,22 @@ object FormatQueries {
     // documents by doc_id % 10, so incremental-scan-fed dedup must equal
     // the filter-sliced answer
     "q122_incremental_scan_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |g AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS gram
+        |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(tok)-2)) AS i) r
+        |      WHERE len(tok) >= 3),
+        |s AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
+        |p AS (SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS inter
+        |      FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id GROUP BY 1, 2)
+        |SELECT p.a, p.b, CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) AS jaccard
+        |FROM p JOIN s sa ON p.a = sa.doc_id JOIN s sb ON p.b = sb.doc_id
+        |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) >= 0.5
+        |  AND (p.a % 10 = 0 OR p.b % 10 = 0)
+        |ORDER BY a, b""".stripMargin,
+
+    // exact fresh-touching Jaccard (q113/q125's oracle): the store path is
+    // exact-verified with near-certain 32x2 recall, same as q125
+    "q127_signature_store" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
         |g AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS gram
         |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(tok)-2)) AS i) r

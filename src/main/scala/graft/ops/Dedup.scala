@@ -546,6 +546,72 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** MinHash signatures packed for PERSISTENCE: one `(doc_id, sig)` row
+    * per doc, `sig` = k big-endian 4-byte ints as BINARY. Persist these
+    * as a table (graft or plain parquet) and EXTEND it per increment —
+    * the standing corpus' signatures are then computed exactly once over
+    * the pipeline's lifetime instead of once per dedup run, which is the
+    * difference between an increment-scaled job and re-hashing 100 TB of
+    * text every night. Consumed by [[minhashLshPairsFromStore]]. */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, bands: Int = 16,
+      rows: Int = 4): DataFrame = {
+    val k = bands * rows
+    val sigUdf = udf((toks: Seq[String]) => {
+      val sig = minhashSignature(toks, k)
+      val bb = java.nio.ByteBuffer.allocate(4 * sig.length)
+      sig.foreach(bb.putInt)
+      bb.array()
+    })
+    docs.select(col("doc_id"),
+        TextOps.wordNgrams(TextOps.tokens(col("text")), n).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col("doc_id"), sigUdf(col("grams")).as("sig"))
+  }
+
+  /** Incremental MinHash near-dup against a persisted signature store:
+    * only the FRESH side pays signature computation (the store rows are
+    * read back packed), the band join is fresh×(store ∪ fresh) so the
+    * store never self-joins, and exact-Jaccard verification re-reads
+    * `texts` for exactly the candidate-touched doc_ids (semi-join
+    * pushdown — candidate-scaled, not corpus-scaled). Same answer as
+    * [[minhashLshPairsIncremental]] with the same parameters; `storeSigs`
+    * must hold the CORPUS only (append the fresh signatures after the
+    * run), with `(doc_id, sig)` from [[minhashSignatures]] at the same
+    * (n, bands, rows). */
+  def minhashLshPairsFromStore(storeSigs: DataFrame, fresh: DataFrame,
+      texts: DataFrame, n: Int = 3, bands: Int = 16, rows: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val bandUdf = udf((sig: Array[Byte]) => {
+      val bb = java.nio.ByteBuffer.wrap(sig)
+      val ints = Array.fill(sig.length / 4)(bb.getInt)
+      (0 until bands).map(bd => bd.toLong << 32 |
+        (Murmur3.hashString(ints.slice(bd * rows, bd * rows + rows).mkString(",")).toLong & 0xffffffffL))
+    })
+    def banded(w: DataFrame) =
+      w.select(col("doc_id"), explode(bandUdf(col("sig"))).as("band"))
+    val fb = banded(minhashSignatures(fresh, n, bands, rows))
+    val all = banded(storeSigs.select(col("doc_id"), col("sig"))).unionByName(fb)
+    val lt = col("x.doc_id") < col("y.doc_id")
+    val cand = fb.as("x").join(all.as("y"), Seq("band"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .select(
+        when(lt, col("x.doc_id")).otherwise(col("y.doc_id")).as("a"),
+        when(lt, col("y.doc_id")).otherwise(col("x.doc_id")).as("b"))
+      .distinct()
+    val touched = cand.select(col("a").as("doc_id"))
+      .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+    val sets = texts.join(touched, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        TextOps.wordNgrams(TextOps.tokens(col("text")), n).as("grams"))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("grams").as("ga")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("grams").as("gb")), "b")
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // --- embedding-cosine near-dup ------------------------------------------
 
   /**

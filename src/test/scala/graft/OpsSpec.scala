@@ -109,6 +109,24 @@ class OpsSpec extends SparkSpec {
     assert(out.isEmpty, "old×old pair leaked into the incremental output")
   }
 
+  test("signature store = recompute-everything incremental minhash") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+    // packed store round-trip: the banded keys from persisted binary sigs
+    // must equal the keys banded from freshly computed signatures, so the
+    // two paths produce identical pair sets
+    val store = Dedup.minhashSignatures(corpus, n = 3, bands = 32, rows = 2)
+    val fromStore = Dedup.minhashLshPairsFromStore(store, fresh, docs,
+        n = 3, bands = 32, rows = 2, threshold = 0.5)
+      .collect().map(key).toSet
+    val recomputed = Dedup.minhashLshPairsIncremental(corpus, fresh,
+        n = 3, bands = 32, rows = 2, threshold = 0.5)
+      .collect().map(key).toSet
+    assert(fromStore === recomputed && fromStore.nonEmpty)
+  }
+
   test("incremental jaccard composes with the table format's incremental scan") {
     import spark.implicits._
     import graft.format._
