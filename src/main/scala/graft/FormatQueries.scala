@@ -1304,6 +1304,25 @@ object FormatQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // PERSISTED gram store: the corpus' hashed grams live in a graft
+    // table, computed once — the steady-state exact-Jaccard job tokenizes
+    // ONLY the increment and semi-joins the store down to touched grams.
+    // Oracle = exact fresh-touching Jaccard (q113's construction).
+    "q128_gram_store" -> ((s, dir) => {
+      val store = withTable(s, dir, "doc_grams") { loc =>
+        val d = s.read.parquet(s"$dir/documents.parquet")
+        val grams = graft.ops.Dedup.gramStore(
+          d.filter(col("doc_id") % 10 =!= 0), n = 3)
+        val tt = GraftTable.recreate(s, loc, grams.schema)
+        GraftWrite.append(tt, grams.coalesce(2))
+        tt
+      }
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Dedup.incrementalJaccardPairsFromStore(store.toDF(),
+        d.filter(col("doc_id") % 10 === 0), n = 3, threshold = 0.5, maxDf = 0)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // compaction preserves content (RewriteDataFilesAction)
     "q70_compaction" -> ((s, dir) => {
       val t = withTable(s, dir, "region_compacted") { loc =>
@@ -1363,6 +1382,22 @@ object FormatQueries {
     // exact fresh-touching Jaccard (q113/q125's oracle): the store path is
     // exact-verified with near-certain 32x2 recall, same as q125
     "q127_signature_store" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |g AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS gram
+        |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(tok)-2)) AS i) r
+        |      WHERE len(tok) >= 3),
+        |s AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
+        |p AS (SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS inter
+        |      FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id GROUP BY 1, 2)
+        |SELECT p.a, p.b, CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) AS jaccard
+        |FROM p JOIN s sa ON p.a = sa.doc_id JOIN s sb ON p.b = sb.doc_id
+        |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) >= 0.5
+        |  AND (p.a % 10 = 0 OR p.b % 10 = 0)
+        |ORDER BY a, b""".stripMargin,
+
+    // exact fresh-touching Jaccard again: with maxDf=0 the store path is
+    // bit-identical to q113's recompute-everything answer
+    "q128_gram_store" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
         |g AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS gram
         |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(tok)-2)) AS i) r

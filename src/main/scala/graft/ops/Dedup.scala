@@ -227,6 +227,47 @@ object Dedup {
       groupFilter = Some(exists(col("ds"), d => d.getField("sz") < lit(0))))
   }
 
+  /** Hashed-gram rows for PERSISTENCE: one `(doc_id, sz, g)` row per
+    * (doc, distinct gram) with `sz` = the doc's full gram-set size and
+    * `g` the 8-byte gram hash. Persist as a table (bucketed by `g` at
+    * scale, so the dedup join co-locates) and EXTEND per increment —
+    * the standing corpus is then never re-tokenized. Consumed by
+    * [[incrementalJaccardPairsFromStore]]. */
+  def gramStore(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        TextOps.gramHashes(n)(col("text")).as("gs"))
+      .select(col("doc_id"), size(col("gs")).as("sz"), explode(col("gs")).as("g"))
+
+  /** Incremental exact n-gram Jaccard against a persisted gram store:
+    * the corpus' grams are read back (never re-tokenized) and
+    * immediately semi-joined down to the grams the increment actually
+    * touches, so the expensive side of the group shuffle is
+    * increment-scaled; fresh docs are tokenized fresh and ride with a
+    * negative-sz marker, exactly like [[incrementalJaccardPairs]] — and
+    * with `maxDf = 0` the answers are identical. `store` must hold the
+    * CORPUS only (`gramStore` output at the same n; append the fresh
+    * grams after the run). */
+  def incrementalJaccardPairsFromStore(store: DataFrame, fresh: DataFrame,
+      n: Int = 3, threshold: Double = 0.1, maxDf: Long = 2000): DataFrame = {
+    require(fresh.schema("doc_id").dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType],
+      "incrementalJaccardPairsFromStore requires a numeric doc_id in fresh, " +
+        s"got ${fresh.schema("doc_id").dataType}")
+    val fg = fresh.select(col("doc_id").cast("long").as("doc_id"),
+        TextOps.gramHashes(n)(col("text")).as("gs"))
+      .select(col("doc_id"), (-size(col("gs"))).as("sz"), explode(col("gs")).as("g"))
+    val touched = fg.select("g").distinct()
+    val old = store.select(col("doc_id").cast("long").as("doc_id"),
+        col("sz").cast("int").as("sz"), col("g").cast("long").as("g"))
+      .join(touched, Seq("g"), "left_semi")
+    val all = old.unionByName(fg)
+    // the semi-join already removed old-only gram groups; the filter stays
+    // as a cheap belt-and-braces guard against a store that contains
+    // fresh ids by mistake
+    jaccardFromGrams(all, maxDf, threshold, pairCombosFreshTouching,
+      groupFilter = Some(exists(col("ds"), d => d.getField("sz") < lit(0))))
+  }
+
   /** Incremental EXACT dedup: fresh documents whose text already exists
     * in the corpus (or in another fresh doc) — `(doc_id, keeper, h)` per
     * duplicate fresh doc. The corpus is the STANDING side: a fresh doc

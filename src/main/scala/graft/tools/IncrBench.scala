@@ -18,7 +18,8 @@ object IncrBench {
       System.err.println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     for (q <- Seq("q34_minhash_lsh_pairs", "q125_incremental_minhash",
-        "q35_simhash", "q126_incremental_simhash")) {
+        "q35_simhash", "q126_incremental_simhash", "q127_signature_store",
+        "q113_incremental_jaccard", "q128_gram_store")) {
       try {
         graft.SparkEntry.queries(q)(spark, sfDir).count() // warm
         time(q)(graft.SparkEntry.queries(q)(spark, sfDir).count())

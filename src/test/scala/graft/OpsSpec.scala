@@ -127,6 +127,21 @@ class OpsSpec extends SparkSpec {
     assert(fromStore === recomputed && fromStore.nonEmpty)
   }
 
+  test("gram store = recompute-everything incremental jaccard (maxDf=0)") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+    val store = Dedup.gramStore(corpus, n = 3)
+    val fromStore = Dedup.incrementalJaccardPairsFromStore(store, fresh,
+        n = 3, threshold = 0.5, maxDf = 0)
+      .collect().map(key).toSet
+    val recomputed = Dedup.incrementalJaccardPairs(corpus, fresh, 3, 0.5,
+        maxDf = 0)
+      .collect().map(key).toSet
+    assert(fromStore === recomputed && fromStore.nonEmpty)
+  }
+
   test("incremental jaccard composes with the table format's incremental scan") {
     import spark.implicits._
     import graft.format._
