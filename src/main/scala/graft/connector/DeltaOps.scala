@@ -60,7 +60,10 @@ final class GraftDeltaOperation(spark: SparkSession, table: GraftTable,
       .orElse(table.currentSnapshot.map(_.snapshotId))
     baseSnapshot.set(head)
     var s = table.newScan()
-    head.filter(_ => branch.isDefined).foreach(id => s = s.useSnapshot(id))
+    // branch pin keeps the CURRENT schema (branch semantics) — see
+    // GraftRowLevelOperation.newScanBuilder
+    head.filter(_ => branch.isDefined).foreach(id =>
+      s = s.useSnapshot(id).withCurrentSchema)
     new GraftScanBuilder(spark, table, s, options)
   }
 

@@ -116,6 +116,10 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
     var s = table.newScan()
     snapshotId.foreach(id => s = s.useSnapshot(id))
     asOfMillis.foreach(ms => s = s.asOfTime(ms))
+    // branch identifier: pinned to the ref's head but reading the table's
+    // CURRENT schema (Iceberg branch semantics — the branch follows the
+    // table's schema evolution; only tags freeze the snapshot schema)
+    if (writeBranch.nonEmpty) s = s.withCurrentSchema
     s
   }
 

@@ -64,7 +64,11 @@ final class GraftRowLevelOperation(spark: SparkSession, table: GraftTable,
       .orElse(table.currentSnapshot.map(_.snapshotId))
     baseSnapshot.set(head)
     var s = table.newScan()
-    head.filter(_ => branch.isDefined).foreach(id => s = s.useSnapshot(id))
+    // branch pin keeps the CURRENT schema (branch semantics) — Spark has
+    // planned the operation against the table's schema, so a
+    // snapshot-schema scan would fail column resolution after evolution
+    head.filter(_ => branch.isDefined).foreach(id =>
+      s = s.useSnapshot(id).withCurrentSchema)
     new GraftScanBuilder(spark, table, s, options,
       groupGranular = true,
       onPlan = (plan: ScanPlan) =>

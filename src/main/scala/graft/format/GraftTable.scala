@@ -36,24 +36,38 @@ final class TableScan private[format] (
     asOfMillis: Option[Long] = None,
     rowFilter: Expr = AlwaysTrue,
     projection: Option[Seq[String]] = None,
-    incremental: Option[(Long, Long)] = None) {
+    incremental: Option[(Long, Long)] = None,
+    // BRANCH-read semantics (public Iceberg): a branch pin still reads
+    // the table's CURRENT schema — only tags and time travel read the
+    // snapshot's own schema
+    currentSchema: Boolean = false) {
 
   def useSnapshot(id: Long): TableScan =
-    new TableScan(table, Some(id), asOfMillis, rowFilter, projection, incremental)
-  /** Read a named ref — branch head or tag ("main" = current). */
-  def useRef(name: String): TableScan =
-    useSnapshot(table.metadata.refSnapshotId(name).getOrElse(
+    new TableScan(table, Some(id), asOfMillis, rowFilter, projection, incremental, currentSchema)
+  /** Read a named ref — branch head or tag ("main" = current). Branch
+    * reads use the table's current schema (Iceberg branch semantics);
+    * tag reads use the snapshot's schema. */
+  def useRef(name: String): TableScan = {
+    val pinned = useSnapshot(table.metadata.refSnapshotId(name).getOrElse(
       throw new IllegalArgumentException(s"no such ref: $name")))
+    val isBranch = name == "main" ||
+      table.metadata.refs.get(name).exists(_.isBranch)
+    if (isBranch) pinned.withCurrentSchema else pinned
+  }
+  /** Pin a snapshot but keep the table's CURRENT schema — how a branch
+    * head is read (the branch follows the table's schema evolution). */
+  def withCurrentSchema: TableScan =
+    new TableScan(table, snapshotId, asOfMillis, rowFilter, projection, incremental, currentSchema = true)
   def asOfTime(millis: Long): TableScan =
-    new TableScan(table, snapshotId, Some(millis), rowFilter, projection, incremental)
+    new TableScan(table, snapshotId, Some(millis), rowFilter, projection, incremental, currentSchema)
   def filter(expr: Expr): TableScan =
-    new TableScan(table, snapshotId, asOfMillis, Exprs.and(rowFilter, expr), projection, incremental)
+    new TableScan(table, snapshotId, asOfMillis, Exprs.and(rowFilter, expr), projection, incremental, currentSchema)
   def select(cols: String*): TableScan =
-    new TableScan(table, snapshotId, asOfMillis, rowFilter, Some(cols), incremental)
+    new TableScan(table, snapshotId, asOfMillis, rowFilter, Some(cols), incremental, currentSchema)
   /** Appends in (fromSnapshotId, toSnapshotId] — reference
     * api/.../TableScan.java:150-160. */
   def appendsBetween(from: Long, to: Long): TableScan =
-    new TableScan(table, snapshotId, asOfMillis, rowFilter, projection, Some((from, to)))
+    new TableScan(table, snapshotId, asOfMillis, rowFilter, projection, Some((from, to)), currentSchema)
 
   private def meta: TableMetadata = table.metadata
 
@@ -65,11 +79,12 @@ final class TableScan private[format] (
       .orElse(m.currentSnapshot)
   }
 
-  /** Scan schema: current schema for current reads; the snapshot's schema
-    * when explicitly time traveling (reference BaseTableScan.schema()). */
+  /** Scan schema: current schema for current reads AND branch reads; the
+    * snapshot's schema when explicitly time traveling (reference
+    * BaseTableScan.schema(); branch semantics per public Iceberg). */
   def scanSchema: StructType = {
     val m = meta
-    if (snapshotId.isEmpty && asOfMillis.isEmpty) m.schema
+    if (currentSchema || (snapshotId.isEmpty && asOfMillis.isEmpty)) m.schema
     else snapshot.flatMap(s => s.summary.get("schema-id").map(_.toInt))
       .flatMap(m.schemas.get).getOrElse(m.schema)
   }

@@ -685,6 +685,31 @@ class CatalogSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq === Seq(1L), "main must be untouched")
   }
 
+  test("branch reads use the table's current schema; tags freeze theirs") {
+    // Iceberg branch semantics: a branch follows the table's schema
+    // evolution (reads resolve the CURRENT schema over the branch head's
+    // files); only tags/time-travel freeze the snapshot schema. Pre-fix,
+    // branch reads used the snapshot schema and branch DML after a main
+    // ALTER crashed column resolution ("key not found: w").
+    wh
+    spark.sql("CREATE TABLE g.db.brsch (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.brsch VALUES (1, 'a'), (2, 'b')")
+    graft.format.Commits.createBranch(GraftTable_load(s"$wh/db/brsch"), "dev")
+    graft.format.Commits.createTag(GraftTable_load(s"$wh/db/brsch"), "v1")
+    spark.sql("ALTER TABLE g.db.brsch ADD COLUMN w BIGINT")
+    spark.sql("INSERT INTO g.db.brsch VALUES (3, 'c', 30)")
+    assert(spark.sql("SELECT * FROM g.db.`brsch.branch_dev`").columns.toSeq
+      === Seq("id", "v", "w"), "branch must read the current schema")
+    assert(spark.sql("SELECT * FROM g.db.`brsch.tag_v1`").columns.toSeq
+      === Seq("id", "v"), "tag must freeze the snapshot schema")
+    // DML on the branch touching the NEW column over pre-evolution files
+    spark.sql("UPDATE g.db.`brsch.branch_dev` SET w = 7 WHERE id = 1")
+    assert(spark.sql("SELECT w FROM g.db.`brsch.branch_dev` WHERE id = 1")
+      .collect().head.getLong(0) === 7L)
+    assert(spark.sql("SELECT id FROM g.db.brsch ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L), "main untouched")
+  }
+
   test("branch DML conflict: a main commit between scan and write cannot bleed in") {
     wh
     spark.sql("CREATE TABLE g.db.brconf (id BIGINT)")
