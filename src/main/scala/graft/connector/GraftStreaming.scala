@@ -75,8 +75,14 @@ final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
     val cached = initialScanMemo.get()
     if (cached != null && cached._1 == snap) cached._2
     else {
+      // withCurrentSchema: the STREAM declares the table's current schema,
+      // so the initial load must produce rows in that shape even when the
+      // pinned snapshot predates a schema change — a snapshot-schema scan
+      // here emitted narrower rows that Spark reinterpreted positionally
+      // (observed: a pre-ALTER row streamed with the new column holding
+      // bytes of a neighboring string instead of null)
       val gs = new GraftScanBuilder(spark, table,
-        table.newScan().useSnapshot(snap), options).build() match {
+        table.newScan().useSnapshot(snap).withCurrentSchema, options).build() match {
         case g: GraftScan => g
         case other => throw new IllegalStateException(
           s"unexpected initial-load scan ${other.getClass.getName}")

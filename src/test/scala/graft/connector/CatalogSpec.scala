@@ -664,6 +664,34 @@ class CatalogSpec extends SparkSpec {
       s"got $e")
   }
 
+  test("streaming initial load null-fills columns added after the pinned snapshot") {
+    // the stream declares the table's CURRENT schema; pre-fix the initial
+    // load scanned with the snapshot's schema and Spark reinterpreted the
+    // narrower rows positionally — a pre-ALTER row streamed with the new
+    // BIGINT column holding string bytes (97 = 'a') instead of null.
+    // DATA CORRUPTION class, both on main and branch streams.
+    wh
+    spark.sql("CREATE TABLE g.db.stsch (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.stsch VALUES (1, 'a')")
+    graft.format.Commits.createBranch(GraftTable_load(s"$wh/db/stsch"), "dev")
+    spark.sql("ALTER TABLE g.db.stsch ADD COLUMN w BIGINT")
+    def drain(src: String, sink: String): Unit = {
+      val ck = Files.createTempDirectory("graft-stsch-ck").toString
+      spark.readStream.table(src).writeStream
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(sink).awaitTermination()
+    }
+    drain("g.db.stsch", "g.db.stsch_sink_main")
+    assert(spark.sql("SELECT id, v, w FROM g.db.stsch_sink_main").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.isNullAt(2))).toSeq
+      === Seq((1L, "a", true)), "main stream must null-fill the new column")
+    drain("g.db.`stsch.branch_dev`", "g.db.stsch_sink_br")
+    assert(spark.sql("SELECT id, v, w FROM g.db.stsch_sink_br").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.isNullAt(2))).toSeq
+      === Seq((1L, "a", true)), "branch stream must null-fill the new column")
+  }
+
   test("a streaming write to a branch identifier advances the ref, not main") {
     wh
     spark.sql("CREATE TABLE g.db.brsink (id BIGINT)")
