@@ -139,34 +139,72 @@ final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
   private def schema: StructType = StructType(table.schema.fields.map(f =>
     f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
 
-  // per-format scan groups in FIXED order (parquet, orc, avro): the reader
+  // schema GENERATIONS captured at query start: append batches read each
+  // file with its generation's COLUMN NAMES (resolved by field id), so a
+  // pre-rename append streamed post-rename still surfaces its data — a
+  // name-based read silently nulled the renamed column. A generation
+  // created mid-stream (ALTER while running) falls back to current names
+  // until the next restart captures it.
+  private val gens: Seq[Int] = table.metadata.schemas.keys.toSeq.sorted
+  private val curGenIdx: Int =
+    math.max(gens.indexOf(table.metadata.currentSchemaId), 0)
+  private def genIdxOf(schemaId: Int): Int = {
+    val i = gens.indexOf(schemaId)
+    if (i >= 0) i else curGenIdx
+  }
+
+  /** The current schema's columns spelled with generation `schemaId`'s
+    * FILE names (field-id resolution; width/order/types stay the current
+    * schema's so every generation emits the same row layout — renamed
+    * columns stream their data, added columns null-fill by name miss). */
+  private def generationRead(schemaId: Int): StructType = {
+    val m = table.metadata
+    val cur = m.schema
+    val fileSchema = m.schemas.getOrElse(schemaId, cur)
+    val fileById = FieldIds.idToName(fileSchema)
+    StructType(cur.fields.map { f =>
+      val name =
+        if (f.metadata.contains(FieldIds.Key))
+          fileById.getOrElse(FieldIds.idOf(f), f.name)
+        else f.name
+      StructField(name, Types.cleanType(f.dataType), f.nullable)
+    })
+  }
+
+  // per-(format, generation) scan groups in FIXED order: the reader
   // factory is created once per query without a file list, so partition
   // group indexes must be stable across batches
-  private def scanFor(fmt: String, files: Seq[DataFile])
+  private def scanFor(fmt: String, read: StructType, files: Seq[DataFile])
       : org.apache.spark.sql.connector.read.Scan = fmt match {
     case FileFormats.Orc =>
       org.apache.spark.sql.execution.datasources.v2.orc.OrcScan(
         spark, spark.sessionState.newHadoopConf(),
-        new GraftFileIndex(spark, files), schema, schema,
+        new GraftFileIndex(spark, files), read, read,
         StructType(Nil), options, None, Array.empty)
     case FileFormats.Avro =>
-      new GraftAvroScan(schema, StructType(Nil),
+      new GraftAvroScan(read, StructType(Nil),
         files.map(f => (f.path, f.fileSizeInBytes, Nil)),
         new org.apache.spark.util.SerializableConfiguration(
           spark.sessionState.newHadoopConf()),
         spark.sessionState.conf.filesMaxPartitionBytes)
     case _ =>
       ParquetScan(spark, spark.sessionState.newHadoopConf(),
-        new GraftFileIndex(spark, files), schema, schema,
+        new GraftFileIndex(spark, files), read, read,
         StructType(Nil), Array.empty, options)
   }
 
+  /** Total fixed append groups: formats × captured generations. */
+  private def appendGroups: Int = FileFormats.All.size * gens.size
+
   private def groupedPartitions(files: Seq[DataFile]): Array[InputPartition] =
-    FileFormats.All.zipWithIndex.flatMap { case (fmt, g) =>
-      val fs = files.filter(_.fileFormat == fmt)
-      if (fs.isEmpty) Nil
-      else scanFor(fmt, fs).toBatch.planInputPartitions().toSeq
-        .map(p => GroupedPartition(g, p): InputPartition)
+    FileFormats.All.zipWithIndex.flatMap { case (fmt, fi) =>
+      files.filter(_.fileFormat == fmt).groupBy(f => genIdxOf(f.schemaId))
+        .toSeq.sortBy(_._1).flatMap { case (gi, fs) =>
+          val g = fi * gens.size + gi
+          scanFor(fmt, generationRead(gens(gi)), fs)
+            .toBatch.planInputPartitions().toSeq
+            .map(p => GroupedPartition(g, p): InputPartition)
+        }
     }.toArray
 
   /** CANONICAL all-available end: (current snapshot, its added-file count).
@@ -237,7 +275,7 @@ final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
       // full state of the offset's snapshot through the BATCH planner —
       // delete-scoped partitions, shifted past the append format groups
       initialScanFor(to.snapshotId).toBatch.planInputPartitions()
-        .map(shiftGroup(_, FileFormats.All.size))
+        .map(shiftGroup(_, appendGroups))
     else {
       val files = pendingFor(from.toStream)
         .takeWhile { case (snap, i, _) =>
@@ -256,9 +294,9 @@ final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
     // cannot know a batch's formats up front, and Spark requires every
     // partition of a batch to agree — incremental slices are small, the
     // batch path keeps full vectorization
-    val incr = FileFormats.All.map(fmt =>
-      scanFor(fmt, Nil).toBatch.createReaderFactory())
-    val nones = FileFormats.All.map(_ => None)
+    val incr = FileFormats.All.flatMap(fmt => gens.map(gid =>
+      scanFor(fmt, generationRead(gid), Nil).toBatch.createReaderFactory()))
+    val nones = incr.map(_ => None)
     initialScanMemo.get() match {
       // the initial-load batch reads through the BATCH scan's own factory
       // (delete filters, fills, lineage), its groups shifted past the

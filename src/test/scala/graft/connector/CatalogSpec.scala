@@ -692,6 +692,33 @@ class CatalogSpec extends SparkSpec {
       === Seq((1L, "a", true)), "branch stream must null-fill the new column")
   }
 
+  test("streaming appends resolve renamed columns by field id") {
+    // a pre-rename append consumed after RENAME COLUMN must stream its
+    // data — pre-fix, the per-format append scan read by NAME and the
+    // renamed column silently nulled (silent data loss on resume)
+    wh
+    spark.sql("CREATE TABLE g.db.strn (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.strn VALUES (1, 'a')")
+    val ck = Files.createTempDirectory("graft-strn-ck").toString
+    def drain(): Unit =
+      spark.readStream.table("g.db.strn").writeStream
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("g.db.strn_sink").awaitTermination()
+    drain()
+    spark.sql("INSERT INTO g.db.strn VALUES (2, 'b')") // pre-rename, unconsumed
+    spark.sql("ALTER TABLE g.db.strn RENAME COLUMN v TO vv")
+    drain() // the restarted stream captures the rename generation
+    spark.sql("INSERT INTO g.db.strn VALUES (3, 'c')") // post-rename append
+    drain()
+    // the SINK keeps its creation-time column name (v) — only the source
+    // was renamed; what matters is that row 2's string survived
+    assert(spark.sql("SELECT id, v FROM g.db.strn_sink ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "every generation's data must survive the rename")
+  }
+
   test("a streaming write to a branch identifier advances the ref, not main") {
     wh
     spark.sql("CREATE TABLE g.db.brsink (id BIGINT)")
