@@ -205,6 +205,38 @@ class EqRangeIndexSpec extends AnyFunSuite {
       Set("deletes/narrow-1.parquet", "deletes/eq-2.parquet"))
   }
 
+  test("composite-key index stays bounded at 20k delete files") {
+    // GDPR-accumulation scale: 20k two-key delete files; the build is one
+    // sorted array + segment tree per key, a query is O(log n + hits) per
+    // key plus the intersection count. Generous wall-clock bounds guard
+    // against an accidental O(n) regression per query, not host speed.
+    val n = 20000
+    val dels = (0 until n).map(i =>
+      eqDel(i, i.toLong, i + 5L, 1000000L - 10L * i, 1000040L - 10L * i))
+    val t0 = System.nanoTime()
+    val idx = EqRangeIndex.build(dels, schema)
+    val buildSecs = (System.nanoTime() - t0) / 1e9
+    assert(buildSecs < 10.0, f"build took $buildSecs%.1f s")
+    val t1 = System.nanoTime()
+    var hits = 0L
+    (0 until 2000).foreach { i =>
+      val tenant = (i * 9).toLong
+      hits += idx.candidatesFor(
+        dataFile(tenant, tenant, 1000000L - 10L * tenant,
+          1000000L - 10L * tenant)).size
+    }
+    val querySecs = (System.nanoTime() - t1) / 1e9
+    assert(querySecs < 10.0, f"2000 queries took $querySecs%.1f s")
+    assert(hits > 0, "probe points must hit some candidates")
+    // spot-exactness: the intersection stays a superset at this scale
+    val data = dataFile(500L, 500L, 995000L, 995000L)
+    val cands = idx.candidatesFor(data).toSet
+    dels.foreach { d =>
+      if (Deletes.eqBoundsCanHit(d, data, schema))
+        assert(cands.contains(d.path))
+    }
+  }
+
   test("a data file without bounds on a group's key keeps that whole group") {
     val dels = (0 until 20).map(i => eqDel(i, 1L, 1L, i * 10L, i * 10L + 5L))
     val idx = EqRangeIndex.build(dels, schema)
