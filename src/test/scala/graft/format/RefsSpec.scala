@@ -151,6 +151,32 @@ class RefsSpec extends SparkSpec {
       (1000L until 1010L).filterNot(_ == 1005L)).toSet)
   }
 
+  test("two rewrites of the same branch file: one wins, the loser fails loudly") {
+    // both stage a CoW rewrite of the SAME branch file; the winner swaps
+    // it, the loser must hit the missing-required-files validation — a
+    // silent skip would re-add the loser's carried-over rows (duplicates)
+    val loc = freshLoc("refsconflict")
+    val t = GraftTable.create(spark, loc, rows(1).schema,
+      properties = Map("commit.retry.num-retries" -> "50"))
+    GraftWrite.append(t, rows(10, 0).coalesce(1))
+    Commits.createBranch(t, "w")
+    val base = t.metadata.refSnapshotId("w").get
+    val files = t.newScan().useRef("w").planFiles().tasks.map(_.file.path).toSet
+    val stagedA = GraftWrite.writeFiles(t,
+      t.newScan().useRef("w").toDF().filter(col("id") =!= 3L))
+    val stagedB = GraftWrite.writeFiles(t,
+      t.newScan().useRef("w").toDF().filter(col("id") =!= 7L))
+    Commits.rewriteFiles(t, files, stagedA,
+      baseSnapshotId = Some(base), branch = Some("w"))
+    val e = intercept[ValidationException](
+      Commits.rewriteFiles(GraftTable.load(spark, loc), files, stagedB,
+        baseSnapshotId = Some(base), branch = Some("w")))
+    assert(e.getMessage.contains("missing required files"))
+    // the branch holds exactly the winner's state
+    assert(GraftTable.load(spark, loc).newScan().useRef("w").toDF()
+      .select("id").as[Long].collect().toSet === (0L until 10L).toSet - 3L)
+  }
+
   test("branch commits race main commits: both lines converge to the serial state") {
     // 2 main appenders, 2 branch appenders, and a branch CoW rewrite all
     // race under the optimistic CAS: every commit must land (the retry
