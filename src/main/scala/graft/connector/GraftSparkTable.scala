@@ -73,20 +73,23 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
       "branch identifier, or fast-forward / cherry-pick")
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    !pinned &&
+    // branch identifiers take the metadata-only path against the BRANCH
+    // head (it also serves Spark's bare `DELETE FROM t.branch_x`, which
+    // never routes through the row-level rewrite); tags / time travel
+    // refuse
+    (writeBranch.nonEmpty || !pinned) &&
       filters.forall(f => FilterBridge.convert(f).exists(e =>
         scala.util.Try(Exprs.bind(e, table.metadata.schema)).isSuccess)) &&
-      Commits.canMetadataDelete(table, FilterBridge.convertAll(filters))
+      Commits.canMetadataDelete(table, FilterBridge.convertAll(filters),
+        writeBranch)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    // the metadata-only path targets MAIN's manifests; canDeleteWhere
-    // already returns false for every pinned relation (branch included —
-    // branch DELETEs take the row-level path, which commits to the ref),
-    // so reaching here pinned means the planner skipped the check
-    if (pinned) throw new UnsupportedOperationException(
-      s"metadata-only DELETE is not supported on $ident — pinned relations " +
-      "delete through the row-level path")
-    Deletes.deleteWhere(table, FilterBridge.convertAll(filters))
+    // tags / time travel never reach here (canDeleteWhere refuses and the
+    // row-level builder refuses); branch targets commit to the ref
+    if (pinned && writeBranch.isEmpty) throw new UnsupportedOperationException(
+      s"metadata-only DELETE is not supported on $ident — tag and " +
+      "time-travel relations are read-only")
+    Deletes.deleteWhere(table, FilterBridge.convertAll(filters), writeBranch)
   }
 
   /** SQL MERGE INTO / UPDATE (and DELETE with non-convertible predicates).

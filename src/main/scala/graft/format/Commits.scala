@@ -359,13 +359,14 @@ object Commits {
     * not ALL rows match raise ValidationException — exactly the reference's
     * "Cannot delete file where some, but not all, rows match filter"
     * (ManifestFilterManager.java:215-222, strict/inclusive decision :285-319). */
-  def deleteByFilter(table: GraftTable, filter: Expr): TableMetadata =
-    table.ops.commitTransaction(deleteByFilterOn(table, _, filter))
+  def deleteByFilter(table: GraftTable, filter: Expr,
+      branch: Option[String] = None): TableMetadata =
+    table.ops.commitTransaction(deleteByFilterOn(table, _, filter, branch))
 
   private[format] def deleteByFilterOn(table: GraftTable, m: TableMetadata,
-      filter: Expr): TableMetadata = {
-    val manifests = rewriteForDelete(table, m, filter)
-    buildSnapshot(table, m, "delete", manifests, Map.empty)
+      filter: Expr, branch: Option[String] = None): TableMetadata = {
+    val manifests = rewriteForDelete(table, m, filter, branch)
+    buildSnapshot(table, m, "delete", manifests, Map.empty, branch)
   }
 
   /** Overwrite-by-filter: delete matching files + append new
@@ -570,11 +571,12 @@ object Commits {
     * applied as a metadata-only whole-file delete (reference
     * SparkTable.canDeleteWhere: strict/inclusive evaluation over every
     * live file — no data is read or written). */
-  private[graft] def canMetadataDelete(table: GraftTable, filter: Expr): Boolean = {
+  private[graft] def canMetadataDelete(table: GraftTable, filter: Expr,
+      branch: Option[String] = None): Boolean = {
     val m = table.metadata
     val schema = m.schema
     val bound = Exprs.bind(filter, schema)
-    currentManifests(table, m).filter(_.content == FileContent.Data).forall { mf =>
+    headManifests(table, m, branch).filter(_.content == FileContent.Data).forall { mf =>
       val spec = m.specs(mf.specId)
       table.readManifest(mf, schema)
         .forall(e => wholeFileDelete(bound, spec, schema, e.file).isDefined)

@@ -442,21 +442,29 @@ object Deletes {
   /** SQL-DELETE-shaped helper: metadata-only when provable, else rewrite the
     * partially-matching files without the matching rows (copy-on-write
     * DELETE — what Spark's SupportsRowLevelOperations would drive). */
-  def deleteWhere(table: GraftTable, filter: Expr): TableMetadata = {
-    try Commits.deleteByFilter(table, filter)
+  def deleteWhere(table: GraftTable, filter: Expr,
+      branch: Option[String] = None): TableMetadata = {
+    try Commits.deleteByFilter(table, filter, branch)
     catch {
       case _: ValidationException =>
         val m = table.metadata
-        val baseSnapshot = m.currentSnapshotId
+        val baseSnapshot = branch match {
+          case Some(b) => m.refSnapshotId(b)
+          case None => m.currentSnapshotId
+        }
         val schema = m.schema
         val bound = Exprs.bind(filter, schema)
-        val plan = table.newScan().filter(filter).planFiles()
+        // branch target: scan the BRANCH head (current schema — branch
+        // semantics) and commit the rewrite to the ref
+        var scan0 = table.newScan()
+        branch.foreach(b => scan0 = scan0.useRef(b))
+        val plan = scan0.filter(filter).planFiles()
         val touched = plan.tasks.map(_.file.path)
         // read the touched files through the DELETE-APPLYING scan path (an
         // unfiltered scan so no residual re-filter) — a raw parquet read
         // would resurrect rows hidden by live equality/position deletes,
         // since the rewritten files carry a NEWER sequence number
-        val remaining = table.newScan()
+        val remaining = scan0
           .dfFor(ScanPlan(plan.tasks, plan.deleteFiles, 0, 0, 0L, plan.tasks.size))
           .filter(!Exprs.toColumn(bound))
         val staged = GraftWrite.writeFiles(table, remaining)
@@ -464,7 +472,7 @@ object Deletes {
         // "overwrite", not "replace" (replace is reserved for row-preserving
         // rewrites and is skipped by CDC changelog reads)
         Commits.rewriteFiles(table, touched.toSet, staged, baseSnapshot,
-          operation = "overwrite")
+          operation = "overwrite", branch = branch)
     }
   }
 }

@@ -1,9 +1,9 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 
-/** Driver-smoke main (kept intentionally in `main`: the verify recipe runs
-  * it — .claude/skills/verify): a FRESH session with hostile confs must
-  * still serve entry() rows and the events queries. */
+/** Driver-smoke main (kept intentionally in `main`; the repo's verify
+  * recipe runs it): a FRESH session with hostile confs must still serve
+  * entry() rows and the events queries. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     // simulate the DRIVER's own session: no graft-specific confs at all

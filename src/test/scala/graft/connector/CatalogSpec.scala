@@ -765,6 +765,29 @@ class CatalogSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L), "main untouched")
   }
 
+  test("metadata-only deletes work on a branch (bare DELETE included)") {
+    // Spark never routes a TRUE-condition DELETE through the row-level
+    // rewrite — it requires the metadata path, which pre-fix refused all
+    // pinned relations, so `DELETE FROM t.branch_x` failed outright
+    wh
+    spark.sql("CREATE TABLE g.db.brmd (id BIGINT, part STRING) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO g.db.brmd VALUES (1, 'a'), (2, 'b')")
+    graft.format.Commits.createBranch(GraftTable_load(s"$wh/db/brmd"), "x")
+    spark.sql("INSERT INTO g.db.brmd VALUES (3, 'c')") // main moves on
+    // whole-partition delete on the branch: metadata-only, on the REF
+    spark.sql("DELETE FROM g.db.`brmd.branch_x` WHERE part = 'a'")
+    assert(spark.sql("SELECT id FROM g.db.`brmd.branch_x`").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
+    val ops = GraftTable_load(s"$wh/db/brmd").metadata.snapshots
+      .map(_.operation)
+    assert(ops.count(_ == "delete") === 1, s"expected a metadata delete, got $ops")
+    // bare DELETE truncates the branch; main keeps all three rows
+    spark.sql("DELETE FROM g.db.`brmd.branch_x`")
+    assert(spark.sql("SELECT * FROM g.db.`brmd.branch_x`").count() === 0)
+    assert(spark.sql("SELECT id FROM g.db.brmd ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L), "main must be untouched")
+  }
+
   test("branch DML conflict: a main commit between scan and write cannot bleed in") {
     wh
     spark.sql("CREATE TABLE g.db.brconf (id BIGINT)")
