@@ -154,20 +154,27 @@ final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
   }
 
   /** The current schema's columns spelled with generation `schemaId`'s
-    * FILE names (field-id resolution; width/order/types stay the current
+    * FILE names at EVERY nesting level (field-id resolution via
+    * FieldIds.fileSideType; width/order/leaf types stay the current
     * schema's so every generation emits the same row layout — renamed
-    * columns stream their data, added columns null-fill by name miss). */
+    * columns, nested ones included, stream their data; added columns
+    * null-fill by name miss; promoted leaves read widened). */
   private def generationRead(schemaId: Int): StructType = {
     val m = table.metadata
     val cur = m.schema
     val fileSchema = m.schemas.getOrElse(schemaId, cur)
-    val fileById = FieldIds.idToName(fileSchema)
+    val fileById = fileSchema.fields
+      .filter(_.metadata.contains(FieldIds.Key))
+      .map(f => FieldIds.idOf(f) -> f).toMap
     StructType(cur.fields.map { f =>
-      val name =
-        if (f.metadata.contains(FieldIds.Key))
-          fileById.getOrElse(FieldIds.idOf(f), f.name)
-        else f.name
-      StructField(name, Types.cleanType(f.dataType), f.nullable)
+      val fileField =
+        if (f.metadata.contains(FieldIds.Key)) fileById.get(FieldIds.idOf(f))
+        else None
+      fileField match {
+        case Some(ff) => StructField(ff.name,
+          Types.fileSideType(f.dataType, ff.dataType), f.nullable)
+        case None => StructField(f.name, Types.cleanType(f.dataType), f.nullable)
+      }
     })
   }
 

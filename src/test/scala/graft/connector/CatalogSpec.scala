@@ -719,6 +719,26 @@ class CatalogSpec extends SparkSpec {
       "every generation's data must survive the rename")
   }
 
+  test("streaming appends resolve NESTED renames by field id") {
+    wh
+    spark.sql("CREATE TABLE g.db.strnn (id BIGINT, info STRUCT<tag: STRING, n: BIGINT>)")
+    spark.sql("INSERT INTO g.db.strnn VALUES (1, named_struct('tag', 'x', 'n', 5L))")
+    val ck = Files.createTempDirectory("graft-strnn-ck").toString
+    def drain(): Unit =
+      spark.readStream.table("g.db.strnn").writeStream
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("g.db.strnn_sink").awaitTermination()
+    drain()
+    spark.sql("INSERT INTO g.db.strnn VALUES (2, named_struct('tag', 'y', 'n', 6L))")
+    spark.sql("ALTER TABLE g.db.strnn RENAME COLUMN info.tag TO label")
+    drain() // the pre-rename append's nested string must survive
+    assert(spark.sql("SELECT id, info.tag FROM g.db.strnn_sink ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "x"), (2L, "y")),
+      "nested renamed field's data must survive the rename")
+  }
+
   test("a streaming write to a branch identifier advances the ref, not main") {
     wh
     spark.sql("CREATE TABLE g.db.brsink (id BIGINT)")
