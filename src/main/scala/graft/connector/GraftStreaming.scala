@@ -136,37 +136,54 @@ final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
       case _ => raw
     }
 
-  private def schema: StructType = StructType(table.schema.fields.map(f =>
-    f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+  // ---- schema generations ----
+  // The stream's ROW LAYOUT is frozen at query start: Spark fixes a
+  // stream's output schema per run, so every batch must emit rows with
+  // `declared`'s width/order/leaf types even when the table's current
+  // schema changes mid-stream. Building read schemas from LIVE metadata
+  // desynchronized a batch's partitions from its reader factory when an
+  // ALTER landed between the two (positional-misread class).
+  private val declared: StructType = table.metadata.schema
+  private val declaredGenId: Int = table.metadata.currentSchemaId
 
-  // schema GENERATIONS captured at query start: append batches read each
-  // file with its generation's COLUMN NAMES (resolved by field id), so a
-  // pre-rename append streamed post-rename still surfaces its data — a
-  // name-based read silently nulled the renamed column. A generation
-  // created mid-stream (ALTER while running) falls back to current names
-  // until the next restart captures it.
-  private val gens: Seq[Int] = table.metadata.schemas.keys.toSeq.sorted
-  private val curGenIdx: Int =
-    math.max(gens.indexOf(table.metadata.currentSchemaId), 0)
-  private def genIdxOf(schemaId: Int): Int = {
-    val i = gens.indexOf(schemaId)
-    if (i >= 0) i else curGenIdx
+  /** Monotonic registry of schema generations: seeded at query start and
+    * GROWN when a planned batch carries a file from a generation created
+    * mid-stream (ALTER while running) — pre-fix such files fell back to a
+    * query-start-name read that silently nulled renamed columns until the
+    * next restart. Read schemas are frozen per generation against
+    * `declared` at registration; the id list only APPENDS, so group
+    * indexes (gi * formats + fi) never shift across batches. */
+  private object generations {
+    private var ids = Vector.empty[Int]
+    private var reads = Map.empty[Int, StructType]
+    register(table.metadata)
+    private def register(m: TableMetadata): Unit = {
+      val fresh = m.schemas.keys.toSeq.filterNot(ids.contains).sorted
+      ids ++= fresh
+      reads ++= fresh.map(id => id -> readFor(m, id))
+    }
+    /** Refresh from live metadata iff some schemaId is unknown. */
+    def ensure(schemaIds: Iterable[Int]): Unit = synchronized {
+      if (schemaIds.exists(id => !ids.contains(id))) register(table.metadata)
+    }
+    def snapshot(): Vector[Int] = synchronized(ids)
+    def readOf(id: Int): StructType = synchronized(reads(id))
   }
 
-  /** The current schema's columns spelled with generation `schemaId`'s
-    * FILE names at EVERY nesting level (field-id resolution via
-    * FieldIds.fileSideType; width/order/leaf types stay the current
-    * schema's so every generation emits the same row layout — renamed
-    * columns, nested ones included, stream their data; added columns
-    * null-fill by name miss; promoted leaves read widened). */
-  private def generationRead(schemaId: Int): StructType = {
-    val m = table.metadata
-    val cur = m.schema
-    val fileSchema = m.schemas.getOrElse(schemaId, cur)
+  /** `declared`'s columns spelled with generation `schemaId`'s FILE names
+    * at EVERY nesting level (field-id resolution via
+    * FieldIds.fileSideType; width/order/leaf types stay `declared`'s so
+    * every generation emits the same row layout — renamed columns, nested
+    * ones included, stream their data; columns added BEFORE the query
+    * started null-fill by name miss; promoted leaves read widened; columns
+    * added mid-stream are simply absent from the read, because the
+    * stream's declared schema cannot grow within a run). */
+  private def readFor(m: TableMetadata, schemaId: Int): StructType = {
+    val fileSchema = m.schemas.getOrElse(schemaId, declared)
     val fileById = fileSchema.fields
       .filter(_.metadata.contains(FieldIds.Key))
       .map(f => FieldIds.idOf(f) -> f).toMap
-    StructType(cur.fields.map { f =>
+    StructType(declared.fields.map { f =>
       val fileField =
         if (f.metadata.contains(FieldIds.Key)) fileById.get(FieldIds.idOf(f))
         else None
@@ -178,9 +195,16 @@ final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
     })
   }
 
-  // per-(format, generation) scan groups in FIXED order: the reader
-  // factory is created once per query without a file list, so partition
-  // group indexes must be stable across batches
+  // the generation list the most recent planInputPartitions committed to:
+  // the batch's reader factory must agree with the batch's partitions on
+  // group indexing even if the registry grows again in between — Spark
+  // plans a batch's partitions before creating its factory
+  // (DataSourceRDD construction order), so snapshotting here is enough
+  @volatile private var plannedGens: Vector[Int] = generations.snapshot()
+
+  // per-(format, generation) scan groups: each batch's factory is built
+  // without a file list, so the partition group index must be derivable
+  // from (generation, format) alone and stable as the registry grows
   private def scanFor(fmt: String, read: StructType, files: Seq[DataFile])
       : org.apache.spark.sql.connector.read.Scan = fmt match {
     case FileFormats.Orc =>
@@ -200,19 +224,28 @@ final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
         StructType(Nil), Array.empty, options)
   }
 
-  /** Total fixed append groups: formats × captured generations. */
-  private def appendGroups: Int = FileFormats.All.size * gens.size
-
-  private def groupedPartitions(files: Seq[DataFile]): Array[InputPartition] =
+  private def groupedPartitions(files: Seq[DataFile]): Array[InputPartition] = {
+    // adopt generations created mid-stream BEFORE indexing the batch
+    generations.ensure(files.map(_.schemaId).distinct)
+    val gens = generations.snapshot()
+    plannedGens = gens
+    val nf = FileFormats.All.size
+    def giOf(schemaId: Int): Int = {
+      val i = gens.indexOf(schemaId)
+      // unknown even after a refresh (impossible for a committed file):
+      // read with the query-start generation rather than fail the batch
+      if (i >= 0) i else math.max(gens.indexOf(declaredGenId), 0)
+    }
     FileFormats.All.zipWithIndex.flatMap { case (fmt, fi) =>
-      files.filter(_.fileFormat == fmt).groupBy(f => genIdxOf(f.schemaId))
+      files.filter(_.fileFormat == fmt).groupBy(f => giOf(f.schemaId))
         .toSeq.sortBy(_._1).flatMap { case (gi, fs) =>
-          val g = fi * gens.size + gi
-          scanFor(fmt, generationRead(gens(gi)), fs)
+          val g = gi * nf + fi
+          scanFor(fmt, generations.readOf(gens(gi)), fs)
             .toBatch.planInputPartitions().toSeq
             .map(p => GroupedPartition(g, p): InputPartition)
         }
     }.toArray
+  }
 
   /** CANONICAL all-available end: (current snapshot, its added-file count).
     * Spark's AvailableNow wrapper captures this once and compares offsets
@@ -281,8 +314,9 @@ final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
     if (from.snapshotId == 0L)
       // full state of the offset's snapshot through the BATCH planner —
       // delete-scoped partitions, shifted past the append format groups
+      // (the factory computes the same shift from the same plannedGens)
       initialScanFor(to.snapshotId).toBatch.planInputPartitions()
-        .map(shiftGroup(_, appendGroups))
+        .map(shiftGroup(_, FileFormats.All.size * plannedGens.size))
     else {
       val files = pendingFor(from.toStream)
         .takeWhile { case (snap, i, _) =>
@@ -301,8 +335,11 @@ final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
     // cannot know a batch's formats up front, and Spark requires every
     // partition of a batch to agree — incremental slices are small, the
     // batch path keeps full vectorization
-    val incr = FileFormats.All.flatMap(fmt => gens.map(gid =>
-      scanFor(fmt, generationRead(gid), Nil).toBatch.createReaderFactory()))
+    // indexed gi * formats + fi, matching groupedPartitions — built from
+    // the SAME plannedGens snapshot the batch's partitions were planned
+    // against, with each generation's read schema frozen at registration
+    val incr = plannedGens.flatMap(gid => FileFormats.All.map(fmt =>
+      scanFor(fmt, generations.readOf(gid), Nil).toBatch.createReaderFactory()))
     val nones = incr.map(_ => None)
     initialScanMemo.get() match {
       // the initial-load batch reads through the BATCH scan's own factory

@@ -739,6 +739,62 @@ class CatalogSpec extends SparkSpec {
       "nested renamed field's data must survive the rename")
   }
 
+  test("a running stream adopts a schema generation created mid-stream") {
+    // ALTER ... RENAME while the query RUNS, then append: the new file
+    // carries a schemaId unknown at query start. Pre-fix the batch fell
+    // back to a query-start-name read — the renamed column's data silently
+    // nulled until the next restart (the last documented residue of the
+    // silent-null streaming bug class). The registry must adopt the
+    // generation when planning the batch, without restart.
+    wh
+    spark.sql("CREATE TABLE g.db.stmid (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.stmid VALUES (1, 'a')")
+    val ck = Files.createTempDirectory("graft-stmid-ck").toString
+    val q = spark.readStream.table("g.db.stmid").writeStream
+      .option("checkpointLocation", ck)
+      .toTable("g.db.stmid_sink")
+    try {
+      q.processAllAvailable()
+      spark.sql("ALTER TABLE g.db.stmid RENAME COLUMN v TO vv")
+      spark.sql("INSERT INTO g.db.stmid VALUES (2, 'b')") // mid-stream gen
+      q.processAllAvailable()
+      // rename AGAIN mid-stream: a second unknown generation, and the
+      // first one's read schema must stay frozen (not chase live names)
+      spark.sql("ALTER TABLE g.db.stmid RENAME COLUMN vv TO vvv")
+      spark.sql("INSERT INTO g.db.stmid VALUES (3, 'c')")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.sql("SELECT id, v FROM g.db.stmid_sink ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "mid-stream generations' data must survive without a restart")
+  }
+
+  test("a mid-stream ADD COLUMN does not corrupt the running stream's rows") {
+    // the stream's row layout is FROZEN at query start; pre-fix the read
+    // schemas were built from live metadata, so an ALTER landing between
+    // a batch's plan and its factory creation emitted rows wider than the
+    // declared schema (positional-misread class). With the frozen declared
+    // schema, the post-ALTER file simply drops the new column.
+    wh
+    spark.sql("CREATE TABLE g.db.stadd (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.stadd VALUES (1, 'a')")
+    val ck = Files.createTempDirectory("graft-stadd-ck").toString
+    val q = spark.readStream.table("g.db.stadd").writeStream
+      .option("checkpointLocation", ck)
+      .toTable("g.db.stadd_sink")
+    try {
+      q.processAllAvailable()
+      spark.sql("ALTER TABLE g.db.stadd ADD COLUMN w BIGINT")
+      spark.sql("INSERT INTO g.db.stadd VALUES (2, 'b', 7)")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.sql("SELECT id, v FROM g.db.stadd_sink ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (2L, "b")),
+      "rows appended under a mid-stream wider schema must stream clean")
+  }
+
   test("a streaming write to a branch identifier advances the ref, not main") {
     wh
     spark.sql("CREATE TABLE g.db.brsink (id BIGINT)")
