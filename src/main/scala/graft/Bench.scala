@@ -70,17 +70,29 @@ object Bench {
     // normalize). The first run is warmup and discarded; the median of the
     // rest lets cross-round comparisons normalize away machine drift (a
     // round's meaningful signal is total/calibration, not raw seconds).
-    val calRuns = (0 to Runs).map { _ =>
+    // the warmup run is dropped FIRST (by position, not outcome), so a
+    // throwing warmup can never silently eat a measured sample; a measured
+    // calibration failure is reported like a query error and fails the run
+    val calMeasured = (0 to Runs).map { _ =>
       timeSec {
         spark.range(0L, 768000000L, 1L, cpus.toInt)
           .selectExpr("xxhash64(id) % 1024 AS b", "id")
           .groupBy("b").count().count()
       }
-    }.collect { case Right(t) => t }.drop(1)
-    val calibration = median(calRuns)
+    }.drop(1)
+    val calErrors = calMeasured.collect { case Left(e) => "calibration" -> e }
+    val calRuns = calMeasured.collect { case Right(t) => t }
+    val calibration: Option[Double] =
+      if (calRuns.isEmpty) None else Some(median(calRuns))
+    val allErrors = errors ++ calErrors.headOption
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // SELF-CORRECTING headline: total normalized by the same run's host
+    // calibration — cross-round sf0.1 comparisons read THIS (raw seconds
+    // from whatever host moment the driver sampled drift ±30%; the sf1
+    // series is big enough to compare raw)
+    val totalCal = calibration.map(total / _)
     // the stable cross-round signal: same 11 queries since round 1
     // (per-query noise is ±20%; new queries only widen `total`)
     val lfl11 = results.filter(r => Queries.likeForLike11.contains(r._1))
@@ -91,13 +103,16 @@ object Bench {
       val ts = xs.map(_.toOption.get)
       "\"" + n + "\":[" + ts.min + "," + ts.max + "]"
     }.mkString("{", ",", "}")
-    val errJson = errors.map { case (n, e) =>
+    val errJson = allErrors.map { case (n, e) =>
       "\"" + n + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
-    realOut.println(s"""{"metric":"total","value":$total,"unit":"sec","lfl11":$lfl11,"runs":$Runs,"calibration":$calibration,"calibration_runs":$calJson,"queries":$qs,"queries_spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}""")
+    val calStr = calibration.map(_.toString).getOrElse("null")
+    val valCalStr = totalCal.map(_.toString).getOrElse("null")
+    val lflCalStr = calibration.map(c => (lfl11 / c).toString).getOrElse("null")
+    realOut.println(s"""{"metric":"total","value":$total,"value_cal":$valCalStr,"unit":"sec","lfl11":$lfl11,"lfl11_cal":$lflCalStr,"runs":$Runs,"calibration":$calStr,"calibration_runs":$calJson,"queries":$qs,"queries_spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}""")
     realOut.flush()
-    if (errors.nonEmpty) {
-      System.err.println(s"BENCH FAILED: ${errors.map(_._1).mkString(", ")}")
+    if (allErrors.nonEmpty) {
+      System.err.println(s"BENCH FAILED: ${allErrors.map(_._1).mkString(", ")}")
       sys.exit(1)
     }
   }

@@ -584,7 +584,13 @@ object FormatQueries {
             .option("checkpointLocation", ckpt)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .toTable("graftbs.db.orders_bsink")
-          q.awaitTermination(120000)
+          // a silent timeout here would surface as an opaque hash
+          // mismatch downstream (partially filled sink) — fail loudly
+          if (!q.awaitTermination(120000)) {
+            q.stop()
+            throw new IllegalStateException(
+              "q124 branch-stream drain exceeded 120s")
+          }
         }
         GraftWrite.append(src, o.filter(col("o_orderkey") % 2 === 0).coalesce(2))
         Commits.createBranch(src, "feed")

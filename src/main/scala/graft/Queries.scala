@@ -616,6 +616,33 @@ object Queries {
         .select(col("doc_id"), col("width"), col("height"),
           col("channels"), col("format"))
         .orderBy(col("doc_id"))
+    }),
+
+    // REAL audio header decode: synthesize a real WAV/AIFF/AU container
+    // per doc in executors (sample rate / channels derived from doc_id via
+    // the JDK's own audio writers), then header-probe the bytes back
+    // through AudioSystem — the oracle recomputes the expected header
+    // fields from doc_id, so a misparse (or a fallback to the stub)
+    // breaks the hash. Encode and probe both run partition-local.
+    "q129_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val fmt = (id % 3) match {
+            case 0 => "wave"; case 1 => "aiff"; case _ => "au"
+          }
+          val rate = (id % 3) match {
+            case 0 => 8000; case 1 => 16000; case _ => 44100
+          }
+          (id, Multimodal.AudioCodec.encode(rate,
+            channels = 1 + (id % 2).toInt, frames = 4 + (id % 5).toInt,
+            fileType = fmt, seed = id))
+        }).toDF("doc_id", "payload")
+      Multimodal.decodeAll(s, media).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("channels"), col("format"))
+        .orderBy(col("doc_id"))
     }))
 
   /** DuckDB oracles. Keys absent here get the driver's rows-only check. */
@@ -1144,6 +1171,16 @@ object Queries {
         |CAST(1 + doc_id % 7 AS INTEGER) AS height,
         |CAST(3 AS INTEGER) AS channels,
         |CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // audio header probe round-trip: width = sample rate, height = bits
+    // per sample (encoder always writes 16-bit PCM), format = container
+    "q129_audio_decode" ->
+      """SELECT doc_id,
+        |CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INTEGER) AS width,
+        |CAST(16 AS INTEGER) AS height,
+        |CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |CASE doc_id % 3 WHEN 0 THEN 'wave' WHEN 1 THEN 'aiff' ELSE 'au' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin) ++ FormatQueries.oracles ++ defaultTwinOracles
 
   /** q33_jaccard_default runs the library-default hot-gram guard
@@ -1185,7 +1222,13 @@ object Queries {
     // incremental near-dup (added round 16): must bench well UNDER the
     // full-corpus q33 — the contrast is the point (pair volume tracks
     // the increment, not the corpus)
-    "q113_incremental_jaccard")
+    "q113_incremental_jaccard",
+    // store-amortized near-dup (added round 18): the production
+    // steady-state shape — corpus MinHash signatures persisted in a graft
+    // table (built once in warmup), measured passes pay only the fresh
+    // increment's hashing + the band join; tracked round-over-round so
+    // the amortization claim carries spreads, not one-shot probes
+    "q127_signature_store")
 
   /** The 11 queries benched since round 1 — the stable cross-round signal.
     * Per-query times are ±20% noisy run to run; this subtotal is what the

@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
  * Multimodal column plumbing: image/audio/video ride as opaque `binary`
  * columns with a typed metadata struct alongside. IMAGE decode is REAL:
  * the JDK's own ImageIO readers (PNG/JPEG/GIF/BMP ship with Java 17, no
- * external deps) parse the container header in [[ImageCodec]]. Audio and
- * video stay STUBBED behind `FakeCodec` — no codec for those exists in
- * this container; swap it for a real decoder (JNI or `mapInPandas` on the
- * Python side) without touching the pipeline shape.
+ * external deps) parse the container header in [[ImageCodec]]. AUDIO
+ * header decode is REAL too: `javax.sound.sampled.AudioSystem` parses
+ * WAV/AIFF/AU containers in [[AudioCodec]]. Only VIDEO stays STUBBED
+ * behind `FakeCodec` — the JDK genuinely ships no video demuxer; swap it
+ * for a real decoder (JNI or `mapInPandas` on the Python side) without
+ * touching the pipeline shape.
  *
  * Scale design: decode/feature-extract run inside `mapPartitions` so a
  * real codec amortizes per-partition init (model load, JNI handle) across
@@ -60,8 +62,12 @@ object Multimodal {
           } finally r.dispose()
         }
       } catch {
-        // truncated / corrupt container: not an image for our purposes
-        case _: java.io.IOException => None
+        // truncated / corrupt container: not an image for our purposes.
+        // NonFatal, not just IOException — ImageIO plugin readers throw
+        // RuntimeExceptions (IllegalArgument, NegativeArraySize, CCE) on
+        // malformed bytes, and one corrupt payload in a 100 TB corpus must
+        // degrade to the fallback decoder, not fail the Spark task
+        case scala.util.control.NonFatal(_) => None
       } finally if (in != null) in.close()
     }
 
@@ -88,7 +94,62 @@ object Multimodal {
   }
 
   /**
-   * STUB decoder for audio/video payloads (and the non-media fallback):
+   * REAL audio header probe via the JDK's sampled-audio registry
+   * (`javax.sound.sampled.AudioSystem` parses WAV/AIFF/AU containers in
+   * Java 17 — zero external deps). Header-only: `getAudioFileFormat` reads
+   * the container header, never the sample data, so metadata extraction
+   * over a large audio corpus touches a few dozen bytes per object.
+   *
+   * MediaMeta mapping for audio: width = sample rate (Hz), height =
+   * bits per sample, channels = channel count, format = container type
+   * ("wave" / "aiff" / "au").
+   */
+  object AudioCodec {
+    /** None when no installed reader claims the magic bytes (or the
+      * container is truncated/corrupt — same degradation as ImageCodec). */
+    def probe(payload: Array[Byte]): Option[MediaMeta] = {
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(payload))
+        val f = aff.getFormat
+        Some(MediaMeta(width = f.getSampleRate.toInt,
+          height = f.getSampleSizeInBits, channels = f.getChannels,
+          format = aff.getType.toString.toLowerCase(java.util.Locale.ROOT)))
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case scala.util.control.NonFatal(_) => None
+      }
+    }
+
+    /** Encode deterministic 16-bit PCM audio in a real container via the
+      * JDK's own writers — the test-fixture / gate-query generator
+      * (there is no real media in the testdata, so the gate synthesizes
+      * real WAV/AIFF/AU bytes and probes them back). */
+    def encode(sampleRate: Int, channels: Int, frames: Int,
+               fileType: String, seed: Long): Array[Byte] = {
+      import javax.sound.sampled._
+      val (typ, bigEndian) = fileType.toLowerCase(java.util.Locale.ROOT) match {
+        case "wave" | "wav" => (AudioFileFormat.Type.WAVE, false)
+        case "aiff" => (AudioFileFormat.Type.AIFF, true)
+        case "au" => (AudioFileFormat.Type.AU, true)
+        case other => throw new IllegalArgumentException(
+          s"no JDK audio writer for container: $other")
+      }
+      val fmt = new AudioFormat(sampleRate.toFloat, 16, channels,
+        /*signed=*/ true, bigEndian)
+      val data = new Array[Byte](frames * channels * 2)
+      var i = 0
+      while (i < data.length) { data(i) = ((seed * 31 + i) & 0xff).toByte; i += 1 }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, typ, bos)
+      bos.toByteArray
+    }
+  }
+
+  /**
+   * STUB decoder for video payloads (and the non-media fallback):
    * deterministic pseudo-decode of a byte payload. A real implementation
    * would parse the container format here.
    */
@@ -123,15 +184,18 @@ object Multimodal {
 
   /** Partition-wise decode + feature extraction (batch shape of a real
     * codec pipeline): payloads that parse as a real image get ImageIO
-    * header metadata; everything else falls back to the audio/video stub.
-    * The feature vector stays the deterministic byte-histogram stand-in
-    * (a real embedding model is per-partition init here). */
+    * header metadata, real audio containers get AudioSystem header
+    * metadata; only video/non-media falls back to the stub. The feature
+    * vector stays the deterministic byte-histogram stand-in (a real
+    * embedding model is per-partition init here). */
   def decodeAll(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       // per-partition init of a real feature model would go here
       rows.map { r =>
-        val meta = ImageCodec.probe(r.payload).getOrElse(FakeCodec.decode(r.payload))
+        val meta = ImageCodec.probe(r.payload)
+          .orElse(AudioCodec.probe(r.payload))
+          .getOrElse(FakeCodec.decode(r.payload))
         DecodedRow(r.doc_id, r.payload.length, meta.width, meta.height,
           meta.channels, meta.format, sha256Hex(r.payload), FakeCodec.feature(r.payload))
       }

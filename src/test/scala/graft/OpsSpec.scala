@@ -534,4 +534,31 @@ class OpsSpec extends SparkSpec {
     assert(rows(1L) === ((13, 7, 3, "png")))
     assert(rows(2L) === ((640, 480, 3, "jpeg")))
   }
+
+  test("AudioCodec: real WAV/AIFF/AU header probe, non-audio falls through") {
+    import graft.ops.Multimodal.AudioCodec
+    val wav = AudioCodec.encode(8000, channels = 1, frames = 5, "wave", seed = 3L)
+    assert(wav.take(4).map(_.toChar).mkString === "RIFF",
+      "encode must produce a real RIFF/WAVE container")
+    assert(AudioCodec.probe(wav) ===
+      Some(Multimodal.MediaMeta(8000, 16, 1, "wave")))
+    val aiff = AudioCodec.encode(16000, channels = 2, frames = 7, "aiff", seed = 4L)
+    assert(AudioCodec.probe(aiff) ===
+      Some(Multimodal.MediaMeta(16000, 16, 2, "aiff")))
+    val au = AudioCodec.encode(44100, channels = 2, frames = 3, "au", seed = 5L)
+    assert(AudioCodec.probe(au) ===
+      Some(Multimodal.MediaMeta(44100, 16, 2, "au")))
+    // non-audio bytes: no reader claims them; truncation degrades, never throws
+    assert(AudioCodec.probe("definitely not audio".getBytes("UTF-8")).isEmpty)
+    assert(AudioCodec.probe(Array.empty[Byte]).isEmpty)
+    assert(AudioCodec.probe(wav.take(10)).isEmpty)
+    // decodeAll routes audio payloads through the REAL probe (image probe
+    // first declines, stub would report width = n_bytes % 640)
+    import spark.implicits._
+    val media = Seq((1L, wav), (2L, aiff)).toDF("doc_id", "payload")
+    val rows = Multimodal.decodeAll(spark, media).collect()
+      .map(d => d.doc_id -> ((d.width, d.height, d.channels, d.format))).toMap
+    assert(rows(1L) === ((8000, 16, 1, "wave")))
+    assert(rows(2L) === ((16000, 16, 2, "aiff")))
+  }
 }
