@@ -514,14 +514,25 @@ object Dedup {
    * the true gram sets (so false positives never escape; false negatives
    * follow the standard LSH S-curve).
    */
-  def minhashLshPairs(docs: DataFrame, n: Int = 3, bands: Int = 16, rows: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
+  /** Gram + MinHash-signature prep shared by the full and incremental
+    * LSH paths, and [[minhashLshPairsIncremental]]'s `freshPrepped` hook
+    * shape: one `(doc_id, grams, sig)` row per doc. Exposed so a caller
+    * with an expensive fresh plan can prep once, `persist()`, and hand
+    * the result in — (n, bands, rows) must match the dedup call's or the
+    * band keys won't align across the two sides. */
+  def minhashPrep(docs: DataFrame, n: Int = 3, bands: Int = 16,
+      rows: Int = 4): DataFrame = {
     val k = bands * rows
     val sigUdf = udf((toks: Seq[String]) => minhashSignature(toks, k))
-    val withSig = docs
+    docs
       .select(col("doc_id"), TextOps.wordNgrams(TextOps.tokens(col("text")), n).as("grams"))
       .filter(size(col("grams")) > 0)
       .withColumn("sig", sigUdf(col("grams")))
+  }
+
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, bands: Int = 16, rows: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val withSig = minhashPrep(docs, n, bands, rows)
     // band key = murmur3 of the band's slice, as one long per (doc, band)
     val bandUdf = udf((sig: Seq[Int]) =>
       (0 until bands).map(bd => bd.toLong << 32 |
@@ -550,23 +561,28 @@ object Dedup {
     * only its banding map work. `corpus` and `fresh` must have disjoint
     * `doc_id`s. Signature computation is referenced from both the banding
     * and the verify joins, but the verify side prunes to the gram column,
-    * so the k-hash signature UDF runs once per side. */
+    * so the k-hash signature UDF runs once per side.
+    *
+    * Without `freshPrepped`, the fresh side's gram/signature prep is
+    * re-evaluated by each consumer (band-join build side, union, verify
+    * sets) — deliberate: it is increment-sized map work, and a library op
+    * that silently `cache()`s leaks executor memory with no unpersist
+    * point. Callers with an expensive fresh plan should pass
+    * `freshPrepped = Some(minhashPrep(fresh, n, bands, rows).persist())`
+    * (same parameters!) and unpersist it themselves afterwards; `fresh`
+    * is then ignored. Same contract as
+    * [[embeddingNearDupIncremental]]'s `freshBanded`. */
   def minhashLshPairsIncremental(corpus: DataFrame, fresh: DataFrame,
       n: Int = 3, bands: Int = 16, rows: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
-    val k = bands * rows
-    val sigUdf = udf((toks: Seq[String]) => minhashSignature(toks, k))
+      threshold: Double = 0.5,
+      freshPrepped: Option[DataFrame] = None): DataFrame = {
     val bandUdf = udf((sig: Seq[Int]) =>
       (0 until bands).map(bd => bd.toLong << 32 |
         (Murmur3.hashString(sig.slice(bd * rows, bd * rows + rows).mkString(",")).toLong & 0xffffffffL)))
-    def prep(d: DataFrame) = d
-      .select(col("doc_id"),
-        TextOps.wordNgrams(TextOps.tokens(col("text")), n).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .withColumn("sig", sigUdf(col("grams")))
     def banded(w: DataFrame) =
       w.select(col("doc_id"), explode(bandUdf(col("sig"))).as("band"))
-    val cw = prep(corpus); val fw = prep(fresh)
+    val cw = minhashPrep(corpus, n, bands, rows)
+    val fw = freshPrepped.getOrElse(minhashPrep(fresh, n, bands, rows))
     val fb = banded(fw)
     val all = banded(cw).unionByName(fb)
     val lt = col("x.doc_id") < col("y.doc_id")
@@ -709,8 +725,7 @@ object Dedup {
    * pigeonhole); verified by exact Hamming distance <= maxHamming.
    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = docs.select(col("doc_id"),
-      TextOps.simhashUdf(TextOps.tokens(col("text"))).as("fp"))
+    val fp = simhashFingerprints(docs)
     val banded = fp.select(col("doc_id"), col("fp"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"), shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
@@ -726,22 +741,35 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash fingerprint prep, and [[simhashPairsIncremental]]'s
+    * `freshFps` hook shape: one `(doc_id, fp)` row per doc. Exposed so a
+    * caller with an expensive fresh plan can fingerprint once,
+    * `persist()`, and hand the result in. */
+  def simhashFingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      TextOps.simhashUdf(TextOps.tokens(col("text"))).as("fp"))
+
   /** Incremental SimHash near-dup: pairs within `maxHamming` bits that
     * touch a FRESH document — [[simhashPairs]]' steady-state twin. The
     * 16-bit band join is fresh×all, so corpus bands never self-join; by
     * pigeonhole a pair within 3 bits shares at least one of the 4 bands,
     * so recall is EXACT (same guarantee as the full path). `corpus` and
-    * `fresh` must have disjoint `doc_id`s. */
+    * `fresh` must have disjoint `doc_id`s.
+    *
+    * Without `freshFps`, the fresh side's fingerprint UDF is re-evaluated
+    * by each consumer (band-join build side and union) — deliberate, same
+    * no-silent-cache contract as [[embeddingNearDupIncremental]]'s
+    * `freshBanded`. Callers with an expensive fresh plan should pass
+    * `freshFps = Some(simhashFingerprints(fresh).persist())` and
+    * unpersist it themselves afterwards; `fresh` is then ignored. */
   def simhashPairsIncremental(corpus: DataFrame, fresh: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
-    def fps(d: DataFrame) = d.select(col("doc_id"),
-      TextOps.simhashUdf(TextOps.tokens(col("text"))).as("fp"))
+      maxHamming: Int = 3, freshFps: Option[DataFrame] = None): DataFrame = {
     def banded(w: DataFrame) = w.select(col("doc_id"), col("fp"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"), shiftrightunsigned(col("fp"), i * 16)
           .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
-    val fb = banded(fps(fresh))
-    val all = banded(fps(corpus)).unionByName(fb)
+    val fb = banded(freshFps.getOrElse(simhashFingerprints(fresh)))
+    val all = banded(simhashFingerprints(corpus)).unionByName(fb)
     val hammingUdf = udf((a: Long, b: Long) => hamming64(a, b))
     val lt = col("x.doc_id") < col("y.doc_id")
     fb.as("x").join(all.as("y"),

@@ -109,6 +109,57 @@ class OpsSpec extends SparkSpec {
     assert(out.isEmpty, "old×old pair leaked into the incremental output")
   }
 
+  test("freshPrepped / freshFps hooks: fresh evaluated exactly once") {
+    // same contract (and same accumulator-counted proof) as the
+    // embeddings freshBanded hook: the incremental minhash and simhash
+    // paths re-evaluate an un-persisted fresh plan per consumer; handing
+    // in a persisted prep makes it exactly once, with identical results
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val freshRaw = docs.filter(col("doc_id") % 10 === 0)
+    val nFresh = freshRaw.count()
+    val acc = spark.sparkContext.longAccumulator("freshTextEvals")
+    // nondeterministic so the optimizer can neither collapse it into the
+    // builtin n-gram expressions (which would duplicate it per gram) nor
+    // push it around — it evaluates exactly once per row per PLAN PASS,
+    // which is the thing this test counts
+    val counted = udf((t: String) => { acc.add(1); t }).asNondeterministic()
+    val fresh = freshRaw.withColumn("text", counted(col("text")))
+    def mkey(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+    // --- minhash ---
+    val mhBaseline = Dedup.minhashLshPairsIncremental(corpus, fresh,
+      n = 3, bands = 32, rows = 2, threshold = 0.5).collect().map(mkey).toSet
+    assert(acc.value >= 2 * nFresh,
+      s"un-persisted minhash fresh should evaluate >1x, got ${acc.value}")
+    acc.reset()
+    val fp = Dedup.minhashPrep(fresh, n = 3, bands = 32, rows = 2).persist()
+    fp.count() // materialize: every fresh row evaluated here, once
+    val mhHooked = Dedup.minhashLshPairsIncremental(corpus, fresh,
+      n = 3, bands = 32, rows = 2, threshold = 0.5,
+      freshPrepped = Some(fp)).collect().map(mkey).toSet
+    fp.unpersist()
+    assert(acc.value === nFresh,
+      s"freshPrepped path must evaluate fresh once, got ${acc.value}")
+    assert(mhHooked === mhBaseline && mhHooked.nonEmpty)
+    // --- simhash ---
+    def skey(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2))
+    acc.reset()
+    val shBaseline = Dedup.simhashPairsIncremental(corpus, fresh,
+      maxHamming = 3).collect().map(skey).toSet
+    assert(acc.value >= 2 * nFresh,
+      s"un-persisted simhash fresh should evaluate >1x, got ${acc.value}")
+    acc.reset()
+    val ff = Dedup.simhashFingerprints(fresh).persist()
+    ff.count()
+    val shHooked = Dedup.simhashPairsIncremental(corpus, fresh,
+      maxHamming = 3, freshFps = Some(ff)).collect().map(skey).toSet
+    ff.unpersist()
+    assert(acc.value === nFresh,
+      s"freshFps path must evaluate fresh once, got ${acc.value}")
+    assert(shHooked === shBaseline && shHooked.nonEmpty)
+  }
+
   test("signature store = recompute-everything incremental minhash") {
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val fresh = docs.filter(col("doc_id") % 10 === 0)
