@@ -89,6 +89,13 @@ object GraftFunctions {
     override def inputTypes(): Array[DataType] = inputs
     override def resultType(): DataType = result
     override def name(): String = fname
+    // Spark's default canonicalName() is a RANDOM UUID per binding, so two
+    // scans of equally-bucketed tables would never compare as the same
+    // function and storage-partitioned joins would silently shuffle. A
+    // stable name keyed by function + input types is the documented
+    // contract ("same for semantically equal functions").
+    override def canonicalName(): String =
+      s"graft.$fname(${inputs.map(_.catalogString).mkString(",")})"
     override def isResultNullable: Boolean = true
     override def produceResult(input: InternalRow): Any = f(input) match {
       case null => null

@@ -867,12 +867,19 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
           nullable = true)) else Nil) ++
         partSchema.fields)
     // storage-partitioned-join eligibility: opt-in via Spark's v2 bucketing
-    // conf, one scan group over one live all-identity spec, no row-level-op
-    // or metadata columns in play. Live position deletes / DVs are
-    // compatible: the keyed partitions carry file-granular delete-scoped
-    // subs (KeyedPartition.subs), so a co-partitioned join over a MoR
-    // table still skips the shuffle. Each file's partition key converts to
-    // Catalyst values once, spec-field order.
+    // conf, one scan group over one live spec whose fields are all identity
+    // or bucket[N], no row-level-op or metadata columns in play. Bucket
+    // fields report as connector bucket(N, col) transforms — Spark resolves
+    // them against this catalog's FunctionCatalog (GraftFunctions.bucket,
+    // the same murmur3 kernel the write path placed files with), so two
+    // tables bucketed the same way join with no shuffle, and with
+    // v2.bucketing.shuffle.enabled a derived side can be shuffled INTO the
+    // table's bucketing while the table side stays put. Live position
+    // deletes / DVs are compatible: the keyed partitions carry
+    // file-granular delete-scoped subs (KeyedPartition.subs), so a
+    // co-partitioned join over a MoR table still skips the shuffle. Each
+    // file's partition key converts to Catalyst values once, spec-field
+    // order (a bucket field's key is the stored bucket ordinal).
     val spjInfo: Option[SpjInfo] =
       if (groupGranular || metaFile || metaPos || metaLineage ||
           groups.size != 1 || plan.tasks.isEmpty) None
@@ -881,24 +888,37 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
           .toBoolean) None
       else plan.tasks.map(_.file.specId).distinct match {
         case Seq(specId) => m.specs.get(specId).flatMap { spec =>
-          val identFields = spec.fields.filterNot(_.transform == Transforms.VoidT)
-          if (identFields.isEmpty ||
-              !identFields.forall(_.transform == Transforms.IdentityT)) None
+          val liveFields = spec.fields.filterNot(_.transform == Transforms.VoidT)
+          val supported = liveFields.forall(_.transform match {
+            case Transforms.IdentityT | Transforms.BucketT(_) |
+                 Transforms.TruncateT(_) | Transforms.YearT |
+                 Transforms.MonthT | Transforms.DayT | Transforms.HourT => true
+            case _ => false
+          })
+          if (liveFields.isEmpty || !supported) None
           else {
-            val resolved = identFields.map(pf =>
+            val resolved = liveFields.map(pf =>
               pf -> FieldIds.findById(schema, pf.sourceId))
             if (resolved.exists(_._2.isEmpty)) None
             else {
-              val cols = resolved.map(_._2.get.name)
-              val keyTypes = resolved.map(r => Types.cleanType(r._2.get.dataType))
+              val fields = resolved.map { case (pf, f) =>
+                val keyType = pf.transform match {
+                  case Transforms.BucketT(_) | Transforms.YearT |
+                       Transforms.MonthT | Transforms.DayT |
+                       Transforms.HourT => IntegerType
+                  case _ => Types.cleanType(f.get.dataType)
+                }
+                SpjField(f.get.name, keyType, pf.transform)
+              }
               try {
                 val keyOf = plan.tasks.map { t =>
                   ParquetIO.canonPath(t.file.path) ->
-                    identFields.zip(keyTypes).map { case (pf, dt) =>
-                      Values.toCatalyst(t.file.partition.getOrElse(pf.name, null), dt)
+                    liveFields.zip(fields).map { case (pf, sf) =>
+                      Values.toCatalyst(t.file.partition.getOrElse(pf.name, null),
+                        sf.keyType)
                     }
                 }.toMap
-                Some(SpjInfo(cols, keyTypes, keyOf))
+                Some(SpjInfo(fields, keyOf))
               } catch {
                 // an unconvertible partition value disables SPJ, never the scan
                 case scala.util.control.NonFatal(_) => None
@@ -1415,9 +1435,16 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
     keyedParts match {
       case Some(parts) if parts.nonEmpty =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          spjInfo.get.cols.map(c =>
-            org.apache.spark.sql.connector.expressions.Expressions.identity(c)
-              : org.apache.spark.sql.connector.expressions.Expression).toArray,
+          spjInfo.get.fields.map(f => (f.transform match {
+            case Transforms.BucketT(n) => XE.bucket(n, f.col)
+            case Transforms.TruncateT(w) =>
+              XE.apply("truncate", XE.literal(Integer.valueOf(w)), XE.column(f.col))
+            case Transforms.YearT => XE.years(f.col)
+            case Transforms.MonthT => XE.months(f.col)
+            case Transforms.DayT => XE.days(f.col)
+            case Transforms.HourT => XE.hours(f.col)
+            case _ => XE.identity(f.col)
+          }): org.apache.spark.sql.connector.expressions.Expression).toArray,
           parts.length)
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
@@ -1752,10 +1779,19 @@ final class ConcatReader[T](makers: Seq[() => org.apache.spark.sql.connector.rea
 }
 
 /** Builder-side proof that a scan is storage-partitioned-join-able: one
-  * scan group over one all-identity spec, with every planned file's
-  * partition key (Catalyst values, spec-field order) resolvable by path. */
-final case class SpjInfo(cols: Seq[String],
-    keyTypes: Seq[org.apache.spark.sql.types.DataType],
+  * scan group over one spec whose fields are identity / bucket[N] /
+  * truncate[W] / year|month|day|hour, with every planned file's partition
+  * key (Catalyst values, spec-field order) resolvable by path. Non-identity
+  * fields carry their transform so the reported partitioning spells the
+  * matching connector transform — Spark resolves it against GraftFunctions
+  * (same kernels as write placement), so the probe side of a one-sided SPJ
+  * hashes rows into exactly the buckets/ordinals the files were placed by.
+  * A transformed field's key value is the STORED partition value (bucket
+  * ordinal / truncated prefix / time ordinal). */
+final case class SpjField(col: String,
+    keyType: org.apache.spark.sql.types.DataType,
+    transform: graft.format.Transform)
+final case class SpjInfo(fields: Seq[SpjField],
     keyOf: Map[String, Seq[Any]])
 
 final case class GroupedReaderFactory(

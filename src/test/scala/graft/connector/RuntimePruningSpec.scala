@@ -20,6 +20,18 @@ class RuntimePruningSpec extends SparkSpec {
     d
   }
 
+  /** Plan-shape tests run on an ISOLATED session: suites share one
+    * SparkSession and run in parallel, so toggling behavior confs
+    * (v2 bucketing, broadcast threshold, DPP) on the shared session races
+    * other suites' plan assertions — newSession shares the context and
+    * the warehouse but keeps SQL confs private to the test. */
+  private def isoSession(): org.apache.spark.sql.SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.dpp", "graft.connector.GraftCatalog")
+    s.conf.set("spark.sql.catalog.dpp.warehouse", wh)
+    s
+  }
+
   private def recordsRead(body: => Unit): Long = {
     val n = new AtomicLong
     val listener = new SparkListener {
@@ -41,27 +53,28 @@ class RuntimePruningSpec extends SparkSpec {
 
   test("join on a partition column prunes fact files at runtime") {
     wh
-    spark.sql("""CREATE TABLE dpp.db.fact (id BIGINT, grp BIGINT, v DOUBLE)
+    val s = isoSession()
+    s.sql("""CREATE TABLE dpp.db.fact (id BIGINT, grp BIGINT, v DOUBLE)
                  PARTITIONED BY (grp)""")
     // one commit per group so every partition holds its own file(s)
     (0L until 8L).foreach { g =>
-      spark.range(100).selectExpr("id", s"$g AS grp", "CAST(id AS DOUBLE) AS v")
+      s.range(100).selectExpr("id", s"$g AS grp", "CAST(id AS DOUBLE) AS v")
         .coalesce(1).createOrReplaceTempView("batch")
-      spark.sql("INSERT INTO dpp.db.fact SELECT * FROM batch")
+      s.sql("INSERT INTO dpp.db.fact SELECT * FROM batch")
     }
     // materialize the dim to parquet: a view computed FROM the join key
     // would constant-fold (flag='pick' → k=3 → static grp=3 pushdown) and
     // dynamic pruning would never be needed
-    spark.range(8).selectExpr("id AS k",
+    s.range(8).selectExpr("id AS k",
       "CASE WHEN id = 3 THEN 'pick' ELSE 'skip' END AS flag")
       .write.mode("overwrite").parquet(s"$wh/dimsrc")
-    spark.read.parquet(s"$wh/dimsrc").createOrReplaceTempView("dim")
+    s.read.parquet(s"$wh/dimsrc").createOrReplaceTempView("dim")
 
     val q = """SELECT COUNT(*) AS n, SUM(f.v) AS s
                FROM dpp.db.fact f JOIN dim d ON f.grp = d.k
                WHERE d.flag = 'pick'"""
 
-    val df = spark.sql(q)
+    val df = s.sql(q)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"expected a dynamic-pruning runtime filter on the fact scan:\n$plan")
@@ -72,12 +85,11 @@ class RuntimePruningSpec extends SparkSpec {
       assert(r.getDouble(1) === (0 until 100).sum.toDouble)
     }
     val withoutDpp = {
-      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
-      try recordsRead {
-        val r = spark.sql(q).collect().head
+      s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+      recordsRead {
+        val r = s.sql(q).collect().head
         assert(r.getLong(0) === 100L)
-      } finally spark.conf.set(
-        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+      }
     }
     // pruned run reads ~1 of 8 partitions (+ the 8-row dim, twice for the
     // broadcast + the reused subquery); unpruned reads all 800 fact rows
@@ -88,14 +100,15 @@ class RuntimePruningSpec extends SparkSpec {
 
   test("co-partitioned tables join without a shuffle (storage-partitioned join)") {
     wh
+    val s = isoSession()
     def mk(name: String): Unit = {
-      spark.sql(s"""CREATE TABLE dpp.db.$name (id BIGINT, grp BIGINT, v DOUBLE)
+      s.sql(s"""CREATE TABLE dpp.db.$name (id BIGINT, grp BIGINT, v DOUBLE)
                     PARTITIONED BY (grp)""")
       (0L until 4L).foreach { g =>
-        spark.range(40).selectExpr(s"id + ${g * 1000} AS id", s"$g AS grp",
+        s.range(40).selectExpr(s"id + ${g * 1000} AS id", s"$g AS grp",
           "CAST(id AS DOUBLE) AS v")
           .coalesce(1).createOrReplaceTempView("spjbatch")
-        spark.sql(s"INSERT INTO dpp.db.$name SELECT * FROM spjbatch")
+        s.sql(s"INSERT INTO dpp.db.$name SELECT * FROM spjbatch")
       }
     }
     mk("spj_a"); mk("spj_b")
@@ -104,7 +117,7 @@ class RuntimePruningSpec extends SparkSpec {
                  ON a.grp = b.grp AND a.id = b.id
                GROUP BY a.grp ORDER BY a.grp"""
     def run(): (Seq[(Long, Long)], String) = {
-      val df = spark.sql(q)
+      val df = s.sql(q)
       val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       (rows, df.queryExecution.executedPlan.toString) // post-AQE final plan
     }
@@ -112,43 +125,100 @@ class RuntimePruningSpec extends SparkSpec {
     // broadcast off so the join NEEDS co-partitioning to avoid a shuffle;
     // join keys (grp, id) are a SUPERSET of the partition keys (grp), which
     // Spark only accepts for co-partitioning with this conf off
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
-    try {
-      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      try {
-        val (rows, plan) = run()
-        assert(rows === expected)
-        assert(!plan.contains("Exchange hashpartitioning"),
-          s"expected a shuffle-free storage-partitioned join:\n$plan")
-      } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
-      // sanity: same query without v2 bucketing shuffles both sides
-      val (rows2, plan2) = run()
-      assert(rows2 === expected)
-      assert(plan2.contains("Exchange hashpartitioning"),
-        s"baseline run should shuffle:\n$plan2")
-    } finally {
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val (rows, plan) = run()
+    assert(rows === expected)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected a shuffle-free storage-partitioned join:\n$plan")
+    // sanity: same query without v2 bucketing shuffles both sides
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    val (rows2, plan2) = run()
+    assert(rows2 === expected)
+    assert(plan2.contains("Exchange hashpartitioning"),
+      s"baseline run should shuffle:\n$plan2")
+  }
+
+  test("bucket-partitioned tables join without a shuffle (bucket SPJ)") {
+    wh
+    val iso = isoSession()
+    def mk(name: String, rows: Int): Unit = {
+      iso.sql(s"""CREATE TABLE dpp.db.$name (id BIGINT, v DOUBLE)
+                    PARTITIONED BY (bucket(4, id))""")
+      iso.range(rows).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .createOrReplaceTempView("spjbkt")
+      iso.sql(s"INSERT INTO dpp.db.$name SELECT * FROM spjbkt")
     }
+    mk("spjb_a", 200); mk("spjb_b", 150)
+    val q = """SELECT COUNT(*) AS n, CAST(SUM(a.v + b.v) AS BIGINT) AS s
+               FROM dpp.db.spjb_a a JOIN dpp.db.spjb_b b ON a.id = b.id"""
+    def run(): (Long, Long, String) = {
+      val df = iso.sql(q)
+      val r = df.collect().head
+      (r.getLong(0), r.getLong(1), df.queryExecution.executedPlan.toString)
+    }
+    // 150 matching ids, sum of 2*id over 0..149
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val (n, s, plan) = run()
+    assert(n === 150L && s === (0L until 150L).map(_ * 2).sum)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"co-bucketed graft tables must storage-partition-join:\n$plan")
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    val (n2, _, plan2) = run()
+    assert(n2 === 150L)
+    assert(plan2.contains("Exchange hashpartitioning"),
+      s"baseline run should shuffle:\n$plan2")
+  }
+
+  test("bucketed table joins a derived side with a one-side shuffle only") {
+    wh
+    val iso = isoSession()
+    iso.sql("""CREATE TABLE dpp.db.spjb_store (id BIGINT, v DOUBLE)
+                 PARTITIONED BY (bucket(4, id))""")
+    iso.range(300).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("spjstore")
+    iso.sql("INSERT INTO dpp.db.spjb_store SELECT * FROM spjstore")
+    // derived (non-table) probe side: ids 0,3,6,... — at 100 TB this is the
+    // increment's touched-key set semi-joining a corpus-scale store; the
+    // point of bucket SPJ is that the STORE side never shuffles
+    iso.range(100).selectExpr("id * 3 AS id")
+      .createOrReplaceTempView("spjprobe")
+    val q = """SELECT COUNT(*) AS n FROM dpp.db.spjb_store s
+               WHERE s.id IN (SELECT id FROM spjprobe)"""
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    iso.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    val df = iso.sql(q)
+    assert(df.collect().head.getLong(0) === 100L)
+    val plan = df.queryExecution.executedPlan.toString
+    // the probe side shuffles INTO the store's bucketing (evaluated via
+    // the catalog's bucket function); the store side must not shuffle
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"store side must keep its reported bucketing:\n$plan")
+    assert(plan.contains("Exchange keygroupedpartitioning") ||
+      plan.contains("KeyGroupedPartitioning"),
+      s"probe side should shuffle into the store's buckets:\n$plan")
   }
 
   test("storage-partitioned join survives live DVs (MoR) without a shuffle") {
     wh
+    val s = isoSession()
     def mk(name: String): Unit = {
-      spark.sql(s"""CREATE TABLE dpp.db.$name (id BIGINT, grp BIGINT, v DOUBLE)
+      s.sql(s"""CREATE TABLE dpp.db.$name (id BIGINT, grp BIGINT, v DOUBLE)
                     PARTITIONED BY (grp)
                     TBLPROPERTIES ('format-version'='3',
                       'write.delete.mode'='merge-on-read')""")
       (0L until 4L).foreach { g =>
-        spark.range(30).selectExpr(s"id + ${g * 1000} AS id", s"$g AS grp",
+        s.range(30).selectExpr(s"id + ${g * 1000} AS id", s"$g AS grp",
           "CAST(id AS DOUBLE) AS v")
           .coalesce(1).createOrReplaceTempView("spjmorb")
-        spark.sql(s"INSERT INTO dpp.db.$name SELECT * FROM spjmorb")
+        s.sql(s"INSERT INTO dpp.db.$name SELECT * FROM spjmorb")
       }
       // live DVs on every partition — rows with id%10=3 disappear MoR-style
-      spark.sql(s"DELETE FROM dpp.db.$name WHERE id % 10 = 3")
-      val t = graft.format.GraftTable.load(spark, s"$wh/db/$name")
+      s.sql(s"DELETE FROM dpp.db.$name WHERE id % 10 = 3")
+      val t = graft.format.GraftTable.load(s, s"$wh/db/$name")
       assert(t.newScan().planFiles().deleteFiles.nonEmpty,
         s"$name must carry live delete files for this test to mean anything")
     }
@@ -159,21 +229,15 @@ class RuntimePruningSpec extends SparkSpec {
                GROUP BY a.grp ORDER BY a.grp"""
     // 30 rows per partition minus the 3 deleted (id%10=3 hits 3 of 30)
     val expected = (0L until 4L).map(g => (g, 27L))
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    try {
-      val df = spark.sql(q)
-      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      assert(rows === expected, "MoR deletes must apply inside the SPJ scan")
-      val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange hashpartitioning"),
-        s"live DVs must not cost the storage-partitioned join its shuffle:\n$plan")
-    } finally {
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
-      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
-    }
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val df = s.sql(q)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === expected, "MoR deletes must apply inside the SPJ scan")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"live DVs must not cost the storage-partitioned join its shuffle:\n$plan")
   }
 
   test("runtime pruning never drops matching rows on unpartitioned tables") {
