@@ -1310,22 +1310,37 @@ object FormatQueries {
         .orderBy(col("a"), col("b"))
     }),
 
-    // PERSISTED gram store: the corpus' hashed grams live in a graft
-    // table, computed once — the steady-state exact-Jaccard job tokenizes
-    // ONLY the increment and semi-joins the store down to touched grams.
-    // Oracle = exact fresh-touching Jaccard (q113's construction).
+    // PERSISTED gram store, production shape: the corpus' hashed grams
+    // live in a graft table BUCKETED BY bucket[16](g), computed once — the
+    // steady-state exact-Jaccard job tokenizes ONLY the increment, and the
+    // touched-gram semi-join rides the storage-partitioned join (store
+    // side reports bucket(16, g) KeyGroupedPartitioning through the
+    // catalog; only the increment-sized probe side shuffles, into the
+    // store's own buckets). Oracle = exact fresh-touching Jaccard (q113's
+    // construction) — the layout must not change a single pair.
     "q128_gram_store" -> ((s, dir) => {
-      val store = withTable(s, dir, "doc_grams") { loc =>
+      withTable(s, dir, "gswh/db/doc_grams") { loc =>
         val d = s.read.parquet(s"$dir/documents.parquet")
         val grams = graft.ops.Dedup.gramStore(
           d.filter(col("doc_id") % 10 =!= 0), n = 3)
-        val tt = GraftTable.recreate(s, loc, grams.schema)
-        GraftWrite.append(tt, grams.coalesce(2))
+        val tt = GraftTable.recreate(s, loc, grams.schema,
+          specBuild = _.bucket("g", 16))
+        GraftWrite.append(tt, grams)
         tt
       }
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      graft.ops.Dedup.incrementalJaccardPairsFromStore(store.toDF(),
-        d.filter(col("doc_id") % 10 === 0), n = 3, threshold = 0.5, maxDf = 0)
+      // the SPJ confs live on an ISOLATED session (newSession shares the
+      // context and the physical tables but not SQL confs), so the rest of
+      // the gate — possibly planning concurrently — never sees a scan
+      // layout it didn't ask for
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.catalog.graftgs", "graft.connector.GraftCatalog")
+      iso.conf.set("spark.sql.catalog.graftgs.warehouse", tdir(dir, "gswh"))
+      iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      iso.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      val d = iso.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Dedup.incrementalJaccardPairsFromStore(
+          iso.table("graftgs.db.doc_grams"),
+          d.filter(col("doc_id") % 10 === 0), n = 3, threshold = 0.5, maxDf = 0)
         .orderBy(col("a"), col("b"))
     }),
 

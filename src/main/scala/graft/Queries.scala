@@ -1228,7 +1228,12 @@ object Queries {
     // table (built once in warmup), measured passes pay only the fresh
     // increment's hashing + the band join; tracked round-over-round so
     // the amortization claim carries spreads, not one-shot probes
-    "q127_signature_store")
+    "q127_signature_store",
+    // store-amortized exact Jaccard (added round 18): the gram store is
+    // persisted bucket[16](g) and read back through the catalog as a
+    // storage-partitioned join — the corpus-scale side never shuffles;
+    // tracked so the bucketed-store claim carries spreads too
+    "q128_gram_store")
 
   /** The 11 queries benched since round 1 — the stable cross-round signal.
     * Per-query times are ±20% noisy run to run; this subtotal is what the

@@ -229,10 +229,15 @@ object Dedup {
 
   /** Hashed-gram rows for PERSISTENCE: one `(doc_id, sz, g)` row per
     * (doc, distinct gram) with `sz` = the doc's full gram-set size and
-    * `g` the 8-byte gram hash. Persist as a table (bucketed by `g` at
-    * scale, so the dedup join co-locates) and EXTEND per increment —
-    * the standing corpus is then never re-tokenized. Consumed by
-    * [[incrementalJaccardPairsFromStore]]. */
+    * `g` the 8-byte gram hash. Persist as a graft table partitioned by
+    * `bucket[N](g)` and EXTEND per increment — the standing corpus is
+    * then never re-tokenized, and when the store is read back through
+    * the graft catalog with `spark.sql.sources.v2.bucketing.enabled` +
+    * `...bucketing.shuffle.enabled`, the touched-gram semi-join in
+    * [[incrementalJaccardPairsFromStore]] becomes a storage-partitioned
+    * join: the corpus-scale store side NEVER shuffles; only the
+    * increment's probe keys shuffle, into the store's own buckets
+    * (RuntimePruningSpec proves both plans shuffle-free / one-sided). */
   def gramStore(docs: DataFrame, n: Int = 3): DataFrame =
     docs.select(col("doc_id").cast("long").as("doc_id"),
         TextOps.gramHashes(n)(col("text")).as("gs"))
@@ -246,7 +251,11 @@ object Dedup {
     * negative-sz marker, exactly like [[incrementalJaccardPairs]] — and
     * with `maxDf = 0` the answers are identical. `store` must hold the
     * CORPUS only (`gramStore` output at the same n; append the fresh
-    * grams after the run). */
+    * grams after the run). Pass the store as a catalog read of a
+    * `bucket[N](g)`-partitioned graft table with the v2 bucketing confs
+    * on (see [[gramStore]]) and the semi-join keeps the store side
+    * entirely shuffle-free — the one corpus-scaled exchange in this op
+    * disappears, which is what makes it the 100 TB steady-state path. */
   def incrementalJaccardPairsFromStore(store: DataFrame, fresh: DataFrame,
       n: Int = 3, threshold: Double = 0.1, maxDf: Long = 2000): DataFrame = {
     require(fresh.schema("doc_id").dataType.isInstanceOf[
