@@ -295,6 +295,54 @@ class MaintenanceSpec extends SparkSpec {
       .collect().toSet == Set(1L))
   }
 
+  test("maintenance on main never disturbs a DML'd branch (compact/manifests/orphans)") {
+    // item: a branch with CoW DML holds files main has never heard of;
+    // every maintenance action that walks "the table" must treat branch
+    // reachability as live — compaction must not pull branch files into
+    // main, manifest rewrite must leave the branch's manifest list alone,
+    // and the orphan scan must not classify branch-only files as garbage.
+    val loc = freshLoc("brmaint")
+    val t = GraftTable.create(spark, loc, rows(2).schema)
+    GraftWrite.append(t, rows(2, 0).coalesce(1)) // snap1: fileA (shared)
+    val fileA = MetaTables.files(t).select("file_path").as[String].collect().toSet
+    Commits.createBranch(t, "work")
+    // branch CoW DELETE of id==0: the branch head now holds a file main
+    // has never referenced
+    val staged = GraftWrite.writeFiles(t,
+      t.newScan().useRef("work").toDF().filter(col("id") =!= 0L))
+    Commits.rewriteFiles(t, fileA, staged,
+      baseSnapshotId = t.metadata.refSnapshotId("work"), branch = Some("work"))
+    val branchFiles = staged.map(_.path).toSet
+    def branchIds() = t.newScan().useRef("work").toDF()
+      .select("id").as[Long].collect().toSet
+    assert(branchIds() == Set(1L))
+
+    // main keeps evolving: two more small files → compaction bait
+    GraftWrite.append(t, rows(2, 1).coalesce(1))
+    GraftWrite.append(t, rows(2, 2).coalesce(1))
+
+    val rw = Actions.forTable(t).rewriteDataFiles(minInputFiles = 2)
+    assert(rw.rewrittenFiles >= 2, "main compaction should have fired")
+    assert(t.toDF().count() == 6, "main rows must survive compaction")
+    assert(branchIds() == Set(1L), "branch read broken by main compaction")
+    branchFiles.foreach(p => assert(Files.exists(java.nio.file.Paths.get(p)),
+      s"main compaction deleted a branch file: $p"))
+    // branch scan must still plan ONLY its own files (no main leak-in)
+    assert(t.newScan().useRef("work").planFiles().tasks
+      .map(_.file.path).toSet == branchFiles)
+
+    val merged = Actions.forTable(t).rewriteManifests(entriesPerManifest = 100)
+    assert(merged >= 0)
+    assert(branchIds() == Set(1L), "branch read broken by manifest rewrite")
+
+    val res = Actions.forTable(t).removeOrphanFiles(System.currentTimeMillis() + 1000)
+    branchFiles.foreach(p => assert(Files.exists(java.nio.file.Paths.get(p)),
+      s"orphan scan deleted a live branch file: $p"))
+    assert(!res.deletedOrphans.exists(branchFiles.contains))
+    assert(branchIds() == Set(1L), "branch read broken by orphan removal")
+    assert(t.toDF().count() == 6, "main rows lost to maintenance")
+  }
+
   test("removeOrphanFiles deletes unreferenced files only") {
     val loc = freshLoc("orphan")
     val t = GraftTable.create(spark, loc, rows(2).schema)
