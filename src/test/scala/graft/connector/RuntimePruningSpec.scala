@@ -202,6 +202,63 @@ class RuntimePruningSpec extends SparkSpec {
       s"probe side should shuffle into the store's buckets:\n$plan")
   }
 
+  test("bucket SPJ stays correct when the two sides populate different buckets") {
+    wh
+    val iso = isoSession()
+    import graft.format.Transforms
+    import org.apache.spark.sql.types.LongType
+    def bucketOf(id: Long): Int =
+      Transforms.BucketT(4).apply(id, LongType).asInstanceOf[Int]
+    // side A holds only rows landing in buckets {0, 2}; side B all four —
+    // partition-value alignment (pushPartValues) must not drop or
+    // duplicate rows, whatever plan Spark picks
+    val aIds = (0L until 400L).filter(i => Set(0, 2).contains(bucketOf(i)))
+    val bIds = (0L until 400L)
+    def mk(name: String, ids: Seq[Long]): Unit = {
+      iso.sql(s"""CREATE TABLE dpp.db.$name (id BIGINT, v DOUBLE)
+                    PARTITIONED BY (bucket(4, id))""")
+      import iso.implicits._
+      ids.toDF("id").selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .createOrReplaceTempView("spjmix")
+      iso.sql(s"INSERT INTO dpp.db.$name SELECT * FROM spjmix")
+    }
+    mk("spjmix_a", aIds); mk("spjmix_b", bIds)
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val df = iso.sql(
+      """SELECT COUNT(*) AS n, CAST(SUM(a.id) AS BIGINT) AS s
+         FROM dpp.db.spjmix_a a JOIN dpp.db.spjmix_b b ON a.id = b.id""")
+    val r = df.collect().head
+    assert(r.getLong(0) === aIds.size.toLong, "mismatched-bucket join lost rows")
+    assert(r.getLong(1) === aIds.sum)
+  }
+
+  test("bucket SPJ survives renaming the partition source column") {
+    wh
+    val iso = isoSession()
+    def mk(name: String): Unit = {
+      iso.sql(s"""CREATE TABLE dpp.db.$name (id BIGINT, v DOUBLE)
+                    PARTITIONED BY (bucket(4, id))""")
+      iso.range(120).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .createOrReplaceTempView("spjrnb")
+      iso.sql(s"INSERT INTO dpp.db.$name SELECT * FROM spjrnb")
+    }
+    mk("spjrn_a"); mk("spjrn_b")
+    // rename the bucket SOURCE column on one side: pre-rename files keep
+    // their old column name and bucket placement; the reported transform
+    // must follow the CURRENT name or the join keys won't line up
+    iso.sql("ALTER TABLE dpp.db.spjrn_a RENAME COLUMN id TO key")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val df = iso.sql(
+      """SELECT COUNT(*) AS n FROM dpp.db.spjrn_a a
+         JOIN dpp.db.spjrn_b b ON a.key = b.id""")
+    assert(df.collect().head.getLong(0) === 120L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"rename must not cost the bucket SPJ its shuffle-free plan:\n$plan")
+  }
+
   test("storage-partitioned join survives live DVs (MoR) without a shuffle") {
     wh
     val s = isoSession()
