@@ -880,9 +880,12 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
     // co-partitioned join over a MoR table still skips the shuffle. Each
     // file's partition key converts to Catalyst values once, spec-field
     // order (a bucket field's key is the stored bucket ordinal).
+    // multi-group scans (one reader group per format × schema generation)
+    // stay eligible: keyedParts tags each file with its group and the
+    // per-key task concatenates per-group subs
     val spjInfo: Option[SpjInfo] =
       if (groupGranular || metaFile || metaPos || metaLineage ||
-          groups.size != 1 || plan.tasks.isEmpty) None
+          plan.tasks.isEmpty) None
       else if (!spark.sessionState.conf
           .getConfString("spark.sql.sources.v2.bucketing.enabled", "false")
           .toBoolean) None
@@ -1390,42 +1393,55 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
     * shape we can't regroup falls back to None = unknown partitioning. */
   private lazy val keyedParts: Option[Array[InputPartition]] = spjInfo.flatMap { info =>
     import org.apache.spark.sql.execution.datasources.FilePartition
-    if (groupScans.size != 1) None
-    else {
-      val parts = partsByGroup.head
-      val fileParts = parts.collect { case fp: FilePartition => fp }
-      if (fileParts.length != parts.length) None
+    // every group's partitions must be plain FilePartitions; each file is
+    // tagged with its reader group, so a scan split across schema
+    // generations (rename/promotion creates one reader group per
+    // generation) STILL key-groups — evolving a table's schema must not
+    // cost its joins the shuffle-free plan forever. The per-key task
+    // concatenates per-group subs; ConcatReader dispatches each sub to
+    // its own group's reader.
+    val tagged: Option[Seq[(Int,
+        org.apache.spark.sql.execution.datasources.PartitionedFile)]] = {
+      val perGroup = partsByGroup.zipWithIndex.map { case (parts, g) =>
+        val fps = parts.collect { case fp: FilePartition => fp }
+        if (fps.length != parts.length) None
+        else Some(fps.flatMap(_.files).toSeq.map(f => g -> f))
+      }
+      if (perGroup.exists(_.isEmpty)) None
+      else Some(perGroup.flatMap(_.get))
+    }
+    tagged.flatMap { files =>
+      val keyed = files.map { case (g, f) =>
+        info.keyOf.get(ParquetIO.canonPath(f.filePath.toPath.toString)) -> ((g, f))
+      }
+      if (keyed.exists(_._1.isEmpty)) None
       else {
-        val files = fileParts.flatMap(_.files).toSeq
-        val keyed = files.map(f =>
-          info.keyOf.get(ParquetIO.canonPath(f.filePath.toPath.toString)) -> f)
-        if (keyed.exists(_._1.isEmpty)) None
-        else {
-          val posGroup = groupDeletes(0).exists(_.pos.isDefined)
-          val eqActive = eqScopable && groupDeletes(0).exists(_.sets.nonEmpty)
-          val grouped = keyed.map { case (k, f) => (k.get, f) }.groupBy(_._1)
-            .toSeq.sortBy(_._1.map(v => String.valueOf(v)).mkString("\u0000"))
-          Some(grouped.zipWithIndex.map { case ((key, fs), i) =>
-            // MoR: file-granular subs, each with its own delete scope --
-            // the same per-task attachment the non-SPJ path gets
-            val subs =
-              if (posGroup) fs.map(_._2).toSeq.map { f =>
+        val grouped = keyed.map { case (k, gf) => (k.get, gf) }.groupBy(_._1)
+          .toSeq.sortBy(_._1.map(v => String.valueOf(v)).mkString("\u0000"))
+        Some(grouped.zipWithIndex.map { case ((key, gfs), i) =>
+          // MoR: file-granular subs, each with its own delete scope --
+          // the same per-task attachment the non-SPJ path gets
+          val subs = gfs.map(_._2).groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+            case (g, fs) =>
+              val posGroup = groupDeletes(g).exists(_.pos.isDefined)
+              val eqActive = eqScopable && groupDeletes(g).exists(_.sets.nonEmpty)
+              if (posGroup) fs.map(_._2).map { f =>
                 val canon = ParquetIO.canonPath(f.filePath.toPath.toString)
-                GroupedPartition(0, FilePartition(i, Array(f)), Some(canon),
+                GroupedPartition(g, FilePartition(i, Array(f)), Some(canon),
                   Some(posScopeOf(canon)), None,
-                  if (eqActive) eqScopeFor(0, Seq(canon)) else None)
+                  if (eqActive) eqScopeFor(g, Seq(canon)) else None)
               }
               else {
-                val canons = fs.toSeq.map(f =>
+                val canons = fs.map(f =>
                   ParquetIO.canonPath(f._2.filePath.toPath.toString))
-                Seq(GroupedPartition(0, FilePartition(i, fs.map(_._2).toArray),
-                  eqScope = if (eqActive) eqScopeFor(0, canons) else None))
+                Seq(GroupedPartition(g, FilePartition(i, fs.map(_._2).toArray),
+                  eqScope = if (eqActive) eqScopeFor(g, canons) else None))
               }
-            KeyedPartition(0, subs,
-              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-                key.toArray)): InputPartition
-          }.toArray)
-        }
+          }
+          KeyedPartition(0, subs,
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              key.toArray)): InputPartition
+        }.toArray)
       }
     }
   }

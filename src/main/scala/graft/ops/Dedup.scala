@@ -646,7 +646,8 @@ object Dedup {
     * (n, bands, rows). */
   def minhashLshPairsFromStore(storeSigs: DataFrame, fresh: DataFrame,
       texts: DataFrame, n: Int = 3, bands: Int = 16, rows: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      freshSigs: Option[DataFrame] = None): DataFrame = {
     val bandUdf = udf((sig: Array[Byte]) => {
       val bb = java.nio.ByteBuffer.wrap(sig)
       val ints = Array.fill(sig.length / 4)(bb.getInt)
@@ -655,7 +656,13 @@ object Dedup {
     })
     def banded(w: DataFrame) =
       w.select(col("doc_id"), explode(bandUdf(col("sig"))).as("band"))
-    val fb = banded(minhashSignatures(fresh, n, bands, rows))
+    // same single-evaluation hook contract as freshPrepped/freshFps/
+    // freshBanded: the fresh banding feeds both the union and the
+    // candidate join, so callers with an expensive fresh plan hand in
+    // `minhashSignatures(fresh, n, bands, rows).persist()` (same
+    // parameters!) and unpersist it afterwards; these ARE the rows to
+    // append to the store after the run, so most callers persist anyway
+    val fb = banded(freshSigs.getOrElse(minhashSignatures(fresh, n, bands, rows)))
     val all = banded(storeSigs.select(col("doc_id"), col("sig"))).unionByName(fb)
     val lt = col("x.doc_id") < col("y.doc_id")
     val cand = fb.as("x").join(all.as("y"), Seq("band"))

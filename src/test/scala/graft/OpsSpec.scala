@@ -158,6 +158,23 @@ class OpsSpec extends SparkSpec {
     assert(acc.value === nFresh,
       s"freshFps path must evaluate fresh once, got ${acc.value}")
     assert(shHooked === shBaseline && shHooked.nonEmpty)
+    // --- minhash store (freshSigs) ---
+    val store = Dedup.minhashSignatures(corpus, n = 3, bands = 32, rows = 2)
+    acc.reset()
+    val stBaseline = Dedup.minhashLshPairsFromStore(store, fresh, docs,
+      n = 3, bands = 32, rows = 2, threshold = 0.5).collect().map(mkey).toSet
+    assert(acc.value >= 2 * nFresh,
+      s"un-persisted store-path fresh should evaluate >1x, got ${acc.value}")
+    acc.reset()
+    val fs = Dedup.minhashSignatures(fresh, n = 3, bands = 32, rows = 2).persist()
+    fs.count()
+    val stHooked = Dedup.minhashLshPairsFromStore(store, fresh, docs,
+      n = 3, bands = 32, rows = 2, threshold = 0.5,
+      freshSigs = Some(fs)).collect().map(mkey).toSet
+    fs.unpersist()
+    assert(acc.value === nFresh,
+      s"freshSigs path must evaluate fresh once, got ${acc.value}")
+    assert(stHooked === stBaseline && stHooked.nonEmpty)
   }
 
   test("signature store = recompute-everything incremental minhash") {

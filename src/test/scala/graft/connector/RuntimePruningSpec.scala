@@ -259,6 +259,75 @@ class RuntimePruningSpec extends SparkSpec {
       s"rename must not cost the bucket SPJ its shuffle-free plan:\n$plan")
   }
 
+  test("bucket SPJ survives int->long promotion of the bucket source column") {
+    wh
+    val iso = isoSession()
+    // side A starts INT-keyed: pre-promotion files hash 4-byte ints (as
+    // longs — the promotion-stable kernel), post-promotion files hash
+    // longs; side B is long-keyed from birth. The join must line buckets
+    // up across all three file populations, shuffle-free.
+    iso.sql("""CREATE TABLE dpp.db.spjpr_a (id INT, v DOUBLE)
+               PARTITIONED BY (bucket(4, id))""")
+    iso.range(60).selectExpr("CAST(id AS INT) AS id", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("spjpr1")
+    iso.sql("INSERT INTO dpp.db.spjpr_a SELECT * FROM spjpr1")
+    iso.sql("ALTER TABLE dpp.db.spjpr_a ALTER COLUMN id TYPE BIGINT")
+    iso.range(60, 120).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("spjpr2")
+    iso.sql("INSERT INTO dpp.db.spjpr_a SELECT * FROM spjpr2")
+    iso.sql("""CREATE TABLE dpp.db.spjpr_b (id BIGINT, v DOUBLE)
+               PARTITIONED BY (bucket(4, id))""")
+    iso.range(120).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("spjpr3")
+    iso.sql("INSERT INTO dpp.db.spjpr_b SELECT * FROM spjpr3")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val df = iso.sql(
+      """SELECT COUNT(*) AS n FROM dpp.db.spjpr_a a
+         JOIN dpp.db.spjpr_b b ON a.id = b.id""")
+    assert(df.collect().head.getLong(0) === 120L,
+      "promotion must not strand pre-promotion rows in wrong buckets")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"promotion must not cost the bucket SPJ its shuffle-free plan:\n$plan")
+  }
+
+  test("group-by on partition keys aggregates without a shuffle") {
+    wh
+    val iso = isoSession()
+    // identity-partitioned: per-partition agg is the canonical 100 TB
+    // rollup — with the scan reporting KeyGroupedPartitioning the
+    // HashAggregate's ClusteredDistribution is already satisfied
+    iso.sql("CREATE TABLE dpp.db.aggid (id BIGINT, grp BIGINT) PARTITIONED BY (grp)")
+    (0L until 4L).foreach { g =>
+      iso.range(50).selectExpr("id", s"$g AS grp").coalesce(1)
+        .createOrReplaceTempView("aggb")
+      iso.sql("INSERT INTO dpp.db.aggid SELECT * FROM aggb")
+    }
+    // bucket-partitioned: grouping on the bucket SOURCE column — same
+    // guarantee through the transform (equal ids share a bucket)
+    iso.sql("""CREATE TABLE dpp.db.aggbk (id BIGINT, v DOUBLE)
+               PARTITIONED BY (bucket(4, id))""")
+    iso.range(200).selectExpr("id % 10 AS id", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("aggc")
+    iso.sql("INSERT INTO dpp.db.aggbk SELECT * FROM aggc")
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val idAgg = iso.sql(
+      "SELECT grp, COUNT(*) AS n FROM dpp.db.aggid GROUP BY grp ORDER BY grp")
+    assert(idAgg.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      (0L until 4L).map((_, 50L)))
+    assert(!idAgg.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "identity-partitioned group-by should not shuffle")
+    val bkAgg = iso.sql(
+      "SELECT id, COUNT(*) AS n FROM dpp.db.aggbk GROUP BY id ORDER BY id")
+    assert(bkAgg.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      (0L until 10L).map((_, 20L)))
+    assert(!bkAgg.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "bucket-partitioned group-by on the source column should not shuffle")
+  }
+
   test("storage-partitioned join survives live DVs (MoR) without a shuffle") {
     wh
     val s = isoSession()
