@@ -45,6 +45,15 @@ object TextOps {
         val toks = text.split(' ')
         if (toks.length < n) Array.empty[Long]
         else {
+          // hash each token ONCE — the sliding window would otherwise
+          // murmur the same token n times (bit-identical output, ~n× less
+          // hashing on the hottest stage of the Jaccard family)
+          val th = new Array[Long](toks.length)
+          var j = 0
+          while (j < toks.length) {
+            th(j) = Murmur3.hashString(toks(j)).toLong & 0xffffffffL
+            j += 1
+          }
           val seen = new java.util.HashSet[Long]()
           val out = new scala.collection.mutable.ArrayBuffer[Long](toks.length)
           var i = 0
@@ -52,9 +61,8 @@ object TextOps {
             var h = 0x9e3779b97f4a7c15L
             var k = 0
             while (k < n) {
-              var th = Murmur3.hashString(toks(i + k)).toLong & 0xffffffffL
               // 64-bit avalanche mix (splitmix64 finalizer)
-              h ^= th
+              h ^= th(i + k)
               h *= 0xbf58476d1ce4e5b9L
               h ^= h >>> 27
               h *= 0x94d049bb133111ebL
