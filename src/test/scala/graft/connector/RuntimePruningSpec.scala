@@ -292,6 +292,75 @@ class RuntimePruningSpec extends SparkSpec {
       s"promotion must not cost the bucket SPJ its shuffle-free plan:\n$plan")
   }
 
+  test("bucket SPJ with MoR deletes on a promoted table stays exact and shuffle-free") {
+    wh
+    val iso = isoSession()
+    // three surfaces crossed: bucket SPJ × schema-generation groups ×
+    // merge-on-read deletes — per-generation reader groups must each
+    // carry their own delete scopes inside the key-grouped tasks
+    iso.sql("""CREATE TABLE dpp.db.spjmx_a (id INT, v DOUBLE)
+               PARTITIONED BY (bucket(4, id))
+               TBLPROPERTIES ('format-version'='3',
+                 'write.delete.mode'='merge-on-read')""")
+    iso.range(60).selectExpr("CAST(id AS INT) AS id", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("spjmx1")
+    iso.sql("INSERT INTO dpp.db.spjmx_a SELECT * FROM spjmx1")
+    iso.sql("ALTER TABLE dpp.db.spjmx_a ALTER COLUMN id TYPE BIGINT")
+    iso.range(60, 120).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("spjmx2")
+    iso.sql("INSERT INTO dpp.db.spjmx_a SELECT * FROM spjmx2")
+    // DVs land on BOTH generations' files
+    iso.sql("DELETE FROM dpp.db.spjmx_a WHERE id % 10 = 3")
+    val t = graft.format.GraftTable.load(iso, s"$wh/db/spjmx_a")
+    assert(t.newScan().planFiles().deleteFiles.nonEmpty, "need live deletes")
+    iso.sql("""CREATE TABLE dpp.db.spjmx_b (id BIGINT, v DOUBLE)
+               PARTITIONED BY (bucket(4, id))""")
+    iso.range(120).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("spjmx3")
+    iso.sql("INSERT INTO dpp.db.spjmx_b SELECT * FROM spjmx3")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val df = iso.sql(
+      """SELECT COUNT(*) AS n FROM dpp.db.spjmx_a a
+         JOIN dpp.db.spjmx_b b ON a.id = b.id""")
+    // 120 rows minus the 12 MoR-deleted (id%10=3)
+    assert(df.collect().head.getLong(0) === 108L,
+      "per-generation delete scopes must apply inside key-grouped tasks")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"MoR deletes across generations must not cost SPJ its plan:\n$plan")
+  }
+
+  test("bucket SPJ handles skew via partially-clustered distribution") {
+    wh
+    val iso = isoSession()
+    def mk(name: String, rows: Int): Unit = {
+      iso.sql(s"""CREATE TABLE dpp.db.$name (id BIGINT, v DOUBLE)
+                    PARTITIONED BY (bucket(4, id))""")
+      // skew: id 7 repeats heavily on the big side
+      iso.range(rows).selectExpr("CASE WHEN id % 3 = 0 THEN 7 ELSE id END AS id",
+          "CAST(id AS DOUBLE) AS v")
+        .createOrReplaceTempView("spjsk")
+      iso.sql(s"INSERT INTO dpp.db.$name SELECT * FROM spjsk")
+    }
+    mk("spjsk_a", 300); mk("spjsk_b", 90)
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    iso.conf.set(
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+      "true")
+    val df = iso.sql(
+      """SELECT COUNT(*) AS n FROM dpp.db.spjsk_a a
+         JOIN dpp.db.spjsk_b b ON a.id = b.id""")
+    // exact expected count computed the dumb way on the driver
+    val aIds = (0L until 300L).map(i => if (i % 3 == 0) 7L else i)
+    val bIds = (0L until 90L).map(i => if (i % 3 == 0) 7L else i)
+    val bCount = bIds.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = aIds.map(i => bCount.getOrElse(i, 0L)).sum
+    assert(df.collect().head.getLong(0) === expected,
+      "partially-clustered SPJ must not drop or duplicate skewed keys")
+  }
+
   test("group-by on partition keys aggregates without a shuffle") {
     wh
     val iso = isoSession()
