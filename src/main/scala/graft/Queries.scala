@@ -416,6 +416,14 @@ object Queries {
       TextOps.chunk(t(s, dir, "documents"), "text", maxTokens = 32, overlap = 8)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // token-budget sequence packing: contiguous ~2048-token training
+    // shards via a distributed two-phase prefix sum (group-keyed windows
+    // + a metadata-scale offsets window — never a single-partition global
+    // window over the corpus)
+    "q130_token_packing" -> ((s, dir) =>
+      TextOps.packByTokenBudget(t(s, dir, "documents"), budget = 2048)
+        .orderBy(col("doc_id"))),
+
     // benchmark decontamination: every 17th document plays the held-out
     // benchmark; corpus docs sharing any distinct 3-gram with it are
     // flagged with their overlap count and fraction. The benchmark gram
@@ -877,6 +885,20 @@ object Queries {
         |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, chunk_text,
         |  CAST(len(string_split(chunk_text, ' ')) AS INT) AS chunk_tokens
         |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // shard = floor(tokens-before-this-doc / budget), doc_id order —
+    // DuckDB states it as the straightforward global running sum; the
+    // Spark side must reproduce it from the two-phase distributed form
+    "q130_token_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(COALESCE(len(string_split(text, ' ')), 0) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  COALESCE(SUM(toks) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM t)
+        |SELECT doc_id, toks, CAST(FLOOR(cb / 2048) AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q117_pii_redaction" ->
       """WITH p AS (SELECT doc_id,

@@ -111,6 +111,51 @@ object TextOps {
   def bpeishTokenCount(text: Column): Column =
     size(split(text, "\\s+|(?<=[a-z])(?=[A-Z0-9])|(?<=[0-9])(?=[a-zA-Z])"))
 
+  /** Token-budget sequence packing: assign each document (in doc_id
+    * order) to a training shard so every shard holds ~`budget` tokens —
+    * `shard = floor(tokens-before-this-doc / budget)`, the layout a
+    * pretraining data loader consumes. Returns `(doc_id, toks, shard)`.
+    *
+    * The global running total is a DISTRIBUTED two-phase prefix sum, not
+    * a single-partition window (`Window.orderBy` with no partition key
+    * funnels 100 TB through one task): docs hash into ~shuffle-partition
+    * range groups by doc_id, each group's within-group cumsum is a
+    * group-keyed window, and the tiny per-group totals (one row per
+    * group) get their prefix offsets in a one-task window that is
+    * metadata-scale by construction — then a broadcast join stitches
+    * `offset(group) + within-group-cumsum`. The narrow `(doc_id, toks)`
+    * projection is scanned twice (totals + final); no driver collect,
+    * no silent cache. */
+  def packByTokenBudget(docs: DataFrame, budget: Long,
+      textCol: String = "text"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      coalesce(size(split(col(textCol), " ")).cast("long"), lit(0L)).as("toks"))
+    val bounds = base.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .head()
+    if (bounds.isNullAt(0)) return base.withColumn("shard", lit(0L)) // empty
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val nGroups = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val width = math.max(1L, (hi - lo) / nGroups + 1)
+    val keyed = base.withColumn("grp", ((col("doc_id") - lo) / width).cast("long"))
+    // one row PER GROUP — the only place a no-partition window appears,
+    // over ~numShufflePartitions rows
+    val offsets = keyed.groupBy("grp").agg(sum("toks").as("t"))
+      .withColumn("off", coalesce(sum("t").over(
+        Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("grp", "off")
+    val withinW = Window.partitionBy("grp").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed
+      .withColumn("cb", coalesce(sum("toks").over(withinW), lit(0L)))
+      .join(broadcast(offsets), "grp")
+      .select(col("doc_id"), col("toks"),
+        floor((col("off") + col("cb")) / budget).cast("long").as("shard"))
+  }
+
   /** Quality score in [0,1]: length saturation + type-token ratio +
     * stopword ratio. Formula is fixed and float-deterministic (left-assoc). */
   val StopWords: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")

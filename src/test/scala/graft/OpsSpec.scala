@@ -349,6 +349,34 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("token packing: two-phase prefix sum equals the global-window reference") {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512L
+    val out = TextOps.packByTokenBudget(docs, budget)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // reference: the single-partition global window (fine at spec scale,
+    // the thing the distributed form must never run at corpus scale)
+    val ref = docs.select(col("doc_id").cast("long").as("doc_id"),
+        coalesce(size(split(col("text"), " ")).cast("long"), lit(0L)).as("toks"))
+      .withColumn("cb", coalesce(sum("toks").over(Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("toks"),
+        floor(col("cb") / budget).cast("long").as("shard"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty && (out sameElements ref))
+    // properties: shards are contiguous nondecreasing in doc order, and a
+    // shard never holds more than budget + its last doc's overflow
+    assert(out.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    val perShard = out.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    val maxDoc = out.map(_._2).max
+    assert(perShard.values.forall(_ <= budget + maxDoc))
+    // every shard except the last is filled to at least the budget
+    val last = out.map(_._3).max
+    assert(perShard.filter(_._1 != last).values.forall(_ >= budget - maxDoc))
+  }
+
   test("chunking: windows overlap correctly and cover every token") {
     import spark.implicits._
     val doc = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
