@@ -738,14 +738,19 @@ object Commits {
   def appendToBranch(table: GraftTable, branch: String,
       newFiles: Seq[DataFile],
       summary: Map[String, String] = Map.empty): TableMetadata =
-    table.ops.commitTransaction { m =>
-      val ref = m.refs.getOrElse(branch,
+    table.ops.commitTransaction { m0 =>
+      val ref = m0.refs.getOrElse(branch,
         throw new IllegalArgumentException(s"no such branch: $branch"))
       require(ref.isBranch, s"cannot append to tag: $branch")
-      val head = m.snapshot(ref.snapshotId).getOrElse(
+      val head = m0.snapshot(ref.snapshotId).getOrElse(
         throw new IllegalStateException(s"branch head ${ref.snapshotId} missing"))
+      // v3 row lineage: branch appends draw from the SAME table-global
+      // next-row-id counter as main commits — without this, rows appended
+      // on a branch carried no first_row_id and read NULL _row_id (and
+      // would still be unassigned after a fast-forward publishes them)
+      val (files, m) = assignRowIds(m0, newFiles)
       val (seq, snapId) = nextIds(m)
-      val entries = newFiles.map(f =>
+      val entries = files.map(f =>
         ManifestEntry(EntryStatus.Added, snapId, seq,
           f.copy(schemaId =
             if (m.schemas.contains(f.schemaId)) f.schemaId else m.currentSchemaId,

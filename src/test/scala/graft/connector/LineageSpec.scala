@@ -237,6 +237,45 @@ class LineageSpec extends SparkSpec {
     }
   }
 
+  test("branch DML keeps row identity stable and globally disjoint across lines") {
+    val t = catalogTable("branching")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(20)")
+    val mainBefore = lineageOf(t)
+    val loc = s"$wh/db/branching"
+    graft.format.Commits.createBranch(GraftTable.load(spark, loc), "work")
+    val bt = s"lin.db.`branching.branch_work`"
+    // branch append: fresh ids from the TABLE-global next-row-id counter
+    spark.sql(s"INSERT INTO $bt SELECT id + 100, 'b' FROM range(10)")
+    // branch MoR-ish update: carried-over rows keep identity, updated rows
+    // re-identify at the branch commit's sequence (same contract as main)
+    spark.sql(s"UPDATE $bt SET v = 'upd' WHERE id < 5")
+    val branchAfter = lineageOf(bt)
+    // main line is untouched by any of it
+    assert(lineageOf(t) === mainBefore, "branch DML must not move main lineage")
+    // carried-over branch rows (5 <= id < 20) keep their original identity
+    (5L until 20L).foreach { id =>
+      assert(branchAfter(id) === mainBefore(id),
+        s"carried-over branch row $id lost its identity")
+    }
+    // updated rows carry a NEWER sequence than their originals
+    (0L until 5L).foreach { id =>
+      assert(branchAfter(id)._2 > mainBefore(id)._2,
+        s"updated branch row $id kept a stale sequence")
+    }
+    // a later MAIN append must not reuse ids the BRANCH already assigned:
+    // next-row-id is table-global, not per-line
+    spark.sql(s"INSERT INTO $t SELECT id + 500, 'm' FROM range(10)")
+    val mainAfter = lineageOf(t)
+    val branchIds = branchAfter.values.map(_._1).toSet
+    val newMainIds = mainAfter.filter(kv => kv._1 >= 500L).values.map(_._1).toSet
+    assert(newMainIds.nonEmpty &&
+      newMainIds.intersect(branchIds -- mainBefore.values.map(_._1)).isEmpty,
+      "main append reused row ids assigned on the branch")
+    // and every id within each line stays unique
+    assert(branchAfter.values.map(_._1).toSet.size === branchAfter.size)
+    assert(mainAfter.values.map(_._1).toSet.size === mainAfter.size)
+  }
+
   test("pre-v3 files read NULL lineage; files committed after the upgrade read values") {
     catalogTable("up0") // ensure the catalog exists
     spark.sql("CREATE TABLE lin.db.up (id BIGINT, v STRING)") // v2 default
