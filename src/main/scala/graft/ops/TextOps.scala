@@ -39,6 +39,16 @@ object TextOps {
     * expressions (`transform`/`sequence`) evaluate their lambdas
     * interpreted per element, which measured ~10x slower per doc. */
   def gramHashes(n: Int): Column => Column = {
+    // The function IS deterministic; the marking is a measured perf
+    // contract: every consumer projects it to an attribute and explodes
+    // that attribute, and Catalyst then infers the generator's
+    // isnotnull/size>0 filters on the attribute and pushes them through
+    // the defining projection — substituting the UDF into BOTH filters,
+    // i.e. 3 evaluations per row on the Jaccard family's hottest stage
+    // (accumulator-measured). Nondeterministic blocks the push-through:
+    // the filters run on the materialized array, the UDF once per row.
+    // Consequence callers must respect: use it in projections (as all
+    // Dedup sites do), not in WHERE clauses.
     val f = udf((text: String) => {
       if (text == null) Array.empty[Long]
       else {
@@ -76,7 +86,8 @@ object TextOps {
         }
       }
     })
-    c => f(c)
+    val nd = f.asNondeterministic()
+    c => nd(c)
   }
 
   /** Token count via codegen'd `size(split(...))`. */

@@ -11,7 +11,7 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    for (q <- Seq("q122_incremental_scan_dedup", "q123_image_decode")) {
+    for (q <- (if (args.nonEmpty) args.toSeq else Seq("q122_incremental_scan_dedup", "q123_image_decode"))) {
       System.err.println(s"===== $q =====")
       System.err.println(graft.SparkEntry.queries(q)(spark, dir)
         .queryExecution.explainString(
