@@ -331,6 +331,36 @@ class RuntimePruningSpec extends SparkSpec {
       s"MoR deletes across generations must not cost SPJ its plan:\n$plan")
   }
 
+  test("bucket SPJ spans mixed file formats (parquet + ORC reader groups)") {
+    wh
+    val iso = isoSession()
+    // format change mid-life: parquet files + ORC files in one table means
+    // one reader group per format — the key grouping must span them
+    iso.sql("""CREATE TABLE dpp.db.spjfm_a (id BIGINT, v DOUBLE)
+               PARTITIONED BY (bucket(4, id))""")
+    iso.range(60).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("spjfm1")
+    iso.sql("INSERT INTO dpp.db.spjfm_a SELECT * FROM spjfm1")
+    iso.sql("ALTER TABLE dpp.db.spjfm_a SET TBLPROPERTIES ('write.format.default'='orc')")
+    iso.range(60, 120).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("spjfm2")
+    iso.sql("INSERT INTO dpp.db.spjfm_a SELECT * FROM spjfm2")
+    iso.sql("""CREATE TABLE dpp.db.spjfm_b (id BIGINT, v DOUBLE)
+               PARTITIONED BY (bucket(4, id))""")
+    iso.range(120).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("spjfm3")
+    iso.sql("INSERT INTO dpp.db.spjfm_b SELECT * FROM spjfm3")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val df = iso.sql(
+      """SELECT COUNT(*) AS n FROM dpp.db.spjfm_a a
+         JOIN dpp.db.spjfm_b b ON a.id = b.id""")
+    assert(df.collect().head.getLong(0) === 120L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"mixed-format groups must not cost SPJ its shuffle-free plan:\n$plan")
+  }
+
   test("bucket SPJ handles skew via partially-clustered distribution") {
     wh
     val iso = isoSession()
