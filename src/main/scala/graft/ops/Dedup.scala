@@ -542,6 +542,28 @@ object Dedup {
       .withColumn("sig", sigUdf(col("grams")))
   }
 
+  /** Shared exact-verify tail of the MinHash-LSH family: join candidate
+    * pairs to per-doc gram sets and keep pairs at/above `threshold`.
+    * Grams travel as xxhash64 longs — identity lives only as a 64-bit
+    * hash (the same contract as [[jaccardPairsFast]]), so the verify
+    * join shuffles 8-byte elements instead of full shingle strings and
+    * compares longs, not strings. Jaccard over hashed DISTINCT grams
+    * equals the string answer short of a 64-bit collision inside one
+    * pair's union (~1e-9 at corpus gram counts). `sets` = (doc_id,
+    * grams: array<string>). */
+  private def verifyJaccard(cand: DataFrame, sets0: DataFrame,
+      threshold: Double): DataFrame = {
+    val sets = sets0.select(col("doc_id"),
+      array_distinct(transform(col("grams"), g => xxhash64(g))).as("gh"))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("gh").as("ga")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("gh").as("gb")), "b")
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   def minhashLshPairs(docs: DataFrame, n: Int = 3, bands: Int = 16, rows: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
     val withSig = minhashPrep(docs, n, bands, rows)
@@ -555,13 +577,7 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
     // verify candidates with exact Jaccard on the gram sets
     val sets = withSig.select(col("doc_id"), col("grams"))
-    cand
-      .join(sets.select(col("doc_id").as("a"), col("grams").as("ga")), "a")
-      .join(sets.select(col("doc_id").as("b"), col("grams").as("gb")), "b")
-      .select(col("a"), col("b"),
-        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb"))).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(cand, sets, threshold)
   }
 
   /** Incremental MinHash+LSH near-dup: banded candidate pairs touching a
@@ -606,13 +622,7 @@ object Dedup {
       .distinct()
     val sets = cw.select(col("doc_id"), col("grams"))
       .unionByName(fw.select(col("doc_id"), col("grams")))
-    cand
-      .join(sets.select(col("doc_id").as("a"), col("grams").as("ga")), "a")
-      .join(sets.select(col("doc_id").as("b"), col("grams").as("gb")), "b")
-      .select(col("a"), col("b"),
-        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb"))).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(cand, sets, threshold)
   }
 
   /** MinHash signatures packed for PERSISTENCE: one `(doc_id, sig)` row
@@ -679,13 +689,7 @@ object Dedup {
     val sets = texts.join(touched, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         TextOps.wordNgrams(TextOps.tokens(col("text")), n).as("grams"))
-    cand
-      .join(sets.select(col("doc_id").as("a"), col("grams").as("ga")), "a")
-      .join(sets.select(col("doc_id").as("b"), col("grams").as("gb")), "b")
-      .select(col("a"), col("b"),
-        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb"))).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(cand, sets, threshold)
   }
 
   // --- embedding-cosine near-dup ------------------------------------------
