@@ -506,7 +506,12 @@ object Dedup {
     while (i < distinct.length) {
       // UTF-8 encode each shingle ONCE; the k seeded permutations hash the
       // same bytes (bit-identical to hashStringSeed per permutation, k×
-      // fewer encodings on the minhash family's hottest loop)
+      // fewer encodings on the minhash family's hottest loop). Keep the k
+      // independent murmurs: a cheap 2-universal multiply-shift family was
+      // tried and MEASURED to collapse banding recall (530 -> 60 verified
+      // pairs at sf1) — 2-universal is not min-wise independent enough
+      // for near-dup banding, and signatures are persisted (q127's store)
+      // so the family is part of the on-disk contract.
       val b = distinct(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
       var p = 0
       while (p < k) {
