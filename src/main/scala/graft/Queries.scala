@@ -626,6 +626,31 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL image resize: synthesize real PNG/JPEG bytes per doc, resize
+    // through the JDK pipeline (decode -> bilinear scale -> PNG), then
+    // RE-PROBE the emitted bytes — the oracle recomputes the aspect-fit
+    // dimensions from doc_id with integer arithmetic, so a wrong fit, a
+    // non-PNG output, or a fallback to the stub all break the hash
+    "q131_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val fmt = if (id % 2 == 0) "png" else "jpeg"
+          (id, Multimodal.ImageCodec.encode(
+            1 + (id % 13).toInt, 1 + (id % 7).toInt, fmt, seed = id))
+        }).toDF("doc_id", "payload")
+      val probed = udf((png: Array[Byte]) =>
+        Multimodal.ImageCodec.probe(png)
+          .map(m => Seq(m.width, m.height)).getOrElse(Seq(-1, -1)))
+      Multimodal.resizeImages(s, media, maxW = 8, maxH = 8)
+        .withColumn("pr", probed(col("png")))
+        .select(col("doc_id"), col("src_w"), col("src_h"),
+          col("out_w"), col("out_h"),
+          col("pr")(0).as("probe_w"), col("pr")(1).as("probe_h"))
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL audio header decode: synthesize a real WAV/AIFF/AU container
     // per doc in executors (sample rate / channels derived from doc_id via
     // the JDK's own audio writers), then header-probe the bytes back
@@ -1194,6 +1219,21 @@ object Queries {
         |CAST(3 AS INTEGER) AS channels,
         |CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // aspect-fit resize into (8, 8): outW = max(1, min(8, w*8/h)) floor
+    // division (and symmetrically outH); probe_w/h restate the same values
+    // — the Spark side must read them back from the REAL emitted PNG
+    "q131_image_resize" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(1 + doc_id % 13 AS INTEGER) AS w,
+        |  CAST(1 + doc_id % 7 AS INTEGER) AS h FROM documents),
+        |f AS (SELECT doc_id, w, h,
+        |  GREATEST(1, LEAST(8, (w * 8) // h)) AS ow,
+        |  GREATEST(1, LEAST(8, (h * 8) // w)) AS oh FROM d)
+        |SELECT doc_id, w AS src_w, h AS src_h,
+        |  CAST(ow AS INTEGER) AS out_w, CAST(oh AS INTEGER) AS out_h,
+        |  CAST(ow AS INTEGER) AS probe_w, CAST(oh AS INTEGER) AS probe_h
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // audio header probe round-trip: width = sample rate, height = bits
     // per sample (encoder always writes 16-bit PCM), format = container

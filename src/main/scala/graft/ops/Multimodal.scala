@@ -71,6 +71,47 @@ object Multimodal {
       } finally if (in != null) in.close()
     }
 
+    /** REAL aspect-preserving resize via the JDK's BufferedImage pipeline
+      * (ImageIO decode → Graphics2D bilinear scale → PNG re-encode; zero
+      * external deps, headless-safe). The fit rule is integer arithmetic a
+      * SQL oracle can restate: scale to the largest (w, h) with
+      * w ≤ maxW, h ≤ maxH preserving aspect —
+      * `outW = max(1, min(maxW, w*maxH/h))`, `outH = max(1, min(maxH,
+      * h*maxW/w))` (floor division). Upscales small images too (training
+      * pipelines normalize to a fixed grid). None when the payload is not
+      * a decodable image — one corrupt object degrades, never fails the
+      * task. */
+    def resize(payload: Array[Byte], maxW: Int, maxH: Int)
+        : Option[(Int, Int, Array[Byte])] = {
+      require(maxW > 0 && maxH > 0, s"bad target: ${maxW}x$maxH")
+      try {
+        val src = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (src == null) None
+        else {
+          val (w, h) = (src.getWidth, src.getHeight)
+          val outW = math.max(1, math.min(maxW.toLong,
+            w.toLong * maxH / h).toInt)
+          val outH = math.max(1, math.min(maxH.toLong,
+            h.toLong * maxW / w).toInt)
+          val dst = new java.awt.image.BufferedImage(outW, outH,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, outW, outH, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          Some((outW, outH, bos.toByteArray))
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      }
+    }
+
     /** Encode a deterministic (width × height) image — the test-fixture /
       * gate-query generator (there is no real media in the testdata, so
       * the gate synthesizes real PNG/JPEG bytes and decodes them back). */
@@ -211,5 +252,23 @@ object Multimodal {
         case (frame, idx) => (r.doc_id, idx, frame.length, FakeCodec.feature(frame))
       }
     }.toDF("doc_id", "frame_idx", "frame_bytes", "feature")
+  }
+
+  /** REAL image resize over a (doc_id, payload) frame: partition-local
+    * decode → aspect-fit scale into (maxW, maxH) → PNG re-encode
+    * ([[ImageCodec.resize]]). Non-image payloads are DROPPED (the row
+    * carries nothing a training grid can use); the dataflow is a narrow
+    * map — no shuffle at any corpus size. Output: (doc_id, src_w, src_h,
+    * out_w, out_h, png). */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+      maxW: Int = 64, maxH: Int = 64): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      ImageCodec.probe(r.payload).flatMap { src =>
+        ImageCodec.resize(r.payload, maxW, maxH).map { case (w, h, png) =>
+          (r.doc_id, src.width, src.height, w, h, png)
+        }
+      }
+    }.toDF("doc_id", "src_w", "src_h", "out_w", "out_h", "png")
   }
 }

@@ -631,6 +631,24 @@ class OpsSpec extends SparkSpec {
     assert(rows(2L) === ((640, 480, 3, "jpeg")))
   }
 
+  test("ImageCodec.resize: real aspect-fit scale, PNG round-trip, corrupt degrades") {
+    import graft.ops.Multimodal.ImageCodec
+    // downscale 13x5 into (8,8): outW = min(8, 13*8/5) = 8, outH = min(8, 5*8/13) = 3
+    val big = ImageCodec.encode(13, 5, "png", seed = 7L)
+    val Some((w1, h1, png1)) = ImageCodec.resize(big, 8, 8)
+    assert((w1, h1) === (8, 3))
+    val m1 = ImageCodec.probe(png1).get
+    assert((m1.width, m1.height, m1.format) === (8, 3, "png"))
+    // upscale 2x3 into (8,8): outW = min(8, 2*8/3) = 5, outH = min(8, 3*8/2) = 8
+    val small = ImageCodec.encode(2, 3, "jpeg", seed = 9L)
+    val Some((w2, h2, png2)) = ImageCodec.resize(small, 8, 8)
+    assert((w2, h2) === (5, 8))
+    assert(ImageCodec.probe(png2).exists(m => m.width == 5 && m.height == 8))
+    // non-image / corrupt bytes degrade to None, never throw
+    assert(ImageCodec.resize(Array[Byte](1, 2, 3, 4), 8, 8).isEmpty)
+    assert(ImageCodec.resize(big.take(10), 8, 8).isEmpty)
+  }
+
   test("AudioCodec: real WAV/AIFF/AU header probe, non-audio falls through") {
     import graft.ops.Multimodal.AudioCodec
     val wav = AudioCodec.encode(8000, channels = 1, frames = 5, "wave", seed = 3L)
