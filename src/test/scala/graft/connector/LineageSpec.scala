@@ -276,6 +276,51 @@ class LineageSpec extends SparkSpec {
     assert(mainAfter.values.map(_._1).toSet.size === mainAfter.size)
   }
 
+  test("concurrent main and branch appends never collide on row ids") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val t = catalogTable("racerows")
+    spark.sql(s"INSERT INTO $t SELECT id, 'seed' FROM range(5)")
+    val loc = s"$wh/db/racerows"
+    graft.format.Commits.createBranch(GraftTable.load(spark, loc), "work")
+    // 2 main + 2 branch writer threads × 3 appends each, all racing the
+    // table-global next-row-id counter through CAS retries
+    val pool = Executors.newFixedThreadPool(4)
+    val gate = new CountDownLatch(1)
+    val errs = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    (0 until 4).foreach { th =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          gate.await()
+          try (0 until 3).foreach { c =>
+            val base = 100L + th * 30 + c * 10
+            val df = spark.range(base, base + 10)
+              .selectExpr("id", s"'t$th' AS v")
+            val tt = GraftTable.load(spark, loc)
+            if (th % 2 == 0) GraftWrite.append(tt, df)
+            else GraftWrite.appendToBranch(tt, "work", df)
+          } catch { case e: Throwable => errs.compareAndSet(null, e) }
+        }
+      })
+    }
+    gate.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(errs.get() == null, s"writer failed: ${errs.get()}")
+    val mainIds = spark.sql(s"SELECT _row_id FROM $t")
+      .collect().map(_.getLong(0))
+    val branchIds = spark.sql(s"SELECT _row_id FROM lin.db.`racerows.branch_work`")
+      .collect().map(_.getLong(0))
+    // every row id assigned exactly once per line...
+    assert(mainIds.distinct.length === mainIds.length)
+    assert(branchIds.distinct.length === branchIds.length)
+    // ...and the two lines share ONLY the 5 pre-branch seed rows' ids:
+    // main-appended and branch-appended rows never reuse each other's
+    val shared = mainIds.toSet.intersect(branchIds.toSet)
+    assert(shared.size === 5,
+      s"main/branch row-id overlap beyond the shared seed rows: $shared")
+    assert(mainIds.length === 5 + 60 && branchIds.length === 5 + 60)
+  }
+
   test("pre-v3 files read NULL lineage; files committed after the upgrade read values") {
     catalogTable("up0") // ensure the catalog exists
     spark.sql("CREATE TABLE lin.db.up (id BIGINT, v STRING)") // v2 default

@@ -54,6 +54,39 @@ class DefaultsSpec extends SparkSpec {
       .addColumn("tier", StringType, initialDefault = Some("basic")).commit())
   }
 
+  test("branch reads backfill a default added on main after the branch") {
+    // branch reads follow the table's CURRENT schema (public-Iceberg
+    // branch semantics) — a default added on main AFTER the branch was
+    // cut must backfill the branch's pre-default files, and the row-id
+    // machinery must keep working on the cross (v3)
+    val df = (0L until 6L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = GraftTable.create(spark, freshLoc("defbr"), df.schema,
+      properties = Map("format-version" -> "3"))
+    GraftWrite.append(t, df.coalesce(1))
+    Commits.createBranch(t, "work")
+    // branch-only append BEFORE the default exists
+    GraftWrite.appendToBranch(t, "work",
+      (6L until 9L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1))
+    SchemaUpdate(GraftTable.load(spark, t.location))
+      .addColumn("tier", StringType, initialDefault = Some("basic")).commit()
+    val t2 = GraftTable.load(spark, t.location)
+    val branchRows = t2.newScan().useRef("work").toDF()
+      .select("id", "tier").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(branchRows.length === 9)
+    assert(branchRows.forall(_._2 == "basic"),
+      s"branch read must backfill the post-branch default: ${branchRows.toSeq}")
+    // and a branch append AFTER the default writes real values
+    GraftWrite.appendToBranch(t2, "work",
+      Seq((9L, "b9", "gold")).toDF("id", "v", "tier").coalesce(1))
+    val after = GraftTable.load(spark, t.location).newScan().useRef("work")
+      .toDF().select("id", "tier").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(after(9L) === "gold" && after(0L) === "basic")
+    // main never saw the branch rows
+    assert(GraftTable.load(spark, t.location).toDF().count() === 6)
+  }
+
   test("nested initial defaults backfill struct fields across every surface") {
     val df = (0L until 8L).map(i => (i, s"v$i")).toDF("id", "v")
       .withColumn("info", when(col("id") =!= 7L, struct(col("v").as("tag"))))
