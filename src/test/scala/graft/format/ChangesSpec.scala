@@ -136,6 +136,38 @@ class ChangesSpec extends SparkSpec {
     assert(dels === Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("changelog over a branch's line sees branch DML, not main's") {
+    // toId = branch head: the ancestry walk follows the branch's parents,
+    // so the changelog reports the branch's own DML while commits on main
+    // after the fork stay invisible (and vice versa)
+    val t = fresh("branchcdc", docs(0 until 8))
+    GraftWrite.append(t, docs(0 until 8).coalesce(1))
+    val base = t.currentSnapshot.get.snapshotId
+    Commits.createBranch(t, "work")
+    // branch: DELETE WHERE id < 2, committed to the ref (CoW or
+    // metadata-only — either way a row-DELETING commit, unlike
+    // rewriteFiles/"replace" which is row-preserving and rightly silent)
+    Deletes.deleteWhere(t, Exprs.lt("id", 2L), branch = Some("work"))
+    // main: unrelated append AFTER the fork
+    GraftWrite.append(t, docs(100 until 104).coalesce(1))
+    val t2 = GraftTable.load(spark, t.location)
+    val brHead = t2.metadata.refSnapshotId("work")
+    // net: the branch DELETE fell back to a CoW rewrite, so the raw
+    // changelog carries carryover churn (same as on main) — the net view
+    // must collapse it to exactly the logical delete
+    val br = Changes.net(Changes.between(t2, Some(base), brHead))
+      .select(col("id"), col(Changes.ChangeType)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(br === Seq((0L, "DELETE"), (1L, "DELETE")),
+      s"branch changelog must be the branch's own DML: ${br.toSeq}")
+    // the main line since the fork reports only its append
+    val mn = Changes.between(t2, Some(base), t2.metadata.currentSnapshotId)
+      .select(col("id"), col(Changes.ChangeType)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(mn === (100L until 104L).map((_, "INSERT")),
+      s"main changelog must not see branch DML: ${mn.toSeq}")
+  }
+
   test("replace commits (compaction) emit nothing") {
     val t = fresh("compact", docs(0 until 0))
     GraftWrite.append(t, docs(0 until 4).coalesce(1))
