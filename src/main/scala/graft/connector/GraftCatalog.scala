@@ -241,7 +241,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
 
   override def functionExists(ident: Identifier): Boolean =
-    GraftFunctions.names.contains(ident.name())
+    GraftFunctions.names.contains(ident.name()) ||
+      ident.name().matches("truncate_\\d+")
 
   // ---- procedures: system.rollback_to_snapshot / expire_snapshots / ...
   private lazy val procedures = {

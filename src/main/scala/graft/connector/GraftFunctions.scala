@@ -15,10 +15,20 @@ object GraftFunctions {
 
   val names: Seq[String] = Seq("bucket", "truncate", "years", "months", "days", "hours")
 
+  private val TruncW = "truncate_(\\d+)".r
+
   def load(name: String): UnboundFunction = name match {
     case "bucket" => new TransformUnbound("bucket", twoArg = true,
       (w, dt) => Transforms.BucketT(w), IntegerType)
     case "truncate" => new TruncateUnbound
+    // width-baked single-argument spelling, reported by the scan's
+    // KeyGroupedPartitioning: Spark's key-grouping only supports
+    // single-child transform expressions (bucket's numBuckets literal is
+    // special-cased into numBucketsOpt; a generic literal argument
+    // disqualifies the partitioning), so truncate[W] rides as its own
+    // function name with the width inside the binding — and inside
+    // canonicalName, so different widths never compare compatible
+    case TruncW(w) => new TruncateFixedUnbound(w.toInt)
     case "years" => new TimeUnbound("years", Transforms.YearT)
     case "months" => new TimeUnbound("months", Transforms.MonthT)
     case "days" => new TimeUnbound("days", Transforms.DayT)
@@ -66,6 +76,17 @@ object GraftFunctions {
         val w = row.getInt(0)
         Transforms.TruncateT(w).apply(canonical(row, 1, dt), dt)
       }, Array(IntegerType, dt))
+    }
+  }
+
+  final class TruncateFixedUnbound(w: Int) extends UnboundFunction {
+    override def name(): String = s"truncate_$w"
+    override def description(): String = s"graft truncate[$w] transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1, s"truncate_$w(col)")
+      val dt = inputType.fields.head.dataType
+      new BoundTransform(s"truncate_$w", dt, dt, (row: InternalRow) =>
+        Transforms.TruncateT(w).apply(canonical(row, 0, dt), dt), Array(dt))
     }
   }
 

@@ -1454,7 +1454,8 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
           spjInfo.get.fields.map(f => (f.transform match {
             case Transforms.BucketT(n) => XE.bucket(n, f.col)
             case Transforms.TruncateT(w) =>
-              XE.apply("truncate", XE.literal(Integer.valueOf(w)), XE.column(f.col))
+              // width-baked name: key grouping rejects literal children
+              XE.apply(s"truncate_$w", XE.column(f.col))
             case Transforms.YearT => XE.years(f.col)
             case Transforms.MonthT => XE.months(f.col)
             case Transforms.DayT => XE.days(f.col)

@@ -361,6 +361,50 @@ class RuntimePruningSpec extends SparkSpec {
       s"mixed-format groups must not cost SPJ its shuffle-free plan:\n$plan")
   }
 
+  test("truncate and days transforms storage-partition-join too") {
+    wh
+    val iso = isoSession()
+    // truncate[2] on a string key
+    def mkT(name: String): Unit = {
+      iso.sql(s"""CREATE TABLE dpp.db.$name (k STRING, v DOUBLE)
+                    PARTITIONED BY (truncate(2, k))""")
+      iso.range(120).selectExpr(
+          "concat(CASE CAST(id % 4 AS INT) WHEN 0 THEN 'aa' WHEN 1 THEN 'bb' " +
+          "WHEN 2 THEN 'cc' ELSE 'dd' END, CAST(id AS STRING)) AS k",
+          "CAST(id AS DOUBLE) AS v")
+        .createOrReplaceTempView("spjtr")
+      iso.sql(s"INSERT INTO dpp.db.$name SELECT * FROM spjtr")
+    }
+    mkT("spjtr_a"); mkT("spjtr_b")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val tr = iso.sql(
+      """SELECT COUNT(*) AS n FROM dpp.db.spjtr_a a
+         JOIN dpp.db.spjtr_b b ON a.k = b.k""")
+    assert(tr.collect().head.getLong(0) === 120L)
+    assert(!tr.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "truncate-partitioned tables must storage-partition-join")
+    // days(ts) on a timestamp key — the co-partitioned time-series join
+    def mkD(name: String): Unit = {
+      iso.sql(s"""CREATE TABLE dpp.db.$name (ts TIMESTAMP_NTZ, v DOUBLE)
+                    PARTITIONED BY (days(ts))""")
+      iso.range(96).selectExpr(
+          "timestampadd(HOUR, CAST(id AS INT), TIMESTAMP_NTZ '2024-03-01 00:00:00') AS ts",
+          "CAST(id AS DOUBLE) AS v")
+        .createOrReplaceTempView("spjdy")
+      iso.sql(s"INSERT INTO dpp.db.$name SELECT * FROM spjdy")
+    }
+    mkD("spjdy_a"); mkD("spjdy_b")
+    val dy = iso.sql(
+      """SELECT COUNT(*) AS n FROM dpp.db.spjdy_a a
+         JOIN dpp.db.spjdy_b b ON a.ts = b.ts""")
+    assert(dy.collect().head.getLong(0) === 96L)
+    assert(!dy.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "days-partitioned tables must storage-partition-join")
+  }
+
   test("bucket SPJ handles skew via partially-clustered distribution") {
     wh
     val iso = isoSession()
