@@ -361,6 +361,64 @@ class RuntimePruningSpec extends SparkSpec {
       s"mixed-format groups must not cost SPJ its shuffle-free plan:\n$plan")
   }
 
+  test("compound identity+bucket specs storage-partition-join on both keys") {
+    wh
+    val iso = isoSession()
+    def mk(name: String): Unit = {
+      iso.sql(s"""CREATE TABLE dpp.db.$name (id BIGINT, grp BIGINT, v DOUBLE)
+                    PARTITIONED BY (grp, bucket(4, id))""")
+      (0L until 2L).foreach { g =>
+        iso.range(80).selectExpr("id", s"$g AS grp", "CAST(id AS DOUBLE) AS v")
+          .createOrReplaceTempView("spjcb")
+        iso.sql(s"INSERT INTO dpp.db.$name SELECT * FROM spjcb")
+      }
+    }
+    mk("spjcb_a"); mk("spjcb_b")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val df = iso.sql(
+      """SELECT COUNT(*) AS n FROM dpp.db.spjcb_a a
+         JOIN dpp.db.spjcb_b b ON a.grp = b.grp AND a.id = b.id""")
+    assert(df.collect().head.getLong(0) === 160L)
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "compound identity+bucket spec must storage-partition-join")
+  }
+
+  test("dynamic partition pruning survives renaming the partition source column") {
+    wh
+    val iso = isoSession()
+    iso.sql("""CREATE TABLE dpp.db.fact_rn (id BIGINT, grp BIGINT, v DOUBLE)
+               PARTITIONED BY (grp)""")
+    (0L until 8L).foreach { g =>
+      iso.range(100).selectExpr("id", s"$g AS grp", "CAST(id AS DOUBLE) AS v")
+        .coalesce(1).createOrReplaceTempView("rnb")
+      iso.sql("INSERT INTO dpp.db.fact_rn SELECT * FROM rnb")
+    }
+    // rename the partition SOURCE column: pre-rename files keep their spec
+    // field name and partition values; the runtime filter arrives on the
+    // CURRENT name and must still prune whole files
+    iso.sql("ALTER TABLE dpp.db.fact_rn RENAME COLUMN grp TO category")
+    iso.range(8).selectExpr("id AS k",
+        "CASE WHEN id = 3 THEN 'pick' ELSE 'skip' END AS flag")
+      .write.mode("overwrite").parquet(s"$wh/rndim")
+    iso.read.parquet(s"$wh/rndim").createOrReplaceTempView("rndim")
+    val q = """SELECT COUNT(*) AS n, SUM(f.v) AS s
+               FROM dpp.db.fact_rn f JOIN rndim d ON f.category = d.k
+               WHERE d.flag = 'pick'"""
+    val df = iso.sql(q)
+    assert(df.queryExecution.executedPlan.toString.toLowerCase
+      .contains("dynamicpruning"),
+      "rename must not cost the fact scan its runtime filter")
+    val withDpp = recordsRead {
+      val r = df.collect().head
+      assert(r.getLong(0) === 100L, "rename must not break DPP correctness")
+      assert(r.getDouble(1) === (0 until 100).sum.toDouble)
+    }
+    assert(withDpp < 400L,
+      s"runtime pruning after rename read $withDpp records (expected ~116)")
+  }
+
   test("truncate and days transforms storage-partition-join too") {
     wh
     val iso = isoSession()
