@@ -463,6 +463,44 @@ class RuntimePruningSpec extends SparkSpec {
       "days-partitioned tables must storage-partition-join")
   }
 
+  test("incrementalJaccardPairsFromStore rides one-sided SPJ on a bucketed store") {
+    wh
+    val iso = isoSession()
+    import iso.implicits._
+    // corpus/fresh docs with real shared grams so pairs actually verify
+    def baseText(i: Long) = (0 until 9).map(k => s"tok-$i-$k").mkString(" ")
+    val docs = (0L until 40L).map { i =>
+      // fresh docs (multiples of 10) duplicate their predecessor's text;
+      // every other doc is gram-disjoint from every other
+      (i, if (i % 10 == 0 && i > 0) baseText(i - 1) else baseText(i))
+    }.toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val fresh = docs.filter($"doc_id" % 10 === 0)
+    val grams = graft.ops.Dedup.gramStore(corpus, n = 3)
+    val loc = s"$wh/db/gram_spj"
+    val tt = graft.format.GraftTable.recreate(iso, loc, grams.schema,
+      specBuild = _.bucket("g", 4))
+    graft.format.GraftWrite.append(tt, grams)
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    iso.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    val out = graft.ops.Dedup.incrementalJaccardPairsFromStore(
+      iso.table("dpp.db.gram_spj"), fresh, n = 3, threshold = 0.5, maxDf = 0)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // each fresh doc 10,20,30 near-duplicates its predecessor (shared 3-grams)
+    assert(rows.toSeq == Seq((9L, 10L), (19L, 20L), (29L, 30L)),
+      s"store path pairs wrong: ${rows.toSeq}")
+    val plan = out.queryExecution.executedPlan.toString
+    // the semi-join must key-group: probe side shuffles INTO the store's
+    // buckets; a hashpartitioning exchange feeding the semi-join would
+    // mean the corpus-scale store side moved
+    assert(plan.contains("KeyGroupedPartitioning") ||
+      plan.contains("keygroupedpartitioning"),
+      s"store semi-join should ride SPJ:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "broadcast is off — the test must exercise the shuffle path")
+  }
+
   test("bucket SPJ handles skew via partially-clustered distribution") {
     wh
     val iso = isoSession()
