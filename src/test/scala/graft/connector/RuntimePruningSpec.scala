@@ -501,6 +501,34 @@ class RuntimePruningSpec extends SparkSpec {
       "broadcast is off — the test must exercise the shuffle path")
   }
 
+  test("branch reads of co-bucketed tables storage-partition-join") {
+    wh
+    val iso = isoSession()
+    def mk(name: String): Unit = {
+      iso.sql(s"""CREATE TABLE dpp.db.$name (id BIGINT, v DOUBLE)
+                    PARTITIONED BY (bucket(4, id))""")
+      iso.range(100).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .createOrReplaceTempView("spjbr")
+      iso.sql(s"INSERT INTO dpp.db.$name SELECT * FROM spjbr")
+      graft.format.Commits.createBranch(
+        graft.format.GraftTable.load(iso, s"$wh/db/$name"), "audit")
+      // diverge the branch so the test can't pass by accident of reading main
+      iso.sql(s"INSERT INTO dpp.db.`$name.branch_audit` " +
+        "SELECT id + 1000, CAST(id AS DOUBLE) FROM range(20)")
+    }
+    mk("spjbr_a"); mk("spjbr_b")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val df = iso.sql(
+      """SELECT COUNT(*) AS n FROM dpp.db.`spjbr_a.branch_audit` a
+         JOIN dpp.db.`spjbr_b.branch_audit` b ON a.id = b.id""")
+    assert(df.collect().head.getLong(0) === 120L,
+      "branch SPJ must see BOTH lines' files (100 shared + 20 branch-only)")
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "branch reads of co-bucketed tables must storage-partition-join")
+  }
+
   test("bucket SPJ handles skew via partially-clustered distribution") {
     wh
     val iso = isoSession()
