@@ -112,6 +112,46 @@ object Multimodal {
       }
     }
 
+    /** REAL image feature vector: decode → bilinear 8x8 → per-pixel
+      * luminance (BT.601 integer weights), 64 floats in [0,1] row-major —
+      * the classic perceptual-thumbnail embedding (aHash's vector form),
+      * computed entirely in the JDK. Feed it to the embedding near-dup /
+      * ANN ops for visual dedup: the same picture re-encoded (PNG vs
+      * JPEG) lands within cosine ~0.99; unrelated pictures don't. None
+      * for non-images — degrade, never fail the task. */
+    def feature(payload: Array[Byte]): Option[Array[Float]] = {
+      try {
+        val src = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (src == null) None
+        else {
+          val dst = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, 8, 8, null)
+          } finally g.dispose()
+          val out = new Array[Float](64)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val rgb = dst.getRGB(x, y)
+              val lum = 299 * ((rgb >> 16) & 0xff) +
+                587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
+              out(y * 8 + x) = lum / 255000.0f
+              x += 1
+            }
+            y += 1
+          }
+          Some(out)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
     /** Encode a deterministic (width × height) image — the test-fixture /
       * gate-query generator (there is no real media in the testdata, so
       * the gate synthesizes real PNG/JPEG bytes and decodes them back). */
@@ -252,6 +292,19 @@ object Multimodal {
         case (frame, idx) => (r.doc_id, idx, frame.length, FakeCodec.feature(frame))
       }
     }.toDF("doc_id", "frame_idx", "frame_bytes", "feature")
+  }
+
+  /** REAL image features over a (doc_id, payload) frame: one 64-dim
+    * luminance-thumbnail vector per decodable image ([[ImageCodec
+    * .feature]]), emitted as (vec_id, embedding) so the output plugs
+    * STRAIGHT into [[Dedup.embeddingNearDupLsh]] / [[Similarity]] for
+    * visual near-dup at corpus scale. Narrow map, no shuffle; non-images
+    * drop. */
+  def imageFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap(r =>
+      ImageCodec.feature(r.payload).map(f => (r.doc_id, f)))
+      .toDF("vec_id", "embedding")
   }
 
   /** REAL image resize over a (doc_id, payload) frame: partition-local

@@ -649,6 +649,45 @@ class OpsSpec extends SparkSpec {
     assert(ImageCodec.resize(big.take(10), 8, 8).isEmpty)
   }
 
+  test("ImageCodec.feature: re-encoded images stay near, distinct images apart") {
+    import graft.ops.Multimodal.ImageCodec
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    // same deterministic content through lossless PNG vs lossy JPEG:
+    // the perceptual vector must be nearly identical
+    val png = ImageCodec.feature(ImageCodec.encode(24, 16, "png", seed = 5L)).get
+    val jpg = ImageCodec.feature(ImageCodec.encode(24, 16, "jpeg", seed = 5L)).get
+    assert(png.length === 64 && png.forall(v => v >= 0f && v <= 1f))
+    assert(cos(png, jpg) > 0.99, s"re-encode cosine ${cos(png, jpg)}")
+    // determinism: same bytes, same vector
+    val again = ImageCodec.feature(ImageCodec.encode(24, 16, "png", seed = 5L)).get
+    assert(png.toSeq === again.toSeq)
+    // a different picture is measurably farther than the re-encode pair
+    val other = ImageCodec.feature(ImageCodec.encode(24, 16, "png", seed = 99L)).get
+    assert(cos(png, other) < cos(png, jpg),
+      s"distinct-image cosine ${cos(png, other)} not below re-encode ${cos(png, jpg)}")
+    // non-image bytes degrade to None
+    assert(ImageCodec.feature(Array[Byte](9, 9, 9)).isEmpty)
+    // and the frame-level op plugs into the embedding ANN shape
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val media = Seq((1L, ImageCodec.encode(24, 16, "png", seed = 5L)),
+      (2L, ImageCodec.encode(24, 16, "jpeg", seed = 5L)),
+      (3L, ImageCodec.encode(24, 16, "png", seed = 99L)),
+      (4L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val feats = graft.ops.Multimodal.imageFeatures(spark, media)
+    assert(feats.columns.toSeq === Seq("vec_id", "embedding"))
+    assert(feats.count() === 3, "non-image must drop")
+    val near = graft.ops.Dedup.embeddingNearDupExact(feats, threshold = 0.99)
+      .select(col("a"), col("b")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(near.contains((1L, 2L)), "the re-encoded pair must near-dup")
+    assert(!near.contains((1L, 3L)) || cos(png, other) >= 0.99)
+  }
+
   test("AudioCodec: real WAV/AIFF/AU header probe, non-audio falls through") {
     import graft.ops.Multimodal.AudioCodec
     val wav = AudioCodec.encode(8000, channels = 1, frames = 5, "wave", seed = 3L)
