@@ -580,14 +580,14 @@ object Dedup {
     val cand = banded.as("x").join(banded.as("y"), Seq("band"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    // verify candidates with exact Jaccard on the gram sets — restricted
-    // FIRST to candidate-touched docs (the semi-join pushes below the
-    // gram projection, so on a mostly-unique corpus the verify side never
-    // re-tokenizes the untouched majority; FromStore shares this shape)
-    val touched = cand.select(col("a").as("doc_id"))
-      .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+    // verify candidates with exact Jaccard on the gram sets. Deliberately
+    // NOT semi-joined down to candidate-touched docs: `touched` would
+    // derive from `cand`, and re-evaluating the candidate subtree (band
+    // join + distinct + the corpus signature UDF) costs MORE than joining
+    // the pruned gram column — measured: +18% on q34, +36% on q125 when
+    // the semi-join was tried. FromStore differs: its touched set prunes
+    // a table READ, not a recomputation, and keeps its semi-join.
     val sets = withSig.select(col("doc_id"), col("grams"))
-      .join(touched, Seq("doc_id"), "left_semi")
     verifyJaccard(cand, sets, threshold)
   }
 
@@ -631,11 +631,11 @@ object Dedup {
         when(lt, col("x.doc_id")).otherwise(col("y.doc_id")).as("a"),
         when(lt, col("y.doc_id")).otherwise(col("x.doc_id")).as("b"))
       .distinct()
-    val touched = cand.select(col("a").as("doc_id"))
-      .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+    // not semi-joined to candidate-touched docs — see minhashLshPairs:
+    // recomputing `cand` for the touched set measured slower than the
+    // pruned-gram join on both the full and incremental paths
     val sets = cw.select(col("doc_id"), col("grams"))
       .unionByName(fw.select(col("doc_id"), col("grams")))
-      .join(touched, Seq("doc_id"), "left_semi")
     verifyJaccard(cand, sets, threshold)
   }
 
