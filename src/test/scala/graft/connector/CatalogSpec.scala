@@ -719,6 +719,34 @@ class CatalogSpec extends SparkSpec {
       "every generation's data must survive the rename")
   }
 
+  test("streaming appends resolve renames by field id on ORC and Avro tables") {
+    // the generation machinery is per-(format, generation) — prove the
+    // non-parquet read paths get the same rename safety, not just parquet
+    wh
+    for (fmt <- Seq("orc", "avro")) {
+      val tbl = s"strn_$fmt"
+      spark.sql(s"""CREATE TABLE g.db.$tbl (id BIGINT, v STRING)
+                    TBLPROPERTIES ('write.format.default'='$fmt')""")
+      spark.sql(s"INSERT INTO g.db.$tbl VALUES (1, 'a')")
+      val ck = Files.createTempDirectory(s"graft-$tbl-ck").toString
+      def drain(): Unit =
+        spark.readStream.table(s"g.db.$tbl").writeStream
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"g.db.${tbl}_sink").awaitTermination()
+      drain()
+      spark.sql(s"INSERT INTO g.db.$tbl VALUES (2, 'b')") // pre-rename, unconsumed
+      spark.sql(s"ALTER TABLE g.db.$tbl RENAME COLUMN v TO vv")
+      drain()
+      spark.sql(s"INSERT INTO g.db.$tbl VALUES (3, 'c')") // post-rename
+      drain()
+      assert(spark.sql(s"SELECT id, v FROM g.db.${tbl}_sink ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        === Seq((1L, "a"), (2L, "b"), (3L, "c")),
+        s"$fmt: every generation's data must survive the rename")
+    }
+  }
+
   test("streaming appends resolve NESTED renames by field id") {
     wh
     spark.sql("CREATE TABLE g.db.strnn (id BIGINT, info STRUCT<tag: STRING, n: BIGINT>)")
