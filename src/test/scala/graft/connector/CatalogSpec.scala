@@ -747,6 +747,32 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("streaming appends upcast int->long promotions on every format") {
+    // pre-promotion files hold 4-byte ints; a stream draining them AFTER
+    // the ALTER must upcast per file, per format
+    wh
+    for (fmt <- Seq("parquet", "orc", "avro")) {
+      val tbl = s"stpr_$fmt"
+      spark.sql(s"""CREATE TABLE g.db.$tbl (id INT, v STRING)
+                    TBLPROPERTIES ('write.format.default'='$fmt')""")
+      val ck = Files.createTempDirectory(s"graft-$tbl-ck").toString
+      def drain(): Unit =
+        spark.readStream.table(s"g.db.$tbl").writeStream
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"g.db.${tbl}_sink").awaitTermination()
+      spark.sql(s"INSERT INTO g.db.$tbl VALUES (1, 'a')") // int file, unconsumed
+      spark.sql(s"ALTER TABLE g.db.$tbl ALTER COLUMN id TYPE BIGINT")
+      drain() // reads the int file under the promoted schema
+      spark.sql(s"INSERT INTO g.db.$tbl VALUES (${1L << 40}, 'b')") // needs 8 bytes
+      drain()
+      assert(spark.sql(s"SELECT id, v FROM g.db.${tbl}_sink ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        === Seq((1L, "a"), ((1L << 40), "b")),
+        s"$fmt: promotion must upcast pre-promotion streamed files")
+    }
+  }
+
   test("streaming appends resolve NESTED renames by field id") {
     wh
     spark.sql("CREATE TABLE g.db.strnn (id BIGINT, info STRUCT<tag: STRING, n: BIGINT>)")
