@@ -242,7 +242,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def functionExists(ident: Identifier): Boolean =
     GraftFunctions.names.contains(ident.name()) ||
-      ident.name().matches("truncate_\\d+")
+      ident.name().matches("truncate_[1-9]\\d*")
 
   // ---- procedures: system.rollback_to_snapshot / expire_snapshots / ...
   private lazy val procedures = {

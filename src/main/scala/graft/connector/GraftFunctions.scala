@@ -15,7 +15,10 @@ object GraftFunctions {
 
   val names: Seq[String] = Seq("bucket", "truncate", "years", "months", "days", "hours")
 
-  private val TruncW = "truncate_(\\d+)".r
+  // width must be positive: truncate_0 would divide by zero / emit empty
+  // prefixes at eval time — reject it at resolution instead (the same
+  // guard Transforms.TruncateT applies on the write path)
+  private val TruncW = "truncate_([1-9]\\d*)".r
 
   def load(name: String): UnboundFunction = name match {
     case "bucket" => new TransformUnbound("bucket", twoArg = true,

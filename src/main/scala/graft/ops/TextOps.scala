@@ -129,14 +129,21 @@ object TextOps {
     *
     * The global running total is a DISTRIBUTED two-phase prefix sum, not
     * a single-partition window (`Window.orderBy` with no partition key
-    * funnels 100 TB through one task): docs hash into ~shuffle-partition
-    * range groups by doc_id, each group's within-group cumsum is a
-    * group-keyed window, and the tiny per-group totals (one row per
-    * group) get their prefix offsets in a one-task window that is
-    * metadata-scale by construction — then a broadcast join stitches
-    * `offset(group) + within-group-cumsum`. The narrow `(doc_id, toks)`
-    * projection is scanned twice (totals + final); no driver collect,
-    * no silent cache. */
+    * funnels 100 TB through one task): docs cut into ~shuffle-partition
+    * QUANTILE range groups by doc_id (skew-robust on sparse/clustered id
+    * spaces), each group's within-group cumsum is a group-keyed window,
+    * and the tiny per-group totals (one row per group) get their prefix
+    * offsets in a one-task window that is metadata-scale by construction
+    * — then a broadcast join stitches `offset(group) +
+    * within-group-cumsum`. The narrow `(doc_id, toks)` projection is
+    * scanned twice (totals + final); no driver collect, no silent cache.
+    *
+    * Determinism contract: the doc_id order is the pack order; rows
+    * sharing a doc_id sort arbitrarily WITHIN the tie (they always land
+    * in the same group, so the set of shards is stable, but tied rows may
+    * swap shards run to run when a budget boundary falls inside the tie)
+    * — give every row a distinct doc_id for a fully deterministic
+    * layout. NULL doc_ids pack first (nulls-first order). */
   def packByTokenBudget(docs: DataFrame, budget: Long,
       textCol: String = "text"): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
@@ -144,13 +151,8 @@ object TextOps {
     val spark = docs.sparkSession
     val base = docs.select(col("doc_id").cast("long").as("doc_id"),
       coalesce(size(split(col(textCol), " ")).cast("long"), lit(0L)).as("toks"))
-    val bounds = base.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
-      .head()
-    if (bounds.isNullAt(0)) return base.withColumn("shard", lit(0L)) // empty
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val nGroups = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    val width = math.max(1L, (hi - lo) / nGroups + 1)
-    val keyed = base.withColumn("grp", ((col("doc_id") - lo) / width).cast("long"))
+    val keyed = quantileGroups(base, "doc_id", nGroups)
     // one row PER GROUP — the only place a no-partition window appears,
     // over ~numShufflePartitions rows
     val offsets = keyed.groupBy("grp").agg(sum("toks").as("t"))
@@ -165,6 +167,33 @@ object TextOps {
       .join(broadcast(offsets), "grp")
       .select(col("doc_id"), col("toks"),
         floor((col("off") + col("cb")) / budget).cast("long").as("shard"))
+  }
+
+  /** Skew-robust order-preserving group key: cut `keyCol` (long) into
+    * `nGroups` QUANTILE ranges, not arithmetic on (min, max). Arithmetic
+    * width degenerates on sparse/clustered id spaces (snowflake-style ids:
+    * one group swallows the whole corpus and a per-group window becomes a
+    * single-task sort). Quantile cuts give ~equal group populations for
+    * ANY id distribution; the boundary array (< nGroups longs) is computed
+    * once and baked into a codegen'd array-filter, so group assignment is
+    * deterministic across runs and across every reuse of the returned
+    * frame (no repartitionByRange re-sampling hazard). Equal keys always
+    * land in the same group (duplicates never split), and NULL keys
+    * deterministically land in group 0 — consistent with the nulls-first
+    * global key order. `grp` is nondecreasing in `keyCol`. */
+  private[graft] def quantileGroups(base: DataFrame, keyCol: String,
+      nGroups: Int): DataFrame = {
+    val probs = (1 until nGroups).map(_.toDouble / nGroups).toArray
+    val bounds: Array[Long] =
+      if (probs.isEmpty) Array.empty
+      else base.stat.approxQuantile(keyCol, probs, 0.001)
+        .filterNot(_.isNaN).map(_.toLong).distinct.sorted
+    if (bounds.isEmpty) base.withColumn("grp", lit(0L))
+    else {
+      val bArr = array(bounds.map(lit(_)).toIndexedSeq: _*)
+      base.withColumn("grp",
+        size(filter(bArr, b => b <= col(keyCol))).cast("long"))
+    }
   }
 
   /** Quality score in [0,1]: length saturation + type-token ratio +

@@ -377,6 +377,76 @@ class OpsSpec extends SparkSpec {
     assert(perShard.filter(_._1 != last).values.forall(_ >= budget - maxDoc))
   }
 
+  test("gramHashes evaluates ONCE per row through the explode pipeline (plan shape)") {
+    // gramHashes is marked asNondeterministic as a measured perf contract:
+    // without the marking, Catalyst infers the generator's
+    // isnotnull/size>0 filters and pushes them through the defining
+    // projection, substituting the UDF into both — 3 evaluations per row
+    // on the Jaccard family's hottest stage. Pin the plan shape so a
+    // future revert of the marking is caught here, not in a bench drift.
+    def udfCount(df: org.apache.spark.sql.DataFrame): Int =
+      "UDF".r.findAllIn(df.queryExecution.optimizedPlan.toString).length
+    val marked = docs
+      .select(col("doc_id"), TextOps.gramHashes(3)(col("text")).as("gs"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    assert(udfCount(marked) == 1,
+      s"gramHashes must appear exactly once in the optimized plan:\n${marked.queryExecution.optimizedPlan}")
+    // control — a DETERMINISTIC udf in the same shape gets duplicated by
+    // filter inference, proving the detector sees the failure mode this
+    // test guards against
+    val det = udf((s: String) =>
+      if (s == null) Array.empty[Long] else s.split(' ').map(_.length.toLong))
+    val unmarked = docs.select(col("doc_id"), det(col("text")).as("gs"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    assert(udfCount(unmarked) > 1,
+      "control: deterministic udf should be duplicated by inferred filters")
+  }
+
+  test("token packing: sparse/clustered ids keep balanced groups and the single-window answer") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // snowflake-shaped pathology: a dense cluster at 0..100 plus a far
+    // outlier band at 10^15 — the old (min,max)-arithmetic group key put
+    // EVERY dense row in one group (width ≈ (hi-lo)/n ≈ 3*10^13), turning
+    // the per-group window into a single-task sort of the whole corpus
+    val ids = (0L to 100L) ++ (0L until 100L).map(1000000000000000L + _)
+    val pathological = ids.map(id => (id, s"tok${id % 7} " * (1 + (id % 5)).toInt))
+      .toDF("doc_id", "text")
+    val budget = 12L
+    val out = TextOps.packByTokenBudget(pathological, budget)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ref = pathological.select(col("doc_id").cast("long").as("doc_id"),
+        coalesce(size(split(col("text"), " ")).cast("long"), lit(0L)).as("toks"))
+      .withColumn("cb", coalesce(sum("toks").over(Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("toks"),
+        floor(col("cb") / budget).cast("long").as("shard"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty && (out sameElements ref))
+    // group-balance: quantile cuts must spread the 201 rows across groups
+    // so no group swallows the corpus (arithmetic width gives max=101)
+    val base = pathological.select(col("doc_id").cast("long").as("doc_id"))
+    val grouped = TextOps.quantileGroups(base, "doc_id", 8)
+      .groupBy("grp").count().collect().map(r => r.getLong(1))
+    assert(grouped.length >= 4, s"expected >=4 populated groups, got ${grouped.length}")
+    val ideal = math.ceil(ids.size / 8.0)
+    assert(grouped.max <= 2 * ideal,
+      s"max group ${grouped.max} exceeds 2x ideal $ideal — skew collapse")
+  }
+
+  test("token packing: NULL doc_ids pack first instead of dropping") {
+    import spark.implicits._
+    val withNull = Seq((Some(5L), "a b c"), (None, "x y"), (Some(9L), "d e"))
+      .toDF("doc_id", "text")
+    val out = TextOps.packByTokenBudget(withNull, budget = 100L)
+      .orderBy(col("doc_id").asc_nulls_first).collect()
+    assert(out.length == 3, "null-id row must survive the offsets join")
+    // nulls-first prefix order: null(2 toks) -> 5(3) -> 9(2), one shard
+    assert(out.head.isNullAt(0) && out.forall(_.getLong(2) == 0L))
+  }
+
   test("chunking: windows overlap correctly and cover every token") {
     import spark.implicits._
     val doc = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),

@@ -353,6 +353,16 @@ class CatalogSpec extends SparkSpec {
       .collect().head.getInt(0) == 17501)
     assert(spark.sql("SELECT g.system.truncate(5, 'abcdefg')")
       .collect().head.getString(0) == "abcde")
+    // width-baked spelling resolves for positive widths only: truncate_0
+    // would divide by zero on numeric inputs at eval time, so it must die
+    // at resolution, not in a task
+    assert(spark.sql("SELECT g.system.truncate_5('abcdefg')")
+      .collect().head.getString(0) == "abcde")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT g.system.truncate_0('abcdefg')").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("truncate_0") ||
+      err.getMessage.toLowerCase.contains("function"))
   }
 
   test("writes cluster by partition transforms (write.distribution-mode=hash default)") {

@@ -172,6 +172,35 @@ class RuntimePruningSpec extends SparkSpec {
       s"baseline run should shuffle:\n$plan2")
   }
 
+  test("mismatched bucket widths must SHUFFLE, never silently co-locate") {
+    // BoundTransform.canonicalName bakes the function name but not the
+    // bucket width — compatibility between bucket(4) and bucket(8) rests
+    // on Spark comparing TransformExpression.numBucketsOpt. Pin the
+    // behavior that scheme depends on: if a Spark upgrade ever changed the
+    // comparison, a silent SPJ across different widths would co-locate
+    // rows wrongly and DROP join matches; this test would then fail on
+    // the plan assertion (and likely the count) instead of shipping.
+    wh
+    val iso = isoSession()
+    def mk(name: String, buckets: Int, rows: Int): Unit = {
+      iso.sql(s"""CREATE TABLE dpp.db.$name (id BIGINT, v DOUBLE)
+                    PARTITIONED BY (bucket($buckets, id))""")
+      iso.range(rows).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .createOrReplaceTempView(s"spjmw_$name")
+      iso.sql(s"INSERT INTO dpp.db.$name SELECT * FROM spjmw_$name")
+    }
+    mk("spjmw_a", 4, 200); mk("spjmw_b", 8, 150)
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val df = iso.sql("""SELECT COUNT(*) AS n
+      FROM dpp.db.spjmw_a a JOIN dpp.db.spjmw_b b ON a.id = b.id""")
+    assert(df.collect().head.getLong(0) === 150L,
+      "mismatched-width join lost matches — silent mis-co-location")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning"),
+      s"bucket(4) x bucket(8) must not storage-partition-join:\n$plan")
+  }
+
   test("bucketed table joins a derived side with a one-side shuffle only") {
     wh
     val iso = isoSession()
