@@ -676,6 +676,30 @@ object Queries {
         .select(col("doc_id"), col("width"), col("height"),
           col("channels"), col("format"))
         .orderBy(col("doc_id"))
+    }),
+
+    // REAL video header decode: synthesize a minimal-but-valid MP4
+    // (ftyp + moov{mvhd, trak{tkhd}}) per doc in executors with
+    // dimensions/brand derived from doc_id, then parse the ISO-BMFF box
+    // tree back through VideoCodec — the oracle recomputes the expected
+    // header fields from doc_id, so a box misparse (or a fallback to the
+    // stub) breaks the hash. Encode and probe both run partition-local.
+    "q132_video_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val brand = (id % 3) match {
+            case 0 => "isom"; case 1 => "mp42"; case _ => "avc1"
+          }
+          (id, Multimodal.VideoCodec.encode(
+            width = 16 + (id % 640).toInt, height = 9 + (id % 480).toInt,
+            timescale = 1000L, durationTicks = 1000L * (1 + id % 30), brand))
+        }).toDF("doc_id", "payload")
+      Multimodal.decodeAll(s, media).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("channels"), col("format"))
+        .orderBy(col("doc_id"))
     }))
 
   /** DuckDB oracles. Keys absent here get the driver's rows-only check. */
@@ -1243,6 +1267,17 @@ object Queries {
         |CAST(16 AS INTEGER) AS height,
         |CAST(1 + doc_id % 2 AS INTEGER) AS channels,
         |CASE doc_id % 3 WHEN 0 THEN 'wave' WHEN 1 THEN 'aiff' ELSE 'au' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // video header probe round-trip: width/height from tkhd 16.16 fixed
+    // point, channels = trak count (encoder writes one), format = ftyp
+    // major brand
+    "q132_video_decode" ->
+      """SELECT doc_id,
+        |CAST(16 + doc_id % 640 AS INTEGER) AS width,
+        |CAST(9 + doc_id % 480 AS INTEGER) AS height,
+        |CAST(1 AS INTEGER) AS channels,
+        |CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42' ELSE 'avc1' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin) ++ FormatQueries.oracles ++ defaultTwinOracles
 
   /** q33_jaccard_default runs the library-default hot-gram guard

@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
  * the JDK's own ImageIO readers (PNG/JPEG/GIF/BMP ship with Java 17, no
  * external deps) parse the container header in [[ImageCodec]]. AUDIO
  * header decode is REAL too: `javax.sound.sampled.AudioSystem` parses
- * WAV/AIFF/AU containers in [[AudioCodec]]. Only VIDEO stays STUBBED
- * behind `FakeCodec` — the JDK genuinely ships no video demuxer; swap it
- * for a real decoder (JNI or `mapInPandas` on the Python side) without
- * touching the pipeline shape.
+ * WAV/AIFF/AU containers in [[AudioCodec]]. VIDEO header decode is REAL
+ * as well: [[VideoCodec]] parses the MP4/ISO-BMFF box tree (dimensions /
+ * duration need no codec — they are plain big-endian metadata in `moov`).
+ * Only FRAME decode would need a real demuxer (JNI or `mapInPandas` on
+ * the Python side — swap in without touching the pipeline shape);
+ * `FakeCodec` remains solely the non-media fallback.
  *
  * Scale design: decode/feature-extract run inside `mapPartitions` so a
  * real codec amortizes per-partition init (model load, JNI handle) across
@@ -230,9 +232,165 @@ object Multimodal {
   }
 
   /**
-   * STUB decoder for video payloads (and the non-media fallback):
-   * deterministic pseudo-decode of a byte payload. A real implementation
-   * would parse the container format here.
+   * REAL video header probe: plain big-endian parsing of the MP4/ISO-BMFF
+   * box structure (ISO 14496-12 — a public spec; no codec needed, because
+   * dimensions and duration live in the `moov` metadata boxes, not the
+   * encoded samples). Walks top-level boxes to `moov`, reads
+   * `mvhd` (timescale + duration, version 0 and 1 layouts) and each
+   * `trak/tkhd` (16.16 fixed-point width/height), and never touches
+   * `mdat` — header-only like the image and audio probes, a few hundred
+   * bytes per object at any corpus size.
+   *
+   * MediaMeta mapping for video: width/height = first visual track's
+   * dimensions (rounded from 16.16 fixed point), channels = track count,
+   * format = the ftyp major brand (e.g. "isom", "mp42").
+   */
+  object VideoCodec {
+    private def u32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def u64(b: Array[Byte], i: Int): Long =
+      (u32(b, i) << 32) | u32(b, i + 4)
+    private def fourcc(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Iterate child boxes of `[from, until)`, calling `f(type, payloadFrom,
+      * payloadUntil)`. Malformed sizes end the walk (never loop/overrun). */
+    private def walk(b: Array[Byte], from: Int, until: Int)
+        (f: (String, Int, Int) => Unit): Unit = {
+      var i = from
+      while (i + 8 <= until) {
+        val size32 = u32(b, i)
+        val typ = fourcc(b, i + 4)
+        val (payload, boxEnd) =
+          if (size32 == 1L && i + 16 <= until) (i + 16L, i + u64(b, i + 8))
+          else if (size32 == 0L) (i + 8L, until.toLong) // box runs to end
+          else (i + 8L, i + size32)
+        if (boxEnd <= i || boxEnd > until || payload > boxEnd) return
+        f(typ, payload.toInt, boxEnd.toInt)
+        i = boxEnd.toInt
+      }
+    }
+
+    /** (timescale, durationTicks, tracks as (width, height)). */
+    private case class Moov(timescale: Long, duration: Long,
+                            tracks: Seq[(Int, Int)])
+
+    private def parseMoov(b: Array[Byte], from: Int, until: Int): Moov = {
+      var timescale = 0L; var duration = 0L
+      val tracks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      walk(b, from, until) {
+        case ("mvhd", p, e) =>
+          val v = b(p) & 0xff
+          // v0: ver/flags(4) creation(4) modification(4) timescale(4)
+          // duration(4); v1 widens the three time fields to 8 bytes
+          if (v == 0 && p + 20 <= e) {
+            timescale = u32(b, p + 12); duration = u32(b, p + 16)
+          } else if (v == 1 && p + 32 <= e) {
+            timescale = u32(b, p + 20); duration = u64(b, p + 24)
+          }
+        case ("trak", p, e) =>
+          walk(b, p, e) {
+            case ("tkhd", tp, te) =>
+              val v = b(tp) & 0xff
+              // width/height are 16.16 fixed point at the end of tkhd:
+              // v0 payload offset 76/80, v1 (8-byte times) offset 88/92
+              val off = if (v == 1) 88 else 76
+              if (tp + off + 8 <= te)
+                tracks += (((u32(b, tp + off) >> 16).toInt,
+                  (u32(b, tp + off + 4) >> 16).toInt))
+            case _ =>
+          }
+        case _ =>
+      }
+      Moov(timescale, duration, tracks.toSeq)
+    }
+
+    /** None when the bytes are not ISO-BMFF (no leading `ftyp`) or the
+      * box tree is truncated/corrupt — same degradation contract as the
+      * image and audio probes: one bad payload falls through, never fails
+      * the task. */
+    def probe(payload: Array[Byte]): Option[MediaMeta] = {
+      try {
+        if (payload.length < 16 || fourcc(payload, 4) != "ftyp") return None
+        val brand = fourcc(payload, 8).trim.toLowerCase(java.util.Locale.ROOT)
+        var result: Option[MediaMeta] = None
+        walk(payload, 0, payload.length) {
+          case ("moov", p, e) if result.isEmpty =>
+            val m = parseMoov(payload, p, e)
+            val (w, h) = m.tracks.find(t => t._1 > 0 && t._2 > 0)
+              .getOrElse((0, 0))
+            result = Some(MediaMeta(w, h, m.tracks.size, brand))
+          case _ =>
+        }
+        result
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Duration in SECONDS (mvhd duration / timescale), None for
+      * non-BMFF / missing-moov / zero-timescale payloads. */
+    def probeDurationSec(payload: Array[Byte]): Option[Double] = {
+      try {
+        if (payload.length < 16 || fourcc(payload, 4) != "ftyp") return None
+        var result: Option[Double] = None
+        walk(payload, 0, payload.length) {
+          case ("moov", p, e) if result.isEmpty =>
+            val m = parseMoov(payload, p, e)
+            if (m.timescale > 0)
+              result = Some(m.duration.toDouble / m.timescale)
+          case _ =>
+        }
+        result
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Encode a deterministic minimal MP4 (ftyp + moov{mvhd, trak{tkhd}}
+      * — no mdat; a header probe never reads samples) — the test-fixture /
+      * gate-query generator, mirroring ImageCodec.encode /
+      * AudioCodec.encode. All fields big-endian per ISO 14496-12. */
+    def encode(width: Int, height: Int, timescale: Long, durationTicks: Long,
+               brand: String = "isom"): Array[Byte] = {
+      require(brand.length == 4, s"brand must be a fourcc: '$brand'")
+      val bb = java.nio.ByteBuffer.allocate(24 + 216)
+      def fourccBytes(s: String): Array[Byte] =
+        s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      // ftyp: major brand + minor version + 2 compatible brands
+      bb.putInt(24).put(fourccBytes("ftyp")).put(fourccBytes(brand))
+        .putInt(0).put(fourccBytes(brand)).put(fourccBytes("mp42"))
+      // moov{mvhd(108), trak{tkhd(92)}} = 8 + 108 + 100
+      bb.putInt(216).put(fourccBytes("moov"))
+      bb.putInt(108).put(fourccBytes("mvhd"))
+        .putInt(0)                       // version 0 + flags
+        .putInt(0).putInt(0)             // creation / modification
+        .putInt(timescale.toInt).putInt(durationTicks.toInt)
+        .putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+        .put(new Array[Byte](10))        // reserved
+        .putInt(0x00010000).putInt(0).putInt(0) // unity matrix rows
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000)
+        .put(new Array[Byte](24))        // pre_defined
+        .putInt(2)                       // next_track_ID
+      bb.putInt(100).put(fourccBytes("trak"))
+      bb.putInt(92).put(fourccBytes("tkhd"))
+        .putInt(7)                       // version 0, flags: enabled+in-movie+in-preview
+        .putInt(0).putInt(0)             // creation / modification
+        .putInt(1).putInt(0)             // track_ID, reserved
+        .putInt(durationTicks.toInt)
+        .put(new Array[Byte](8))         // reserved
+        .putShort(0).putShort(0).putShort(0).putShort(0) // layer/alt/volume/reserved
+        .putInt(0x00010000).putInt(0).putInt(0) // unity matrix rows
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000)
+        .putInt(width << 16).putInt(height << 16) // 16.16 fixed point
+      bb.array()
+    }
+  }
+
+  /**
+   * STUB decoder for non-media payloads: deterministic pseudo-decode of a
+   * byte payload. Image (ImageIO), audio (AudioSystem) and video
+   * (ISO-BMFF byte parsing) containers are all probed for REAL before any
+   * payload falls through to here.
    */
   object FakeCodec {
     def decode(payload: Array[Byte]): MediaMeta = {
@@ -266,9 +424,10 @@ object Multimodal {
   /** Partition-wise decode + feature extraction (batch shape of a real
     * codec pipeline): payloads that parse as a real image get ImageIO
     * header metadata, real audio containers get AudioSystem header
-    * metadata; only video/non-media falls back to the stub. The feature
-    * vector stays the deterministic byte-histogram stand-in (a real
-    * embedding model is per-partition init here). */
+    * metadata, real MP4/ISO-BMFF containers get moov-box header metadata;
+    * only non-media falls back to the stub. The feature vector stays the
+    * deterministic byte-histogram stand-in (a real embedding model is
+    * per-partition init here). */
   def decodeAll(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
@@ -276,6 +435,7 @@ object Multimodal {
       rows.map { r =>
         val meta = ImageCodec.probe(r.payload)
           .orElse(AudioCodec.probe(r.payload))
+          .orElse(VideoCodec.probe(r.payload))
           .getOrElse(FakeCodec.decode(r.payload))
         DecodedRow(r.doc_id, r.payload.length, meta.width, meta.height,
           meta.channels, meta.format, sha256Hex(r.payload), FakeCodec.feature(r.payload))

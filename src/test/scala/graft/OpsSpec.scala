@@ -784,4 +784,62 @@ class OpsSpec extends SparkSpec {
     assert(rows(1L) === ((8000, 16, 1, "wave")))
     assert(rows(2L) === ((16000, 16, 2, "aiff")))
   }
+
+  test("VideoCodec: real MP4 box-tree probe, v0+v1 layouts, corrupt degrades") {
+    import graft.ops.Multimodal.{MediaMeta, VideoCodec}
+    // v0 round trip through our own minimal encoder
+    val mp4 = VideoCodec.encode(width = 640, height = 360,
+      timescale = 1000L, durationTicks = 12500L, brand = "mp42")
+    assert(new String(mp4.slice(4, 8), "US-ASCII") === "ftyp",
+      "encode must produce a real ISO-BMFF file")
+    assert(VideoCodec.probe(mp4) === Some(MediaMeta(640, 360, 1, "mp42")))
+    assert(VideoCodec.probeDurationSec(mp4) === Some(12.5))
+    // VERSION 1 boxes (64-bit times) use different field offsets — build
+    // them by hand so the parser's v1 branch is pinned, not just our
+    // encoder's v0 output
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val mvhd1 = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 8 + 8 + 4 + 8 + 80)
+      bb.put(1.toByte).put(new Array[Byte](3)) // version 1 + flags
+        .putLong(0L).putLong(0L)               // 64-bit creation/modification
+        .putInt(600).putLong(1800L)            // timescale, 64-bit duration
+      bb.array()
+    }
+    val tkhd1 = {
+      val bb = java.nio.ByteBuffer.allocate(96)
+      bb.put(1.toByte).put(new Array[Byte](3)) // version 1 + flags
+        .putLong(0L).putLong(0L)               // 64-bit creation/modification
+        .putInt(1).putInt(0)                   // track_ID, reserved
+        .putLong(1800L)                        // 64-bit duration
+        .put(new Array[Byte](8 + 8 + 36))      // reserved + l/a/v/r + matrix
+        .putInt(1920 << 16).putInt(1080 << 16) // 16.16 width/height
+      bb.array()
+    }
+    val ftyp = box("ftyp", "avc1".getBytes("US-ASCII") ++ new Array[Byte](4))
+    val v1file = ftyp ++ box("moov", box("mvhd", mvhd1) ++ box("trak", box("tkhd", tkhd1)))
+    assert(VideoCodec.probe(v1file) === Some(MediaMeta(1920, 1080, 1, "avc1")))
+    assert(VideoCodec.probeDurationSec(v1file) === Some(3.0))
+    // non-BMFF / truncated payloads degrade to None, never throw — probe
+    // every prefix so no box-length arithmetic can overrun
+    assert(VideoCodec.probe("definitely not a video".getBytes("UTF-8")).isEmpty)
+    assert(VideoCodec.probe(Array.empty[Byte]).isEmpty)
+    (0 until mp4.length by 7).foreach { k =>
+      assert(VideoCodec.probe(mp4.take(k)).isEmpty, s"prefix $k must degrade")
+    }
+    // decodeAll routes MP4 payloads through the REAL probe (image+audio
+    // decline first); non-media text still falls through to the stub
+    import spark.implicits._
+    val txt = "plain text payload".getBytes("UTF-8")
+    val media = Seq((1L, mp4), (2L, v1file), (3L, txt)).toDF("doc_id", "payload")
+    val rows = Multimodal.decodeAll(spark, media).collect()
+      .map(d => d.doc_id -> ((d.width, d.height, d.channels, d.format))).toMap
+    assert(rows(1L) === ((640, 360, 1, "mp42")))
+    assert(rows(2L) === ((1920, 1080, 1, "avc1")))
+    assert(rows(3L) === ((txt.length % 640, (txt.length * 7) % 480, 3,
+      if (txt.length % 2 == 0) "png" else "jpeg")))
+  }
 }
