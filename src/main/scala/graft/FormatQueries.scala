@@ -1344,6 +1344,49 @@ object FormatQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // STEADY-STATE store maintenance cycle, two generations: the nightly
+    // loop is query-increment-N → APPEND N's grams to the store →
+    // query-increment-N+1 against the GROWN store. Built once (three-way
+    // doc_id split: corpus = %10 ∉ {0,5}, increment A = %10 = 5,
+    // increment B = %10 = 0; the A-append commits a second snapshot), and
+    // replayed deterministically via snapshot time travel: generation 1
+    // reads VERSION AS OF the pre-append snapshot, generation 2 reads the
+    // current head — so the cached build still exercises both store
+    // states. A wrong append (lost grams, double grams, bucket misplace)
+    // changes generation 2's pairs and breaks the hash.
+    "q133_store_maintenance" -> ((s, dir) => {
+      val t = withTable(s, dir, "gmwh/db/doc_grams_cycle") { loc =>
+        val d = s.read.parquet(s"$dir/documents.parquet")
+        val grams0 = graft.ops.Dedup.gramStore(
+          d.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5), n = 3)
+        val tt = GraftTable.recreate(s, loc, grams0.schema,
+          specBuild = _.bucket("g", 16))
+        GraftWrite.append(tt, grams0)
+        // the nightly append: increment A's grams join the store, landing
+        // in the SAME bucket layout (new files, new manifests — the SPJ
+        // must keep reporting KeyGroupedPartitioning afterwards)
+        GraftWrite.append(tt, graft.ops.Dedup.gramStore(
+          d.filter(col("doc_id") % 10 === 5), n = 3))
+        GraftTable.load(s, loc)
+      }
+      val gen1Snap = t.snapshots.map(_.snapshotId).head
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.catalog.graftgm", "graft.connector.GraftCatalog")
+      iso.conf.set("spark.sql.catalog.graftgm.warehouse", tdir(dir, "gmwh"))
+      iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      iso.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      val d = iso.read.parquet(s"$dir/documents.parquet")
+      val g1 = graft.ops.Dedup.incrementalJaccardPairsFromStore(
+          iso.sql(s"SELECT * FROM graftgm.db.doc_grams_cycle VERSION AS OF $gen1Snap"),
+          d.filter(col("doc_id") % 10 === 5), n = 3, threshold = 0.5, maxDf = 0)
+        .withColumn("gen", lit("g1"))
+      val g2 = graft.ops.Dedup.incrementalJaccardPairsFromStore(
+          iso.table("graftgm.db.doc_grams_cycle"),
+          d.filter(col("doc_id") % 10 === 0), n = 3, threshold = 0.5, maxDf = 0)
+        .withColumn("gen", lit("g2"))
+      g1.unionByName(g2).orderBy(col("gen"), col("a"), col("b"))
+    }),
+
     // compaction preserves content (RewriteDataFilesAction)
     "q70_compaction" -> ((s, dir) => {
       val t = withTable(s, dir, "region_compacted") { loc =>
@@ -1431,6 +1474,28 @@ object FormatQueries {
         |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) >= 0.5
         |  AND (p.a % 10 = 0 OR p.b % 10 = 0)
         |ORDER BY a, b""".stripMargin,
+
+    // exact Jaccard replayed per generation: g1 = pairs touching
+    // increment A (%10=5) within corpus∪A (B not yet present); g2 = pairs
+    // touching increment B (%10=0) over the full corpus after A's append
+    "q133_store_maintenance" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |g AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS gram
+        |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(tok)-2)) AS i) r
+        |      WHERE len(tok) >= 3),
+        |s AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
+        |p AS (SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS inter
+        |      FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id GROUP BY 1, 2),
+        |j AS (SELECT p.a, p.b,
+        |        CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) AS jaccard
+        |      FROM p JOIN s sa ON p.a = sa.doc_id JOIN s sb ON p.b = sb.doc_id
+        |      WHERE CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) >= 0.5)
+        |SELECT 'g1' AS gen, a, b, jaccard FROM j
+        |WHERE (a % 10 = 5 OR b % 10 = 5) AND a % 10 <> 0 AND b % 10 <> 0
+        |UNION ALL
+        |SELECT 'g2' AS gen, a, b, jaccard FROM j
+        |WHERE a % 10 = 0 OR b % 10 = 0
+        |ORDER BY gen, a, b""".stripMargin,
 
     "q60_format_scan" ->
       """SELECT l_returnflag, COUNT(*) AS n,

@@ -528,6 +528,31 @@ class RuntimePruningSpec extends SparkSpec {
       s"store semi-join should ride SPJ:\n$plan")
     assert(!plan.contains("BroadcastHashJoin"),
       "broadcast is off — the test must exercise the shuffle path")
+    // GENERATION 2 — the nightly maintenance loop: append the increment's
+    // grams to the store (new files, new manifests in the same bucket
+    // layout), then query the NEXT increment against the grown store. The
+    // append must not disqualify the key grouping: a second-generation
+    // read that silently fell back to a full shuffle is exactly the class
+    // of silent perf cliff the SPJ surface has to guard.
+    graft.format.GraftWrite.append(
+      graft.format.GraftTable.load(iso, loc),
+      graft.ops.Dedup.gramStore(fresh, n = 3))
+    val fresh2 = (40L until 50L).map { i =>
+      // doc 45 duplicates the text shared by docs 9 (gen-0 store) and 10
+      // (gen-1 append) — the expected pairs span BOTH store generations
+      (i, if (i == 45L) baseText(9) else baseText(i))
+    }.toDF("doc_id", "text")
+    val out2 = graft.ops.Dedup.incrementalJaccardPairsFromStore(
+      iso.table("dpp.db.gram_spj"), fresh2, n = 3, threshold = 0.5, maxDf = 0)
+    val rows2 = out2.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(rows2.toSeq == Seq((9L, 45L), (10L, 45L)),
+      s"grown-store pairs wrong (append lost or duplicated grams?): ${rows2.toSeq}")
+    val plan2 = out2.queryExecution.executedPlan.toString
+    assert(plan2.contains("KeyGroupedPartitioning") ||
+      plan2.contains("keygroupedpartitioning"),
+      s"store must stay key-grouped after a second-generation append:\n$plan2")
+    assert(!plan2.contains("BroadcastHashJoin"),
+      "broadcast is off — the test must exercise the shuffle path")
   }
 
   test("branch reads of co-bucketed tables storage-partition-join") {
