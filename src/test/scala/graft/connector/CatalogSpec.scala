@@ -859,6 +859,82 @@ class CatalogSpec extends SparkSpec {
       "rows appended under a mid-stream wider schema must stream clean")
   }
 
+  test("ALTER storm: many generations landing in ONE trigger stream clean") {
+    // The single-ALTER adoption case is pinned above; this is the storm:
+    // FOUR unknown generations (three renames + one ADD COLUMN, each with
+    // its own append) land before the next trigger, so one planned batch
+    // must register several fresh schema ids at once. The registry
+    // appends ids in sorted order and freezes each generation's read
+    // schema at registration — if group indexes (gi * formats + fi)
+    // shifted, or a read chased live names, the value assertions below
+    // would misread columns, not just miss rows.
+    wh
+    spark.sql("CREATE TABLE g.db.ststorm (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.ststorm VALUES (1, 'x1')")
+    val ck = Files.createTempDirectory("graft-ststorm-ck").toString
+    val q = spark.readStream.table("g.db.ststorm").writeStream
+      .option("checkpointLocation", ck)
+      .toTable("g.db.ststorm_sink")
+    try {
+      q.processAllAvailable()
+      spark.sql("ALTER TABLE g.db.ststorm RENAME COLUMN v TO v2")
+      spark.sql("INSERT INTO g.db.ststorm VALUES (2, 'x2')")
+      spark.sql("ALTER TABLE g.db.ststorm RENAME COLUMN v2 TO v3")
+      spark.sql("INSERT INTO g.db.ststorm VALUES (3, 'x3')")
+      spark.sql("ALTER TABLE g.db.ststorm ADD COLUMN w BIGINT")
+      spark.sql("INSERT INTO g.db.ststorm VALUES (4, 'x4', 44)")
+      spark.sql("ALTER TABLE g.db.ststorm RENAME COLUMN v3 TO v4")
+      spark.sql("INSERT INTO g.db.ststorm VALUES (5, 'x5', 55)")
+      q.processAllAvailable() // ONE trigger adopts all four generations
+    } finally q.stop()
+    assert(spark.sql("SELECT id, v FROM g.db.ststorm_sink ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === (1 to 5).map(i => (i.toLong, s"x$i")),
+      "every generation in the storm batch must stream its data")
+  }
+
+  test("ALTER storm: a concurrent writer racing live triggers streams clean") {
+    // Nondeterministic interleaving stress: a writer thread fires
+    // ALTER+INSERT pairs while the main thread keeps triggering, so
+    // ALTERs land at arbitrary points inside a trigger — including
+    // between latestOffset and planInputPartitions, the window the
+    // generation registry exists for. The expected END STATE is exact:
+    // every row's value must arrive under the query-start column name.
+    wh
+    spark.sql("CREATE TABLE g.db.strace (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.strace VALUES (0, 'x0')")
+    val ck = Files.createTempDirectory("graft-strace-ck").toString
+    val q = spark.readStream.table("g.db.strace").writeStream
+      .option("checkpointLocation", ck)
+      .toTable("g.db.strace_sink")
+    val Rounds = 8
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val writer = new Thread(() => {
+      try {
+        var cur = "v"
+        (1 to Rounds).foreach { i =>
+          val next = s"v_$i"
+          spark.sql(s"ALTER TABLE g.db.strace RENAME COLUMN $cur TO $next")
+          cur = next
+          spark.sql(s"INSERT INTO g.db.strace VALUES ($i, 'x$i')")
+        }
+      } catch { case t: Throwable => failure.set(t) }
+    })
+    try {
+      q.processAllAvailable()
+      writer.start()
+      // keep triggering while the storm runs so batches overlap ALTERs
+      while (writer.isAlive) q.processAllAvailable()
+      writer.join()
+      q.processAllAvailable() // drain whatever the last race left behind
+    } finally q.stop()
+    assert(failure.get() == null, s"writer thread failed: ${failure.get()}")
+    assert(spark.sql("SELECT id, v FROM g.db.strace_sink ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === (0 to Rounds).map(i => (i.toLong, s"x$i")),
+      "a rename storm racing live triggers must not null or drop any row")
+  }
+
   test("a streaming write to a branch identifier advances the ref, not main") {
     wh
     spark.sql("CREATE TABLE g.db.brsink (id BIGINT)")
