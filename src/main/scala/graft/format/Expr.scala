@@ -263,7 +263,16 @@ object Exprs {
   /** Spark literal from a canonical value. */
   def litOf(v: Any, dt: DataType): Column = dt match {
     case DateType => lit(LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
-    case TimestampType | TimestampNTZType =>
+    case TimestampType =>
+      // an Instant literal IS a TIMESTAMP literal (zone-free stored
+      // micros). A LocalDateTime here would type as TIMESTAMP_NTZ and the
+      // implicit cast back to TIMESTAMP applies the SESSION zone — under
+      // any non-UTC session the residual filter shifted by the offset and
+      // silently dropped every matching row (TableFormatSpec non-UTC test)
+      val us = v.asInstanceOf[Long]
+      lit(java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        Math.floorMod(us, 1000000L) * 1000L))
+    case TimestampNTZType =>
       val us = v.asInstanceOf[Long]
       lit(LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
         (Math.floorMod(us, 1000000L) * 1000).toInt, ZoneOffset.UTC))

@@ -44,8 +44,21 @@ object Transforms {
 
   /** Canonicalize a Column to the hashable/ordinal domain: timestamps to
     * micros, dates to epoch days; other types pass through. */
+  /** Micros-since-epoch of a TIMESTAMP_NTZ column, independent of the
+    * session time zone (an NTZ value IS a local datetime; its canonical
+    * micros interpret it at UTC — `unix_micros` rejects NTZ and a cast to
+    * TIMESTAMP would shift by the session zone). */
+  private val ntzMicros: Column => Column = {
+    val f = udf((ldt: java.time.LocalDateTime) => if (ldt == null) null
+      else Long.box(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L))
+    c => f(c)
+  }
+
   private def canon(c: Column, dt: DataType): Column = dt match {
-    case TimestampType | TimestampNTZType => unix_micros(c)
+    // unix_micros on TIMESTAMP is the stored micros — zone-independent
+    case TimestampType => unix_micros(c)
+    case TimestampNTZType => ntzMicros(c)
     case DateType => datediff(c, to_date(lit("1970-01-01")))
     case _ => c
   }
@@ -109,10 +122,36 @@ object Transforms {
           else Int.box((Murmur3.hashLong(t.toNanoOfDay / 1000L) &
             Integer.MAX_VALUE) % n))
           .apply(c)
-      case _ => // all remaining supported types canonicalize to a long
+      case d: DecimalType =>
+        // the spec hashes the UNSCALED value at the column's declared
+        // scale; Spark casts udf decimal inputs to the system default
+        // (38,18), so rescale back before hashing (lossless — the value
+        // originated at `scale`). A previous catch-all cast this column
+        // to LONG, silently placing rows in a different bucket than the
+        // pruning evaluators project predicates into — point predicates
+        // on library-written decimal-bucketed tables LOST the row
+        // (regression: TableFormatSpec "bucket partitioning on DECIMAL")
+        val scale = d.scale
+        udf((bd: java.math.BigDecimal) => if (bd == null) null
+          else Int.box((Murmur3.hashDecimal(
+            bd.setScale(scale, java.math.RoundingMode.UNNECESSARY)) &
+            Integer.MAX_VALUE) % n))
+          .apply(c)
+      case BinaryType =>
+        udf((b: Array[Byte]) => if (b == null) null
+          else Int.box((Murmur3.hashBytes(b) & Integer.MAX_VALUE) % n))
+          .apply(c)
+      case FloatType | DoubleType => // hashFloat widens, matching hash()
+        udf((v: java.lang.Double) => if (v == null) null
+          else Int.box((Murmur3.hashDouble(v) & Integer.MAX_VALUE) % n))
+          .apply(c.cast(DoubleType))
+      case IntegerType | LongType | DateType | TimestampType
+          | TimestampNTZType => // canonicalize to a long (hashInt == hashLong)
         udf((l: java.lang.Long) => if (l == null) null
           else Int.box((Murmur3.hashLong(l) & Integer.MAX_VALUE) % n))
           .apply(canon(c, dt).cast(LongType))
+      case t => throw new IllegalArgumentException(
+        s"cannot bucket $t in write path")
     }
 
     // Inclusive: only point predicates can cross a hash (Bucket.java:113-130)
@@ -222,6 +261,32 @@ object Transforms {
         case t => throw new IllegalArgumentException(s"cannot $name $t")
       }
 
+    /** Write-path derivation, all codegen'd builtins and all ZONE-FREE.
+      * The previous TIMESTAMP expressions (`year(c)`, `datediff(c, ...)`,
+      * `cast(TimestampType)`) extracted fields in the SESSION time zone,
+      * so any writer session not pinned to UTC derived a different
+      * ordinal than the pruning evaluators project (`apply` is UTC-micros
+      * by construction): rows landed in partitions the planner then
+      * pruned away for point/range predicates near midnight offsets.
+      * Now: DATE extracts calendar fields directly (no zone exists);
+      * TIMESTAMP goes through `unix_micros` + exact floor division (the
+      * same kernel as `apply`, integer-exact for negatives via pmod);
+      * TIMESTAMP_NTZ extracts its local fields directly (an NTZ value IS
+      * a local datetime — extraction is zone-free by type). Pinned by
+      * TableFormatSpec's non-UTC agreement test. */
+    final def column(c: Column, dt: DataType): Column = dt match {
+      case DateType => dateColumn(c)
+      case TimestampType => tsColumn(unix_micros(c))
+      case TimestampNTZType => ntzColumn(c)
+      case t => throw new IllegalArgumentException(
+        s"cannot $name $t in write path")
+    }
+    protected def dateColumn(c: Column): Column
+    /** Ordinal from zone-free micros-since-epoch (TIMESTAMP source). */
+    protected def tsColumn(us: Column): Column
+    /** Ordinal from local calendar fields (TIMESTAMP_NTZ source). */
+    protected def ntzColumn(c: Column): Column
+
     // monotone ⇒ same inclusive/strict rules as truncate
     def project(op: PredOp, vs: Seq[Any], src: DataType) = op match {
       case PredOp.Eq => Some((PredOp.Eq, vs.map(apply(_, src))))
@@ -240,10 +305,24 @@ object Transforms {
 
   private def epochDaysOf(us: Long): Int = Math.floorDiv(us, 86400000000L).toInt
 
+  /** Exact FLOOR division of a micros column (codegen'd; `/` alone
+    * truncates toward zero and misplaces every pre-epoch value): subtract
+    * the non-negative pmod remainder first, so the quotient is an exact
+    * multiple (double-safe far beyond the timestamp range). */
+  private def floorDivCol(us: Column, unit: Long): Column =
+    ((us - pmod(us, lit(unit))) / lit(unit)).cast(IntegerType)
+
+  /** Zone-free UTC calendar date of a micros column. */
+  private def utcDateCol(us: Column): Column =
+    date_add(to_date(lit("1970-01-01")), floorDivCol(us, 86400000000L))
+
   case object YearT extends TimeT("year") {
     protected def ofMicros(us: Long): Int = ofDays(epochDaysOf(us))
     protected def ofDays(d: Int): Int = LocalDate.ofEpochDay(d.toLong).getYear - 1970
-    def column(c: Column, dt: DataType): Column = (year(c) - lit(1970)).cast(IntegerType)
+    protected def dateColumn(c: Column): Column =
+      (year(c) - lit(1970)).cast(IntegerType)
+    protected def tsColumn(us: Column): Column = dateColumn(utcDateCol(us))
+    protected def ntzColumn(c: Column): Column = dateColumn(c)
   }
 
   case object MonthT extends TimeT("month") {
@@ -252,23 +331,34 @@ object Transforms {
       val ld = LocalDate.ofEpochDay(d.toLong)
       (ld.getYear - 1970) * 12 + (ld.getMonthValue - 1)
     }
-    def column(c: Column, dt: DataType): Column =
+    protected def dateColumn(c: Column): Column =
       ((year(c) - lit(1970)) * lit(12) + month(c) - lit(1)).cast(IntegerType)
+    protected def tsColumn(us: Column): Column = dateColumn(utcDateCol(us))
+    protected def ntzColumn(c: Column): Column = dateColumn(c)
   }
 
   case object DayT extends TimeT("day") {
     protected def ofMicros(us: Long): Int = epochDaysOf(us)
     protected def ofDays(d: Int): Int = d
-    def column(c: Column, dt: DataType): Column =
+    protected def dateColumn(c: Column): Column =
       datediff(c, to_date(lit("1970-01-01"))).cast(IntegerType)
+    protected def tsColumn(us: Column): Column = floorDivCol(us, 86400000000L)
+    // NTZ→DATE drops the local time — calendar-only, zone-free
+    protected def ntzColumn(c: Column): Column = dateColumn(c.cast(DateType))
   }
 
   case object HourT extends TimeT("hour") {
     protected def ofMicros(us: Long): Int = Math.floorDiv(us, 3600000000L).toInt
     protected def ofDays(d: Int): Int =
       throw new IllegalArgumentException("cannot hour-transform a date")
-    def column(c: Column, dt: DataType): Column =
-      (unix_micros(c.cast(TimestampType)) / lit(3600000000L)).cast(IntegerType)
+    protected def dateColumn(c: Column): Column =
+      throw new IllegalArgumentException("cannot hour-transform a date")
+    protected def tsColumn(us: Column): Column = floorDivCol(us, 3600000000L)
+    // days*24 + local hour ≡ floorDiv(localMicros, hour) — exact for
+    // pre-epoch too (days is already floored)
+    protected def ntzColumn(c: Column): Column =
+      (datediff(c.cast(DateType), to_date(lit("1970-01-01"))) * lit(24) +
+        hour(c)).cast(IntegerType)
   }
 
   private val BucketRe = """bucket\[(\d+)\]""".r

@@ -64,6 +64,150 @@ class TableFormatSpec extends SparkSpec {
     assert(t.newScan().filter(Exprs.in("id", Seq(7L, 9L, 100L))).toDF().count() == 3)
   }
 
+  test("bucket partitioning on DECIMAL: write placement agrees with pruning") {
+    // the write path derives the bucket via Transform.column while the
+    // pruning evaluators project Eq predicates via Transform.apply
+    // (hashDecimal over unscaled bytes) — if the two disagree, the file
+    // holding the matching row is pruned away and the row is LOST
+    val loc = freshLoc("bucketdec")
+    val df = spark.range(64).selectExpr("id",
+      "CAST(CAST(id AS DOUBLE) / 4 + 0.25 AS DECIMAL(9,2)) AS amt")
+    val t = GraftTable.create(spark, loc, df.schema, _.bucket("amt", 8))
+    GraftWrite.append(t, df.repartition(2))
+    assert(t.toDF().count() === 64)
+    // every row must be findable by a point predicate on its own value
+    (0L until 64L by 7L).foreach { id =>
+      val v = new java.math.BigDecimal(id).divide(new java.math.BigDecimal(4))
+        .add(new java.math.BigDecimal("0.25")).setScale(2)
+      val n = t.newScan().filter(Exprs.equal("amt", v)).toDF().count()
+      assert(n === 1L, s"amt=$v (id=$id) lost by bucket placement/pruning disagreement")
+    }
+  }
+
+  test("BucketT.column agrees with BucketT.apply on every bucketable type") {
+    // the write path derives buckets via `column`; pruning, the DSv2
+    // fanout writer and the SQL function catalog all go through `apply` —
+    // any disagreement silently loses rows to pruning (the decimal case
+    // above was real). Pin kernel agreement per type, negatives and
+    // nulls included.
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    val t = Transforms.BucketT(512)
+    def check(dt: org.apache.spark.sql.types.DataType,
+              df: org.apache.spark.sql.DataFrame, canon: Row => Any): Unit = {
+      val out = df.select(col("v"), t.column(col("v"), dt).as("b")).collect()
+      assert(out.nonEmpty)
+      out.foreach { r =>
+        val expected = if (r.isNullAt(0)) null else t.apply(canon(r), dt)
+        assert(r.get(1) == expected, s"$dt value=${r.get(0)}: " +
+          s"column gave ${r.get(1)}, apply gives $expected")
+      }
+    }
+    import org.apache.spark.sql.types._
+    check(LongType, Seq[Option[Long]](Some(0L), Some(-1L), Some(42L),
+      Some(Long.MinValue), None).toDF("v"), _.getLong(0))
+    check(IntegerType, Seq[Option[Int]](Some(0), Some(-7), Some(Int.MaxValue),
+      None).toDF("v"), _.getInt(0))
+    check(StringType, Seq(Some(""), Some("abc"), Some("héllo✓"), None)
+      .toDF("v"), _.getString(0))
+    check(DoubleType, Seq[Option[Double]](Some(0.0), Some(-2.5), Some(1e300),
+      None).toDF("v"), _.getDouble(0))
+    check(FloatType, Seq[Option[Float]](Some(0.5f), Some(-3.25f), None)
+      .toDF("v"), _.getFloat(0))
+    check(DecimalType(9, 2),
+      Seq("10.25", "-10.25", "0.00", null).toDF("s")
+        .selectExpr("CAST(s AS DECIMAL(9,2)) AS v"),
+      _.getDecimal(0))
+    check(BinaryType,
+      Seq(Some(Array[Byte](1, 2, 3)), Some(Array.empty[Byte]), None)
+        .toDF("v"), _.getAs[Array[Byte]](0))
+    check(DateType,
+      Seq("2024-06-01", "1969-12-31", "1901-02-03", null).toDF("s")
+        .selectExpr("CAST(s AS DATE) AS v"),
+      r => r.getDate(0).toLocalDate.toEpochDay.toInt)
+    check(TimestampNTZType,
+      Seq("2024-06-01 10:30:00", "1969-12-31 23:59:59.999999", null)
+        .toDF("s").selectExpr("CAST(s AS TIMESTAMP_NTZ) AS v"),
+      r => {
+        val ldt = r.getAs[java.time.LocalDateTime](0)
+        val i = ldt.toInstant(java.time.ZoneOffset.UTC)
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
+      })
+    check(TimestampType,
+      Seq("2024-06-01 10:30:00", "1969-12-31 23:59:59.999999", null)
+        .toDF("s").selectExpr("CAST(s AS TIMESTAMP) AS v"),
+      r => {
+        val i = r.getTimestamp(0).toInstant
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
+      })
+  }
+
+  test("TimeT.column agrees with TimeT.apply across types, pre-epoch included") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val vals = Seq("2024-06-01 10:30:00", "1969-12-31 23:59:59",
+      "1969-07-20 20:17:40", "1900-02-28 05:00:00", null)
+    def agree(t: Transform, dt: DataType,
+              df: org.apache.spark.sql.DataFrame, canon: Row => Any): Unit = {
+      df.select(col("v"), t.column(col("v"), dt).as("o")).collect().foreach { r =>
+        val expected = if (r.isNullAt(0)) null else t.apply(canon(r), dt)
+        assert(r.get(1) == expected,
+          s"${t.name}($dt) value=${r.get(0)}: column=${r.get(1)} apply=$expected")
+      }
+    }
+    val tsDf = vals.toDF("s").selectExpr("CAST(s AS TIMESTAMP) AS v")
+    val ntzDf = vals.toDF("s").selectExpr("CAST(s AS TIMESTAMP_NTZ) AS v")
+    val dateDf = vals.toDF("s").selectExpr("CAST(s AS DATE) AS v")
+    def tsMicros(r: Row): Any = {
+      val i = r.getTimestamp(0).toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def ntzMicros(r: Row): Any = {
+      val i = r.getAs[java.time.LocalDateTime](0)
+        .toInstant(java.time.ZoneOffset.UTC)
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def days(r: Row): Any = r.getDate(0).toLocalDate.toEpochDay.toInt
+    Seq(Transforms.YearT, Transforms.MonthT, Transforms.DayT,
+        Transforms.HourT).foreach { t =>
+      agree(t, TimestampType, tsDf, tsMicros)
+      agree(t, TimestampNTZType, ntzDf, ntzMicros)
+      if (t != Transforms.HourT) agree(t, DateType, dateDf, days)
+    }
+  }
+
+  test("time-transform write derivation is session-timezone-free (non-UTC session)") {
+    // placement goes through Transform.column, pruning through
+    // Transform.apply (UTC micros). The old year()/datediff/cast
+    // derivations evaluated in the SESSION zone: a New York session
+    // writing 2024-01-02T00:30Z derived day ordinal for Jan 1 while the
+    // pruning evaluator projects Jan 2 — the row was lost to any point
+    // predicate. The derivation must be zone-free.
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val loc = freshLoc("tzfree")
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("ts", TimestampType)))
+    val rows = java.util.Arrays.asList(
+      Row(1L, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-02T00:30:00Z"))),
+      Row(2L, java.sql.Timestamp.from(
+        java.time.Instant.parse("1969-12-31T23:00:00Z")))) // pre-epoch floor
+    val df = iso.createDataFrame(rows, schema)
+    val t = GraftTable.create(iso, loc, schema, _.day("ts"))
+    GraftWrite.append(t, df)
+    assert(t.toDF().count() === 2)
+    assert(t.newScan().filter(Exprs.equal("ts", "2024-01-02 00:30:00"))
+      .toDF().count() === 1,
+      "post-epoch row lost: day partition derived in session zone")
+    assert(t.newScan().filter(Exprs.equal("ts", "1969-12-31 23:00:00"))
+      .toDF().count() === 1,
+      "pre-epoch row lost: day ordinal must floor, zone-free")
+  }
+
   test("time travel: useSnapshot + asOfTime (TestSnapshotSelection)") {
     val loc = freshLoc("tt")
     val t = GraftTable.create(spark, loc, rows(3).schema)
