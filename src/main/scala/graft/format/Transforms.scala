@@ -200,6 +200,19 @@ object Transforms {
       case StringType =>
         udf((s: String) => if (s == null) null
           else apply(s, StringType).asInstanceOf[String]).apply(c)
+      case d: DecimalType =>
+        // same unscaled-modulus kernel as `apply`; Spark casts udf decimal
+        // inputs to (38,18), so rescale to the declared scale first
+        // (lossless) and cast the result back to the declared type so the
+        // recorded partition value carries the column's own scale
+        val scale = d.scale
+        udf((bd: java.math.BigDecimal) => if (bd == null) null
+          else apply(bd.setScale(scale, java.math.RoundingMode.UNNECESSARY), d)
+            .asInstanceOf[java.math.BigDecimal])
+          .apply(c).cast(d)
+      case BinaryType =>
+        udf((b: Array[Byte]) => if (b == null) null
+          else apply(b, BinaryType).asInstanceOf[Array[Byte]]).apply(c)
       case t => throw new IllegalArgumentException(s"cannot truncate $t in write path")
     }
 

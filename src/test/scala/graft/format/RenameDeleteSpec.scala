@@ -277,6 +277,36 @@ class RenameDeleteSpec extends SparkSpec {
       "post-promotion bounds decoded at the narrow width — file pruned away")
   }
 
+  test("equality deletes with NULL keys delete exactly the null-keyed rows") {
+    // iceberg equality-delete semantics: a NULL in the delete key matches
+    // NULL in the data (null-safe equality), unlike SQL `=`. The library
+    // path anti-joins with <=>; the DSv2 row and columnar paths probe
+    // canonicalValue tuples where null rides as null — pin all of them,
+    // plus the survivors (a naive `=` join would delete nothing for the
+    // null key, a null-fill bug would delete every null-keyed row even
+    // without a delete naming them).
+    val wh = freshLoc("nullkey-wh")
+    spark.conf.set("spark.sql.catalog.nk", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.nk.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS nk.db")
+    val loc = s"$wh/db/t"
+    val df = Seq((Some(1L), "a"), (None, "b"), (Some(3L), "c"),
+      (None, "d"), (Some(5L), "e")).toDF("id", "v")
+    val t0 = GraftTable.create(spark, loc, df.schema)
+    GraftWrite.append(t0, df.repartition(2))
+    // delete key set: NULL and 5 — must remove b, d, e; keep a, c
+    Deletes.deleteByEquality(GraftTable.load(spark, loc),
+      Seq[Option[Long]](None, Some(5L)).toDF("id"))
+    val t = GraftTable.load(spark, loc)
+    val lib = t.newScan().toDF().select("v").as[String].collect().sorted
+    assert(lib.toSeq === Seq("a", "c"),
+      s"library scan null-key delete wrong: ${lib.toSeq}")
+    val dsv2 = spark.sql("SELECT v FROM nk.db.t ORDER BY v")
+      .as[String].collect()
+    assert(dsv2.toSeq === Seq("a", "c"),
+      s"DSv2 scan null-key delete wrong: ${dsv2.toSeq}")
+  }
+
   test("requireColumns fails loudly on a delete file missing its columns") {
     val dir = Files.createTempDirectory("graft-reqcols")
     val p = s"$dir/other.parquet"

@@ -142,6 +142,37 @@ class TableFormatSpec extends SparkSpec {
       })
   }
 
+  test("TruncateT.column agrees with TruncateT.apply across types") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val t = Transforms.TruncateT(10)
+    def agree(dt: DataType, df: org.apache.spark.sql.DataFrame,
+              canon: Row => Any): Unit = {
+      df.select(col("v"), t.column(col("v"), dt).as("o")).collect().foreach { r =>
+        val expected = if (r.isNullAt(0)) null else t.apply(canon(r), dt)
+        val got = r.get(1)
+        val same = (got, expected) match {
+          case (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.equals(a, b)
+          case (a: java.math.BigDecimal, b: java.math.BigDecimal) =>
+            a.compareTo(b) == 0
+          case _ => got == expected
+        }
+        assert(same, s"truncate[10]($dt) value=${r.get(0)}: column=$got apply=$expected")
+      }
+    }
+    agree(LongType, Seq[Option[Long]](Some(0L), Some(-1L), Some(-10L),
+      Some(42L), None).toDF("v"), _.getLong(0))
+    agree(IntegerType, Seq[Option[Int]](Some(7), Some(-7), None).toDF("v"),
+      _.getInt(0))
+    agree(StringType, Seq(Some("abcdefghijkl"), Some("héllo✓"), Some(""),
+      None).toDF("v"), _.getString(0))
+    agree(DecimalType(9, 2), Seq("10.25", "-10.25", "0.07", null).toDF("s")
+      .selectExpr("CAST(s AS DECIMAL(9,2)) AS v"), _.getDecimal(0))
+    agree(BinaryType, Seq(Some(Array.tabulate[Byte](20)(_.toByte)),
+      Some(Array[Byte](1)), None).toDF("v"), _.getAs[Array[Byte]](0))
+  }
+
   test("TimeT.column agrees with TimeT.apply across types, pre-epoch included") {
     import spark.implicits._
     import org.apache.spark.sql.types._
