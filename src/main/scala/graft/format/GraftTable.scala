@@ -99,7 +99,21 @@ final class TableScan private[format] (
       case Some((from, to)) =>
         // union of manifests added by append snapshots in (from, to]
         val m2 = meta
-        val inRange = m2.ancestors(Some(to))
+        val chain = m2.ancestors(Some(to))
+        require(chain.nonEmpty, s"snapshot $to not found")
+        // history completeness: the ancestor walk from `to` stops silently
+        // at a missing (expired) parent — if that parent is NEWER than
+        // `from`, appends inside the gap are unreconstructible and a
+        // silent skip would hand an incremental consumer a hole instead
+        // of an error (reference parity: SnapshotUtil.snapshotIdsBetween
+        // throws "Cannot determine history"). `from` itself being expired
+        // is fine: it's the exclusive bound, nothing in (from, to] is lost.
+        chain.head.parentId.filter(_ > from).foreach { pid =>
+          throw new IllegalStateException(
+            s"cannot read incremental data in ($from, $to]: ancestor " +
+              s"snapshot $pid was expired — history is incomplete")
+        }
+        val inRange = chain
           .filter(s => s.snapshotId > from && s.snapshotId <= to)
         // reference parity (IncrementalDataTableScan.snapshotsWithin): an
         // OVERWRITE inside the range is an ERROR — rows silently treated as

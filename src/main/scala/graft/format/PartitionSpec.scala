@@ -79,6 +79,18 @@ object PartitionSpec {
     def day(col: String): Builder = add(col, Transforms.DayT, s"${col}_day")
     def hour(col: String): Builder = add(col, Transforms.HourT, s"${col}_hour")
     def add(col: String, t: Transform, name: String): Builder = {
+      // float/double partition sources are banned (iceberg spec parity):
+      // IEEE says -0.0 == 0.0 and NaN != NaN, but any hash/identity
+      // placement separates them — a double-bucketed table would place
+      // -0.0 rows in a different file than the one Eq(0.0) pruning keeps,
+      // silently losing rows the engine's own comparison says match.
+      // Rejected at spec build, not at write, so the table can't exist.
+      val dt = FieldIds.findById(schema, id(col)).get.dataType
+      if (t != Transforms.VoidT)
+        require(dt != FloatType && dt != DoubleType,
+          s"cannot partition by $col: $dt partition sources are not " +
+            "allowed (NaN / negative-zero placement diverges from SQL " +
+            "equality); partition by a derived stable column instead")
       fs += PartitionField(id(col), t, name); this
     }
     def build(specId: Int = 0): PartitionSpec = PartitionSpec(specId, fs.result())

@@ -142,6 +142,74 @@ class TableFormatSpec extends SparkSpec {
       })
   }
 
+  test("appendsBetween over an expired ancestor fails loudly, never skips") {
+    // the ancestor walk stops silently at a missing (expired) parent — an
+    // incremental consumer spanning the gap must get an error, not a
+    // result with a hole (reference: SnapshotUtil.snapshotIdsBetween
+    // throws "Cannot determine history"). `from` itself being expired is
+    // legal: it is the exclusive bound.
+    val loc = freshLoc("expinc")
+    val t0 = GraftTable.create(spark, loc, rows(2).schema)
+    GraftWrite.append(t0, rows(2, 0))
+    GraftWrite.append(GraftTable.load(spark, loc), rows(2, 1))
+    GraftWrite.append(GraftTable.load(spark, loc), rows(2, 2))
+    val pre = GraftTable.load(spark, loc)
+    val Seq(s1, s2, s3) = pre.snapshots.map(_.snapshotId)
+    // sanity before expiry: the full range reads both increments
+    assert(pre.newScan().appendsBetween(s1, s3).toDF().count() === 4)
+    Actions.forTable(pre).expireSnapshots(System.currentTimeMillis() + 1000,
+      retainLast = 1) // drops s1 and s2 from history
+    val t = GraftTable.load(spark, loc)
+    val e = intercept[IllegalStateException] {
+      t.newScan().appendsBetween(s1, s3).toDF().count()
+    }
+    assert(e.getMessage.contains("expired"), e.getMessage)
+    // exclusive lower bound expired, range content intact: still readable
+    assert(t.newScan().appendsBetween(s2, s3).toDF().count() === 2)
+  }
+
+  test("float/double partition sources are rejected at spec build") {
+    // IEEE -0.0 == 0.0 and NaN != NaN make hash/identity placement on
+    // float/double diverge from SQL equality (a -0.0 row lands in a
+    // different bucket than Eq(0.0) pruning keeps) — iceberg bans them as
+    // partition sources; so do we, at spec build time
+    import spark.implicits._
+    val df = Seq((1L, 2.5d, 1.5f)).toDF("id", "d", "f")
+    Seq[PartitionSpec.Builder => PartitionSpec.Builder](
+      _.bucket("d", 8), _.identity("d"), _.truncate("d", 10),
+      _.bucket("f", 8), _.identity("f")
+    ).foreach { sb =>
+      val e = intercept[IllegalArgumentException] {
+        GraftTable.create(spark, freshLoc("fdban"), df.schema, sb)
+      }
+      assert(e.getMessage.contains("not allowed"), e.getMessage)
+    }
+    // void stays legal on any type (spec evolution tombstones)
+    GraftTable.create(spark, freshLoc("fdvoid"), df.schema,
+      _.add("d", Transforms.VoidT, "d_void"))
+  }
+
+  test("-0.0 metrics bounds must not prune +0.0 point predicates (IEEE equality)") {
+    import spark.implicits._
+    // IEEE (and Spark's =) says -0.0 == 0.0, but a total-order comparator
+    // says -0.0 < 0.0: a file whose upper bound is -0.0 would be pruned
+    // for `d = 0.0` while its -0.0 row MATCHES the residual — a lost row
+    val loc = freshLoc("negzero")
+    val df = Seq(-5.0, -0.0).toDF("d") // upper bound is -0.0
+    val t = GraftTable.create(spark, loc, df.schema)
+    GraftWrite.append(t, df.coalesce(1))
+    assert(t.newScan().filter(Exprs.equal("d", 0.0)).toDF().count() === 1L,
+      "d = 0.0 must find the -0.0 row (IEEE equal)")
+    assert(t.newScan().filter(Exprs.equal("d", -0.0)).toDF().count() === 1L)
+    assert(t.newScan().filter(Exprs.ltEq("d", 0.0)).toDF().count() === 2L)
+    // float lane too
+    val locF = freshLoc("negzerof")
+    val dfF = Seq(-5.0f, -0.0f).toDF("f")
+    val tF = GraftTable.create(spark, locF, dfF.schema)
+    GraftWrite.append(tF, dfF.coalesce(1))
+    assert(tF.newScan().filter(Exprs.equal("f", 0.0f)).toDF().count() === 1L)
+  }
+
   test("TruncateT.column agrees with TruncateT.apply across types") {
     import spark.implicits._
     import org.apache.spark.sql.types._
