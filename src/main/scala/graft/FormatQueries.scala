@@ -17,7 +17,7 @@ object FormatQueries {
 
   /** Bump when any table-building logic below changes: cached tables from
     * an older builder would otherwise silently serve stale data. */
-  private val BuildVersion = "v2"
+  private val BuildVersion = "v3"
 
   private def tdir(dir: String, name: String): String = {
     val h = Integer.toHexString(dir.hashCode & 0x7fffffff)

@@ -384,23 +384,57 @@ object Deletes {
         keys.columns.toSeq)
       return stagedAll(paths, _ => Map.empty)
     }
-    // one file per partition: repartition by the derived partition columns
-    // (each output task holds whole partitions), hive-style fanout dirs
-    // carry the tuple — the same layout the data writers use
+    // one file per partition: repartition by the derived partition
+    // expressions (each output task holds whole partitions), then route
+    // each key row to its tuple through the DSv2 fanout writer — the same
+    // canonical Transform kernel the data writers and pruning evaluators
+    // use. (The previous layout parsed the tuple back out of hive-escaped
+    // `partitionBy` directory names: non-ASCII identity values crashed on
+    // ASCII-locale filesystems and non-string renderings were
+    // session-shaped — the same lossy round trip removed from GraftWrite.)
     val dir = table.locations.newDataLocation(s"deletes-${UUID.randomUUID()}")
     val derived = spec.derivedColumns(m.schema)
-    val withP = derived.foldLeft(keys.dropDuplicates()) { case (d, (name, c)) =>
-      d.withColumn(GraftWrite.DirPrefix + name, c)
+    val keyFields = keys.columns.toSeq
+    val nameToIdx = keyFields.zipWithIndex.toMap
+    val specFields = spec.fields.map { pf =>
+      val src = FieldIds.findById(m.schema, pf.sourceId).get
+      val ord = // void ignores its input; its source may not be a key col
+        if (pf.transform == Transforms.VoidT) 0 else nameToIdx(src.name)
+      graft.connector.GraftBatchWrite.SpecField(pf.name, ord, pf.transform,
+        src.dataType)
     }
-    withP
-      .repartition(derived.map(d => col(GraftWrite.DirPrefix + d._1)): _*)
-      .sortWithinPartitions(keys.columns.map(col).toSeq: _*)
-      .write.mode(SaveMode.ErrorIfExists)
-      .partitionBy(derived.map(GraftWrite.DirPrefix + _._1): _*)
-      .parquet(dir)
-    val types = spec.resultTypes(m.schema).toMap
-    val files = table.ops.io.list(dir, ".parquet").map(_.path).sorted
-    stagedAll(files, GraftWrite.tupleFromDirs(dir, _, types))
+    val idSchema = org.apache.spark.sql.types.StructType(
+      keyFields.map(n => m.schema(m.schema.fieldIndex(n))))
+    val cleanSchema = org.apache.spark.sql.types.StructType(idSchema.fields.map(
+      _.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    val factory = new graft.connector.GraftWriterFactory(cleanSchema,
+      idSchema, specFields, dir,
+      new org.apache.spark.util.SerializableConfiguration(
+        ParquetIO.writeConf(table.spark)),
+      statModes = Map.empty, // default modes, as Metrics.forFiles used
+      FileFormats.Parquet, m.properties)
+    val routed = keys.dropDuplicates()
+      .repartition(derived.map(_._2): _*)
+      .sortWithinPartitions(keyFields.map(col): _*)
+    val staged = routed.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+      val w = factory.createWriter(pid, pid.toLong)
+      rows.foreach(w.write)
+      Iterator.single(w.commit()
+        .asInstanceOf[graft.connector.GraftBatchWrite.TaskFiles])
+    }.collect().toSeq.flatMap(_.files)
+    staged.sortBy(_.path).map { sf =>
+      val fm = sf.metrics
+      DataFile(path = sf.path, content = FileContent.EqualityDeletes,
+        partition = sf.partition,
+        recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
+        schemaId = m.currentSchemaId, specId = m.defaultSpecId,
+        valueCounts = fm.valueCounts,
+        nullValueCounts = fm.nullValueCounts,
+        lowerBounds = fm.lowerBounds,
+        upperBounds = fm.upperBounds,
+        fullBoundIds = fm.fullBoundIds,
+        equalityIds = ids)
+    }
   }
 
   /** Key-RANGE check for an equality-delete file against a data file

@@ -4,21 +4,20 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import java.util.UUID
 
-/** Spark-native write path (reference §3.3 write+commit, re-expressed on
-  * Spark's own parquet writer: the reference hand-rolls per-task
-  * FileAppenders + requires clustered input — PartitionedWriter.java:65-69 —
-  * while Spark's FileFormatWriter already sorts by partition expressions, so
-  * dynamic fanout is free and there is no per-task state to manage).
+/** Spark-native write path (reference §3.3 write+commit): every format
+  * rides the DSv2 fanout writers (reference PartitionedWriter.java:65-69's
+  * per-task appenders, one open file per partition tuple per task), so the
+  * library and connector write paths are ONE code path.
   *
-  * Hidden partitioning: derived columns `__p_<field>` are computed from
-  * transforms at write, used as directory keys, and never stored in data
-  * files — source columns stay in the data, exactly the reference's model
-  * (partition values are derived, §1.3). Stats come from parquet footers
+  * Hidden partitioning: each row's partition tuple is computed in the
+  * writer from the spec's transforms (the same canonical kernel the
+  * pruning evaluators project predicates into) and recorded directly in
+  * the commit message — never round-tripped through directory names.
+  * Source columns stay in the data, exactly the reference's model
+  * (partition values are derived, §1.3). Stats come from file footers
   * (reference ParquetUtil.footerMetrics) with truncate(16) bounds.
   */
 object GraftWrite {
-
-  private[format] val DirPrefix = "__p_"
 
   /** Hive-style partition-dir unescape (Spark's
     * ExternalCatalogUtils.unescapePathName): decode `%XX` sequences ONLY.
@@ -44,25 +43,6 @@ object GraftWrite {
     sb.toString
   }
 
-  /** Decode a hive-style staged path's partition tuple: every
-    * `__p_<name>=<value>` directory segment between `base` and the file
-    * name, Hive-unescaped and parsed at the spec's result type. Shared by
-    * the data writer and the equality-delete stager — the two sides MUST
-    * decode identically, or delete-file tuples stop matching data-file
-    * tuples and partition scoping silently drops deletes. */
-  private[format] def tupleFromDirs(base: String, path: String,
-      types: Map[String, org.apache.spark.sql.types.DataType]): Map[String, Any] = {
-    val rel = path.stripPrefix(base).stripPrefix("/")
-    rel.split('/').dropRight(1).flatMap { seg =>
-      val eq = seg.indexOf('=')
-      if (eq > 0 && seg.startsWith(DirPrefix)) {
-        val name = seg.substring(DirPrefix.length, eq)
-        val raw = unescapeDir(seg.substring(eq + 1))
-        types.get(name).map(dt => name -> Values.fromDirString(raw, dt))
-      } else None
-    }.toMap
-  }
-
   /** Table property: comma-separated `col [asc|desc]` write clustering. */
   val SortOrderKey = "write.sort-order"
 
@@ -74,10 +54,8 @@ object GraftWrite {
 
   /** Write df as new data files of `table` (no commit) and return them.
     * The encoding follows `write.format.default` (reference
-    * TableProperties.DEFAULT_FILE_FORMAT): parquet and ORC ride Spark's own
-    * FileFormatWriter (vectorized, partitionBy fanout); Avro — which Spark
-    * itself has no built-in writer for — runs as one executor job over the
-    * same fanout writers the DSv2 path uses (AvroIO container files). */
+    * TableProperties.DEFAULT_FILE_FORMAT); parquet, ORC and Avro all run
+    * as one executor job over the DSv2 fanout writers. */
   def writeFiles(table: GraftTable, df: DataFrame,
       lineage: Boolean = false): Seq[DataFile] = {
     val m = table.metadata
@@ -114,51 +92,22 @@ object GraftWrite {
       case _ => aligned
     }
 
-    if (fmt == FileFormats.Avro)
-      return writeAvro(table, sorted, staging, lineage)
-
-    // Spark's writer honors the same table-property codec choice; the
-    // value is already CANONICAL (DataFileIO.compressionOf), so both write
-    // paths accept exactly the same property values
-    val codec = DataFileIO.compressionOf(fmt, m.properties)
-    def save(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit =
-      fmt match {
-        case FileFormats.Orc => w.option("compression", codec).orc(staging)
-        case _ => w.option("compression", codec).parquet(staging)
-      }
-    // INT96 (Spark's legacy default) has no usable footer stats; micros is
-    // also what the canonical value model assumes (SURVEY §7.4 item 4).
-    // Scoped to THIS write and restored: a library call must not
-    // permanently flip session-level parquet behavior under the user
-    val sess = df.sparkSession
-    val TsKey = "spark.sql.parquet.outputTimestampType"
-    val prevTs = sess.conf.getOption(TsKey)
-    sess.conf.set(TsKey, "TIMESTAMP_MICROS")
-    try {
-      if (spec.isPartitioned) {
-        val derived = spec.derivedColumns(schema)
-        val withP = derived.foldLeft(sorted) { case (d, (name, c)) =>
-          d.withColumn(DirPrefix + name, c)
-        }
-        save(withP.write.mode(SaveMode.ErrorIfExists)
-          .partitionBy(derived.map(DirPrefix + _._1): _*))
-      } else {
-        save(sorted.write.mode(SaveMode.ErrorIfExists))
-      }
-    } finally prevTs match {
-      case Some(v) => sess.conf.set(TsKey, v)
-      case None => sess.conf.unset(TsKey)
-    }
-    val files = collectFiles(table, staging, m.currentSchemaId, spec, schema, fmt)
-    if (lineage) files.map(_.copy(firstRowId = Some(Lineage.Materialized)))
-    else files
+    writeViaFanout(table, sorted, staging, lineage, fmt)
   }
 
-  /** Avro write: ONE executor job through the DSv2 fanout writers (Spark has
-    * no built-in Avro sink; partition routing, per-file metrics, and file
-    * naming are shared with the connector write path). */
-  private def writeAvro(table: GraftTable, sorted: DataFrame,
-      staging: String, lineage: Boolean = false): Seq[DataFile] = {
+  /** ONE executor job through the DSv2 fanout writers for EVERY format —
+    * partition routing, per-file metrics, and file naming are shared with
+    * the connector write path. The previous parquet/ORC branch used
+    * Spark's `partitionBy` writer and parsed the partition tuple BACK out
+    * of the hive-escaped directory names: a lossy round trip (non-ASCII
+    * values crashed on ASCII-locale filesystems; renderings of
+    * non-string identity values were session-state-shaped), and the split
+    * brain behind the decimal-bucket placement bug — the fanout writer
+    * computes each row's tuple with the same canonical Transform kernel
+    * the pruning evaluators project into, so the class is gone. */
+  private def writeViaFanout(table: GraftTable, sorted: DataFrame,
+      staging: String, lineage: Boolean = false,
+      fmt: String = FileFormats.Avro): Seq[DataFile] = {
     import graft.connector.GraftBatchWrite
     val m = table.metadata
     val schema = m.schema
@@ -180,9 +129,11 @@ object GraftWrite {
       org.apache.spark.sql.types.StructType(schema.fields.map(f =>
         f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)) ++ linTail),
       schema, specFields, staging,
+      // writeConf carries the keys ParquetWriteSupport asserts are present
+      // (normally set per job by FileFormatWriter); harmless for ORC/Avro
       new org.apache.spark.util.SerializableConfiguration(
-        table.spark.sessionState.newHadoopConf()),
-      Metrics.modesFor(schema, m.properties), FileFormats.Avro, m.properties)
+        ParquetIO.writeConf(table.spark)),
+      Metrics.modesFor(schema, m.properties), fmt, m.properties)
     val staged: Seq[GraftBatchWrite.StagedFile] =
       sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
         val w = factory.createWriter(pid, pid.toLong)
@@ -194,43 +145,11 @@ object GraftWrite {
       DataFile(path = sf.path, partition = sf.partition,
         recordCount = fm.recordCount, fileSizeInBytes = fm.fileSize,
         schemaId = m.currentSchemaId, specId = m.defaultSpecId,
-        fileFormat = FileFormats.Avro,
+        valueCounts = fm.valueCounts, nullValueCounts = fm.nullValueCounts,
+        lowerBounds = fm.lowerBounds, upperBounds = fm.upperBounds,
+        splitOffsets = fm.splitOffsets, fullBoundIds = fm.fullBoundIds,
+        fileFormat = fmt,
         firstRowId = if (lineage) Some(Lineage.Materialized) else None)
-    }
-  }
-
-  /** Enumerate staged parquet/ORC files → DataFiles with footer stats.
-    * Listing goes through the table's FileIO (scheme-aware), so staging on
-    * an object store works the same as local disk. */
-  private def collectFiles(table: GraftTable, staging: String, schemaId: Int,
-      spec: PartitionSpec, schema: org.apache.spark.sql.types.StructType,
-      fmt: String = FileFormats.Parquet): Seq[DataFile] = {
-    val types = spec.resultTypes(schema).toMap
-    val files = table.ops.io.list(staging, "." + fmt)
-      .map(_.path).sorted
-    // footer stats as a distributed job (no per-file driver I/O at scale),
-    // at the table's configured metrics modes
-    val metricsByPath = Metrics.forFiles(table.spark, files, schema,
-      Metrics.modesFor(schema, table.metadata.properties), fmt)
-    files.map { p =>
-      // partition tuple from hive-style dirs: __p_<name>=<value>
-      val tuple = tupleFromDirs(staging, p, types)
-      val fm = metricsByPath(p)
-      DataFile(
-        path = p,
-        content = FileContent.Data,
-        partition = tuple,
-        recordCount = fm.recordCount,
-        fileSizeInBytes = fm.fileSize,
-        schemaId = schemaId,
-        specId = spec.specId,
-        valueCounts = fm.valueCounts,
-        nullValueCounts = fm.nullValueCounts,
-        lowerBounds = fm.lowerBounds,
-        upperBounds = fm.upperBounds,
-        splitOffsets = fm.splitOffsets,
-        fullBoundIds = fm.fullBoundIds,
-        fileFormat = fmt)
     }
   }
 

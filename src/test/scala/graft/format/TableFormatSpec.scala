@@ -142,6 +142,26 @@ class TableFormatSpec extends SparkSpec {
       })
   }
 
+  test("identity string partitions survive hostile values (slash, equals, unicode)") {
+    import spark.implicits._
+    // partition values that would break naive `k=v` path layouts: path
+    // separators, key-value separators, percent-escapes, spaces, unicode,
+    // empty string. The round trip (write -> recorded tuple -> point
+    // predicate pruning -> residual) must keep every row findable.
+    val hostile = Seq("a/b", "k=v", "100%", "sp ace", "héllo✓", "", "..",
+      "dot.", "col:on", "#hash")
+    val loc = freshLoc("hostilepart")
+    val df = hostile.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "part")
+    val t = GraftTable.create(spark, loc, df.schema, _.identity("part"))
+    GraftWrite.append(t, df.repartition(2))
+    assert(t.toDF().count() === hostile.size.toLong)
+    hostile.foreach { s =>
+      val n = t.newScan().filter(Exprs.equal("part", s)).toDF().count()
+      assert(n === 1L, s"partition value '$s' lost in the layout round trip")
+    }
+  }
+
   test("appendsBetween over an expired ancestor fails loudly, never skips") {
     // the ancestor walk stops silently at a missing (expired) parent — an
     // incremental consumer spanning the gap must get an error, not a
