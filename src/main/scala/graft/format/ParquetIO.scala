@@ -178,8 +178,15 @@ object ParquetIO {
       case LongType | TimestampType | TimestampNTZType | _: TimeType =>
         row.getLong(i)
       case StringType => row.getUTF8String(i).toString
-      case DoubleType => row.getDouble(i)
-      case FloatType => row.getFloat(i)
+      // -0.0 normalizes to +0.0: the delete-key probe compares BOXED
+      // values (java.lang.Double.equals says -0.0 != 0.0) while Spark's
+      // =/<=> say they are equal — both the key-set loader and the row
+      // probe route through here, so normalizing once keeps the DSv2
+      // paths agreeing with the library anti-join for the same key file.
+      // (NaN is already safe: boxed equals canonicalizes via
+      // doubleToLongBits, matching Spark's NaN == NaN semantics.)
+      case DoubleType => val d = row.getDouble(i); if (d == 0.0d) 0.0d else d
+      case FloatType => val f = row.getFloat(i); if (f == 0.0f) 0.0f else f
       case BooleanType => row.getBoolean(i)
       case d: DecimalType => row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
       case t => throw new IllegalArgumentException(s"unsupported key type $t")

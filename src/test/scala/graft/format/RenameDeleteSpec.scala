@@ -307,6 +307,30 @@ class RenameDeleteSpec extends SparkSpec {
       s"DSv2 scan null-key delete wrong: ${dsv2.toSeq}")
   }
 
+  test("double equality-delete key 0.0 deletes -0.0 rows on BOTH scan paths") {
+    // Spark's =/<=> say -0.0 == 0.0, but the DSv2 key probe compares
+    // BOXED values (java.lang.Double.equals says they differ) — without
+    // -0.0 normalization in canonicalValue, the library anti-join deleted
+    // the -0.0 row while the DSv2 scan resurrected it: the same table
+    // answered differently per path. Both must agree with SQL semantics.
+    val wh = freshLoc("negz-wh")
+    spark.conf.set("spark.sql.catalog.nz", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.nz.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS nz.db")
+    val loc = s"$wh/db/t"
+    val df = Seq((1L, -0.0d), (2L, 1.5d), (3L, 0.0d)).toDF("id", "d")
+    val t0 = GraftTable.create(spark, loc, df.schema)
+    GraftWrite.append(t0, df.repartition(2))
+    Deletes.deleteByEquality(GraftTable.load(spark, loc), Seq(0.0d).toDF("d"))
+    val t = GraftTable.load(spark, loc)
+    val lib = t.newScan().toDF().select("id").as[Long].collect().sorted
+    assert(lib.toSeq === Seq(2L),
+      s"library path must delete both zero rows, kept: ${lib.toSeq}")
+    val dsv2 = spark.sql("SELECT id FROM nz.db.t ORDER BY id").as[Long].collect()
+    assert(dsv2.toSeq === Seq(2L),
+      s"DSv2 path must agree with the library path, kept: ${dsv2.toSeq}")
+  }
+
   test("requireColumns fails loudly on a delete file missing its columns") {
     val dir = Files.createTempDirectory("graft-reqcols")
     val p = s"$dir/other.parquet"

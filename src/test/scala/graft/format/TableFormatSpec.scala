@@ -160,6 +160,14 @@ class TableFormatSpec extends SparkSpec {
       val n = t.newScan().filter(Exprs.equal("part", s)).toDF().count()
       assert(n === 1L, s"partition value '$s' lost in the layout round trip")
     }
+    // NULL partition value: the tuple carries null, findable via IS NULL
+    // and invisible to every equality partition above
+    GraftWrite.append(GraftTable.load(spark, loc),
+      Seq((100L, Option.empty[String])).toDF("id", "part"))
+    val t2 = GraftTable.load(spark, loc)
+    assert(t2.newScan().filter(Exprs.isNull("part")).toDF().count() === 1L)
+    assert(t2.newScan().filter(Exprs.equal("part", "a/b")).toDF().count() === 1L)
+    assert(t2.toDF().count() === hostile.size + 1L)
   }
 
   test("appendsBetween over an expired ancestor fails loudly, never skips") {
