@@ -165,7 +165,20 @@ final class GraftFanoutWriter(schema: StructType, idSchema: StructType,
 
   private val writers =
     collection.mutable.LinkedHashMap[Map[String, Any], (String, DataFileIO.Writer)]()
+  private val finished = collection.mutable.ArrayBuffer[GraftBatchWrite.StagedFile]()
   private var fileCount = 0
+
+  // Cap on concurrently-OPEN files per task: every open parquet/ORC writer
+  // buffers a row group, so unbounded fanout over unclustered input is an
+  // executor OOM once a task sees enough distinct partitions (Spark's own
+  // dynamic-partition writer guards the same way via
+  // maxConcurrentOutputFileWriters + a sort fallback). Overflow closes the
+  // oldest-opened writer — with partition-clustered input (the library
+  // write path sorts by the derived partition expressions; the DSv2 path
+  // requests hash clustering) that is a finished partition. A re-seen
+  // tuple simply opens a fresh file: multiple files per tuple are legal.
+  private val maxOpen = math.max(1,
+    props.get("write.max-open-writers").map(_.toInt).getOrElse(64))
 
   private def canonical(row: InternalRow, f: SpecField): Any = {
     if (row.isNullAt(f.ordinal)) return null
@@ -203,17 +216,38 @@ final class GraftFanoutWriter(schema: StructType, idSchema: StructType,
   override def write(row: InternalRow): Unit = {
     val tuple: Map[String, Any] = fields.map(f =>
       f.name -> f.transform.apply(canonical(row, f), f.srcType)).toMap
-    writers.getOrElseUpdate(tuple, openWriter())._2.write(row)
+    val w = writers.get(tuple) match {
+      case Some(open) => open
+      case None =>
+        if (writers.size >= maxOpen) {
+          val (oldTuple, (path, ow)) = writers.head // oldest-opened
+          writers.remove(oldTuple)
+          finished += StagedFile(path, oldTuple, ow.finish())
+        }
+        val fresh = openWriter()
+        writers.put(tuple, fresh)
+        fresh
+    }
+    w._2.write(row)
   }
 
   override def commit(): WriterCommitMessage = {
-    val files = writers.toSeq.map { case (tuple, (path, w)) =>
+    val files = finished.toSeq ++ writers.toSeq.map { case (tuple, (path, w)) =>
       StagedFile(path, tuple, w.finish())
     }
     TaskFiles(files)
   }
 
-  override def abort(): Unit = writers.values.foreach { case (_, w) => w.abort() }
+  override def abort(): Unit = {
+    writers.values.foreach { case (_, w) => w.abort() }
+    // overflow-closed files are already finalized — delete them directly
+    finished.foreach { sf =>
+      try {
+        val hp = new org.apache.hadoop.fs.Path(sf.path)
+        hp.getFileSystem(sconf.value).delete(hp, false)
+      } catch { case scala.util.control.NonFatal(_) => }
+    }
+  }
 
   override def close(): Unit = ()
 }

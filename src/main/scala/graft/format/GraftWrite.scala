@@ -78,19 +78,30 @@ object GraftWrite {
           .as(Lineage.LastUpdatedColumn))
       else Nil): _*)
 
-    // write.sort-order: cluster rows within files so column bounds stay
-    // tight and stats pruning bites (the reference's SortOrder contract —
-    // position-delete writers and metrics quality both depend on it)
-    val sorted = m.properties.get(SortOrderKey) match {
-      case Some(order) if order.trim.nonEmpty =>
-        val cols = order.split(',').map(_.trim).filter(_.nonEmpty).map { part =>
-          val bits = part.split("\\s+")
-          if (bits.length > 1 && bits(1).equalsIgnoreCase("desc")) col(bits(0)).desc
-          else col(bits(0)).asc
-        }
-        aligned.sortWithinPartitions(cols.toSeq: _*)
-      case _ => aligned
-    }
+    // Cluster each task's rows by the derived partition expressions
+    // (partition-clustered input keeps the fanout writer at ~one open
+    // file, whatever the partition count — a task-local sort, no
+    // shuffle), then write.sort-order within partitions so column bounds
+    // stay tight and stats pruning bites (the reference's SortOrder
+    // contract — position-delete writers and metrics quality depend on it)
+    val clusterCols: Seq[org.apache.spark.sql.Column] =
+      if (spec.isPartitioned) spec.derivedColumns(schema).map(_._2.asc)
+      else Nil
+    val orderCols: Seq[org.apache.spark.sql.Column] =
+      m.properties.get(SortOrderKey) match {
+        case Some(order) if order.trim.nonEmpty =>
+          order.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
+            val bits = part.split("\\s+")
+            if (bits.length > 1 && bits(1).equalsIgnoreCase("desc"))
+              col(bits(0)).desc
+            else col(bits(0)).asc
+          }
+        case _ => Nil
+      }
+    val sorted =
+      if (clusterCols.nonEmpty || orderCols.nonEmpty)
+        aligned.sortWithinPartitions(clusterCols ++ orderCols: _*)
+      else aligned
 
     writeViaFanout(table, sorted, staging, lineage, fmt)
   }

@@ -17,6 +17,39 @@ class WriteOrderSpec extends SparkSpec {
     d
   }
 
+  test("fanout writer caps open files and spills to new files on overflow") {
+    // every open parquet writer buffers a row group: a task fed
+    // interleaved partitions must BOUND its open writers (close the
+    // oldest, reopen on re-encounter) rather than hold one per distinct
+    // tuple — unbounded fanout is an executor OOM at scale. Rows must
+    // survive the churn exactly.
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import graft.format.{FileFormats, ParquetIO, Transforms}
+    val dir = Files.createTempDirectory("graft-fanoutcap").toString
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("p", LongType)))
+    val idSchema = FieldIds.assignFresh(schema)
+    val fields = Seq(GraftBatchWrite.SpecField("p", 1, Transforms.IdentityT,
+      LongType))
+    val factory = new GraftWriterFactory(schema, idSchema, fields, dir,
+      new org.apache.spark.util.SerializableConfiguration(
+        ParquetIO.writeConf(spark)),
+      Map.empty, FileFormats.Parquet, Map("write.max-open-writers" -> "2"))
+    val w = factory.createWriter(0, 0L)
+    (0 until 40).foreach { i =>
+      w.write(new GenericInternalRow(Array[Any](i.toLong, (i % 4).toLong)))
+    }
+    val files = w.commit().asInstanceOf[GraftBatchWrite.TaskFiles].files
+    assert(files.map(_.metrics.recordCount).sum === 40L)
+    assert(files.map(_.partition).toSet.size === 4, "every tuple present")
+    assert(files.size > 4, "cap 2 with 4 interleaved tuples must spill")
+    val back = spark.read.parquet(files.map(_.path): _*)
+    assert(back.count() === 40L)
+    assert(back.groupBy("p").count().collect().forall(_.getLong(1) == 10L),
+      "no row lost or duplicated across the writer churn")
+  }
+
   test("write.sort-order sorts rows within every data file") {
     wh
     spark.sql("""CREATE TABLE go.db.sorted (id BIGINT, v STRING)
