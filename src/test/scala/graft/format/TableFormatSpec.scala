@@ -168,6 +168,16 @@ class TableFormatSpec extends SparkSpec {
     assert(t2.newScan().filter(Exprs.isNull("part")).toDF().count() === 1L)
     assert(t2.newScan().filter(Exprs.equal("part", "a/b")).toDF().count() === 1L)
     assert(t2.toDF().count() === hostile.size + 1L)
+    // compaction rewrites ride the same writer: tuples (hostile strings
+    // AND null) must survive the rewrite byte-for-byte
+    Actions.forTable(t2).rewriteDataFiles(minInputFiles = 1)
+    val t3 = GraftTable.load(spark, loc)
+    assert(t3.toDF().count() === hostile.size + 1L)
+    hostile.foreach { s =>
+      assert(t3.newScan().filter(Exprs.equal("part", s)).toDF().count() === 1L,
+        s"partition value '$s' lost through compaction")
+    }
+    assert(t3.newScan().filter(Exprs.isNull("part")).toDF().count() === 1L)
   }
 
   test("appendsBetween over an expired ancestor fails loudly, never skips") {
