@@ -505,7 +505,8 @@ final class Actions(t: GraftTable) {
     val arranged = df
       .repartitionByRange(n, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
-    val newFiles = GraftWrite.writeFiles(t, arranged, lineage = lineageOn)
+    val newFiles = GraftWrite.writeFiles(t, arranged, lineage = lineageOn,
+      clusterByPartition = false) // already arranged above — keep the order
     val hygienePlan = if (filter == AlwaysTrue) plan else t.newScan().planFiles()
     commitRewriteWithHygiene(hygienePlan, plan.tasks.map(_.file.path).toSet,
       newFiles, baseSnapshot)

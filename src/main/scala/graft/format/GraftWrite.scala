@@ -57,7 +57,13 @@ object GraftWrite {
     * TableProperties.DEFAULT_FILE_FORMAT); parquet, ORC and Avro all run
     * as one executor job over the DSv2 fanout writers. */
   def writeFiles(table: GraftTable, df: DataFrame,
-      lineage: Boolean = false): Seq[DataFile] = {
+      lineage: Boolean = false,
+      // compaction/z-order callers arrange rows themselves (range
+      // repartition + their own within-partition order): the write-side
+      // partition-clustering sort must NOT run on top of that — Spark's
+      // sort is not stable, so re-sorting by the derived keys alone would
+      // scramble the carefully-built within-partition clustering
+      clusterByPartition: Boolean = true): Seq[DataFile] = {
     val m = table.metadata
     val schema = m.schema
     val spec = m.spec
@@ -85,7 +91,8 @@ object GraftWrite {
     // stay tight and stats pruning bites (the reference's SortOrder
     // contract — position-delete writers and metrics quality depend on it)
     val clusterCols: Seq[org.apache.spark.sql.Column] =
-      if (spec.isPartitioned) spec.derivedColumns(schema).map(_._2.asc)
+      if (spec.isPartitioned && clusterByPartition)
+        spec.derivedColumns(schema).map(_._2.asc)
       else Nil
     val orderCols: Seq[org.apache.spark.sql.Column] =
       m.properties.get(SortOrderKey) match {
