@@ -49,6 +49,25 @@ object FormatQueries {
   private def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(14, 4))
 
+  /** Fresh location for the write-shaped bench query (q134): each
+    * invocation writes a new table; the previous invocation's is deleted
+    * here so repeated bench passes don't accumulate copies in tmp. */
+  private var lastWriteBenchDir: Option[String] = None
+  private def freshWriteBenchDir(): String = synchronized {
+    lastWriteBenchDir.foreach { old =>
+      val p = java.nio.file.Paths.get(old)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    val loc = s"${sys.props("java.io.tmpdir")}/graft-writebench/" +
+      java.util.UUID.randomUUID().toString
+    lastWriteBenchDir = Some(loc)
+    loc
+  }
+
   /** orders split by parity: snapshot 1 = even keys, snapshot 2 = odd keys. */
   private def ordersTwoSnapshots(s: SparkSession, dir: String): GraftTable =
     withTable(s, dir, "orders_2snap") { loc =>
@@ -1387,6 +1406,25 @@ object FormatQueries {
       g1.unionByName(g2).orderBy(col("gen"), col("a"), col("b"))
     }),
 
+    // write-shaped headline entry (round 20): a partitioned write of
+    // events by day(ts) through the full library write path — spec-field
+    // routing, task-local clustering sort, fanout writer, footer metrics,
+    // atomic commit. Every invocation writes a FRESH table (the write IS
+    // the measurement; withTable caching would time a no-op) and then
+    // verifies itself by aggregating the read-back scan, which the oracle
+    // checks against the source parquet — a routing bug that loses or
+    // duplicates rows breaks the hash match.
+    "q134_partitioned_write" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val loc = freshWriteBenchDir()
+      val t = GraftTable.create(s, loc, ev.schema, _.day("ts"))
+      GraftWrite.append(t, ev)
+      GraftTable.load(s, loc).toDF()
+        .agg(count(lit(1)).as("row_cnt"),
+          countDistinct(to_date(col("ts"))).as("day_cnt"),
+          countDistinct(col("user_id")).as("users"))
+    }),
+
     // compaction preserves content (RewriteDataFilesAction)
     "q70_compaction" -> ((s, dir) => {
       val t = withTable(s, dir, "region_compacted") { loc =>
@@ -1496,6 +1534,14 @@ object FormatQueries {
         |SELECT 'g2' AS gen, a, b, jaccard FROM j
         |WHERE a % 10 = 0 OR b % 10 = 0
         |ORDER BY gen, a, b""".stripMargin,
+
+    // self-check of the partitioned write: counts survive the write +
+    // read-back round trip iff no row was lost, duplicated or mis-routed
+    "q134_partitioned_write" ->
+      """SELECT COUNT(*) AS row_cnt,
+        |COUNT(DISTINCT CAST(ts AS DATE)) AS day_cnt,
+        |COUNT(DISTINCT user_id) AS users
+        |FROM events""".stripMargin,
 
     "q60_format_scan" ->
       """SELECT l_returnflag, COUNT(*) AS n,

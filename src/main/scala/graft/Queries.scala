@@ -1330,7 +1330,12 @@ object Queries {
     // persisted bucket[16](g) and read back through the catalog as a
     // storage-partitioned join — the corpus-scale side never shuffles;
     // tracked so the bucketed-store claim carries spreads too
-    "q128_gram_store")
+    "q128_gram_store",
+    // write-shaped entry (added round 20): partitioned write of events by
+    // day(ts) through the unified fanout write path — the write side had
+    // zero standing perf coverage before this; a fanout-routing or
+    // clustering regression now moves a tracked number
+    "q134_partitioned_write")
 
   /** The 11 queries benched since round 1 — the stable cross-round signal.
     * Per-query times are ±20% noisy run to run; this subtotal is what the

@@ -46,6 +46,34 @@ object GraftBatchWrite {
   final case class TaskFiles(files: Seq[StagedFile])
     extends WriterCommitMessage
 
+  private[connector] def valHash(v: Any): Int = v match {
+    case null => 0
+    case b: Array[Byte] => java.util.Arrays.hashCode(b)
+    case x => x.hashCode
+  }
+  private[connector] def valEq(a: Any, b: Any): Boolean = (a, b) match {
+    // binary partition values (truncate[w] on BINARY) need content equality
+    case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+    case (x, y) => x == y
+  }
+
+  /** Immutable positional partition key with a precomputed hash (the
+    * reference's PartitionKey pattern, api/.../PartitionKey.java:34-101). */
+  private[connector] final class PartKey(val values: Array[Any]) {
+    override val hashCode: Int = {
+      var h = 17; var i = 0
+      while (i < values.length) { h = h * 31 + valHash(values(i)); i += 1 }
+      h
+    }
+    override def equals(o: Any): Boolean = o match {
+      case k: PartKey =>
+        var i = 0
+        while (i < values.length && valEq(values(i), k.values(i))) i += 1
+        i == values.length
+      case _ => false
+    }
+  }
+
   sealed trait Mode extends Serializable
   case object Append extends Mode
   case object DynamicOverwrite extends Mode
@@ -164,9 +192,29 @@ final class GraftFanoutWriter(schema: StructType, idSchema: StructType,
   import GraftBatchWrite._
 
   private val writers =
-    collection.mutable.LinkedHashMap[Map[String, Any], (String, DataFileIO.Writer)]()
+    collection.mutable.LinkedHashMap[PartKey, (String, DataFileIO.Writer)]()
   private val finished = collection.mutable.ArrayBuffer[GraftBatchWrite.StagedFile]()
   private var fileCount = 0
+
+  // Row routing state: the per-row partition tuple is computed into ONE
+  // reused positional array (the reference's PartitionKey pattern,
+  // api/.../PartitionKey.java:34-101) and short-circuited against the
+  // previous row's key — with partition-clustered input (the library path
+  // sorts task-locally; the DSv2 path requests hash clustering) consecutive
+  // rows share a tuple, so the steady state allocates nothing per row. A
+  // Map[String, Any] is only materialized per FILE, for the commit message.
+  private val fieldArr = fields.toArray
+  private val nFields = fieldArr.length
+  private val scratch = new Array[Any](nFields)
+  private var lastKey: PartKey = null
+  private var lastWriter: DataFileIO.Writer = null
+
+  private def tupleOf(k: PartKey): Map[String, Any] = {
+    val b = Map.newBuilder[String, Any]
+    var i = 0
+    while (i < nFields) { b += fieldArr(i).name -> k.values(i); i += 1 }
+    b.result()
+  }
 
   // Cap on concurrently-OPEN files per task: every open parquet/ORC writer
   // buffers a row group, so unbounded fanout over unclustered input is an
@@ -214,26 +262,45 @@ final class GraftFanoutWriter(schema: StructType, idSchema: StructType,
   }
 
   override def write(row: InternalRow): Unit = {
-    val tuple: Map[String, Any] = fields.map(f =>
-      f.name -> f.transform.apply(canonical(row, f), f.srcType)).toMap
-    val w = writers.get(tuple) match {
+    var i = 0
+    while (i < nFields) {
+      val f = fieldArr(i)
+      // void ignores its input, and its ordinal/srcType may not describe a
+      // real input column (the eq-delete stager projects only key columns):
+      // never touch the row for a void field
+      scratch(i) =
+        if (f.transform eq Transforms.VoidT) null
+        else f.transform.apply(canonical(row, f), f.srcType)
+      i += 1
+    }
+    if (lastWriter != null && sameAsLast()) { lastWriter.write(row); return }
+    val key = new PartKey(scratch.clone()) // copy-on-store
+    val w = writers.get(key) match {
       case Some(open) => open
       case None =>
         if (writers.size >= maxOpen) {
-          val (oldTuple, (path, ow)) = writers.head // oldest-opened
-          writers.remove(oldTuple)
-          finished += StagedFile(path, oldTuple, ow.finish())
+          val (oldKey, (path, ow)) = writers.head // oldest-opened
+          writers.remove(oldKey)
+          finished += StagedFile(path, tupleOf(oldKey), ow.finish())
         }
         val fresh = openWriter()
-        writers.put(tuple, fresh)
+        writers.put(key, fresh)
         fresh
     }
+    lastKey = key
+    lastWriter = w._2
     w._2.write(row)
   }
 
+  private def sameAsLast(): Boolean = {
+    var i = 0
+    while (i < nFields && valEq(scratch(i), lastKey.values(i))) i += 1
+    i == nFields
+  }
+
   override def commit(): WriterCommitMessage = {
-    val files = finished.toSeq ++ writers.toSeq.map { case (tuple, (path, w)) =>
-      StagedFile(path, tuple, w.finish())
+    val files = finished.toSeq ++ writers.toSeq.map { case (key, (path, w)) =>
+      StagedFile(path, tupleOf(key), w.finish())
     }
     TaskFiles(files)
   }

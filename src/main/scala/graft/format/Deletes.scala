@@ -399,6 +399,9 @@ object Deletes {
     val specFields = spec.fields.map { pf =>
       val src = FieldIds.findById(m.schema, pf.sourceId).get
       val ord = // void ignores its input; its source may not be a key col
+        // (the fanout writer short-circuits void fields to null without
+        // touching the row, so this placeholder ordinal/srcType is never
+        // used as a row accessor)
         if (pf.transform == Transforms.VoidT) 0 else nameToIdx(src.name)
       graft.connector.GraftBatchWrite.SpecField(pf.name, ord, pf.transform,
         src.dataType)

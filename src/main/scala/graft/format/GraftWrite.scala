@@ -94,8 +94,13 @@ object GraftWrite {
       if (spec.isPartitioned && clusterByPartition)
         spec.derivedColumns(schema).map(_._2.asc)
       else Nil
+    // write.sort-order is gated on the SAME flag: when the caller owns the
+    // row order (compaction/z-order rewrites), ANY write-side
+    // sortWithinPartitions — cluster or declared order — would re-scramble
+    // the arrangement (Spark's sort is not stable), defeating the flag
     val orderCols: Seq[org.apache.spark.sql.Column] =
-      m.properties.get(SortOrderKey) match {
+      if (!clusterByPartition) Nil
+      else m.properties.get(SortOrderKey) match {
         case Some(order) if order.trim.nonEmpty =>
           order.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
             val bits = part.split("\\s+")

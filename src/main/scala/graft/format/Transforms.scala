@@ -124,19 +124,21 @@ object Transforms {
           .apply(c)
       case d: DecimalType =>
         // the spec hashes the UNSCALED value at the column's declared
-        // scale; Spark casts udf decimal inputs to the system default
-        // (38,18), so rescale back before hashing (lossless — the value
-        // originated at `scale`). A previous catch-all cast this column
-        // to LONG, silently placing rows in a different bucket than the
-        // pruning evaluators project predicates into — point predicates
-        // on library-written decimal-bucketed tables LOST the row
-        // (regression: TableFormatSpec "bucket partitioning on DECIMAL")
+        // scale. The udf is fed through a STRING cast because Spark casts
+        // udf BigDecimal inputs to the system default (38,18): lossy for
+        // scale > 18 (rounds) and precision-scale > 20 (overflows to
+        // null) — either silently places rows in a different bucket than
+        // the pruning evaluators project predicates into, the same
+        // row-loss class as the earlier catch-all LONG cast (regression:
+        // TableFormatSpec "bucket partitioning on DECIMAL"). Decimal →
+        // string → BigDecimal is exact at ANY (precision, scale): Spark
+        // renders the full value (scientific notation parses losslessly)
         val scale = d.scale
-        udf((bd: java.math.BigDecimal) => if (bd == null) null
-          else Int.box((Murmur3.hashDecimal(
-            bd.setScale(scale, java.math.RoundingMode.UNNECESSARY)) &
+        udf((s: String) => if (s == null) null
+          else Int.box((Murmur3.hashDecimal(new java.math.BigDecimal(s)
+            .setScale(scale, java.math.RoundingMode.UNNECESSARY)) &
             Integer.MAX_VALUE) % n))
-          .apply(c)
+          .apply(c.cast(StringType))
       case BinaryType =>
         udf((b: Array[Byte]) => if (b == null) null
           else Int.box((Murmur3.hashBytes(b) & Integer.MAX_VALUE) % n))
@@ -201,15 +203,17 @@ object Transforms {
         udf((s: String) => if (s == null) null
           else apply(s, StringType).asInstanceOf[String]).apply(c)
       case d: DecimalType =>
-        // same unscaled-modulus kernel as `apply`; Spark casts udf decimal
-        // inputs to (38,18), so rescale to the declared scale first
-        // (lossless) and cast the result back to the declared type so the
-        // recorded partition value carries the column's own scale
+        // same unscaled-modulus kernel as `apply`; string-fed AND
+        // string-returned because Spark coerces udf BigDecimal inputs and
+        // outputs to (38,18) — lossy for scale > 18 / precision-scale > 20
+        // (see BucketT). The final cast back to the declared type is exact:
+        // truncation preserves the scale and never grows the magnitude
         val scale = d.scale
-        udf((bd: java.math.BigDecimal) => if (bd == null) null
-          else apply(bd.setScale(scale, java.math.RoundingMode.UNNECESSARY), d)
-            .asInstanceOf[java.math.BigDecimal])
-          .apply(c).cast(d)
+        udf((s: String) => if (s == null) null
+          else apply(new java.math.BigDecimal(s)
+            .setScale(scale, java.math.RoundingMode.UNNECESSARY), d)
+            .asInstanceOf[java.math.BigDecimal].toPlainString)
+          .apply(c.cast(StringType)).cast(d)
       case BinaryType =>
         udf((b: Array[Byte]) => if (b == null) null
           else apply(b, BinaryType).asInstanceOf[Array[Byte]]).apply(c)

@@ -277,7 +277,7 @@ object Multimodal {
                             tracks: Seq[(Int, Int)])
 
     private def parseMoov(b: Array[Byte], from: Int, until: Int): Moov = {
-      var timescale = 0L; var duration = 0L
+      var timescale = 0L; var duration = 0L; var fragDuration = 0L
       val tracks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       walk(b, from, until) {
         case ("mvhd", p, e) =>
@@ -288,6 +288,17 @@ object Multimodal {
             timescale = u32(b, p + 12); duration = u32(b, p + 16)
           } else if (v == 1 && p + 32 <= e) {
             timescale = u32(b, p + 20); duration = u64(b, p + 24)
+          }
+        case ("mvex", p, e) =>
+          // fragmented MP4 (the dominant streaming-origin container):
+          // mvhd carries duration 0 and the total movie duration lives in
+          // mvex/mehd — ver/flags(4) then fragment_duration (4 or 8)
+          walk(b, p, e) {
+            case ("mehd", mp, me) =>
+              val v = b(mp) & 0xff
+              if (v == 1 && mp + 12 <= me) fragDuration = u64(b, mp + 4)
+              else if (v == 0 && mp + 8 <= me) fragDuration = u32(b, mp + 4)
+            case _ =>
           }
         case ("trak", p, e) =>
           walk(b, p, e) {
@@ -303,7 +314,8 @@ object Multimodal {
           }
         case _ =>
       }
-      Moov(timescale, duration, tracks.toSeq)
+      Moov(timescale, if (duration > 0) duration else fragDuration,
+        tracks.toSeq)
     }
 
     /** None when the bytes are not ISO-BMFF (no leading `ftyp`) or the
@@ -382,6 +394,55 @@ object Multimodal {
         .putInt(0).putInt(0x00010000).putInt(0)
         .putInt(0).putInt(0).putInt(0x40000000)
         .putInt(width << 16).putInt(height << 16) // 16.16 fixed point
+      bb.array()
+    }
+
+    /** Fragmented-MP4 twin of [[encode]]: mvhd duration 0 (as fMP4 muxers
+      * write it), total movie duration in moov{mvex{mehd}}, one empty
+      * moof fragment after the moov. Fixture generator for the fMP4
+      * duration path. */
+    def encodeFragmented(width: Int, height: Int, timescale: Long,
+               durationTicks: Long, brand: String = "iso5"): Array[Byte] = {
+      require(brand.length == 4, s"brand must be a fourcc: '$brand'")
+      val bb = java.nio.ByteBuffer.allocate(24 + 240 + 24)
+      def fourccBytes(s: String): Array[Byte] =
+        s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      bb.putInt(24).put(fourccBytes("ftyp")).put(fourccBytes(brand))
+        .putInt(0).put(fourccBytes(brand)).put(fourccBytes("mp42"))
+      // moov{mvhd(108), trak{tkhd(92)}, mvex{mehd(16)}} = 8+108+100+24
+      bb.putInt(240).put(fourccBytes("moov"))
+      bb.putInt(108).put(fourccBytes("mvhd"))
+        .putInt(0)                       // version 0 + flags
+        .putInt(0).putInt(0)             // creation / modification
+        .putInt(timescale.toInt).putInt(0) // duration 0: lives in mehd
+        .putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+        .put(new Array[Byte](10))        // reserved
+        .putInt(0x00010000).putInt(0).putInt(0) // unity matrix rows
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000)
+        .put(new Array[Byte](24))        // pre_defined
+        .putInt(2)                       // next_track_ID
+      bb.putInt(100).put(fourccBytes("trak"))
+      bb.putInt(92).put(fourccBytes("tkhd"))
+        .putInt(7)                       // version 0, flags
+        .putInt(0).putInt(0)             // creation / modification
+        .putInt(1).putInt(0)             // track_ID, reserved
+        .putInt(0)                       // duration 0 in fragmented tracks
+        .put(new Array[Byte](8))         // reserved
+        .putShort(0).putShort(0).putShort(0).putShort(0)
+        .putInt(0x00010000).putInt(0).putInt(0) // unity matrix rows
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000)
+        .putInt(width << 16).putInt(height << 16) // 16.16 fixed point
+      bb.putInt(24).put(fourccBytes("mvex"))
+      bb.putInt(16).put(fourccBytes("mehd"))
+        .putInt(0)                       // version 0 + flags
+        .putInt(durationTicks.toInt)     // fragment_duration
+      // one (empty) movie fragment: moof{mfhd} — the probe must skip it
+      bb.putInt(24).put(fourccBytes("moof"))
+      bb.putInt(16).put(fourccBytes("mfhd"))
+        .putInt(0)                       // version 0 + flags
+        .putInt(1)                       // sequence_number
       bb.array()
     }
   }

@@ -136,7 +136,8 @@ object TextOps {
     * offsets in a one-task window that is metadata-scale by construction
     * — then a broadcast join stitches `offset(group) +
     * within-group-cumsum`. The narrow `(doc_id, toks)` projection is
-    * scanned twice (totals + final); no driver collect, no silent cache.
+    * scanned three times (quantile cuts, totals, final); no driver
+    * collect, no silent cache.
     *
     * Determinism contract: the doc_id order is the pack order; rows
     * sharing a doc_id sort arbitrarily WITHIN the tie (they always land

@@ -823,6 +823,28 @@ class OpsSpec extends SparkSpec {
     val v1file = ftyp ++ box("moov", box("mvhd", mvhd1) ++ box("trak", box("tkhd", tkhd1)))
     assert(VideoCodec.probe(v1file) === Some(MediaMeta(1920, 1080, 1, "avc1")))
     assert(VideoCodec.probeDurationSec(v1file) === Some(3.0))
+    // FRAGMENTED MP4 (moov{mvex{mehd}} + moof): mvhd duration is 0 and
+    // the total movie duration lives in mehd — the dominant
+    // streaming-origin container shape; the empty moof must be skipped
+    val fmp4 = VideoCodec.encodeFragmented(width = 1280, height = 720,
+      timescale = 90000L, durationTicks = 450000L) // 5.0 s at 90 kHz
+    assert(VideoCodec.probe(fmp4) === Some(MediaMeta(1280, 720, 1, "iso5")))
+    assert(VideoCodec.probeDurationSec(fmp4) === Some(5.0))
+    // a v1 mehd (64-bit fragment_duration), hand-built
+    val mehd1 = {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.put(1.toByte).put(new Array[Byte](3)).putLong(2400L)
+      bb.array()
+    }
+    val fragV1 = ftyp ++ box("moov",
+      box("mvhd", mvhd1.clone().patch(24, Array.fill(8)(0.toByte), 8)) ++ // duration 0
+      box("mvex", box("mehd", mehd1)))
+    assert(VideoCodec.probeDurationSec(fragV1) === Some(4.0),
+      "v1 mehd fragment_duration must parse (2400 ticks / 600 timescale)")
+    // progressive duration wins when both are present (mvhd nonzero)
+    assert(VideoCodec.probeDurationSec(
+      ftyp ++ box("moov", box("mvhd", mvhd1) ++ box("mvex", box("mehd", mehd1))))
+      === Some(3.0))
     // non-BMFF / truncated payloads degrade to None, never throw — probe
     // every prefix so no box-length arithmetic can overrun
     assert(VideoCodec.probe("definitely not a video".getBytes("UTF-8")).isEmpty)
@@ -830,6 +852,15 @@ class OpsSpec extends SparkSpec {
     (0 until mp4.length by 7).foreach { k =>
       assert(VideoCodec.probe(mp4.take(k)).isEmpty, s"prefix $k must degrade")
     }
+    // prefixes cutting INSIDE the moov must degrade; a cut inside the
+    // trailing moof still holds a complete moov, so the probe (header-only
+    // by design) legitimately succeeds there
+    (0 until (24 + 240) by 7).foreach { k =>
+      assert(VideoCodec.probe(fmp4.take(k)).isEmpty,
+        s"fMP4 prefix $k must degrade")
+    }
+    assert(VideoCodec.probeDurationSec(fmp4.dropRight(10)) === Some(5.0),
+      "a truncated trailing fragment must not cost the header probe")
     // decodeAll routes MP4 payloads through the REAL probe (image+audio
     // decline first); non-media text still falls through to the stub
     import spark.implicits._

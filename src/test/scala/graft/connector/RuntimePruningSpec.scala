@@ -360,6 +360,54 @@ class RuntimePruningSpec extends SparkSpec {
       s"MoR deletes across generations must not cost SPJ its plan:\n$plan")
   }
 
+  test("bucket SPJ survives store compaction + snapshot expiry (nightly maintenance cycle)") {
+    wh
+    val iso = isoSession()
+    // the gram/signature store's nightly loop appends a generation, then
+    // COMPACTS the accumulated small files and EXPIRES old snapshots —
+    // the rewrite lands entirely new files and manifests in the SAME
+    // bucket layout, and the SPJ read must stay key-grouped afterwards
+    iso.sql("""CREATE TABLE dpp.db.spjmt_a (id BIGINT, v DOUBLE)
+               PARTITIONED BY (bucket(4, id))""")
+    iso.range(60).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("spjmt1")
+    iso.sql("INSERT INTO dpp.db.spjmt_a SELECT * FROM spjmt1")
+    iso.range(60, 120).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("spjmt2")
+    iso.sql("INSERT INTO dpp.db.spjmt_a SELECT * FROM spjmt2")
+    val pre = graft.format.GraftTable.load(iso, s"$wh/db/spjmt_a")
+    val preFiles = pre.newScan().planFiles().tasks.map(_.file.path).toSet
+    val res = graft.format.Actions.forTable(pre)
+      .rewriteDataFiles(minInputFiles = 2)
+    assert(res.rewrittenFiles > 0, "compaction must rewrite the generations")
+    val mid = graft.format.GraftTable.load(iso, s"$wh/db/spjmt_a")
+    graft.format.Actions.forTable(mid)
+      .expireSnapshots(System.currentTimeMillis() + 1000, retainLast = 1)
+    val post = graft.format.GraftTable.load(iso, s"$wh/db/spjmt_a")
+    val postFiles = post.newScan().planFiles().tasks.map(_.file.path).toSet
+    assert(postFiles.intersect(preFiles).isEmpty,
+      "compaction must have replaced every pre-compaction file")
+    assert(post.snapshots.size === 1, "expiry must drop the pre-compaction history")
+    iso.sql("""CREATE TABLE dpp.db.spjmt_b (id BIGINT, v DOUBLE)
+               PARTITIONED BY (bucket(4, id))""")
+    iso.range(120).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("spjmt3")
+    iso.sql("INSERT INTO dpp.db.spjmt_b SELECT * FROM spjmt3")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val df = iso.sql(
+      """SELECT COUNT(*) AS n FROM dpp.db.spjmt_a a
+         JOIN dpp.db.spjmt_b b ON a.id = b.id""")
+    assert(df.collect().head.getLong(0) === 120L,
+      "maintenance must not lose or re-bucket store rows")
+    val plan = df.queryExecution.executedPlan.toString
+    // shuffle-free = no hash exchange under the join; a pure both-sides
+    // SPJ doesn't print "KeyGroupedPartitioning" (that only appears when
+    // one side shuffles INTO the store's grouping)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"compaction + expiry must not cost the store SPJ its shuffle-free plan:\n$plan")
+  }
+
   test("bucket SPJ spans mixed file formats (parquet + ORC reader groups)") {
     wh
     val iso = isoSession()

@@ -50,6 +50,93 @@ class WriteOrderSpec extends SparkSpec {
       "no row lost or duplicated across the writer churn")
   }
 
+  test("fanout writer: clustered input opens exactly one file per tuple") {
+    // the hot path routes rows through a reused positional key with a
+    // last-tuple fast path — partition-clustered input (what the library
+    // write path guarantees via its task-local sort) must open exactly one
+    // writer per tuple, even under a cap tighter than the tuple count
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import graft.format.{FileFormats, ParquetIO, Transforms}
+    val dir = Files.createTempDirectory("graft-fanoutclustered").toString
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("p", LongType)))
+    val idSchema = FieldIds.assignFresh(schema)
+    val fields = Seq(GraftBatchWrite.SpecField("p", 1, Transforms.IdentityT,
+      LongType))
+    val factory = new GraftWriterFactory(schema, idSchema, fields, dir,
+      new org.apache.spark.util.SerializableConfiguration(
+        ParquetIO.writeConf(spark)),
+      Map.empty, FileFormats.Parquet, Map("write.max-open-writers" -> "2"))
+    val w = factory.createWriter(0, 0L)
+    (0 until 40).foreach { i => // clustered: 10-row runs of p = 0,1,2,3
+      w.write(new GenericInternalRow(Array[Any](i.toLong, (i / 10).toLong)))
+    }
+    val files = w.commit().asInstanceOf[GraftBatchWrite.TaskFiles].files
+    assert(files.size === 4, s"clustered input must not churn writers: $files")
+    assert(files.map(_.partition).toSet.size === 4)
+    assert(files.map(_.metrics.recordCount).toSet === Set(10L))
+  }
+
+  test("fanout writer: binary partition tuples route by content, not reference") {
+    // truncate[w] on BINARY yields Array[Byte] partition values; the
+    // positional key must compare them by content or every row would open
+    // (and churn) its own writer
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import graft.format.{FileFormats, ParquetIO, Transforms}
+    val dir = Files.createTempDirectory("graft-fanoutbin").toString
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("b", BinaryType)))
+    val idSchema = FieldIds.assignFresh(schema)
+    val fields = Seq(GraftBatchWrite.SpecField("b_trunc", 1,
+      Transforms.TruncateT(2), BinaryType))
+    val factory = new GraftWriterFactory(schema, idSchema, fields, dir,
+      new org.apache.spark.util.SerializableConfiguration(
+        ParquetIO.writeConf(spark)),
+      Map.empty, FileFormats.Parquet, Map.empty)
+    val w = factory.createWriter(0, 0L)
+    (0 until 20).foreach { i => // alternating tuples: each row's array is a
+      // FRESH allocation, so reference equality would never hit
+      val tag = (i % 2).toByte
+      w.write(new GenericInternalRow(Array[Any](i.toLong,
+        Array[Byte](tag, tag, i.toByte))))
+    }
+    val files = w.commit().asInstanceOf[GraftBatchWrite.TaskFiles].files
+    assert(files.size === 2, s"content-equal binary tuples must share a writer: ${files.size}")
+    assert(files.map(_.metrics.recordCount).toSet === Set(10L))
+  }
+
+  test("fanout writer: void spec fields never touch the row") {
+    // the eq-delete stager builds SpecFields from key columns only — a
+    // void (tombstoned) partition field gets a placeholder ordinal whose
+    // srcType may not describe the actual column; routing must emit null
+    // without reading the row through that accessor
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import graft.format.{FileFormats, ParquetIO, Transforms}
+    val dir = Files.createTempDirectory("graft-fanoutvoid").toString
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val idSchema = FieldIds.assignFresh(schema)
+    // deliberately mismatched srcType: a StringType accessor on a LongType
+    // column would read garbage (or crash) if the void branch touched it
+    val fields = Seq(
+      GraftBatchWrite.SpecField("dead", 0, Transforms.VoidT, StringType),
+      GraftBatchWrite.SpecField("p", 0, Transforms.BucketT(2), LongType))
+    val factory = new GraftWriterFactory(schema, idSchema, fields, dir,
+      new org.apache.spark.util.SerializableConfiguration(
+        ParquetIO.writeConf(spark)),
+      Map.empty, FileFormats.Parquet, Map.empty)
+    val w = factory.createWriter(0, 0L)
+    (0 until 10).foreach { i =>
+      w.write(new GenericInternalRow(Array[Any](i.toLong)))
+    }
+    val files = w.commit().asInstanceOf[GraftBatchWrite.TaskFiles].files
+    assert(files.map(_.metrics.recordCount).sum === 10L)
+    assert(files.forall(_.partition("dead") == null), "void field must be null")
+    assert(files.map(_.partition("p")).toSet === Set(0, 1))
+  }
+
   test("write.sort-order sorts rows within every data file") {
     wh
     spark.sql("""CREATE TABLE go.db.sorted (id BIGINT, v STRING)

@@ -84,6 +84,24 @@ class TableFormatSpec extends SparkSpec {
     }
   }
 
+  test("bucket partitioning on DECIMAL(38,30): high-scale placement agrees with pruning") {
+    // scale > 18 used to round through the udf's (38,18) input coercion:
+    // the written bucket diverged from the bucket Eq-pruning projects
+    // into, and the point predicate silently lost the row
+    val loc = freshLoc("bucketdec30")
+    val df = spark.range(32).selectExpr("id",
+      "CAST(CAST(id AS DECIMAL(38,30)) / 7 AS DECIMAL(38,30)) AS amt")
+    val t = GraftTable.create(spark, loc, df.schema, _.bucket("amt", 8))
+    GraftWrite.append(t, df.repartition(2))
+    assert(t.toDF().count() === 32)
+    val probe = t.toDF().select("id", "amt").collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1))
+    probe.filter(_._1 % 5 == 0).foreach { case (id, v) =>
+      val n = t.newScan().filter(Exprs.equal("amt", v)).toDF().count()
+      assert(n === 1L, s"amt=$v (id=$id) lost by high-scale bucket placement")
+    }
+  }
+
   test("BucketT.column agrees with BucketT.apply on every bucketable type") {
     // the write path derives buckets via `column`; pruning, the DSv2
     // fanout writer and the SQL function catalog all go through `apply` —
@@ -117,6 +135,18 @@ class TableFormatSpec extends SparkSpec {
     check(DecimalType(9, 2),
       Seq("10.25", "-10.25", "0.00", null).toDF("s")
         .selectExpr("CAST(s AS DECIMAL(9,2)) AS v"),
+      _.getDecimal(0))
+    // scale > 18: Spark's udf BigDecimal coercion to (38,18) would ROUND
+    // these before hashing — the string-fed udf must not
+    check(DecimalType(38, 30),
+      Seq("1.000000000000000000123456789012",
+        "-0.000000000000000000000000000001", "0.000000100000000000000000000000",
+        null).toDF("s").selectExpr("CAST(s AS DECIMAL(38,30)) AS v"),
+      _.getDecimal(0))
+    // precision - scale > 20: the (38,18) coercion would OVERFLOW to null
+    check(DecimalType(30, 2),
+      Seq("12345678901234567890123456.78", "-999999999999999999999999.99",
+        null).toDF("s").selectExpr("CAST(s AS DECIMAL(30,2)) AS v"),
       _.getDecimal(0))
     check(BinaryType,
       Seq(Some(Array[Byte](1, 2, 3)), Some(Array.empty[Byte]), None)
@@ -275,6 +305,16 @@ class TableFormatSpec extends SparkSpec {
       None).toDF("v"), _.getString(0))
     agree(DecimalType(9, 2), Seq("10.25", "-10.25", "0.07", null).toDF("s")
       .selectExpr("CAST(s AS DECIMAL(9,2)) AS v"), _.getDecimal(0))
+    // beyond the (38,18) udf-coercion envelope: scale > 18 (would round)
+    // and precision - scale > 20 (would overflow to null)
+    agree(DecimalType(38, 30),
+      Seq("1.000000000000000000123456789012",
+        "-0.000000000000000000000000000001", null).toDF("s")
+        .selectExpr("CAST(s AS DECIMAL(38,30)) AS v"), _.getDecimal(0))
+    agree(DecimalType(30, 2),
+      Seq("12345678901234567890123456.78", "-999999999999999999999999.99",
+        null).toDF("s").selectExpr("CAST(s AS DECIMAL(30,2)) AS v"),
+      _.getDecimal(0))
     agree(BinaryType, Seq(Some(Array.tabulate[Byte](20)(_.toByte)),
       Some(Array[Byte](1)), None).toDF("v"), _.getAs[Array[Byte]](0))
   }
