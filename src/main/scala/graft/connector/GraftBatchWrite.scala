@@ -208,11 +208,25 @@ final class GraftFanoutWriter(schema: StructType, idSchema: StructType,
   private val scratch = new Array[Any](nFields)
   private var lastKey: PartKey = null
   private var lastWriter: DataFileIO.Writer = null
+  // identity-on-string fields route as raw UTF8String (content-based
+  // equals/hash), skipping the per-row String conversion entirely on the
+  // fast path; values are deep-copied on key store (an UnsafeRow's
+  // UTF8String points into a reused row buffer) and rendered to String
+  // only per FILE, in tupleOf
+  private val rawStr = fieldArr.map(f =>
+    (f.transform eq Transforms.IdentityT) && f.srcType == StringType)
 
   private def tupleOf(k: PartKey): Map[String, Any] = {
     val b = Map.newBuilder[String, Any]
     var i = 0
-    while (i < nFields) { b += fieldArr(i).name -> k.values(i); i += 1 }
+    while (i < nFields) {
+      val v = k.values(i) match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case x => x
+      }
+      b += fieldArr(i).name -> v
+      i += 1
+    }
     b.result()
   }
 
@@ -270,11 +284,22 @@ final class GraftFanoutWriter(schema: StructType, idSchema: StructType,
       // never touch the row for a void field
       scratch(i) =
         if (f.transform eq Transforms.VoidT) null
-        else f.transform.apply(canonical(row, f), f.srcType)
+        else if (rawStr(i)) {
+          if (row.isNullAt(f.ordinal)) null else row.getUTF8String(f.ordinal)
+        } else f.transform.apply(canonical(row, f), f.srcType)
       i += 1
     }
     if (lastWriter != null && sameAsLast()) { lastWriter.write(row); return }
-    val key = new PartKey(scratch.clone()) // copy-on-store
+    val vals = new Array[Any](nFields) // copy-on-store
+    var j = 0
+    while (j < nFields) {
+      vals(j) = scratch(j) match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+        case v => v
+      }
+      j += 1
+    }
+    val key = new PartKey(vals)
     val w = writers.get(key) match {
       case Some(open) => open
       case None =>
