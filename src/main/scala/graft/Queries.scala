@@ -678,23 +678,37 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
-    // REAL video header decode: synthesize a minimal-but-valid MP4
-    // (ftyp + moov{mvhd, trak{tkhd}}) per doc in executors with
-    // dimensions/brand derived from doc_id, then parse the ISO-BMFF box
-    // tree back through VideoCodec — the oracle recomputes the expected
-    // header fields from doc_id, so a box misparse (or a fallback to the
-    // stub) breaks the hash. Encode and probe both run partition-local.
+    // REAL video header decode across all three container families:
+    // progressive MP4 (ftyp + moov{mvhd, trak{tkhd}}), fragmented MP4
+    // (duration in moov{mvex{mehd}}, one moof — the streaming-origin
+    // shape) and WebM/Matroska (EBML: Segment{Info, Tracks{TrackEntry
+    // {Video}}}). Payloads are synthesized per doc in executors with
+    // dimensions/brand derived from doc_id, then parsed back through
+    // the box/EBML probes in decodeAll — the oracle recomputes the
+    // expected header fields from doc_id, so a misparse (or a fallback
+    // to the stub) breaks the hash. Encode and probe run partition-local.
     "q132_video_decode" -> ((s, dir) => {
       import s.implicits._
       val media = t(s, dir, "documents")
         .select(col("doc_id").cast("long")).as[Long]
         .mapPartitions(_.map { id =>
-          val brand = (id % 3) match {
-            case 0 => "isom"; case 1 => "mp42"; case _ => "avc1"
+          val w = 16 + (id % 640).toInt
+          val h = 9 + (id % 480).toInt
+          val payload = (id % 5) match {
+            case 3 => Multimodal.VideoCodec.encodeFragmented(
+              width = w, height = h,
+              timescale = 1000L, durationTicks = 1000L * (1 + id % 30))
+            case 4 => Multimodal.WebmCodec.encode(
+              width = w, height = h, durationSec = (1 + id % 30).toDouble,
+              unknownSegmentSize = id % 2 == 0)
+            case _ =>
+              val brand = (id % 3) match {
+                case 0 => "isom"; case 1 => "mp42"; case _ => "avc1"
+              }
+              Multimodal.VideoCodec.encode(width = w, height = h,
+                timescale = 1000L, durationTicks = 1000L * (1 + id % 30), brand)
           }
-          (id, Multimodal.VideoCodec.encode(
-            width = 16 + (id % 640).toInt, height = 9 + (id % 480).toInt,
-            timescale = 1000L, durationTicks = 1000L * (1 + id % 30), brand))
+          (id, payload)
         }).toDF("doc_id", "payload")
       Multimodal.decodeAll(s, media).toDF()
         .select(col("doc_id"), col("width"), col("height"),
@@ -1277,7 +1291,10 @@ object Queries {
         |CAST(16 + doc_id % 640 AS INTEGER) AS width,
         |CAST(9 + doc_id % 480 AS INTEGER) AS height,
         |CAST(1 AS INTEGER) AS channels,
-        |CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42' ELSE 'avc1' END AS format
+        |CASE WHEN doc_id % 5 = 3 THEN 'iso5'
+        |     WHEN doc_id % 5 = 4 THEN 'webm'
+        |     ELSE CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42' ELSE 'avc1' END
+        |END AS format
         |FROM documents ORDER BY doc_id""".stripMargin) ++ FormatQueries.oracles ++ defaultTwinOracles
 
   /** q33_jaccard_default runs the library-default hot-gram guard

@@ -448,10 +448,209 @@ object Multimodal {
   }
 
   /**
+   * WebM / Matroska header probe: a real EBML parse (public Matroska/EBML
+   * layout, RFC 8794) of the other dominant crawl-corpus video container.
+   * Variable-length element IDs (marker kept) and sizes (marker
+   * stripped; all-ones = unknown size, payload runs to the end — how
+   * live-muxed Segments are written). Reads EBML{DocType},
+   * Segment{Info{TimecodeScale, Duration}, Tracks{TrackEntry{Video
+   * {PixelWidth, PixelHeight}}}} and never touches Cluster (media) data —
+   * header-only, like the BMFF probe.
+   *
+   * MediaMeta mapping: width/height = first video track's pixel
+   * dimensions, channels = track count, format = the EBML DocType
+   * ("webm" / "matroska").
+   */
+  object WebmCodec {
+    private def idLen(first: Int): Int =
+      if ((first & 0x80) != 0) 1
+      else if ((first & 0x40) != 0) 2
+      else if ((first & 0x20) != 0) 3
+      else if ((first & 0x10) != 0) 4
+      else -1
+
+    /** (id-with-marker, next index), or null at end/corrupt. */
+    private def readId(b: Array[Byte], i: Int, until: Int): (Long, Int) = {
+      if (i >= until) return null
+      val n = idLen(b(i) & 0xff)
+      if (n < 0 || i + n > until) return null
+      var v = 0L; var k = 0
+      while (k < n) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
+      (v, i + n)
+    }
+
+    /** (size, next index) with the marker bit stripped; size -1 =
+      * "unknown" (all data bits set), or null at end/corrupt. */
+    private def readSize(b: Array[Byte], i: Int, until: Int): (Long, Int) = {
+      if (i >= until) return null
+      val first = b(i) & 0xff
+      var mask = 0x80; var n = 1
+      while (n <= 8 && (first & mask) == 0) { mask >>= 1; n += 1 }
+      if (n > 8 || i + n > until) return null
+      var v = (first & (0xff >>> n)).toLong
+      var k = 1
+      while (k < n) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
+      (if (v == (1L << (7 * n)) - 1) -1L else v, i + n)
+    }
+
+    /** Iterate sibling elements of `[from, until)`; malformed input ends
+      * the walk (never loops or overruns). */
+    private def walk(b: Array[Byte], from: Int, until: Int)
+        (f: (Long, Int, Int) => Unit): Unit = {
+      var i = from
+      while (i < until) {
+        val id = readId(b, i, until); if (id == null) return
+        val sz = readSize(b, id._2, until); if (sz == null) return
+        val payFrom = sz._2
+        val payEnd = if (sz._1 < 0) until.toLong else payFrom.toLong + sz._1
+        if (payEnd > until || payEnd < payFrom) return
+        f(id._1, payFrom, payEnd.toInt)
+        i = payEnd.toInt
+      }
+    }
+
+    private def uint(b: Array[Byte], from: Int, until: Int): Long = {
+      var v = 0L; var i = from
+      while (i < until) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+      v
+    }
+    private def fp(b: Array[Byte], from: Int, until: Int): Double =
+      until - from match {
+        case 4 => java.lang.Float.intBitsToFloat(uint(b, from, until).toInt).toDouble
+        case 8 => java.lang.Double.longBitsToDouble(uint(b, from, until))
+        case _ => 0.0
+      }
+
+    private val Ebml = 0x1A45DFA3L
+    private val DocType = 0x4282L
+    private val Segment = 0x18538067L
+    private val Info = 0x1549A966L
+    private val TimecodeScale = 0x2AD7B1L
+    private val Duration = 0x4489L
+    private val Tracks = 0x1654AE6BL
+    private val TrackEntry = 0xAEL
+    private val VideoEl = 0xE0L
+    private val PixelWidth = 0xB0L
+    private val PixelHeight = 0xBAL
+
+    private def isEbml(payload: Array[Byte]): Boolean =
+      payload.length >= 4 && (payload(0) & 0xff) == 0x1A &&
+        (payload(1) & 0xff) == 0x45 && (payload(2) & 0xff) == 0xDF &&
+        (payload(3) & 0xff) == 0xA3
+
+    /** None for non-EBML or truncated/corrupt payloads — the same
+      * degradation contract as the BMFF probe. */
+    def probe(payload: Array[Byte]): Option[MediaMeta] = {
+      try {
+        if (!isEbml(payload)) return None
+        var docType = "matroska" // the EBML-spec default when absent
+        var w = 0; var h = 0; var nTracks = 0; var sawTracks = false
+        walk(payload, 0, payload.length) {
+          case (Ebml, p, e) =>
+            walk(payload, p, e) {
+              case (DocType, dp, de) =>
+                docType = new String(payload, dp, de - dp,
+                  java.nio.charset.StandardCharsets.US_ASCII).trim
+              case _ =>
+            }
+          case (Segment, p, e) =>
+            walk(payload, p, e) {
+              case (Tracks, tp, te) =>
+                sawTracks = true
+                walk(payload, tp, te) {
+                  case (TrackEntry, ep, ee) =>
+                    nTracks += 1
+                    walk(payload, ep, ee) {
+                      case (VideoEl, vp, ve) if w == 0 =>
+                        walk(payload, vp, ve) {
+                          case (PixelWidth, xp, xe) => w = uint(payload, xp, xe).toInt
+                          case (PixelHeight, yp, ye) => h = uint(payload, yp, ye).toInt
+                          case _ =>
+                        }
+                      case _ =>
+                    }
+                  case _ =>
+                }
+              case _ =>
+            }
+          case _ =>
+        }
+        if (sawTracks) Some(MediaMeta(w, h, nTracks, docType)) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Duration in SECONDS: Info.Duration (in TimecodeScale ticks) ×
+      * TimecodeScale (ns per tick, default 1,000,000) / 1e9. */
+    def probeDurationSec(payload: Array[Byte]): Option[Double] = {
+      try {
+        if (!isEbml(payload)) return None
+        var scale = 1000000L; var dur = -1.0
+        walk(payload, 0, payload.length) {
+          case (Segment, p, e) =>
+            walk(payload, p, e) {
+              case (Info, ip, ie) =>
+                walk(payload, ip, ie) {
+                  case (TimecodeScale, sp, se) => scale = uint(payload, sp, se)
+                  case (Duration, dp, de) => dur = fp(payload, dp, de)
+                  case _ =>
+                }
+              case _ =>
+            }
+          case _ =>
+        }
+        if (dur >= 0) Some(dur * scale / 1e9) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Deterministic minimal WebM fixture generator (the EBML twin of
+      * VideoCodec.encode): EBML{DocType} + Segment{Info{TimecodeScale,
+      * Duration}, Tracks{TrackEntry{TrackType, Video{PixelWidth,
+      * PixelHeight}}}} + one empty Cluster. `unknownSegmentSize` writes
+      * the Segment with the all-ones unknown size, as live muxers do. */
+    def encode(width: Int, height: Int, durationSec: Double,
+               docType: String = "webm",
+               unknownSegmentSize: Boolean = false): Array[Byte] = {
+      def idBytes(id: Long): Array[Byte] = {
+        val n = if (id <= 0xffL) 1 else if (id <= 0xffffL) 2
+          else if (id <= 0xffffffL) 3 else 4
+        (0 until n).map(k => ((id >> (8 * (n - 1 - k))) & 0xff).toByte).toArray
+      }
+      def sz(n: Int): Array[Byte] = // 2-byte size: marker 0x40 + 14 bits
+        Array((0x40 | (n >> 8)).toByte, (n & 0xff).toByte)
+      def elem(id: Long, payload: Array[Byte]): Array[Byte] =
+        idBytes(id) ++ sz(payload.length) ++ payload
+      def uintBytes(v: Long): Array[Byte] = {
+        var n = 1; while (n < 8 && (v >>> (8 * n)) != 0) n += 1
+        (0 until n).map(k => ((v >> (8 * (n - 1 - k))) & 0xff).toByte).toArray
+      }
+      val info = elem(Info,
+        elem(TimecodeScale, uintBytes(1000000L)) ++
+        elem(Duration, { // 8-byte float, ticks at the 1 ms default scale
+          val bits = java.lang.Double.doubleToLongBits(durationSec * 1000.0)
+          (0 until 8).map(k => ((bits >> (8 * (7 - k))) & 0xff).toByte).toArray
+        }))
+      val tracks = elem(Tracks, elem(TrackEntry,
+        elem(0x83L, Array(1.toByte)) ++ // TrackType: video
+        elem(VideoEl,
+          elem(PixelWidth, uintBytes(width.toLong)) ++
+          elem(PixelHeight, uintBytes(height.toLong)))))
+      val cluster = elem(0x1F43B675L, Array.empty[Byte])
+      val segPayload = info ++ tracks ++ cluster
+      val segment =
+        if (unknownSegmentSize)
+          idBytes(Segment) ++ Array(0xff.toByte) ++ segPayload // 1-byte all-ones
+        else elem(Segment, segPayload)
+      elem(Ebml, elem(DocType,
+        docType.getBytes(java.nio.charset.StandardCharsets.US_ASCII))) ++
+        segment
+    }
+  }
+
+  /**
    * STUB decoder for non-media payloads: deterministic pseudo-decode of a
    * byte payload. Image (ImageIO), audio (AudioSystem) and video
-   * (ISO-BMFF byte parsing) containers are all probed for REAL before any
-   * payload falls through to here.
+   * (ISO-BMFF and EBML/WebM byte parsing) containers are all probed for
+   * REAL before any payload falls through to here.
    */
   object FakeCodec {
     def decode(payload: Array[Byte]): MediaMeta = {
@@ -497,6 +696,7 @@ object Multimodal {
         val meta = ImageCodec.probe(r.payload)
           .orElse(AudioCodec.probe(r.payload))
           .orElse(VideoCodec.probe(r.payload))
+          .orElse(WebmCodec.probe(r.payload))
           .getOrElse(FakeCodec.decode(r.payload))
         DecodedRow(r.doc_id, r.payload.length, meta.width, meta.height,
           meta.channels, meta.format, sha256Hex(r.payload), FakeCodec.feature(r.payload))

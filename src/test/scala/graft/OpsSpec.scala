@@ -785,6 +785,37 @@ class OpsSpec extends SparkSpec {
     assert(rows(2L) === ((16000, 16, 2, "aiff")))
   }
 
+  test("WebmCodec: EBML probe — dims, duration, unknown-size segment, degrade") {
+    import graft.ops.Multimodal.{MediaMeta, VideoCodec, WebmCodec}
+    val webm = WebmCodec.encode(1920, 800, durationSec = 7.25)
+    assert(WebmCodec.probe(webm) === Some(MediaMeta(1920, 800, 1, "webm")))
+    assert(WebmCodec.probeDurationSec(webm) === Some(7.25))
+    // live-muxed shape: Segment written with the all-ones UNKNOWN size
+    // (payload runs to end of stream) — the common streaming-origin form
+    val live = WebmCodec.encode(640, 360, 2.5, unknownSegmentSize = true)
+    assert(WebmCodec.probe(live) === Some(MediaMeta(640, 360, 1, "webm")))
+    assert(WebmCodec.probeDurationSec(live) === Some(2.5))
+    // the DocType rides into MediaMeta.format (matroska etc.)
+    assert(WebmCodec.probe(WebmCodec.encode(4, 2, 1.0, docType = "matroska"))
+      .get.format === "matroska")
+    // non-EBML and every truncation degrade to None, never throw (the
+    // known-size Segment claims bytes past any cut, so all proper
+    // prefixes lack a complete Tracks)
+    assert(WebmCodec.probe("not an ebml stream".getBytes("UTF-8")).isEmpty)
+    assert(WebmCodec.probe(Array.empty[Byte]).isEmpty)
+    (0 until webm.length by 3).foreach { k =>
+      assert(WebmCodec.probe(webm.take(k)).isEmpty, s"prefix $k must degrade")
+    }
+    // the two video probes never claim each other's container
+    assert(VideoCodec.probe(webm).isEmpty)
+    assert(WebmCodec.probe(VideoCodec.encode(64, 64, 600L, 600L)).isEmpty)
+    // decodeAll routes WebM payloads through the real EBML probe
+    import spark.implicits._
+    val rows = Multimodal.decodeAll(spark,
+      Seq((9L, webm)).toDF("doc_id", "payload")).collect()
+    assert(rows.head.width === 1920 && rows.head.format === "webm")
+  }
+
   test("VideoCodec: real MP4 box-tree probe, v0+v1 layouts, corrupt degrades") {
     import graft.ops.Multimodal.{MediaMeta, VideoCodec}
     // v0 round trip through our own minimal encoder
