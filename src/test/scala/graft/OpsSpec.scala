@@ -785,6 +785,40 @@ class OpsSpec extends SparkSpec {
     assert(rows(2L) === ((16000, 16, 2, "aiff")))
   }
 
+  test("video probes never throw on random or mutated bytes (fuzz property)") {
+    // the byte walkers run inside every decode task: any payload a crawl
+    // hands them — random garbage, bit-flipped real containers, truncated
+    // tails — must degrade to None/fallback, never kill the task. Seeded,
+    // deterministic.
+    import graft.ops.Multimodal.{VideoCodec, WebmCodec}
+    val rnd = new scala.util.Random(424242)
+    def noThrow(b: Array[Byte]): Unit = {
+      VideoCodec.probe(b); VideoCodec.probeDurationSec(b)
+      WebmCodec.probe(b); WebmCodec.probeDurationSec(b)
+    }
+    (0 until 300).foreach { _ =>
+      noThrow(Array.fill(rnd.nextInt(512))(rnd.nextInt().toByte))
+    }
+    // mutate VALID containers: flip bytes anywhere (sizes, ids, vints) —
+    // the walkers must stay in-bounds whatever the lengths now claim
+    val valid = Seq(
+      VideoCodec.encode(640, 360, 1000L, 5000L),
+      VideoCodec.encodeFragmented(1280, 720, 90000L, 450000L),
+      WebmCodec.encode(1920, 800, 7.25),
+      WebmCodec.encode(640, 360, 2.5, unknownSegmentSize = true))
+    valid.foreach { base =>
+      (0 until 200).foreach { _ =>
+        val m = base.clone()
+        (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+          m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
+        }
+        noThrow(m)
+      }
+      // and every suffix-truncation (prefixes already pinned elsewhere)
+      (0 until base.length by 5).foreach(k => noThrow(base.drop(k)))
+    }
+  }
+
   test("WebmCodec: EBML probe — dims, duration, unknown-size segment, degrade") {
     import graft.ops.Multimodal.{MediaMeta, VideoCodec, WebmCodec}
     val webm = WebmCodec.encode(1920, 800, durationSec = 7.25)

@@ -107,6 +107,83 @@ class WriteOrderSpec extends SparkSpec {
     assert(files.map(_.metrics.recordCount).toSet === Set(10L))
   }
 
+  test("fanout routing agrees with Transform.apply across mixed types (property)") {
+    // the writer's positional key (content hash/equality, UTF8String and
+    // byte-array lanes, copy-on-store) must group rows EXACTLY as the
+    // canonical Transform.apply kernel does — a merge of distinct tuples
+    // or a split of equal ones here is the placement/pruning split-brain
+    // class. Random rows over every routable type family, nulls included,
+    // values drawn from small pools so tuples collide across rows.
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.format.{FileFormats, ParquetIO, Transforms}
+    val rnd = new scala.util.Random(2020)
+    val dec = DecimalType(38, 30)
+    val schema = StructType(Seq(
+      StructField("l", LongType), StructField("s", StringType),
+      StructField("d", dec), StructField("b", BinaryType),
+      StructField("i", IntegerType)))
+    val idSchema = FieldIds.assignFresh(schema)
+    val fields = Seq(
+      GraftBatchWrite.SpecField("lb", 0, Transforms.BucketT(4), LongType),
+      GraftBatchWrite.SpecField("si", 1, Transforms.IdentityT, StringType),
+      GraftBatchWrite.SpecField("dt", 2, Transforms.TruncateT(7), dec),
+      GraftBatchWrite.SpecField("bt", 3, Transforms.TruncateT(2), BinaryType),
+      GraftBatchWrite.SpecField("ib", 4, Transforms.BucketT(3), IntegerType))
+    val strPool = Array(null, "", "a", "héllo✓", "k=v/x")
+    val decPool = Array[String](null, "0.000000000000000000000000000001",
+      "1.000000000000000000123456789012", "-7.5")
+    val binPool = Array(null, Array.empty[Byte], Array[Byte](1),
+      Array[Byte](1, 2, 9), Array[Byte](1, 2, 3, 4))
+    val rows = (0 until 400).map { _ =>
+      val l: Any = if (rnd.nextInt(5) == 0) null else rnd.nextInt(6).toLong
+      val s = strPool(rnd.nextInt(strPool.length))
+      val ds = decPool(rnd.nextInt(decPool.length))
+      val b = binPool(rnd.nextInt(binPool.length))
+      val i: Any = if (rnd.nextInt(5) == 0) null else rnd.nextInt(5)
+      (l, s, ds, b, i)
+    }
+    // oracle: route each row by Transform.apply over the canonical values
+    def norm(m: Map[String, Any]): Map[String, Any] = m.map {
+      case (k, v: Array[Byte]) => k -> v.toSeq
+      case (k, v) => k -> v
+    }
+    val expected = rows.groupBy { case (l, s, ds, b, i) =>
+      norm(Map(
+        "lb" -> Transforms.BucketT(4).apply(l, LongType),
+        "si" -> s,
+        "dt" -> Transforms.TruncateT(7).apply(
+          if (ds == null) null
+          else new java.math.BigDecimal(ds).setScale(30), dec),
+        "bt" -> Transforms.TruncateT(2).apply(b, BinaryType),
+        "ib" -> Transforms.BucketT(3).apply(i, IntegerType)))
+    }.view.mapValues(_.size.toLong).toMap
+    val dir = Files.createTempDirectory("graft-fanoutprop").toString
+    val factory = new GraftWriterFactory(schema, idSchema, fields, dir,
+      new org.apache.spark.util.SerializableConfiguration(
+        ParquetIO.writeConf(spark)),
+      Map.empty, FileFormats.Parquet, Map("write.max-open-writers" -> "3"))
+    val w = factory.createWriter(0, 0L)
+    rows.foreach { case (l, s, ds, b, i) =>
+      w.write(new GenericInternalRow(Array[Any](
+        l,
+        if (s == null) null else UTF8String.fromString(s),
+        if (ds == null) null
+        else org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(ds).setScale(30)),
+        b, i)))
+    }
+    val files = w.commit().asInstanceOf[GraftBatchWrite.TaskFiles].files
+    val got = files.groupBy(f => norm(f.partition))
+      .view.mapValues(_.map(_.metrics.recordCount).sum).toMap
+    assert(got.keySet === expected.keySet,
+      s"tuple sets diverge:\nonly-writer=${got.keySet -- expected.keySet}\nonly-oracle=${expected.keySet -- got.keySet}")
+    expected.foreach { case (k, n) =>
+      assert(got(k) === n, s"tuple $k: writer=${got(k)} oracle=$n")
+    }
+    assert(files.map(_.metrics.recordCount).sum === 400L)
+  }
+
   test("fanout writer: void spec fields never touch the row") {
     // the eq-delete stager builds SpecFields from key columns only — a
     // void (tombstoned) partition field gets a placeholder ordinal whose
