@@ -51,17 +51,24 @@ object FormatQueries {
 
   /** Fresh location for the write-shaped bench query (q134): each
     * invocation writes a new table; the previous invocation's is deleted
-    * here so repeated bench passes don't accumulate copies in tmp. */
+    * here (and the final one at JVM exit) so bench passes never
+    * accumulate copies in tmp. */
   private var lastWriteBenchDir: Option[String] = None
-  private def freshWriteBenchDir(): String = synchronized {
-    lastWriteBenchDir.foreach { old =>
-      val p = java.nio.file.Paths.get(old)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+  private def rmTree(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
     }
+  }
+  private lazy val writeBenchCleanup: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      synchronized { lastWriteBenchDir.foreach(d =>
+        try rmTree(d) catch { case scala.util.control.NonFatal(_) => }) }))
+  private def freshWriteBenchDir(): String = synchronized {
+    writeBenchCleanup
+    lastWriteBenchDir.foreach(rmTree)
     val loc = s"${sys.props("java.io.tmpdir")}/graft-writebench/" +
       java.util.UUID.randomUUID().toString
     lastWriteBenchDir = Some(loc)
