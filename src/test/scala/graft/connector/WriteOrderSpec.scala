@@ -280,6 +280,31 @@ class WriteOrderSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM go.db.resort").collect()(0).getLong(0) == 100)
   }
 
+  test("compaction's arranged order beats a conflicting declared sort order") {
+    // clusterByPartition=false means the CALLER owns the row order: a
+    // declared write.sort-order must not re-sort (and re-scramble) the
+    // arrangement a sorted/z-order rewrite built — here the declared
+    // order (id desc) directly conflicts with the rewrite's (id asc), so
+    // any write-side sort leak is observable as desc files
+    wh
+    spark.sql("""CREATE TABLE go.db.arrwins (id BIGINT)
+                 TBLPROPERTIES ('write.sort-order'='id desc')""")
+    val t = GraftTable.load(spark, s"$wh/db/arrwins")
+    import spark.implicits._
+    graft.format.GraftWrite.append(t,
+      spark.range(200).select((rand(11) * 1000).cast("long").as("id")).coalesce(1))
+    val res = graft.format.Actions.forTable(GraftTable.load(spark, s"$wh/db/arrwins"))
+      .rewriteSorted(Seq(("id", true))) // explicit ASC, against the declared DESC
+    assert(res.addedFiles > 0)
+    val t2 = GraftTable.load(spark, s"$wh/db/arrwins")
+    t2.newScan().planFiles().tasks.map(_.file.path).foreach { p =>
+      val ids = spark.read.parquet(p).select("id").collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted),
+        s"declared desc order re-scrambled the rewrite's asc arrangement: $p")
+    }
+    assert(spark.sql("SELECT count(*) FROM go.db.arrwins").collect()(0).getLong(0) == 200)
+  }
+
   test("an unknown sort column fails the write, not the read") {
     wh
     spark.sql("""CREATE TABLE go.db.badsort (id BIGINT)
