@@ -191,8 +191,11 @@ final class GraftFanoutWriter(schema: StructType, idSchema: StructType,
   extends DataWriter[InternalRow] {
   import GraftBatchWrite._
 
-  private val writers =
-    collection.mutable.LinkedHashMap[PartKey, (String, DataFileIO.Writer)]()
+  // value carries its own (stored, deep-copied) key: a map hit is probed
+  // with a TRANSIENT key over the scratch array (no per-row copies), and
+  // the stable stored key is recovered from the value for the fast path
+  private val writers = collection.mutable.LinkedHashMap[
+    PartKey, (PartKey, String, DataFileIO.Writer)]()
   private val finished = collection.mutable.ArrayBuffer[GraftBatchWrite.StagedFile]()
   private var fileCount = 0
 
@@ -290,31 +293,35 @@ final class GraftFanoutWriter(schema: StructType, idSchema: StructType,
       i += 1
     }
     if (lastWriter != null && sameAsLast()) { lastWriter.write(row); return }
-    val vals = new Array[Any](nFields) // copy-on-store
-    var j = 0
-    while (j < nFields) {
-      vals(j) = scratch(j) match {
-        case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
-        case v => v
-      }
-      j += 1
-    }
-    val key = new PartKey(vals)
-    val w = writers.get(key) match {
-      case Some(open) => open
+    // transient probe over the scratch array — its values may reference
+    // the (reused) row buffer, so it is NEVER stored or kept past this call
+    val probe = new PartKey(scratch)
+    val e = writers.get(probe) match {
+      case Some(entry) => entry
       case None =>
         if (writers.size >= maxOpen) {
-          val (oldKey, (path, ow)) = writers.head // oldest-opened
+          val (oldKey, (_, path, ow)) = writers.head // oldest-opened
           writers.remove(oldKey)
           finished += StagedFile(path, tupleOf(oldKey), ow.finish())
         }
-        val fresh = openWriter()
-        writers.put(key, fresh)
-        fresh
+        val vals = new Array[Any](nFields) // deep copy on STORE only
+        var j = 0
+        while (j < nFields) {
+          vals(j) = scratch(j) match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+            case v => v
+          }
+          j += 1
+        }
+        val stored = new PartKey(vals)
+        val (path, w) = openWriter()
+        val entry = (stored, path, w)
+        writers.put(stored, entry)
+        entry
     }
-    lastKey = key
-    lastWriter = w._2
-    w._2.write(row)
+    lastKey = e._1
+    lastWriter = e._3
+    e._3.write(row)
   }
 
   private def sameAsLast(): Boolean = {
@@ -324,14 +331,14 @@ final class GraftFanoutWriter(schema: StructType, idSchema: StructType,
   }
 
   override def commit(): WriterCommitMessage = {
-    val files = finished.toSeq ++ writers.toSeq.map { case (key, (path, w)) =>
-      StagedFile(path, tupleOf(key), w.finish())
+    val files = finished.toSeq ++ writers.toSeq.map {
+      case (key, (_, path, w)) => StagedFile(path, tupleOf(key), w.finish())
     }
     TaskFiles(files)
   }
 
   override def abort(): Unit = {
-    writers.values.foreach { case (_, w) => w.abort() }
+    writers.values.foreach { case (_, _, w) => w.abort() }
     // overflow-closed files are already finalized — delete them directly
     finished.foreach { sf =>
       try {
