@@ -1330,9 +1330,20 @@ object FormatQueries {
         tt
       }
       val d = s.read.parquet(s"$dir/documents.parquet")
+      // the documented production pattern (minhashLshPairsFromStore's
+      // freshSigs hook): the increment's signatures are persisted ONCE —
+      // they feed the band join twice AND are the rows appended to the
+      // store after the run — instead of re-running the signature UDF
+      // per consumer (measured: 3.47 -> 2.22 s at sf0.1). The nightly
+      // caller unpersists after its store append; here the handle goes
+      // out of scope and Spark's ContextCleaner reclaims it.
+      val freshSigs = graft.ops.Dedup.minhashSignatures(
+        d.filter(col("doc_id") % 10 === 0), n = 3, bands = 32, rows = 2)
+        .persist()
       graft.ops.Dedup.minhashLshPairsFromStore(store.toDF(),
         d.filter(col("doc_id") % 10 === 0), d,
-        n = 3, bands = 32, rows = 2, threshold = 0.5)
+        n = 3, bands = 32, rows = 2, threshold = 0.5,
+        freshSigs = Some(freshSigs))
         .orderBy(col("a"), col("b"))
     }),
 
