@@ -257,14 +257,31 @@ object Dedup {
     * entirely shuffle-free — the one corpus-scaled exchange in this op
     * disappears, which is what makes it the 100 TB steady-state path. */
   def incrementalJaccardPairsFromStore(store: DataFrame, fresh: DataFrame,
-      n: Int = 3, threshold: Double = 0.1, maxDf: Long = 2000): DataFrame = {
-    require(fresh.schema("doc_id").dataType.isInstanceOf[
-        org.apache.spark.sql.types.NumericType],
-      "incrementalJaccardPairsFromStore requires a numeric doc_id in fresh, " +
-        s"got ${fresh.schema("doc_id").dataType}")
-    val fg = fresh.select(col("doc_id").cast("long").as("doc_id"),
-        TextOps.gramHashes(n)(col("text")).as("gs"))
-      .select(col("doc_id"), (-size(col("gs"))).as("sz"), explode(col("gs")).as("g"))
+      n: Int = 3, threshold: Double = 0.1, maxDf: Long = 2000,
+      freshGrams: Option[DataFrame] = None): DataFrame = {
+    // single-evaluation hook, same contract as freshSigs/freshPrepped/
+    // freshBanded: the fresh gram rows feed BOTH the touched-gram probe
+    // and the union, so callers with an expensive fresh plan pass
+    // `freshGrams = Some(gramStore(fresh, n).persist())` (same n!) and
+    // unpersist afterwards — these are exactly the rows appended to the
+    // store after the run, so most callers persist anyway; `fresh` is
+    // then ignored. Without it the increment's tokenization runs once
+    // per consumer (increment-sized map work; a silent library cache()
+    // would leak executor memory with no unpersist point).
+    val fg = freshGrams match {
+      case Some(g) =>
+        g.select(col("doc_id").cast("long").as("doc_id"),
+          (-col("sz").cast("int")).as("sz"), col("g").cast("long").as("g"))
+      case None =>
+        require(fresh.schema("doc_id").dataType.isInstanceOf[
+            org.apache.spark.sql.types.NumericType],
+          "incrementalJaccardPairsFromStore requires a numeric doc_id in fresh, " +
+            s"got ${fresh.schema("doc_id").dataType}")
+        fresh.select(col("doc_id").cast("long").as("doc_id"),
+            TextOps.gramHashes(n)(col("text")).as("gs"))
+          .select(col("doc_id"), (-size(col("gs"))).as("sz"),
+            explode(col("gs")).as("g"))
+    }
     val touched = fg.select("g").distinct()
     val old = store.select(col("doc_id").cast("long").as("doc_id"),
         col("sz").cast("int").as("sz"), col("g").cast("long").as("g"))

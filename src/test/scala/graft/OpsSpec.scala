@@ -208,6 +208,16 @@ class OpsSpec extends SparkSpec {
         maxDf = 0)
       .collect().map(key).toSet
     assert(fromStore === recomputed && fromStore.nonEmpty)
+    // the freshGrams single-evaluation hook (gramStore rows, positive sz)
+    // must produce the identical pair set — the same rows a production
+    // caller appends to the store after the run
+    val fg = Dedup.gramStore(fresh, n = 3).persist()
+    fg.count()
+    val hooked = Dedup.incrementalJaccardPairsFromStore(store, fresh,
+        n = 3, threshold = 0.5, maxDf = 0, freshGrams = Some(fg))
+      .collect().map(key).toSet
+    fg.unpersist()
+    assert(hooked === fromStore)
   }
 
   test("incremental jaccard composes with the table format's incremental scan") {
