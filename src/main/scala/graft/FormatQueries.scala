@@ -1330,20 +1330,15 @@ object FormatQueries {
         tt
       }
       val d = s.read.parquet(s"$dir/documents.parquet")
-      // the documented production pattern (minhashLshPairsFromStore's
-      // freshSigs hook): the increment's signatures are persisted ONCE —
-      // they feed the band join twice AND are the rows appended to the
-      // store after the run — instead of re-running the signature UDF
-      // per consumer (measured: 3.47 -> 2.22 s at sf0.1). The nightly
-      // caller unpersists after its store append; here the handle goes
-      // out of scope and Spark's ContextCleaner reclaims it.
-      val freshSigs = graft.ops.Dedup.minhashSignatures(
-        d.filter(col("doc_id") % 10 === 0), n = 3, bands = 32, rows = 2)
-        .persist()
+      // deliberately NOT using the freshSigs persist hook: measured
+      // scale-dependent — at sf0.1 persisting the increment's signatures
+      // saved a third (3.47 -> 2.22 s isolated), but at sf1 the SAME
+      // change regressed the query 5.7 -> 8.5 s median (the larger plan
+      // already reuses the fresh subtree; the cache barrier only adds
+      // cost and hides stats). The 100 TB posture wins the tie.
       graft.ops.Dedup.minhashLshPairsFromStore(store.toDF(),
         d.filter(col("doc_id") % 10 === 0), d,
-        n = 3, bands = 32, rows = 2, threshold = 0.5,
-        freshSigs = Some(freshSigs))
+        n = 3, bands = 32, rows = 2, threshold = 0.5)
         .orderBy(col("a"), col("b"))
     }),
 

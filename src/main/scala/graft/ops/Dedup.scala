@@ -705,7 +705,12 @@ object Dedup {
     // candidate join, so callers with an expensive fresh plan hand in
     // `minhashSignatures(fresh, n, bands, rows).persist()` (same
     // parameters!) and unpersist it afterwards; these ARE the rows to
-    // append to the store after the run, so most callers persist anyway
+    // append to the store after the run, so most callers persist anyway.
+    // MEASURE before adopting: the win is scale-dependent — at small
+    // scale the signature UDF re-evaluation dominates (persist saved a
+    // third of q127 at sf0.1), but at 10x the same persist REGRESSED the
+    // query ~45% (the larger plan already reuses the fresh subtree; the
+    // cache barrier adds cost and hides stats from the planner)
     val fb = banded(freshSigs.getOrElse(minhashSignatures(fresh, n, bands, rows)))
     val all = banded(storeSigs.select(col("doc_id"), col("sig"))).unionByName(fb)
     val lt = col("x.doc_id") < col("y.doc_id")
