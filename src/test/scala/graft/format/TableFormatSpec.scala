@@ -257,6 +257,46 @@ class TableFormatSpec extends SparkSpec {
       _.add("d", Transforms.VoidT, "d_void"))
   }
 
+  test("NaN and Infinity doubles survive bounds, manifests and pruning") {
+    import spark.implicits._
+    // NaN poisons parquet min/max: the footer omits them, bounds come
+    // back EMPTY, and pruning must stay conservative (never drop the
+    // file); residual evaluation follows Spark's semantics (NaN greater
+    // than everything, NaN = NaN true)
+    val locN = freshLoc("nanmix")
+    val dfN = Seq(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 1.5, -2.5).toDF("d")
+    val tN = GraftTable.create(spark, locN, dfN.schema)
+    GraftWrite.append(tN, dfN.coalesce(1))
+    val backN = GraftTable.load(spark, locN)
+    assert(backN.toDF().count() === 5)
+    val fN = backN.newScan().planFiles().tasks.map(_.file)
+    assert(fN.forall(f => f.lowerBounds.isEmpty && f.upperBounds.isEmpty),
+      s"NaN-poisoned stats must be omitted, got ${fN.map(_.lowerBounds)}")
+    // Spark says NaN > 1.0: the scan must agree with Spark's own filter
+    assert(backN.newScan().filter(Exprs.gt("d", 1.0)).toDF().count() ===
+      backN.toDF().filter(col("d") > 1.0).count())
+    assert(backN.toDF().filter(org.apache.spark.sql.functions.isnan(col("d")))
+      .count() === 1)
+    // ±Infinity WITHOUT NaN: real Inf bounds must round-trip through the
+    // manifest encoding and prune correctly (the gt(MaxValue) file keeps
+    // its +Inf row)
+    val locI = freshLoc("infbounds")
+    val dfI = Seq(Double.NegativeInfinity, -1.0, 2.0,
+      Double.PositiveInfinity).toDF("d")
+    val tI = GraftTable.create(spark, locI, dfI.schema)
+    GraftWrite.append(tI, dfI.coalesce(1))
+    val backI = GraftTable.load(spark, locI)
+    val fI = backI.newScan().planFiles().tasks.map(_.file)
+    assert(fI.exists(_.upperBounds.values.exists(
+      _ == Double.PositiveInfinity)), s"Inf upper bound lost: $fI")
+    assert(fI.exists(_.lowerBounds.values.exists(
+      _ == Double.NegativeInfinity)), s"-Inf lower bound lost: $fI")
+    assert(backI.newScan().filter(Exprs.gt("d", 0.0)).toDF().count() === 2)
+    assert(backI.newScan().filter(Exprs.gt("d", Double.MaxValue))
+      .toDF().count() === 1, "+Inf row must survive gt(MaxValue) pruning")
+  }
+
   test("-0.0 metrics bounds must not prune +0.0 point predicates (IEEE equality)") {
     import spark.implicits._
     // IEEE (and Spark's =) says -0.0 == 0.0, but a total-order comparator
