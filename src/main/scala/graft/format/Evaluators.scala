@@ -79,8 +79,15 @@ object Evaluators {
           val prefix = vs.head.asInstanceOf[String]
           def boundMismatch(b: Option[Any], isLower: Boolean): Boolean = b match {
             case Some(s: String) =>
-              val cmpLen = math.min(s.length, prefix.length)
-              val cmp = s.substring(0, cmpLen).compareTo(prefix.substring(0, cmpLen))
+              // compare equal-CODEPOINT prefixes with the engine's UTF-8
+              // order (a UTF-16 cut could split a surrogate pair, and
+              // Java's compareTo disagrees with the footer-bound order
+              // on astral codepoints)
+              val cmpCps = math.min(s.codePointCount(0, s.length),
+                prefix.codePointCount(0, prefix.length))
+              val cmp = Exprs.compareUtf8(
+                s.substring(0, s.offsetByCodePoints(0, cmpCps)),
+                prefix.substring(0, prefix.offsetByCodePoints(0, cmpCps)))
               if (isLower) cmp > 0 else cmp < 0
             case _ => false
           }
@@ -165,12 +172,14 @@ object Evaluators {
           // already above p (lower bounds are prefixes of the real min)
           noNulls && {
             val prefix = vs.head.asInstanceOf[String]
-            upper.exists { case up: String => up.compareTo(prefix) < 0
+            val pCps = prefix.codePointCount(0, prefix.length)
+            upper.exists { case up: String => Exprs.compareUtf8(up, prefix) < 0
                            case _ => false } ||
             lower.exists { case lo: String =>
-                             lo.length >= prefix.length &&
-                               lo.substring(0, prefix.length)
-                                 .compareTo(prefix) > 0
+                             lo.codePointCount(0, lo.length) >= pCps &&
+                               Exprs.compareUtf8(
+                                 lo.substring(0, lo.offsetByCodePoints(0, pCps)),
+                                 prefix) > 0
                            case _ => false }
           }
       }

@@ -177,6 +177,19 @@ object Exprs {
       case b: BoundPred => b
     }
 
+  /** Codepoint-wise string comparison — identical to unsigned UTF-8 byte
+    * order and to Spark's `UTF8String.compareTo`, the engine's string
+    * comparison domain. */
+  def compareUtf8(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   /** Total order for canonical values of a type. */
   def ordering(dt: DataType): Ordering[Any] = {
     val o: Ordering[_] = dt match {
@@ -185,7 +198,19 @@ object Exprs {
         Ordering.Long
       case DoubleType => Ordering.Double.TotalOrdering
       case FloatType => Ordering.Float.TotalOrdering
-      case StringType => Ordering.String
+      // CODEPOINT order (== UTF-8 byte order == Spark's UTF8String
+      // order), NOT Java's Ordering.String: Java compares UTF-16 code
+      // units, which ranks astral-plane codepoints (surrogate pairs,
+      // 0xD800-prefixed) BELOW U+E000..U+FFFF. File bounds come from
+      // parquet/ORC footers in UTF-8 byte order and Spark compares row
+      // values the same way — pruning with the UTF-16 order silently
+      // LOSES rows whose bounds are astral (a file holding only "😀" is
+      // "provably" below the literal "￿" and gets dropped for
+      // s > '￿' even though its row matches).
+      case StringType =>
+        new Ordering[String] {
+          def compare(a: String, b: String): Int = compareUtf8(a, b)
+        }
       case BooleanType => Ordering.Boolean
       case _: DecimalType =>
         Ordering.comparatorToOrdering(

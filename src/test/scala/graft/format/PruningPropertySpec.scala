@@ -219,6 +219,98 @@ class PruningPropertySpec extends AnyFunSuite {
     assert(Exprs.bind(Exprs.notNull("v"), schema).isInstanceOf[BoundPred])
   }
 
+  test("string metrics pruning is sound under UTF-8 order (astral codepoints)") {
+    // the engine's string comparison domain is UTF-8 byte order (parquet
+    // footer bounds, Spark row comparisons). Oracle: Spark's UTF8String
+    // comparator — an INDEPENDENT implementation of that order. Java's
+    // String ordering disagrees on astral-vs-[U+E000,U+FFFF] pairs, the
+    // exact region this alphabet saturates; an evaluator on the Java
+    // order loses rows here (inclusive) or over-claims (strict).
+    import org.apache.spark.unsafe.types.UTF8String
+    val sId = 2
+    val alphabet = Seq("", "a", "ab", "z",
+      "\ue000",           // high BMP, above every surrogate code unit
+      "\uffff",           // max BMP codepoint
+      "\ud83d\ude00",     // U+1F600 (astral)
+      "\ud83d\ude80x",    // U+1F680 + ascii tail
+      "a\ud83d\ude00", "\uffffb",
+      "\ud83d\ude00\ud83d\ude00a")
+    def cmp(a: String, b: String): Int =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+    def statsOfS(rows: Seq[Option[String]], truncate: Boolean): DataFile = {
+      val nn = rows.flatten
+      def minS = nn.reduce((x, y) => if (cmp(x, y) <= 0) x else y)
+      def maxS = nn.reduce((x, y) => if (cmp(x, y) >= 0) x else y)
+      val lo = if (nn.isEmpty) None
+        else Some(if (truncate) Metrics.truncateLower(minS, 2) else minS)
+      val hi = if (nn.isEmpty) None
+        else Option(if (truncate) Metrics.truncateUpper(maxS, 2) else maxS)
+      DataFile(path = "f", recordCount = rows.size.toLong,
+        valueCounts = Map(sId -> rows.size.toLong),
+        nullValueCounts = Map(sId -> rows.count(_.isEmpty).toLong),
+        lowerBounds = lo.map(v => Map(sId -> v)).getOrElse(Map.empty),
+        upperBounds = hi.map(v => Map(sId -> v)).getOrElse(Map.empty))
+    }
+    def genS(r: Random): Option[String] =
+      if (r.nextInt(6) == 0) None else Some(alphabet(r.nextInt(alphabet.size)))
+    def genPredS(r: Random): Expr = {
+      def lit = alphabet(r.nextInt(alphabet.size))
+      r.nextInt(12) match {
+        case 0 => Exprs.lt("s", lit)
+        case 1 => Exprs.ltEq("s", lit)
+        case 2 => Exprs.gt("s", lit)
+        case 3 => Exprs.gtEq("s", lit)
+        case 4 => Exprs.equal("s", lit)
+        case 5 => Exprs.notEqual("s", lit)
+        case 6 => Exprs.in("s", Seq(lit, lit))
+        case 7 => Exprs.notIn("s", Seq(lit, lit))
+        case 8 => Exprs.startsWith("s", lit)
+        case 9 => Exprs.notStartsWith("s", lit)
+        case 10 => Exprs.isNull("s")
+        case 11 => Exprs.notNull("s")
+      }
+    }
+    // independent row oracle: UTF8String comparisons + exact startsWith
+    def rowMatch(e: Expr, row: Option[String]): Boolean = e match {
+      case BoundPred(op, _, _, _, vs) =>
+        val lits = vs.map(_.asInstanceOf[String])
+        (op, row) match {
+          case (PredOp.IsNull, None) => true
+          case (PredOp.IsNull, Some(_)) => false
+          case (PredOp.NotNull, o) => o.isDefined
+          case (_, None) => false
+          case (PredOp.Lt, Some(v)) => cmp(v, lits.head) < 0
+          case (PredOp.LtEq, Some(v)) => cmp(v, lits.head) <= 0
+          case (PredOp.Gt, Some(v)) => cmp(v, lits.head) > 0
+          case (PredOp.GtEq, Some(v)) => cmp(v, lits.head) >= 0
+          case (PredOp.Eq, Some(v)) => v == lits.head
+          case (PredOp.NotEq, Some(v)) => v != lits.head
+          case (PredOp.In, Some(v)) => lits.contains(v)
+          case (PredOp.NotIn, Some(v)) => !lits.contains(v)
+          case (PredOp.StartsWith, Some(v)) => v.startsWith(lits.head)
+          case (PredOp.NotStartsWith, Some(v)) => !v.startsWith(lits.head)
+          case _ => fail(s"unexpected $op")
+        }
+      case other => fail(s"expected a bound pred, got $other")
+    }
+    val r = new Random(48)
+    (0 until N).foreach { _ =>
+      val rows = List.fill(1 + r.nextInt(6))(genS(r))
+      val bound = Exprs.bind(genPredS(r), schema)
+      Seq(false, true).foreach { trunc =>
+        val f = statsOfS(rows, trunc)
+        if (rows.exists(rowMatch(bound, _)))
+          assert(Evaluators.inclusiveMetrics(bound, f),
+            s"pruned a matching row: rows=$rows expr=$bound trunc=$trunc " +
+              s"bounds=${f.lowerBounds}/${f.upperBounds}")
+        if (Evaluators.strictMetrics(bound, f))
+          assert(rows.forall(rowMatch(bound, _)),
+            s"strict over-claimed: rows=$rows expr=$bound trunc=$trunc " +
+              s"bounds=${f.lowerBounds}/${f.upperBounds}")
+      }
+    }
+  }
+
   test("string bound truncation keeps bounds valid (UnicodeUtil semantics)") {
     val r = new Random(46)
     (0 until N).foreach { _ =>

@@ -257,6 +257,40 @@ class TableFormatSpec extends SparkSpec {
       _.add("d", Transforms.VoidT, "d_void"))
   }
 
+  test("astral-plane string bounds must not prune high-BMP predicates (UTF-8 order)") {
+    import spark.implicits._
+    // "😀" (U+1F600) sorts ABOVE "\uffff" in UTF-8/codepoint
+    // order — the order parquet bounds and Spark comparisons use — but
+    // BELOW it in Java's UTF-16 String order. An evaluator on the Java
+    // order "proves" the file all-below the literal and silently LOSES
+    // the matching row (inclusive), or wrongly metadata-deletes (strict).
+    val loc = freshLoc("astral")
+    val astral = "\ud83d\ude00" // U+1F600
+    val df = Seq(astral, "plain").toDF("s")
+    val t = GraftTable.create(spark, loc, df.schema)
+    GraftWrite.append(t, df.coalesce(1))
+    val back = GraftTable.load(spark, loc)
+    val got = back.newScan().filter(Exprs.gt("s", "\uffff")).toDF().count()
+    assert(got === back.toDF().filter(col("s") > "\uffff").count(),
+      "scan must agree with Spark's own comparison")
+    assert(got === 1L, "s > U+FFFF must find the astral row")
+    // strict lane (powers metadata-only DELETE): must NOT claim the file
+    // all-below U+FFFF — the astral row is above it
+    val f = back.newScan().planFiles().tasks.head.file
+    val below = Exprs.bind(Exprs.lt("s", "\uffff"), back.metadata.schema)
+    assert(!Evaluators.strictMetrics(below, f),
+      "strict must not prove all-rows-below for a file holding an astral row")
+    // startsWith: a high-BMP prefix must survive astral upper bounds
+    val loc2 = freshLoc("astralsw")
+    val df2 = Seq("\uffffabc", astral + "x").toDF("s")
+    val t2 = GraftTable.create(spark, loc2, df2.schema)
+    GraftWrite.append(t2, df2.coalesce(1))
+    val back2 = GraftTable.load(spark, loc2)
+    assert(back2.newScan().filter(Exprs.startsWith("s", "\uffff"))
+      .toDF().count() === 1L,
+      "startsWith(U+FFFF) must find its row under an astral upper bound")
+  }
+
   test("NaN and Infinity doubles survive bounds, manifests and pruning") {
     import spark.implicits._
     // NaN poisons parquet min/max: the footer omits them, bounds come
