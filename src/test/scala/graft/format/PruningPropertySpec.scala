@@ -219,6 +219,29 @@ class PruningPropertySpec extends AnyFunSuite {
     assert(Exprs.bind(Exprs.notNull("v"), schema).isInstanceOf[BoundPred])
   }
 
+  test("compareUtf8 == UTF8String.compareTo on random unicode (property)") {
+    // the engine's string comparator must be bit-for-bit the same ORDER
+    // as Spark's — randomized across BMP, astral, surrogate-adjacent and
+    // empty strings
+    import org.apache.spark.unsafe.types.UTF8String
+    val r = new Random(50)
+    val cps = Array(0x41, 0x7A, 0xE9, 0x2713, 0xD7FF, 0xE000, 0xFFFD,
+      0xFFFF, 0x10000, 0x1F600, 0x10FFFF)
+    def genS(): String = {
+      val sb = new java.lang.StringBuilder
+      (0 until r.nextInt(6)).foreach(_ => sb.appendCodePoint(cps(r.nextInt(cps.length))))
+      sb.toString
+    }
+    (0 until N).foreach { _ =>
+      val a = genS(); val b = genS()
+      val got = Integer.signum(Exprs.compareUtf8(a, b))
+      val want = Integer.signum(
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
+      assert(got === want,
+        s"order mismatch on ${a.codePoints.toArray.toSeq} vs ${b.codePoints.toArray.toSeq}")
+    }
+  }
+
   test("string metrics pruning is sound under UTF-8 order (astral codepoints)") {
     // the engine's string comparison domain is UTF-8 byte order (parquet
     // footer bounds, Spark row comparisons). Oracle: Spark's UTF8String
