@@ -90,6 +90,24 @@ class AggPushdownSpec extends SparkSpec {
     assert(r.getString(0) == "a-very-long-string-beyond-16-chars" && r.getString(1) == "b")
   }
 
+  test("pushed string min/max follows UTF-8 order on astral codepoints") {
+    wh
+    // an astral string sorts ABOVE U+FFFF in UTF-8 (Spark's order) but
+    // below it in Java's UTF-16 ordering: the metadata-only answer must
+    // equal the real scan's, or pushdown silently returns the wrong MAX
+    spark.sql("""CREATE TABLE ga.db.astral_s (s STRING)
+                 TBLPROPERTIES ('write.metadata.metrics.default'='full')""")
+    spark.sql("INSERT INTO ga.db.astral_s VALUES ('\uffff-high-bmp'), ('\ud83d\ude00-astral'), ('plain')")
+    val q = spark.sql("SELECT min(s) AS mn, max(s) AS mx FROM ga.db.astral_s")
+    assertPushed(q)
+    val real = spark.sql(
+      "SELECT min(s), max(s) FROM ga.db.astral_s WHERE s IS NOT NULL OR s IS NULL")
+    val (r, rr) = (q.collect()(0), real.collect()(0))
+    assert(r.getString(0) == rr.getString(0) && r.getString(1) == rr.getString(1),
+      s"pushed ${r} != scan ${rr}")
+    assert(r.getString(1) == "\ud83d\ude00-astral", "UTF-8 max is the astral string")
+  }
+
   test("string min/max refuses when a live file predates the full-metrics mode") {
     wh
     spark.sql("CREATE TABLE ga.db.mixed_s (s STRING)")
