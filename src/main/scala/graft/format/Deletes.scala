@@ -140,6 +140,14 @@ object Deletes {
         case None => cachedTargets(f.path, conf).foreach(addExact(_, f.path))
       }
     }
+    // INVARIANT: this range check and ALL PathFieldId bound producers
+    // (annotatePosTargets, the distributed staging pass, DeltaOps'
+    // delete writer) use the same Java String order. min/max-of-a-set
+    // plus a same-order range test is sound under ANY total order, but
+    // only while producers and this consumer agree — do not migrate one
+    // side to compareUtf8 without the others (manifest bounds written by
+    // older builds would then mis-range). User-predicate string pruning
+    // is a different domain and IS codepoint-ordered (Exprs.ordering).
     p => (exact.getOrElse(p, Nil) ++
       ranged.collect { case (dp, lo, hi) if lo <= p && p <= hi => dp }).sorted
   }
