@@ -1242,9 +1242,13 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
             eqFileOf.get(canonOf(dp)).map(dp -> _)).toMap
           val (scoped, global) =
             ks.paths.partition(dp => eqPartOf.contains(canonOf(dp)))
+          // Tuples.key: binary partition values must index by CONTENT or a
+          // content-equal data tuple misses the map and the key set
+          // silently detaches (rows resurrect)
           val bySpec = scoped.groupBy(dp => eqPartOf(canonOf(dp))._1)
             .map { case (spec, paths) =>
-              spec -> (paths, paths.groupBy(dp => eqPartOf(canonOf(dp))._2))
+              spec -> (paths,
+                paths.groupBy(dp => Tuples.key(eqPartOf(canonOf(dp))._2)))
             }
           // above the linear-sweep cap, the whole set gets ONE interval
           // index (built once per scan) so narrowing stays O(log n + hits)
@@ -1333,7 +1337,7 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
           }
           val scopedCands = si.bySpec.toSeq.flatMap { case (spec, (all, byTuple)) =>
             if (parts.exists(_._1 != spec)) all // cross-spec: keep whole spec
-            else parts.flatMap(p => byTuple.getOrElse(p._2, Nil))
+            else parts.flatMap(p => byTuple.getOrElse(Tuples.key(p._2), Nil))
           }
           // the set's interval index queried ONCE per task (shared by the
           // global and the scoped halves): a conservative superset of the

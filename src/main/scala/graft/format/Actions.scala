@@ -114,9 +114,12 @@ final class Actions(t: GraftTable) {
       }.toMap
     }
     // spec id joins the group key: a spec-evolved table compacts each
-    // generation under its OWN layout (outputs keep the group's spec)
+    // generation under its OWN layout (outputs keep the group's spec).
+    // Tuples.key: binary partition values must group by CONTENT or each
+    // file becomes its own bin and the partition never compacts
     val groups = plan.tasks
-      .groupBy(ts => (ts.file.partition, ts.file.schemaId, ts.file.specId))
+      .groupBy(ts => (Tuples.key(ts.file.partition), ts.file.schemaId,
+        ts.file.specId))
       .values.filter(g => g.size >= minInputFiles ||
         (deleteFileThreshold != Int.MaxValue && g.exists(ts =>
           deletePressure.getOrElse(ParquetIO.canonPath(ts.file.path), 0) >=
@@ -713,13 +716,15 @@ final class Actions(t: GraftTable) {
               val tupled = group.filter(_._1.partition.nonEmpty)
               val globalMax = group.collect {
                 case (f, s) if f.partition.isEmpty => s }.maxOption
-              val scopeMax = tupled.groupBy(d => (d._1.specId, d._1.partition))
+              val scopeMax = tupled
+                .groupBy(d => (d._1.specId, Tuples.key(d._1.partition)))
                 .map { case (k, g) => k -> g.map(_._2).max }
               val crossMax = tupled.map(_._2).maxOption
               candidates.filter { ts =>
                 def newer(s: Option[Long]) = s.exists(_ > ts.sequenceNumber)
                 newer(globalMax) ||
-                  newer(scopeMax.get((ts.file.specId, ts.file.partition))) ||
+                  newer(scopeMax.get(
+                    (ts.file.specId, Tuples.key(ts.file.partition)))) ||
                   (newer(crossMax) &&
                     tupled.exists(d => d._1.specId != ts.file.specId &&
                       d._2 > ts.sequenceNumber))

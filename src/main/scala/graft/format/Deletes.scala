@@ -115,7 +115,10 @@ object Deletes {
   def eqDeleteCanHit(deleteSpecId: Int, deletePartition: Map[String, Any],
       dataSpecId: Int, dataPartition: Map[String, Any]): Boolean =
     deletePartition.isEmpty || deleteSpecId != dataSpecId ||
-      deletePartition == dataPartition
+      // CONTENT equality: binary partition values are Array[Byte], whose
+      // Map == is reference-based — a raw compare detaches the key set
+      // from its content-equal data partition and resurrects rows
+      Tuples.equal(deletePartition, dataPartition)
 
   /** Per-task delete-file matcher (reference DeleteFileIndex,
     * core/.../DeleteFileIndex.java + FileScanTask.deletes()): canonical

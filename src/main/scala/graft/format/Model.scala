@@ -53,6 +53,40 @@ final case class DataFile(
     // lineage COLUMNS physically (compaction preserves row ids)
     firstRowId: Option[Long] = None)
 
+/** Partition-tuple comparison helpers: tuples carry their values in the
+  * canonical JVM domain, where BINARY partition values (truncate[W] on a
+  * binary source) are `Array[Byte]` — whose `equals`/`hashCode` are
+  * REFERENCE-based. Any tuple-level `Map ==` or `groupBy`/HashMap key on
+  * raw tuples silently treats content-equal binary tuples as distinct:
+  * eq-delete scoping detaches its key sets (rows resurrect), compaction
+  * splits a partition into per-file bins. Compare with [[Tuples.equal]];
+  * key maps/groupBys with [[Tuples.key]] (raw tuples stay the value
+  * domain — codecs expect `Array[Byte]`). */
+object Tuples {
+  private def canon(v: Any): Any = v match {
+    case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    case x => x
+  }
+
+  /** Content-hashable view of a tuple, for use as a map/groupBy KEY. */
+  def key(p: Map[String, Any]): Map[String, Any] =
+    if (p.valuesIterator.exists(_.isInstanceOf[Array[Byte]]))
+      p.map { case (k, v) => k -> canon(v) }
+    else p
+
+  /** Content equality of two tuples. */
+  def equal(a: Map[String, Any], b: Map[String, Any]): Boolean =
+    a.size == b.size && a.forall { case (k, v) =>
+      b.get(k) match {
+        case Some(w) => (v, w) match {
+          case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+          case (x, y) => x == y
+        }
+        case None => false
+      }
+    }
+}
+
 /** Data-file encodings (reference api/.../FileFormat.java; puffin is the
   * iceberg-v3 deletion-vector container, past the reference's horizon). */
 object FileFormats {

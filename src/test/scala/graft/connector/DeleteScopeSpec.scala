@@ -130,6 +130,55 @@ class DeleteScopeSpec extends SparkSpec {
       (0L until 60L).filterNot(_ % 4 == 0))
   }
 
+  test("binary partition tuples: eq-delete key sets attach by tuple CONTENT (DSv2 scope)") {
+    // binary partition values ride tuples as Array[Byte]; the DSv2 scan's
+    // tuple -> delete-paths index must match them by CONTENT — a
+    // hash/equality on the raw arrays misses every content-equal tuple
+    // and silently detaches the key set (rows resurrect)
+    val df = Seq(
+      (1L, Array[Byte](1, 1, 7)),
+      (2L, Array[Byte](2, 2, 7)),
+      (3L, Array[Byte](1, 1, 9))).toDF("id", "b")
+    val t = GraftTable.create(spark, freshLoc("scope-eqbin"), df.schema,
+      _.truncate("b", 2))
+    GraftWrite.append(t, df.repartition(2))
+    Deletes.deleteByEquality(t, Seq(Tuple1(Array[Byte](1, 1, 7))).toDF("b"))
+    val dels = t.newScan().planFiles().deleteFiles.map(_._1)
+      .filter(_.content == FileContent.EqualityDeletes).distinctBy(_.path)
+    assert(dels.nonEmpty && dels.forall(_.partition.nonEmpty),
+      "partition-scoped staging must carry the binary tuple")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+    try {
+      val taskFiles = t.newScan().planFiles().tasks
+        .map(ft => ParquetIO.canonPath(ft.file.path) -> ft.file).toMap
+      val parts = partitions(t)
+      assert(parts.nonEmpty)
+      var carrying = 0
+      parts.foreach { p =>
+        val files = p.inner match {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.map(f => ParquetIO.canonPath(f.filePath.toPath.toString)).toSeq
+          case other => fail(s"expected FilePartition, got ${other.getClass}")
+        }
+        val expected = dels.filter(d => files.exists { fp =>
+          val dfl = taskFiles(fp)
+          java.util.Arrays.equals(
+            dfl.partition("b_trunc").asInstanceOf[Array[Byte]],
+            d.partition("b_trunc").asInstanceOf[Array[Byte]]) &&
+            Deletes.eqBoundsCanHit(d, dfl, t.schema)
+        }).map(_.path).sorted
+        if (expected.nonEmpty) carrying += 1
+        val scopePaths = p.eqScope.map(_.flatten.sorted)
+          .getOrElse(dels.map(_.path).sorted) // None = un-narrowed full set
+        assert(scopePaths === expected,
+          s"task over $files must attach binary tuples by content")
+      }
+      assert(carrying > 0, "the [1,1] partition's task must carry the delete")
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    // library-path end to end: the matching row is gone, the rest stay
+    assert(t.toDF().select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+  }
+
   test("partition-clustered equality deletes: per-partition files, per-task key-set scope") {
     val df = (0L until 60L).map(i => (i, i % 3, s"v$i")).toDF("id", "grp", "v")
     val t = GraftTable.create(spark, freshLoc("scope-eq"), df.schema,

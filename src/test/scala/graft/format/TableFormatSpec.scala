@@ -257,6 +257,35 @@ class TableFormatSpec extends SparkSpec {
       _.add("d", Transforms.VoidT, "d_void"))
   }
 
+  test("binary partition tuples: pruning and partition-scoped eq-delete apply by CONTENT") {
+    import spark.implicits._
+    // binary partition values ride tuples as Array[Byte]: every tuple
+    // comparison on the apply path must be content-based — a reference
+    // (Map ==) compare silently skips the delete (rows resurrect)
+    val loc = freshLoc("binpart")
+    val rows = Seq(
+      (1L, Array[Byte](1, 1, 7)),
+      (2L, Array[Byte](2, 2, 7)),
+      (3L, Array[Byte](1, 1, 9))).toDF("id", "b")
+    val t = GraftTable.create(spark, loc, rows.schema, _.truncate("b", 2))
+    GraftWrite.append(t, rows.repartition(2))
+    val back = GraftTable.load(spark, loc)
+    assert(back.toDF().count() === 3)
+    // point predicate on the binary SOURCE column round-trips the
+    // base64-encoded tuple and the projection
+    assert(back.newScan().filter(Exprs.equal("b", Array[Byte](1, 1, 7)))
+      .toDF().count() === 1)
+    // key set includes the partition source -> partition-SCOPED staging:
+    // the delete file carries the binary tuple and must attach to the
+    // content-equal data partition
+    Deletes.deleteByEquality(GraftTable.load(spark, loc),
+      Seq(Tuple1(Array[Byte](1, 1, 7))).toDF("b"))
+    val after = GraftTable.load(spark, loc)
+    assert(after.toDF().count() === 2,
+      "binary-partition-scoped eq delete must apply by tuple CONTENT")
+    assert(after.toDF().filter(col("id") === 1L).count() === 0)
+  }
+
   test("astral-plane string bounds must not prune high-BMP predicates (UTF-8 order)") {
     import spark.implicits._
     // "😀" (U+1F600) sorts ABOVE "\uffff" in UTF-8/codepoint
