@@ -543,10 +543,13 @@ object Commits {
     }
 
   private def canonTuple(f: DataFile): Map[String, Any] =
-    f.partition.map { case (k, v) => k -> (v match {
+    // Tuples.key: binary partition values must match by CONTENT, or a
+    // dynamic overwrite never drops the touched partition's old files
+    // (duplicate rows); Int→Long so pre-promotion tuples keep matching
+    Tuples.key(f.partition.map { case (k, v) => k -> (v match {
       case i: Int => i.toLong
       case other => other
-    })}
+    })})
 
   /** Shared delete-by-filter manifest rewrite. */
   /** Per-file delete decision: Some(true) = every row matches (drop whole

@@ -284,6 +284,13 @@ class TableFormatSpec extends SparkSpec {
     assert(after.toDF().count() === 2,
       "binary-partition-scoped eq delete must apply by tuple CONTENT")
     assert(after.toDF().filter(col("id") === 1L).count() === 0)
+    // dynamic overwrite must REPLACE the content-equal binary partition
+    // (a reference-compared touched-set keeps the old files: duplicates)
+    GraftWrite.overwriteDynamic(GraftTable.load(spark, loc),
+      Seq((9L, Array[Byte](1, 1, 5))).toDF("id", "b")) // tuple [1,1] again
+    val od = GraftTable.load(spark, loc)
+    assert(od.toDF().select("id").as[Long].collect().sorted.toSeq === Seq(2L, 9L),
+      "dynamic overwrite must drop the old [1,1] partition files")
   }
 
   test("astral-plane string bounds must not prune high-BMP predicates (UTF-8 order)") {
