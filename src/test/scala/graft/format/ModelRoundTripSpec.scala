@@ -100,4 +100,33 @@ class ModelRoundTripSpec extends AnyFunSuite {
     assert(back.specs(0) == meta.specs(0))
     assert(back == meta)
   }
+
+  test("Tuples.key and Tuples.equal agree across value kinds (property)") {
+    // the content-comparison helpers back every tuple-level map key and
+    // equality in the engine: key(a) == key(b) must hold exactly when
+    // equal(a, b), and equal keys must hash equal (HashMap contract)
+    val rnd = new Random(51)
+    val names = Seq("p", "q")
+    def value(): Any = rnd.nextInt(6) match {
+      case 0 => null
+      case 1 => rnd.nextInt(3).toLong
+      case 2 => Seq("a", "b")(rnd.nextInt(2))
+      case 3 => Array[Byte](rnd.nextInt(2).toByte, rnd.nextInt(2).toByte)
+      case 4 => Array.empty[Byte]
+      case 5 => new java.math.BigDecimal(rnd.nextInt(3)).setScale(2)
+    }
+    def tuple(): Map[String, Any] =
+      names.take(1 + rnd.nextInt(2)).map(_ -> value()).toMap
+    (0 until 2000).foreach { _ =>
+      val a = tuple(); val b = if (rnd.nextBoolean()) tuple() else
+        // content-equal twin with FRESH array instances
+        a.map { case (k, v: Array[Byte]) => k -> v.clone(); case kv => kv }
+      val eq = Tuples.equal(a, b)
+      assert(eq === (Tuples.key(a) == Tuples.key(b)),
+        s"equal/key disagree on $a vs $b")
+      if (eq) assert(Tuples.key(a).hashCode === Tuples.key(b).hashCode)
+      assert(Tuples.equal(a, a.map { case (k, v: Array[Byte]) => k -> v.clone()
+        case kv => kv }), s"content-equal twin must be equal: $a")
+    }
+  }
 }
