@@ -69,13 +69,59 @@ object OrcIO {
     val writer = OrcFile.createWriter(new HPath(path),
       OrcFile.writerOptions(conf).setSchema(td)
         .compress(compressionKind(codec)))
-    new OrcRowWriter(writer, new OrcSerializer(schema))
+    new OrcRowWriter(writer, new OrcSerializer(schema), hasTimestamp(schema))
   }
 
-  final class OrcRowWriter(writer: Writer, ser: OrcSerializer) extends AutoCloseable {
+  private def hasTimestamp(dt: DataType): Boolean = dt match {
+    case TimestampType | TimestampNTZType => true
+    case s: StructType => s.fields.exists(f => hasTimestamp(f.dataType))
+    case a: ArrayType => hasTimestamp(a.elementType)
+    case m: MapType => hasTimestamp(m.keyType) || hasTimestamp(m.valueType)
+    case _ => false
+  }
+
+  /** ORC's timestamp encoding cannot hold values in [-999000, -1] micros
+    * (1969-12-31 23:59:59.001 .. .999999): the writer stores
+    * seconds = millis/1000 with TRUNCATING division (orc-core
+    * TimestampTreeWriter.writeBatch), so the whole sub-second window just
+    * before the epoch collapses to stored seconds 0 — the sign is lost at
+    * rest, and every standard reader (Spark, Hive, Arrow C++) returns the
+    * value shifted +1 s. Verified against the installed orc-core 2.2.2 with
+    * an independent (Arrow) reader: -1000000/-999001/-1000001 round-trip,
+    * every value in [-999000, -1] corrupts by exactly +1e6 µs; Spark's own
+    * `df.write.orc` silently corrupts the same window. In Timestamp terms
+    * the unrepresentable condition is getTime() in [-999, -1]. We refuse
+    * to write corrupt data: fail loudly and point at parquet/avro, which
+    * store micros exactly. */
+  private def checkRepresentable(v: Any): Unit = v match {
+    case t: java.sql.Timestamp =>
+      val ms = t.getTime
+      if (ms >= -999L && ms <= -1L) throw new IllegalArgumentException(
+        "ORC cannot represent timestamps in 1969-12-31 23:59:59.001.." +
+        ".999999 (upstream orc-core truncates the seconds toward zero and " +
+        "loses the sign at rest; readers return the value +1s). Store this " +
+        "data as parquet or avro (write.format.default), or round it to " +
+        "whole-second precision.")
+    case s: OrcStruct =>
+      var i = 0
+      while (i < s.getNumFields) { checkRepresentable(s.getFieldValue(i)); i += 1 }
+    case l: org.apache.orc.mapred.OrcList[_] =>
+      l.forEach(e => checkRepresentable(e))
+    case m: org.apache.orc.mapred.OrcMap[_, _] =>
+      m.forEach((k, vv) => { checkRepresentable(k); checkRepresentable(vv) })
+    case u: org.apache.orc.mapred.OrcUnion => checkRepresentable(u.getObject)
+    case _ => ()
+  }
+
+  final class OrcRowWriter(writer: Writer, ser: OrcSerializer,
+      mayHoldTimestamps: Boolean = true) extends AutoCloseable {
     private val rec = new OrcMapreduceRecordWriter[OrcStruct](writer)
-    def write(row: InternalRow): Unit =
-      rec.write(org.apache.hadoop.io.NullWritable.get(), ser.serialize(row))
+    def write(row: InternalRow): Unit = {
+      val struct = ser.serialize(row)
+      // timestamp-free schemas skip the walk entirely (hot-path guard)
+      if (mayHoldTimestamps) checkRepresentable(struct)
+      rec.write(org.apache.hadoop.io.NullWritable.get(), struct)
+    }
     override def close(): Unit = rec.close(null)
   }
 
