@@ -68,6 +68,79 @@ object FilterBridge {
   def convertAll(filters: Array[Filter]): Expr =
     filters.flatMap(convert).foldLeft(Exprs.alwaysTrue)(Exprs.and)
 
+  /** STRICT v2 Predicate → v1 Filter. Spark's own bridge
+    * (`PredicateUtils.toV1`, used by the default
+    * `SupportsDelete.canDeleteWhere(Predicate[])`) is LOSSY on OR: when
+    * one disjunct doesn't convert it returns the other disjunct alone
+    * (verified against the installed spark-catalyst 4.1.2 bytecode),
+    * silently NARROWING the predicate — a metadata DELETE then removes a
+    * subset of the condition's rows while Spark believes the whole DELETE
+    * executed (rows matching only the dropped disjunct survive; found by
+    * the round-20 workload fuzzer as `DELETE WHERE id % 2 = 0 OR d > x`
+    * deleting nothing). This converter is all-or-nothing on every node:
+    * anything inexact returns None, the caller answers canDeleteWhere
+    * false, and Spark keeps the row-level ReplaceData plan, which
+    * evaluates the original Catalyst condition. */
+  def toV1Strict(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[Filter] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => XLit, NamedReference}
+    import org.apache.spark.sql.connector.expressions.filter.{Predicate => XPred, And => XAnd, Or => XOr, Not => XNot, AlwaysTrue => XTrue, AlwaysFalse => XFalse}
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    def ref(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference => Some(r.fieldNames().mkString("."))
+        case _ => None
+      }
+    def lit(e: org.apache.spark.sql.connector.expressions.Expression): Option[Any] =
+      e match {
+        case l: XLit[_] =>
+          Some(CatalystTypeConverters.convertToScala(l.value(), l.dataType()))
+        case _ => None
+      }
+    def binary(mk: (String, Any) => Filter,
+        flip: (String, Any) => Filter): Option[Filter] = {
+      val c = p.children()
+      if (c.length != 2) None
+      else (ref(c(0)), lit(c(1)), ref(c(1)), lit(c(0))) match {
+        case (Some(a), Some(v), _, _) => Some(mk(a, v))
+        case (_, _, Some(a), Some(v)) => Some(flip(a, v))
+        case _ => None
+      }
+    }
+    p match {
+      case _: XTrue => Some(AlwaysTrue)
+      case _: XFalse => Some(AlwaysFalse)
+      case a: XAnd =>
+        for (l <- toV1Strict(a.left()); r <- toV1Strict(a.right())) yield And(l, r)
+      case o: XOr =>
+        for (l <- toV1Strict(o.left()); r <- toV1Strict(o.right())) yield Or(l, r)
+      case n: XNot => toV1Strict(n.child()).map(Not)
+      case _ => p.name() match {
+        case "=" => binary(EqualTo(_, _), EqualTo(_, _))
+        case "<=>" => binary(EqualNullSafe(_, _), EqualNullSafe(_, _))
+        case "<" => binary(LessThan(_, _), GreaterThan(_, _))
+        case "<=" => binary(LessThanOrEqual(_, _), GreaterThanOrEqual(_, _))
+        case ">" => binary(GreaterThan(_, _), LessThan(_, _))
+        case ">=" => binary(GreaterThanOrEqual(_, _), LessThanOrEqual(_, _))
+        case "IS_NULL" if p.children().length == 1 =>
+          ref(p.children()(0)).map(IsNull)
+        case "IS_NOT_NULL" if p.children().length == 1 =>
+          ref(p.children()(0)).map(IsNotNull)
+        case "IN" if p.children().nonEmpty =>
+          val vals = p.children().drop(1).map(lit)
+          for (a <- ref(p.children()(0));
+               vs <- if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None)
+            yield In(a, vs)
+        case "STARTS_WITH" =>
+          val c = p.children()
+          if (c.length != 2) None
+          else for (a <- ref(c(0)); v <- lit(c(1)).collect { case s: String => s })
+            yield StringStartsWith(a, v)
+        case _ => None
+      }
+    }
+  }
+
   /** Convert for positions with NO residual re-apply (filter overwrite):
     * every filter must convert, or the operation is refused loudly —
     * silently dropping one would widen the overwrite's delete scope up

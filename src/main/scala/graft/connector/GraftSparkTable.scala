@@ -72,6 +72,31 @@ final class GraftSparkTable(spark: SparkSession, val table: GraftTable,
       "accept reads only; run the operation on the main table or a " +
       "branch identifier, or fast-forward / cherry-pick")
 
+  /** V2 entry points, overriding SupportsDelete's default bridge: Spark's
+    * `PredicateUtils.toV1` silently NARROWS an OR whose one side doesn't
+    * convert (returns the other side alone) — through the default bridge a
+    * `DELETE WHERE a OR b` with unconvertible `a` would metadata-delete
+    * only the `b` rows and report success (rows matching only `a`
+    * silently survive). The strict converter is all-or-nothing; refusing
+    * here keeps Spark on the row-level ReplaceData plan, which evaluates
+    * the original condition. */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean = {
+    val v1 = predicates.map(FilterBridge.toV1Strict)
+    v1.forall(_.isDefined) && canDeleteWhere(v1.flatten)
+  }
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val v1 = predicates.map(FilterBridge.toV1Strict)
+    require(v1.forall(_.isDefined),
+      "non-translatable predicate reached metadata DELETE: " +
+        predicates.mkString(", "))
+    deleteWhere(v1.flatten)
+  }
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     // branch identifiers take the metadata-only path against the BRANCH
     // head (it also serves Spark's bare `DELETE FROM t.branch_x`, which
@@ -763,11 +788,21 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
               // layout [data..., rowIdx, stored...]
               trailingStored = if (lineageStored) 2 else 0)
           case FileFormats.Orc =>
+            // ORC search-argument pruning compares strings in Java/UTF-16
+            // order while Spark (and this library) compare in UTF-8 /
+            // codepoint order; the orders disagree on astral-vs-
+            // [U+E000,U+FFFF] pairs, so an ORDER predicate pushed into the
+            // ORC reader can skip row groups that contain matching rows —
+            // row loss the post-scan residual cannot undo (caught by the
+            // round-20 workload fuzzer). Equality/IN/null tests are exact
+            // under any total order the stats themselves use and stay
+            // pushed; string order comparisons stay Spark-side residuals.
             org.apache.spark.sql.execution.datasources.v2.orc.OrcScan(
               spark, spark.sessionState.newHadoopConf(), index,
               dataSchema = groupData, readDataSchema = groupRead,
               readPartitionSchema = partSchema, options = options,
-              pushedAggregate = None, pushedFilters = groupFilters)
+              pushedAggregate = None,
+              pushedFilters = groupFilters.filter(orcSargSafe))
           case FileFormats.Avro =>
             new GraftAvroScan(groupRead, partSchema,
               tasks.map(t => (t.file.path, t.file.fileSizeInBytes,
@@ -938,6 +973,26 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
         .flatMap(id => Stats.read(table, id)),
       fills = groups.map(_._3),
       lineages = groups.map(_._4))
+  }
+
+  /** Safe to hand to ORC's search-argument builder: no ORDER comparison on
+    * a string value (ORC stats order strings by UTF-16 unit, Spark by
+    * UTF-8/codepoint — a disagreement on astral codepoints makes ORC's
+    * "row group cannot match" conclusion wrong, losing rows). Equality and
+    * membership are exact under either order (the value, if present, lies
+    * within the stats range computed in the same order). */
+  private def orcSargSafe(f: Filter): Boolean = {
+    import org.apache.spark.sql.sources
+    f match {
+      case sources.GreaterThan(_, _: String) => false
+      case sources.GreaterThanOrEqual(_, _: String) => false
+      case sources.LessThan(_, _: String) => false
+      case sources.LessThanOrEqual(_, _: String) => false
+      case sources.And(l, r) => orcSargSafe(l) && orcSargSafe(r)
+      case sources.Or(l, r) => orcSargSafe(l) && orcSargSafe(r)
+      case sources.Not(c) => orcSargSafe(c)
+      case _ => true
+    }
   }
 
   /** Rename filter references current→file names; drop if any referenced

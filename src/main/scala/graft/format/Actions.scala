@@ -820,12 +820,20 @@ final class Actions(t: GraftTable) {
         sc.parallelize(paths, readTasks)
           .flatMap(p => MetaCodec.readManifest(io.readBytes(p), idSchema, typesMap))
           .filter(_.status != EntryStatus.Deleted)
-          .map(e => (e.file.partition.toSeq.sortBy(_._1)
+          // manifests are single-content (data XOR deletes — see
+          // buildManifestFile): the content class leads the sort key so
+          // range partitions cluster each class, and the per-partition
+          // grouping below never mixes them in one output manifest
+          .map(e => ((if (e.file.content == FileContent.Data) "d/" else "x/") +
+            e.file.partition.toSeq.sortBy(_._1)
             .map(kv => Values.toDirString(kv._2)).mkString("/") + e.file.path,
             e.copy(status = EntryStatus.Existing)))
           .sortByKey(ascending = true, numPartitions = numRanges)
           .mapPartitions { it =>
-            it.map(_._2).grouped(perManifest).map { group =>
+            it.map(_._2).toSeq
+              .groupBy(_.file.content == FileContent.Data).valuesIterator
+              .flatMap(_.grouped(perManifest))
+              .map { group =>
               val entries = group.toSeq
               val path = s"$metadataDir/manifest-${java.util.UUID.randomUUID()}" +
                 MetaCodec.ext(codec)

@@ -36,13 +36,26 @@ object Commits {
   private[format] def summaries(spec: PartitionSpec, types: Seq[(String, DataType)],
       entries: Seq[ManifestEntry]): Seq[FieldSummary] =
     spec.fields.zip(types).map { case (pf, (_, dt)) =>
-      val vs = entries.map(_.file.partition.getOrElse(pf.name, null))
-      val nonNull = vs.filter(_ != null)
-      val ord = Exprs.ordering(dt)
-      FieldSummary(
-        containsNull = vs.exists(_ == null),
-        lower = if (nonNull.isEmpty) null else nonNull.min(ord),
-        upper = if (nonNull.isEmpty) null else nonNull.max(ord))
+      // An entry whose tuple LACKS the field is partition-GLOBAL (an
+      // unclustered position/equality delete applies to EVERY partition) —
+      // absence is not null. Folding it in as null gave the summary the
+      // tuple-carrying entries' bounds, and the manifest-level evaluator
+      // pruned the manifest under a partition filter, silently dropping
+      // the global masks it carried (round-20 fuzz finding: the commit-
+      // time manifest merge had combined scoped eq-deletes with global
+      // pos-deletes; filtered scans then resurrected pos-deleted rows).
+      // A single absent field makes the summary UNBOUNDED for that field.
+      if (entries.exists(e => !e.file.partition.contains(pf.name)))
+        FieldSummary(containsNull = true, lower = null, upper = null)
+      else {
+        val vs = entries.map(_.file.partition(pf.name))
+        val nonNull = vs.filter(_ != null)
+        val ord = Exprs.ordering(dt)
+        FieldSummary(
+          containsNull = vs.exists(_ == null),
+          lower = if (nonNull.isEmpty) null else nonNull.min(ord),
+          upper = if (nonNull.isEmpty) null else nonNull.max(ord))
+      }
     }
 
   /** Build a manifest descriptor from its entries — pure, so distributed
@@ -54,6 +67,16 @@ object Commits {
       entries.filter(_.status == EntryStatus.Added),
       entries.filter(_.status == EntryStatus.Existing),
       entries.filter(_.status == EntryStatus.Deleted))
+    // manifests are single-content, like the reference (ManifestContent
+    // DATA vs DELETES): every consumer that selects data manifests by
+    // `mf.content == FileContent.Data` (metadata-only DELETE, incremental
+    // reads, expiry diffs, orphan scans, eq-delete scoping) relies on it.
+    // A MIXED manifest flagged as deletes makes those consumers silently
+    // skip its DATA entries — whole files invisible to row-level DELETE,
+    // their rows resurrecting (caught by the round-20 workload fuzzer
+    // after rewriteManifests consolidated data + delete entries together).
+    require(entries.map(_.file.content == FileContent.Data).distinct.size <= 1,
+      s"manifest would mix data and delete entries: $path")
     ManifestFile(path, contentLength, specId,
       entries.map(_.file.content).find(_ != FileContent.Data).getOrElse(FileContent.Data),
       addedSnapshotId,

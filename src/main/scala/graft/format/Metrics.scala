@@ -115,6 +115,38 @@ object Metrics {
     case other => other
   }
 
+  /** ORC column statistics order strings by Java char (UTF-16 code unit)
+    * comparison, while this library's pruning evaluators — like Spark and
+    * parquet — order by codepoint (== UTF-8 bytes). The two orders disagree
+    * exactly when an astral codepoint (surrogate pair, lead unit 0xD800+)
+    * meets a BMP char in [0xE000, 0xFFFF]: UTF-16 sorts the astral LOWER,
+    * codepoint order sorts it HIGHER. A Java-ordered max like "￿" from a
+    * file that also holds "😀x" is NOT an upper bound in codepoint order —
+    * pruning against it silently loses rows (found by the round-20
+    * workload fuzzer through ORC footer bounds). These helpers convert a
+    * Java-ordered bound into a codepoint-order-safe one by cutting at the
+    * first char ≥ 0xD800: every char BEFORE the cut is below the surrogate
+    * block, where the orders agree, so the prefix (lower) / the prefix
+    * with its last char incremented (upper) bounds everything the Java
+    * bound bounded. The increment skips the surrogate block (0xD7FF+1 →
+    * 0xE000): any value that stayed under the Java max diverges from the
+    * prefix at a unit < 0xD800, which no continuation can outweigh. */
+  def utf16SafeLower(s: String): String = {
+    val i = s.indexWhere(_ >= 0xD800)
+    if (i < 0) s else s.substring(0, i)
+  }
+
+  def utf16SafeUpper(s: String): Option[String] = {
+    val i = s.indexWhere(_ >= 0xD800)
+    if (i < 0) Some(s)
+    else if (i == 0) None // no safe prefix: drop the bound
+    else {
+      val last = s.charAt(i - 1)
+      val inc = if (last + 1 == 0xD800) '\uE000' else (last + 1).toChar
+      Some(s.substring(0, i - 1) + inc)
+    }
+  }
+
   /** Footer metrics for many staged files. Above a small threshold the
     * reads run as a Spark job — at 10k output files a sequential driver
     * loop would serialize 10k footer round-trips into the commit path

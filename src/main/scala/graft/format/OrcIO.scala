@@ -148,6 +148,10 @@ object OrcIO {
       val nullCounts = collection.mutable.Map[Int, Long]()
       val lower = collection.mutable.Map[Int, Any]()
       val upper = collection.mutable.Map[Int, Any]()
+      // string bounds whose UTF-16→codepoint sanitization ALTERED the value
+      // are range-safe but no longer exact — exclude them from fullBoundIds
+      // so aggregate pushdown never serves a sanitized bound as a MIN/MAX
+      val inexact = collection.mutable.Set[Int]()
       if (root.getCategory == TypeDescription.Category.STRUCT) {
         root.getFieldNames.asScala.zip(root.getChildren.asScala).foreach {
           case (name, child) =>
@@ -157,14 +161,27 @@ object OrcIO {
               valueCounts(id) = recordCount
               nullCounts(id) = recordCount - cs.getNumberOfValues
               if (modeOf(id) != CountsMode && cs.getNumberOfValues > 0) {
-                bounds(cs, typeById(id)).foreach { case (mn, mx) =>
+                bounds(cs, typeById(id)).foreach { case (mn0, mx0) =>
+                  // ORC orders strings by UTF-16 unit — convert to
+                  // codepoint-order-safe bounds before they enter the
+                  // manifest (Metrics.utf16Safe*), or the UTF-8-ordered
+                  // evaluators prune files that contain matching astral rows
+                  val (mn, mxOpt) = (mn0, mx0) match {
+                    case (a: String, b: String) =>
+                      val (sl, su) = (utf16SafeLower(a), utf16SafeUpper(b))
+                      if (sl != a || !su.contains(b)) inexact += id
+                      (sl, su)
+                    case other => (other._1, Some(other._2))
+                  }
                   def len = modeOf(id) match {
                     case TruncateMode(n) => Some(n)
                     case _ => None
                   }
                   lower(id) = len.map(truncateLower(mn, _)).getOrElse(mn)
-                  val up = len.map(truncateUpper(mx, _)).getOrElse(mx)
-                  if (up != null) upper(id) = up
+                  mxOpt.foreach { mx =>
+                    val up = len.map(truncateUpper(mx, _)).getOrElse(mx)
+                    if (up != null) upper(id) = up
+                  }
                 }
               }
             }
@@ -173,7 +190,7 @@ object OrcIO {
       FileMetrics(recordCount, fileSize, valueCounts.toMap, nullCounts.toMap,
         lower.toMap, upper.toMap,
         reader.getStripes.asScala.map(_.getOffset).toSeq,
-        Metrics.fullBoundIds(schema, modes))
+        Metrics.fullBoundIds(schema, modes).filterNot(inexact.contains))
     } finally reader.close()
   }
 
@@ -207,7 +224,9 @@ object OrcIO {
           Some((s.getMinimum.toFloat, s.getMaximum.toFloat))
         case (s: StringColumnStatistics, StringType) =>
           // min/max may be absent when ORC truncated long values; the
-          // lower/upper BOUNDS stay safe for inclusive pruning
+          // lower/upper BOUNDS stay safe for inclusive pruning (the caller
+          // converts these UTF-16-ordered values to codepoint-order-safe
+          // bounds before they enter the manifest)
           val mn = Option(s.getMinimum).orElse(Option(s.getLowerBound))
           val mx = Option(s.getMaximum).orElse(Option(s.getUpperBound))
           mn.zip(mx)

@@ -14,7 +14,9 @@ import scala.util.Random
   * disagreement) all lived in the seams BETWEEN operators. This instrument
   * explores the seams directly: a seeded random sequence of SQL DML
   * (INSERT / DELETE / UPDATE / MERGE / static+dynamic INSERT OVERWRITE),
-  * library row-deltas (equality-delete key sets) and maintenance actions
+  * schema evolution (RENAME COLUMN — partition sources and the merge key
+  * included — ADD COLUMN, DROP COLUMN, re-add after drop), library
+  * row-deltas (equality-delete key sets) and maintenance actions
   * (compaction, sorted/z-order rewrite, pos/eq-delete rewrite, manifest
   * rewrite, snapshot expiry, orphan removal) runs against a graft table
   * while a driver-side oracle model applies the same semantics to a plain
@@ -22,8 +24,9 @@ import scala.util.Random
   * model exactly (value-canonical, including double bit patterns, decimal
   * (38,30) text, timestamp micros and binary bytes); a random filtered
   * scan must equal the model's three-valued-logic filter; and periodic
-  * VERSION AS OF reads must equal the model's recorded history, which
-  * snapshot expiry prunes in lockstep with the table's retained set.
+  * VERSION AS OF reads must equal the model's recorded history — each
+  * history entry captures the column names and shape AT THAT SNAPSHOT —
+  * which snapshot expiry prunes in lockstep with the table's retained set.
   *
   * The table layout, DML mode (copy-on-write vs merge-on-read) and file
   * format (parquet / orc) derive from the seed, so the same op mix crosses
@@ -31,7 +34,10 @@ import scala.util.Random
   * draw from a hostile pool: NULLs in every column, empty / astral /
   * U+FFFF strings (codepoint-order territory), ±0.0 / NaN / ±Infinity
   * doubles, full-precision DECIMAL(38,30) edges, pre-epoch timestamps,
-  * and empty / 0x00 / 0xFF binary (content-equality territory).
+  * and empty / 0x00 / 0xFF binary (content-equality territory). ORC seeds
+  * treat the documented ORC timestamp-hole rejection
+  * (OrcTimestampHoleSpec) as a legal loud failure and assert the failed
+  * write left the table untouched.
   *
   * Reference analog: none (the reference tests operators singly too) —
   * this is the round's interleaving-domain agreement instrument.
@@ -46,58 +52,63 @@ object WorkloadFuzz {
       v: Option[Double],
       d: Option[java.math.BigDecimal],
       ts: Option[Long], // epoch micros
-      b: Option[Vector[Byte]]) {
-    def canon: String = Seq(
+      b: Option[Vector[Byte]],
+      w: Option[Long] = None) { // late-added column (None until it exists)
+    def canon(hasW: Boolean): String = (Seq(
       id.map(_.toString).getOrElse("∅"),
       cat.map("s:" + _).getOrElse("∅"),
       v.map(x => java.lang.Double.doubleToLongBits(x).toString).getOrElse("∅"),
       d.map(_.toPlainString).getOrElse("∅"),
       ts.map(_.toString).getOrElse("∅"),
       b.map(_.map(x => f"${x & 0xff}%02x").mkString).getOrElse("∅")
-    ).mkString("")
+    ) ++ (if (hasW) Seq(w.map(_.toString).getOrElse("∅")) else Nil))
+      .mkString("")
   }
 
   private def cmpUtf8(a: String, b: String): Int =
     java.util.Arrays.compareUnsigned(a.getBytes(UTF_8), b.getBytes(UTF_8))
 
   // ---- predicates (three-valued, SQL + model agree by construction) -------
+  // `sql` takes the logical→current column-name mapping (renames happen
+  // mid-workload; the model is keyed by logical names throughout)
 
-  sealed trait Pred { def sql: String; def eval(r: MRow): Option[Boolean] }
+  sealed trait Pred { def sql(n: String => String): String; def eval(r: MRow): Option[Boolean] }
   final case class IdBetween(lo: Long, hi: Long) extends Pred {
-    def sql = s"id BETWEEN ${lo}L AND ${hi}L"
+    def sql(n: String => String) = s"${n("id")} BETWEEN ${lo}L AND ${hi}L"
     def eval(r: MRow) = r.id.map(i => i >= lo && i <= hi)
   }
   final case class IdMod(m: Long, k: Long) extends Pred {
-    def sql = s"id % ${m}L = ${k}L"
+    def sql(n: String => String) = s"${n("id")} % ${m}L = ${k}L"
     def eval(r: MRow) = r.id.map(i => i % m == k)
   }
   final case class CatEq(s: String) extends Pred {
-    def sql = s"cat = ${sqlStr(s)}"
+    def sql(n: String => String) = s"${n("cat")} = ${sqlStr(s)}"
     def eval(r: MRow) = r.cat.map(_ == s)
   }
   final case class CatGt(s: String) extends Pred {
-    def sql = s"cat > ${sqlStr(s)}"
+    def sql(n: String => String) = s"${n("cat")} > ${sqlStr(s)}"
     def eval(r: MRow) = r.cat.map(c => cmpUtf8(c, s) > 0)
   }
   case object CatNull extends Pred {
-    def sql = "cat IS NULL"
+    def sql(n: String => String) = s"${n("cat")} IS NULL"
     def eval(r: MRow) = Some(r.cat.isEmpty)
   }
   final case class BEq(bytes: Vector[Byte]) extends Pred {
-    def sql = s"b = X'${bytes.map(x => f"${x & 0xff}%02x").mkString}'"
+    def sql(n: String => String) =
+      s"${n("b")} = X'${bytes.map(x => f"${x & 0xff}%02x").mkString}'"
     def eval(r: MRow) = r.b.map(_ == bytes)
   }
   final case class DGt(s: String) extends Pred {
-    def sql = s"d > CAST('$s' AS DECIMAL(38,30))"
+    def sql(n: String => String) = s"${n("d")} > CAST('$s' AS DECIMAL(38,30))"
     private val lit = new java.math.BigDecimal(s)
     def eval(r: MRow) = r.d.map(_.compareTo(lit) > 0)
   }
   final case class TsLt(us: Long) extends Pred {
-    def sql = s"ts < timestamp_micros(${us}L)"
+    def sql(n: String => String) = s"${n("ts")} < timestamp_micros(${us}L)"
     def eval(r: MRow) = r.ts.map(_ < us)
   }
   final case class And(a: Pred, b: Pred) extends Pred {
-    def sql = s"(${a.sql}) AND (${b.sql})"
+    def sql(n: String => String) = s"(${a.sql(n)}) AND (${b.sql(n)})"
     def eval(r: MRow) = (a.eval(r), b.eval(r)) match {
       case (Some(false), _) | (_, Some(false)) => Some(false)
       case (Some(true), Some(true)) => Some(true)
@@ -105,7 +116,7 @@ object WorkloadFuzz {
     }
   }
   final case class Or(a: Pred, b: Pred) extends Pred {
-    def sql = s"(${a.sql}) OR (${b.sql})"
+    def sql(n: String => String) = s"(${a.sql(n)}) OR (${b.sql(n)})"
     def eval(r: MRow) = (a.eval(r), b.eval(r)) match {
       case (Some(true), _) | (_, Some(true)) => Some(true)
       case (Some(false), Some(false)) => Some(false)
@@ -113,7 +124,7 @@ object WorkloadFuzz {
     }
   }
   final case class Not(a: Pred) extends Pred {
-    def sql = s"NOT (${a.sql})"
+    def sql(n: String => String) = s"NOT (${a.sql(n)})"
     def eval(r: MRow) = a.eval(r).map(!_)
   }
 
@@ -154,7 +165,8 @@ object WorkloadFuzz {
     d = opt(rng, 0.85)(new java.math.BigDecimal(decPool(rng.nextInt(decPool.size)))
       .setScale(30)),
     ts = opt(rng, 0.85)(tsPool(rng.nextInt(tsPool.size))),
-    b = opt(rng, 0.85)(binPool(rng.nextInt(binPool.size))))
+    b = opt(rng, 0.85)(binPool(rng.nextInt(binPool.size))),
+    w = opt(rng, 0.8)(rng.nextInt(100).toLong))
 
   private def litId(v: Option[Long]) =
     v.map(x => s"${x}L").getOrElse("CAST(NULL AS BIGINT)")
@@ -170,10 +182,12 @@ object WorkloadFuzz {
   private def litB(v: Option[Vector[Byte]]) =
     v.map(x => s"X'${x.map(y => f"${y & 0xff}%02x").mkString}'")
       .getOrElse("CAST(NULL AS BINARY)")
-
-  private def rowLits(r: MRow): String =
-    s"(${litId(r.id)}, ${litCat(r.cat)}, ${litV(r.v)}, ${litD(r.d)}, " +
-      s"${litTs(r.ts)}, ${litB(r.b)})"
+  private def litOf(logical: String, r: MRow): String = logical match {
+    case "id" => litId(r.id); case "cat" => litCat(r.cat)
+    case "v" => litV(r.v); case "d" => litD(r.d)
+    case "ts" => litTs(r.ts); case "b" => litB(r.b)
+    case "w" => litId(r.w)
+  }
 
   def genPred(rng: Random, depth: Int = 0): Pred = {
     def leaf: Pred = rng.nextInt(8) match {
@@ -226,6 +240,9 @@ object WorkloadFuzz {
     extends RuntimeException(
       s"workload fuzz mismatch: seed=$seed op#$opIdx [$op]\n$detail")
 
+  private case class Hist(snap: Long, model: Vector[MRow],
+      select: String, hasW: Boolean)
+
   /** Runs one seeded workload; throws Failure on the first divergence. */
   def run(spark: SparkSession, wh: String, cat: String, seed: Long,
       nOps: Int, quiet: Boolean = true): Unit = {
@@ -248,13 +265,21 @@ object WorkloadFuzz {
       s"d DECIMAL(38,30), ts TIMESTAMP, b BINARY)${layouts(layout)}$props")
 
     var model = Vector.empty[MRow]
-    // (snapshotId, model-at-that-snapshot) — pruned in lockstep with expiry
-    var history = Vector.empty[(Long, Vector[MRow])]
+    var history = Vector.empty[Hist] // pruned in lockstep with expiry
     var lastSnap: Option[Long] = None
+    // schema evolution state: logical → current physical name, added column
+    var curName: Map[String, String] =
+      Map("id" -> "id", "cat" -> "cat", "v" -> "v", "d" -> "d",
+        "ts" -> "ts", "b" -> "b")
+    var hasW = false
+    var renameSeq = 0
 
     def table(): GraftTable = GraftTable.load(spark, path)
+    def logicalCols: Vector[String] =
+      Vector("id", "cat", "v", "d", "ts", "b") ++ (if (hasW) Seq("w") else Nil)
+    def selectList: String = logicalCols.map(curName).mkString(", ")
 
-    def sparkCanon(rows: Array[Row]): Seq[String] = rows.toSeq.map { r =>
+    def sparkCanon(rows: Array[Row], withW: Boolean): Seq[String] = rows.toSeq.map { r =>
       val id = if (r.isNullAt(0)) "∅" else r.getLong(0).toString
       val c = if (r.isNullAt(1)) "∅" else "s:" + r.getString(1)
       val v = if (r.isNullAt(2)) "∅"
@@ -267,7 +292,9 @@ object WorkloadFuzz {
       }
       val b = if (r.isNullAt(5)) "∅"
         else r.getAs[Array[Byte]](5).map(x => f"${x & 0xff}%02x").mkString
-      Seq(id, c, v, d, t, b).mkString("")
+      (Seq(id, c, v, d, t, b) ++ (if (withW)
+        Seq(if (r.isNullAt(6)) "∅" else r.getLong(6).toString) else Nil))
+        .mkString("")
     }
 
     def diff(got: Seq[String], want: Seq[String]): String = {
@@ -282,12 +309,24 @@ object WorkloadFuzz {
         s"missing from scan:\n${missing.mkString("\n")}"
     }
 
-    val cols = "id, cat, v, d, ts, b"
-
     def check(opIdx: Int, op: String): Unit = {
-      val got = sparkCanon(spark.sql(s"SELECT $cols FROM $tbl").collect()).sorted
-      val want = model.map(_.canon).sorted
-      if (got != want) throw Failure(seed, opIdx, op, diff(got, want))
+      val got = sparkCanon(
+        spark.sql(s"SELECT $selectList FROM $tbl").collect(), hasW).sorted
+      val want = model.map(_.canon(hasW)).sorted
+      if (got != want) {
+        // debugging aid: the live file inventory at the moment of divergence
+        val plan = table().newScan().planFiles()
+        println(s"== FILE INVENTORY at mismatch (seed=$seed op#$opIdx) ==")
+        plan.tasks.foreach { t =>
+          println(s"  data ${t.file.path.split('/').takeRight(3).mkString("/")} " +
+            s"part=${t.file.partition} rows=${t.file.recordCount} seq=${t.sequenceNumber}")
+        }
+        plan.deleteFiles.foreach { case (f, seq) =>
+          println(s"  del ${f.content} ${f.path.split('/').last} part=${f.partition} " +
+            s"rows=${f.recordCount} seq=$seq eqIds=${f.equalityIds}")
+        }
+        throw Failure(seed, opIdx, op, diff(got, want))
+      }
       // periodic extras: count(*) (metadata-agg path), filtered scan
       // (pruning + residual + delete application under a predicate), and a
       // VERSION AS OF read against the recorded model history
@@ -299,24 +338,28 @@ object WorkloadFuzz {
       if (opIdx % 3 == 2) {
         val p = genPred(rng)
         val g = sparkCanon(spark.sql(
-          s"SELECT $cols FROM $tbl WHERE ${p.sql}").collect()).sorted
-        val m = model.filter(r => p.eval(r).contains(true)).map(_.canon).sorted
+          s"SELECT $selectList FROM $tbl WHERE ${p.sql(curName)}").collect(), hasW).sorted
+        val m = model.filter(r => p.eval(r).contains(true)).map(_.canon(hasW)).sorted
         if (g != m)
-          throw Failure(seed, opIdx, s"$op / filtered [${p.sql}]", diff(g, m))
+          throw Failure(seed, opIdx, s"$op / filtered [${p.sql(curName)}]", diff(g, m))
       }
       if (opIdx % 4 == 3 && history.nonEmpty) {
-        val (snap, past) = history(rng.nextInt(history.size))
+        val h = history(rng.nextInt(history.size))
         val g = sparkCanon(spark.sql(
-          s"SELECT $cols FROM $tbl VERSION AS OF $snap").collect()).sorted
-        val m = past.map(_.canon).sorted
+          s"SELECT ${h.select} FROM $tbl VERSION AS OF ${h.snap}").collect(),
+          h.hasW).sorted
+        val m = h.model.map(_.canon(h.hasW)).sorted
         if (g != m)
-          throw Failure(seed, opIdx, s"$op / VERSION AS OF $snap", diff(g, m))
+          throw Failure(seed, opIdx, s"$op / VERSION AS OF ${h.snap}", diff(g, m))
       }
     }
 
     def snap(): Unit = {
       val cur = table().metadata.currentSnapshotId
-      if (cur != lastSnap) { cur.foreach(s => history :+= (s, model)); lastSnap = cur }
+      if (cur != lastSnap) {
+        cur.foreach(s => history :+= Hist(s, model, selectList, hasW))
+        lastSnap = cur
+      }
     }
 
     // other suites mutate the session-global overwrite mode (CatalogSpec
@@ -329,6 +372,19 @@ object WorkloadFuzz {
         case Some(p) => spark.conf.set(key, p)
         case None => spark.conf.unset(key)
       }
+    }
+
+    // insert column list: always explicit (schema may have evolved);
+    // sometimes omit `w` so the unlisted-column (NULL-fill) path runs too
+    def insertInto(target: String, rows: Seq[MRow], omitW: Boolean,
+        overwrite: Boolean = false): Vector[MRow] = {
+      val cols = logicalCols.filterNot(c => c == "w" && omitW)
+      val verb = if (overwrite) "INSERT OVERWRITE" else "INSERT INTO"
+      spark.sql(s"$verb $target (${cols.map(curName).mkString(", ")}) VALUES " +
+        rows.map(r => cols.map(c => litOf(c, r)).mkString("(", ", ", ")"))
+          .mkString(", "))
+      rows.toVector.map(r => if (hasW && omitW) r.copy(w = None)
+        else if (!hasW) r.copy(w = None) else r)
     }
 
     // the ORC timestamp hole (OrcTimestampHoleSpec): micros in [-999000, -1]
@@ -347,42 +403,43 @@ object WorkloadFuzz {
         val preLastSnap = lastSnap
         val roll = rng.nextInt(100)
         val desc: String = try roll match {
-          case x if x < 24 => // INSERT
+          case x if x < 22 => // INSERT
             val rows = Vector.fill(1 + rng.nextInt(7))(genRow(rng))
-            spark.sql(s"INSERT INTO $tbl VALUES ${rows.map(rowLits).mkString(", ")}")
-            model ++= rows
-            s"insert ${rows.size}"
+            val omitW = rng.nextBoolean()
+            model ++= insertInto(tbl, rows, omitW)
+            s"insert ${rows.size}${if (hasW && omitW) " (w omitted)" else ""}"
 
-          case x if x < 36 => // DELETE WHERE
+          case x if x < 33 => // DELETE WHERE
             val p = genPred(rng)
-            spark.sql(s"DELETE FROM $tbl WHERE ${p.sql}")
+            spark.sql(s"DELETE FROM $tbl WHERE ${p.sql(curName)}")
             model = model.filterNot(r => p.eval(r).contains(true))
-            s"delete where ${p.sql}"
+            s"delete where ${p.sql(curName)}"
 
-          case x if x < 48 => // UPDATE WHERE
+          case x if x < 44 => // UPDATE WHERE
             val p = genPred(rng)
             val nv = genRow(rng)
-            val sets = rng.nextInt(4) match {
-              case 0 => Seq("cat" -> litCat(nv.cat), "v" -> litV(nv.v))
-              case 1 => Seq("d" -> litD(nv.d), "ts" -> litTs(nv.ts))
-              case 2 => Seq("b" -> litB(nv.b))
-              case _ => Seq("id" -> litId(nv.id), "cat" -> litCat(nv.cat))
+            val sets: Seq[String] = rng.nextInt(4) match {
+              case 0 => Seq("cat", "v")
+              case 1 => Seq("d", "ts")
+              case 2 => if (hasW) Seq("b", "w") else Seq("b")
+              case _ => Seq("id", "cat")
             }
             spark.sql(s"UPDATE $tbl SET " +
-              sets.map { case (c, l) => s"$c = $l" }.mkString(", ") +
-              s" WHERE ${p.sql}")
-            def app(r: MRow): MRow = sets.foldLeft(r) { case (acc, (c, _)) => c match {
+              sets.map(c => s"${curName(c)} = ${litOf(c, nv)}").mkString(", ") +
+              s" WHERE ${p.sql(curName)}")
+            def app(r: MRow): MRow = sets.foldLeft(r) { (acc, c) => c match {
               case "id" => acc.copy(id = nv.id)
               case "cat" => acc.copy(cat = nv.cat)
               case "v" => acc.copy(v = nv.v)
               case "d" => acc.copy(d = nv.d)
               case "ts" => acc.copy(ts = nv.ts)
               case "b" => acc.copy(b = nv.b)
+              case "w" => acc.copy(w = nv.w)
             }}
             model = model.map(r => if (p.eval(r).contains(true)) app(r) else r)
-            s"update ${sets.map(_._1).mkString(",")} where ${p.sql}"
+            s"update ${sets.mkString(",")} where ${p.sql(curName)}"
 
-          case x if x < 56 => // MERGE (upsert or delete), distinct non-null src ids
+          case x if x < 52 => // MERGE (upsert or delete), distinct non-null src ids
             val srcIds = rng.shuffle((0 until 60).toVector).take(1 + rng.nextInt(5))
               .map(_.toLong)
             val doDelete = rng.nextInt(3) == 0
@@ -393,15 +450,16 @@ object WorkloadFuzz {
             }.mkString(", ")
             val using = s"(SELECT * FROM VALUES $values AS s(sid, nc, nv)) s"
             if (doDelete) {
-              spark.sql(s"MERGE INTO $tbl t USING $using ON t.id = s.sid " +
+              spark.sql(s"MERGE INTO $tbl t USING $using ON t.${curName("id")} = s.sid " +
                 "WHEN MATCHED THEN DELETE")
               val ids = srcIds.toSet
               model = model.filterNot(r => r.id.exists(ids.contains))
             } else {
-              spark.sql(s"MERGE INTO $tbl t USING $using ON t.id = s.sid " +
-                "WHEN MATCHED THEN UPDATE SET cat = s.nc, v = s.nv " +
-                "WHEN NOT MATCHED THEN INSERT (id, cat, v, d, ts, b) " +
-                "VALUES (s.sid, s.nc, s.nv, NULL, NULL, NULL)")
+              val insCols = Seq("id", "cat", "v").map(curName).mkString(", ")
+              spark.sql(s"MERGE INTO $tbl t USING $using ON t.${curName("id")} = s.sid " +
+                s"WHEN MATCHED THEN UPDATE SET ${curName("cat")} = s.nc, " +
+                s"${curName("v")} = s.nv " +
+                s"WHEN NOT MATCHED THEN INSERT ($insCols) VALUES (s.sid, s.nc, s.nv)")
               val bySrc = src.map(s => s._1 -> s).toMap
               val matched = model.flatMap(_.id).toSet
               model = model.map { r =>
@@ -415,24 +473,24 @@ object WorkloadFuzz {
             }
             s"merge ${if (doDelete) "delete" else "upsert"} ids=${srcIds.mkString(",")}"
 
-          case x if x < 62 => // dynamic INSERT OVERWRITE
+          case x if x < 58 => // dynamic INSERT OVERWRITE
             val rows = Vector.fill(1 + rng.nextInt(5))(genRow(rng))
-            withOverwriteMode("dynamic") {
-              spark.sql(s"INSERT OVERWRITE $tbl VALUES ${rows.map(rowLits).mkString(", ")}")
+            val added = withOverwriteMode("dynamic") {
+              insertInto(tbl, rows, omitW = false, overwrite = true)
             }
-            val touched = rows.map(r => partKey(layout, r)).toSet
-            model = model.filterNot(r => touched.contains(partKey(layout, r))) ++ rows
+            val touched = added.map(r => partKey(layout, r)).toSet
+            model = model.filterNot(r => touched.contains(partKey(layout, r))) ++ added
             s"overwrite dynamic ${rows.size}"
 
-          case x if x < 65 => // static INSERT OVERWRITE (full replace)
+          case x if x < 61 => // static INSERT OVERWRITE (full replace)
             val rows = Vector.fill(1 + rng.nextInt(4))(genRow(rng))
-            withOverwriteMode("static") {
-              spark.sql(s"INSERT OVERWRITE $tbl VALUES ${rows.map(rowLits).mkString(", ")}")
+            val added = withOverwriteMode("static") {
+              insertInto(tbl, rows, omitW = false, overwrite = true)
             }
-            model = rows
+            model = added
             s"overwrite static ${rows.size}"
 
-          case x if x < 71 => // equality-delete key set (library row delta)
+          case x if x < 67 => // equality-delete key set (library row delta)
             val keyCols = rng.nextInt(3) match {
               case 0 => Seq("id"); case 1 => Seq("cat"); case _ => Seq("cat", "id")
             }
@@ -445,8 +503,8 @@ object WorkloadFuzz {
                 case "id" => litId(ki); case "cat" => litCat(kc)
               }.mkString(", ") + ")"
             }.mkString(", ")
-            val df = spark.sql(
-              s"SELECT * FROM VALUES $tuples AS k(${keyCols.mkString(", ")})")
+            val df = spark.sql(s"SELECT * FROM VALUES $tuples AS k(" +
+              keyCols.map(curName).mkString(", ") + ")")
             Deletes.deleteByEquality(table(), df)
             // null-safe key match (pinned: RenameDeleteSpec null-key test)
             def hit(r: MRow): Boolean = keys.exists { case (ki, kc) =>
@@ -458,36 +516,62 @@ object WorkloadFuzz {
             model = model.filterNot(hit)
             s"eqDelete on ${keyCols.mkString(",")} x$nKeys"
 
-          case x if x < 77 => // compaction family
+          case x if x < 73 => // compaction family
             val a = Actions.forTable(table())
             val kind = rng.nextInt(4) match {
               case 0 => a.rewriteDataFiles(targetSizeBytes = 1L << 20); "binpack"
-              case 1 => a.rewriteSorted(Seq("id" -> true)); "sorted"
-              case 2 => a.rewriteZOrdered(Seq("id", "cat")); "zorder"
+              case 1 => a.rewriteSorted(Seq(curName("id") -> true)); "sorted"
+              case 2 => a.rewriteZOrdered(Seq(curName("id"), curName("cat"))); "zorder"
               case _ => a.rewritePositionDeletes(); "posdel"
             }
             s"compact $kind"
 
-          case x if x < 80 => // eq-delete rewrite
+          case x if x < 76 => // eq-delete rewrite
             Actions.forTable(table()).rewriteEqualityDeletes()
             "rewrite eq deletes"
 
-          case x if x < 84 => // manifest rewrite
+          case x if x < 79 => // manifest rewrite
             Actions.forTable(table()).rewriteManifests()
             "rewrite manifests"
 
-          case x if x < 92 => // expire snapshots (prunes model history too)
+          case x if x < 86 => // expire snapshots (prunes model history too)
             val keep = 1 + rng.nextInt(3)
             Actions.forTable(table()).expireSnapshots(
               System.currentTimeMillis() + 3600000L, retainLast = keep)
             val retained = table().snapshots.map(_.snapshotId).toSet
-            history = history.filter(h => retained.contains(h._1))
+            history = history.filter(h => retained.contains(h.snap))
             s"expire retainLast=$keep"
 
-          case _ => // orphan removal must never touch a live file
+          case x if x < 90 => // orphan removal must never touch a live file
             Actions.forTable(table()).removeOrphanFiles(
               olderThanMillis = System.currentTimeMillis() + 3600000L)
             "remove orphans"
+
+          case x if x < 96 => // RENAME COLUMN (partition sources + merge key too)
+            val logical = logicalCols(rng.nextInt(logicalCols.size))
+            renameSeq += 1
+            val fresh = s"${logical}_r$renameSeq"
+            spark.sql(s"ALTER TABLE $tbl RENAME COLUMN ${curName(logical)} TO $fresh")
+            curName += (logical -> fresh)
+            s"rename $logical -> $fresh"
+
+          case _ => // ADD COLUMN w / DROP COLUMN w (field-id churn on re-add)
+            if (!hasW) {
+              // deliberately REUSE the same physical name on re-add — dropped
+              // + re-added same-name columns must get a fresh field id and
+              // read as all-NULL, never resurrect old values
+              spark.sql(s"ALTER TABLE $tbl ADD COLUMN w BIGINT")
+              curName += ("w" -> "w")
+              hasW = true
+              model = model.map(_.copy(w = None))
+              "add column w"
+            } else {
+              spark.sql(s"ALTER TABLE $tbl DROP COLUMN ${curName("w")}")
+              curName -= "w"
+              hasW = false
+              model = model.map(_.copy(w = None))
+              "drop column w"
+            }
         } catch {
           case e: Throwable if isOrcHoleFailure(e) =>
             model = preModel; history = preHistory; lastSnap = preLastSnap
@@ -517,7 +601,7 @@ object WorkloadFuzz {
     (from until to).foreach { seed =>
       val t0 = System.nanoTime()
       try {
-        run(spark, wh, "fzx", seed, nOps)
+        run(spark, wh, "fzx", seed, nOps, quiet = false)
         println(f"seed $seed OK (${(System.nanoTime() - t0) / 1e9}%.1f s)")
       } catch {
         case f: Failure => failed += 1; println(s"seed $seed FAILED:\n${f.getMessage}")
