@@ -648,7 +648,22 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
         val fileById = FieldIds.idToName(fileSchema)
         def fileName(target: StructField): String =
           FieldIds.findById(schema, FieldIds.nameToId(schema)(target.name))
-            .map(FieldIds.idOf).flatMap(fileById.get).getOrElse(target.name)
+            .map(FieldIds.idOf) match {
+            case Some(id) => fileById.getOrElse(id, {
+              // the field id is ABSENT from this generation, so the column
+              // must read NULL — but the generation may still carry a
+              // SAME-NAMED physical column from a DROPPED predecessor
+              // (drop + re-add assigns a fresh id precisely so old data
+              // stays dead). Falling back to the target name would rebind
+              // to the dropped column and resurrect its values (round-20
+              // fuzz finding); map to a name guaranteed absent instead and
+              // let the source null-fill it.
+              if (fileSchema.fieldNames.contains(target.name))
+                s"__graft_absent_$id"
+              else target.name
+            })
+            case None => target.name
+          }
         // delete sets newer than this group's files apply to it; the read
         // schema widens to include their key columns (projected away after
         // the filter so the output layout stays `read`)
@@ -976,18 +991,38 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
   }
 
   /** Safe to hand to ORC's search-argument builder: no ORDER comparison on
-    * a string value (ORC stats order strings by UTF-16 unit, Spark by
-    * UTF-8/codepoint — a disagreement on astral codepoints makes ORC's
-    * "row group cannot match" conclusion wrong, losing rows). Equality and
-    * membership are exact under either order (the value, if present, lies
-    * within the stats range computed in the same order). */
+    * a string or timestamp value.
+    *  - Strings: ORC stats order by UTF-16 unit, Spark by UTF-8/codepoint —
+    *    a disagreement on astral codepoints makes ORC's "row group cannot
+    *    match" conclusion wrong, losing rows.
+    *  - Timestamps: ORC's sarg works at MILLISECOND granularity, so
+    *    sub-millisecond literals tie with same-millisecond data and both
+    *    ORDER and EQUALITY comparisons wrongly prove "cannot match"
+    *    (`ts < timestamp_micros(1)` pruned a ts=0 row, and
+    *    `ts = timestamp_micros(5)` pruned the matching row — round-20
+    *    fuzz findings). EVERY timestamp comparison stays Spark-side.
+    * String equality/membership is exact under either order: a value
+    * present in the file lies within the stats range computed the same
+    * way. Null tests ride exact null counts and always stay pushed. */
   private def orcSargSafe(f: Filter): Boolean = {
     import org.apache.spark.sql.sources
+    def orderUnsafe(v: Any): Boolean = v match {
+      case _: String => true
+      case _ => tsUnsafe(v)
+    }
+    def tsUnsafe(v: Any): Boolean = v match {
+      case _: java.sql.Timestamp | _: java.time.Instant |
+           _: java.time.LocalDateTime => true
+      case _ => false
+    }
     f match {
-      case sources.GreaterThan(_, _: String) => false
-      case sources.GreaterThanOrEqual(_, _: String) => false
-      case sources.LessThan(_, _: String) => false
-      case sources.LessThanOrEqual(_, _: String) => false
+      case sources.GreaterThan(_, v) if orderUnsafe(v) => false
+      case sources.GreaterThanOrEqual(_, v) if orderUnsafe(v) => false
+      case sources.LessThan(_, v) if orderUnsafe(v) => false
+      case sources.LessThanOrEqual(_, v) if orderUnsafe(v) => false
+      case sources.EqualTo(_, v) if tsUnsafe(v) => false
+      case sources.EqualNullSafe(_, v) if tsUnsafe(v) => false
+      case sources.In(_, vs) if vs.exists(tsUnsafe) => false
       case sources.And(l, r) => orcSargSafe(l) && orcSargSafe(r)
       case sources.Or(l, r) => orcSargSafe(l) && orcSargSafe(r)
       case sources.Not(c) => orcSargSafe(c)

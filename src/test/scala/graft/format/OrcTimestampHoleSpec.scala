@@ -70,6 +70,30 @@ class OrcTimestampHoleSpec extends SparkSpec {
     }
   }
 
+  test("ORC timestamp predicates are not pruned at millis granularity") {
+    // ORC's search argument works at MILLISECOND granularity:
+    // `ts < timestamp_micros(1)` ties with ts=0 at 0 ms and wrongly
+    // proves "cannot match"; even `ts = timestamp_micros(5)` prunes the
+    // matching row (round-20 fuzz findings). graft keeps EVERY timestamp
+    // comparison out of the ORC sarg.
+    val whd = Files.createTempDirectory("orc-ts-sarg").toString
+    spark.conf.set("spark.sql.catalog.ots", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ots.warehouse", whd)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ots.db")
+    spark.sql("CREATE TABLE ots.db.t (id BIGINT, ts TIMESTAMP) " +
+      "TBLPROPERTIES ('write.format.default'='orc')")
+    spark.sql("INSERT INTO ots.db.t VALUES (1, timestamp_micros(0L)), " +
+      "(2, timestamp_micros(5L)), (3, timestamp_micros(1500L))")
+    def ids(pred: String): Seq[Long] =
+      spark.sql(s"SELECT id FROM ots.db.t WHERE $pred ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq
+    assert(ids("ts < timestamp_micros(1L)") === Seq(1L))
+    assert(ids("ts <= timestamp_micros(5L)") === Seq(1L, 2L))
+    assert(ids("ts > timestamp_micros(4L)") === Seq(2L, 3L))
+    assert(ids("ts = timestamp_micros(5L)") === Seq(2L))
+    assert(ids("ts >= timestamp_micros(1001L)") === Seq(3L))
+  }
+
   test("SQL INSERT of a hole value into an ORC table fails atomically") {
     val wh = Files.createTempDirectory("orc-hole-sql").toString
     spark.conf.set("spark.sql.catalog.oh", "graft.connector.GraftCatalog")

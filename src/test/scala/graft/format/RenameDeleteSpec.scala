@@ -52,6 +52,36 @@ class RenameDeleteSpec extends SparkSpec {
     assert(!ids2.contains(11L) && !ids2.contains(3L) && !ids2.contains(7L))
   }
 
+  test("drop + re-add a column: old values stay dead (fresh field id)") {
+    // DROP COLUMN w then ADD COLUMN w must read NULL everywhere: the
+    // re-added column gets a fresh field id, and files written while the
+    // OLD w existed still physically carry a column named `w` under the
+    // old id. Resolving the new id against those generations must null-
+    // fill, never fall back to the same-NAME column (which would
+    // resurrect the dropped data — round-20 workload-fuzz finding in the
+    // DSv2 generation scan's id→file-name mapping).
+    val wh = freshLoc("readd-wh")
+    spark.conf.set("spark.sql.catalog.ra", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ra.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ra.db")
+    spark.sql("CREATE TABLE ra.db.t (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql("ALTER TABLE ra.db.t ADD COLUMN w BIGINT")
+    spark.sql("INSERT INTO ra.db.t VALUES (1, 'a', 85L), (2, 'b', 94L)")
+    spark.sql("ALTER TABLE ra.db.t DROP COLUMN w")
+    spark.sql("INSERT INTO ra.db.t (id, cat) VALUES (3, 'c')")
+    spark.sql("ALTER TABLE ra.db.t ADD COLUMN w BIGINT")
+    spark.sql("INSERT INTO ra.db.t VALUES (4, 'd', 7L)")
+    val rows = spark.sql("SELECT id, w FROM ra.db.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSeq
+    assert(rows === Seq((1L, None), (2L, None), (3L, None), (4L, Some(7L))),
+      s"got $rows")
+    // filters on the re-added column must not rebind to the dead data
+    assert(spark.sql("SELECT id FROM ra.db.t WHERE w = 85").collect().isEmpty)
+    assert(spark.sql("SELECT count(*) FROM ra.db.t WHERE w IS NULL")
+      .collect()(0).getLong(0) === 3L)
+  }
+
   test("DSv2 scan applies pre-rename equality deletes after key rename") {
     val wh = freshLoc("ren-wh")
     spark.conf.set("spark.sql.catalog.rd", "graft.connector.GraftCatalog")
