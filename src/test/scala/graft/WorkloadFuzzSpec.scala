@@ -170,6 +170,9 @@ object WorkloadFuzz {
 
   private def litId(v: Option[Long]) =
     v.map(x => s"${x}L").getOrElse("CAST(NULL AS BIGINT)")
+  private def litW(v: Option[Long], int: Boolean) =
+    if (int) v.map(x => s"CAST($x AS INT)").getOrElse("CAST(NULL AS INT)")
+    else litId(v)
   private def litCat(v: Option[String]) =
     v.map(sqlStr).getOrElse("CAST(NULL AS STRING)")
   private def litV(v: Option[Double]) =
@@ -182,12 +185,13 @@ object WorkloadFuzz {
   private def litB(v: Option[Vector[Byte]]) =
     v.map(x => s"X'${x.map(y => f"${y & 0xff}%02x").mkString}'")
       .getOrElse("CAST(NULL AS BINARY)")
-  private def litOf(logical: String, r: MRow): String = logical match {
-    case "id" => litId(r.id); case "cat" => litCat(r.cat)
-    case "v" => litV(r.v); case "d" => litD(r.d)
-    case "ts" => litTs(r.ts); case "b" => litB(r.b)
-    case "w" => litId(r.w)
-  }
+  private def litOf(logical: String, r: MRow, wInt: Boolean = false): String =
+    logical match {
+      case "id" => litId(r.id); case "cat" => litCat(r.cat)
+      case "v" => litV(r.v); case "d" => litD(r.d)
+      case "ts" => litTs(r.ts); case "b" => litB(r.b)
+      case "w" => litW(r.w, wInt)
+    }
 
   def genPred(rng: Random, depth: Int = 0): Pred = {
     def leaf: Pred = rng.nextInt(8) match {
@@ -240,8 +244,13 @@ object WorkloadFuzz {
     extends RuntimeException(
       s"workload fuzz mismatch: seed=$seed op#$opIdx [$op]\n$detail")
 
+  // wGen is the add-generation of column w at this snapshot: a rolled-back
+  // read under the CURRENT schema sees w values only if no drop+re-add
+  // happened since (a re-added w has a fresh field id, so old files read
+  // NULL — the dropped-column-resurrection invariant, now crossed with
+  // rollback)
   private case class Hist(snap: Long, model: Vector[MRow],
-      select: String, hasW: Boolean)
+      select: String, hasW: Boolean, wGen: Int)
 
   /** Runs one seeded workload; throws Failure on the first divergence. */
   def run(spark: SparkSession, wh: String, cat: String, seed: Long,
@@ -273,6 +282,18 @@ object WorkloadFuzz {
         "ts" -> "ts", "b" -> "b")
     var hasW = false
     var renameSeq = 0
+    var wGen = 0 // bumped on every ADD COLUMN w (field-id identity)
+    var wIsInt = false // w created as INT sometimes; promoted to BIGINT later
+    var curOrc = orc // write.format.default flips mid-workload
+    // replacePartitions drops CURRENT-spec files only (upstream
+    // BaseReplacePartitions parity): after the default spec evolves, which
+    // rows a dynamic overwrite replaces depends on FILE placement, which
+    // this row-level model does not track — the op degrades to a plain
+    // insert from then on (every other op stays modeled exactly)
+    var specEvolved = false
+    var specSeq = 0
+    val tblNoCat = tbl.split('.').drop(1).mkString(".")
+    val sysCat = tbl.split('.').head
 
     def table(): GraftTable = GraftTable.load(spark, path)
     def logicalCols: Vector[String] =
@@ -293,7 +314,10 @@ object WorkloadFuzz {
       val b = if (r.isNullAt(5)) "∅"
         else r.getAs[Array[Byte]](5).map(x => f"${x & 0xff}%02x").mkString
       (Seq(id, c, v, d, t, b) ++ (if (withW)
-        Seq(if (r.isNullAt(6)) "∅" else r.getLong(6).toString) else Nil))
+        // Number, not getLong: w is INT before its promotion to BIGINT,
+        // and VERSION AS OF reads resolve the snapshot-time (INT) schema
+        Seq(if (r.isNullAt(6)) "∅"
+            else r.get(6).asInstanceOf[Number].longValue.toString) else Nil))
         .mkString("")
     }
 
@@ -352,12 +376,24 @@ object WorkloadFuzz {
         if (g != m)
           throw Failure(seed, opIdx, s"$op / VERSION AS OF ${h.snap}", diff(g, m))
       }
+      // the `$data_files` metadata table and scan planning must agree on
+      // the live data-file inventory (manifest parse vs plan — multi-spec,
+      // post rollback/compaction/expiry included)
+      if (opIdx % 5 == 4 && lastSnap.nonEmpty) {
+        val parts = tbl.split('.')
+        val metaId = s"${parts(0)}.${parts(1)}.`${parts(2)}$$data_files`"
+        val n = spark.sql(s"SELECT COUNT(*) FROM $metaId").collect()(0).getLong(0)
+        val planned = table().newScan().planFiles().tasks.map(_.file.path).distinct.size
+        if (n != planned)
+          throw Failure(seed, opIdx, op,
+            s"$$data_files metadata rows=$n, planFiles distinct=$planned")
+      }
     }
 
     def snap(): Unit = {
       val cur = table().metadata.currentSnapshotId
       if (cur != lastSnap) {
-        cur.foreach(s => history :+= Hist(s, model, selectList, hasW))
+        cur.foreach(s => history :+= Hist(s, model, selectList, hasW, wGen))
         lastSnap = cur
       }
     }
@@ -381,7 +417,7 @@ object WorkloadFuzz {
       val cols = logicalCols.filterNot(c => c == "w" && omitW)
       val verb = if (overwrite) "INSERT OVERWRITE" else "INSERT INTO"
       spark.sql(s"$verb $target (${cols.map(curName).mkString(", ")}) VALUES " +
-        rows.map(r => cols.map(c => litOf(c, r)).mkString("(", ", ", ")"))
+        rows.map(r => cols.map(c => litOf(c, r, wIsInt)).mkString("(", ", ", ")"))
           .mkString(", "))
       rows.toVector.map(r => if (hasW && omitW) r.copy(w = None)
         else if (!hasW) r.copy(w = None) else r)
@@ -401,7 +437,7 @@ object WorkloadFuzz {
         val preModel = model
         val preHistory = history
         val preLastSnap = lastSnap
-        val roll = rng.nextInt(100)
+        val roll = rng.nextInt(120)
         val desc: String = try roll match {
           case x if x < 22 => // INSERT
             val rows = Vector.fill(1 + rng.nextInt(7))(genRow(rng))
@@ -425,7 +461,8 @@ object WorkloadFuzz {
               case _ => Seq("id", "cat")
             }
             spark.sql(s"UPDATE $tbl SET " +
-              sets.map(c => s"${curName(c)} = ${litOf(c, nv)}").mkString(", ") +
+              sets.map(c => s"${curName(c)} = ${litOf(c, nv, wIsInt)}")
+                .mkString(", ") +
               s" WHERE ${p.sql(curName)}")
             def app(r: MRow): MRow = sets.foldLeft(r) { (acc, c) => c match {
               case "id" => acc.copy(id = nv.id)
@@ -475,12 +512,19 @@ object WorkloadFuzz {
 
           case x if x < 58 => // dynamic INSERT OVERWRITE
             val rows = Vector.fill(1 + rng.nextInt(5))(genRow(rng))
-            val added = withOverwriteMode("dynamic") {
-              insertInto(tbl, rows, omitW = false, overwrite = true)
+            if (specEvolved) {
+              // placement-dependent after spec evolution (see specEvolved)
+              model ++= insertInto(tbl, rows, omitW = false)
+              s"insert ${rows.size} (dyn-overwrite unmodeled after spec evolution)"
+            } else {
+              val added = withOverwriteMode("dynamic") {
+                insertInto(tbl, rows, omitW = false, overwrite = true)
+              }
+              val touched = added.map(r => partKey(layout, r)).toSet
+              model = model.filterNot(r =>
+                touched.contains(partKey(layout, r))) ++ added
+              s"overwrite dynamic ${rows.size}"
             }
-            val touched = added.map(r => partKey(layout, r)).toSet
-            model = model.filterNot(r => touched.contains(partKey(layout, r))) ++ added
-            s"overwrite dynamic ${rows.size}"
 
           case x if x < 61 => // static INSERT OVERWRITE (full replace)
             val rows = Vector.fill(1 + rng.nextInt(4))(genRow(rng))
@@ -555,16 +599,21 @@ object WorkloadFuzz {
             curName += (logical -> fresh)
             s"rename $logical -> $fresh"
 
-          case _ => // ADD COLUMN w / DROP COLUMN w (field-id churn on re-add)
+          case x if x < 100 => // ADD / DROP COLUMN w (field-id churn on re-add)
             if (!hasW) {
               // deliberately REUSE the same physical name on re-add — dropped
               // + re-added same-name columns must get a fresh field id and
-              // read as all-NULL, never resurrect old values
-              spark.sql(s"ALTER TABLE $tbl ADD COLUMN w BIGINT")
+              // read as all-NULL, never resurrect old values. Sometimes the
+              // re-add is INT so a later promotion op crosses int→long
+              // widening with everything else
+              wIsInt = rng.nextBoolean()
+              spark.sql(s"ALTER TABLE $tbl ADD COLUMN w " +
+                (if (wIsInt) "INT" else "BIGINT"))
               curName += ("w" -> "w")
               hasW = true
+              wGen += 1
               model = model.map(_.copy(w = None))
-              "add column w"
+              s"add column w ${if (wIsInt) "INT" else "BIGINT"} (gen $wGen)"
             } else {
               spark.sql(s"ALTER TABLE $tbl DROP COLUMN ${curName("w")}")
               curName -= "w"
@@ -572,6 +621,58 @@ object WorkloadFuzz {
               model = model.map(_.copy(w = None))
               "drop column w"
             }
+
+          case x if x < 106 => // flip write.format.default (mixed-format table)
+            curOrc = !curOrc
+            val fmt = if (curOrc) "orc" else "parquet"
+            spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+              s"('write.format.default'='$fmt')")
+            s"set write format $fmt"
+
+          case x if x < 111 => // rollback via set_current_snapshot
+            if (history.isEmpty) "rollback skipped (no history)"
+            else {
+              val h = history(rng.nextInt(history.size))
+              spark.sql(s"CALL $sysCat.system.set_current_snapshot(" +
+                s"'$tblNoCat', ${h.snap})")
+              // current reads use the CURRENT schema over the old files: w
+              // survives only if its field-id generation is unchanged since
+              model = h.model.map(r => r.copy(
+                w = if (hasW && h.hasW && h.wGen == wGen) r.w else None))
+              lastSnap = Some(h.snap) // snapshot S is already recorded
+              s"set_current_snapshot ${h.snap} (hist wGen=${h.wGen}, cur=$wGen)"
+            }
+
+          case x if x < 116 => // evolve the default spec: add a field
+            specSeq += 1
+            val (field, nm) = rng.nextInt(3) match {
+              case 0 => (s"bucket(8, ${curName("id")})", s"pf${specSeq}_b8")
+              case 1 => (s"truncate(1, ${curName("cat")})", s"pf${specSeq}_t1")
+              case _ => (s"days(${curName("ts")})", s"pf${specSeq}_d")
+            }
+            spark.sql(s"CALL $sysCat.system.add_partition_field(" +
+              s"'$tblNoCat', '$field', '$nm')")
+            specEvolved = true
+            s"add partition field $field as $nm"
+
+          case x if x < 118 => // evolve the default spec: drop a field
+            val fields = table().metadata.spec.fields
+            if (fields.isEmpty) "drop partition field skipped (unpartitioned)"
+            else {
+              val f = fields(rng.nextInt(fields.size))
+              spark.sql(s"CALL $sysCat.system.drop_partition_field(" +
+                s"'$tblNoCat', '${f.name}')")
+              specEvolved = true
+              s"drop partition field ${f.name}"
+            }
+
+          case _ => // promote w INT → BIGINT (type widening mid-history)
+            if (hasW && wIsInt) {
+              spark.sql(s"ALTER TABLE $tbl ALTER COLUMN ${curName("w")} " +
+                "TYPE BIGINT")
+              wIsInt = false
+              "promote w to BIGINT"
+            } else "promote skipped (w absent or already BIGINT)"
         } catch {
           case e: Throwable if isOrcHoleFailure(e) =>
             model = preModel; history = preHistory; lastSnap = preLastSnap
