@@ -190,7 +190,13 @@ final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
       fileField match {
         case Some(ff) => StructField(ff.name,
           Types.fileSideType(f.dataType, ff.dataType), f.nullable)
-        case None => StructField(f.name, Types.cleanType(f.dataType), f.nullable)
+        case None => StructField(
+          // absentReadName: a dropped same-named predecessor column may
+          // still exist in this generation's files — never rebind by name
+          if (f.metadata.contains(FieldIds.Key))
+            Types.absentReadName(f, fileSchema)
+          else f.name,
+          Types.cleanType(f.dataType), f.nullable)
       }
     })
   }
@@ -260,8 +266,11 @@ final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
         if (snap == 0L) start else FileSliceOffset(snap, Int.MaxValue)
       case Some(head) if head.snapshotId <= start.snapshotId => start // caught up
       case Some(head) if head.operation == "append" =>
+        // exclusive bound = the head's REAL parent ("files added by
+        // exactly head"): on a branch line the numeric predecessor can be
+        // a non-ancestor main-line commit (divergence guard would throw)
         FileSliceOffset(head.snapshotId, table.newScan()
-          .appendsBetween(head.snapshotId - 1, head.snapshotId)
+          .appendsBetween(head.parentId.getOrElse(0L), head.snapshotId)
           .planFiles().tasks.size)
       case Some(head) =>
         // replace/delete head appends nothing (consumed-sentinel end so

@@ -206,7 +206,14 @@ final class Actions(t: GraftTable) {
         fileFieldById.get(FieldIds.idOf(f)) match {
           case Some(ff) => org.apache.spark.sql.types.StructField(ff.name,
             Types.fileSideType(f.dataType, ff.dataType), f.nullable)
-          case None => org.apache.spark.sql.types.StructField(f.name,
+          case None => org.apache.spark.sql.types.StructField(
+            // absentReadName, NOT f.name: a same-named column from a
+            // DROPPED predecessor may still exist physically in this
+            // generation — requesting it by name would read (and then
+            // MATERIALIZE into the rewritten file) the dead values
+            // (round-20 fuzz seed 112: drop w, re-add w, roll back to the
+            // old generation, compact → resurrection)
+            Types.absentReadName(f, fileSchema),
             Types.cleanType(f.dataType), nullable = true)
         }
       } ++ lineageCols) // stored-lineage inputs have them; others read null

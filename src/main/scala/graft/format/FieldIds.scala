@@ -165,10 +165,9 @@ object Types {
   /** FILE-side spelling of a target type: struct levels with ids on both
     * sides take the file's field NAMES (matched by id) in TARGET order with
     * target leaf types — so nested renames resolve by id and promoted leaves
-    * read widened; target fields absent from the file keep their target name
-    * (the parquet reader yields nulls for requested-but-missing fields).
-    * Id-less levels (legacy schemas) fall back to the plain target type,
-    * i.e. name matching. */
+    * read widened; target fields absent from the file read by a name the
+    * reader null-fills (see [[absentReadName]]). Id-less levels (legacy
+    * schemas) fall back to the plain target type, i.e. name matching. */
   def fileSideType(targetDt: DataType, fileDt: DataType): DataType =
     (targetDt, fileDt) match {
       case (ts: StructType, fs: StructType)
@@ -178,9 +177,23 @@ object Types {
           byId.get(FieldIds.idOf(tf)) match {
             case Some(ff) =>
               StructField(ff.name, fileSideType(tf.dataType, ff.dataType), tf.nullable)
-            case None => StructField(tf.name, cleanType(tf.dataType), nullable = true)
+            case None => StructField(absentReadName(tf, fs),
+              cleanType(tf.dataType), nullable = true)
           }
         })
       case _ => cleanType(targetDt)
     }
+
+  /** Name to REQUEST from a file for a target field whose id is ABSENT from
+    * that file's schema. Normally the target name — readers null-fill
+    * requested-but-missing columns. But the file may still physically carry
+    * a SAME-NAMED column from a DROPPED predecessor (drop + re-add assigns a
+    * fresh id precisely so the old data stays dead); requesting the target
+    * name would rebind to it by name and RESURRECT the dropped values
+    * (round-20 fuzz findings in the DSv2 generation scan, then again in
+    * compaction's rewrite reader). A guaranteed-absent name null-fills. */
+  def absentReadName(target: StructField, fileSchema: StructType): String =
+    if (fileSchema.fieldNames.contains(target.name))
+      s"__graft_absent_${FieldIds.idOf(target)}"
+    else target.name
 }

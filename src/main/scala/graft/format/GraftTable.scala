@@ -113,6 +113,19 @@ final class TableScan private[format] (
             s"cannot read incremental data in ($from, $to]: ancestor " +
               s"snapshot $pid was expired — history is incomplete")
         }
+        // divergence: a `from` that still exists but is NOT in `to`'s
+        // ancestry (rollback/set_current_snapshot moved the line, then new
+        // commits) means the consumer's last-seen state is on an abandoned
+        // branch — the numeric (from, to] filter would silently SKIP
+        // retained-line appends with ids below `from` (reference parity:
+        // IncrementalDataTableScan.java:147-148 requires `from` to be an
+        // ancestor of `to`). An expired `from` passed the hole check above
+        // and stays legal: it is the exclusive bound.
+        if (m2.snapshot(from).isDefined && !chain.exists(_.snapshotId == from))
+          throw new IllegalArgumentException(
+            s"from snapshot $from is not an ancestor of to snapshot $to — " +
+              "the table was rolled back past it; restart the incremental " +
+              "read from a snapshot on the current line")
         val inRange = chain
           .filter(s => s.snapshotId > from && s.snapshotId <= to)
         // reference parity (IncrementalDataTableScan.snapshotsWithin): an

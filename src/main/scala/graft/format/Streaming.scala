@@ -86,8 +86,12 @@ object Streaming {
           (s.snapshotId == from.snapshotId && from.fileIdx != Int.MaxValue))
       .sortBy(_.snapshotId)
       .flatMap { s =>
+        // exclusive bound = the snapshot's REAL parent ("files added by
+        // exactly s"): on a branch line the numeric predecessor can be a
+        // non-ancestor main-line commit, which the divergence guard in
+        // TableScan.planFiles rightly rejects
         val tasks = table.newScan()
-          .appendsBetween(s.snapshotId - 1, s.snapshotId).planFiles().tasks
+          .appendsBetween(s.parentId.getOrElse(0L), s.snapshotId).planFiles().tasks
         val start =
           if (s.snapshotId == from.snapshotId) math.min(from.fileIdx, tasks.size)
           else 0

@@ -683,9 +683,17 @@ object WorkloadFuzz {
         if (!quiet) println(s"  seed=$seed op#$opIdx ok: $desc (rows=${model.size})")
         opIdx += 1
       }
-    } finally {
-      try spark.sql(s"DROP TABLE IF EXISTS $tbl") catch { case _: Throwable => }
+    } catch {
+      case e: Throwable =>
+        // keep the failed table for post-mortem when asked (the warehouse
+        // is a temp dir, so default hygiene still reclaims the space)
+        if (sys.env.contains("GRAFT_FUZZ_KEEP"))
+          println(s"== kept failed table $tbl ==")
+        else
+          try spark.sql(s"DROP TABLE IF EXISTS $tbl") catch { case _: Throwable => }
+        throw e
     }
+    try spark.sql(s"DROP TABLE IF EXISTS $tbl") catch { case _: Throwable => }
   }
 
   /** Extended hunts: sbt 'Test/runMain graft.WorkloadFuzz <from> <to> <ops>' */

@@ -236,6 +236,28 @@ class TableFormatSpec extends SparkSpec {
     assert(t.newScan().appendsBetween(s2, s3).toDF().count() === 2)
   }
 
+  test("appendsBetween from a rolled-back (non-ancestor) snapshot fails loudly") {
+    // after a rollback + new commits, a consumer whose last-seen snapshot
+    // sits on the abandoned line must get an error, not a quietly-plausible
+    // increment (reference parity: IncrementalDataTableScan.java:147-148)
+    val loc = freshLoc("divinc")
+    val t0 = GraftTable.create(spark, loc, rows(2).schema)
+    GraftWrite.append(t0, rows(2, 0))
+    GraftWrite.append(GraftTable.load(spark, loc), rows(2, 1))
+    val pre = GraftTable.load(spark, loc)
+    val Seq(s1, s2) = pre.snapshots.map(_.snapshotId)
+    Commits.rollbackTo(pre, s1)
+    GraftWrite.append(GraftTable.load(spark, loc), rows(2, 2))
+    val t = GraftTable.load(spark, loc)
+    val s3 = t.metadata.currentSnapshotId.get
+    val e = intercept[IllegalArgumentException] {
+      t.newScan().appendsBetween(s2, s3).toDF().count()
+    }
+    assert(e.getMessage.contains("not an ancestor"), e.getMessage)
+    // a retained-line bound still reads: exactly the post-rollback append
+    assert(t.newScan().appendsBetween(s1, s3).toDF().count() === 2)
+  }
+
   test("float/double partition sources are rejected at spec build") {
     // IEEE -0.0 == 0.0 and NaN != NaN make hash/identity placement on
     // float/double diverge from SQL equality (a -0.0 row lands in a
