@@ -642,7 +642,7 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
         // parquet appends the synthetic reader column; ORC groups take the
         // row-path counter scan; Avro groups go unsplit with a counter
         val needRowIdx = groupPos || metaPos || lineageComputed
-        val orcRow = fmt == FileFormats.Orc && (orcPos || metaPos || lineageComputed)
+        val orcRowBase = fmt == FileFormats.Orc && (orcPos || metaPos || lineageComputed)
         val avroIdx = fmt == FileFormats.Avro && needRowIdx
         val fileSchema = m.schemas.getOrElse(schemaId, schema)
         val fileById = FieldIds.idToName(fileSchema)
@@ -675,6 +675,18 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
               .filterNot(read.fieldNames.contains)
             StructType(read.fields ++ missing.map(n => clean.fields.find(_.name == n).get))
           }
+        // double/float reads leave the vectorized OrcScan: orc-core's
+        // batch repetition detection compares with Java `==`, so a batch
+        // holding only mixed-sign zeros collapses to the first zero's sign
+        // for every consumer of the flag — Spark's OrcColumnVector
+        // included, with no interception seam. The row path reads through
+        // OrcIO's ZeroSignScrubReader, which restores the stored values.
+        // Scans that project no floating-point leaf (the flag only
+        // misfires on ±0.0) keep the vectorized reader.
+        val orcRow = orcRowBase || (fmt == FileFormats.Orc &&
+          wideTarget.fields.exists(f =>
+            !partServeNames.contains(f.name) &&
+              graft.format.Types.hasFloatLeaf(f.dataType)))
         // physical row layout under deletes: [wideTarget..., rowIdx?,
         // partition constants (only _file possible — identity partServe +
         // deletes throws above)]; _file rides through the projection at
@@ -801,7 +813,10 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
               // stored-lineage columns sit at groupRead's tail; the scan's
               // position counter must land BEFORE them to match the group
               // layout [data..., rowIdx, stored...]
-              trailingStored = if (lineageStored) 2 else 0)
+              trailingStored = if (lineageStored) 2 else 0,
+              // hazard-only routing (mixed-sign-zero scrub) has no rowIdx
+              // slot in its declared layout
+              withRowIndex = needRowIdx)
           case FileFormats.Orc =>
             // ORC search-argument pruning compares strings in Java/UTF-16
             // order while Spark (and this library) compare in UTF-8 /

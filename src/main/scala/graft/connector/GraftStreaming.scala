@@ -214,7 +214,17 @@ final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
   private def scanFor(fmt: String, read: StructType, files: Seq[DataFile])
       : org.apache.spark.sql.connector.read.Scan = fmt match {
     case FileFormats.Orc =>
-      org.apache.spark.sql.execution.datasources.v2.orc.OrcScan(
+      // double/float reads take the row path: orc-core's `==`-based batch
+      // repetition detection collapses mixed-sign-zero batches for every
+      // consumer of the flag (Spark's vectorized reader included); OrcIO's
+      // ZeroSignScrubReader restores the stored values (GraftSparkTable
+      // routes its batch scans the same way)
+      if (read.fields.exists(f => Types.hasFloatLeaf(f.dataType)))
+        new GraftOrcRowScan(read, files.map(f => (f.path, Nil)),
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf()),
+          withRowIndex = false)
+      else org.apache.spark.sql.execution.datasources.v2.orc.OrcScan(
         spark, spark.sessionState.newHadoopConf(),
         new GraftFileIndex(spark, files), read, read,
         StructType(Nil), options, None, Array.empty)

@@ -39,14 +39,19 @@ final class GraftOrcRowScan(
     // group layout downstream is [data..., rowIdx, stored..., consts...,
     // _file?] — the same slot the parquet path's synthetic row-index
     // column occupies
-    trailingStored: Int = 0)
+    trailingStored: Int = 0,
+    // groups routed here only for the mixed-sign-zero hazard (no live
+    // position deletes, no computed lineage) need no position counter —
+    // their declared layout has no rowIdx slot
+    withRowIndex: Boolean = true)
   extends Scan with Batch with Serializable {
 
   private def dataLen = dataSchema.length - trailingStored
 
   override def readSchema(): StructType =
     StructType(dataSchema.fields.take(dataLen).toSeq ++
-      Seq(StructField("_graft_row_index", LongType)) ++
+      (if (withRowIndex) Seq(StructField("_graft_row_index", LongType))
+       else Nil) ++
       dataSchema.fields.drop(dataLen) ++
       partConsts.fields ++
       (if (appendFilePath)
@@ -61,14 +66,15 @@ final class GraftOrcRowScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new OrcRowReaderFactory(dataSchema, conf, partConsts.length,
-      appendFilePath, trailingStored)
+      appendFilePath, trailingStored, withRowIndex)
 }
 
 final class OrcRowReaderFactory(dataSchema: StructType,
     conf: org.apache.spark.util.SerializableConfiguration,
     numConsts: Int = 0,
     appendFilePath: Boolean = false,
-    trailingStored: Int = 0)
+    trailingStored: Int = 0,
+    withRowIndex: Boolean = true)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -79,8 +85,10 @@ final class OrcRowReaderFactory(dataSchema: StructType,
       private var current: InternalRow = _
       private var rowIndex = -1L
       private val dataLen = dataSchema.length - trailingStored
+      private val idxSlot = if (withRowIndex) 1 else 0
       private val width =
-        dataSchema.length + 1 + numConsts + (if (appendFilePath) 1 else 0)
+        dataSchema.length + idxSlot + numConsts +
+          (if (appendFilePath) 1 else 0)
       private val pathUtf8 =
         org.apache.spark.unsafe.types.UTF8String.fromString(path)
 
@@ -100,21 +108,21 @@ final class OrcRowReaderFactory(dataSchema: StructType,
               else row.get(i, dataSchema(i).dataType))
             i += 1
           }
-          out.update(dataLen, rowIndex)
+          if (withRowIndex) out.update(dataLen, rowIndex)
           var j = 0
           while (j < trailingStored) {
             val src = dataLen + j
-            out.update(src + 1, if (row.isNullAt(src)) null
+            out.update(src + idxSlot, if (row.isNullAt(src)) null
               else row.get(src, dataSchema(src).dataType))
             j += 1
           }
           var k = 0
           while (k < numConsts) {
-            out.update(dataSchema.length + 1 + k, part.consts(k))
+            out.update(dataSchema.length + idxSlot + k, part.consts(k))
             k += 1
           }
           if (appendFilePath)
-            out.update(dataSchema.length + 1 + numConsts, pathUtf8)
+            out.update(dataSchema.length + idxSlot + numConsts, pathUtf8)
           current = out
           true
         }

@@ -184,6 +184,18 @@ object Types {
       case _ => cleanType(targetDt)
     }
 
+  /** True when the type holds a double/float leaf at any nesting depth —
+    * the read-path gate for the ORC mixed-sign-zero scrub (orc-core's
+    * `==`-based batch repetition detection only misfires on ±0.0, so scans
+    * projecting no floating-point leaf keep Spark's vectorized reader). */
+  def hasFloatLeaf(dt: DataType): Boolean = dt match {
+    case DoubleType | FloatType => true
+    case s: StructType => s.fields.exists(f => hasFloatLeaf(f.dataType))
+    case a: ArrayType => hasFloatLeaf(a.elementType)
+    case m: MapType => hasFloatLeaf(m.keyType) || hasFloatLeaf(m.valueType)
+    case _ => false
+  }
+
   /** Name to REQUEST from a file for a target field whose id is ABSENT from
     * that file's schema. Normally the target name — readers null-fill
     * requested-but-missing columns. But the file may still physically carry

@@ -373,9 +373,16 @@ final class TableScan private[format] (
             // alignment projection for the position anti-join below
             alignToSchema(readOrcWithPos(spark, ts.map(_.file.path), clean),
               fileSchema, schema, keep = Seq("_g_file", "_g_pos") ++ linKeep)
-          case FileFormats.Orc =>
-            alignToSchema(readIndexed(ts.map(_.file), clean), fileSchema,
-              schema, keep = linKeep)
+          case FileFormats.Orc if Types.hasFloatLeaf(clean) =>
+            // double/float reads take the row path even without live
+            // position deletes: Spark's vectorized ORC reader sits on
+            // orc-core's collapsed mixed-sign-zero batches
+            // (OrcIO.ZeroSignScrubReader) with no interception seam, and
+            // compaction's rewrite reader MATERIALIZES what it reads.
+            // Scans projecting no floating-point leaf (the flag only
+            // misfires on ±0.0) keep the vectorized reader below.
+            alignToSchema(readOrcWithPos(spark, ts.map(_.file.path), clean)
+              .drop("_g_file", "_g_pos"), fileSchema, schema, keep = linKeep)
           case FileFormats.Avro if posRead =>
             alignToSchema(readAvroWithPos(spark, ts.map(_.file.path), clean),
               fileSchema, schema, keep = Seq("_g_file", "_g_pos") ++ linKeep)

@@ -27,9 +27,92 @@ object OrcIO {
   def open(path: String, schema: StructType, conf: Configuration): OrcRowIterator = {
     val reader = OrcFile.createReader(new HPath(path), OrcFile.readerOptions(conf))
     val readTd = OrcUtils.orcTypeDescription(schema)
-    val rows = new OrcMapreduceRecordReader[OrcStruct](reader,
-      reader.options().schema(readTd))
+    val rows = new OrcMapreduceRecordReader[OrcStruct](
+      new ZeroSignScrubReader(reader.rows(reader.options().schema(readTd)),
+        reader.getSchema, readTd), readTd)
     new OrcRowIterator(rows, new OrcDeserializer(schema, schema.indices.toArray))
+  }
+
+  /** orc-core's DoubleTreeReader/FloatTreeReader run a repeated-value
+    * detection over each batch with Java `==` (TreeReaderFactory, verified
+    * against the installed orc-core 2.2.2 bytecode): after storing EVERY
+    * value into `vector[]` they set `isRepeating = true` when all values
+    * compare equal — and `0.0 == -0.0` is true, so a batch holding only
+    * zeros of MIXED sign is flagged repeating and every downstream consumer
+    * (the mapred row materializer, Spark's OrcColumnVector) returns
+    * `vector[0]` for all rows: the other sign is silently rewritten
+    * (workload-fuzz seed 149; the file bytes are correct — ORC C++ reads
+    * them faithfully). Since the detection loop has already stored the
+    * true per-row values, clearing the flag restores them losslessly.
+    *
+    * Guards: only same-category DOUBLE/FLOAT columns (a SchemaEvolution
+    * convert reader fills just `vector[0]` when its SOURCE was repeating,
+    * so promoted columns must keep the flag), only when slot 0 is a
+    * non-null zero (the all-null path sets `vector[0] = NaN` with
+    * `isNull[0]`, and a non-zero repeat is sign-unambiguous). */
+  private final class ZeroSignScrubReader(inner: org.apache.orc.RecordReader,
+      fileTd: TypeDescription, readTd: TypeDescription)
+    extends org.apache.orc.RecordReader {
+    import org.apache.hadoop.hive.ql.exec.vector._
+
+    // read-schema columns eligible for the scrub: DOUBLE/FLOAT leaves whose
+    // file-side twin (matched by name at struct levels, positionally in
+    // list/map/element slots) has the SAME category — i.e. no convert reader
+    private def scrub(vec: ColumnVector, rt: TypeDescription,
+        ft: TypeDescription): Unit = {
+      import TypeDescription.Category._
+      (rt.getCategory, vec) match {
+        case (DOUBLE, v: DoubleColumnVector) if ft != null &&
+            ft.getCategory == DOUBLE => scrubZeros(v)
+        case (FLOAT, v: DoubleColumnVector) if ft != null &&
+            ft.getCategory == FLOAT => scrubZeros(v)
+        case (STRUCT, v: StructColumnVector) =>
+          val fNames = if (ft != null && ft.getCategory == STRUCT)
+            ft.getFieldNames.asScala.zip(ft.getChildren.asScala).toMap
+          else Map.empty[String, TypeDescription]
+          rt.getFieldNames.asScala.zip(rt.getChildren.asScala).zipWithIndex
+            .foreach { case ((name, rc), i) =>
+              if (i < v.fields.length)
+                scrub(v.fields(i), rc, fNames.getOrElse(name, null))
+            }
+        case (LIST, v: ListColumnVector) =>
+          scrub(v.child, rt.getChildren.get(0),
+            if (ft != null && ft.getCategory == LIST) ft.getChildren.get(0)
+            else null)
+        case (MAP, v: MapColumnVector) =>
+          val fc = if (ft != null && ft.getCategory == MAP)
+            ft.getChildren else null
+          scrub(v.keys, rt.getChildren.get(0),
+            if (fc != null) fc.get(0) else null)
+          scrub(v.values, rt.getChildren.get(1),
+            if (fc != null) fc.get(1) else null)
+        case _ => ()
+      }
+    }
+
+    private def scrubZeros(v: DoubleColumnVector): Unit =
+      if (v.isRepeating && (v.noNulls || !v.isNull(0)) && v.vector(0) == 0.0)
+        v.isRepeating = false
+
+    override def nextBatch(batch: VectorizedRowBatch): Boolean = {
+      val more = inner.nextBatch(batch)
+      if (more) {
+        val rts = readTd.getChildren
+        val fNames = fileTd.getFieldNames.asScala
+          .zip(fileTd.getChildren.asScala).toMap
+        val rNames = readTd.getFieldNames.asScala
+        var i = 0
+        while (i < batch.cols.length && i < rts.size()) {
+          scrub(batch.cols(i), rts.get(i), fNames.getOrElse(rNames(i), null))
+          i += 1
+        }
+      }
+      more
+    }
+    override def getRowNumber: Long = inner.getRowNumber
+    override def getProgress: Float = inner.getProgress
+    override def close(): Unit = inner.close()
+    override def seekToRow(rowCount: Long): Unit = inner.seekToRow(rowCount)
   }
 
   final class OrcRowIterator(

@@ -28,9 +28,12 @@ import scala.util.Random
   * history entry captures the column names and shape AT THAT SNAPSHOT —
   * which snapshot expiry prunes in lockstep with the table's retained set.
   *
-  * The table layout, DML mode (copy-on-write vs merge-on-read) and file
-  * format (parquet / orc) derive from the seed, so the same op mix crosses
-  * unpartitioned, identity, bucket and truncate+bucket specs. Row values
+  * The table layout, DML mode (copy-on-write vs merge-on-read), file
+  * format (parquet / orc) and format VERSION (v2, or v3 from birth with
+  * deletion vectors + row lineage; a mid-run op also upgrades v2→v3, so
+  * v2-era history must keep reading under upgraded metadata) derive from
+  * the seed, so the same op mix crosses unpartitioned, identity, bucket
+  * and truncate+bucket specs. Row values
   * draw from a hostile pool: NULLs in every column, empty / astral /
   * U+FFFF strings (codepoint-order territory), ±0.0 / NaN / ±Infinity
   * doubles, full-precision DECIMAL(38,30) edges, pre-epoch timestamps,
@@ -259,6 +262,7 @@ object WorkloadFuzz {
     val layout = (seed % layouts.size).toInt
     val mor = (seed / layouts.size) % 2 == 1
     val orc = seed % 7 == 3 // occasional non-parquet seed
+    val v3Start = seed % 11 == 5 // occasional v3-from-birth seed (DVs, lineage)
     val tbl = s"$cat.db.fz_${seed}_${java.lang.Long.toHexString(rng.nextLong())}"
     val path = s"$wh/db/${tbl.split('.').last}"
 
@@ -267,7 +271,8 @@ object WorkloadFuzz {
         "'write.delete.mode'='merge-on-read'",
         "'write.update.mode'='merge-on-read'",
         "'write.merge.mode'='merge-on-read'") else Seq.empty) ++
-        (if (orc) Seq("'write.format.default'='orc'") else Seq.empty)
+        (if (orc) Seq("'write.format.default'='orc'") else Seq.empty) ++
+        (if (v3Start) Seq("'format-version'='3'") else Seq.empty)
       if (ps.isEmpty) "" else ps.mkString(" TBLPROPERTIES (", ", ", ")")
     }
     spark.sql(s"CREATE TABLE $tbl (id BIGINT, cat STRING, v DOUBLE, " +
@@ -437,7 +442,7 @@ object WorkloadFuzz {
         val preModel = model
         val preHistory = history
         val preLastSnap = lastSnap
-        val roll = rng.nextInt(120)
+        val roll = rng.nextInt(123)
         val desc: String = try roll match {
           case x if x < 22 => // INSERT
             val rows = Vector.fill(1 + rng.nextInt(7))(genRow(rng))
@@ -666,6 +671,16 @@ object WorkloadFuzz {
               s"drop partition field ${f.name}"
             }
 
+          case x if x < 121 => // upgrade to format v3 mid-history (one-way):
+            // subsequent MoR deletes write DELETION VECTORS, new files get
+            // row lineage, and the v2-era history (plain pos/eq deletes)
+            // must keep reading correctly under the upgraded metadata
+            if (table().metadata.formatVersion < 3) {
+              spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+                "('format-version'='3')")
+              "upgrade to format-version 3"
+            } else "v3 upgrade skipped (already v3)"
+
           case _ => // promote w INT → BIGINT (type widening mid-history)
             if (hasW && wIsInt) {
               spark.sql(s"ALTER TABLE $tbl ALTER COLUMN ${curName("w")} " +
@@ -734,11 +749,13 @@ class WorkloadFuzzSpec extends SparkSpec {
   }
 
   // seeds chosen to cross the layout x mode grid: layout = seed % 4,
-  // merge-on-read = (seed / 4) % 2, orc when seed % 7 == 3
-  for (seed <- Seq(1L, 2L, 3L, 4L, 6L)) {
+  // merge-on-read = (seed / 4) % 2, orc when seed % 7 == 3, and
+  // format-version 3 from birth (DVs + row lineage) when seed % 11 == 5
+  for (seed <- Seq(1L, 2L, 3L, 4L, 5L, 6L)) {
     test(s"random workload agrees with the oracle model (seed $seed: " +
         s"layout=${(seed % 4).toInt} mor=${(seed / 4) % 2 == 1}" +
-        s"${if (seed % 7 == 3) " orc" else ""})") {
+        s"${if (seed % 7 == 3) " orc" else ""}" +
+        s"${if (seed % 11 == 5) " v3" else ""})") {
       WorkloadFuzz.run(spark, wh, "fz", seed, nOps = 30)
     }
   }
