@@ -302,9 +302,16 @@ object OrcIO {
           if (mn == null || mx == null) None
           else Some((micros(mn, ceil = false), micros(mx, ceil = true)))
         case (s: DoubleColumnStatistics, DoubleType) =>
-          Some((s.getMinimum, s.getMaximum))
+          // zero bounds widen to straddle both signs (parquet-mr's
+          // convention): ORC tracks min/max with IEEE comparisons where
+          // -0.0 == 0.0, so the recorded bound's SIGN is arbitrary — a
+          // -0.0 upper bound would prune `d = 0.0` under the evaluator's
+          // total order while the file's -0.0 row matches (IEEE equal)
+          Some((if (s.getMinimum == 0.0) -0.0 else s.getMinimum,
+            if (s.getMaximum == 0.0) 0.0 else s.getMaximum))
         case (s: DoubleColumnStatistics, FloatType) =>
-          Some((s.getMinimum.toFloat, s.getMaximum.toFloat))
+          Some((if (s.getMinimum == 0.0) -0.0f else s.getMinimum.toFloat,
+            if (s.getMaximum == 0.0) 0.0f else s.getMaximum.toFloat))
         case (s: StringColumnStatistics, StringType) =>
           // min/max may be absent when ORC truncated long values; the
           // lower/upper BOUNDS stay safe for inclusive pruning (the caller

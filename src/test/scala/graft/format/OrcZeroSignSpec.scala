@@ -132,6 +132,22 @@ class OrcZeroSignSpec extends SparkSpec {
     assert(lib === expect)
   }
 
+  test("ORC -0.0 footer bounds must not prune +0.0 point predicates") {
+    // the parquet twin lives in TableFormatSpec; ORC bounds come from
+    // DoubleColumnStatistics instead of parquet footers, so pin the lane
+    val loc = Files.createTempDirectory("graft-ozsb").toString + "/t"
+    val df = {
+      import spark.implicits._
+      Seq(-5.0, -0.0).toDF("d")
+    }
+    val t = GraftTable.create(spark, loc, df.schema,
+      properties = Map("write.format.default" -> "orc"))
+    GraftWrite.append(t, df.coalesce(1))
+    assert(t.newScan().filter(Exprs.equal("d", 0.0)).toDF().count() === 1L,
+      "d = 0.0 must find the -0.0 row (IEEE equal)")
+    assert(t.newScan().filter(Exprs.ltEq("d", 0.0)).toDF().count() === 2L)
+  }
+
   test("streaming ORC source preserves mixed-sign zeros") {
     val wh = Files.createTempDirectory("graft-ozstwh").toString
     spark.conf.set("spark.sql.catalog.ozs", "graft.connector.GraftCatalog")
