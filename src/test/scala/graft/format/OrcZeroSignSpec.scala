@@ -70,6 +70,31 @@ class OrcZeroSignSpec extends SparkSpec {
       Seq(Some(bits(Double.NaN)), Some(PosZero), Some(NegZero)))
   }
 
+  test("OrcIO round-trips random hostile double columns bit-exactly (property)") {
+    // seeded property over the hostile pool: any mixture of ±0.0, NaN,
+    // ±Inf, subnormals, normals and NULLs, at any length (including
+    // multi-batch), must round-trip with exact bit patterns — the scrub
+    // must never fire on a batch whose values it cannot restore
+    val rng = new scala.util.Random(20260817L)
+    val pool: Array[Double] = Array(0.0, -0.0, Double.NaN,
+      Double.PositiveInfinity, Double.NegativeInfinity,
+      java.lang.Double.MIN_VALUE, -java.lang.Double.MIN_VALUE,
+      1.5, -1.5, 1e300, -1e300)
+    (1 to 60).foreach { i =>
+      val n = rng.nextInt(if (i % 10 == 0) 2600 else 40)
+      // bias some runs to all-zero columns (the hazard shape)
+      val zeroOnly = rng.nextBoolean()
+      val vals: Seq[Option[Double]] = Seq.fill(n) {
+        if (rng.nextInt(8) == 0) None
+        else if (zeroOnly) Some(if (rng.nextBoolean()) 0.0 else -0.0)
+        else Some(pool(rng.nextInt(pool.length)))
+      }
+      val got = roundTrip(vals)
+      val want = vals.map(_.map(bits))
+      assert(got === want, s"iteration $i (n=$n zeroOnly=$zeroOnly)")
+    }
+  }
+
   test("OrcIO round-trips float and nested double mixed zeros") {
     val conf = new org.apache.hadoop.conf.Configuration()
     val schema = StructType(Seq(
