@@ -94,16 +94,21 @@ object OrcIO {
       if (v.isRepeating && (v.noNulls || !v.isNull(0)) && v.vector(0) == 0.0)
         v.isRepeating = false
 
+    // top-level (read child, file-side twin) pairs, resolved once: the
+    // scrub runs per 1024-row batch and must not re-derive name maps
+    private val topPairs: Array[(TypeDescription, TypeDescription)] = {
+      val fNames = fileTd.getFieldNames.asScala
+        .zip(fileTd.getChildren.asScala).toMap
+      readTd.getFieldNames.asScala.zip(readTd.getChildren.asScala)
+        .map { case (n, rc) => (rc, fNames.getOrElse(n, null)) }.toArray
+    }
+
     override def nextBatch(batch: VectorizedRowBatch): Boolean = {
       val more = inner.nextBatch(batch)
       if (more) {
-        val rts = readTd.getChildren
-        val fNames = fileTd.getFieldNames.asScala
-          .zip(fileTd.getChildren.asScala).toMap
-        val rNames = readTd.getFieldNames.asScala
         var i = 0
-        while (i < batch.cols.length && i < rts.size()) {
-          scrub(batch.cols(i), rts.get(i), fNames.getOrElse(rNames(i), null))
+        while (i < batch.cols.length && i < topPairs.length) {
+          scrub(batch.cols(i), topPairs(i)._1, topPairs(i)._2)
           i += 1
         }
       }
