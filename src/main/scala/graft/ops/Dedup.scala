@@ -574,9 +574,21 @@ object Dedup {
     * pair's union (~1e-9 at corpus gram counts). `sets` = (doc_id,
     * grams: array<string>). */
   private def verifyJaccard(cand: DataFrame, sets0: DataFrame,
-      threshold: Double): DataFrame = {
-    val sets = sets0.select(col("doc_id"),
-      array_distinct(transform(col("grams"), g => xxhash64(g))).as("gh"))
+      threshold: Double): DataFrame =
+    verifyJaccardHashed(cand, sets0.select(col("doc_id"),
+      array_distinct(transform(col("grams"), g => xxhash64(g))).as("gh")),
+      threshold)
+
+  /** [[verifyJaccard]] tail over PRE-HASHED gram sets `(doc_id, gh:
+    * array<long>)`. Callers that still hold raw text build `gh` with
+    * [[TextOps.gramHashes]] (one tight UDF pass) instead of the
+    * wordNgrams HOF chain — Spark's higher-order-function lambdas
+    * evaluate interpreted per element, and the r20 probe measured the
+    * HOF gram prep at ~3 s of q127's ~4.9 s total for under a thousand
+    * verify-touched docs. Both join sides must draw `gh` from the same
+    * hash family or intersections go empty. */
+  private def verifyJaccardHashed(cand: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
     cand
       .join(sets.select(col("doc_id").as("a"), col("gh").as("ga")), "a")
       .join(sets.select(col("doc_id").as("b"), col("gh").as("gb")), "b")
@@ -584,16 +596,44 @@ object Dedup {
         (size(array_intersect(col("ga"), col("gb"))).cast("double") /
           size(array_union(col("ga"), col("gb"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
+
+  /** Band keys for an UNPACKED signature (array<int>): pack each band's
+    * `rows` ints big-endian into a scratch buffer and murmur3 the bytes —
+    * one tight loop per row, zero per-band String/slice allocation (the
+    * previous `slice.mkString` derivation built a String per band per doc
+    * on the banding map stage, the minhash family's widest). Big-endian
+    * packing makes the key bit-identical to [[minhashLshPairsFromStore]]'s
+    * binary-sig derivation for the same signature, so in-memory and
+    * store-read banding agree. Key derivation only affects CANDIDATE sets
+    * (equal band slices collide under any deterministic hash; extras are
+    * removed by the exact verify), so pair results are unchanged. */
+  private def intBandKeys(bands: Int, rows: Int) = udf((sig: Seq[Int]) => {
+    val w = 4 * rows
+    val buf = new Array[Byte](w)
+    val out = new Array[Long](bands)
+    var bd = 0
+    while (bd < bands) {
+      var r = 0
+      while (r < rows) {
+        val v = sig(bd * rows + r)
+        buf(4 * r) = (v >>> 24).toByte
+        buf(4 * r + 1) = (v >>> 16).toByte
+        buf(4 * r + 2) = (v >>> 8).toByte
+        buf(4 * r + 3) = v.toByte
+        r += 1
+      }
+      out(bd) = bd.toLong << 32 |
+        (Murmur3.hashBytes(buf, 0, w, 0).toLong & 0xffffffffL)
+      bd += 1
+    }
+    out
+  })
 
   def minhashLshPairs(docs: DataFrame, n: Int = 3, bands: Int = 16, rows: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
     val withSig = minhashPrep(docs, n, bands, rows)
-    // band key = murmur3 of the band's slice, as one long per (doc, band)
-    val bandUdf = udf((sig: Seq[Int]) =>
-      (0 until bands).map(bd => bd.toLong << 32 |
-        (Murmur3.hashString(sig.slice(bd * rows, bd * rows + rows).mkString(",")).toLong & 0xffffffffL)))
-    val banded = withSig.select(col("doc_id"), explode(bandUdf(col("sig"))).as("band"))
+    val banded = withSig.select(col("doc_id"),
+      explode(intBandKeys(bands, rows)(col("sig"))).as("band"))
     val cand = banded.as("x").join(banded.as("y"), Seq("band"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
@@ -632,9 +672,7 @@ object Dedup {
       n: Int = 3, bands: Int = 16, rows: Int = 4,
       threshold: Double = 0.5,
       freshPrepped: Option[DataFrame] = None): DataFrame = {
-    val bandUdf = udf((sig: Seq[Int]) =>
-      (0 until bands).map(bd => bd.toLong << 32 |
-        (Murmur3.hashString(sig.slice(bd * rows, bd * rows + rows).mkString(",")).toLong & 0xffffffffL)))
+    val bandUdf = intBandKeys(bands, rows)
     def banded(w: DataFrame) =
       w.select(col("doc_id"), explode(bandUdf(col("sig"))).as("band"))
     val cw = minhashPrep(corpus, n, bands, rows)
@@ -692,11 +730,25 @@ object Dedup {
       texts: DataFrame, n: Int = 3, bands: Int = 16, rows: Int = 4,
       threshold: Double = 0.5,
       freshSigs: Option[DataFrame] = None): DataFrame = {
+    // band key = murmur3 of the band's 4·rows sig bytes, hashed IN PLACE —
+    // the store packs sig ints big-endian, so each band is a contiguous
+    // slice of the binary column and no per-row ByteBuffer/unpack/
+    // mkString/string-hash allocation is needed (the old derivation built
+    // a String per band per row on the corpus-scale side of the band
+    // join; r20 A/B at sf0.1 has the numbers). Key derivation only
+    // affects CANDIDATE sets (equal slices still collide under any
+    // deterministic hash; extras are removed by the exact-Jaccard
+    // verify), so the result rows are unchanged.
     val bandUdf = udf((sig: Array[Byte]) => {
-      val bb = java.nio.ByteBuffer.wrap(sig)
-      val ints = Array.fill(sig.length / 4)(bb.getInt)
-      (0 until bands).map(bd => bd.toLong << 32 |
-        (Murmur3.hashString(ints.slice(bd * rows, bd * rows + rows).mkString(",")).toLong & 0xffffffffL))
+      val w = 4 * rows
+      val out = new Array[Long](bands)
+      var bd = 0
+      while (bd < bands) {
+        out(bd) = bd.toLong << 32 |
+          (Murmur3.hashBytes(sig, bd * w, w, 0).toLong & 0xffffffffL)
+        bd += 1
+      }
+      out
     })
     def banded(w: DataFrame) =
       w.select(col("doc_id"), explode(bandUdf(col("sig"))).as("band"))
@@ -714,18 +766,36 @@ object Dedup {
     val fb = banded(freshSigs.getOrElse(minhashSignatures(fresh, n, bands, rows)))
     val all = banded(storeSigs.select(col("doc_id"), col("sig"))).unionByName(fb)
     val lt = col("x.doc_id") < col("y.doc_id")
+    // the candidate set is MATERIALIZED once (localCheckpoint — the
+    // duplicateClusters precedent; blocks are context-cleaned on GC): it
+    // feeds three consumers (the verify join plus each side's
+    // candidate-touched semi-join), and Spark evaluates each copy of the
+    // subtree independently (no exchange reuse fires — checked on the
+    // executed adaptive plan), so without this the corpus-scale store is
+    // re-scanned and re-banded once per consumer. Candidates are
+    // increment-scaled (pairs of longs), so the materialization is tiny
+    // at any corpus size.
     val cand = fb.as("x").join(all.as("y"), Seq("band"))
       .filter(col("x.doc_id") =!= col("y.doc_id"))
       .select(
         when(lt, col("x.doc_id")).otherwise(col("y.doc_id")).as("a"),
         when(lt, col("y.doc_id")).otherwise(col("x.doc_id")).as("b"))
       .distinct()
-    val touched = cand.select(col("a").as("doc_id"))
-      .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+      .localCheckpoint()
+    // ONE evaluation of the candidate subtree per semi-join side: the
+    // union-of-two-selects formulation re-evaluated `cand` (band join +
+    // distinct, re-banding the corpus-scale store) TWICE here — explode
+    // over [a, b] reads it once
+    val touched = cand
+      .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+    // gramHashes (one tight UDF pass over the text) replaces the
+    // wordNgrams HOF chain + per-gram xxhash64: Jaccard over distinct
+    // hashed grams equals the string answer short of a 64-bit collision
+    // inside one pair's union (~1e-9) — the same documented contract as
+    // [[jaccardPairsFast]], and the same hash family on both join sides
     val sets = texts.join(touched, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        TextOps.wordNgrams(TextOps.tokens(col("text")), n).as("grams"))
-    verifyJaccard(cand, sets, threshold)
+      .select(col("doc_id"), TextOps.gramHashes(n)(col("text")).as("gh"))
+    verifyJaccardHashed(cand, sets, threshold)
   }
 
   // --- embedding-cosine near-dup ------------------------------------------
