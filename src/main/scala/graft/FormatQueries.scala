@@ -1438,6 +1438,25 @@ object FormatQueries {
           countDistinct(col("user_id")).as("users"))
     }),
 
+    // hash-DISTRIBUTED twin of q134 (round 20): same fresh partitioned
+    // write of events by day(ts), with write.distribution-mode=hash — one
+    // exchange clusters each day into a single task, so the fanout write
+    // runs in parallel instead of funneling through the input's task
+    // layout (a single-split input writes ALL ~366 day files from one
+    // task in the q134 shape). Same self-check aggregate, same oracle:
+    // the layout must not change a single row.
+    "q135_distributed_write" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val loc = freshWriteBenchDir()
+      val t = GraftTable.create(s, loc, ev.schema, _.day("ts"),
+        properties = Map(GraftWrite.DistributionModeKey -> "hash"))
+      GraftWrite.append(t, ev)
+      GraftTable.load(s, loc).toDF()
+        .agg(count(lit(1)).as("row_cnt"),
+          countDistinct(to_date(col("ts"))).as("day_cnt"),
+          countDistinct(col("user_id")).as("users"))
+    }),
+
     // compaction preserves content (RewriteDataFilesAction)
     "q70_compaction" -> ((s, dir) => {
       val t = withTable(s, dir, "region_compacted") { loc =>
@@ -1551,6 +1570,14 @@ object FormatQueries {
     // self-check of the partitioned write: counts survive the write +
     // read-back round trip iff no row was lost, duplicated or mis-routed
     "q134_partitioned_write" ->
+      """SELECT COUNT(*) AS row_cnt,
+        |COUNT(DISTINCT CAST(ts AS DATE)) AS day_cnt,
+        |COUNT(DISTINCT user_id) AS users
+        |FROM events""".stripMargin,
+
+    // the distributed twin writes the same rows through the same fanout
+    // path — identical self-check aggregate, identical oracle
+    "q135_distributed_write" ->
       """SELECT COUNT(*) AS row_cnt,
         |COUNT(DISTINCT CAST(ts AS DATE)) AS day_cnt,
         |COUNT(DISTINCT user_id) AS users

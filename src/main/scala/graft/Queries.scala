@@ -1352,7 +1352,13 @@ object Queries {
     // day(ts) through the unified fanout write path — the write side had
     // zero standing perf coverage before this; a fanout-routing or
     // clustering regression now moves a tracked number
-    "q134_partitioned_write")
+    "q134_partitioned_write",
+    // hash-DISTRIBUTED write twin (added round 20, optimization): same
+    // rows through write.distribution-mode=hash — one exchange clusters
+    // each day(ts) partition into a single task so the fanout write runs
+    // in parallel; benched alongside q134 so the distribution win (and
+    // its shuffle cost) carries spreads across rounds
+    "q135_distributed_write")
 
   /** The 11 queries benched since round 1 — the stable cross-round signal.
     * Per-query times are ±20% noisy run to run; this subtotal is what the

@@ -46,6 +46,17 @@ object GraftWrite {
   /** Table property: comma-separated `col [asc|desc]` write clustering. */
   val SortOrderKey = "write.sort-order"
 
+  /** `none` (default) keeps the input's task layout — a task-local
+    * clustering sort only, no shuffle. `hash` first shuffles rows by the
+    * derived partition expressions so each table partition lands in ONE
+    * task: a partitioned append then writes its partitions in parallel
+    * (the default layout writes files = tasks × touched-partitions — the
+    * many-small-files shape — and a single-split input funnels the whole
+    * write through one task). The cost is one exchange of the written
+    * rows; a hot partition becomes a hot task (hash mode's documented
+    * trade). Opt-in per table so existing tables keep their file layout. */
+  val DistributionModeKey = "write.distribution-mode"
+
   /** Table property: imports with at least this many files write their
     * rolled manifest chunks in executor tasks (see
     * [[Commits.fastAppendDistributed]]). */
@@ -110,10 +121,33 @@ object GraftWrite {
           }
         case _ => Nil
       }
+    // write.distribution-mode BEFORE the task-local sort, matching the
+    // DSv2 INSERT path (GraftSparkTable.requiredDistribution): `hash`
+    // shuffles by the derived partition expressions so each table
+    // partition is written by exactly one task, in parallel (the `none`
+    // layout writes tasks × touched-partitions files, and a single-split
+    // input funnels the whole write through one task); `range` shuffles
+    // by partition expressions + declared sort order for non-overlapping
+    // cross-file bounds. The LIBRARY default stays `none` — callers like
+    // compaction arrange rows themselves, and historical gate tables pin
+    // their file layouts — where the DSv2 path defaults partitioned
+    // tables to `hash`; the property aligns both when set.
+    val distributed =
+      (if (clusterByPartition)
+        m.properties.getOrElse(DistributionModeKey, "none").trim
+      else "none") match {
+        case "hash" if spec.isPartitioned =>
+          aligned.repartition(spec.derivedColumns(schema).map(_._2): _*)
+        case "range" if clusterCols.nonEmpty || orderCols.nonEmpty =>
+          aligned.repartitionByRange(clusterCols ++ orderCols: _*)
+        case "none" | "hash" | "range" => aligned
+        case other => throw new IllegalArgumentException(
+          s"$DistributionModeKey: unsupported mode '$other' (none | hash | range)")
+      }
     val sorted =
       if (clusterCols.nonEmpty || orderCols.nonEmpty)
-        aligned.sortWithinPartitions(clusterCols ++ orderCols: _*)
-      else aligned
+        distributed.sortWithinPartitions(clusterCols ++ orderCols: _*)
+      else distributed
 
     writeViaFanout(table, sorted, staging, lineage, fmt)
   }

@@ -573,11 +573,30 @@ object Dedup {
     * equals the string answer short of a 64-bit collision inside one
     * pair's union (~1e-9 at corpus gram counts). `sets` = (doc_id,
     * grams: array<string>). */
+  /** Distinct xxhash64 of each gram string, bit-identical to
+    * `array_distinct(transform(grams, g => xxhash64(g)))` (same XXH64
+    * kernel and seed as the builtin, same first-occurrence dedup order)
+    * but ONE tight UDF call per row: the HOF transform evaluates its
+    * lambda interpreted per element, measured as the dominant cost of the
+    * minhash verify branch at sf0.1. */
+  private val xxhashGrams = udf((grams: Seq[String]) => {
+    val seen = new java.util.HashSet[Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](grams.length)
+    var i = 0
+    while (i < grams.length) {
+      val b = grams(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    out.toArray
+  })
+
   private def verifyJaccard(cand: DataFrame, sets0: DataFrame,
       threshold: Double): DataFrame =
     verifyJaccardHashed(cand, sets0.select(col("doc_id"),
-      array_distinct(transform(col("grams"), g => xxhash64(g))).as("gh")),
-      threshold)
+      xxhashGrams(col("grams")).as("gh")), threshold)
 
   /** [[verifyJaccard]] tail over PRE-HASHED gram sets `(doc_id, gh:
     * array<long>)`. Callers that still hold raw text build `gh` with

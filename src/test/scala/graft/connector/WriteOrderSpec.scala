@@ -230,6 +230,32 @@ class WriteOrderSpec extends SparkSpec {
     }
   }
 
+  test("library write honors write.distribution-mode=hash: one file per partition") {
+    // the library append path (GraftWrite.writeFiles) matches the DSv2
+    // INSERT path's hash distribution: each partition value shuffles to
+    // exactly ONE task, so a partitioned append writes one file per
+    // partition instead of tasks × touched-partitions — and the rows
+    // round-trip exactly
+    import graft.format.GraftWrite
+    val dirNone = Files.createTempDirectory("graft-distnone").toString
+    val dirHash = Files.createTempDirectory("graft-disthash").toString
+    // 4 input tasks, each holding ALL 3 partition values (interleaved)
+    val src = spark.range(0, 120, 1, 4)
+      .selectExpr("id", "id % 3 AS p")
+    val tNone = GraftTable.create(spark, dirNone, src.schema, _.identity("p"))
+    GraftWrite.append(tNone, src)
+    val tHash = GraftTable.create(spark, dirHash, src.schema, _.identity("p"),
+      properties = Map(GraftWrite.DistributionModeKey -> "hash"))
+    GraftWrite.append(tHash, src)
+    val filesNone = GraftTable.load(spark, dirNone).newScan().planFiles().tasks.size
+    val filesHash = GraftTable.load(spark, dirHash).newScan().planFiles().tasks.size
+    assert(filesNone === 12, s"none layout: tasks(4) x partitions(3), got $filesNone")
+    assert(filesHash === 3, s"hash layout: one file per partition, got $filesHash")
+    val got = GraftTable.load(spark, dirHash).toDF()
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === (0L until 120L).map(i => (i, i % 3)))
+  }
+
   test("range distribution yields non-overlapping file bounds") {
     wh
     spark.sql("""CREATE TABLE go.db.ranged (id BIGINT, v STRING)
