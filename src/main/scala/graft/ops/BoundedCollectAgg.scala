@@ -43,8 +43,11 @@ final class BoundedCollectAgg(maxKeep: Int)
   }
 
   override def finish(b: Buf): Seq[(Long, Int)] =
+    // no sort: the pair-combos UDFs downstream orient each emitted pair
+    // (a < b) themselves, so group order is unobservable (r20 — the sort
+    // cost O(df log df) per gram for nothing but pair orientation)
     if (b.count > maxKeep) Nil
-    else b.items.sortBy(identity).toSeq
+    else b.items.toSeq
 
   override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
   override def outputEncoder: Encoder[Seq[(Long, Int)]] = ExpressionEncoder()

@@ -152,10 +152,15 @@ object Dedup {
       threshold: Double,
       combos: org.apache.spark.sql.expressions.UserDefinedFunction,
       groupFilter: Option[Column] = None): DataFrame = {
+    // no sort over the doc lists anywhere: the combos UDFs emit each pair
+    // in canonical (a < b) order themselves, so neither the exact
+    // collect_list nor the bounded aggregator needs its groups ordered —
+    // the old sort_array / finish-sort cost O(df log df) per gram for
+    // nothing but pair orientation
     val grouped =
       if (maxDf <= 0)
         grams.groupBy("g")
-          .agg(sort_array(collect_list(struct(col("doc_id"), col("sz")))).as("ds"))
+          .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
       else {
         val bounded = udaf(new BoundedCollectAgg(maxDf.toInt),
           Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt))
@@ -374,7 +379,8 @@ object Dedup {
     * sz values are positive (old×old), emits |sz| for the survivors. The
     * per-gram work stays O(df²) comparisons but only O(df × df_fresh)
     * materialized tuples — the shuffle after this UDF is the one that
-    * explodes at corpus scale, the comparison loop is not. */
+    * explodes at corpus scale, the comparison loop is not. Pairs are
+    * oriented (a < b) HERE, so the input list needs no order. */
   private val pairCombosFreshTouching = udf((ds: Seq[org.apache.spark.sql.Row]) => {
     val k = ds.length
     val out = Seq.newBuilder[(Long, Int, Long, Int)]
@@ -385,8 +391,11 @@ object Dedup {
       var j = i + 1
       while (j < k) {
         val sb = ds(j).getInt(1)
-        if (sa < 0 || sb < 0)
-          out += ((a, math.abs(sa), ds(j).getLong(0), math.abs(sb)))
+        if (sa < 0 || sb < 0) {
+          val b = ds(j).getLong(0)
+          if (a < b) out += ((a, math.abs(sa), b, math.abs(sb)))
+          else out += ((b, math.abs(sb), a, math.abs(sa)))
+        }
         j += 1
       }
       i += 1
@@ -394,8 +403,9 @@ object Dedup {
     out.result()
   })
 
-  /** All ordered (a<b) pairs of a sorted (doc_id: long, sz: int) list as a
-    * tight two-loop UDF. An earlier higher-order-function formulation
+  /** All (a<b)-oriented pairs of a (doc_id: long, sz: int) list as a
+    * tight two-loop UDF; orientation happens per pair, so the input list
+    * needs no order. An earlier higher-order-function formulation
     * (transform/slice/flatten) was ~25% slower end-to-end at sf0.1: HOF
     * lambdas evaluate interpreted per element and `slice` re-allocates a
     * sub-array per pivot, while this loop emits compact tuples once. */
@@ -409,7 +419,10 @@ object Dedup {
       val sa = ds(i).getInt(1)
       var j = i + 1
       while (j < k) {
-        out(idx) = (a, sa, ds(j).getLong(0), ds(j).getInt(1))
+        val b = ds(j).getLong(0)
+        out(idx) =
+          if (a < b) (a, sa, b, ds(j).getInt(1))
+          else (b, ds(j).getInt(1), a, sa)
         idx += 1
         j += 1
       }
