@@ -186,7 +186,13 @@ object DataFileIO {
         override def write(row: InternalRow): Unit = w.write(row)
         override def finish(): Metrics.FileMetrics = {
           w.close()
-          Metrics.fromParquetFooter(path, idSchema, conf, statModes)
+          // metrics from the writer's OWN footer (what it just
+          // serialized) — no re-open/re-parse of the file per close; only
+          // a file-size stat remains
+          val hp = new org.apache.hadoop.fs.Path(path)
+          Metrics.fromParquetMetadata(w.getFooter,
+            hp.getFileSystem(conf).getFileStatus(hp).getLen,
+            idSchema, statModes)
         }
         override def abort(): Unit = {
           try w.close() catch { case _: Throwable => }

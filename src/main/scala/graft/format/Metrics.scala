@@ -194,11 +194,21 @@ object Metrics {
   def fromParquetFooter(path: String, schema: StructType,
       conf: Configuration = new Configuration(),
       modes: Map[Int, Mode] = Map.empty): FileMetrics = {
-    def modeOf(id: Int): Mode = modes.getOrElse(id, DefaultMode)
     val input = HadoopInputFile.fromPath(new HPath(path), conf)
     val reader = ParquetFileReader.open(input)
-    try {
-      val footer = reader.getFooter
+    try fromParquetMetadata(reader.getFooter, input.getLength, schema, modes)
+    finally reader.close()
+  }
+
+  /** Same mapping over an ALREADY-PARSED footer — the write path hands in
+    * `ParquetWriter.getFooter` so a freshly-written file's metrics never
+    * re-open and re-parse the bytes it just wrote (a fanout write of N
+    * partitions paid N footer re-reads at close; the in-memory footer is
+    * byte-for-byte what was serialized, so the metrics are identical). */
+  def fromParquetMetadata(footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      fileSize: Long, schema: StructType,
+      modes: Map[Int, Mode] = Map.empty): FileMetrics = {
+    def modeOf(id: Int): Mode = modes.getOrElse(id, DefaultMode)
       val nameToId = FieldIds.nameToId(schema)
       val typeById = FieldIds.typeById(schema)
       var recordCount = 0L
@@ -224,15 +234,40 @@ object Metrics {
                   nullCounts(id) = nullCounts.getOrElse(id, 0L) + stats.getNumNulls
                 if (stats.hasNonNullValue && modeOf(id) != CountsMode) {
                   val prim = col.getPrimitiveType
+                  // float/double sanitization, mirroring what parquet-mr
+                  // applies when SERIALIZING a footer (so an in-memory
+                  // ParquetWriter.getFooter yields the same bounds a
+                  // re-read would): NaN-touched stats are omitted
+                  // entirely (parquet's Double.compare order makes any
+                  // NaN the max, and the converter drops such stats —
+                  // bounds that ignore NaN rows would prune NaN matches),
+                  // and zero bounds widen to straddle both signs (the
+                  // same convention OrcIO.footerMetrics applies).
+                  // Idempotent over already-serialized footers.
+                  def sane(mn: Any, mx: Any): Option[(Any, Any)] =
+                    (mn, mx) match {
+                      case (a: Double, b: Double) =>
+                        if (a.isNaN || b.isNaN) None
+                        else Some((if (a == 0.0) -0.0 else a,
+                          if (b == 0.0) 0.0 else b))
+                      case (a: Float, b: Float) =>
+                        if (a.isNaN || b.isNaN) None
+                        else Some((if (a == 0.0f) -0.0f else a,
+                          if (b == 0.0f) 0.0f else b))
+                      case other => Some(other)
+                    }
                   (convert(stats.genericGetMin.asInstanceOf[AnyRef],
                       prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation, dt),
                    convert(stats.genericGetMax.asInstanceOf[AnyRef],
                       prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation, dt)) match {
-                    case (Some(mn), Some(mx)) =>
-                      val ord = Exprs.ordering(dt)
-                      mins(id) = mins.get(id).filter(ord.lt(_, mn)).getOrElse(mn)
-                      maxs(id) = maxs.get(id).filter(ord.gt(_, mx)).getOrElse(mx)
-                      statsOk(id) = statsOk.getOrElse(id, true)
+                    case (Some(mn0), Some(mx0)) => sane(mn0, mx0) match {
+                      case Some((mn, mx)) =>
+                        val ord = Exprs.ordering(dt)
+                        mins(id) = mins.get(id).filter(ord.lt(_, mn)).getOrElse(mn)
+                        maxs(id) = maxs.get(id).filter(ord.gt(_, mx)).getOrElse(mx)
+                        statsOk(id) = statsOk.getOrElse(id, true)
+                      case None => statsOk(id) = false
+                    }
                     case _ => statsOk(id) = false
                   }
                 }
@@ -252,10 +287,9 @@ object Metrics {
         if (!statsOk.getOrElse(id, false)) None
         else Option(boundLen(id).map(truncateUpper(v, _)).getOrElse(v)).map(id -> _)
       }.toMap
-      FileMetrics(recordCount, input.getLength, valueCounts.toMap,
+      FileMetrics(recordCount, fileSize, valueCounts.toMap,
         nullCounts.toMap, lower, upper, offsets.result(),
         fullBoundIds(schema, modes))
-    } finally reader.close()
   }
 
   /** Parquet statistics value → canonical value for `dt`. */
