@@ -804,7 +804,8 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
                   Types.cleanType(f.dataType))
               }
             new GraftOrcRowScan(groupRead,
-              tasks.map(t => (t.file.path, orcConsts(t.file))),
+              tasks.map(t =>
+                (t.file.path, t.file.fileSizeInBytes, orcConsts(t.file))),
               new org.apache.spark.util.SerializableConfiguration(
                 spark.sessionState.newHadoopConf()),
               partConsts = StructType(partServe.map(f => StructField(f.name,
@@ -816,7 +817,9 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftTable,
               trailingStored = if (lineageStored) 2 else 0,
               // hazard-only routing (mixed-sign-zero scrub) has no rowIdx
               // slot in its declared layout
-              withRowIndex = needRowIdx)
+              withRowIndex = needRowIdx,
+              maxPartitionBytes = spark.sessionState.conf.filesMaxPartitionBytes,
+              minPartitions = spark.sparkContext.defaultParallelism)
           case FileFormats.Orc =>
             // ORC search-argument pruning compares strings in Java/UTF-16
             // order while Spark (and this library) compare in UTF-8 /
@@ -1659,6 +1662,19 @@ final class GraftScan(output: StructType, groupScans: Seq[Scan],
               val (ps, ls) = scopes(canon)
               Seq(GroupedPartition(i, op, Some(canon), ps, ls,
                 eqScope(Seq(canon))): InputPartition)
+            }
+          // packed hazard-routed ORC partitions (withRowIndex=false — never
+          // position-delete or computed-lineage groups, so no per-file
+          // scoping): runtime filtering drops pruned chunks, equality-delete
+          // narrowing covers the partition's whole file set
+          case omp: OrcRowMultiPartition =>
+            val keptChunks = omp.chunks.filter(c => kept(c.path))
+            if (keptChunks.isEmpty) Nil
+            else {
+              val canons = keptChunks.map(c => ParquetIO.canonPath(c.path))
+                .distinct
+              Seq(GroupedPartition(i, OrcRowMultiPartition(keptChunks),
+                None, None, None, eqScope(canons)): InputPartition)
             }
           case ap: AvroFilePartition =>
             if (!kept(ap.path)) Nil

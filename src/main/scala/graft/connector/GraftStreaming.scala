@@ -220,10 +220,13 @@ final class GraftMicroBatchStream(spark: SparkSession, table: GraftTable,
       // ZeroSignScrubReader restores the stored values (GraftSparkTable
       // routes its batch scans the same way)
       if (read.fields.exists(f => Types.hasFloatLeaf(f.dataType)))
-        new GraftOrcRowScan(read, files.map(f => (f.path, Nil)),
+        new GraftOrcRowScan(read,
+          files.map(f => (f.path, f.fileSizeInBytes, Nil)),
           new org.apache.spark.util.SerializableConfiguration(
             spark.sessionState.newHadoopConf()),
-          withRowIndex = false)
+          withRowIndex = false,
+          maxPartitionBytes = spark.sessionState.conf.filesMaxPartitionBytes,
+          minPartitions = spark.sparkContext.defaultParallelism)
       else org.apache.spark.sql.execution.datasources.v2.orc.OrcScan(
         spark, spark.sessionState.newHadoopConf(),
         new GraftFileIndex(spark, files), read, read,

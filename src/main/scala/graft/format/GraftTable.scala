@@ -303,7 +303,7 @@ final class TableScan private[format] (
 
     // position deletes ride parquet's `_metadata.row_index`; ORC and Avro
     // groups a position delete actually TARGETS read row-path with a
-    // file-position counter (readOrcWithPos / readAvroWithPos — position
+    // file-position counter (scrubbedOrc / readAvroWithPos — position
     // deletes are format-agnostic in the reference, Deletes.java:70-123).
     // Target detection is one small driver read of the delete files' path
     // column, only on tables that mix formats under live position deletes.
@@ -367,22 +367,78 @@ final class TableScan private[format] (
         val linKeep =
           if (linRead) Seq(Lineage.RowIdColumn, Lineage.LastUpdatedColumn)
           else Nil
+        // scrub-routed ORC scans get no optimizer column pruning (the scan
+        // is planted post-pushdown), so prune here: only file columns whose
+        // field id survives into the target schema AND is actually consumed
+        // downstream — the scan projection, the row filter's references,
+        // and this group's applicable equality-delete keys. Unconsumed
+        // target columns read as typed nulls (alignToSchema's absent-id
+        // branch) and are dropped by the final projection. The ROUTING
+        // check runs on the pruned set too — a scan projecting no float
+        // leaf keeps the vectorized OrcScan even if the table has one.
+        lazy val neededIds: Option[Set[Int]] = projection.map { cols =>
+          val byName = schema.fields.map(f => f.name -> FieldIds.idOf(f)).toMap
+          (cols ++ Exprs.references(rowFilter)).flatMap(byName.get).toSet ++
+            eqDeletes.filter(_._2 > seq).flatMap(_._1.equalityIds)
+        }
+        lazy val readFileSchema: StructType = {
+          val targetIds = schema.fields.map(FieldIds.idOf).toSet
+          val pruned = fileSchema.fields.filter { f =>
+            val id = FieldIds.idOf(f)
+            targetIds.contains(id) && neededIds.forall(_.contains(id))
+          }
+          // empty projections (pure row counting) still need one stream
+          if (pruned.isEmpty && fileSchema.fields.nonEmpty)
+            StructType(fileSchema.fields.take(1))
+          else StructType(pruned)
+        }
+        lazy val cleanScan: StructType =
+          StructType(stripIds(readFileSchema).fields ++
+            (if (linRead) linCols else Nil))
+        // columnar ORC read through the mixed-sign-zero scrub: OrcIO's
+        // batch iterator + Spark's own OrcColumnVector wrappers, planted
+        // as a DSv2 scan relation — full vectorization, no OrcStruct /
+        // per-row conversion (the pre-r21 shape converted every row four
+        // times: batch → OrcStruct → InternalRow → Row → re-encode)
+        def scrubbedOrc(withPos: Boolean): DataFrame = {
+          val sconf = new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf())
+          val scan = new graft.connector.GraftOrcRowScan(cleanScan,
+            ts.map(t => (t.file.path, t.file.fileSizeInBytes,
+              if (withPos) Seq(org.apache.spark.unsafe.types.UTF8String
+                .fromString(ParquetIO.canonPath(t.file.path)))
+              else Nil)),
+            sconf,
+            partConsts = if (withPos) StructType(Seq(
+              StructField("_g_file", StringType, nullable = false)))
+            else new StructType(),
+            withRowIndex = withPos,
+            maxPartitionBytes = spark.sessionState.conf.filesMaxPartitionBytes,
+            minPartitions = spark.sparkContext.defaultParallelism)
+          val df = org.apache.spark.sql.execution.datasources.v2.GraftV2Shims
+            .scanToDF(spark, scan, s"graft-orc-scrub(${ts.size} files)")
+          if (withPos) df.withColumnRenamed("_graft_row_index", "_g_pos")
+          else df
+        }
         fmt match {
           case FileFormats.Orc if posRead =>
-            // row-path read carrying (_g_file, _g_pos) — kept through the
-            // alignment projection for the position anti-join below
-            alignToSchema(readOrcWithPos(spark, ts.map(_.file.path), clean),
-              fileSchema, schema, keep = Seq("_g_file", "_g_pos") ++ linKeep)
-          case FileFormats.Orc if Types.hasFloatLeaf(clean) =>
-            // double/float reads take the row path even without live
-            // position deletes: Spark's vectorized ORC reader sits on
-            // orc-core's collapsed mixed-sign-zero batches
-            // (OrcIO.ZeroSignScrubReader) with no interception seam, and
-            // compaction's rewrite reader MATERIALIZES what it reads.
-            // Scans projecting no floating-point leaf (the flag only
-            // misfires on ±0.0) keep the vectorized reader below.
-            alignToSchema(readOrcWithPos(spark, ts.map(_.file.path), clean)
-              .drop("_g_file", "_g_pos"), fileSchema, schema, keep = linKeep)
+            // scrubbed columnar read carrying (_g_file, _g_pos) — kept
+            // through the alignment projection for the position anti-join
+            // below (one partition per file keeps positions absolute).
+            // fileSchema is MASKED to the read columns so pruned-away
+            // target columns take the null branch instead of resolving
+            // against a column the scan never produced.
+            alignToSchema(scrubbedOrc(withPos = true),
+              readFileSchema, schema, keep = Seq("_g_file", "_g_pos") ++ linKeep)
+          case FileFormats.Orc if Types.hasFloatLeaf(cleanScan) =>
+            // double/float reads leave Spark's OrcScan even without live
+            // position deletes: orc-core's collapsed mixed-sign-zero
+            // batches (OrcIO.ZeroSignScrubReader) have no interception
+            // seam there, and compaction's rewrite reader MATERIALIZES
+            // what it reads. Scans projecting no floating-point leaf (the
+            // flag only misfires on ±0.0) keep the vectorized reader below.
+            alignToSchema(scrubbedOrc(withPos = false),
+              readFileSchema, schema, keep = linKeep)
           case FileFormats.Avro if posRead =>
             alignToSchema(readAvroWithPos(spark, ts.map(_.file.path), clean),
               fileSchema, schema, keep = Seq("_g_file", "_g_pos") ++ linKeep)
@@ -636,14 +692,10 @@ final class TableScan private[format] (
       .drop("_g_file", "_g_pos")
   }
 
-  /** ORC files → DataFrame carrying canonical (_g_file, _g_pos): one RDD
-    * partition per FILE (a split would need stripe row offsets to keep
-    * positions absolute — file-level parallelism is preserved, and
-    * compaction clears the position-deleted state). */
   /** Avro row-path read carrying (_g_file, _g_pos) for position-delete
     * anti-joins: files stay UNSPLIT (a byte-range split cannot know how
     * many rows precede it), each task counts absolute file positions —
-    * the avro analog of readOrcWithPos. */
+    * the avro analog of the scrubbed ORC scan's per-file row counter. */
   private def readAvroWithPos(spark: SparkSession, files: Seq[String],
       clean: StructType): DataFrame = {
     val sconf = new org.apache.spark.util.SerializableConfiguration(
@@ -674,35 +726,6 @@ final class TableScan private[format] (
     spark.createDataFrame(rdd, outSchema)
   }
 
-  private def readOrcWithPos(spark: SparkSession, files: Seq[String],
-      clean: StructType): DataFrame = {
-    val sconf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sessionState.newHadoopConf())
-    val outSchema = StructType(clean.fields.toSeq ++ Seq(
-      StructField("_g_file", StringType), StructField("_g_pos", LongType)))
-    val rdd = spark.sparkContext
-      .parallelize(files, math.max(1, files.size))
-      .flatMap { p =>
-        val it = OrcIO.open(p, clean, sconf.value)
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => it.close()))
-        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
-          .createToScalaConverter(clean)
-        val canonFile = ParquetIO.canonPath(p)
-        new Iterator[org.apache.spark.sql.Row] {
-          private var cur = it.read()
-          private var pos = -1L
-          override def hasNext: Boolean = cur != null
-          override def next(): org.apache.spark.sql.Row = {
-            pos += 1
-            val data = conv(cur).asInstanceOf[org.apache.spark.sql.Row]
-            cur = it.read()
-            org.apache.spark.sql.Row.fromSeq(data.toSeq ++ Seq(canonFile, pos))
-          }
-        }
-      }
-    spark.createDataFrame(rdd, outSchema)
-  }
 }
 
 object TableScan {

@@ -24,11 +24,14 @@ object OrcIO {
 
   /** Iterate `path` projected to `schema` (file-side names). Missing
     * columns read as nulls; extra file columns are skipped. */
-  def open(path: String, schema: StructType, conf: Configuration): OrcRowIterator = {
+  def open(path: String, schema: StructType, conf: Configuration,
+      start: Long = 0L, length: Long = -1L): OrcRowIterator = {
     val reader = OrcFile.createReader(new HPath(path), OrcFile.readerOptions(conf))
     val readTd = OrcUtils.orcTypeDescription(schema)
+    val opts = reader.options().schema(readTd)
+    if (length >= 0) opts.range(start, length) // see openBatched
     val rows = new OrcMapreduceRecordReader[OrcStruct](
-      new ZeroSignScrubReader(reader.rows(reader.options().schema(readTd)),
+      new ZeroSignScrubReader(reader.rows(opts),
         reader.getSchema, readTd), readTd)
     new OrcRowIterator(rows, new OrcDeserializer(schema, schema.indices.toArray))
   }
@@ -118,6 +121,40 @@ object OrcIO {
     override def getProgress: Float = inner.getProgress
     override def close(): Unit = inner.close()
     override def seekToRow(rowCount: Long): Unit = inner.seekToRow(rowCount)
+  }
+
+  /** Batch-level twin of [[open]]: the same by-name projection and the same
+    * ZeroSignScrubReader, but the caller consumes the orc-core
+    * VectorizedRowBatch directly (no OrcStruct materialization, no per-row
+    * deserializer) — wrap the vectors with Spark's OrcColumnVector for a
+    * fully vectorized scan. The returned batch is refilled IN PLACE by each
+    * `nextBatch()`; vector object identity is stable for the reader's
+    * lifetime, so wrappers can be built once. */
+  def openBatched(path: String, schema: StructType, conf: Configuration,
+      capacity: Int, start: Long = 0L, length: Long = -1L): OrcBatchIterator = {
+    val reader = OrcFile.createReader(new HPath(path), OrcFile.readerOptions(conf))
+    val readTd = OrcUtils.orcTypeDescription(schema)
+    val opts = reader.options().schema(readTd)
+    // byte-range split (orc-core's own contract: a range reads exactly the
+    // stripes whose START offset falls inside it, so ranges that tile the
+    // file read every stripe exactly once)
+    if (length >= 0) opts.range(start, length)
+    val rows = new ZeroSignScrubReader(
+      reader.rows(opts), reader.getSchema, readTd)
+    new OrcBatchIterator(rows, readTd.createRowBatch(capacity))
+  }
+
+  final class OrcBatchIterator(
+      rows: org.apache.orc.RecordReader,
+      val batch: org.apache.hadoop.hive.ql.exec.vector.VectorizedRowBatch)
+    extends AutoCloseable {
+    /** Refill `batch`; false at end of file. (Spark's own batch reader keys
+      * off `batch.size`, not the boolean — mirror that.) */
+    def nextBatch(): Boolean = {
+      rows.nextBatch(batch)
+      batch.size > 0
+    }
+    override def close(): Unit = rows.close()
   }
 
   final class OrcRowIterator(
