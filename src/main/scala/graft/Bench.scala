@@ -165,8 +165,14 @@ object Bench {
     }.mkString("{", ",", "}")
     // FULL raw data: every pass's sample per query plus each pass's
     // bracket normalizer — any estimator (median, quietest-k, trimmed
-    // mean, per-pass ratio) is recomputable offline from the artifact, so
-    // a cross-round question never again hinges on side evidence
+    // mean, per-pass ratio) is recomputable offline. Round 21: the
+    // per-pass arrays moved OUT of the driver-facing stdout line into a
+    // side artifact (target/bench_passes.json, also echoed to stderr) —
+    // the one-line JSON had grown past 4 KB and the r19 line was
+    // TRUNCATED in the driver's tail capture, which blinded PERF_r20's
+    // whole round-over-round table (prev parsed: null). The stdout line
+    // keeps every published estimator (medians, quiet, calibrated,
+    // spreads, pass_brackets, calibration_runs) unchanged.
     val passesJson = perQuery.collect { case (n, xs) if xs.forall(_.isRight) =>
       "\"" + n + "\":" + xs.map(_.toOption.get).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -177,7 +183,16 @@ object Bench {
     val calStr = calibration.map(_.toString).getOrElse("null")
     val valCalStr = totalCal.map(_.toString).getOrElse("null")
     val lflCalStr = lfl11Cal.map(_.toString).getOrElse("null")
-    realOut.println(s"""{"metric":"total","value":$total,"value_quiet":$valQuiet,"value_cal":$valCalStr,"unit":"sec","lfl11":$lfl11,"lfl11_quiet":$lflQuiet,"lfl11_cal":$lflCalStr,"runs":$Runs,"calibration":$calStr,"calibration_runs":$calJson,"queries":$qs,"queries_quiet":$qsQuiet,"queries_cal":$qsCal,"queries_spread":$spreadJson,"queries_passes":$passesJson,"pass_brackets":$bracketsJson,"errors":$errJson,"sf":"$sfDir"}""")
+    val passesLine =
+      s"""{"queries_passes":$passesJson,"pass_brackets":$bracketsJson,"sf":"$sfDir"}"""
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_passes.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        passesLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // best effort; stderr echo below
+    System.err.println(s"BENCH_PASSES $passesLine")
+    realOut.println(s"""{"metric":"total","value":$total,"value_quiet":$valQuiet,"value_cal":$valCalStr,"unit":"sec","lfl11":$lfl11,"lfl11_quiet":$lflQuiet,"lfl11_cal":$lflCalStr,"runs":$Runs,"calibration":$calStr,"calibration_runs":$calJson,"queries":$qs,"queries_quiet":$qsQuiet,"queries_cal":$qsCal,"queries_spread":$spreadJson,"pass_brackets":$bracketsJson,"errors":$errJson,"sf":"$sfDir"}""")
     realOut.flush()
     if (allErrors.nonEmpty) {
       System.err.println(s"BENCH FAILED: ${allErrors.map(_._1).mkString(", ")}")

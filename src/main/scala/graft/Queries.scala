@@ -424,6 +424,37 @@ object Queries {
       TextOps.packByTokenBudget(t(s, dir, "documents"), budget = 2048)
         .orderBy(col("doc_id"))),
 
+    // parallel-scaling probe (added round 21, optimization round 2).
+    // Guards CORE-COUNT scaling visibility: every other headline query at
+    // sf0.1 is overhead-bound (the r20 scaling block read sec@8 <= sec@32
+    // on ALL 22 queries — the bench inputs are single-file single-row-group
+    // parquet, so every map stage runs one task), which made a
+    // parallelization regression invisible to the artifact of record
+    // (VERDICT r20 item 3). This query is deliberately compute-heavy per
+    // row — an iterated digest chain, the per-row cost shape of content
+    // fingerprinting — so wall-clock tracks cores. The repartition spreads
+    // the unsplittable input across the cluster (guide §2.5 input skew)
+    // and is scale-adaptive (defaultParallelism), not a local[32] constant;
+    // the result is a partitioning-invariant global aggregate.
+    "q136_digest_scaling" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val seed = concat_ws("|", col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"), col("r").cast("string"))
+      val h = (1 to 48).foldLeft(seed)((c, _) => md5(c.cast("binary")))
+      // grouped by the digest's first hex char so the OUTPUT ROW COUNT
+      // depends on every digest — a bare global aggregate lets a count()
+      // action prune the whole hash chain away (guide §1.4)
+      l.select(col("l_orderkey"), col("l_linenumber"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          explode(sequence(lit(1), lit(6))).as("r"))
+        .select(h.as("h"))
+        .groupBy(substring(col("h"), 1, 1).as("b"))
+        .agg(count(lit(1)).as("n"), min(col("h")).as("min_h"),
+          max(col("h")).as("max_h"))
+        .orderBy(col("b"))
+    }),
+
     // benchmark decontamination: every 17th document plays the held-out
     // benchmark; corpus docs sharing any distinct 3-gram with it are
     // flagged with their overlap count and fraction. The benchmark gram
@@ -924,6 +955,20 @@ object Queries {
         |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) >= 0.5
         |ORDER BY a, b""".stripMargin,
 
+    "q136_digest_scaling" -> {
+      // the oracle states the digest chain directly; both engines emit
+      // lowercase hex md5, and min/max over hex strings order identically
+      val chain = (1 to 48).foldLeft(
+        "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)" +
+          " || '|' || CAST(r AS VARCHAR)")(
+        (c, _) => s"md5($c)")
+      s"""SELECT SUBSTRING(h, 1, 1) AS b, COUNT(*) AS n,
+         |MIN(h) AS min_h, MAX(h) AS max_h
+         |FROM (SELECT $chain AS h FROM lineitem,
+         |  LATERAL (SELECT unnest(generate_series(1, 6)) AS r) t) u
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     "q51_decontamination" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
         |g AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS gram
@@ -1358,7 +1403,13 @@ object Queries {
     // each day(ts) partition into a single task so the fanout write runs
     // in parallel; benched alongside q134 so the distribution win (and
     // its shuffle cost) carries spreads across rounds
-    "q135_distributed_write")
+    "q135_distributed_write",
+    // parallel-scaling probe (added round 21, optimization): the only
+    // headline entry whose wall-clock tracks CORE COUNT at sf0.1 (every
+    // other query is overhead-bound there — r20's scaling block read
+    // sec@8 <= sec@32 across the board), so the driver's low-core run
+    // can finally see a parallelization regression
+    "q136_digest_scaling")
 
   /** The 11 queries benched since round 1 — the stable cross-round signal.
     * Per-query times are ±20% noisy run to run; this subtotal is what the

@@ -67,6 +67,24 @@ object Dedup {
       .select(col("doc_id"), col("n_windows"), col("dup_windows"))
   }
 
+  /** Spread a CPU-heavy per-row prep across the cluster when the upstream
+    * plan has fewer partitions than the session's default parallelism —
+    * guide §2.5's "one huge unsplittable file" input-skew remedy. The
+    * tokenize/shingle/hash map stage of every dedup op otherwise runs at
+    * INPUT-SPLIT parallelism, which for a single small file (or a single
+    * parquet row group, which Spark cannot split) is ONE task regardless
+    * of cores. A no-op at production scale (input splits ≥ cores); when
+    * it fires, the round-robin shuffle moves the narrow projected input
+    * once, and every consumer below is partitioning-invariant. */
+  private def spreadNarrowInput(df: DataFrame): DataFrame = {
+    // session-scoped kill switch (default on) so deployments whose inputs
+    // are already well-split can skip the partition-count planning probe
+    if (df.sparkSession.conf
+        .get("spark.graft.dedup.spreadNarrowInput", "true") != "true") return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** (doc_id, gram) exploded distinct word-ngram sets + per-doc set size. */
   private def gramSets(docs: DataFrame, n: Int): (DataFrame, DataFrame) = {
     val grams = docs
@@ -122,7 +140,8 @@ object Dedup {
     require(docs.schema("doc_id").dataType.isInstanceOf[
         org.apache.spark.sql.types.NumericType],
       s"jaccardPairsFast requires a numeric doc_id, got ${docs.schema("doc_id").dataType}")
-    val docsN = docs.withColumn("doc_id", col("doc_id").cast("long"))
+    val docsN = spreadNarrowInput(
+      docs.select(col("doc_id").cast("long").as("doc_id"), col("text")))
     // each gram row carries its doc's set size, so pair rows are complete
     // and no per-doc size join is needed downstream: the whole computation
     // is exactly TWO shuffles of the full gram table (group-by-gram,
@@ -214,6 +233,10 @@ object Dedup {
           org.apache.spark.sql.types.NumericType],
         s"incrementalJaccardPairs requires a numeric doc_id in $nm, " +
           s"got ${d.schema("doc_id").dataType}")
+    // no spreadNarrowInput here: measured LOSS (interleaved A/B at sf0.1,
+    // q113 ~0.9-1.6 s without vs 1.3-1.9 s with — two extra exchanges and
+    // plan probes against increment-scaled pair work); the full-corpus
+    // path keeps it because its single-input map stage measured a win
     def grams(d: DataFrame, newSide: Boolean) = {
       val szCol = size(col("gs"))
       d.select(col("doc_id").cast("long").as("doc_id"),
@@ -561,57 +584,89 @@ object Dedup {
    * the true gram sets (so false positives never escape; false negatives
    * follow the standard LSH S-curve).
    */
-  /** Gram + MinHash-signature prep shared by the full and incremental
-    * LSH paths, and [[minhashLshPairsIncremental]]'s `freshPrepped` hook
-    * shape: one `(doc_id, grams, sig)` row per doc. Exposed so a caller
-    * with an expensive fresh plan can prep once, `persist()`, and hand
-    * the result in — (n, bands, rows) must match the dedup call's or the
-    * band keys won't align across the two sides. */
-  def minhashPrep(docs: DataFrame, n: Int = 3, bands: Int = 16,
-      rows: Int = 4): DataFrame = {
-    val k = bands * rows
-    val sigUdf = udf((toks: Seq[String]) => minhashSignature(toks, k))
-    docs
-      .select(col("doc_id"), TextOps.wordNgrams(TextOps.tokens(col("text")), n).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .withColumn("sig", sigUdf(col("grams")))
-  }
-
-  /** Shared exact-verify tail of the MinHash-LSH family: join candidate
-    * pairs to per-doc gram sets and keep pairs at/above `threshold`.
-    * Grams travel as xxhash64 longs — identity lives only as a 64-bit
-    * hash (the same contract as [[jaccardPairsFast]]), so the verify
-    * join shuffles 8-byte elements instead of full shingle strings and
-    * compares longs, not strings. Jaccard over hashed DISTINCT grams
-    * equals the string answer short of a 64-bit collision inside one
-    * pair's union (~1e-9 at corpus gram counts). `sets` = (doc_id,
-    * grams: array<string>). */
-  /** Distinct xxhash64 of each gram string, bit-identical to
-    * `array_distinct(transform(grams, g => xxhash64(g)))` (same XXH64
-    * kernel and seed as the builtin, same first-occurrence dedup order)
-    * but ONE tight UDF call per row: the HOF transform evaluates its
-    * lambda interpreted per element, measured as the dominant cost of the
-    * minhash verify branch at sf0.1. */
-  private val xxhashGrams = udf((grams: Seq[String]) => {
-    val seen = new java.util.HashSet[Long]()
-    val out = new scala.collection.mutable.ArrayBuffer[Long](grams.length)
+  /** Distinct word n-grams of `text`, first-occurrence order —
+    * bit-identical to the builtin chain
+    * `array_distinct(wordNgramsRaw(split(text, " "), n))` (split keeps
+    * trailing empty tokens: Spark's `split` uses limit -1), but one tight
+    * JVM loop instead of interpreted per-element HOF lambdas. Null when
+    * the doc has no gram (the callers' `size(grams) > 0` filter). */
+  private def distinctGrams(text: String, n: Int): Array[String] = {
+    if (text == null) return null
+    val toks = text.split(" ", -1)
+    if (toks.length < n) return null
+    val seen = new java.util.HashSet[String]()
+    val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
     var i = 0
-    while (i < grams.length) {
-      val b = grams(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
-      if (seen.add(h)) out += h
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val g = sb.toString
+      if (seen.add(g)) out += g
       i += 1
     }
     out.toArray
-  })
+  }
 
-  private def verifyJaccard(cand: DataFrame, sets0: DataFrame,
-      threshold: Double): DataFrame =
-    verifyJaccardHashed(cand, sets0.select(col("doc_id"),
-      xxhashGrams(col("grams")).as("gh")), threshold)
+  /** Gram + MinHash-signature prep shared by the full and incremental
+    * LSH paths, and [[minhashLshPairsIncremental]]'s `freshPrepped` hook
+    * shape: one `(doc_id, gh, sig)` row per doc — `gh` the doc's distinct
+    * gram xxhash64 set (the verify tail's join payload), `sig` the
+    * unpacked minhash signature. Exposed so a caller with an expensive
+    * fresh plan can prep once, `persist()`, and hand the result in —
+    * (n, bands, rows) must match the dedup call's or the band keys won't
+    * align across the two sides.
+    *
+    * FUSED (round 21): text → (gh, sig) is ONE tight UDF pass. The
+    * previous shape ran the interpreted wordNgrams HOF chain to build
+    * gram STRINGS, a second UDF over them for the signature, and a third
+    * (xxhashGrams) on the verify branch — three walks and one extra
+    * UTF-8 encode per gram. Values are bit-identical: same gram strings
+    * (distinctGrams ≡ the builtin chain), same signature kernel
+    * (minhashSignature's seeded murmurs inlined over the same bytes, in
+    * the same order), same verify-hash family (XXH64 seed 42 = the
+    * xxhash64 builtin, first-occurrence distinct — dedup by hash ≡ dedup
+    * by string short of a 64-bit collision, the documented contract). */
+  def minhashPrep(docs: DataFrame, n: Int = 3, bands: Int = 16,
+      rows: Int = 4): DataFrame = {
+    val k = bands * rows
+    val prepUdf = udf((text: String) => {
+      val grams = distinctGrams(text, n)
+      if (grams == null || grams.isEmpty) null
+      else {
+        val sig = Array.fill(k)(Int.MaxValue)
+        val seenH = new java.util.HashSet[Long]()
+        val gh = new scala.collection.mutable.ArrayBuffer[Long](grams.length)
+        var i = 0
+        while (i < grams.length) {
+          // UTF-8 encode each gram ONCE for both hash families
+          val b = grams(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var p = 0
+          while (p < k) { // minhashSignature's exact kernel and seeds
+            val h = Murmur3.hashBytes(b, 0, b.length, p * 0x9e3779b1 + 0x85ebca77)
+            if (h < sig(p)) sig(p) = h
+            p += 1
+          }
+          val x = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+              b.length, 42L)
+          if (seenH.add(x)) gh += x
+          i += 1
+        }
+        (gh.toArray, sig)
+      }
+    })
+    docs
+      .select(col("doc_id"), prepUdf(col("text")).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("doc_id"), col("p._1").as("gh"), col("p._2").as("sig"))
+  }
 
-  /** [[verifyJaccard]] tail over PRE-HASHED gram sets `(doc_id, gh:
+  /** Shared exact-verify tail of the MinHash-LSH family over PRE-HASHED gram sets `(doc_id, gh:
     * array<long>)`. Callers that still hold raw text build `gh` with
     * [[TextOps.gramHashes]] (one tight UDF pass) instead of the
     * wordNgrams HOF chain — Spark's higher-order-function lambdas
@@ -676,8 +731,8 @@ object Dedup {
     // the pruned gram column — measured: +18% on q34, +36% on q125 when
     // the semi-join was tried. FromStore differs: its touched set prunes
     // a table READ, not a recomputation, and keeps its semi-join.
-    val sets = withSig.select(col("doc_id"), col("grams"))
-    verifyJaccard(cand, sets, threshold)
+    val sets = withSig.select(col("doc_id"), col("gh"))
+    verifyJaccardHashed(cand, sets, threshold)
   }
 
   /** Incremental MinHash+LSH near-dup: banded candidate pairs touching a
@@ -721,9 +776,9 @@ object Dedup {
     // not semi-joined to candidate-touched docs — see minhashLshPairs:
     // recomputing `cand` for the touched set measured slower than the
     // pruned-gram join on both the full and incremental paths
-    val sets = cw.select(col("doc_id"), col("grams"))
-      .unionByName(fw.select(col("doc_id"), col("grams")))
-    verifyJaccard(cand, sets, threshold)
+    val sets = cw.select(col("doc_id"), col("gh"))
+      .unionByName(fw.select(col("doc_id"), col("gh")))
+    verifyJaccardHashed(cand, sets, threshold)
   }
 
   /** MinHash signatures packed for PERSISTENCE: one `(doc_id, sig)` row
@@ -736,16 +791,23 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, n: Int = 3, bands: Int = 16,
       rows: Int = 4): DataFrame = {
     val k = bands * rows
-    val sigUdf = udf((toks: Seq[String]) => {
-      val sig = minhashSignature(toks, k)
-      val bb = java.nio.ByteBuffer.allocate(4 * sig.length)
-      sig.foreach(bb.putInt)
-      bb.array()
+    // fused text → packed signature, one tight UDF pass (round 21) — the
+    // previous shape ran the interpreted wordNgrams HOF chain to build
+    // gram strings and a second UDF over them; values are bit-identical
+    // (distinctGrams ≡ the builtin chain, minhashSignature unchanged)
+    val sigUdf = udf((text: String) => {
+      val grams = distinctGrams(text, n)
+      if (grams == null || grams.isEmpty) null
+      else {
+        val sig = minhashSignature(scala.collection.immutable.ArraySeq
+          .unsafeWrapArray(grams), k)
+        val bb = java.nio.ByteBuffer.allocate(4 * sig.length)
+        sig.foreach(bb.putInt)
+        bb.array()
+      }
     })
-    docs.select(col("doc_id"),
-        TextOps.wordNgrams(TextOps.tokens(col("text")), n).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .select(col("doc_id"), sigUdf(col("grams")).as("sig"))
+    docs.select(col("doc_id"), sigUdf(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   /** Incremental MinHash near-dup against a persisted signature store:

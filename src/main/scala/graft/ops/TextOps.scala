@@ -154,11 +154,15 @@ object TextOps {
       coalesce(size(split(col(textCol), " ")).cast("long"), lit(0L)).as("toks"))
     val nGroups = math.max(1, spark.sessionState.conf.numShufflePartitions)
     val keyed = quantileGroups(base, "doc_id", nGroups)
-    // one row PER GROUP — the only place a no-partition window appears,
-    // over ~numShufflePartitions rows
+    // one row PER GROUP — the single-task prefix window is metadata-scale
+    // BY CONSTRUCTION (~numShufflePartitions rows). The constant partition
+    // key makes that intent explicit to Spark (same one-task plan, but no
+    // scary "Moving all data to a single partition" WindowExec warning for
+    // a window that is deliberately tiny)
     val offsets = keyed.groupBy("grp").agg(sum("toks").as("t"))
       .withColumn("off", coalesce(sum("t").over(
-        Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)),
+        Window.partitionBy(lit(0))
+          .orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select("grp", "off")
     val withinW = Window.partitionBy("grp").orderBy("doc_id")
