@@ -420,6 +420,33 @@ final class TableScan private[format] (
           if (withPos) df.withColumnRenamed("_graft_row_index", "_g_pos")
           else df
         }
+        // avro twin: the DSv2 GraftAvroScan planted the same way — its
+        // readers produce InternalRow directly, replacing the prior
+        // RDD-of-external-Rows shape (Catalyst-to-Scala converter + Row
+        // re-encode per row, and NO column pruning since an RDD-backed
+        // DataFrame materializes every column before Catalyst sees it).
+        // With positions the canonical file path rides as a per-file
+        // partition constant and files stay unsplit (absolute positions);
+        // without, large container files split into sync-bounded ranges.
+        def scanAvro(withPos: Boolean): DataFrame = {
+          val sconf = new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf())
+          val scan = new graft.connector.GraftAvroScan(cleanScan,
+            if (withPos) StructType(Seq(
+              StructField("_g_file", StringType, nullable = false)))
+            else new StructType(),
+            ts.map(t => (t.file.path, t.file.fileSizeInBytes,
+              if (withPos) Seq(org.apache.spark.unsafe.types.UTF8String
+                .fromString(ParquetIO.canonPath(t.file.path)))
+              else Nil)),
+            sconf,
+            spark.sessionState.conf.filesMaxPartitionBytes,
+            withRowIndex = withPos)
+          val df = org.apache.spark.sql.execution.datasources.v2.GraftV2Shims
+            .scanToDF(spark, scan, s"graft-avro(${ts.size} files)")
+          if (withPos) df.withColumnRenamed("_graft_row_index", "_g_pos")
+          else df
+        }
         fmt match {
           case FileFormats.Orc if posRead =>
             // scrubbed columnar read carrying (_g_file, _g_pos) — kept
@@ -440,12 +467,11 @@ final class TableScan private[format] (
             alignToSchema(scrubbedOrc(withPos = false),
               readFileSchema, schema, keep = linKeep)
           case FileFormats.Avro if posRead =>
-            alignToSchema(readAvroWithPos(spark, ts.map(_.file.path), clean),
-              fileSchema, schema, keep = Seq("_g_file", "_g_pos") ++ linKeep)
+            alignToSchema(scanAvro(withPos = true),
+              readFileSchema, schema, keep = Seq("_g_file", "_g_pos") ++ linKeep)
           case FileFormats.Avro =>
-            alignToSchema(readAvro(spark,
-              ts.map(t => t.file.path -> t.file.fileSizeInBytes), clean),
-              fileSchema, schema, keep = linKeep)
+            alignToSchema(scanAvro(withPos = false),
+              readFileSchema, schema, keep = linKeep)
           case _ =>
             alignToSchema(readIndexed(ts.map(_.file), clean), fileSchema,
               schema, keep = linKeep)
