@@ -193,6 +193,14 @@ object Dedup {
       }
     val docLists = groupFilter.foldLeft(
       grouped.filter(size(col("ds")) >= 2))(_ filter _)
+    // NOT adopted: grouping the pair-count shuffle by (a, b, szsum) instead
+    // of (a, b, sza, szb) — one fewer UnsafeRow word and grouping column,
+    // identical groups since (a, b) determines both sizes. The r21
+    // interleaved A/B (Q33Probe, sf0.1) measured it a consistent ~10% LOSS
+    // on the tail (old ~1.08 s vs new ~1.20 s median, identical outputs):
+    // the pair shuffle is the SMALLER of the family's two shuffles and the
+    // saved word doesn't pay for the extra pre-exchange projection at this
+    // scale. The gram-table shuffle stays the family floor.
     val pairs = docLists.select(explode(combos(col("ds"))).as("p"))
       .select(col("p._1").as("a"), col("p._2").as("sza"),
         col("p._3").as("b"), col("p._4").as("szb"))
