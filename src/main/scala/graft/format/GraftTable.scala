@@ -302,9 +302,10 @@ final class TableScan private[format] (
     val posDeletes = plan.deleteFiles.filter(_._1.content == FileContent.PositionDeletes)
 
     // position deletes ride parquet's `_metadata.row_index`; ORC and Avro
-    // groups a position delete actually TARGETS read row-path with a
-    // file-position counter (scrubbedOrc / readAvroWithPos — position
-    // deletes are format-agnostic in the reference, Deletes.java:70-123).
+    // groups a position delete actually TARGETS read through their planted
+    // scans with a per-file position counter (scrubbedOrc / scanAvro —
+    // position deletes are format-agnostic in the reference,
+    // Deletes.java:70-123).
     // Target detection is one small driver read of the delete files' path
     // column, only on tables that mix formats under live position deletes.
     lazy val posTargets: Set[String] = Deletes.posDeleteTargetFiles(
@@ -546,43 +547,6 @@ final class TableScan private[format] (
     }
   }
 
-  /** Avro files → DataFrame: Spark ships no Avro datasource in this build,
-    * so the files read through AvroIO's resolving projection as one RDD —
-    * large container files split into sync-bounded byte ranges at the
-    * session's maxPartitionBytes (same contract as the DSv2 GraftAvroScan),
-    * so a handful of big files still parallelizes across the cluster. */
-  private def readAvro(spark: SparkSession, files: Seq[(String, Long)],
-      clean: StructType): DataFrame = {
-    val sconf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sessionState.newHadoopConf())
-    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    val splits: Seq[(String, Long, Long)] = files.flatMap { case (p, size) =>
-      graft.connector.GraftAvroScan.ranges(size, maxSplit)
-        .map { case (s, e) => (p, s, e) }
-    }
-    val rdd = spark.sparkContext
-      .parallelize(splits, math.max(1, splits.size))
-      .flatMap { case (p, start, end) =>
-        val it = AvroIO.open(p, clean, sconf.value, start, end)
-        // close on task completion, not just exhaustion: a limit()/take()
-        // that stops pulling early must not leak the open container file
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => it.close()))
-        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
-          .createToScalaConverter(clean)
-        new Iterator[org.apache.spark.sql.Row] {
-          private var cur = it.read()
-          override def hasNext: Boolean = cur != null
-          override def next(): org.apache.spark.sql.Row = {
-            val out = conv(cur).asInstanceOf[org.apache.spark.sql.Row]
-            cur = it.read()
-            out
-          }
-        }
-      }
-    spark.createDataFrame(rdd, clean)
-  }
-
   private def projectedSchema(schema: StructType): StructType =
     projection match {
       case Some(cols) =>
@@ -716,40 +680,6 @@ final class TableScan private[format] (
       .toDF("_g_file", "_g_pos")
     df0.join(broadcast(dels), Seq("_g_file", "_g_pos"), "left_anti")
       .drop("_g_file", "_g_pos")
-  }
-
-  /** Avro row-path read carrying (_g_file, _g_pos) for position-delete
-    * anti-joins: files stay UNSPLIT (a byte-range split cannot know how
-    * many rows precede it), each task counts absolute file positions —
-    * the avro analog of the scrubbed ORC scan's per-file row counter. */
-  private def readAvroWithPos(spark: SparkSession, files: Seq[String],
-      clean: StructType): DataFrame = {
-    val sconf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sessionState.newHadoopConf())
-    val outSchema = StructType(clean.fields.toSeq ++ Seq(
-      StructField("_g_file", StringType), StructField("_g_pos", LongType)))
-    val rdd = spark.sparkContext
-      .parallelize(files, math.max(1, files.size))
-      .flatMap { p =>
-        val it = AvroIO.open(p, clean, sconf.value, 0L, Long.MaxValue)
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => it.close()))
-        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
-          .createToScalaConverter(clean)
-        val canonFile = ParquetIO.canonPath(p)
-        new Iterator[org.apache.spark.sql.Row] {
-          private var cur = it.read()
-          private var pos = -1L
-          override def hasNext: Boolean = cur != null
-          override def next(): org.apache.spark.sql.Row = {
-            pos += 1
-            val data = conv(cur).asInstanceOf[org.apache.spark.sql.Row]
-            cur = it.read()
-            org.apache.spark.sql.Row.fromSeq(data.toSeq ++ Seq(canonFile, pos))
-          }
-        }
-      }
-    spark.createDataFrame(rdd, outSchema)
   }
 
 }
