@@ -154,17 +154,19 @@ object TextOps {
       coalesce(size(split(col(textCol), " ")).cast("long"), lit(0L)).as("toks"))
     val nGroups = math.max(1, spark.sessionState.conf.numShufflePartitions)
     val keyed = quantileGroups(base, "doc_id", nGroups)
-    // one row PER GROUP — the single-task prefix window is metadata-scale
-    // BY CONSTRUCTION (~numShufflePartitions rows). The constant partition
-    // key makes that intent explicit to Spark (same one-task plan, but no
-    // scary "Moving all data to a single partition" WindowExec warning for
-    // a window that is deliberately tiny)
-    val offsets = keyed.groupBy("grp").agg(sum("toks").as("t"))
-      .withColumn("off", coalesce(sum("t").over(
-        Window.partitionBy(lit(0))
-          .orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select("grp", "off")
+    // one row PER GROUP — prefix offsets via a triangular broadcast
+    // self-join over the per-group totals instead of a global window:
+    // off(g) = Σ t(g') for g' < g, identical to the ordered prefix sum
+    // (one row per grp). G ≈ numShufflePartitions by construction, so the
+    // G² join tuples are metadata-scale, the work is fully parallel, and
+    // no partition-less WindowExec exists at ANY scale (a constant
+    // partitionBy(lit) key does not survive Catalyst — the optimizer
+    // folds it away and the single-task window comes back)
+    val totals = keyed.groupBy("grp").agg(sum("toks").as("t"))
+    val prior = totals.select(col("grp").as("_pg"), col("t").as("_pt"))
+    val offsets = totals
+      .join(broadcast(prior), col("_pg") < col("grp"), "left")
+      .groupBy("grp").agg(coalesce(sum("_pt"), lit(0L)).as("off"))
     val withinW = Window.partitionBy("grp").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     keyed
