@@ -242,6 +242,25 @@ class MultiFormatSpec extends SparkSpec {
     assert(t.toDF().select("data").as[String].collect().sorted.head === "data-0")
   }
 
+  test("avro library scan plants a pruned DSv2 batch scan") {
+    // the r21 read path: InternalRow direct through GraftAvroScan (no
+    // external-Row RDD), with the scan schema pruned to consumed columns
+    // so Avro's resolving decoder skips the rest without decoding
+    val loc = freshLoc("avroplan")
+    val t = GraftTable.create(spark, loc, sample(3).schema,
+      properties = Map("write.format.default" -> "avro"))
+    GraftWrite.append(t, sample(3))
+    val df = t.newScan().select("data").toDF()
+    val scans = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.size === 1, s"expected one planted scan:\n${df.queryExecution.sparkPlan}")
+    assert(scans.head.scan.isInstanceOf[graft.connector.GraftAvroScan])
+    assert(scans.head.scan.readSchema().fieldNames.toSeq === Seq("data"),
+      "projection must prune the avro decode to the consumed column")
+    assert(df.as[String].collect().sorted.toSeq === Seq("data-0", "data-1", "data-2"))
+  }
+
   test("partitioned orc and avro tables route rows to partition files") {
     for (fmt <- Seq("orc", "avro")) {
       val loc = freshLoc(s"part-$fmt")
