@@ -668,9 +668,18 @@ object Dedup {
         (gh.toArray, sig)
       }
     })
+    // gram-less docs are dropped by a CHEAP builtin pre-filter — exactly
+    // the UDF's null condition (distinctGrams: text null or token count
+    // < n; toks.length >= n guarantees >= 1 gram) — NOT by filtering on
+    // `p.isNotNull`: Catalyst pushes that below the collapsed projects as
+    // isnotnull(UDF(text)), and FilterExec + ProjectExec each evaluate the
+    // UDF (codegen subexpression elimination does not span operators), so
+    // the expensive prep ran 2x per row (r21 PrepEvalProbe: 10000
+    // invocations for 5000 rows, map stage 0.58 -> 0.38 s pre-filtered)
     docs
+      .filter(col("text").isNotNull &&
+        size(split(col("text"), " ", -1)) >= n)
       .select(col("doc_id"), prepUdf(col("text")).as("p"))
-      .filter(col("p").isNotNull)
       .select(col("doc_id"), col("p._1").as("gh"), col("p._2").as("sig"))
   }
 
@@ -814,8 +823,13 @@ object Dedup {
         bb.array()
       }
     })
-    docs.select(col("doc_id"), sigUdf(col("text")).as("sig"))
-      .filter(col("sig").isNotNull)
+    // same cheap pre-filter as minhashPrep instead of isNotNull on the
+    // UDF output — the pushed-down isnotnull(UDF(text)) evaluated the
+    // signature UDF twice per row (PrepEvalProbe)
+    docs
+      .filter(col("text").isNotNull &&
+        size(split(col("text"), " ", -1)) >= n)
+      .select(col("doc_id"), sigUdf(col("text")).as("sig"))
   }
 
   /** Incremental MinHash near-dup against a persisted signature store:
