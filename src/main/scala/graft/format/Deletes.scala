@@ -192,9 +192,13 @@ object Deletes {
       withSource: Boolean = false): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    // null-tolerant like the executor-side loader (PosDeleteCache skips
-    // null rows): canonicalizing before filtering must not throw
+    // null rows are pre-filtered on the raw columns (PosDeleteCache skips
+    // them the same way executor-side), so canon only ever sees non-null
+    // input — declared non-nullable so the downstream join's inferred
+    // isnotnull(key) folds away instead of re-evaluating the UDF in a
+    // pushed-down filter (the null guard stays as defense in depth)
     val canon = udf((s: String) => if (s == null) null else ParquetIO.canonPath(s))
+      .asNonNullable()
     val (dvs, parquetFiles) = files.partition(_.fileFormat == FileFormats.Puffin)
     val out = StructType(Seq(StructField("file_path", StringType),
       StructField("pos", LongType)) ++
@@ -206,11 +210,17 @@ object Deletes {
         parquetFiles.distinctBy(_.path), FileFormats.Parquet,
         StructType(Seq(StructField("file_path", StringType),
           StructField("pos", LongType))))
+        // null rows are dropped on the RAW columns BEFORE the canon UDF:
+        // filtering the projected alias instead pushes down as
+        // isnotnull(UDF(file_path)) and evaluates the UDF twice per row
+        // (filter + project — the r21 PrepEvalProbe class); canon is null
+        // exactly when its input is, so the row sets are identical
+        .filter(col("file_path").isNotNull && col("pos").isNotNull)
         .select(Seq(canon(col("file_path")).as("file_path"), col("pos")) ++
           (if (withSource)
             Seq(canon(col("_metadata.file_path")).as("delete_file_path"))
           else Nil): _*)
-      parts += base.filter(col("file_path").isNotNull && col("pos").isNotNull)
+      parts += base
     }
     val slices = Dvs.slicesOf(dvs)
     if (slices.nonEmpty) {
